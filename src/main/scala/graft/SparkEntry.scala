@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Temporal
+import graft.operators._
+
+/** Driver contract — query registry + DuckDB oracle twins.
+  *
+  * Naming follows SURVEY.md §2. Every aggregate / computed column is
+  * aliased identically here and in `oracleSql` (driver compares by
+  * column name). Monetary aggregates are summed in DECIMAL (exact,
+  * order-independent) and cast to DOUBLE at the end so parallel
+  * reduction order can never change the value.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  private val money: Column => Column = c => c.cast(DecimalType(18, 2))
+
+  // ── flagship ──────────────────────────────────────────────────────
+  /** Pricing summary over lineitem (TPC-H Q1 shape): groupBy + exact
+    * decimal sums; one shuffle, map-side partial aggregation.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ── A. Silver ─────────────────────────────────────────────────────
+  /** Typed cleanse of the events feed: normalization, code-derived
+    * day type, temporal surrogate keys, JSON prop extraction.
+    * (reference: src/silver/transforms.py:325-454)
+    */
+  private def cleanseEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      upper(trim(col("event_type"))).as("event_type_norm"),
+      Temporal.tipoDia(col("ts")).as("tipo_dia"),
+      Temporal.dateSk(col("ts")).as("date_sk"),
+      Temporal.time30mSk(col("ts")).as("time_30m_sk"),
+      col("value"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+
+  /** Quality rules for events, first-match-wins (reference:
+    * src/silver/transforms.py:457-478 rule shape).
+    */
+  private def eventRules: Seq[QualityGate.Rule] = Seq(
+    QualityGate.Rule("MISSING_ID", col("user_id").isNull),
+    QualityGate.Rule("MISSING_TIMESTAMP", col("date_sk").isNull),
+    QualityGate.Rule("NEG_VALUE", col("value").isNotNull && col("value") < 0),
+    QualityGate.Rule("BAD_RANGE_VALUE", col("value").isNotNull && col("value") > 450.0),
+    QualityGate.Rule("BAD_TIME_SLOT", col("time_30m_sk").isNotNull &&
+      (col("time_30m_sk") < 0 || col("time_30m_sk") > 47)))
+
+  // ── registry ──────────────────────────────────────────────────────
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+
+    "silver_cleanse_events" -> cleanseEvents _,
+
+    "silver_quality_valid" -> ((s: SparkSession, d: String) =>
+      QualityGate.valid(cleanseEvents(s, d), eventRules)),
+
+    "silver_quality_quarantine" -> ((s: SparkSession, d: String) =>
+      QualityGate.quarantine(cleanseEvents(s, d), eventRules)),
+
+    "silver_quality_report" -> ((s: SparkSession, d: String) =>
+      QualityGate.report(cleanseEvents(s, d), eventRules)),
+
+    "silver_unpivot_measures" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure_name", "measure_value")),
+
+    "gold_dim_date" -> ((s: SparkSession, d: String) =>
+      Dims.dimDate(t(s, d, "orders"), col("o_orderdate"))),
+
+    "gold_dim_time_30m" -> ((s: SparkSession, d: String) => Dims.dimTime30m(s)),
+
+    "gold_dim_lookup" -> ((s: SparkSession, d: String) =>
+      Dims.lookupDim(t(s, d, "orders"), "o_orderpriority", "priority_sk", "priority_name")),
+
+    "gold_dedup_grain" -> ((s: SparkSession, d: String) =>
+      Dedup.latestByGrain(t(s, d, "events"),
+        grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id")))
+  )
+
+  /** DuckDB twins. Table names resolve to the same parquet files. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "silver_cleanse_events" -> cleanseEventsSql(""),
+
+    "silver_quality_valid" ->
+      s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL",
+
+    "silver_quality_quarantine" ->
+      s"SELECT * FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NOT NULL",
+
+    "silver_quality_report" ->
+      s"""SELECT COALESCE(reason_code, 'VALID') AS reason_code, COUNT(*) AS n_rows
+         |FROM (${qualityAnnotatedSql()}) GROUP BY 1""".stripMargin,
+
+    "silver_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure_name, l_quantity AS measure_value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+
+    "gold_dim_date" ->
+      """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+        |days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS full_date FROM b)
+        |SELECT
+        |  CAST(year(full_date)*10000 + month(full_date)*100 + day(full_date) AS INTEGER) AS date_sk,
+        |  full_date,
+        |  CAST(year(full_date) AS INTEGER) AS year,
+        |  CAST(month(full_date) AS INTEGER) AS month,
+        |  CAST(day(full_date) AS INTEGER) AS day,
+        |  CAST(weekofyear(full_date) AS INTEGER) AS iso_week,
+        |  CAST(isodow(full_date) AS INTEGER) AS iso_dow,
+        |  isodow(full_date) >= 6 AS is_weekend,
+        |  strftime(full_date, '%Y-%m') AS year_month,
+        |  CASE WHEN isodow(full_date) = 7 THEN 'DOMINGO'
+        |       WHEN isodow(full_date) = 6 THEN 'SABADO'
+        |       ELSE 'LABORAL' END AS tipo_dia
+        |FROM days""".stripMargin,
+
+    "gold_dim_time_30m" ->
+      """SELECT CAST(i AS INTEGER) AS time_30m_sk,
+        |  printf('%02d:%02d:00', i//2, (i%2)*30) AS start_time,
+        |  printf('%02d:%02d:00', ((i+1)//2)%24, ((i+1)%2)*30) AS end_time,
+        |  CAST(i//2 AS INTEGER) AS hour,
+        |  CAST((i%2)*30 AS INTEGER) AS minute,
+        |  printf('%02d:%02d', i//2, (i%2)*30) AS label
+        |FROM range(48) t(i)""".stripMargin,
+
+    "gold_dim_lookup" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority_name) AS INTEGER) AS priority_sk, priority_name
+        |FROM (SELECT DISTINCT TRIM(o_orderpriority) AS priority_name FROM orders
+        |      WHERE o_orderpriority IS NOT NULL AND TRIM(o_orderpriority) <> '')""".stripMargin,
+
+    "gold_dedup_grain" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin
+  )
+
+  /** DuckDB twin of [[cleanseEvents]]; `where` lets callers append a predicate. */
+  private def cleanseEventsSql(where: String): String =
+    s"""SELECT event_id, user_id,
+       |  UPPER(TRIM(event_type)) AS event_type_norm,
+       |  CASE WHEN isodow(ts) = 7 THEN 'DOMINGO'
+       |       WHEN isodow(ts) = 6 THEN 'SABADO'
+       |       ELSE 'LABORAL' END AS tipo_dia,
+       |  CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_sk,
+       |  CAST(hour(ts)*2 + CASE WHEN minute(ts) >= 30 THEN 1 ELSE 0 END AS INTEGER) AS time_30m_sk,
+       |  value,
+       |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k
+       |FROM events $where""".stripMargin
+
+  /** DuckDB twin of the first-match-wins quality annotation. */
+  private def qualityAnnotatedSql(): String =
+    s"""SELECT *,
+       |  CASE WHEN user_id IS NULL THEN 'MISSING_ID'
+       |       WHEN date_sk IS NULL THEN 'MISSING_TIMESTAMP'
+       |       WHEN value IS NOT NULL AND value < 0 THEN 'NEG_VALUE'
+       |       WHEN value IS NOT NULL AND value > 450.0 THEN 'BAD_RANGE_VALUE'
+       |       WHEN time_30m_sk IS NOT NULL AND (time_30m_sk < 0 OR time_30m_sk > 47) THEN 'BAD_TIME_SLOT'
+       |       ELSE NULL END AS reason_code
+       |FROM (${cleanseEventsSql("")})""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
 }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-generated test lake.
+  * On a cluster the same layout holds (one directory of parquet per
+  * table); scans stay column-pruned + filter-pushed because every
+  * operator selects through the declarative API.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet stores ts as TIMESTAMP(NANOS), which the vectorized
+      // parquet reader rejects. Read nanos as long and truncate to
+      // microseconds with integer division (ns magnitudes overflow double
+      // precision, so no floating-point math here).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * `latestByGrain` re-expresses the reference's fact-merge dedup
+  * (reference: src/gold/load_gold.py:1076-1083, 1235-1243:
+  * ROW_NUMBER() OVER (PARTITION BY grain ORDER BY ts DESC) = 1).
+  *
+  * `exactByKey` is the exact-duplicate collapse used by the
+  * training-data pipeline (group on content, keep smallest id).
+  * Both are one shuffle on the grain; partial aggregation applies.
+  */
+object Dedup {
+
+  /** Keep the latest row per grain; `order` columns are ranked DESC
+    * (first = primary recency, rest = deterministic tie-breaks).
+    */
+  def latestByGrain(df: DataFrame, grain: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(grain.map(col): _*).orderBy(order.map(col(_).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact dedup on a content column: one surviving id per distinct
+    * content value plus the duplicate count.
+    */
+  def exactByKey(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop(contentCol)
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Temporal
+
+/** Dimension builders for the Kimball layer.
+  *
+  * dim_date / dim_time_30m mirror the reference's generated dims
+  * (reference: src/gold/load_gold.py:525-595 and 486-502); lookupDim
+  * mirrors upsert_lookup_dim (src/gold/sql_helpers.py) with
+  * deterministic surrogate keys (dense rank over sorted business
+  * values) instead of identity columns — reproducible on any cluster,
+  * no sequential bottleneck.
+  */
+object Dims {
+
+  /** Calendar dimension covering [min(dateCol), max(dateCol)] of `df`.
+    * Full-day coverage via sequence+explode — distributed, no driver loop.
+    */
+  def dimDate(df: DataFrame, dateCol: Column): DataFrame = {
+    val bounds = df.agg(min(to_date(dateCol)).as("d0"), max(to_date(dateCol)).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("full_date"))
+    days.select(
+      (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
+        dayofmonth(col("full_date"))).cast("int").as("date_sk"),
+      col("full_date"),
+      year(col("full_date")).as("year"),
+      month(col("full_date")).as("month"),
+      dayofmonth(col("full_date")).as("day"),
+      weekofyear(col("full_date")).as("iso_week"),
+      Temporal.isoDow(col("full_date")).as("iso_dow"),
+      (Temporal.isoDow(col("full_date")) >= 6).as("is_weekend"),
+      date_format(col("full_date"), "yyyy-MM").as("year_month"),
+      Temporal.tipoDia(col("full_date")).as("tipo_dia"))
+  }
+
+  /** 48-slot half-hour time dimension (dim_time_30m). */
+  def dimTime30m(spark: SparkSession): DataFrame = {
+    val i = col("id").cast("int")
+    val h = floor(i / 2).cast("int")
+    val m = ((i % 2) * 30).cast("int")
+    val endH = (floor((i + 1) / 2) % 24).cast("int")
+    val endM = (((i + 1) % 2) * 30).cast("int")
+    spark.range(48).select(
+      i.as("time_30m_sk"),
+      format_string("%02d:%02d:00", h, m).as("start_time"),
+      format_string("%02d:%02d:00", endH, endM).as("end_time"),
+      h.as("hour"),
+      m.as("minute"),
+      format_string("%02d:%02d", h, m).as("label"))
+  }
+
+  /** Lookup dim from the distinct values of a column, with
+    * deterministic surrogate keys (1..n over sorted values).
+    * Distinct = map-side-combined aggregate; the final rank runs over
+    * the (tiny) distinct set in a single partition — intentional,
+    * dims are small by definition.
+    */
+  def lookupDim(df: DataFrame, valueCol: String, skName: String, nameCol: String): DataFrame = {
+    val distinctVals = df.select(trim(col(valueCol)).as(nameCol))
+      .filter(col(nameCol).isNotNull && col(nameCol) =!= "")
+      .distinct()
+    distinctVals
+      .withColumn(skName, row_number().over(Window.orderBy(col(nameCol))))
+      .select(col(skName), col(nameCol))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 builder.
+  *
+  * The reference maintains SCD2 dims (dim_stop, dim_service) by
+  * iterating rows in Python against the live table
+  * (reference: src/gold/load_gold.py:295-439: row_hash of normalized
+  * attrs, expire-and-insert, valid_from/valid_to/is_current).
+  *
+  * Here the same result is computed as distributed window algebra —
+  * no driver-side loop, a single shuffle on the business key:
+  *   1. reduce observations to one per (bk, observation date),
+  *      latest-wins with a deterministic tie-break;
+  *   2. detect attribute change points vs the previous observation
+  *      (lag over bk ordered by date);
+  *   3. change points become versions: valid_from = change date,
+  *      valid_to = next change date - 1 day, is_current = no next.
+  *
+  * row_hash matches the reference's normalization exactly:
+  * sha256 over UPPER(TRIM(attr)) joined by "||", NULL -> ""
+  * (load_gold.py:281-292).
+  */
+object Scd2 {
+
+  /** Normalized attribute signature (and hash input) for change detection. */
+  private def attrKey(attrs: Seq[String]): Column =
+    concat_ws("||", attrs.map(a => upper(trim(coalesce(col(a).cast("string"), lit(""))))): _*)
+
+  def rowHash(attrs: Seq[String]): Column = sha2(attrKey(attrs), 256)
+
+  /** Build the SCD2 dimension from an observation history.
+    *
+    * @param df        observations: bk, ts and attribute columns
+    * @param bk        business-key column
+    * @param ts        observation timestamp column
+    * @param tieBreak  deterministic tie-break for same-instant
+    *                  observations (ordered DESC after ts)
+    * @param attrs     tracked attribute columns
+    */
+  def fromHistory(df: DataFrame, bk: String, ts: String,
+                  tieBreak: Seq[String], attrs: Seq[String]): DataFrame = {
+    val obsDate = to_date(col(ts))
+
+    // 1. one observation per (bk, day): latest-wins.
+    val perDayW = Window.partitionBy(col(bk), col("obs_date"))
+      .orderBy((col(ts).desc +: tieBreak.map(col(_).desc)): _*)
+    val daily = df
+      .withColumn("obs_date", obsDate)
+      .withColumn("_rn", row_number().over(perDayW))
+      .filter(col("_rn") === 1)
+      .select((bk +: "obs_date" +: attrs).map(col): _*)
+
+    // 2. change points vs previous day observed.
+    val histW = Window.partitionBy(col(bk)).orderBy(col("obs_date"))
+    val key = attrKey(attrs)
+    val changed = daily
+      .withColumn("_k", key)
+      .withColumn("_prev", lag(col("_k"), 1).over(histW))
+      .filter(col("_prev").isNull || col("_prev") =!= col("_k"))
+
+    // 3. versions with validity ranges.
+    val verW = Window.partitionBy(col(bk)).orderBy(col("obs_date"))
+    changed
+      .withColumn("valid_from", col("obs_date"))
+      .withColumn("valid_to", date_sub(lead(col("obs_date"), 1).over(verW), 1))
+      .withColumn("is_current", lead(col("obs_date"), 1).over(verW).isNull)
+      .withColumn("row_hash", rowHash(attrs))
+      .select((bk +: attrs ++: Seq("valid_from", "valid_to", "is_current", "row_hash")).map(col): _*)
+  }
+}

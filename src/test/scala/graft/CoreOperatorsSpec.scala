@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import java.sql.{Date, Timestamp}
+
+import graft.operators._
+import graft.functions.Temporal
+
+class CoreOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("temporal keys: date_sk / time_30m_sk / tipo_dia") {
+    val df = Seq(
+      ("2024-01-06 10:29:59", 20240106, 20, "SABADO"),   // Saturday, min<30
+      ("2024-01-07 10:30:00", 20240107, 21, "DOMINGO"),  // Sunday, min>=30
+      ("2024-01-08 00:00:00", 20240108, 0, "LABORAL"),   // Monday midnight
+      ("2024-01-09 23:59:59", 20240109, 47, "LABORAL"))
+      .toDF("s", "exp_date_sk", "exp_slot", "exp_tipo")
+      .withColumn("ts", to_timestamp($"s"))
+    val got = df.select(
+      Temporal.dateSk($"ts").as("d"), Temporal.time30mSk($"ts").as("t"),
+      Temporal.tipoDia($"ts").as("td"), $"exp_date_sk", $"exp_slot", $"exp_tipo").collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(3) && r.getInt(1) == r.getInt(4) && r.getString(2) == r.getString(5))
+    }
+  }
+
+  test("quality gate: first-match-wins + exhaustive split") {
+    val df = Seq(
+      (Some(1L), Some(5.0)),   // valid
+      (None, Some(-2.0)),      // MISSING_ID wins over NEG_VALUE
+      (Some(2L), Some(-1.0)),  // NEG_VALUE
+      (Some(3L), None))        // valid (null value not negative)
+      .toDF("id", "v")
+    val rules = Seq(
+      QualityGate.Rule("MISSING_ID", $"id".isNull),
+      QualityGate.Rule("NEG_VALUE", $"v" < 0))
+    val annotated = QualityGate.withReason(df, rules).collect()
+    assert(annotated.count(_.isNullAt(2)) == 2)
+    val reasons = QualityGate.quarantine(df, rules)
+      .select("reason_code").as[String].collect().sorted
+    assert(reasons.toSeq == Seq("MISSING_ID", "NEG_VALUE"))
+    assert(QualityGate.valid(df, rules).count() + QualityGate.quarantine(df, rules).count() == df.count())
+    assert(!QualityGate.valid(df, rules).columns.contains("reason_code"))
+  }
+
+  test("scd2: versions, validity chain, current flag, row_hash normalization") {
+    val df = Seq(
+      ("S1", "2024-01-01 08:00:00", "BUS"),
+      ("S1", "2024-01-01 12:00:00", "METRO"),  // same day: latest wins -> METRO
+      ("S1", "2024-01-03 09:00:00", "METRO"),  // unchanged -> no new version
+      ("S1", "2024-01-05 09:00:00", "bus  "),  // changed (hash normalized to BUS)
+      ("S2", "2024-01-02 10:00:00", "ZP"))
+      .toDF("stop", "s", "mode")
+      .withColumn("ts", to_timestamp($"s")).withColumn("event_id", monotonically_increasing_id())
+    val dim = Scd2.fromHistory(df, "stop", "ts", Seq("event_id"), Seq("mode"))
+      .orderBy("stop", "valid_from").collect()
+    assert(dim.length == 3)
+    val v1 = dim(0) // S1 METRO 01-01 .. 01-04
+    assert(v1.getAs[String]("mode") == "METRO")
+    assert(v1.getAs[Date]("valid_from").toString == "2024-01-01")
+    assert(v1.getAs[Date]("valid_to").toString == "2024-01-04")
+    assert(!v1.getAs[Boolean]("is_current"))
+    val v2 = dim(1) // S1 bus(raw preserved) current
+    assert(v2.getAs[Date]("valid_from").toString == "2024-01-05")
+    assert(v2.getAs[Boolean]("is_current") && v2.isNullAt(v2.fieldIndex("valid_to")))
+    // row_hash = sha256 of UPPER(TRIM(attr)) — "bus  " hashes like "BUS"
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("BUS".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(v2.getAs[String]("row_hash") == expected)
+    assert(dim(2).getAs[Boolean]("is_current")) // S2 single version
+  }
+
+  test("as-of join resolves the covering SCD2 version") {
+    val dim = Seq(
+      ("S1", "BUS", Date.valueOf("2024-01-01"), Option(Date.valueOf("2024-01-04")), false),
+      ("S1", "METRO", Date.valueOf("2024-01-05"), Option.empty[Date], true))
+      .toDF("stop", "mode", "valid_from", "valid_to", "is_current")
+    val fact = Seq(
+      (1L, "S1", Date.valueOf("2024-01-02")),
+      (2L, "S1", Date.valueOf("2024-01-04")),
+      (3L, "S1", Date.valueOf("2024-01-07")),
+      (4L, "SX", Date.valueOf("2024-01-07")))  // unmatched key -> null mode
+      .toDF("fid", "stop_code", "d")
+    val got = AsOfJoin(fact, dim, "stop_code", "stop", col("d"))
+      .select($"fid", $"mode").orderBy("fid").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("BUS")), (2L, Some("BUS")), (3L, Some("METRO")), (4L, None)))
+  }
+
+  test("dedup latestByGrain keeps one deterministic row per grain") {
+    val df = Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-01 10:00:00"), 10L),
+      (1L, "a", Timestamp.valueOf("2024-01-01 11:00:00"), 11L),
+      (1L, "a", Timestamp.valueOf("2024-01-01 11:00:00"), 12L), // ts tie -> higher id wins
+      (2L, "a", Timestamp.valueOf("2024-01-01 09:00:00"), 13L))
+      .toDF("uid", "etype", "ts", "event_id")
+    val got = Dedup.latestByGrain(df, Seq("uid", "etype"), Seq("ts", "event_id"))
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(12L, 13L))
+  }
+
+  test("dim_date covers full range with correct attributes") {
+    val df = Seq("2023-12-30", "2024-01-02").toDF("d").withColumn("d", to_date($"d"))
+    val dim = Dims.dimDate(df, $"d").orderBy("date_sk").collect()
+    assert(dim.length == 4)
+    assert(dim.head.getAs[Int]("date_sk") == 20231230)
+    assert(dim.head.getAs[String]("tipo_dia") == "SABADO")
+    assert(dim.head.getAs[Boolean]("is_weekend"))
+    assert(dim.last.getAs[Int]("iso_dow") == 2) // 2024-01-02 Tuesday
+    assert(dim.last.getAs[String]("year_month") == "2024-01")
+  }
+
+  test("dim_time_30m has 48 well-formed slots") {
+    val rows = Dims.dimTime30m(spark).orderBy("time_30m_sk").collect()
+    assert(rows.length == 48)
+    assert(rows(0).getAs[String]("start_time") == "00:00:00")
+    assert(rows(1).getAs[String]("start_time") == "00:30:00")
+    assert(rows(47).getAs[String]("start_time") == "23:30:00")
+    assert(rows(47).getAs[String]("end_time") == "00:00:00")
+    assert(rows(33).getAs[Int]("hour") == 16 && rows(33).getAs[Int]("minute") == 30)
+  }
+
+  test("lookup dim assigns dense deterministic surrogate keys") {
+    val df = Seq("B", "A", " A ", "C", "B").toDF("v")
+    val dim = Dims.lookupDim(df, "v", "sk", "name").orderBy("sk").collect()
+    assert(dim.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "A"), (2, "B"), (3, "C")))
+  }
+
+  test("driver contract: entry returns rows; registries aligned") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query: ${o diff q}")
+  }
+}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local pre-verification harness (developer tooling, not library code).
+
+Mimics the driver's correctness gate: runs graft.Verify output against
+the DuckDB oracle SQL and compares row counts, schemas (column names)
+and sorted-row value hashes, columns sorted by name.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import hashlib
+import json
+import math
+import sys
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def frame_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')")
+            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+            exp = con.execute(sql)
+            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(got_cols) != sorted(exp_cols):
+            problems.append(f"schema {sorted(got_cols)} != {sorted(exp_cols)}")
+        if len(got_rows) != len(exp_rows):
+            problems.append(f"rows {len(got_rows)} != {len(exp_rows)}")
+        if not problems and frame_hash(got_rows, got_cols) != frame_hash(exp_rows, exp_cols):
+            problems.append("hash mismatch")
+            # show first differing line for debugging
+            order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+            order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+            gl = sorted("\x1f".join(norm_cell(r[i]) for i in order_g) for r in got_rows)
+            el = sorted("\x1f".join(norm_cell(r[i]) for i in order_e) for r in exp_rows)
+            for a, b in zip(gl, el):
+                if a != b:
+                    problems.append(f"  got: {a[:200]}\n  exp: {b[:200]}")
+                    break
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name} ({len(got_rows)} rows)")
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
