@@ -51,7 +51,13 @@ object SparkEntry {
       Temporal.dateSk(col("ts")).as("date_sk"),
       Temporal.time30mSk(col("ts")).as("time_30m_sk"),
       col("value"),
-      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      // Guard the cast to pure-integer strings so Spark (NULL on junk)
+      // and the DuckDB twin (raises on junk, rounds decimals) can never
+      // diverge on non-integer payloads.
+      propK(get_json_object(col("props"), "$.k")).as("prop_k"))
+
+  private def propK(raw: Column): Column =
+    when(raw.rlike("^-?[0-9]+$"), raw.cast("int"))
 
   /** Quality rules for events, first-match-wins (reference:
     * src/silver/transforms.py:457-478 rule shape).
@@ -176,7 +182,8 @@ object SparkEntry {
        |  CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_sk,
        |  CAST(hour(ts)*2 + CASE WHEN minute(ts) >= 30 THEN 1 ELSE 0 END AS INTEGER) AS time_30m_sk,
        |  value,
-       |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k
+       |  CASE WHEN regexp_matches(json_extract_string(props, '$$.k'), '^-?[0-9]+$$')
+       |       THEN CAST(json_extract_string(props, '$$.k') AS INTEGER) END AS prop_k
        |FROM events $where""".stripMargin
 
   /** DuckDB twin of the first-match-wins quality annotation. */

@@ -11,10 +11,11 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.parquet stores ts as TIMESTAMP(NANOS), which the vectorized
-      // parquet reader rejects. Read nanos as long and truncate to
-      // microseconds with integer division (ns magnitudes overflow double
-      // precision, so no floating-point math here).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet reader rejects. `spark.sql.legacy.parquet.nanosAsLong` is
+      // set by every session builder (GraftSession / Verify / Bench / specs);
+      // here the long nanos are truncated to microseconds with integer
+      // division (ns magnitudes overflow double precision, so no
+      // floating-point math).
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -20,10 +20,11 @@ object Dedup {
     * (first = primary recency, rest = deterministic tie-breaks).
     */
   def latestByGrain(df: DataFrame, grain: Seq[String], order: Seq[String]): DataFrame = {
+    val rn = TempCol("rn", df)
     val w = Window.partitionBy(grain.map(col): _*).orderBy(order.map(col(_).desc): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Exact dedup on a content column: one surviving id per distinct

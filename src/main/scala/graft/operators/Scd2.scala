@@ -43,31 +43,34 @@ object Scd2 {
     */
   def fromHistory(df: DataFrame, bk: String, ts: String,
                   tieBreak: Seq[String], attrs: Seq[String]): DataFrame = {
-    val obsDate = to_date(col(ts))
+    val obsDateCol = TempCol("obs_date", df)
+    val rnCol = TempCol("rn", df)
+    val kCol = TempCol("k", df)
+    val prevCol = TempCol("prev", df)
 
     // 1. one observation per (bk, day): latest-wins.
-    val perDayW = Window.partitionBy(col(bk), col("obs_date"))
+    val perDayW = Window.partitionBy(col(bk), col(obsDateCol))
       .orderBy((col(ts).desc +: tieBreak.map(col(_).desc)): _*)
     val daily = df
-      .withColumn("obs_date", obsDate)
-      .withColumn("_rn", row_number().over(perDayW))
-      .filter(col("_rn") === 1)
-      .select((bk +: "obs_date" +: attrs).map(col): _*)
+      .withColumn(obsDateCol, to_date(col(ts)))
+      .withColumn(rnCol, row_number().over(perDayW))
+      .filter(col(rnCol) === 1)
+      .select((bk +: obsDateCol +: attrs).map(col): _*)
 
     // 2. change points vs previous day observed.
-    val histW = Window.partitionBy(col(bk)).orderBy(col("obs_date"))
+    val histW = Window.partitionBy(col(bk)).orderBy(col(obsDateCol))
     val key = attrKey(attrs)
     val changed = daily
-      .withColumn("_k", key)
-      .withColumn("_prev", lag(col("_k"), 1).over(histW))
-      .filter(col("_prev").isNull || col("_prev") =!= col("_k"))
+      .withColumn(kCol, key)
+      .withColumn(prevCol, lag(col(kCol), 1).over(histW))
+      .filter(col(prevCol).isNull || col(prevCol) =!= col(kCol))
 
     // 3. versions with validity ranges.
-    val verW = Window.partitionBy(col(bk)).orderBy(col("obs_date"))
+    val verW = Window.partitionBy(col(bk)).orderBy(col(obsDateCol))
     changed
-      .withColumn("valid_from", col("obs_date"))
-      .withColumn("valid_to", date_sub(lead(col("obs_date"), 1).over(verW), 1))
-      .withColumn("is_current", lead(col("obs_date"), 1).over(verW).isNull)
+      .withColumn("valid_from", col(obsDateCol))
+      .withColumn("valid_to", date_sub(lead(col(obsDateCol), 1).over(verW), 1))
+      .withColumn("is_current", lead(col(obsDateCol), 1).over(verW).isNull)
       .withColumn("row_hash", rowHash(attrs))
       .select((bk +: attrs ++: Seq("valid_from", "valid_to", "is_current", "row_hash")).map(col): _*)
   }

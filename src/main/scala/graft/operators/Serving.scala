@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Serving-layer query helpers (portal/API parity).
@@ -39,19 +40,23 @@ object Serving {
     clauses.reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** Modal (most frequent) value of `valueCol` per `keyCol`, ties
-    * broken by the smallest value — the reference's representative-
-    * coordinate-per-stop pattern (query_service.py:163-201).
-    * Two shuffles: pair-count aggregate, then window over the (much
-    * smaller) pair set.
+  /** Modal (most frequent) value combination per `keyCol`, ties broken
+    * by the value columns ASCENDING — the reference's representative-
+    * coordinate-per-stop pattern: `ROW_NUMBER() OVER (PARTITION BY
+    * stop_code ORDER BY COUNT(*) DESC, x_utm, y_utm)` (reference:
+    * src/webapp/query_service.py:163-201). Works for any column type
+    * (no numeric negation trick). Two shuffles: pair-count aggregate
+    * (map-side combined), then a window over the much smaller
+    * (key, values) set.
     */
-  def modalValue(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    val pairs = df.groupBy(col(keyCol), col(valueCol)).agg(count(lit(1)).as("cnt"))
-    Dedup.latestByGrain(
-      pairs.withColumn("_neg", -col(valueCol)),
-      grain = Seq(keyCol), order = Seq("cnt", "_neg"))
-      .drop("_neg")
-      .withColumnRenamed(valueCol, s"modal_$valueCol")
-      .withColumnRenamed("cnt", "modal_cnt")
+  def modalValue(df: DataFrame, keyCol: String, valueCols: Seq[String]): DataFrame = {
+    val pairs = df.groupBy((keyCol +: valueCols).map(col): _*)
+      .agg(count(lit(1)).as("modal_cnt"))
+    val rn = TempCol("rn", pairs)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("modal_cnt").desc +: valueCols.map(col(_).asc): _*)
+    pairs.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }
