@@ -70,6 +70,56 @@ object SparkEntry {
     QualityGate.Rule("BAD_TIME_SLOT", col("time_30m_sk").isNotNull &&
       (col("time_30m_sk") < 0 || col("time_30m_sk") > 47)))
 
+  // ── B. Gold: SCD2 / as-of / star fact ─────────────────────────────
+  /** SCD2 user dimension from the events history: business key
+    * user_id, tracked attribute = latest-of-day event_type
+    * (reference: src/gold/load_gold.py:295-439 dim_stop semantics).
+    */
+  private def scd2User(spark: SparkSession, dir: String): DataFrame =
+    Scd2.fromHistory(t(spark, dir, "events"),
+      bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("event_type"))
+
+  /** As-of resolution of every event to its covering SCD2 user version
+    * (reference: src/gold/load_gold.py:1144-1154).
+    */
+  private def asofEvents(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2User(spark, dir)
+      .withColumnRenamed("user_id", "bk_user_id")
+      .withColumnRenamed("event_type", "segment")
+      .select("bk_user_id", "segment", "valid_from", "valid_to", "is_current")
+    val fact = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_dt"))
+    AsOfJoin(fact, dim, "user_id", "bk_user_id", col("event_dt"))
+      .select("event_id", "user_id", "event_dt", "segment", "valid_from", "is_current")
+  }
+
+  /** Full star fact build: cleanse -> quality gate -> cash-row
+    * exclusion -> grain dedup -> SK resolution via LEFT JOIN to the
+    * lookup dim -> as-of join to the SCD2 user dim
+    * (reference: src/gold/load_gold.py:1119-1180).
+    */
+  private def fctStar(spark: SparkSession, dir: String): DataFrame = {
+    val cleansed = cleanseEvents(spark, dir)
+    val staged = QualityGate.valid(cleansed, eventRules)
+      .filter(col("user_id").isNotNull) // cash rows (null BK) excluded
+    val deduped = Dedup.latestByGrain(staged,
+      grain = Seq("user_id", "date_sk", "time_30m_sk", "event_type_norm"),
+      order = Seq("event_id"))
+    val dimEtype = Dims.lookupDim(cleansed, "event_type_norm", "event_type_sk", "event_type_name")
+    val dimUser = scd2User(spark, dir)
+      .withColumnRenamed("user_id", "bk_user_id")
+      .withColumnRenamed("event_type", "segment")
+      .select("bk_user_id", "segment", "valid_from", "valid_to")
+    val withSk = deduped.join(broadcast(dimEtype),
+      deduped("event_type_norm") === dimEtype("event_type_name"), "left")
+    AsOfJoin(withSk, dimUser, "user_id", "bk_user_id",
+        to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .select(col("date_sk"), col("time_30m_sk"), col("user_id"),
+        col("event_type_sk"), col("tipo_dia"), col("segment"),
+        col("valid_from").as("segment_valid_from"),
+        col("event_id"), col("value"), col("prop_k"))
+  }
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,7 +153,13 @@ object SparkEntry {
 
     "gold_dedup_grain" -> ((s: SparkSession, d: String) =>
       Dedup.latestByGrain(t(s, d, "events"),
-        grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id")))
+        grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id"))),
+
+    "gold_scd2_build" -> scd2User _,
+
+    "gold_asof_join" -> asofEvents _,
+
+    "gold_fct_star" -> fctStar _
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -169,8 +225,66 @@ object SparkEntry {
     "gold_dedup_grain" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "gold_scd2_build" -> scd2UserSql,
+
+    "gold_asof_join" ->
+      s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,
+         |  d.event_type AS segment, d.valid_from, d.is_current
+         |FROM events e LEFT JOIN ($scd2UserSql) d
+         |  ON d.user_id = e.user_id
+         | AND d.valid_from <= CAST(e.ts AS DATE)
+         | AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) <= d.valid_to)""".stripMargin,
+
+    "gold_fct_star" ->
+      s"""WITH staged AS (
+         |  SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()})
+         |  WHERE reason_code IS NULL AND user_id IS NOT NULL),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY user_id, date_sk, time_30m_sk, event_type_norm
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM staged) WHERE rn = 1),
+         |etype AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_type_name) AS INTEGER) AS event_type_sk, event_type_name
+         |  FROM (SELECT DISTINCT TRIM(event_type_norm) AS event_type_name FROM (${cleanseEventsSql("")})
+         |        WHERE event_type_norm IS NOT NULL AND TRIM(event_type_norm) <> '')),
+         |dim_user AS (
+         |  SELECT user_id AS bk_user_id, event_type AS segment, valid_from, valid_to
+         |  FROM ($scd2UserSql))
+         |SELECT d.date_sk, d.time_30m_sk, d.user_id, t.event_type_sk, d.tipo_dia,
+         |  u.segment, u.valid_from AS segment_valid_from,
+         |  d.event_id, d.value, d.prop_k
+         |FROM deduped d
+         |LEFT JOIN etype t ON t.event_type_name = d.event_type_norm
+         |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
+         |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
+         |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
   )
+
+  /** DuckDB twin of [[scd2User]]: same window algebra as
+    * Scd2.fromHistory (per-day latest-wins, change points via LAG,
+    * validity ranges via LEAD, sha256 row hash).
+    */
+  private def scd2UserSql: String =
+    """SELECT user_id, event_type,
+      |  obs_date AS valid_from,
+      |  LEAD(obs_date) OVER (PARTITION BY user_id ORDER BY obs_date) - 1 AS valid_to,
+      |  LEAD(obs_date) OVER (PARTITION BY user_id ORDER BY obs_date) IS NULL AS is_current,
+      |  sha256(k) AS row_hash
+      |FROM (
+      |  SELECT user_id, obs_date, event_type, k FROM (
+      |    SELECT *, LAG(k) OVER (PARTITION BY user_id ORDER BY obs_date) AS prev FROM (
+      |      SELECT user_id, obs_date, event_type,
+      |        UPPER(TRIM(COALESCE(CAST(event_type AS VARCHAR), ''))) AS k
+      |      FROM (
+      |        SELECT user_id, CAST(ts AS DATE) AS obs_date, event_type,
+      |          ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                             ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events) WHERE rn = 1))
+      |  WHERE prev IS NULL OR prev <> k)""".stripMargin
 
   /** DuckDB twin of [[cleanseEvents]]; `where` lets callers append a predicate. */
   private def cleanseEventsSql(where: String): String =
