@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.Temporal
+import graft.functions.{Geo, Temporal}
 import graft.operators._
 
 /** Driver contract — query registry + DuckDB oracle twins.
@@ -120,6 +120,116 @@ object SparkEntry {
         col("event_id"), col("value"), col("prop_k"))
   }
 
+  // ── C. Serving analytics ──────────────────────────────────────────
+  /** Fixed filter panel exercised by every serving query — mirrors the
+    * reference's dynamic predicate builder semantics
+    * (reference: src/webapp/query_service.py:65-107) with a pinned,
+    * oracle-reproducible parameter set.
+    */
+  private val servingFilters = Serving.Filters(
+    dateSkFrom = Some(20240105), dateSkTo = Some(20240128),
+    dayTypes = Seq("LABORAL", "SABADO"),
+    modes = Seq("CLICK", "VIEW", "PURCHASE"),
+    hourFrom = Some(6), hourTo = Some(22))
+
+  /** The validated serving frame (the reference's etapas_validation twin). */
+  private def servingValid(spark: SparkSession, dir: String): DataFrame =
+    QualityGate.valid(cleanseEvents(spark, dir), eventRules)
+
+  private def roundedSum(c: Column, name: String): Column =
+    coalesce(round(sum(money(c)), 2), lit(0)).cast("double").as(name)
+
+  /** Cross-table scalar panel (reference: query_service.py:260-290). */
+  private def svcOverview(spark: SparkSession, dir: String): DataFrame = {
+    val ev = servingValid(spark, dir).filter(Serving.predicate(servingFilters))
+    val evAgg = ev.agg(count(lit(1)).as("events_observados"),
+      roundedSum(col("value"), "events_estimados"))
+    val ordAgg = t(spark, dir, "orders").agg(
+      count(lit(1)).as("orders_observados"),
+      roundedSum(col("o_totalprice"), "orders_estimados"))
+    val liAgg = t(spark, dir, "lineitem").agg(
+      roundedSum(col("l_quantity"), "lineitem_qty_total"))
+    evAgg.crossJoin(ordAgg).crossJoin(liAgg)
+  }
+
+  /** Demand by day type (reference: query_service.py:293-311 — no
+    * day-type clause; mode + hour + date-range filters apply).
+    */
+  private def svcDemandByDayType(spark: SparkSession, dir: String): DataFrame =
+    servingValid(spark, dir)
+      .filter(Serving.predicate(servingFilters.copy(dayTypes = Nil)))
+      .groupBy(col("tipo_dia"))
+      .agg(count(lit(1)).as("etapas_observadas"),
+        roundedSum(col("value"), "etapas_estimadas"))
+
+  /** Demand by mode (reference: query_service.py:314-333). */
+  private def svcDemandByMode(spark: SparkSession, dir: String): DataFrame =
+    servingValid(spark, dir)
+      .filter(Serving.predicate(servingFilters))
+      .groupBy(col("event_type_norm").as("mode_code"))
+      .agg(count(lit(1)).as("etapas_observadas"),
+        roundedSum(col("value"), "etapas_estimadas"))
+
+  /** Top-N stops by summed boardings (reference: query_service.py:
+    * 336-357). orderBy+limit plans as TakeOrderedAndProject — no
+    * global sort at scale; extra ASC keys make the cut deterministic.
+    */
+  private def svcTopBoardings(spark: SparkSession, dir: String): DataFrame =
+    servingValid(spark, dir)
+      .filter(Serving.predicate(servingFilters))
+      .groupBy(col("user_id").as("stop_code"), col("event_type_norm").as("mode_code"))
+      .agg(roundedSum(col("value"), "subidas_promedio_total"))
+      .orderBy(col("subidas_promedio_total").desc, col("stop_code"), col("mode_code"))
+      .limit(20)
+
+  /** Map points: modal coordinate per stop joined to aggregated
+    * boardings, top-N (reference: query_service.py:151-257). The
+    * union-all of two coordinate sources mirrors the reference's
+    * board/alight legs; MIN replaces the reference's nondeterministic
+    * ANY_VALUE(comuna) so the oracle can hash-match.
+    */
+  private def svcMapPoints(spark: SparkSession, dir: String): DataFrame = {
+    val ev = servingValid(spark, dir)
+    def coordLeg(pred: Column): DataFrame = ev.filter(pred).select(
+      col("user_id").as("stop_code"), col("value").as("x_utm"),
+      col("prop_k").cast("double").as("y_utm"))
+    val legs = coordLeg(col("event_type_norm").isin("CLICK", "VIEW"))
+      .unionAll(coordLeg(!col("event_type_norm").isin("CLICK", "VIEW")))
+      .filter(col("x_utm").between(10, 400) && col("y_utm").between(5, 95))
+    val coords = Serving.modalValue(legs, "stop_code", Seq("x_utm", "y_utm"))
+      .drop("modal_cnt")
+    val boardings = ev.filter(Serving.predicate(servingFilters))
+      .groupBy(col("date_sk").as("service_date"),
+        floor(col("time_30m_sk") / 2).cast("int").as("hour_of_day"),
+        col("tipo_dia"), col("event_type_norm").as("mode_code"),
+        col("user_id").as("stop_code"))
+      .agg(min(col("prop_k")).as("comuna"),
+        roundedSum(col("value"), "etapas_estimadas"),
+        count(lit(1)).as("etapas_observadas"))
+    boardings.join(broadcast(coords), Seq("stop_code"))
+      .select(col("service_date"), col("hour_of_day"), col("tipo_dia"),
+        col("mode_code"), col("stop_code"), col("comuna"),
+        col("x_utm"), col("y_utm"),
+        col("etapas_estimadas"), col("etapas_observadas"))
+      .orderBy(col("etapas_estimadas").desc, col("stop_code"),
+        col("service_date"), col("hour_of_day"), col("mode_code"))
+      .limit(400)
+  }
+
+  /** Map points reprojected to WGS84 (reference: query_service.py:
+    * 235-241, EPSG:32719 -> 4326). Synthetic x/y are scaled into the
+    * Santiago UTM window first so the series runs in its accurate
+    * domain; lat/lon rounded to 6 decimals like the reference.
+    */
+  private def svcUtmToWgs84(spark: SparkSession, dir: String): DataFrame = {
+    val pts = svcMapPoints(spark, dir)
+      .withColumn("x_utm_m", lit(200000.0) + col("x_utm") * 750.0)
+      .withColumn("y_utm_m", lit(6200000.0) + col("y_utm") * 1500.0)
+    pts.withColumn("lat", round(Geo.utmToLat(col("x_utm_m"), col("y_utm_m")), 6))
+      .withColumn("lon", round(Geo.utmToLon(col("x_utm_m"), col("y_utm_m")), 6))
+      .drop("x_utm_m", "y_utm_m")
+  }
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,7 +269,19 @@ object SparkEntry {
 
     "gold_asof_join" -> asofEvents _,
 
-    "gold_fct_star" -> fctStar _
+    "gold_fct_star" -> fctStar _,
+
+    "svc_overview" -> svcOverview _,
+
+    "svc_demand_by_day_type" -> svcDemandByDayType _,
+
+    "svc_demand_by_mode" -> svcDemandByMode _,
+
+    "svc_top_boardings" -> svcTopBoardings _,
+
+    "svc_map_points" -> svcMapPoints _,
+
+    "svc_utm_to_wgs84" -> svcUtmToWgs84 _
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -262,7 +384,82 @@ object SparkEntry {
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
          |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
-  )
+  ) ++ servingOracleSql
+
+  /** DuckDB twins of the serving queries. */
+  private def servingOracleSql: Map[String, String] = {
+    val validSql =
+      s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
+    def pred(includeDays: Boolean): String =
+      "date_sk >= 20240105 AND date_sk <= 20240128" +
+        (if (includeDays) " AND tipo_dia IN ('LABORAL','SABADO')" else "") +
+        " AND event_type_norm IN ('CLICK','VIEW','PURCHASE')" +
+        " AND CAST(FLOOR(time_30m_sk / 2) AS INTEGER) >= 6" +
+        " AND CAST(FLOOR(time_30m_sk / 2) AS INTEGER) <= 22"
+    def sumD(c: String, name: String): String =
+      s"CAST(COALESCE(ROUND(SUM(CAST($c AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS $name"
+    Map(
+      "svc_overview" ->
+        s"""SELECT
+           |  (SELECT COUNT(*) FROM ($validSql) WHERE ${pred(true)}) AS events_observados,
+           |  (SELECT ${sumD("value", "x")} FROM ($validSql) WHERE ${pred(true)}) AS events_estimados,
+           |  (SELECT COUNT(*) FROM orders) AS orders_observados,
+           |  (SELECT ${sumD("o_totalprice", "x")} FROM orders) AS orders_estimados,
+           |  (SELECT ${sumD("l_quantity", "x")} FROM lineitem) AS lineitem_qty_total""".stripMargin,
+
+      "svc_demand_by_day_type" ->
+        s"""SELECT tipo_dia, COUNT(*) AS etapas_observadas,
+           |  ${sumD("value", "etapas_estimadas")}
+           |FROM ($validSql) WHERE ${pred(false)}
+           |GROUP BY tipo_dia""".stripMargin,
+
+      "svc_demand_by_mode" ->
+        s"""SELECT event_type_norm AS mode_code, COUNT(*) AS etapas_observadas,
+           |  ${sumD("value", "etapas_estimadas")}
+           |FROM ($validSql) WHERE ${pred(true)}
+           |GROUP BY event_type_norm""".stripMargin,
+
+      "svc_top_boardings" ->
+        s"""SELECT user_id AS stop_code, event_type_norm AS mode_code,
+           |  ${sumD("value", "subidas_promedio_total")}
+           |FROM ($validSql) WHERE ${pred(true)}
+           |GROUP BY user_id, event_type_norm
+           |ORDER BY subidas_promedio_total DESC, stop_code, mode_code
+           |LIMIT 20""".stripMargin,
+
+      "svc_map_points" ->
+        s"""WITH valid AS ($validSql),
+           |coords AS (
+           |  SELECT stop_code, x_utm, y_utm FROM (
+           |    SELECT stop_code, x_utm, y_utm, COUNT(*) AS cnt,
+           |      ROW_NUMBER() OVER (PARTITION BY stop_code ORDER BY COUNT(*) DESC, x_utm, y_utm) AS rn
+           |    FROM (
+           |      SELECT user_id AS stop_code, value AS x_utm, CAST(prop_k AS DOUBLE) AS y_utm
+           |      FROM valid WHERE event_type_norm IN ('CLICK','VIEW')
+           |      UNION ALL
+           |      SELECT user_id, value, CAST(prop_k AS DOUBLE)
+           |      FROM valid WHERE event_type_norm NOT IN ('CLICK','VIEW')
+           |    ) c
+           |    WHERE x_utm BETWEEN 10 AND 400 AND y_utm BETWEEN 5 AND 95
+           |    GROUP BY stop_code, x_utm, y_utm) t
+           |  WHERE rn = 1),
+           |boardings AS (
+           |  SELECT date_sk AS service_date,
+           |    CAST(FLOOR(time_30m_sk / 2) AS INTEGER) AS hour_of_day,
+           |    tipo_dia, event_type_norm AS mode_code, user_id AS stop_code,
+           |    MIN(prop_k) AS comuna,
+           |    ${sumD("value", "etapas_estimadas")},
+           |    COUNT(*) AS etapas_observadas
+           |  FROM valid WHERE ${pred(true)}
+           |  GROUP BY 1, 2, 3, 4, 5)
+           |SELECT b.service_date, b.hour_of_day, b.tipo_dia, b.mode_code,
+           |  b.stop_code, b.comuna, c.x_utm, c.y_utm,
+           |  b.etapas_estimadas, b.etapas_observadas
+           |FROM boardings b JOIN coords c ON c.stop_code = b.stop_code
+           |ORDER BY b.etapas_estimadas DESC, b.stop_code, b.service_date,
+           |  b.hour_of_day, b.mode_code
+           |LIMIT 400""".stripMargin)
+  }
 
   /** DuckDB twin of [[scd2User]]: same window algebra as
     * Scd2.fromHistory (per-day latest-wins, change points via LAG,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.operators.Serving
+
+class ServingGeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("utm inverse: round-trips the forward transform within 1e-6 deg") {
+    // Santiago-area grid (zone 19S) — the serving layer's real domain.
+    val pts = for {
+      lat <- Seq(-33.0, -33.45, -33.9, -34.5)
+      lon <- Seq(-70.2, -70.66, -71.2)
+    } yield (lat, lon)
+    val utm = pts.map { case (lat, lon) =>
+      val (e, n) = Geo.forwardUtm(lat, lon)
+      (lat, lon, e, n)
+    }
+    val got = utm.toDF("lat", "lon", "e", "n")
+      .select($"lat", $"lon",
+        Geo.utmToLat($"e", $"n").as("lat2"), Geo.utmToLon($"e", $"n").as("lon2"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-6,
+        s"lat ${r.getDouble(0)} -> ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-6,
+        s"lon ${r.getDouble(1)} -> ${r.getDouble(3)}")
+    }
+  }
+
+  test("utm inverse: central meridian / equator fixed points") {
+    // On the central meridian the easting is exactly 500000 and the
+    // longitude is -69 (zone 19) at any latitude; at the southern
+    // false-northing origin the latitude is 0.
+    val got = Seq((500000.0, 10000000.0))
+      .toDF("e", "n")
+      .select(Geo.utmToLat($"e", $"n").as("lat"), Geo.utmToLon($"e", $"n").as("lon"))
+      .head()
+    assert(math.abs(got.getDouble(0)) < 1e-9)
+    assert(math.abs(got.getDouble(1) - -69.0) < 1e-9)
+  }
+
+  test("modalValue: count desc then ascending multi-column tie-break") {
+    val df = Seq(
+      // key 1: (5.0, 2.0) appears twice -> wins on count
+      (1L, 5.0, 2.0), (1L, 5.0, 2.0), (1L, 1.0, 1.0),
+      // key 2: all counts tie -> smallest (x, y) wins: (2.0, 1.0) < (2.0, 9.0) < (3.0, 0.0)
+      (2L, 3.0, 0.0), (2L, 2.0, 9.0), (2L, 2.0, 1.0))
+      .toDF("k", "x", "y")
+    val got = Serving.modalValue(df, "k", Seq("x", "y"))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 5.0, 2.0), (2L, 2.0, 1.0)))
+  }
+
+  test("modalValue: string value columns are supported") {
+    val df = Seq((1L, "b"), (1L, "a"), (1L, "b"), (2L, "z"), (2L, "a"))
+      .toDF("k", "v")
+    val got = Serving.modalValue(df, "k", Seq("v")).orderBy("k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "b"), (2L, "a"))) // key 2 ties -> ascending value wins
+  }
+
+  test("serving predicate composes only the active clauses") {
+    val df = Seq(
+      (20240110, "LABORAL", "CLICK", 13),  // in
+      (20240110, "DOMINGO", "CLICK", 13),  // day out
+      (20240110, "LABORAL", "SIGNUP", 13), // mode out
+      (20240110, "LABORAL", "CLICK", 3),   // hour out
+      (20240201, "LABORAL", "CLICK", 13))  // date out
+      .toDF("date_sk", "tipo_dia", "event_type_norm", "time_30m_sk")
+    val f = Serving.Filters(dateSkFrom = Some(20240101), dateSkTo = Some(20240131),
+      dayTypes = Seq("laboral", "sabado"), modes = Seq("click", "view"),
+      hourFrom = Some(6), hourTo = Some(22))
+    assert(df.filter(Serving.predicate(f)).count() == 1)
+    assert(df.filter(Serving.predicate(Serving.Filters())).count() == 5)
+  }
+}
