@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Geo, Temporal}
+import graft.functions.{Geo, Temporal, TextOps}
 import graft.operators._
 
 /** Driver contract — query registry + DuckDB oracle twins.
@@ -230,6 +230,44 @@ object SparkEntry {
       .drop("x_utm_m", "y_utm_m")
   }
 
+  // ── D. Training-data pipeline: text ───────────────────────────────
+  /** Per-document token/char stats and a deterministic quality score. */
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val toks = TextOps.tokens(txt)
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(txt).as("n_chars_calc"),
+      size(toks).as("n_tokens"),
+      (aggregate(toks, lit(0), (a, x) => a + length(x)) / greatest(size(toks), lit(1)))
+        .as("avg_token_len"),
+      (TextOps.punctCount(txt) / greatest(length(txt), lit(1))).as("punct_ratio"),
+      (TextOps.stopwordCountEn(toks) / greatest(size(toks), lit(1))).as("stopword_ratio"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1.0) - col("stopword_ratio") * 0.5) * (lit(1.0) - col("punct_ratio")))
+  }
+
+  /** Stopword/CJK heuristic language ID with ground truth passthrough. */
+  private def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val toks = TextOps.tokens(txt)
+    val scores = TextOps.langScores(toks).map { case (c, name) => c.as(name) }
+    t(spark, dir, "documents")
+      .select(col("doc_id") +: col("lang") +: size(toks).as("n_tokens") +:
+        scores :+ TextOps.cjkCount(txt).as("cjk_n"): _*)
+      .withColumn("predicted_lang", TextOps.predictedLang(
+        col("en_n"), col("de_n"), col("es_n"), col("fr_n"), col("cjk_n"), col("n_tokens")))
+  }
+
+  private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    t(spark, dir, "documents").select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      TextOps.rollingFingerprint(toks).as("fp_rolling"),
+      TextOps.minShingleFingerprint(toks, 3).as("fp_min_shingle"))
+  }
+
   // ── registry ──────────────────────────────────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,7 +319,25 @@ object SparkEntry {
 
     "svc_map_points" -> svcMapPoints _,
 
-    "svc_utm_to_wgs84" -> svcUtmToWgs84 _
+    "svc_utm_to_wgs84" -> svcUtmToWgs84 _,
+
+    "dedup_exact" -> ((s: SparkSession, d: String) =>
+      TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      TextDedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
+
+    "dedup_simhash" -> ((s: SparkSession, d: String) =>
+      TextDedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    "text_stats" -> textStats _,
+
+    "text_lang_id" -> textLangId _,
+
+    "text_fingerprint" -> textFingerprint _
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -384,7 +440,71 @@ object SparkEntry {
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
          |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
-  ) ++ servingOracleSql
+  ) ++ servingOracleSql ++ textOracleSql
+
+  /** DuckDB twins of the text-pipeline queries (minhash/simhash/
+    * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
+    * the driver's rows-only check).
+    */
+  private def textOracleSql: Map[String, String] = {
+    val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+    val shinglesSql =
+      s"""CASE WHEN len(t) >= 3
+         |     THEN list_distinct(list_transform(range(1, len(t) - 1),
+         |          i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         |     ELSE [array_to_string(t, ' ')] END""".stripMargin
+    Map(
+      "dedup_exact" ->
+        """SELECT doc_id, text, lang, source, n_chars, n_copies FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+          |         COUNT(*) OVER (PARTITION BY text) AS n_copies
+          |  FROM documents) WHERE rn = 1""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, $shinglesSql AS shs
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
+           |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM docs),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
+           |  p.n_common / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+           |FROM pairs p
+           |JOIN sizes sa ON sa.doc_id = p.doc_a
+           |JOIN sizes sb ON sb.doc_id = p.doc_b
+           |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin,
+
+      "text_stats" ->
+        s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           |  least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio * 0.5) * (1.0 - punct_ratio) AS quality_score
+           |FROM (
+           |  SELECT doc_id,
+           |    length(text) AS n_chars_calc,
+           |    len(t) AS n_tokens,
+           |    list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len,
+           |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio
+           |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin,
+
+      "text_lang_id" ->
+        s"""SELECT *,
+           |  CASE WHEN cjk_n > 0 AND cjk_n * 2 >= n_tokens THEN 'zh'
+           |       WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+           |       WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+           |       WHEN es_n >= fr_n THEN 'es'
+           |       ELSE 'fr' END AS predicted_lang
+           |FROM (
+           |  SELECT doc_id, lang, len(t) AS n_tokens,
+           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) AS en_n,
+           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("de")})) AS de_n,
+           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("es")})) AS es_n,
+           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("fr")})) AS fr_n,
+           |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_n
+           |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin)
+  }
 
   /** DuckDB twins of the serving queries. */
   private def servingOracleSql: Map[String, String] = {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.TextDedup
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+    (4L, "completely different words entirely here now", "en"),
+    (5L, "ab", "en")) // shorter than one shingle
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps smallest id and counts copies") {
+    val got = TextDedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: distinct 3-gram windows; short docs yield one shingle") {
+    val got = docs.select($"doc_id",
+      TextOps.shingles(TextOps.tokens($"text"), 3).as("shs"))
+      .orderBy("doc_id").collect()
+    val s1 = got(0).getSeq[String](1)
+    assert(s1.head == "the quick brown" && s1.size == 7)
+    assert(got(4).getSeq[String](1) == Seq("ab"))
+  }
+
+  test("jaccard pairs via inverted index: dup=1.0, near-dup high, rest absent") {
+    val got = TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .orderBy("doc_a", "doc_b").collect()
+    val pairs = got.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs((1L, 3L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.4 && pairs((1L, 2L)) < 1.0)
+    assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-lsh finds the same dup/near-dup candidates, verified") {
+    val got = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.4)
+      .orderBy("doc_a", "doc_b").collect()
+    val m = got.map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(m((1L, 3L))._1 == 8L && m((1L, 3L))._2 == 1.0) // identical: all bands agree
+    assert(m.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val got = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((1L, 3L)) == 0)
+    assert(got((1L, 2L)) < 16)
+  }
+
+  test("language id: stopword scores + CJK gate") {
+    val df = Seq(
+      (1L, "the cat is in the hat and it is big"),
+      (2L, "der hund und die katze und das haus ist ein traum"),
+      (3L, "el perro y la casa de que un dia los gatos"),
+      (4L, "中文文本 很短"),
+      (5L, "le chat et les chiens des villes un peu du pain"))
+      .toDF("doc_id", "text")
+    val toks = TextOps.tokens($"text")
+    val scores = TextOps.langScores(toks).map { case (c, n) => c.as(n) }
+    val got = df.select($"doc_id" +: size(toks).as("n_tokens") +: scores :+
+        TextOps.cjkCount($"text").as("cjk_n"): _*)
+      .withColumn("p", TextOps.predictedLang(
+        $"en_n", $"de_n", $"es_n", $"fr_n", $"cjk_n", $"n_tokens"))
+      .orderBy("doc_id").select("p").as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "es", "zh", "fr"))
+  }
+
+  test("text stats: ratios and quality score on a crafted doc") {
+    val df = Seq((1L, "Hello, world! the end.")).toDF("doc_id", "text")
+    val toks = TextOps.tokens($"text")
+    val r = df.select(
+      length($"text").as("n_chars"),
+      size(toks).as("n_tokens"),
+      TextOps.punctCount($"text").as("punct"),
+      TextOps.stopwordCountEn(toks).as("stop")).head()
+    assert(r.getInt(0) == 22)
+    assert(r.getInt(1) == 4)
+    assert(r.getInt(2) == 3) // , ! .
+    assert(r.getInt(3) == 1) // "the"
+  }
+
+  test("fingerprints: deterministic, content-sensitive, within prime range") {
+    val got = docs.select($"doc_id",
+      TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"),
+      TextOps.minShingleFingerprint(TextOps.tokens($"text"), 3).as("fpm"))
+      .orderBy("doc_id").collect()
+    val fps = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fps(0)._2 == fps(2)._2 && fps(0)._3 == fps(2)._3) // dup docs agree
+    assert(fps(0)._2 != fps(3)._2) // different docs differ
+    assert(fps.forall(f => f._2 >= 0 && f._2 < 1000000007L))
+  }
+}
