@@ -337,7 +337,13 @@ object SparkEntry {
 
     "text_lang_id" -> textLangId _,
 
-    "text_fingerprint" -> textFingerprint _
+    "text_fingerprint" -> textFingerprint _,
+
+    "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
+      Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
+
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+      Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5))
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -440,7 +446,33 @@ object SparkEntry {
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
          |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
-  ) ++ servingOracleSql ++ textOracleSql
+  ) ++ servingOracleSql ++ textOracleSql ++ annOracleSql
+
+  /** DuckDB twin of the brute-force ANN baseline. Float parity is
+    * exact because both sides fold the products left-to-right in
+    * double precision: Spark `aggregate(zip_with(...), 0.0, +)` vs
+    * DuckDB `list_reduce(list_prepend(0.0, ...), +)` — pre-verified
+    * bit-for-bit on the test lake. (The LSH variant keeps the
+    * rows-only check: candidate sets are hash-seed-defined.)
+    */
+  private def annOracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, n.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+        |      / (n.nrm * q.qnrm) AS cos_sim
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id)
+        |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+        |       neighbor_id, cos_sim
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin)
 
   /** DuckDB twins of the text-pipeline queries (minhash/simhash/
     * fingerprint have no DuckDB-expressible twin — xxhash64 — and get

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbour search over an embedding
+  * column (`Array[Float]`).
+  *
+  * Scale shape: the query set is broadcast (it is small by
+  * definition); the corpus is scanned exactly once per strategy.
+  * `cosineTopK` is the exact baseline — one corpus pass, then a
+  * two-phase (salted, then global) top-k so no single task ever ranks
+  * the whole corpus for a query. `lshTopK` is the 100-TB path: random-
+  * hyperplane buckets make the candidate join's shuffle proportional
+  * to bucket collisions, not |corpus| × |queries|.
+  */
+object Ann {
+
+  /** Left-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 nQueries: Int, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(scored, k)
+  }
+
+  /** Two-phase per-query top-k: a salted local rank bounds every task
+    * at k × salt rows per query before the global rank, so the final
+    * per-query partition sees k × 64 rows instead of the corpus.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val salted = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(64)))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("__graft_lrank", row_number().over(salted))
+      .filter(col("__graft_lrank") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH top-k: `tables` independent hash tables of
+    * `planes` sign bits each; a corpus vector is a candidate for a
+    * query iff they share a bucket in at least one table. Hyperplanes
+    * are derived from a fixed seed so the plan is deterministic across
+    * runs and clusters.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int, k: Int, tables: Int = 3, planes: Int = 5,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val hp = Array.fill(tables, planes, dim)(rnd.nextGaussian())
+    val base = prepared(emb, idCol, vecCol)
+    def planeDot(v: Column, p: Array[Double]): Column =
+      dot(v, array(p.map(lit).toSeq: _*))
+    def bucketCol(v: Column, tb: Int): Column =
+      (0 until planes).map(j => when(planeDot(v, hp(tb)(j)) > 0, 1 << j).otherwise(0))
+        .reduce(_ + _)
+    val hashed = base.select(col("vec_id"),
+        explode(array((0 until tables).map(tb =>
+          struct(lit(tb).as("tbl"), bucketCol(col("v"), tb).as("bucket"))): _*)).as("h"))
+      .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+    val qb = hashed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+    val candIds = hashed.join(broadcast(qb),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val qv = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = base.join(broadcast(candIds), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(scored, k)
+  }
+}

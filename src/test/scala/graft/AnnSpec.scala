@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Tiny 4-d corpus with known geometry: ids 0,1 are queries.
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)),  // closest to 0
+    (3L, Array(0.1f, 0.9f, 0f, 0f)),  // closest to 1
+    (4L, Array(-1f, 0f, 0f, 0f)),     // opposite of 0
+    (5L, Array(0.8f, 0.2f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity with id tie-break") {
+    val got = Ann.cosineTopK(vecs, "vec_id", "embedding", nQueries = 2, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.take(3).toSeq == Seq((0L, 1, 2L), (0L, 2, 5L), (0L, 3, 3L)))
+    assert(got(3) == ((1L, 1, 3L)))
+    // the antipode is never in 0's top-3
+    assert(!got.take(3).exists(_._3 == 4L))
+  }
+
+  test("cosine of identical and orthogonal vectors is exact") {
+    val df = Seq((Array(1.0, 2.0, 2.0), Array(1.0, 2.0, 2.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      (Ann.dot($"a", $"b") / (Ann.l2norm($"a") * Ann.l2norm($"b"))).as("c"))
+      .as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-15 && got(1) == 0.0)
+  }
+
+  test("lsh top-k finds the dominant neighbours of the brute-force baseline") {
+    val exact = Ann.cosineTopK(vecs, "vec_id", "embedding", 2, 1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(vecs, "vec_id", "embedding", nQueries = 2, k = 3,
+        tables = 4, planes = 2, dim = 4)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // near-identical directions collide in at least one of 4 tables
+    assert(exact.subsetOf(approx))
+  }
+
+  test("lsh candidate generation is deterministic across runs") {
+    def run() = Ann.lshTopK(vecs, "vec_id", "embedding", 2, 3, tables = 4, planes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(run() == run())
+  }
+}
