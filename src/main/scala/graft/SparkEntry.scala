@@ -343,7 +343,21 @@ object SparkEntry {
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
-      Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5))
+      Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
+
+    "stream_events_30m" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events").groupBy(
+          Temporal.windowStart(col("ts"), 1800).as("window_start"),
+          upper(trim(col("event_type"))).as("event_type_norm"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double").as("value_sum"))),
+
+    "sessionize_gap" -> ((s: SparkSession, d: String) =>
+      Sessionize.byGap(t(s, d, "events"), "user_id", "ts", "event_id", "value", gapSec = 1800)),
+
+    "quality_threshold_gate" -> ((s: SparkSession, d: String) =>
+      QualityGate.thresholdGate(cleanseEvents(s, d), eventRules,
+        warnRate = 0.00001, failRate = 0.01))
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -446,7 +460,45 @@ object SparkEntry {
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
          |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
-  ) ++ servingOracleSql ++ textOracleSql ++ annOracleSql
+  ) ++ servingOracleSql ++ textOracleSql ++ annOracleSql ++ streamingOracleSql
+
+  /** DuckDB twins of the batch forms of the streaming operators. */
+  private def streamingOracleSql: Map[String, String] = Map(
+    "stream_events_30m" ->
+      """SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) AS window_start,
+        |  UPPER(TRIM(event_type)) AS event_type_norm,
+        |  COUNT(*) AS n_events,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sessionize_gap" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag_s IS NULL OR s - lag_s > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+        |      LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_s
+        |    FROM events)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "quality_threshold_gate" ->
+      s"""SELECT reason_code, n_rows,
+         |  n_rows / SUM(n_rows) OVER () AS rate,
+         |  CASE WHEN reason_code = 'VALID' THEN 'OK'
+         |       WHEN n_rows / SUM(n_rows) OVER () >= 0.01 THEN 'FAIL'
+         |       WHEN n_rows / SUM(n_rows) OVER () >= 0.00001 THEN 'WARN'
+         |       ELSE 'OK' END AS status
+         |FROM (SELECT COALESCE(reason_code, 'VALID') AS reason_code, COUNT(*) AS n_rows
+         |      FROM (${qualityAnnotatedSql()}) GROUP BY 1)""".stripMargin)
 
   /** DuckDB twin of the brute-force ANN baseline. Float parity is
     * exact because both sides fold the products left-to-right in

@@ -44,4 +44,24 @@ object QualityGate {
     withReason(df, rules)
       .groupBy(coalesce(col(ReasonCol), lit("VALID")).as(ReasonCol))
       .agg(count(lit(1)).as("n_rows"))
+
+  /** Deterministic warn/fail threshold gate over the reason
+    * distribution (reference: src/silver/transforms.py:214-279 —
+    * sample validation with warn/fail rates; here the rates are exact
+    * full-data rates, so the gate is reproducible). The total joins in
+    * via a 1-row crossJoin — the report is at most rules+1 rows.
+    */
+  def thresholdGate(df: DataFrame, rules: Seq[Rule],
+                    warnRate: Double, failRate: Double): DataFrame = {
+    val rep = report(df, rules)
+    val total = rep.agg(sum(col("n_rows")).as("__graft_total"))
+    rep.crossJoin(total)
+      .withColumn("rate", col("n_rows") / col("__graft_total"))
+      .withColumn("status",
+        when(col(ReasonCol) === "VALID", lit("OK"))
+          .when(col("rate") >= failRate, lit("FAIL"))
+          .when(col("rate") >= warnRate, lit("WARN"))
+          .otherwise(lit("OK")))
+      .drop("__graft_total")
+  }
 }

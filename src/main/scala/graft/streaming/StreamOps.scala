@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-streaming twins of the batch operators.
+  *
+  * The reference materializes fct_boardings_30m as a batch reload; at
+  * 100 TB/day the same grain is maintained incrementally: a watermark
+  * bounds state, tumbling windows aggregate with map-side partial
+  * aggregation, and sessionization keeps one small state object per
+  * active user key.
+  */
+object StreamOps {
+
+  /** Tumbling 30-minute aggregation (streaming twin of the
+    * `stream_events_30m` batch query — same grain as the reference's
+    * fct_boardings_30m, reference: src/gold/load_gold.py:1518+).
+    */
+  def events30m(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes").as("w"),
+        upper(trim(col("event_type"))).as("event_type_norm"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type_norm"),
+        col("n_events"), col("value_sum"))
+
+  final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+  final case class SessionState(
+      sessionSeq: Long, startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  final case class Session(
+      user_id: Long, session_seq: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, value_sum: Double)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: one
+    * in-flight session per user key; a session is emitted as soon as
+    * it is closed by a later event (gap exceeded) or by the event-time
+    * timeout once the watermark passes its end + gap.
+    */
+  def sessionize(events: Dataset[SessEvent], gapSec: Long,
+                 watermark: String = "30 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, s.sessionSeq, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.n, math.round(s.sum * 100.0) / 100.0)
+
+    def update(userId: Long, it: Iterator[SessEvent],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      var cur = state.getOption
+      val closed = Seq.newBuilder[Session]
+      it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.endMs <= gapSec * 1000 =>
+            cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed += close(userId, s)
+            cur = Some(SessionState(s.sessionSeq + 1, t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(1, t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.endMs + gapSec * 1000)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Sessionize
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessEvent
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), "click", 2.0),
+    (3L, ts("2024-01-01 10:40:00"), "view", 3.0),   // next 30m window
+    (4L, ts("2024-01-01 12:00:00"), "click", 4.0))  // later window
+
+  test("streaming 30m aggregation matches the batch twin") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = in.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.events30m(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s30m").outputMode("append").start()
+    in.addData(events)
+    q.processAllAvailable()
+    // append mode only emits windows the watermark has passed; push it forward
+    in.addData(Seq((9L, ts("2024-01-01 23:00:00"), "click", 0.5)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("s30m")
+      .select("window_start", "event_type_norm", "n_events", "value_sum")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = events.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(graft.functions.Temporal.windowStart($"ts", 1800).as("window_start"),
+        upper(trim($"event_type")).as("event_type_norm"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.subsetOf(streamed))
+  }
+
+  test("streaming sessionization emits closed sessions matching the batch twin") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = StreamOps.sessionize(in.toDS(), gapSec = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 7: two sessions split by a > 30 min gap, all in one batch
+    in.addData(
+      SessEvent(7L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      SessEvent(7L, ts("2024-01-01 10:20:00"), 2L, 2.0),
+      SessEvent(7L, ts("2024-01-01 12:00:00"), 3L, 4.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to time out the open session
+    in.addData(SessEvent(8L, ts("2024-01-02 00:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess").as[StreamOps.Session].collect()
+      .filter(_.user_id == 7L)
+      .map(s => (s.session_seq, s.session_start, s.session_end, s.n_events, s.value_sum)).toSet
+    val batch = Sessionize.byGap(
+        Seq((7L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+          (7L, ts("2024-01-01 10:20:00"), 2L, 2.0),
+          (7L, ts("2024-01-01 12:00:00"), 3L, 4.0))
+          .toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", gapSec = 1800)
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+  }
+
+  test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2L, 1.0), // exactly 1800s -> same session
+      (1L, ts("2024-01-01 11:00:01"), 3L, 1.0)) // 1801s -> new session
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Sessionize.byGap(df, "user_id", "ts", "event_id", "value", 1800)
+      .orderBy("session_seq").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(4) == 2 && got(1).getLong(4) == 1)
+  }
+}
