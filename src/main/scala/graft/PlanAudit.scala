@@ -1,0 +1,31 @@
+package graft
+
+/** Physical-plan audit: for every registered query, print the counts
+  * that matter at scale — shuffles (Exchange), broadcast vs sort-merge
+  * joins, whole-stage-codegen coverage — and flag single-partition
+  * global windows/sorts. Run with:
+  *   sbt "runMain graft.PlanAudit [sfDir] [queryName ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
+    val spark = GraftSession.get()
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if only.isEmpty || only(name) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def n(p: String): Int = p.r.findAllIn(plan).length
+          val globalWindow = n("Window.*\\n.*Exchange SinglePartition") +
+            (if (plan.contains("Exchange SinglePartition")) 1 else 0)
+          f"$name%-28s exch=${n("Exchange (hash|range)partitioning")}%2d single=${n("Exchange SinglePartition")}%2d " +
+            f"bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
+            f"wsc=${n("\\*\\(\\d+\\)")}%3d"
+        } catch {
+          case e: Throwable => f"$name%-28s ERROR ${e.getMessage.take(80)}"
+        }
+    }
+    rows.foreach(println)
+    spark.stop()
+  }
+}

@@ -291,6 +291,29 @@ object SparkEntry {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
           "measure_name", "measure_value")),
 
+    // Leg-style grouped unpivot with the reference's empty-slot drop
+    // (reference: src/silver/transforms.py:516-558). One scan +
+    // explode of per-leg structs — the reference's 4-way UNION shape
+    // would scan the fact once per leg.
+    "silver_unpivot_legs" -> ((s: SparkSession, d: String) => {
+      val legs = array(
+        struct(lit(1).as("leg_seq"), col("l_returnflag").as("leg_attr"),
+          col("l_quantity").as("leg_value")),
+        struct(lit(2).as("leg_seq"), col("l_linestatus").as("leg_attr"),
+          col("l_extendedprice").as("leg_value")),
+        struct(lit(3).as("leg_seq"),
+          when(col("l_returnflag") === "N", lit(null).cast("string"))
+            .otherwise(col("l_returnflag")).as("leg_attr"),
+          when(col("l_tax") === 0.0, lit(null).cast("double"))
+            .otherwise(col("l_tax")).as("leg_value")))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), explode(legs).as("leg"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("leg.leg_seq").as("leg_seq"), col("leg.leg_attr").as("leg_attr"),
+          col("leg.leg_value").as("leg_value"))
+        .filter(col("leg_attr").isNotNull || col("leg_value").isNotNull)
+    }),
+
     "gold_dim_date" -> ((s: SparkSession, d: String) =>
       Dims.dimDate(t(s, d, "orders"), col("o_orderdate"))),
 
@@ -357,7 +380,13 @@ object SparkEntry {
 
     "quality_threshold_gate" -> ((s: SparkSession, d: String) =>
       QualityGate.thresholdGate(cleanseEvents(s, d), eventRules,
-        warnRate = 0.00001, failRate = 0.01))
+        warnRate = 0.00001, failRate = 0.01)),
+
+    "multimodal_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.featuresOf(t(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("media"),
+        lit("txt").as("format"))))
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -387,6 +416,18 @@ object SparkEntry {
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+
+    "silver_unpivot_legs" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 1 AS leg_seq, l_returnflag AS leg_attr, l_quantity AS leg_value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 2, l_linestatus, l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 3,
+        |    CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END,
+        |    CASE WHEN l_tax = 0 THEN NULL ELSE l_tax END
+        |  FROM lineitem)
+        |WHERE leg_attr IS NOT NULL OR leg_value IS NOT NULL""".stripMargin,
 
     "gold_dim_date" ->
       """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),

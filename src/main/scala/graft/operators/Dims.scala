@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import graft.functions.Temporal
 
 /** Dimension builders for the Kimball layer.
@@ -53,17 +53,27 @@ object Dims {
   }
 
   /** Lookup dim from the distinct values of a column, with
-    * deterministic surrogate keys (1..n over sorted values).
-    * Distinct = map-side-combined aggregate; the final rank runs over
-    * the (tiny) distinct set in a single partition — intentional,
-    * dims are small by definition.
+    * deterministic dense surrogate keys (1..n over sorted values).
+    *
+    * Scale shape: distinct is a map-side-combined aggregate, the sort
+    * is a distributed range sort, and the dense numbering comes from
+    * `zipWithIndex` (one count job over the sorted partitions, then
+    * offset arithmetic per partition) — NO single-partition global
+    * window, so a high-cardinality column (stop_code at 100 TB) never
+    * funnels through one task. Output is identical to a
+    * `ROW_NUMBER() OVER (ORDER BY name)` for any input.
     */
   def lookupDim(df: DataFrame, valueCol: String, skName: String, nameCol: String): DataFrame = {
+    val spark = df.sparkSession
     val distinctVals = df.select(trim(col(valueCol)).as(nameCol))
       .filter(col(nameCol).isNotNull && col(nameCol) =!= "")
       .distinct()
-    distinctVals
-      .withColumn(skName, row_number().over(Window.orderBy(col(nameCol))))
-      .select(col(skName), col(nameCol))
+      .sort(col(nameCol))
+    val numbered = distinctVals.rdd.zipWithIndex.map { case (r, i) =>
+      Row((i + 1).toInt, r.getString(0))
+    }
+    spark.createDataFrame(numbered, StructType(Seq(
+      StructField(skName, IntegerType, nullable = false),
+      StructField(nameCol, StringType, nullable = true))))
   }
 }

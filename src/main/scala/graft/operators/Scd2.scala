@@ -44,17 +44,22 @@ object Scd2 {
   def fromHistory(df: DataFrame, bk: String, ts: String,
                   tieBreak: Seq[String], attrs: Seq[String]): DataFrame = {
     val obsDateCol = TempCol("obs_date", df)
-    val rnCol = TempCol("rn", df)
+    val lastCol = TempCol("last", df)
     val kCol = TempCol("k", df)
     val prevCol = TempCol("prev", df)
 
-    // 1. one observation per (bk, day): latest-wins.
-    val perDayW = Window.partitionBy(col(bk), col(obsDateCol))
-      .orderBy((col(ts).desc +: tieBreak.map(col(_).desc)): _*)
+    // 1. one observation per (bk, day): latest-wins. Partitioned by bk
+    //    alone (ordered by day, then recency) so steps 2-3 reuse the
+    //    same hash partitioning: the whole build is ONE shuffle. The
+    //    day's last row in this ordering is exactly the
+    //    (ts DESC, tieBreak DESC) winner of the old per-day window.
+    val byBk = Window.partitionBy(col(bk))
+      .orderBy(col(obsDateCol).asc +: col(ts).asc +: tieBreak.map(col(_).asc): _*)
+    val nextDay = lead(col(obsDateCol), 1).over(byBk)
     val daily = df
       .withColumn(obsDateCol, to_date(col(ts)))
-      .withColumn(rnCol, row_number().over(perDayW))
-      .filter(col(rnCol) === 1)
+      .withColumn(lastCol, nextDay.isNull || nextDay =!= col(obsDateCol))
+      .filter(col(lastCol))
       .select((bk +: obsDateCol +: attrs).map(col): _*)
 
     // 2. change points vs previous day observed.

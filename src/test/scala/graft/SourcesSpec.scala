@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.{CsvVarchar, MedallionSink}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv all-varchar source: explicit columns, string types, null handling") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("part.csv")
+    Files.writeString(f, "1|alpha|2.5\n2||x\n3|gamma|\n")
+    val df = CsvVarchar.read(spark, f.toString, Seq("id", "name", "score"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(1)) // empty string -> NULL
+    assert(rows(2).isNullAt(2))
+    assert(rows(0).getString(1) == "alpha" && rows(0).getString(2) == "2.5")
+  }
+
+  test("medallion sink: partitioned zstd layout + atomic quality sidecar") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val df = Seq(
+      (1L, 2024, 1, "a"), (2L, 2024, 1, "b"), (3L, 2024, 2, "c"))
+      .toDF("id", "year", "month", "payload")
+    val rows = MedallionSink.write(df, root, "events_t", Seq("year", "month"),
+      extraStats = Map("n_quarantined" -> 0L))
+    assert(rows == 3)
+    assert(Files.exists(Paths.get(root, "dataset=events_t", "year=2024", "month=1")))
+    assert(Files.exists(Paths.get(root, "dataset=events_t", "year=2024", "month=2")))
+    val back = spark.read.parquet(s"$root/dataset=events_t")
+    assert(back.count() == 3)
+    assert(back.select("year").distinct().as[Int].collect().toSet == Set(2024))
+    val quality = Files.readString(Paths.get(root, "dataset=events_t", "_quality.json"))
+    assert(quality.contains("\"rows_written\": 3") && quality.contains("\"n_quarantined\": 0"))
+  }
+
+  test("multimodal: stub decode over binary columns, batched per partition") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](3, 4, 100), "img"),
+      Multimodal.MediaRow(2L, Array[Byte](), "img"),
+      Multimodal.MediaRow(3L, "hello".getBytes("UTF-8"), "txt"))
+      .toDS().repartition(2)
+    val got = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).width == 4 && got(1L).height == 5 && got(1L).n_bytes == 3)
+    assert(got(2L).n_bytes == 0 && got(2L).brightness == 0.0)
+    val crc = new java.util.zip.CRC32(); crc.update("hello".getBytes("UTF-8"))
+    assert(got(3L).checksum == crc.getValue)
+    assert(got(3L).brightness == "hello".getBytes("UTF-8").map(_ & 0xff).sum.toDouble / 5)
+  }
+
+  test("multimodal featuresOf survives > one batch per partition") {
+    val big = (1L to 200L).map(i => (i, s"payload_$i".getBytes("UTF-8"), "txt"))
+      .toDF("media_id", "media", "format")
+    assert(Multimodal.featuresOf(big).count() == 200)
+  }
+}
