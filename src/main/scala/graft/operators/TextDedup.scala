@@ -56,12 +56,35 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_sh_a", "n_sh_b", "n_common", "jaccard")
   }
 
-  /** MinHash signature column: `numHashes` independent hash slots,
-    * each the minimum of a seeded xxhash64 over the shingle set.
+  private val MinhashPrime = 1000000007L
+
+  /** One base hash per shingle, reduced mod a 31-bit prime so the
+    * per-slot affine re-hashes below stay overflow-free in 64 bits.
+    * Materialize this as its own column: the signature references it
+    * `numHashes` times, which stops CollapseProject from inlining the
+    * (expensive) shingle construction into a per-slot lambda — inlined,
+    * the shingle array would be rebuilt once PER SLOT per row, a
+    * measured ~30x slowdown.
     */
-  def minhashSignature(shs: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shs, s => xxhash64(i, s))))
+  def shingleHashes(shs: Column): Column =
+    transform(shs, s => pmod(xxhash64(s), lit(MinhashPrime)))
+
+  /** MinHash signature from the base hashes: slot i is the minimum of
+    * the affine family (a_i·h + b_i) mod p — one string hash per
+    * shingle TOTAL (not per slot), then cheap integer arithmetic per
+    * slot. Coefficients derive from a fixed seed: deterministic across
+    * runs, executors and clusters. Built as a Scala-side array of
+    * per-slot expressions (not a Catalyst lambda over the slot index)
+    * so the base-hash column is a multiply-referenced attribute.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new java.util.Random(seed)
+    def coef(): Long = 1L + rnd.nextInt(Int.MaxValue - 1)
+    array((0 until numHashes).map { _ =>
+      val (a, b) = (coef(), coef())
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashPrime))))
+    }: _*)
+  }
 
   /** MinHash-LSH near-dup candidates: band the signature, bucket-join
     * on (band, bucket) — the only pairs ever materialized are those
@@ -76,11 +99,14 @@ object TextDedup {
     require(bands * rows == numHashes, "bands must divide numHashes")
     val docs = df.select(col(idCol).as("doc_id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
-      .withColumn("sig", minhashSignature(col("shs"), numHashes))
-    val banded = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_id"),
-            hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))).as("bb"))
+      .withColumn("hmod", shingleHashes(col("shs")))
+      .withColumn("sig", minhashSignature(col("hmod"), numHashes))
+    // Band structs via a Scala-side loop: `sig` is referenced `bands`
+    // times, keeping it a materialized attribute (see shingleHashes).
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)
+    val banded = docs.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
@@ -97,18 +123,19 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_bands", "jaccard")
   }
 
-  /** 64-bit SimHash of the token stream: per-bit majority vote over
-    * the token hashes, assembled with bitwise OR (no overflow under
-    * ANSI arithmetic). Expressed in SQL because shiftright with a
-    * *column* shift amount has no Scala DSL binding.
+  /** 64-bit SimHash from a pre-hashed token column (one xxhash64 per
+    * token TOTAL): per-bit majority vote, assembled with bitwise OR
+    * (no overflow under ANSI arithmetic). The 64 bit-votes are
+    * Scala-side expressions over the shared hash column — a Catalyst
+    * lambda over the bit index would get the token hashing inlined
+    * and re-evaluated once per bit (measured ~15x slowdown).
     */
-  def simhash64(toksCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), j ->
-       |    if(aggregate(transform($toksCol, t -> xxhash64(t)), 0L,
-       |         (acc, h) -> acc + if((shiftright(h, j) & 1) = 1, 1L, -1L)) >= 0,
-       |       shiftleft(1L, j), 0L)),
-       |  0L, (a, b) -> a | b)""".stripMargin)
+  def simhash64(hashesCol: String): Column =
+    (0 until 64).map { j =>
+      val vote = aggregate(col(hashesCol), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into
     * four 16-bit bands (pigeonhole: any pair within Hamming distance 3
@@ -119,12 +146,13 @@ object TextDedup {
                    maxHamming: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("simhash", simhash64("toks"))
+      .withColumn("h64", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("simhash", simhash64("h64"))
       .select("doc_id", "simhash")
-    val banded = docs.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> " +
-          "struct(b AS band_id, shiftright(simhash, b * 16) & 65535 AS bucket))")).as("bb"))
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)
+    val banded = docs.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band_id"), col("bb.bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
