@@ -41,7 +41,12 @@ object TextDedup {
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
-    val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // Posting lists keyed by the shingle's 64-bit hash, not the string:
+    // the self-join shuffles and compares 8-byte keys instead of
+    // n-token text (xxhash64 collisions are ~|shingle vocabulary|²/2^65
+    // — negligible against the exact-count semantics).
+    val sh = docs.select(col("doc_id"),
+      explode(transform(col("shs"), s => xxhash64(s))).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("shs")).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
