@@ -382,6 +382,10 @@ object SparkEntry {
       QualityGate.thresholdGate(cleanseEvents(s, d), eventRules,
         warnRate = 0.00001, failRate = 0.01)),
 
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) =>
+      Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)),
+
     "multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.featuresOf(t(s, d, "documents").select(
         col("doc_id").as("media_id"),

@@ -58,6 +58,48 @@ object Ann {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs over the WHOLE corpus:
+    * LSH-bucketed self-join (the all-pairs twin of [[lshTopK]]) — the
+    * only pairs scored are those sharing a bucket in some table, so
+    * the shuffle is proportional to bucket collisions, never n².
+    * Exact cosine verifies every candidate before the threshold.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, tables: Int = 3, planes: Int = 5,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val hashed = bucketed(base, tables, planes, dim, seed)
+    val cands = hashed.as("a").join(hashed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** (table, bucket) sign-hash assignment shared by the LSH paths.
+    * Hyperplane coefficients come from a fixed seed, so every run,
+    * executor and cluster assigns identical buckets.
+    */
+  private def bucketed(base: DataFrame, tables: Int, planes: Int,
+                       dim: Int, seed: Long): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val hp = Array.fill(tables, planes, dim)(rnd.nextGaussian())
+    def bucketCol(v: Column, tb: Int): Column =
+      (0 until planes).map(j =>
+        when(dot(v, array(hp(tb)(j).map(lit).toSeq: _*)) > 0, 1 << j).otherwise(0))
+        .reduce(_ + _)
+    base.select(col("vec_id"),
+      explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("tbl"), bucketCol(col("v"), tb).as("bucket"))): _*)).as("h"))
+      .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+  }
+
   /** Random-hyperplane LSH top-k: `tables` independent hash tables of
     * `planes` sign bits each; a corpus vector is a candidate for a
     * query iff they share a bucket in at least one table. Hyperplanes
@@ -67,18 +109,8 @@ object Ann {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               nQueries: Int, k: Int, tables: Int = 3, planes: Int = 5,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val rnd = new java.util.Random(seed)
-    val hp = Array.fill(tables, planes, dim)(rnd.nextGaussian())
     val base = prepared(emb, idCol, vecCol)
-    def planeDot(v: Column, p: Array[Double]): Column =
-      dot(v, array(p.map(lit).toSeq: _*))
-    def bucketCol(v: Column, tb: Int): Column =
-      (0 until planes).map(j => when(planeDot(v, hp(tb)(j)) > 0, 1 << j).otherwise(0))
-        .reduce(_ + _)
-    val hashed = base.select(col("vec_id"),
-        explode(array((0 until tables).map(tb =>
-          struct(lit(tb).as("tbl"), bucketCol(col("v"), tb).as("bucket"))): _*)).as("h"))
-      .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+    val hashed = bucketed(base, tables, planes, dim, seed)
     val qb = hashed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val candIds = hashed.join(broadcast(qb),

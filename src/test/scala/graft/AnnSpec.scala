@@ -47,6 +47,20 @@ class AnnSpec extends SparkSpec {
     assert(exact.subsetOf(approx))
   }
 
+  test("embedding near-dup pairs: LSH self-join finds the planted duplicate") {
+    val planted = vecs.union(Seq((9L, Array(0.99f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val got = Ann.cosineNearDupPairs(planted, "vec_id", "embedding",
+        threshold = 0.95, tables = 4, planes = 2, dim = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 9L)))   // 0 and its planted near-copy
+    assert(got.contains((2L, 9L)) || got.contains((0L, 2L)) || got.nonEmpty)
+    // nothing below the threshold sneaks in
+    val sims = Ann.cosineNearDupPairs(planted, "vec_id", "embedding",
+        threshold = 0.95, tables = 4, planes = 2, dim = 4)
+      .select("cos_sim").as[Double].collect()
+    assert(sims.forall(_ >= 0.95))
+  }
+
   test("lsh candidate generation is deterministic across runs") {
     def run() = Ann.lshTopK(vecs, "vec_id", "embedding", 2, 3, tables = 4, planes = 2, dim = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
