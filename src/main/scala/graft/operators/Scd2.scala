@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *   3. change points become versions: valid_from = change date,
   *      valid_to = next change date - 1 day, is_current = no next.
   *
-  * row_hash matches the reference's normalization exactly:
-  * sha256 over UPPER(TRIM(attr)) joined by "||", NULL -> ""
-  * (load_gold.py:281-292).
+  * row_hash: sha256 over UPPER(TRIM(attr)) joined by "||", NULL -> ""
+  * (load_gold.py:281-292). TRIM strips ASCII spaces — the same
+  * semantics as the SQL TRIM used by the oracle twin (the reference's
+  * Python str.strip() would also strip tabs/newlines; space-trim is
+  * kept deliberately so Spark and the SQL twin can never diverge).
   */
 object Scd2 {
 

@@ -129,6 +129,29 @@ class CoreOperatorsSpec extends SparkSpec {
       Seq((1, "A"), (2, "B"), (3, "C")))
   }
 
+  test("exactByKey collapses duplicate content to one survivor + count") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "content")
+    val got = Dedup.exactByKey(df, "content", "id")
+      .orderBy("keep_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("threshold gate: OK / WARN / FAIL statuses from exact rates") {
+    val df = Seq.tabulate(100)(i => (i.toLong, if (i < 5) -1.0 else 1.0))
+      .toDF("id", "v")
+    val rules = Seq(QualityGate.Rule("NEG", $"v" < 0))
+    // 5% NEG: warn at 1%, fail at 10% -> WARN; fail at 2% -> FAIL
+    val warn = QualityGate.thresholdGate(df, rules, warnRate = 0.01, failRate = 0.10)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(warn("NEG") == "WARN" && warn("VALID") == "OK")
+    val fail = QualityGate.thresholdGate(df, rules, warnRate = 0.01, failRate = 0.02)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(fail("NEG") == "FAIL")
+    // count assertion: the report partitions the input exactly
+    val rep = QualityGate.report(df, rules).agg(sum("n_rows")).head().getLong(0)
+    assert(rep == df.count())
+  }
+
   test("driver contract: entry returns rows; registries aligned") {
     assert(SparkEntry.entry(spark).count() > 0)
     val q = SparkEntry.queries.keySet
