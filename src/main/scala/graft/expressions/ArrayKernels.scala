@@ -1,0 +1,154 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot array kernels.
+  *
+  * The declarative versions of these (nested `transform`/`aggregate`
+  * higher-order functions) are interpreted with per-element boxing; at
+  * corpus scale the signature computation dominated whole queries.
+  * Each expression here is a single tight JVM loop per row, wired into
+  * whole-stage codegen via a static kernel call — the preference order
+  * the engine follows everywhere: built-in functions, then a native
+  * `Expression` with `doGenCode`, then (never, so far) a UDF.
+  */
+object ArrayKernels {
+
+  /** MinHash kernel: one xxhash64 per element TOTAL, then the affine
+    * family (a_i·h + b_i) mod p per slot, tracking slot minimums.
+    */
+  def minhash(arr: ArrayData, a: Array[Long], b: Array[Long], prime: Long): ArrayData = {
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Math.floorMod(XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), prime)
+      var j = 0
+      while (j < k) {
+        val v = java.lang.Math.floorMod(a(j) * h + b(j), prime)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash kernel: per-bit majority vote over element hashes. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Left-fold double dot product — bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to the DuckDB
+    * oracle's `list_reduce(list_prepend(0.0, ...))`.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** array<string> -> array<long>: MinHash signature of `numHashes`
+  * slots with seed-derived affine coefficients.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  // Interleaved draw order matches TextDedup.minhashSignature exactly,
+  // so the declarative column version and this kernel agree slot for
+  // slot on any input.
+  @transient private lazy val (coefA, coefB) = {
+    val rnd = new java.util.Random(seed)
+    def coef(): Long = 1L + rnd.nextInt(Int.MaxValue - 1)
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { a(i) = coef(); b(i) = coef(); i += 1 }
+    (a, b)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.minhash(input.asInstanceOf[ArrayData], coefA, coefB, MinHashSigExpr.Prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ArrayKernels.minhash($c, $aRef, $bRef, ${MinHashSigExpr.Prime}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  val Prime = 1000000007L
+}
+
+/** array<string> -> long: 64-bit SimHash (per-bit majority vote). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ArrayKernels.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** (array<double>, array<double>) -> double: left-fold dot product. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.ArrayKernels.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}

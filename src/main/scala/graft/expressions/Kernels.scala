@@ -1,0 +1,25 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Column-API surface of the native kernel expressions. */
+object Kernels {
+
+  /** MinHash signature of an array<string> column (see [[MinHashSigExpr]]). */
+  def minhashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(
+      MinHashSigExpr(ColumnBridge.expression(shingles), numHashes, seed))
+
+  /** 64-bit SimHash of an array<string> column (see [[SimHash64Expr]]). */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  /** Left-fold dot product of two array<double> columns (see
+    * [[DotProductExpr]]); bit-identical to the declarative
+    * `aggregate(zip_with(...))` fold.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.Kernels
+
 /** Approximate / exact nearest-neighbour search over an embedding
   * column (`Array[Float]`).
   *
@@ -17,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Left-fold dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-fold dot product (deterministic summation order), as a
+    * native kernel expression — bit-identical to the declarative
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold and to the DuckDB
+    * oracle, but a single codegen'd loop instead of interpreted
+    * higher-order functions.
+    */
+  def dot(a: Column, b: Column): Column = Kernels.dotProduct(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.Kernels
 import graft.functions.TextOps
 
 /** Document deduplication at corpus scale.
@@ -102,10 +103,12 @@ object TextDedup {
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
+    // The signature runs as a native kernel expression (one tight JVM
+    // loop per row, codegen'd); graft.operators spec asserts it agrees
+    // slot-for-slot with the declarative minhashSignature column.
     val docs = df.select(col(idCol).as("doc_id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
-      .withColumn("hmod", shingleHashes(col("shs")))
-      .withColumn("sig", minhashSignature(col("hmod"), numHashes))
+      .withColumn("sig", Kernels.minhashSig(col("shs"), numHashes))
     // Band structs via a Scala-side loop: `sig` is referenced `bands`
     // times, keeping it a materialized attribute (see shingleHashes).
     val bandStructs = array((0 until bands).map(b =>
@@ -151,8 +154,7 @@ object TextDedup {
                    maxHamming: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("h64", transform(col("toks"), t => xxhash64(t)))
-      .withColumn("simhash", simhash64("h64"))
+      .withColumn("simhash", Kernels.simhash64(col("toks")))
       .select("doc_id", "simhash")
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),

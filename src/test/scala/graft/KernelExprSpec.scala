@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.Kernels
+import graft.functions.TextOps
+import graft.operators.TextDedup
+
+class KernelExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely different words entirely here now"),
+    (3L, "ab"))
+    .toDF("doc_id", "text")
+
+  test("minhash kernel expression agrees slot-for-slot with the column version") {
+    val shs = TextOps.shingles(TextOps.tokens($"text"), 3)
+    val both = docs.select(
+      Kernels.minhashSig(shs, 32).as("kern"),
+      TextDedup.minhashSignature(TextDedup.shingleHashes(shs), 32).as("decl"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("simhash kernel matches the declarative per-bit majority vote") {
+    val toks = TextOps.tokens($"text")
+    val both = docs
+      .withColumn("h64", transform(toks, t => xxhash64(t)))
+      .select(Kernels.simhash64(toks).as("kern"),
+        TextDedup.simhash64("h64").as("decl"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("dot-product kernel is bit-identical to the aggregate fold") {
+    val df = Seq(
+      (Array(0.1, -0.2, 0.3000001, 7.5e-3), Array(1.0, 2.0, -3.0, 0.25)),
+      (Array(1e300, 1.0, -1e300, 0.5), Array(1.0, 1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      Kernels.dotProduct($"a", $"b").as("kern"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("decl"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("kernel expressions are null-safe") {
+    val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Double]]))
+      .toDF("s", "v")
+    val r = df.select(
+      Kernels.simhash64($"s"),
+      Kernels.minhashSig($"s", 4),
+      Kernels.dotProduct($"v", $"v")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
