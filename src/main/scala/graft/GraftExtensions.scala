@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{DotProductExpr, MinHashSigExpr, SimHash64Expr}
+
+/** SparkSessionExtensions entry point: registers the native kernel
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen'd kernels as the Column API:
+  *
+  *   minhash_sig(arr, numHashes[, seed])   -> array<bigint>
+  *   simhash64(arr)                        -> bigint
+  *   dot_product(a, b)                     -> double
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (GraftSession does this by default) or `.withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          "minhash_sig(arr, numHashes[, seed])")
+        val seed = if (args.size == 3) longArg(args(2), "seed") else 42L
+        MinHashSigExpr(args.head, intArg(args(1), "numHashes"), seed)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "simhash64(arr)")
+        SimHash64Expr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dot_product(a, b)")
+        DotProductExpr(args.head, args(1))
+      }))
+  }
+}

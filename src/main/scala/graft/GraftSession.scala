@@ -23,6 +23,7 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long once here
       // instead of mutating session conf from inside a table loader.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

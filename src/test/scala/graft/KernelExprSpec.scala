@@ -51,6 +51,17 @@ class KernelExprSpec extends SparkSpec {
     }
   }
 
+  test("kernels are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       simhash64(split('a b c', ' ')) AS s,
+        |       size(minhash_sig(split('a b c', ' '), 8)) AS k""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == spark.range(1)
+      .select(Kernels.simhash64(split(lit("a b c"), " "))).head().getLong(0))
+    assert(r.getInt(2) == 8)
+  }
+
   test("kernel expressions are null-safe") {
     val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Double]]))
       .toDF("s", "v")
