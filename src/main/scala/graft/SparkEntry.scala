@@ -262,10 +262,14 @@ object SparkEntry {
 
   private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    t(spark, dir, "documents").select(col("doc_id"),
-      size(toks).as("n_tokens"),
-      TextOps.rollingFingerprint(toks).as("fp_rolling"),
-      TextOps.minShingleFingerprint(toks, 3).as("fp_min_shingle"))
+    // Both fingerprints come from one kernel pass; the spec pins the
+    // kernel to the declarative TextOps definitions.
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        graft.expressions.Kernels.fingerprints(toks, 3).as("fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("fp").getItem(0).as("fp_rolling"),
+        col("fp").getItem(1).as("fp_min_shingle"))
   }
 
   // ── registry ──────────────────────────────────────────────────────

@@ -61,6 +61,44 @@ object ArrayKernels {
     out
   }
 
+  /** Fingerprint kernel: rolling polynomial over token hashes AND the
+    * min-hash over n-token shingles, in one pass. Matches
+    * TextOps.rollingFingerprint / minShingleFingerprint exactly
+    * (same xxhash64 seed, same mod-prime arithmetic, same short-doc
+    * whole-join shingle).
+    */
+  def fingerprints(arr: ArrayData, n: Int, prime: Long): ArrayData = {
+    val cnt = arr.numElements()
+    var rolling = 0L
+    var i = 0
+    while (i < cnt) {
+      val h = java.lang.Math.floorMod(XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), prime)
+      rolling = java.lang.Math.floorMod(rolling * 31 + h, prime)
+      i += 1
+    }
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var minShingle = Long.MaxValue
+    if (cnt >= n) {
+      val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var s = 0
+      while (s + n <= cnt) {
+        var j = 0
+        while (j < n) { window(j) = arr.getUTF8String(s + j); j += 1 }
+        val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
+        val h = java.lang.Math.floorMod(XxHash64Function.hash(sh, StringType, 42L), prime)
+        if (h < minShingle) minShingle = h
+        s += 1
+      }
+    } else {
+      val all = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
+      var j = 0
+      while (j < cnt) { all(j) = arr.getUTF8String(j); j += 1 }
+      val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, all: _*)
+      minShingle = java.lang.Math.floorMod(XxHash64Function.hash(sh, StringType, 42L), prime)
+    }
+    new GenericArrayData(Array(rolling, minShingle))
+  }
+
   /** Left-fold double dot product — bit-identical to
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to the DuckDB
     * oracle's `list_reduce(list_prepend(0.0, ...))`.
@@ -115,6 +153,26 @@ case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
 
 object MinHashSigExpr {
   val Prime = 1000000007L
+}
+
+/** array<string> -> array<long> of [fp_rolling, fp_min_shingle]:
+  * both document fingerprints in one pass over the tokens.
+  */
+case class FingerprintsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.fingerprints(input.asInstanceOf[ArrayData], n, MinHashSigExpr.Prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ArrayKernels.fingerprints($c, $n, ${MinHashSigExpr.Prime}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintsExpr =
+    copy(child = newChild)
 }
 
 /** array<string> -> long: 64-bit SimHash (per-bit majority vote). */

@@ -15,6 +15,12 @@ object Kernels {
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
 
+  /** Both document fingerprints ([rolling, min-shingle]) in one pass
+    * (see [[FingerprintsExpr]]).
+    */
+  def fingerprints(tokens: Column, n: Int): Column =
+    ColumnBridge.column(FingerprintsExpr(ColumnBridge.expression(tokens), n))
+
   /** Left-fold dot product of two array<double> columns (see
     * [[DotProductExpr]]); bit-identical to the declarative
     * `aggregate(zip_with(...))` fold.

@@ -36,6 +36,18 @@ class KernelExprSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("fingerprint kernel matches the declarative rolling + min-shingle") {
+    val toks = TextOps.tokens($"text")
+    val both = docs.union(Seq((4L, "")).toDF("doc_id", "text")).select(
+      Kernels.fingerprints(toks, 3).as("kern"),
+      TextOps.rollingFingerprint(toks).as("roll"),
+      TextOps.minShingleFingerprint(toks, 3).as("minsh"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2)))
+    }
+  }
+
   test("dot-product kernel is bit-identical to the aggregate fold") {
     val df = Seq(
       (Array(0.1, -0.2, 0.3000001, 7.5e-3), Array(1.0, 2.0, -3.0, 0.25)),
