@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Scd2, Sessionize}
+
+/** Invariant checks over seeded random inputs — properties the oracle
+  * twins cannot express row-by-row.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+  private val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private val history = Seq.tabulate(400) { i =>
+    val bk = s"S${rnd.nextInt(12)}"
+    val ts = new Timestamp(base + rnd.nextInt(40) * 86400000L + rnd.nextInt(86400000))
+    val attr = s"V${rnd.nextInt(4)}"
+    (bk, ts, i.toLong, attr)
+  }.toDF("bk", "ts", "event_id", "attr")
+
+  test("scd2 invariants: disjoint covering intervals, one current, change-only versions") {
+    val dim = Scd2.fromHistory(history, "bk", "ts", Seq("event_id"), Seq("attr"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDate(2), Option(r.getDate(3)), r.getBoolean(4)))
+      .groupBy(_._1)
+    assert(dim.nonEmpty)
+    dim.foreach { case (bk, versions) =>
+      val sorted = versions.sortBy(_._3.getTime)
+      // exactly one open (current) version, and it is the last
+      assert(sorted.count(_._5) == 1, s"$bk: exactly one is_current")
+      assert(sorted.last._5 && sorted.last._4.isEmpty)
+      // adjacent versions: valid_to = next valid_from - 1 day, no gaps/overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.isDefined, s"$bk: only the last version may be open")
+          assert(a._4.get.getTime == b._3.getTime - 86400000L,
+            s"$bk: contiguous validity chain")
+          assert(a._2 != b._2, s"$bk: consecutive versions must differ in attrs")
+        case _ =>
+      }
+    }
+  }
+
+  test("sessionize invariants: partition of events, intra-gap bounded, inter-gap exceeded") {
+    val gapSec = 3600L
+    val events = Seq.tabulate(500) { i =>
+      (rnd.nextInt(8).toLong,
+        new Timestamp(base + rnd.nextInt(5) * 86400000L + rnd.nextInt(86400000)),
+        i.toLong, 1.0)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val sessions = Sessionize.byGap(events, "user_id", "ts", "event_id", "value", gapSec)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+    // counts partition the input
+    assert(sessions.map(_._5).sum == events.count())
+    sessions.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // ordinals are dense 1..n
+      assert(sorted.map(_._2).toSeq == (1L to ss.length).toSeq)
+      sorted.foreach(s => assert(!s._3.after(s._4)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b._3.getTime - a._4.getTime
+          assert(gapMs > gapSec * 1000, "consecutive sessions separated by more than the gap")
+        case _ =>
+      }
+    }
+  }
+}
