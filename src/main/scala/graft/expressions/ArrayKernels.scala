@@ -17,16 +17,24 @@ import org.apache.spark.sql.types._
   */
 object ArrayKernels {
 
-  /** MinHash kernel: one xxhash64 per element TOTAL, then the affine
+  /** MinHash kernel: one base hash per element TOTAL, then the affine
     * family (a_i·h + b_i) mod p per slot, tracking slot minimums.
+    * `strings = false` accepts pre-hashed 64-bit elements (xxhash64 of
+    * the shingle), producing identical signatures to the string path —
+    * callers that also need the hashed set for verification then build
+    * the shingle array exactly once.
     */
-  def minhash(arr: ArrayData, a: Array[Long], b: Array[Long], prime: Long): ArrayData = {
+  def minhash(arr: ArrayData, a: Array[Long], b: Array[Long], prime: Long,
+              strings: Boolean): ArrayData = {
     val k = a.length
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = java.lang.Math.floorMod(XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), prime)
+      val raw =
+        if (strings) XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        else arr.getLong(i)
+      val h = java.lang.Math.floorMod(raw, prime)
       var j = 0
       while (j < k) {
         val v = java.lang.Math.floorMod(a(j) * h + b(j), prime)
@@ -137,14 +145,22 @@ case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
     (a, b)
   }
 
+  @transient private lazy val stringInput: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig expects array<string> or array<bigint>, got $other")
+  }
+
   override protected def nullSafeEval(input: Any): Any =
-    ArrayKernels.minhash(input.asInstanceOf[ArrayData], coefA, coefB, MinHashSigExpr.Prime)
+    ArrayKernels.minhash(input.asInstanceOf[ArrayData], coefA, coefB,
+      MinHashSigExpr.Prime, stringInput)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
     val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.ArrayKernels.minhash($c, $aRef, $bRef, ${MinHashSigExpr.Prime}L);")
+      s"${ev.value} = graft.expressions.ArrayKernels.minhash($c, $aRef, $bRef, ${MinHashSigExpr.Prime}L, $stringInput);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

@@ -103,11 +103,14 @@ object TextDedup {
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    // The signature runs as a native kernel expression (one tight JVM
-    // loop per row, codegen'd); graft.operators spec asserts it agrees
-    // slot-for-slot with the declarative minhashSignature column.
+    // The shingle set is built ONCE, as 64-bit hashes: the signature
+    // kernel consumes the hashed array directly (identical signatures
+    // to the string path — spec-pinned), the verify joins shuffle
+    // 8-byte elements instead of n-token strings, and set intersection
+    // compares longs.
     val docs = df.select(col(idCol).as("doc_id"),
-        TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
+        transform(TextOps.shingles(TextOps.tokens(col(textCol)), n),
+          s => xxhash64(s)).as("shs"))
       .withColumn("sig", Kernels.minhashSig(col("shs"), numHashes))
     // Band structs via a Scala-side loop: `sig` is referenced `bands`
     // times, keeping it a materialized attribute (see shingleHashes).

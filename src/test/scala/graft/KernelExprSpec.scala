@@ -19,10 +19,12 @@ class KernelExprSpec extends SparkSpec {
     val shs = TextOps.shingles(TextOps.tokens($"text"), 3)
     val both = docs.select(
       Kernels.minhashSig(shs, 32).as("kern"),
-      TextDedup.minhashSignature(TextDedup.shingleHashes(shs), 32).as("decl"))
+      TextDedup.minhashSignature(TextDedup.shingleHashes(shs), 32).as("decl"),
+      Kernels.minhashSig(transform(shs, s => xxhash64(s)), 32).as("kern_hashed"))
       .collect()
     both.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2)) // pre-hashed input path
     }
   }
 
