@@ -93,19 +93,35 @@ object SparkEntry {
       .select("event_id", "user_id", "event_dt", "segment", "valid_from", "is_current")
   }
 
+  /** The staged (cleansed, gated, cash-excluded) fact input. */
+  private def stagedEvents(spark: SparkSession, dir: String): DataFrame =
+    QualityGate.valid(cleanseEvents(spark, dir), eventRules)
+      .filter(col("user_id").isNotNull)
+
+  private val factGrain = Seq("user_id", "date_sk", "time_30m_sk", "event_type_norm")
+
+  /** Idempotent merge on the fact grain (reference: load_gold.py MERGE
+    * WHEN NOT MATCHED): an "existing" load of the early events plus an
+    * incoming full reload — re-loaded grains must not duplicate.
+    */
+  private def mergeGrain(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEvents(spark, dir)
+    val existing = Dedup.latestByGrain(staged.filter(col("event_id") < 5000),
+      grain = factGrain, order = Seq("event_id"))
+    val incoming = Dedup.latestByGrain(staged, grain = factGrain, order = Seq("event_id"))
+    Merge.appendNewGrains(existing, incoming, factGrain)
+  }
+
   /** Full star fact build: cleanse -> quality gate -> cash-row
     * exclusion -> grain dedup -> SK resolution via LEFT JOIN to the
     * lookup dim -> as-of join to the SCD2 user dim
     * (reference: src/gold/load_gold.py:1119-1180).
     */
   private def fctStar(spark: SparkSession, dir: String): DataFrame = {
-    val cleansed = cleanseEvents(spark, dir)
-    val staged = QualityGate.valid(cleansed, eventRules)
-      .filter(col("user_id").isNotNull) // cash rows (null BK) excluded
-    val deduped = Dedup.latestByGrain(staged,
-      grain = Seq("user_id", "date_sk", "time_30m_sk", "event_type_norm"),
-      order = Seq("event_id"))
-    val dimEtype = Dims.lookupDim(cleansed, "event_type_norm", "event_type_sk", "event_type_name")
+    val deduped = Dedup.latestByGrain(stagedEvents(spark, dir),
+      grain = factGrain, order = Seq("event_id"))
+    val dimEtype = Dims.lookupDim(cleanseEvents(spark, dir),
+      "event_type_norm", "event_type_sk", "event_type_name")
     val dimUser = scd2User(spark, dir)
       .withColumnRenamed("user_id", "bk_user_id")
       .withColumnRenamed("event_type", "segment")
@@ -336,6 +352,8 @@ object SparkEntry {
 
     "gold_fct_star" -> fctStar _,
 
+    "gold_merge_grain" -> mergeGrain _,
+
     "svc_overview" -> svcOverview _,
 
     "svc_demand_by_day_type" -> svcDemandByDayType _,
@@ -473,6 +491,27 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "gold_merge_grain" ->
+      s"""WITH staged AS (
+         |  SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()})
+         |  WHERE reason_code IS NULL AND user_id IS NOT NULL),
+         |ded AS (
+         |  SELECT * EXCLUDE (rn) FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY user_id, date_sk, time_30m_sk, event_type_norm
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM staged) WHERE rn = 1),
+         |ded_old AS (
+         |  SELECT * EXCLUDE (rn) FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY user_id, date_sk, time_30m_sk, event_type_norm
+         |      ORDER BY event_id DESC) AS rn
+         |    FROM staged WHERE event_id < 5000) WHERE rn = 1)
+         |SELECT * FROM ded_old
+         |UNION ALL
+         |SELECT d.* FROM ded d ANTI JOIN ded_old o
+         |  USING (user_id, date_sk, time_30m_sk, event_type_norm)""".stripMargin,
 
     "gold_scd2_build" -> scd2UserSql,
 

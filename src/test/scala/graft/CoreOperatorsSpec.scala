@@ -152,6 +152,17 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(rep == df.count())
   }
 
+  test("merge appendNewGrains: existing wins, new grains append, idempotent") {
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    val incoming = Seq((1L, "a", 99.0), (3L, "c", 30.0)).toDF("k", "g", "v")
+    val merged = Merge.appendNewGrains(existing, incoming, Seq("k", "g"))
+    val got = merged.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))) // 1 keeps old value
+    // idempotent: merging the same incoming again changes nothing
+    val again = Merge.appendNewGrains(merged, incoming, Seq("k", "g"))
+    assert(again.count() == 3)
+  }
+
   test("driver contract: entry returns rows; registries aligned") {
     assert(SparkEntry.entry(spark).count() > 0)
     val q = SparkEntry.queries.keySet
