@@ -257,6 +257,7 @@ object SparkEntry {
       size(toks).as("n_tokens"),
       (aggregate(toks, lit(0), (a, x) => a + length(x)) / greatest(size(toks), lit(1)))
         .as("avg_token_len"),
+      TextOps.bpeTokenCount(txt).as("n_tokens_bpe"),
       (TextOps.punctCount(txt) / greatest(length(txt), lit(1))).as("punct_ratio"),
       (TextOps.stopwordCountEn(toks) / greatest(size(toks), lit(1))).as("stopword_ratio"))
       .withColumn("quality_score",
@@ -650,13 +651,14 @@ object SparkEntry {
            |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin,
 
       "text_stats" ->
-        s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+        s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, n_tokens_bpe, punct_ratio, stopword_ratio,
            |  least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio * 0.5) * (1.0 - punct_ratio) AS quality_score
            |FROM (
            |  SELECT doc_id,
            |    length(text) AS n_chars_calc,
            |    len(t) AS n_tokens,
            |    list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len,
+           |    len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS n_tokens_bpe,
            |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
            |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio
            |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin,

@@ -31,6 +31,16 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
 
+  /** BPE-ish subword token estimate: alpha runs, digit runs, and any
+    * other non-space character each count as one token — the classic
+    * pre-tokenizer shape, far closer to an LLM tokenizer's count than
+    * whitespace splitting. Same pattern runs under Java regex and RE2.
+    */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   private val EnStop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
   private val DeStop = Seq("der", "die", "und", "das", "ist", "ein", "zu", "den")
   private val EsStop = Seq("el", "la", "de", "que", "y", "en", "un", "los")

@@ -31,6 +31,25 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type_norm"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup on the event key: late re-deliveries inside
+    * the watermark are dropped with bounded state
+    * (`dropDuplicatesWithinWatermark` — state expires with the
+    * watermark instead of growing forever like `dropDuplicates`).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static dimension enrichment: the static side is a lookup
+    * dim, broadcast per micro-batch — the streaming twin of the star
+    * fact's SK-resolution LEFT JOINs.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
 
   final case class SessionState(

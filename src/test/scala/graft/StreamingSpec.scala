@@ -76,6 +76,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("streaming dedup drops in-watermark re-deliveries with bounded state") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF.toDF("event_id", "ts", "payload")
+    val q = StreamOps.dedupStream(df, Seq("event_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
+    in.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:00:30"), "a-dup"),
+      (2L, ts("2024-01-01 10:01:00"), "b")))
+    q.processAllAvailable()
+    in.addData(Seq((1L, ts("2024-01-01 10:02:00"), "a-dup2"),
+      (3L, ts("2024-01-01 10:03:00"), "c")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_s").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static broadcast enrichment resolves dimension attributes") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq(("click", 1), ("view", 2)).toDF("name", "sk")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF.toDF("event_id", "ts", "event_type")
+    val q = StreamOps.enrichWithDim(df, dim, "event_type", "name")
+      .select("event_id", "sk")
+      .writeStream.format("memory").queryName("enrich_s").outputMode("append").start()
+    in.addData(Seq((1L, ts("2024-01-01 10:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:10"), "unknown")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_s").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map(1L -> Some(1), 2L -> None))
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
