@@ -93,6 +93,22 @@ object SparkEntry {
       .select("event_id", "user_id", "event_dt", "segment", "valid_from", "is_current")
   }
 
+  /** Same resolution as [[asofEvents]] through the union+merge-scan
+    * fallback (one shuffle, no per-key pair materialization) — the
+    * large-both-sides path; must produce identical rows, so it shares
+    * the gold_asof_join oracle.
+    */
+  private def asofEventsMergeScan(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2User(spark, dir)
+      .withColumnRenamed("user_id", "bk_user_id")
+      .withColumnRenamed("event_type", "segment")
+      .select("bk_user_id", "segment", "valid_from", "valid_to", "is_current")
+    val fact = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_dt"))
+    AsOfJoin.mergeScan(fact, dim, "user_id", "bk_user_id", col("event_dt"))
+      .select("event_id", "user_id", "event_dt", "segment", "valid_from", "is_current")
+  }
+
   /** The staged (cleansed, gated, cash-excluded) fact input. */
   private def stagedEvents(spark: SparkSession, dir: String): DataFrame =
     QualityGate.valid(cleanseEvents(spark, dir), eventRules)
@@ -351,6 +367,8 @@ object SparkEntry {
 
     "gold_asof_join" -> asofEvents _,
 
+    "gold_asof_merge_scan" -> asofEventsMergeScan _,
+
     "gold_fct_star" -> fctStar _,
 
     "gold_merge_grain" -> mergeGrain _,
@@ -517,6 +535,15 @@ object SparkEntry {
     "gold_scd2_build" -> scd2UserSql,
 
     "gold_asof_join" ->
+      s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,
+         |  d.event_type AS segment, d.valid_from, d.is_current
+         |FROM events e LEFT JOIN ($scd2UserSql) d
+         |  ON d.user_id = e.user_id
+         | AND d.valid_from <= CAST(e.ts AS DATE)
+         | AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) <= d.valid_to)""".stripMargin,
+
+    // Identical semantics through the merge-scan physical path.
+    "gold_asof_merge_scan" ->
       s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,
          |  d.event_type AS segment, d.valid_from, d.is_current
          |FROM events e LEFT JOIN ($scd2UserSql) d

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (temporal validity) join of facts to SCD2 dimension versions.
@@ -36,5 +37,47 @@ object AsOfJoin {
       d("valid_from") <= eventDate &&
       (d("valid_to").isNull || eventDate <= d("valid_to"))
     fact.join(d, cond, joinType)
+  }
+
+  /** Large-both-sides fallback: union + merge-scan instead of a join.
+    *
+    * A sort-merge join on the key with the interval as residual
+    * materializes |versions| × |facts| intermediate pairs per key; for
+    * version-heavy keys that blows up. Here dim version-starts and
+    * fact rows are unioned, sorted once per key by (date, dim-first),
+    * and a running `last(_, ignoreNulls)` window resolves each fact
+    * row to the most recent version at its date — ONE shuffle, zero
+    * pair materialization, any fan-in.
+    *
+    * Requires the dim to be a contiguous SCD2 chain per key (each
+    * version valid until the next starts — what [[graft.operators.Scd2]]
+    * produces); with gaps in the chain, use [[apply]], which checks
+    * `valid_to` explicitly.
+    *
+    * Output schema matches [[apply]] with `joinType = "left"`:
+    * fact columns then dim payload columns (null when uncovered).
+    */
+  def mergeScan(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                eventDate: Column, dimOrderCol: String = "valid_from"): DataFrame = {
+    val payload = dim.columns.filterNot(_ == dimKey).toSeq
+    val factExtra = fact.columns.filterNot(_ == factKey).toSeq
+    val d = TempCol("d", fact)
+    val tag = TempCol("tag", fact)
+    val dimSide = dim.select(
+      Seq(col(dimKey).as(factKey), col(dimOrderCol).as(d), lit(0).as(tag)) ++
+        factExtra.map(c => lit(null).cast(fact.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val factSide = fact.select(
+      Seq(col(factKey), eventDate.as(d), lit(1).as(tag)) ++
+        factExtra.map(col) ++
+        payload.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(factKey)).orderBy(col(d), col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    factSide.unionByName(dimSide)
+      .select(
+        Seq(col(factKey), col(d), col(tag)) ++ factExtra.map(col) ++
+          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col(tag) === 1)
+      .drop(d, tag)
   }
 }

@@ -89,6 +89,27 @@ class CoreOperatorsSpec extends SparkSpec {
       Seq((1L, Some("BUS")), (2L, Some("BUS")), (3L, Some("METRO")), (4L, None)))
   }
 
+  test("as-of merge-scan fallback matches the interval join on contiguous chains") {
+    val dim = Seq(
+      ("S1", "BUS", Date.valueOf("2024-01-01"), Option(Date.valueOf("2024-01-04")), false),
+      ("S1", "METRO", Date.valueOf("2024-01-05"), Option.empty[Date], true),
+      ("S2", "ZP", Date.valueOf("2024-01-03"), Option.empty[Date], true))
+      .toDF("stop", "mode", "valid_from", "valid_to", "is_current")
+    val fact = Seq(
+      (1L, "S1", Date.valueOf("2024-01-02")),
+      (2L, "S1", Date.valueOf("2024-01-05")),
+      (3L, "S2", Date.valueOf("2024-01-01")), // before first version -> null
+      (4L, "SX", Date.valueOf("2024-01-07")))
+      .toDF("fid", "stop_code", "d")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"fid", $"mode", $"valid_from").orderBy("fid").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getDate(2)))).toSeq
+    val viaJoin = norm(AsOfJoin(fact, dim, "stop_code", "stop", col("d")))
+    val viaScan = norm(AsOfJoin.mergeScan(fact, dim, "stop_code", "stop", col("d")))
+    assert(viaScan == viaJoin)
+    assert(viaScan(2)._2.isEmpty) // fid 3 uncovered
+  }
+
   test("dedup latestByGrain keeps one deterministic row per grain") {
     val df = Seq(
       (1L, "a", Timestamp.valueOf("2024-01-01 10:00:00"), 10L),
