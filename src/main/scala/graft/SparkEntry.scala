@@ -79,6 +79,20 @@ object SparkEntry {
     Scd2.fromHistory(t(spark, dir, "events"),
       bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("event_type"))
 
+  /** Incremental SCD2 load: dim built from the first half of the
+    * month, then a batch of the rest merged with expire-and-insert
+    * semantics (reference: load_gold.py:295-439). Must equal the
+    * full-history rebuild, so it shares gold_scd2_build's oracle.
+    */
+  private def scd2UserIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cutoff = to_timestamp(lit("2024-01-16 00:00:00"))
+    val existing = Scd2.fromHistory(ev.filter(col("ts") < cutoff),
+      bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("event_type"))
+    Scd2.applyChanges(existing, ev.filter(col("ts") >= cutoff),
+      bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("event_type"))
+  }
+
   /** As-of resolution of every event to its covering SCD2 user version
     * (reference: src/gold/load_gold.py:1144-1154).
     */
@@ -365,6 +379,8 @@ object SparkEntry {
 
     "gold_scd2_build" -> scd2User _,
 
+    "gold_scd2_incremental" -> scd2UserIncremental _,
+
     "gold_asof_join" -> asofEvents _,
 
     "gold_asof_merge_scan" -> asofEventsMergeScan _,
@@ -533,6 +549,9 @@ object SparkEntry {
          |  USING (user_id, date_sk, time_30m_sk, event_type_norm)""".stripMargin,
 
     "gold_scd2_build" -> scd2UserSql,
+
+    // The incremental load must reproduce the full rebuild exactly.
+    "gold_scd2_incremental" -> scd2UserSql,
 
     "gold_asof_join" ->
       s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,

@@ -81,4 +81,35 @@ object Scd2 {
       .withColumn("row_hash", rowHash(attrs))
       .select((bk +: attrs ++: Seq("valid_from", "valid_to", "is_current", "row_hash")).map(col): _*)
   }
+
+  /** Incremental maintenance: merge a batch of new observations into
+    * an existing SCD2 dimension — the reference's expire-and-insert
+    * load (load_gold.py:295-439), as a distributed operation.
+    *
+    * Untouched business keys pass through untouched (no rewrite); for
+    * keys present in the batch, the key's version chain is
+    * reconstituted into per-day observations (each version's
+    * valid_from at midnight), unioned with the new observations, and
+    * rebuilt with [[fromHistory]] — change-only versions, contiguous
+    * validity, one current row, exactly as a full-history rebuild
+    * would produce. Shuffles scale with the AFFECTED keys only.
+    *
+    * @param existing SCD2 dim as produced by [[fromHistory]]
+    * @param newObs   observation batch: bk, ts, tieBreak and attr cols
+    */
+  def applyChanges(existing: DataFrame, newObs: DataFrame, bk: String, ts: String,
+                   tieBreak: Seq[String], attrs: Seq[String]): DataFrame = {
+    val affectedKeys = newObs.select(col(bk)).distinct()
+    val untouched = existing.join(affectedKeys, Seq(bk), "left_anti")
+    // Versions back to observations: valid_from at midnight ranks below
+    // any same-day new observation's timestamp only via the tie-break,
+    // so re-observing a day keeps latest-wins semantics.
+    val versionObs = existing.join(affectedKeys, Seq(bk), "left_semi")
+      .select(Seq(col(bk), col("valid_from").cast("timestamp").as(ts)) ++
+        tieBreak.map(c => lit(null).cast(newObs.schema(c).dataType).as(c)) ++
+        attrs.map(col): _*)
+    val batchObs = newObs.select((Seq(bk, ts) ++ tieBreak ++ attrs).map(col): _*)
+    val rebuilt = fromHistory(versionObs.unionByName(batchObs), bk, ts, tieBreak, attrs)
+    untouched.unionByName(rebuilt)
+  }
 }

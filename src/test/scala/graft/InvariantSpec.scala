@@ -45,6 +45,20 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("scd2 incremental applyChanges == full-history rebuild for day-ordered batches") {
+    val cutoff = Timestamp.valueOf("2024-03-21 00:00:00")
+    val first = history.filter($"ts" < lit(cutoff))
+    val second = history.filter($"ts" >= lit(cutoff))
+    assert(first.count() > 0 && second.count() > 0)
+    val dim1 = Scd2.fromHistory(first, "bk", "ts", Seq("event_id"), Seq("attr"))
+    val incremental = Scd2.applyChanges(dim1, second, "bk", "ts", Seq("event_id"), Seq("attr"))
+    val full = Scd2.fromHistory(history, "bk", "ts", Seq("event_id"), Seq("attr"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4), r.getString(5))).toSet
+    assert(norm(incremental) == norm(full))
+  }
+
   test("sessionize invariants: partition of events, intra-gap bounded, inter-gap exceeded") {
     val gapSec = 3600L
     val events = Seq.tabulate(500) { i =>
