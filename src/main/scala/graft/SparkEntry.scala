@@ -425,6 +425,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
+      Ann.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
+
     "stream_events_30m" -> ((s: SparkSession, d: String) =>
       t(s, d, "events").groupBy(
           Temporal.windowStart(col("ts"), 1800).as("window_start"),

@@ -64,6 +64,46 @@ object Ann {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the centroid-bucket
+    * alternative to [[lshTopK]]. Centroids are a deterministic sample
+    * of the corpus (every `corpus/nCentroids`-th vec_id — no k-means
+    * iterations, which keeps the plan fully deterministic); every
+    * vector is assigned to its nearest centroid (broadcast centroid
+    * set, one corpus pass), queries probe their `nProbe` nearest
+    * centroid cells, and exact cosine ranks within the probed cells.
+    * Shuffle is proportional to the probed-cell population, never the
+    * corpus × queries cross product.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4, sampleStride: Long = 31L): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    // Deterministic centroid sample: every sampleStride-th id, lowest
+    // ids first (TakeOrdered — no driver count, no unordered limit).
+    // Pick sampleStride ≈ corpus/nCentroids for balanced cells.
+    val centroids = base.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+      .orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // nearest-centroid assignment: one pass, centroid set broadcast
+    def cellRank = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__graft_csim").desc, col("c_id"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("__graft_csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("__graft_crank", row_number().over(cellRank))
+    val cells = assigned.filter(col("__graft_crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val probes = assigned.filter(col("vec_id") < nQueries && col("__graft_crank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val qv = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qv), "q_id")
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus:
     * LSH-bucketed self-join (the all-pairs twin of [[lshTopK]]) — the
     * only pairs scored are those sharing a bucket in some table, so

@@ -61,6 +61,22 @@ class AnnSpec extends SparkSpec {
     assert(sims.forall(_ >= 0.95))
   }
 
+  test("ivf top-k probes the right cells and ranks exactly within them") {
+    // stride 1 -> every vector a centroid candidate, lowest 4 kept;
+    // probing all 4 cells makes IVF exhaustive = brute force.
+    val exact = Ann.cosineTopK(vecs, "vec_id", "embedding", 2, 3)
+      .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val ivfAll = Ann.ivfTopK(vecs, "vec_id", "embedding", 2, 3,
+        nCentroids = 4, nProbe = 4, sampleStride = 1)
+      .select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll == exact)
+    // narrow probing still finds the dominant neighbour
+    val ivf1 = Ann.ivfTopK(vecs, "vec_id", "embedding", 2, 1,
+        nCentroids = 4, nProbe = 2, sampleStride = 1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf1(0L) == 2L)
+  }
+
   test("lsh candidate generation is deterministic across runs") {
     def run() = Ann.lshTopK(vecs, "vec_id", "embedding", 2, 3, tables = 4, planes = 2, dim = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
