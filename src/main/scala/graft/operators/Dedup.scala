@@ -34,4 +34,27 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(contentCol)
+
+  /** Skew-hardened [[latestByGrain]]: hot grains (one key holding a
+    * large share of the data) overload the single task a plain window
+    * sends them to — AQE skew handling covers joins, not windows. Here
+    * a first rank runs within (grain, salt-of-order-columns) so a hot
+    * grain spreads over `salt` tasks, each keeping one candidate; the
+    * second rank sees at most `salt` rows per grain. Identical output
+    * to [[latestByGrain]] for any input.
+    */
+  def latestByGrainSalted(df: DataFrame, grain: Seq[String], order: Seq[String],
+                          salt: Int = 64): DataFrame = {
+    val rn = TempCol("rn", df)
+    val saltCol = pmod(xxhash64(order.map(col): _*), lit(salt))
+    val local = Window.partitionBy(grain.map(col) :+ saltCol: _*)
+      .orderBy(order.map(col(_).desc): _*)
+    val global = Window.partitionBy(grain.map(col): _*)
+      .orderBy(order.map(col(_).desc): _*)
+    df.withColumn(rn, row_number().over(local))
+      .filter(col(rn) === 1)
+      .withColumn(rn, row_number().over(global))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
 }

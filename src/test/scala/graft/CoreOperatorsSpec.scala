@@ -150,6 +150,31 @@ class CoreOperatorsSpec extends SparkSpec {
       Seq((1, "A"), (2, "B"), (3, "C")))
   }
 
+  test("salted latestByGrain equals the plain window on a hot-key distribution") {
+    val rnd = new scala.util.Random(7)
+    // one hot grain holding ~80% of rows plus a long tail
+    val rows = Seq.tabulate(2000) { i =>
+      val uid = if (rnd.nextInt(10) < 8) 1L else 1L + rnd.nextInt(50)
+      (uid, s"t${rnd.nextInt(3)}", Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong)
+    }
+    val df = rows.toDF("uid", "etype", "ts", "event_id")
+      .withColumn("ts", $"ts" + expr("make_interval(0, 0, 0, 0, 0, 0, event_id)"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids(Dedup.latestByGrainSalted(df, Seq("uid", "etype"), Seq("ts", "event_id"))) ==
+      ids(Dedup.latestByGrain(df, Seq("uid", "etype"), Seq("ts", "event_id"))))
+  }
+
+  test("excel day-fraction helpers: slot and HH:MM:00 conversion") {
+    val r = Seq((0.0, 0.5, 0.999), (0.25, 0.75, 0.5)).toDF("a", "b", "c")
+      .select(Temporal.excelFractionTo30mSk($"a").as("s0"),
+        Temporal.excelFractionTo30mSk($"b").as("s1"),
+        Temporal.excelFractionToTime($"b").as("t1"),
+        Temporal.excelFractionToTime($"c").as("t2")).head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 24)
+    assert(r.getString(2) == "12:00:00" && r.getString(3) == "23:58:00")
+  }
+
   test("exactByKey collapses duplicate content to one survivor + count") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "content")
     val got = Dedup.exactByKey(df, "content", "id")
