@@ -21,9 +21,8 @@ object StreamOps {
     * `stream_events_30m` batch query — same grain as the reference's
     * fct_boardings_30m, reference: src/gold/load_gold.py:1518+).
     */
-  def events30m(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+  def events30m(events: DataFrame, watermark: Option[String] = Some("1 hour")): DataFrame =
+    withWatermarkOpt(events, watermark)
       .groupBy(window(col("ts"), "30 minutes").as("w"),
         upper(trim(col("event_type"))).as("event_type_norm"))
       .agg(count(lit(1)).as("n_events"),
@@ -31,14 +30,21 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type_norm"),
         col("n_events"), col("value_sum"))
 
+  /** Spark disallows redefining a watermark between stateful operators
+    * in one chain, so every operator takes `Some(delay)` to define it
+    * or `None` to inherit the upstream definition when composed.
+    */
+  private def withWatermarkOpt(events: DataFrame, watermark: Option[String]): DataFrame =
+    watermark.fold(events)(events.withWatermark("ts", _))
+
   /** Streaming exact dedup on the event key: late re-deliveries inside
     * the watermark are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` — state expires with the
     * watermark instead of growing forever like `dropDuplicates`).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-                  watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
+                  watermark: Option[String] = Some("1 hour")): DataFrame =
+    withWatermarkOpt(events, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static dimension enrichment: the static side is a lookup

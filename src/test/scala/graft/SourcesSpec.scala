@@ -40,6 +40,19 @@ class SourcesSpec extends SparkSpec {
     assert(quality.contains("\"rows_written\": 3") && quality.contains("\"n_quarantined\": 0"))
   }
 
+  test("medallion layout prunes partitions: a month filter scans only its directory") {
+    val root = Files.createTempDirectory("graft_prune").toString
+    val df = Seq.tabulate(100)(i => (i.toLong, 2024, 1 + i % 4, s"p$i"))
+      .toDF("id", "year", "month", "payload")
+    MedallionSink.write(df, root, "ev", Seq("year", "month"))
+    val pruned = spark.read.parquet(s"$root/dataset=ev").filter($"month" === 2)
+    assert(pruned.count() == 25)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    // partition filter on month, and no pushed data filter needed for it
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("month"))
+  }
+
   test("multimodal: stub decode over binary columns, batched per partition") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array[Byte](3, 4, 100), "img"),

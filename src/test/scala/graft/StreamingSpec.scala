@@ -25,7 +25,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
     val df = in.toDF.toDF("event_id", "ts", "event_type", "value")
-    val q = StreamOps.events30m(df, watermark = "0 seconds")
+    val q = StreamOps.events30m(df, watermark = Some("0 seconds"))
       .writeStream.format("memory").queryName("s30m").outputMode("append").start()
     in.addData(events)
     q.processAllAvailable()
@@ -80,7 +80,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
     val df = in.toDF.toDF("event_id", "ts", "payload")
-    val q = StreamOps.dedupStream(df, Seq("event_id"), watermark = "10 minutes")
+    val q = StreamOps.dedupStream(df, Seq("event_id"), watermark = Some("10 minutes"))
       .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
     in.addData(Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),
@@ -110,6 +110,39 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("enrich_s").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     assert(got == Map(1L -> Some(1), 2L -> None))
+  }
+
+  test("streaming medallion pipeline: dedup -> dim enrichment -> 30m window = batch result") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq(("CLICK", 1), ("VIEW", 2)).toDF("name", "sk")
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = in.toDF.toDF("event_id", "ts", "event_type", "value")
+    // one watermark definition governs the whole chain (Spark forbids
+    // redefining it between stateful operators)
+    val piped = StreamOps.events30m(
+      StreamOps.enrichWithDim(
+        StreamOps.dedupStream(stream, Seq("event_id"), watermark = Some("0 seconds")),
+        dim.withColumnRenamed("name", "etype_name"), "event_type", "etype_name")
+        .drop("etype_name", "sk"),
+      watermark = None)
+    val q = piped.writeStream.format("memory").queryName("pipe30m")
+      .outputMode("append").start()
+    in.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:00:05"), "click", 1.0),   // duplicate delivery
+      (2L, ts("2024-01-01 10:10:00"), "view", 2.0),
+      (3L, ts("2024-01-01 10:40:00"), "click", 4.0)))
+    q.processAllAvailable()
+    in.addData(Seq((9L, ts("2024-01-02 00:00:00"), "click", 0.0))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pipe30m")
+      .filter($"window_start" < ts("2024-01-01 11:00:00"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), "CLICK", 1L, 1.0),
+      (ts("2024-01-01 10:00:00"), "VIEW", 1L, 2.0),
+      (ts("2024-01-01 10:30:00"), "CLICK", 1L, 4.0)))
   }
 
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
