@@ -23,20 +23,25 @@ object Serving {
       hourFrom: Option[Int] = None,
       hourTo: Option[Int] = None)
 
-  /** AND of all active clauses; `lit(true)` when no filter is set. */
+  /** AND of all active clauses; `lit(true)` when no filter is set.
+    * The reference filters hours as `FLOOR(time_30m_sk / 2) >= h`
+    * (query_service.py:100-106); since slots are non-negative ints,
+    * `floor(slot/2) >= h ⟺ slot >= 2h` and `floor(slot/2) <= h ⟺
+    * slot <= 2h+1` — the range form selects identical rows but is a
+    * sargable comparison on the stored column (pushable, no division).
+    */
   def predicate(f: Filters,
                 dateCol: String = "date_sk",
                 dayCol: String = "tipo_dia",
                 modeCol: String = "event_type_norm",
                 slotCol: String = "time_30m_sk"): Column = {
-    val hourOf = floor(col(slotCol) / 2)
     val clauses: Seq[Column] =
       f.dateSkFrom.map(v => col(dateCol) >= v).toSeq ++
       f.dateSkTo.map(v => col(dateCol) <= v).toSeq ++
       (if (f.dayTypes.nonEmpty) Seq(col(dayCol).isin(f.dayTypes.map(_.toUpperCase): _*)) else Nil) ++
       (if (f.modes.nonEmpty) Seq(col(modeCol).isin(f.modes.map(_.toUpperCase): _*)) else Nil) ++
-      f.hourFrom.map(v => hourOf >= v).toSeq ++
-      f.hourTo.map(v => hourOf <= v).toSeq
+      f.hourFrom.map(v => col(slotCol) >= 2 * v).toSeq ++
+      f.hourTo.map(v => col(slotCol) <= 2 * v + 1).toSeq
     clauses.reduceOption(_ && _).getOrElse(lit(true))
   }
 
