@@ -16,6 +16,25 @@ import graft.functions.TextOps
   */
 object TextDedup {
 
+  /** Ordered candidate pairs (doc_a < doc_b) from a posting relation
+    * (key columns + doc_id): group each key's postings into a sorted
+    * list and explode its ordered pairs. One shuffle over the posting
+    * relation — a self-join would shuffle it twice (once per side) and
+    * hash-probe 8-byte keys to produce the same pairs. Singleton
+    * postings are dropped before pair generation (they cannot pair).
+    * The quadratic per-key work is the problem's output size; keys are
+    * the discriminative shingle/band buckets, bounded by construction.
+    */
+  private def postingPairs(postings: DataFrame, keyCols: Seq[String]): DataFrame =
+    postings.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), j ->
+          |  transform(slice(ids, 1, j), x ->
+          |    struct(x AS doc_a, element_at(ids, j + 1) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+
   /** Exact dedup: one surviving row (smallest id) per distinct content
     * value, plus the duplicate count. Grouping key is the sha-256
     * digest so the shuffle sorts/compares 32-byte keys instead of
@@ -46,6 +65,10 @@ object TextDedup {
     // the self-join shuffles and compares 8-byte keys instead of
     // n-token text (xxhash64 collisions are ~|shingle vocabulary|²/2^65
     // — negligible against the exact-count semantics).
+    // Pair generation via hash self-join: shingle posting lists are
+    // short and numerous, where the join's codegen'd probe beats the
+    // grouped-list explode (the opposite holds for band buckets — see
+    // postingPairs in minhashLsh).
     val sh = docs.select(col("doc_id"),
       explode(transform(col("shs"), s => xxhash64(s))).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("shs")).as("n_sh"))
@@ -119,10 +142,8 @@ object TextDedup {
         hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)
     val banded = docs.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = postingPairs(banded, Seq("band_id", "bucket"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
