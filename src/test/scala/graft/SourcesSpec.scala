@@ -40,6 +40,27 @@ class SourcesSpec extends SparkSpec {
     assert(quality.contains("\"rows_written\": 3") && quality.contains("\"n_quarantined\": 0"))
   }
 
+  test("bronze -> silver chain: csv varchar source + try_cast coercion") {
+    val dir = Files.createTempDirectory("graft_bronze")
+    val f = dir.resolve("feed.csv")
+    Files.writeString(f,
+      "1|2024-01-05 10:30:00|12.5|yes\n" +
+        "2|not-a-date|oops|true\n" +
+        "3|2024-01-06 00:00:00||false\n")
+    val bronze = CsvVarchar.read(spark, f.toString,
+      Seq("id", "event_ts", "amount", "flag"))
+    val silver = graft.operators.TypedCoerce(bronze, Seq(
+      "id" -> "BIGINT", "event_ts" -> "TIMESTAMP",
+      "amount" -> "DOUBLE", "flag" -> "BOOLEAN"))
+    assert(silver.schema.map(_.dataType.typeName) ==
+      Seq("long", "timestamp", "double", "boolean"))
+    val rows = silver.orderBy("id").collect()
+    assert(rows(0).getDouble(2) == 12.5 && !rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // junk -> NULL, no failure
+    assert(rows(1).getBoolean(3))
+    assert(rows(2).isNullAt(2) && !rows(2).getBoolean(3))
+  }
+
   test("medallion layout prunes partitions: a month filter scans only its directory") {
     val root = Files.createTempDirectory("graft_prune").toString
     val df = Seq.tabulate(100)(i => (i.toLong, 2024, 1 + i % 4, s"p$i"))
