@@ -74,6 +74,19 @@ class SourcesSpec extends SparkSpec {
       planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("month"))
   }
 
+  test("parquet scans push filters and prune columns") {
+    val df = Tables(spark, sf, "lineitem")
+      .filter($"l_orderkey" === 42L)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("l_orderkey"), s"filter not pushed:\n$plan")
+    val readSchema = plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment"), s"columns not pruned: $readSchema")
+  }
+
   test("multimodal: stub decode over binary columns, batched per partition") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array[Byte](3, 4, 100), "img"),
