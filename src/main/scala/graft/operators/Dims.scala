@@ -69,7 +69,7 @@ object Dims {
       .filter(col(nameCol).isNotNull && col(nameCol) =!= "")
       .distinct()
       .sort(col(nameCol))
-    val numbered = distinctVals.rdd.zipWithIndex.map { case (r, i) =>
+    val numbered = distinctVals.rdd.zipWithIndex().map { case (r, i) =>
       Row((i + 1).toInt, r.getString(0))
     }
     spark.createDataFrame(numbered, StructType(Seq(
