@@ -37,6 +37,33 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: six-table star join with
+    * a selective region/date filter. Exercises Catalyst's join
+    * reordering and the broadcast chain — every dim side is below the
+    * broadcast threshold, so the fact tables are never shuffled for SK
+    * resolution (the §4 contract, on a classic analytical shape).
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   // ── A. Silver ─────────────────────────────────────────────────────
   /** Typed cleanse of the events feed: normalization, code-derived
     * day type, temporal surrogate keys, JSON prop extraction.
@@ -324,6 +351,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
 
+    "q5_local_supplier" -> q5LocalSupplier _,
+
     "silver_cleanse_events" -> cleanseEvents _,
 
     "silver_quality_valid" -> ((s: SparkSession, d: String) =>
@@ -462,6 +491,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     "silver_cleanse_events" -> cleanseEventsSql(""),
 
