@@ -663,8 +663,8 @@ object SparkEntry {
         |      LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_s
         |    FROM events)),
         |sess AS (
-        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM marked)
         |SELECT user_id, session_seq,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -13,6 +13,8 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -23,14 +25,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    # Type-faithful: fetch goes through pandas (like the driver), so a
+    # DuckDB HUGEINT surfaces as float64 and hashes differently from a
+    # BIGINT ("6.0" vs "6") — str() on raw fetchall() would mask that.
+    try:
+        if v is None or (not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v)):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
+        return repr(f)
     return str(v)
 
 
@@ -56,11 +65,13 @@ def main():
         if ONLY and name not in ONLY:
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
-            exp = con.execute(sql)
-            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+            got_df = con.execute(
+                f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')").df()
+            got_rows = list(got_df.itertuples(index=False, name=None))
+            got_cols = list(got_df.columns)
+            exp_df = con.execute(sql).df()
+            exp_rows = list(exp_df.itertuples(index=False, name=None))
+            exp_cols = list(exp_df.columns)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
