@@ -430,6 +430,29 @@ object SparkEntry {
 
     "svc_utm_to_wgs84" -> svcUtmToWgs84 _,
 
+    // ── gold analytics pack (docs/queries/01-05 twins) ──────────────
+    "ana_coverage_quartile" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.coverageQuartile(t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+
+    "ana_wait_percentiles" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.waitPercentiles(servingValid(s, d))),
+
+    "ana_user_segments" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.userSegments(servingValid(s, d))),
+
+    "ana_pct_of_total" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.pctOfTotal(t(s, d, "lineitem"))),
+
+    "ana_demand_pivot_30m" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.demandPivot30m(servingValid(s, d))),
+
+    "ana_daily_delta" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.dailyDelta(servingValid(s, d))),
+
+    "ana_od_matrix" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.odMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
+
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
@@ -642,7 +665,132 @@ object SparkEntry {
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
          |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
-  ) ++ servingOracleSql ++ textOracleSql ++ annOracleSql ++ streamingOracleSql
+  ) ++ servingOracleSql ++ analyticsOracleSql ++ textOracleSql ++ annOracleSql ++ streamingOracleSql
+
+  /** DuckDB twins of the gold analytics pack (reference:
+    * docs/queries/01-05). Shared determinism rules: averages are
+    * CAST(SUM(DECIMAL) AS DOUBLE)/COUNT (exact sum + one IEEE
+    * division), percentiles are exact quantile_cont, every window
+    * orders an aggregated frame with tie-break keys.
+    */
+  private def analyticsOracleSql: Map[String, String] = {
+    val validSql =
+      s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
+    def avgD(sumExpr: String, cntExpr: String, scale: Int): String =
+      s"ROUND(CAST(SUM($sumExpr) AS DOUBLE) / NULLIF($cntExpr, 0), $scale)"
+    Map(
+      "ana_coverage_quartile" ->
+        s"""WITH base AS (
+           |  SELECT n_name,
+           |    COUNT(DISTINCT c_custkey) AS num_clientes,
+           |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS ventas_total,
+           |    ${avgD("CAST(o_totalprice AS DECIMAL(18,2))", "COUNT(*)", 1)} AS ventas_por_orden
+           |  FROM orders
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  GROUP BY n_name),
+           |ranked AS (
+           |  SELECT *, NTILE(4) OVER (ORDER BY ventas_por_orden, n_name) AS cuartil_cobertura
+           |  FROM base)
+           |SELECT *,
+           |  CASE cuartil_cobertura
+           |    WHEN 1 THEN 'Sub-servida'
+           |    WHEN 2 THEN 'Baja cobertura'
+           |    WHEN 3 THEN 'Cobertura media'
+           |    ELSE 'Bien servida' END AS categoria
+           |FROM ranked""".stripMargin,
+
+      "ana_wait_percentiles" ->
+        s"""SELECT event_type_norm AS mode_code,
+           |  COUNT(*) AS validaciones,
+           |  ${avgD("CAST(value AS DECIMAL(18,2))", "COUNT(*)", 2)} AS espera_promedio_min,
+           |  ROUND(quantile_cont(value, 0.5), 2) AS espera_mediana_min,
+           |  ROUND(quantile_cont(value, 0.9), 2) AS espera_p90_min,
+           |  ${avgD("CASE WHEN tipo_dia = 'LABORAL' THEN CAST(value AS DECIMAL(18,2)) END",
+               "COUNT(CASE WHEN tipo_dia = 'LABORAL' THEN 1 END)", 2)} AS espera_laboral,
+           |  ${avgD("CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END",
+               "COUNT(CASE WHEN tipo_dia = 'DOMINGO' THEN 1 END)", 2)} AS espera_domingo
+           |FROM ($validSql)
+           |WHERE value IS NOT NULL AND value BETWEEN 0 AND 450
+           |GROUP BY event_type_norm""".stripMargin,
+
+      "ana_user_segments" ->
+        s"""WITH daily AS (
+           |  SELECT user_id, date_sk, COUNT(*) AS viajes_en_dia
+           |  FROM ($validSql)
+           |  WHERE tipo_dia = 'LABORAL' AND user_id IS NOT NULL
+           |  GROUP BY user_id, date_sk),
+           |per_user AS (
+           |  SELECT user_id,
+           |    ROUND(CAST(SUM(viajes_en_dia) AS DOUBLE) / COUNT(*), 2) AS viajes_x_dia_laboral,
+           |    COUNT(*) AS dias_con_actividad
+           |  FROM daily GROUP BY user_id
+           |  HAVING COUNT(*) >= 3),
+           |seg AS (
+           |  SELECT
+           |    CASE WHEN viajes_x_dia_laboral >= 6 THEN '>=6 (extremo cautivo)'
+           |         WHEN viajes_x_dia_laboral >= 4 THEN '4-5 (cautivo)'
+           |         WHEN viajes_x_dia_laboral >= 2 THEN '2-3 (regular)'
+           |         ELSE '1 (esporadico)' END AS segmento_uso,
+           |    COUNT(*) AS tarjetas,
+           |    ${avgD("CAST(viajes_x_dia_laboral AS DECIMAL(18,2))", "COUNT(*)", 2)} AS media_viajes_dia,
+           |    ROUND(CAST(SUM(dias_con_actividad) AS DOUBLE) / COUNT(*), 1) AS dias_activos_promedio
+           |  FROM per_user GROUP BY 1)
+           |SELECT segmento_uso, tarjetas, media_viajes_dia, dias_activos_promedio,
+           |  ROUND(100.0 * tarjetas / SUM(tarjetas) OVER (), 2) AS pct_tarjetas
+           |FROM seg""".stripMargin,
+
+      "ana_pct_of_total" ->
+        s"""WITH seg AS (
+           |  SELECT l_linenumber AS num_etapas, COUNT(*) AS viajes,
+           |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS demanda_expandida,
+           |    ${avgD("CAST(l_extendedprice AS DECIMAL(18,2))", "COUNT(*)", 1)} AS precio_promedio,
+           |    ${avgD("CAST(l_discount AS DECIMAL(18,2))", "COUNT(*)", 3)} AS descuento_promedio
+           |  FROM lineitem GROUP BY 1)
+           |SELECT num_etapas, viajes, demanda_expandida, precio_promedio, descuento_promedio,
+           |  ROUND(100.0 * viajes / SUM(viajes) OVER (), 2) AS pct_total
+           |FROM seg""".stripMargin,
+
+      "ana_demand_pivot_30m" ->
+        s"""SELECT time_30m_sk, subidas_laboral, subidas_sabado, subidas_domingo,
+           |  ROUND(100.0 * subidas_laboral / NULLIF(subidas_domingo, 0) - 100, 1)
+           |    AS pct_laboral_vs_domingo
+           |FROM (
+           |  SELECT time_30m_sk,
+           |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'LABORAL' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_laboral,
+           |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'SABADO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_sabado,
+           |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
+           |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
+
+      "ana_daily_delta" ->
+        s"""WITH byday AS (
+           |  SELECT date_sk, tipo_dia,
+           |    COUNT(DISTINCT user_id) AS tarjetas_unicas,
+           |    COUNT(*) AS viajes_muestra,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS demanda_expandida
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2)
+           |SELECT *,
+           |  ROUND(demanda_expandida - LAG(demanda_expandida) OVER (ORDER BY date_sk), 2)
+           |    AS delta_vs_dia_anterior
+           |FROM byday""".stripMargin,
+
+      "ana_od_matrix" ->
+        """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,
+          |  COUNT(*) AS viajes_totales,
+          |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS demanda_expandida,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0), 2) AS qty_promedio
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |WHERE sn.n_name <> cn.n_name
+          |GROUP BY 1, 2
+          |ORDER BY demanda_expandida DESC, zona_origen, zona_destino
+          |LIMIT 30""".stripMargin)
+  }
 
   /** DuckDB twins of the batch forms of the streaming operators. */
   private def streamingOracleSql: Map[String, String] = Map(

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spark twins of the reference's documented gold analytics pack
+  * (`docs/queries/01-05`) — the warehouse's own showcase of what it
+  * answers, re-expressed over the driver testdata star.
+  *
+  * Determinism rules shared by every query here (so the DuckDB oracle
+  * can hash-match):
+  *  - averages are never `avg(double)` (parallel reduction order would
+  *    change the value); they are `CAST(SUM(DECIMAL) AS DOUBLE) / n`,
+  *    one exact sum and one IEEE division, identical in any engine;
+  *  - window functions (NTILE / LAG / pct-of-total) run over *already
+  *    aggregated* frames — dozens of rows, not the fact table — so the
+  *    single-partition exchange they plan is the same benign class as
+  *    a scalar aggregate (never a window over raw fact rows);
+  *  - every ranking has an explicit total order (tie-break keys).
+  */
+object AnalyticsPack {
+
+  private val money: Column => Column = c => c.cast(DecimalType(18, 2))
+
+  /** Exact distributed average: decimal sum cast to double, divided by
+    * a count, NULL when the count is zero (both engines agree on NULL,
+    * not on inf).
+    */
+  private def exactAvg(c: Column, n: Column, scale: Int): Column =
+    round(sum(money(c)).cast("double") / when(n === 0, lit(null)).otherwise(n), scale)
+
+  /** NTILE(4) coverage quartiles per nation — the reference's
+    * comuna-coverage classification (docs/queries/03_infraestructura
+    * .sql:72-80): aggregate a ratio per group, rank groups into
+    * quartiles, attach a readable category. The NTILE window runs over
+    * the 25-row aggregate, ordered with a name tie-break so the
+    * quartile assignment is total.
+    */
+  def coverageQuartile(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val base = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("c_custkey")).as("num_clientes"),
+        round(sum(money(col("o_totalprice"))), 0).cast("double").as("ventas_total"),
+        exactAvg(col("o_totalprice"), count(lit(1)), 1).as("ventas_por_orden"))
+    val w = Window.orderBy(col("ventas_por_orden"), col("n_name"))
+    base
+      .withColumn("cuartil_cobertura", ntile(4).over(w))
+      .withColumn("categoria",
+        when(col("cuartil_cobertura") === 1, "Sub-servida")
+          .when(col("cuartil_cobertura") === 2, "Baja cobertura")
+          .when(col("cuartil_cobertura") === 3, "Cobertura media")
+          .otherwise("Bien servida"))
+  }
+
+  /** Exact p50/p90 wait-time percentiles per mode (docs/queries/
+    * 04_calidad_servicio.sql:113-130): per-group exact
+    * PERCENTILE_CONT plus conditional day-type averages, with the
+    * reference's outlier band filter. Spark's `percentile` is the
+    * exact (sort-based) aggregate, not approx_percentile — required
+    * for hash parity with DuckDB's quantile_cont.
+    */
+  def waitPercentiles(validEvents: DataFrame): DataFrame = {
+    val laboral = when(col("tipo_dia") === "LABORAL", col("value"))
+    val domingo = when(col("tipo_dia") === "DOMINGO", col("value"))
+    validEvents
+      .filter(col("value").isNotNull && col("value").between(0, 450))
+      .groupBy(col("event_type_norm").as("mode_code"))
+      .agg(
+        count(lit(1)).as("validaciones"),
+        exactAvg(col("value"), count(lit(1)), 2).as("espera_promedio_min"),
+        round(percentile(col("value"), lit(0.5)), 2).as("espera_mediana_min"),
+        round(percentile(col("value"), lit(0.9)), 2).as("espera_p90_min"),
+        exactAvg(laboral, count(laboral), 2).as("espera_laboral"),
+        exactAvg(domingo, count(domingo), 2).as("espera_domingo"))
+  }
+
+  /** COUNT(DISTINCT)+HAVING user-frequency segmentation (docs/queries/
+    * 05_usuarios.sql:28-62): trips per user per workday, average per
+    * user with a minimum-active-days HAVING gate, then segment and a
+    * pct-of-total computed as a two-level aggregate (segment agg ×
+    * broadcast scalar total — never a window over the user set).
+    */
+  def userSegments(validEvents: DataFrame): DataFrame = {
+    val daily = validEvents
+      .filter(col("tipo_dia") === "LABORAL" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("date_sk"))
+      .agg(count(lit(1)).as("viajes_en_dia"))
+    val perUser = daily
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(col("viajes_en_dia")).cast("double") / count(lit(1)), 2)
+          .as("viajes_x_dia_laboral"),
+        count(lit(1)).as("dias_con_actividad"))
+      .filter(col("dias_con_actividad") >= 3)
+    val seg = perUser
+      .withColumn("segmento_uso",
+        when(col("viajes_x_dia_laboral") >= 6, ">=6 (extremo cautivo)")
+          .when(col("viajes_x_dia_laboral") >= 4, "4-5 (cautivo)")
+          .when(col("viajes_x_dia_laboral") >= 2, "2-3 (regular)")
+          .otherwise("1 (esporadico)"))
+      .groupBy(col("segmento_uso"))
+      .agg(
+        count(lit(1)).as("tarjetas"),
+        round(sum(money(col("viajes_x_dia_laboral"))).cast("double") / count(lit(1)), 2)
+          .as("media_viajes_dia"),
+        round(sum(col("dias_con_actividad")).cast("double") / count(lit(1)), 1)
+          .as("dias_activos_promedio"))
+    val total = seg.agg(sum(col("tarjetas")).as("tarjetas_total"))
+    seg.crossJoin(broadcast(total))
+      .withColumn("pct_tarjetas",
+        round(lit(100.0) * col("tarjetas") / col("tarjetas_total"), 2))
+      .drop("tarjetas_total")
+  }
+
+  /** Pct-of-total segmentation by trip complexity (docs/queries/
+    * 04_calidad_servicio.sql:23-39): grouped counts with a share of
+    * the grand total. The reference's `100.0*COUNT(*)/SUM(COUNT(*))
+    * OVER ()` is kept a two-level aggregate (group agg × broadcast
+    * 1-row total) so no single-partition window ever sees fact rows.
+    */
+  def pctOfTotal(lineitem: DataFrame): DataFrame = {
+    val seg = lineitem
+      .groupBy(col("l_linenumber").as("num_etapas"))
+      .agg(
+        count(lit(1)).as("viajes"),
+        round(sum(money(col("l_quantity"))), 0).cast("double").as("demanda_expandida"),
+        exactAvg(col("l_extendedprice"), count(lit(1)), 1).as("precio_promedio"),
+        exactAvg(col("l_discount"), count(lit(1)), 3).as("descuento_promedio"))
+    val total = seg.agg(sum(col("viajes")).as("viajes_total"))
+    seg.crossJoin(broadcast(total))
+      .withColumn("pct_total", round(lit(100.0) * col("viajes") / col("viajes_total"), 2))
+      .drop("viajes_total")
+  }
+
+  /** Day-type demand pivot per half-hour slot (docs/queries/
+    * 01_demanda_horaria.sql:21-35): conditional pivot columns per
+    * tipo_dia plus the laboral-vs-domingo pressure ratio. One scan,
+    * one partial-aggregable shuffle on the 48 slot keys.
+    */
+  def demandPivot30m(validEvents: DataFrame): DataFrame = {
+    def pivot(day: String, name: String): Column =
+      coalesce(round(sum(money(when(col("tipo_dia") === day, col("value")))), 2), lit(0))
+        .cast("double").as(name)
+    validEvents
+      .groupBy(col("time_30m_sk"))
+      .agg(
+        pivot("LABORAL", "subidas_laboral"),
+        pivot("SABADO", "subidas_sabado"),
+        pivot("DOMINGO", "subidas_domingo"))
+      .withColumn("pct_laboral_vs_domingo",
+        round(lit(100.0) * col("subidas_laboral") /
+          when(col("subidas_domingo") === 0, lit(null)).otherwise(col("subidas_domingo"))
+          - 100, 1))
+  }
+
+  /** Daily demand series with LAG day-over-day delta (docs/queries/
+    * 01_demanda_horaria.sql:76-93): per-day distinct users, sampled
+    * trips, expanded demand, and the delta vs the previous day. The
+    * LAG window orders the ~31-row daily aggregate — never raw facts.
+    */
+  def dailyDelta(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents
+      .filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"), col("tipo_dia"))
+      .agg(
+        countDistinct(col("user_id")).as("tarjetas_unicas"),
+        count(lit(1)).as("viajes_muestra"),
+        coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double")
+          .as("demanda_expandida"))
+    byDay.withColumn("delta_vs_dia_anterior",
+      round(col("demanda_expandida") -
+        lag(col("demanda_expandida"), 1).over(Window.orderBy(col("date_sk"))), 2))
+  }
+
+  /** Top-N origin→destination matrix (docs/queries/02_analisis_od
+    * .sql:25-39): flows between supplier nation (origin) and customer
+    * nation (destination), intra-zone flows excluded, ranked by
+    * expanded demand with explicit tie-breaks. Dims broadcast; the
+    * only fact shuffle is the lineitem↔orders key join; orderBy+limit
+    * plans as TakeOrderedAndProject (no global sort).
+    */
+  def odMatrix(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+               supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val nOrig = nation.select(
+      col("n_nationkey").as("orig_nationkey"), col("n_name").as("zona_origen"))
+    val nDest = nation.select(
+      col("n_nationkey").as("dest_nationkey"), col("n_name").as("zona_destino"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nOrig), col("s_nationkey") === col("orig_nationkey"))
+      .join(broadcast(nDest), col("c_nationkey") === col("dest_nationkey"))
+      .filter(col("zona_origen") =!= col("zona_destino"))
+      .groupBy(col("zona_origen"), col("zona_destino"))
+      .agg(
+        count(lit(1)).as("viajes_totales"),
+        round(sum(money(col("l_extendedprice"))), 0).cast("double").as("demanda_expandida"),
+        exactAvg(col("l_quantity"), count(lit(1)), 2).as("qty_promedio"))
+      .orderBy(col("demanda_expandida").desc, col("zona_origen"), col("zona_destino"))
+      .limit(30)
+  }
+}

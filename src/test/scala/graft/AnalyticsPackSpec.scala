@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnalyticsPack
+
+/** Semantic assertions for the gold analytics pack (reference:
+  * docs/queries/01-05 shapes). The oracle gate pins full values; these
+  * specs pin the semantics that the hash alone would not explain.
+  */
+class AnalyticsPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // user, date_sk, tipo_dia, slot, mode, value
+    ("u1", 20240108, "LABORAL", 10, "CLICK", 10.0),
+    ("u1", 20240108, "LABORAL", 11, "CLICK", 10.0),
+    ("u1", 20240109, "LABORAL", 10, "VIEW", 20.0),
+    ("u1", 20240110, "LABORAL", 10, "VIEW", 20.0),
+    ("u2", 20240108, "LABORAL", 10, "CLICK", 5.0),
+    ("u2", 20240109, "LABORAL", 10, "CLICK", 5.0),
+    ("u2", 20240110, "LABORAL", 10, "CLICK", 5.0),
+    ("u2", 20240110, "LABORAL", 11, "CLICK", 5.0),
+    ("u3", 20240113, "SABADO", 20, "VIEW", 7.0),
+    ("u3", 20240114, "DOMINGO", 10, "VIEW", 4.0))
+    .toDF("user_id", "date_sk", "tipo_dia", "time_30m_sk", "event_type_norm", "value")
+
+  test("coverageQuartile: quartile ranks cover 1..4 and categories map the rank") {
+    val orders = Seq((1L, 1L, 100.0), (2L, 2L, 200.0), (3L, 3L, 50.0), (4L, 4L, 400.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("c_custkey", "c_nationkey")
+    val nation = Seq((10L, "A"), (20L, "B"), (30L, "C"), (40L, "D"))
+      .toDF("n_nationkey", "n_name")
+    val got = AnalyticsPack.coverageQuartile(orders, customer, nation)
+      .orderBy("cuartil_cobertura").collect()
+    assert(got.map(_.getAs[Int]("cuartil_cobertura")).toSeq == Seq(1, 2, 3, 4))
+    // lowest per-order revenue (C, 50) is quartile 1 = Sub-servida
+    val q1 = got.head
+    assert(q1.getAs[String]("n_name") == "C" && q1.getAs[String]("categoria") == "Sub-servida")
+    assert(got.last.getAs[String]("categoria") == "Bien servida")
+  }
+
+  test("waitPercentiles: exact median/p90 per group, conditional day-type averages") {
+    val got = AnalyticsPack.waitPercentiles(events)
+      .where($"mode_code" === "CLICK").collect().head
+    // CLICK values sorted: 5,5,5,5,10,10 -> median interpolates 5..5 = 5.0; avg 40/6 = 6.67
+    assert(got.getAs[Double]("espera_mediana_min") == 5.0)
+    assert(got.getAs[Double]("espera_p90_min") == 10.0)
+    assert(got.getAs[Double]("espera_promedio_min") == 6.67)
+    assert(got.getAs[Long]("validaciones") == 6L)
+    // all CLICKs are LABORAL; DOMINGO average must be null, not 0
+    assert(got.getAs[Double]("espera_laboral") == 6.67)
+    assert(got.isNullAt(got.fieldIndex("espera_domingo")))
+  }
+
+  test("userSegments: HAVING days>=3 gate and pct-of-total sums to 100") {
+    val got = AnalyticsPack.userSegments(events).collect()
+    // u1: 3 active days avg 4/3=1.33 -> '1 (esporadico)'; u2: 3 days avg 4/3=1.33;
+    // u3: 1 LABORAL day -> filtered by HAVING
+    assert(got.map(_.getAs[Long]("tarjetas")).sum == 2L)
+    assert(math.abs(got.map(_.getAs[Double]("pct_tarjetas")).sum - 100.0) < 1e-9)
+  }
+
+  test("pctOfTotal: shares sum to 100 and per-group share is count-proportional") {
+    val li = Seq((1, 1.0, 10.0, 0.1), (1, 2.0, 10.0, 0.1), (2, 3.0, 10.0, 0.0),
+      (3, 4.0, 10.0, 0.0)).toDF("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    val got = AnalyticsPack.pctOfTotal(li).orderBy("num_etapas").collect()
+    assert(got.map(_.getAs[Double]("pct_total")).sum == 100.0)
+    assert(got.head.getAs[Double]("pct_total") == 50.0)
+  }
+
+  test("demandPivot30m: pivot columns split by day type; ratio null when domingo=0") {
+    val got = AnalyticsPack.demandPivot30m(events).orderBy("time_30m_sk").collect()
+    val slot10 = got.find(_.getAs[Int]("time_30m_sk") == 10).get
+    assert(slot10.getAs[Double]("subidas_laboral") == 65.0)
+    assert(slot10.getAs[Double]("subidas_domingo") == 4.0)
+    // 100*65/4 - 100 = 1525
+    assert(slot10.getAs[Double]("pct_laboral_vs_domingo") == 1525.0)
+    val slot11 = got.find(_.getAs[Int]("time_30m_sk") == 11).get
+    assert(slot11.isNullAt(slot11.fieldIndex("pct_laboral_vs_domingo")))
+  }
+
+  test("dailyDelta: LAG delta vs previous day, first day null") {
+    val got = AnalyticsPack.dailyDelta(events).orderBy("date_sk").collect()
+    assert(got.head.isNullAt(got.head.fieldIndex("delta_vs_dia_anterior")))
+    val d9 = got.find(_.getAs[Int]("date_sk") == 20240109).get
+    // 20240108 demand 25.0 -> 20240109 demand 25.0 -> delta 0
+    assert(d9.getAs[Double]("delta_vs_dia_anterior") == 0.0)
+    val d8 = got.find(_.getAs[Int]("date_sk") == 20240108).get
+    assert(d8.getAs[Long]("tarjetas_unicas") == 2L)
+  }
+
+  test("odMatrix: intra-zone flows excluded, ranked by demand desc") {
+    val li = Seq((1L, 100L, 2.0, 50.0), (2L, 200L, 4.0, 300.0), (3L, 100L, 1.0, 10.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((100L, 30L), (200L, 10L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10L, "A"), (20L, "B"), (30L, "C")).toDF("n_nationkey", "n_name")
+    val got = AnalyticsPack.odMatrix(li, orders, customer, supplier, nation).collect()
+    // order 3: supplier nation C -> customer nation C = intra-zone, excluded
+    assert(got.length == 2)
+    assert(got.head.getAs[String]("zona_origen") == "A") // 300 > 50
+    assert(got.head.getAs[Double]("demanda_expandida") == 300.0)
+  }
+}
