@@ -874,15 +874,21 @@ object SparkEntry {
           |         COUNT(*) OVER (PARTITION BY text) AS n_copies
           |  FROM documents) WHERE rn = 1""".stripMargin,
 
+      // Mirrors the df-cap (stop shingles with df > 1000 leave both
+      // the posting relation and the union sizes — Jaccard is exact
+      // over the filtered shingle space).
       "dedup_ngram_jaccard" ->
         s"""WITH docs AS (
            |  SELECT doc_id, $shinglesSql AS shs
            |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
            |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
-           |sizes AS (SELECT doc_id, len(shs) AS n_sh FROM docs),
+           |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+           |kept AS (SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfc d USING (sh)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  WHERE a.df >= 2
            |  GROUP BY 1, 2)
            |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
            |  p.n_common / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard

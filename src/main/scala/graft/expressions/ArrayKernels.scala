@@ -107,6 +107,44 @@ object ArrayKernels {
     new GenericArrayData(Array(rolling, minShingle))
   }
 
+  /** Hashed distinct n-gram shingles in one pass: xxhash64 (seed 42,
+    * = the builtin `xxhash64` function) of each n-token window joined
+    * with single spaces, first-occurrence-deduplicated — element for
+    * element what `transform(array_distinct(transform(sequence(...),
+    * i -> concat_ws(' ', slice(toks, i, n)))), s -> xxhash64(s))`
+    * yields, minus its per-window interpreted-lambda overhead
+    * (measured: the declarative chain was ~7 s of an 11 s pipeline at
+    * sf0.1). Documents shorter than n tokens contribute their whole
+    * token join, matching TextOps.shingles.
+    */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    if (cnt < n) {
+      val all = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
+      var j = 0
+      while (j < cnt) { all(j) = arr.getUTF8String(j); j += 1 }
+      val h = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, all: _*), StringType, 42L)
+      return new GenericArrayData(Array(h))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var s = 0
+    while (s + n <= cnt) {
+      var j = 0
+      while (j < n) { window(j) = arr.getUTF8String(s + j); j += 1 }
+      val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
+      seen.add(XxHash64Function.hash(sh, StringType, 42L))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Left-fold double dot product — bit-identical to
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to the DuckDB
     * oracle's `list_reduce(list_prepend(0.0, ...))`.
@@ -188,6 +226,26 @@ case class FingerprintsExpr(child: Expression, n: Int)
       s"${ev.value} = graft.expressions.ArrayKernels.fingerprints($c, $n, ${MinHashSigExpr.Prime}L);")
 
   override protected def withNewChildInternal(newChild: Expression): FingerprintsExpr =
+    copy(child = newChild)
+}
+
+/** array<string> tokens -> array<long>: distinct xxhash64 hashes of
+  * the n-gram shingle windows (see ArrayKernels.shingleHashes).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ArrayKernels.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 

@@ -11,6 +11,12 @@ object Kernels {
     ColumnBridge.column(
       MinHashSigExpr(ColumnBridge.expression(shingles), numHashes, seed))
 
+  /** Distinct xxhash64 n-gram shingle hashes of an array<string>
+    * token column (see [[ShingleHashesExpr]]).
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), n))
+
   /** 64-bit SimHash of an array<string> column (see [[SimHash64Expr]]). */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))

@@ -18,6 +18,13 @@ object TextOps {
   /** Distinct word n-gram shingles; documents shorter than `n` tokens
     * contribute their whole token join as a single shingle so they
     * still participate in similarity search.
+    *
+    * PERF: pass a *materialized attribute* (project [[tokens]] into a
+    * column first), never the tokens expression inline — `toks` is
+    * referenced inside the per-window lambda, and an inline
+    * `split(...)` there is re-evaluated once PER WINDOW per row
+    * (measured ~7 s of an 11 s pipeline at sf0.1). An attribute
+    * referenced three times is never inlined by CollapseProject.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

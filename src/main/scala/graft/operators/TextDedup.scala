@@ -52,27 +52,43 @@ object TextDedup {
   }
 
   /** Exact n-gram Jaccard similarity pairs above `threshold`, via a
-    * shingle inverted index: explode distinct shingles, self-join on
-    * the shingle (shuffle ∝ posting-list pairs), count common
-    * shingles per pair, then Jaccard from the per-doc shingle-set
-    * sizes. No crossJoin anywhere.
+    * shingle inverted index with a document-frequency cap: explode
+    * distinct shingles, drop "stop shingles" appearing in more than
+    * `maxDf` documents, self-join the survivors on the shingle
+    * (shuffle ∝ posting-list pairs), count common shingles per pair,
+    * then Jaccard from the per-doc KEPT-shingle counts. No crossJoin
+    * anywhere.
+    *
+    * The df-cap is the scale bound: without it one stop shingle in
+    * 1M documents yields ~5·10¹¹ join pairs; with it the self-join's
+    * worst case is `maxDf²/2` pairs per shingle. The cap is applied
+    * symmetrically — dropped shingles leave BOTH the posting relation
+    * and the per-doc sizes — so the reported Jaccard is exact over
+    * the stop-shingle-filtered shingle space (the standard stop-word
+    * removal semantics, mirrored verbatim by the DuckDB oracle).
+    * Dropped shingles are observable via [[stopShingles]] — persist
+    * it next to the pairs output for the pipeline's run log.
+    *
+    * Singleton postings (df = 1) are also excluded from the join
+    * input — they cannot pair — but still count toward union sizes,
+    * keeping Jaccard exact.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 1000): DataFrame = {
     // Posting lists keyed by the shingle's 64-bit hash, not the string:
-    // the self-join shuffles and compares 8-byte keys instead of
+    // every downstream shuffle/probe compares 8-byte keys instead of
     // n-token text (xxhash64 collisions are ~|shingle vocabulary|²/2^65
     // — negligible against the exact-count semantics).
+    val kept = keptPostings(df, idCol, textCol, n, maxDf)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Pair generation via hash self-join: shingle posting lists are
     // short and numerous, where the join's codegen'd probe beats the
     // grouped-list explode (the opposite holds for band buckets — see
-    // postingPairs in minhashLsh).
-    val sh = docs.select(col("doc_id"),
-      explode(transform(col("shs"), s => xxhash64(s))).as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("shs")).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // postingPairs in minhashLsh). `kept` comes out of the df join
+    // already partitioned by sh, so the self-join adds no exchange.
+    val joinable = kept.filter(col("df") >= 2)
+    val pairs = joinable.as("a").join(joinable.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -84,6 +100,41 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_sh_a", "n_sh_b", "n_common", "jaccard")
   }
+
+  /** Posting relation (doc_id, sh, df) restricted to shingles with
+    * document frequency ≤ maxDf.
+    */
+  private def keptPostings(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, maxDf: Int): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfCounts = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    sh.join(dfCounts, "sh")
+  }
+
+  /** (doc_id, shs: array<long>) via the native shingle-hash kernel —
+    * one tight loop per row instead of the interpreted
+    * sequence/slice/concat/distinct lambda chain (which was ~7 s of
+    * an 11 s pipeline at sf0.1). Element-for-element identical to the
+    * declarative `transform(TextOps.shingles(toks, n), xxhash64)`
+    * (spec-pinned in KernelExprSpec).
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), Kernels.shingleHashes(col("toks"), n).as("shs"))
+
+  /** The shingles [[jaccardPairs]] dropped under its df-cap, with
+    * their document frequencies — the "logged drop" for the run log.
+    * Empty whenever the cap did not bind.
+    */
+  def stopShingles(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, maxDf: Int = 1000): DataFrame =
+    hashedShingles(df, idCol, textCol, n)
+      .select(explode(col("shs")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
 
   private val MinhashPrime = 1000000007L
 
@@ -131,9 +182,7 @@ object TextDedup {
     // to the string path — spec-pinned), the verify joins shuffle
     // 8-byte elements instead of n-token strings, and set intersection
     // compares longs.
-    val docs = df.select(col(idCol).as("doc_id"),
-        transform(TextOps.shingles(TextOps.tokens(col(textCol)), n),
-          s => xxhash64(s)).as("shs"))
+    val docs = hashedShingles(df, idCol, textCol, n)
       .withColumn("sig", Kernels.minhashSig(col("shs"), numHashes))
     // Band structs via a Scala-side loop: `sig` is referenced `bands`
     // times, keeping it a materialized attribute (see shingleHashes).

@@ -28,6 +28,16 @@ class KernelExprSpec extends SparkSpec {
     }
   }
 
+  test("shingle-hash kernel matches the declarative shingles->xxhash64 chain") {
+    val both = docs.union(Seq((4L, ""), (5L, "a b")).toDF("doc_id", "text"))
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select(
+        Kernels.shingleHashes($"toks", 3).as("kern"),
+        transform(TextOps.shingles($"toks", 3), s => xxhash64(s)).as("decl"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("simhash kernel matches the declarative per-bit majority vote") {
     val toks = TextOps.tokens($"text")
     val both = docs

@@ -41,6 +41,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccard df-cap: stop shingles leave postings and sizes symmetrically") {
+    // "x common y" appears in every doc -> df 3; pair shingles df <= 2.
+    val capped = Seq(
+      (1L, "x common y alpha beta gamma"),
+      (2L, "x common y alpha beta delta"),
+      (3L, "x common y epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    // cap binds at maxDf=2: the universal shingles drop, Jaccard is
+    // exact over the remaining space and (1,2) still pairs via
+    // "y alpha beta" etc.
+    val got = TextDedup.jaccardPairs(capped, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDf = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // sizes count only kept shingles: 6 tokens -> 4 shingles total,
+      // "x common y"(df 3) and "common y alpha"/"y epsilon..."-style
+      // df<=2 survivors leave n_sh < 4
+      assert(r.getAs[Long]("n_sh_a") < 4 && r.getAs[Long]("n_sh_b") < 4)
+    }
+    // stop-shingle log: exactly the df-3 shingle is reported
+    val dropped = TextDedup.stopShingles(capped, "doc_id", "text", n = 3, maxDf = 2)
+      .collect()
+    assert(dropped.length == 1 && dropped.head.getAs[Long]("df") == 3L)
+    // a non-binding cap reproduces the uncapped result exactly
+    val loose = TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.4, maxDf = 1000).orderBy("doc_a", "doc_b").collect()
+    val tight = TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.4, maxDf = 5).orderBy("doc_a", "doc_b").collect()
+    assert(loose.map(_.toSeq).toSeq == tight.map(_.toSeq).toSeq)
+  }
+
   test("minhash-lsh finds the same dup/near-dup candidates, verified") {
     val got = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.4)
       .orderBy("doc_a", "doc_b").collect()
