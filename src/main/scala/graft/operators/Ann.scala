@@ -104,17 +104,43 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Sign-bit count for an LSH table sized to the corpus: with
+    * `planes = ceil(log2(n / targetBucketSize))` a table has
+    * `n / targetBucketSize` buckets, the expected bucket holds
+    * `targetBucketSize` vectors, and per-table candidate volume is
+    * ~`n × targetBucketSize / 2` — LINEAR in the corpus, versus
+    * `n²/2^planes` for any fixed plane count (a fixed 5-plane table
+    * is an effective all-pairs at 1M documents: n²/32). Clamped to
+    * [4, 24]: at least 16 buckets on toy corpora, and past 2²⁴
+    * buckets empty-bucket overhead dominates before recall does.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 128L): Int = {
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
+  /** Resolve the auto-planes sentinel (<= 0): count the corpus (one
+    * column-pruned job, eager — documented) and apply [[planesFor]].
+    */
+  private def resolvePlanes(planes: Int, base: DataFrame): Int =
+    if (planes > 0) planes else planesFor(base.count())
+
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus:
     * LSH-bucketed self-join (the all-pairs twin of [[lshTopK]]) — the
     * only pairs scored are those sharing a bucket in some table, so
     * the shuffle is proportional to bucket collisions, never n².
     * Exact cosine verifies every candidate before the threshold.
+    *
+    * `planes <= 0` (the default) derives the bucket count from the
+    * corpus size via [[planesFor]] — this runs one eager count job at
+    * plan-construction time. Pass an explicit `planes` to keep
+    * construction lazy.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, tables: Int = 3, planes: Int = 5,
+                         threshold: Double, tables: Int = 3, planes: Int = 0,
                          dim: Int = 64, seed: Long = 42L): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
-    val hashed = bucketed(base, tables, planes, dim, seed)
+    val hashed = bucketed(base, tables, resolvePlanes(planes, base), dim, seed)
     val cands = hashed.as("a").join(hashed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -132,8 +158,8 @@ object Ann {
     * Hyperplane coefficients come from a fixed seed, so every run,
     * executor and cluster assigns identical buckets.
     */
-  private def bucketed(base: DataFrame, tables: Int, planes: Int,
-                       dim: Int, seed: Long): DataFrame = {
+  private[graft] def bucketed(base: DataFrame, tables: Int, planes: Int,
+                              dim: Int, seed: Long): DataFrame = {
     val rnd = new java.util.Random(seed)
     val hp = Array.fill(tables, planes, dim)(rnd.nextGaussian())
     def bucketCol(v: Column, tb: Int): Column =
@@ -151,12 +177,16 @@ object Ann {
     * query iff they share a bucket in at least one table. Hyperplanes
     * are derived from a fixed seed so the plan is deterministic across
     * runs and clusters.
+    *
+    * `planes <= 0` (the default) sizes the tables to the corpus via
+    * [[planesFor]] (one eager count job); pass `planes` explicitly to
+    * keep construction lazy.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              nQueries: Int, k: Int, tables: Int = 3, planes: Int = 5,
+              nQueries: Int, k: Int, tables: Int = 3, planes: Int = 0,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
-    val hashed = bucketed(base, tables, planes, dim, seed)
+    val hashed = bucketed(base, tables, resolvePlanes(planes, base), dim, seed)
     val qb = hashed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val candIds = hashed.join(broadcast(qb),

@@ -77,6 +77,47 @@ class AnnSpec extends SparkSpec {
     assert(ivf1(0L) == 2L)
   }
 
+  test("planesFor: table size follows corpus size, clamped") {
+    assert(Ann.planesFor(100) == 4)            // clamp floor: >= 16 buckets
+    assert(Ann.planesFor(100000) == 10)        // ceil(log2(100k/128))
+    assert(Ann.planesFor(1000000) == 13)
+    assert(Ann.planesFor(1000000, 1024) == 10) // bigger target -> fewer buckets
+    assert(Ann.planesFor(Long.MaxValue) == 24) // clamp ceiling
+    // monotone non-decreasing in corpus size
+    val sizes = Seq(1L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
+    assert(sizes.map(Ann.planesFor(_)) == sizes.map(Ann.planesFor(_)).sorted)
+  }
+
+  test("auto planes bound bucket occupancy on a skewed corpus") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val clusterBase = Array.fill(dim)(rnd.nextGaussian())
+    val n = 2048
+    val nCluster = n / 4
+    // 25% near-duplicates of one direction + 75% random directions
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i < nCluster) clusterBase.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+        else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val base = df.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val planes = Ann.planesFor(n) // = 4 -> 16 buckets, expected 128/bucket
+    val occ = Ann.bucketed(base, tables = 1, planes = planes, dim = dim, seed = 42L)
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    assert(occ.sum == n)
+    // the table actually spreads: a healthy share of the keyspace is hit
+    assert(occ.length >= (1 << planes) / 2)
+    // the hottest bucket is the data's intrinsic cluster plus a uniform
+    // share — NOT a coarse-table artifact swallowing the corpus
+    val expected = n / (1 << planes)
+    assert(occ.max <= nCluster + 4L * expected)
+    // candidate volume stays linear-ish: far under the n^2/2 all-pairs
+    val pairs = occ.map(c => c * (c - 1) / 2).sum
+    assert(pairs < n.toLong * n / 8)
+  }
+
   test("lsh candidate generation is deterministic across runs") {
     def run() = Ann.lshTopK(vecs, "vec_id", "embedding", 2, 3, tables = 4, planes = 2, dim = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
