@@ -804,11 +804,11 @@ object SparkEntry {
     "sessionize_gap" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag_s IS NULL OR s - lag_s > 1800 THEN 1 ELSE 0 END AS new_s
+        |    CASE WHEN lag_ms IS NULL OR ms - lag_ms > 1800000 THEN 1 ELSE 0 END AS new_s
         |  FROM (
         |    SELECT user_id, ts, event_id, value,
-        |      CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
-        |      LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_s
+        |      epoch_ms(ts) AS ms,
+        |      LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ms
         |    FROM events)),
         |sess AS (
         |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

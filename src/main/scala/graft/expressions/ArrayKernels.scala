@@ -26,13 +26,22 @@ object ArrayKernels {
     */
   def minhash(arr: ArrayData, a: Array[Long], b: Array[Long], prime: Long,
               strings: Boolean): ArrayData = {
+    val n = arr.numElements()
+    // Empty input has no defined minimum — return SQL NULL (the
+    // declarative array_min path yields null slots; a MaxValue
+    // sentinel would silently band-match every other empty doc).
+    if (n == 0) return null
     val k = a.length
     val mins = Array.fill(k)(Long.MaxValue)
-    val n = arr.numElements()
     var i = 0
     while (i < n) {
+      // A null element hashes to the seed — exactly what the builtin
+      // xxhash64(null) yields on the declarative path.
       val raw =
-        if (strings) XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        if (strings) {
+          val s = arr.getUTF8String(i)
+          if (s == null) 42L else XxHash64Function.hash(s, StringType, 42L)
+        } else if (arr.isNullAt(i)) 42L
         else arr.getLong(i)
       val h = java.lang.Math.floorMod(raw, prime)
       var j = 0
@@ -46,13 +55,18 @@ object ArrayKernels {
     new GenericArrayData(mins)
   }
 
-  /** SimHash kernel: per-bit majority vote over element hashes. */
+  /** SimHash kernel: per-bit majority vote over element hashes.
+    * A null element hashes to the seed (= builtin xxhash64(null));
+    * the empty array votes every bit to 1, matching the declarative
+    * fold from a zero accumulator.
+    */
   def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val s = arr.getUTF8String(i)
+      val h = if (s == null) 42L else XxHash64Function.hash(s, StringType, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -169,6 +183,8 @@ case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // null for empty input arrays, beyond child-null propagation
+  override def nullable: Boolean = true
 
   // Interleaved draw order matches TextDedup.minhashSignature exactly,
   // so the declarative column version and this kernel agree slot for
@@ -198,7 +214,8 @@ case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
     val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
     val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.ArrayKernels.minhash($c, $aRef, $bRef, ${MinHashSigExpr.Prime}L, $stringInput);")
+      s"""${ev.value} = graft.expressions.ArrayKernels.minhash($c, $aRef, $bRef, ${MinHashSigExpr.Prime}L, $stringInput);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

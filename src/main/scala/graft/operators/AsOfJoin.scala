@@ -63,21 +63,32 @@ object AsOfJoin {
     val factExtra = fact.columns.filterNot(_ == factKey).toSeq
     val d = TempCol("d", fact)
     val tag = TempCol("tag", fact)
+    val p = TempCol("p", fact)
+    // The dim payload travels as ONE struct so the running last()
+    // moves every column atomically with its version: resolving each
+    // payload column independently would backfill a legitimately-NULL
+    // attribute (e.g. the current version's valid_to) from an OLDER
+    // version, mixing columns across versions.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => dim.schema(c)))
     val dimSide = dim.select(
-      Seq(col(dimKey).as(factKey), col(dimOrderCol).as(d), lit(0).as(tag)) ++
-        factExtra.map(c => lit(null).cast(fact.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+      col(dimKey).as(factKey), col(dimOrderCol).as(d), lit(0).as(tag),
+      struct(payload.map(col): _*).as(p))
+      .select(
+        Seq(col(factKey), col(d), col(tag)) ++
+          factExtra.map(c => lit(null).cast(fact.schema(c).dataType).as(c)) :+
+          col(p): _*)
     val factSide = fact.select(
       Seq(col(factKey), eventDate.as(d), lit(1).as(tag)) ++
-        factExtra.map(col) ++
-        payload.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+        factExtra.map(col) :+
+        lit(null).cast(payloadType).as(p): _*)
     val w = Window.partitionBy(col(factKey)).orderBy(col(d), col(tag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     factSide.unionByName(dimSide)
-      .select(
-        Seq(col(factKey), col(d), col(tag)) ++ factExtra.map(col) ++
-          payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn(p, last(col(p), ignoreNulls = true).over(w))
       .filter(col(tag) === 1)
-      .drop(d, tag)
+      .select(
+        Seq(col(factKey)) ++ factExtra.map(col) ++
+          payload.map(c => col(s"$p.$c").as(c)): _*)
   }
 }

@@ -62,6 +62,15 @@ object Dims {
     * window, so a high-cardinality column (stop_code at 100 TB) never
     * funnels through one task. Output is identical to a
     * `ROW_NUMBER() OVER (ORDER BY name)` for any input.
+    *
+    * EAGER: `zipWithIndex` runs the distinct+sort ONCE at construction
+    * (its internal count job). The sorted set is localCheckpoint-ed
+    * first, so that one job materializes it and every downstream
+    * action reuses the blocks — without it the un-cached RDD lineage
+    * would re-run the distinct+sort per action, and a re-sampled range
+    * sort could even renumber between branches. The result is an RDD
+    * scan (no pushdown through the dim) — fine for lookup dims, which
+    * are small by construction; join them with `broadcast()`.
     */
   def lookupDim(df: DataFrame, valueCol: String, skName: String, nameCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -69,6 +78,7 @@ object Dims {
       .filter(col(nameCol).isNotNull && col(nameCol) =!= "")
       .distinct()
       .sort(col(nameCol))
+      .localCheckpoint(false)
     val numbered = distinctVals.rdd.zipWithIndex().map { case (r, i) =>
       Row((i + 1).toInt, r.getString(0))
     }

@@ -94,6 +94,19 @@ object Scd2 {
     * validity, one current row, exactly as a full-history rebuild
     * would produce. Shuffles scale with the AFFECTED keys only.
     *
+    * PRECONDITION (no same-day re-observation): the batch must not
+    * contain observations for a (key, day) that already has a version
+    * in `existing`. Existing versions are reconstituted as MIDNIGHT
+    * observations — the original intraday winning timestamp is not
+    * stored in the dim — so a batch row on an already-versioned day
+    * would always win the latest-wins tie regardless of whether the
+    * original observation was later in that day. Under the standard
+    * load pattern (each batch covers a time range after the previous
+    * load's cutoff, e.g. the registered midnight-cutoff query) the
+    * precondition holds and the result equals the full-history
+    * rebuild. To support same-day replays, persist the per-day max
+    * observation timestamp alongside the dim and feed it back here.
+    *
     * @param existing SCD2 dim as produced by [[fromHistory]]
     * @param newObs   observation batch: bk, ts, tieBreak and attr cols
     */

@@ -22,9 +22,12 @@ object Sessionize {
             valueCol: String, gapSec: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val secs = unix_timestamp(col(tsCol))
+    // Millisecond-precision gaps, matching the streaming twin's
+    // epoch-ms comparison — a second-truncated gap would split
+    // sub-second-offset sessions differently from the stream.
+    val ms = unix_millis(col(tsCol))
     val newSession = when(
-      lag(secs, 1).over(w).isNull || secs - lag(secs, 1).over(w) > gapSec, 1).otherwise(0)
+      lag(ms, 1).over(w).isNull || ms - lag(ms, 1).over(w) > gapSec * 1000L, 1).otherwise(0)
     df.withColumn("__graft_new_s", newSession)
       .withColumn("session_seq", sum(col("__graft_new_s")).over(run))
       .groupBy(col(userCol), col("session_seq"))

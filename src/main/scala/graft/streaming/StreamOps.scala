@@ -59,7 +59,7 @@ object StreamOps {
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
 
   final case class SessionState(
-      sessionSeq: Long, startMs: Long, endMs: Long, n: Long, sum: Double)
+      sessionSeq: Long, startMs: Long, endMs: Long, n: Long, sumCents: Long)
 
   final case class Session(
       user_id: Long, session_seq: Long, session_start: Timestamp,
@@ -74,9 +74,16 @@ object StreamOps {
                  watermark: String = "30 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
 
+    // Accumulate exact cents (each value rounded to 2dp HALF_UP like a
+    // DECIMAL(18,2) cast) so the sum is order-independent and equals
+    // the batch twin's decimal aggregation bit for bit.
+    def cents(v: Double): Long =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(2).longValueExact()
+
     def close(userId: Long, s: SessionState): Session =
       Session(userId, s.sessionSeq, new Timestamp(s.startMs), new Timestamp(s.endMs),
-        s.n, math.round(s.sum * 100.0) / 100.0)
+        s.n, s.sumCents / 100.0)
 
     def update(userId: Long, it: Iterator[SessEvent],
                state: GroupState[SessionState]): Iterator[Session] = {
@@ -91,12 +98,13 @@ object StreamOps {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.endMs <= gapSec * 1000 =>
-            cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1, sum = s.sum + e.value))
+            cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+              sumCents = s.sumCents + cents(e.value)))
           case Some(s) =>
             closed += close(userId, s)
-            cur = Some(SessionState(s.sessionSeq + 1, t, t, 1, e.value))
+            cur = Some(SessionState(s.sessionSeq + 1, t, t, 1, cents(e.value)))
           case None =>
-            cur = Some(SessionState(1, t, t, 1, e.value))
+            cur = Some(SessionState(1, t, t, 1, cents(e.value)))
         }
       }
       cur.foreach { s =>

@@ -101,13 +101,21 @@ class CoreOperatorsSpec extends SparkSpec {
       (3L, "S2", Date.valueOf("2024-01-01")), // before first version -> null
       (4L, "SX", Date.valueOf("2024-01-07")))
       .toDF("fid", "stop_code", "d")
+    // Compare the FULL payload — a per-column resolution would backfill
+    // the current version's NULL valid_to from the older version, so
+    // valid_to/is_current must be part of the contract check.
     def norm(df: org.apache.spark.sql.DataFrame) =
-      df.select($"fid", $"mode", $"valid_from").orderBy("fid").collect()
-        .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getDate(2)))).toSeq
+      df.select($"fid", $"mode", $"valid_from", $"valid_to", $"is_current")
+        .orderBy("fid").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getDate(2)),
+          Option(r.getDate(3)), if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSeq
     val viaJoin = norm(AsOfJoin(fact, dim, "stop_code", "stop", col("d")))
     val viaScan = norm(AsOfJoin.mergeScan(fact, dim, "stop_code", "stop", col("d")))
     assert(viaScan == viaJoin)
     assert(viaScan(2)._2.isEmpty) // fid 3 uncovered
+    // fid 2 resolves to the CURRENT version: open-ended valid_to stays null
+    assert(viaScan(1)._2.contains("METRO") && viaScan(1)._4.isEmpty &&
+      viaScan(1)._5.contains(true))
   }
 
   test("dedup latestByGrain keeps one deterministic row per grain") {

@@ -28,6 +28,30 @@ class KernelExprSpec extends SparkSpec {
     }
   }
 
+  test("kernel edge inputs: empty arrays and null elements are defined, not sentinels") {
+    // SQL-registered surface reaches the kernels with arbitrary arrays
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("a", null, "b")),
+      (3L, Seq[String](null)))
+      .toDF("id", "arr")
+    df.createOrReplaceTempView("edge")
+    val mh = spark.sql(
+      "SELECT id, minhash_sig(arr, 4) AS sig, simhash64(arr) AS sh FROM edge")
+      .orderBy("id").collect()
+    // empty array -> NULL signature (not a MaxValue sentinel that
+    // would band-match every other empty doc)
+    assert(mh(0).isNullAt(1))
+    // null elements hash like builtin xxhash64(null) (the seed): no
+    // NPE, same signature as replacing null with any seed-hashing value
+    assert(!mh(1).isNullAt(1) && mh(1).getSeq[Long](1).length == 4)
+    assert(!mh(2).isNullAt(1))
+    // simhash on empty = all-ones fold from zero votes, matching the
+    // declarative aggregate's initial accumulator
+    assert(mh(0).getLong(2) == -1L)
+    assert(mh(1).getLong(2) != 0L)
+  }
+
   test("shingle-hash kernel matches the declarative shingles->xxhash64 chain") {
     val both = docs.union(Seq((4L, ""), (5L, "a b")).toDF("doc_id", "text"))
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
