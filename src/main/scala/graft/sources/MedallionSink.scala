@@ -28,11 +28,40 @@ object MedallionSink {
     val stats = Map("dataset" -> s""""$dataset"""", "rows_written" -> rows.toString) ++
       extraStats.map { case (k, v) => k -> v.toString }
     val json = stats.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    val tmp = Paths.get(root, s".quality_$dataset.json.tmp")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(target, "_quality.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    atomicWrite(Paths.get(root, s".quality_$dataset.json.tmp"),
+      Paths.get(target, "_quality.json"), json)
+    writeMetaSidecars(df, target, partitionCols)
     rows
+  }
+
+  /** Per-partition `_meta.json` sidecars (authoritative row_count +
+    * column list — the reference's bronze sidecar contract, served to
+    * graft.sources.MedallionCatalog's read-side validation). Counts
+    * come from ONE aggregate job on the partition columns; only
+    * #partitions rows ever reach the driver.
+    */
+  private def writeMetaSidecars(df: DataFrame, target: String,
+                                partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    val colsJson = dataCols.map(c => s""""$c"""").mkString("[", ", ", "]")
+    val counts = df.groupBy(partitionCols.map(c => col(c).cast("string")): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    counts.foreach { r =>
+      val dir = partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.getString(i)}" }.mkString("/")
+      val n = r.getLong(partitionCols.length)
+      val json = s"""{"row_count": $n, "columns": $colsJson}"""
+      atomicWrite(Paths.get(target, dir, s"._meta.json.tmp"),
+        Paths.get(target, dir, "_meta.json"), json)
+    }
+  }
+
+  private def atomicWrite(tmp: java.nio.file.Path, dest: java.nio.file.Path,
+                          content: String): Unit = {
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dest,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
-import graft.sources.{CsvVarchar, MedallionSink}
+import graft.sources.{CsvVarchar, MedallionCatalog, MedallionSink}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +38,43 @@ class SourcesSpec extends SparkSpec {
     assert(back.select("year").distinct().as[Int].collect().toSet == Set(2024))
     val quality = Files.readString(Paths.get(root, "dataset=events_t", "_quality.json"))
     assert(quality.contains("\"rows_written\": 3") && quality.contains("\"n_quarantined\": 0"))
+  }
+
+  test("catalog read-side: discovery, meta sidecars, row-count validation round-trip") {
+    val root = Files.createTempDirectory("graft_cat").toString
+    val df = Seq(
+      (1L, 2024, 1, "a"), (2L, 2024, 1, "b"), (3L, 2024, 2, "c"), (4L, 2023, 12, "d"))
+      .toDF("id", "year", "month", "payload")
+    MedallionSink.write(df, root, "trips", Seq("year", "month"))
+    // discovery finds every leaf partition with its sidecar
+    val parts = MedallionCatalog.partitions(spark, root, "trips")
+    assert(parts.length == 3)
+    assert(parts.map(_.values).toSet == Set(
+      Map("year" -> "2024", "month" -> "1"),
+      Map("year" -> "2024", "month" -> "2"),
+      Map("year" -> "2023", "month" -> "12")))
+    assert(parts.forall(_.metaColumns == Seq("id", "payload")))
+    assert(parts.find(_.values("month") == "1").get.metaRowCount.contains(2L))
+    // validation: every sidecar matches the parquet row counts
+    val v = MedallionCatalog.validate(spark, root, "trips", Seq("year", "month"))
+    assert(v.count() == 3 && v.filter($"row_count_ok" === true).count() == 3)
+    MedallionCatalog.validateOrThrow(spark, root, "trips", Seq("year", "month"))
+    // corrupt one sidecar -> that partition fails, validateOrThrow refuses
+    val metaPath = Paths.get(root, "dataset=trips", "year=2024", "month=2", "_meta.json")
+    Files.writeString(metaPath, """{"row_count": 99, "columns": ["id", "payload"]}""")
+    val v2 = MedallionCatalog.validate(spark, root, "trips", Seq("year", "month"))
+    assert(v2.filter($"row_count_ok" === false).count() == 1)
+    intercept[IllegalArgumentException] {
+      MedallionCatalog.validateOrThrow(spark, root, "trips", Seq("year", "month"))
+    }
+    // sidecar-less partition: unknown (NULL), not failed
+    Files.delete(metaPath)
+    val v3 = MedallionCatalog.validate(spark, root, "trips", Seq("year", "month"))
+    assert(v3.filter($"row_count_ok".isNull).count() == 1)
+    MedallionCatalog.validateOrThrow(spark, root, "trips", Seq("year", "month"))
+    // read side prunes partitions like any parquet partition filter
+    assert(MedallionCatalog.read(spark, root, "trips")
+      .filter($"year" === 2024 && $"month" === 1).count() == 2)
   }
 
   test("bronze -> silver chain: csv varchar source + try_cast coercion") {
