@@ -97,6 +97,20 @@ object SparkEntry {
     QualityGate.Rule("BAD_TIME_SLOT", col("time_30m_sk").isNotNull &&
       (col("time_30m_sk") < 0 || col("time_30m_sk") > 47)))
 
+  /** Events feed contract (the ViajesTripRow pattern, contracts.py:
+    * 47-109): required ids/timestamps, enum-checked normalized code,
+    * optional bounded measure, at-least-one payload cross rule.
+    */
+  private def eventsContract: (Seq[RowContract.Field], Seq[RowContract.Cross]) = (
+    Seq(
+      RowContract.required("user_id", "MISSING_ID"),
+      RowContract.upperEnum("event_type",
+        Seq("CLICK", "SIGNUP", "ERROR", "VIEW", "PURCHASE"),
+        badReason = "BAD_TYPE", missingReason = Some("MISSING_TYPE")),
+      RowContract.required("ts", "MISSING_TIMESTAMP"),
+      RowContract.optionalRange("value", 0, 450, "BAD_RANGE_VALUE")),
+    Seq(RowContract.atLeastOneOf("EMPTY_PAYLOAD", Seq("value", "props"))))
+
   // ── B. Gold: SCD2 / as-of / star fact ─────────────────────────────
   /** SCD2 user dimension from the events history: business key
     * user_id, tracked attribute = latest-of-day event_type
@@ -494,6 +508,15 @@ object SparkEntry {
       QualityGate.thresholdGate(cleanseEvents(s, d), eventRules,
         warnRate = 0.00001, failRate = 0.01)),
 
+    // Typed row contract over the RAW feed: per-field normalize (upper
+    // -or-none) then validate, first-match reason codes, cross-field
+    // at-least-one — the reference's Pydantic chain (contracts.py:
+    // 47-297) as one codegen'd scan over every row.
+    "contract_gate_events" -> ((s: SparkSession, d: String) => {
+      val (fields, cross) = eventsContract
+      RowContract.annotate(t(s, d, "events"), fields, cross)
+    }),
+
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) =>
       Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)),
@@ -819,6 +842,22 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "contract_gate_events" ->
+      """WITH norm AS (
+        |  SELECT event_id, ts, user_id,
+        |    NULLIF(UPPER(TRIM(event_type)), '') AS event_type,
+        |    value, props
+        |  FROM events)
+        |SELECT *,
+        |  CASE WHEN user_id IS NULL THEN 'MISSING_ID'
+        |       WHEN event_type IS NULL THEN 'MISSING_TYPE'
+        |       WHEN event_type NOT IN ('CLICK','SIGNUP','ERROR','VIEW','PURCHASE') THEN 'BAD_TYPE'
+        |       WHEN ts IS NULL THEN 'MISSING_TIMESTAMP'
+        |       WHEN NOT COALESCE(value IS NULL OR value BETWEEN 0 AND 450, FALSE) THEN 'BAD_RANGE_VALUE'
+        |       WHEN value IS NULL AND props IS NULL THEN 'EMPTY_PAYLOAD'
+        |       ELSE NULL END AS reason_code
+        |FROM norm""".stripMargin,
 
     "quality_threshold_gate" ->
       s"""SELECT reason_code, n_rows,

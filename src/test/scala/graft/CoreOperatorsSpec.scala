@@ -118,6 +118,40 @@ class CoreOperatorsSpec extends SparkSpec {
       viaScan(1)._5.contains(true))
   }
 
+  test("row contract: normalize-then-validate, first-match reasons, cross rules") {
+    val df = Seq(
+      (Some(1L), "  click ", Some(10.0), Some("p")),  // valid, type normalized
+      (None, "view", Some(5.0), Some("p")),           // MISSING_ID
+      (Some(3L), "  ", Some(5.0), Some("p")),         // MISSING_TYPE (blank -> null)
+      (Some(4L), "teleport", Some(5.0), Some("p")),   // BAD_TYPE (after normalize)
+      (Some(5L), "view", Some(9999.0), Some("p")),    // BAD_RANGE_VALUE
+      (Some(6L), "view", None, None),                 // EMPTY_PAYLOAD (cross)
+      (Some(7L), "view", None, Some("p")))            // valid: one payload field
+      .toDF("user_id", "event_type", "value", "props")
+    val fields = Seq(
+      RowContract.required("user_id", "MISSING_ID"),
+      RowContract.upperEnum("event_type", Seq("CLICK", "VIEW"),
+        badReason = "BAD_TYPE", missingReason = Some("MISSING_TYPE")),
+      RowContract.optionalRange("value", 0, 450, "BAD_RANGE_VALUE"))
+    val cross = Seq(RowContract.atLeastOneOf("EMPTY_PAYLOAD", Seq("value", "props")))
+    val got = RowContract.annotate(df, fields, cross).collect()
+    val reasons = got.map(r => Option(r.getAs[String]("reason_code")))
+    assert(reasons.toSeq == Seq(None, Some("MISSING_ID"), Some("MISSING_TYPE"),
+      Some("BAD_TYPE"), Some("BAD_RANGE_VALUE"), Some("EMPTY_PAYLOAD"), None))
+    // normalization is applied in the OUTPUT (upper+trim, blank->null)
+    assert(got(0).getAs[String]("event_type") == "CLICK")
+    assert(got(2).isNullAt(got(2).fieldIndex("event_type")))
+    // splits cover the frame; valid drops the reason column
+    assert(RowContract.valid(df, fields, cross).count() +
+      RowContract.quarantine(df, fields, cross).count() == df.count())
+    assert(!RowContract.valid(df, fields, cross).columns.contains("reason_code"))
+    // field order defines precedence: MISSING_ID wins over BAD_RANGE
+    val both = Seq((Option.empty[Long], "view", Some(9999.0), Some("p")))
+      .toDF("user_id", "event_type", "value", "props")
+    assert(RowContract.annotate(both, fields, cross).head.getAs[String]("reason_code")
+      == "MISSING_ID")
+  }
+
   test("dedup latestByGrain keeps one deterministic row per grain") {
     val df = Seq(
       (1L, "a", Timestamp.valueOf("2024-01-01 10:00:00"), 10L),
