@@ -432,6 +432,17 @@ object SparkEntry {
 
     "gold_merge_grain" -> mergeGrain _,
 
+    // Cut-replacement load (cleanup_cut.sql): a stale half-load of the
+    // lake, with the final week's cuts fully rebuilt and swapped in —
+    // untouched cuts keep their stale rows, replaced cuts carry
+    // exactly the incoming batch.
+    "gold_cut_replace" -> ((s: SparkSession, d: String) => {
+      val cleansed = cleanseEvents(s, d)
+      val stale = cleansed.filter(col("event_id") % 2 === 0)
+      val incoming = cleansed.filter(col("date_sk") >= 20240122)
+      Merge.replaceCut(stale, incoming, "date_sk")
+    }),
+
     "svc_overview" -> svcOverview _,
 
     "svc_demand_by_day_type" -> svcDemandByDayType _,
@@ -842,6 +853,15 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "gold_cut_replace" ->
+      s"""WITH c AS (${cleanseEventsSql("")}),
+         |stale AS (SELECT * FROM c WHERE event_id % 2 = 0),
+         |inc AS (SELECT * FROM c WHERE date_sk >= 20240122)
+         |SELECT * FROM stale s
+         |WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.date_sk = s.date_sk)
+         |UNION ALL
+         |SELECT * FROM inc""".stripMargin,
 
     "contract_gate_events" ->
       """WITH norm AS (

@@ -24,4 +24,24 @@ object Merge {
     existing.unionByName(
       incoming.join(existing.select(grain.map(col): _*).distinct(),
         grain, "left_anti"))
+
+  /** Cut-replacement load: delete-cut-then-insert, the reference's
+    * partition reload (models/gold/cleanup_cut.sql + the dim_cut
+    * audit): every existing row of a cut PRESENT IN the incoming
+    * batch is dropped and replaced by the batch's rows; untouched
+    * cuts pass through untouched. Idempotent — replaying the same
+    * batch reproduces the same table.
+    *
+    * Scale shape: the anti join keys on the cut column only (the
+    * distinct incoming cut set is tiny and broadcasts); rows of a cut
+    * never need to be paired row-to-row like a grain merge. The
+    * physical twin is MedallionSink.overwritePartitions (dynamic
+    * partition overwrite — only the incoming cut directories
+    * rewrite).
+    */
+  def replaceCut(existing: DataFrame, incoming: DataFrame,
+                 cutCol: String): DataFrame =
+    existing.join(broadcast(incoming.select(col(cutCol)).distinct()),
+        Seq(cutCol), "left_anti")
+      .unionByName(incoming)
 }

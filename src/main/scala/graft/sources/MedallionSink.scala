@@ -34,6 +34,24 @@ object MedallionSink {
     rows
   }
 
+  /** Physical cut replacement: dynamic partition overwrite — ONLY the
+    * partition directories present in `df` are rewritten; every other
+    * partition's files are untouched (the reference's
+    * delete-cut-then-reload, models/gold/cleanup_cut.sql, without a
+    * full-dataset rewrite). Sidecars refresh for the affected
+    * partitions only. Logical twin: graft.operators.Merge.replaceCut.
+    */
+  def overwritePartitions(df: DataFrame, root: String, dataset: String,
+                          partitionCols: Seq[String]): Unit = {
+    val target = s"$root/dataset=$dataset"
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
+      .parquet(target)
+    writeMetaSidecars(df, target, partitionCols)
+  }
+
   /** Per-partition `_meta.json` sidecars (authoritative row_count +
     * column list — the reference's bronze sidecar contract, served to
     * graft.sources.MedallionCatalog's read-side validation). Counts

@@ -164,6 +164,24 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(12L, 13L))
   }
 
+  test("replaceCut: delete-cut-then-insert, untouched cuts intact, idempotent") {
+    val existing = Seq(
+      ("c1", 1L, "old"), ("c1", 2L, "old"), ("c2", 3L, "old"), ("c3", 4L, "old"))
+      .toDF("cut", "id", "src")
+    val incoming = Seq(("c2", 30L, "new"), ("c2", 31L, "new"), ("c4", 40L, "new"))
+      .toDF("cut", "id", "src")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val got = Merge.replaceCut(existing, incoming, "cut")
+    assert(norm(got) == Set(
+      ("c1", 1L, "old"), ("c1", 2L, "old"),           // untouched cut
+      ("c2", 30L, "new"), ("c2", 31L, "new"),         // replaced wholesale (3L gone)
+      ("c3", 4L, "old"),                              // untouched cut
+      ("c4", 40L, "new")))                            // brand-new cut
+    // idempotent: replaying the same batch changes nothing
+    assert(norm(Merge.replaceCut(got, incoming, "cut")) == norm(got))
+  }
+
   test("dim_date covers full range with correct attributes") {
     val df = Seq("2023-12-30", "2024-01-02").toDF("d").withColumn("d", to_date($"d"))
     val dim = Dims.dimDate(df, $"d").orderBy("date_sk").collect()

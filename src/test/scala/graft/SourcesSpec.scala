@@ -77,6 +77,28 @@ class SourcesSpec extends SparkSpec {
       .filter($"year" === 2024 && $"month" === 1).count() == 2)
   }
 
+  test("overwritePartitions rewrites only the incoming cut directories") {
+    val root = Files.createTempDirectory("graft_cut").toString
+    val df = Seq((1L, "c1", "old"), (2L, "c1", "old"), (3L, "c2", "old"))
+      .toDF("id", "cut", "src")
+    MedallionSink.write(df, root, "fct", Seq("cut"))
+    val c1Before = Files.list(Paths.get(root, "dataset=fct", "cut=c1"))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.toSeq
+    // replace cut c2 only
+    val batch = Seq((30L, "c2", "new"), (31L, "c2", "new")).toDF("id", "cut", "src")
+    MedallionSink.overwritePartitions(batch, root, "fct", Seq("cut"))
+    val back = spark.read.parquet(s"$root/dataset=fct")
+    assert(back.filter($"cut" === "c1").select("src").as[String].collect().toSet == Set("old"))
+    assert(back.filter($"cut" === "c2").select("id").as[Long].collect().toSet == Set(30L, 31L))
+    // c1's physical files are byte-identical (never rewritten)
+    val c1After = Files.list(Paths.get(root, "dataset=fct", "cut=c1"))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.toSeq
+    assert(c1After == c1Before)
+    // the replaced cut's sidecar reflects the new authoritative count
+    val v = MedallionCatalog.validate(spark, root, "fct", Seq("cut"))
+    assert(v.filter($"row_count_ok" === true).count() == 2)
+  }
+
   test("bronze -> silver chain: csv varchar source + try_cast coercion") {
     val dir = Files.createTempDirectory("graft_bronze")
     val f = dir.resolve("feed.csv")
