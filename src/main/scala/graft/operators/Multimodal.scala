@@ -1,22 +1,32 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** Multimodal (binary-column) pipeline plumbing.
+/** Multimodal (binary-column) pipeline.
   *
   * Media assets are opaque `binary` columns with typed metadata
   * alongside; decode / feature extraction runs partition-wise in
   * bounded batches (the JVM-side equivalent of a Pandas-UDF
-  * `mapInPandas` batch shape). The DECODE STEP IS A STUB — this
-  * container has no image/audio codecs, so `decodeStub` parses a
-  * deterministic fake header — but the Spark-side plumbing (binary
-  * schema, typed Dataset, batched mapPartitions, feature schema) is
-  * real and tested; swapping the stub for a JNI/codec call changes no
-  * plan shape.
+  * `mapInPandas` batch shape).
+  *
+  * The decode step is REAL for the formats the JDK ships codecs for
+  * (`javax.imageio`: PNG, BMP, GIF, JPEG, WBMP — public standard
+  * library, no extra deps): true pixel dimensions and a mean-RGB
+  * brightness over a bounded pixel sample. Formats without a JDK
+  * codec (audio/video/custom) fall back to [[decodeStub]], a
+  * deterministic header parse that keeps the schema and plan shape
+  * identical — swapping in a JNI/codec call changes nothing upstream.
   */
 object Multimodal {
 
   val BatchSize = 64
+
+  /** Formats `javax.imageio` decodes out of the box. */
+  val JdkImageFormats: Set[String] = Set("png", "bmp", "gif", "jpg", "jpeg", "wbmp")
 
   final case class MediaRow(media_id: Long, media: Array[Byte], format: String)
 
@@ -24,8 +34,50 @@ object Multimodal {
       media_id: Long, format: String, n_bytes: Int,
       width: Int, height: Int, checksum: Long, brightness: Double)
 
-  /** STUB decoder: fake 2-byte "header" -> dimensions, CRC32 checksum,
-    * mean byte value as a stand-in brightness feature. Deterministic.
+  /** Real-or-stub dispatch: JDK-codec formats decode true pixels;
+    * anything else (or a corrupt image) takes the deterministic stub.
+    */
+  def decode(r: MediaRow): MediaFeature = {
+    val fmt = Option(r.format).map(_.toLowerCase).getOrElse("")
+    if (JdkImageFormats.contains(fmt)) decodeImage(r).getOrElse(decodeStub(r))
+    else decodeStub(r)
+  }
+
+  /** javax.imageio decode: true width/height; brightness = mean of
+    * (R+G+B)/3 over a pixel grid sample capped at ~2¹⁶ pixels, so a
+    * 100-megapixel asset costs the same as a thumbnail (the bound that
+    * matters when a partition holds thousands of assets).
+    */
+  private[operators] def decodeImage(r: MediaRow): Option[MediaFeature] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(r.media))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val stride = math.max(1, math.ceil(math.sqrt(w.toDouble * h / 65536.0)).toInt)
+      var sum = 0L
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          n += 3
+          x += stride
+        }
+        y += stride
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(r.media)
+      MediaFeature(r.media_id, r.format, r.media.length, w, h, crc.getValue,
+        if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
+  /** STUB decoder for non-JDK formats: fake 2-byte "header" ->
+    * dimensions, CRC32 checksum, mean byte value as a stand-in
+    * brightness feature. Deterministic.
     */
   def decodeStub(r: MediaRow): MediaFeature = {
     val b = r.media
@@ -43,7 +95,7 @@ object Multimodal {
     */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(decodeStub)))
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(decode)))
   }
 
   /** DataFrame adapter for the query registry. */

@@ -160,6 +160,33 @@ class SourcesSpec extends SparkSpec {
     assert(got(3L).brightness == "hello".getBytes("UTF-8").map(_ & 0xff).sum.toDouble / 5)
   }
 
+  test("multimodal: real javax.imageio decode for PNG/BMP, stub fallback for the rest") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def imageBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, fmt, out))
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      // 7x5 pure white PNG, 4x6 mid-gray BMP, corrupt PNG, non-JDK format
+      Multimodal.MediaRow(1L, imageBytes("png", 7, 5, 0xffffff), "png"),
+      Multimodal.MediaRow(2L, imageBytes("bmp", 4, 6, 0x808080), "bmp"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "png"),
+      Multimodal.MediaRow(4L, Array[Byte](3, 4, 100), "mp4")))
+    val got = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    // true pixel dimensions and brightness from the real decode
+    assert(got(1L).width == 7 && got(1L).height == 5 && got(1L).brightness == 255.0)
+    assert(got(2L).width == 4 && got(2L).height == 6 && got(2L).brightness == 128.0)
+    // corrupt image falls back to the stub header parse, never throws
+    assert(got(3L).width == 10 && got(3L).height == 10)
+    // non-JDK format takes the stub path
+    assert(got(4L).width == 4 && got(4L).height == 5)
+  }
+
   test("multimodal featuresOf survives > one batch per partition") {
     val big = (1L to 200L).map(i => (i, s"payload_$i".getBytes("UTF-8"), "txt"))
       .toDF("media_id", "media", "format")
