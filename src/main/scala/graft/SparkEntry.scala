@@ -987,17 +987,23 @@ object SparkEntry {
   }
 
   /** DuckDB twins of the serving queries. */
+  private def servingValidSql: String =
+    s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
+
+  private def servingPredSql(includeDays: Boolean): String =
+    "date_sk >= 20240105 AND date_sk <= 20240128" +
+      (if (includeDays) " AND tipo_dia IN ('LABORAL','SABADO')" else "") +
+      " AND event_type_norm IN ('CLICK','VIEW','PURCHASE')" +
+      " AND CAST(FLOOR(time_30m_sk / 2) AS INTEGER) >= 6" +
+      " AND CAST(FLOOR(time_30m_sk / 2) AS INTEGER) <= 22"
+
+  private def sumDSql(c: String, name: String): String =
+    s"CAST(COALESCE(ROUND(SUM(CAST($c AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS $name"
+
   private def servingOracleSql: Map[String, String] = {
-    val validSql =
-      s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
-    def pred(includeDays: Boolean): String =
-      "date_sk >= 20240105 AND date_sk <= 20240128" +
-        (if (includeDays) " AND tipo_dia IN ('LABORAL','SABADO')" else "") +
-        " AND event_type_norm IN ('CLICK','VIEW','PURCHASE')" +
-        " AND CAST(FLOOR(time_30m_sk / 2) AS INTEGER) >= 6" +
-        " AND CAST(FLOOR(time_30m_sk / 2) AS INTEGER) <= 22"
-    def sumD(c: String, name: String): String =
-      s"CAST(COALESCE(ROUND(SUM(CAST($c AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS $name"
+    val validSql = servingValidSql
+    def pred(includeDays: Boolean): String = servingPredSql(includeDays)
+    def sumD(c: String, name: String): String = sumDSql(c, name)
     Map(
       "svc_overview" ->
         s"""SELECT
@@ -1027,38 +1033,79 @@ object SparkEntry {
            |ORDER BY subidas_promedio_total DESC, stop_code, mode_code
            |LIMIT 20""".stripMargin,
 
-      "svc_map_points" ->
-        s"""WITH valid AS ($validSql),
-           |coords AS (
-           |  SELECT stop_code, x_utm, y_utm FROM (
-           |    SELECT stop_code, x_utm, y_utm, COUNT(*) AS cnt,
-           |      ROW_NUMBER() OVER (PARTITION BY stop_code ORDER BY COUNT(*) DESC, x_utm, y_utm) AS rn
-           |    FROM (
-           |      SELECT user_id AS stop_code, value AS x_utm, CAST(prop_k AS DOUBLE) AS y_utm
-           |      FROM valid WHERE event_type_norm IN ('CLICK','VIEW')
-           |      UNION ALL
-           |      SELECT user_id, value, CAST(prop_k AS DOUBLE)
-           |      FROM valid WHERE event_type_norm NOT IN ('CLICK','VIEW')
-           |    ) c
-           |    WHERE x_utm BETWEEN 10 AND 400 AND y_utm BETWEEN 5 AND 95
-           |    GROUP BY stop_code, x_utm, y_utm) t
-           |  WHERE rn = 1),
-           |boardings AS (
-           |  SELECT date_sk AS service_date,
-           |    CAST(FLOOR(time_30m_sk / 2) AS INTEGER) AS hour_of_day,
-           |    tipo_dia, event_type_norm AS mode_code, user_id AS stop_code,
-           |    MIN(prop_k) AS comuna,
-           |    ${sumD("value", "etapas_estimadas")},
-           |    COUNT(*) AS etapas_observadas
-           |  FROM valid WHERE ${pred(true)}
-           |  GROUP BY 1, 2, 3, 4, 5)
-           |SELECT b.service_date, b.hour_of_day, b.tipo_dia, b.mode_code,
-           |  b.stop_code, b.comuna, c.x_utm, c.y_utm,
-           |  b.etapas_estimadas, b.etapas_observadas
-           |FROM boardings b JOIN coords c ON c.stop_code = b.stop_code
-           |ORDER BY b.etapas_estimadas DESC, b.stop_code, b.service_date,
-           |  b.hour_of_day, b.mode_code
-           |LIMIT 400""".stripMargin)
+      "svc_map_points" -> mapPointsSql,
+
+      "svc_utm_to_wgs84" -> utmToWgs84Sql)
+  }
+
+  private def mapPointsSql: String =
+    s"""WITH valid AS ($servingValidSql),
+       |coords AS (
+       |  SELECT stop_code, x_utm, y_utm FROM (
+       |    SELECT stop_code, x_utm, y_utm, COUNT(*) AS cnt,
+       |      ROW_NUMBER() OVER (PARTITION BY stop_code ORDER BY COUNT(*) DESC, x_utm, y_utm) AS rn
+       |    FROM (
+       |      SELECT user_id AS stop_code, value AS x_utm, CAST(prop_k AS DOUBLE) AS y_utm
+       |      FROM valid WHERE event_type_norm IN ('CLICK','VIEW')
+       |      UNION ALL
+       |      SELECT user_id, value, CAST(prop_k AS DOUBLE)
+       |      FROM valid WHERE event_type_norm NOT IN ('CLICK','VIEW')
+       |    ) c
+       |    WHERE x_utm BETWEEN 10 AND 400 AND y_utm BETWEEN 5 AND 95
+       |    GROUP BY stop_code, x_utm, y_utm) t
+       |  WHERE rn = 1),
+       |boardings AS (
+       |  SELECT date_sk AS service_date,
+       |    CAST(FLOOR(time_30m_sk / 2) AS INTEGER) AS hour_of_day,
+       |    tipo_dia, event_type_norm AS mode_code, user_id AS stop_code,
+       |    MIN(prop_k) AS comuna,
+       |    ${sumDSql("value", "etapas_estimadas")},
+       |    COUNT(*) AS etapas_observadas
+       |  FROM valid WHERE ${servingPredSql(true)}
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT b.service_date, b.hour_of_day, b.tipo_dia, b.mode_code,
+       |  b.stop_code, b.comuna, c.x_utm, c.y_utm,
+       |  b.etapas_estimadas, b.etapas_observadas
+       |FROM boardings b JOIN coords c ON c.stop_code = b.stop_code
+       |ORDER BY b.etapas_estimadas DESC, b.stop_code, b.service_date,
+       |  b.hour_of_day, b.mode_code
+       |LIMIT 400""".stripMargin
+
+  /** DuckDB twin of the Snyder inverse transverse Mercator columns
+    * (graft.functions.Geo.utmToLat/utmToLon): the SAME expression tree
+    * op for op — every +,-,*,/ in the same association order, every
+    * Scala-precomputed coefficient injected as its shortest-round-trip
+    * literal, and degrees() written as (rad * 180.0) / pi to replay
+    * java.lang.Math.toDegrees exactly. The only cross-engine risk is a
+    * last-ulp libm difference in sin/cos/tan/pow, masked by the 1e-6
+    * serving rounding (verified hash-green at sf 0.001/0.01/0.1).
+    */
+  private def utmToWgs84Sql: String = {
+    val k = Geo.sqlConstants()
+    s"""WITH pts AS (${mapPointsSql.replace("\n", "\n  ")}),
+       |m AS (SELECT *, 200000.0 + x_utm * 750.0 AS xm, 6200000.0 + y_utm * 1500.0 AS ym FROM pts),
+       |s1 AS (SELECT *, ((ym - ${k("south_fn")}) / ${k("k0")}) / ${k("mu_denom")} AS mu FROM m),
+       |s2 AS (SELECT *, mu + ${k("c2")} * sin(mu * 2) + ${k("c4")} * sin(mu * 4)
+       |  + ${k("c6")} * sin(mu * 6) + ${k("c8")} * sin(mu * 8) AS p1 FROM s1),
+       |s3 AS (SELECT *, sin(p1) AS sinp, cos(p1) AS cosp, tan(p1) AS tanp FROM s2),
+       |s4 AS (SELECT *, ${k("ep2")} * cosp * cosp AS cc1, tanp * tanp AS tt1,
+       |  1.0 - ${k("e2")} * sinp * sinp AS om FROM s3),
+       |s5 AS (SELECT *, ${k("a")} / sqrt(om) AS n1, ${k("a_1me2")} / pow(om, 1.5) AS r1 FROM s4),
+       |s6 AS (SELECT *, (xm - ${k("false_easting")}) / (n1 * ${k("k0")}) AS dd FROM s5),
+       |s7 AS (SELECT *, dd * dd AS dd2 FROM s6),
+       |s8 AS (SELECT *,
+       |  p1 - (n1 * tanp / r1) * (dd2 / 2
+       |    - (5.0 + 3.0 * tt1 + 10.0 * cc1 - 4.0 * cc1 * cc1 - ${k("ep2_9")}) * (dd2 * dd2) / 24
+       |    + (61.0 + 90.0 * tt1 + 298.0 * cc1 + 45.0 * tt1 * tt1 - ${k("ep2_252")} - 3.0 * cc1 * cc1) * (dd2 * dd2 * dd2) / 720) AS latrad,
+       |  ${k("lon0")} + (dd
+       |    - (1.0 + 2.0 * tt1 + cc1) * (dd2 * dd) / 6
+       |    + (5.0 - 2.0 * cc1 + 28.0 * tt1 - 3.0 * cc1 * cc1 + ${k("ep2_8")} + 24.0 * tt1 * tt1) * (dd2 * dd * dd2) / 120) / cosp AS lonrad
+       |  FROM s7)
+       |SELECT service_date, hour_of_day, tipo_dia, mode_code, stop_code, comuna,
+       |  x_utm, y_utm, etapas_estimadas, etapas_observadas,
+       |  ROUND(latrad * 180.0 / ${k("pi")}, 6) AS lat,
+       |  ROUND(lonrad * 180.0 / ${k("pi")}, 6) AS lon
+       |FROM s8""".stripMargin
   }
 
   /** DuckDB twin of [[scd2User]]: same window algebra as

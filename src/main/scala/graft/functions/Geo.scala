@@ -80,6 +80,30 @@ object Geo {
     degrees(lonRad)
   }
 
+  /** The inverse-series constants as shortest-round-trip double
+    * literals, for SQL oracle twins that must replay the exact
+    * expression tree (Double.toString round-trips to the identical
+    * bit pattern in any IEEE-754 parser).
+    */
+  def sqlConstants(zone: Int = 19): Map[String, String] = Map(
+    "a" -> A.toString,
+    "e2" -> E2.toString,
+    "ep2" -> Ep2.toString,
+    "k0" -> K0.toString,
+    "mu_denom" -> MuDenom.toString,
+    "c2" -> (3 * E1 / 2 - 27 * math.pow(E1, 3) / 32).toString,
+    "c4" -> (21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32).toString,
+    "c6" -> (151 * math.pow(E1, 3) / 96).toString,
+    "c8" -> (1097 * math.pow(E1, 4) / 512).toString,
+    "a_1me2" -> (A * (1 - E2)).toString,
+    "ep2_9" -> (9.0 * Ep2).toString,
+    "ep2_252" -> (252.0 * Ep2).toString,
+    "ep2_8" -> (8.0 * Ep2).toString,
+    "lon0" -> lon0Rad(zone).toString,
+    "false_easting" -> FalseEasting.toString,
+    "south_fn" -> SouthFalseNorthing.toString,
+    "pi" -> math.Pi.toString)
+
   /** Forward transform on plain doubles (test oracle for the inverse
     * column expressions; same Snyder series, eqs. 8-9..8-14).
     */
