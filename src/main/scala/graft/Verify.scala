@@ -1,17 +1,26 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Also emits
+  * `etl_run_log.json` — per-query rows written, wall seconds, status —
+  * the reference's etl_run_log observability as a first-class output
+  * (reference: src/gold/load_gold.py run-log rows / ddl_gold.sql). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val runLog = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // footer-metadata count of what actually landed, not a recompute
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        (name, rows, (System.nanoTime() - t0) / 1e9, "ok")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        (name, -1L, (System.nanoTime() - t0) / 1e9, "failed")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -29,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val logJson = runLog.map { case (n, rows, secs, status) =>
+      s"""{"query": ${q(n)}, "rows": $rows, "seconds": ${f"$secs%.3f"}, "status": ${q(status)}}"""
+    }.mkString("[\n", ",\n", "\n]")
+    Files.writeString(Paths.get(s"$outDir/etl_run_log.json"), logJson)
     spark.stop()
   }
 }
