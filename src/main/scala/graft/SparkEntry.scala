@@ -478,6 +478,15 @@ object SparkEntry {
       AnalyticsPack.odMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
 
+    "ana_pct_of_peak" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.pctOfPeak(servingValid(s, d))),
+
+    "ana_deviation_buckets" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.deviationBuckets(t(s, d, "lineitem"))),
+
+    "ana_user_mode_combos" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.userModeCombos(servingValid(s, d))),
+
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
@@ -808,6 +817,57 @@ object SparkEntry {
            |  ROUND(demanda_expandida - LAG(demanda_expandida) OVER (ORDER BY date_sk), 2)
            |    AS delta_vs_dia_anterior
            |FROM byday""".stripMargin,
+
+      "ana_pct_of_peak" ->
+        s"""WITH slots AS (
+           |  SELECT time_30m_sk,
+           |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS en_transito
+           |  FROM ($validSql) WHERE tipo_dia = 'LABORAL'
+           |  GROUP BY time_30m_sk)
+           |SELECT time_30m_sk, en_transito,
+           |  ROUND(100.0 * en_transito / NULLIF(MAX(en_transito) OVER (), 0), 1) AS pct_del_pico
+           |FROM slots""".stripMargin,
+
+      "ana_deviation_buckets" ->
+        """WITH base AS (
+          |  SELECT *, l_extendedprice / NULLIF(l_quantity, 0) AS ratio
+          |  FROM lineitem
+          |  WHERE l_quantity >= 5 AND l_extendedprice IS NOT NULL)
+          |SELECT
+          |  CASE WHEN ratio < 1000 THEN 'Muy directo (<1000)'
+          |       WHEN ratio < 2000 THEN 'Directo (1000-2000)'
+          |       WHEN ratio < 3400 THEN 'Moderado (2000-3400)'
+          |       ELSE 'Alto desvio (>=3400)' END AS categoria_desvio,
+          |  COUNT(*) AS viajes,
+          |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0), 1) AS precio_promedio,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0), 2) AS qty_promedio,
+          |  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 3) AS factor_desvio_promedio
+          |FROM base
+          |GROUP BY 1""".stripMargin,
+
+      "ana_user_mode_combos" ->
+        s"""WITH per_user AS (
+           |  SELECT user_id,
+           |    MAX(CASE WHEN event_type_norm = 'CLICK' THEN 1 ELSE 0 END) AS tiene_click,
+           |    MAX(CASE WHEN event_type_norm = 'VIEW' THEN 1 ELSE 0 END) AS tiene_view,
+           |    MAX(CASE WHEN event_type_norm = 'PURCHASE' THEN 1 ELSE 0 END) AS tiene_purchase,
+           |    COUNT(*) AS n_events
+           |  FROM ($validSql) WHERE user_id IS NOT NULL
+           |  GROUP BY user_id),
+           |seg AS (
+           |  SELECT
+           |    CASE WHEN tiene_purchase = 1 THEN 'Comprador'
+           |         WHEN tiene_click = 1 AND tiene_view = 1 THEN 'Click + View'
+           |         WHEN tiene_click = 1 THEN 'Solo Click'
+           |         WHEN tiene_view = 1 THEN 'Solo View'
+           |         ELSE 'Otra combinacion' END AS tipo_uso,
+           |    COUNT(*) AS usuarios,
+           |    ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 2) AS eventos_promedio,
+           |    ROUND(quantile_cont(n_events, 0.5), 1) AS eventos_mediana
+           |  FROM per_user GROUP BY 1)
+           |SELECT tipo_uso, usuarios, eventos_promedio, eventos_mediana,
+           |  ROUND(100.0 * usuarios / SUM(usuarios) OVER (), 2) AS pct_usuarios
+           |FROM seg""".stripMargin,
 
       "ana_od_matrix" ->
         """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,

@@ -177,6 +177,85 @@ object AnalyticsPack {
         lag(col("demanda_expandida"), 1).over(Window.orderBy(col("date_sk"))), 2))
   }
 
+  /** Pct-of-peak pressure curve (docs/queries/01_demanda_horaria
+    * .sql:47-66): aggregate in-transit demand per slot, then each
+    * slot as a share of the PEAK slot — the `MAX(...) OVER ()` kept a
+    * two-level aggregate (slot agg × broadcast 1-row max), like every
+    * grand-total window in this pack.
+    */
+  def pctOfPeak(validEvents: DataFrame): DataFrame = {
+    val slots = validEvents
+      .filter(col("tipo_dia") === "LABORAL")
+      .groupBy(col("time_30m_sk"))
+      .agg(round(sum(money(col("value"))), 0).cast("double").as("en_transito"))
+    val peak = slots.agg(max(col("en_transito")).as("pico"))
+    slots.crossJoin(broadcast(peak))
+      .withColumn("pct_del_pico",
+        round(lit(100.0) * col("en_transito") /
+          when(col("pico") === 0, lit(null)).otherwise(col("pico")), 1))
+      .drop("pico")
+  }
+
+  /** CASE-bucketed ratio classification (docs/queries/02_analisis_od
+    * .sql:49-73, the deviation-factor buckets): group rows by a
+    * computed ratio bucket — the same CASE expression is the grouping
+    * key and the readable label — with a noise-floor filter and
+    * per-bucket exact averages, ordered by the bucket's mean ratio.
+    */
+  def deviationBuckets(lineitem: DataFrame): DataFrame = {
+    val ratio = col("l_extendedprice") /
+      when(col("l_quantity") === 0, lit(null)).otherwise(col("l_quantity"))
+    val bucket =
+      when(ratio < 1000, "Muy directo (<1000)")
+        .when(ratio < 2000, "Directo (1000-2000)")
+        .when(ratio < 3400, "Moderado (2000-3400)")
+        .otherwise("Alto desvio (>=3400)")
+    lineitem
+      .filter(col("l_quantity") >= 5 && col("l_extendedprice").isNotNull)
+      .groupBy(bucket.as("categoria_desvio"))
+      .agg(
+        count(lit(1)).as("viajes"),
+        exactAvg(col("l_extendedprice"), count(lit(1)), 1).as("precio_promedio"),
+        exactAvg(col("l_quantity"), count(lit(1)), 2).as("qty_promedio"),
+        // avg(double) is reduction-order-dependent; sum the ratio as a
+        // 6dp decimal (exact, order-free) and divide once
+        round(sum(ratio.cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 3)
+          .as("factor_desvio_promedio"))
+  }
+
+  /** Intermodality combos (docs/queries/05_usuarios.sql:96-150): per
+    * user, MAX(CASE) presence flags per mode; classify the flag
+    * combination with an ordered CASE; per-combo counts, pct-of-total
+    * (two-level), exact average and median of per-user event counts.
+    */
+  def userModeCombos(validEvents: DataFrame): DataFrame = {
+    def flag(mode: String): Column =
+      max(when(col("event_type_norm") === mode, 1).otherwise(0))
+    val perUser = validEvents
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(flag("CLICK").as("tiene_click"), flag("VIEW").as("tiene_view"),
+        flag("PURCHASE").as("tiene_purchase"), count(lit(1)).as("n_events"))
+    val combo =
+      when(col("tiene_purchase") === 1, "Comprador")
+        .when(col("tiene_click") === 1 && col("tiene_view") === 1, "Click + View")
+        .when(col("tiene_click") === 1, "Solo Click")
+        .when(col("tiene_view") === 1, "Solo View")
+        .otherwise("Otra combinacion")
+    val seg = perUser
+      .groupBy(combo.as("tipo_uso"))
+      .agg(
+        count(lit(1)).as("usuarios"),
+        round(sum(col("n_events")).cast("double") / count(lit(1)), 2)
+          .as("eventos_promedio"),
+        round(percentile(col("n_events"), lit(0.5)), 1).as("eventos_mediana"))
+    val total = seg.agg(sum(col("usuarios")).as("usuarios_total"))
+    seg.crossJoin(broadcast(total))
+      .withColumn("pct_usuarios",
+        round(lit(100.0) * col("usuarios") / col("usuarios_total"), 2))
+      .drop("usuarios_total")
+  }
+
   /** Top-N origin→destination matrix (docs/queries/02_analisis_od
     * .sql:25-39): flows between supplier nation (origin) and customer
     * nation (destination), intra-zone flows excluded, ranked by

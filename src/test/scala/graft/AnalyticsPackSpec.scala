@@ -91,6 +91,39 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(d8.getAs[Long]("tarjetas_unicas") == 2L)
   }
 
+  test("pctOfPeak: peak slot reads 100, shares relative to the max") {
+    val got = AnalyticsPack.pctOfPeak(events).orderBy("time_30m_sk").collect()
+    // LABORAL slots: 10 -> 65.0, 11 -> 15.0; peak = 65
+    assert(got.map(r => (r.getAs[Int]("time_30m_sk"), r.getAs[Double]("pct_del_pico"))).toSeq
+      == Seq((10, 100.0), (11, 23.1)))
+  }
+
+  test("deviationBuckets: CASE bucket is both grouping key and label, noise floor applied") {
+    val li = Seq(
+      (6.0, 3000.0),   // ratio 500  -> Muy directo
+      (6.0, 9000.0),   // ratio 1500 -> Directo
+      (10.0, 40000.0), // ratio 4000 -> Alto desvio
+      (1.0, 99999.0))  // below the qty floor -> excluded
+      .toDF("l_quantity", "l_extendedprice")
+    val got = AnalyticsPack.deviationBuckets(li).collect()
+      .map(r => r.getAs[String]("categoria_desvio") -> r.getAs[Long]("viajes")).toMap
+    assert(got == Map("Muy directo (<1000)" -> 1L, "Directo (1000-2000)" -> 1L,
+      "Alto desvio (>=3400)" -> 1L))
+  }
+
+  test("userModeCombos: MAX(CASE) flags classify users, pct sums to 100") {
+    val got = AnalyticsPack.userModeCombos(events).collect()
+    val m = got.map(r => r.getAs[String]("tipo_uso") ->
+      r.getAs[Long]("usuarios")).toMap
+    // u1: CLICK+VIEW; u2: only CLICK; u3: only VIEW
+    assert(m == Map("Click + View" -> 1L, "Solo Click" -> 1L, "Solo View" -> 1L))
+    // each share is rounded to 2dp, so the sum is 100 +- rounding slack
+    assert(math.abs(got.map(_.getAs[Double]("pct_usuarios")).sum - 100.0) < 0.02)
+    val u2 = got.find(_.getAs[String]("tipo_uso") == "Solo Click").get
+    assert(u2.getAs[Double]("eventos_promedio") == 4.0)
+    assert(u2.getAs[Double]("eventos_mediana") == 4.0)
+  }
+
   test("odMatrix: intra-zone flows excluded, ranked by demand desc") {
     val li = Seq((1L, 100L, 2.0, 50.0), (2L, 200L, 4.0, 300.0), (3L, 100L, 1.0, 10.0))
       .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
