@@ -487,6 +487,9 @@ object SparkEntry {
     "ana_user_mode_combos" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.userModeCombos(servingValid(s, d))),
 
+    "ana_coverage_audit" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.coverageAudit(servingValid(s, d))),
+
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
@@ -868,6 +871,19 @@ object SparkEntry {
            |SELECT tipo_uso, usuarios, eventos_promedio, eventos_mediana,
            |  ROUND(100.0 * usuarios / SUM(usuarios) OVER (), 2) AS pct_usuarios
            |FROM seg""".stripMargin,
+
+      "ana_coverage_audit" ->
+        s"""SELECT event_type_norm AS mode_code, tipo_dia,
+           |  COUNT(*) AS total,
+           |  COUNT(prop_k) AS con_dato,
+           |  COUNT(*) - COUNT(prop_k) AS sin_dato,
+           |  ROUND(100.0 * COUNT(prop_k) / COUNT(*), 2) AS pct_con_dato,
+           |  ${avgD("CASE WHEN prop_k IS NOT NULL THEN CAST(value AS DECIMAL(18,2)) END",
+               "COUNT(CASE WHEN prop_k IS NOT NULL THEN value END)", 1)} AS valor_promedio_con_dato,
+           |  CASE WHEN ROUND(100.0 * COUNT(prop_k) / COUNT(*), 2) < 90.0
+           |       THEN 'INCUMPLE' ELSE 'OK' END AS estado
+           |FROM ($validSql)
+           |GROUP BY 1, 2""".stripMargin,
 
       "ana_od_matrix" ->
         """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,

@@ -256,6 +256,25 @@ object AnalyticsPack {
       .drop("usuarios_total")
   }
 
+  /** Data-coverage compliance audit (docs/queries/04_calidad_servicio
+    * .sql:136-161): per group, how many rows carry the required field,
+    * the coverage share, a conditional average over covered rows only,
+    * and the regulator-style compliance flag on the share.
+    */
+  def coverageAudit(validEvents: DataFrame): DataFrame = {
+    val covered = when(col("prop_k").isNotNull, col("value"))
+    validEvents
+      .groupBy(col("event_type_norm").as("mode_code"), col("tipo_dia"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("prop_k")).as("con_dato"),
+        (count(lit(1)) - count(col("prop_k"))).as("sin_dato"),
+        round(lit(100.0) * count(col("prop_k")) / count(lit(1)), 2).as("pct_con_dato"),
+        exactAvg(covered, count(covered), 1).as("valor_promedio_con_dato"))
+      .withColumn("estado",
+        when(col("pct_con_dato") < 90.0, "INCUMPLE").otherwise("OK"))
+  }
+
   /** Top-N origin→destination matrix (docs/queries/02_analisis_od
     * .sql:25-39): flows between supplier nation (origin) and customer
     * nation (destination), intra-zone flows excluded, ranked by

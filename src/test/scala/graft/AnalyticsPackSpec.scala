@@ -124,6 +124,23 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(u2.getAs[Double]("eventos_mediana") == 4.0)
   }
 
+  test("coverageAudit: coverage share, conditional average, compliance flag") {
+    val df = Seq(
+      ("CLICK", "LABORAL", Some(1), 10.0),
+      ("CLICK", "LABORAL", None, 20.0),
+      ("VIEW", "LABORAL", Some(2), 30.0))
+      .toDF("event_type_norm", "tipo_dia", "prop_k", "value")
+    val got = AnalyticsPack.coverageAudit(df).collect()
+      .map(r => r.getAs[String]("mode_code") -> r).toMap
+    val click = got("CLICK")
+    assert(click.getAs[Long]("con_dato") == 1L && click.getAs[Long]("sin_dato") == 1L)
+    assert(click.getAs[Double]("pct_con_dato") == 50.0)
+    // conditional average sees only the covered row's value
+    assert(click.getAs[Double]("valor_promedio_con_dato") == 10.0)
+    assert(click.getAs[String]("estado") == "INCUMPLE")
+    assert(got("VIEW").getAs[String]("estado") == "OK")
+  }
+
   test("odMatrix: intra-zone flows excluded, ranked by demand desc") {
     val li = Seq((1L, 100L, 2.0, 50.0), (2L, 200L, 4.0, 300.0), (3L, 100L, 1.0, 10.0))
       .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
