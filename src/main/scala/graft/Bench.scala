@@ -10,8 +10,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // JIT/codegen/session warmup outside the timed region.
+    // JIT/codegen/session warmup outside the timed region — against
+    // the SAME SF dir being benched, so the first timed query doesn't
+    // absorb the dataset's first-scan cost (parquet footer reads, OS
+    // page cache) that every other query then gets for free.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    SparkEntry.queries("silver_cleanse_events")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
