@@ -22,6 +22,23 @@ class InvariantSpec extends SparkSpec {
     (bk, ts, i.toLong, attr)
   }.toDF("bk", "ts", "event_id", "attr")
 
+  test("plan invariants: join-heavy queries never sort-merge or cartesian") {
+    // The §4 contract, locked into the suite: dims broadcast, fact
+    // shuffles are hash exchanges, and no plan ever degenerates into a
+    // SortMergeJoin or CartesianProduct. (PlanAudit prints the full
+    // per-query counts; this pins the invariant for the heavy hitters.)
+    val sfDir = sf
+    val heavy = Seq("q5_local_supplier", "gold_fct_star", "gold_asof_join",
+      "gold_merge_grain", "ana_od_matrix", "svc_map_points",
+      "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    heavy.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$name plans a SortMergeJoin")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
   test("scd2 invariants: disjoint covering intervals, one current, change-only versions") {
     val dim = Scd2.fromHistory(history, "bk", "ts", Seq("event_id"), Seq("attr"))
       .collect()
