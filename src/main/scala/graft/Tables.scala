@@ -15,7 +15,11 @@ object Tables {
       // set by every session builder (GraftSession / Verify / Bench / specs);
       // here the long nanos are truncated to microseconds with integer
       // division (ns magnitudes overflow double precision, so no
-      // floating-point math).
+      // floating-point math). The lake's nanos DO carry sub-microsecond
+      // precision; the truncation matches the DuckDB oracle because DuckDB
+      // reads nano parquet as microsecond TIMESTAMP, truncating the same
+      // way — equal only for non-negative epochs (spec-pinned: toward-zero
+      // and floor division agree there).
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

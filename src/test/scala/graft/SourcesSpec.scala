@@ -133,6 +133,19 @@ class SourcesSpec extends SparkSpec {
       planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("month"))
   }
 
+  test("events ts truncation agrees with the oracle: non-negative nanos") {
+    // The lake's TIMESTAMP(NANOS) values DO carry sub-microsecond
+    // precision (ns % 1000 != 0), and both sides truncate it away:
+    // Tables with `ts div 1000`, DuckDB by reading nanos parquet as
+    // microsecond TIMESTAMP. The two truncations agree exactly when
+    // epochs are non-negative (toward-zero == floor there); a pre-1970
+    // timestamp would split them one microsecond apart and silently
+    // hash-diverge every ts-bearing oracle row — pin the precondition.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    assert(raw.filter(expr("ts < 0")).count() == 0L,
+      "pre-1970 nanos: div-1000 (toward zero) no longer matches DuckDB's floor")
+  }
+
   test("parquet scans push filters and prune columns") {
     val df = Tables(spark, sf, "lineitem")
       .filter($"l_orderkey" === 42L)
