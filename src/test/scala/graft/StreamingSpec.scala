@@ -76,6 +76,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("sessionize twins agree on sub-second timestamps and cent sums") {
+    // The twin-divergence scenario from the round-2 advice: events
+    // whose gap straddles the boundary only at millisecond precision,
+    // and values whose double sum drifts from the decimal sum.
+    def subTs(ms: Long): Timestamp = {
+      val t = new Timestamp(ts("2024-01-01 10:00:00").getTime + ms); t
+    }
+    val gap = 10L // seconds
+    val rows = Seq(
+      (7L, subTs(0L), 1L, 0.105),       // cents(0.105) -> 0.11
+      (7L, subTs(9999L), 2L, 0.1 + 0.2),// 9.999s gap: same session at ms precision
+      (7L, subTs(20000L), 3L, 0.3))     // 10.001s gap from prev -> NEW session
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SessEvent]
+    val q = StreamOps.sessionize(in.toDS(), gapSec = gap, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_ms").outputMode("append").start()
+    in.addData(rows.map(r => SessEvent(r._1, r._2, r._3, r._4)): _*)
+    in.addData(SessEvent(8L, ts("2024-01-02 00:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_ms").as[StreamOps.Session].collect()
+      .filter(_.user_id == 7L)
+      .map(s => (s.session_seq, s.session_start, s.session_end, s.n_events, s.value_sum)).toSet
+    val batch = Sessionize.byGap(rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", gapSec = gap)
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+    // second-truncated gaps would have merged all three into one session
+    val sums = streamed.toSeq.sortBy(_._1).map(_._5)
+    assert(sums == Seq(0.41, 0.3)) // 0.11 + 0.30 exact cents, then 0.30
+  }
+
   test("streaming dedup drops in-watermark re-deliveries with bounded state") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
