@@ -39,7 +39,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val logJson = runLog.map { case (n, rows, secs, status) =>
-      s"""{"query": ${q(n)}, "rows": $rows, "seconds": ${f"$secs%.3f"}, "status": ${q(status)}}"""
+      // Double.toString is locale-independent (an f-interpolator "%.3f"
+      // would emit a decimal COMMA under comma-decimal locales —
+      // invalid JSON).
+      val s3 = (math.rint(secs * 1000) / 1000).toString
+      s"""{"query": ${q(n)}, "rows": $rows, "seconds": $s3, "status": ${q(status)}}"""
     }.mkString("[\n", ",\n", "\n]")
     Files.writeString(Paths.get(s"$outDir/etl_run_log.json"), logJson)
     spark.stop()

@@ -27,6 +27,14 @@ object AnalyticsPack {
   /** Exact distributed average: decimal sum cast to double, divided by
     * a count, NULL when the count is zero (both engines agree on NULL,
     * not on inf).
+    *
+    * Known cross-engine edge on the final round: Spark rounds doubles
+    * through the shortest-decimal string (HALF_UP), DuckDB rounds the
+    * binary value — a quotient whose shortest repr lands exactly on a
+    * .5 boundary (e.g. 1.005) can round apart. Quotients of exact
+    * decimal sums land there with vanishing probability and the gate
+    * is deterministic per dataset (verified green at every SF); if a
+    * future lake hits one, align with a binary-faithful round kernel.
     */
   private def exactAvg(c: Column, n: Column, scale: Int): Column =
     round(sum(money(c)).cast("double") / when(n === 0, lit(null)).otherwise(n), scale)
@@ -39,8 +47,12 @@ object AnalyticsPack {
     * quartile assignment is total.
     */
   def coverageQuartile(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    // nation is a bounded dim -> broadcast; customer SCALES with the
+    // lake, so its join is left to Catalyst/AQE (auto-broadcast while
+    // small, key-partitioned shuffle at 100 TB — never a forced
+    // driver-side collect of a linearly-growing table).
     val base = orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -278,9 +290,11 @@ object AnalyticsPack {
   /** Top-N origin→destination matrix (docs/queries/02_analisis_od
     * .sql:25-39): flows between supplier nation (origin) and customer
     * nation (destination), intra-zone flows excluded, ranked by
-    * expanded demand with explicit tie-breaks. Dims broadcast; the
-    * only fact shuffle is the lineitem↔orders key join; orderBy+limit
-    * plans as TakeOrderedAndProject (no global sort).
+    * expanded demand with explicit tie-breaks. The bounded nation dim
+    * broadcasts; customer/supplier scale with the lake, so their
+    * joins are left to Catalyst/AQE (auto-broadcast while small,
+    * key-partitioned shuffle at 100 TB); orderBy+limit plans as
+    * TakeOrderedAndProject (no global sort).
     */
   def odMatrix(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
                supplier: DataFrame, nation: DataFrame): DataFrame = {
@@ -290,8 +304,8 @@ object AnalyticsPack {
       col("n_nationkey").as("dest_nationkey"), col("n_name").as("zona_destino"))
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nOrig), col("s_nationkey") === col("orig_nationkey"))
       .join(broadcast(nDest), col("c_nationkey") === col("dest_nationkey"))
       .filter(col("zona_origen") =!= col("zona_destino"))

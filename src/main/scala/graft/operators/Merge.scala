@@ -40,8 +40,12 @@ object Merge {
     * rewrite).
     */
   def replaceCut(existing: DataFrame, incoming: DataFrame,
-                 cutCol: String): DataFrame =
-    existing.join(broadcast(incoming.select(col(cutCol)).distinct()),
-        Seq(cutCol), "left_anti")
+                 cutCol: String): DataFrame = {
+    // Null-safe equality: a NULL cut in the batch must replace the
+    // existing NULL-cut rows too — a plain anti join would keep them
+    // (null never equals null) and append duplicates beside them.
+    val cuts = broadcast(incoming.select(col(cutCol).as("__graft_cut")).distinct())
+    existing.join(cuts, existing(cutCol) <=> cuts("__graft_cut"), "left_anti")
       .unionByName(incoming)
+  }
 }

@@ -49,9 +49,13 @@ object Multimodal {
     * matters when a partition holds thousands of assets).
     */
   private[operators] def decodeImage(r: MediaRow): Option[MediaFeature] = {
+    // JDK ImageIO plugins throw RuntimeExceptions (AIOOBE, CMMException,
+    // NegativeArraySizeException...) on malformed bodies, not just
+    // IOException — any decode failure must take the stub, never kill
+    // the task.
     val img =
       try ImageIO.read(new ByteArrayInputStream(r.media))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val stride = math.max(1, math.ceil(math.sqrt(w.toDouble * h / 65536.0)).toInt)

@@ -6,6 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,10 +53,15 @@ object MedallionCatalog {
         val meta = readMeta(hfs, new HPath(dir, "_meta.json"))
         out += PartitionInfo(dataset,
           dir.toUri.getPath.stripPrefix(new HPath(root).toUri.getPath).stripPrefix("/"),
-          values.toMap, meta.map(_._1), meta.map(_._2).getOrElse(Seq.empty))
+          values.toMap, meta.flatMap(_._1), meta.map(_._2).getOrElse(Seq.empty))
       }
       subdirs.foreach { d =>
-        val Array(k, v) = d.getPath.getName.split("=", 2)
+        val Array(k, rawV) = d.getPath.getName.split("=", 2)
+        // decode Spark's partition-path encoding so `values` carries
+        // LOGICAL values (null for the default-partition marker)
+        val v =
+          if (rawV == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else ExternalCatalogUtils.unescapePathName(rawV)
         walk(d.getPath, values :+ (k -> v))
       }
     }
@@ -87,8 +93,15 @@ object MedallionCatalog {
         StructField("partition_path", StringType))
     val meta = spark.createDataFrame(
       spark.sparkContext.parallelize(metaRows, 1), metaSchema)
-    counted.join(broadcast(meta), partitionCols, "full_outer")
-      .withColumn("parquet_rows", coalesce(col("parquet_rows"), lit(0L)))
+    // Null-safe join keys: the default (null-valued) partition must
+    // line up with its sidecar, not fan out into two unmatched rows.
+    val m = broadcast(meta)
+    val cond = partitionCols.map(c => counted(c) <=> m(c)).reduce(_ && _)
+    counted.join(m, cond, "full_outer")
+      .select(
+        partitionCols.map(c => coalesce(counted(c), m(c)).as(c)) ++
+          Seq(coalesce(col("parquet_rows"), lit(0L)).as("parquet_rows"),
+            col("meta_rows"), col("partition_path")): _*)
       .withColumn("row_count_ok",
         when(col("meta_rows").isNull, lit(null).cast("boolean"))
           .otherwise(col("meta_rows") === col("parquet_rows")))
@@ -114,13 +127,16 @@ object MedallionCatalog {
     v
   }
 
-  private def readMeta(hfs: FileSystem, p: HPath): Option[(Long, Seq[String])] = {
+  private def readMeta(hfs: FileSystem, p: HPath): Option[(Option[Long], Seq[String])] = {
     if (!hfs.exists(p)) return None
     val in = hfs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, StandardCharsets.UTF_8.name()).mkString
       finally in.close()
-    Some((extractLong(text, "row_count").getOrElse(-1L), extractColumns(text)))
+    // A sidecar without row_count (the reference's extract step may
+    // write columns only) is UNKNOWN, not a count of -1 — it must
+    // surface as NULL in validate, never as a hard mismatch.
+    Some((extractLong(text, "row_count"), extractColumns(text)))
   }
 
   // _meta.json is machine-written flat JSON (MedallionSink / the

@@ -38,8 +38,9 @@ object MedallionSink {
     * partition directories present in `df` are rewritten; every other
     * partition's files are untouched (the reference's
     * delete-cut-then-reload, models/gold/cleanup_cut.sql, without a
-    * full-dataset rewrite). Sidecars refresh for the affected
-    * partitions only. Logical twin: graft.operators.Merge.replaceCut.
+    * full-dataset rewrite). Sidecars refresh from the written files'
+    * footer counts (untouched partitions rewrite byte-identical
+    * sidecars). Logical twin: graft.operators.Merge.replaceCut.
     */
   def overwritePartitions(df: DataFrame, root: String, dataset: String,
                           partitionCols: Seq[String]): Unit = {
@@ -55,19 +56,29 @@ object MedallionSink {
   /** Per-partition `_meta.json` sidecars (authoritative row_count +
     * column list — the reference's bronze sidecar contract, served to
     * graft.sources.MedallionCatalog's read-side validation). Counts
-    * come from ONE aggregate job on the partition columns; only
-    * #partitions rows ever reach the driver.
+    * come from ONE aggregate over the parquet JUST WRITTEN (footer
+    * metadata — never a recompute of the input pipeline, which would
+    * double the load's cost and could even disagree with the files if
+    * the source moved); only #partitions rows reach the driver.
+    * Directory names go through Spark's own partition-path escaping,
+    * so special characters and NULL values land next to the data
+    * files Spark wrote, not in a parallel unescaped tree.
     */
   private def writeMetaSidecars(df: DataFrame, target: String,
                                 partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.{col, count, lit}
     val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
     val colsJson = dataCols.map(c => s""""$c"""").mkString("[", ", ", "]")
-    val counts = df.groupBy(partitionCols.map(c => col(c).cast("string")): _*)
+    val counts = df.sparkSession.read.parquet(target)
+      .groupBy(partitionCols.map(c => col(c).cast("string")): _*)
       .agg(count(lit(1)).as("__n")).collect()
     counts.foreach { r =>
-      val dir = partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${r.getString(i)}" }.mkString("/")
+      val dir = partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.getString(i)
+        if (v == null) s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+        else s"$c=${ExternalCatalogUtils.escapePathName(v)}"
+      }.mkString("/")
       val n = r.getLong(partitionCols.length)
       val json = s"""{"row_count": $n, "columns": $colsJson}"""
       atomicWrite(Paths.get(target, dir, s"._meta.json.tmp"),

@@ -76,9 +76,13 @@ object StreamOps {
 
     // Accumulate exact cents (each value rounded to 2dp HALF_UP like a
     // DECIMAL(18,2) cast) so the sum is order-independent and equals
-    // the batch twin's decimal aggregation bit for bit.
+    // the batch twin's decimal aggregation bit for bit. NaN/Infinity
+    // and out-of-DECIMAL(18,2)-range values contribute 0 — the batch
+    // cast yields NULL there and the sum skips them; throwing would
+    // kill the whole streaming query on one bad event.
     def cents(v: Double): Long =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      if (v.isNaN || v.isInfinite || math.abs(v) >= 1e16) 0L
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.movePointRight(2).longValueExact()
 
     def close(userId: Long, s: SessionState): Session =

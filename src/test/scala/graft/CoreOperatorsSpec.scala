@@ -180,6 +180,13 @@ class CoreOperatorsSpec extends SparkSpec {
       ("c4", 40L, "new")))                            // brand-new cut
     // idempotent: replaying the same batch changes nothing
     assert(norm(Merge.replaceCut(got, incoming, "cut")) == norm(got))
+    // NULL cut keys replace null-safely (no duplicate beside the stale row)
+    val nullExisting = Seq((Option.empty[String], 1L, "old"), (Some("c1"), 2L, "old"))
+      .toDF("cut", "id", "src")
+    val nullIncoming = Seq((Option.empty[String], 10L, "new")).toDF("cut", "id", "src")
+    val gotNull = Merge.replaceCut(nullExisting, nullIncoming, "cut").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2))).toSet
+    assert(gotNull == Set((None, 10L, "new"), (Some("c1"), 2L, "old")))
   }
 
   test("dim_date covers full range with correct attributes") {

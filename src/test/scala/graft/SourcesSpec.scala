@@ -75,6 +75,24 @@ class SourcesSpec extends SparkSpec {
     // read side prunes partitions like any parquet partition filter
     assert(MedallionCatalog.read(spark, root, "trips")
       .filter($"year" === 2024 && $"month" === 1).count() == 2)
+    // a sidecar without row_count is UNKNOWN (null), never a mismatch
+    Files.writeString(metaPath, """{"columns": ["id", "payload"]}""")
+    val v4 = MedallionCatalog.validate(spark, root, "trips", Seq("year", "month"))
+    assert(v4.filter($"row_count_ok".isNull).count() == 1)
+    MedallionCatalog.validateOrThrow(spark, root, "trips", Seq("year", "month"))
+  }
+
+  test("sidecars follow Spark's partition-path escaping for null values") {
+    val root = Files.createTempDirectory("graft_nullpart").toString
+    val df = Seq((1L, Some("c1"), "a"), (2L, Option.empty[String], "b"))
+      .toDF("id", "cut", "payload")
+    MedallionSink.write(df, root, "np", Seq("cut"))
+    // the null-partition sidecar lands NEXT TO the data Spark wrote
+    assert(Files.exists(Paths.get(root, "dataset=np",
+      "cut=__HIVE_DEFAULT_PARTITION__", "_meta.json")))
+    assert(!Files.exists(Paths.get(root, "dataset=np", "cut=null")))
+    val v = MedallionCatalog.validate(spark, root, "np", Seq("cut"))
+    assert(v.filter($"row_count_ok" === true).count() == 2)
   }
 
   test("overwritePartitions rewrites only the incoming cut directories") {

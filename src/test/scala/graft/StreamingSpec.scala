@@ -86,6 +86,7 @@ class StreamingSpec extends SparkSpec {
     val gap = 10L // seconds
     val rows = Seq(
       (7L, subTs(0L), 1L, 0.105),       // cents(0.105) -> 0.11
+      (7L, subTs(1000L), 4L, Double.NaN), // NaN: skipped by BOTH twins' sums
       (7L, subTs(9999L), 2L, 0.1 + 0.2),// 9.999s gap: same session at ms precision
       (7L, subTs(20000L), 3L, 0.3))     // 10.001s gap from prev -> NEW session
     implicit val sql = spark.sqlContext
