@@ -548,7 +548,60 @@ object SparkEntry {
       Multimodal.featuresOf(t(s, d, "documents").select(
         col("doc_id").as("media_id"),
         col("text").cast("binary").as("media"),
-        lit("txt").as("format"))))
+        lit("txt").as("format")))),
+
+    // Built-in session_window twin of sessionize_gap: identical
+    // sessions with zero window-function passes (MergingSessionsExec),
+    // batch and streaming alike — shares the sessionize oracle.
+    "sessionize_window" -> ((s: SparkSession, d: String) =>
+      Sessionize.byGapBuiltin(t(s, d, "events"), "user_id", "ts", "event_id", "value",
+        gapSec = 1800)),
+
+    // Batch twin of streaming first-delivery-wins dedup
+    // (StreamOps.dedupStream): earliest row per key in event-time order.
+    "stream_dedup_events" -> ((s: SparkSession, d: String) =>
+      Dedup.firstByGrain(t(s, d, "events"),
+        grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id"))),
+
+    // Skew-hardened dedup — must equal gold_dedup_grain row for row
+    // (same oracle), while no single task ever ranks a hot grain alone.
+    "gold_dedup_grain_salted" -> ((s: SparkSession, d: String) =>
+      Dedup.latestByGrainSalted(t(s, d, "events"),
+        grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id"))),
+
+    // Deterministic stratified sample: membership is a pure function
+    // of md5(event_id) — replayable in any engine, no shuffle/state.
+    "sample_stratified" -> ((s: SparkSession, d: String) =>
+      Sampling.stratified(t(s, d, "events"), "event_type",
+        rates = Map("CLICK" -> 0.25, "VIEW" -> 0.125), defaultRate = 0.5,
+        keyCols = Seq("event_id"))),
+
+    // Corpus token frequency top-N (training-data vocabulary stats):
+    // explode + one partial-aggregable shuffle + TakeOrdered.
+    "text_token_topn" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(50)),
+
+    // Sketch profile: mergeable HLL distinct + t-digest quantiles per
+    // group — the 100-TB shapes for COUNT(DISTINCT)/PERCENTILE when
+    // exactness is traded for constant memory. Sketches are
+    // implementation-defined, so this row keeps the rows-only check;
+    // SamplingSketchSpec bounds the error against the exact answers.
+    "sketch_profile" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(upper(trim(col("event_type"))).as("event_type_norm"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 2)
+            .as("approx_median_value"),
+          round(percentile_approx(col("value"), lit(0.9), lit(10000)), 2)
+            .as("approx_p90_value")))
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
@@ -638,10 +691,22 @@ object SparkEntry {
         |FROM (SELECT DISTINCT TRIM(o_orderpriority) AS priority_name FROM orders
         |      WHERE o_orderpriority IS NOT NULL AND TRIM(o_orderpriority) <> '')""".stripMargin,
 
-    "gold_dedup_grain" ->
-      """SELECT event_id, ts, user_id, event_type, value, props FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin,
+    "gold_dedup_grain" -> dedupGrainSql,
+
+    // The salted variant is output-identical by construction.
+    "gold_dedup_grain_salted" -> dedupGrainSql,
+
+    // Deterministic sampler: DuckDB replays the exact md5-bucket
+    // membership rule — same rows survive in both engines.
+    "sample_stratified" ->
+      """SELECT * FROM (
+        |  SELECT *,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS sample_bucket,
+        |    CASE WHEN event_type = 'CLICK' THEN '4000'
+        |         WHEN event_type = 'VIEW'  THEN '2000'
+        |         ELSE '8000' END AS sample_threshold
+        |  FROM events)
+        |WHERE sample_bucket < sample_threshold""".stripMargin,
 
     "gold_merge_grain" ->
       s"""WITH staged AS (
@@ -902,8 +967,41 @@ object SparkEntry {
           |LIMIT 30""".stripMargin)
   }
 
+  private val dedupGrainSql =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** Shared by sessionize_gap and its session_window twin — the two
+    * operators must agree row for row, so they share one oracle.
+    */
+  private val sessionizeOracleSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag_ms IS NULL OR ms - lag_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      epoch_ms(ts) AS ms,
+      |      LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ms
+      |    FROM events)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM marked)
+      |SELECT user_id, session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
   /** DuckDB twins of the batch forms of the streaming operators. */
   private def streamingOracleSql: Map[String, String] = Map(
+    "sessionize_window" -> sessionizeOracleSql,
+
+    "stream_dedup_events" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "stream_events_30m" ->
       """SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) AS window_start,
         |  UPPER(TRIM(event_type)) AS event_type_norm,
@@ -911,24 +1009,7 @@ object SparkEntry {
         |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "sessionize_gap" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag_ms IS NULL OR ms - lag_ms > 1800000 THEN 1 ELSE 0 END AS new_s
-        |  FROM (
-        |    SELECT user_id, ts, event_id, value,
-        |      epoch_ms(ts) AS ms,
-        |      LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ms
-        |    FROM events)),
-        |sess AS (
-        |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM marked)
-        |SELECT user_id, session_seq,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  COUNT(*) AS n_events,
-        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
-        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "sessionize_gap" -> sessionizeOracleSql,
 
     "gold_cut_replace" ->
       s"""WITH c AS (${cleanseEventsSql("")}),
@@ -1059,7 +1140,15 @@ object SparkEntry {
            |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("es")})) AS es_n,
            |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("fr")})) AS fr_n,
            |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_n
-           |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin)
+           |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin,
+
+      "text_token_topn" ->
+        s"""SELECT token, COUNT(*) AS n_occurrences
+           |FROM (SELECT UNNEST($toksSql) AS token FROM documents)
+           |WHERE token <> ''
+           |GROUP BY token
+           |ORDER BY n_occurrences DESC, token
+           |LIMIT 50""".stripMargin)
   }
 
   /** DuckDB twins of the serving queries. */

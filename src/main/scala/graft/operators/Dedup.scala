@@ -27,6 +27,20 @@ object Dedup {
       .drop(rn)
   }
 
+  /** Keep the FIRST row per grain (order columns ranked ASC) — the
+    * batch twin of streaming first-delivery-wins dedup
+    * ([[graft.streaming.StreamOps.dedupStream]] keeps the first
+    * arrival inside the watermark; over an event-time-ordered feed
+    * that is exactly this operator).
+    */
+  def firstByGrain(df: DataFrame, grain: Seq[String], order: Seq[String]): DataFrame = {
+    val rn = TempCol("rn", df)
+    val w = Window.partitionBy(grain.map(col): _*).orderBy(order.map(col(_).asc): _*)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
+
   /** Exact dedup on a content column: one surviving id per distinct
     * content value plus the duplicate count.
     */

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * `sample()`/TABLESAMPLE are seed-dependent AND partition-layout-
+  * dependent — the same logical sample is unreproducible across
+  * engines, re-runs, or repartitions, which disqualifies it for
+  * curation pipelines (the sampled-out rows must stay out when the
+  * lake reloads). Here membership is a pure function of the row key:
+  * a row is kept when the first 4 hex chars of `md5(key)` fall below
+  * the per-stratum threshold. md5 of the same UTF-8 key bytes is
+  * identical in every engine, so the exact sample is replayable in
+  * DuckDB/Trino/anything — and the operator is a stateless,
+  * codegen'd filter: no shuffle, no state, embarrassingly parallel
+  * at any scale.
+  */
+object Sampling {
+
+  /** 16-bit hash bucket of the row key: first 4 hex chars of
+    * md5(concat_ws("|", keys)) — uniform over 65536 buckets for any
+    * key distribution. String-compared against [[thresholdHex]]
+    * (lowercase hex compares identically as string and as number).
+    */
+  def hashBucket(keyCols: Seq[Column]): Column =
+    substring(md5(concat_ws("|", keyCols.map(_.cast("string")): _*)), 1, 4)
+
+  /** Threshold hex literal: buckets `< threshold` are kept, giving a
+    * kept fraction of round(rate*65536)/65536. Rates >= 1 map to the
+    * sentinel "g" (every hex bucket < "g" — keep all).
+    */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0, s"negative sampling rate $rate")
+    val n = math.round(rate * 65536.0)
+    if (n >= 65536) "g" else f"$n%04x"
+  }
+
+  /** Stratified deterministic sample: each stratum value keeps its own
+    * rate (`rates`), anything else keeps `defaultRate`. Adds the
+    * bucket and the applied threshold so the membership rule itself is
+    * part of the checked output.
+    */
+  def stratified(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                 defaultRate: Double, keyCols: Seq[String]): DataFrame = {
+    val bucket = hashBucket(keyCols.map(col))
+    val threshold = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (value, rate)) =>
+        when(col(strataCol) === value, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .withColumn("sample_threshold", threshold)
+      .filter(col("sample_bucket") < col("sample_threshold"))
+  }
+}

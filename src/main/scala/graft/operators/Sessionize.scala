@@ -38,4 +38,40 @@ object Sessionize {
         coalesce(round(sum(col(valueCol).cast(DecimalType(18, 2))), 2), lit(0))
           .cast("double").as("value_sum"))
   }
+
+  /** Same sessions through Spark's built-in `session_window` aggregate
+    * (SessionWindowing + MergingSessionsExec — no window-function pass
+    * at all, works identically in batch and streaming).
+    *
+    * Boundary alignment with [[byGap]]: byGap keeps two events in one
+    * session when their ms-truncated gap is `<= gapSec*1000`, and
+    * `session_window` merges inclusively too (an event starting
+    * exactly at the previous window's end joins it — verified in
+    * SamplingSketchSpec's boundary test), so the same `gapSec` aligns
+    * the two rules exactly once the grouping timestamp is
+    * ms-truncated like byGap's comparison; session bounds and sums
+    * still aggregate the raw nano-precision column.
+    */
+  def byGapBuiltin(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+                   valueCol: String, gapSec: Long): DataFrame = {
+    val tsMs = TempCol("ts_ms", df)
+    val sessed = df
+      .withColumn(tsMs, timestamp_millis(unix_millis(col(tsCol))))
+      .groupBy(col(userCol),
+        session_window(col(tsMs), s"${gapSec * 1000L} milliseconds").as(tsMs))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        coalesce(round(sum(col(valueCol).cast(DecimalType(18, 2))), 2), lit(0))
+          .cast("double").as("value_sum"))
+    // Sessions of one user are disjoint, so ranking by start time
+    // reproduces byGap's running-sum ordinal; the window runs over the
+    // aggregated sessions (a handful of rows per user), never raw events.
+    val seqW = Window.partitionBy(col(userCol)).orderBy(col("session_start"))
+    sessed
+      .withColumn("session_seq", row_number().over(seqW).cast("long"))
+      .select(col(userCol), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"), col("value_sum"))
+  }
 }

@@ -53,6 +53,24 @@ object MedallionSink {
     writeMetaSidecars(df, target, partitionCols)
   }
 
+  /** Bucketed table write: rows are co-located by hash(bucketCols) at
+    * WRITE time, so every later join or aggregation on the bucket key
+    * plans with ZERO exchanges — the 100-TB shape for recurring
+    * fact-fact joins (grain merges, as-of staging) where re-shuffling
+    * the fact on every run is the dominant cost. The same columns are
+    * `sortBy`-ed so sort-merge joins skip their per-task sorts too.
+    * Goes through `saveAsTable` because bucket metadata must live in a
+    * catalog for the reader to trust it (a bare parquet path carries
+    * no bucketing contract). BucketingSpec pins the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .format("parquet").option("compression", "zstd")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Per-partition `_meta.json` sidecars (authoritative row_count +
     * column list — the reference's bronze sidecar contract, served to
     * graft.sources.MedallionCatalog's read-side validation). Counts

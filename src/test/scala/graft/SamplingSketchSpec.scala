@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, Sessionize}
+import graft.sources.MedallionSink
+
+/** Round-4 additions: deterministic sampling, sketch profiles, the
+  * session_window twin, first-wins dedup, and bucketed co-location.
+  */
+class SamplingSketchSpec extends SparkSpec {
+
+  private lazy val events = Tables(spark, sf, "events")
+
+  test("thresholdHex maps rates onto the 16-bit bucket space") {
+    assert(Sampling.thresholdHex(0.0) == "0000")
+    assert(Sampling.thresholdHex(0.25) == "4000")
+    assert(Sampling.thresholdHex(0.125) == "2000")
+    assert(Sampling.thresholdHex(0.5) == "8000")
+    assert(Sampling.thresholdHex(1.0) == "g") // > every hex bucket
+    intercept[IllegalArgumentException](Sampling.thresholdHex(-0.1))
+  }
+
+  test("stratified sample is deterministic and row-key-defined") {
+    val s1 = Sampling.stratified(events, "event_type",
+      Map("CLICK" -> 0.25, "VIEW" -> 0.125), 0.5, Seq("event_id"))
+    val s2 = Sampling.stratified(events, "event_type",
+      Map("CLICK" -> 0.25, "VIEW" -> 0.125), 0.5, Seq("event_id"))
+    assert(s1.collect().sortBy(_.getLong(0)).sameElements(
+      s2.collect().sortBy(_.getLong(0))))
+    // Membership is exactly the md5-prefix rule — no row inside the
+    // sample violates it, no row outside satisfies it.
+    val annotated = events.withColumn("bkt",
+      substring(md5(col("event_id").cast("string")), 1, 4))
+    val kept = s1.select("event_id").collect().map(_.getLong(0)).toSet
+    annotated.select("event_id", "event_type", "bkt").collect().foreach { r =>
+      val thr = r.getString(1) match {
+        case "CLICK" => "4000"; case "VIEW" => "2000"; case _ => "8000"
+      }
+      assert((r.getString(2) < thr) == kept.contains(r.getLong(0)),
+        s"row ${r.getLong(0)} bucket ${r.getString(2)} thr $thr")
+    }
+  }
+
+  test("stratified sample hits each stratum's rate within binomial noise") {
+    val s = Sampling.stratified(events, "event_type",
+      Map("CLICK" -> 0.25, "VIEW" -> 0.125), 0.5, Seq("event_id"))
+    val totals = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = s.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (stratum, n) =>
+      val rate = stratum match {
+        case "CLICK" => 0.25; case "VIEW" => 0.125; case _ => 0.5
+      }
+      val got = sampled.getOrElse(stratum, 0L).toDouble
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(got - n * rate) <= 5 * sd + 1,
+        s"$stratum: got $got of $n at rate $rate")
+    }
+  }
+
+  test("rate 1.0 keeps every row, rate 0.0 keeps none") {
+    val all = Sampling.stratified(events, "event_type", Map.empty, 1.0, Seq("event_id"))
+    assert(all.count() == events.count())
+    val none = Sampling.stratified(events, "event_type", Map.empty, 0.0, Seq("event_id"))
+    assert(none.count() == 0)
+  }
+
+  test("sketch profile tracks exact distincts and quantiles within bounds") {
+    val sk = SparkEntry.queries("sketch_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val exact = events
+      .groupBy(upper(trim(col("event_type"))).as("et"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("du"),
+        percentile(col("value"), lit(0.5)).as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(sk.keySet == exact.keySet)
+    exact.foreach { case (et, (n, du, med)) =>
+      val (skN, skDu, skMed) = sk(et)
+      assert(skN == n) // plain count is exact
+      assert(math.abs(skDu - du) <= math.max(3, du * 0.05), s"$et distinct $skDu vs $du")
+      assert(math.abs(skMed - med) <= math.abs(med) * 0.05 + 1, s"$et median $skMed vs $med")
+    }
+  }
+
+  test("session_window twin equals the window-function sessionizer on the lake") {
+    val a = Sessionize.byGap(events, "user_id", "ts", "event_id", "value", 1800)
+      .orderBy("user_id", "session_seq").collect()
+    val b = Sessionize.byGapBuiltin(events, "user_id", "ts", "event_id", "value", 1800)
+      .orderBy("user_id", "session_seq").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
+  test("session_window twin agrees at the exact-gap boundary") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(ms: Long) = new Timestamp(t0.getTime + ms)
+    // gap 10s: +10000ms is INSIDE (<=), +10001ms opens a new session
+    val df = Seq(
+      (1L, at(0), 1L, 1.0), (1L, at(10000), 2L, 1.0), (1L, at(20001), 3L, 1.0),
+      (2L, at(0), 4L, 1.0), (2L, at(10001), 5L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val a = Sessionize.byGap(df, "user_id", "ts", "event_id", "value", 10)
+      .orderBy("user_id", "session_seq").collect()
+    val b = Sessionize.byGapBuiltin(df, "user_id", "ts", "event_id", "value", 10)
+      .orderBy("user_id", "session_seq").collect()
+    assert(a.sameElements(b))
+    val sess = a.map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(sess.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("firstByGrain keeps the earliest row per grain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", Timestamp.valueOf("2024-01-01 10:00:00"), 10L),
+      (1L, "A", Timestamp.valueOf("2024-01-01 09:00:00"), 11L),
+      (1L, "B", Timestamp.valueOf("2024-01-01 12:00:00"), 12L),
+      (2L, "A", Timestamp.valueOf("2024-01-01 08:00:00"), 13L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Dedup.firstByGrain(df, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 12L, 13L))
+  }
+
+  test("bucketed co-located join and aggregation plan with zero exchanges") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong % 97, i.toLong * 2)).toDF("k", "vb")
+    MedallionSink.writeBucketed(a, "graft_bkt_a", 8, Seq("k"))
+    MedallionSink.writeBucketed(b, "graft_bkt_b", 8, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      assert(j.count() == a.join(b, "k").count())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      val agg = spark.table("graft_bkt_a").groupBy("k").agg(sum("va"))
+      assert(agg.count() == 97)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg shuffled:\n$aggPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+}

@@ -131,6 +131,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming first-wins dedup equals the firstByGrain batch twin on ordered feeds") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val df = in.toDF.toDF("user_id", "event_type", "ts", "event_id")
+    val q = StreamOps.dedupStream(df, Seq("user_id", "event_type"),
+        watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("dedup_grain_s").outputMode("append").start()
+    // event-time-ordered feed: first arrival per (user, type) = earliest event
+    val rows = Seq(
+      (1L, "A", ts("2024-01-01 09:00:00"), 11L),
+      (1L, "A", ts("2024-01-01 10:00:00"), 10L),
+      (1L, "B", ts("2024-01-01 12:00:00"), 12L),
+      (2L, "A", ts("2024-01-01 08:00:00"), 13L),
+      (2L, "A", ts("2024-01-01 08:30:00"), 14L))
+    in.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_grain_s").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    val batch = graft.operators.Dedup.firstByGrain(
+        rows.toDF("user_id", "event_type", "ts", "event_id"),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch && batch == Seq(11L, 12L, 13L))
+  }
+
   test("stream-static broadcast enrichment resolves dimension attributes") {
     implicit val sql = spark.sqlContext
     val dim = Seq(("click", 1), ("view", 2)).toDF("name", "sk")
