@@ -587,6 +587,10 @@ object SparkEntry {
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(50)),
 
+    // Distributed per-label vector mean — see Ann.centroids.
+    "embedding_centroids" -> ((s: SparkSession, d: String) =>
+      Ann.centroids(t(s, d, "embeddings"), "label", "embedding")),
+
     // Sketch profile: mergeable HLL distinct + t-digest quantiles per
     // group — the 100-TB shapes for COUNT(DISTINCT)/PERCENTILE when
     // exactness is traded for constant memory. Sketches are
@@ -776,7 +780,8 @@ object SparkEntry {
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
          |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
-  ) ++ servingOracleSql ++ analyticsOracleSql ++ textOracleSql ++ annOracleSql ++ streamingOracleSql
+  ) ++ servingOracleSql ++ analyticsOracleSql ++ textOracleSql ++ annOracleSql ++
+    centroidOracleSql ++ streamingOracleSql
 
   /** DuckDB twins of the gold analytics pack (reference:
     * docs/queries/01-05). Shared determinism rules: averages are
@@ -1047,6 +1052,22 @@ object SparkEntry {
          |      FROM (${qualityAnnotatedSql()}) GROUP BY 1)""".stripMargin)
 
   /** DuckDB twin of the brute-force ANN baseline. Float parity is
+    * exact (see below); the centroid twin goes float -> DOUBLE ->
+    * DECIMAL in both engines so the order-free decimal sums agree.
+    */
+  private val centroidOracleSql: Map[String, String] = Map(
+    "embedding_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    UNNEST(range(0, len(embedding))) AS dim_pos,
+        |    UNNEST(embedding) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, CAST(dim_pos AS INTEGER) AS dim_pos,
+        |  COUNT(*) AS n_vectors,
+        |  ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS centroid_v
+        |FROM ex GROUP BY 1, 2""".stripMargin)
+
+  /** DuckDB twin of the brute-force ANN baseline (annOracleSql). Float parity is
     * exact because both sides fold the products left-to-right in
     * double precision: Spark `aggregate(zip_with(...), 0.0, +)` vs
     * DuckDB `list_reduce(list_prepend(0.0, ...), +)` — pre-verified

@@ -34,6 +34,25 @@ object Ann {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
+  /** Distributed per-group vector mean (the assignment-step primitive
+    * of k-means / IVF training): posexplode to (group, dim, component)
+    * and aggregate per (group, dim) — one partial-aggregable shuffle,
+    * never a whole-vector reduce on a single task, any dimensionality.
+    * Components sum as DECIMAL(28,12) (order-free parallel reduction,
+    * float -> double -> decimal so any engine converts identically),
+    * divided once.
+    */
+  def centroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim_pos", "v")))
+      .groupBy(col("label"), col("dim_pos"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
+          / count(lit(1)), 6).as("centroid_v"))
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

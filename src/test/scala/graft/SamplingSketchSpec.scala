@@ -127,6 +127,22 @@ class SamplingSketchSpec extends SparkSpec {
     assert(got.toSeq == Seq(11L, 12L, 13L))
   }
 
+  test("embedding centroids: distributed per-label vector mean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1),
+      (4L, null.asInstanceOf[Array[Float]], 1)) // null vectors drop out
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann.centroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      (0, 0) -> (2L, 2.0), (0, 1) -> (2L, 3.0),
+      (1, 0) -> (1L, 10.0), (1, 1) -> (1L, 20.0)))
+  }
+
   test("bucketed co-located join and aggregation plan with zero exchanges") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")

@@ -131,6 +131,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("built-in session_window streams the same sessions as the batch twin") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val df = in.toDF.toDF("user_id", "ts", "event_id", "value")
+    val rows = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L, 0.10),
+      (7L, ts("2024-01-01 10:00:05"), 2L, 0.20),  // same session (gap 10s)
+      (7L, ts("2024-01-01 10:00:30"), 3L, 0.30))  // 25s > 10s -> new session
+    val q = df.withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", "10 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n_events", $"value_sum")
+      .writeStream.format("memory").queryName("sw_s").outputMode("append").start()
+    in.addData(rows)
+    q.processAllAvailable()
+    in.addData(Seq((8L, ts("2024-01-02 00:00:00"), 9L, 0.0))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_s").filter($"user_id" === 7L)
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Sessionize.byGapBuiltin(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", gapSec = 10)
+      .filter($"user_id" === 7L)
+      .collect().map(r => (r.getTimestamp(2), r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2) == Set(2L, 1L))
+  }
+
   test("streaming first-wins dedup equals the firstByGrain batch twin on ordered feeds") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp, Long)]
