@@ -56,6 +56,51 @@ object StreamOps {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left")
 
+  /** Streaming MERGE-on-grain sink: each micro-batch is deduped to
+    * the declared grain and appended WHEN-NOT-MATCHED into the target
+    * (graft.operators.Merge.appendNewGrains per batch — the
+    * reference's idempotent fact MERGE, maintained incrementally).
+    * Re-delivered or replayed grains never duplicate: the first
+    * delivery of a grain wins across batches, latest-in-batch wins
+    * within one.
+    *
+    * The parquet target swaps tmp -> rename like the reference's
+    * atomic writes (the merged frame is localCheckpoint-ed first so
+    * overwriting the files it was read from cannot corrupt the
+    * lineage). On a lake with a transactional table format the same
+    * foreachBatch body becomes a real MERGE INTO; exactly-once then
+    * comes from the checkpoint's batch-id dedup plus the sink's
+    * idempotence — which this merge rule provides by construction.
+    */
+  def mergeSink(stream: DataFrame, checkpoint: String, target: String,
+                grain: Seq[String], order: Seq[String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeBatchToParquet(batch.toDF(), target, grain, order)
+      }
+
+  private[streaming] def mergeBatchToParquet(batch: DataFrame, target: String,
+                                             grain: Seq[String], order: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.{Dedup, Merge}
+    val spark = batch.sparkSession
+    val tPath = new Path(target)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incoming = Dedup.latestByGrain(batch, grain, order)
+    val merged =
+      if (fs.exists(tPath))
+        Merge.appendNewGrains(spark.read.parquet(target), incoming, grain)
+          .localCheckpoint(true)
+      else incoming
+    val tmp = new Path(target + ".__graft_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(tPath)) fs.delete(tPath, true)
+    fs.rename(tmp, tPath)
+  }
+
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
 
   final case class SessionState(

@@ -238,6 +238,30 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:30:00"), "CLICK", 1L, 4.0)))
   }
 
+  test("foreachBatch merge sink: grains never duplicate across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergesink").toString
+    val target = s"$dir/fct"
+    val in = MemoryStream[(Long, String, Long, Double)]
+    val df = in.toDF.toDF("user_id", "event_type", "event_id", "value")
+    val q = StreamOps.mergeSink(df, s"$dir/ckpt", target,
+      grain = Seq("user_id", "event_type"), order = Seq("event_id")).start()
+    // batch 1: one grain re-delivered in-batch (latest event_id wins)
+    in.addData(Seq((1L, "A", 1L, 10.0), (1L, "A", 2L, 11.0), (2L, "B", 3L, 20.0)))
+    q.processAllAvailable()
+    // batch 2: replays grain (1,A) with new data (must NOT replace) + new grain
+    in.addData(Seq((1L, "A", 9L, 99.0), (3L, "C", 4L, 30.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      (1L, "A") -> (2L, 11.0),   // in-batch latest, kept over the batch-2 replay
+      (2L, "B") -> (3L, 20.0),
+      (3L, "C") -> (4L, 30.0)))
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
