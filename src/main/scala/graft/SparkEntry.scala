@@ -496,11 +496,63 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
 
+    // Duplicate-cluster assignment: connected components over the
+    // exact-Jaccard pair set (iterative min-label propagation — the
+    // survivor-selection step after any pair generator).
+    "dedup_clusters" -> ((s: SparkSession, d: String) =>
+      TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b")),
+
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
 
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
       TextDedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    // Document quality gate (Gopher-style corpus filter rules as a
+    // first-match reason-coded pass — the documents twin of the
+    // events QualityGate): length band, symbol-to-text ratio, mean
+    // token length band, stopword floor for long English text. One
+    // codegen'd scan, no shuffle.
+    "doc_quality_gate" -> ((s: SparkSession, d: String) => {
+      val txt = col("text")
+      val toks = TextOps.tokens(txt)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          (TextOps.punctCount(txt) / greatest(length(txt), lit(1))).as("punct_ratio"),
+          (TextOps.stopwordCountEn(toks) / greatest(size(toks), lit(1)))
+            .as("stopword_ratio"),
+          (aggregate(toks, lit(0), (a, x) => a + length(x)) / greatest(size(toks), lit(1)))
+            .as("avg_token_len"))
+        .withColumn("reason_code",
+          when(col("n_tokens") < 5, "TOO_SHORT")
+            .when(col("n_tokens") > 100000, "TOO_LONG")
+            .when(col("punct_ratio") > 0.3, "HIGH_PUNCT")
+            .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0,
+              "BAD_TOKEN_LEN")
+            .when(col("lang") === "en" && col("n_tokens") >= 50 &&
+              col("stopword_ratio") < 0.01, "NO_STOPWORDS")
+            .otherwise(lit(null).cast("string")))
+        .withColumn("is_valid", col("reason_code").isNull)
+    }),
+
+    // PII-style scrubbing: emails and long digit runs masked with
+    // typed placeholders, with per-doc match counts for the run log.
+    // Patterns restricted to the Java-regex/RE2 common subset so any
+    // engine replays the exact redaction.
+    "text_redact" -> ((s: SparkSession, d: String) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]{6,}"
+      val txt = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(txt, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(txt, lit(numRe), lit(0))).as("n_long_numbers"),
+        regexp_replace(regexp_replace(txt, emailRe, "<EMAIL>"), numRe, "<NUM>")
+          .as("text_redacted"))
+    }),
 
     "text_stats" -> textStats _,
 
@@ -1114,25 +1166,23 @@ object SparkEntry {
       // Mirrors the df-cap (stop shingles with df > 1000 leave both
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
-      "dedup_ngram_jaccard" ->
-        s"""WITH docs AS (
-           |  SELECT doc_id, $shinglesSql AS shs
-           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
-           |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
-           |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
-           |kept AS (SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfc d USING (sh)),
-           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-           |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  WHERE a.df >= 2
-           |  GROUP BY 1, 2)
-           |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
-           |  p.n_common / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
-           |FROM pairs p
-           |JOIN sizes sa ON sa.doc_id = p.doc_a
-           |JOIN sizes sb ON sb.doc_id = p.doc_b
-           |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin,
+      "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
+
+      // Connected components over the same pair set: DuckDB replays
+      // the min-label fixpoint as a recursive transitive-closure CTE
+      // (UNION-distinct terminates it), then MIN per node.
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql)}),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM jp
+           |  UNION
+           |  SELECT doc_b, doc_a FROM jp),
+           |walk(id, label) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+           |SELECT id AS doc_id, MIN(label) AS cluster_id
+           |FROM walk GROUP BY id""".stripMargin,
 
       "text_stats" ->
         s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, n_tokens_bpe, punct_ratio, stopword_ratio,
@@ -1169,8 +1219,60 @@ object SparkEntry {
            |WHERE token <> ''
            |GROUP BY token
            |ORDER BY n_occurrences DESC, token
-           |LIMIT 50""".stripMargin)
+           |LIMIT 50""".stripMargin,
+
+      "doc_quality_gate" ->
+        s"""SELECT *,
+           |  CASE WHEN n_tokens < 5 THEN 'TOO_SHORT'
+           |       WHEN n_tokens > 100000 THEN 'TOO_LONG'
+           |       WHEN punct_ratio > 0.3 THEN 'HIGH_PUNCT'
+           |       WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'BAD_TOKEN_LEN'
+           |       WHEN lang = 'en' AND n_tokens >= 50 AND stopword_ratio < 0.01 THEN 'NO_STOPWORDS'
+           |       ELSE NULL END AS reason_code,
+           |  (CASE WHEN n_tokens < 5 THEN 'TOO_SHORT'
+           |       WHEN n_tokens > 100000 THEN 'TOO_LONG'
+           |       WHEN punct_ratio > 0.3 THEN 'HIGH_PUNCT'
+           |       WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'BAD_TOKEN_LEN'
+           |       WHEN lang = 'en' AND n_tokens >= 50 AND stopword_ratio < 0.01 THEN 'NO_STOPWORDS'
+           |       ELSE NULL END) IS NULL AS is_valid
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    len(t) AS n_tokens,
+           |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio,
+           |    list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len
+           |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin,
+
+      "text_redact" ->
+        """SELECT doc_id,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
+          |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS text_redacted
+          |FROM documents""".stripMargin)
   }
+
+  /** The df-capped exact-Jaccard pair query, shared by the pairs row
+    * and the clusters row (whose edge set it is).
+    */
+  private def jaccardPairsOracleSql(toksSql: String, shinglesSql: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $shinglesSql AS shs
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+       |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
+       |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+       |kept AS (SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfc d USING (sh)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  WHERE a.df >= 2
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
+       |  p.n_common / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin
 
   /** DuckDB twins of the serving queries. */
   private def servingValidSql: String =

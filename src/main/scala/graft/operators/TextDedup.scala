@@ -125,6 +125,50 @@ object TextDedup {
     df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), Kernels.shingleHashes(col("toks"), n).as("shs"))
 
+  /** Connected components over a near-dup pair set — the step every
+    * dedup pipeline needs AFTER pair generation: transitively-linked
+    * documents form one duplicate cluster, and the survivor policy
+    * (keep min id) applies per cluster, not per pair.
+    *
+    * Pregel-style iterative min-label propagation: every node starts
+    * labeled with its own id; each round joins labels across edges
+    * and keeps the minimum; stops when a round changes nothing. The
+    * driver only controls the loop (one scalar changed-count per
+    * round) — the data never leaves the cluster. O(component
+    * diameter) rounds, each one join + one partial-aggregable
+    * shuffle on the node id; near-dup components are shallow (dup
+    * groups link densely), so rounds stay single-digit in practice.
+    * Each round's result is localCheckpoint-ed: lineage would
+    * otherwise double per round and recompute the whole history at
+    * every action.
+    *
+    * Output: (doc_id, cluster_id) for every document appearing in a
+    * pair, cluster_id = the component's minimum doc id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 64): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaEdges = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = viaEdges.unionAll(labels)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** The shingles [[jaccardPairs]] dropped under its df-cap, with
     * their document frequencies — the "logged drop" for the run log.
     * Empty whenever the cap did not bind.

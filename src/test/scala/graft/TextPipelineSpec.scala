@@ -119,6 +119,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getInt(3) == 1) // "the"
   }
 
+  test("connected components: chains merge, separate components stay apart") {
+    // 1-2-3 chained (1-2, 2-3), {10,11} pair, 20 isolated (no pairs)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("doc quality gate: first-match reasons on crafted documents") {
+    val df = Seq(
+      (1L, "en", "too short"),
+      (2L, "en", "a perfectly reasonable document with the usual words in it for sure"),
+      (3L, "en", "!!! ??? ### $$$ %%% &&& *** ((( ))) @@@ ;;; ::: ,,, ... !!!"))
+      .toDF("doc_id", "lang", "text")
+    val q = SparkEntry.queries("doc_quality_gate")
+    // drive the same expressions through a temp parquet lake
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = q(spark, dir).select("doc_id", "reason_code")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("TOO_SHORT"))
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains("HIGH_PUNCT"))
+  }
+
+  test("text redact: emails and long digit runs masked, counts reported") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.org or call 5551234567 now"),
+      (2L, "no pii here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs2").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_redact")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((1, 1, "contact <EMAIL> or call <NUM> now")))
+    assert(got(2L) == ((0, 0, "no pii here")))
+  }
+
   test("fingerprints: deterministic, content-sensitive, within prime range") {
     val got = docs.select($"doc_id",
       TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"),
