@@ -84,20 +84,57 @@ object StreamOps {
 
   private[streaming] def mergeBatchToParquet(batch: DataFrame, target: String,
                                              grain: Seq[String], order: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
     import graft.operators.{Dedup, Merge}
-    val spark = batch.sparkSession
+    val incoming = Dedup.latestByGrain(batch, grain, order)
+    upsertParquet(target, incoming, existing =>
+      Merge.appendNewGrains(existing, incoming, grain))
+  }
+
+  /** Streaming SCD2 maintenance: each micro-batch of observations is
+    * merged into the dimension with expire-and-insert semantics
+    * (graft.operators.Scd2.applyChanges — affected keys only), so the
+    * dim at any point equals a full-history rebuild over everything
+    * streamed so far. Inherits applyChanges' no-same-day-re-observation
+    * precondition: batches must cover time ranges after the previous
+    * batch's cutoff (the natural shape of a streaming feed; spec uses
+    * day-aligned batches).
+    */
+  def scd2Sink(stream: DataFrame, checkpoint: String, target: String,
+               bk: String, ts: String, tieBreak: Seq[String], attrs: Seq[String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        scd2BatchToParquet(batch.toDF(), target, bk, ts, tieBreak, attrs)
+      }
+
+  private[streaming] def scd2BatchToParquet(batch: DataFrame, target: String,
+                                            bk: String, ts: String,
+                                            tieBreak: Seq[String], attrs: Seq[String]): Unit = {
+    import graft.operators.Scd2
+    upsertParquet(target, Scd2.fromHistory(batch, bk, ts, tieBreak, attrs),
+      existing => Scd2.applyChanges(existing, batch, bk, ts, tieBreak, attrs))
+  }
+
+  /** tmp -> rename swap of a parquet target that the new frame may
+    * itself read from: `merge(existing)` is localCheckpoint-ed before
+    * the old files are deleted, so overwriting cannot corrupt the
+    * lineage. `init` is used when the target does not exist yet.
+    */
+  private def upsertParquet(target: String, init: DataFrame,
+                            merge: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = init.sparkSession
     val tPath = new Path(target)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val incoming = Dedup.latestByGrain(batch, grain, order)
-    val merged =
-      if (fs.exists(tPath))
-        Merge.appendNewGrains(spark.read.parquet(target), incoming, grain)
-          .localCheckpoint(true)
-      else incoming
+    val exists = fs.exists(tPath)
+    val out =
+      if (exists) merge(spark.read.parquet(target)).localCheckpoint(true)
+      else init
     val tmp = new Path(target + ".__graft_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(tPath)) fs.delete(tPath, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    if (exists) fs.delete(tPath, true)
     fs.rename(tmp, tPath)
   }
 

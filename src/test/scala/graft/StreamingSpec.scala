@@ -262,6 +262,36 @@ class StreamingSpec extends SparkSpec {
       (3L, "C") -> (4L, 30.0)))
   }
 
+  test("foreachBatch SCD2 sink: streamed dim equals the full-history rebuild") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2sink").toString
+    val target = s"$dir/dim"
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = in.toDF.toDF("user_id", "ts", "event_id", "segment")
+    val q = StreamOps.scd2Sink(df, s"$dir/ckpt", target,
+      bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("segment")).start()
+    // day-aligned batches (the applyChanges precondition): batch 2 only
+    // covers days after batch 1's cutoff
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 18:00:00"), 2L, "b"),  // same-day latest wins
+      (2L, ts("2024-01-02 09:00:00"), 3L, "x"))
+    val batch2 = Seq(
+      (1L, ts("2024-01-03 10:00:00"), 4L, "c"),  // version change
+      (2L, ts("2024-01-04 11:00:00"), 5L, "x"),  // no change -> no version
+      (3L, ts("2024-01-04 12:00:00"), 6L, "new")) // new key
+    in.addData(batch1); q.processAllAvailable()
+    in.addData(batch2); q.processAllAvailable()
+    q.stop()
+    val streamedDim = spark.read.parquet(target)
+    val fullRebuild = graft.operators.Scd2.fromHistory(
+      (batch1 ++ batch2).toDF("user_id", "ts", "event_id", "segment"),
+      "user_id", "ts", Seq("event_id"), Seq("segment"))
+    assert(streamedDim.count() == 4) // u1: b,c; u2: x; u3: new
+    assert(streamedDim.exceptAll(fullRebuild).isEmpty &&
+      fullRebuild.exceptAll(streamedDim).isEmpty)
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
