@@ -39,6 +39,19 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("scan invariants: column pruning and raw-column filter pushdown reach parquet") {
+    // A 2-column projection over documents must scan ONLY text (the §4
+    // "a scan that reads all columns is wrong" contract)...
+    val topn = SparkEntry.queries("text_token_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(topn.contains("ReadSchema: struct<text:string>"), topn)
+    // ...and a raw-column predicate must reach the scan as a pushed
+    // filter (vec_id is a physical parquet column).
+    val ann = SparkEntry.queries("ann_cosine_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ann.contains("PushedFilters: [") && ann.contains("LessThan(vec_id,10)"), ann)
+  }
+
   test("scd2 invariants: disjoint covering intervals, one current, change-only versions") {
     val dim = Scd2.fromHistory(history, "bk", "ts", Seq("event_id"), Seq("attr"))
       .collect()
