@@ -23,6 +23,11 @@ object Sampling {
     * md5(concat_ws("|", keys)) — uniform over 65536 buckets for any
     * key distribution. String-compared against [[thresholdHex]]
     * (lowercase hex compares identically as string and as number).
+    *
+    * Key columns should be non-null: `concat_ws` SKIPS nulls, so
+    * composite keys ("a", NULL) and (NULL, "a") would hash alike —
+    * still deterministic, but two distinct rows sharing one sampling
+    * fate. Use a coalesced sentinel in the key if null parts matter.
     */
   def hashBucket(keyCols: Seq[Column]): Column =
     substring(md5(concat_ws("|", keyCols.map(_.cast("string")): _*)), 1, 4)

@@ -144,6 +144,14 @@ object TextDedup {
     *
     * Output: (doc_id, cluster_id) for every document appearing in a
     * pair, cluster_id = the component's minimum doc id.
+    *
+    * Throws IllegalStateException if the fixpoint is not reached
+    * within `maxRounds` (a component with diameter > maxRounds —
+    * pathological for near-dup graphs, whose components are dense):
+    * silently returning half-propagated labels would split one
+    * duplicate cluster into several and KEEP duplicates. Raise
+    * `maxRounds` (rounds are O(diameter), each one join + shuffle)
+    * if a lake legitimately chains that deep.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 64): DataFrame = {
@@ -166,6 +174,11 @@ object TextDedup {
       labels = next
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — a component deeper than " +
+          "maxRounds; raise maxRounds")
     labels
   }
 

@@ -127,6 +127,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: a 12-node chain converges over multiple rounds") {
+    // path graph 0-1-2-...-11: worst diameter per node count, needs
+    // several propagation rounds; everything must label to 0
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 12 && got.forall(_._2 == 0L))
+    // and an un-converged run must fail loudly, not return split clusters
+    intercept[IllegalStateException] {
+      TextDedup.connectedComponents(pairs, "doc_a", "doc_b", maxRounds = 1)
+    }
+  }
+
   test("doc quality gate: first-match reasons on crafted documents") {
     val df = Seq(
       (1L, "en", "too short"),
