@@ -541,17 +541,24 @@ object SparkEntry {
     // PII-style scrubbing: emails and long digit runs masked with
     // typed placeholders, with per-doc match counts for the run log.
     // Patterns restricted to the Java-regex/RE2 common subset so any
-    // engine replays the exact redaction.
+    // engine replays the exact redaction. n_long_numbers counts runs
+    // in the EMAIL-MASKED text (same pass order as the replacement),
+    // so the counts reconcile exactly with the <NUM> markers emitted
+    // — a digit run inside an email is one email redaction, not a
+    // phantom unredacted number.
     "text_redact" -> ((s: SparkSession, d: String) => {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val numRe = "[0-9]{6,}"
       val txt = col("text")
-      t(s, d, "documents").select(
-        col("doc_id"),
-        size(regexp_extract_all(txt, lit(emailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(txt, lit(numRe), lit(0))).as("n_long_numbers"),
-        regexp_replace(regexp_replace(txt, emailRe, "<EMAIL>"), numRe, "<NUM>")
-          .as("text_redacted"))
+      t(s, d, "documents")
+        .withColumn("__graft_email_masked", regexp_replace(txt, emailRe, "<EMAIL>"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(txt, lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("__graft_email_masked"), lit(numRe), lit(0)))
+            .as("n_long_numbers"),
+          regexp_replace(col("__graft_email_masked"), numRe, "<NUM>")
+            .as("text_redacted"))
     }),
 
     "text_stats" -> textStats _,
@@ -632,7 +639,7 @@ object SparkEntry {
     // explode + one partial-aggregable shuffle + TakeOrdered.
     "text_token_topn" -> ((s: SparkSession, d: String) =>
       t(s, d, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_occurrences"))
@@ -1222,33 +1229,31 @@ object SparkEntry {
            |LIMIT 50""".stripMargin,
 
       "doc_quality_gate" ->
-        s"""SELECT *,
-           |  CASE WHEN n_tokens < 5 THEN 'TOO_SHORT'
-           |       WHEN n_tokens > 100000 THEN 'TOO_LONG'
-           |       WHEN punct_ratio > 0.3 THEN 'HIGH_PUNCT'
-           |       WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'BAD_TOKEN_LEN'
-           |       WHEN lang = 'en' AND n_tokens >= 50 AND stopword_ratio < 0.01 THEN 'NO_STOPWORDS'
-           |       ELSE NULL END AS reason_code,
-           |  (CASE WHEN n_tokens < 5 THEN 'TOO_SHORT'
-           |       WHEN n_tokens > 100000 THEN 'TOO_LONG'
-           |       WHEN punct_ratio > 0.3 THEN 'HIGH_PUNCT'
-           |       WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'BAD_TOKEN_LEN'
-           |       WHEN lang = 'en' AND n_tokens >= 50 AND stopword_ratio < 0.01 THEN 'NO_STOPWORDS'
-           |       ELSE NULL END) IS NULL AS is_valid
-           |FROM (
-           |  SELECT doc_id, lang,
-           |    len(t) AS n_tokens,
-           |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
-           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio,
-           |    list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len
-           |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin,
+        s"""SELECT *, reason_code IS NULL AS is_valid FROM (
+           |  SELECT *,
+           |    CASE WHEN n_tokens < 5 THEN 'TOO_SHORT'
+           |         WHEN n_tokens > 100000 THEN 'TOO_LONG'
+           |         WHEN punct_ratio > 0.3 THEN 'HIGH_PUNCT'
+           |         WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'BAD_TOKEN_LEN'
+           |         WHEN lang = 'en' AND n_tokens >= 50 AND stopword_ratio < 0.01 THEN 'NO_STOPWORDS'
+           |         ELSE NULL END AS reason_code
+           |  FROM (
+           |    SELECT doc_id, lang,
+           |      len(t) AS n_tokens,
+           |      (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+           |      len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio,
+           |      list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len
+           |    FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents)))""".stripMargin,
 
       "text_redact" ->
         """SELECT doc_id,
           |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-          |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
-          |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS text_redacted
-          |FROM documents""".stripMargin)
+          |  len(regexp_extract_all(masked, '[0-9]{6,}')) AS n_long_numbers,
+          |  regexp_replace(masked, '[0-9]{6,}', '<NUM>', 'g') AS text_redacted
+          |FROM (
+          |  SELECT doc_id, text,
+          |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS masked
+          |  FROM documents)""".stripMargin)
   }
 
   /** The df-capped exact-Jaccard pair query, shared by the pairs row

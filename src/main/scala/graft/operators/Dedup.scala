@@ -28,10 +28,14 @@ object Dedup {
   }
 
   /** Keep the FIRST row per grain (order columns ranked ASC) — the
-    * batch twin of streaming first-delivery-wins dedup
-    * ([[graft.streaming.StreamOps.dedupStream]] keeps the first
-    * arrival inside the watermark; over an event-time-ordered feed
-    * that is exactly this operator).
+    * deterministic batch reference for streaming first-delivery-wins
+    * dedup ([[graft.streaming.StreamOps.dedupStream]]). The stream
+    * keeps the first row its state store ENCOUNTERS, which equals
+    * this operator when each key's deliveries reach the state in
+    * event-time order (single ordered source partition per key — the
+    * spec's setup); across a multi-partition micro-batch, shuffle
+    * fetch order makes the stream's survivor arbitrary, while this
+    * batch form is always the event-time minimum.
     */
   def firstByGrain(df: DataFrame, grain: Seq[String], order: Seq[String]): DataFrame = {
     val rn = TempCol("rn", df)

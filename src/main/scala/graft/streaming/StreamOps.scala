@@ -114,28 +114,69 @@ object StreamOps {
                                             tieBreak: Seq[String], attrs: Seq[String]): Unit = {
     import graft.operators.Scd2
     upsertParquet(target, Scd2.fromHistory(batch, bk, ts, tieBreak, attrs),
-      existing => Scd2.applyChanges(existing, batch, bk, ts, tieBreak, attrs))
+      { existing =>
+        // applyChanges' precondition, ENFORCED (micro-batch boundaries
+        // are arbitrary in a real stream): a batch observation on a
+        // day a key has already versioned would replay against the
+        // reconstituted MIDNIGHT observation and win regardless of the
+        // original intraday winner — a silently wrong dimension. Fail
+        // loudly instead; the fix is day-aligned triggers or carrying
+        // per-day max observation ts in the dim.
+        val replayed = batch
+          .select(col(bk), to_date(col(ts)).as("__graft_day"))
+          .join(existing.select(col(bk), col("valid_from")), bk)
+          .filter(col("__graft_day") <= col("valid_from"))
+          .count()
+        if (replayed > 0)
+          throw new IllegalStateException(
+            s"scd2Sink: $replayed batch observation(s) re-observe a day at or " +
+              s"before an existing version's valid_from — micro-batches must " +
+              "cover strictly later days per key (see Scd2.applyChanges)")
+        Scd2.applyChanges(existing, batch, bk, ts, tieBreak, attrs)
+      })
   }
 
-  /** tmp -> rename swap of a parquet target that the new frame may
-    * itself read from: `merge(existing)` is localCheckpoint-ed before
-    * the old files are deleted, so overwriting cannot corrupt the
-    * lineage. `init` is used when the target does not exist yet.
+  /** Crash-safe swap of a parquet target that the new frame may itself
+    * read from: `merge(existing)` is localCheckpoint-ed before the old
+    * files move, so overwriting cannot corrupt the lineage; `init` is
+    * used when the target does not exist yet.
+    *
+    * Swap protocol (every step leaves a recoverable state — a plain
+    * delete-then-rename would lose the WHOLE table to a crash between
+    * the two calls, and the next restart would silently re-init from
+    * one micro-batch):
+    *   1. write the new frame to `target.__graft_tmp`;
+    *   2. rename target -> `target.__graft_old` (kept until the swap
+    *      completes);
+    *   3. rename tmp -> target (rename results are CHECKED — a false
+    *      return throws instead of silently dropping data);
+    *   4. delete old.
+    * Recovery on entry: target missing but `__graft_old` present
+    * (crash between 2 and 3) -> restore old as target; both present
+    * (crash between 3 and 4) -> drop the leftover old.
     */
   private def upsertParquet(target: String, init: DataFrame,
                             merge: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = init.sparkSession
     val tPath = new Path(target)
+    val oldPath = new Path(target + ".__graft_old")
+    val tmpPath = new Path(target + ".__graft_tmp")
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsertParquet: rename $from -> $to failed")
+    // recovery from a previous crash mid-swap
+    if (!fs.exists(tPath) && fs.exists(oldPath)) renameOrThrow(oldPath, tPath)
+    else if (fs.exists(tPath) && fs.exists(oldPath)) fs.delete(oldPath, true)
     val exists = fs.exists(tPath)
     val out =
       if (exists) merge(spark.read.parquet(target)).localCheckpoint(true)
       else init
-    val tmp = new Path(target + ".__graft_tmp")
-    out.write.mode("overwrite").parquet(tmp.toString)
-    if (exists) fs.delete(tPath, true)
-    fs.rename(tmp, tPath)
+    out.write.mode("overwrite").parquet(tmpPath.toString)
+    if (exists) renameOrThrow(tPath, oldPath)
+    renameOrThrow(tmpPath, tPath)
+    if (exists) fs.delete(oldPath, true)
   }
 
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)

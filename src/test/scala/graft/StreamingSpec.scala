@@ -292,6 +292,26 @@ class StreamingSpec extends SparkSpec {
       fullRebuild.exceptAll(streamedDim).isEmpty)
   }
 
+  test("foreachBatch SCD2 sink fails loudly on a same-day replay") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2guard").toString
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = in.toDF.toDF("user_id", "ts", "event_id", "segment")
+    val q = StreamOps.scd2Sink(df, s"$dir/ckpt", s"$dir/dim",
+      bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("segment")).start()
+    in.addData(Seq((1L, ts("2024-01-01 18:00:00"), 1L, "a")))
+    q.processAllAvailable()
+    // batch 2 re-observes the already-versioned day — the guard must
+    // refuse instead of letting the 09:00 row beat the 18:00 winner
+    in.addData(Seq((1L, ts("2024-01-01 09:00:00"), 2L, "b")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("re-observe") ||
+      Option(e.getCause).exists(_.getMessage.contains("re-observe")))
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),

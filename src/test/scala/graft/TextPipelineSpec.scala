@@ -157,10 +157,11 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3L).contains("HIGH_PUNCT"))
   }
 
-  test("text redact: emails and long digit runs masked, counts reported") {
+  test("text redact: emails and long digit runs masked, counts reconcile with markers") {
     val df = Seq(
       (1L, "contact bob.smith+x@example.org or call 5551234567 now"),
-      (2L, "no pii here"))
+      (2L, "no pii here"),
+      (3L, "mail user1234567@example.com today")) // digits INSIDE the email
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_docs2").toString
     df.write.parquet(s"$dir/documents.parquet")
@@ -168,6 +169,9 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
     assert(got(1L) == ((1, 1, "contact <EMAIL> or call <NUM> now")))
     assert(got(2L) == ((0, 0, "no pii here")))
+    // a digit run swallowed by the email mask is NOT a phantom number:
+    // n_long_numbers must equal the <NUM> markers actually emitted
+    assert(got(3L) == ((1, 0, "mail <EMAIL> today")))
   }
 
   test("fingerprints: deterministic, content-sensitive, within prime range") {
