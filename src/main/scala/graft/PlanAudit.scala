@@ -14,10 +14,19 @@ object PlanAudit {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if only.isEmpty || only(name) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val df = fn(spark, sfDir)
+          // Execute the query's OWN plan first: under AQE the
+          // pre-execution plan is the isFinalPlan=false skeleton with
+          // no whole-stage-codegen markers, and a `.write` action
+          // builds a separate QueryExecution, leaving this one
+          // untouched. Running the executedPlan's RDD finalizes the
+          // adaptive plan in place without collecting rows.
+          df.queryExecution.executedPlan.execute().count()
+          // the finalized adaptive treeString appends the initial plan
+          // after the final one — count only the plan that actually ran
+          val plan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
           def n(p: String): Int = p.r.findAllIn(plan).length
-          val globalWindow = n("Window.*\\n.*Exchange SinglePartition") +
-            (if (plan.contains("Exchange SinglePartition")) 1 else 0)
           f"$name%-28s exch=${n("Exchange (hash|range)partitioning")}%2d single=${n("Exchange SinglePartition")}%2d " +
             f"bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d " +
             f"wsc=${n("\\*\\(\\d+\\)")}%3d"
