@@ -30,7 +30,9 @@ class InvariantSpec extends SparkSpec {
     val sfDir = sf
     val heavy = Seq("q5_local_supplier", "gold_fct_star", "gold_asof_join",
       "gold_merge_grain", "ana_od_matrix", "svc_map_points",
-      "dedup_ngram_jaccard", "dedup_minhash_lsh")
+      "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "gold_cut_replace", "gold_scd2_incremental", "dedup_embedding_cosine",
+      "ann_lsh_topk", "ann_ivf_topk", "ana_coverage_quartile", "svc_utm_to_wgs84")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

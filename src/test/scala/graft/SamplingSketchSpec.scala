@@ -61,6 +61,24 @@ class SamplingSketchSpec extends SparkSpec {
     }
   }
 
+  test("sample membership is invariant under repartitioning (what sample() lacks)") {
+    // the property that makes the sampler curation-grade: physical
+    // layout can never change which rows survive
+    val a = Sampling.stratified(events, "event_type", Map("CLICK" -> 0.25), 0.5,
+      Seq("event_id")).select("event_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratified(events.repartition(13), "event_type",
+      Map("CLICK" -> 0.25), 0.5,
+      Seq("event_id")).select("event_id").collect().map(_.getLong(0)).toSet
+    val c = Sampling.stratified(events.repartition(1), "event_type",
+      Map("CLICK" -> 0.25), 0.5,
+      Seq("event_id")).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && b == c)
+    // while Spark's own sample() shifts membership with the layout
+    val s1 = events.sample(0.5, seed = 7).select("event_id").collect().toSet
+    val s2 = events.repartition(13).sample(0.5, seed = 7).select("event_id").collect().toSet
+    assert(s1 != s2, "sample() happened to agree across layouts — raise partitions")
+  }
+
   test("rate 1.0 keeps every row, rate 0.0 keeps none") {
     val all = Sampling.stratified(events, "event_type", Map.empty, 1.0, Seq("event_id"))
     assert(all.count() == events.count())
