@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Medallion-layout partitioned sink + quality JSON sidecar
@@ -51,6 +52,78 @@ object MedallionSink {
       .partitionBy(partitionCols: _*)
       .parquet(target)
     writeMetaSidecars(df, target, partitionCols)
+  }
+
+  /** Small-file compaction — the lake-maintenance operator every
+    * incremental load pattern eventually needs (each micro-batch /
+    * cut append leaves files sized by arrival, and a year of loads
+    * turns scans into open-file storms). Rewrites the dataset with
+    * one task per partition-directory group (`repartition` on the
+    * partition columns: every directory's rows land in exactly one
+    * task, so each directory compacts to ONE file) into a tmp
+    * directory, then crash-safe-swaps it in ([[swapDirs]]) — never a
+    * same-path overwrite, never a whole-lake materialization in
+    * memory — and refreshes the `_meta.json` sidecars. Directories so
+    * large that one file is wrong belong to a cut-partitioned layout
+    * (finer partitionCols), not a bigger compactor.
+    *
+    * Returns (files before, files after) for the run log.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String, dataset: String,
+              partitionCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val target = s"$root/dataset=$dataset"
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, target)
+    def nFiles: Long = {
+      val it = fs.listFiles(new Path(target), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = nFiles
+    spark.read.parquet(target)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
+      .parquet(target + ".__graft_tmp")
+    swapDirs(fs, target)
+    writeMetaSidecars(spark.read.parquet(target), target, partitionCols)
+    (before, nFiles)
+  }
+
+  /** Crash-safe replacement of `target` by `target.__graft_tmp`:
+    * rename target aside, rename tmp in, drop the old copy — every
+    * rename CHECKED (a false return throws instead of dropping data),
+    * every intermediate state recoverable by [[recoverSwap]]. Shared
+    * by [[compact]] and the streaming sinks' upsert.
+    */
+  def swapDirs(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
+    val tPath = new Path(target)
+    val tmpPath = new Path(target + ".__graft_tmp")
+    val oldPath = new Path(target + ".__graft_old")
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"swapDirs: rename $from -> $to failed")
+    val existed = fs.exists(tPath)
+    if (existed) renameOrThrow(tPath, oldPath)
+    renameOrThrow(tmpPath, tPath)
+    if (existed) fs.delete(oldPath, true)
+  }
+
+  /** Recovery from a crash mid-[[swapDirs]]: target missing but the
+    * old copy present (died between the two renames) -> restore it;
+    * both present (died before the old copy was dropped) -> drop the
+    * leftover.
+    */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
+    val tPath = new Path(target)
+    val oldPath = new Path(target + ".__graft_old")
+    if (!fs.exists(tPath) && fs.exists(oldPath)) {
+      if (!fs.rename(oldPath, tPath))
+        throw new java.io.IOException(s"recoverSwap: restore $oldPath -> $tPath failed")
+    } else if (fs.exists(tPath) && fs.exists(oldPath)) fs.delete(oldPath, true)
   }
 
   /** Bucketed table write: rows are co-located by hash(bucketCols) at

@@ -137,46 +137,25 @@ object StreamOps {
   }
 
   /** Crash-safe swap of a parquet target that the new frame may itself
-    * read from: `merge(existing)` is localCheckpoint-ed before the old
-    * files move, so overwriting cannot corrupt the lineage; `init` is
-    * used when the target does not exist yet.
-    *
-    * Swap protocol (every step leaves a recoverable state — a plain
-    * delete-then-rename would lose the WHOLE table to a crash between
-    * the two calls, and the next restart would silently re-init from
-    * one micro-batch):
-    *   1. write the new frame to `target.__graft_tmp`;
-    *   2. rename target -> `target.__graft_old` (kept until the swap
-    *      completes);
-    *   3. rename tmp -> target (rename results are CHECKED — a false
-    *      return throws instead of silently dropping data);
-    *   4. delete old.
-    * Recovery on entry: target missing but `__graft_old` present
-    * (crash between 2 and 3) -> restore old as target; both present
-    * (crash between 3 and 4) -> drop the leftover old.
+    * read from: the merged frame writes to `target.__graft_tmp`, then
+    * [[graft.sources.MedallionSink.swapDirs]] replaces the target with
+    * checked renames (a plain delete-then-rename would lose the WHOLE
+    * table to a crash between the two calls, and the next restart
+    * would silently re-init from one micro-batch); `recoverSwap` on
+    * entry heals any state a previous crash left. `init` is used when
+    * the target does not exist yet.
     */
   private def upsertParquet(target: String, init: DataFrame,
                             merge: DataFrame => DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
+    import graft.sources.MedallionSink
     val spark = init.sparkSession
-    val tPath = new Path(target)
-    val oldPath = new Path(target + ".__graft_old")
-    val tmpPath = new Path(target + ".__graft_tmp")
+    val tPath = new org.apache.hadoop.fs.Path(target)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def renameOrThrow(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"upsertParquet: rename $from -> $to failed")
-    // recovery from a previous crash mid-swap
-    if (!fs.exists(tPath) && fs.exists(oldPath)) renameOrThrow(oldPath, tPath)
-    else if (fs.exists(tPath) && fs.exists(oldPath)) fs.delete(oldPath, true)
+    MedallionSink.recoverSwap(fs, target)
     val exists = fs.exists(tPath)
-    val out =
-      if (exists) merge(spark.read.parquet(target)).localCheckpoint(true)
-      else init
-    out.write.mode("overwrite").parquet(tmpPath.toString)
-    if (exists) renameOrThrow(tPath, oldPath)
-    renameOrThrow(tmpPath, tPath)
-    if (exists) fs.delete(oldPath, true)
+    val out = if (exists) merge(spark.read.parquet(target)) else init
+    out.write.mode("overwrite").parquet(target + ".__graft_tmp")
+    MedallionSink.swapDirs(fs, target)
   }
 
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)

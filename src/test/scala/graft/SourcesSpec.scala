@@ -23,6 +23,24 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getString(1) == "alpha" && rows(0).getString(2) == "2.5")
   }
 
+  test("compaction: many small files become one per partition dir, data + sidecars intact") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 200).map(i => (i.toLong, 2024, 1 + i % 2, s"p$i"))
+      .toDF("id", "year", "month", "payload")
+    // high write parallelism -> many small files per partition dir
+    MedallionSink.write(df.repartition(8), root, "ev", Seq("year", "month"))
+    val beforeRows = spark.read.parquet(s"$root/dataset=ev")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val (before, after) = MedallionSink.compact(spark, root, "ev", Seq("year", "month"))
+    assert(before > 2, s"setup produced only $before files")
+    assert(after == 2, s"expected one file per partition dir, got $after") // 2 months
+    val afterRows = spark.read.parquet(s"$root/dataset=ev")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(afterRows.sameElements(beforeRows))
+    // sidecars refreshed: the catalog's row-count load gate still passes
+    MedallionCatalog.validateOrThrow(spark, root, "ev", Seq("year", "month"))
+  }
+
   test("medallion sink: partitioned zstd layout + atomic quality sidecar") {
     val root = Files.createTempDirectory("graft_lake").toString
     val df = Seq(
