@@ -80,7 +80,16 @@ object MedallionCatalog {
   def validate(spark: SparkSession, root: String, dataset: String,
                partitionCols: Seq[String]): DataFrame = {
     val infos = partitions(spark, root, dataset)
-    val counted = read(spark, root, dataset)
+    // Inference-free read: the sidecar side carries the verbatim
+    // directory strings, so the parquet side must too — an inferred
+    // read turns a string partition "01" into int 1 and the cast back
+    // to string ("1") can never match its own directory's sidecar.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    val raw =
+      try { spark.conf.set(inferKey, "false"); read(spark, root, dataset) }
+      finally spark.conf.set(inferKey, prevInfer)
+    val counted = raw
       .groupBy(partitionCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(count(lit(1)).as("parquet_rows"))
     val metaRows = infos.map { p =>

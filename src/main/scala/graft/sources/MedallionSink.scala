@@ -54,6 +54,13 @@ object MedallionSink {
     writeMetaSidecars(df, target, partitionCols)
   }
 
+  /** Suffixes of the crash-safe swap protocol — single source of
+    * truth; recovery in [[recoverSwap]] depends on every site
+    * agreeing on these exact strings.
+    */
+  val TmpSuffix = ".__graft_tmp"
+  val OldSuffix = ".__graft_old"
+
   /** Small-file compaction — the lake-maintenance operator every
     * incremental load pattern eventually needs (each micro-batch /
     * cut append leaves files sized by arrival, and a year of loads
@@ -63,9 +70,22 @@ object MedallionSink {
     * task, so each directory compacts to ONE file) into a tmp
     * directory, then crash-safe-swaps it in ([[swapDirs]]) — never a
     * same-path overwrite, never a whole-lake materialization in
-    * memory — and refreshes the `_meta.json` sidecars. Directories so
-    * large that one file is wrong belong to a cut-partitioned layout
-    * (finer partitionCols), not a bigger compactor.
+    * memory. Directories so large that one file is wrong belong to a
+    * cut-partitioned layout (finer partitionCols), not a bigger
+    * compactor.
+    *
+    * Partition values are read with type inference DISABLED (as
+    * strings): directory names then round-trip VERBATIM — with
+    * inference on, a string partition value "01" would silently
+    * rewrite as directory month=1 with an int column. Data columns
+    * keep their footer schema either way; a post-compaction read
+    * re-infers partition types exactly as before.
+    *
+    * Sidecars (`_meta.json` per partition + the dataset's
+    * `_quality.json`) are placed INTO the tmp directory BEFORE the
+    * swap, so the swap carries data and metadata together — a crash
+    * at any point leaves either the full old state or the full new
+    * state, never data without its row-count contract.
     *
     * Returns (files before, files after) for the run log.
     */
@@ -73,6 +93,7 @@ object MedallionSink {
               partitionCols: Seq[String]): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val target = s"$root/dataset=$dataset"
+    val tmp = target + TmpSuffix
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, target)
     def nFiles: Long = {
@@ -82,18 +103,22 @@ object MedallionSink {
       n
     }
     val before = nFiles
-    spark.read.parquet(target)
+    readNoInfer(spark, target)
       .repartition(partitionCols.map(col): _*)
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy(partitionCols: _*)
-      .parquet(target + ".__graft_tmp")
+      .parquet(tmp)
+    writeMetaSidecars(readNoInfer(spark, tmp), tmp, partitionCols)
+    val quality = new Path(target, "_quality.json")
+    if (fs.exists(quality))
+      org.apache.hadoop.fs.FileUtil.copy(fs, quality, fs, new Path(tmp, "_quality.json"),
+        false, spark.sparkContext.hadoopConfiguration)
     swapDirs(fs, target)
-    writeMetaSidecars(spark.read.parquet(target), target, partitionCols)
     (before, nFiles)
   }
 
-  /** Crash-safe replacement of `target` by `target.__graft_tmp`:
+  /** Crash-safe replacement of `target` by `target + TmpSuffix`:
     * rename target aside, rename tmp in, drop the old copy — every
     * rename CHECKED (a false return throws instead of dropping data),
     * every intermediate state recoverable by [[recoverSwap]]. Shared
@@ -101,8 +126,8 @@ object MedallionSink {
     */
   def swapDirs(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
     val tPath = new Path(target)
-    val tmpPath = new Path(target + ".__graft_tmp")
-    val oldPath = new Path(target + ".__graft_old")
+    val tmpPath = new Path(target + TmpSuffix)
+    val oldPath = new Path(target + OldSuffix)
     def renameOrThrow(from: Path, to: Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"swapDirs: rename $from -> $to failed")
@@ -119,7 +144,7 @@ object MedallionSink {
     */
   def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
     val tPath = new Path(target)
-    val oldPath = new Path(target + ".__graft_old")
+    val oldPath = new Path(target + OldSuffix)
     if (!fs.exists(tPath) && fs.exists(oldPath)) {
       if (!fs.rename(oldPath, tPath))
         throw new java.io.IOException(s"recoverSwap: restore $oldPath -> $tPath failed")
@@ -155,13 +180,28 @@ object MedallionSink {
     * so special characters and NULL values land next to the data
     * files Spark wrote, not in a parallel unescaped tree.
     */
+  /** Read back a partitioned dataset with partition-column type
+    * inference DISABLED (values stay the verbatim directory strings).
+    * Sidecar directory names are regenerated from the partition
+    * VALUES — with inference on, a string partition "01" reads back
+    * as int 1 and the sidecar lands in a phantom `month=1` directory
+    * next to the real `month=01`.
+    */
+  private def readNoInfer(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
+    finally spark.conf.set(inferKey, prev)
+  }
+
   private def writeMetaSidecars(df: DataFrame, target: String,
                                 partitionCols: Seq[String]): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.{col, count, lit}
     val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
     val colsJson = dataCols.map(c => s""""$c"""").mkString("[", ", ", "]")
-    val counts = df.sparkSession.read.parquet(target)
+    val counts = readNoInfer(df.sparkSession, target)
       .groupBy(partitionCols.map(c => col(c).cast("string")): _*)
       .agg(count(lit(1)).as("__n")).collect()
     counts.foreach { r =>

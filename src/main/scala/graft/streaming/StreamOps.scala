@@ -64,13 +64,14 @@ object StreamOps {
     * delivery of a grain wins across batches, latest-in-batch wins
     * within one.
     *
-    * The parquet target swaps tmp -> rename like the reference's
-    * atomic writes (the merged frame is localCheckpoint-ed first so
-    * overwriting the files it was read from cannot corrupt the
-    * lineage). On a lake with a transactional table format the same
-    * foreachBatch body becomes a real MERGE INTO; exactly-once then
-    * comes from the checkpoint's batch-id dedup plus the sink's
-    * idempotence — which this merge rule provides by construction.
+    * The parquet target is replaced through the crash-safe checked-
+    * rename swap (MedallionSink.swapDirs — the merged frame writes to
+    * a tmp directory, never over the files it reads, so no mid-query
+    * overwrite is possible). On a lake with a transactional table
+    * format the same foreachBatch body becomes a real MERGE INTO;
+    * exactly-once then comes from the checkpoint's batch-id dedup
+    * plus the sink's idempotence — which this merge rule provides by
+    * construction.
     */
   def mergeSink(stream: DataFrame, checkpoint: String, target: String,
                 grain: Seq[String], order: Seq[String]):
@@ -154,7 +155,7 @@ object StreamOps {
     MedallionSink.recoverSwap(fs, target)
     val exists = fs.exists(tPath)
     val out = if (exists) merge(spark.read.parquet(target)) else init
-    out.write.mode("overwrite").parquet(target + ".__graft_tmp")
+    out.write.mode("overwrite").parquet(target + MedallionSink.TmpSuffix)
     MedallionSink.swapDirs(fs, target)
   }
 

@@ -37,8 +37,30 @@ class SourcesSpec extends SparkSpec {
     val afterRows = spark.read.parquet(s"$root/dataset=ev")
       .select("id").collect().map(_.getLong(0)).sorted
     assert(afterRows.sameElements(beforeRows))
-    // sidecars refreshed: the catalog's row-count load gate still passes
+    // sidecars refreshed: the catalog's row-count load gate still passes,
+    // and the dataset's quality sidecar survived the swap
     MedallionCatalog.validateOrThrow(spark, root, "ev", Seq("year", "month"))
+    assert(Files.exists(Paths.get(root, "dataset=ev", "_quality.json")))
+  }
+
+  test("compaction round-trips numeric-looking string partition values verbatim") {
+    val root = Files.createTempDirectory("graft_compact2").toString
+    // month "01": with partition type inference a compactor would
+    // silently rewrite the dir as month=1 with an int column
+    val df = Seq((1L, "01", "a"), (2L, "01", "b"), (3L, "11", "c"))
+      .toDF("id", "month", "payload")
+    MedallionSink.write(df.repartition(4), root, "s", Seq("month"))
+    assert(Files.exists(Paths.get(root, "dataset=s", "month=01")))
+    // the write path itself must not plant a phantom coerced dir: the
+    // sidecar read-back regenerates dir names from partition values
+    assert(!Files.exists(Paths.get(root, "dataset=s", "month=1")),
+      "sidecar writer created a phantom month=1 directory")
+    MedallionSink.compact(spark, root, "s", Seq("month"))
+    assert(Files.exists(Paths.get(root, "dataset=s", "month=01")),
+      "compaction must not rewrite month=01 as month=1")
+    assert(!Files.exists(Paths.get(root, "dataset=s", "month=1")))
+    assert(Files.exists(Paths.get(root, "dataset=s", "month=01", "_meta.json")))
+    MedallionCatalog.validateOrThrow(spark, root, "s", Seq("month"))
   }
 
   test("medallion sink: partitioned zstd layout + atomic quality sidecar") {
