@@ -650,6 +650,25 @@ object SparkEntry {
     "embedding_centroids" -> ((s: SparkSession, d: String) =>
       Ann.centroids(t(s, d, "embeddings"), "label", "embedding")),
 
+    // One-pass table statistics profile (the ANALYZE TABLE / catalog-
+    // stats step of a lake load — the reference's build_catalog row
+    // accounting, widened to column stats): every stat is a partial-
+    // aggregable scalar, so the whole profile costs ONE scan + one
+    // 1-row reduce regardless of table width or size.
+    "table_profile_events" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("user_id").isNull.cast("long")).as("user_id_nulls"),
+        min(col("user_id")).as("user_id_min"),
+        max(col("user_id")).as("user_id_max"),
+        countDistinct(col("user_id")).as("user_id_distinct"),
+        sum(col("value").isNull.cast("long")).as("value_nulls"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        countDistinct(col("event_type")).as("event_type_distinct"))),
+
     // Sketch profile: mergeable HLL distinct + t-digest quantiles per
     // group — the 100-TB shapes for COUNT(DISTINCT)/PERCENTILE when
     // exactness is traded for constant memory. Sketches are
@@ -758,6 +777,23 @@ object SparkEntry {
 
     // The salted variant is output-identical by construction.
     "gold_dedup_grain_salted" -> dedupGrainSql,
+
+    // SUM over integers is HUGEINT in DuckDB — cast every summed stat
+    // to BIGINT or the driver's type-faithful hash can never match
+    // (the sessionize_gap lesson, round 2).
+    "table_profile_events" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        |  MIN(user_id) AS user_id_min,
+        |  MAX(user_id) AS user_id_max,
+        |  COUNT(DISTINCT user_id) AS user_id_distinct,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        |  MIN(value) AS value_min,
+        |  MAX(value) AS value_max,
+        |  MIN(ts) AS ts_min,
+        |  MAX(ts) AS ts_max,
+        |  COUNT(DISTINCT event_type) AS event_type_distinct
+        |FROM events""".stripMargin,
 
     // Deterministic sampler: DuckDB replays the exact md5-bucket
     // membership rule — same rows survive in both engines.
