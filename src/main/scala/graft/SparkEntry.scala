@@ -635,6 +635,15 @@ object SparkEntry {
         rates = Map("CLICK" -> 0.25, "VIEW" -> 0.125), defaultRate = 0.5,
         keyCols = Seq("event_id"))),
 
+    // Leakage-safe train/val/test split: keyed on user_id (NOT the
+    // row id), so every row of a user lands in one split — groups
+    // split across train and test leak shared context into eval. The
+    // assignment is a pure function of the key: stable across
+    // engines, re-runs and repartitions.
+    "sample_split_assign" -> ((s: SparkSession, d: String) =>
+      Sampling.splitAssign(t(s, d, "events"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id"))),
+
     // Corpus token frequency top-N (training-data vocabulary stats):
     // explode + one partial-aggregable shuffle + TakeOrdered.
     "text_token_topn" -> ((s: SparkSession, d: String) =>
@@ -794,6 +803,18 @@ object SparkEntry {
         |  MAX(ts) AS ts_max,
         |  COUNT(DISTINCT event_type) AS event_type_distinct
         |FROM events""".stripMargin,
+
+    // Cumulative thresholds: 0.8 -> cccd, 0.9 -> e666 (round(f*65536)
+    // as %04x). md5 goes through concat_ws like the Spark side, so a
+    // NULL key hashes the empty string identically in both engines.
+    "sample_split_assign" ->
+      """SELECT * EXCLUDE (__b),
+        |  CASE WHEN __b < 'cccd' THEN 'train'
+        |       WHEN __b < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT *, substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) AS __b
+        |  FROM events)""".stripMargin,
 
     // Deterministic sampler: DuckDB replays the exact md5-bucket
     // membership rule — same rows survive in both engines.

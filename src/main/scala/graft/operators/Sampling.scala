@@ -42,6 +42,34 @@ object Sampling {
     if (n >= 65536) "g" else f"$n%04x"
   }
 
+  /** Deterministic multi-way split assignment (train/val/test): the
+    * key's md5 bucket picks the split by cumulative rate ranges, so
+    * the partition of the corpus is a pure function of the key —
+    * stable across engines, re-runs and repartitions, and rows are
+    * never lost or double-assigned (ranges tile the bucket space).
+    *
+    * Pass the GROUPING key (user, document author, conversation) as
+    * `keyCols` rather than the row id and every row of a group lands
+    * in the same split — the standard leakage guard: a group split
+    * across train and test leaks shared context into evaluation.
+    *
+    * @param splits ordered (name, fraction) pairs; fractions must sum
+    *               to 1 (the last range absorbs the rounding remainder)
+    */
+  def splitAssign(df: DataFrame, splits: Seq[(String, Double)],
+                  keyCols: Seq[String]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be >= 0 and sum to 1: $splits")
+    val bucket = hashBucket(keyCols.map(col))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.init.zip(cum.init).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), cumRate)) =>
+        when(bucket < lit(thresholdHex(cumRate)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Stratified deterministic sample: each stratum value keeps its own
     * rate (`rates`), anything else keeps `defaultRate`. Adds the
     * bucket and the applied threshold so the membership rule itself is

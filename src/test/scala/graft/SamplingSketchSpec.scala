@@ -79,6 +79,26 @@ class SamplingSketchSpec extends SparkSpec {
     assert(s1 != s2, "sample() happened to agree across layouts — raise partitions")
   }
 
+  test("split assignment: group-consistent, exhaustive, ratio-sane") {
+    val s = Sampling.splitAssign(events,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id"))
+    // every row of a user lands in exactly one split (the leakage guard)
+    val perUser = s.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("n_splits")).collect()
+    assert(perUser.forall(_.getLong(1) == 1L))
+    // the partition is exhaustive and ratios are near the targets
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    val total = counts.values.sum
+    assert(total == events.count())
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.1)
+    // invalid fractions are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(events, Seq("a" -> 0.5, "b" -> 0.4), Seq("user_id"))
+    }
+  }
+
   test("rate 1.0 keeps every row, rate 0.0 keeps none") {
     val all = Sampling.stratified(events, "event_type", Map.empty, 1.0, Seq("event_id"))
     assert(all.count() == events.count())
