@@ -659,11 +659,15 @@ object SparkEntry {
     "embedding_centroids" -> ((s: SparkSession, d: String) =>
       Ann.centroids(t(s, d, "embeddings"), "label", "embedding")),
 
-    // One-pass table statistics profile (the ANALYZE TABLE / catalog-
+    // One-scan table statistics profile (the ANALYZE TABLE / catalog-
     // stats step of a lake load — the reference's build_catalog row
-    // accounting, widened to column stats): every stat is a partial-
-    // aggregable scalar, so the whole profile costs ONE scan + one
-    // 1-row reduce regardless of table width or size.
+    // accounting, widened to column stats). Counts/nulls/min/max are
+    // partial-aggregable scalars (map-side reduced to one row); the
+    // two EXACT distincts are not — Catalyst plans them via Expand +
+    // a shuffle keyed on the distinct values (the price of exactness,
+    // paid here for oracle parity). When a profile must stay a true
+    // 1-row mergeable reduce at any cardinality, that is exactly
+    // what sketch_profile's HLL variant below is for.
     "table_profile_events" -> ((s: SparkSession, d: String) =>
       t(s, d, "events").agg(
         count(lit(1)).as("n_rows"),
