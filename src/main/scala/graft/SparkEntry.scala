@@ -635,6 +635,27 @@ object SparkEntry {
         rates = Map("CLICK" -> 0.25, "VIEW" -> 0.125), defaultRate = 0.5,
         keyCols = Seq("event_id"))),
 
+    // Click-to-purchase attribution (batch twin of the stream-stream
+    // watermarked join, StreamOps.attributionJoin): equi-key + a
+    // both-ways-bounded event-time residual — a range join that plans
+    // as a hash join on the key, never a cartesian. 30-minute window.
+    "attrib_click_purchase" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      val clicks = ev.filter(upper(trim(col("event_type"))) === "CLICK")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(upper(trim(col("event_type"))) === "PURCHASE")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1800 SECONDS") &&
+            col("click_ts") <= col("purchase_ts"),
+          "inner")
+        .drop(clicks("user_id"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("purchase_value"), col("click_id"), col("click_ts"))
+    }),
+
     // Leakage-safe train/val/test split: keyed on user_id (NOT the
     // row id), so every row of a user lands in one split — groups
     // split across train and test leak shared context into eval. The
@@ -807,6 +828,22 @@ object SparkEntry {
         |  MAX(ts) AS ts_max,
         |  COUNT(DISTINCT event_type) AS event_type_distinct
         |FROM events""".stripMargin,
+
+    "attrib_click_purchase" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+        |clicks AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM ev WHERE UPPER(TRIM(event_type)) = 'CLICK'),
+        |purchases AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM ev WHERE UPPER(TRIM(event_type)) = 'PURCHASE')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+        |       c.click_id, c.click_ts
+        |FROM purchases p
+        |JOIN clicks c
+        |  ON p.user_id = c.user_id
+        | AND c.click_ts >= p.purchase_ts - INTERVAL 1800 SECONDS
+        | AND c.click_ts <= p.purchase_ts""".stripMargin,
 
     // Cumulative thresholds: 0.8 -> cccd, 0.9 -> e666 (round(f*65536)
     // as %04x). md5 goes through concat_ws like the Spark side, so a

@@ -56,6 +56,32 @@ object StreamOps {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left")
 
+  /** STREAM-STREAM event-time attribution join: each `purchase` pairs
+    * with the same key's `clicks` whose event time falls in
+    * `[purchase_ts - windowSec, purchase_ts]` — the classic
+    * click-to-conversion attribution shape. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so Spark can size the state store and expire rows:
+    * state per key is O(events inside the watermark+window horizon),
+    * never unbounded. Column names must already be disambiguated
+    * (clickTs/purchaseTs) — stream-stream joins resolve by name.
+    *
+    * The batch twin (`attrib_click_purchase` in the registry) is the
+    * same equi-key + interval-residual join — Catalyst plans the key
+    * into a hash join with the time bound as residual, never a
+    * cartesian (the AsOfJoin doctrine).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      key: String, clickTs: String, purchaseTs: String,
+                      windowSec: Long, watermark: String = "1 hour"): DataFrame =
+    clicks.withWatermark(clickTs, watermark)
+      .join(purchases.withWatermark(purchaseTs, watermark),
+        clicks(key) === purchases(key) &&
+          col(clickTs) >= col(purchaseTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+          col(clickTs) <= col(purchaseTs),
+        "inner")
+      .drop(purchases(key))
+
   /** Streaming MERGE-on-grain sink: each micro-batch is deduped to
     * the declared grain and appended WHEN-NOT-MATCHED into the target
     * (graft.operators.Merge.appendNewGrains per batch — the

@@ -32,7 +32,8 @@ class InvariantSpec extends SparkSpec {
       "gold_merge_grain", "ana_od_matrix", "svc_map_points",
       "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "gold_cut_replace", "gold_scd2_incremental", "dedup_embedding_cosine",
-      "ann_lsh_topk", "ann_ivf_topk", "ana_coverage_quartile", "svc_utm_to_wgs84")
+      "ann_lsh_topk", "ann_ivf_topk", "ana_coverage_quartile", "svc_utm_to_wgs84",
+      "attrib_click_purchase")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -238,6 +238,33 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 10:30:00"), "CLICK", 1L, 4.0)))
   }
 
+  test("stream-stream attribution join matches the batch range join") {
+    implicit val sql = spark.sqlContext
+    val inC = MemoryStream[(Long, Timestamp, Long)]
+    val inP = MemoryStream[(Long, Timestamp, Long, Double)]
+    val clicks = inC.toDF.toDF("user_id", "click_ts", "click_id")
+    val purchases = inP.toDF.toDF("user_id", "purchase_ts", "purchase_id", "purchase_value")
+    val q = StreamOps.attributionJoin(clicks, purchases,
+        "user_id", "click_ts", "purchase_ts", windowSec = 600, watermark = "0 seconds")
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("attrib_s").outputMode("append").start()
+    inC.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),   // inside the 10-min window
+      (1L, ts("2024-01-01 09:45:00"), 2L),   // too early
+      (2L, ts("2024-01-01 10:05:00"), 3L)))  // other user
+    inP.addData(Seq((1L, ts("2024-01-01 10:08:00"), 100L, 9.99)))
+    q.processAllAvailable()
+    // advance both watermarks so the joined row is emitted
+    inC.addData(Seq((9L, ts("2024-01-02 00:00:00"), 99L)))
+    inP.addData(Seq((9L, ts("2024-01-02 00:00:00"), 999L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib_s")
+      .filter($"purchase_id" === 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((100L, 1L))) // only the in-window click of the same user
+  }
+
   test("foreachBatch merge sink: grains never duplicate across micro-batches") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_mergesink").toString
