@@ -73,7 +73,10 @@ object StreamOps {
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
                       key: String, clickTs: String, purchaseTs: String,
-                      windowSec: Long, watermark: String = "1 hour"): DataFrame =
+                      windowSec: Long, watermark: String = "1 hour"): DataFrame = {
+    // a non-positive window would parse into an unsatisfiable interval
+    // condition: the stream would run forever emitting nothing
+    require(windowSec > 0, s"attribution window must be positive: $windowSec")
     clicks.withWatermark(clickTs, watermark)
       .join(purchases.withWatermark(purchaseTs, watermark),
         clicks(key) === purchases(key) &&
@@ -81,6 +84,7 @@ object StreamOps {
           col(clickTs) <= col(purchaseTs),
         "inner")
       .drop(purchases(key))
+  }
 
   /** Streaming MERGE-on-grain sink: each micro-batch is deduped to
     * the declared grain and appended WHEN-NOT-MATCHED into the target

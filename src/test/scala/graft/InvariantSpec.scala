@@ -34,11 +34,22 @@ class InvariantSpec extends SparkSpec {
       "gold_cut_replace", "gold_scd2_incremental", "dedup_embedding_cosine",
       "ann_lsh_topk", "ann_ivf_topk", "ana_coverage_quartile", "svc_utm_to_wgs84",
       "attrib_click_purchase")
+    val bnljByDesign = Set("ann_ivf_topk")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"), s"$name plans a SortMergeJoin")
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      // an equi-key + residual join that LOSES its equi-conjunct
+      // degenerates to BroadcastNestedLoopJoin, not a cartesian — pin
+      // that failure mode too. Allowed exceptions: compare-to-ALL
+      // algorithms whose broadcast side is bounded-small by
+      // construction (IVF's k centroids — volume n x k, linear in the
+      // corpus); the analytics pack's 1-row-total crossJoins are not
+      // in this list at all.
+      if (!bnljByDesign(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
     }
   }
 

@@ -240,6 +240,13 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream attribution join matches the batch range join") {
     implicit val sql = spark.sqlContext
+    val clickRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),   // inside the 10-min window
+      (1L, ts("2024-01-01 09:58:00"), 5L),   // exactly purchase_ts - window (inclusive)
+      (1L, ts("2024-01-01 09:45:00"), 2L),   // too early
+      (1L, ts("2024-01-01 10:08:00"), 6L),   // exactly purchase_ts (inclusive)
+      (2L, ts("2024-01-01 10:05:00"), 3L))   // other user
+    val purchaseRows = Seq((1L, ts("2024-01-01 10:08:00"), 100L, 9.99))
     val inC = MemoryStream[(Long, Timestamp, Long)]
     val inP = MemoryStream[(Long, Timestamp, Long, Double)]
     val clicks = inC.toDF.toDF("user_id", "click_ts", "click_id")
@@ -248,13 +255,10 @@ class StreamingSpec extends SparkSpec {
         "user_id", "click_ts", "purchase_ts", windowSec = 600, watermark = "0 seconds")
       .select("purchase_id", "click_id")
       .writeStream.format("memory").queryName("attrib_s").outputMode("append").start()
-    inC.addData(Seq(
-      (1L, ts("2024-01-01 10:00:00"), 1L),   // inside the 10-min window
-      (1L, ts("2024-01-01 09:45:00"), 2L),   // too early
-      (2L, ts("2024-01-01 10:05:00"), 3L)))  // other user
-    inP.addData(Seq((1L, ts("2024-01-01 10:08:00"), 100L, 9.99)))
+    inC.addData(clickRows)
+    inP.addData(purchaseRows)
     q.processAllAvailable()
-    // advance both watermarks so the joined row is emitted
+    // advance both watermarks so the joined rows are emitted
     inC.addData(Seq((9L, ts("2024-01-02 00:00:00"), 99L)))
     inP.addData(Seq((9L, ts("2024-01-02 00:00:00"), 999L, 0.0)))
     q.processAllAvailable()
@@ -262,7 +266,19 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("attrib_s")
       .filter($"purchase_id" === 100L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(streamed == Set((100L, 1L))) // only the in-window click of the same user
+    // the REAL pin: compute the batch twin's range join over the same
+    // inputs — a unilateral change to either bound (inclusive ->
+    // exclusive) in stream or batch breaks this equality
+    val batch = purchaseRows.toDF("user_id", "purchase_ts", "purchase_id", "purchase_value")
+      .as("p")
+      .join(clickRows.toDF("user_id", "click_ts", "click_id").as("c"),
+        $"p.user_id" === $"c.user_id" &&
+          $"c.click_ts" >= $"p.purchase_ts" - expr("INTERVAL 600 SECONDS") &&
+          $"c.click_ts" <= $"p.purchase_ts")
+      .select($"p.purchase_id", $"c.click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((100L, 1L), (100L, 5L), (100L, 6L)))
   }
 
   test("foreachBatch merge sink: grains never duplicate across micro-batches") {
