@@ -16,6 +16,12 @@ run / fork := true
 // machine consumer of Bench's one-line JSON (BENCH_r{1..3}.json all
 // show parsed: null for exactly this reason).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own trailing "[success] Total time: ..." line must not
+// follow it either: a consumer that parses the LAST stdout line (the
+// driver's bench harness) would choke on it (BENCH_r4 parsed: null
+// even after the [info]-prefix fix above).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
