@@ -109,26 +109,34 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        mergeBatchToParquet(batch.toDF(), target, grain, order)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeBatchToParquet(batch.toDF(), target, grain, order, batchId)
       }
 
-  private[streaming] def mergeBatchToParquet(batch: DataFrame, target: String,
-                                             grain: Seq[String], order: Seq[String]): Unit = {
+  private[graft] def mergeBatchToParquet(batch: DataFrame, target: String,
+                                             grain: Seq[String], order: Seq[String],
+                                             batchId: Long = -1L): Unit = {
     import graft.operators.{Dedup, Merge}
     val incoming = Dedup.latestByGrain(batch, grain, order)
     upsertParquet(target, incoming, existing =>
-      Merge.appendNewGrains(existing, incoming, grain))
+      Merge.appendNewGrains(existing, incoming, grain), batchId)
   }
 
   /** Streaming SCD2 maintenance: each micro-batch of observations is
     * merged into the dimension with expire-and-insert semantics
     * (graft.operators.Scd2.applyChanges — affected keys only), so the
     * dim at any point equals a full-history rebuild over everything
-    * streamed so far. Inherits applyChanges' no-same-day-re-observation
-    * precondition: batches must cover time ranges after the previous
-    * batch's cutoff (the natural shape of a streaming feed; spec uses
-    * day-aligned batches).
+    * streamed so far.
+    *
+    * applyChanges' no-same-day-re-observation precondition is ENFORCED
+    * COMPLETELY via a per-key observed-day watermark (`_graft_obs`, a
+    * hidden parquet sidecar inside the target that travels with the
+    * atomic swap): every applied batch folds its per-key max observed
+    * day into the watermark, and a later batch observing a day at or
+    * before it fails loudly. Comparing against version `valid_from`s
+    * alone would miss days whose observation produced NO version
+    * change — a later intraday-earlier replay of such a day would then
+    * silently diverge the dim from the full-history rebuild.
     */
   def scd2Sink(stream: DataFrame, checkpoint: String, target: String,
                bk: String, ts: String, tieBreak: Seq[String], attrs: Seq[String]):
@@ -136,34 +144,65 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scd2BatchToParquet(batch.toDF(), target, bk, ts, tieBreak, attrs)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        scd2BatchToParquet(batch.toDF(), target, bk, ts, tieBreak, attrs, batchId)
       }
 
-  private[streaming] def scd2BatchToParquet(batch: DataFrame, target: String,
+  /** Hidden sidecar names inside a sink-maintained target. Both start
+    * with '_' so a plain `spark.read.parquet(target)` never sees them
+    * (Hadoop's hidden-path filter), yet both travel with swapDirs —
+    * data, watermark and commit marker replace atomically together.
+    */
+  private[graft] val ObsDir = "_graft_obs"
+  private[graft] val CommitFile = "_graft_commit.json"
+
+  private[graft] def scd2BatchToParquet(batch: DataFrame, target: String,
                                             bk: String, ts: String,
-                                            tieBreak: Seq[String], attrs: Seq[String]): Unit = {
+                                            tieBreak: Seq[String], attrs: Seq[String],
+                                            batchId: Long = -1L): Unit = {
     import graft.operators.Scd2
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal any half-finished swap BEFORE probing for the watermark — a
+    // target renamed aside by a crash would otherwise read as "no
+    // watermark" and this batch would silently drop the prior one
+    graft.sources.MedallionSink.recoverSwap(fs, target)
+    val obsPath = s"$target/$ObsDir"
+    val obsExists = fs.exists(new org.apache.hadoop.fs.Path(obsPath))
+    val batchDays = batch.select(col(bk), to_date(col(ts)).as("__graft_day"))
     upsertParquet(target, Scd2.fromHistory(batch, bk, ts, tieBreak, attrs),
       { existing =>
-        // applyChanges' precondition, ENFORCED (micro-batch boundaries
-        // are arbitrary in a real stream): a batch observation on a
-        // day a key has already versioned would replay against the
-        // reconstituted MIDNIGHT observation and win regardless of the
-        // original intraday winner — a silently wrong dimension. Fail
-        // loudly instead; the fix is day-aligned triggers or carrying
-        // per-day max observation ts in the dim.
-        val replayed = batch
-          .select(col(bk), to_date(col(ts)).as("__graft_day"))
-          .join(existing.select(col(bk), col("valid_from")), bk)
-          .filter(col("__graft_day") <= col("valid_from"))
-          .count()
+        // Re-observation of an already-applied day would replay against
+        // the reconstituted MIDNIGHT observation and win regardless of
+        // the original intraday winner — a silently wrong dimension.
+        // The watermark makes this check complete; a target written
+        // before the watermark existed falls back to the version-days
+        // check (weaker: blind to no-change days).
+        val replayed =
+          if (obsExists)
+            batchDays.join(spark.read.parquet(obsPath), bk)
+              .filter(col("__graft_day") <= col("max_obs_day")).count()
+          else
+            batchDays.join(existing.select(col(bk), col("valid_from")), bk)
+              .filter(col("__graft_day") <= col("valid_from")).count()
         if (replayed > 0)
           throw new IllegalStateException(
             s"scd2Sink: $replayed batch observation(s) re-observe a day at or " +
-              s"before an existing version's valid_from — micro-batches must " +
+              s"before the key's observed-day watermark — micro-batches must " +
               "cover strictly later days per key (see Scd2.applyChanges)")
         Scd2.applyChanges(existing, batch, bk, ts, tieBreak, attrs)
+      },
+      batchId,
+      afterWrite = { tmp =>
+        val batchObs = batchDays.groupBy(col(bk))
+          .agg(max(col("__graft_day")).as("max_obs_day"))
+        val obs =
+          if (obsExists)
+            batchObs.unionByName(spark.read.parquet(obsPath))
+              .groupBy(col(bk)).agg(max(col("max_obs_day")).as("max_obs_day"))
+          else batchObs
+        obs.write.mode("overwrite").parquet(s"$tmp/$ObsDir")
       })
   }
 
@@ -175,18 +214,54 @@ object StreamOps {
     * would silently re-init from one micro-batch); `recoverSwap` on
     * entry heals any state a previous crash left. `init` is used when
     * the target does not exist yet.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once contract: the last
+    * applied batch id is committed WITH the data (`_graft_commit.json`
+    * written into the tmp dir before the swap), so a crash between the
+    * swap and the stream checkpoint's own commit — which re-delivers
+    * the same batch id on restart — is detected here and skipped as a
+    * no-op. Without this, a non-idempotent merge (scd2's replay guard)
+    * would see its own already-applied rows and poison the stream.
+    * `afterWrite` lets callers place extra sidecar state into the tmp
+    * dir so it replaces atomically with the data.
     */
   private def upsertParquet(target: String, init: DataFrame,
-                            merge: DataFrame => DataFrame): Unit = {
+                            merge: DataFrame => DataFrame,
+                            batchId: Long = -1L,
+                            afterWrite: String => Unit = _ => ()): Unit = {
     import graft.sources.MedallionSink
     val spark = init.sparkSession
     val tPath = new org.apache.hadoop.fs.Path(target)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     MedallionSink.recoverSwap(fs, target)
+    if (batchId >= 0 && lastAppliedBatch(fs, target).exists(batchId <= _)) return
     val exists = fs.exists(tPath)
     val out = if (exists) merge(spark.read.parquet(target)) else init
-    out.write.mode("overwrite").parquet(target + MedallionSink.TmpSuffix)
+    val tmp = target + MedallionSink.TmpSuffix
+    out.write.mode("overwrite").parquet(tmp)
+    afterWrite(tmp)
+    if (batchId >= 0)
+      writeText(fs, new org.apache.hadoop.fs.Path(tmp, CommitFile),
+        s"""{"batch_id": $batchId}""")
     MedallionSink.swapDirs(fs, target)
+  }
+
+  private def lastAppliedBatch(fs: org.apache.hadoop.fs.FileSystem,
+                               target: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(target, CommitFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"batch_id"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
