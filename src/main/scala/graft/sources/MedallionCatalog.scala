@@ -84,11 +84,11 @@ object MedallionCatalog {
     // directory strings, so the parquet side must too — an inferred
     // read turns a string partition "01" into int 1 and the cast back
     // to string ("1") can never match its own directory's sidecar.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey)
-    val raw =
-      try { spark.conf.set(inferKey, "false"); read(spark, root, dataset) }
-      finally spark.conf.set(inferKey, prevInfer)
+    // Runs on a session clone (MedallionSink.readNoInfer), never a
+    // set/restore on the caller's shared conf — every frame below is
+    // built on the SAME clone so the plan resolves in one session.
+    val raw = MedallionSink.readNoInfer(spark, s"$root/dataset=$dataset")
+    val sess = raw.sparkSession
     val counted = raw
       .groupBy(partitionCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(count(lit(1)).as("parquet_rows"))
@@ -100,8 +100,8 @@ object MedallionCatalog {
       partitionCols.map(StructField(_, StringType)) :+
         StructField("meta_rows", LongType) :+
         StructField("partition_path", StringType))
-    val meta = spark.createDataFrame(
-      spark.sparkContext.parallelize(metaRows, 1), metaSchema)
+    val meta = sess.createDataFrame(
+      sess.sparkContext.parallelize(metaRows, 1), metaSchema)
     // Null-safe join keys: the default (null-valued) partition must
     // line up with its sidecar, not fan out into two unmatched rows.
     val m = broadcast(meta)

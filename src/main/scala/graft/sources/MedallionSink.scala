@@ -123,6 +123,18 @@ object MedallionSink {
     * rename CHECKED (a false return throws instead of dropping data),
     * every intermediate state recoverable by [[recoverSwap]]. Shared
     * by [[compact]] and the streaming sinks' upsert.
+    *
+    * ASSUMPTIONS (hold for HDFS / local FS, the container for
+    * durability here is a filesystem with atomic directory rename):
+    *  - single writer — callers are a lake-maintenance job or a
+    *    streaming sink, both serialized by their own scheduling;
+    *  - no concurrent READER during the swap: between the two renames
+    *    the target path briefly does not exist, so a live reader can
+    *    fail transiently (readers should retry-on-missing, or the
+    *    deployment serializes maintenance against reads);
+    *  - object stores without atomic rename (S3) need a manifest/
+    *    table-format commit instead — on such a lake this operator's
+    *    body is a transactional REPLACE TABLE, not directory renames.
     */
   def swapDirs(fs: org.apache.hadoop.fs.FileSystem, target: String): Unit = {
     val tPath = new Path(target)
@@ -186,13 +198,18 @@ object MedallionSink {
     * VALUES — with inference on, a string partition "01" reads back
     * as int 1 and the sidecar lands in a phantom `month=1` directory
     * next to the real `month=01`.
+    *
+    * The no-inference conf lives on a session CLONE (`newSession`
+    * shares the SparkContext but isolates SQL conf) — a set/restore
+    * on the shared session would leak inference-off to any concurrent
+    * read during the window, and two concurrent flips could clobber
+    * the restored value.
     */
-  private def readNoInfer(spark: org.apache.spark.sql.SparkSession,
-                          path: String): DataFrame = {
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(inferKey)
-    try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
-    finally spark.conf.set(inferKey, prev)
+  private[sources] def readNoInfer(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    s.read.parquet(path)
   }
 
   private def writeMetaSidecars(df: DataFrame, target: String,
