@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -490,6 +491,25 @@ object SparkEntry {
     "ana_coverage_audit" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.coverageAudit(servingValid(s, d))),
 
+    // Cohort retention: first-seen cohorts × day offsets, distinct
+    // retained users, share of the day-0 cohort.
+    "ana_retention_cohort" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.retentionCohort(t(s, d, "events"))),
+
+    // Ordered VIEW→CLICK→PURCHASE funnel (running-min windows per
+    // user, one shuffle), panel of counts + conversion rates.
+    "ana_funnel_steps" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.funnelSteps(t(s, d, "events"))),
+
+    // 7-day rolling demand over the per-day aggregate series.
+    "ana_rolling_demand" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.rollingDemand(t(s, d, "events"))),
+
+    // Per-group z-score outliers: exact decimal moments + broadcast
+    // stats join back — the training-data outlier filter.
+    "anomaly_zscore" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.anomalyZscore(t(s, d, "events"))),
+
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
@@ -675,6 +695,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occurrences"))
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(50)),
+
+    // Corpus TF-IDF top terms per document: tf (one doc/token
+    // shuffle), df (one token shuffle), broadcast 1-row corpus size,
+    // per-doc top-3 by a doc-partitioned rank window. The idf is the
+    // BM25-style RATIONAL form (n-df+0.5)/(df+0.5) — pure +,*,/ on
+    // exact integers, so any engine replays it bit for bit (ln()
+    // differs across libm implementations in the last ulp).
+    "text_tfidf_topn" -> ((s: SparkSession, d: String) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val total = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, "token").crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)), 6))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term_rank"), col("token"),
+          col("tf"), col("df"), col("tfidf"))
+    }),
+
+    // Embedding quality gate — see Ann.qualityGate (vector twin of
+    // the document/event gates; testdata vectors are 64-dim).
+    "embedding_quality_gate" -> ((s: SparkSession, d: String) =>
+      Ann.qualityGate(t(s, d, "embeddings"), "vec_id", "embedding", expectedDim = 64)),
 
     // Distributed per-label vector mean — see Ann.centroids.
     "embedding_centroids" -> ((s: SparkSession, d: String) =>
@@ -1112,6 +1161,86 @@ object SparkEntry {
            |FROM ($validSql)
            |GROUP BY 1, 2""".stripMargin,
 
+      "ana_retention_cohort" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day
+          |  FROM events WHERE user_id IS NOT NULL),
+          |fs AS (SELECT user_id, MIN(day) AS cohort_date FROM ev GROUP BY user_id),
+          |offs AS (
+          |  SELECT cohort_date,
+          |    CAST(date_diff('day', cohort_date, day) AS INTEGER) AS offset_days,
+          |    COUNT(DISTINCT e.user_id) AS retained_users
+          |  FROM ev e JOIN fs USING (user_id)
+          |  GROUP BY 1, 2)
+          |SELECT cohort_date, offset_days, retained_users,
+          |  ROUND(100.0 * retained_users / b.cohort_size, 2) AS pct_retained
+          |FROM offs
+          |JOIN (SELECT cohort_date, retained_users AS cohort_size
+          |      FROM offs WHERE offset_days = 0) b USING (cohort_date)""".stripMargin,
+
+      "ana_funnel_steps" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et
+          |  FROM events WHERE user_id IS NOT NULL),
+          |w1 AS (
+          |  SELECT *, MIN(CASE WHEN et = 'VIEW' THEN ts END) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view
+          |  FROM e),
+          |w2 AS (
+          |  SELECT *, MIN(CASE WHEN et = 'CLICK' AND first_view IS NOT NULL THEN ts END) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_av
+          |  FROM w1),
+          |per_user AS (
+          |  SELECT user_id,
+          |    MAX(CASE WHEN et = 'VIEW' THEN 1 ELSE 0 END) AS had_view,
+          |    MAX(CASE WHEN et = 'CLICK' AND first_view IS NOT NULL THEN 1 ELSE 0 END) AS had_click,
+          |    MAX(CASE WHEN et = 'PURCHASE' AND first_click_av IS NOT NULL THEN 1 ELSE 0 END) AS had_purchase
+          |  FROM w2 GROUP BY user_id)
+          |SELECT COUNT(*) AS users_total,
+          |  CAST(SUM(had_view) AS BIGINT) AS users_view,
+          |  CAST(SUM(had_click) AS BIGINT) AS users_click_after_view,
+          |  CAST(SUM(had_purchase) AS BIGINT) AS users_purchase_after_click,
+          |  ROUND(100.0 * CAST(SUM(had_view) AS BIGINT) / NULLIF(COUNT(*), 0), 2) AS pct_to_view,
+          |  ROUND(100.0 * CAST(SUM(had_click) AS BIGINT) / NULLIF(CAST(SUM(had_view) AS BIGINT), 0), 2) AS pct_view_to_click,
+          |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase
+          |FROM per_user""".stripMargin,
+
+      "ana_rolling_demand" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS viajes,
+          |    SUM(CAST(value AS DECIMAL(18,2))) AS dem
+          |  FROM events GROUP BY 1)
+          |SELECT day, viajes,
+          |  CAST(COALESCE(ROUND(dem, 2), 0) AS DOUBLE) AS demanda,
+          |  CAST(COALESCE(ROUND(SUM(dem) OVER w, 2), 0) AS DOUBLE) AS demanda_7d,
+          |  COUNT(*) OVER w AS dias_en_ventana,
+          |  ROUND(CAST(SUM(dem) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS demanda_7d_avg
+          |FROM daily
+          |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      "anomaly_zscore" ->
+        """WITH ev AS (
+          |  SELECT event_id, UPPER(TRIM(event_type)) AS event_type_norm, value
+          |  FROM events WHERE value IS NOT NULL),
+          |moms AS (
+          |  SELECT event_type_norm, COUNT(*) AS n,
+          |    SUM(CAST(value AS DECIMAL(28,6))) AS s1,
+          |    SUM(CAST(value * value AS DECIMAL(28,6))) AS s2
+          |  FROM ev GROUP BY 1 HAVING COUNT(*) >= 2),
+          |st AS (
+          |  SELECT event_type_norm,
+          |    CAST(s1 AS DOUBLE) / n AS mean,
+          |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std
+          |  FROM moms),
+          |scored AS (
+          |  SELECT event_id, event_type_norm, value,
+          |    ROUND(mean, 3) AS grupo_media, ROUND(std, 3) AS grupo_std,
+          |    ROUND((value - mean) / NULLIF(std, 0), 3) AS z
+          |  FROM ev JOIN st USING (event_type_norm))
+          |SELECT * FROM scored WHERE ABS(z) > 3""".stripMargin,
+
       "ana_od_matrix" ->
         """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,
           |  COUNT(*) AS viajes_totales,
@@ -1232,6 +1361,31 @@ object SparkEntry {
     * rows-only check: candidate sets are hash-seed-defined.)
     */
   private def annOracleSql: Map[String, String] = Map(
+    // Same left-fold norm as the cosine twin; NULL/size conventions
+    // masked to the engine-neutral form (see Ann.qualityGate).
+    "embedding_quality_gate" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |         ELSE CAST(len(embedding) AS INTEGER) END AS n_dims,
+        |    CASE WHEN embedding IS NULL
+        |           OR len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x) OR isinf(x))) > 0
+        |         THEN NULL
+        |         ELSE ROUND(sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), (a, b) -> a + b)), 6)
+        |    END AS l2_norm
+        |  FROM embeddings)
+        |SELECT *, reason_code IS NULL AS is_valid FROM (
+        |  SELECT *,
+        |    CASE WHEN n_dims IS NULL THEN 'NULL_VEC'
+        |         WHEN n_dims <> 64 THEN 'BAD_DIM'
+        |         WHEN l2_norm IS NULL THEN 'NON_FINITE'
+        |         WHEN l2_norm = 0 THEN 'ZERO_NORM'
+        |         WHEN l2_norm < CAST(0.001 AS DOUBLE) THEN 'LOW_NORM'
+        |         WHEN l2_norm > CAST(1000.0 AS DOUBLE) THEN 'HIGH_NORM'
+        |         ELSE NULL END AS reason_code
+        |  FROM base)""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1317,6 +1471,24 @@ object SparkEntry {
            |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("fr")})) AS fr_n,
            |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_n
            |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin,
+
+      "text_tfidf_topn" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, UNNEST($toksSql) AS token FROM documents),
+           |tf AS (
+           |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY 1, 2),
+           |idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT doc_id, token, tf, df,
+           |    ROUND(tf * (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)), 6) AS tfidf
+           |  FROM tf JOIN idf USING (token) CROSS JOIN n)
+           |SELECT doc_id,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS term_rank,
+           |  token, tf, df, tfidf
+           |FROM scored
+           |QUALIFY term_rank <= 3""".stripMargin,
 
       "text_token_topn" ->
         s"""SELECT token, COUNT(*) AS n_occurrences

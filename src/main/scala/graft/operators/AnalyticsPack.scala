@@ -287,6 +287,121 @@ object AnalyticsPack {
         when(col("pct_con_dato") < 90.0, "INCUMPLE").otherwise("OK"))
   }
 
+  /** Cohort retention: users grouped by their first-seen day, distinct
+    * users retained per (cohort, day-offset), and the share of the
+    * day-0 cohort size. Scale shape: first-seen is one user-keyed
+    * shuffle; the join back to events is co-keyed on the same key (at
+    * 100 TB the exchange is reused, never re-planned per stage); the
+    * per-cohort base sizes are ≤ #days rows — broadcast.
+    */
+  def retentionCohort(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_date"))
+    val offsets = ev.join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("day"), col("cohort_date")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("retained_users"))
+    // day-0 retained == cohort size by construction (every user's
+    // first event is at offset 0)
+    val base = offsets.filter(col("offset_days") === 0)
+      .select(col("cohort_date"), col("retained_users").as("cohort_size"))
+    offsets.join(broadcast(base), "cohort_date")
+      .withColumn("pct_retained",
+        round(lit(100.0) * col("retained_users") / col("cohort_size"), 2))
+      .drop("cohort_size")
+  }
+
+  /** Ordered conversion funnel VIEW → CLICK → PURCHASE: a step counts
+    * only when it happens at-or-after the user's first completion of
+    * the previous step (event-time order with event_id tie-break).
+    * One user-keyed shuffle: both running-min windows share the
+    * partitioning/ordering (one sort), and the per-user flag
+    * aggregation reuses the same hash partitioning; only the final
+    * 1-row panel is a benign single-partition aggregate.
+    */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        upper(trim(col("event_type"))).as("et"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("first_view", min(when(col("et") === "VIEW", col("ts"))).over(w))
+      .withColumn("first_click_av",
+        min(when(col("et") === "CLICK" && col("first_view").isNotNull, col("ts"))).over(w))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(when(col("et") === "VIEW", 1).otherwise(0)).as("had_view"),
+      max(when(col("et") === "CLICK" && col("first_view").isNotNull, 1).otherwise(0))
+        .as("had_click"),
+      max(when(col("et") === "PURCHASE" && col("first_click_av").isNotNull, 1).otherwise(0))
+        .as("had_purchase"))
+    def pct(num: Column, den: Column): Column =
+      round(lit(100.0) * num / when(den === 0, lit(null)).otherwise(den), 2)
+    perUser.agg(
+      count(lit(1)).as("users_total"),
+      sum(col("had_view")).as("users_view"),
+      sum(col("had_click")).as("users_click_after_view"),
+      sum(col("had_purchase")).as("users_purchase_after_click"),
+      pct(sum(col("had_view")), count(lit(1))).as("pct_to_view"),
+      pct(sum(col("had_click")), sum(col("had_view"))).as("pct_view_to_click"),
+      pct(sum(col("had_purchase")), sum(col("had_click"))).as("pct_click_to_purchase"))
+  }
+
+  /** 7-day rolling demand: aggregate the fact to one row per day (one
+    * partial-aggregable shuffle), then ROWS-window the tiny daily
+    * series — the rolling sum/average never sees fact rows, so the
+    * single-partition window is the same benign class as the pack's
+    * grand totals. Exact: the decimal day sums roll up order-free.
+    */
+  def rollingDemand(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("viajes"),
+        sum(col("value").cast(DecimalType(18, 2))).as("__dem"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("demanda", coalesce(round(col("__dem"), 2), lit(0)).cast("double"))
+      .withColumn("demanda_7d",
+        coalesce(round(sum(col("__dem")).over(w), 2), lit(0)).cast("double"))
+      .withColumn("dias_en_ventana", count(lit(1)).over(w))
+      .withColumn("demanda_7d_avg",
+        round(sum(col("__dem")).over(w).cast("double") / count(lit(1)).over(w), 2))
+      .drop("__dem")
+  }
+
+  /** Per-group z-score outlier detection (the training-data outlier
+    * filter): two-phase — exact group moments (decimal sums of value
+    * and value², order-free), then the tiny per-group stats broadcast
+    * back over the fact and each row scored in one codegen'd pass.
+    * Never a window over fact rows; the fact is scanned twice but
+    * shuffled zero times. Variance via the exact-sum identity
+    * (s2 - s1²/n)/(n-1), every double op replayed identically by the
+    * oracle.
+    */
+  def anomalyZscore(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_id"), upper(trim(col("event_type"))).as("event_type_norm"),
+        col("value"))
+    val stats = ev.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 6))).as("s2"))
+      .filter(col("n") >= 2)
+      .select(col("event_type_norm"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1)).as("std"))
+    val z = round((col("value") - col("mean"))
+      / when(col("std") === 0, lit(null)).otherwise(col("std")), 3)
+    ev.join(broadcast(stats), "event_type_norm")
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type_norm"), col("value"),
+        round(col("mean"), 3).as("grupo_media"),
+        round(col("std"), 3).as("grupo_std"), col("z"))
+  }
+
   /** Top-N origin→destination matrix (docs/queries/02_analisis_od
     * .sql:25-39): flows between supplier nation (origin) and customer
     * nation (destination), intra-zone flows excluded, ranked by

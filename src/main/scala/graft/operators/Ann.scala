@@ -53,6 +53,38 @@ object Ann {
           .cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
           / count(lit(1)), 6).as("centroid_v"))
 
+  /** Embedding quality gate (the vector twin of the corpus/document
+    * gates): first-match reason codes for null vectors, wrong
+    * dimensionality, non-finite components, zero and out-of-band L2
+    * norms. One codegen'd scan, no shuffle; the norm reuses the
+    * left-fold dot kernel so the oracle replays it bit for bit.
+    * Dimension/norm stats stay NULL where they are undefined (a NULL
+    * vector has no size — Spark's `size(null) = -1` convention is
+    * masked for engine parity).
+    */
+  def qualityGate(emb: DataFrame, idCol: String, vecCol: String,
+                  expectedDim: Int, minNorm: Double = 1e-3,
+                  maxNorm: Double = 1e3): DataFrame = {
+    val v = col(vecCol)
+    val vd = v.cast("array<double>")
+    val nonFinite = exists(vd, x =>
+      isnan(x) || x === lit(Double.PositiveInfinity) || x === lit(Double.NegativeInfinity))
+    val norm2 = dot(vd, vd)
+    emb.select(col(idCol).as("vec_id"),
+        when(v.isNull, lit(null).cast("int")).otherwise(size(v)).as("n_dims"),
+        when(v.isNull || nonFinite, lit(null).cast("double"))
+          .otherwise(round(sqrt(norm2), 6)).as("l2_norm"))
+      .withColumn("reason_code",
+        when(col("n_dims").isNull, "NULL_VEC")
+          .when(col("n_dims") =!= expectedDim, "BAD_DIM")
+          .when(col("l2_norm").isNull, "NON_FINITE")
+          .when(col("l2_norm") === 0, "ZERO_NORM")
+          .when(col("l2_norm") < minNorm, "LOW_NORM")
+          .when(col("l2_norm") > maxNorm, "HIGH_NORM")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("is_valid", col("reason_code").isNull)
+  }
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

@@ -141,6 +141,74 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got("VIEW").getAs[String]("estado") == "OK")
   }
 
+  private def tsOf(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("retentionCohort: offsets from first-seen day, pct of day-0 cohort") {
+    val ev = Seq(
+      (1L, tsOf("2024-01-01 10:00:00")), (1L, tsOf("2024-01-02 09:00:00")),
+      (1L, tsOf("2024-01-03 09:00:00")),
+      (4L, tsOf("2024-01-01 11:00:00")),
+      (2L, tsOf("2024-01-02 08:00:00")), (2L, tsOf("2024-01-02 20:00:00")))
+      .toDF("user_id", "ts")
+    val got = AnalyticsPack.retentionCohort(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_date").toString, r.getAs[Int]("offset_days")) ->
+        ((r.getAs[Long]("retained_users"), r.getAs[Double]("pct_retained")))).toMap
+    // cohort Jan-1 = {u1, u4}: only u1 returns -> 50% on offsets 1..2
+    assert(got(("2024-01-01", 0)) == ((2L, 100.0)))
+    assert(got(("2024-01-01", 1)) == ((1L, 50.0)))
+    assert(got(("2024-01-01", 2)) == ((1L, 50.0)))
+    // two same-day events of u2 count once
+    assert(got(("2024-01-02", 0)) == ((1L, 100.0)))
+    assert(got.size == 4)
+  }
+
+  test("funnelSteps: steps count only when reached in order") {
+    val ev = Seq(
+      (1L, tsOf("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, tsOf("2024-01-01 11:00:00"), 2L, "click"),
+      (1L, tsOf("2024-01-01 12:00:00"), 3L, "purchase"),
+      (2L, tsOf("2024-01-01 10:00:00"), 4L, "click"),    // click BEFORE view
+      (2L, tsOf("2024-01-01 11:00:00"), 5L, "view"),
+      (3L, tsOf("2024-01-01 10:00:00"), 6L, "view"),
+      (3L, tsOf("2024-01-01 11:00:00"), 7L, "purchase"), // no click in between
+      (4L, tsOf("2024-01-01 09:00:00"), 8L, "purchase"), // purchase BEFORE click
+      (4L, tsOf("2024-01-01 10:00:00"), 9L, "view"),
+      (4L, tsOf("2024-01-01 11:00:00"), 10L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = AnalyticsPack.funnelSteps(ev).collect().head
+    assert(got.getAs[Long]("users_total") == 4L)
+    assert(got.getAs[Long]("users_view") == 4L)
+    assert(got.getAs[Long]("users_click_after_view") == 2L)    // u1, u4
+    assert(got.getAs[Long]("users_purchase_after_click") == 1L) // u1 only
+    assert(got.getAs[Double]("pct_view_to_click") == 50.0)
+    assert(got.getAs[Double]("pct_click_to_purchase") == 50.0)
+  }
+
+  test("rollingDemand: ROWS window sums and averages over the daily series") {
+    val ev = Seq(
+      (tsOf("2024-01-01 08:00:00"), 1.0), (tsOf("2024-01-01 09:00:00"), 2.0),
+      (tsOf("2024-01-02 08:00:00"), 4.0),
+      (tsOf("2024-01-03 08:00:00"), 5.0))
+      .toDF("ts", "value")
+    val got = AnalyticsPack.rollingDemand(ev).orderBy("day").collect()
+    assert(got.map(_.getAs[Long]("viajes")).toSeq == Seq(2L, 1L, 1L))
+    assert(got.map(_.getAs[Double]("demanda")).toSeq == Seq(3.0, 4.0, 5.0))
+    assert(got.map(_.getAs[Double]("demanda_7d")).toSeq == Seq(3.0, 7.0, 12.0))
+    assert(got.map(_.getAs[Long]("dias_en_ventana")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Double]("demanda_7d_avg")).toSeq == Seq(3.0, 3.5, 4.0))
+  }
+
+  test("anomalyZscore: flags only the planted outlier; singleton groups dropped") {
+    val rows = (1L to 19L).map(i => (i, "A", 10.0)) :+ ((20L, "A", 1000.0)) :+ ((21L, "B", 5.0))
+    val ev = rows.toDF("event_id", "event_type", "value")
+    val got = AnalyticsPack.anomalyZscore(ev).collect()
+    // group A: mean 59.5, std ~221.4 -> z(1000) ~ 4.25; the 10.0 rows
+    // sit at z ~ -0.22; group B has n=1 -> no stats, no rows
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("event_id") == 20L)
+    assert(got.head.getAs[Double]("z") > 3)
+  }
+
   test("odMatrix: intra-zone flows excluded, ranked by demand desc") {
     val li = Seq((1L, 100L, 2.0, 50.0), (2L, 200L, 4.0, 300.0), (3L, 100L, 1.0, 10.0))
       .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")

@@ -118,6 +118,26 @@ class AnnSpec extends SparkSpec {
     assert(pairs < n.toLong * n / 8)
   }
 
+  test("embedding quality gate: first-match reasons and exact norms") {
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      1L -> Some(Seq(3f, 4f)),
+      2L -> None,
+      3L -> Some(Seq(1f)),
+      4L -> Some(Seq(Float.NaN, 1f)),
+      5L -> Some(Seq(0f, 0f)),
+      6L -> Some(Seq(1e-5f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Ann.qualityGate(df, "vec_id", "embedding", expectedDim = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(got(1L).getAs[Double]("l2_norm") == 5.0 && got(1L).getAs[Boolean]("is_valid"))
+    assert(got(2L).getAs[String]("reason_code") == "NULL_VEC")
+    assert(got(2L).isNullAt(got(2L).fieldIndex("n_dims")))
+    assert(got(3L).getAs[String]("reason_code") == "BAD_DIM")
+    assert(got(4L).getAs[String]("reason_code") == "NON_FINITE")
+    assert(got(5L).getAs[String]("reason_code") == "ZERO_NORM")
+    assert(got(6L).getAs[String]("reason_code") == "LOW_NORM")
+  }
+
   test("lsh candidate generation is deterministic across runs") {
     def run() = Ann.lshTopK(vecs, "vec_id", "embedding", 2, 3, tables = 4, planes = 2, dim = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq

@@ -174,6 +174,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3L) == ((1, 0, "mail <EMAIL> today")))
   }
 
+  test("tf-idf top terms: rational idf ranks distinctive terms first") {
+    val df = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_tfidf_topn")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("term_rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Double]("tfidf")))).toMap
+    // banana: tf 2, df 1 -> 2*(3-1+0.5)/1.5 = 3.333333; apple: df 3 -> 0.5/3.5
+    assert(got((1L, 1)) == (("banana", 3.333333)))
+    assert(got((1L, 2)) == (("apple", 0.142857)))
+    assert(got((2L, 1))._1 == "cherry")
+    assert(got((3L, 1)) == (("apple", 0.142857)))
+  }
+
   test("fingerprints: deterministic, content-sensitive, within prime range") {
     val got = docs.select($"doc_id",
       TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"),
