@@ -752,6 +752,29 @@ object SparkEntry {
         max(col("ts")).as("ts_max"),
         countDistinct(col("event_type")).as("event_type_distinct"))),
 
+    // Equi-width value histogram (see Profiling.histogram) — the
+    // distribution profile next to table_profile_events.
+    "table_histogram_value" -> ((s: SparkSession, d: String) =>
+      Profiling.histogram(t(s, d, "events"), "value", k = 20)),
+
+    // Incremental aggregate maintenance: the stored rollup absorbs a
+    // new batch's partial aggregate by grain-keyed summation
+    // (Merge.mergeAggregate) — always-fresh rollups without ever
+    // re-scanning history. The oracle recomputes from ALL rows:
+    // equality IS the mergeability proof.
+    "gold_agg_incremental" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(upper(trim(col("event_type"))).as("event_type_norm"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("__sum"))
+      val stored = partial(ev.filter(to_date(col("ts")) <= lit("2024-01-15")))
+      val batch = partial(ev.filter(to_date(col("ts")) > lit("2024-01-15")))
+      Merge.mergeAggregate(stored, batch, Seq("event_type_norm", "day"))
+        .select(col("event_type_norm"), col("day"), col("n_events"),
+          coalesce(round(col("__sum"), 2), lit(0)).cast("double").as("value_sum"))
+    }),
+
     // Sketch profile: mergeable HLL distinct + t-digest quantiles per
     // group — the 100-TB shapes for COUNT(DISTINCT)/PERCENTILE when
     // exactness is traded for constant memory. Sketches are
@@ -877,6 +900,31 @@ object SparkEntry {
         |  MAX(ts) AS ts_max,
         |  COUNT(DISTINCT event_type) AS event_type_distinct
         |FROM events""".stripMargin,
+
+    // Bucket arithmetic replayed op-for-op: FLOOR((v-mn)/((mx-mn)/k))
+    // clamped to k-1 — IEEE subtract/divide/floor are engine-exact.
+    "table_histogram_value" ->
+      """WITH b AS (
+        |  SELECT MIN(value) AS mn, MAX(value) AS mx
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE LEAST(19, CAST(FLOOR((value - mn) / ((mx - mn) / 20)) AS INTEGER)) END AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  MIN(value) AS bucket_min,
+        |  MAX(value) AS bucket_max
+        |FROM events, b
+        |WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // The merged rollup must equal a recompute over ALL rows — the
+    // mergeability contract of Merge.mergeAggregate.
+    "gold_agg_incremental" ->
+      """SELECT UPPER(TRIM(event_type)) AS event_type_norm,
+        |  CAST(ts AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "attrib_click_purchase" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),

@@ -48,4 +48,28 @@ object Merge {
     existing.join(cuts, existing(cutCol) <=> cuts("__graft_cut"), "left_anti")
       .unionByName(incoming)
   }
+
+  /** Incremental aggregate maintenance: fold a batch's partial
+    * aggregate into a stored rollup by grain-keyed summation — the
+    * 100-TB pattern for always-fresh aggregates (COUNT partials merge
+    * by SUM, SUM partials by SUM; both are associative and
+    * commutative), so the rollup is all that is ever kept and raw
+    * history is never re-scanned. Every non-key column of `stored`
+    * must be such a mergeable partial; decimal sums keep the merge
+    * order-free. The merged result equals the aggregate of the
+    * concatenated inputs — the spec and the driver oracle pin exactly
+    * that equality.
+    *
+    * Scale shape: one union (no materialization) + one shuffle keyed
+    * on the rollup grain, sized by DISTINCT grains, not input rows.
+    */
+  def mergeAggregate(stored: DataFrame, incoming: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val aggCols = stored.columns.filterNot(keys.contains).toSeq
+    require(aggCols.nonEmpty, "mergeAggregate needs at least one aggregate column")
+    val sums = aggCols.map(c => sum(col(c)).as(c))
+    stored.unionByName(incoming)
+      .groupBy(keys.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+  }
 }

@@ -276,6 +276,26 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(again.count() == 3)
   }
 
+  test("mergeAggregate: merged partials equal the full recompute, associatively") {
+    import org.apache.spark.sql.types.DecimalType
+    def pa(df: org.apache.spark.sql.DataFrame) = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v".cast(DecimalType(18, 2))).as("s"))
+    // widened decimal precision after a merge would break the set
+    // compare — normalize through double for the equality check
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"n", $"s".cast("double").as("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("A", 4.0), ("C", 5.0)).toDF("k", "v")
+    val p1 = pa(full.filter($"v" <= 2.0))
+    val p2 = pa(full.filter($"v" === 3.0 || $"v" === 4.0))
+    val p3 = pa(full.filter($"v" === 5.0))
+    // (p1 + p2) + p3 — associativity is the whole contract
+    val merged = Merge.mergeAggregate(
+      Merge.mergeAggregate(p1, p2, Seq("k")), p3, Seq("k"))
+    assert(norm(merged) == norm(pa(full)))
+    assert(norm(merged) == Set(("A", 3L, 7.0), ("B", 1L, 3.0), ("C", 1L, 5.0)))
+  }
+
   test("driver contract: entry returns rows; registries aligned") {
     assert(SparkEntry.entry(spark).count() > 0)
     val q = SparkEntry.queries.keySet

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Sessionize}
+import graft.operators.{Dedup, Profiling, Sampling, Sessionize}
 import graft.sources.MedallionSink
 
 /** Round-4 additions: deterministic sampling, sketch profiles, the
@@ -179,6 +179,23 @@ class SamplingSketchSpec extends SparkSpec {
     assert(got == Map(
       (0, 0) -> (2L, 2.0), (0, 1) -> (2L, 3.0),
       (1, 0) -> (1L, 10.0), (1, 1) -> (1L, 20.0)))
+  }
+
+  test("histogram: exact equi-width buckets, max value clamped into the last") {
+    import spark.implicits._
+    val df = (0 to 100).map(_.toDouble).toDF("v") // mn=0, mx=100, 10 buckets of width 10
+    val got = Profiling.histogram(df, "v", 10).orderBy("bucket").collect()
+    assert(got.length == 10)
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 101L)
+    assert(got.head.getAs[Long]("n_rows") == 10L)      // [0, 10)
+    val last = got.last
+    assert(last.getAs[Int]("bucket") == 9)
+    assert(last.getAs[Long]("n_rows") == 11L)          // [90, 100] — mx clamped in
+    assert(last.getAs[Double]("bucket_max") == 100.0)
+    // a degenerate (constant) column collapses to bucket 0, no div-by-zero
+    val deg = Profiling.histogram(Seq(5.0, 5.0).toDF("v"), "v", 10).collect()
+    assert(deg.length == 1 && deg.head.getAs[Int]("bucket") == 0 &&
+      deg.head.getAs[Long]("n_rows") == 2L)
   }
 
   test("bucketed co-located join and aggregation plan with zero exchanges") {

@@ -355,6 +355,43 @@ class StreamingSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("re-observe")))
   }
 
+  test("streaming session_window emits the batch twin's sessions") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val df = in.toDF.toDF("user_id", "ts", "event_id", "value")
+    // the same aggregation shape as Sessionize.byGapBuiltin minus the
+    // ordinal (session_seq needs a rank over closed sessions — a batch
+    // concern; streams key sessions by (user, start) instead)
+    val sessions = df.withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", "1800 seconds").as("sw"))
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        coalesce(round(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2),
+          lit(0)).cast("double").as("value_sum"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"value_sum")
+    val q = sessions.writeStream.format("memory").queryName("sessw")
+      .outputMode("append").start()
+    val u1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.5),
+      (1L, ts("2024-01-01 10:10:00"), 2L, 2.0),  // gap 600s -> same session
+      (1L, ts("2024-01-01 12:00:00"), 3L, 4.0))  // new session
+    in.addData(u1); q.processAllAvailable()
+    // advance the watermark past both sessions' close so append emits them
+    in.addData(Seq((9L, ts("2024-01-01 23:00:00"), 99L, 0.0)))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessw").filter($"user_id" === 1L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = Sessionize.byGap(u1.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", gapSec = 1800)
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"value_sum")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+  }
+
   test("merge sink: a re-delivered batch id is skipped as a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mergereplay").toString
     val target = s"$dir/fct"
