@@ -524,6 +524,29 @@ object SparkEntry {
         TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text"),
         "doc_a", "doc_b")),
 
+    // End-to-end corpus dedup ENDPOINT: duplicate clusters (Jaccard
+    // pairs + connected components), ONE best-quality survivor per
+    // cluster (text_stats score, doc_id tie-break), every unclustered
+    // doc kept as UNIQUE — the filtered-corpus output a training
+    // pipeline actually consumes after all the pair machinery.
+    "dedup_corpus_keep" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val clusters = TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+      val j = textStats(s, d).select(col("doc_id"), col("quality_score"))
+        .join(clusters, Seq("doc_id"), "left")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      j.filter(col("cluster_id").isNull)
+        .select(col("doc_id"), col("quality_score"), col("cluster_id"),
+          lit("UNIQUE").as("keep_reason"))
+        .unionByName(
+          j.filter(col("cluster_id").isNotNull)
+            .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+            .select(col("doc_id"), col("quality_score"), col("cluster_id"),
+              lit("BEST_OF_CLUSTER").as("keep_reason")))
+    }),
+
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
 
@@ -752,6 +775,29 @@ object SparkEntry {
         max(col("ts")).as("ts_max"),
         countDistinct(col("event_type")).as("event_type_distinct"))),
 
+    // Shuffle-skew diagnosis: per-key row counts, the top-5 hottest
+    // keys with their share and multiple-of-average — the measurement
+    // that decides WHERE salting (gold_dedup_grain_salted) is worth
+    // its overhead. One partial-aggregable shuffle + TakeOrdered.
+    "skew_hot_keys" -> ((s: SparkSession, d: String) => {
+      val perKey = t(s, d, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+      val tot = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("n_rows")).as("total_rows"))
+      // NO rounding on the shares: the raw division chain is IEEE-
+      // exact in any engine, while round-to-2dp diverges the moment a
+      // quotient's shortest decimal lands on a .5 boundary (85 keys of
+      // 10000 rows over 150 keys = exactly "1.275" — Spark rounds the
+      // string up, DuckDB rounds the binary down).
+      perKey.crossJoin(broadcast(tot))
+        .withColumn("pct_of_total", lit(100.0) * col("n_rows") / col("total_rows"))
+        .withColumn("x_avg",
+          col("n_rows") / (col("total_rows") / col("n_keys").cast("double")))
+        .select(col("user_id"), col("n_rows"), col("pct_of_total"), col("x_avg"))
+        .orderBy(col("n_rows").desc, col("user_id"))
+        .limit(5)
+    }),
+
     // Equi-width value histogram (see Profiling.histogram) — the
     // distribution profile next to table_profile_events.
     "table_histogram_value" -> ((s: SparkSession, d: String) =>
@@ -900,6 +946,20 @@ object SparkEntry {
         |  MAX(ts) AS ts_max,
         |  COUNT(DISTINCT event_type) AS event_type_distinct
         |FROM events""".stripMargin,
+
+    "skew_hot_keys" ->
+      """WITH k AS (
+        |  SELECT user_id, COUNT(*) AS n_rows FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS total_rows
+        |  FROM k)
+        |SELECT user_id, n_rows,
+        |  100.0 * n_rows / total_rows AS pct_of_total,
+        |  n_rows / (total_rows / CAST(n_keys AS DOUBLE)) AS x_avg
+        |FROM k, tot
+        |ORDER BY n_rows DESC, user_id
+        |LIMIT 5""".stripMargin,
 
     // Bucket arithmetic replayed op-for-op: FLOOR((v-mn)/((mx-mn)/k))
     // clamped to k-1 — IEEE subtract/divide/floor are engine-exact.
@@ -1264,7 +1324,7 @@ object SparkEntry {
           |  CAST(COALESCE(ROUND(dem, 2), 0) AS DOUBLE) AS demanda,
           |  CAST(COALESCE(ROUND(SUM(dem) OVER w, 2), 0) AS DOUBLE) AS demanda_7d,
           |  COUNT(*) OVER w AS dias_en_ventana,
-          |  ROUND(CAST(SUM(dem) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS demanda_7d_avg
+          |  CAST(SUM(dem) OVER w AS DOUBLE) / COUNT(*) OVER w AS demanda_7d_avg
           |FROM daily
           |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
@@ -1463,6 +1523,34 @@ object SparkEntry {
          |     THEN list_distinct(list_transform(range(1, len(t) - 1),
          |          i -> array_to_string(list_slice(t, i, i + 2), ' ')))
          |     ELSE [array_to_string(t, ' ')] END""".stripMargin
+    // The min-label fixpoint as a recursive transitive-closure CTE
+    // (UNION-distinct terminates it) — shared by dedup_clusters and
+    // the corpus-keep endpoint so both replay the SAME cluster set.
+    val clusterCtes =
+      s"""jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jp),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         |clusters AS (
+         |  SELECT id AS doc_id, MIN(label) AS cluster_id
+         |  FROM walk GROUP BY id)""".stripMargin
+    val textStatsSql =
+      s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, n_tokens_bpe, punct_ratio, stopword_ratio,
+         |  least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio * 0.5) * (1.0 - punct_ratio) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars_calc,
+         |    len(t) AS n_tokens,
+         |    list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len,
+         |    len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS n_tokens_bpe,
+         |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin
     Map(
       "dedup_exact" ->
         """SELECT doc_id, text, lang, source, n_chars, n_copies FROM (
@@ -1475,34 +1563,29 @@ object SparkEntry {
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
 
-      // Connected components over the same pair set: DuckDB replays
-      // the min-label fixpoint as a recursive transitive-closure CTE
-      // (UNION-distinct terminates it), then MIN per node.
       "dedup_clusters" ->
-        s"""WITH RECURSIVE jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql)}),
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM jp
-           |  UNION
-           |  SELECT doc_b, doc_a FROM jp),
-           |walk(id, label) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
-           |SELECT id AS doc_id, MIN(label) AS cluster_id
-           |FROM walk GROUP BY id""".stripMargin,
+        s"""WITH RECURSIVE $clusterCtes
+           |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
 
-      "text_stats" ->
-        s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, n_tokens_bpe, punct_ratio, stopword_ratio,
-           |  least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio * 0.5) * (1.0 - punct_ratio) AS quality_score
+      // Survivor selection replayed over the SAME clusters + the SAME
+      // quality score the other oracles pin — ties broken by doc_id.
+      "dedup_corpus_keep" ->
+        s"""WITH RECURSIVE $clusterCtes,
+           |q AS (SELECT doc_id, quality_score FROM ($textStatsSql)),
+           |j AS (
+           |  SELECT q.doc_id, q.quality_score, c.cluster_id
+           |  FROM q LEFT JOIN clusters c USING (doc_id))
+           |SELECT doc_id, quality_score, cluster_id, 'UNIQUE' AS keep_reason
+           |FROM j WHERE cluster_id IS NULL
+           |UNION ALL
+           |SELECT doc_id, quality_score, cluster_id, 'BEST_OF_CLUSTER' AS keep_reason
            |FROM (
-           |  SELECT doc_id,
-           |    length(text) AS n_chars_calc,
-           |    len(t) AS n_tokens,
-           |    list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len,
-           |    len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS n_tokens_bpe,
-           |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
-           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio
-           |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin,
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |    ORDER BY quality_score DESC, doc_id) AS rn
+           |  FROM j WHERE cluster_id IS NOT NULL)
+           |WHERE rn = 1""".stripMargin,
+
+      "text_stats" -> textStatsSql,
 
       "text_lang_id" ->
         s"""SELECT *,

@@ -364,8 +364,13 @@ object AnalyticsPack {
       .withColumn("demanda_7d",
         coalesce(round(sum(col("__dem")).over(w), 2), lit(0)).cast("double"))
       .withColumn("dias_en_ventana", count(lit(1)).over(w))
+      // RAW quotient, no rounding: an exact decimal sum of 2dp days
+      // divided by a small count lands on a .xx5 shortest-decimal
+      // boundary easily (sf0.1 hit one), where Spark's string-HALF_UP
+      // and DuckDB's binary round diverge; the unrounded double is
+      // IEEE-identical in any engine.
       .withColumn("demanda_7d_avg",
-        round(sum(col("__dem")).over(w).cast("double") / count(lit(1)).over(w), 2))
+        sum(col("__dem")).over(w).cast("double") / count(lit(1)).over(w))
       .drop("__dem")
   }
 

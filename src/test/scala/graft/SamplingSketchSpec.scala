@@ -181,6 +181,18 @@ class SamplingSketchSpec extends SparkSpec {
       (1, 0) -> (1L, 10.0), (1, 1) -> (1L, 20.0)))
   }
 
+  test("skew hot keys: descending counts, shares and x_avg self-consistent") {
+    val got = SparkEntry.queries("skew_hot_keys")(spark, sf).collect()
+    assert(got.length == 5)
+    val counts = got.map(_.getAs[Long]("n_rows"))
+    assert(counts.sameElements(counts.sortBy(-(_: Long))), "not ordered by count desc")
+    // the hottest key is at or above the per-key average by definition
+    assert(got.head.getAs[Double]("x_avg") >= 1.0)
+    assert(got.forall { r =>
+      val p = r.getAs[Double]("pct_of_total"); p > 0.0 && p <= 100.0
+    })
+  }
+
   test("histogram: exact equi-width buckets, max value clamped into the last") {
     import spark.implicits._
     val df = (0 to 100).map(_.toDouble).toDF("v") // mn=0, mx=100, 10 buckets of width 10

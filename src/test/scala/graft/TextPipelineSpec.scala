@@ -192,6 +192,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(got((3L, 1)) == (("apple", 0.142857)))
   }
 
+  test("corpus keep: best-quality survivor per cluster, uniques pass, dups dropped") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about boats and rivers today"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_keep").toString
+    d.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_corpus_keep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // identical pair (1,2): equal quality -> doc_id tie-break keeps 1;
+    // near-dup pair (4,5): 5 has more tokens -> higher quality score,
+    // so the LATER doc survives; 3 shares no shingle -> UNIQUE
+    assert(got == Map(1L -> "BEST_OF_CLUSTER", 3L -> "UNIQUE", 5L -> "BEST_OF_CLUSTER"))
+  }
+
   test("fingerprints: deterministic, content-sensitive, within prime range") {
     val got = docs.select($"doc_id",
       TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"),
