@@ -122,6 +122,38 @@ object StreamOps {
       Merge.appendNewGrains(existing, incoming, grain), batchId)
   }
 
+  /** Streaming rollup maintenance: each micro-batch reduces to its
+    * partial aggregate (map-side, tiny) and folds into the stored
+    * rollup by grain-keyed summation (graft.operators.Merge
+    * .mergeAggregate) — the streaming form of `gold_agg_incremental`:
+    * the rollup is all that is ever stored, raw history is never
+    * re-scanned, and the result equals a batch recompute over
+    * everything streamed so far (spec-pinned). `partial` must produce
+    * mergeable partials (counts / decimal sums) keyed by `keys`.
+    * Batch-id replays no-op via the shared commit marker, so
+    * at-least-once delivery never double-counts a batch — double
+    * counting is THE failure mode of incremental rollups.
+    */
+  def aggSink(stream: DataFrame, checkpoint: String, target: String,
+              keys: Seq[String], partial: DataFrame => DataFrame):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        aggBatchToParquet(batch.toDF(), target, keys, partial, batchId)
+      }
+
+  private[graft] def aggBatchToParquet(batch: DataFrame, target: String,
+                                       keys: Seq[String],
+                                       partial: DataFrame => DataFrame,
+                                       batchId: Long = -1L): Unit = {
+    import graft.operators.Merge
+    val p = partial(batch)
+    upsertParquet(target, p, existing =>
+      Merge.mergeAggregate(existing, p, keys), batchId)
+  }
+
   /** Streaming SCD2 maintenance: each micro-batch of observations is
     * merged into the dimension with expire-and-insert semantics
     * (graft.operators.Scd2.applyChanges — affected keys only), so the

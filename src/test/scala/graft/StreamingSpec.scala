@@ -411,6 +411,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2)
   }
 
+  test("agg sink: streamed rollup equals the batch recompute; replay never double-counts") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggsink").toString
+    val target = s"$dir/rollup"
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("value_sum"))
+    val in = MemoryStream[(String, Double)]
+    val df = in.toDF.toDF("event_type", "value")
+    val q = StreamOps.aggSink(df, s"$dir/ckpt", target, Seq("event_type"), partial).start()
+    val b1 = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0))
+    val b2 = Seq(("A", 4.0), ("C", 5.0))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_type", $"n_events", $"value_sum".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = norm(spark.read.parquet(target))
+    assert(streamed == norm(partial((b1 ++ b2).toDF("event_type", "value"))))
+    assert(streamed == Set(("A", 3L, 7.0), ("B", 1L, 3.0), ("C", 1L, 5.0)))
+    // a replayed batch id must NOT double-count — the rollup's one
+    // catastrophic failure mode under at-least-once delivery
+    StreamOps.aggBatchToParquet(b2.toDF("event_type", "value"), target,
+      Seq("event_type"), partial, batchId = 1L)
+    assert(norm(spark.read.parquet(target)) == streamed)
+  }
+
   test("SCD2 sink: replaying an applied batch id is a no-op, not a poison batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2replay").toString
     val target = s"$dir/dim"
