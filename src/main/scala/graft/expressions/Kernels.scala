@@ -34,4 +34,11 @@ object Kernels {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bloom membership probe over a LONG key column (see
+    * [[BloomMightContainExpr]]) — no false negatives.
+    */
+  def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(
+      BloomMightContainExpr(ColumnBridge.expression(key), bloomBytes))
 }

@@ -119,4 +119,30 @@ class KernelExprSpec extends SparkSpec {
       Kernels.dotProduct($"v", $"v")).head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("bloom prune: no false negatives, real pruning, codegen'd probe") {
+    import graft.operators.Prejoin
+    val dim = (0L until 1000L by 2).toSeq.toDF("k") // 500 even keys
+    // range-backed fact: a LocalRelation would be constant-folded
+    // through the filter at optimization time, hiding the plan shape
+    val fact = spark.range(0, 2000)
+      .select($"id".as("k"), concat(lit("r"), $"id").as("payload"))
+    val bloom = Prejoin.keyBloom(dim, "k", expectedItems = 500)
+    val pruned = Prejoin.pruneFactByDimKeys(fact, "k", bloom)
+    // no false negatives: the pruned join equals the unpruned join
+    val a = pruned.join(dim, "k").collect().map(_.getLong(0)).sorted
+    val b = fact.join(dim, "k").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b) && a.length == 500)
+    // real pruning: 500 members survive + ~1% of the 1500 non-members
+    // as false positives
+    val kept = pruned.count()
+    assert(kept >= 500 && kept < 600, s"kept $kept of 2000")
+    // null keys (inner-join-dead) drop too
+    val withNull = Seq((Option.empty[Long], "null_key"), (Some(0L), "r0"))
+      .toDF("k", "payload")
+    assert(Prejoin.pruneFactByDimKeys(withNull, "k", bloom).collect()
+      .map(_.getString(1)).toSeq == Seq("r0"))
+    // the probe runs as a codegen'd predicate at the scan
+    assert(pruned.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
+  }
 }
