@@ -775,6 +775,24 @@ object SparkEntry {
         max(col("ts")).as("ts_max"),
         countDistinct(col("event_type")).as("event_type_distinct"))),
 
+    // END-TO-END bloom-prune proof under the driver gate: the
+    // (bloom-pruned fact) ⋈ dim result must be IDENTICAL to the plain
+    // join — no false negatives means the oracle is simply the join
+    // without the bloom. The prune only cuts shuffle volume.
+    "join_bloom_pruned" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val dim = ev.filter(col("user_id").isNotNull && col("user_id") % 7 === 0)
+        .select(col("user_id")).distinct()
+      val bloom = Prejoin.keyBloom(dim, "user_id", expectedItems = 100000)
+      Prejoin.pruneFactByDimKeys(ev, "user_id", bloom)
+        .join(dim, "user_id")
+        .groupBy(upper(trim(col("event_type"))).as("event_type_norm"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double")
+            .as("value_sum"))
+    }),
+
     // Shuffle-skew diagnosis: per-key row counts, the top-5 hottest
     // keys with their share and multiple-of-average — the measurement
     // that decides WHERE salting (gold_dedup_grain_salted) is worth
@@ -946,6 +964,19 @@ object SparkEntry {
         |  MAX(ts) AS ts_max,
         |  COUNT(DISTINCT event_type) AS event_type_distinct
         |FROM events""".stripMargin,
+
+    // The bloom prune must be invisible in the result — the oracle is
+    // the SAME join with no bloom anywhere.
+    "join_bloom_pruned" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 7 = 0)
+        |SELECT UPPER(TRIM(event_type)) AS event_type_norm,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY 1""".stripMargin,
 
     "skew_hot_keys" ->
       """WITH k AS (
