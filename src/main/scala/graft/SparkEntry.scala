@@ -699,6 +699,41 @@ object SparkEntry {
           col("purchase_value"), col("click_id"), col("click_ts"))
     }),
 
+    // Quality-weighted corpus sampling: exact quartile THRESHOLDS of
+    // the text_stats quality score (a distributed sort-based
+    // percentile aggregate broadcast as one row — never a global
+    // NTILE window over the corpus), tier by comparison, then each
+    // tier keeps its own deterministic md5 rate (top tier whole,
+    // bottom 12.5%) — upweight quality without losing replayability.
+    "sample_quality_weighted" -> ((s: SparkSession, d: String) => {
+      val q = textStats(s, d).select(col("doc_id"), col("quality_score"))
+      val thr = q.agg(
+        percentile(col("quality_score"), lit(0.25)).as("p25"),
+        percentile(col("quality_score"), lit(0.5)).as("p50"),
+        percentile(col("quality_score"), lit(0.75)).as("p75"))
+      val tiered = q.crossJoin(broadcast(thr))
+        .withColumn("quality_tier",
+          when(col("quality_score") <= col("p25"), "T1")
+            .when(col("quality_score") <= col("p50"), "T2")
+            .when(col("quality_score") <= col("p75"), "T3")
+            .otherwise("T4"))
+        .drop("p25", "p50", "p75")
+      Sampling.stratified(tiered, "quality_tier",
+        rates = Map("T1" -> 0.125, "T2" -> 0.25, "T3" -> 0.5, "T4" -> 1.0),
+        defaultRate = 1.0, keyCols = Seq("doc_id"))
+    }),
+
+    // Multi-level ROLLUP rollup (mode × day → mode totals → grand
+    // total) in ONE pass — Catalyst expands grouping sets with
+    // map-side partial aggregation, replacing three separate scans.
+    "ana_rollup_demand" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .rollup(upper(trim(col("event_type"))).as("event_type_norm"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double")
+            .as("value_sum"))),
+
     // Leakage-safe train/val/test split: keyed on user_id (NOT the
     // row id), so every row of a user lands in one split — groups
     // split across train and test leak shared context into eval. The
@@ -964,6 +999,14 @@ object SparkEntry {
         |  MAX(ts) AS ts_max,
         |  COUNT(DISTINCT event_type) AS event_type_distinct
         |FROM events""".stripMargin,
+
+    "ana_rollup_demand" ->
+      """SELECT UPPER(TRIM(event_type)) AS event_type_norm,
+        |  CAST(ts AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY ROLLUP (UPPER(TRIM(event_type)), CAST(ts AS DATE))""".stripMargin,
 
     // The bloom prune must be invisible in the result — the oracle is
     // the SAME join with no bloom anywhere.
@@ -1617,6 +1660,33 @@ object SparkEntry {
            |WHERE rn = 1""".stripMargin,
 
       "text_stats" -> textStatsSql,
+
+      // Exact-quantile tier thresholds + the md5 membership rule —
+      // both already pinned elsewhere (F2's quantile_cont parity,
+      // sample_stratified's bucket rule).
+      "sample_quality_weighted" ->
+        s"""WITH q AS (SELECT doc_id, quality_score FROM ($textStatsSql)),
+           |thr AS (
+           |  SELECT quantile_cont(quality_score, 0.25) AS p25,
+           |         quantile_cont(quality_score, 0.5) AS p50,
+           |         quantile_cont(quality_score, 0.75) AS p75
+           |  FROM q),
+           |tiered AS (
+           |  SELECT doc_id, quality_score,
+           |    CASE WHEN quality_score <= p25 THEN 'T1'
+           |         WHEN quality_score <= p50 THEN 'T2'
+           |         WHEN quality_score <= p75 THEN 'T3'
+           |         ELSE 'T4' END AS quality_tier
+           |  FROM q, thr)
+           |SELECT * FROM (
+           |  SELECT *,
+           |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_bucket,
+           |    CASE WHEN quality_tier = 'T1' THEN '2000'
+           |         WHEN quality_tier = 'T2' THEN '4000'
+           |         WHEN quality_tier = 'T3' THEN '8000'
+           |         ELSE 'g' END AS sample_threshold
+           |  FROM tiered)
+           |WHERE sample_bucket < sample_threshold""".stripMargin,
 
       "text_lang_id" ->
         s"""SELECT *,

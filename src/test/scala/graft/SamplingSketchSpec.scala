@@ -193,6 +193,35 @@ class SamplingSketchSpec extends SparkSpec {
     })
   }
 
+  test("quality-weighted sampling: tier thresholds applied, deterministic replay") {
+    val q = SparkEntry.queries("sample_quality_weighted")
+    val a = q(spark, sf).collect()
+    // the tier -> threshold mapping is part of the checked output
+    val thresholds = a.map(r =>
+      r.getAs[String]("quality_tier") -> r.getAs[String]("sample_threshold")).toSet
+    assert(thresholds.subsetOf(Set(
+      "T1" -> "2000", "T2" -> "4000", "T3" -> "8000", "T4" -> "g")))
+    // top tier keeps every row (threshold 'g' beats any hex bucket)
+    assert(a.filter(_.getAs[String]("quality_tier") == "T4")
+      .forall(_.getAs[String]("sample_bucket") < "g"))
+    // membership is a pure function of doc_id: a rerun is identical
+    val b = q(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      b.map(_.getAs[Long]("doc_id")).sorted))
+  }
+
+  test("rollup demand: detail, per-mode and grand-total levels reconcile") {
+    val got = SparkEntry.queries("ana_rollup_demand")(spark, sf).collect()
+    val grand = got.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val modeTotals = got.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val detail = got.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_events")
+    assert(detail.map(_.getAs[Long]("n_events")).sum == total)
+    assert(modeTotals.map(_.getAs[Long]("n_events")).sum == total)
+    assert(modeTotals.nonEmpty && detail.length > modeTotals.length)
+  }
+
   test("histogram: exact equi-width buckets, max value clamped into the last") {
     import spark.implicits._
     val df = (0 to 100).map(_.toDouble).toDF("v") // mn=0, mx=100, 10 buckets of width 10
