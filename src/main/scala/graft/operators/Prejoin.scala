@@ -23,6 +23,12 @@ object Prejoin {
     * job on the dim side producing a fixed-size sketch — executors
     * build partial filters, the driver merges bit-or; no key list is
     * ever collected.
+    *
+    * Size `expectedItems` at or above the dim's true key count: the
+    * filter still never false-negatives when undersized, but its
+    * false-positive rate (wasted shuffle) degrades past `fpp`. When
+    * the count is unknown, an `approx_count_distinct` pre-pass is
+    * one cheap extra job.
     */
   def keyBloom(dim: DataFrame, keyCol: String, expectedItems: Long,
                fpp: Double = 0.01): Array[Byte] =
