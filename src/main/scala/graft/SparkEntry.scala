@@ -856,6 +856,35 @@ object SparkEntry {
     "table_histogram_value" -> ((s: SparkSession, d: String) =>
       Profiling.histogram(t(s, d, "events"), "value", k = 20)),
 
+    // Distribution drift between lake snapshots: ONE shared-bounds
+    // histogram pass splits per-bucket counts into old/new (cut =
+    // 2024-01-15), proportions + per-bucket shift as RAW IEEE
+    // quotients — the distribution-shift monitor a training pipeline
+    // runs between ingestion snapshots. Same scale shape as the
+    // histogram: broadcast 1-row bounds, <= k bucket keys, broadcast
+    // 1-row totals.
+    "data_drift_value" -> ((s: SparkSession, d: String) => {
+      val k = 20
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("is_new", (to_date(col("ts")) > lit("2024-01-15")).cast("int"))
+      val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val width = (col("mx") - col("mn")) / k
+      val bucket = when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(lit(k - 1), floor((col("value") - col("mn")) / width).cast("int")))
+      val byBucket = ev.crossJoin(broadcast(bounds))
+        .groupBy(bucket.as("bucket"))
+        .agg(sum(lit(1) - col("is_new")).as("n_old"), sum(col("is_new")).as("n_new"))
+      val tot = byBucket.agg(sum(col("n_old")).as("tot_old"),
+        sum(col("n_new")).as("tot_new"))
+      byBucket.crossJoin(broadcast(tot))
+        .withColumn("p_old", col("n_old") / col("tot_old"))
+        .withColumn("p_new", col("n_new") / col("tot_new"))
+        .withColumn("p_shift",
+          col("n_new") / col("tot_new") - col("n_old") / col("tot_old"))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          col("p_old"), col("p_new"), col("p_shift"))
+    }),
+
     // Incremental aggregate maintenance: the stored rollup absorbs a
     // new batch's partial aggregate by grain-keyed summation
     // (Merge.mergeAggregate) — always-fresh rollups without ever
@@ -1050,6 +1079,29 @@ object SparkEntry {
         |FROM events, b
         |WHERE value IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    "data_drift_value" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+        |k AS (
+        |  SELECT
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE LEAST(19, CAST(FLOOR((value - mn) / ((mx - mn) / 20)) AS INTEGER)) END AS bucket,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new
+        |  FROM ev, b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new) AS BIGINT) AS tot_new
+        |  FROM k)
+        |SELECT bucket, n_old, n_new,
+        |  n_old / CAST(tot_old AS DOUBLE) AS p_old,
+        |  n_new / CAST(tot_new AS DOUBLE) AS p_new,
+        |  n_new / CAST(tot_new AS DOUBLE) - n_old / CAST(tot_old AS DOUBLE) AS p_shift
+        |FROM k, tot""".stripMargin,
 
     // The merged rollup must equal a recompute over ALL rows — the
     // mergeability contract of Merge.mergeAggregate.

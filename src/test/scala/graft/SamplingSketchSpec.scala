@@ -210,6 +210,18 @@ class SamplingSketchSpec extends SparkSpec {
       b.map(_.getAs[Long]("doc_id")).sorted))
   }
 
+  test("data drift: proportions each sum to 1, shifts sum to 0") {
+    import spark.implicits._
+    val got = SparkEntry.queries("data_drift_value")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_.getAs[Double]("p_old")).sum - 1.0) < 1e-9)
+    assert(math.abs(got.map(_.getAs[Double]("p_new")).sum - 1.0) < 1e-9)
+    assert(math.abs(got.map(_.getAs[Double]("p_shift")).sum) < 1e-9)
+    // both snapshots counted over the same shared-bounds buckets
+    val ev = events.filter($"value".isNotNull)
+    assert(got.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum == ev.count())
+  }
+
   test("rollup demand: detail, per-mode and grand-total levels reconcile") {
     val got = SparkEntry.queries("ana_rollup_demand")(spark, sf).collect()
     val grand = got.filter(r => r.isNullAt(0) && r.isNullAt(1))
