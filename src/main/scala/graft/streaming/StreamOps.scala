@@ -296,6 +296,57 @@ object StreamOps {
     finally out.close()
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_id: Long, et: String)
+
+  final case class FunnelState(viewMs: Long, clickMs: Long, purchaseMs: Long)
+
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming ordered-funnel stage tracking (the incremental twin of
+    * the batch `AnalyticsPack.funnelSteps` flags): tiny per-user state
+    * — the first VIEW time, the first CLICK at-or-after it, the first
+    * PURCHASE at-or-after that — emitted as the user's current stage
+    * (0..3) whenever it may have advanced. `mapGroupsWithState` in
+    * UPDATE mode: one state row per user, one output row per touched
+    * user per micro-batch, never an append history.
+    *
+    * Events are ordered within each batch (ts, event_id) like the
+    * sessionizer; ACROSS batches the tracker assumes event-time-ordered
+    * delivery per key (the natural feed shape) — a cross-batch
+    * regression (a VIEW arriving after a CLICK it would have enabled)
+    * is not retroactively applied, exactly like any forward-only
+    * state machine. The spec pins stream == batch flags for in-order
+    * delivery.
+    */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MaxValue
+
+    def update(uid: Long, it: Iterator[FunnelEvent],
+               state: GroupState[FunnelState]): FunnelStage = {
+      var s = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+      it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        e.et.trim.toUpperCase match {
+          case "VIEW" if t < s.viewMs => s = s.copy(viewMs = t)
+          case "CLICK" if s.viewMs <= t && t < s.clickMs => s = s.copy(clickMs = t)
+          case "PURCHASE" if s.clickMs <= t && t < s.purchaseMs => s = s.copy(purchaseMs = t)
+          case _ =>
+        }
+      }
+      state.update(s)
+      val stage =
+        if (s.purchaseMs != Unset) 3
+        else if (s.clickMs != Unset) 2
+        else if (s.viewMs != Unset) 1
+        else 0
+      FunnelStage(uid, stage)
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
 
   final case class SessionState(

@@ -411,6 +411,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2)
   }
 
+  test("streaming funnel stages advance in order and never regress") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val ds = in.toDF.toDF("user_id", "ts", "event_id", "et")
+      .as[StreamOps.FunnelEvent]
+    val q = StreamOps.funnelStages(ds)
+      .writeStream.format("memory").queryName("funnel_s")
+      .outputMode("update").start()
+    in.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "click"),   // click BEFORE any view
+      (3L, ts("2024-01-01 10:00:00"), 3L, "view")))
+    q.processAllAvailable()
+    in.addData(Seq(
+      (1L, ts("2024-01-01 11:00:00"), 4L, "click"),
+      (1L, ts("2024-01-01 12:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), 6L, "view"),
+      (3L, ts("2024-01-01 11:00:00"), 7L, "purchase"))) // purchase, no click
+    q.processAllAvailable(); q.stop()
+    // stages are monotone, so the latest emission per user is the max
+    val got = spark.table("funnel_s").groupBy("user_id")
+      .agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // u1 completes the funnel across batches; u2's early click never
+    // counts (stage 1 from the later view); u3 never clicks -> stage 1
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
   test("agg sink: streamed rollup equals the batch recompute; replay never double-counts") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_aggsink").toString
