@@ -25,10 +25,25 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a repo file; the stdout line must fit
+    // the driver's bounded stdout-tail capture (measured 2000 chars — a
+    // longer line gets head-truncated and fails its JSON parse), so it
+    // carries only the slowest queries inline, trimmed to a hard budget.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    def line(k: Int): String = {
+      val top = results.sortBy(-_._2).take(k).sortBy(_._1)
+      val qs = top.map { case (n, v) => "\"" + n + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    }
+    val fit = (results.size to 1 by -1).view.map(line).find(_.length <= 1800)
+    println(fit.getOrElse(line(1)))
     spark.stop()
   }
 }

@@ -866,7 +866,11 @@ object SparkEntry {
     "data_drift_value" -> ((s: SparkSession, d: String) => {
       val k = 20
       val ev = t(s, d, "events").filter(col("value").isNotNull)
-        .withColumn("is_new", (to_date(col("ts")) > lit("2024-01-15")).cast("int"))
+        // coalesce: a NULL ts must count as old (matching the oracle's
+        // CASE ... ELSE 0), not vanish from both n_old and n_new —
+        // otherwise n_old+n_new under-counts the bucket's rows
+        .withColumn("is_new",
+          coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0)))
       val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
       val width = (col("mx") - col("mn")) / k
       val bucket = when(col("mx") === col("mn"), lit(0))
@@ -1407,7 +1411,7 @@ object SparkEntry {
           |  FROM ev e JOIN fs USING (user_id)
           |  GROUP BY 1, 2)
           |SELECT cohort_date, offset_days, retained_users,
-          |  ROUND(100.0 * retained_users / b.cohort_size, 2) AS pct_retained
+          |  100.0 * retained_users / b.cohort_size AS pct_retained
           |FROM offs
           |JOIN (SELECT cohort_date, retained_users AS cohort_size
           |      FROM offs WHERE offset_days = 0) b USING (cohort_date)""".stripMargin,

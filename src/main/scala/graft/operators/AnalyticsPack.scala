@@ -307,8 +307,12 @@ object AnalyticsPack {
     val base = offsets.filter(col("offset_days") === 0)
       .select(col("cohort_date"), col("retained_users").as("cohort_size"))
     offsets.join(broadcast(base), "cohort_date")
+      // RAW IEEE quotient, not round(…, 2): rounding a double quotient
+      // diverges engines whenever its shortest decimal lands on a .5
+      // boundary (Spark rounds the string, DuckDB the binary) — the
+      // repo-wide rule for share columns (see skew_hot_keys).
       .withColumn("pct_retained",
-        round(lit(100.0) * col("retained_users") / col("cohort_size"), 2))
+        lit(100.0) * col("retained_users") / col("cohort_size"))
       .drop("cohort_size")
   }
 

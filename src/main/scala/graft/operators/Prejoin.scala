@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 import graft.expressions.Kernels
 
@@ -31,11 +32,13 @@ object Prejoin {
     * one cheap extra job.
     */
   def keyBloom(dim: DataFrame, keyCol: String, expectedItems: Long,
-               fpp: Double = 0.01): Array[Byte] =
+               fpp: Double = 0.01): Array[Byte] = {
+    requireIntegralKey(dim, keyCol, "keyBloom")
     graft.expressions.BloomKernels.serialize(
       dim.filter(col(keyCol).isNotNull)
         .select(col(keyCol).cast("long").as(keyCol))
         .stat.bloomFilter(keyCol, expectedItems, fpp))
+  }
 
   /** Prune the fact side of an INNER (or semi) join before its
     * shuffle: rows whose key is definitely absent from the dim drop
@@ -46,7 +49,25 @@ object Prejoin {
     * fact rows must survive.
     */
   def pruneFactByDimKeys(fact: DataFrame, factKey: String,
-                         dimKeyBloom: Array[Byte]): DataFrame =
+                         dimKeyBloom: Array[Byte]): DataFrame = {
+    requireIntegralKey(fact, factKey, "pruneFactByDimKeys")
     fact.filter(col(factKey).isNotNull &&
       Kernels.bloomMightContain(col(factKey).cast("long"), dimKeyBloom))
+  }
+
+  /** The no-false-negative contract holds only for keys whose long
+    * cast is lossless. Anything else (a string "abc", a fractional
+    * double) casts to NULL — or a truncated value — on BOTH the bloom
+    * build and the probe, silently dropping matching fact rows.
+    * Enforced here instead of trusting the caller to read the
+    * scaladoc: fail loudly at plan-build time.
+    */
+  private def requireIntegralKey(df: DataFrame, keyCol: String, fn: String): Unit = {
+    val dt: DataType = df.schema(keyCol).dataType
+    require(
+      dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"Prejoin.$fn: key column '$keyCol' must be an integral type " +
+        s"(byte/short/int/long), got $dt — a lossy long cast would NULL " +
+        "or truncate keys on both build and probe, dropping matching rows")
+  }
 }

@@ -110,10 +110,20 @@ object MedallionSink {
       .partitionBy(partitionCols: _*)
       .parquet(tmp)
     writeMetaSidecars(readNoInfer(spark, tmp), tmp, partitionCols)
-    val quality = new Path(target, "_quality.json")
-    if (fs.exists(quality))
-      org.apache.hadoop.fs.FileUtil.copy(fs, quality, fs, new Path(tmp, "_quality.json"),
-        false, spark.sparkContext.hadoopConfiguration)
+    // Preserve EVERY top-level underscore sidecar the rewrite did not
+    // regenerate (hidden to parquet reads, but load-bearing state):
+    // `_quality.json`, and on a stream-maintained target the
+    // `_graft_obs/` watermark dir + `_graft_commit.json` batch marker —
+    // losing those would degrade the SCD2 re-observation guard and
+    // re-enable double-apply of a replayed batch id after a compaction.
+    fs.listStatus(new Path(target))
+      .filter(_.getPath.getName.startsWith("_"))
+      .filterNot(s => fs.exists(new Path(tmp, s.getPath.getName)))
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new Path(tmp, s.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
     swapDirs(fs, target)
     (before, nFiles)
   }

@@ -254,8 +254,18 @@ object StreamOps {
     * the same batch id on restart — is detected here and skipped as a
     * no-op. Without this, a non-idempotent merge (scd2's replay guard)
     * would see its own already-applied rows and poison the stream.
-    * `afterWrite` lets callers place extra sidecar state into the tmp
-    * dir so it replaces atomically with the data.
+    *
+    * The marker is keyed on (QUERY identity, batch id), not batch id
+    * alone: batch ids restart at 0 whenever a checkpoint is deleted or
+    * a different query adopts the target, and a bare `batchId <=
+    * marker` check would then silently SKIP genuinely new batches —
+    * data loss with no error (the Delta txnAppId/txnVersion pattern).
+    * The query id comes from the stream-execution thread's local
+    * property and persists across restarts in the checkpoint, so a
+    * restart of the SAME query still dedups, while a marker written by
+    * any other query (or none) is treated as foreign and the batch is
+    * applied. `afterWrite` lets callers place extra sidecar state into
+    * the tmp dir so it replaces atomically with the data.
     */
   private def upsertParquet(target: String, init: DataFrame,
                             merge: DataFrame => DataFrame,
@@ -266,27 +276,40 @@ object StreamOps {
     val tPath = new org.apache.hadoop.fs.Path(target)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     MedallionSink.recoverSwap(fs, target)
-    if (batchId >= 0 && lastAppliedBatch(fs, target).exists(batchId <= _)) return
+    // StreamExecution.QUERY_ID_KEY — set on the micro-batch thread that
+    // runs foreachBatch; None when the batch twin is invoked directly.
+    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    if (batchId >= 0 &&
+        lastApplied(fs, target).exists { case (b, q) => q == qid && batchId <= b })
+      return
     val exists = fs.exists(tPath)
     val out = if (exists) merge(spark.read.parquet(target)) else init
     val tmp = target + MedallionSink.TmpSuffix
     out.write.mode("overwrite").parquet(tmp)
     afterWrite(tmp)
-    if (batchId >= 0)
+    if (batchId >= 0) {
+      val qidField = qid.map(q => s""", "query_id": "$q"""").getOrElse("")
       writeText(fs, new org.apache.hadoop.fs.Path(tmp, CommitFile),
-        s"""{"batch_id": $batchId}""")
+        s"""{"batch_id": $batchId$qidField}""")
+    }
     MedallionSink.swapDirs(fs, target)
   }
 
-  private def lastAppliedBatch(fs: org.apache.hadoop.fs.FileSystem,
-                               target: String): Option[Long] = {
+  /** (last applied batch id, query id that wrote it) from the commit
+    * marker; query id None for markers written outside a stream.
+    */
+  private def lastApplied(fs: org.apache.hadoop.fs.FileSystem,
+                          target: String): Option[(Long, Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(target, CommitFile)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    """"batch_id"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    """"batch_id"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map { m =>
+      val q = """"query_id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+      (m.group(1).toLong, q)
+    }
   }
 
   private def writeText(fs: org.apache.hadoop.fs.FileSystem,

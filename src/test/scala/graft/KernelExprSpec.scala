@@ -145,4 +145,22 @@ class KernelExprSpec extends SparkSpec {
     // the probe runs as a codegen'd predicate at the scan
     assert(pruned.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
   }
+
+  test("bloom prune: non-integral keys are rejected loudly, not silently NULLed") {
+    import graft.operators.Prejoin
+    // a string key would cast to NULL on both build and probe —
+    // matching fact rows silently dropped; the contract is enforced,
+    // not documented
+    val strDim = Seq("a", "b").toDF("k")
+    intercept[IllegalArgumentException](Prejoin.keyBloom(strDim, "k", 10))
+    // fractional doubles truncate — lossy on the probe side too
+    val dblDim = Seq(1.5, 2.0).toDF("k")
+    intercept[IllegalArgumentException](Prejoin.keyBloom(dblDim, "k", 10))
+    val bloom = Prejoin.keyBloom(Seq(1L, 2L).toDF("k"), "k", 10)
+    intercept[IllegalArgumentException](
+      Prejoin.pruneFactByDimKeys(Seq("1", "2").toDF("k"), "k", bloom))
+    // int keys widen losslessly and stay accepted
+    val intFact = Seq(1, 2, 9).toDF("k")
+    assert(Prejoin.pruneFactByDimKeys(intFact, "k", bloom).count() >= 2)
+  }
 }

@@ -43,6 +43,30 @@ class SourcesSpec extends SparkSpec {
     assert(Files.exists(Paths.get(root, "dataset=ev", "_quality.json")))
   }
 
+  test("compaction preserves stream-sink sidecars (_graft_obs dir, _graft_commit.json)") {
+    val root = Files.createTempDirectory("graft_compact3").toString
+    val df = (1 to 50).map(i => (i.toLong, 1 + i % 2, s"p$i"))
+      .toDF("id", "month", "payload")
+    MedallionSink.write(df.repartition(6), root, "ev", Seq("month"))
+    val target = s"$root/dataset=ev"
+    // simulate a stream-maintained target: batch-id commit marker +
+    // per-key observed-day watermark dir — both load-bearing state a
+    // compaction must carry through its rebuild-into-tmp swap
+    Files.writeString(Paths.get(target, "_graft_commit.json"),
+      """{"batch_id": 7, "query_id": "q-test"}""")
+    Seq((1L, java.sql.Date.valueOf("2024-01-03")))
+      .toDF("user_id", "max_obs_day")
+      .write.parquet(s"$target/_graft_obs")
+    MedallionSink.compact(spark, root, "ev", Seq("month"))
+    assert(Files.readString(Paths.get(target, "_graft_commit.json"))
+      == """{"batch_id": 7, "query_id": "q-test"}""",
+      "compaction dropped or altered the batch-id commit marker")
+    val obs = spark.read.parquet(s"$target/_graft_obs").collect()
+    assert(obs.length == 1 && obs(0).getLong(0) == 1L,
+      "compaction dropped the SCD2 observed-day watermark sidecar")
+    assert(spark.read.parquet(target).count() == 50)
+  }
+
   test("compaction round-trips numeric-looking string partition values verbatim") {
     val root = Files.createTempDirectory("graft_compact2").toString
     // month "01": with partition type inference a compactor would

@@ -411,6 +411,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2)
   }
 
+  test("merge sink: a foreign query's commit marker never suppresses a new query's batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergeforeign").toString
+    val target = s"$dir/fct"
+    val grain = Seq("user_id", "event_type"); val order = Seq("event_id")
+    val sc = spark.sparkContext
+    // simulate query A's stream-execution thread (the same local
+    // property StreamExecution sets for foreachBatch)
+    sc.setLocalProperty("sql.streaming.queryId", "query-A")
+    try {
+      val b3 = Seq((1L, "A", 1L, 10.0)).toDF("user_id", "event_type", "event_id", "value")
+      StreamOps.mergeBatchToParquet(b3, target, grain, order, 3L)
+      // same query replaying the same batch id → still a no-op
+      val replay = Seq((9L, "Z", 9L, 9.0)).toDF("user_id", "event_type", "event_id", "value")
+      StreamOps.mergeBatchToParquet(replay, target, grain, order, 3L)
+      assert(spark.read.parquet(target).count() == 1)
+      // checkpoint deleted / a different query adopts the target: batch
+      // ids restart at 0. Keyed on batch id alone, 0 <= 3 would SKIP
+      // this genuinely new batch — silent data loss; keyed on (query,
+      // batch) the marker is foreign and the batch applies.
+      sc.setLocalProperty("sql.streaming.queryId", "query-B")
+      StreamOps.mergeBatchToParquet(replay, target, grain, order, 0L)
+      assert(spark.read.parquet(target).count() == 2,
+        "a foreign marker suppressed a new query's first batch")
+      // and query B's own replay of its batch 0 now no-ops
+      val replay2 = Seq((5L, "Q", 5L, 5.0)).toDF("user_id", "event_type", "event_id", "value")
+      StreamOps.mergeBatchToParquet(replay2, target, grain, order, 0L)
+      assert(spark.read.parquet(target).count() == 2)
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("streaming funnel stages advance in order and never regress") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String)]
@@ -462,9 +492,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == norm(partial((b1 ++ b2).toDF("event_type", "value"))))
     assert(streamed == Set(("A", 3L, 7.0), ("B", 1L, 3.0), ("C", 1L, 5.0)))
     // a replayed batch id must NOT double-count — the rollup's one
-    // catastrophic failure mode under at-least-once delivery
-    StreamOps.aggBatchToParquet(b2.toDF("event_type", "value"), target,
-      Seq("event_type"), partial, batchId = 1L)
+    // catastrophic failure mode under at-least-once delivery. The
+    // replay comes from the SAME query restarting (its id persists in
+    // the checkpoint), so the simulation carries the query's identity;
+    // an identity-less replay would be a FOREIGN writer and rightly
+    // apply (see the merge-sink foreign-marker spec).
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.aggBatchToParquet(b2.toDF("event_type", "value"), target,
+        Seq("event_type"), partial, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
     assert(norm(spark.read.parquet(target)) == streamed)
   }
 
