@@ -444,6 +444,63 @@ object SparkEntry {
       Merge.replaceCut(stale, incoming, "date_sk")
     }),
 
+    // Snapshot CDC: the per-user latest-state snapshot before the
+    // 2024-01-15 cut diffed against the full-range snapshot — INSERT/
+    // UPDATE/DELETE delta rows, one co-keyed full-outer join.
+    "gold_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      def snap(f: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        f.filter(col("user_id").isNotNull)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"),
+            upper(trim(col("event_type"))).as("event_type"), col("value"))
+      }
+      val ev = t(s, d, "events")
+      Cdc.snapshotDiff(
+        snap(ev.filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))),
+        snap(ev), keys = Seq("user_id"), attrs = Seq("event_type", "value"))
+    }),
+
+    // Point-in-time SCD2 lookup: the user dimension as of 2024-01-15 —
+    // the covering version per key, a pure filter over the dim.
+    "gold_scd2_pit" -> ((s: SparkSession, d: String) =>
+      Scd2.asOf(scd2User(s, d), lit("2024-01-15").cast("date"))),
+
+    // Late-arriving dim: resolve orders against the subset of customer
+    // that has "arrived" (custkey % 10 != 0 — the rest are late), park
+    // misses on the Kimball unknown member (-1), then repair ONLY the
+    // parked rows once the full dim lands.
+    "gold_late_arriving" -> ((s: SparkSession, d: String) => {
+      val fact = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val early = t(s, d, "customer").filter(col("c_custkey") % 10 =!= 0)
+      val phase1 = Star.resolveOrUnknown(fact, early, "o_custkey", "c_custkey", "cust_sk")
+      Star.repairUnknown(phase1, t(s, d, "customer"), "o_custkey", "c_custkey", "cust_sk")
+    }),
+
+    // Accumulating snapshot: order lifecycle milestones from lineitem
+    // (first/last ship per order, exact qty totals) + lag spans, with
+    // unshipped orders kept via the LEFT join.
+    "fct_accumulating_snapshot" -> ((s: SparkSession, d: String) =>
+      Star.accumulatingSnapshot(
+          t(s, d, "orders").select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"), col("o_orderstatus")),
+          t(s, d, "lineitem"), "o_orderkey", "l_orderkey", "l_shipdate", "l_quantity")
+        .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+        .withColumn("days_to_first_ship",
+          datediff(col("first_ship_date"), col("order_date")))
+        .withColumn("ship_span_days",
+          datediff(col("last_ship_date"), col("first_ship_date")))),
+
+    // Bridge allocation: order totalprice spread over its line items
+    // by exact-decimal extendedprice weights.
+    "gold_bridge_alloc" -> ((s: SparkSession, d: String) =>
+      Star.bridgeAllocation(
+          t(s, d, "orders"), t(s, d, "lineitem"),
+          "o_orderkey", "l_orderkey", "o_totalprice", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("weight"), col("allocated"))),
+
     "svc_overview" -> svcOverview _,
 
     "svc_demand_by_day_type" -> svcDemandByDayType _,
@@ -504,6 +561,20 @@ object SparkEntry {
     // 7-day rolling demand over the per-day aggregate series.
     "ana_rolling_demand" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingDemand(t(s, d, "events"))),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences; shares of each source type's outgoing total.
+    "ana_transition_matrix" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.transitionMatrix(t(s, d, "events"))),
+
+    // Top-3 busiest days per event type via DENSE_RANK (ties kept).
+    "ana_top_days_per_type" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.topDaysPerType(t(s, d, "events"), topN = 3)),
+
+    // Complete day × 48-slot grid with zero-filled counts and
+    // last-observation-carried-forward sums.
+    "ana_gapfill_30m" -> ((s: SparkSession, d: String) =>
+      TimeSeries.gapFill30m(t(s, d, "events"), "ts", "value")),
 
     // Per-group z-score outliers: exact decimal moments + broadcast
     // stats join back — the training-data outlier filter.
@@ -1182,6 +1253,75 @@ object SparkEntry {
     // The incremental load must reproduce the full rebuild exactly.
     "gold_scd2_incremental" -> scd2UserSql,
 
+    // The dim as of a date = versions whose interval covers it.
+    "gold_scd2_pit" ->
+      s"""SELECT * FROM ($scd2UserSql)
+         |WHERE valid_from <= DATE '2024-01-15'
+         |  AND (valid_to IS NULL OR valid_to >= DATE '2024-01-15')""".stripMargin,
+
+    "gold_snapshot_diff" ->
+      """WITH so AS (
+        |  SELECT user_id, UPPER(TRIM(event_type)) AS event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1),
+        |sn AS (
+        |  SELECT user_id, UPPER(TRIM(event_type)) AS event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id IS NOT NULL)
+        |  WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT user_id,
+        |    CASE WHEN o.user_id IS NULL THEN 'INSERT'
+        |         WHEN n.user_id IS NULL THEN 'DELETE'
+        |         WHEN (o.event_type IS DISTINCT FROM n.event_type)
+        |           OR (o.value IS DISTINCT FROM n.value) THEN 'UPDATE'
+        |    END AS change_type,
+        |    o.event_type AS old_event_type, n.event_type AS new_event_type,
+        |    o.value AS old_value, n.value AS new_value
+        |  FROM so o FULL OUTER JOIN sn n USING (user_id))
+        |WHERE change_type IS NOT NULL""".stripMargin,
+
+    "gold_late_arriving" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  COALESCE(cf.c_custkey, -1) AS cust_sk,
+        |  ce.c_custkey IS NULL AS was_late
+        |FROM orders o
+        |LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0) ce
+        |  ON o.o_custkey = ce.c_custkey
+        |LEFT JOIN customer cf ON o.o_custkey = cf.c_custkey""".stripMargin,
+
+    "fct_accumulating_snapshot" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+        |  o.o_orderstatus, f.first_ship_date, f.last_ship_date,
+        |  COALESCE(f.n_lines, 0) AS n_lines, f.total_qty,
+        |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE), f.first_ship_date)
+        |       AS INTEGER) AS days_to_first_ship,
+        |  CAST(date_diff('day', f.first_ship_date, f.last_ship_date)
+        |       AS INTEGER) AS ship_span_days
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    MIN(CAST(l_shipdate AS DATE)) AS first_ship_date,
+        |    MAX(CAST(l_shipdate AS DATE)) AS last_ship_date,
+        |    COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1) f ON o.o_orderkey = f.l_orderkey""".stripMargin,
+
+    "gold_bridge_alloc" ->
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS weight
+        |  FROM lineitem)
+        |SELECT d.l_orderkey, d.l_linenumber, d.l_extendedprice, d.weight,
+        |  o.o_totalprice * d.weight AS allocated
+        |FROM d JOIN orders o ON d.l_orderkey = o.o_orderkey""".stripMargin,
+
     "gold_asof_join" ->
       s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,
          |  d.event_type AS segment, d.valid_from, d.is_current
@@ -1457,6 +1597,56 @@ object SparkEntry {
           |  CAST(SUM(dem) OVER w AS DOUBLE) / COUNT(*) OVER w AS demanda_7d_avg
           |FROM daily
           |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      "ana_transition_matrix" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et
+          |  FROM events WHERE user_id IS NOT NULL),
+          |tr AS (
+          |  SELECT et AS from_type,
+          |    LEAD(et) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM e),
+          |c AS (
+          |  SELECT from_type, to_type, COUNT(*) AS n
+          |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS total_from
+          |      FROM c GROUP BY 1)
+          |SELECT from_type, to_type, n, n / total_from AS p
+          |FROM c JOIN t USING (from_type)""".stripMargin,
+
+      "ana_top_days_per_type" ->
+        """SELECT * FROM (
+          |  SELECT event_type_norm, day, n_events,
+          |    CAST(DENSE_RANK() OVER (PARTITION BY event_type_norm
+          |                            ORDER BY n_events DESC) AS INTEGER) AS rnk
+          |  FROM (
+          |    SELECT UPPER(TRIM(event_type)) AS event_type_norm,
+          |      CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+          |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    GROUP BY 1, 2))
+          |WHERE rnk <= 3""".stripMargin,
+
+      "ana_gapfill_30m" ->
+        """WITH ev AS (
+          |  SELECT CAST(ts AS DATE) AS day,
+          |    CAST(hour(ts)*2 + CASE WHEN minute(ts) >= 30 THEN 1 ELSE 0 END
+          |         AS INTEGER) AS slot,
+          |    value
+          |  FROM events WHERE ts IS NOT NULL),
+          |obs AS (
+          |  SELECT day, slot, COUNT(*) AS n_events,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+          |  FROM ev GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT d.day, s.slot
+          |  FROM (SELECT DISTINCT day FROM ev) d,
+          |       (SELECT CAST(UNNEST(generate_series(0, 47)) AS INTEGER) AS slot) s)
+          |SELECT g.day, g.slot,
+          |  COALESCE(o.n_events, 0) AS n_events, o.value_sum,
+          |  LAST_VALUE(o.value_sum IGNORE NULLS) OVER (
+          |    PARTITION BY g.day ORDER BY g.slot
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+          |FROM grid g LEFT JOIN obs o ON g.day = o.day AND g.slot = o.slot""".stripMargin,
 
       "anomaly_zscore" ->
         """WITH ev AS (

@@ -441,4 +441,46 @@ object AnalyticsPack {
       .orderBy(col("demanda_expandida").desc, col("zona_origen"), col("zona_destino"))
       .limit(30)
   }
+
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's event sequence in (ts, event_id) order, count
+    * from→to adjacent pairs and each transition's share of its source
+    * type's outgoing total. One user-keyed sort+window shuffle over
+    * the fact; the (from, to) aggregate is map-side partial with at
+    * most |types|² keys; per-source totals broadcast back. Shares are
+    * RAW IEEE quotients (the repo's share-column rule).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        upper(trim(col("event_type"))).as("et"))
+    val seqW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = ev.withColumn("to_type", lead(col("et"), 1).over(seqW))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("et").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total_from"))
+    trans.join(broadcast(totals), "from_type")
+      .withColumn("p", col("n") / col("total_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  /** Top-N days per group by daily volume via DENSE_RANK (ties all
+    * kept, so the output is a deterministic SET without tie-break
+    * columns). The daily aggregate is one partial-aggregable shuffle;
+    * the rank window runs over ≤ |days| rows per group — never over
+    * fact rows.
+    */
+  def topDaysPerType(events: DataFrame, topN: Int): DataFrame = {
+    val daily = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(upper(trim(col("event_type"))).as("event_type_norm"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val rankW = Window.partitionBy(col("event_type_norm"))
+      .orderBy(col("n_events").desc)
+    daily.withColumn("rnk", dense_rank().over(rankW))
+      .filter(col("rnk") <= topN)
+  }
 }

@@ -82,6 +82,19 @@ object Scd2 {
       .select((bk +: attrs ++: Seq("valid_from", "valid_to", "is_current", "row_hash")).map(col): _*)
   }
 
+  /** Point-in-time (time-travel) view of an SCD2 dimension: the one
+    * version per business key whose validity interval covers `at` —
+    * the query every SCD2 consumer runs to reconstruct "the dimension
+    * as of day X" (the reference resolves facts this way one event at
+    * a time, load_gold.py:1144-1154; this is the whole-dim form).
+    * A pure codegen'd filter over the dim — no shuffle, no window:
+    * version intervals are disjoint per key by construction, so the
+    * filter alone yields at most one row per key.
+    */
+  def asOf(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") >= at))
+
   /** Incremental maintenance: merge a batch of new observations into
     * an existing SCD2 dimension — the reference's expire-and-insert
     * load (load_gold.py:295-439), as a distributed operation.

@@ -33,7 +33,9 @@ class InvariantSpec extends SparkSpec {
       "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "gold_cut_replace", "gold_scd2_incremental", "dedup_embedding_cosine",
       "ann_lsh_topk", "ann_ivf_topk", "ana_coverage_quartile", "svc_utm_to_wgs84",
-      "attrib_click_purchase", "ana_retention_cohort", "anomaly_zscore")
+      "attrib_click_purchase", "ana_retention_cohort", "anomaly_zscore",
+      "gold_snapshot_diff", "gold_late_arriving", "fct_accumulating_snapshot",
+      "gold_bridge_alloc", "ana_transition_matrix", "ana_gapfill_30m")
     val bnljByDesign = Set("ann_ivf_topk")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)

@@ -1,0 +1,156 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnalyticsPack, Cdc, Scd2, Star, TimeSeries}
+
+/** Round-6 operators: snapshot CDC, Kimball star extras (accumulating
+  * snapshot, late-arriving dim, bridge allocation), SCD2 point-in-time,
+  * time-series gap fill, transition matrix, top-N-per-group rank.
+  */
+class StarCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("snapshotDiff classifies INSERT/DELETE/UPDATE and drops unchanged keys") {
+    val old = Seq((1L, "A", Some(1.0)), (2L, "B", Some(2.0)),
+      (3L, "C", Option.empty[Double]), (4L, "D", Some(4.0)))
+      .toDF("k", "attr", "v")
+    val cur = Seq((1L, "A", Some(1.0)),        // unchanged -> dropped
+      (2L, "X", Some(2.0)),                     // attr changed -> UPDATE
+      (3L, "C", Some(3.0)),                     // NULL -> value   -> UPDATE
+      (5L, "E", Some(5.0)))                     // new key -> INSERT; 4 -> DELETE
+      .toDF("k", "attr", "v")
+    val diff = Cdc.snapshotDiff(old, cur, Seq("k"), Seq("attr", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "UPDATE", 3L -> "UPDATE", 4L -> "DELETE", 5L -> "INSERT"))
+    // old/new attr columns carry both sides for the UPDATE rows
+    val u2 = Cdc.snapshotDiff(old, cur, Seq("k"), Seq("attr", "v"))
+      .filter($"k" === 2L).head()
+    assert(u2.getString(2) == "B" && u2.getString(3) == "X")
+  }
+
+  test("accumulatingSnapshot keeps milestone-incomplete parents with NULLs") {
+    val parent = Seq((10L, Date.valueOf("2024-01-01"), "O"),
+      (20L, Date.valueOf("2024-01-02"), "F"))
+      .toDF("o_orderkey", "order_date", "o_orderstatus")
+    val detail = Seq((10L, ts("2024-01-03 10:00:00"), 5.0),
+      (10L, ts("2024-01-07 10:00:00"), 7.0))
+      .toDF("l_orderkey", "l_shipdate", "l_quantity")
+    val snap = Star.accumulatingSnapshot(parent, detail,
+      "o_orderkey", "l_orderkey", "l_shipdate", "l_quantity")
+    val r10 = snap.filter($"o_orderkey" === 10L).head()
+    assert(r10.getAs[Date]("first_ship_date") == Date.valueOf("2024-01-03"))
+    assert(r10.getAs[Date]("last_ship_date") == Date.valueOf("2024-01-07"))
+    assert(r10.getAs[Long]("n_lines") == 2L && r10.getAs[Double]("total_qty") == 12.0)
+    // the unshipped order survives the LEFT join with NULL milestones
+    val r20 = snap.filter($"o_orderkey" === 20L).head()
+    assert(r20.isNullAt(snap.columns.indexOf("first_ship_date")))
+  }
+
+  test("late-arriving dim: unknown member -1, repair heals only parked rows") {
+    val fact = Seq((1L, 100L), (2L, 200L), (3L, 999L)).toDF("fk_id", "custkey")
+    val early = Seq(100L).toDF("c_custkey")
+    val phase1 = Star.resolveOrUnknown(fact, early, "custkey", "c_custkey", "sk")
+    assert(phase1.filter($"sk" === -1L).count() == 2)
+    assert(phase1.filter($"fk_id" === 1L).head().getAs[Boolean]("was_late") == false)
+    // full dim arrives with 200 but still not 999
+    val full = Seq(100L, 200L).toDF("c_custkey")
+    val healed = Star.repairUnknown(phase1, full, "custkey", "c_custkey", "sk")
+    val bySk = healed.collect().map(r => r.getAs[Long]("fk_id") -> r.getAs[Long]("sk")).toMap
+    assert(bySk == Map(1L -> 100L, 2L -> 200L, 3L -> -1L))
+    // was_late still records the first-pass miss for the healed row
+    assert(healed.filter($"fk_id" === 2L).head().getAs[Boolean]("was_late"))
+  }
+
+  test("bridgeAllocation: weights sum to 1 and allocations sum to the parent amount") {
+    val parent = Seq((1L, 100.0), (2L, 50.0)).toDF("pk", "amount")
+    val detail = Seq((1L, 1, 30.0), (1L, 2, 70.0), (2L, 1, 5.0))
+      .toDF("dk", "line", "measure")
+    val alloc = Star.bridgeAllocation(parent, detail, "pk", "dk", "amount", "measure")
+    val w = alloc.groupBy($"dk").agg(sum($"weight").as("w"), sum($"allocated").as("a"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(w(1L)._1 - 1.0) < 1e-12 && math.abs(w(1L)._2 - 100.0) < 1e-9)
+    assert(math.abs(w(2L)._1 - 1.0) < 1e-12 && math.abs(w(2L)._2 - 50.0) < 1e-9)
+    // per-row weight is the exact-decimal share
+    assert(alloc.filter($"dk" === 1L && $"line" === 1).head()
+      .getAs[Double]("weight") == 0.3)
+  }
+
+  test("Scd2.asOf returns exactly the covering version per key") {
+    val hist = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "a"),
+      (1L, ts("2024-01-10 08:00:00"), 2L, "b"),
+      (1L, ts("2024-01-20 08:00:00"), 3L, "c"),
+      (2L, ts("2024-01-18 08:00:00"), 4L, "x"))
+      .toDF("user_id", "ts", "event_id", "segment")
+    val dim = Scd2.fromHistory(hist, "user_id", "ts", Seq("event_id"), Seq("segment"))
+    val pit = Scd2.asOf(dim, lit("2024-01-15").cast("date"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1 was in version "b" on the 15th; key 2 had no version yet
+    assert(pit == Map(1L -> "b"))
+    // at-or-after the last change every key resolves to its current row
+    val now = Scd2.asOf(dim, lit("2024-02-01").cast("date"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "c", 2L -> "x"))
+  }
+
+  test("gapFill30m: full 48-slot grid, zero-filled counts, LOCF carry-forward") {
+    val ev = Seq(
+      (ts("2024-01-01 00:10:00"), 10.0),   // slot 0
+      (ts("2024-01-01 01:40:00"), 20.0),   // slot 3
+      (ts("2024-01-02 23:45:00"), 5.0))    // slot 47, second day
+      .toDF("ts", "value")
+    val filled = TimeSeries.gapFill30m(ev, "ts", "value")
+    assert(filled.count() == 96) // 2 days x 48 slots
+    val d1 = filled.filter($"day" === Date.valueOf("2024-01-01"))
+      .orderBy($"slot").collect()
+    assert(d1.map(_.getAs[Long]("n_events")).sum == 2)
+    // slot 1-2 are gaps: zero events, NULL sum, LOCF carries slot 0's 10.0
+    val slot2 = d1(2)
+    assert(slot2.getAs[Long]("n_events") == 0L)
+    assert(slot2.isNullAt(slot2.fieldIndex("value_sum")))
+    assert(slot2.getAs[Double]("value_locf") == 10.0)
+    // after slot 3 the carried value becomes 20.0 through end of day
+    assert(d1(47).getAs[Double]("value_locf") == 20.0)
+    // day 2: NULL LOCF before its first (and only, last-slot) observation
+    val d2 = filled.filter($"day" === Date.valueOf("2024-01-02"))
+      .orderBy($"slot").collect()
+    assert(d2(0).isNullAt(d2(0).fieldIndex("value_locf")))
+    assert(d2(47).getAs[Double]("value_locf") == 5.0)
+  }
+
+  test("transitionMatrix counts adjacent pairs per user with outgoing shares") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 11:05:00"), 5L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val m = AnalyticsPack.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // VIEW -> {CLICK, PURCHASE}: 2 outgoing, one each; CLICK -> VIEW: 1 of 1
+    assert(m(("VIEW", "CLICK")) == ((1L, 0.5)))
+    assert(m(("VIEW", "PURCHASE")) == ((1L, 0.5)))
+    assert(m(("CLICK", "VIEW")) == ((1L, 1.0)))
+    // no cross-user transition (user 1's last -> user 2's first)
+    assert(m.size == 3)
+  }
+
+  test("topDaysPerType keeps dense-rank ties") {
+    val ev = Seq(
+      // type A: day1 x2, day2 x2 (tie at rank 1), day3 x1
+      (1L, ts("2024-01-01 10:00:00"), "a"), (2L, ts("2024-01-01 11:00:00"), "a"),
+      (3L, ts("2024-01-02 10:00:00"), "a"), (4L, ts("2024-01-02 11:00:00"), "a"),
+      (5L, ts("2024-01-03 10:00:00"), "a"))
+      .zipWithIndex.map { case ((u, t0, et), i) => (i.toLong, t0, u, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val top1 = AnalyticsPack.topDaysPerType(ev, topN = 1).collect()
+    // both tied days survive at rank 1
+    assert(top1.length == 2 && top1.forall(_.getAs[Int]("rnk") == 1))
+  }
+}
