@@ -501,6 +501,31 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           col("weight"), col("allocated"))),
 
+    // Periodic snapshot: per-customer monthly order activity from the
+    // first active month, quiet months zero-filled with the balance
+    // carried forward.
+    "fct_periodic_snapshot" -> ((s: SparkSession, d: String) =>
+      Star.periodicSnapshot(t(s, d, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")),
+
+    // Referential-integrity audit over the star's FK edges.
+    "audit_fk_integrity" -> ((s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      Audit.fkIntegrityAll(Seq(
+        (li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        (li, "l_partkey", t(s, d, "part"), "p_partkey", "lineitem.l_partkey->part"),
+        (li, "l_suppkey", t(s, d, "supplier"), "s_suppkey", "lineitem.l_suppkey->supplier"),
+        (o, "o_custkey", t(s, d, "customer"), "c_custkey", "orders.o_custkey->customer")))
+    }),
+
+    // Sequence packing: documents into 2048-token bins across 8
+    // deterministic shards — pure window algebra, layout-stable.
+    "pack_sequences" -> ((s: SparkSession, d: String) =>
+      Packing.packGreedy(
+        t(s, d, "documents")
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, nShards = 8)),
+
     "svc_overview" -> svcOverview _,
 
     "svc_demand_by_day_type" -> svcDemandByDayType _,
@@ -1312,6 +1337,48 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |  FROM lineitem GROUP BY 1) f ON o.o_orderkey = f.l_orderkey""".stripMargin,
 
+    "fct_periodic_snapshot" ->
+      """WITH monthly AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT MAX(month) AS max_month FROM monthly),
+        |spans AS (SELECT o_custkey, MIN(month) AS first_month
+        |          FROM monthly GROUP BY 1),
+        |grid AS (
+        |  SELECT s.o_custkey,
+        |    CAST(UNNEST(generate_series(s.first_month, mx.max_month,
+        |                                INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM spans s, mx)
+        |SELECT g.o_custkey, g.month,
+        |  COALESCE(m.n_orders, 0) AS n_orders,
+        |  CAST(COALESCE(m.spend, 0) AS DOUBLE) AS month_spend,
+        |  CAST(SUM(COALESCE(m.spend, 0)) OVER (
+        |    PARTITION BY g.o_custkey ORDER BY g.month) AS DOUBLE) AS cum_spend
+        |FROM grid g
+        |LEFT JOIN monthly m ON g.o_custkey = m.o_custkey AND g.month = m.month""".stripMargin,
+
+    "audit_fk_integrity" -> {
+      def edge(factTable: String, fk: String, dimTable: String,
+               dimKey: String, name: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  COUNT(*) AS n_rows,
+           |  COUNT(CASE WHEN f.$fk IS NULL THEN 1 END) AS n_null_fk,
+           |  COUNT(CASE WHEN f.$fk IS NOT NULL AND d.k IS NULL THEN 1 END) AS n_orphans,
+           |  100.0 * COUNT(CASE WHEN f.$fk IS NOT NULL AND d.k IS NULL THEN 1 END)
+           |        / COUNT(*) AS orphan_pct
+           |FROM $factTable f
+           |LEFT JOIN (SELECT DISTINCT $dimKey AS k FROM $dimTable) d
+           |  ON f.$fk = d.k""".stripMargin
+      Seq(
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        edge("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        edge("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        edge("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"))
+        .mkString("\nUNION ALL\n")
+    },
+
     "gold_bridge_alloc" ->
       """WITH d AS (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice,
@@ -1906,6 +1973,22 @@ object SparkEntry {
            |WHERE rn = 1""".stripMargin,
 
       "text_stats" -> textStatsSql,
+
+      "pack_sequences" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(len($toksSql) AS INTEGER) AS n_tokens,
+           |    CAST(doc_id % 8 AS INTEGER) AS shard
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens, shard,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           |         AS BIGINT) AS cum_tokens
+           |  FROM d)
+           |SELECT doc_id, n_tokens, shard, cum_tokens,
+           |  CAST(FLOOR((cum_tokens - n_tokens) / 2048) AS BIGINT) AS bin_id,
+           |  CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS bin_offset
+           |FROM c""".stripMargin,
 
       // Exact-quantile tier thresholds + the md5 membership rule —
       // both already pinned elsewhere (F2's quantile_cont parity,

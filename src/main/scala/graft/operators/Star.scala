@@ -39,6 +39,48 @@ object Star {
       .drop(detailKey)
   }
 
+  /** Periodic-snapshot fact (the third Kimball fact type, next to the
+    * transactional star and the accumulating snapshot): one row per
+    * (key, period) from the key's FIRST active month through the
+    * global latest month — inactive months materialize with zero
+    * activity and the running balance carried forward, which is the
+    * entire point of a periodic snapshot (a balance query must not
+    * skip quiet months).
+    *
+    * Determinism doctrine: period amounts are exact decimal sums; the
+    * running balance is a decimal prefix sum over the period window
+    * (order-free partial aggregation inside each month, exact window
+    * accumulation across ≤ #months rows per key) cast to double once.
+    *
+    * Scale shape: the fact collapses to (key, month) grain in one
+    * partial-aggregable shuffle BEFORE the grid expands (grid rows =
+    * Σ per-key active spans — bounded by keys × months, never fact-
+    * sized); the global max month is a broadcast 1-row aggregate; the
+    * balance window partitions by key over month-count rows.
+    */
+  def periodicSnapshot(fact: DataFrame, key: String, ts: String,
+                       amount: String): DataFrame = {
+    val monthly = fact.groupBy(col(key), trunc(to_date(col(ts)), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(money(col(amount))).as("__spend"))
+    val maxMonth = monthly.agg(max(col("month")).as("__max_month"))
+    val spans = monthly.groupBy(col(key)).agg(min(col("month")).as("__first"))
+      .crossJoin(broadcast(maxMonth))
+    val grid = spans.select(col(key),
+      explode(sequence(col("__first"), col("__max_month"),
+        expr("interval 1 month"))).as("month"))
+    val w = Window.partitionBy(col(key)).orderBy(col("month"))
+    // shuffle_hash, not sort-merge: both sides are ≤ 1 row per
+    // (key, month) by construction, so the per-partition build side
+    // is bounded and skew-free — the hash join skips both sorts.
+    grid.join(monthly.hint("shuffle_hash"), Seq(key, "month"), "left")
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+      .withColumn("__spend",
+        coalesce(col("__spend"), lit(0).cast(DecimalType(18, 2))))
+      .withColumn("month_spend", col("__spend").cast("double"))
+      .withColumn("cum_spend", sum(col("__spend")).over(w).cast("double"))
+      .drop("__spend")
+  }
+
   /** Late-arriving dimension, phase 1: resolve the fact's FK against
     * the dim that has arrived SO FAR; misses get the Kimball unknown
     * member (SK -1) instead of being dropped or stalling the load —

@@ -35,8 +35,12 @@ class InvariantSpec extends SparkSpec {
       "ann_lsh_topk", "ann_ivf_topk", "ana_coverage_quartile", "svc_utm_to_wgs84",
       "attrib_click_purchase", "ana_retention_cohort", "anomaly_zscore",
       "gold_snapshot_diff", "gold_late_arriving", "fct_accumulating_snapshot",
-      "gold_bridge_alloc", "ana_transition_matrix", "ana_gapfill_30m")
-    val bnljByDesign = Set("ann_ivf_topk")
+      "gold_bridge_alloc", "ana_transition_matrix", "ana_gapfill_30m",
+      "fct_periodic_snapshot", "audit_fk_integrity", "pack_sequences")
+    // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
+    // global-max-month panel crossed onto per-key spans — volume
+    // n x 1, the analytics-pack 1-row-total pattern.
+    val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

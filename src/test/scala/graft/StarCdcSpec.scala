@@ -4,7 +4,7 @@ import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsPack, Cdc, Scd2, Star, TimeSeries}
+import graft.operators.{AnalyticsPack, Audit, Cdc, Packing, Scd2, Star, TimeSeries}
 
 /** Round-6 operators: snapshot CDC, Kimball star extras (accumulating
   * snapshot, late-arriving dim, bridge allocation), SCD2 point-in-time,
@@ -139,6 +139,61 @@ class StarCdcSpec extends SparkSpec {
     assert(m(("CLICK", "VIEW")) == ((1L, 1.0)))
     // no cross-user transition (user 1's last -> user 2's first)
     assert(m.size == 3)
+  }
+
+  test("periodicSnapshot zero-fills quiet months and carries the balance forward") {
+    val fact = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10.0),
+      (1L, ts("2024-03-10 00:00:00"), 5.0),   // Feb is quiet for key 1
+      (2L, ts("2024-02-15 00:00:00"), 7.0))   // key 2 starts in Feb
+      .toDF("k", "odate", "amount")
+    val snap = Star.periodicSnapshot(fact, "k", "odate", "amount")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val k1 = snap.filter(_._1 == 1L).sortBy(_._2).toSeq
+    // Jan..Mar: quiet Feb materializes with zero activity, balance held
+    assert(k1.map(_._2) == Seq("2024-01-01", "2024-02-01", "2024-03-01"))
+    assert(k1.map(_._3) == Seq(1L, 0L, 1L))
+    assert(k1.map(_._5) == Seq(10.0, 10.0, 15.0))
+    // key 2's grid starts at ITS first month, not the global min
+    val k2 = snap.filter(_._1 == 2L).sortBy(_._2).toSeq
+    assert(k2.map(_._2) == Seq("2024-02-01", "2024-03-01"))
+    assert(k2.map(_._5) == Seq(7.0, 7.0))
+  }
+
+  test("fkIntegrity counts orphans and NULL FKs separately") {
+    val fact = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val audit = Audit.fkIntegrity(fact, "fk", dim, "pk", "t.fk->d").head()
+    assert(audit.getString(0) == "t.fk->d")
+    assert(audit.getLong(1) == 4L)        // n_rows
+    assert(audit.getLong(2) == 1L)        // n_null_fk
+    assert(audit.getLong(3) == 1L)        // n_orphans (99)
+    assert(audit.getDouble(4) == 25.0)    // orphan_pct
+    // a duplicated dim key must not inflate the fact-side counts
+    val dupDim = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    assert(Audit.fkIntegrity(fact, "fk", dupDim, "pk", "x").head().getLong(1) == 4L)
+  }
+
+  test("packGreedy: contiguous shard layout, bins advance at the budget boundary") {
+    val docs = Seq((0L, 1000), (8L, 1000), (16L, 500), (24L, 700), (1L, 2500))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packGreedy(docs, "doc_id", "n_tokens", budget = 2048, nShards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"))).toMap
+    // shard 0 packs docs 0,8,16,24 in key order: starts 0,1000,2000,2500
+    assert(packed(0L) == ((0, 1000L, 0L, 0L)))
+    assert(packed(8L) == ((0, 2000L, 0L, 1000L)))
+    assert(packed(16L) == ((0, 2500L, 0L, 2000L)))   // starts at 2000 < 2048
+    assert(packed(24L) == ((0, 3200L, 1L, 452L)))    // crossed into bin 1
+    // a doc larger than the whole budget still gets a deterministic slot
+    assert(packed(1L) == ((1, 2500L, 0L, 0L)))
+    // assignment is layout-stable: same result under a different partitioning
+    val repart = Packing.packGreedy(docs.repartition(7), "doc_id", "n_tokens", 2048, 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_offset")).toMap
+    assert(repart == packed.map { case (k, v) => k -> v._4 })
   }
 
   test("topDaysPerType keeps dense-rank ties") {
