@@ -722,6 +722,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double").as("value_sum"))),
 
+    // Sliding-window aggregation (1h window / 30m slide — each event
+    // lands in exactly 2 windows) through Spark's built-in window()
+    // generator: the overlap expansion happens inside codegen, the
+    // aggregate stays map-side partial, and the SAME expression runs
+    // streaming under a watermark (StreamOps.eventsSliding).
+    "stream_events_sliding" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          upper(trim(col("event_type"))).as("event_type_norm"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double").as("value_sum"))
+        .select(col("w").getField("start").as("window_start"),
+          col("event_type_norm"), col("n_events"), col("value_sum"))),
+
     "sessionize_gap" -> ((s: SparkSession, d: String) =>
       Sessionize.byGap(t(s, d, "events"), "user_id", "ts", "event_id", "value", gapSec = 1800)),
 
@@ -1794,6 +1808,23 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // An event at t belongs to the two slide-aligned starts
+    // {floor30(t), floor30(t) - 30m}: start <= t < start + 1h.
+    "stream_events_sliding" ->
+      """WITH e AS (
+        |  SELECT UPPER(TRIM(event_type)) AS event_type_norm, value,
+        |    make_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT)
+        |                   * 1800 * 1000000) AS s0
+        |  FROM events WHERE ts IS NOT NULL),
+        |x AS (
+        |  SELECT UNNEST([s0, s0 - INTERVAL 30 MINUTE]) AS window_start,
+        |    event_type_norm, value
+        |  FROM e)
+        |SELECT window_start, event_type_norm, COUNT(*) AS n_events,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0)
+        |       AS DOUBLE) AS value_sum
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "sessionize_gap" -> sessionizeOracleSql,
 

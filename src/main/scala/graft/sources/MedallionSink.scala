@@ -191,6 +191,24 @@ object MedallionSink {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Range-clustered write (Z-order-lite for one dimension): rows are
+    * range-partitioned then sorted on the cluster key, so every output
+    * file — and every row group inside it — covers a DISJOINT key
+    * range. Parquet stores per-row-group min/max statistics; a scan
+    * with a pushed key predicate then skips every row group whose
+    * range cannot match, turning point/range lookups over a 100-TB
+    * table into reads of a handful of row groups. (The bucketed-table
+    * writer optimizes recurring JOINS on the key; this layout
+    * optimizes selective FILTERS — complementary, not redundant.)
+    * ClusteringSpec proves file-level range disjointness from the
+    * parquet footers and the pushed filter at the scan.
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCol: String,
+                     nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+
   /** Per-partition `_meta.json` sidecars (authoritative row_count +
     * column list — the reference's bronze sidecar contract, served to
     * graft.sources.MedallionCatalog's read-side validation). Counts

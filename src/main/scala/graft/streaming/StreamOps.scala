@@ -30,6 +30,21 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type_norm"),
         col("n_events"), col("value_sum"))
 
+  /** Sliding-window twin (1h window / 30m slide) of the batch
+    * `stream_events_sliding` query: identical expression tree, plus a
+    * watermark bounding the state to the open window horizon. Each
+    * event expands into exactly windowDuration/slide = 2 state keys.
+    */
+  def eventsSliding(events: DataFrame, watermark: Option[String] = Some("1 hour")): DataFrame =
+    withWatermarkOpt(events, watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        upper(trim(col("event_type"))).as("event_type_norm"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(round(sum(col("value").cast(DecimalType(18, 2))), 2), lit(0))
+          .cast("double").as("value_sum"))
+      .select(col("w").getField("start").as("window_start"),
+        col("event_type_norm"), col("n_events"), col("value_sum"))
+
   /** Spark disallows redefining a watermark between stateful operators
     * in one chain, so every operator takes `Some(delay)` to define it
     * or `None` to inherit the upstream definition when composed.

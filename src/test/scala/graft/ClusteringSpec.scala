@@ -1,0 +1,64 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+import graft.sources.MedallionSink
+
+/** Range-clustered layout: the written files' parquet footers must
+  * carry disjoint per-file key ranges — the property that lets a
+  * pushed predicate skip whole row groups at scan time.
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeClustered produces disjoint per-file key ranges and a pushed scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val path = s"$dir/ev"
+    // write keys shuffled so clustering, not arrival order, must do the work
+    val df = new scala.util.Random(7).shuffle((0L until 10000L).toList)
+      .map(k => (k, s"payload_$k")).toDF("k", "payload")
+    MedallionSink.writeClustered(df, path, "k", nFiles = 8)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8, s"expected 8 clustered files, got ${files.length}")
+
+    // per-file [min, max] of k from the footers, for every row group
+    val ranges = files.toSeq.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        assert(blocks.nonEmpty)
+        val stats = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get.getStatistics)
+        val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        // row groups inside a file are sorted too (sortWithinPartitions)
+        assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+        (mins.min, maxs.max)
+      } finally reader.close()
+    }.sortBy(_._1)
+    // files tile the key space with no overlap: range partitioning
+    // sends each key to exactly one file
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1,
+        s"file ranges overlap: $a vs $b — row-group skipping would degrade")
+      case _ =>
+    }
+    assert(ranges.head._1 == 0L && ranges.last._2 == 9999L)
+
+    // the point predicate reaches the scan as a pushed filter, so the
+    // reader can apply those footer ranges
+    val plan = spark.read.parquet(path).filter(col("k") === 4242L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(k,4242)"), plan)
+    assert(spark.read.parquet(path).filter(col("k") === 4242L).count() == 1L)
+  }
+}

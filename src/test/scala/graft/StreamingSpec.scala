@@ -45,6 +45,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.subsetOf(streamed))
   }
 
+  test("streaming sliding-window aggregation matches the batch twin (2 windows per event)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = in.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.eventsSliding(df, watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sslide").outputMode("append").start()
+    in.addData(events)
+    q.processAllAvailable()
+    in.addData(Seq((9L, ts("2024-01-01 23:00:00"), "click", 0.5)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sslide")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch twin through the SAME built-in window() expression
+    val batch = events.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"),
+        upper(trim($"event_type")).as("event_type_norm"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(round(sum($"value".cast("decimal(18,2)")), 2), lit(0))
+          .cast("double").as("value_sum"))
+      .select($"w".getField("start"), $"event_type_norm", $"n_events", $"value_sum")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.subsetOf(streamed))
+    // every event contributes to exactly 2 overlapping windows: the
+    // 10:00 + 10:10 clicks cover starts 09:30 and 10:00
+    val clickStarts = streamed.filter(_._2 == "CLICK").map(_._1.toString)
+    assert(clickStarts.contains("2024-01-01 09:30:00.0"))
+    assert(clickStarts.contains("2024-01-01 10:00:00.0"))
+  }
+
   test("streaming sessionization emits closed sessions matching the batch twin") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessEvent]
