@@ -756,6 +756,15 @@ object SparkEntry {
       Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // Domain-mixture curation: keep the largest corpus whose language
+    // proportions hit the target shares; per-domain keep rates are
+    // computed from the counts, membership is key mod 65536.
+    "sample_domain_mix" -> ((s: SparkSession, d: String) =>
+      Sampling.domainMix(t(s, d, "documents"), "lang",
+          Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.featuresOf(t(s, d, "documents").select(
         col("doc_id").as("media_id"),
@@ -1265,6 +1274,32 @@ object SparkEntry {
         |         ELSE '8000' END AS sample_threshold
         |  FROM events)
         |WHERE sample_bucket < sample_threshold""".stripMargin,
+
+    // T = min(n/share) (the largest total the scarcest domain allows);
+    // all share/rate arithmetic in DOUBLE, left-assoc like the Spark
+    // expression tree, so thresholds are bit-identical; membership is
+    // the repo's md5 bucket vs the hex-rendered threshold.
+    "sample_domain_mix" ->
+      """WITH shares AS (
+        |  SELECT * FROM (VALUES
+        |    ('en', CAST(0.40 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |    ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |    ('zh', CAST(0.15 AS DOUBLE))) AS t(lang, share)),
+        |c AS (
+        |  SELECT d.lang, s.share, COUNT(*) AS n
+        |  FROM documents d JOIN shares s ON d.lang = s.lang
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MIN(n / share) AS t_max FROM c),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN FLOOR(share * t_max / n * 65536) >= 65536 THEN 'g'
+        |         ELSE lower(lpad(to_hex(CAST(FLOOR(share * t_max / n * 65536)
+        |                                      AS BIGINT)), 4, '0'))
+        |    END AS thr_hex
+        |  FROM c, mx)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr_hex""".stripMargin,
 
     "gold_merge_grain" ->
       s"""WITH staged AS (

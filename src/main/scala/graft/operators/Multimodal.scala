@@ -3,6 +3,7 @@ package graft.operators
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
@@ -13,11 +14,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * bounded batches (the JVM-side equivalent of a Pandas-UDF
   * `mapInPandas` batch shape).
   *
-  * The decode step is REAL for the formats the JDK ships codecs for
-  * (`javax.imageio`: PNG, BMP, GIF, JPEG, WBMP — public standard
-  * library, no extra deps): true pixel dimensions and a mean-RGB
-  * brightness over a bounded pixel sample. Formats without a JDK
-  * codec (audio/video/custom) fall back to [[decodeStub]], a
+  * The decode step is REAL for the formats the JDK ships codecs for:
+  * `javax.imageio` (PNG, BMP, GIF, JPEG, WBMP — true pixel dimensions
+  * and a mean-RGB brightness over a bounded pixel sample) and
+  * `javax.sound.sampled` (WAV/AIFF/AU — sample rate, frame-exact
+  * duration and a bounded mean-|amplitude| for 16-bit PCM). Formats
+  * without a JDK codec (video/custom) fall back to [[decodeStub]], a
   * deterministic header parse that keeps the schema and plan shape
   * identical — swapping in a JNI/codec call changes nothing upstream.
   */
@@ -28,18 +30,29 @@ object Multimodal {
   /** Formats `javax.imageio` decodes out of the box. */
   val JdkImageFormats: Set[String] = Set("png", "bmp", "gif", "jpg", "jpeg", "wbmp")
 
+  /** Container formats `javax.sound.sampled` parses out of the box. */
+  val JdkAudioFormats: Set[String] = Set("wav", "wave", "aiff", "aifc", "au")
+
   final case class MediaRow(media_id: Long, media: Array[Byte], format: String)
 
+  /** Feature row across modalities: images fill width/height/
+    * brightness, audio fills sample_rate/duration_ms and reuses
+    * `brightness` as mean |amplitude| in [0,1]; the unused modality's
+    * slots are zero. One schema for the whole media table keeps the
+    * downstream pipeline (joins, gates, stats) modality-agnostic.
+    */
   final case class MediaFeature(
       media_id: Long, format: String, n_bytes: Int,
-      width: Int, height: Int, checksum: Long, brightness: Double)
+      width: Int, height: Int, checksum: Long, brightness: Double,
+      sample_rate: Int, duration_ms: Long)
 
-  /** Real-or-stub dispatch: JDK-codec formats decode true pixels;
-    * anything else (or a corrupt image) takes the deterministic stub.
+  /** Real-or-stub dispatch: JDK-codec formats decode true content;
+    * anything else (or a corrupt body) takes the deterministic stub.
     */
   def decode(r: MediaRow): MediaFeature = {
     val fmt = Option(r.format).map(_.toLowerCase).getOrElse("")
     if (JdkImageFormats.contains(fmt)) decodeImage(r).getOrElse(decodeStub(r))
+    else if (JdkAudioFormats.contains(fmt)) decodeAudio(r).getOrElse(decodeStub(r))
     else decodeStub(r)
   }
 
@@ -75,8 +88,53 @@ object Multimodal {
       val crc = new java.util.zip.CRC32()
       crc.update(r.media)
       MediaFeature(r.media_id, r.format, r.media.length, w, h, crc.getValue,
-        if (n == 0) 0.0 else sum.toDouble / n)
+        if (n == 0) 0.0 else sum.toDouble / n, 0, 0L)
     }
+  }
+
+  /** javax.sound.sampled decode: header-true sample rate + frame-exact
+    * duration; mean |amplitude| (normalized to [0,1]) over a bounded
+    * PCM sample capped at 128 KiB, so an hour-long asset costs the
+    * same as a jingle. Non-16-bit or compressed encodings keep the
+    * header facts and report amplitude 0.
+    */
+  private[operators] def decodeAudio(r: MediaRow): Option[MediaFeature] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        val durMs =
+          if (f.getFrameRate > 0 && frames >= 0)
+            math.round(frames * 1000.0 / f.getFrameRate)
+          else 0L
+        val crc = new java.util.zip.CRC32()
+        crc.update(r.media)
+        Some(MediaFeature(r.media_id, r.format, r.media.length, 0, 0,
+          crc.getValue, meanAmplitude(in, f), f.getSampleRate.toInt, durMs))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def meanAmplitude(in: AudioInputStream, f: AudioFormat): Double = {
+    if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+        f.getSampleSizeInBits != 16) return 0.0
+    val cap = 131072
+    val buf = new Array[Byte](cap)
+    var filled = 0
+    var k = in.read(buf, 0, cap)
+    while (k > 0 && filled + k < cap) { filled += k; k = in.read(buf, filled, cap - filled) }
+    if (k > 0) filled += k
+    var sum = 0L
+    var i = 0
+    while (i + 1 < filled) {
+      val s =
+        if (f.isBigEndian) (buf(i) << 8) | (buf(i + 1) & 0xff)
+        else (buf(i + 1) << 8) | (buf(i) & 0xff)
+      sum += math.abs(s)
+      i += 2
+    }
+    val n = filled / 2
+    if (n == 0) 0.0 else sum.toDouble / n / 32768.0
   }
 
   /** STUB decoder for non-JDK formats: fake 2-byte "header" ->
@@ -90,7 +148,7 @@ object Multimodal {
     val w = if (b.length > 0) (b(0) & 0xff) + 1 else 1
     val h = if (b.length > 1) (b(1) & 0xff) + 1 else 1
     val brightness = if (b.isEmpty) 0.0 else b.map(_ & 0xff).sum.toDouble / b.length
-    MediaFeature(r.media_id, r.format, b.length, w, h, crc.getValue, brightness)
+    MediaFeature(r.media_id, r.format, b.length, w, h, crc.getValue, brightness, 0, 0L)
   }
 
   /** Partition-wise batched feature extraction. The `grouped` iterator

@@ -70,6 +70,50 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Domain-mixture sampling: downsample each domain so the kept
+    * corpus matches target proportions while staying as LARGE as
+    * possible — the standard curation move when the raw crawl is
+    * dominated by one domain. The achievable total is
+    * `T = min_d(n_d / share_d)` (any larger and some domain runs out);
+    * each domain then keeps `share_d * T / n_d` of its docs via the
+    * same md5-bucket membership as [[stratified]]. Because the rates
+    * are DATA-DEPENDENT (computed from the counts), the threshold is
+    * rendered to its 4-hex form IN the plan (`lpad(hex(floor(rate *
+    * 65536)))`, "g" at rate 1) and compared as a string — a naive
+    * `key mod 65536` bucket would be catastrophically non-uniform for
+    * sequential ids (every id below the threshold). Domains outside
+    * the target map (and NULLs) drop.
+    *
+    * Scale shape: one tiny per-domain count aggregate broadcast back;
+    * membership is a codegen'd filter — the corpus is never shuffled.
+    *
+    * @param shares target proportions per domain value (sum ≤ 1
+    *               enforced loosely — proportions, not probabilities)
+    * @param keyCol row key; membership = md5 bucket of it
+    */
+  def domainMix(df: DataFrame, domainCol: String, shares: Map[String, Double],
+                keyCol: String): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      s"target shares must be positive: $shares")
+    val shareCol = shares.foldLeft(lit(null).cast("double")) {
+      case (acc, (value, s)) => when(col(domainCol) === value, lit(s)).otherwise(acc)
+    }
+    val counts = df.filter(col(domainCol).isin(shares.keys.toSeq: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__share", shareCol)
+    val tMax = counts.agg(min(col("__n") / col("__share")).as("__t_max"))
+    val thresholds = counts.crossJoin(broadcast(tMax))
+      .withColumn("__threshold",
+        floor(col("__share") * col("__t_max") / col("__n") * 65536))
+      .withColumn("__thr_hex",
+        when(col("__threshold") >= 65536, lit("g"))
+          .otherwise(lower(lpad(hex(col("__threshold")), 4, "0"))))
+      .select(col(domainCol), col("__thr_hex"))
+    df.join(broadcast(thresholds), domainCol)
+      .filter(hashBucket(Seq(col(keyCol))) < col("__thr_hex"))
+      .drop("__thr_hex")
+  }
+
   /** Stratified deterministic sample: each stratum value keeps its own
     * rate (`rates`), anything else keeps `defaultRate`. Adds the
     * bucket and the applied threshold so the membership rule itself is

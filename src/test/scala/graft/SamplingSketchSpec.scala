@@ -99,6 +99,33 @@ class SamplingSketchSpec extends SparkSpec {
     }
   }
 
+  test("domain mix hits the target proportions and maxes out the scarcest domain") {
+    import spark.implicits._
+    // 1000 A, 300 B, 100 C; targets 60/30/10 → T = min(1000/.6,
+    // 300/.3, 100/.1) = 1000, bound by B AND C (both keep all, rate
+    // 1); A downsamples to ~600 (rate .6) — SEQUENTIAL ids on
+    // purpose: a `key mod N` bucket would keep all 1000 A rows here
+    val docs = ((1L to 1000L).map((_, "A")) ++ (2001L to 2300L).map((_, "B")) ++
+      (3001L to 3100L).map((_, "C")) :+ (4001L, "D")) // untargeted domain drops
+      .toDF("doc_id", "lang")
+    val shares = Map("A" -> 0.6, "B" -> 0.3, "C" -> 0.1)
+    val kept = Sampling.domainMix(docs, "lang", shares, "doc_id")
+    val by = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding domains keep everything (rate exactly 1 → "g")
+    assert(by("B") == 300L && by("C") == 100L, by.toString)
+    assert(!by.contains("D"))
+    // A's md5-bucket downsample lands near its 600-row target
+    // (binomial noise over 1000 trials)
+    assert(math.abs(by("A") - 600.0) < 60, by.toString)
+    val total = by.values.sum.toDouble
+    assert(math.abs(by("A") / total - 0.6) < 0.05, by.toString)
+    // membership is layout-invariant
+    val again = Sampling.domainMix(docs.repartition(13), "lang", shares, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("rate 1.0 keeps every row, rate 0.0 keeps none") {
     val all = Sampling.stratified(events, "event_type", Map.empty, 1.0, Seq("event_id"))
     assert(all.count() == events.count())

@@ -282,6 +282,33 @@ class SourcesSpec extends SparkSpec {
     assert(got(4L).width == 4 && got(4L).height == 5)
   }
 
+  test("multimodal: real javax.sound WAV decode — rate, duration, amplitude") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 1 second of 8 kHz mono 16-bit PCM at constant amplitude 8192
+    // (|8192|/32768 = 0.25), little-endian
+    val pcm = new Array[Byte](8000 * 2)
+    var i = 0
+    while (i < 8000) { pcm(2 * i) = 0; pcm(2 * i + 1) = 0x20; i += 1 }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, 8000),
+      AudioFileFormat.Type.WAVE, out)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, out.toByteArray, "wav"),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9, 9), "wav"),   // corrupt -> stub
+      Multimodal.MediaRow(3L, out.toByteArray, "ogg")))       // non-JDK -> stub
+    val got = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate == 8000 && got(1L).duration_ms == 1000L)
+    assert(math.abs(got(1L).brightness - 0.25) < 1e-9,
+      s"mean |amplitude| was ${got(1L).brightness}")
+    assert(got(1L).width == 0 && got(1L).height == 0)
+    // corrupt body and non-JDK container both take the stub, never throw
+    assert(got(2L).sample_rate == 0 && got(2L).width == 10)
+    assert(got(3L).sample_rate == 0 && got(3L).duration_ms == 0L)
+  }
+
   test("multimodal featuresOf survives > one batch per partition") {
     val big = (1L to 200L).map(i => (i, s"payload_$i".getBytes("UTF-8"), "txt"))
       .toDF("media_id", "media", "format")
