@@ -715,6 +715,11 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
+    // Product-quantization ANN: m-byte codes + ADC shortlist + exact
+    // re-rank — the bytes-bound scale path next to IVF/LSH.
+    "ann_pq_topk" -> ((s: SparkSession, d: String) =>
+      Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
+
     "stream_events_30m" -> ((s: SparkSession, d: String) =>
       t(s, d, "events").groupBy(
           Temporal.windowStart(col("ts"), 1800).as("window_start"),

@@ -155,6 +155,108 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Product-quantization top-k (the memory-scale ANN path: IVF/LSH
+    * bound CANDIDATE volume, PQ bounds BYTES — at 100 TB the decisive
+    * constraint is that full vectors don't fit anywhere, while m
+    * 1-byte codes per vector do, ~dim×4/m× smaller).
+    *
+    * Pipeline (all deterministic — centroids are the same
+    * stride-sampled rows the IVF path uses, per subspace):
+    *  1. split each vector into `m` subvectors; per subspace, the
+    *     codebook is the first `ks` sampled subvectors;
+    *  2. ENCODE: each corpus vector → m nearest-centroid codes (one
+    *     broadcast join; ties break on code) — the only corpus-sized
+    *     state downstream, m bytes a vector;
+    *  3. ADC: each query precomputes its inner product against every
+    *     centroid (m × ks table, broadcast); approximate cosine =
+    *     Σ_s table[s][code_s] / (|x||q|), assembled by joining codes
+    *     to tables on (sub, code) — volume n × m × |Q|, linear in the
+    *     corpus. Partial products sum as DECIMAL so the reduction is
+    *     order-free;
+    *  4. exact re-rank of the `shortlistFactor × k` ADC shortlist —
+    *     full vectors are touched for shortlist rows only.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             nQueries: Int, k: Int, m: Int = 8, ks: Int = 16,
+             dim: Int = 64, sampleStride: Long = 31L,
+             shortlistFactor: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val base = prepared(emb, idCol, vecCol)
+    val (exploded, cb) = pqParts(base, m, ks, dim, sampleStride)
+    val enc = pqEncode(exploded, cb)
+      .join(base.select(col("vec_id"), col("nrm")), "vec_id")
+    val qtab = exploded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("subv").as("qsubv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("part", dot(col("qsubv"), col("cv")))
+      .select(col("q_id"), col("sub"), col("code"), col("part"))
+    val qv = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val approx = enc.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("nrm"))
+      .agg(sum(col("part").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("__graft_adot"))
+      .join(broadcast(qv.select(col("q_id"), col("qnrm"))), "q_id")
+      .withColumn("cos_sim", col("__graft_adot") / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    val shortlist = topK(approx, shortlistFactor * k)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val rescored = shortlist
+      .join(base, "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(rescored, k)
+  }
+
+  /** (subvector explosion, per-subspace codebook) shared by encode
+    * and query-table construction. Codebook = the first `ks` stride-
+    * sampled subvectors per subspace, ranked by vec_id.
+    */
+  private def pqParts(base: DataFrame, m: Int, ks: Int, dim: Int,
+                      sampleStride: Long): (DataFrame, DataFrame) = {
+    val subDim = dim / m
+    val subStructs = array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * subDim + 1, subDim).as("subv"))): _*)
+    val exploded = base.select(col("vec_id"), explode(subStructs).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.subv").as("subv"))
+    val cbRank = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    val cb = exploded.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+      .withColumn("__graft_cr", row_number().over(cbRank))
+      .filter(col("__graft_cr") <= ks)
+      .select(col("sub"), col("__graft_cr").as("code"), col("subv").as("cv"))
+    (exploded, cb)
+  }
+
+  /** Nearest-centroid code per (vector, subspace): L2² against the
+    * broadcast codebook, ties on code — m small codes per vector, the
+    * only corpus-sized artifact the PQ path keeps.
+    */
+  private def pqEncode(exploded: DataFrame, cb: DataFrame): DataFrame = {
+    val encRank = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("__graft_d2").asc, col("code"))
+    exploded.join(broadcast(cb), "sub")
+      .withColumn("__graft_d2",
+        dot(col("subv"), col("subv")) - lit(2.0) * dot(col("subv"), col("cv")) +
+          dot(col("cv"), col("cv")))
+      .withColumn("__graft_er", row_number().over(encRank))
+      .filter(col("__graft_er") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** PQ codes alone (the stored artifact at scale): m (sub, code)
+    * entries per vector, exposed for specs and downstream encoders.
+    */
+  private[graft] def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+                             m: Int, ks: Int, dim: Int,
+                             sampleStride: Long = 31L): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val base = prepared(emb, idCol, vecCol)
+    val (exploded, cb) = pqParts(base, m, ks, dim, sampleStride)
+    pqEncode(exploded, cb)
+  }
+
   /** Sign-bit count for an LSH table sized to the corpus: with
     * `planes = ceil(log2(n / targetBucketSize))` a table has
     * `n / targetBucketSize` buckets, the expected bucket holds

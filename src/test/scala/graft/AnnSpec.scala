@@ -143,4 +143,36 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(run() == run())
   }
+
+  test("pq codes: m codes per vector, all within the codebook") {
+    val emb = Tables(spark, sf, "embeddings")
+    val codes = Ann.pqCodes(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = emb.count()
+    assert(codes.length == n * 8, s"expected ${n * 8} codes, got ${codes.length}")
+    assert(codes.forall { case (_, sub, code) =>
+      sub >= 0 && sub < 8 && code >= 1 && code <= 16 })
+    // every vector carries exactly one code per subspace
+    assert(codes.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 8))
+  }
+
+  test("pq top-k: structure, determinism, and recall of the exact baseline") {
+    val emb = Tables(spark, sf, "embeddings")
+    val k = 5
+    def run() = Ann.pqTopK(emb, "vec_id", "embedding", nQueries = 10, k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = run()
+    // k rows per query with dense ranks
+    assert(got.length == 10 * k)
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted == (1 to k)))
+    assert(run() == got) // deterministic codebook + decimal ADC sums
+    // ADC shortlist + exact re-rank recovers a solid share of the
+    // exact top-k (random 64-d corpus, 16-centroid codebooks — pin a
+    // conservative floor well under the observed rate)
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", 10, k)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.map(t => (t._1, t._3)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@5 degraded to $recall")
+  }
 }
