@@ -980,6 +980,11 @@ object SparkEntry {
     "table_histogram_value" -> ((s: SparkSession, d: String) =>
       Profiling.histogram(t(s, d, "events"), "value", k = 20)),
 
+    // Equi-depth (quartile) histogram: ~n/4 rows per bucket however
+    // skewed the column; exact-percentile thresholds broadcast.
+    "table_histogram_equidepth" -> ((s: SparkSession, d: String) =>
+      Profiling.histogramEquiDepth(t(s, d, "events"), "value", k = 4)),
+
     // Distribution drift between lake snapshots: ONE shared-bounds
     // histogram pass splits per-bucket counts into old/new (cut =
     // 2024-01-15), proportions + per-bucket shift as RAW IEEE
@@ -1206,6 +1211,23 @@ object SparkEntry {
         |  MAX(value) AS bucket_max
         |FROM events, b
         |WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "table_histogram_equidepth" ->
+      """WITH r AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT quantile_cont(value, 0.25) AS t1,
+        |         quantile_cont(value, 0.5) AS t2,
+        |         quantile_cont(value, 0.75) AS t3
+        |  FROM r)
+        |SELECT
+        |  CASE WHEN value > t1 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > t2 THEN 1 ELSE 0 END +
+        |  CASE WHEN value > t3 THEN 1 ELSE 0 END AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  MIN(value) AS bucket_min,
+        |  MAX(value) AS bucket_max
+        |FROM r, t
         |GROUP BY 1""".stripMargin,
 
     "data_drift_value" ->

@@ -34,4 +34,30 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"),
         min(v).as("bucket_min"), max(v).as("bucket_max"))
   }
+
+  /** Equi-DEPTH histogram: bucket boundaries are exact quantiles, so
+    * each bucket holds ~n/k rows regardless of skew — the histogram
+    * an optimizer or drift monitor actually wants on a heavy-tailed
+    * column, where equi-width piles everything into one bar. Bucket
+    * index = how many thresholds the value exceeds (ties fall low).
+    *
+    * Scale shape: one exact-percentile aggregate (sort-based, the
+    * engine distributes it) broadcast as a 1-row threshold panel, then
+    * the same ≤ k-key partial-agg shuffle as the equi-width pass. The
+    * probabilities j/k must be exact binary doubles for oracle parity
+    * — k a power of two keeps them exact.
+    */
+  def histogramEquiDepth(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"equi-depth histogram needs at least two buckets: $k")
+    val v = col(valueCol)
+    val rows = df.filter(v.isNotNull)
+    val thrCols = (1 until k).map(j => percentile(v, lit(j.toDouble / k)).as(s"__t$j"))
+    val thr = rows.agg(thrCols.head, thrCols.tail: _*)
+    val bucket = (1 until k).map(j => when(v > col(s"__t$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    rows.crossJoin(broadcast(thr))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(v).as("bucket_min"), max(v).as("bucket_max"))
+  }
 }

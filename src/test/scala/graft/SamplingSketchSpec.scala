@@ -278,6 +278,24 @@ class SamplingSketchSpec extends SparkSpec {
       deg.head.getAs[Long]("n_rows") == 2L)
   }
 
+  test("equi-depth histogram: ~n/k rows per bucket even under heavy skew") {
+    import spark.implicits._
+    // heavily skewed: equi-width would put 990 of 1000 rows in bucket 0
+    val df = ((1 to 990).map(_.toDouble / 100) ++ (1 to 10).map(_ * 1000.0))
+      .toDF("v")
+    val got = Profiling.histogramEquiDepth(df, "v", 4)
+      .orderBy("bucket").collect()
+    assert(got.length == 4)
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    // every quartile bucket holds ~250 rows despite the skew
+    got.foreach(r => assert(math.abs(r.getAs[Long]("n_rows") - 250L) <= 5,
+      got.map(_.getAs[Long]("n_rows")).mkString(",")))
+    // buckets tile the value range in order
+    val maxes = got.map(_.getAs[Double]("bucket_max"))
+    assert(maxes.sameElements(maxes.sorted))
+    assert(got.last.getAs[Double]("bucket_max") == 10000.0)
+  }
+
   test("bucketed co-located join and aggregation plan with zero exchanges") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")
