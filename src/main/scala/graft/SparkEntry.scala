@@ -612,6 +612,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
 
+    // Incremental corpus dedup: the new batch (doc_id >= 400) deduped
+    // against the standing corpus (doc_id < 400) and exactly within
+    // itself — the corpus is never re-paired with itself.
+    "dedup_incremental" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      TextDedup.incrementalDedup(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+    }),
+
     // Duplicate-cluster assignment: connected components over the
     // exact-Jaccard pair set (iterative min-label propagation — the
     // survivor-selection step after any pair generator).
@@ -2042,6 +2052,59 @@ object SparkEntry {
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
+
+      // Same stop-shingle + Jaccard algebra, batch-vs-corpus only; the
+      // decision CASEs mirror the Spark first-match order exactly.
+      "dedup_incremental" ->
+        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+           |bat AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+           |corp_dig AS (
+           |  SELECT sha256(text) AS digest, MIN(doc_id) AS corp_match
+           |  FROM corp GROUP BY 1),
+           |b2 AS (
+           |  SELECT doc_id, sha256(text) AS digest,
+           |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS batch_first
+           |  FROM bat),
+           |csh AS (
+           |  SELECT doc_id AS c_id, UNNEST(shs) AS sh FROM (
+           |    SELECT doc_id, $shinglesSql AS shs
+           |    FROM (SELECT doc_id, $toksSql AS t FROM documents
+           |          WHERE doc_id < 400))),
+           |stop AS (SELECT sh FROM csh GROUP BY sh HAVING COUNT(*) > 1000),
+           |ckept AS (SELECT c_id, sh FROM csh ANTI JOIN stop USING (sh)),
+           |csizes AS (SELECT c_id, COUNT(*) AS n_c FROM ckept GROUP BY 1),
+           |bsh AS (
+           |  SELECT doc_id, UNNEST(shs) AS sh FROM (
+           |    SELECT doc_id, $shinglesSql AS shs
+           |    FROM (SELECT doc_id, $toksSql AS t FROM documents
+           |          WHERE doc_id >= 400))),
+           |bkept AS (SELECT doc_id, sh FROM bsh ANTI JOIN stop USING (sh)),
+           |bsizes AS (SELECT doc_id, COUNT(*) AS n_b FROM bkept GROUP BY 1),
+           |cmn AS (
+           |  SELECT b.doc_id, c.c_id, COUNT(*) AS n_common
+           |  FROM bkept b JOIN ckept c USING (sh) GROUP BY 1, 2),
+           |near AS (
+           |  SELECT doc_id, c_id, n_common / (n_b + n_c - n_common) AS jaccard
+           |  FROM cmn JOIN bsizes USING (doc_id) JOIN csizes USING (c_id)
+           |  WHERE n_common / (n_b + n_c - n_common) >= 0.5),
+           |best AS (
+           |  SELECT doc_id, c_id AS near_match FROM (
+           |    SELECT doc_id, c_id, ROW_NUMBER() OVER (
+           |      PARTITION BY doc_id ORDER BY jaccard DESC, c_id) AS r
+           |    FROM near) WHERE r = 1)
+           |SELECT b2.doc_id,
+           |  (cd.corp_match IS NULL AND b2.doc_id = b2.batch_first
+           |   AND bst.near_match IS NULL) AS keep,
+           |  CASE WHEN cd.corp_match IS NOT NULL THEN 'EXACT_DUP_CORPUS'
+           |       WHEN b2.doc_id <> b2.batch_first THEN 'EXACT_DUP_BATCH'
+           |       WHEN bst.near_match IS NOT NULL THEN 'NEAR_DUP_CORPUS'
+           |       ELSE 'KEPT' END AS reason,
+           |  CASE WHEN cd.corp_match IS NOT NULL THEN cd.corp_match
+           |       WHEN b2.doc_id <> b2.batch_first THEN b2.batch_first
+           |       ELSE bst.near_match END AS match_id
+           |FROM b2
+           |LEFT JOIN corp_dig cd USING (digest)
+           |LEFT JOIN best bst USING (doc_id)""".stripMargin,
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $clusterCtes

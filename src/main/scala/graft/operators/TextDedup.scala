@@ -125,6 +125,81 @@ object TextDedup {
     df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), Kernels.shingleHashes(col("toks"), n).as("shs"))
 
+  /** INCREMENTAL corpus dedup — the operational shape at 100 TB: a
+    * new batch is deduped AGAINST the standing corpus (plus exactly
+    * within itself) without ever re-pairing the corpus with itself.
+    * Cost scales with |batch| × collision rate, not |corpus|².
+    *
+    * Per batch document, first-match decision:
+    *  - `EXACT_DUP_CORPUS` — its sha-256 digest exists in the corpus
+    *    (match_id = the smallest matching corpus id);
+    *  - `EXACT_DUP_BATCH` — an earlier (smaller-id) batch document
+    *    has the same digest (match_id = that representative — which
+    *    may itself have been dropped for a corpus match; match_id
+    *    names the digest group's representative, not a kept row);
+    *  - `NEAR_DUP_CORPUS` — n-gram Jaccard ≥ `threshold` against some
+    *    corpus document (match_id = the best match: max Jaccard, tie
+    *    min id);
+    *  - `KEPT` otherwise.
+    *
+    * Near-dup semantics mirror [[jaccardPairs]]: stop shingles (df >
+    * maxDf IN THE CORPUS — the side whose frequencies are known and
+    * stable) leave both sides' postings and sizes symmetrically, so
+    * Jaccard is exact over the filtered shingle space. Within-batch
+    * NEAR-dups are out of scope here (that is [[jaccardPairs]] +
+    * clusters over the batch); exact within-batch dups are caught.
+    *
+    * Scale shape: one digest join (co-keyed), one corpus-postings df
+    * pass, one batch⋈corpus shingle join (shuffle ∝ common-shingle
+    * collisions), window over per-batch-doc candidates only.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digest = (c: Column) => sha2(c.cast("string"), 256)
+    val corpDig = corpus.groupBy(digest(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("corp_match"))
+    val firstW = Window.partitionBy(col("digest"))
+    val b2 = batch.select(col(idCol).as("doc_id"), digest(col(textCol)).as("digest"))
+      .withColumn("batch_first", min(col("doc_id")).over(firstW))
+    val cSh = hashedShingles(corpus, idCol, textCol, n)
+      .select(col("doc_id").as("c_id"), explode(col("shs")).as("sh"))
+    val stop = cSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val cKept = cSh.join(stop, Seq("sh"), "left_anti")
+    val cSizes = cKept.groupBy(col("c_id")).agg(count(lit(1)).as("n_c"))
+    val bSh = hashedShingles(batch, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val bKept = bSh.join(stop, Seq("sh"), "left_anti")
+    val bSizes = bKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val common = bKept.join(cKept, "sh")
+      .groupBy(col("doc_id"), col("c_id")).agg(count(lit(1)).as("n_common"))
+    val near = common.join(bSizes, "doc_id").join(cSizes, "c_id")
+      .withColumn("jaccard",
+        col("n_common") / (col("n_b") + col("n_c") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+    val bestW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("c_id"))
+    val best = near.withColumn("__graft_r", row_number().over(bestW))
+      .filter(col("__graft_r") === 1)
+      .select(col("doc_id"), col("c_id").as("near_match"))
+    b2.join(corpDig, Seq("digest"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("corp_match").isNotNull, "EXACT_DUP_CORPUS")
+          .when(col("doc_id") =!= col("batch_first"), "EXACT_DUP_BATCH")
+          .when(col("near_match").isNotNull, "NEAR_DUP_CORPUS")
+          .otherwise("KEPT"))
+      .withColumn("match_id",
+        when(col("reason") === "EXACT_DUP_CORPUS", col("corp_match"))
+          .when(col("reason") === "EXACT_DUP_BATCH", col("batch_first"))
+          .when(col("reason") === "NEAR_DUP_CORPUS", col("near_match")))
+      .withColumn("keep", col("reason") === "KEPT")
+      .select(col("doc_id"), col("keep"), col("reason"), col("match_id"))
+  }
+
   /** Connected components over a near-dup pair set — the step every
     * dedup pipeline needs AFTER pair generation: transitively-linked
     * documents form one duplicate cluster, and the survivor policy

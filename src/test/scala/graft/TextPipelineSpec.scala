@@ -119,6 +119,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getInt(3) == 1) // "the"
   }
 
+  test("incremental dedup: exact corpus/batch dups and near-dups classified first-match") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "an entirely unrelated corpus document lives here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),  // exact corpus dup
+      (101L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 10
+      (102L, "novel content appears only in this new batch"), // genuinely new
+      (103L, "novel content appears only in this new batch"), // in-batch exact dup of 102
+      (104L, "nothing like anything else whatsoever at all")) // new, unique
+      .toDF("doc_id", "text")
+    val got = TextDedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(100L) == ((false, "EXACT_DUP_CORPUS", 10L)))
+    assert(got(101L) == ((false, "NEAR_DUP_CORPUS", 10L)))
+    assert(got(102L) == ((true, "KEPT", -1L)))
+    assert(got(103L) == ((false, "EXACT_DUP_BATCH", 102L)))
+    assert(got(104L) == ((true, "KEPT", -1L)))
+    assert(got.size == 5)
+  }
+
   test("connected components: chains merge, separate components stay apart") {
     // 1-2-3 chained (1-2, 2-3), {10,11} pair, 20 isolated (no pairs)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
