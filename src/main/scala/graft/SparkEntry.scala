@@ -716,6 +716,29 @@ object SparkEntry {
 
     "text_fingerprint" -> textFingerprint _,
 
+    // Gopher-style repetition signal over adjacent token bigrams.
+    "doc_repetition_stats" -> ((s: SparkSession, d: String) =>
+      CorpusQc.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // Benchmark decontamination sweep: the held-out slice is every
+    // tenth document (doc_id % 10 == 7) standing in for an eval set.
+    "decontaminate_overlap" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      CorpusQc.contaminationPairs(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 8, minShared = 5)
+    }),
+
+    // Unigram-LM familiarity: mean corpus-frequency share per doc.
+    "text_freq_familiarity" -> ((s: SparkSession, d: String) =>
+      CorpusQc.freqFamiliarity(t(s, d, "documents"), "doc_id", "text")),
+
+    // 64-token chunks, 16-token overlap (stride 48).
+    "doc_chunks" -> ((s: SparkSession, d: String) =>
+      CorpusQc.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)),
+
     "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
@@ -2129,6 +2152,89 @@ object SparkEntry {
            |WHERE rn = 1""".stripMargin,
 
       "text_stats" -> textStatsSql,
+
+      // Non-distinct adjacent bigrams; fractions are raw single-
+      // division IEEE quotients (see the SURVEY §6 rounding rule).
+      "doc_repetition_stats" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |grams AS (
+           |  SELECT doc_id,
+           |    UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+           |  FROM base WHERE n_tokens >= 2),
+           |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS tot,
+           |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc,
+           |    COUNT(*) AS n_distinct
+           |  FROM gc GROUP BY 1)
+           |SELECT doc_id, n_tokens,
+           |  COALESCE(tot, 0) AS n_bigrams,
+           |  COALESCE(n_distinct, 0) AS n_distinct_bigrams,
+           |  COALESCE(maxc / tot, 0.0) AS top_bigram_frac,
+           |  COALESCE(dupc / tot, 0.0) AS dup_bigram_frac,
+           |  (COALESCE(maxc / tot, 0.0) > 0.1 OR COALESCE(dupc / tot, 0.0) > 0.2)
+           |    AS is_repetitive
+           |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+      // The oracle joins on the 8-gram STRING where the Spark plan
+      // joins on its xxhash64 (the same key substitution the
+      // dedup_ngram_jaccard oracle already replays); the short-doc
+      // whole-text fallback mirrors the shingle kernel.
+      "decontaminate_overlap" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |grams AS (
+           |  SELECT doc_id, UNNEST(
+           |    CASE WHEN len(t) >= 8
+           |         THEN list_distinct(list_transform(range(1, len(t) - 6),
+           |              i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+           |         ELSE [array_to_string(t, ' ')] END) AS g
+           |  FROM toks),
+           |stop AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1000),
+           |kept AS (SELECT doc_id, g FROM grams ANTI JOIN stop USING (g)),
+           |tr AS (SELECT doc_id AS train_id, g FROM kept WHERE doc_id % 10 <> 7),
+           |ev AS (SELECT doc_id AS eval_id, g FROM kept WHERE doc_id % 10 = 7),
+           |ts AS (SELECT train_id, COUNT(*) AS train_ngrams FROM tr GROUP BY 1),
+           |p AS (
+           |  SELECT train_id, eval_id, COUNT(*) AS n_shared
+           |  FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+           |SELECT train_id, eval_id, n_shared, train_ngrams,
+           |  n_shared / train_ngrams AS contamination_frac
+           |FROM p JOIN ts USING (train_id)
+           |WHERE n_shared >= 5""".stripMargin,
+
+      // Integer partials, two final divisions — bit-replayable.
+      "text_freq_familiarity" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, UNNEST(t) AS tok
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+           |per AS (
+           |  SELECT doc_id, COUNT(*) AS n_tokens,
+           |    CAST(SUM(cnt) AS BIGINT) AS sum_cnt, MIN(cnt) AS min_cnt
+           |  FROM tk JOIN freq USING (tok) GROUP BY 1)
+           |SELECT doc_id, n_tokens,
+           |  sum_cnt / (n_tokens * total) AS mean_token_share,
+           |  min_cnt / total AS min_token_share
+           |FROM per, tot""".stripMargin,
+
+      // 64-token chunks, stride 48; a start inside the previous
+      // chunk's overlap tail (s >= n - 16) is not emitted.
+      "doc_chunks" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, t, CAST(len(t) AS INTEGER) AS n
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+           |  WHERE len(t) > 0),
+           |st AS (SELECT doc_id, t, n, UNNEST(range(0, greatest(n - 16, 1), 48)) AS s
+           |       FROM base)
+           |SELECT doc_id,
+           |  CAST(s // 48 AS INTEGER) AS chunk_seq,
+           |  CAST(s AS INTEGER) AS chunk_start,
+           |  CAST(LEAST(64, n - s) AS INTEGER) AS n_chunk_tokens,
+           |  array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+           |FROM st""".stripMargin,
 
       "pack_sequences" ->
         s"""WITH d AS (

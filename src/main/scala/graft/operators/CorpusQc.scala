@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expressions.Kernels
+import graft.functions.TextOps
+
+/** Corpus-quality operators an LLM training-data pipeline runs after
+  * dedup: repetition filtering, benchmark decontamination, corpus-
+  * frequency familiarity scoring, and token chunking.
+  *
+  * All are expressed so a second engine can replay them bit-for-bit
+  * (raw IEEE quotients, integer partials summed exactly, no library
+  * math) — each backs an oracle-checked `queries` row. No per-element
+  * Catalyst lambda touches a derived array (the CollapseProject
+  * inlining hazard, SURVEY §4): bigrams come from an `arrays_zip` of
+  * two slices, n-grams from the native shingle-hash kernel.
+  */
+object CorpusQc {
+
+  /** Per-document repetition statistics (the Gopher-style "repetitive
+    * text" signal): over the document's adjacent token bigrams, the
+    * share held by the single most frequent bigram and the share of
+    * bigram slots occupied by any repeated bigram.
+    *
+    * Scale shape: one (doc, gram) partial-agg shuffle, one doc-keyed
+    * re-aggregation, one co-keyed left join back to the doc spine
+    * (docs with < 2 tokens produce no grams but stay in the output
+    * with zero fractions). Fractions ship as RAW single-division IEEE
+    * quotients (engine-identical bits — the round-then-compare
+    * divergence is documented in SURVEY §6).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      topFracMax: Double = 0.1,
+                      dupFracMax: Double = 0.2): DataFrame = {
+    val base = df.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .select(col(idCol), size(col("t")).as("n_tokens"), col("t"))
+    // Non-distinct adjacent bigrams: zip the array against itself
+    // shifted by one — two slices evaluated once each, no lambda.
+    val grams = base.filter(col("n_tokens") >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), col("n_tokens") - 1).as("w1"),
+          slice(col("t"), lit(2), col("n_tokens") - 1).as("w2"))).as("z"))
+      .select(col(idCol), concat_ws(" ", col("z.w1"), col("z.w2")).as("g"))
+    val agg = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("maxc"),
+        sum(col("c")).as("tot"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"),
+        count(lit(1)).as("n_distinct"))
+    val topFrac = coalesce(col("maxc") / col("tot"), lit(0.0))
+    val dupFrac = coalesce(col("dupc") / col("tot"), lit(0.0))
+    base.select(col(idCol), col("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("tot"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct_bigrams"),
+        topFrac.as("top_bigram_frac"),
+        dupFrac.as("dup_bigram_frac"),
+        (topFrac > topFracMax || dupFrac > dupFracMax).as("is_repetitive"))
+  }
+
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word `n`-grams with any held-out/eval
+    * document — the test-set-leakage sweep an LLM pipeline runs
+    * before training (13-gram overlap in published recipes; `n`
+    * scales with document length; documents shorter than `n` tokens
+    * contribute their whole text as one gram, the same fallback as
+    * [[TextDedup.jaccardPairs]]).
+    *
+    * Scale shape: distinct n-grams per doc via the native shingle-
+    * hash kernel (8-byte join keys — the same hashed-posting design
+    * the Jaccard pair join uses), an inner hash join on the gram,
+    * one (train, eval) partial-agg shuffle. Grams whose combined
+    * document frequency exceeds `maxDf` are dropped from BOTH sides
+    * first — the hot-key guard bounding the join at maxDf²/4 pairs
+    * per gram; overlap counts are exact over the filtered gram
+    * space. `contamination_frac` is the share of the training doc's
+    * kept grams found in that eval doc (one raw IEEE division).
+    */
+  def contaminationPairs(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8, minShared: Int = 5,
+                         maxDf: Int = 1000): DataFrame = {
+    require(n >= 2 && minShared >= 1 && maxDf >= 1,
+      s"n=$n minShared=$minShared maxDf=$maxDf out of range")
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("toks"))
+        .select(col(as), explode(Kernels.shingleHashes(col("toks"), n)).as("sh"))
+    val tg = grams(train, "train_id")
+    val eg = grams(evalSet, "eval_id")
+    val stop = tg.select(col("sh")).unionAll(eg.select(col("sh")))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val tk = tg.join(stop, Seq("sh"), "left_anti")
+    val ek = eg.join(stop, Seq("sh"), "left_anti")
+    val trainSizes = tk.groupBy(col("train_id")).agg(count(lit(1)).as("train_ngrams"))
+    tk.join(ek, Seq("sh"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(trainSizes, Seq("train_id"))
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        col("train_ngrams"),
+        (col("n_shared") / col("train_ngrams")).as("contamination_frac"))
+  }
+
+  /** Corpus-frequency familiarity: a unigram-LM perplexity proxy with
+    * no library math. Each document scores the arithmetic mean of its
+    * tokens' corpus frequency shares — computed as ONE division of
+    * exact integer partials, `Σ count(tok) / (n_tokens · total)` —
+    * plus the share of its rarest token. High mean = common/boiler-
+    * plate text; a rare-share at the corpus floor = tokens seen
+    * nowhere else.
+    *
+    * Scale shape: one token-keyed partial-agg shuffle builds the
+    * frequency relation, the token-keyed join back reuses that
+    * partitioning, then one doc-keyed aggregation; the 1-row total is
+    * broadcast. All partials are integer counts (order-free parallel
+    * reduction); the only IEEE ops are the two final divisions — bit-
+    * replayable anywhere. (At cluster scale the join key would be
+    * `xxhash64(tok)` — 8 bytes — exactly as the dedup operators key
+    * their postings.)
+    */
+  def freqFamiliarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        (col("sum_cnt") / (col("n_tokens") * col("total"))).as("mean_token_share"),
+        (col("min_cnt") / col("total")).as("min_token_share"))
+  }
+
+  /** Fixed-size token chunking with overlap — the pre-embedding /
+    * pre-tokenization splitting step of a RAG or training pipeline.
+    * Chunk k starts at token offset k·(size−overlap); trailing
+    * partials are kept, but a window that would start inside the
+    * previous chunk's overlap tail (start ≥ n − overlap) adds no new
+    * tokens and is not emitted. Assignment is a pure function of the
+    * token sequence — layout-stable, replayable by any engine.
+    *
+    * Scale shape: zero shuffles — the start-offset expansion is a
+    * `sequence`+`posexplode` inside the scan projection and each
+    * chunk slices the already-materialized token array.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"chunkSize=$chunkSize overlap=$overlap: need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .select(col(idCol), col("t"), size(col("t")).as("n"))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("t"), col("n"),
+        posexplode(sequence(lit(0),
+          greatest(col("n") - lit(overlap) - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_seq"),
+        col("col").cast("int").as("chunk_start"),
+        least(lit(chunkSize), col("n") - col("col")).cast("int").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("col") + 1, lit(chunkSize))).as("chunk_text"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusQc
+
+class CorpusQcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: fractions over non-distinct bigrams, short docs zeroed") {
+    val docs = Seq(
+      (1L, "a a a a"),         // bigram "a a" x3 -> top 1.0, dup 1.0
+      (2L, "w x y z"),         // 3 distinct bigrams -> top 1/3, dup 0
+      (3L, "q"),               // no bigrams -> zero fractions, kept
+      (4L, "p r p r p"))       // "p r" x2, "r p" x2 -> top 0.5, dup 1.0
+      .toDF("doc_id", "text")
+    val got = CorpusQc.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 4)
+    val r1 = got(0)
+    assert(r1.getLong(2) == 3 && r1.getDouble(4) == 1.0 && r1.getDouble(5) == 1.0
+      && r1.getBoolean(6))
+    val r2 = got(1)
+    assert(r2.getLong(2) == 3 && r2.getLong(3) == 3
+      && math.abs(r2.getDouble(4) - 1.0 / 3) < 1e-15 && r2.getDouble(5) == 0.0)
+    val r3 = got(2)
+    assert(r3.getLong(2) == 0 && r3.getDouble(4) == 0.0 && !r3.getBoolean(6))
+    val r4 = got(3)
+    assert(r4.getDouble(4) == 0.5 && r4.getDouble(5) == 1.0 && r4.getBoolean(6))
+  }
+
+  test("contaminationPairs: shared n-gram count, threshold, short-doc fallback") {
+    val train = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "tiny doc")) // < n tokens -> whole-text gram
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      // shares the 12-token run with train 1: 5 distinct 8-grams
+      (10L, "one two three four five six seven eight nine ten eleven twelve"),
+      (11L, "tiny doc"),
+      (12L, "unrelated words only here nothing shared at all whatsoever truly"))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.contaminationPairs(train, evalSet, "doc_id", "text",
+      n = 8, minShared = 5).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L && r.getLong(2) == 5L
+      && r.getLong(3) == 5L && r.getDouble(4) == 1.0)
+    // dropping the threshold surfaces the whole-text fallback pair
+    val loose = CorpusQc.contaminationPairs(train, evalSet, "doc_id", "text",
+      n = 8, minShared = 1).collect()
+    assert(loose.exists(r => r.getLong(0) == 3L && r.getLong(1) == 11L && r.getLong(2) == 1L))
+    assert(!loose.exists(r => r.getLong(1) == 12L))
+  }
+
+  test("contaminationPairs: df-cap drops hot grams from both sides symmetrically") {
+    // the same short text in 3 train + 2 eval docs -> combined df 5 > cap 4
+    val train = (1L to 3L).map(i => (i, "common run of words")).toDF("doc_id", "text")
+    val evalSet = Seq((10L, "common run of words"), (11L, "common run of words"))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.contaminationPairs(train, evalSet, "doc_id", "text",
+      n = 8, minShared = 1, maxDf = 4).collect()
+    assert(got.isEmpty) // the only gram is capped away on both sides
+  }
+
+  test("freqFamiliarity: exact integer partials, one division") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // freq: a=2 b=2 c=1, total=5
+    val got = CorpusQc.freqFamiliarity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3 && got(0).getDouble(2) == 6.0 / 15 && got(0).getDouble(3) == 2.0 / 5)
+    assert(got(1).getLong(1) == 2 && got(1).getDouble(2) == 3.0 / 10 && got(1).getDouble(3) == 1.0 / 5)
+  }
+
+  test("chunkTokens: stride layout, trailing partial kept, no-new-token window skipped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // n=10: starts 0,3,6
+      (2L, "s1 s2"),                          // n < size: one whole chunk
+      (3L, "u1 u2 u3 u4"))                    // start 3 would only re-cover the overlap tail
+      .toDF("doc_id", "text")
+    val got = CorpusQc.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_seq").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 3, 6))
+    assert(d1.map(_.getString(4)).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(4, 4, 4))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(4) == "s1 s2" && d2(0).getInt(3) == 2)
+    val d3 = got.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3(0).getString(4) == "u1 u2 u3 u4")
+    // every token of every doc appears in at least one chunk
+    val covered = CorpusQc.chunkTokens(docs, "doc_id", "text", 4, 1)
+      .select($"doc_id", explode(split($"chunk_text", " ")).as("tok"))
+      .distinct().count()
+    assert(covered == 16)
+  }
+}
