@@ -169,6 +169,45 @@ object StreamOps {
       Merge.mergeAggregate(existing, p, keys), batchId)
   }
 
+  /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
+    * micro-batch commits ONE append segment through the manifest log,
+    * so readers get snapshot isolation over a live stream — a query
+    * started mid-batch sees the previous version, never a half-written
+    * segment — and `asOf` time travel across batch history.
+    *
+    * Exactly-once VISIBILITY under foreachBatch's at-least-once
+    * delivery: the commit carries a (query id, batch id) txn marker in
+    * the manifest and a replayed batch id is skipped before any write
+    * (a marker from a DIFFERENT query is foreign and never suppresses
+    * a batch — the same identity rule as the merge/SCD2 sinks). A
+    * crash after the segment write but before the manifest publish
+    * leaves only an invisible orphan, reclaimed by vacuum; the replay
+    * then commits a fresh segment. `statsCol` forwards to the commit's
+    * segment-stats sidecar so range reads prune whole batches.
+    */
+  def versionedSink(stream: DataFrame, checkpoint: String, dir: String,
+                    statsCol: Option[String] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        versionedBatchCommit(batch.toDF(), dir, batchId, statsCol)
+      }
+
+  private[graft] def versionedBatchCommit(batch: DataFrame, dir: String,
+                                          batchId: Long,
+                                          statsCol: Option[String] = None): Unit = {
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("batch")
+    if (batchId >= 0 &&
+        VersionedTable.lastTxnVersion(spark, dir, qid).exists(batchId <= _)) return
+    VersionedTable.commit(batch, dir, statsCol = statsCol,
+      txn = Some((qid, batchId)))
+  }
+
   /** Streaming SCD2 maintenance: each micro-batch of observations is
     * merged into the dimension with expire-and-insert semantics
     * (graft.operators.Scd2.applyChanges — affected keys only), so the

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedTable
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit/read: append accumulates, overwrite replaces, asOf time-travels") {
+    val dir = Files.createTempDirectory("graft_vt").toString
+    val v0 = VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    val v1 = VersionedTable.commit(Seq((3, "c")).toDF("k", "v"), dir)
+    val v2 = VersionedTable.commit(Seq((9, "z")).toDF("k", "v"), dir, overwrite = true)
+    assert((v0, v1, v2) == (0L, 1L, 2L))
+    assert(VersionedTable.latestVersion(spark, dir).contains(2L))
+    assert(VersionedTable.read(spark, dir).count() == 1)
+    assert(VersionedTable.read(spark, dir, asOf = Some(0L)).count() == 2)
+    val atV1 = VersionedTable.read(spark, dir, asOf = Some(1L))
+      .orderBy("k").collect().map(_.getInt(0)).toSeq
+    assert(atV1 == Seq(1, 2, 3))
+    assert(VersionedTable.history(spark, dir).map(h => (h._1, h._2, h._3)) ==
+      Seq((0L, "append", 1), (1L, "append", 2), (2L, "overwrite", 1)))
+  }
+
+  test("crashed commit is invisible: an orphan segment never reaches a reader") {
+    val dir = Files.createTempDirectory("graft_vt_crash").toString
+    VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
+    // simulate a crash AFTER the segment write, BEFORE the manifest
+    // publish: a data dir with no manifest referencing it
+    Seq((99, "orphan")).toDF("k", "v").write.parquet(s"$dir/data/c1-deadbeef")
+    assert(VersionedTable.latestVersion(spark, dir).contains(0L))
+    assert(VersionedTable.read(spark, dir).collect().map(_.getInt(0)).toSeq == Seq(1))
+    // the next commit proceeds normally past the orphan
+    val v = VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir)
+    assert(v == 1L && VersionedTable.read(spark, dir).count() == 2)
+  }
+
+  test("segment-stats pruning: readWhere opens only range-matching segments") {
+    val dir = Files.createTempDirectory("graft_vt_stats").toString
+    VersionedTable.commit((0L to 9L).map(k => (k, s"v$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    VersionedTable.commit((10L to 19L).map(k => (k, s"v$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    VersionedTable.commit((20L to 29L).map(k => (k, s"v$k")).toDF("k", "v"), dir,
+      statsCol = Some("k"))
+    val got = VersionedTable.readWhere(spark, dir, "k", 12, 15)
+    assert(got.orderBy("k").collect().map(_.getLong(0)).toSeq == (12L to 15L))
+    // only the middle segment's files were opened
+    val segDirs = got.inputFiles.map(f =>
+      new java.io.File(f).getParentFile.getName).distinct
+    assert(segDirs.length == 1 && segDirs.head.startsWith("c1-"))
+    // a disjoint range reads zero rows without scanning anything
+    assert(VersionedTable.readWhere(spark, dir, "k", 100, 200).count() == 0)
+    // a range spanning two segments opens exactly those two
+    val span = VersionedTable.readWhere(spark, dir, "k", 8, 11)
+    assert(span.collect().map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L, 10L, 11L))
+    assert(span.inputFiles.map(f => new java.io.File(f).getParentFile.getName)
+      .distinct.length == 2)
+  }
+
+  test("versioned sink: replayed batch id commits nothing; foreign query applies") {
+    val dir = Files.createTempDirectory("graft_vt_sink").toString
+    val sc = spark.sparkContext
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((1, "a")).toDF("k", "v"), dir, 0L)
+    // at-least-once replay of batch 0 (content must not even be read)
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((99, "replay")).toDF("k", "v"), dir, 0L)
+    assert(VersionedTable.latestVersion(spark, dir).contains(0L))
+    assert(VersionedTable.read(spark, dir).collect().map(_.getInt(0)).toSeq == Seq(1))
+    // the next batch id commits normally
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((2, "b")).toDF("k", "v"), dir, 1L)
+    assert(VersionedTable.read(spark, dir).count() == 2)
+    // a different query's marker never suppresses a new query's batch 0
+    sc.setLocalProperty("sql.streaming.queryId", "query-X")
+    try {
+      graft.streaming.StreamOps.versionedBatchCommit(
+        Seq((3, "c")).toDF("k", "v"), dir, 0L)
+      assert(VersionedTable.read(spark, dir).count() == 3)
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("vacuum keeps retained versions readable and reclaims dead + orphan segments") {
+    val dir = Files.createTempDirectory("graft_vt_gc").toString
+    VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((3, "c")).toDF("k", "v"), dir, overwrite = true)
+    Seq((99, "orphan")).toDF("k", "v").write.parquet(s"$dir/data/c9-deadbeef")
+    val (droppedManifests, deletedSegments) = VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    assert(droppedManifests == 2)
+    // v0+v1 segments and the orphan are gone; v2's segment survives
+    assert(deletedSegments == 3)
+    assert(VersionedTable.read(spark, dir).collect().map(_.getInt(0)).toSeq == Seq(3))
+    intercept[java.util.NoSuchElementException] {
+      VersionedTable.read(spark, dir, asOf = Some(0L)).collect()
+    }
+  }
+}
