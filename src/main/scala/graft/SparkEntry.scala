@@ -587,6 +587,11 @@ object SparkEntry {
     "ana_rolling_demand" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingDemand(t(s, d, "events"))),
 
+    // Rolling 7-day distinct active users (WAU curve): sequence-
+    // expanded user-days, never a range join or a window distinct.
+    "ana_rolling_active_users" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.rollingActiveUsers(t(s, d, "events"))),
+
     // First-order Markov transition matrix over per-user event
     // sequences; shares of each source type's outgoing total.
     "ana_transition_matrix" -> ((s: SparkSession, d: String) =>
@@ -900,6 +905,11 @@ object SparkEntry {
       Sampling.splitAssign(t(s, d, "events"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id"))),
 
+    // First BPE merge-step pair counts over the corpus vocabulary
+    // (tokenizer-training primitive; frequency-weighted).
+    "bpe_pair_counts" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bpeTopPairs(t(s, d, "documents"), "text", topN = 20)),
+
     // Corpus token frequency top-N (training-data vocabulary stats):
     // explode + one partial-aggregable shuffle + TakeOrdered.
     "text_token_topn" -> ((s: SparkSession, d: String) =>
@@ -1012,6 +1022,12 @@ object SparkEntry {
     // distribution profile next to table_profile_events.
     "table_histogram_value" -> ((s: SparkSession, d: String) =>
       Profiling.histogram(t(s, d, "events"), "value", k = 20)),
+
+    // Pairwise Pearson correlation over the fact's measures — one
+    // scan, exact DECIMAL moments, pair expansion on the 1-row panel.
+    "table_corr_pairs" -> ((s: SparkSession, d: String) =>
+      Profiling.corrPairs(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // Equi-depth (quartile) histogram: ~n/4 rows per bucket however
     // skewed the column; exact-percentile thresholds broadcast.
@@ -1229,6 +1245,12 @@ object SparkEntry {
         |FROM k, tot
         |ORDER BY n_rows DESC, user_id
         |LIMIT 5""".stripMargin,
+
+    // Variance-identity correlation replayed op-for-op: DECIMAL
+    // moment sums (order-free), fixed CAST-to-DOUBLE op sequence,
+    // IEEE-correctly-rounded sqrt (the anomaly_zscore convention).
+    "table_corr_pairs" -> corrPairsOracleSql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
 
     // Bucket arithmetic replayed op-for-op: FLOOR((v-mn)/((mx-mn)/k))
     // clamped to k-1 — IEEE subtract/divide/floor are engine-exact.
@@ -1761,6 +1783,19 @@ object SparkEntry {
           |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase
           |FROM per_user""".stripMargin,
 
+      // Same user-day set as the Spark sequence-expansion: d BETWEEN
+      // g-6 AND g  <=>  g IN [d, d+6] ∩ observed days.
+      "ana_rolling_active_users" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+          |  FROM events WHERE ts IS NOT NULL),
+          |days AS (SELECT DISTINCT d AS g FROM ud)
+          |SELECT g.g AS day,
+          |  COUNT(DISTINCT CASE WHEN u.d = g.g THEN u.user_id END) AS n_users_day,
+          |  COUNT(DISTINCT u.user_id) AS n_users_7d
+          |FROM days g JOIN ud u ON u.d BETWEEN g.g - 6 AND g.g
+          |GROUP BY 1""".stripMargin,
+
       "ana_rolling_demand" ->
         """WITH daily AS (
           |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS viajes,
@@ -2024,6 +2059,30 @@ object SparkEntry {
         |       neighbor_id, cos_sim
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin)
+
+  /** The pairwise-correlation oracle, generated from the profiled
+    * column list so the moment names and the op order can never drift
+    * from Profiling.corrPairs.
+    */
+  private def corrPairsOracleSql(cols: Seq[String]): String = {
+    val moms =
+      cols.map(c => s"SUM(CAST($c AS DECIMAL(28,6))) AS s1_$c") ++
+      cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(28,6))) AS s2_$c") ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        s"SUM(CAST($a * $b AS DECIMAL(28,6))) AS sp_${a}_$b" }
+    val pairSelects = cols.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  (CAST(sp_${a}_$b AS DOUBLE) - CAST(s1_$a AS DOUBLE) * CAST(s1_$b AS DOUBLE) / n)
+         |  / NULLIF(sqrt(CAST(s2_$a AS DOUBLE) - CAST(s1_$a AS DOUBLE) * CAST(s1_$a AS DOUBLE) / n)
+         |         * sqrt(CAST(s2_$b AS DOUBLE) - CAST(s1_$b AS DOUBLE) * CAST(s1_$b AS DOUBLE) / n), 0) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r AS (
+       |  SELECT * FROM lineitem
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+       |m AS (SELECT COUNT(*) AS n, ${moms.mkString(",\n  ")} FROM r)
+       |$pairSelects""".stripMargin
+  }
 
   /** DuckDB twins of the text-pipeline queries (minhash/simhash/
     * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
@@ -2337,6 +2396,21 @@ object SparkEntry {
            |      len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio,
            |      list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS avg_token_len
            |    FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents)))""".stripMargin,
+
+      // Frequency-weighted adjacent char pairs over the vocabulary;
+      // deterministic top-N boundary (count DESC, pair ASC).
+      "bpe_pair_counts" ->
+        s"""WITH tk AS (
+           |  SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents)),
+           |wf AS (SELECT tok, COUNT(*) AS wf FROM tk GROUP BY 1),
+           |cs AS (SELECT wf, regexp_extract_all(tok, '.') AS cs FROM wf),
+           |p AS (
+           |  SELECT wf, UNNEST(list_transform(range(1, len(cs)), i -> cs[i] || cs[i + 1])) AS pair
+           |  FROM cs WHERE len(cs) >= 2)
+           |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n_occurrences
+           |FROM p GROUP BY 1
+           |ORDER BY n_occurrences DESC, pair
+           |LIMIT 20""".stripMargin,
 
       "text_redact" ->
         """SELECT doc_id,

@@ -483,4 +483,30 @@ object AnalyticsPack {
     daily.withColumn("rnk", dense_rank().over(rankW))
       .filter(col("rnk") <= topN)
   }
+
+  /** Rolling 7-day distinct active users per observed day (the WAU
+    * curve next to [[rollingDemand]]'s additive sums) — COUNT
+    * DISTINCT over a sliding window cannot be pre-aggregated, so the
+    * scale shape matters: each distinct (day, user) observation
+    * expands to the ≤ 7 grid days it covers (a `sequence`+`explode`
+    * inside codegen — never a range join), the grid is semi-joined to
+    * observed days (broadcast — the day dim is tiny by construction),
+    * and ONE exact-distinct aggregation keyed by grid day produces
+    * both the day's own active count and its trailing-7-day count.
+    * Shuffle volume is 7·|user-days|, independent of raw event count
+    * (the (day, user) dedup is the only event-sized exchange).
+    */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val ud = events.filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = ud.select(col("d").as("g")).distinct()
+    ud.select(col("user_id"), col("d"),
+        explode(sequence(col("d"), date_add(col("d"), 6),
+          expr("interval 1 day"))).as("g"))
+      .join(broadcast(days), "g")
+      .groupBy(col("g").as("day"))
+      .agg(
+        countDistinct(when(col("d") === col("g"), col("user_id"))).as("n_users_day"),
+        countDistinct(col("user_id")).as("n_users_7d"))
+  }
 }

@@ -139,6 +139,37 @@ object CorpusQc {
         (col("min_cnt") / col("total")).as("min_token_share"))
   }
 
+  /** First BPE merge-step candidates — the tokenizer-training
+    * primitive: adjacent character-pair counts over the corpus,
+    * weighted by word frequency, top `topN` by count (the pair a BPE
+    * trainer would merge first, then the runners-up). Deterministic
+    * tie-break on the pair itself makes the top-N boundary stable.
+    *
+    * Scale shape: the pair expansion runs over the DISTINCT-word
+    * vocabulary relation (≪ corpus — the token-keyed frequency
+    * aggregate is the only corpus-sized shuffle), char pairs come
+    * from a lambda-free `arrays_zip` of two slices, and the final
+    * ordering is a TakeOrdered over ≤ |pair vocabulary| counts, never
+    * a global sort of data.
+    */
+  def bpeTopPairs(df: DataFrame, textCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN=$topN must be positive")
+    val freq = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
+    val chars = freq
+      .select(col("wf"), regexp_extract_all(col("tok"), lit("."), lit(0)).as("cs"))
+      .select(col("wf"), col("cs"), size(col("cs")).as("nc"))
+    chars.filter(col("nc") >= 2)
+      .select(col("wf"),
+        explode(arrays_zip(
+          slice(col("cs"), lit(1), col("nc") - 1).as("c1"),
+          slice(col("cs"), lit(2), col("nc") - 1).as("c2"))).as("z"))
+      .select(concat(col("z.c1"), col("z.c2")).as("pair"), col("wf"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** Fixed-size token chunking with overlap — the pre-embedding /
     * pre-tokenization splitting step of a RAG or training pipeline.
     * Chunk k starts at token offset k·(size−overlap); trailing

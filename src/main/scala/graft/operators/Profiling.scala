@@ -60,4 +60,46 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"),
         min(v).as("bucket_min"), max(v).as("bucket_max"))
   }
+
+  /** Pairwise Pearson correlation over `cols` in ONE pass: every
+    * moment (Σx, Σx², Σxy for all pairs) is an exact DECIMAL partial
+    * in a single map-side-combined aggregate — one scan, one 1-row
+    * exchange — then each pair's correlation assembles from the
+    * single-division variance identity (the `anomaly_zscore`
+    * convention: DECIMAL partials are order-free across 1000
+    * executors, the final CAST-to-DOUBLE ops are a fixed IEEE
+    * sequence any engine replays bit-for-bit; sqrt is correctly
+    * rounded by IEEE 754 everywhere). Rows with a NULL in any
+    * profiled column are excluded — every pair sees the same n, so
+    * the matrix is comparable cell-to-cell. A zero-variance column
+    * yields NULL correlations (NULLIF guard), never a division error.
+    *
+    * The pair expansion happens on the aggregated 1-row frame
+    * (k·(k−1)/2 struct literals + one explode) — the fact table is
+    * never touched again.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cols.size >= 2, s"corrPairs needs at least two columns: $cols")
+    val rows = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val dec = DecimalType(28, 6)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c).cast(dec)).as(s"s1_$c")) ++
+      cols.map(c => sum((col(c) * col(c)).cast(dec)).as(s"s2_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast(dec)).as(s"sp_${a}_$b") }
+    val agg = rows.agg(moments.head, moments.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val cov = d(s"sp_${a}_$b") - d(s"s1_$a") * d(s"s1_$b") / col("n")
+      val sdA = sqrt(d(s"s2_$a") - d(s"s1_$a") * d(s"s1_$a") / col("n"))
+      val sdB = sqrt(d(s"s2_$b") - d(s"s1_$b") * d(s"s1_$b") / col("n"))
+      val denom = sdA * sdB
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        (cov / when(denom === 0, lit(null)).otherwise(denom)).as("corr"))
+    }
+    agg.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
+  }
 }

@@ -222,4 +222,20 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.head.getAs[String]("zona_origen") == "A") // 300 > 50
     assert(got.head.getAs[Double]("demanda_expandida") == 300.0)
   }
+
+  test("rollingActiveUsers: trailing-7-day distinct users per observed day") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (ts(1), 1L), (ts(1), 2L), (ts(1), 1L), // day 1: u1 u2 (u1 twice)
+      (ts(2), 2L),                           // day 2: u2
+      (ts(9), 1L))                           // day 9: u1; days 1-2 out of window
+      .toDF("ts", "user_id")
+    val got = AnalyticsPack.rollingActiveUsers(ev).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 1L, 2L),  // u2 today, u1+u2 in [dec 27..jan 2]
+      ("2024-01-09", 1L, 1L))) // window [jan 3..9] contains only day 9
+  }
 }

@@ -73,6 +73,16 @@ class CorpusQcSpec extends SparkSpec {
     assert(got(1).getLong(1) == 2 && got(1).getDouble(2) == 3.0 / 10 && got(1).getDouble(3) == 1.0 / 5)
   }
 
+  test("bpeTopPairs: frequency-weighted char pairs, deterministic top-N boundary") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "xy")).toDF("doc_id", "text")
+    // vocab: ab(wf 2) -> {ab:2}; abc(1) -> {ab:1, bc:1}; xy(1) -> {xy:1}
+    val got = CorpusQc.bpeTopPairs(docs, "text", topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 3L), ("bc", 1L), ("xy", 1L))) // ties break on pair asc
+    val top1 = CorpusQc.bpeTopPairs(docs, "text", topN = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "ab")
+  }
+
   test("chunkTokens: stride layout, trailing partial kept, no-new-token window skipped") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // n=10: starts 0,3,6

@@ -319,4 +319,23 @@ class SamplingSketchSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  test("corrPairs: exact ±1 on linear columns, NULL on zero variance, null rows excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0))
+      .toDF("x", "y", "z", "c")
+      .unionByName(Seq((Option.empty[Double], Option(1.0), Option(1.0), Option(1.0)))
+        .toDF("x", "y", "z", "c"))
+    val got = graft.operators.Profiling.corrPairs(df, Seq("x", "y", "z", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.get(3)))).toMap
+    assert(got.size == 6)
+    assert(got(("x", "y"))._1 == 4) // the null-x row is excluded everywhere
+    assert(math.abs(got(("x", "y"))._2.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z"))._2.asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(got(("x", "c"))._2 == null) // zero variance -> NULL, not a div error
+  }
 }
