@@ -1029,6 +1029,25 @@ object SparkEntry {
       Profiling.corrPairs(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Bucketed snapshot reconciliation: the B side drops event 17 and
+    // perturbs event 42's value — the diff must localize both.
+    "audit_table_diff" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val b = ev.filter(col("event_id") =!= 17)
+        .withColumn("value",
+          when(col("event_id") === 42, col("value") + 1).otherwise(col("value")))
+      Audit.tableDiff(ev, b, "event_id", Seq("user_id", "event_type"), "value",
+        nBuckets = 16)
+    }),
+
+    // Per-group winsorization to the exact [p05, p95] band.
+    "sample_winsorize" -> ((s: SparkSession, d: String) =>
+      Sampling.winsorize(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_id"),
+            upper(trim(col("event_type"))).as("event_type_norm"), col("value")),
+        "event_type_norm", "value", pLo = 0.05, pHi = 0.95)),
+
     // Equi-depth (quartile) histogram: ~n/4 rows per bucket however
     // skewed the column; exact-percentile thresholds broadcast.
     "table_histogram_equidepth" -> ((s: SparkSession, d: String) =>
@@ -1251,6 +1270,55 @@ object SparkEntry {
     // IEEE-correctly-rounded sqrt (the anomaly_zscore convention).
     "table_corr_pairs" -> corrPairsOracleSql(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    // md5-derived 32-bit digests summed per bucket (order-free) —
+    // Spark's conv(hex,16,10) == DuckDB's CAST('0x…') ; the measure
+    // reconciles as a DECIMAL sum, never a float-to-string render.
+    "audit_table_diff" -> {
+      def panelSql(src: String, suffix: String) =
+        s"""SELECT
+           |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bucket,
+           |  COUNT(*) AS n_rows_$suffix,
+           |  CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|',
+           |    COALESCE(CAST(event_id AS VARCHAR), '<NULL>'),
+           |    COALESCE(CAST(user_id AS VARCHAR), '<NULL>'),
+           |    COALESCE(CAST(event_type AS VARCHAR), '<NULL>'))), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_$suffix,
+           |  SUM(CAST(value AS DECIMAL(28,6))) AS msum_$suffix
+           |FROM $src GROUP BY 1""".stripMargin
+      s"""WITH a AS (SELECT event_id, user_id, event_type, value FROM events),
+         |b AS (
+         |  SELECT event_id, user_id, event_type,
+         |    CASE WHEN event_id = 42 THEN value + 1 ELSE value END AS value
+         |  FROM events WHERE event_id <> 17),
+         |pa AS (${panelSql("a", "a")}),
+         |pb AS (${panelSql("b", "b")})
+         |SELECT bucket,
+         |  COALESCE(n_rows_a, 0) AS n_rows_a,
+         |  COALESCE(n_rows_b, 0) AS n_rows_b,
+         |  checksum_a, checksum_b,
+         |  CAST(msum_a AS DOUBLE) AS measure_sum_a,
+         |  CAST(msum_b AS DOUBLE) AS measure_sum_b,
+         |  (COALESCE(n_rows_a, 0) = COALESCE(n_rows_b, 0)
+         |   AND checksum_a IS NOT DISTINCT FROM checksum_b
+         |   AND msum_a IS NOT DISTINCT FROM msum_b) AS is_match
+         |FROM pa FULL OUTER JOIN pb USING (bucket)""".stripMargin
+    },
+
+    // Exact-percentile band (the F2 percentile==quantile_cont parity),
+    // pure least/greatest clip.
+    "sample_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_id, UPPER(TRIM(event_type)) AS event_type_norm, value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type_norm,
+        |    quantile_cont(value, 0.05) AS p_lo,
+        |    quantile_cont(value, 0.95) AS p_hi
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type_norm, event_id, value, p_lo, p_hi,
+        |  LEAST(GREATEST(value, p_lo), p_hi) AS value_winsorized,
+        |  (value < p_lo OR value > p_hi) AS was_clipped
+        |FROM ev JOIN b USING (event_type_norm)""".stripMargin,
 
     // Bucket arithmetic replayed op-for-op: FLOOR((v-mn)/((mx-mn)/k))
     // clamped to k-1 — IEEE subtract/divide/floor are engine-exact.

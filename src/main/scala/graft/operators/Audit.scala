@@ -40,4 +40,52 @@ object Audit {
   def fkIntegrityAll(edges: Seq[(DataFrame, String, DataFrame, String, String)]): DataFrame =
     edges.map { case (f, fk, d, dk, n) => fkIntegrity(f, fk, d, dk, n) }
       .reduce(_ unionByName _)
+
+  /** Bucketed reconciliation between two keyed snapshots (replica
+    * check, post-migration diff, loader regression): each side
+    * reduces to `nBuckets` rows of (row count, order-free identity
+    * checksum, exact DECIMAL measure sum) — the per-bucket hash is a
+    * SUM of md5-derived 32-bit integers, so it is associative across
+    * 1000 executors and replayable by any engine with md5 — then ONE
+    * tiny full-outer join of the two panels flags the buckets that
+    * differ. Divergence localizes to a bucket (re-scan only that key
+    * range), and the data itself never moves: total shuffle is
+    * 2·nBuckets rows.
+    *
+    * Identity digest covers the key and `hashCols` rendered through
+    * an explicit NULL sentinel (concat_ws would silently collapse
+    * NULL columns); `measureCol` is reconciled as an exact decimal
+    * sum rather than through the digest (float-to-string rendering is
+    * engine-specific; decimal sums are not).
+    */
+  def tableDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                hashCols: Seq[String], measureCol: String,
+                nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    def panel(df: DataFrame, suffix: String): DataFrame = {
+      val rendered = (keyCol +: hashCols).map(c =>
+        coalesce(col(c).cast("string"), lit("<NULL>")))
+      val digest32 = conv(substring(
+        md5(concat_ws("|", rendered: _*)), 1, 8), 16, 10).cast("long")
+      val bucket = pmod(conv(substring(
+        md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"), lit(nBuckets))
+      df.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as(s"n_rows_$suffix"),
+          sum(digest32).as(s"checksum_$suffix"),
+          sum(col(measureCol).cast(DecimalType(28, 6))).as(s"measure_sum_$suffix"))
+    }
+    // ≤ nBuckets rows per side, ≤ 1 row per key: shuffled-hash keeps
+    // the tiny full-outer sort-free (the Cdc.snapshotDiff steering).
+    panel(a, "a").hint("shuffle_hash").join(panel(b, "b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
+        col("checksum_a"), col("checksum_b"),
+        col("measure_sum_a").cast("double").as("measure_sum_a"),
+        col("measure_sum_b").cast("double").as("measure_sum_b"),
+        (coalesce(col("n_rows_a"), lit(0L)) === coalesce(col("n_rows_b"), lit(0L)) &&
+          col("checksum_a") <=> col("checksum_b") &&
+          col("measure_sum_a") <=> col("measure_sum_b")).as("is_match"))
+  }
 }

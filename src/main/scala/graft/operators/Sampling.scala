@@ -130,4 +130,28 @@ object Sampling {
       .withColumn("sample_threshold", threshold)
       .filter(col("sample_bucket") < col("sample_threshold"))
   }
+
+  /** Per-group winsorization — the outlier-clamping twin of
+    * `anomaly_zscore`'s detection: values are clipped to their
+    * group's exact [pLo, pHi] percentile band (training-data
+    * preprocessing that keeps heavy tails from dominating a loss or
+    * a normalization). Thresholds come from ONE distributed
+    * exact-percentile aggregate (sort-based within groups, the same
+    * `percentile` the F2 oracle pins to quantile_cont) broadcast back
+    * over the scan — the data itself is never sorted globally, and
+    * the clip is a pure codegen'd least/greatest.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= $pLo < $pHi <= 1")
+    val v = col(valueCol)
+    val bands = df.filter(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(v, lit(pLo)).as("p_lo"), percentile(v, lit(pHi)).as("p_hi"))
+    df.filter(v.isNotNull)
+      .join(broadcast(bands), groupCol)
+      .select(col("*"),
+        least(greatest(v, col("p_lo")), col("p_hi")).as(s"${valueCol}_winsorized"),
+        (v < col("p_lo") || v > col("p_hi")).as("was_clipped"))
+  }
 }

@@ -89,6 +89,18 @@ object VersionedTable {
     v
   }
 
+  /** OPTIMIZE for a log of small streaming appends: rewrite the
+    * CURRENT snapshot as one fresh segment and publish it as an
+    * overwrite commit — readers of older versions are untouched
+    * (history stays readable until [[vacuum]] reclaims it), and a
+    * crash mid-rewrite leaves only an invisible orphan. Source
+    * segments are immutable, so reading and rewriting concurrently
+    * is safe by construction.
+    */
+  def optimizeCompact(spark: SparkSession, dir: String,
+                      statsCol: Option[String] = None): Long =
+    commit(read(spark, dir), dir, overwrite = true, statsCol = statsCol)
+
   /** Highest `txn` sequence number any retained manifest records for
     * writer identity `app` — the replay-detection probe for idempotent
     * streaming commits. O(#retained manifests) driver-side reads.

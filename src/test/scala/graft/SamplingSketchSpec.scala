@@ -320,6 +320,20 @@ class SamplingSketchSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: exact percentile band clips tails, interior untouched") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("A", i.toDouble)).toDF("g", "v")
+    val got = Sampling.winsorize(df, "g", "v", 0.05, 0.95)
+      .orderBy("v").collect()
+    // 1..20: p05 = 1.95, p95 = 19.05 (linear interpolation)
+    assert(math.abs(got.head.getAs[Double]("v_winsorized") - 1.95) < 1e-9)
+    assert(math.abs(got.last.getAs[Double]("v_winsorized") - 19.05) < 1e-9)
+    assert(got.head.getAs[Boolean]("was_clipped") && got.last.getAs[Boolean]("was_clipped"))
+    val interior = got.filter(r => r.getAs[Double]("v") >= 2 && r.getAs[Double]("v") <= 19)
+    assert(interior.forall(r => r.getAs[Double]("v_winsorized") == r.getAs[Double]("v")))
+    assert(interior.forall(!_.getAs[Boolean]("was_clipped")))
+  }
+
   test("corrPairs: exact ±1 on linear columns, NULL on zero variance, null rows excluded") {
     import spark.implicits._
     val df = Seq(

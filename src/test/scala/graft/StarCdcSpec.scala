@@ -208,4 +208,28 @@ class StarCdcSpec extends SparkSpec {
     // both tied days survive at rank 1
     assert(top1.length == 2 && top1.forall(_.getAs[Int]("rnk") == 1))
   }
+
+  test("tableDiff: identical snapshots all-match; a drop and an edit localize") {
+    import spark.implicits._
+    val a = (1L to 40L).map(k => (k, s"u$k", 10.0)).toDF("k", "name", "m")
+    val same = Audit.tableDiff(a, a, "k", Seq("name"), "m", nBuckets = 4).collect()
+    assert(same.length == 4 && same.forall(_.getAs[Boolean]("is_match")))
+    // drop key 7, change key 20's measure
+    val b = a.filter($"k" =!= 7)
+      .withColumn("m", when($"k" === 20, $"m" + 5).otherwise($"m"))
+    val diff = Audit.tableDiff(a, b, "k", Seq("name"), "m", nBuckets = 4)
+      .collect().map(r => (r.getAs[Boolean]("is_match"), r)).toSeq
+    val bad = diff.filterNot(_._1).map(_._2)
+    assert(bad.length <= 2 && bad.nonEmpty) // 7 and 20 may share a bucket
+    // the dropped row shows as a count mismatch somewhere
+    assert(bad.exists(r => r.getAs[Long]("n_rows_a") != r.getAs[Long]("n_rows_b")))
+    // the edited row shows as a measure mismatch with equal counts
+    assert(bad.exists(r => r.getAs[Long]("n_rows_a") == r.getAs[Long]("n_rows_b")
+      && r.getAs[Double]("measure_sum_a") != r.getAs[Double]("measure_sum_b")))
+    // NULL hash column participates via the sentinel, no silent collapse
+    val aNull = Seq((1L, Option.empty[String], 1.0)).toDF("k", "name", "m")
+    val bVal = Seq((1L, Option("x"), 1.0)).toDF("k", "name", "m")
+    val n = Audit.tableDiff(aNull, bVal, "k", Seq("name"), "m", nBuckets = 1).collect()
+    assert(n.length == 1 && !n(0).getAs[Boolean]("is_match"))
+  }
 }

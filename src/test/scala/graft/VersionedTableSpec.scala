@@ -82,6 +82,23 @@ class VersionedTableSpec extends SparkSpec {
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
+  test("optimizeCompact: one fresh segment, same rows, history intact until vacuum") {
+    val dir = Files.createTempDirectory("graft_vt_opt").toString
+    VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((3, "c")).toDF("k", "v"), dir)
+    val v = VersionedTable.optimizeCompact(spark, dir)
+    assert(v == 3L)
+    assert(VersionedTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3))
+    val hist = VersionedTable.history(spark, dir)
+    assert(hist.last == ((3L, "overwrite", 1))) // compacted to ONE segment
+    assert(VersionedTable.read(spark, dir, asOf = Some(1L)).count() == 2) // history readable
+    VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    assert(new java.io.File(s"$dir/data").listFiles().count(_.isDirectory) == 1)
+    assert(VersionedTable.read(spark, dir).count() == 3)
+  }
+
   test("vacuum keeps retained versions readable and reclaims dead + orphan segments") {
     val dir = Files.createTempDirectory("graft_vt_gc").toString
     VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
