@@ -417,6 +417,11 @@ object SparkEntry {
     "gold_dim_lookup" -> ((s: SparkSession, d: String) =>
       Dims.lookupDim(t(s, d, "orders"), "o_orderpriority", "priority_sk", "priority_name")),
 
+    // Kimball junk dimension: distinct flag combos with dense SKs.
+    "gold_junk_dim" -> ((s: SparkSession, d: String) =>
+      Dims.junkDim(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "junk_sk")),
+
     "gold_dedup_grain" -> ((s: SparkSession, d: String) =>
       Dedup.latestByGrain(t(s, d, "events"),
         grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id"))),
@@ -995,6 +1000,18 @@ object SparkEntry {
             .as("value_sum"))
     }),
 
+    // Salted skew join: output must be EXACTLY the plain join's (the
+    // oracle runs the unsalted join) — salting redistributes the
+    // shuffle, never the semantics. user-dim enrichment keyed on the
+    // (skewable) user_id, salt derived from event_id.
+    "join_salted" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      Prejoin.saltedJoin(ev, dim, Seq("user_id"), "event_id", saltN = 8)
+        .select(col("event_id"), col("user_id"), col("user_events"))
+    }),
+
     // Shuffle-skew diagnosis: per-key row counts, the top-5 hottest
     // keys with their share and multiple-of-average — the measurement
     // that decides WHERE salting (gold_dedup_grain_salted) is worth
@@ -1208,6 +1225,11 @@ object SparkEntry {
         |FROM (SELECT DISTINCT TRIM(o_orderpriority) AS priority_name FROM orders
         |      WHERE o_orderpriority IS NOT NULL AND TRIM(o_orderpriority) <> '')""".stripMargin,
 
+    "gold_junk_dim" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus) AS INTEGER) AS junk_sk,
+        |  l_returnflag, l_linestatus
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)""".stripMargin,
+
     "gold_dedup_grain" -> dedupGrainSql,
 
     // The salted variant is output-identical by construction.
@@ -1264,6 +1286,13 @@ object SparkEntry {
         |FROM k, tot
         |ORDER BY n_rows DESC, user_id
         |LIMIT 5""".stripMargin,
+
+    // The oracle is the PLAIN join: salting must be invisible.
+    "join_salted" ->
+      """WITH ev AS (SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL),
+        |dim AS (SELECT user_id, COUNT(*) AS user_events FROM ev GROUP BY 1)
+        |SELECT event_id, user_id, user_events
+        |FROM ev JOIN dim USING (user_id)""".stripMargin,
 
     // Variance-identity correlation replayed op-for-op: DECIMAL
     // moment sums (order-free), fixed CAST-to-DOUBLE op sequence,

@@ -86,4 +86,29 @@ object Dims {
       StructField(skName, IntegerType, nullable = false),
       StructField(nameCol, StringType, nullable = true))))
   }
+
+  /** Junk dimension (Kimball): the distinct COMBINATIONS of a set of
+    * low-cardinality flag/indicator columns collapsed into one dim
+    * with a dense surrogate key, so the fact carries a single junk SK
+    * instead of n flag columns. Same scale machinery as [[lookupDim]]
+    * — sorted `zipWithIndex` dense numbering (no single-partition
+    * window), localCheckpoint so the numbering is materialized once —
+    * generalized to a multi-column grain; output is identical to
+    * `ROW_NUMBER() OVER (ORDER BY cols)`. The combo space is tiny by
+    * definition (it is a product of flag domains): resolve facts with
+    * a `broadcast()` join on the flag columns.
+    */
+  def junkDim(df: DataFrame, flagCols: Seq[String], skName: String): DataFrame = {
+    require(flagCols.nonEmpty, "junkDim needs at least one flag column")
+    val spark = df.sparkSession
+    val combos = df.select(flagCols.map(col): _*)
+      .distinct()
+      .sort(flagCols.map(col): _*)
+      .localCheckpoint(false)
+    val numbered = combos.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + 1).toInt +: r.toSeq)
+    }
+    spark.createDataFrame(numbered, StructType(
+      StructField(skName, IntegerType, nullable = false) +: combos.schema.fields.toSeq))
+  }
 }

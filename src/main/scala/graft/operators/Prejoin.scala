@@ -55,6 +55,41 @@ object Prejoin {
       Kernels.bloomMightContain(col(factKey).cast("long"), dimKeyBloom))
   }
 
+  /** Salted inner equi-join — the skew mitigation for a SHUFFLE join
+    * whose key distribution is pathological (one key holding 10% of a
+    * 100-TB fact melts a single reducer; `skew_hot_keys` is the
+    * measurement that says so). The fact side gets a deterministic
+    * salt in [0, saltN) — an md5-derived bucket of the whole row's
+    * key + a caller-named discriminator column, so the assignment is
+    * layout-stable and replayable, never `rand()` — and the bounded
+    * side replicates each row saltN times (`explode(sequence)` inside
+    * codegen). The join key becomes (key, salt): a hot key's rows
+    * spread across saltN reducers instead of one.
+    *
+    * Output is EXACTLY the plain join's (salt dropped): every fact
+    * row meets every matching right row in exactly one salt bucket.
+    * Replication multiplies the right side's shuffle volume by saltN
+    * — use it on the smaller-but-unbroadcastable side, and size saltN
+    * to the measured hot-key multiple, not higher. (AQE's skew-join
+    * split handles many cases after the fact; explicit salting keeps
+    * working when a single KEY-VALUE — which AQE cannot split across
+    * its sort groups in a grouped aggregation downstream — or a
+    * non-AQE engine is involved.)
+    */
+  def saltedJoin(fact: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltDiscriminator: String, saltN: Int): DataFrame = {
+    require(saltN >= 1, s"saltN=$saltN must be positive")
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    val salted = fact.withColumn("__graft_salt",
+      pmod(conv(substring(md5(concat_ws("|",
+        (keys :+ saltDiscriminator).map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)),
+        1, 8), 16, 10).cast("long"), lit(saltN)).cast("int"))
+    val replicated = right.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    salted.join(replicated, keys :+ "__graft_salt")
+      .drop("__graft_salt")
+  }
+
   /** The no-false-negative contract holds only for keys whose long
     * cast is lossless. Anything else (a string "abc", a fractional
     * double) casts to NULL — or a truncated value — on BOTH the bloom

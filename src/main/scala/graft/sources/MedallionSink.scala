@@ -209,6 +209,48 @@ object MedallionSink {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
 
+  /** TRUE multi-dimension clustering (Z-order): the write key is the
+    * bit-interleaving of the two cluster columns' bucket indexes, so
+    * file locality holds on BOTH dimensions at once — a selective
+    * footer-pruned filter on EITHER column skips most files.
+    * [[writeClustered]] on x gives perfect x pruning and ZERO y
+    * pruning; the Z curve trades a little of each for both (each file
+    * covers one aligned square tile of the 2-D bucket space).
+    *
+    * Bucket indexes come from ONE broadcast min/max panel + the same
+    * FLOOR arithmetic as the histogram profile; the interleave is a
+    * pure bitwise expression tree inside whole-stage codegen (2·bits
+    * shift/mask/or terms — no UDF, no row objects). ZOrderSpec proves
+    * the footer pruning on both dimensions from the written files.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colX: String, colY: String,
+                    nFiles: Int, bits: Int = 12): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 20, s"bits=$bits out of range [1,20]")
+    val buckets = 1L << bits
+    val bounds = df.agg(
+      min(col(colX)).cast("double").as("__xmn"), max(col(colX)).cast("double").as("__xmx"),
+      min(col(colY)).cast("double").as("__ymn"), max(col(colY)).cast("double").as("__ymx"))
+    def bucketIx(v: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(buckets - 1),
+          floor((v.cast("double") - mn) / ((mx - mn) / buckets)).cast("long")))
+    val bx = bucketIx(col(colX), col("__xmn"), col("__xmx"))
+    val by = bucketIx(col(colY), col("__ymn"), col("__ymx"))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__graft_z", z)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z", "__xmn", "__xmx", "__ymn", "__ymx")
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+  }
+
   /** Per-partition `_meta.json` sidecars (authoritative row_count +
     * column list — the reference's bronze sidecar contract, served to
     * graft.sources.MedallionCatalog's read-side validation). Counts

@@ -61,4 +61,39 @@ class ClusteringSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(k,4242)"), plan)
     assert(spark.read.parquet(path).filter(col("k") === 4242L).count() == 1L)
   }
+
+  test("writeZOrdered: footer ranges prune BOTH dimensions (tiles, not stripes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val path = s"$dir/grid"
+    // full 64x64 grid, shuffled: 16 files of 256 rows = one 16x16
+    // aligned Z-tile each when bits=6
+    val grid = new scala.util.Random(11).shuffle(
+      (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)).toList)
+      .toDF("x", "y")
+    MedallionSink.writeZOrdered(grid, path, "x", "y", nFiles = 16, bits = 6)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 16)
+    def fileRange(f: Path, dim: String): (Long, Long) = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.toSeq.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == dim).get.getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally reader.close()
+    }
+    // a filter on x <= 7 OR on y <= 7 each matches only a quarter of
+    // the files' footer ranges — range-clustering on x alone would
+    // leave ALL files matching the y filter
+    val xMatch = files.count(f => fileRange(f, "x")._1 <= 7)
+    val yMatch = files.count(f => fileRange(f, "y")._1 <= 7)
+    assert(xMatch <= 8 && yMatch <= 8, s"x-files=$xMatch y-files=$yMatch of 16")
+    // nothing lost: the full grid reads back
+    assert(spark.read.parquet(path).count() == 4096)
+    assert(spark.read.parquet(path).filter(col("x") <= 7 && col("y") <= 7).count() == 64)
+  }
 }

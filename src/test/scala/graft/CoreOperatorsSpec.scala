@@ -302,4 +302,23 @@ class CoreOperatorsSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o diff q}")
   }
+
+  test("saltedJoin equals the plain join under a forced shuffle and spreads the key") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one hot key (90% of rows) + a tail
+      val fact = ((1 to 90).map(i => (7L, i.toLong)) ++ (1 to 10).map(i => (i.toLong, 100L + i)))
+        .toDF("k", "payload")
+      val dim = Seq((7L, "hot"), (3L, "cold"), (99L, "unmatched")).toDF("k", "attr")
+      val salted = Prejoin.saltedJoin(fact, dim, Seq("k"), "payload", saltN = 4)
+      val plain = fact.join(dim, Seq("k"))
+      assert(salted.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq ==
+        plain.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq)
+      // the join's exchange hashes on (k, salt): the hot key spreads
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_salt"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

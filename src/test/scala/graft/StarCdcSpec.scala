@@ -4,7 +4,7 @@ import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsPack, Audit, Cdc, Packing, Scd2, Star, TimeSeries}
+import graft.operators.{AnalyticsPack, Audit, Cdc, Dims, Packing, Scd2, Star, TimeSeries}
 
 /** Round-6 operators: snapshot CDC, Kimball star extras (accumulating
   * snapshot, late-arriving dim, bridge allocation), SCD2 point-in-time,
@@ -207,6 +207,21 @@ class StarCdcSpec extends SparkSpec {
     val top1 = AnalyticsPack.topDaysPerType(ev, topN = 1).collect()
     // both tied days survive at rank 1
     assert(top1.length == 2 && top1.forall(_.getAs[Int]("rnk") == 1))
+  }
+
+  test("junkDim: dense SKs over flag combos; every fact row resolves") {
+    import spark.implicits._
+    val fact = Seq(
+      (1L, "R", "F"), (2L, "R", "O"), (3L, "N", "F"),
+      (4L, "R", "F"), (5L, "N", "F"))
+      .toDF("id", "flag_a", "flag_b")
+    val dim = Dims.junkDim(fact, Seq("flag_a", "flag_b"), "junk_sk")
+    val rows = dim.orderBy("junk_sk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // sorted combos numbered densely from 1
+    assert(rows == Seq((1, "N", "F"), (2, "R", "F"), (3, "R", "O")))
+    val resolved = fact.join(broadcast(dim), Seq("flag_a", "flag_b"))
+    assert(resolved.count() == 5 && resolved.filter(col("junk_sk").isNull).count() == 0)
   }
 
   test("tableDiff: identical snapshots all-match; a drop and an edit localize") {
