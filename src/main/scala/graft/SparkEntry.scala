@@ -597,6 +597,25 @@ object SparkEntry {
     "ana_rolling_active_users" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingActiveUsers(t(s, d, "events"))),
 
+    // Pareto curve: cumulative demand share by user rank through the
+    // distributed two-phase prefix sum — NEVER a global-window
+    // running total over the relation.
+    "ana_pareto_users" -> ((s: SparkSession, d: String) => {
+      val totals = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(money(col("value"))).as("total_demand"))
+      val grand = totals.agg(sum(col("total_demand")).as("__grand"))
+      PrefixSum.globalOrdered(totals,
+          Seq(col("total_demand").desc, col("user_id")), "total_demand")
+        .crossJoin(broadcast(grand))
+        .select(col("user_id"),
+          col("total_demand").cast("double").as("total_demand"),
+          col("row_rank").as("user_rank"),
+          (col("prefix_sum").cast("double") / col("__grand").cast("double"))
+            .as("cum_share"))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences; shares of each source type's outgoing total.
     "ana_transition_matrix" -> ((s: SparkSession, d: String) =>
@@ -621,6 +640,10 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    // Levenshtein-verified near-dups over inverted-index candidates.
+    "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
+      TextDedup.editDistancePairs(t(s, d, "documents"), "doc_id", "text")),
 
     // Incremental corpus dedup: the new batch (doc_id >= 400) deduped
     // against the standing corpus (doc_id < 400) and exactly within
@@ -1880,6 +1903,25 @@ object SparkEntry {
           |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase
           |FROM per_user""".stripMargin,
 
+      // The oracle writes the naive global window; the Spark plan is
+      // the two-phase distributed prefix sum — identical output for
+      // the unique (total DESC, user) order.
+      "ana_pareto_users" ->
+        """WITH totals AS (
+          |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total_demand
+          |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          |  GROUP BY 1),
+          |g AS (SELECT SUM(total_demand) AS grand FROM totals),
+          |w AS (
+          |  SELECT user_id, total_demand,
+          |    SUM(total_demand) OVER (ORDER BY total_demand DESC, user_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    ROW_NUMBER() OVER (ORDER BY total_demand DESC, user_id) AS user_rank
+          |  FROM totals)
+          |SELECT user_id, CAST(total_demand AS DOUBLE) AS total_demand,
+          |  user_rank, CAST(cum AS DOUBLE) / CAST(grand AS DOUBLE) AS cum_share
+          |FROM w, g""".stripMargin,
+
       // Same user-day set as the Spark sequence-expansion: d BETWEEN
       // g-6 AND g  <=>  g IN [d, d+6] ∩ observed days.
       "ana_rolling_active_users" ->
@@ -2232,6 +2274,23 @@ object SparkEntry {
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
 
+      // Candidates at the LOW jaccard threshold, then the integer
+      // Levenshtein + one division replayed op-for-op.
+      "dedup_edit_distance" ->
+        s"""WITH jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql, threshold = 0.3)}),
+           |tx AS (SELECT doc_id, text FROM documents)
+           |SELECT doc_a, doc_b,
+           |  levenshtein(ta.text, tb.text) AS edit_dist,
+           |  CAST(length(ta.text) AS INTEGER) AS len_a,
+           |  CAST(length(tb.text) AS INTEGER) AS len_b,
+           |  1.0 - levenshtein(ta.text, tb.text)
+           |      / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE) AS edit_sim
+           |FROM (SELECT doc_a, doc_b FROM jp) c
+           |JOIN tx ta ON ta.doc_id = c.doc_a
+           |JOIN tx tb ON tb.doc_id = c.doc_b
+           |WHERE 1.0 - levenshtein(ta.text, tb.text)
+           |      / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE) >= 0.8""".stripMargin,
+
       // Same stop-shingle + Jaccard algebra, batch-vs-corpus only; the
       // decision CASEs mirror the Spark first-match order exactly.
       "dedup_incremental" ->
@@ -2523,7 +2582,8 @@ object SparkEntry {
   /** The df-capped exact-Jaccard pair query, shared by the pairs row
     * and the clusters row (whose edge set it is).
     */
-  private def jaccardPairsOracleSql(toksSql: String, shinglesSql: String): String =
+  private def jaccardPairsOracleSql(toksSql: String, shinglesSql: String,
+                                    threshold: Double = 0.5): String =
     s"""WITH docs AS (
        |  SELECT doc_id, $shinglesSql AS shs
        |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
@@ -2541,7 +2601,7 @@ object SparkEntry {
        |FROM pairs p
        |JOIN sizes sa ON sa.doc_id = p.doc_a
        |JOIN sizes sb ON sb.doc_id = p.doc_b
-       |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin
+       |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= $threshold""".stripMargin
 
   /** DuckDB twins of the serving queries. */
   private def servingValidSql: String =

@@ -101,6 +101,34 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_sh_a", "n_sh_b", "n_common", "jaccard")
   }
 
+  /** Edit-distance-verified near-dup pairs: inverted-index candidates
+    * (the df-capped Jaccard join at a LOW recall threshold) verified
+    * by exact character-level Levenshtein — the check a pipeline runs
+    * when token-set Jaccard is too coarse (reorderings score high on
+    * Jaccard; edit distance catches them). Never all-pairs: candidate
+    * volume is the inverted index's, and the O(len²)-per-pair
+    * Levenshtein runs only on candidates. `edit_sim` is
+    * `1 − lev/max(len)` — one division, engine-replayable (Levenshtein
+    * is an integer; both engines implement the standard
+    * unit-cost recurrence).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, candidateThreshold: Double = 0.3,
+                        minSim: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val cand = jaccardPairs(df, idCol, textCol, n, candidateThreshold, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val tx = df.select(col(idCol), col(textCol))
+    cand
+      .join(tx.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), "doc_a")
+      .join(tx.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+        length(col("__ta")).as("len_a"), length(col("__tb")).as("len_b"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist") / greatest(col("len_a"), col("len_b")).cast("double"))
+      .filter(col("edit_sim") >= minSim)
+  }
+
   /** Posting relation (doc_id, sh, df) restricted to shingles with
     * document frequency ≤ maxDf.
     */

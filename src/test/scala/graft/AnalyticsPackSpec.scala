@@ -223,6 +223,25 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.head.getAs[Double]("demanda_expandida") == 300.0)
   }
 
+  test("globalOrdered prefix sum equals the naive global window, ranks dense") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    val rnd = new scala.util.Random(3)
+    val df = rnd.shuffle((1L to 500L).toList).map(k => (k, (k % 7 + 1).toDouble))
+      .toDF("k", "v").repartition(7)
+    val got = PrefixSum.globalOrdered(df, Seq(col("k")), "v", nRangeParts = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // expected: running sum in k order, rank = k
+    var acc = 0.0
+    (1L to 500L).zip(got).foreach { case (k, (gk, gv, gsum, grank)) =>
+      acc += (k % 7 + 1).toDouble
+      assert(gk == k && gv == (k % 7 + 1).toDouble)
+      assert(gsum == acc, s"prefix at k=$k: $gsum != $acc")
+      assert(grank == k)
+    }
+  }
+
   test("rollingActiveUsers: trailing-7-day distinct users per observed day") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")

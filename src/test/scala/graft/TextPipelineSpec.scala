@@ -41,6 +41,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("editDistancePairs verifies candidates by chars: edits pass, reorders fail") {
+    val h1 = "alpha beta gamma delta epsilon zeta"
+    val h2 = "omicron pi rho sigma tau upsilon"
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // 3-char edit
+      (3L, s"$h1 $h2"),
+      (4L, s"$h2 $h1")) // same halves swapped: shingle-similar, char-distant
+      .toDF("doc_id", "text")
+    val got = TextDedup.editDistancePairs(d, "doc_id", "text",
+      candidateThreshold = 0.3, minSim = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.keySet == Set((1L, 2L))) // the reorder pair is candidate but fails verify
+    assert(got((1L, 2L)) == 3)
+    // the reorder pair WAS a candidate (high shingle overlap)
+    val cands = TextDedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((3L, 4L)))
+  }
+
   test("jaccard df-cap: stop shingles leave postings and sizes symmetrically") {
     // "x common y" appears in every doc -> df 3; pair shingles df <= 2.
     val capped = Seq(
