@@ -151,6 +151,77 @@ object Multimodal {
     MediaFeature(r.media_id, r.format, b.length, w, h, crc.getValue, brightness, 0, 0L)
   }
 
+  final case class MediaResized(
+      media_id: Long, format: String, orig_width: Int, orig_height: Int,
+      width: Int, height: Int, media: Array[Byte])
+
+  /** REAL bounded-box image resize (JDK `java.awt` bilinear scaling +
+    * PNG re-encode): scale so max(w, h) == maxDim, aspect preserved,
+    * never upscaled. Already-small images and non-decodable bodies
+    * pass through byte-identical (orig dims zero when undecodable) —
+    * a resize stage must never drop or corrupt assets it cannot
+    * improve. Same bounded-batch partition shape as the decoder.
+    */
+  def resizeImages(ds: Dataset[MediaRow], maxDim: Int): Dataset[MediaResized] = {
+    import ds.sparkSession.implicits._
+    require(maxDim >= 1, s"maxDim=$maxDim must be positive")
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(resizeOne(_, maxDim))))
+  }
+
+  private[operators] def resizeOne(r: MediaRow, maxDim: Int): MediaResized = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(r.media))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null)
+      MediaResized(r.media_id, r.format, 0, 0, 0, 0, r.media)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (math.max(w, h) <= maxDim)
+        MediaResized(r.media_id, r.format, w, h, w, h, r.media)
+      else {
+        val scale = maxDim.toDouble / math.max(w, h)
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        MediaResized(r.media_id, "png", w, h, nw, nh, bos.toByteArray)
+      }
+    }
+  }
+
+  final case class MediaFrame(
+      media_id: Long, frame_ix: Int, byte_offset: Long, frame: Array[Byte])
+
+  /** Frame sampling for video containers. The JDK ships NO video
+    * codec, so the frame CONTENT is a clearly-declared deterministic
+    * stand-in (fixed-size byte slices at k uniform offsets); the
+    * Spark side — the 1-row→k-rows expansion, bounded batches, the
+    * (asset, frame_ix, offset) schema a JNI/codec decoder would fill
+    * — is the real pipeline and is what the spec pins.
+    */
+  def sampleFrames(ds: Dataset[MediaRow], k: Int,
+                   frameBytes: Int = 256): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    require(k >= 1 && frameBytes >= 1, s"k=$k frameBytes=$frameBytes must be positive")
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap { r =>
+      val len = r.media.length
+      if (len == 0) Iterator.empty
+      else (0 until k).iterator.map { i =>
+        val off = (len.toLong * i) / k
+        val end = math.min(off + frameBytes, len.toLong).toInt
+        MediaFrame(r.media_id, i, off, java.util.Arrays.copyOfRange(r.media, off.toInt, end))
+      }
+    }))
+  }
+
   /** Partition-wise batched feature extraction. The `grouped` iterator
     * bounds per-batch memory exactly like an Arrow batch in
     * mapInPandas; no partition is ever materialized whole.

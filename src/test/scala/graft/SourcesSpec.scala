@@ -314,4 +314,45 @@ class SourcesSpec extends SparkSpec {
       .toDF("media_id", "media", "format")
     assert(Multimodal.featuresOf(big).count() == 200)
   }
+
+  test("resizeImages: real bilinear downscale to the bounding box, pass-through otherwise") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def imageBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, fmt, out))
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, imageBytes("png", 100, 40, 0x4080c0), "png"),
+      Multimodal.MediaRow(2L, imageBytes("png", 8, 8, 0xffffff), "png"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "png")))
+    val got = Multimodal.resizeImages(media, maxDim = 50).collect()
+      .map(r => r.media_id -> r).toMap
+    // 100x40 -> 50x20; the output is a REAL decodable PNG of that size
+    assert(got(1L).orig_width == 100 && got(1L).width == 50 && got(1L).height == 20)
+    val re = ImageIO.read(new java.io.ByteArrayInputStream(got(1L).media))
+    assert(re.getWidth == 50 && re.getHeight == 20)
+    // solid-color image stays that color after bilinear scaling
+    assert((re.getRGB(25, 10) & 0xffffff) == 0x4080c0)
+    // already-small: byte-identical pass-through, never upscaled
+    assert(got(2L).width == 8 && got(2L).media.sameElements(imageBytes("png", 8, 8, 0xffffff)))
+    // undecodable: bytes pass through, dims zeroed
+    assert(got(3L).width == 0 && got(3L).media.length == 3)
+  }
+
+  test("sampleFrames: k uniform-offset frames per asset, bounded slices") {
+    val body = (0 until 1000).map(_.toByte).toArray
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, body, "mp4"),
+      Multimodal.MediaRow(2L, Array[Byte](), "mp4"))) // empty asset -> no frames
+    val got = Multimodal.sampleFrames(media, k = 4, frameBytes = 100).collect()
+    assert(got.length == 4 && got.forall(_.media_id == 1L))
+    assert(got.sortBy(_.frame_ix).map(_.byte_offset).toSeq == Seq(0L, 250L, 500L, 750L))
+    assert(got.forall(_.frame.length == 100))
+    assert(got.sortBy(_.frame_ix).head.frame(0) == 0.toByte)
+  }
 }
