@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{CorpusQc, Prejoin, PrefixSum, TextDedup}
+
+/** Property-based invariants over randomized inputs — the algebraic
+  * contracts that example specs cannot exhaust:
+  *  - the distributed prefix sum IS the sequential running sum;
+  *  - chunking with overlap reconstructs the exact token sequence;
+  *  - salting never changes a join's result;
+  *  - exact dedup conserves rows (survivor copies sum to input size).
+  *
+  * Plain scalacheck generators with FIXED seeds (scalatestplus is not
+  * in the offline cache): deterministic across runs, so a failure is
+  * reproducible by seed index.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: distributed prefix sum == sequential running sum on any data") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield vals
+    samples(gen).foreach { vals =>
+      val df = new scala.util.Random(vals.hashCode).shuffle(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+        .toDF("k", "v").repartition(5)
+      val got = PrefixSum.globalOrdered(df, Seq(col("k")), "v", nRangeParts = 4)
+        .select("k", "prefix_sum", "row_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val expected = vals.scanLeft(0L)(_ + _).tail
+      assert(got.map(_._2).toSeq == expected)
+      assert(got.map(_._3).toSeq == (1L to vals.length).toSeq)
+    }
+  }
+
+  test("property: chunks reconstruct the token sequence exactly") {
+    val word = Gen.choose('a', 'z').flatMap(c => Gen.choose(1, 5)
+      .map(n => c.toString * n))
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      toks <- Gen.listOfN(n, word)
+      size <- Gen.choose(2, 20)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (toks, size, overlap)
+    samples(gen, 8).foreach { case (toks, size, overlap) =>
+      val stride = size - overlap
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = CorpusQc.chunkTokens(df, "doc_id", "text", size, overlap)
+        .orderBy("chunk_seq").collect()
+      // stitching: chunk 0 whole, then each subsequent chunk minus its
+      // overlapping head, equals the original token stream
+      val stitched = chunks.toSeq.flatMap { r =>
+        val ts = r.getString(4).split(" ").toSeq
+        if (r.getInt(1) == 0) ts else ts.drop(overlap)
+      }
+      assert(stitched == toks, s"size=$size overlap=$overlap n=${toks.length}")
+      // every chunk starts on the stride grid and respects the budget
+      chunks.foreach { r =>
+        assert(r.getInt(2) == r.getInt(1) * stride)
+        assert(r.getInt(3) <= size && r.getInt(3) >= 1)
+      }
+    }
+  }
+
+  test("property: salted join result is the plain join result") {
+    val gen = for {
+      nf <- Gen.choose(0, 80)
+      fk <- Gen.listOfN(nf, Gen.choose(0L, 8L))
+      nd <- Gen.choose(0, 8)
+      dk <- Gen.listOfN(nd, Gen.choose(0L, 10L))
+      saltN <- Gen.choose(1, 6)
+    } yield (fk, dk.distinct, saltN)
+    samples(gen).foreach { case (fk, dk, saltN) =>
+      val fact = fk.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+      val dim = dk.map(k => (k, s"attr$k")).toDF("k", "attr")
+      val salted = Prejoin.saltedJoin(fact, dim, Seq("k"), "row", saltN)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val plain = fact.join(dim, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(salted == plain, s"saltN=$saltN")
+    }
+  }
+
+  test("property: exact dedup conserves rows — survivor copy counts sum to input") {
+    val gen = for {
+      n <- Gen.choose(1, 100)
+      texts <- Gen.listOfN(n, Gen.choose(0, 15).map(i => s"content body $i"))
+    } yield texts
+    samples(gen).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextDedup.exact(df, "text", "doc_id").collect()
+      assert(got.map(_.getAs[Long]("n_copies")).sum == texts.length)
+      assert(got.length == texts.distinct.length)
+      // each survivor is the smallest id of its content class
+      got.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val txt = r.getAs[String]("text")
+        assert(id == texts.zipWithIndex.filter(_._1 == txt).map(_._2).min)
+      }
+    }
+  }
+}
