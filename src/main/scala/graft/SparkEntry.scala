@@ -1329,7 +1329,7 @@ object SparkEntry {
     "audit_table_diff" -> {
       def panelSql(src: String, suffix: String) =
         s"""SELECT
-           |  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bucket,
+           |  CAST(concat('0x', substr(md5(COALESCE(CAST(event_id AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT) % 16 AS bucket,
            |  COUNT(*) AS n_rows_$suffix,
            |  CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|',
            |    COALESCE(CAST(event_id AS VARCHAR), '<NULL>'),
@@ -2431,7 +2431,7 @@ object SparkEntry {
            |    CAST(SUM(cnt) AS BIGINT) AS sum_cnt, MIN(cnt) AS min_cnt
            |  FROM tk JOIN freq USING (tok) GROUP BY 1)
            |SELECT doc_id, n_tokens,
-           |  sum_cnt / (n_tokens * total) AS mean_token_share,
+           |  sum_cnt / n_tokens / total AS mean_token_share,
            |  min_cnt / total AS min_token_share
            |FROM per, tot""".stripMargin,
 

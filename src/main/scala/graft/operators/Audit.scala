@@ -64,12 +64,8 @@ object Audit {
     import org.apache.spark.sql.types.DecimalType
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     def panel(df: DataFrame, suffix: String): DataFrame = {
-      val rendered = (keyCol +: hashCols).map(c =>
-        coalesce(col(c).cast("string"), lit("<NULL>")))
-      val digest32 = conv(substring(
-        md5(concat_ws("|", rendered: _*)), 1, 8), 16, 10).cast("long")
-      val bucket = pmod(conv(substring(
-        md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"), lit(nBuckets))
+      val digest32 = Sampling.md5Long32((keyCol +: hashCols).map(col))
+      val bucket = pmod(Sampling.md5Long32(Seq(col(keyCol))), lit(nBuckets))
       df.groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as(s"n_rows_$suffix"),
           sum(digest32).as(s"checksum_$suffix"),

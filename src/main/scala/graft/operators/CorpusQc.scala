@@ -109,9 +109,10 @@ object CorpusQc {
 
   /** Corpus-frequency familiarity: a unigram-LM perplexity proxy with
     * no library math. Each document scores the arithmetic mean of its
-    * tokens' corpus frequency shares — computed as ONE division of
-    * exact integer partials, `Σ count(tok) / (n_tokens · total)` —
-    * plus the share of its rarest token. High mean = common/boiler-
+    * tokens' corpus frequency shares — exact integer partials divided
+    * twice, `Σ count(tok) / n_tokens / total` (never the
+    * overflow-prone `n_tokens · total` product) — plus the share of
+    * its rarest token. High mean = common/boiler-
     * plate text; a rare-share at the corpus floor = tokens seen
     * nowhere else.
     *
@@ -135,7 +136,9 @@ object CorpusQc {
         min(col("cnt")).as("min_cnt"))
       .crossJoin(broadcast(total))
       .select(col(idCol), col("n_tokens"),
-        (col("sum_cnt") / (col("n_tokens") * col("total"))).as("mean_token_share"),
+        // two divisions, never n_tokens·total: the long product would
+        // overflow past ~2e13 corpus tokens × 1e6-token docs
+        (col("sum_cnt") / col("n_tokens") / col("total")).as("mean_token_share"),
         (col("min_cnt") / col("total")).as("min_token_share"))
   }
 

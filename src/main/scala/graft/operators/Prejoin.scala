@@ -81,9 +81,8 @@ object Prejoin {
     require(saltN >= 1, s"saltN=$saltN must be positive")
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
     val salted = fact.withColumn("__graft_salt",
-      pmod(conv(substring(md5(concat_ws("|",
-        (keys :+ saltDiscriminator).map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)),
-        1, 8), 16, 10).cast("long"), lit(saltN)).cast("int"))
+      pmod(Sampling.md5Long32((keys :+ saltDiscriminator).map(col)), lit(saltN))
+        .cast("int"))
     val replicated = right.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(saltN - 1))))
     salted.join(replicated, keys :+ "__graft_salt")

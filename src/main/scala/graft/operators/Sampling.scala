@@ -32,6 +32,20 @@ object Sampling {
   def hashBucket(keyCols: Seq[Column]): Column =
     substring(md5(concat_ws("|", keyCols.map(_.cast("string")): _*)), 1, 4)
 
+  /** 32-bit md5-derived integer of the rendered key: first 8 hex
+    * chars of `md5(concat_ws("|", …))` as a long, every column
+    * rendered through an explicit NULL sentinel (concat_ws SKIPS
+    * nulls — without the sentinel ("a", NULL) and (NULL, "a") would
+    * hash alike). The shared digest/bucket primitive behind
+    * [[Audit.tableDiff]]'s checksums and [[Prejoin.saltedJoin]]'s
+    * salt; replayable in any engine with md5 (DuckDB:
+    * `CAST('0x' || substr(md5(…), 1, 8) AS BIGINT)`).
+    */
+  def md5Long32(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("<NULL>"))): _*)), 1, 8), 16, 10)
+      .cast("long")
+
   /** Threshold hex literal: buckets `< threshold` are kept, giving a
     * kept fraction of round(rate*65536)/65536. Rates >= 1 map to the
     * sentinel "g" (every hex bucket < "g" — keep all).

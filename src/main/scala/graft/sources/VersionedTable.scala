@@ -1,31 +1,37 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned table with snapshot isolation and time travel — the
-  * manifest-commit layer a lakehouse needs on storage without atomic
-  * directory rename (the gap [[MedallionSink.swapDirs]]'s scaladoc
-  * declares out of its own scope).
+  * manifest-commit layer a lakehouse needs when directory swaps
+  * ([[MedallionSink.swapDirs]]) are not enough.
   *
   * Layout:
   * {{{
   *   <dir>/data/c<version>-<nonce>/   immutable parquet segments
   *   <dir>/_graft_log/<version>.json  manifest: mode + visible segments
+  *                                    + writer txn markers
   * }}}
   *
   * A commit writes its segment directory FIRST, then publishes a
   * manifest listing every segment visible at that version (append =
   * predecessor's list + the new segment; overwrite = the new segment
-  * alone). The manifest rename is the commit point: a crash mid-write
+  * alone). The manifest publish is the commit point: a crash mid-write
   * leaves an orphan segment no manifest references — invisible to
   * every reader, reclaimed by [[vacuum]]. Readers resolve a version
   * from the log and read exactly its segment list, so a reader never
   * observes a half-commit and `asOf` reads replay any retained
   * version (time travel). Segments are never mutated after publish.
+  *
+  * All metadata I/O goes through the Hadoop FileSystem of `dir` —
+  * the log works on any Hadoop-addressable store. The publish itself
+  * is a single-file rename, atomic on HDFS/local; an object store
+  * without atomic rename swaps ONLY this one publish call for a
+  * conditional put (the manifest layout already isolates the commit
+  * point to one small file — that is the point of the layout).
   *
   * Single WRITER (like the rest of the sink layer — concurrent
   * writers need a log-store CAS on the manifest slot, the standard
@@ -33,6 +39,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale: manifests hold directory names, not file lists — a segment
   * is a normal multi-file parquet directory, so commit cost is O(1)
   * driver work regardless of data size.
+  *
+  * Writer txn markers (`txns`: writer identity → highest sequence
+  * number) are CARRIED FORWARD through every commit — append,
+  * overwrite, [[optimizeCompact]] — so the LATEST manifest always
+  * holds the complete replay-detection state: [[lastTxnVersion]]
+  * reads one file (O(1) per micro-batch), and [[vacuum]]/compaction
+  * can never resurrect an already-applied batch.
   */
 object VersionedTable {
 
@@ -47,18 +60,20 @@ object VersionedTable {
     * range — partition-pruning for the versioned log, O(#segments)
     * driver work, no data read for skipped segments.
     *
-    * `txn` is a (writer identity, sequence number) pair recorded in
-    * the manifest — the idempotent-sink marker ([[lastTxnVersion]]):
-    * a streaming writer keys it on (query id, batch id) so an
-    * at-least-once replay commits nothing twice, while a DIFFERENT
-    * query's marker is foreign and never suppresses a batch.
+    * `txn` is a (writer identity, sequence number) pair merged into
+    * the manifest's carried-forward marker map — the idempotent-sink
+    * contract ([[lastTxnVersion]]): a streaming writer keys it on
+    * (query id, batch id) so an at-least-once replay commits nothing
+    * twice, while a DIFFERENT query's marker is foreign and never
+    * suppresses a batch.
     */
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
              statsCol: Option[String] = None,
              txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val hfs = fs(spark, dir)
-    val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    val committed = versions(hfs, dir)
+    val v = committed.maxOption.map(_ + 1).getOrElse(0L)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val segment = s"c$v-$nonce"
     df.write.mode("errorifexists").option("compression", "zstd")
@@ -71,54 +86,79 @@ object VersionedTable {
       val r = spark.read.parquet(s"$dir/data/$segment")
         .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
       if (!r.isNullAt(0))
-        atomicWrite(Paths.get(dir, "data", segment, s"._graft_stats.json.tmp"),
-          Paths.get(dir, "data", segment, "_graft_stats.json"),
+        publish(hfs, new HPath(s"$dir/data/$segment/._graft_stats.json.tmp"),
+          new HPath(s"$dir/data/$segment/_graft_stats.json"),
           s"""{"column": "$c", "min": ${r.getDouble(0)}, "max": ${r.getDouble(1)}}""")
     }
-    val prev =
+    val prevJson = committed.maxOption.map(pv => manifestJson(hfs, dir, pv))
+    val prevSegs =
       if (overwrite) Seq.empty
-      else latestVersion(spark, dir).map(pv => segments(spark, dir, pv)).getOrElse(Seq.empty)
-    val segs = (prev :+ segment).map(s => s""""$s"""").mkString("[", ", ", "]")
+      else prevJson.map(segmentNames).getOrElse(Seq.empty)
+    val mergedTxns = txn.foldLeft(prevJson.map(txnsOf).getOrElse(Map.empty[String, Long])) {
+      case (m, (app, seq)) => m.updated(app, math.max(seq, m.getOrElse(app, Long.MinValue)))
+    }
+    val segs = (prevSegs :+ segment).map(s => s""""$s"""").mkString("[", ", ", "]")
+    val txnsJson =
+      if (mergedTxns.isEmpty) ""
+      else mergedTxns.toSeq.sortBy(_._1)
+        .map { case (a, s) => s""""$a": $s""" }
+        .mkString(""", "txns": {""", ", ", "}")
     val mode = if (overwrite) "overwrite" else "append"
-    val txnJson = txn.map { case (app, seq) =>
-      s""", "txn_app": "$app", "txn_version": $seq""" }.getOrElse("")
-    val json = s"""{"version": $v, "mode": "$mode", "segments": $segs$txnJson}"""
-    hfs.mkdirs(new HPath(s"$dir/_graft_log"))
-    atomicWrite(Paths.get(dir, "_graft_log", s".$v.json.tmp"),
-      Paths.get(dir, "_graft_log", s"$v.json"), json)
+    val json = s"""{"version": $v, "mode": "$mode", "segments": $segs$txnsJson}"""
+    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
+      new HPath(s"$dir/_graft_log/$v.json"), json)
     v
   }
 
   /** OPTIMIZE for a log of small streaming appends: rewrite the
     * CURRENT snapshot as one fresh segment and publish it as an
     * overwrite commit — readers of older versions are untouched
-    * (history stays readable until [[vacuum]] reclaims it), and a
-    * crash mid-rewrite leaves only an invisible orphan. Source
-    * segments are immutable, so reading and rewriting concurrently
-    * is safe by construction.
+    * (history stays readable until [[vacuum]] reclaims it), a crash
+    * mid-rewrite leaves only an invisible orphan, and the carried
+    * txn-marker map keeps replay detection intact across the
+    * rewrite. Source segments are immutable, so reading and
+    * rewriting concurrently is safe by construction.
     */
   def optimizeCompact(spark: SparkSession, dir: String,
                       statsCol: Option[String] = None): Long =
     commit(read(spark, dir), dir, overwrite = true, statsCol = statsCol)
 
-  /** Highest `txn` sequence number any retained manifest records for
-    * writer identity `app` — the replay-detection probe for idempotent
-    * streaming commits. O(#retained manifests) driver-side reads.
+  /** Highest `txn` sequence number recorded for writer identity `app`
+    * — the replay-detection probe for idempotent streaming commits.
+    * Markers are carried forward into every manifest, so ONE read of
+    * the latest manifest answers it, regardless of history length.
     */
   def lastTxnVersion(spark: SparkSession, dir: String, app: String): Option[Long] = {
     val hfs = fs(spark, dir)
-    val log = new HPath(s"$dir/_graft_log")
-    if (!hfs.exists(log)) None
-    else {
-      val seqs = hfs.listStatus(log).map(_.getPath.getName)
-        .collect { case VersionFile(v) => v.toLong }
-        .flatMap { v =>
-          val json = manifestJson(hfs, dir, v)
-          val appM = """"txn_app"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
-          val seqM = """"txn_version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-          if (appM.contains(app)) seqM else None
-        }
-      if (seqs.isEmpty) None else Some(seqs.max)
+    versions(hfs, dir).maxOption
+      .flatMap(v => txnsOf(manifestJson(hfs, dir, v)).get(app))
+  }
+
+  /** Highest committed version, if any commit has ever published. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(fs(spark, dir), dir).maxOption
+
+  /** Snapshot read: the latest version, or `asOf` for time travel.
+    * Throws on a version that was never committed or has been
+    * vacuumed away.
+    */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    val segs = segments(spark, dir, v)
+    spark.read.parquet(segs.map(s => s"$dir/data/$s"): _*)
+  }
+
+  /** (version, mode, n_segments) for every retained manifest,
+    * oldest first — the table's commit history.
+    */
+  def history(spark: SparkSession, dir: String): Seq[(Long, String, Int)] = {
+    val hfs = fs(spark, dir)
+    versions(hfs, dir).sorted.map { v =>
+      val json = manifestJson(hfs, dir, v)
+      val mode = """"mode"\s*:\s*"(\w+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("?")
+      (v, mode, segmentNames(json).size)
     }
   }
 
@@ -143,8 +183,8 @@ object VersionedTable {
       else {
         val json = readText(hfs, p)
         val colM = """"column"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
-        val minM = """"min"\s*:\s*(-?[\d.eE+]+)""".r.findFirstMatchIn(json).map(_.group(1).toDouble)
-        val maxM = """"max"\s*:\s*(-?[\d.eE+]+)""".r.findFirstMatchIn(json).map(_.group(1).toDouble)
+        val minM = DoubleField("min").findFirstMatchIn(json).map(_.group(1).toDouble)
+        val maxM = DoubleField("max").findFirstMatchIn(json).map(_.group(1).toDouble)
         if (!colM.contains(statsCol) || minM.isEmpty || maxM.isEmpty) true
         else maxM.get >= lo && minM.get <= hi
       }
@@ -155,59 +195,18 @@ object VersionedTable {
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
-  /** Highest committed version, if any commit has ever published. */
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val hfs = fs(spark, dir)
-    val log = new HPath(s"$dir/_graft_log")
-    if (!hfs.exists(log)) None
-    else {
-      val vs = hfs.listStatus(log).map(_.getPath.getName)
-        .collect { case VersionFile(v) => v.toLong }
-      if (vs.isEmpty) None else Some(vs.max)
-    }
-  }
-
-  /** Snapshot read: the latest version, or `asOf` for time travel.
-    * Throws on a version that was never committed or has been
-    * vacuumed away.
-    */
-  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
-    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
-    val segs = segments(spark, dir, v)
-    spark.read.parquet(segs.map(s => s"$dir/data/$s"): _*)
-  }
-
-  /** (version, mode, n_segments) for every retained manifest,
-    * oldest first — the table's commit history.
-    */
-  def history(spark: SparkSession, dir: String): Seq[(Long, String, Int)] = {
-    val hfs = fs(spark, dir)
-    val log = new HPath(s"$dir/_graft_log")
-    if (!hfs.exists(log)) Seq.empty
-    else hfs.listStatus(log).map(_.getPath.getName)
-      .collect { case VersionFile(v) => v.toLong }.sorted.toSeq
-      .map { v =>
-        val json = manifestJson(hfs, dir, v)
-        val mode = """"mode"\s*:\s*"(\w+)"""".r.findFirstMatchIn(json)
-          .map(_.group(1)).getOrElse("?")
-        (v, mode, segmentNames(json).size)
-      }
-  }
-
   /** Garbage collection: drop manifests older than the newest
     * `retainVersions`, then delete every segment directory no
     * retained manifest references — including orphans from crashed
-    * commits (segment written, manifest never published). Returns
-    * (manifests dropped, segments deleted).
+    * commits (segment written, manifest never published). Txn
+    * markers are safe: the retained manifests carry the full map.
+    * Returns (manifests dropped, segments deleted).
     */
   def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 1): (Int, Int) = {
     require(retainVersions >= 1, s"retainVersions=$retainVersions must be >= 1")
     val hfs = fs(spark, dir)
-    val log = new HPath(s"$dir/_graft_log")
-    if (!hfs.exists(log)) return (0, 0)
-    val vs = hfs.listStatus(log).map(_.getPath.getName)
-      .collect { case VersionFile(v) => v.toLong }.sorted.toSeq
+    val vs = versions(hfs, dir).sorted
+    if (vs.isEmpty) return (0, 0)
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     val live = keep.flatMap(v => segments(spark, dir, v)).toSet
     drop.foreach(v => hfs.delete(new HPath(s"$dir/_graft_log/$v.json"), false))
@@ -221,10 +220,22 @@ object VersionedTable {
 
   private val VersionFile = """(\d+)\.json""".r
 
+  // A JSON double as Scala's Double.toString emits it — including
+  // scientific notation with NEGATIVE exponents ("1.0E-5").
+  private def DoubleField(name: String) =
+    ("\"" + name + """"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)""").r
+
+  /** Every committed version number under the log dir. */
+  private def versions(hfs: FileSystem, dir: String): Seq[Long] = {
+    val log = new HPath(s"$dir/_graft_log")
+    if (!hfs.exists(log)) Seq.empty
+    else hfs.listStatus(log).map(_.getPath.getName)
+      .collect { case VersionFile(v) => v.toLong }.toSeq
+  }
+
   private def segments(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val hfs = fs(spark, dir)
-    val p = new HPath(s"$dir/_graft_log/$v.json")
-    if (!hfs.exists(p))
+    if (!hfs.exists(new HPath(s"$dir/_graft_log/$v.json")))
       throw new java.util.NoSuchElementException(s"version $v not found under $dir/_graft_log")
     segmentNames(manifestJson(hfs, dir, v))
   }
@@ -238,6 +249,22 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** Atomic single-file publish THROUGH the table's FileSystem (a
+    * java.nio write would land on the driver's local disk for any
+    * remote `dir` and the commit would be silently invisible):
+    * write to a dot-tmp sibling, rename into place. Rename of one
+    * file is atomic on HDFS/local; see the class scaladoc for the
+    * object-store variant.
+    */
+  private def publish(hfs: FileSystem, tmp: HPath, dest: HPath, content: String): Unit = {
+    val out = hfs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, false)
+      throw new java.io.IOException(s"VersionedTable: publish $tmp -> $dest failed")
+    }
+  }
+
   // Manifests are machine-written flat JSON (this object is the only
   // writer) — regex extraction, same contract as MedallionCatalog.
   private def segmentNames(json: String): Seq[String] =
@@ -246,14 +273,12 @@ object VersionedTable {
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  private def txnsOf(json: String): Map[String, Long] =
+    """"txns"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json).map { m =>
+      """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def atomicWrite(tmp: java.nio.file.Path, dest: java.nio.file.Path,
-                          content: String): Unit = {
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dest,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
 }

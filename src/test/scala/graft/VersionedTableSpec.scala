@@ -99,6 +99,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 3)
   }
 
+  test("txn markers survive OPTIMIZE and vacuum: a replay is still a no-op") {
+    val dir = Files.createTempDirectory("graft_vt_txn").toString
+    graft.streaming.StreamOps.versionedBatchCommit(Seq((1, "a")).toDF("k", "v"), dir, 0L)
+    graft.streaming.StreamOps.versionedBatchCommit(Seq((2, "b")).toDF("k", "v"), dir, 1L)
+    // compact + GC away every marker-bearing APPEND manifest
+    VersionedTable.optimizeCompact(spark, dir)
+    VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    // the crash-replay of batch 1 must still be detected as applied
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((99, "replay")).toDF("k", "v"), dir, 1L)
+    assert(VersionedTable.read(spark, dir).count() == 2)
+    // and the genuinely next batch applies
+    graft.streaming.StreamOps.versionedBatchCommit(Seq((3, "c")).toDF("k", "v"), dir, 2L)
+    assert(VersionedTable.read(spark, dir).count() == 3)
+  }
+
+  test("readWhere parses scientific-notation stats (tiny and negative values)") {
+    val dir = Files.createTempDirectory("graft_vt_sci").toString
+    VersionedTable.commit(
+      Seq((0.00001, "a"), (0.00002, "b")).toDF("p", "v"), dir, statsCol = Some("p"))
+    VersionedTable.commit(
+      Seq((-0.000025, "c"), (5.0, "d")).toDF("p", "v"), dir, statsCol = Some("p"))
+    // min 1.0E-5 renders in scientific notation; the reader must not choke
+    val got = VersionedTable.readWhere(spark, dir, "p", 0.0, 0.001)
+    assert(got.collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+    val neg = VersionedTable.readWhere(spark, dir, "p", -1.0, -0.00001)
+    assert(neg.collect().map(_.getString(1)).toSeq == Seq("c"))
+  }
+
   test("vacuum keeps retained versions readable and reclaims dead + orphan segments") {
     val dir = Files.createTempDirectory("graft_vt_gc").toString
     VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
