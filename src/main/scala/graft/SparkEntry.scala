@@ -597,6 +597,22 @@ object SparkEntry {
     "ana_rolling_active_users" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingActiveUsers(t(s, d, "events"))),
 
+    // A/B readout over the deterministic md5 50/50 user assignment:
+    // one aggregation pass, two-proportion z statistic. Conversion =
+    // a high-value purchase (the plain PURCHASE flag saturates every
+    // user at this synthetic density).
+    "ana_abtest_readout" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.abtestReadout(
+        Sampling.splitAssign(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
+        "split", "A", "B",
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
+    // Daily new-vs-returning user split from first-seen days.
+    "ana_new_vs_returning" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.newVsReturning(t(s, d, "events"))),
+
     // Pareto curve: cumulative demand share by user rank through the
     // distributed two-phase prefix sum — NEVER a global-window
     // running total over the relation.
@@ -1902,6 +1918,43 @@ object SparkEntry {
           |  ROUND(100.0 * CAST(SUM(had_click) AS BIGINT) / NULLIF(CAST(SUM(had_view) AS BIGINT), 0), 2) AS pct_view_to_click,
           |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase
           |FROM per_user""".stripMargin,
+
+      // The md5 50/50 assignment replayed exactly (thresholdHex(0.5)
+      // = '8000'); every readout value is a fixed IEEE op sequence
+      // over exact distinct counts.
+      "ana_abtest_readout" ->
+        """WITH ev AS (
+          |  SELECT user_id, UPPER(TRIM(event_type)) AS et, value,
+          |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+          |         THEN 'A' ELSE 'B' END AS split
+          |  FROM events WHERE user_id IS NOT NULL),
+          |agg AS (
+          |  SELECT
+          |    COUNT(DISTINCT CASE WHEN split = 'A' THEN user_id END) AS n_a,
+          |    COUNT(DISTINCT CASE WHEN split = 'B' THEN user_id END) AS n_b,
+          |    COUNT(DISTINCT CASE WHEN split = 'A' AND et = 'PURCHASE' AND value > 95 THEN user_id END) AS conv_a,
+          |    COUNT(DISTINCT CASE WHEN split = 'B' AND et = 'PURCHASE' AND value > 95 THEN user_id END) AS conv_b
+          |  FROM ev)
+          |SELECT n_a, n_b, conv_a, conv_b,
+          |  conv_a / NULLIF(n_a, 0) AS rate_a,
+          |  conv_b / NULLIF(n_b, 0) AS rate_b,
+          |  conv_b / NULLIF(n_b, 0) - conv_a / NULLIF(n_a, 0) AS lift_abs,
+          |  (conv_b / NULLIF(n_b, 0) - conv_a / NULLIF(n_a, 0))
+          |    / NULLIF(sqrt(((conv_a + conv_b) / NULLIF(n_a + n_b, 0))
+          |           * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
+          |           * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
+          |FROM agg""".stripMargin,
+
+      "ana_new_vs_returning" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+          |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |f AS (SELECT user_id, MIN(d) AS first_seen FROM ud GROUP BY 1)
+          |SELECT d AS day,
+          |  COUNT(DISTINCT CASE WHEN d = first_seen THEN user_id END) AS n_new,
+          |  COUNT(DISTINCT CASE WHEN d <> first_seen THEN user_id END) AS n_returning
+          |FROM ud JOIN f USING (user_id)
+          |GROUP BY 1""".stripMargin,
 
       // The oracle writes the naive global window; the Spark plan is
       // the two-phase distributed prefix sum — identical output for

@@ -484,6 +484,57 @@ object AnalyticsPack {
       .filter(col("rnk") <= topN)
   }
 
+  /** A/B experiment readout in ONE aggregation pass: per-variant
+    * distinct users and distinct converters, conversion rates, the
+    * absolute lift, and the standard two-proportion z statistic —
+    * each final value a FIXED sequence of IEEE ops over exact integer
+    * counts (sqrt is correctly rounded per IEEE 754), so a second
+    * engine replays the readout bit-for-bit. Variant assignment is
+    * the caller's (pair with [[Sampling.splitAssign]] for the
+    * deterministic md5 rule — group-keyed so a user can never
+    * straddle arms). The exact-distinct conditional counts pay one
+    * Expand (the A11 convention); no join anywhere.
+    */
+  def abtestReadout(events: DataFrame, variantCol: String, a: String, b: String,
+                    convPred: Column): DataFrame = {
+    val isA = col(variantCol) === a
+    val isB = col(variantCol) === b
+    def nz(c: Column) = when(c === 0, lit(null)).otherwise(c)
+    val agg = events.filter(col("user_id").isNotNull).agg(
+      countDistinct(when(isA, col("user_id"))).as("n_a"),
+      countDistinct(when(isB, col("user_id"))).as("n_b"),
+      countDistinct(when(isA && convPred, col("user_id"))).as("conv_a"),
+      countDistinct(when(isB && convPred, col("user_id"))).as("conv_b"))
+    val rateA = col("conv_a") / nz(col("n_a"))
+    val rateB = col("conv_b") / nz(col("n_b"))
+    val pooled = (col("conv_a") + col("conv_b")) / nz(col("n_a") + col("n_b"))
+    // a degenerate arm (empty, or pooled rate 0/1) yields NULL z, not
+    // a division error (ANSI mode throws on x/0)
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / nz(col("n_a")) + lit(1.0) / nz(col("n_b"))))
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      (rateB - rateA).as("lift_abs"),
+      ((rateB - rateA) / nz(se)).as("z_score"))
+  }
+
+  /** Daily new-vs-returning user split: a user counts as NEW on their
+    * first observed day and RETURNING on every later active day. One
+    * user-keyed first-seen aggregate, a co-keyed join back (both
+    * sides partitioned by user — no extra exchange), one day-keyed
+    * distinct aggregation.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val ud = events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("first_seen"))
+    ud.join(first, "user_id")
+      .groupBy(col("d").as("day"))
+      .agg(
+        countDistinct(when(col("d") === col("first_seen"), col("user_id"))).as("n_new"),
+        countDistinct(when(col("d") =!= col("first_seen"), col("user_id"))).as("n_returning"))
+  }
+
   /** Rolling 7-day distinct active users per observed day (the WAU
     * curve next to [[rollingDemand]]'s additive sums) — COUNT
     * DISTINCT over a sliding window cannot be pre-aggregated, so the

@@ -223,6 +223,38 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.head.getAs[Double]("demanda_expandida") == 300.0)
   }
 
+  test("abtestReadout: rates, lift and z from hand-computed counts") {
+    import spark.implicits._
+    // A: users 1,2 (1 converts). B: users 3,4,5 (3 convert... 2 convert)
+    val ev = Seq(
+      (1L, "A", "PURCHASE"), (1L, "A", "VIEW"), (2L, "A", "VIEW"),
+      (3L, "B", "PURCHASE"), (4L, "B", "PURCHASE"), (5L, "B", "VIEW"))
+      .toDF("user_id", "variant", "event_type")
+    val r = AnalyticsPack.abtestReadout(ev, "variant", "A", "B",
+      upper(trim(col("event_type"))) === "PURCHASE").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 3L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.5 && math.abs(r.getDouble(5) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r.getDouble(6) - (2.0 / 3 - 0.5)) < 1e-15)
+    // z = lift / sqrt(p(1-p)(1/2+1/3)) with pooled p = 3/5
+    val p = 3.0 / 5
+    val z = (2.0 / 3 - 0.5) / math.sqrt(p * (1 - p) * (1.0 / 2 + 1.0 / 3))
+    assert(math.abs(r.getDouble(7) - z) < 1e-12)
+  }
+
+  test("newVsReturning: first day is new, later active days are returning") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00")
+    val ev = Seq(
+      (ts(1), 1L), (ts(1), 2L),          // day 1: both new
+      (ts(2), 1L), (ts(2), 3L),          // day 2: u1 returning, u3 new
+      (ts(5), 1L), (ts(5), 2L))          // day 5: both returning
+      .toDF("ts", "user_id")
+    val got = AnalyticsPack.newVsReturning(ev).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-02-01", 2L, 0L), ("2024-02-02", 1L, 1L), ("2024-02-05", 0L, 2L)))
+  }
+
   test("globalOrdered prefix sum equals the naive global window, ranks dense") {
     import spark.implicits._
     import graft.operators.PrefixSum

@@ -99,6 +99,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 3)
   }
 
+  test("versionedSink end-to-end: one committed version per micro-batch over a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_vt_stream").toString
+    val ckpt = Files.createTempDirectory("graft_vt_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.versionedSink(
+      in.toDF.toDF("k", "v"), ckpt, dir, statsCol = Some("k")).start()
+    try {
+      in.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      in.addData(Seq((3L, "c")))
+      q.processAllAvailable()
+      assert(VersionedTable.latestVersion(spark, dir).contains(1L))
+      assert(VersionedTable.read(spark, dir).count() == 3)
+      // the first batch is still readable as its own snapshot
+      assert(VersionedTable.read(spark, dir, asOf = Some(0L)).count() == 2)
+      // segment stats flowed through the sink: a range read prunes
+      assert(VersionedTable.readWhere(spark, dir, "k", 3.0, 9.0)
+        .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    } finally q.stop()
+  }
+
   test("txn markers survive OPTIMIZE and vacuum: a replay is still a no-op") {
     val dir = Files.createTempDirectory("graft_vt_txn").toString
     graft.streaming.StreamOps.versionedBatchCommit(Seq((1, "a")).toDF("k", "v"), dir, 0L)
