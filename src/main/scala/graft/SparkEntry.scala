@@ -2258,10 +2258,10 @@ object SparkEntry {
     */
   private def corrPairsOracleSql(cols: Seq[String]): String = {
     val moms =
-      cols.map(c => s"SUM(CAST($c AS DECIMAL(28,6))) AS s1_$c") ++
-      cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(28,6))) AS s2_$c") ++
+      cols.map(c => s"SUM(CAST($c AS DECIMAL(18,6))) AS s1_$c") ++
+      cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(18,6))) AS s2_$c") ++
       cols.combinations(2).map { case Seq(a, b) =>
-        s"SUM(CAST($a * $b AS DECIMAL(28,6))) AS sp_${a}_$b" }
+        s"SUM(CAST($a * $b AS DECIMAL(18,6))) AS sp_${a}_$b" }
     val pairSelects = cols.combinations(2).map { case Seq(a, b) =>
       s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
          |  (CAST(sp_${a}_$b AS DOUBLE) - CAST(s1_$a AS DOUBLE) * CAST(s1_$b AS DOUBLE) / n)

@@ -82,7 +82,13 @@ object Profiling {
     import org.apache.spark.sql.types.DecimalType
     require(cols.size >= 2, s"corrPairs needs at least two columns: $cols")
     val rows = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-    val dec = DecimalType(28, 6)
+    // Precision 18 keeps every PER-ROW decimal in Spark's compact
+    // long-backed representation (precision > 18 switches Decimal to
+    // its BigDecimal path on every one of the 15 moment columns); the
+    // SUM accumulator widens to (28,6) on its own, so totals never
+    // overflow. Row values (x, x², xy) must fit 12 integer digits —
+    // holds for any measure column up to |v| < 10⁶.
+    val dec = DecimalType(18, 6)
     val moments =
       Seq(count(lit(1)).as("n")) ++
       cols.map(c => sum(col(c).cast(dec)).as(s"s1_$c")) ++
