@@ -613,6 +613,10 @@ object SparkEntry {
     "ana_new_vs_returning" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.newVsReturning(t(s, d, "events"))),
 
+    // Day-of-week seasonal component + per-day residuals.
+    "ana_dow_seasonality" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.dowSeasonality(t(s, d, "events"))),
+
     // Pareto curve: cumulative demand share by user rank through the
     // distributed two-phase prefix sum — NEVER a global-window
     // running total over the relation.
@@ -801,6 +805,12 @@ object SparkEntry {
     // re-rank — the bytes-bound scale path next to IVF/LSH.
     "ann_pq_topk" -> ((s: SparkSession, d: String) =>
       Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
+
+    // JL random projection 64 -> 16 dims (seeded Rademacher matrix;
+    // rows-only — the seeded matrix is not oracle-expressible).
+    "embedding_random_projection" -> ((s: SparkSession, d: String) =>
+      Ann.randomProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 16)),
 
     "stream_events_30m" -> ((s: SparkSession, d: String) =>
       t(s, d, "events").groupBy(
@@ -1944,6 +1954,22 @@ object SparkEntry {
           |           * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
           |           * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
           |FROM agg""".stripMargin,
+
+      // isoDow <-> isodow parity (the B1 convention); means are the
+      // one-division rule over DECIMAL sums.
+      "ana_dow_seasonality" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+          |    SUM(CAST(value AS DECIMAL(18,2))) AS dem
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |d2 AS (SELECT *, CAST(isodow(day) AS INTEGER) AS iso_dow FROM daily),
+          |m AS (
+          |  SELECT iso_dow, CAST(SUM(dem) AS DOUBLE) / COUNT(*) AS dow_mean_demand
+          |  FROM d2 GROUP BY 1)
+          |SELECT day, iso_dow, n_events,
+          |  CAST(dem AS DOUBLE) AS demand, dow_mean_demand,
+          |  CAST(dem AS DOUBLE) - dow_mean_demand AS residual
+          |FROM d2 JOIN m USING (iso_dow)""".stripMargin,
 
       "ana_new_vs_returning" ->
         """WITH ud AS (

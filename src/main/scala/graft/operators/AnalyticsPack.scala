@@ -484,6 +484,29 @@ object AnalyticsPack {
       .filter(col("rnk") <= topN)
   }
 
+  /** Day-of-week seasonal profile with residuals — the first step of
+    * a seasonal decomposition: per-day demand, the day-of-week mean
+    * (the weekly seasonal component), and each day's deviation from
+    * its weekday norm. Demand sums in DECIMAL (order-free), means are
+    * the one-division house convention, the 7-row seasonal panel
+    * broadcasts back; `isoDow` is the shared Temporal↔isodow parity.
+    */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    import graft.functions.Temporal
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("dem"))
+      .withColumn("iso_dow", Temporal.isoDow(col("day")))
+    val means = daily.groupBy(col("iso_dow"))
+      .agg((sum(col("dem")).cast("double") / count(lit(1))).as("dow_mean_demand"))
+    daily.join(broadcast(means), "iso_dow")
+      .select(col("day"), col("iso_dow"), col("n_events"),
+        col("dem").cast("double").as("demand"),
+        col("dow_mean_demand"),
+        (col("dem").cast("double") - col("dow_mean_demand")).as("residual"))
+  }
+
   /** A/B experiment readout in ONE aggregation pass: per-variant
     * distinct users and distinct converters, conversion rates, the
     * absolute lift, and the standard two-proportion z statistic —

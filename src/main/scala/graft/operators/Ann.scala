@@ -85,6 +85,28 @@ object Ann {
       .withColumn("is_valid", col("reason_code").isNull)
   }
 
+  /** Johnson–Lindenstrauss random projection: embed `inDim`-vectors
+    * into `outDim` dimensions through a seeded Rademacher (±1)
+    * matrix scaled by 1/√outDim — the compute-scale preprocessing
+    * tier next to PQ's memory tier (pairwise distances preserved
+    * within the JL bound, each output a codegen'd dot-product
+    * kernel against a literal row of the matrix; no shuffle, no UDF,
+    * no state). Deterministic for a fixed seed — replayable across
+    * runs and engines that share the fold order.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    inDim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"inDim=$inDim outDim=$outDim must be positive")
+    val rnd = new java.util.Random(seed)
+    val mat: Seq[Array[Double]] =
+      Seq.fill(outDim)(Array.fill(inDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val vd = col(vecCol).cast("array<double>")
+    emb.select(col(idCol),
+      array(mat.map(row =>
+        Kernels.dotProduct(vd, typedlit(row)) * scale): _*).as("projected"))
+  }
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

@@ -223,6 +223,22 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.head.getAs[Double]("demanda_expandida") == 300.0)
   }
 
+  test("dowSeasonality: weekday means and residuals; residuals cancel per weekday") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00")
+    // Mondays Mar 4 and 11 (demand 10 and 30 -> mean 20), Tuesday Mar 5
+    val ev = Seq(
+      (ts(4), 10.0), (ts(11), 30.0), (ts(5), 7.0))
+      .toDF("ts", "value")
+    val got = AnalyticsPack.dowSeasonality(ev).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("2024-03-04", 1, 10.0, 20.0, -10.0),
+      ("2024-03-05", 2, 7.0, 7.0, 0.0),
+      ("2024-03-11", 1, 30.0, 20.0, 10.0)))
+  }
+
   test("abtestReadout: rates, lift and z from hand-computed counts") {
     import spark.implicits._
     // A: users 1,2 (1 converts). B: users 3,4,5 (3 convert... 2 convert)

@@ -175,4 +175,30 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.2, s"recall@5 degraded to $recall")
   }
+
+  test("randomProject: deterministic JL embedding, exact per-component dots, sane distances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val p1 = Ann.randomProject(emb, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // deterministic: a second evaluation is identical
+    val p2 = Ann.randomProject(emb, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2 && p1(0L).size == 16)
+    // component 0 equals the driver-side dot with the same seeded row
+    val mrnd = new java.util.Random(42L)
+    val mat = Seq.fill(16)(Array.fill(64)(if (mrnd.nextBoolean()) 1.0 else -1.0))
+    val scale = 1.0 / math.sqrt(16.0)
+    val expected = vecs.head._2.zip(mat.head).map { case (x, r) => x.toDouble * r }.sum * scale
+    assert(math.abs(p1(0L).head - expected) < 1e-9)
+    // JL: projected distances track original distances within a loose band
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val origs = vecs.map { case (i, v) => i -> v.map(_.toDouble).toSeq }.toMap
+    val ratios = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield
+      dist(p1(i), p1(j)) / dist(origs(i), origs(j))
+    assert(ratios.forall(r => r > 0.4 && r < 1.8), s"JL ratios out of band: $ratios")
+  }
 }
