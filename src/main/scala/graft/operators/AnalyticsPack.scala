@@ -542,10 +542,13 @@ object AnalyticsPack {
   }
 
   /** Daily new-vs-returning user split: a user counts as NEW on their
-    * first observed day and RETURNING on every later active day. One
-    * user-keyed first-seen aggregate, a co-keyed join back (both
-    * sides partitioned by user — no extra exchange), one day-keyed
-    * distinct aggregation.
+    * first observed day and RETURNING on every later active day.
+    * Shape: the (day, user) distinct, a user-keyed first-seen
+    * aggregate, a user-keyed exchange feeding the join (the distinct
+    * partitions on BOTH columns, so the user-only join re-keys that
+    * relation once), then one day-keyed distinct aggregation — three
+    * user-day-sized exchanges total, none event-sized beyond the
+    * first.
     */
   def newVsReturning(events: DataFrame): DataFrame = {
     val ud = events.filter(col("ts").isNotNull && col("user_id").isNotNull)

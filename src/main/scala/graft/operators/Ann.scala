@@ -102,9 +102,18 @@ object Ann {
       Seq.fill(outDim)(Array.fill(inDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val vd = col(vecCol).cast("array<double>")
+    val projected = array(mat.map(row =>
+      Kernels.dotProduct(vd, typedlit(row)) * scale): _*)
+    // the dot kernel folds over min(len) — a ragged/mis-declared
+    // vector would project silently WRONG, so the dim contract is
+    // enforced in the row (the guard wraps the projection itself and
+    // cannot be pruned away)
     emb.select(col(idCol),
-      array(mat.map(row =>
-        Kernels.dotProduct(vd, typedlit(row)) * scale): _*).as("projected"))
+      when(size(vd) === inDim, projected)
+        .otherwise(raise_error(concat(
+          lit(s"randomProject: embedding dim != $inDim (got "),
+          size(vd).cast("string"), lit(")"))))
+        .as("projected"))
   }
 
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */

@@ -78,17 +78,22 @@ object Profiling {
     * (k·(k−1)/2 struct literals + one explode) — the fact table is
     * never touched again.
     */
-  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrPairs(df: DataFrame, cols: Seq[String],
+                rowPrecision: Int = 18): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(cols.size >= 2, s"corrPairs needs at least two columns: $cols")
+    require(rowPrecision >= 13 && rowPrecision <= 38,
+      s"rowPrecision=$rowPrecision out of range [13,38]")
     val rows = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-    // Precision 18 keeps every PER-ROW decimal in Spark's compact
-    // long-backed representation (precision > 18 switches Decimal to
-    // its BigDecimal path on every one of the 15 moment columns); the
-    // SUM accumulator widens to (28,6) on its own, so totals never
-    // overflow. Row values (x, x², xy) must fit 12 integer digits —
-    // holds for any measure column up to |v| < 10⁶.
-    val dec = DecimalType(18, 6)
+    // The default precision 18 keeps every PER-ROW decimal in Spark's
+    // compact long-backed representation (precision > 18 switches
+    // Decimal to its BigDecimal path on every one of the moment
+    // columns); the SUM accumulator widens by 10 digits on its own,
+    // so totals never overflow. Row values (x, x², xy) must fit
+    // rowPrecision−6 integer digits — at the default that is any
+    // measure up to |v| < 10⁶; columns beyond that (an overflow is
+    // LOUD under ANSI, never silent) pass rowPrecision = 28.
+    val dec = DecimalType(rowPrecision, 6)
     val moments =
       Seq(count(lit(1)).as("n")) ++
       cols.map(c => sum(col(c).cast(dec)).as(s"s1_$c")) ++

@@ -273,11 +273,20 @@ object VersionedTable {
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
-  private def txnsOf(json: String): Map[String, Long] =
-    """"txns"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json).map { m =>
+  private def txnsOf(json: String): Map[String, Long] = {
+    val mapForm = """"txns"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json).map { m =>
       """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(m.group(1))
         .map(p => p.group(1) -> p.group(2).toLong).toMap
-    }.getOrElse(Map.empty)
+    }
+    // legacy manifests (pre-carry-forward) recorded one marker as
+    // txn_app/txn_version; still honored so an upgraded table never
+    // silently drops replay protection
+    lazy val legacyForm = for {
+      app <- """"txn_app"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+      seq <- """"txn_version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    } yield Map(app -> seq)
+    mapForm.orElse(legacyForm).getOrElse(Map.empty)
+  }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

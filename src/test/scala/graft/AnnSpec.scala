@@ -200,5 +200,13 @@ class AnnSpec extends SparkSpec {
     val ratios = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield
       dist(p1(i), p1(j)) / dist(origs(i), origs(j))
     assert(ratios.forall(r => r > 0.4 && r < 1.8), s"JL ratios out of band: $ratios")
+    // a ragged vector fails LOUDLY — the dot kernel would otherwise
+    // silently truncate to the shorter array
+    val ragged = Seq((0L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.randomProject(ragged, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert(e.getMessage.contains("embedding dim") || Option(e.getCause).exists(
+      _.getMessage.contains("embedding dim")), e.getMessage)
   }
 }

@@ -122,6 +122,20 @@ class VersionedTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("legacy txn_app/txn_version manifests still drive replay detection") {
+    val dir = Files.createTempDirectory("graft_vt_legacy").toString
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/data/c0-legacy")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "_graft_log"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_log", "0.json"),
+      """{"version": 0, "mode": "append", "segments": ["c0-legacy"], "txn_app": "qA", "txn_version": 7}""")
+    assert(VersionedTable.lastTxnVersion(spark, dir, "qA").contains(7L))
+    // a new commit carries the legacy marker forward into the map form
+    VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir, txn = Some(("qB", 1L)))
+    assert(VersionedTable.lastTxnVersion(spark, dir, "qA").contains(7L))
+    assert(VersionedTable.lastTxnVersion(spark, dir, "qB").contains(1L))
+  }
+
   test("txn markers survive OPTIMIZE and vacuum: a replay is still a no-op") {
     val dir = Files.createTempDirectory("graft_vt_txn").toString
     graft.streaming.StreamOps.versionedBatchCommit(Seq((1, "a")).toDF("k", "v"), dir, 0L)
