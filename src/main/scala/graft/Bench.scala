@@ -5,11 +5,29 @@ package graft
   * sink (a bare `.count()` would let Catalyst prune every computed
   * column and time only the scan). Prints one JSON line for the
   * driver's BENCH_r{N}.json.
+  *
+  * Contention defense: a single sequential pass on a loaded host can
+  * record 100x outliers that say nothing about the engine (observed:
+  * a 1.1 s query timed at 449 s under driver-window contention). Any
+  * query whose first measurement exceeds [[RetimeThresholdSec]] is
+  * timed a second time and the MIN of the two is reported — a genuine
+  * slow query stays slow on the retime; a contention spike does not.
+  * Both measurements plus host loadavg before/after and per-query
+  * wall-clock timestamps land in BENCH_DETAIL.json so a contended run
+  * is self-diagnosing.
   */
 object Bench {
+  val RetimeThresholdSec = 5.0
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    val loadBefore = loadavg()
+    val wallStart = System.currentTimeMillis()
     // JIT/codegen/session warmup outside the timed region — against
     // the SAME SF dir being benched, so the first timed query doesn't
     // absorb the dataset's first-scan cost (parquet footer reads, OS
@@ -19,22 +37,37 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     SparkEntry.queries("silver_cleanse_events")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // detail row: (name, reported-min, first-pass, retime-or-NaN, start-offset-sec)
+    val detailRows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startOff = (System.currentTimeMillis() - wallStart) / 1e3
+      val first = timeOnce(name, fn)
+      val second = if (first > RetimeThresholdSec) timeOnce(name, fn) else Double.NaN
+      val best = if (second.isNaN) first else math.min(first, second)
+      (name, best, first, second, startOff)
+    }
+    val results = detailRows.map { case (n, best, _, _, _) => n -> best }
     val total = results.map(_._2).sum
+    val loadAfter = loadavg()
     // Full per-query detail goes to a repo file; the stdout line must fit
     // the driver's bounded stdout-tail capture (measured 2000 chars — a
     // longer line gets head-truncated and fails its JSON parse), so it
     // carries only the slowest queries inline, trimmed to a hard budget.
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val detail = detailRows.map { case (k, best, first, second, off) =>
+      val retime = if (second.isNaN) "null" else second.toString
+      "\"" + k + "\":{\"sec\":" + best + ",\"first\":" + first +
+        ",\"retime\":" + retime + ",\"start_off_sec\":" + off + "}"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,""" +
+        s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""wall_start_ms":$wallStart,"retime_threshold_sec":$RetimeThresholdSec,"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
     def line(k: Int): String = {
       val top = results.sortBy(-_._2).take(k).sortBy(_._1)

@@ -1,0 +1,18 @@
+package graft
+object MiniBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    val names = args.toSeq
+    names.foreach { n =>
+      // warm twice, report both
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[mini] $n pass$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

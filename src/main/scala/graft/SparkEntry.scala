@@ -692,8 +692,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val clusters = TextDedup.connectedComponents(
         TextDedup.jaccardPairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+      // both union branches consume j — checkpoint (the PrefixSum
+      // convention) so the tokenization-heavy textStats scan and the
+      // cluster join materialize ONCE, not once per branch
       val j = textStats(s, d).select(col("doc_id"), col("quality_score"))
         .join(clusters, Seq("doc_id"), "left")
+        .localCheckpoint(true)
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality_score").desc, col("doc_id"))
       j.filter(col("cluster_id").isNull)
@@ -807,9 +811,11 @@ object SparkEntry {
       Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
     // JL random projection 64 -> 16 dims (seeded Rademacher matrix;
-    // rows-only — the seeded matrix is not oracle-expressible).
+    // rows-only — the seeded matrix is not oracle-expressible). Long
+    // form (vec_id, dim_pos, component): flat sortable schema, no
+    // nested array column in the driver-checked output.
     "embedding_random_projection" -> ((s: SparkSession, d: String) =>
-      Ann.randomProject(t(s, d, "embeddings"), "vec_id", "embedding",
+      Ann.randomProjectLong(t(s, d, "embeddings"), "vec_id", "embedding",
         inDim = 64, outDim = 16)),
 
     "stream_events_30m" -> ((s: SparkSession, d: String) =>
@@ -847,6 +853,18 @@ object SparkEntry {
     "contract_gate_events" -> ((s: SparkSession, d: String) => {
       val (fields, cross) = eventsContract
       RowContract.annotate(t(s, d, "events"), fields, cross)
+    }),
+
+    // Sampled contract pre-flight: the same contract over a bounded
+    // DETERMINISTIC 2000-row sample (lowest md5(event_id) — a pure
+    // function of the data, reproducible across engines/layouts; the
+    // reference validates `validation_sample_size` rows through
+    // Pydantic before the full pass, transforms.py:214-279). The
+    // rank-take runs as TakeOrdered — no global sort.
+    "contract_sample_gate" -> ((s: SparkSession, d: String) => {
+      val (fields, cross) = eventsContract
+      RowContract.sampleGate(t(s, d, "events"), fields, cross,
+        keyCols = Seq("event_id"), n = 2000, warnRate = 0.00001, failRate = 0.01)
     }),
 
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) =>
@@ -1361,6 +1379,10 @@ object SparkEntry {
            |    COALESCE(CAST(event_id AS VARCHAR), '<NULL>'),
            |    COALESCE(CAST(user_id AS VARCHAR), '<NULL>'),
            |    COALESCE(CAST(event_type AS VARCHAR), '<NULL>'))), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum_$suffix,
+           |  BIT_XOR(CAST(concat('0x', substr(md5(concat_ws('|',
+           |    COALESCE(CAST(event_id AS VARCHAR), '<NULL>'),
+           |    COALESCE(CAST(user_id AS VARCHAR), '<NULL>'),
+           |    COALESCE(CAST(event_type AS VARCHAR), '<NULL>'))), 1, 15)) AS BIGINT)) AS xor_$suffix,
            |  SUM(CAST(value AS DECIMAL(28,6))) AS msum_$suffix
            |FROM $src GROUP BY 1""".stripMargin
       s"""WITH a AS (SELECT event_id, user_id, event_type, value FROM events),
@@ -1374,10 +1396,12 @@ object SparkEntry {
          |  COALESCE(n_rows_a, 0) AS n_rows_a,
          |  COALESCE(n_rows_b, 0) AS n_rows_b,
          |  checksum_a, checksum_b,
+         |  xor_a, xor_b,
          |  CAST(msum_a AS DOUBLE) AS measure_sum_a,
          |  CAST(msum_b AS DOUBLE) AS measure_sum_b,
          |  (COALESCE(n_rows_a, 0) = COALESCE(n_rows_b, 0)
          |   AND checksum_a IS NOT DISTINCT FROM checksum_b
+         |   AND xor_a IS NOT DISTINCT FROM xor_b
          |   AND msum_a IS NOT DISTINCT FROM msum_b) AS is_match
          |FROM pa FULL OUTER JOIN pb USING (bucket)""".stripMargin
     },
@@ -2209,7 +2233,34 @@ object SparkEntry {
          |       WHEN n_rows / SUM(n_rows) OVER () >= 0.00001 THEN 'WARN'
          |       ELSE 'OK' END AS status
          |FROM (SELECT COALESCE(reason_code, 'VALID') AS reason_code, COUNT(*) AS n_rows
-         |      FROM (${qualityAnnotatedSql()}) GROUP BY 1)""".stripMargin)
+         |      FROM (${qualityAnnotatedSql()}) GROUP BY 1)""".stripMargin,
+
+    "contract_sample_gate" ->
+      """WITH s AS (
+        |  SELECT * FROM events
+        |  ORDER BY md5(COALESCE(CAST(event_id AS VARCHAR), ' ')) LIMIT 2000),
+        |norm AS (
+        |  SELECT event_id, ts, user_id,
+        |    NULLIF(UPPER(TRIM(event_type)), '') AS event_type,
+        |    value, props
+        |  FROM s),
+        |ann AS (
+        |  SELECT CASE WHEN user_id IS NULL THEN 'MISSING_ID'
+        |       WHEN event_type IS NULL THEN 'MISSING_TYPE'
+        |       WHEN event_type NOT IN ('CLICK','SIGNUP','ERROR','VIEW','PURCHASE') THEN 'BAD_TYPE'
+        |       WHEN ts IS NULL THEN 'MISSING_TIMESTAMP'
+        |       WHEN NOT COALESCE(value IS NULL OR value BETWEEN 0 AND 450, FALSE) THEN 'BAD_RANGE_VALUE'
+        |       WHEN value IS NULL AND props IS NULL THEN 'EMPTY_PAYLOAD'
+        |       ELSE NULL END AS reason_code
+        |  FROM norm)
+        |SELECT reason_code, n_rows,
+        |  n_rows / SUM(n_rows) OVER () AS rate,
+        |  CASE WHEN reason_code = 'VALID' THEN 'OK'
+        |       WHEN n_rows / SUM(n_rows) OVER () >= 0.01 THEN 'FAIL'
+        |       WHEN n_rows / SUM(n_rows) OVER () >= 0.00001 THEN 'WARN'
+        |       ELSE 'OK' END AS status
+        |FROM (SELECT COALESCE(reason_code, 'VALID') AS reason_code, COUNT(*) AS n_rows
+        |      FROM ann GROUP BY 1)""".stripMargin)
 
   /** DuckDB twin of the brute-force ANN baseline. Float parity is
     * exact (see below); the centroid twin goes float -> DOUBLE ->

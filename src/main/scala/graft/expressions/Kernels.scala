@@ -41,4 +41,16 @@ object Kernels {
   def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(
       BloomMightContainExpr(ColumnBridge.expression(key), bloomBytes))
+
+  /** UTM -> WGS84 latitude over double easting/northing columns (see
+    * [[UtmToLatExpr]]); bit-identical to the Snyder-series SQL twin.
+    */
+  def utmToLat(e: Column, n: Column, zone: Int, southern: Boolean): Column =
+    ColumnBridge.column(UtmToLatExpr(
+      ColumnBridge.expression(e), ColumnBridge.expression(n), zone, southern))
+
+  /** UTM -> WGS84 longitude twin of [[utmToLat]]. */
+  def utmToLon(e: Column, n: Column, zone: Int, southern: Boolean): Column =
+    ColumnBridge.column(UtmToLonExpr(
+      ColumnBridge.expression(e), ColumnBridge.expression(n), zone, southern))
 }

@@ -29,56 +29,77 @@ object Geo {
 
   private val MuDenom = A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256)
 
+  private val C2 = 3 * E1 / 2 - 27 * math.pow(E1, 3) / 32
+  private val C4 = 21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32
+  private val C6 = 151 * math.pow(E1, 3) / 96
+  private val C8 = 1097 * math.pow(E1, 4) / 512
+
   /** Central meridian of a UTM zone, in radians. */
   private def lon0Rad(zone: Int): Double = math.toRadians(-183.0 + 6.0 * zone)
 
-  /** Footpoint latitude (radians) from a northing column. */
-  private def phi1(n: Column, southern: Boolean): Column = {
+  /** Footpoint latitude (radians) from a northing in meters — the
+    * shared head of both inverse series, as plain double math.
+    */
+  private def phi1Kernel(n: Double, southern: Boolean): Double = {
     val fn = if (southern) SouthFalseNorthing else 0.0
-    val m = (n - lit(fn)) / lit(K0)
-    val mu = m / lit(MuDenom)
-    mu +
-      lit(3 * E1 / 2 - 27 * math.pow(E1, 3) / 32) * sin(mu * 2) +
-      lit(21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32) * sin(mu * 4) +
-      lit(151 * math.pow(E1, 3) / 96) * sin(mu * 6) +
-      lit(1097 * math.pow(E1, 4) / 512) * sin(mu * 8)
+    val m = (n - fn) / K0
+    val mu = m / MuDenom
+    mu + C2 * math.sin(mu * 2) + C4 * math.sin(mu * 4) +
+      C6 * math.sin(mu * 6) + C8 * math.sin(mu * 8)
   }
 
-  /** Latitude (degrees) from UTM easting/northing columns. */
-  def utmToLat(e: Column, n: Column, zone: Int = 19, southern: Boolean = true): Column = {
-    val p1 = phi1(n, southern)
-    val sinP = sin(p1); val cosP = cos(p1); val tanP = tan(p1)
-    val c1 = lit(Ep2) * cosP * cosP
+  /** Scalar latitude kernel — the Snyder series as ONE tight double
+    * computation per row, invoked from the native
+    * [[graft.expressions.UtmToLatExpr]] codegen. The operation order
+    * mirrors the SQL-oracle rendering term for term (same literals,
+    * same association), so results are bit-identical to an engine
+    * replaying [[sqlConstants]]; as nested Column algebra this series
+    * exploded combinatorially (every reuse of the footpoint series
+    * re-inlined its whole tree — d6 alone carried it 6×), costing
+    * minutes of first-run optimizer/codegen time per session.
+    */
+  def utmLatKernel(e: Double, n: Double, zone: Int, southern: Boolean): Double = {
+    val p1 = phi1Kernel(n, southern)
+    val sinP = math.sin(p1); val cosP = math.cos(p1); val tanP = math.tan(p1)
+    val c1 = Ep2 * cosP * cosP
     val t1 = tanP * tanP
-    val oneMinus = lit(1.0) - lit(E2) * sinP * sinP
-    val n1 = lit(A) / sqrt(oneMinus)
-    val r1 = lit(A * (1 - E2)) / pow(oneMinus, 1.5)
-    val d = (e - lit(FalseEasting)) / (n1 * lit(K0))
+    val oneMinus = 1.0 - E2 * sinP * sinP
+    val n1 = A / math.sqrt(oneMinus)
+    val r1 = (A * (1 - E2)) / math.pow(oneMinus, 1.5)
+    val d = (e - FalseEasting) / (n1 * K0)
     val d2 = d * d; val d4 = d2 * d2; val d6 = d4 * d2
     val latRad = p1 - (n1 * tanP / r1) * (
       d2 / 2 -
-        (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 - lit(9.0 * Ep2)) * d4 / 24 +
-        (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 -
-          lit(252.0 * Ep2) - lit(3.0) * c1 * c1) * d6 / 720)
-    degrees(latRad)
+        (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * Ep2) * d4 / 24 +
+        (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 -
+          252.0 * Ep2 - 3.0 * c1 * c1) * d6 / 720)
+    math.toDegrees(latRad)
   }
 
-  /** Longitude (degrees) from UTM easting/northing columns. */
-  def utmToLon(e: Column, n: Column, zone: Int = 19, southern: Boolean = true): Column = {
-    val p1 = phi1(n, southern)
-    val sinP = sin(p1); val cosP = cos(p1); val tanP = tan(p1)
-    val c1 = lit(Ep2) * cosP * cosP
+  /** Scalar longitude kernel — see [[utmLatKernel]]. */
+  def utmLonKernel(e: Double, n: Double, zone: Int, southern: Boolean): Double = {
+    val p1 = phi1Kernel(n, southern)
+    val sinP = math.sin(p1); val cosP = math.cos(p1); val tanP = math.tan(p1)
+    val c1 = Ep2 * cosP * cosP
     val t1 = tanP * tanP
-    val oneMinus = lit(1.0) - lit(E2) * sinP * sinP
-    val n1 = lit(A) / sqrt(oneMinus)
-    val d = (e - lit(FalseEasting)) / (n1 * lit(K0))
+    val oneMinus = 1.0 - E2 * sinP * sinP
+    val n1 = A / math.sqrt(oneMinus)
+    val d = (e - FalseEasting) / (n1 * K0)
     val d2 = d * d; val d3 = d2 * d; val d5 = d3 * d2
-    val lonRad = lit(lon0Rad(zone)) + (
-      d - (lit(1.0) + lit(2.0) * t1 + c1) * d3 / 6 +
-        (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 +
-          lit(8.0 * Ep2) + lit(24.0) * t1 * t1) * d5 / 120) / cosP
-    degrees(lonRad)
+    val lonRad = lon0Rad(zone) + (
+      d - (1.0 + 2.0 * t1 + c1) * d3 / 6 +
+        (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 +
+          8.0 * Ep2 + 24.0 * t1 * t1) * d5 / 120) / cosP
+    math.toDegrees(lonRad)
   }
+
+  /** Latitude (degrees) from UTM easting/northing columns. */
+  def utmToLat(e: Column, n: Column, zone: Int = 19, southern: Boolean = true): Column =
+    graft.expressions.Kernels.utmToLat(e.cast("double"), n.cast("double"), zone, southern)
+
+  /** Longitude (degrees) from UTM easting/northing columns. */
+  def utmToLon(e: Column, n: Column, zone: Int = 19, southern: Boolean = true): Column =
+    graft.expressions.Kernels.utmToLon(e.cast("double"), n.cast("double"), zone, southern)
 
   /** The inverse-series constants as shortest-round-trip double
     * literals, for SQL oracle twins that must replay the exact
@@ -91,10 +112,10 @@ object Geo {
     "ep2" -> Ep2.toString,
     "k0" -> K0.toString,
     "mu_denom" -> MuDenom.toString,
-    "c2" -> (3 * E1 / 2 - 27 * math.pow(E1, 3) / 32).toString,
-    "c4" -> (21 * E1 * E1 / 16 - 55 * math.pow(E1, 4) / 32).toString,
-    "c6" -> (151 * math.pow(E1, 3) / 96).toString,
-    "c8" -> (1097 * math.pow(E1, 4) / 512).toString,
+    "c2" -> C2.toString,
+    "c4" -> C4.toString,
+    "c6" -> C6.toString,
+    "c8" -> C8.toString,
     "a_1me2" -> (A * (1 - E2)).toString,
     "ep2_9" -> (9.0 * Ep2).toString,
     "ep2_252" -> (252.0 * Ep2).toString,

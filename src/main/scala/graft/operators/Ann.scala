@@ -116,6 +116,17 @@ object Ann {
         .as("projected"))
   }
 
+  /** Long-form twin of [[randomProject]]: one row per output component
+    * `(id, dim_pos, component)` via posexplode — a flat, sortable
+    * schema (no nested array column) that downstream stats/joins and
+    * engine-neutral comparisons consume directly. Same seeded matrix,
+    * same kernels; the explode is a codegen'd generator, no shuffle.
+    */
+  def randomProjectLong(emb: DataFrame, idCol: String, vecCol: String,
+                        inDim: Int, outDim: Int, seed: Long = 42L): DataFrame =
+    randomProject(emb, idCol, vecCol, inDim, outDim, seed)
+      .select(col(idCol), posexplode(col("projected")).as(Seq("dim_pos", "component")))
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

@@ -57,6 +57,17 @@ object Audit {
     * NULL columns); `measureCol` is reconciled as an exact decimal
     * sum rather than through the digest (float-to-string rendering is
     * engine-specific; decimal sums are not).
+    *
+    * The identity checksum is DOUBLE-STRANDED: an additive SUM of the
+    * 32-bit digests plus an order-free XOR of the 60-bit digests
+    * ([[Sampling.md5Long60]]). Either alone can be fooled by
+    * compensating edits inside one bucket (two rows swapping their
+    * hash-column values cancels in a sum; an even number of identical
+    * edits cancels in an XOR) — fooling BOTH simultaneously requires
+    * edits that preserve an additive 32-bit invariant and a 60-bit
+    * XOR invariant at once, which no natural data drift does. Both
+    * strands stay associative/commutative, so the panel remains one
+    * partial-aggregatable pass.
     */
   def tableDiff(a: DataFrame, b: DataFrame, keyCol: String,
                 hashCols: Seq[String], measureCol: String,
@@ -65,10 +76,13 @@ object Audit {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     def panel(df: DataFrame, suffix: String): DataFrame = {
       val digest32 = Sampling.md5Long32((keyCol +: hashCols).map(col))
+      val digest60 = Sampling.md5Long60((keyCol +: hashCols).map(col))
       val bucket = pmod(Sampling.md5Long32(Seq(col(keyCol))), lit(nBuckets))
-      df.groupBy(bucket.as("bucket"))
+      df.withColumn("__graft_d60", digest60)
+        .groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as(s"n_rows_$suffix"),
           sum(digest32).as(s"checksum_$suffix"),
+          expr("bit_xor(__graft_d60)").as(s"xor_$suffix"),
           sum(col(measureCol).cast(DecimalType(28, 6))).as(s"measure_sum_$suffix"))
     }
     // ≤ nBuckets rows per side, ≤ 1 row per key: shuffled-hash keeps
@@ -78,10 +92,12 @@ object Audit {
         coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
         coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
         col("checksum_a"), col("checksum_b"),
+        col("xor_a"), col("xor_b"),
         col("measure_sum_a").cast("double").as("measure_sum_a"),
         col("measure_sum_b").cast("double").as("measure_sum_b"),
         (coalesce(col("n_rows_a"), lit(0L)) === coalesce(col("n_rows_b"), lit(0L)) &&
           col("checksum_a") <=> col("checksum_b") &&
+          col("xor_a") <=> col("xor_b") &&
           col("measure_sum_a") <=> col("measure_sum_b")).as("is_match"))
   }
 }

@@ -101,9 +101,13 @@ object Dims {
   def junkDim(df: DataFrame, flagCols: Seq[String], skName: String): DataFrame = {
     require(flagCols.nonEmpty, "junkDim needs at least one flag column")
     val spark = df.sparkSession
+    // asc_nulls_last, NOT Spark's NULLS FIRST default: ROW_NUMBER()
+    // OVER (ORDER BY …) in ANSI engines (DuckDB, Postgres) defaults
+    // ascending NULLS LAST, and the scaladoc promises ROW_NUMBER-
+    // identical numbering even when a flag column carries NULLs
     val combos = df.select(flagCols.map(col): _*)
       .distinct()
-      .sort(flagCols.map(col): _*)
+      .sort(flagCols.map(c => asc_nulls_last(c)): _*)
       .localCheckpoint(false)
     val numbered = combos.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq((i + 1).toInt +: r.toSeq)

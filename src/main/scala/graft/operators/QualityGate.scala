@@ -53,7 +53,11 @@ object QualityGate {
     */
   def thresholdGate(df: DataFrame, rules: Seq[Rule],
                     warnRate: Double, failRate: Double): DataFrame = {
-    val rep = report(df, rules)
+    // the report feeds BOTH the output rows and the 1-row total — an
+    // un-materialized plan would run the full upstream scan twice
+    // (crossJoin branches don't share subtrees); the report is at most
+    // rules+1 rows, so the eager checkpoint is metadata-sized
+    val rep = report(df, rules).localCheckpoint(true)
     val total = rep.agg(sum(col("n_rows")).as("__graft_total"))
     rep.crossJoin(total)
       .withColumn("rate", col("n_rows") / col("__graft_total"))

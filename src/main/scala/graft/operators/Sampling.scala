@@ -46,6 +46,19 @@ object Sampling {
       cols.map(c => coalesce(c.cast("string"), lit("<NULL>"))): _*)), 1, 8), 16, 10)
       .cast("long")
 
+  /** 60-bit sibling of [[md5Long32]]: first 15 hex chars (60 bits —
+    * the widest prefix that stays positive in a SIGNED 64-bit int in
+    * every engine; 16 chars would overflow DuckDB's BIGINT cast for
+    * digests starting >= '8'). Used where collision probability
+    * matters more than compactness (checksum XOR in
+    * [[Audit.tableDiff]]). DuckDB replay:
+    * `CAST('0x' || substr(md5(…), 1, 15) AS BIGINT)`.
+    */
+  def md5Long60(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("<NULL>"))): _*)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Threshold hex literal: buckets `< threshold` are kept, giving a
     * kept fraction of round(rate*65536)/65536. Rates >= 1 map to the
     * sentinel "g" (every hex bucket < "g" — keep all).

@@ -282,26 +282,40 @@ object MedallionSink {
     s.read.parquet(path)
   }
 
+  /** One `_meta.json` per hive partition directory, written FROM THE
+    * EXECUTORS: the per-partition counts stay a distributed frame and
+    * each task writes the sidecars for the count rows it holds
+    * (atomic tmp→rename, same as before). The driver never loops over
+    * partitions — at 100k partitions the old collect()-then-write
+    * loop was a driver-bound O(#partitions) I/O serialization; this
+    * form spreads the I/O across the cluster and the driver sees only
+    * task completions. (Counts are one row per partition — tiny — so
+    * the collect() itself was fine; the sequential WRITES were not.)
+    */
   private def writeMetaSidecars(df: DataFrame, target: String,
                                 partitionCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.{col, count, lit}
     val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
     val colsJson = dataCols.map(c => s""""$c"""").mkString("[", ", ", "]")
-    val counts = readNoInfer(df.sparkSession, target)
+    val pCols = partitionCols
+    val tgt = target
+    readNoInfer(df.sparkSession, target)
       .groupBy(partitionCols.map(c => col(c).cast("string")): _*)
-      .agg(count(lit(1)).as("__n")).collect()
-    counts.foreach { r =>
-      val dir = partitionCols.zipWithIndex.map { case (c, i) =>
-        val v = r.getString(i)
-        if (v == null) s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
-        else s"$c=${ExternalCatalogUtils.escapePathName(v)}"
-      }.mkString("/")
-      val n = r.getLong(partitionCols.length)
-      val json = s"""{"row_count": $n, "columns": $colsJson}"""
-      atomicWrite(Paths.get(target, dir, s"._meta.json.tmp"),
-        Paths.get(target, dir, "_meta.json"), json)
-    }
+      .agg(count(lit(1)).as("__n"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        rows.foreach { r =>
+          val dir = pCols.zipWithIndex.map { case (c, i) =>
+            val v = r.getString(i)
+            if (v == null) s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+            else s"$c=${ExternalCatalogUtils.escapePathName(v)}"
+          }.mkString("/")
+          val n = r.getLong(pCols.length)
+          val json = s"""{"row_count": $n, "columns": $colsJson}"""
+          atomicWrite(Paths.get(tgt, dir, s"._meta.json.tmp"),
+            Paths.get(tgt, dir, "_meta.json"), json)
+        }
+      }
   }
 
   private def atomicWrite(tmp: java.nio.file.Path, dest: java.nio.file.Path,

@@ -67,10 +67,27 @@ object VersionedTable {
     * twice, while a DIFFERENT query's marker is foreign and never
     * suppresses a batch.
     */
+  /** Manifests and stats sidecars are hand-rendered JSON: an
+    * identifier carrying a quote/backslash/control char would corrupt
+    * the file the COMMIT POINT depends on (the regex readers would
+    * then silently drop segments or txn markers), so identifiers are
+    * rejected at commit time rather than escaped — a column or writer
+    * id with a quote in it is an error upstream, not a rendering
+    * problem.
+    */
+  private def requireJsonSafe(s: String, what: String): String = {
+    require(s.nonEmpty && !s.exists(c => c == '"' || c == '\\' || c.isControl),
+      s"$what must be non-empty and free of quotes/backslashes/control chars " +
+        s"(it is embedded in hand-rendered manifest JSON): ${s.trim}")
+    s
+  }
+
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
              statsCol: Option[String] = None,
              txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
+    statsCol.foreach(requireJsonSafe(_, "statsCol"))
+    txn.foreach(t => requireJsonSafe(t._1, "txn writer id"))
     val hfs = fs(spark, dir)
     val committed = versions(hfs, dir)
     val v = committed.maxOption.map(_ + 1).getOrElse(0L)
@@ -85,7 +102,12 @@ object VersionedTable {
       import org.apache.spark.sql.functions.{col, max, min}
       val r = spark.read.parquet(s"$dir/data/$segment")
         .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
-      if (!r.isNullAt(0))
+      // NaN/Infinity are not JSON atoms — a segment with non-finite
+      // bounds publishes NO sidecar and is simply always read
+      // (conservative), instead of publishing invalid JSON
+      if (!r.isNullAt(0) &&
+          java.lang.Double.isFinite(r.getDouble(0)) &&
+          java.lang.Double.isFinite(r.getDouble(1)))
         publish(hfs, new HPath(s"$dir/data/$segment/._graft_stats.json.tmp"),
           new HPath(s"$dir/data/$segment/_graft_stats.json"),
           s"""{"column": "$c", "min": ${r.getDouble(0)}, "max": ${r.getDouble(1)}}""")

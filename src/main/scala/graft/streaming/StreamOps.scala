@@ -186,22 +186,39 @@ object StreamOps {
     * segment-stats sidecar so range reads prune whole batches.
     */
   def versionedSink(stream: DataFrame, checkpoint: String, dir: String,
-                    statsCol: Option[String] = None):
+                    statsCol: Option[String] = None,
+                    writerId: Option[String] = None):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        versionedBatchCommit(batch.toDF(), dir, batchId, statsCol)
+        versionedBatchCommit(batch.toDF(), dir, batchId, statsCol, writerId)
       }
 
+  /** The writer identity is the explicit `writerId` when given, else
+    * the running query's id (the `sql.streaming.queryId` local
+    * property StreamExecution sets around foreachBatch). NO silent
+    * fallback: two writers quietly sharing one default identity would
+    * let one writer's recorded batch id permanently suppress the
+    * other's legitimate batches — silent data loss — so an absent
+    * identity (internal key renamed by an upgrade, or a
+    * non-StreamExecution caller that passed no writerId) fails loudly
+    * instead.
+    */
   private[graft] def versionedBatchCommit(batch: DataFrame, dir: String,
                                           batchId: Long,
-                                          statsCol: Option[String] = None): Unit = {
+                                          statsCol: Option[String] = None,
+                                          writerId: Option[String] = None): Unit = {
     import graft.sources.VersionedTable
     val spark = batch.sparkSession
-    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .getOrElse("batch")
+    val qid = writerId
+      .orElse(Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+      .getOrElse(throw new IllegalStateException(
+        "versionedBatchCommit: no writer identity — sql.streaming.queryId " +
+          "is unset and no explicit writerId was passed; refusing to " +
+          "default to a shared identity (it would cross-suppress batches " +
+          "of distinct writers)"))
     if (batchId >= 0 &&
         VersionedTable.lastTxnVersion(spark, dir, qid).exists(batchId <= _)) return
     VersionedTable.commit(batch, dir, statsCol = statsCol,

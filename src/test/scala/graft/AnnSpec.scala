@@ -200,6 +200,15 @@ class AnnSpec extends SparkSpec {
     val ratios = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield
       dist(p1(i), p1(j)) / dist(origs(i), origs(j))
     assert(ratios.forall(r => r > 0.4 && r < 1.8), s"JL ratios out of band: $ratios")
+    // long form: one row per (vec_id, dim_pos), components identical
+    // to the array form — this is the driver-checked schema
+    val long = Ann.randomProjectLong(emb, "vec_id", "embedding", 64, 16)
+    assert(long.columns.toSeq == Seq("vec_id", "dim_pos", "component"))
+    val longRows = long.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(longRows.size == 40 * 16)
+    assert(p1.forall { case (id, vec) =>
+      vec.zipWithIndex.forall { case (v, d) => longRows((id, d)) == v } })
     // a ragged vector fails LOUDLY — the dot kernel would otherwise
     // silently truncate to the shorter array
     val ragged = Seq((0L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")

@@ -152,6 +152,30 @@ class CoreOperatorsSpec extends SparkSpec {
       == "MISSING_ID")
   }
 
+  test("sampleGate: deterministic md5-rank sample, layout-stable, bounded verdict") {
+    // 200 rows, ids 100..299; exactly the 40 with v < 0 are NEG
+    val df = Seq.tabulate(200)(i =>
+      (100L + i, if (i % 5 == 0) -1.0 else 1.0)).toDF("id", "v")
+    val fields = Seq(RowContract.Field("v", RowContract.NoNorm,
+      Seq("NEG" -> ((c: org.apache.spark.sql.Column) => c >= 0))))
+    val gate = RowContract.sampleGate(df, fields, Seq.empty,
+      keyCols = Seq("id"), n = 50, warnRate = 0.01, failRate = 0.50)
+    val got = gate.collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    // the verdict is over EXACTLY the 50 lowest-md5 ids — replay it
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sampleIds = (0 until 200).map(i => 100L + i).sortBy(id => hex(id.toString)).take(50).toSet
+    val expectNeg = sampleIds.count(id => (id - 100) % 5 == 0)
+    assert(got("NEG")._1 == expectNeg && got("VALID")._1 == 50 - expectNeg)
+    assert(got("NEG")._2 == "WARN") // 20%-ish rate: above warn, below 50% fail
+    assert(got.values.map(_._1).sum == 50)
+    // layout-independence: a different partitioning gives the identical gate
+    val reGate = RowContract.sampleGate(df.repartition(7), fields, Seq.empty,
+      Seq("id"), 50, 0.01, 0.50).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(reGate == got)
+  }
+
   test("dedup latestByGrain keeps one deterministic row per grain") {
     val df = Seq(
       (1L, "a", Timestamp.valueOf("2024-01-01 10:00:00"), 10L),

@@ -104,6 +104,23 @@ class SourcesSpec extends SparkSpec {
     assert(quality.contains("\"rows_written\": 3") && quality.contains("\"n_quarantined\": 0"))
   }
 
+  test("meta sidecars land for a multi-hundred-partition write (executor-side I/O)") {
+    val root = Files.createTempDirectory("graft_many_parts").toString
+    // 300 partition dirs — enough that a driver-sequential sidecar
+    // loop is the thing being exercised; the writes run distributed
+    // (foreachPartition over the per-partition counts)
+    val df = spark.range(300).selectExpr("id", "cast(id as string) AS p", "id * 2 AS v")
+    MedallionSink.write(df, root, "wide", Seq("p"))
+    val dirs = new java.io.File(s"$root/dataset=wide").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("p="))
+    assert(dirs.length == 300)
+    assert(dirs.forall(d => new java.io.File(d, "_meta.json").exists()),
+      "every partition dir must carry its _meta.json sidecar")
+    val one = Files.readString(Paths.get(root, "dataset=wide", "p=7", "_meta.json"))
+    assert(one.contains("\"row_count\": 1"))
+    MedallionCatalog.validateOrThrow(spark, root, "wide", Seq("p"))
+  }
+
   test("catalog read-side: discovery, meta sidecars, row-count validation round-trip") {
     val root = Files.createTempDirectory("graft_cat").toString
     val df = Seq(

@@ -63,23 +63,31 @@ class VersionedTableSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_vt_sink").toString
     val sc = spark.sparkContext
     graft.streaming.StreamOps.versionedBatchCommit(
-      Seq((1, "a")).toDF("k", "v"), dir, 0L)
+      Seq((1, "a")).toDF("k", "v"), dir, 0L, writerId = Some("qA"))
     // at-least-once replay of batch 0 (content must not even be read)
     graft.streaming.StreamOps.versionedBatchCommit(
-      Seq((99, "replay")).toDF("k", "v"), dir, 0L)
+      Seq((99, "replay")).toDF("k", "v"), dir, 0L, writerId = Some("qA"))
     assert(VersionedTable.latestVersion(spark, dir).contains(0L))
     assert(VersionedTable.read(spark, dir).collect().map(_.getInt(0)).toSeq == Seq(1))
     // the next batch id commits normally
     graft.streaming.StreamOps.versionedBatchCommit(
-      Seq((2, "b")).toDF("k", "v"), dir, 1L)
+      Seq((2, "b")).toDF("k", "v"), dir, 1L, writerId = Some("qA"))
     assert(VersionedTable.read(spark, dir).count() == 2)
     // a different query's marker never suppresses a new query's batch 0
+    // (identity resolved from the streaming queryId local property)
     sc.setLocalProperty("sql.streaming.queryId", "query-X")
     try {
       graft.streaming.StreamOps.versionedBatchCommit(
         Seq((3, "c")).toDF("k", "v"), dir, 0L)
       assert(VersionedTable.read(spark, dir).count() == 3)
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
+    // NO writer identity at all -> loud failure, never a shared default
+    // (a silent shared identity would cross-suppress distinct writers)
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamOps.versionedBatchCommit(
+        Seq((4, "d")).toDF("k", "v"), dir, 1L)
+    }
+    assert(e.getMessage.contains("no writer identity"))
   }
 
   test("optimizeCompact: one fresh segment, same rows, history intact until vacuum") {
@@ -138,17 +146,20 @@ class VersionedTableSpec extends SparkSpec {
 
   test("txn markers survive OPTIMIZE and vacuum: a replay is still a no-op") {
     val dir = Files.createTempDirectory("graft_vt_txn").toString
-    graft.streaming.StreamOps.versionedBatchCommit(Seq((1, "a")).toDF("k", "v"), dir, 0L)
-    graft.streaming.StreamOps.versionedBatchCommit(Seq((2, "b")).toDF("k", "v"), dir, 1L)
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((1, "a")).toDF("k", "v"), dir, 0L, writerId = Some("qT"))
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((2, "b")).toDF("k", "v"), dir, 1L, writerId = Some("qT"))
     // compact + GC away every marker-bearing APPEND manifest
     VersionedTable.optimizeCompact(spark, dir)
     VersionedTable.vacuum(spark, dir, retainVersions = 1)
     // the crash-replay of batch 1 must still be detected as applied
     graft.streaming.StreamOps.versionedBatchCommit(
-      Seq((99, "replay")).toDF("k", "v"), dir, 1L)
+      Seq((99, "replay")).toDF("k", "v"), dir, 1L, writerId = Some("qT"))
     assert(VersionedTable.read(spark, dir).count() == 2)
     // and the genuinely next batch applies
-    graft.streaming.StreamOps.versionedBatchCommit(Seq((3, "c")).toDF("k", "v"), dir, 2L)
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((3, "c")).toDF("k", "v"), dir, 2L, writerId = Some("qT"))
     assert(VersionedTable.read(spark, dir).count() == 3)
   }
 
