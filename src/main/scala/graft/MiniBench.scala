@@ -7,7 +7,7 @@ object MiniBench {
     val names = args.toSeq
     names.foreach { n =>
       // warm twice, report both
-      for (i <- 1 to 2) {
+      for (i <- 1 to 4) {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[mini] $n pass$i ${(System.nanoTime()-t0)/1e9}%.2f s")

@@ -245,6 +245,14 @@ object TextDedup {
     * otherwise double per round and recompute the whole history at
     * every action.
     *
+    * Per-round cost is trimmed two ways, both exact: duplicate edges
+    * are NOT distinct-ed away (min is idempotent — a duplicate edge
+    * changes nothing but a distinct costs a full shuffle of the pair
+    * set), and change detection carries the previous label THROUGH
+    * the min-aggregate (labels ride the union tagged as their own
+    * prior, so "changed" is a filter-count on the checkpointed round
+    * output — no per-round join against the previous state).
+    *
     * Output: (doc_id, cluster_id) for every document appearing in a
     * pair, cluster_id = the component's minimum doc id.
     *
@@ -260,7 +268,7 @@ object TextDedup {
                           maxRounds: Int = 64): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
     var changed = 1L
@@ -268,13 +276,19 @@ object TextDedup {
     while (changed > 0 && round < maxRounds) {
       val viaEdges = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = viaEdges.unionAll(labels)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"),
+          lit(Long.MaxValue).as("__graft_prev"))
+      // each node's own row carries its prior label; after the min-agg
+      // the round's delta is visible IN the output, no join needed
+      val step = viaEdges
+        .unionAll(labels.select(col("doc_id"), col("cluster_id"),
+          col("cluster_id").as("__graft_prev")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          min(col("__graft_prev")).as("__graft_prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = step.filter(col("cluster_id") =!= col("__graft_prev")).count()
+      labels = step.select(col("doc_id"), col("cluster_id"))
       round += 1
     }
     if (changed > 0)
