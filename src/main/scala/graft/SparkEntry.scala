@@ -957,6 +957,39 @@ object SparkEntry {
         defaultRate = 1.0, keyCols = Seq("doc_id"))
     }),
 
+    // Deterministic training-order shuffle: md5-rank permutation
+    // position + fixed-size shard assignment via the distributed
+    // prefix sum (never a global ROW_NUMBER window; orderBy(rand())
+    // is neither reproducible nor resumable).
+    "corpus_shuffle" -> ((s: SparkSession, d: String) =>
+      Sampling.corpusShuffle(t(s, d, "documents"), "doc_id", shardSize = 256)),
+
+    // Quality-greedy selection under a global token budget: keep the
+    // best docs while the running token total fits — the "best corpus
+    // that fits the training budget" cut, running total = distributed
+    // prefix sum of exact integer token counts.
+    "sample_token_budget" -> ((s: SparkSession, d: String) =>
+      Sampling.tokenBudget(
+        textStats(s, d).select(col("doc_id"), col("quality_score"), col("n_tokens")),
+        "doc_id", "quality_score", "n_tokens", budget = 15000L)),
+
+    // Cross-doc repeated-span share: per doc, the fraction of its
+    // distinct 10-token spans that appear in >= 1 other document —
+    // the measurement behind exact-substring dedup (licenses,
+    // templates, injected boilerplate).
+    "dup_span_stats" -> ((s: SparkSession, d: String) =>
+      CorpusQc.dupSpanStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // Source-level quality gate: a whole source is kept/dropped on
+    // its aggregate quality — domain filtering, the step per-doc
+    // gates cannot express.
+    "source_quality_gate" -> ((s: SparkSession, d: String) => {
+      val q = textStats(s, d).select(col("doc_id"), col("quality_score"))
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      CorpusQc.sourceQualityGate(src.join(q, "doc_id"), "source",
+        "quality_score", minDocs = 10L, minMeanQuality = 0.5)
+    }),
+
     // Multi-level ROLLUP rollup (mode × day → mode totals → grand
     // total) in ONE pass — Catalyst expands grouping sets with
     // map-side partial aggregation, replacing three separate scans.
@@ -2498,6 +2531,29 @@ object SparkEntry {
 
       "text_stats" -> textStatsSql,
 
+      "corpus_shuffle" ->
+        """WITH h AS (
+          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_hash
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, shuffle_hash,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY shuffle_hash, doc_id) AS BIGINT) AS shuffle_pos
+          |  FROM h)
+          |SELECT doc_id, shuffle_hash, shuffle_pos,
+          |  CAST(FLOOR((shuffle_pos - 1) / 256) AS BIGINT) AS shard,
+          |  shuffle_pos - CAST(FLOOR((shuffle_pos - 1) / 256) AS BIGINT) * 256 AS shard_pos
+          |FROM r""".stripMargin,
+
+      "sample_token_budget" ->
+        s"""WITH st AS (SELECT doc_id, quality_score, n_tokens FROM ($textStatsSql)),
+           |c AS (
+           |  SELECT doc_id, quality_score, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM st)
+           |SELECT doc_id, quality_score, n_tokens, cum_tokens
+           |FROM c WHERE cum_tokens <= 15000""".stripMargin,
+
       // Non-distinct adjacent bigrams; fractions are raw single-
       // division IEEE quotients (see the SURVEY §6 rounding rule).
       "doc_repetition_stats" ->
@@ -2548,6 +2604,42 @@ object SparkEntry {
            |  n_shared / train_ngrams AS contamination_frac
            |FROM p JOIN ts USING (train_id)
            |WHERE n_shared >= 5""".stripMargin,
+
+      // Span hashes replay as the span STRINGS (the same key
+      // substitution as decontaminate_overlap/dedup_ngram_jaccard);
+      // distinct-per-doc spans make span frequency == document
+      // frequency on both engines.
+      "dup_span_stats" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |spans AS (
+           |  SELECT doc_id, UNNEST(
+           |    CASE WHEN len(t) >= 10
+           |         THEN list_distinct(list_transform(range(1, len(t) - 8),
+           |              i -> array_to_string(list_slice(t, i, i + 9), ' ')))
+           |         ELSE [array_to_string(t, ' ')] END) AS g
+           |  FROM toks),
+           |dfq AS (SELECT g, COUNT(*) AS df FROM spans GROUP BY 1)
+           |SELECT doc_id, COUNT(*) AS n_spans,
+           |  COUNT(*) FILTER (WHERE df >= 2) AS n_dup_spans,
+           |  COUNT(*) FILTER (WHERE df >= 2) / COUNT(*) AS dup_span_frac
+           |FROM spans JOIN dfq USING (g) GROUP BY 1""".stripMargin,
+
+      // Mean quality via the centroid parity pattern: exact DECIMAL
+      // sum -> one double division -> 6dp round, so the KEEP/DROP
+      // verdict is engine-replayable.
+      "source_quality_gate" ->
+        s"""WITH q AS (SELECT doc_id, quality_score FROM ($textStatsSql)),
+           |j AS (SELECT d.source, q.quality_score
+           |      FROM documents d JOIN q USING (doc_id)),
+           |agg AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(28,12))) AS DOUBLE)
+           |      / COUNT(*), 6) AS mean_quality
+           |  FROM j GROUP BY 1)
+           |SELECT source, n_docs, mean_quality,
+           |  CASE WHEN n_docs >= 10 AND mean_quality >= 0.5
+           |       THEN 'KEEP' ELSE 'DROP' END AS status
+           |FROM agg""".stripMargin,
 
       // Integer partials, two final divisions — bit-replayable.
       "text_freq_familiarity" ->

@@ -202,4 +202,51 @@ object CorpusQc {
         least(lit(chunkSize), col("n") - col("col")).cast("int").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("t"), col("col") + 1, lit(chunkSize))).as("chunk_text"))
   }
+
+  /** Cross-document repeated-span share — the measurement behind
+    * exact-substring dedup decisions (long spans appearing in many
+    * docs are licenses, templates, injected boilerplate): per doc,
+    * the share of its distinct n-token spans that occur in at least
+    * one OTHER document. A doc scoring high is boilerplate-heavy even
+    * when whole-doc dedup passes it.
+    *
+    * Scale shape: identical to the dedup inverted index — spans are
+    * 8-byte kernel hashes (distinct per doc by construction, so the
+    * span frequency IS document frequency), one span-keyed partial-agg
+    * shuffle builds the df relation, the join back reuses that
+    * partitioning, one doc-keyed re-aggregation. Never all-pairs,
+    * never a driver loop.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 10): DataFrame = {
+    require(n >= 2, s"span length n=$n must be >= 2")
+    val g = df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(Kernels.shingleHashes(col("toks"), n)).as("sh"))
+    val dfreq = g.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("df") >= 2, 1)).as("n_dup_spans"))
+      .withColumn("dup_span_frac", col("n_dup_spans") / col("n_spans"))
+  }
+
+  /** Source-level quality gate — domain filtering: a whole source
+    * (crawl domain, feed, dump) is kept or dropped on its AGGREGATE
+    * quality, the curation step that removes a bad domain wholesale
+    * where per-doc gates would leak its better half. Mean quality is
+    * an exact DECIMAL sum divided once and rounded to 6dp (the
+    * centroid parity pattern — order-free partials, one IEEE
+    * division, engine-replayable verdicts).
+    */
+  def sourceQualityGate(df: DataFrame, sourceCol: String, qualityCol: String,
+                        minDocs: Long, minMeanQuality: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col(qualityCol).cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+      .withColumn("status",
+        when(col("n_docs") >= minDocs && col("mean_quality") >= minMeanQuality,
+          "KEEP").otherwise("DROP"))
+  }
 }

@@ -181,4 +181,52 @@ object Sampling {
         least(greatest(v, col("p_lo")), col("p_hi")).as(s"${valueCol}_winsorized"),
         (v < col("p_lo") || v > col("p_hi")).as("was_clipped"))
   }
+
+  /** Deterministic global corpus shuffle for training order: every
+    * row gets a reproducible permutation position (`shuffle_pos`,
+    * 1-based rank in md5-of-key order) and a fixed-size shard
+    * assignment — the "shuffle then shard" step before writing
+    * training data, as a pure function of the key (stable across
+    * engines, re-runs and layouts; `orderBy(rand())` is neither
+    * reproducible nor resumable).
+    *
+    * Scale shape: the rank is [[PrefixSum.globalOrdered]]'s two-phase
+    * range-partitioned numbering — never a single-partition
+    * ROW_NUMBER window over the corpus — and the ranged layout IS the
+    * shard order, so the downstream per-shard write needs no extra
+    * shuffle. `keyCol` must be unique (ties would make the
+    * permutation engine-dependent; md5 of a unique key is unique).
+    */
+  def corpusShuffle(df: DataFrame, keyCol: String, shardSize: Int): DataFrame = {
+    require(shardSize >= 1, s"shardSize=$shardSize must be positive")
+    val hashed = df.select(col(keyCol),
+      md5(col(keyCol).cast("string")).as("shuffle_hash"))
+    val shard = ((col("shuffle_pos") - 1) / lit(shardSize)).cast("long")
+    PrefixSum.globalOrdered(
+        hashed.withColumn("__one", lit(1)),
+        Seq(col("shuffle_hash"), col(keyCol)), "__one")
+      .withColumn("shuffle_pos", col("row_rank"))
+      .select(col(keyCol), col("shuffle_hash"), col("shuffle_pos"),
+        shard.as("shard"),
+        (col("shuffle_pos") - shard * shardSize).as("shard_pos"))
+  }
+
+  /** Quality-greedy selection under a global token budget: docs
+    * ranked by quality (key tie-break) are kept while the running
+    * token total stays within `budget` — the standard "best corpus
+    * that fits the training budget" curation cut. The cumulative
+    * total is the distributed prefix sum (exact integer partials —
+    * order-free), never a single-partition window; the cut is a
+    * filter on the materialized running total, so the kept set is a
+    * pure function of (scores, token counts) and replayable anywhere.
+    */
+  def tokenBudget(stats: DataFrame, keyCol: String, qualityCol: String,
+                  tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
+    PrefixSum.globalOrdered(stats,
+        Seq(col(qualityCol).desc, col(keyCol)), tokenCol)
+      .filter(col("prefix_sum") <= budget)
+      .select(col(keyCol), col(qualityCol), col(tokenCol),
+        col("prefix_sum").as("cum_tokens"))
+  }
 }

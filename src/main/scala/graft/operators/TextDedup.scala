@@ -213,8 +213,12 @@ object TextDedup {
     val best = near.withColumn("__graft_r", row_number().over(bestW))
       .filter(col("__graft_r") === 1)
       .select(col("doc_id"), col("c_id").as("near_match"))
+    // best is ≤ 1 row per near-dup batch doc (window-rank filtered) —
+    // a bounded build side whose size the optimizer can't see past
+    // the window; steer to shuffled-hash so the plan never degrades
+    // to a sort-merge (the Cdc.snapshotDiff steering)
     b2.join(corpDig, Seq("digest"), "left")
-      .join(best, Seq("doc_id"), "left")
+      .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("corp_match").isNotNull, "EXACT_DUP_CORPUS")
           .when(col("doc_id") =!= col("batch_first"), "EXACT_DUP_BATCH")

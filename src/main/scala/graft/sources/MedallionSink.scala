@@ -224,30 +224,55 @@ object MedallionSink {
     * the footer pruning on both dimensions from the written files.
     */
   def writeZOrdered(df: DataFrame, path: String, colX: String, colY: String,
-                    nFiles: Int, bits: Int = 12): Unit = {
+                    nFiles: Int, bits: Int = 12): Unit =
+    writeZOrderedN(df, path, Seq(colX, colY), nFiles, bits)
+
+  /** N-dimension generalization of [[writeZOrdered]]: the write key
+    * interleaves one bit per dimension per level (dimension j
+    * contributes bit i at position `k·i + j`), so each file covers an
+    * aligned k-dimensional tile and a selective filter on ANY of the
+    * k columns footer-prunes most files. Same machinery as 2-D: one
+    * broadcast min/max panel, FLOOR bucket arithmetic, a pure bitwise
+    * codegen tree (k·bits shift/mask/or terms), range-partitioned
+    * sorted write. Pruning power per dimension decays as k grows —
+    * a file tile spans 2^(bits - fileBits/k) buckets per dimension,
+    * so each added dimension widens every tile edge — keep k small
+    * (2-4) and include only genuinely-filtered columns.
+    */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     nFiles: Int, bits: Int = 12): Unit = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
-    require(bits >= 1 && bits <= 20, s"bits=$bits out of range [1,20]")
+    val k = cols.size
+    require(k >= 2, s"Z-order needs >= 2 columns, got $cols")
+    require(bits >= 1 && k * bits <= 60,
+      s"k*bits=${k * bits} exceeds the 60-bit long budget (k=$k, bits=$bits)")
     val buckets = 1L << bits
     val bounds = df.agg(
-      min(col(colX)).cast("double").as("__xmn"), max(col(colX)).cast("double").as("__xmx"),
-      min(col(colY)).cast("double").as("__ymn"), max(col(colY)).cast("double").as("__ymx"))
+      min(col(cols.head)).cast("double").as(s"__mn_0"),
+      (max(col(cols.head)).cast("double").as(s"__mx_0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, j) =>
+          Seq(min(col(c)).cast("double").as(s"__mn_${j + 1}"),
+            max(col(c)).cast("double").as(s"__mx_${j + 1}"))
+        }): _*)
     def bucketIx(v: Column, mn: Column, mx: Column): Column =
       when(mx === mn, lit(0L)).otherwise(
         least(lit(buckets - 1),
           floor((v.cast("double") - mn) / ((mx - mn) / buckets)).cast("long")))
-    val bx = bucketIx(col(colX), col("__xmn"), col("__xmx"))
-    val by = bucketIx(col(colY), col("__ymn"), col("__ymx"))
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    val ixs = cols.zipWithIndex.map { case (c, j) =>
+      bucketIx(col(c), col(s"__mn_$j"), col(s"__mx_$j"))
     }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      ixs.zipWithIndex.foldLeft(acc) { case (a, (bx, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), k * i + j))
+      }
+    }
+    val boundCols = cols.indices.flatMap(j => Seq(s"__mn_$j", s"__mx_$j"))
     df.crossJoin(broadcast(bounds))
       .withColumn("__graft_z", z)
       .repartitionByRange(nFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
-      .drop("__graft_z", "__xmn", "__xmx", "__ymn", "__ymx")
+      .drop("__graft_z" +: boundCols: _*)
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
   }
 

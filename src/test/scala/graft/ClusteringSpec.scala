@@ -96,4 +96,41 @@ class ClusteringSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4096)
     assert(spark.read.parquet(path).filter(col("x") <= 7 && col("y") <= 7).count() == 64)
   }
+
+  test("writeZOrderedN: 3-D tiles footer-prune on EVERY dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    val path = s"$dir/cube"
+    // full 16x16x16 cube, shuffled: 64 files of ~64 rows; with bits=4
+    // an exactly-aligned file covers a 4x4x4 tile — range boundaries
+    // come from SAMPLING, so real files bleed across tile edges; the
+    // assertion allows 2x the aligned-ideal match count (the same
+    // slop the 2-D test carries)
+    val cube = new scala.util.Random(13).shuffle(
+      (for { x <- 0 until 16; y <- 0 until 16; z <- 0 until 16 }
+        yield (x.toLong, y.toLong, z.toLong)).toList)
+      .toDF("x", "y", "z")
+    MedallionSink.writeZOrderedN(cube, path, Seq("x", "y", "z"), nFiles = 64, bits = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 64)
+    def fileMin(f: Path, dim: String): Long = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getFooter.getBlocks.asScala.toSeq.map(_.getColumns.asScala
+        .find(_.getPath.toDotString == dim).get.getStatistics
+        .genericGetMin.asInstanceOf[java.lang.Long].longValue).min
+      finally reader.close()
+    }
+    // a quarter-stripe filter (v <= 3) on ANY single dimension matches
+    // ~1/4 of aligned tiles (16 of 64; allow 32 for boundary bleed) —
+    // linear clustering on x would leave ALL 64 matching for y and z
+    for (dim <- Seq("x", "y", "z")) {
+      val n = files.count(f => fileMin(f, dim) <= 3)
+      assert(n <= 32, s"$dim-filter matches $n of 64 files — no 3-D locality")
+    }
+    assert(spark.read.parquet(path).count() == 4096)
+    assert(spark.read.parquet(path)
+      .filter(col("x") <= 3 && col("y") <= 3 && col("z") <= 3).count() == 64)
+  }
 }

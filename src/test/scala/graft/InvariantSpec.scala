@@ -36,7 +36,9 @@ class InvariantSpec extends SparkSpec {
       "attrib_click_purchase", "ana_retention_cohort", "anomaly_zscore",
       "gold_snapshot_diff", "gold_late_arriving", "fct_accumulating_snapshot",
       "gold_bridge_alloc", "ana_transition_matrix", "ana_gapfill_30m",
-      "fct_periodic_snapshot", "audit_fk_integrity", "pack_sequences")
+      "fct_periodic_snapshot", "audit_fk_integrity", "pack_sequences",
+      "audit_table_diff", "dedup_incremental", "dedup_edit_distance",
+      "corpus_shuffle", "sample_token_budget")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern.

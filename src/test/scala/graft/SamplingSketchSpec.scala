@@ -334,6 +334,49 @@ class SamplingSketchSpec extends SparkSpec {
     assert(interior.forall(!_.getAs[Boolean]("was_clipped")))
   }
 
+  test("corpusShuffle: exact permutation, bounded shards, layout-stable") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = graft.operators.Sampling.corpusShuffle(docs, "doc_id", shardSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // positions are exactly 1..n (a permutation — nothing lost/duped)
+    assert(got.map(_._2).sorted.toSeq == (1L to 300L))
+    // shard layout: pos p -> shard (p-1)/64, 1-based in-shard position
+    assert(got.forall { case (_, pos, sh, shPos) =>
+      sh == (pos - 1) / 64 && shPos == pos - sh * 64 && shPos >= 1 && shPos <= 64 })
+    // the permutation is md5 order — replay it driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 300L).sortBy(id => (hex(id.toString), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got.forall { case (id, pos, _, _) => expected(id) == pos })
+    // layout-independent: same permutation under a different partitioning
+    val re = graft.operators.Sampling.corpusShuffle(docs.repartition(7), "doc_id", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.forall { case (id, pos, _, _) => re(id) == pos })
+  }
+
+  test("tokenBudget: quality-greedy prefix, exact running total, budget respected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val stats = (0L until 200L).map(i =>
+      (i, math.rint(rnd.nextDouble() * 100) / 100, 10 + rnd.nextInt(90)))
+      .toDF("doc_id", "q", "n_tok")
+    val kept = graft.operators.Sampling.tokenBudget(stats, "doc_id", "q", "n_tok", 3000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._4)
+    // replay sequentially: greedy by (q desc, doc_id) while total <= budget
+    val all = stats.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var run = 0L
+    val expect = all.takeWhile { case (_, _, t) => { run += t; run <= 3000L } }
+    assert(kept.map(_._1).toSeq == expect.map(_._1).toSeq)
+    // running totals are the exact sequential prefix sums
+    val cums = expect.scanLeft(0L) { case (a, (_, _, t)) => a + t }.tail
+    assert(kept.map(_._4).toSeq == cums.toSeq)
+    assert(kept.last._4 <= 3000L)
+  }
+
   test("corrPairs: exact ±1 on linear columns, NULL on zero variance, null rows excluded") {
     import spark.implicits._
     val df = Seq(
