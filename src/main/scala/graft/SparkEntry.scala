@@ -21,7 +21,8 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
-  private val money: Column => Column = c => c.cast(DecimalType(18, 2))
+  private val money: Column => Column = c =>
+    graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
 
   // ── flagship ──────────────────────────────────────────────────────
   /** Pricing summary over lineitem (TPC-H Q1 shape): groupBy + exact

@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AnalyticsPack {
 
-  private val money: Column => Column = c => c.cast(DecimalType(18, 2))
+  private val money: Column => Column = c =>
+    graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
 
   /** Exact distributed average: decimal sum cast to double, divided by
     * a count, NULL when the count is zero (both engines agree on NULL,
@@ -231,7 +232,7 @@ object AnalyticsPack {
         exactAvg(col("l_quantity"), count(lit(1)), 2).as("qty_promedio"),
         // avg(double) is reduction-order-dependent; sum the ratio as a
         // 6dp decimal (exact, order-free) and divide once
-        round(sum(ratio.cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 3)
+        round(sum(graft.expressions.Kernels.toDecimal(ratio.cast("double"), 18, 6)).cast("double") / count(lit(1)), 3)
           .as("factor_desvio_promedio"))
   }
 
@@ -361,7 +362,7 @@ object AnalyticsPack {
   def rollingDemand(events: DataFrame): DataFrame = {
     val daily = events.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("viajes"),
-        sum(col("value").cast(DecimalType(18, 2))).as("__dem"))
+        sum(graft.expressions.Kernels.toDecimal(col("value").cast("double"), 18, 2)).as("__dem"))
     val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
     daily
       .withColumn("demanda", coalesce(round(col("__dem"), 2), lit(0)).cast("double"))
@@ -393,8 +394,8 @@ object AnalyticsPack {
         col("value"))
     val stats = ev.groupBy(col("event_type_norm"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(28, 6))).as("s1"),
-        sum((col("value") * col("value")).cast(DecimalType(28, 6))).as("s2"))
+        sum(graft.expressions.Kernels.toDecimal(col("value").cast("double"), 28, 6)).as("s1"),
+        sum(graft.expressions.Kernels.toDecimal((col("value") * col("value")).cast("double"), 28, 6)).as("s2"))
       .filter(col("n") >= 2)
       .select(col("event_type_norm"),
         (col("s1").cast("double") / col("n")).as("mean"),
@@ -496,7 +497,7 @@ object AnalyticsPack {
     val daily = events.filter(col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("dem"))
+        sum(graft.expressions.Kernels.toDecimal(col("value").cast("double"), 18, 2)).as("dem"))
       .withColumn("iso_dow", Temporal.isoDow(col("day")))
     val means = daily.groupBy(col("iso_dow"))
       .agg((sum(col("dem")).cast("double") / count(lit(1))).as("dow_mean_demand"))

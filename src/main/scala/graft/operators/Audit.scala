@@ -83,7 +83,7 @@ object Audit {
         .agg(count(lit(1)).as(s"n_rows_$suffix"),
           sum(digest32).as(s"checksum_$suffix"),
           expr("bit_xor(__graft_d60)").as(s"xor_$suffix"),
-          sum(col(measureCol).cast(DecimalType(28, 6))).as(s"measure_sum_$suffix"))
+          sum(graft.expressions.Kernels.toDecimal(col(measureCol).cast("double"), 28, 6)).as(s"measure_sum_$suffix"))
     }
     // ≤ nBuckets rows per side, ≤ 1 row per key: shuffled-hash keeps
     // the tiny full-outer sort-free (the Cdc.snapshotDiff steering).

@@ -243,7 +243,7 @@ object CorpusQc {
     import org.apache.spark.sql.types.DecimalType
     df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col(qualityCol).cast(DecimalType(28, 12))).cast("double") /
+        round(sum(graft.expressions.Kernels.toDecimal(col(qualityCol).cast("double"), 28, 12)).cast("double") /
           count(lit(1)), 6).as("mean_quality"))
       .withColumn("status",
         when(col("n_docs") >= minDocs && col("mean_quality") >= minMeanQuality,

@@ -80,7 +80,6 @@ object Profiling {
     */
   def corrPairs(df: DataFrame, cols: Seq[String],
                 rowPrecision: Int = 18): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(cols.size >= 2, s"corrPairs needs at least two columns: $cols")
     require(rowPrecision >= 13 && rowPrecision <= 38,
       s"rowPrecision=$rowPrecision out of range [13,38]")
@@ -93,13 +92,19 @@ object Profiling {
     // rowPrecision−6 integer digits — at the default that is any
     // measure up to |v| < 10⁶; columns beyond that (an overflow is
     // LOUD under ANSI, never silent) pass rowPrecision = 28.
-    val dec = DecimalType(rowPrecision, 6)
+    // The per-row double→decimal casts are the aggregate's dominant
+    // cost (the builtin routes through Double.toString + BigDecimal);
+    // the kernel cast is bit-identical and ~4× cheaper — see
+    // DecimalKernels. Inputs go through one explicit double cast so
+    // the kernel always sees DoubleType (a no-op for double columns).
+    def dec(c: org.apache.spark.sql.Column) =
+      graft.expressions.Kernels.toDecimal(c.cast("double"), rowPrecision, 6)
     val moments =
       Seq(count(lit(1)).as("n")) ++
-      cols.map(c => sum(col(c).cast(dec)).as(s"s1_$c")) ++
-      cols.map(c => sum((col(c) * col(c)).cast(dec)).as(s"s2_$c")) ++
+      cols.map(c => sum(dec(col(c))).as(s"s1_$c")) ++
+      cols.map(c => sum(dec(col(c) * col(c))).as(s"s2_$c")) ++
       cols.combinations(2).toSeq.map { case Seq(a, b) =>
-        sum((col(a) * col(b)).cast(dec)).as(s"sp_${a}_$b") }
+        sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") }
     val agg = rows.agg(moments.head, moments.tail: _*)
     def d(name: String) = col(name).cast("double")
     val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>

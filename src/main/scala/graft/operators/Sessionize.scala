@@ -35,7 +35,7 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        coalesce(round(sum(col(valueCol).cast(DecimalType(18, 2))), 2), lit(0))
+        coalesce(round(sum(graft.expressions.Kernels.toDecimal(col(valueCol).cast("double"), 18, 2)), 2), lit(0))
           .cast("double").as("value_sum"))
   }
 
@@ -63,7 +63,7 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        coalesce(round(sum(col(valueCol).cast(DecimalType(18, 2))), 2), lit(0))
+        coalesce(round(sum(graft.expressions.Kernels.toDecimal(col(valueCol).cast("double"), 18, 2)), 2), lit(0))
           .cast("double").as("value_sum"))
     // Sessions of one user are disjoint, so ranking by start time
     // reproduces byGap's running-sum ordinal; the window runs over the

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Star {
 
-  private val money: Column => Column = c => c.cast(DecimalType(18, 2))
+  private val money: Column => Column = c =>
+    graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
 
   /** Accumulating snapshot of a parent lifecycle from its detail rows:
     * one row per parent carrying milestone dates (first/last child

@@ -80,7 +80,12 @@ object TextDedup {
     // every downstream shuffle/probe compares 8-byte keys instead of
     // n-token text (xxhash64 collisions are ~|shingle vocabulary|²/2^65
     // — negligible against the exact-count semantics).
-    val kept = keptPostings(df, idCol, textCol, n, maxDf)
+    // The kept-posting relation is consumed three times (per-doc sizes
+    // + both self-join sides); materialize it ONCE (localCheckpoint —
+    // the PrefixSum convention) so tokenization + shingle hashing +
+    // the df join never re-run per consumer. In a persisted lake this
+    // relation is the stored inverted-index intermediate.
+    val kept = keptPostings(df, idCol, textCol, n, maxDf).localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Pair generation via hash self-join: shingle posting lists are
     // short and numerous, where the join's codegen'd probe beats the
@@ -134,8 +139,13 @@ object TextDedup {
     */
   private def keptPostings(df: DataFrame, idCol: String, textCol: String,
                            n: Int, maxDf: Int): DataFrame = {
+    // Both the df-count aggregate and the df join consume the exploded
+    // posting relation; materialize it once (localCheckpoint) so the
+    // tokenize + shingle-hash + explode scan runs exactly once — this
+    // relation is the inverted-index build's staged intermediate.
     val sh = hashedShingles(df, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .localCheckpoint(true)
     val dfCounts = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     sh.join(dfCounts, "sh")

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TimeSeries {
 
-  private val money: Column => Column = c => c.cast(DecimalType(18, 2))
+  private val money: Column => Column = c =>
+    graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
 
   /** Aggregate `events` per (day, 30-minute slot), then expand to the
     * complete grid over the observed days: absent slots appear with

@@ -26,7 +26,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "30 minutes").as("w"),
         upper(trim(col("event_type"))).as("event_type_norm"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("value_sum"))
+        sum(graft.expressions.Kernels.toDecimal(col("value").cast("double"), 18, 2)).cast("double").as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type_norm"),
         col("n_events"), col("value_sum"))
 
@@ -40,7 +40,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
         upper(trim(col("event_type"))).as("event_type_norm"))
       .agg(count(lit(1)).as("n_events"),
-        coalesce(round(sum(col("value").cast(DecimalType(18, 2))), 2), lit(0))
+        coalesce(round(sum(graft.expressions.Kernels.toDecimal(col("value").cast("double"), 18, 2)), 2), lit(0))
           .cast("double").as("value_sum"))
       .select(col("w").getField("start").as("window_start"),
         col("event_type_norm"), col("n_events"), col("value_sum"))

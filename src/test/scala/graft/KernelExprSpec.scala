@@ -163,4 +163,32 @@ class KernelExprSpec extends SparkSpec {
     val intFact = Seq(1, 2, 9).toDF("k")
     assert(Prejoin.pruneFactByDimKeys(intFact, "k", bloom).count() >= 2)
   }
+  test("double->decimal kernel is bit-identical to the builtin cast (exact, boundary, large, random)") {
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(7)
+    val edge = Seq(0.0, -0.0, 1.0, -1.0, 0.1, 0.3, 1e-7, 5e-7, -5e-7, 1.5e-6,
+      0.0000005, 0.0000015, 123.4567895, -123.4567895, 49.382400000000004,
+      9.999999e11, -9.999999e11, 4.0e9, 1.00000049999999, 0.9999995,
+      12345678.3456785, 1e-300, -1e-300,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val vals = edge ++
+      (1 to 20000).map(_ => rnd.nextDouble() * math.pow(10, rnd.nextInt(14) - 4) *
+        (if (rnd.nextBoolean()) 1 else -1)) ++                       // arbitrary magnitudes
+      (1 to 20000).map(_ => math.rint(rnd.nextDouble() * 1e8) / 1e4 *
+        (if (rnd.nextBoolean()) 1 else -1)) ++                       // exact 4dp decimals (money shape)
+      (1 to 10000).map(_ => (rnd.nextInt(2000000) + 0.5) / 1e6)      // exact HALF_UP tie boundaries
+    val df = vals.toDF("v")
+    for ((p, s) <- Seq((18, 6), (18, 2), (28, 6), (28, 12))) {
+      val bad = df.select($"v", $"v".cast(DecimalType(p, s)).as("b"),
+          Kernels.toDecimal($"v", p, s).as("k"))
+        .filter(!($"b" <=> $"k")).count()
+      assert(bad == 0, s"kernel cast diverges from builtin at DECIMAL($p,$s)")
+    }
+    // nulls pass through; overflow throws loudly like the ANSI builtin
+    assert(Seq[Option[Double]](None).toDF("v")
+      .select(Kernels.toDecimal($"v", 18, 6)).head.isNullAt(0))
+    intercept[Exception] {
+      Seq(1e13).toDF("v").select(Kernels.toDecimal($"v", 18, 6)).collect()
+    }
+  }
 }
