@@ -963,7 +963,8 @@ object SparkEntry {
     // prefix sum (never a global ROW_NUMBER window; orderBy(rand())
     // is neither reproducible nor resumable).
     "corpus_shuffle" -> ((s: SparkSession, d: String) =>
-      Sampling.corpusShuffle(t(s, d, "documents"), "doc_id", shardSize = 256)),
+      Sampling.corpusShuffle(t(s, d, "documents"), "doc_id", shardSize = 256)
+        .select("doc_id", "shuffle_hash", "shuffle_pos", "shard", "shard_pos")),
 
     // Quality-greedy selection under a global token budget: keep the
     // best docs while the running token total fits — the "best corpus

@@ -196,19 +196,30 @@ object Sampling {
     * shard order, so the downstream per-shard write needs no extra
     * shuffle. `keyCol` must be unique (ties would make the
     * permutation engine-dependent; md5 of a unique key is unique).
+    *
+    * Payload columns ride along (the output keeps every input column
+    * plus the four shuffle columns, range-laid by position), so
+    * [[graft.sources.MedallionSink.writeTrainingShards]] can write
+    * full rows with no second pass over the corpus.
+    *
+    * `salt` selects the permutation: each training epoch passes its
+    * own salt (e.g. `"epoch=3"`) and gets an independent, equally
+    * deterministic order — reshuffle-per-epoch without ever touching
+    * `rand()`. The default empty salt hashes the bare key.
     */
-  def corpusShuffle(df: DataFrame, keyCol: String, shardSize: Int): DataFrame = {
+  def corpusShuffle(df: DataFrame, keyCol: String, shardSize: Int,
+                    salt: String = ""): DataFrame = {
     require(shardSize >= 1, s"shardSize=$shardSize must be positive")
-    val hashed = df.select(col(keyCol),
-      md5(col(keyCol).cast("string")).as("shuffle_hash"))
+    val hashed = df.withColumn("shuffle_hash",
+      md5(concat(col(keyCol).cast("string"), lit(salt))))
     val shard = ((col("shuffle_pos") - 1) / lit(shardSize)).cast("long")
     PrefixSum.globalOrdered(
         hashed.withColumn("__one", lit(1)),
         Seq(col("shuffle_hash"), col(keyCol)), "__one")
       .withColumn("shuffle_pos", col("row_rank"))
-      .select(col(keyCol), col("shuffle_hash"), col("shuffle_pos"),
-        shard.as("shard"),
-        (col("shuffle_pos") - shard * shardSize).as("shard_pos"))
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", col("shuffle_pos") - col("shard") * shardSize)
+      .drop("__one", "prefix_sum", "row_rank")
   }
 
   /** Quality-greedy selection under a global token budget: docs

@@ -209,6 +209,30 @@ object MedallionSink {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
 
+  /** Training-shard writer — [[graft.operators.Sampling.corpusShuffle]]'s
+    * end-to-end consumer: the corpus is written as `shard=K/`
+    * partition directories in the deterministic md5 permutation
+    * order, rows inside each shard carrying their 1-based
+    * `shard_pos`. A training job reads shards in directory order and
+    * rows in `shard_pos` order and replays the EXACT global
+    * permutation — reproducibly, resumable mid-epoch at any shard
+    * boundary.
+    *
+    * Scale shape: corpusShuffle's output is already RANGE-LAID by
+    * permutation position (its prefix-sum layout), and `shard` is a
+    * monotone function of position — so the dynamic-partition write
+    * needs NO further shuffle or sort: each task emits its contiguous
+    * run of shards. A shard straddling a range boundary splits into
+    * ≤ 2 files (the documented slop — file count ≤ #shards +
+    * #range-partitions), every other shard is exactly one file of
+    * `shardSize` rows.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, keyCol: String,
+                          shardSize: Int): Unit =
+    graft.operators.Sampling.corpusShuffle(df, keyCol, shardSize)
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("shard").parquet(path)
+
   /** TRUE multi-dimension clustering (Z-order): the write key is the
     * bit-interleaving of the two cluster columns' bucket indexes, so
     * file locality holds on BOTH dimensions at once — a selective

@@ -337,8 +337,12 @@ class SamplingSketchSpec extends SparkSpec {
   test("corpusShuffle: exact permutation, bounded shards, layout-stable") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
-    val got = graft.operators.Sampling.corpusShuffle(docs, "doc_id", shardSize = 64)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val out = graft.operators.Sampling.corpusShuffle(docs, "doc_id", shardSize = 64)
+    // payload columns ride along with the shuffle columns
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "shuffle_hash", "shuffle_pos", "shard", "shard_pos"))
+    val got = out.select("doc_id", "shuffle_pos", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // positions are exactly 1..n (a permutation — nothing lost/duped)
     assert(got.map(_._2).sorted.toSeq == (1L to 300L))
     // shard layout: pos p -> shard (p-1)/64, 1-based in-shard position
@@ -352,8 +356,51 @@ class SamplingSketchSpec extends SparkSpec {
     assert(got.forall { case (id, pos, _, _) => expected(id) == pos })
     // layout-independent: same permutation under a different partitioning
     val re = graft.operators.Sampling.corpusShuffle(docs.repartition(7), "doc_id", 64)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.forall { case (id, pos, _, _) => re(id) == pos })
+    // an epoch salt selects a DIFFERENT deterministic permutation
+    val e1 = graft.operators.Sampling.corpusShuffle(docs, "doc_id", 64, salt = "epoch=1")
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 != re)                        // reshuffled vs the bare-key order
+    assert(e1.values.toSeq.sorted == (1L to 300L))  // still a full permutation
+    val e1again = graft.operators.Sampling.corpusShuffle(docs, "doc_id", 64, salt = "epoch=1")
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == e1again)                   // and reproducible
+  }
+
+  test("writeTrainingShards: shard dirs replay the exact permutation, no extra shuffle pass") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/corpus"
+    graft.sources.MedallionSink.writeTrainingShards(docs, dir, "doc_id", shardSize = 64)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    // 5 shard dirs: 4 full (64 rows) + the tail (44); the partition
+    // column comes back directory-inferred (int) — normalize to long
+    val byShard = back.groupBy(col("shard").cast("long").as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard == Map(0L -> 64L, 1L -> 64L, 2L -> 64L, 3L -> 64L, 4L -> 44L))
+    // reading shards in order + rows by shard_pos replays the global
+    // md5 permutation, payload intact
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedOrder = (0L until 300L).sortBy(id => (hex(id.toString), id))
+    val replayed = back.select(col("shard").cast("long"), col("shard_pos"),
+        col("doc_id"), col("text")).collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(replayed.map(_.getLong(2)).toSeq == expectedOrder)
+    assert(replayed.forall(r => r.getString(3) == s"doc${r.getLong(2)}"))
+    // boundary slop only: each shard is at most 2 files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 4).foreach { sh =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/shard=$sh"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= 2, s"shard $sh written as $n files")
+    }
   }
 
   test("tokenBudget: quality-greedy prefix, exact running total, budget respected") {
