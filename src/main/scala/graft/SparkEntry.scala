@@ -982,6 +982,12 @@ object SparkEntry {
     "dup_span_stats" -> ((s: SparkSession, d: String) =>
       CorpusQc.dupSpanStats(t(s, d, "documents"), "doc_id", "text")),
 
+    // Exact-substring dedup (the acting step dup_span_stats measures):
+    // every duplicated 10-token span is removed from all occurrences
+    // but the globally first; docs are rebuilt from surviving tokens.
+    "dedup_exact_substring" -> ((s: SparkSession, d: String) =>
+      TextDedup.removeDupSpans(t(s, d, "documents"), "doc_id", "text")),
+
     // Source-level quality gate: a whole source is kept/dropped on
     // its aggregate quality — domain filtering, the step per-doc
     // gates cannot express.
@@ -2625,6 +2631,41 @@ object SparkEntry {
            |  COUNT(*) FILTER (WHERE df >= 2) AS n_dup_spans,
            |  COUNT(*) FILTER (WHERE df >= 2) / COUNT(*) AS dup_span_frac
            |FROM spans JOIN dfq USING (g) GROUP BY 1""".stripMargin,
+
+      // The span key replays as the span STRING (the dup_span_stats
+      // substitution); first-occurrence = min (doc_id, pos) on both
+      // engines, the rebuild joins surviving tokens by position.
+      "dedup_exact_substring" ->
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |spans AS (
+           |  SELECT doc_id,
+           |    UNNEST(range(1, len(t) - 8)) AS pos,
+           |    UNNEST(list_transform(range(1, len(t) - 8),
+           |      i -> array_to_string(list_slice(t, i, i + 9), ' '))) AS g
+           |  FROM toks WHERE len(t) >= 10),
+           |fr AS (
+           |  SELECT doc_id, pos,
+           |    COUNT(*) OVER (PARTITION BY g) AS cnt,
+           |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+           |  FROM spans),
+           |rm AS (SELECT doc_id, pos FROM fr WHERE cnt >= 2 AND rn > 1),
+           |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+           |        FROM (SELECT doc_id, pos, UNNEST(range(0, 10)) AS o FROM rm)),
+           |tokpos AS (
+           |  SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS p, UNNEST(t) AS w
+           |  FROM toks),
+           |kept AS (
+           |  SELECT tp.doc_id, tp.p, tp.w
+           |  FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.p
+           |  WHERE c.p IS NULL),
+           |rebuilt AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens_kept,
+           |    string_agg(w, ' ' ORDER BY p) AS text_clean
+           |  FROM kept GROUP BY 1)
+           |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens_orig,
+           |  COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+           |  COALESCE(r.text_clean, '') AS text_clean
+           |FROM toks t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
       // Mean quality via the centroid parity pattern: exact DECIMAL
       // sum -> one double division -> 6dp round, so the KEEP/DROP

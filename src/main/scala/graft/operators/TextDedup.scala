@@ -134,6 +134,63 @@ object TextDedup {
       .filter(col("edit_sim") >= minSim)
   }
 
+  /** EXACT-SUBSTRING deduplication: every duplicated n-token span —
+    * across documents OR repeated within one — is removed from all
+    * occurrences except the globally first (min (doc_id, position)),
+    * and each document is rebuilt from its surviving tokens. This is
+    * the span-level dedup step (licenses, templates, injected
+    * boilerplate) that whole-document dedup cannot reach and
+    * [[graft.operators.CorpusQc.dupSpanStats]] only measures.
+    *
+    * Output: (doc_id, n_tokens_orig, n_tokens_kept, text_clean).
+    * Docs shorter than `n` tokens have no spans and pass unchanged;
+    * a fully-duplicated doc collapses to an empty string, never a
+    * NULL.
+    *
+    * Scale shape: the positioned span relation (doc, pos, 8-byte span
+    * hash) is one explode; first-occurrence + occurrence-count is ONE
+    * span-keyed partial-agg shuffle (min-struct + count — no window);
+    * covered positions re-aggregate per doc; the rebuild is a
+    * position-indexed lambda filter over the token array. Never
+    * all-pairs, no driver loops, and the span hash keeps every
+    * shuffle key at 8 bytes. Span hashes are distinct by POSITION
+    * (not distinct-per-doc) — within-doc repeats are real duplicates
+    * here.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 10): DataFrame = {
+    require(n >= 2, s"span length n=$n must be >= 2")
+    // toks is consumed by the span pass and the rebuild — materialize
+    // once (the keptPostings convention). It is also the attribute the
+    // per-index lambdas below reference, which keeps CollapseProject
+    // from inlining tokenization into the lambda body (SURVEY §4).
+    val base = df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val spans = base.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}), i ->
+           |  struct(i AS pos, xxhash64(concat_ws(' ', slice(toks, i, $n))) AS sh))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.sh"))
+    val firsts = spans.groupBy(col("sh")).agg(
+      min(struct(col("doc_id"), col("pos"))).as("keeper"),
+      count(lit(1)).as("cnt"))
+    val removed = spans.join(firsts, "sh")
+      .filter(col("cnt") >= 2 &&
+        !(col("doc_id") === col("keeper.doc_id") && col("pos") === col("keeper.pos")))
+    val covered = removed
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens_orig"),
+        expr("size(filter(toks, (x, i) -> NOT array_contains(cov, i + 1)))")
+          .as("n_tokens_kept"),
+        expr("concat_ws(' ', filter(toks, (x, i) -> NOT array_contains(cov, i + 1)))")
+          .as("text_clean"))
+  }
+
   /** Posting relation (doc_id, sh, df) restricted to shingles with
     * document frequency ≤ maxDf.
     */

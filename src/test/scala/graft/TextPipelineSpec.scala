@@ -264,4 +264,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(fps(0)._2 != fps(3)._2) // different docs differ
     assert(fps.forall(f => f._2 >= 0 && f._2 < 1000000007L))
   }
+  test("removeDupSpans: exact-substring dedup keeps first occurrence, rebuilds docs") {
+    def mk(pfx: String, a: Int, b: Int) = (a to b).map(i => s"$pfx$i").mkString(" ")
+    val corpus = Seq(
+      (1L, mk("t", 1, 12)),                              // 12 tokens, the original
+      (2L, "x1 x2 " + mk("t", 1, 10) + " x3"),           // contains t1..t10 at pos 3
+      (3L, "s1 s2 s3 s4 s5"),                            // < 10 tokens: no spans
+      (4L, mk("r", 1, 10) + " " + mk("r", 1, 10)),       // within-doc repeat at pos 11
+      (5L, mk("t", 1, 12)))                              // full copy of doc 1
+      .toDF("doc_id", "text")
+    val got = TextDedup.removeDupSpans(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == (12, 12, mk("t", 1, 12)))          // keeper: untouched
+    assert(got(2L) == (13, 3, "x1 x2 x3"))               // dup span excised, unique kept
+    assert(got(3L) == (5, 5, "s1 s2 s3 s4 s5"))          // short doc passes through
+    assert(got(4L) == (20, 10, mk("r", 1, 10)))          // second in-doc copy removed
+    assert(got(5L) == (12, 0, ""))                       // fully duplicated -> empty
+  }
 }
