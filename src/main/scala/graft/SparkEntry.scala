@@ -659,6 +659,11 @@ object SparkEntry {
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
+    // Canonicalized exact dedup: case/whitespace-normalized grouping —
+    // collapses trivial reformattings raw byte-exact dedup misses.
+    "dedup_exact_canonical" -> ((s: SparkSession, d: String) =>
+      TextDedup.exactCanonical(t(s, d, "documents"), "text", "doc_id")),
+
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
 
@@ -2447,6 +2452,18 @@ object SparkEntry {
 
       // Candidates at the LOW jaccard threshold, then the integer
       // Levenshtein + one division replayed op-for-op.
+      // Canonical grouping replayed on the normalized STRING itself
+      // (the engine groups on its sha-256 — same partition, 32-byte
+      // keys); DuckDB needs the 'g' flag for replace-ALL.
+      "dedup_exact_canonical" ->
+        """WITH c AS (
+          |  SELECT doc_id, text,
+          |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS canonical_text
+          |  FROM documents)
+          |SELECT canonical_text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+          |  COUNT(DISTINCT text) AS n_raw_variants
+          |FROM c GROUP BY 1""".stripMargin,
+
       "dedup_edit_distance" ->
         s"""WITH jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql, threshold = 0.3)}),
            |tx AS (SELECT doc_id, text FROM documents)

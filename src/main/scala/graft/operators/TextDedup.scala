@@ -51,6 +51,30 @@ object TextDedup {
       .select(cols.map(c => col(s"$row.$c")) :+ col("n_copies"): _*)
   }
 
+  /** CANONICALIZED exact dedup — the tier between raw exact and
+    * near-dup: documents are grouped on a normalized form (trimmed,
+    * whitespace collapsed to single spaces, lowercased), so trivial
+    * reformattings (case, indentation, line-wrap churn) collapse into
+    * one group that byte-exact dedup treats as distinct. Per group:
+    * the canonical text, the kept id (smallest), the copy count, and
+    * how many RAW variants the group absorbed (1 = raw-exact would
+    * have caught it too; >1 = this tier did real work).
+    *
+    * Same scale shape as [[exact]]: the grouping key is the sha-256
+    * of the canonical form (32-byte shuffle keys, never full text);
+    * the count-distinct over raw text is the standard two-phase
+    * distinct aggregate.
+    */
+  def exactCanonical(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    df.groupBy(sha2(norm, 256).as("__digest"))
+      .agg(min(norm).as("canonical_text"),
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col(textCol)).as("n_raw_variants"))
+      .select("canonical_text", "keep_id", "n_copies", "n_raw_variants")
+  }
+
   /** Exact n-gram Jaccard similarity pairs above `threshold`, via a
     * shingle inverted index with a document-frequency cap: explode
     * distinct shingles, drop "stop shingles" appearing in more than

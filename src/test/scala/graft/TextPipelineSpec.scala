@@ -282,4 +282,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(4L) == (20, 10, mk("r", 1, 10)))          // second in-doc copy removed
     assert(got(5L) == (12, 0, ""))                       // fully duplicated -> empty
   }
+  test("exactCanonical: reformattings collapse, raw-variant count reports the tier's work") {
+    val corpus = Seq(
+      (1L, "The Quick  Brown Fox"),
+      (2L, "the quick brown fox"),          // case+spacing variant of 1
+      (3L, "  the   QUICK brown fox  "),    // trim+collapse variant of 1
+      (4L, "the quick brown fox"),          // raw-exact dup of 2
+      (5L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.exactCanonical(corpus, "text", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 2)
+    // 4 docs, 3 distinct raw forms, one canonical group, keeper = min id
+    assert(got("the quick brown fox") == (1L, 4L, 3L))
+    assert(got("something else entirely") == (5L, 1L, 1L))
+  }
 }
