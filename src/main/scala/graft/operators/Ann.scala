@@ -49,8 +49,8 @@ object Ann {
       .groupBy(col("label"), col("dim_pos"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(sum(col("v").cast("double")
-          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double")
+        round(sum(graft.expressions.Kernels.toDecimal(
+            col("v").cast("double"), 28, 12)).cast("double")
           / count(lit(1)), 6).as("centroid_v"))
 
   /** Embedding quality gate (the vector twin of the corpus/document
@@ -237,7 +237,7 @@ object Ann {
     val approx = enc.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"), col("nrm"))
-      .agg(sum(col("part").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .agg(sum(graft.expressions.Kernels.toDecimal(col("part"), 28, 12))
         .cast("double").as("__graft_adot"))
       .join(broadcast(qv.select(col("q_id"), col("qnrm"))), "q_id")
       .withColumn("cos_sim", col("__graft_adot") / (col("nrm") * col("qnrm")))
