@@ -877,6 +877,14 @@ object SparkEntry {
       Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // SemDeDup: cluster around k deterministic seeds, near-dup search
+    // within clusters only. k = 4 is what the auto rule
+    // (max(4, ceil(n/512))) yields across every driver SF — pinned
+    // explicitly so the DuckDB oracle can bake the same literal.
+    "dedup_semantic" -> ((s: SparkSession, d: String) =>
+      Ann.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.30, k = 4)),
+
     // Domain-mixture curation: keep the largest corpus whose language
     // proportions hit the target shares; per-domain keep rates are
     // computed from the counts, membership is key mod 65536.
@@ -2356,6 +2364,33 @@ object SparkEntry {
         |         WHEN l2_norm > CAST(1000.0 AS DOUBLE) THEN 'HIGH_NORM'
         |         ELSE NULL END AS reason_code
         |  FROM base)""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n
+        |  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+        |  LIMIT 4),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, s.seed_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, s.sv), p -> p[1] * p[2])), (a, b) -> a + b)
+        |      / (n.nrm * s.snrm) AS cos_s
+        |  FROM n CROSS JOIN seeds s),
+        |best AS (
+        |  SELECT vec_id, v, nrm, seed_id AS cluster_id FROM assign
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_s DESC, seed_id) = 1),
+        |dups AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM best x JOIN best y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])), (a, b) -> a + b)
+        |      / (x.nrm * y.nrm) >= 0.30)
+        |SELECT b.vec_id, b.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM best b LEFT JOIN dups d ON b.vec_id = d.vec_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH base AS (

@@ -7,10 +7,14 @@ import java.nio.file.{Files, Paths}
   * (reference: src/gold/load_gold.py run-log rows / ddl_gold.sql). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name filter (dev loop)
+    val only = args.lift(2).map(_.split(',').toSet)
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    val runLog = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runLog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

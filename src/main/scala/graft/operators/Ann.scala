@@ -127,6 +127,63 @@ object Ann {
     randomProject(emb, idCol, vecCol, inDim, outDim, seed)
       .select(col(idCol), posexplode(col("projected")).as(Seq("dim_pos", "component")))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into k clusters around
+    * deterministic seed vectors, then search for near-duplicates ONLY
+    * within a cluster — pairwise cost drops from n²/2 to Σ|cluster|²/2,
+    * and with k ∝ n (`targetClusterSize` bounds the expected cluster
+    * population) that is linear in n.
+    *
+    * Determinism without a k-means iteration: the seeds are the k
+    * vectors with the lowest md5 digest of their id (the same
+    * layout/engine-stable digest idiom as the sampling family, tie to
+    * the lowest id); every vector joins its highest-cosine seed (tie
+    * to the lowest seed id). A vector is a duplicate iff some
+    * LOWER-id cluster-mate is within `threshold` cosine — first-wins,
+    * so the keep set is stable across re-runs and engines. Vectors
+    * must have non-zero finite norms (run [[qualityGate]] first).
+    *
+    * Scale shape: the seed panel is k rows, broadcast; assignment is
+    * a map-side cross + partial-aggregated argmax (map-side combine
+    * collapses the k candidate rows per vector before the one
+    * co-keyed shuffle); the pair join shuffles on cluster id only.
+    * Like SemDeDup itself, recall is bounded by the clustering — a
+    * near-dup pair split across two clusters is not scored (the
+    * cross-cluster twin is [[cosineNearDupPairs]]).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 0,
+                    targetClusterSize: Long = 512L): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val kk =
+      if (k > 0) k
+      else math.max(4L, (base.count() + targetClusterSize - 1) / targetClusterSize).toInt
+    val seeds = base
+      .withColumn("__digest", Sampling.md5Long32(Seq(col("vec_id"))))
+      .orderBy(col("__digest"), col("vec_id"))
+      .limit(kk)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    // argmax over the broadcast seed panel: max of (cos, -seed_id)
+    // struct = highest cosine, ties to the lowest seed id.
+    val best = base.crossJoin(broadcast(seeds))
+      .withColumn("cos_s", dot(col("v"), col("sv")) / (col("nrm") * col("snrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_s"), negate(col("seed_id")).as("neg_seed"),
+        col("seed_id"))).as("m"))
+      .select(col("vec_id"), col("m.seed_id").as("cluster_id"))
+    val assigned = base.join(best, "vec_id")
+    val dups = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+        >= threshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

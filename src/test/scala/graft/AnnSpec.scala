@@ -218,4 +218,42 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("embedding dim") || Option(e.getCause).exists(
       _.getMessage.contains("embedding dim")), e.getMessage)
   }
+
+  test("semanticDedup: planted near-copies drop, cluster minima survive, deterministic") {
+    // three tight direction bundles + one isolated vector; ids chosen
+    // so bundles are NOT contiguous in id space
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (7L, Array(0.99f, 0.01f, 0f, 0f)),   // near-copy of 0
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (9L, Array(0.01f, 0.99f, 0f, 0f)),   // near-copy of 3
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = got.map(r => r._1 -> r).toMap
+    // every input row gets exactly one decision
+    assert(got.length == 6 && byId.size == 6)
+    // each cluster's lowest id can never be a duplicate (first-wins)
+    val clusterMin = got.groupBy(_._2).values.map(_.minBy(_._1))
+    assert(clusterMin.forall(!_._3), s"cluster minimum marked dup: $got")
+    // a planted near-copy drops iff it landed with its original
+    for ((orig, copy) <- Seq((0L, 7L), (3L, 9L)))
+      if (byId(orig)._2 == byId(copy)._2)
+        assert(byId(copy)._3 && !byId(orig)._3,
+          s"near-copy $copy of $orig not deduped: $got")
+    // the isolated directions never drop
+    assert(!byId(5L)._3 && !byId(2L)._3)
+    // deterministic across runs
+    val again = Ann.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // auto-k: tiny corpus floors at 4 clusters and still runs
+    val auto = Ann.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95)
+    assert(auto.count() == 6)
+  }
 }
