@@ -885,6 +885,11 @@ object SparkEntry {
       Ann.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.30, k = 4)),
 
+    // Temperature-scaled mixture weights (p ∝ share^0.5): the
+    // derivation step whose temp_share output feeds sample_domain_mix.
+    "sample_temperature_mix" -> ((s: SparkSession, d: String) =>
+      Sampling.temperatureShares(t(s, d, "documents"), "lang", alpha = 0.5)),
+
     // Domain-mixture curation: keep the largest corpus whose language
     // proportions hit the target shares; per-domain keep rates are
     // computed from the counts, membership is key mod 65536.
@@ -2364,6 +2369,21 @@ object SparkEntry {
         |         WHEN l2_norm > CAST(1000.0 AS DOUBLE) THEN 'HIGH_NORM'
         |         ELSE NULL END AS reason_code
         |  FROM base)""".stripMargin,
+
+    "sample_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS domain, COUNT(*) AS n_docs
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS total FROM c),
+        |p AS (
+        |  SELECT domain, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS raw_share,
+        |    sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS num
+        |  FROM c CROSS JOIN t),
+        |d AS (SELECT SUM(CAST(num AS DECIMAL(28,12))) AS den FROM p)
+        |SELECT domain, n_docs, raw_share,
+        |  num / CAST(den AS DOUBLE) AS temp_share
+        |FROM p CROSS JOIN d""".stripMargin,
 
     "dedup_semantic" ->
       """WITH base AS (

@@ -141,6 +141,45 @@ object Sampling {
       .drop("__thr_hex")
   }
 
+  /** Temperature-scaled domain sampling weights — the multilingual-
+    * sampling rule (p_d ∝ (n_d/N)^α, XLM-R / mBERT style): α < 1
+    * flattens the mixture toward uniform, upweighting low-resource
+    * domains; α = 1 reproduces the raw shares. The output `temp_share`
+    * column is exactly what [[domainMix]] takes as its target shares —
+    * this operator derives the mixture, that one enforces it.
+    *
+    * Engine parity: α = 0.5 (the common published setting) routes
+    * through IEEE-correctly-rounded `sqrt` — bit-identical in every
+    * engine — where a libm `pow` may differ in the last ulp between
+    * runtimes; other α use `pow` with that caveat. The normalizing
+    * denominator sums DECIMAL(28,12)-cast terms (order-free parallel
+    * reduction), and the emitted shares are RAW IEEE quotients — no
+    * rounding, so no .5-boundary divergence across engines.
+    *
+    * Scale shape: one ≤-#domains-key partial-agg shuffle; the total
+    * and the denominator are 1-row broadcast panels. The corpus is
+    * scanned once, counts only.
+    */
+  def temperatureShares(df: DataFrame, domainCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val c = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = c.agg(sum(col("n_docs")).as("__total"))
+    val p = c.crossJoin(broadcast(tot))
+      .withColumn("raw_share",
+        col("n_docs").cast("double") / col("__total").cast("double"))
+      .withColumn("__num",
+        if (alpha == 0.5) sqrt(col("raw_share"))
+        else pow(col("raw_share"), lit(alpha)))
+    val den = p.agg(
+      sum(graft.expressions.Kernels.toDecimal(col("__num"), 28, 12)).as("__den"))
+    p.crossJoin(broadcast(den))
+      .select(col("domain"), col("n_docs"), col("raw_share"),
+        (col("__num") / col("__den").cast("double")).as("temp_share"))
+  }
+
   /** Stratified deterministic sample: each stratum value keeps its own
     * rate (`rates`), anything else keeps `defaultRate`. Adds the
     * bucket and the applied threshold so the membership rule itself is

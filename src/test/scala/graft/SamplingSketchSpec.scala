@@ -442,4 +442,31 @@ class SamplingSketchSpec extends SparkSpec {
     assert(math.abs(got(("x", "z"))._2.asInstanceOf[Double] + 1.0) < 1e-12)
     assert(got(("x", "c"))._2 == null) // zero variance -> NULL, not a div error
   }
+
+  test("temperatureShares: flattens toward uniform, alpha=1 reproduces raw shares") {
+    import spark.implicits._
+    // 100:10:1 domain imbalance, plus a null domain that must drop
+    val docs = (Seq.fill(100)("big") ++ Seq.fill(10)("mid") ++ Seq("rare"))
+      .map(Option(_)).:+(Option.empty[String]).toDF("lang")
+    val t05 = graft.operators.Sampling.temperatureShares(docs, "lang", 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(t05.keySet == Set("big", "mid", "rare"))
+    assert(t05("big")._1 == 100 && t05("rare")._1 == 1)
+    // raw shares are exact quotients of 111
+    assert(t05("big")._2 == 100.0 / 111.0 && t05("rare")._2 == 1.0 / 111.0)
+    // tempering upweights the rare domain and downweights the big one
+    assert(t05("rare")._3 > t05("rare")._2 && t05("big")._3 < t05("big")._2)
+    // shares remain a distribution
+    assert(math.abs(t05.values.map(_._3).sum - 1.0) < 1e-9)
+    // ordering is preserved: bigger domains still get bigger shares
+    assert(t05("big")._3 > t05("mid")._3 && t05("mid")._3 > t05("rare")._3)
+    // alpha = 1 reproduces the raw mixture (up to the decimal-sum quantum)
+    val t1 = graft.operators.Sampling.temperatureShares(docs, "lang", 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(t1.values.forall { case (raw, temp) => math.abs(raw - temp) < 1e-9 })
+    // deterministic across runs
+    val again = graft.operators.Sampling.temperatureShares(docs, "lang", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(t05.forall { case (k, v) => again(k) == v._3 })
+  }
 }
