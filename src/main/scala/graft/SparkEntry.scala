@@ -656,6 +656,11 @@ object SparkEntry {
     "anomaly_zscore" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.anomalyZscore(t(s, d, "events"))),
 
+    // Robust (median/MAD) outlier twin — survives the heavy tails
+    // that inflate a z-score's own mean/std.
+    "anomaly_mad" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.anomalyMad(t(s, d, "events"))),
+
     "dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
@@ -2159,6 +2164,27 @@ object SparkEntry {
           |    PARTITION BY g.day ORDER BY g.slot
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
           |FROM grid g LEFT JOIN obs o ON g.day = o.day AND g.slot = o.slot""".stripMargin,
+
+      "anomaly_mad" ->
+        """WITH ev AS (
+          |  SELECT event_id, UPPER(TRIM(event_type)) AS event_type_norm, value
+          |  FROM events WHERE value IS NOT NULL),
+          |med AS (
+          |  SELECT event_type_norm, quantile_cont(value, 0.5) AS med
+          |  FROM ev GROUP BY 1 HAVING COUNT(*) >= 2),
+          |dev AS (
+          |  SELECT ev.event_id, ev.event_type_norm, ev.value, med.med,
+          |    abs(ev.value - med.med) AS absdev
+          |  FROM ev JOIN med USING (event_type_norm)),
+          |mad AS (
+          |  SELECT event_type_norm, quantile_cont(absdev, 0.5) AS mad
+          |  FROM dev GROUP BY 1),
+          |scored AS (
+          |  SELECT event_id, event_type_norm, value,
+          |    ROUND(med, 3) AS grupo_mediana, ROUND(mad, 3) AS grupo_mad,
+          |    ROUND((value - med) / NULLIF(mad * 1.4826, 0), 3) AS robust_z
+          |  FROM dev JOIN mad USING (event_type_norm))
+          |SELECT * FROM scored WHERE abs(robust_z) > 3.5""".stripMargin,
 
       "anomaly_zscore" ->
         """WITH ev AS (

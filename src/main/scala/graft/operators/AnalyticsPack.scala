@@ -412,6 +412,45 @@ object AnalyticsPack {
         round(col("std"), 3).as("grupo_std"), col("z"))
   }
 
+  /** MAD-based robust outlier detection — the heavy-tail-safe twin of
+    * [[anomalyZscore]]: a z-score breaks down exactly when it matters
+    * (outliers inflate the mean/std that define them), while the
+    * median and the MAD (median absolute deviation) have a 50%
+    * breakdown point. Flags rows where
+    * |value − median| / (MAD · 1.4826) exceeds `cut` (1.4826 ≈
+    * 1/Φ⁻¹(3/4) rescales MAD to σ under normality, so `cut` reads in
+    * sigma units like the z-score's).
+    *
+    * Scale shape: two exact-percentile passes (group median, then
+    * median of absolute deviations — the same sort-within-group
+    * `percentile` aggregate the winsorizer uses, pinned to DuckDB's
+    * quantile_cont), each reduced to a ≤-#groups-row panel and
+    * broadcast back; the fact is scanned, never globally sorted.
+    * Zero-MAD groups (constant-majority values) yield NULL scores and
+    * drop, like the z-score's zero-std guard.
+    */
+  def anomalyMad(events: DataFrame, cut: Double = 3.5): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_id"), upper(trim(col("event_type"))).as("event_type_norm"),
+        col("value"))
+    val med = ev.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n"), percentile(col("value"), lit(0.5)).as("med"))
+      .filter(col("n") >= 2).drop("n")
+    val dev = ev.join(broadcast(med), "event_type_norm")
+      .withColumn("__absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type_norm"))
+      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
+    val score = round((col("value") - col("med"))
+      / when(col("mad") * 1.4826 === 0, lit(null))
+        .otherwise(col("mad") * 1.4826), 3)
+    dev.join(broadcast(mad), "event_type_norm")
+      .withColumn("robust_z", score)
+      .filter(abs(col("robust_z")) > cut)
+      .select(col("event_id"), col("event_type_norm"), col("value"),
+        round(col("med"), 3).as("grupo_mediana"),
+        round(col("mad"), 3).as("grupo_mad"), col("robust_z"))
+  }
+
   /** Top-N origin→destination matrix (docs/queries/02_analisis_od
     * .sql:25-39): flows between supplier nation (origin) and customer
     * nation (destination), intra-zone flows excluded, ranked by

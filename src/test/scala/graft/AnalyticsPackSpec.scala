@@ -305,4 +305,27 @@ class AnalyticsPackSpec extends SparkSpec {
       ("2024-01-02", 1L, 2L),  // u2 today, u1+u2 in [dec 27..jan 2]
       ("2024-01-09", 1L, 1L))) // window [jan 3..9] contains only day 9
   }
+
+  test("anomalyMad: catches the outlier that inflates its own z-score; zero-MAD guard") {
+    import spark.implicits._
+    // group A: tight cluster at ~10 plus one 1000. The 1000 inflates
+    // the std so much its z is only ~2.85 — the z-score detector
+    // misses it; median=10, MAD=0.5 flag it at robust_z ≈ 1335.
+    val a = Seq(9.0, 9.0, 10.0, 10.0, 10.0, 10.0, 10.0, 11.0, 11.0, 1000.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+    // group B: constant majority -> MAD 0 -> NULL scores, no flags
+    val b = Seq(5.0, 5.0, 5.0, 5.0, 100.0)
+      .zipWithIndex.map { case (v, i) => (100L + i, "b", v) }
+    val ev = (a ++ b).toDF("event_id", "event_type", "value")
+    val madFlags = AnalyticsPack.anomalyMad(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(madFlags.length == 1)
+    val f = madFlags.head
+    assert(f._1 == 9L && f._2 == "A" && f._3 == 1000.0)
+    assert(f._4 == 10.0 && f._5 == 0.5)                  // median, MAD
+    assert(math.abs(f._6 - 990.0 / (0.5 * 1.4826)) < 0.001)
+    // the z-score twin misses the same outlier (breakdown in action)
+    assert(AnalyticsPack.anomalyZscore(ev).count() == 0)
+  }
 }
