@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductExpr, MinHashSigExpr, SimHash64Expr}
+import graft.expressions.{DotProductExpr, MinHashSigExpr, SimHash64Expr, UnicodeNormalizeExpr}
 
 /** SparkSessionExtensions entry point: registers the native kernel
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -13,6 +13,8 @@ import graft.expressions.{DotProductExpr, MinHashSigExpr, SimHash64Expr}
   *   minhash_sig(arr, numHashes[, seed])   -> array<bigint>
   *   simhash64(arr)                        -> bigint
   *   dot_product(a, b)                     -> double
+  *   unicode_normalize(s[, form])          -> string (form: 'NFC' default,
+  *                                            'NFD', 'NFKC', 'NFKD')
   *
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (GraftSession does this by default) or `.withExtensions`.
@@ -55,6 +57,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 2, "dot_product(a, b)")
         DotProductExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2,
+          "unicode_normalize(s[, form])")
+        val form = args.lift(1).map {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got $other")
+        }.getOrElse("NFC")
+        UnicodeNormalizeExpr(args.head, form)
       }))
   }
 }

@@ -763,6 +763,17 @@ object SparkEntry {
     // so the counts reconcile exactly with the <NUM> markers emitted
     // — a digit run inside an email is one email redaction, not a
     // phantom unredacted number.
+    // NFC unicode normalization — the first move of a text-cleanup
+    // pipeline (composed vs decomposed accents render identically but
+    // hash differently, silently splitting dedup groups); a native
+    // codegen'd kernel because Spark has no builtin and a UDF would
+    // break whole-stage codegen on the hottest preprocessing path.
+    "text_normalize" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.expressions.Kernels.unicodeNormalize(col("text")).as("text_nfc"),
+        (graft.expressions.Kernels.unicodeNormalize(col("text"))
+          =!= col("text")).as("changed"))),
+
     "text_redact" -> ((s: SparkSession, d: String) => {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val numRe = "[0-9]{6,}"
@@ -2930,6 +2941,11 @@ object SparkEntry {
            |FROM p GROUP BY 1
            |ORDER BY n_occurrences DESC, pair
            |LIMIT 20""".stripMargin,
+
+      "text_normalize" ->
+        """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+          |  nfc_normalize(text) <> text AS changed
+          |FROM documents""".stripMargin,
 
       "text_redact" ->
         """SELECT doc_id,

@@ -50,6 +50,12 @@ object Kernels {
     ColumnBridge.column(
       BloomMightContainExpr(ColumnBridge.expression(key), bloomBytes))
 
+  /** Unicode normalization of a string column (see
+    * [[UnicodeNormalizeExpr]]); form is NFC/NFD/NFKC/NFKD.
+    */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalizeExpr(ColumnBridge.expression(c), form))
+
   /** UTM -> WGS84 latitude over double easting/northing columns (see
     * [[UtmToLatExpr]]); bit-identical to the Snyder-series SQL twin.
     */

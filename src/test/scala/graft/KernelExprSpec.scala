@@ -191,4 +191,36 @@ class KernelExprSpec extends SparkSpec {
       Seq(1e13).toDF("v").select(Kernels.toDecimal($"v", 18, 6)).collect()
     }
   }
+
+  test("unicodeNormalize: composed/decomposed forms converge, ASCII is identity, null-safe") {
+    val composed = "caf\u00e9"          // e-acute as one codepoint
+    val decomposed = "cafe\u0301"      // e + combining acute
+    val df = Seq(Some(composed), Some(decomposed), Some("plain ascii"), None)
+      .toDF("s")
+    val got = df.select(Kernels.unicodeNormalize($"s").as("n"))
+      .as[Option[String]].collect()
+    // NFC maps both spellings to the composed form
+    assert(got(0).contains(composed) && got(1).contains(composed))
+    assert(got(2).contains("plain ascii"))   // ASCII is a fixed point
+    assert(got(3).isEmpty)                   // null passes through
+    // NFD goes the other way
+    val nfd = df.select(Kernels.unicodeNormalize($"s", "NFD").as("n"))
+      .as[Option[String]].collect()
+    assert(nfd(0).contains(decomposed) && nfd(1).contains(decomposed))
+    // NFKC folds compatibility forms (ligature fi -> fi)
+    val nfkc = Seq("ﬁle").toDF("s")
+      .select(Kernels.unicodeNormalize($"s", "NFKC")).as[String].head()
+    assert(nfkc == "file")
+    // a bad form fails at plan construction, not per row
+    intercept[IllegalArgumentException] {
+      Kernels.unicodeNormalize($"s", "NFX")
+    }
+    // SQL-registered via GraftExtensions, default form NFC
+    val viaSql = spark.sql(
+      s"SELECT unicode_normalize('$decomposed'), " +
+        "unicode_normalize('\ufb01le', 'NFKC')")
+      .head()
+    assert(viaSql.getString(0) == composed)
+    assert(viaSql.getString(1) == "file")
+  }
 }
