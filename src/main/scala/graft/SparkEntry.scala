@@ -567,6 +567,25 @@ object SparkEntry {
       AnalyticsPack.odMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
 
+    // Weighted PageRank over the origin→destination flow graph (the
+    // F7 edges without the top-N cut): which zones are structurally
+    // central to the network, not merely busy. Fixed 10-round power
+    // iteration, decimal contribution partials — see Graph.pageRank.
+    "graph_pagerank" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.pageRank(flows, "src", "dst", "w", iterations = 10, damping = 0.85)
+    }),
+
     "ana_pct_of_peak" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.pctOfPeak(servingValid(s, d))),
 
@@ -2218,6 +2237,8 @@ object SparkEntry {
           |  FROM ev JOIN st USING (event_type_norm))
           |SELECT * FROM scored WHERE ABS(z) > 3""".stripMargin,
 
+      "graph_pagerank" -> pageRankOracleSql(10, 0.85),
+
       "ana_od_matrix" ->
         """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,
           |  COUNT(*) AS viajes_totales,
@@ -2471,6 +2492,49 @@ object SparkEntry {
     * column list so the moment names and the op order can never drift
     * from Profiling.corrPairs.
     */
+  /** The PageRank oracle, generated with the SAME iteration count and
+    * damping literal as the registered query — each power-iteration
+    * round becomes one chained CTE stage replaying the decimal
+    * contribution sums and the double recurrence op-for-op.
+    */
+  private def pageRankOracleSql(iterations: Int, damping: Double): String = {
+    val d = s"CAST('${damping.toString}' AS DOUBLE)"
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name <> cn.n_name
+        |  GROUP BY 1, 2),
+        |ow AS MATERIALIZED (
+        |  SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS out_w
+        |  FROM e GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
+        |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / cnt AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(CAST(rank AS DECIMAL(28,12))), CAST(0 AS DECIMAL(28,12))) AS dang
+         |  FROM r${i - 1} WHERE node NOT IN (SELECT src FROM ow)),
+         |c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(CAST(r.rank * e.w / ow.out_w AS DECIMAL(28,12))) AS s
+         |  FROM e JOIN ow ON e.src = ow.src JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    (CAST(1 AS DOUBLE) - $d) / cnt
+         |      + $d * (CAST(COALESCE(c.s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+         |        + CAST(dg.dang AS DOUBLE) / cnt) AS rank
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN dg$i dg
+         |    LEFT JOIN c$i c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$iters\nSELECT node, rank FROM r$iterations"
+  }
+
   private def corrPairsOracleSql(cols: Seq[String]): String = {
     val moms =
       cols.map(c => s"SUM(CAST($c AS DECIMAL(18,6))) AS s1_$c") ++

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed graph analytics over edge lists.
+  *
+  * Same execution discipline as [[TextDedup.connectedComponents]]:
+  * fixed-round iteration, each round one co-keyed join + one
+  * partial-aggregated shuffle, `localCheckpoint` between rounds so the
+  * plan never grows with the iteration count, and the driver touches
+  * nothing row-shaped.
+  */
+object Graph {
+
+  /** Weighted PageRank by fixed-round power iteration: rank flows
+    * along out-edges proportionally to edge weight, damped; dangling
+    * mass (nodes with no out-edges) redistributes uniformly each
+    * round — Σ rank stays 1 by construction.
+    *
+    * Engine parity: per-edge contributions (`rank · w / out_w`, one
+    * fixed op order) and the dangling mass sum as DECIMAL(38,18)
+    * partials — order-free parallel reduction, so 1000 executors and
+    * a sequential SQL replay produce bit-identical ranks; the
+    * per-round rank recurrence is plain double arithmetic in one
+    * fixed order. A fixed iteration count (not an epsilon test) keeps
+    * the plan deterministic and the oracle replayable as chained
+    * CTEs.
+    *
+    * Scale shape: edges carry the bulk; each round shuffles them once
+    * on src (contribution join) and once on dst (partial-agg sum) —
+    * both key-partitioned, no global structure. The rank and
+    * out-weight relations are node-sized. Node count and dangling
+    * mass are 1-row broadcast panels.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iterations: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .localCheckpoint(true)
+    val outW = e.groupBy(col("src"))
+      .agg(sum(col("w").cast(DecimalType(28, 6))).cast("double").as("out_w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nPanel = nodes.agg(count(lit(1)).as("n_nodes"))
+    val zero28 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12))
+    var ranks = nodes.crossJoin(broadcast(nPanel))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dang = ranks.join(outW, ranks("node") === outW("src"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast(DecimalType(28, 12))), zero28)
+          .as("dang"))
+      val contrib = e.join(outW, "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("rank") * col("w") / col("out_w"))
+          .cast(DecimalType(28, 12))).as("s"))
+      ranks = nodes.crossJoin(broadcast(nPanel)).crossJoin(broadcast(dang))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("n_nodes")
+            + lit(damping) * (coalesce(col("s"), zero28).cast("double")
+              + col("dang").cast("double") / col("n_nodes"))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

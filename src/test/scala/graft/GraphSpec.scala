@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String, Long)],
+                      iterations: Int = 10): Map[String, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iterations = iterations)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: 2-cycle is the fixed point 1/2 each, mass conserved") {
+    val got = ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(math.abs(got("a") - 0.5) < 1e-12 && math.abs(got("b") - 0.5) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: hub attracts rank, dangling mass redistributes, deterministic") {
+    // a, b, c all point at hub; hub has no out-edges (dangling)
+    val edges = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L))
+    val got = ranksOf(edges)
+    assert(got.size == 4)
+    assert(got("hub") > got("a") && got("a") == got("b") && got("b") == got("c"))
+    // dangling redistribution keeps total mass at 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // bit-identical across runs (decimal partials, fixed op order)
+    val again = ranksOf(edges)
+    assert(got.forall { case (k, v) =>
+      java.lang.Double.doubleToRawLongBits(again(k)) ==
+        java.lang.Double.doubleToRawLongBits(v) })
+  }
+
+  test("pageRank: weight ratios steer rank, zero/negative weights drop") {
+    // s splits 9:1 between x and y; x and y both return to s
+    val got = ranksOf(Seq(("s", "x", 9L), ("s", "y", 1L),
+      ("x", "s", 1L), ("y", "s", 1L), ("s", "dead", 0L)))
+    assert(!got.contains("dead"))          // w=0 edge contributes no node
+    assert(got("x") > got("y"))
+    val shareX = (got("x") - 0.15 / 3) / (got("x") + got("y") - 2 * 0.15 / 3)
+    assert(shareX > 0.8 && shareX < 0.95)  // damped toward 0.9
+  }
+
+  test("pageRank: parameter validation fails at construction") {
+    val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", "w", iterations = 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", "w", damping = 1.0))
+  }
+}
