@@ -130,11 +130,12 @@ object StreamOps {
 
   private[graft] def mergeBatchToParquet(batch: DataFrame, target: String,
                                              grain: Seq[String], order: Seq[String],
-                                             batchId: Long = -1L): Unit = {
+                                             batchId: Long = -1L,
+                                             writerId: Option[String] = None): Unit = {
     import graft.operators.{Dedup, Merge}
     val incoming = Dedup.latestByGrain(batch, grain, order)
     upsertParquet(target, incoming, existing =>
-      Merge.appendNewGrains(existing, incoming, grain), batchId)
+      Merge.appendNewGrains(existing, incoming, grain), batchId, writerId)
   }
 
   /** Streaming rollup maintenance: each micro-batch reduces to its
@@ -162,11 +163,12 @@ object StreamOps {
   private[graft] def aggBatchToParquet(batch: DataFrame, target: String,
                                        keys: Seq[String],
                                        partial: DataFrame => DataFrame,
-                                       batchId: Long = -1L): Unit = {
+                                       batchId: Long = -1L,
+                                       writerId: Option[String] = None): Unit = {
     import graft.operators.Merge
     val p = partial(batch)
     upsertParquet(target, p, existing =>
-      Merge.mergeAggregate(existing, p, keys), batchId)
+      Merge.mergeAggregate(existing, p, keys), batchId, writerId)
   }
 
   /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
@@ -262,7 +264,8 @@ object StreamOps {
   private[graft] def scd2BatchToParquet(batch: DataFrame, target: String,
                                             bk: String, ts: String,
                                             tieBreak: Seq[String], attrs: Seq[String],
-                                            batchId: Long = -1L): Unit = {
+                                            batchId: Long = -1L,
+                                            writerId: Option[String] = None): Unit = {
     import graft.operators.Scd2
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(target)
@@ -297,6 +300,7 @@ object StreamOps {
         Scd2.applyChanges(existing, batch, bk, ts, tieBreak, attrs)
       },
       batchId,
+      writerId,
       afterWrite = { tmp =>
         val batchObs = batchDays.groupBy(col(bk))
           .agg(max(col("__graft_day")).as("max_obs_day"))
@@ -341,6 +345,7 @@ object StreamOps {
   private def upsertParquet(target: String, init: DataFrame,
                             merge: DataFrame => DataFrame,
                             batchId: Long = -1L,
+                            writerId: Option[String] = None,
                             afterWrite: String => Unit = _ => ()): Unit = {
     import graft.sources.MedallionSink
     val spark = init.sparkSession
@@ -349,7 +354,17 @@ object StreamOps {
     MedallionSink.recoverSwap(fs, target)
     // StreamExecution.QUERY_ID_KEY — set on the micro-batch thread that
     // runs foreachBatch; None when the batch twin is invoked directly.
-    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    val qid = writerId.orElse(
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+    // Replay-guarded writes need a real writer identity: two direct
+    // (non-stream) callers would otherwise share the None identity and
+    // one's marker would silently suppress the other's batches — the
+    // same loud-failure rule as versionedBatchCommit.
+    require(batchId < 0 || qid.isDefined,
+      "upsertParquet: batchId given but no writer identity — " +
+        "sql.streaming.queryId is unset and no explicit writerId was " +
+        "passed; replay-guarded writes sharing one default identity " +
+        "would cross-suppress distinct writers' batches")
     if (batchId >= 0 &&
         lastApplied(fs, target).exists { case (b, q) => q == qid && batchId <= b })
       return

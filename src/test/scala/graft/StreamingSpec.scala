@@ -426,19 +426,25 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_mergereplay").toString
     val target = s"$dir/fct"
     val b0 = Seq((1L, "A", 1L, 10.0)).toDF("user_id", "event_type", "event_id", "value")
-    StreamOps.mergeBatchToParquet(b0, target, Seq("user_id", "event_type"), Seq("event_id"), 0L)
+    StreamOps.mergeBatchToParquet(b0, target, Seq("user_id", "event_type"), Seq("event_id"), 0L, Some("w0"))
     // at-least-once replay of batch 0 with DIFFERENT content (a
     // restarted query re-reads the same offsets; content equality is
     // the source's contract, but the sink must not even look): no-op
     val b0replay = Seq((1L, "A", 9L, 99.0), (7L, "Z", 2L, 1.0))
       .toDF("user_id", "event_type", "event_id", "value")
-    StreamOps.mergeBatchToParquet(b0replay, target, Seq("user_id", "event_type"), Seq("event_id"), 0L)
+    StreamOps.mergeBatchToParquet(b0replay, target, Seq("user_id", "event_type"), Seq("event_id"), 0L, Some("w0"))
     assert(spark.read.parquet(target).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == Set((1L, "A", 1L)))
     // the NEXT batch id applies normally
     val b1 = Seq((2L, "B", 3L, 20.0)).toDF("user_id", "event_type", "event_id", "value")
-    StreamOps.mergeBatchToParquet(b1, target, Seq("user_id", "event_type"), Seq("event_id"), 1L)
+    StreamOps.mergeBatchToParquet(b1, target, Seq("user_id", "event_type"), Seq("event_id"), 1L, Some("w0"))
     assert(spark.read.parquet(target).count() == 2)
+    // a replay-guarded write with NO identity (no stream, no writerId)
+    // fails loudly instead of sharing a default identity
+    intercept[IllegalArgumentException] {
+      StreamOps.mergeBatchToParquet(b1, target,
+        Seq("user_id", "event_type"), Seq("event_id"), 2L)
+    }
   }
 
   test("merge sink: a foreign query's commit marker never suppresses a new query's batch") {
@@ -540,12 +546,12 @@ class StreamingSpec extends SparkSpec {
     val target = s"$dir/dim"
     val b0 = Seq((1L, ts("2024-01-01 18:00:00"), 1L, "a"))
       .toDF("user_id", "ts", "event_id", "segment")
-    StreamOps.scd2BatchToParquet(b0, target, "user_id", "ts", Seq("event_id"), Seq("segment"), 0L)
+    StreamOps.scd2BatchToParquet(b0, target, "user_id", "ts", Seq("event_id"), Seq("segment"), 0L, Some("w0"))
     val applied = spark.read.parquet(target).collect()
     // crash between swap and checkpoint commit => the SAME batch id is
     // re-delivered; without the commit marker the replay guard would
     // see its own already-applied day and throw forever
-    StreamOps.scd2BatchToParquet(b0, target, "user_id", "ts", Seq("event_id"), Seq("segment"), 0L)
+    StreamOps.scd2BatchToParquet(b0, target, "user_id", "ts", Seq("event_id"), Seq("segment"), 0L, Some("w0"))
     assert(spark.read.parquet(target).collect().toSet == applied.toSet)
   }
 
@@ -554,7 +560,7 @@ class StreamingSpec extends SparkSpec {
     val target = s"$dir/dim"
     def apply(id: Long, rows: Seq[(Long, Timestamp, Long, String)]): Unit =
       StreamOps.scd2BatchToParquet(rows.toDF("user_id", "ts", "event_id", "segment"),
-        target, "user_id", "ts", Seq("event_id"), Seq("segment"), id)
+        target, "user_id", "ts", Seq("event_id"), Seq("segment"), id, Some("w0"))
     apply(0L, Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a")))
     // day 2 re-observes segment "a": NO version change, valid_from
     // stays day 1 — exactly the case a valid_from-only guard is blind to
