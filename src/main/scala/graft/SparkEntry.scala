@@ -818,6 +818,11 @@ object SparkEntry {
     "doc_repetition_stats" -> ((s: SparkSession, d: String) =>
       CorpusQc.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
 
+    // Context-aware novelty: unseen-bigram counts + MLE continuation
+    // shares — the log-free perplexity stand-in (see bigramNovelty).
+    "doc_bigram_novelty" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bigramNovelty(t(s, d, "documents"), "doc_id", "text")),
+
     // Benchmark decontamination sweep: the held-out slice is every
     // tenth document (doc_id % 10 == 7) standing in for an eval set.
     "decontaminate_overlap" -> ((s: SparkSession, d: String) => {
@@ -2737,6 +2742,25 @@ object SparkEntry {
 
       // Non-distinct adjacent bigrams; fractions are raw single-
       // division IEEE quotients (see the SURVEY §6 rounding rule).
+      "doc_bigram_novelty" ->
+        s"""WITH bigs AS (
+           |  SELECT doc_id,
+           |    UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS pre,
+           |    UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS big
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+           |  WHERE len(t) >= 2),
+           |pd AS (SELECT doc_id, pre, big, COUNT(*) AS cnt_doc FROM bigs GROUP BY 1, 2, 3),
+           |cb AS (SELECT big, CAST(SUM(cnt_doc) AS BIGINT) AS cnt_big FROM pd GROUP BY 1),
+           |cp AS (SELECT pre, COUNT(*) AS cnt_pre FROM bigs GROUP BY 1)
+           |SELECT pd.doc_id,
+           |  CAST(SUM(cnt_doc) AS BIGINT) AS n_bigrams,
+           |  CAST(SUM(CASE WHEN cnt_big = cnt_doc THEN cnt_doc ELSE 0 END) AS BIGINT) AS n_novel,
+           |  CAST(SUM(CAST(CAST(cnt_doc AS DOUBLE)
+           |      * (CAST(cnt_big AS DOUBLE) / CAST(cnt_pre AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+           |    / CAST(SUM(cnt_doc) AS BIGINT) AS mean_continuation_share
+           |FROM pd JOIN cb USING (big) JOIN cp USING (pre)
+           |GROUP BY 1""".stripMargin,
+
       "doc_repetition_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t

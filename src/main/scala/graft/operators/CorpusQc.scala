@@ -142,6 +142,56 @@ object CorpusQc {
         (col("min_cnt") / col("total")).as("min_token_share"))
   }
 
+  /** Context-aware novelty profile — the LOG-FREE stand-in for a
+    * bigram-LM perplexity score (library `ln` differs between
+    * runtimes in the last ulp, which would break engine replay; MLE
+    * continuation shares are pure divisions): per document,
+    *
+    *   - `n_bigrams` — adjacent-token bigram occurrences;
+    *   - `n_novel` — occurrences of bigrams appearing in NO other
+    *     document (corpus count == this doc's count) — high share
+    *     flags either genuinely fresh text or garbage, both of which
+    *     deserve a look;
+    *   - `mean_continuation_share` — mean over occurrences of the MLE
+    *     continuation probability P(next|prev) = corpus bigram count /
+    *     corpus prefix count — low = surprising transitions (the
+    *     perplexity signal), high = boilerplate.
+    *
+    * Scale shape: bigrams from an `arrays_zip` of two slices (no
+    * lambda on a derived array), one (doc, bigram) partial-agg
+    * shuffle, corpus bigram/prefix counts as two further partial
+    * aggs joined back by their own keys; the weighted share terms sum
+    * as DECIMAL(28,12) partials (order-free). Docs with < 2 tokens
+    * have no bigram distribution and drop (the D30 spine keeps them
+    * when a zero-filled row is wanted).
+    */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"), size(col("ts")).as("n"))
+    val bigs = toks.filter(col("n") >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), col("n") - 1).as("c1"),
+          slice(col("ts"), lit(2), col("n") - 1).as("c2"))).as("z"))
+      .select(col(idCol), col("z.c1").as("pre"),
+        concat_ws(" ", col("z.c1"), col("z.c2")).as("big"))
+    val perDoc = bigs.groupBy(col(idCol), col("pre"), col("big"))
+      .agg(count(lit(1)).as("cnt_doc"))
+    val cb = perDoc.groupBy(col("big")).agg(sum(col("cnt_doc")).as("cnt_big"))
+    val cp = bigs.groupBy(col("pre")).agg(count(lit(1)).as("cnt_pre"))
+    perDoc.join(cb, "big").join(cp, "pre")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt_doc")).as("n_bigrams"),
+        sum(when(col("cnt_big") === col("cnt_doc"), col("cnt_doc"))
+          .otherwise(lit(0L))).as("n_novel"),
+        (sum((col("cnt_doc").cast("double")
+            * (col("cnt_big").cast("double") / col("cnt_pre").cast("double")))
+          .cast(DecimalType(28, 12))).cast("double")
+          / sum(col("cnt_doc"))).as("mean_continuation_share"))
+  }
+
   /** First BPE merge-step candidates — the tokenizer-training
     * primitive: adjacent character-pair counts over the corpus,
     * weighted by word frequency, top `topN` by count (the pair a BPE

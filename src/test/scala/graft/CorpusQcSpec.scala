@@ -106,4 +106,24 @@ class CorpusQcSpec extends SparkSpec {
       .distinct().count()
     assert(covered == 16)
   }
+
+  test("bigramNovelty: hand-computed novel counts and MLE continuation shares") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a b)x2, (b a)
+      (2L, "a b c"),     // (a b), (b c)
+      (3L, "z z"),       // (z z)
+      (4L, "solo"))      // one token -> no bigram row
+      .toDF("doc_id", "text")
+    val got = CorpusQc.bigramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // corpus: "a b"->3, "b a"->1, "b c"->1, "z z"->1; prefixes a->3, b->2, z->1
+    assert(got(1L)._1 == 3 && got(1L)._2 == 1)  // "b a" is doc 1's alone
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1)  // "b c" novel
+    assert(got(3L)._1 == 1 && got(3L)._2 == 1)  // "z z" novel
+    // doc 1: (1.0 + 1.0 + 0.5) / 3; doc 2: (1.0 + 0.5) / 2; doc 3: 1/1
+    assert(math.abs(got(1L)._3 - 2.5 / 3) < 1e-12)
+    assert(got(2L)._3 == 0.75 && got(3L)._3 == 1.0)
+  }
 }
