@@ -691,6 +691,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
 
+    // Asymmetric containment: catches a short doc embedded in a long
+    // one, which symmetric Jaccard scores near zero.
+    "dedup_containment" -> ((s: SparkSession, d: String) =>
+      TextDedup.containmentPairs(t(s, d, "documents"), "doc_id", "text")),
+
     // Levenshtein-verified near-dups over inverted-index candidates.
     "dedup_edit_distance" -> ((s: SparkSession, d: String) =>
       TextDedup.editDistancePairs(t(s, d, "documents"), "doc_id", "text")),
@@ -2610,6 +2615,29 @@ object SparkEntry {
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
+
+      "dedup_containment" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, $shinglesSql AS shs
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
+           |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+           |kept AS (SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfc d USING (sh)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  WHERE a.df >= 2
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_sh_a, n_sh_b, n_common, containment_a, containment_b
+           |FROM (
+           |  SELECT p.doc_a, p.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
+           |    p.n_common / sa.n_sh AS containment_a,
+           |    p.n_common / sb.n_sh AS containment_b
+           |  FROM pairs p
+           |  JOIN sizes sa ON sa.doc_id = p.doc_a
+           |  JOIN sizes sb ON sb.doc_id = p.doc_b)
+           |WHERE GREATEST(containment_a, containment_b) >= 0.8""".stripMargin,
 
       // Candidates at the LOW jaccard threshold, then the integer
       // Levenshtein + one division replayed op-for-op.

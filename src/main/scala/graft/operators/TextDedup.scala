@@ -130,6 +130,41 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_sh_a", "n_sh_b", "n_common", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the subset detector
+    * symmetric Jaccard is structurally blind to: a short document
+    * embedded whole in a long one scores
+    * `|A∩B|/|A∪B| ≈ |A|/|B| → 0` on Jaccard however exact the
+    * inclusion, but `|A∩B|/|A| = 1` on containment (quotes,
+    * templates wrapping a body, page boilerplate around an article).
+    * Emits both directions; a pair survives when EITHER direction
+    * clears `threshold`.
+    *
+    * Same df-capped inverted-index machinery as [[jaccardPairs]]
+    * (one materialized posting relation, hash self-join on 8-byte
+    * shingle keys, never all-pairs); shingle sets are distinct per
+    * doc, so containment is shared-distinct / own-distinct — one
+    * division per direction, engine-replayable.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val kept = keptPostings(df, idCol, textCol, n, maxDf).localCheckpoint(true)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val joinable = kept.filter(col("df") >= 2)
+    val pairs = joinable.as("a").join(joinable.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_sh_b")), "doc_b")
+      .withColumn("containment_a", col("n_common") / col("n_sh_a"))
+      .withColumn("containment_b", col("n_common") / col("n_sh_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("doc_a", "doc_b", "n_sh_a", "n_sh_b", "n_common",
+        "containment_a", "containment_b")
+  }
+
   /** Edit-distance-verified near-dup pairs: inverted-index candidates
     * (the df-capped Jaccard join at a LOW recall threshold) verified
     * by exact character-level Levenshtein — the check a pipeline runs

@@ -41,6 +41,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs: an embedded short doc scores 1.0 where jaccard fails") {
+    val short = "one two three four five"
+    val long = s"intro words before the body $short and then a very long tail " +
+      "of completely unrelated trailing content keeps the union large here"
+    val d = Seq((1L, short), (2L, long), (3L, "nothing shared at all whatsoever truly"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(5), r.getDouble(6)))).toMap
+    // every shingle of doc 1 appears in doc 2 -> containment_a = 1.0
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L))._1 == 1.0 && got((1L, 2L))._2 < 0.5)
+    // symmetric jaccard on the same pair is far below any dedup bar
+    val j = TextDedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+      .filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j < 0.25, s"jaccard $j unexpectedly high")
+  }
+
   test("editDistancePairs verifies candidates by chars: edits pass, reorders fail") {
     val h1 = "alpha beta gamma delta epsilon zeta"
     val h2 = "omicron pi rho sigma tau upsilon"
