@@ -817,6 +817,20 @@ object SparkEntry {
 
     "text_lang_id" -> textLangId _,
 
+    // Label-vs-detector language agreement: where the declared lang
+    // column and the n-gram detector disagree, one of them is wrong —
+    // either way that slice needs curation attention.
+    "lang_confusion" -> ((s: SparkSession, d: String) => {
+      val c = textLangId(s, d)
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = c.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_label"))
+      c.join(tot, "lang")
+        .select(col("lang"), col("predicted_lang"), col("n_docs"), col("n_label"),
+          (col("n_docs") / col("n_label")).as("share_of_label"),
+          (col("lang") === col("predicted_lang")).as("is_match"))
+    }),
+
     "text_fingerprint" -> textFingerprint _,
 
     // Gopher-style repetition signal over adjacent token bigrams.
@@ -2604,6 +2618,21 @@ object SparkEntry {
          |    (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
          |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) / greatest(len(t), 1) AS stopword_ratio
          |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin
+    val langIdSql =
+      s"""SELECT *,
+         |  CASE WHEN cjk_n > 0 AND cjk_n * 2 >= n_tokens THEN 'zh'
+         |       WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+         |       WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+         |       WHEN es_n >= fr_n THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang, len(t) AS n_tokens,
+         |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) AS en_n,
+         |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("de")})) AS de_n,
+         |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("es")})) AS es_n,
+         |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("fr")})) AS fr_n,
+         |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_n
+         |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin
     Map(
       "dedup_exact" ->
         """SELECT doc_id, text, lang, source, n_chars, n_copies FROM (
@@ -2984,21 +3013,20 @@ object SparkEntry {
            |  FROM tiered)
            |WHERE sample_bucket < sample_threshold""".stripMargin,
 
-      "text_lang_id" ->
-        s"""SELECT *,
-           |  CASE WHEN cjk_n > 0 AND cjk_n * 2 >= n_tokens THEN 'zh'
-           |       WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
-           |       WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
-           |       WHEN es_n >= fr_n THEN 'es'
-           |       ELSE 'fr' END AS predicted_lang
-           |FROM (
-           |  SELECT doc_id, lang, len(t) AS n_tokens,
-           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("en")})) AS en_n,
-           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("de")})) AS de_n,
-           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("es")})) AS es_n,
-           |    len(list_filter(t, x -> x IN ${TextOps.stopListSql("fr")})) AS fr_n,
-           |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk_n
-           |  FROM (SELECT doc_id, lang, text, $toksSql AS t FROM documents))""".stripMargin,
+      "text_lang_id" -> langIdSql,
+
+      // Label-vs-detector agreement audit on top of the same lang-id
+      // expression; shares are RAW quotients of the label's total.
+      "lang_confusion" ->
+        s"""WITH p AS ($langIdSql),
+           |c AS (SELECT lang, predicted_lang, COUNT(*) AS n_docs
+           |      FROM p GROUP BY 1, 2),
+           |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_label
+           |      FROM c GROUP BY 1)
+           |SELECT c.lang, c.predicted_lang, c.n_docs, t.n_label,
+           |  c.n_docs / t.n_label AS share_of_label,
+           |  c.lang = c.predicted_lang AS is_match
+           |FROM c JOIN t USING (lang)""".stripMargin,
 
       "text_tfidf_topn" ->
         s"""WITH tok AS (

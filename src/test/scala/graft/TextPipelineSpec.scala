@@ -41,6 +41,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("lang_confusion: per-label shares sum to 1, match flag consistent") {
+    val got = SparkEntry.queries("lang_confusion")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == tot)   // counts partition the label
+      assert(rows.forall(_.getLong(3) == tot))
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    }
+    got.foreach(r =>
+      assert(r.getBoolean(5) == (r.getString(0) == r.getString(1))))
+  }
+
   test("containmentPairs: an embedded short doc scores 1.0 where jaccard fails") {
     val short = "one two three four five"
     val long = s"intro words before the body $short and then a very long tail " +
