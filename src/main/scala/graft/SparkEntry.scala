@@ -563,6 +563,10 @@ object SparkEntry {
     "ana_daily_delta" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.dailyDelta(servingValid(s, d))),
 
+    // CUSUM mean-shift curve over daily demand; argmax day flagged.
+    "ana_changepoint_cusum" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.changepointCusum(servingValid(s, d))),
+
     "ana_od_matrix" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.odMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
@@ -1947,6 +1951,27 @@ object SparkEntry {
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'SABADO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_sabado,
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
            |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
+
+      "ana_changepoint_cusum" ->
+        s"""WITH byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |st AS (
+           |  SELECT CAST(SUM(CAST(daily_value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_value
+           |  FROM byday),
+           |dev AS (
+           |  SELECT date_sk, daily_value, daily_value - mean_value AS deviation
+           |  FROM byday CROSS JOIN st),
+           |cum AS (
+           |  SELECT *, CAST(SUM(CAST(deviation AS DECIMAL(28,6)))
+           |      OVER (ORDER BY date_sk) AS DOUBLE) AS cusum
+           |  FROM dev),
+           |pk AS (SELECT MAX(abs(cusum)) AS max_abs FROM cum)
+           |SELECT date_sk, daily_value, deviation, cusum,
+           |  abs(cusum) = max_abs AS is_changepoint
+           |FROM cum CROSS JOIN pk""".stripMargin,
 
       "ana_daily_delta" ->
         s"""WITH byday AS (

@@ -190,6 +190,40 @@ object AnalyticsPack {
         lag(col("demanda_expandida"), 1).over(Window.orderBy(col("date_sk"))), 2))
   }
 
+  /** CUSUM change-point profile over the daily demand series — the
+    * classic mean-shift detector (Page 1954): cumulative sum of
+    * deviations from the series mean; a sustained level shift makes
+    * |CUSUM| grow to a peak AT the shift day, where noise merely
+    * wanders. Emits the full curve plus the argmax flag (the single
+    * most likely change day; ties all flagged).
+    *
+    * Engine parity: the running sum is an EXACT DECIMAL(28,6) window
+    * accumulation (a raw double running sum would depend on the
+    * engine's window summation algorithm), mean via decimal sum +
+    * one division, everything else raw IEEE. The window runs over the
+    * ≤#days panel, not the fact — the same day-panel window shape as
+    * [[dailyDelta]]; the fact collapses in one partial-agg shuffle
+    * first.
+    */
+  def changepointCusum(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("daily_value"))
+    val stats = byDay.agg(
+      (sum(graft.expressions.Kernels.toDecimal(col("daily_value"), 28, 6))
+        .cast("double") / count(lit(1))).as("mean_value"))
+    val dev = byDay.crossJoin(broadcast(stats))
+      .withColumn("deviation", col("daily_value") - col("mean_value"))
+    val cum = dev.withColumn("cusum",
+      sum(graft.expressions.Kernels.toDecimal(col("deviation"), 28, 6))
+        .over(Window.orderBy(col("date_sk"))).cast("double"))
+    val peak = cum.agg(max(abs(col("cusum"))).as("__max_abs"))
+    cum.crossJoin(broadcast(peak))
+      .select(col("date_sk"), col("daily_value"), col("deviation"), col("cusum"),
+        (abs(col("cusum")) === col("__max_abs")).as("is_changepoint"))
+  }
+
   /** Pct-of-peak pressure curve (docs/queries/01_demanda_horaria
     * .sql:47-66): aggregate in-transit demand per slot, then each
     * slot as a share of the PEAK slot — the `MAX(...) OVER ()` kept a

@@ -306,6 +306,23 @@ class AnalyticsPackSpec extends SparkSpec {
       ("2024-01-09", 1L, 1L))) // window [jan 3..9] contains only day 9
   }
 
+  test("changepointCusum: |CUSUM| peaks exactly at a planted mean shift") {
+    import spark.implicits._
+    // level 10 for five days, then level 20: the shift boundary is day 5
+    val ev = (1 to 10).map(d =>
+      (20240100 + d, if (d <= 5) 10.0 else 20.0)).toDF("date_sk", "value")
+    val got = AnalyticsPack.changepointCusum(ev).orderBy("date_sk").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 10)
+    // mean 15: deviations -5 then +5; cusum walks to -25 at day 5, back to 0
+    assert(got(4)._3 == -25.0 && got(9)._3 == 0.0)
+    assert(got.filter(_._4).map(_._1).toSeq == Seq(20240105))
+    // flat series: every day ties at |cusum| = 0, all flagged, none peaks
+    val flat = (1 to 4).map(d => (20240100 + d, 7.0)).toDF("date_sk", "value")
+    val flatGot = AnalyticsPack.changepointCusum(flat).collect()
+    assert(flatGot.forall(_.getBoolean(4)))
+  }
+
   test("anomalyMad: catches the outlier that inflates its own z-score; zero-MAD guard") {
     import spark.implicits._
     // group A: tight cluster at ~10 plus one 1000. The 1000 inflates
