@@ -940,6 +940,13 @@ object SparkEntry {
       Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // First principal component by two-stage distributed power
+    // iteration: scatter panel in one pass, recurrence on d-sized
+    // panels, projection on the second corpus pass.
+    "embedding_pca_project" -> ((s: SparkSession, d: String) =>
+      Ann.pcaProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, iterations = 15)),
+
     // SemDeDup: cluster around k deterministic seeds, near-dup search
     // within clusters only. k = 4 is what the auto rule
     // (max(4, ceil(n/512))) yields across every driver SF — pinned
@@ -2477,6 +2484,8 @@ object SparkEntry {
         |         ELSE NULL END AS reason_code
         |  FROM base)""".stripMargin,
 
+    "embedding_pca_project" -> pcaOracleSql(64, 15),
+
     "sample_temperature_mix" ->
       """WITH c AS (
         |  SELECT CAST(lang AS VARCHAR) AS domain, COUNT(*) AS n_docs
@@ -2541,6 +2550,55 @@ object SparkEntry {
     * column list so the moment names and the op order can never drift
     * from Profiling.corrPairs.
     */
+  /** The power-iteration PCA oracle — scatter panel, fixed-round
+    * matrix·vector recurrence and projection replayed with the same
+    * decimal partials and op order as Ann.pcaProject; CTEs
+    * MATERIALIZED (each round references the previous twice).
+    */
+  private def pcaOracleSql(dim: Int, iterations: Int): String = {
+    val head =
+      """WITH comps AS MATERIALIZED (
+        |  SELECT vec_id, dim_pos,
+        |    floor(vr * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS v
+        |  FROM (
+        |    SELECT vec_id,
+        |      UNNEST(range(len(v))) AS dim_pos,
+        |      UNNEST(v) AS vr
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |          WHERE embedding IS NOT NULL))),
+        |means AS MATERIALIZED (
+        |  SELECT dim_pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM comps GROUP BY 1),
+        |centered AS MATERIALIZED (
+        |  SELECT vec_id, dim_pos, v - mu AS cv
+        |  FROM comps JOIN means USING (dim_pos)),
+        |gram AS MATERIALIZED (
+        |  SELECT a.dim_pos AS gi, b.dim_pos AS gj,
+        |    CAST(SUM(CAST(floor((a.cv * b.cv) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS gij
+        |  FROM centered a JOIN centered b USING (vec_id)
+        |  GROUP BY 1, 2),""".stripMargin +
+      s"""
+         |r0 AS MATERIALIZED (
+         |  SELECT DISTINCT gi AS dim_pos,
+         |    CAST(1 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS r
+         |  FROM gram)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT gi AS dim_pos, CAST(SUM(CAST(floor((gij * r) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS rn
+         |  FROM gram JOIN r${i - 1} ON r${i - 1}.dim_pos = gram.gj
+         |  GROUP BY 1),
+         |n$i AS MATERIALIZED (
+         |  SELECT sqrt(CAST(SUM(CAST(floor((rn * rn) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM m$i),
+         |r$i AS MATERIALIZED (
+         |  SELECT dim_pos, rn / nrm AS r FROM m$i CROSS JOIN n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT c.vec_id, CAST(SUM(CAST(floor((c.cv * r.r) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS pc1_score
+       |FROM centered c JOIN r$iterations r USING (dim_pos)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** The PageRank oracle, generated with the SAME iteration count and
     * damping literal as the registered query — each power-iteration
     * round becomes one chained CTE stage replaying the decimal

@@ -184,6 +184,82 @@ object Ann {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
+  /** First principal component by power iteration — the DATA-DRIVEN
+    * twin of [[randomProject]]'s data-free JL map: project onto the
+    * direction of maximum variance instead of a random one. Classic
+    * two-stage distributed PCA: the corpus collapses into a d×d
+    * scatter panel in ONE pass (mean-centered component pairs, exact
+    * DECIMAL(28,12) partials — order-free across 1000 executors),
+    * then a fixed-round power iteration runs ENTIRELY on d-sized
+    * panels (matrix·vector joins + sqrt normalization — the
+    * [[Graph.pageRank]] discipline: localCheckpoint per round, plan
+    * never grows, nothing row-shaped reaches the driver). The corpus
+    * is touched exactly twice: once for the scatter panel, once for
+    * the final projection (component-keyed join with the broadcast
+    * eigenvector panel, decimal-partial dot products).
+    *
+    * A fixed iteration count (not an epsilon test) keeps the plan
+    * deterministic and the DuckDB oracle replayable as chained
+    * MATERIALIZED CTEs; starting from the uniform vector (1/√d exact
+    * for power-of-two d) fixes the eigenvector sign. Output:
+    * (vec_id, pc1_score) — the corpus compressed onto its own top
+    * direction.
+    */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, iterations: Int = 15): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration: $iterations")
+    val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    // Components quantize ONCE to the 1e-6 grid (pure IEEE multiply/
+    // floor/divide — identical in every engine; float precision is
+    // ~1e-7 relative, so nothing real is lost). Raw float-derived
+    // doubles are low-entropy dyadics whose decimal expansions can end
+    // EXACTLY on a rounding-tie digit, and engines disagree on tie
+    // rounding (measured: the per-dim means diverged at 1e-15);
+    // grid-quantized values sit within ~1e-22 of a 1e-12 multiple, so
+    // every downstream DECIMAL(28,12) cast is provably tie-free.
+    val comps = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim_pos", "vr")))
+      .select(col("vec_id"), col("dim_pos"),
+        (floor(col("vr") * lit(1e6)) / lit(1e6)).as("v"))
+      .localCheckpoint(true)
+    val means = comps.groupBy(col("dim_pos"))
+      .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
+    val centered = comps.join(broadcast(means), "dim_pos")
+      .select(col("vec_id"), col("dim_pos"), (col("v") - col("mu")).as("cv"))
+      .localCheckpoint(true)
+    // Every product is floor-quantized to the 1e-6 grid BEFORE its
+    // decimal cast: engines do not round full-entropy doubles to
+    // decimal identically (DuckDB's cast goes through extended
+    // precision internally — measured ~1e-5 of casts disagreeing
+    // with Spark in the last decimal digit), but floor/multiply/
+    // divide are plain IEEE ops both execute bit-identically, and a
+    // grid-aligned value sits ~1e-22 from its decimal point — no
+    // rounding decision left to disagree on.
+    def grid6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    val gram = centered.as("a").join(centered.as("b"), "vec_id")
+      .groupBy(col("a.dim_pos").as("gi"), col("b.dim_pos").as("gj"))
+      .agg(sum(grid6(col("a.cv") * col("b.cv")).cast(d28)).cast("double").as("gij"))
+      .localCheckpoint(true)
+    // exact for power-of-two d; any fixed literal start works
+    var r = gram.select(col("gi").as("dim_pos")).distinct()
+      .withColumn("r", lit(1.0) / sqrt(lit(dim.toDouble)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val rNew = gram.join(r.select(col("dim_pos").as("gj"), col("r")), "gj")
+        .groupBy(col("gi").as("dim_pos"))
+        .agg(sum(grid6(col("gij") * col("r")).cast(d28)).cast("double").as("rn"))
+      val norm = rNew.agg(
+        sqrt(sum(grid6(col("rn") * col("rn")).cast(d28)).cast("double")).as("nrm"))
+      r = rNew.crossJoin(broadcast(norm))
+        .select(col("dim_pos"), (col("rn") / col("nrm")).as("r"))
+        .localCheckpoint(true)
+    }
+    centered.join(broadcast(r), "dim_pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(grid6(col("cv") * col("r")).cast(d28)).cast("double").as("pc1_score"))
+  }
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

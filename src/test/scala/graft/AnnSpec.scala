@@ -219,6 +219,37 @@ class AnnSpec extends SparkSpec {
       _.getMessage.contains("embedding dim")), e.getMessage)
   }
 
+  test("pcaProject: recovers a planted dominant direction, centered, deterministic") {
+    // variance concentrated on axis 0 (values spread ±8), tiny spread
+    // on axis 1, nothing on 2..3 — PC1 must align with axis 0
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { i =>
+      val x = (i.toDouble - 19.5) * 0.4
+      (i, Array(x.toFloat, (rnd.nextDouble() * 0.01).toFloat, 0f, 0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Ann.pcaProject(emb, "vec_id", "embedding", dim = 4, iterations = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 40)
+    // projections of centered data sum to ~0 (within the 1e-6 grid)
+    assert(math.abs(got.values.sum) < 1e-3)
+    // score order matches the dominant coordinate's order (up to sign)
+    val byX = rows.sortBy(r => r._2(0)).map(_._1)
+    val byScore = got.toSeq.sortBy(_._2).map(_._1)
+    assert(byScore == byX || byScore == byX.reverse,
+      s"PC1 does not order along the planted axis")
+    // the score spread matches the planted coordinate spread (|e1|≈1)
+    val xs = rows.map(_._2(0).toDouble)
+    val spread = got.values.max - got.values.min
+    assert(math.abs(spread - (xs.max - xs.min)) < 0.05, s"spread $spread")
+    // bit-identical across runs
+    val again = Ann.pcaProject(emb, "vec_id", "embedding", dim = 4, iterations = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.forall { case (k, v) =>
+      java.lang.Double.doubleToRawLongBits(again(k)) ==
+        java.lang.Double.doubleToRawLongBits(v) })
+  }
+
   test("semanticDedup: planted near-copies drop, cluster minima survive, deterministic") {
     // three tight direction bundles + one isolated vector; ids chosen
     // so bundles are NOT contiguous in id space
