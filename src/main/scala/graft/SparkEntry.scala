@@ -567,6 +567,10 @@ object SparkEntry {
     "ana_changepoint_cusum" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.changepointCusum(servingValid(s, d))),
 
+    // Per-type OLS daily trend (slope + intercept from exact moments).
+    "ana_trend_slope" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.trendSlope(servingValid(s, d))),
+
     "ana_od_matrix" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.odMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
@@ -1958,6 +1962,33 @@ object SparkEntry {
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'SABADO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_sabado,
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
            |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
+
+      "ana_trend_slope" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT event_type_norm,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type_norm ORDER BY date_sk) - 1 AS BIGINT) AS x,
+           |    y
+           |  FROM byday),
+           |moms AS (
+           |  SELECT event_type_norm, COUNT(*) AS n_days,
+           |    CAST(SUM(x) AS BIGINT) AS sx,
+           |    SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+           |    SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,6))) AS sxy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx
+           |  FROM idx GROUP BY 1),
+           |sl AS (
+           |  SELECT event_type_norm, n_days, sx, sy,
+           |    (n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      / NULLIF(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope
+           |  FROM moms)
+           |SELECT event_type_norm, n_days, slope,
+           |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_days AS intercept
+           |FROM sl""".stripMargin,
 
       "ana_changepoint_cusum" ->
         s"""WITH byday AS (

@@ -190,6 +190,45 @@ object AnalyticsPack {
         lag(col("demanda_expandida"), 1).over(Window.orderBy(col("date_sk"))), 2))
   }
 
+  /** Per-group OLS demand trend: slope + intercept of daily demand
+    * against the day index (0,1,2,… in date order per group) — "is
+    * this event type growing and how fast", the regression companion
+    * of [[changepointCusum]]'s level-shift detector.
+    *
+    * The A19 moment discipline: Σx, Σy, Σxy, Σx² as exact DECIMAL
+    * partials (x is a small int index, y a 2dp money double — both
+    * low-entropy, direct-cast safe), the slope/intercept formulas in
+    * ONE fixed double op order so any engine replays them; NULL
+    * slope for single-day groups (zero x-variance), never a divide
+    * error. Day indexing is a per-group window over the ≤#days panel
+    * (the fact collapses first).
+    */
+  def trendSlope(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+    val indexed = byDay.withColumn("x",
+      (row_number().over(Window.partitionBy(col("event_type_norm"))
+        .orderBy(col("date_sk"))) - 1).cast("long"))
+    val moms = indexed.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(graft.expressions.Kernels.toDecimal(col("y"), 28, 6)).as("sy"),
+        sum(graft.expressions.Kernels.toDecimal(
+          col("x").cast("double") * col("y"), 28, 6)).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val den = col("n_days") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (col("n_days") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+      when(den === 0, lit(null)).otherwise(den)
+    moms.select(col("event_type_norm"), col("n_days"),
+      slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n_days")).as("intercept"))
+  }
+
   /** CUSUM change-point profile over the daily demand series — the
     * classic mean-shift detector (Page 1954): cumulative sum of
     * deviations from the series mean; a sustained level shift makes

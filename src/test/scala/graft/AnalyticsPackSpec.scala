@@ -306,6 +306,21 @@ class AnalyticsPackSpec extends SparkSpec {
       ("2024-01-09", 1L, 1L))) // window [jan 3..9] contains only day 9
   }
 
+  test("trendSlope: exact slope/intercept on a linear ramp, NULL on one day") {
+    import spark.implicits._
+    // type A: y = 2x + 5 over 6 days — exact moments, exact OLS
+    val a = (0 to 5).map(x => (20240110 + x, "A", 2.0 * x + 5.0))
+    // type B: a single day -> zero x-variance -> NULL slope
+    val b = Seq((20240110, "B", 9.0))
+    val ev = (a ++ b).toDF("date_sk", "event_type_norm", "value")
+    val got = AnalyticsPack.trendSlope(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(got("A")._1 == 6)
+    assert(got("A")._2.contains(2.0) && got("A")._3.contains(5.0))
+    assert(got("B")._2.isEmpty && got("B")._3.isEmpty)
+  }
+
   test("changepointCusum: |CUSUM| peaks exactly at a planted mean shift") {
     import spark.implicits._
     // level 10 for five days, then level 20: the shift boundary is day 5
