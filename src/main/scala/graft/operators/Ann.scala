@@ -245,7 +245,7 @@ object Ann {
     var r = gram.select(col("gi").as("dim_pos")).distinct()
       .withColumn("r", lit(1.0) / sqrt(lit(dim.toDouble)))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rNew = gram.join(r.select(col("dim_pos").as("gj"), col("r")), "gj")
         .groupBy(col("gi").as("dim_pos"))
         .agg(sum(grid6(col("gij") * col("r")).cast(d28)).cast("double").as("rn"))
@@ -253,7 +253,11 @@ object Ann {
         sqrt(sum(grid6(col("rn") * col("rn")).cast(d28)).cast("double")).as("nrm"))
       r = rNew.crossJoin(broadcast(norm))
         .select(col("dim_pos"), (col("rn") / col("nrm")).as("r"))
-        .localCheckpoint(true)
+      // the recurrence runs on d-row panels: an EAGER checkpoint per
+      // round pays one fixed Spark job each (measured: it dominated
+      // the query). Checkpoint every 5th round — plan depth stays
+      // bounded, job count drops 5x, values are identical.
+      if (i % 5 == 0 || i == iterations) r = r.localCheckpoint(true)
     }
     centered.join(broadcast(r), "dim_pos")
       .groupBy(col("vec_id"))

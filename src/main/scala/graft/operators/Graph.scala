@@ -55,7 +55,7 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nPanel))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val dang = ranks.join(outW, ranks("node") === outW("src"), "left_anti")
         .agg(coalesce(sum(col("rank").cast(DecimalType(28, 12))), zero28)
           .as("dang"))
@@ -70,7 +70,10 @@ object Graph {
           ((lit(1.0) - lit(damping)) / col("n_nodes")
             + lit(damping) * (coalesce(col("s"), zero28).cast("double")
               + col("dang").cast("double") / col("n_nodes"))).as("rank"))
-        .localCheckpoint(true)
+      // rank relations are node-sized panels; an eager checkpoint per
+      // round costs a fixed Spark job each. Every 5th round bounds
+      // the plan while cutting job count 5x (values identical).
+      if (i % 5 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
