@@ -951,6 +951,12 @@ object SparkEntry {
       Ann.pcaProject(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, iterations = 15)),
 
+    // Lloyd's k-means: deterministic md5 seeds, fixed rounds,
+    // grid-quantized components, lowest-cid tie-break.
+    "embedding_kmeans" -> ((s: SparkSession, d: String) =>
+      Ann.kmeans(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, rounds = 5)),
+
     // SemDeDup: cluster around k deterministic seeds, near-dup search
     // within clusters only. k = 4 is what the auto rule
     // (max(4, ceil(n/512))) yields across every driver SF — pinned
@@ -2517,6 +2523,8 @@ object SparkEntry {
 
     "embedding_pca_project" -> pcaOracleSql(64, 15),
 
+    "embedding_kmeans" -> kmeansOracleSql(4, 5),
+
     "sample_temperature_mix" ->
       """WITH c AS (
         |  SELECT CAST(lang AS VARCHAR) AS domain, COUNT(*) AS n_docs
@@ -2581,6 +2589,55 @@ object SparkEntry {
     * column list so the moment names and the op order can never drift
     * from Profiling.corrPairs.
     */
+  /** The Lloyd's k-means oracle — seed panel, per-round assignment
+    * (QUALIFY argmin with the lowest-cid tie-break) and decimal-exact
+    * means, replaying Ann.kmeans op-for-op; the dot folds are the
+    * proven cosine-oracle list_reduce idiom.
+    */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    val head =
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |exp0 AS MATERIALIZED (
+         |  SELECT vec_id, UNNEST(range(len(v))) AS dim_pos, UNNEST(v) AS vx FROM base),
+         |cent0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY dg, vec_id) - 1 AS BIGINT) AS cid, v AS c
+         |  FROM (
+         |    SELECT vec_id, v,
+         |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS dg
+         |    FROM base ORDER BY dg, vec_id LIMIT $k))""".stripMargin
+    def assignSql(cent: String) =
+      s"""SELECT vec_id, cid, d2 FROM (
+         |    SELECT b.vec_id, ct.cid,
+         |      ${dotSql("ct.c", "ct.c")} - CAST(2 AS DOUBLE) * ${dotSql("b.v", "ct.c")} AS d2
+         |    FROM base b CROSS JOIN $cent ct)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""asg$i AS MATERIALIZED (
+         |  ${assignSql(s"cent${i - 1}")}),
+         |mean$i AS MATERIALIZED (
+         |  SELECT a.cid AS cluster_id, e.dim_pos,
+         |    CAST(SUM(CAST(e.vx AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mx
+         |  FROM exp0 e JOIN asg$i a USING (vec_id)
+         |  GROUP BY 1, 2),
+         |cent$i AS MATERIALIZED (
+         |  SELECT cluster_id AS cid, list(mx ORDER BY dim_pos) AS c
+         |  FROM mean$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT vec_id, cid AS cluster_id, d2 FROM (
+       |  SELECT b.vec_id, ct.cid,
+       |    ${dotSql("ct.c", "ct.c")} - CAST(2 AS DOUBLE) * ${dotSql("b.v", "ct.c")} AS d2
+       |  FROM base b CROSS JOIN cent$rounds ct)
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1""".stripMargin
+  }
+
   /** The power-iteration PCA oracle — scatter panel, fixed-round
     * matrix·vector recurrence and projection replayed with the same
     * decimal partials and op order as Ann.pcaProject; CTEs

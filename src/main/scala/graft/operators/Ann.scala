@@ -184,6 +184,66 @@ object Ann {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
+  /** Distributed Lloyd's k-means, engine-replayable: `rounds` fixed
+    * iterations of assign-to-nearest + recompute-means, with every
+    * source of cross-engine or cross-run divergence pinned down:
+    * seeds are the k lowest-md5 ids (the sampling-family idiom — no
+    * RNG), components floor-quantize to the 1e-6 grid ONCE (the §5
+    * cast-portability rule: grid values cast to decimal identically
+    * in every engine), distances use the left-fold dot kernel (the
+    * cosine-oracle fold), assignment ties break to the lowest
+    * centroid id, and means are exact DECIMAL(28,12) partials divided
+    * once. The argmin drops the per-vector |v|² term (constant within
+    * a vector — argmin-equivalent, one fold fewer).
+    *
+    * Scale shape: the centroid panel (k×d values) broadcasts each
+    * round; assignment is a map-side cross + partial-aggregated
+    * struct-min; means are one (cluster, dim)-keyed partial-agg
+    * shuffle per round. `rounds` corpus passes total — Lloyd's
+    * inherent cost. A centroid that loses every member vanishes
+    * (standard Lloyd degeneracy, deterministic). Output: the final
+    * assignment (vec_id, cluster_id, d2 to its centroid).
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String,
+             k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds must be positive")
+    val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(1e6)) / lit(1e6)).as("v"))
+      .localCheckpoint(true)
+    // assignment against a broadcast (cid, c) panel: argmin of
+    // |c|² − 2·v·c with ties to the lowest cid
+    def assign(cents: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .withColumn("d2", dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster_id"), col("m.d2").as("d2"))
+    var cents = base
+      .withColumn("__digest", Sampling.md5Long32(Seq(col("vec_id"))))
+      .orderBy(col("__digest"), col("vec_id"))
+      .limit(k)
+      .withColumn("cid", (row_number().over(Window.orderBy(col("__digest"),
+        col("vec_id"))) - 1).cast("long"))
+      .select(col("cid"), col("v").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val means = assign(cents)
+        .join(base, "vec_id")
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim_pos", "vx")))
+        .groupBy(col("cluster_id"), col("dim_pos"))
+        .agg((sum(col("vx").cast(d28)).cast("double") / count(lit(1))).as("mx"))
+      cents = means
+        .groupBy(col("cluster_id").as("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim_pos"), col("mx")))),
+          s => s.getField("mx")).as("c"))
+        .localCheckpoint(true)
+    }
+    assign(cents)
+  }
+
   /** First principal component by power iteration — the DATA-DRIVEN
     * twin of [[randomProject]]'s data-free JL map: project onto the
     * direction of maximum variance instead of a random one. Classic

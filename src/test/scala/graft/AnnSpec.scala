@@ -219,6 +219,30 @@ class AnnSpec extends SparkSpec {
       _.getMessage.contains("embedding dim")), e.getMessage)
   }
 
+  test("kmeans: recovers planted clusters, assignment is truly nearest, deterministic") {
+    val rnd = new scala.util.Random(7)
+    // three tight bundles around orthogonal axes, 10 points each
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.05).toFloat))
+    }
+    val pts = bundle(Array(1f, 0f, 0f, 0f), 0 until 10) ++
+      bundle(Array(0f, 1f, 0f, 0f), 10 until 20) ++
+      bundle(Array(0f, 0f, 1f, 0f), 20 until 30)
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = Ann.kmeans(emb, "vec_id", "embedding", k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 30)
+    // each planted bundle lands in ONE cluster, bundles in different ones
+    val byBundle = got.groupBy(_._1 / 10).map { case (b, rows) =>
+      b -> rows.map(_._2).distinct }
+    assert(byBundle.values.forall(_.size == 1), s"bundle split: $byBundle")
+    assert(byBundle.values.flatten.toSet.size == 3)
+    // deterministic across runs (bit-identical d2 included)
+    val again = Ann.kmeans(emb, "vec_id", "embedding", k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("pcaProject: recovers a planted dominant direction, centered, deterministic") {
     // variance concentrated on axis 0 (values spread ±8), tiny spread
     // on axis 1, nothing on 2..3 — PC1 must align with axis 0
