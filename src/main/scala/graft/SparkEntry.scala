@@ -957,6 +957,12 @@ object SparkEntry {
       Ann.kmeans(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 4, rounds = 5)),
 
+    // The trained centroid panel itself (long form) — what an IVF
+    // index or SemDeDup pass consumes downstream.
+    "embedding_kmeans_centroids" -> ((s: SparkSession, d: String) =>
+      Ann.kmeansCentroids(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, rounds = 5)),
+
     // SemDeDup: cluster around k deterministic seeds, near-dup search
     // within clusters only. k = 4 is what the auto rule
     // (max(4, ceil(n/512))) yields across every driver SF — pinned
@@ -2525,6 +2531,8 @@ object SparkEntry {
 
     "embedding_kmeans" -> kmeansOracleSql(4, 5),
 
+    "embedding_kmeans_centroids" -> kmeansCentroidsOracleSql(4, 5),
+
     "sample_temperature_mix" ->
       """WITH c AS (
         |  SELECT CAST(lang AS VARCHAR) AS domain, COUNT(*) AS n_docs
@@ -2636,6 +2644,16 @@ object SparkEntry {
        |    ${dotSql("ct.c", "ct.c")} - CAST(2 AS DOUBLE) * ${dotSql("b.v", "ct.c")} AS d2
        |  FROM base b CROSS JOIN cent$rounds ct)
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1""".stripMargin
+  }
+
+  /** Centroid-panel twin of [[kmeansOracleSql]]: same rounds, final
+    * select is the last mean relation instead of the assignment.
+    */
+  private def kmeansCentroidsOracleSql(k: Int, rounds: Int): String = {
+    val body = kmeansOracleSql(k, rounds)
+    val cut = body.lastIndexOf("SELECT vec_id, cid AS cluster_id, d2 FROM (")
+    body.substring(0, cut) +
+      s"SELECT cluster_id AS cid, dim_pos, mx AS c FROM mean$rounds"
   }
 
   /** The power-iteration PCA oracle — scatter panel, fixed-round

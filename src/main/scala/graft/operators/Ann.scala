@@ -206,6 +206,29 @@ object Ann {
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
              k: Int, rounds: Int = 5): DataFrame = {
+    val (base, cents) = kmeansCents(emb, idCol, vecCol, k, rounds)
+    kmeansAssign(base, cents)
+  }
+
+  /** The trained centroid panel of [[kmeans]] in long form
+    * `(cid, dim_pos, c)` — the artifact an IVF index or a SemDeDup
+    * pass consumes. Same loop, same determinism guarantees.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, rounds: Int = 5): DataFrame = {
+    val (_, cents) = kmeansCents(emb, idCol, vecCol, k, rounds)
+    cents.select(col("cid"), posexplode(col("c")).as(Seq("dim_pos", "c")))
+  }
+
+  private def kmeansAssign(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("d2", dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster_id"), col("m.d2").as("d2"))
+
+  private def kmeansCents(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, rounds: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds must be positive")
     val d28 = org.apache.spark.sql.types.DecimalType(28, 12)
     val base = emb.filter(col(vecCol).isNotNull)
@@ -213,14 +236,6 @@ object Ann {
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * lit(1e6)) / lit(1e6)).as("v"))
       .localCheckpoint(true)
-    // assignment against a broadcast (cid, c) panel: argmin of
-    // |c|² − 2·v·c with ties to the lowest cid
-    def assign(cents: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cents))
-        .withColumn("d2", dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster_id"), col("m.d2").as("d2"))
     var cents = base
       .withColumn("__digest", Sampling.md5Long32(Seq(col("vec_id"))))
       .orderBy(col("__digest"), col("vec_id"))
@@ -230,7 +245,7 @@ object Ann {
       .select(col("cid"), col("v").as("c"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val means = assign(cents)
+      val means = kmeansAssign(base, cents)
         .join(base, "vec_id")
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim_pos", "vx")))
         .groupBy(col("cluster_id"), col("dim_pos"))
@@ -241,7 +256,7 @@ object Ann {
           s => s.getField("mx")).as("c"))
         .localCheckpoint(true)
     }
-    assign(cents)
+    (base, cents)
   }
 
   /** First principal component by power iteration — the DATA-DRIVEN
