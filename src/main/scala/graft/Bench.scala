@@ -44,8 +44,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times only those queries
+    // (the driver never sets it — full registry by default).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // detail row: (name, reported-min, first-pass, retime-or-NaN, start-offset-sec)
-    val detailRows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val detailRows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startOff = (System.currentTimeMillis() - wallStart) / 1e3
       val first = timeOnce(name, fn)
       val second = if (first > RetimeThresholdSec) timeOnce(name, fn) else Double.NaN

@@ -2015,7 +2015,7 @@ object SparkEntry {
            |  SELECT date_sk, daily_value, daily_value - mean_value AS deviation
            |  FROM byday CROSS JOIN st),
            |cum AS (
-           |  SELECT *, CAST(SUM(CAST(deviation AS DECIMAL(28,6)))
+           |  SELECT *, CAST(SUM(CAST(floor(deviation * 1e6) / 1e6 AS DECIMAL(28,6)))
            |      OVER (ORDER BY date_sk) AS DOUBLE) AS cusum
            |  FROM dev),
            |pk AS (SELECT MAX(abs(cusum)) AS max_abs FROM cum)
@@ -2454,7 +2454,7 @@ object SparkEntry {
     "contract_sample_gate" ->
       """WITH s AS (
         |  SELECT * FROM events
-        |  ORDER BY md5(COALESCE(CAST(event_id AS VARCHAR), ' ')) LIMIT 2000),
+        |  ORDER BY md5(COALESCE(CAST(event_id AS VARCHAR), '<NULL>')) LIMIT 2000),
         |norm AS (
         |  SELECT event_id, ts, user_id,
         |    NULLIF(UPPER(TRIM(event_type)), '') AS event_type,
@@ -2543,7 +2543,7 @@ object SparkEntry {
         |    CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS raw_share,
         |    sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS num
         |  FROM c CROSS JOIN t),
-        |d AS (SELECT SUM(CAST(num AS DECIMAL(28,12))) AS den FROM p)
+        |d AS (SELECT SUM(CAST(floor(num * 1e6) / 1e6 AS DECIMAL(28,12))) AS den FROM p)
         |SELECT domain, n_docs, raw_share,
         |  num / CAST(den AS DOUBLE) AS temp_share
         |FROM p CROSS JOIN d""".stripMargin,
@@ -2865,7 +2865,7 @@ object SparkEntry {
       "dedup_exact_canonical" ->
         """WITH c AS (
           |  SELECT doc_id, text,
-          |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS canonical_text
+          |    lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS canonical_text
           |  FROM documents)
           |SELECT canonical_text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
           |  COUNT(DISTINCT text) AS n_raw_variants

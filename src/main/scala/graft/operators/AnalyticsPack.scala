@@ -254,8 +254,14 @@ object AnalyticsPack {
         .cast("double") / count(lit(1))).as("mean_value"))
     val dev = byDay.crossJoin(broadcast(stats))
       .withColumn("deviation", col("daily_value") - col("mean_value"))
+    // deviation = value − mean is a full-entropy double (mean is a
+    // quotient): floor-quantize to the 1e-6 grid before the decimal
+    // cast so the cast is tie-free on both engines (§5 rule). The
+    // emitted `deviation` column stays the raw IEEE difference —
+    // identical bits on both engines since its inputs are identical.
     val cum = dev.withColumn("cusum",
-      sum(graft.expressions.Kernels.toDecimal(col("deviation"), 28, 6))
+      sum(graft.expressions.Kernels.toDecimal(
+        floor(col("deviation") * lit(1e6)) / lit(1e6), 28, 6))
         .over(Window.orderBy(col("date_sk"))).cast("double"))
     val peak = cum.agg(max(abs(col("cusum"))).as("__max_abs"))
     cum.crossJoin(broadcast(peak))

@@ -173,8 +173,14 @@ object Sampling {
       .withColumn("__num",
         if (alpha == 0.5) sqrt(col("raw_share"))
         else pow(col("raw_share"), lit(alpha)))
+    // floor-quantize the full-entropy sqrt/pow output to the 1e-6 grid
+    // BEFORE the decimal cast (the §5 portability rule — engines round
+    // raw doubles to decimal differently in ~1e-5 of casts; a
+    // grid-aligned value leaves no rounding decision). temp_share
+    // itself stays a raw IEEE quotient of the unquantized numerator.
     val den = p.agg(
-      sum(graft.expressions.Kernels.toDecimal(col("__num"), 28, 12)).as("__den"))
+      sum(graft.expressions.Kernels.toDecimal(
+        floor(col("__num") * lit(1e6)) / lit(1e6), 28, 12)).as("__den"))
     p.crossJoin(broadcast(den))
       .select(col("domain"), col("n_docs"), col("raw_share"),
         (col("__num") / col("__den").cast("double")).as("temp_share"))

@@ -66,7 +66,10 @@ object TextDedup {
     * distinct aggregate.
     */
   def exactCanonical(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java's \s matches vertical
+    // tab \x0B while RE2's (DuckDB's) does not — a \x0B in a document
+    // would canonicalize differently per engine and split the group.
+    val norm = lower(regexp_replace(trim(col(textCol)), "[ \\t\\n\\r\\f\\x0B]+", " "))
     df.groupBy(sha2(norm, 256).as("__digest"))
       .agg(min(norm).as("canonical_text"),
         min(col(idCol)).as("keep_id"),

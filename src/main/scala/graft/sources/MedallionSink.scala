@@ -334,12 +334,19 @@ object MedallionSink {
   /** One `_meta.json` per hive partition directory, written FROM THE
     * EXECUTORS: the per-partition counts stay a distributed frame and
     * each task writes the sidecars for the count rows it holds
-    * (atomic tmp→rename, same as before). The driver never loops over
-    * partitions — at 100k partitions the old collect()-then-write
-    * loop was a driver-bound O(#partitions) I/O serialization; this
-    * form spreads the I/O across the cluster and the driver sees only
-    * task completions. (Counts are one row per partition — tiny — so
-    * the collect() itself was fine; the sequential WRITES were not.)
+    * (tmp→rename through the TABLE'S Hadoop FileSystem — a java.nio
+    * write from a task would land on that executor's LOCAL disk for
+    * any non-POSIX-shared deployment and the sidecars would silently
+    * vanish; resolving `target` through FileSystem targets the actual
+    * table store, exactly as VersionedTable.publish does). The driver
+    * never loops over partitions — at 100k partitions the old
+    * collect()-then-write loop was a driver-bound O(#partitions) I/O
+    * serialization; this form spreads the I/O across the cluster and
+    * the driver sees only task completions. (Counts are one row per
+    * partition — tiny — so the collect() itself was fine; the
+    * sequential WRITES were not.) The Hadoop conf travels to tasks as
+    * a plain key-value array (Configuration itself isn't
+    * serializable) and is rebuilt once per task.
     */
   private def writeMetaSidecars(df: DataFrame, target: String,
                                 partitionCols: Seq[String]): Unit = {
@@ -348,21 +355,51 @@ object MedallionSink {
     val colsJson = dataCols.map(c => s""""$c"""").mkString("[", ", ", "]")
     val pCols = partitionCols
     val tgt = target
+    val hadoopConfKv: Array[(String, String)] = {
+      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     readNoInfer(df.sparkSession, target)
       .groupBy(partitionCols.map(c => col(c).cast("string")): _*)
       .agg(count(lit(1)).as("__n"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        rows.foreach { r =>
-          val dir = pCols.zipWithIndex.map { case (c, i) =>
-            val v = r.getString(i)
-            if (v == null) s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
-            else s"$c=${ExternalCatalogUtils.escapePathName(v)}"
-          }.mkString("/")
-          val n = r.getLong(pCols.length)
-          val json = s"""{"row_count": $n, "columns": $colsJson}"""
-          atomicWrite(Paths.get(tgt, dir, s"._meta.json.tmp"),
-            Paths.get(tgt, dir, "_meta.json"), json)
+        import org.apache.hadoop.fs.{Path => HPath}
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          hadoopConfKv.foreach { case (k, v) => conf.set(k, v) }
+          val base = new HPath(tgt)
+          // UNCACHED instance so checksums-off can't leak into the
+          // executor's shared FS (FileSystem.get is JVM-cached);
+          // sidecars are plain JSON a human may hand-edit — a local
+          // .crc twin would turn any out-of-band edit into a
+          // ChecksumException on the next catalog read.
+          val hfs = org.apache.hadoop.fs.FileSystem.newInstance(base.toUri, conf)
+          hfs.setWriteChecksum(false)
+          try rows.foreach { r =>
+            val dir = pCols.zipWithIndex.map { case (c, i) =>
+              val v = r.getString(i)
+              if (v == null) s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+              else s"$c=${ExternalCatalogUtils.escapePathName(v)}"
+            }.mkString("/")
+            val n = r.getLong(pCols.length)
+            val json = s"""{"row_count": $n, "columns": $colsJson}"""
+            val tmp = new HPath(base, s"$dir/._meta.json.tmp")
+            val dest = new HPath(base, s"$dir/_meta.json")
+            val out = hfs.create(tmp, true)
+            try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+            if (!hfs.rename(tmp, dest)) {
+              // HDFS rename won't overwrite an existing sidecar: replace it.
+              hfs.delete(dest, false)
+              if (!hfs.rename(tmp, dest)) {
+                hfs.delete(tmp, false)
+                throw new java.io.IOException(
+                  s"MedallionSink: sidecar publish $tmp -> $dest failed")
+              }
+            }
+          } finally hfs.close()
         }
       }
   }
