@@ -264,16 +264,23 @@ object Ann {
     * direction of maximum variance instead of a random one. Classic
     * two-stage distributed PCA: the corpus collapses into a d×d
     * scatter panel in ONE pass (mean-centered component pairs, exact
-    * DECIMAL(28,12) partials — order-free across 1000 executors),
-    * then a fixed-round power iteration runs ENTIRELY on d-sized
-    * panels (matrix·vector joins + sqrt normalization — the
-    * [[Graph.pageRank]] discipline: localCheckpoint per round, plan
-    * never grows, nothing row-shaped reaches the driver). The corpus
-    * is touched exactly twice: once for the scatter panel, once for
-    * the final projection (component-keyed join with the broadcast
-    * eigenvector panel, decimal-partial dot products).
+    * DECIMAL(28,12) partials — order-free across 1000 executors; the
+    * self-join materializes only the gi ≤ gj HALF — products commute
+    * bit-for-bit, so the mirrored cell is the same decimal sum), then
+    * the fixed-round power iteration replays ON THE DRIVER over the
+    * collected panel. The panel is d² cells at ANY corpus size —
+    * metadata-scale, the same class as the sink's per-partition
+    * counts, never row-shaped data — and the driver replay uses the
+    * exact op sequence Spark executed before (1e-6 grid floor,
+    * Double.toString-seeded BigDecimal at scale 12 HALF_UP — Spark's
+    * own double→decimal cast — order-free decimal sums, one IEEE
+    * divide), so results are bit-identical while the ~3 panel stages
+    * per iteration (measured: they dominated the query) disappear.
+    * The corpus is touched exactly twice: once for the scatter panel,
+    * once for the final projection (component-keyed join with the
+    * broadcast eigenvector panel, decimal-partial dot products).
     *
-    * A fixed iteration count (not an epsilon test) keeps the plan
+    * A fixed iteration count (not an epsilon test) keeps the result
     * deterministic and the DuckDB oracle replayable as chained
     * MATERIALIZED CTEs; starting from the uniform vector (1/√d exact
     * for power-of-two d) fixes the eigenvector sign. Output:
@@ -312,29 +319,48 @@ object Ann {
     // grid-aligned value sits ~1e-22 from its decimal point — no
     // rounding decision left to disagree on.
     def grid6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
-    val gram = centered.as("a").join(centered.as("b"), "vec_id")
+    val gramHalf = centered.as("a").join(centered.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim_pos") <= col("b.dim_pos"))
       .groupBy(col("a.dim_pos").as("gi"), col("b.dim_pos").as("gj"))
       .agg(sum(grid6(col("a.cv") * col("b.cv")).cast(d28)).cast("double").as("gij"))
-      .localCheckpoint(true)
-    // exact for power-of-two d; any fixed literal start works
-    var r = gram.select(col("gi").as("dim_pos")).distinct()
-      .withColumn("r", lit(1.0) / sqrt(lit(dim.toDouble)))
-      .localCheckpoint(true)
-    for (i <- 1 to iterations) {
-      val rNew = gram.join(r.select(col("dim_pos").as("gj"), col("r")), "gj")
-        .groupBy(col("gi").as("dim_pos"))
-        .agg(sum(grid6(col("gij") * col("r")).cast(d28)).cast("double").as("rn"))
-      val norm = rNew.agg(
-        sqrt(sum(grid6(col("rn") * col("rn")).cast(d28)).cast("double")).as("nrm"))
-      r = rNew.crossJoin(broadcast(norm))
-        .select(col("dim_pos"), (col("rn") / col("nrm")).as("r"))
-      // the recurrence runs on d-row panels: an EAGER checkpoint per
-      // round pays one fixed Spark job each (measured: it dominated
-      // the query). Checkpoint every 5th round — plan depth stays
-      // bounded, job count drops 5x, values are identical.
-      if (i % 5 == 0 || i == iterations) r = r.localCheckpoint(true)
+    // d(d+1)/2 cells — a FIXED-size panel (4160 rows at d=64) at any
+    // corpus scale; collecting it is metadata traffic, not data.
+    val g = Array.ofDim[Double](dim, dim)
+    gramHalf.collect().foreach { row =>
+      val (i, j, v) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+      g(i)(j) = v
+      g(j)(i) = v
     }
-    centered.join(broadcast(r), "dim_pos")
+    // Driver replay of the exact distributed op sequence: grid-floor,
+    // Spark's double→decimal(28,12) cast (shortest-repr BigDecimal,
+    // HALF_UP at scale 12), order-free decimal sum, toDouble, IEEE
+    // divide. Values are grid-aligned so every rounding decision is
+    // unambiguous — bit-identical to the panel-stage version and to
+    // the DuckDB oracle's CTE replay.
+    def dec12(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def g6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    // exact for power-of-two d; any fixed literal start works
+    var r = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iterations) {
+      val rn = Array.tabulate(dim) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) { acc = acc.add(dec12(g6(g(i)(j) * r(j)))); j += 1 }
+        acc.doubleValue()
+      }
+      var nacc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < dim) { nacc = nacc.add(dec12(g6(rn(i) * rn(i)))); i += 1 }
+      val nrm = math.sqrt(nacc.doubleValue())
+      r = rn.map(_ / nrm)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rPanel = r.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("dim_pos", "r")
+    centered.join(broadcast(rPanel), "dim_pos")
       .groupBy(col("vec_id"))
       .agg(sum(grid6(col("cv") * col("r")).cast(d28)).cast("double").as("pc1_score"))
   }

@@ -50,10 +50,15 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val nPanel = nodes.agg(count(lit(1)).as("n_nodes"))
+    // The node count is STATIC across rounds: one count job up front
+    // (a scalar, the connectedComponents convention) instead of a
+    // re-broadcast 1-row panel inside every iteration — drops one
+    // exchange + crossJoin per round. `1.0 / n` as a long→double
+    // division is the same IEEE op the panel form executed.
+    val nNodes = nodes.count()
     val zero28 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12))
-    var ranks = nodes.crossJoin(broadcast(nPanel))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    var ranks = nodes
+      .select(col("node"), (lit(1.0) / lit(nNodes).cast("double")).as("rank"))
       .localCheckpoint(true)
     for (i <- 1 to iterations) {
       val dang = ranks.join(outW, ranks("node") === outW("src"), "left_anti")
@@ -64,12 +69,12 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum((col("rank") * col("w") / col("out_w"))
           .cast(DecimalType(28, 12))).as("s"))
-      ranks = nodes.crossJoin(broadcast(nPanel)).crossJoin(broadcast(dang))
+      ranks = nodes.crossJoin(broadcast(dang))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          ((lit(1.0) - lit(damping)) / col("n_nodes")
+          ((lit(1.0) - lit(damping)) / lit(nNodes).cast("double")
             + lit(damping) * (coalesce(col("s"), zero28).cast("double")
-              + col("dang").cast("double") / col("n_nodes"))).as("rank"))
+              + col("dang").cast("double") / lit(nNodes).cast("double"))).as("rank"))
       // rank relations are node-sized panels; an eager checkpoint per
       // round costs a fixed Spark job each. Every 5th round bounds
       // the plan while cutting job count 5x (values identical).
