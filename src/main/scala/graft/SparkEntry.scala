@@ -435,6 +435,20 @@ object SparkEntry {
 
     "gold_asof_merge_scan" -> asofEventsMergeScan _,
 
+    // Nearest-snapshot as-of (merge_asof direction='nearest'): each
+    // event takes the CLOSEST dim version start in either direction,
+    // backward on ties, NULL beyond the 30-day tolerance.
+    "gold_asof_nearest" -> ((s: SparkSession, d: String) => {
+      val dim = scd2User(s, d)
+        .withColumnRenamed("user_id", "bk_user_id")
+        .withColumnRenamed("event_type", "segment")
+        .select("bk_user_id", "segment", "valid_from")
+      val fact = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_dt"))
+      AsOfJoin.nearest(fact, dim, "user_id", "bk_user_id", col("event_dt"),
+        "valid_from", toleranceDays = Some(30))
+    }),
+
     "gold_fct_star" -> fctStar _,
 
     "gold_merge_grain" -> mergeGrain _,
@@ -594,6 +608,25 @@ object SparkEntry {
       Graph.pageRank(flows, "src", "dst", "w", iterations = 10, damping = 0.85)
     }),
 
+    // Triangle enumeration over the same nation-flow graph (edges
+    // canonicalized undirected): closed 3-cliques = the tightly
+    // coupled trade triads. Two co-keyed joins, orientation-bounded
+    // fan-out, each triangle emitted exactly once — see
+    // Graph.triangles.
+    "graph_triangles" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+      Graph.triangles(flows, "src", "dst")
+    }),
+
     "ana_pct_of_peak" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.pctOfPeak(servingValid(s, d))),
 
@@ -644,6 +677,17 @@ object SparkEntry {
     // Day-of-week seasonal component + per-day residuals.
     "ana_dow_seasonality" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.dowSeasonality(t(s, d, "events"))),
+
+    // Additive trend / weekly-seasonal / residual split of the daily
+    // series (STL-lite): centered 7-day MA trend, iso-dow means of
+    // the detrended values, all on the day panel.
+    "ana_seasonal_decompose" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.seasonalDecompose(t(s, d, "events"))),
+
+    // MAD robust-z over the decomposition residuals: "unusual for
+    // that weekday" — the seasonality-aware anomaly tier.
+    "anomaly_seasonal" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.anomalySeasonal(t(s, d, "events"))),
 
     // Pareto curve: cumulative demand share by user rank through the
     // distributed two-phase prefix sum — NEVER a global-window
@@ -845,6 +889,11 @@ object SparkEntry {
     "doc_repetition_stats" -> ((s: SparkSession, d: String) =>
       CorpusQc.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
 
+    // Log-free character-diversity panel: Simpson index 1 - Σp² from
+    // pure integer partials + one IEEE division per output.
+    "text_char_diversity" -> ((s: SparkSession, d: String) =>
+      CorpusQc.charDiversity(t(s, d, "documents"), "doc_id", "text")),
+
     // Context-aware novelty: unseen-bigram counts + MLE continuation
     // shares — the log-free perplexity stand-in (see bigramNovelty).
     "doc_bigram_novelty" -> ((s: SparkSession, d: String) =>
@@ -860,6 +909,18 @@ object SparkEntry {
         "doc_id", "text", n = 8, minShared = 5)
     }),
 
+    // MinHash-banded decontamination — the broadcast-eval scale path
+    // of decontaminate_overlap (rows-only: xxhash64 signatures; the
+    // threshold is low because banding bounds RECALL, and the exact
+    // verify step keeps precision).
+    "decontaminate_minhash" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      CorpusQc.decontaminateMinhash(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 8, threshold = 0.2)
+    }),
+
     // Unigram-LM familiarity: mean corpus-frequency share per doc.
     "text_freq_familiarity" -> ((s: SparkSession, d: String) =>
       CorpusQc.freqFamiliarity(t(s, d, "documents"), "doc_id", "text")),
@@ -871,6 +932,12 @@ object SparkEntry {
 
     "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
+
+    // Radius twin of top-k: all neighbors with cos >= 0.35, pure
+    // codegen filter — zero windows, zero extra shuffles.
+    "ann_range_search" -> ((s: SparkSession, d: String) =>
+      Ann.rangeSearch(t(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, threshold = 0.35)),
 
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
@@ -1315,6 +1382,37 @@ object SparkEntry {
           col("p_old"), col("p_new"), col("p_shift"))
     }),
 
+    // Scalar drift gates over the same old/new split: log-free χ² +
+    // total-variation on the 20-bucket histogram, and the exact
+    // two-sample KS statistic via the distributed prefix sum — the
+    // one-row verdicts a monitoring pipeline alerts on (the per-bucket
+    // panel above is their diagnostic drill-down).
+    "data_drift_chi2" -> ((s: SparkSession, d: String) =>
+      Drift.chi2Histogram(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("is_new",
+            coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
+        "value", "is_new", k = 20)),
+
+    "data_drift_ks" -> ((s: SparkSession, d: String) =>
+      Drift.ksStatistic(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("is_new",
+            coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
+        "value", "is_new")),
+
+    // Benford first-digit audit over the monetary measure — the
+    // fabricated-data screen, log-free (CASE-ladder scale, literal
+    // expected shares).
+    "audit_benford_digits" -> ((s: SparkSession, d: String) =>
+      Audit.benfordDigits(t(s, d, "events"), "value")),
+
+    // Joint-distribution heatmap panel: 10x10 equi-width cells over
+    // (quantity, price) with exact-count shares.
+    "table_histogram_2d" -> ((s: SparkSession, d: String) =>
+      Profiling.histogram2d(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice", kx = 10, ky = 10)),
+
     // Incremental aggregate maintenance: the stored rollup absorbs a
     // new batch's partial aggregate by grain-keyed summation
     // (Merge.mergeAggregate) — always-fresh rollups without ever
@@ -1623,6 +1721,132 @@ object SparkEntry {
         |  n_new / CAST(tot_new AS DOUBLE) - n_old / CAST(tot_old AS DOUBLE) AS p_shift
         |FROM k, tot""".stripMargin,
 
+    // Same bucketing CTE as data_drift_value, then the §5 grid rule
+    // on every full-entropy term before its decimal partial.
+    "data_drift_chi2" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+        |k AS (
+        |  SELECT
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE LEAST(19, CAST(FLOOR((value - mn) / ((mx - mn) / 20)) AS INTEGER)) END AS bucket,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new
+        |  FROM ev, b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new) AS BIGINT) AS tot_new
+        |  FROM k),
+        |p AS (
+        |  SELECT n_old, tot_old, tot_new,
+        |    n_old / CAST(tot_old AS DOUBLE) AS p_old,
+        |    n_new / CAST(tot_new AS DOUBLE)
+        |      - n_old / CAST(tot_old AS DOUBLE) AS diff
+        |  FROM k, tot)
+        |SELECT
+        |  CAST(SUM(CASE WHEN n_old > 0
+        |    THEN CAST(floor(diff * diff / p_old * 1e6) / 1e6 AS DECIMAL(28,12)) END) AS DOUBLE) AS chi2,
+        |  CAST(SUM(CAST(floor(abs(diff) * 1e6) / 1e6 AS DECIMAL(28,12))) AS DOUBLE) * 0.5 AS tv_dist,
+        |  CAST(SUM(CASE WHEN n_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
+        |  CAST(SUM(CASE WHEN n_old > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_buckets_skipped,
+        |  CAST(MAX(tot_old) AS BIGINT) AS tot_old,
+        |  CAST(MAX(tot_new) AS BIGINT) AS tot_new
+        |FROM p""".stripMargin,
+
+    // Exact two-sample KS: ECDFs over the distinct-value relation,
+    // quotients of exact integer counts, argmax with the min-value
+    // tie-break (ORDER BY replays the engine's struct-max).
+    "data_drift_ks" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (
+        |  SELECT value,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old_v,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new_v
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old_v) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new_v) AS BIGINT) AS tot_new
+        |  FROM pv),
+        |c AS (
+        |  SELECT value,
+        |    SUM(n_old_v) OVER (ORDER BY value) AS cum_old,
+        |    SUM(n_new_v) OVER (ORDER BY value) AS cum_new
+        |  FROM pv),
+        |d AS (
+        |  SELECT value,
+        |    ABS(cum_old / CAST(CASE WHEN tot_old > 0 THEN tot_old END AS DOUBLE)
+        |      - cum_new / CAST(CASE WHEN tot_new > 0 THEN tot_new END AS DOUBLE)) AS d_abs,
+        |    tot_old, tot_new
+        |  FROM c, tot)
+        |SELECT d_abs AS d_stat, value AS at_value,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
+        |  tot_old AS n_old, tot_new AS n_new
+        |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
+
+    // Both bucket rules replay data_drift_value's 1-D formula per
+    // axis; shares are exact-count quotients.
+    "table_histogram_2d" ->
+      """WITH rows_ AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |b AS (SELECT MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx
+        |      FROM rows_),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM rows_),
+        |k AS (
+        |  SELECT
+        |    CASE WHEN xmx = xmn THEN 0
+        |         ELSE LEAST(9, CAST(FLOOR((x - xmn) / ((xmx - xmn) / 10)) AS INTEGER)) END AS bucket_x,
+        |    CASE WHEN ymx = ymn THEN 0
+        |         ELSE LEAST(9, CAST(FLOOR((y - ymn) / ((ymx - ymn) / 10)) AS INTEGER)) END AS bucket_y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM rows_, b GROUP BY 1, 2)
+        |SELECT bucket_x, bucket_y, n_rows,
+        |  n_rows / CAST(t AS DOUBLE) AS share
+        |FROM k, tot""".stripMargin,
+
+    // CASE-ladder first digit (no log10/pow — the libm rule), VALUES
+    // literals for the Benford shares, grid-quantized χ² total.
+    "audit_benford_digits" ->
+      """WITH vv AS (
+        |  SELECT ABS(CAST(value AS DOUBLE)) AS v FROM events
+        |  WHERE value IS NOT NULL AND ABS(CAST(value AS DOUBLE)) > 0),
+        |s AS (
+        |  SELECT v, CASE
+        |    WHEN v >= 1e8 THEN 1e8 WHEN v >= 1e7 THEN 1e7 WHEN v >= 1e6 THEN 1e6
+        |    WHEN v >= 1e5 THEN 1e5 WHEN v >= 1e4 THEN 1e4 WHEN v >= 1e3 THEN 1e3
+        |    WHEN v >= 1e2 THEN 1e2 WHEN v >= 1e1 THEN 1e1 WHEN v >= 1e0 THEN 1e0
+        |    WHEN v >= 1e-1 THEN 1e-1 WHEN v >= 1e-2 THEN 1e-2 WHEN v >= 1e-3 THEN 1e-3
+        |    WHEN v >= 1e-4 THEN 1e-4 WHEN v >= 1e-5 THEN 1e-5 WHEN v >= 1e-6 THEN 1e-6
+        |    END AS scale
+        |  FROM vv),
+        |c AS (
+        |  SELECT CAST(FLOOR(v / scale) AS INTEGER) AS digit,
+        |         CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM s GROUP BY 1 HAVING digit BETWEEN 1 AND 9),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM c),
+        |e AS (SELECT * FROM (VALUES
+        |  (1, 0.30102999566398120), (2, 0.17609125905568124), (3, 0.12493873660829992),
+        |  (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
+        |  AS t(digit, exp_share)),
+        |p AS (
+        |  SELECT digit, n_obs,
+        |    n_obs / CAST(t AS DOUBLE) AS obs_share, exp_share,
+        |    (n_obs / CAST(t AS DOUBLE) - exp_share)
+        |      * (n_obs / CAST(t AS DOUBLE) - exp_share) / exp_share AS chi2_term
+        |  FROM c JOIN e USING (digit), tot),
+        |tt AS (
+        |  SELECT CAST(SUM(CAST(floor(chi2_term * 1e6) / 1e6 AS DECIMAL(28,12))) AS DOUBLE)
+        |    AS chi2_total FROM p)
+        |SELECT digit, n_obs, obs_share, exp_share, chi2_term, chi2_total
+        |FROM p, tt""".stripMargin,
+
     // The merged rollup must equal a recompute over ALL rows — the
     // mergeability contract of Merge.mergeAggregate.
     "gold_agg_incremental" ->
@@ -1842,6 +2066,35 @@ object SparkEntry {
          |  ON d.user_id = e.user_id
          | AND d.valid_from <= CAST(e.ts AS DATE)
          | AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) <= d.valid_to)""".stripMargin,
+
+    // Nearest semantics replayed as an explicit argmin: every version
+    // within tolerance ranked by (distance, valid_from) per fact row
+    // (fid = any bijection onto fact rows; NULL event_ids keep their
+    // own row). Tie at equal distance → smaller valid_from = backward,
+    // the engine's documented rule.
+    "gold_asof_nearest" ->
+      s"""WITH dim AS (
+         |  SELECT user_id AS bk_user_id, event_type AS segment, valid_from
+         |  FROM ($scd2UserSql)),
+         |f AS (
+         |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_dt,
+         |    ROW_NUMBER() OVER () AS fid
+         |  FROM events),
+         |j AS (
+         |  SELECT f.event_id, f.user_id, f.event_dt, f.fid,
+         |    d.segment, d.valid_from,
+         |    CAST(ABS(datediff('day', d.valid_from, f.event_dt)) AS INTEGER) AS dist,
+         |    CASE WHEN d.valid_from <= f.event_dt THEN 'backward' ELSE 'forward' END AS dir
+         |  FROM f LEFT JOIN dim d
+         |    ON d.bk_user_id = f.user_id
+         |   AND ABS(datediff('day', d.valid_from, f.event_dt)) <= 30),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fid ORDER BY dist, valid_from) AS rn
+         |  FROM j)
+         |SELECT event_id, user_id, event_dt, segment, valid_from,
+         |  CASE WHEN valid_from IS NULL THEN NULL ELSE dist END AS asof_dist_days,
+         |  CASE WHEN valid_from IS NULL THEN NULL ELSE dir END AS asof_dir
+         |FROM r WHERE rn = 1""".stripMargin,
 
     // Identical semantics through the merge-scan physical path.
     "gold_asof_merge_scan" ->
@@ -2188,6 +2441,58 @@ object SparkEntry {
           |  CAST(dem AS DOUBLE) - dow_mean_demand AS residual
           |FROM d2 JOIN m USING (iso_dow)""".stripMargin,
 
+      // STL-lite: full-window 7-day MA trend (decimal 7-sum, one
+      // divide), iso-dow mean of the grid-quantized detrended values
+      // (§5 rule), raw-IEEE residual.
+      "ana_seasonal_decompose" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS dem
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |d2 AS (SELECT *, CAST(isodow(day) AS INTEGER) AS iso_dow FROM daily),
+          |tr AS (
+          |  SELECT *, CASE WHEN COUNT(*) OVER w = 7
+          |    THEN CAST(SUM(dem) OVER w AS DOUBLE) / 7.0 END AS trend
+          |  FROM d2 WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |se AS (
+          |  SELECT iso_dow,
+          |    CAST(SUM(CAST(floor((CAST(dem AS DOUBLE) - trend) * 1e6) / 1e6
+          |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+          |  FROM tr WHERE trend IS NOT NULL GROUP BY 1)
+          |SELECT day, iso_dow, CAST(dem AS DOUBLE) AS demand, trend, seasonal,
+          |  CAST(dem AS DOUBLE) - trend - seasonal AS residual
+          |FROM tr LEFT JOIN se USING (iso_dow)""".stripMargin,
+
+      // The decomposition replayed, then exact-order-statistic
+      // median/MAD on the residuals (quantile_cont ≡ percentile, the
+      // F2 parity) and a RAW robust-z quotient.
+      "anomaly_seasonal" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS dem
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |d2 AS (SELECT *, CAST(isodow(day) AS INTEGER) AS iso_dow FROM daily),
+          |tr AS (
+          |  SELECT *, CASE WHEN COUNT(*) OVER w = 7
+          |    THEN CAST(SUM(dem) OVER w AS DOUBLE) / 7.0 END AS trend
+          |  FROM d2 WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |se AS (
+          |  SELECT iso_dow,
+          |    CAST(SUM(CAST(floor((CAST(dem AS DOUBLE) - trend) * 1e6) / 1e6
+          |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+          |  FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+          |dec AS (
+          |  SELECT day, iso_dow, CAST(dem AS DOUBLE) AS demand,
+          |    CAST(dem AS DOUBLE) - trend - seasonal AS residual
+          |  FROM tr LEFT JOIN se USING (iso_dow)
+          |  WHERE CAST(dem AS DOUBLE) - trend - seasonal IS NOT NULL),
+          |md AS (SELECT quantile_cont(residual, 0.5) AS med FROM dec),
+          |ad AS (SELECT quantile_cont(ABS(residual - med), 0.5) AS mad FROM dec, md)
+          |SELECT day, iso_dow, demand, residual, med, mad,
+          |  (residual - med) / (CASE WHEN mad * 1.4826 = 0 THEN NULL
+          |                           ELSE mad * 1.4826 END) AS robust_z,
+          |  ABS((residual - med) / (CASE WHEN mad * 1.4826 = 0 THEN NULL
+          |                               ELSE mad * 1.4826 END)) > 3.5 AS is_anomaly
+          |FROM dec, md, ad""".stripMargin,
+
       "ana_new_vs_returning" ->
         """WITH ud AS (
           |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
@@ -2337,6 +2642,27 @@ object SparkEntry {
           |SELECT * FROM scored WHERE ABS(z) > 3""".stripMargin,
 
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
+
+      // Same nation-flow edges, canonicalized undirected; the a<b<c
+      // orientation generates each triangle exactly once.
+      "graph_triangles" ->
+        """WITH flows AS (
+          |  SELECT sn.n_name AS src, cn.n_name AS dst
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  WHERE sn.n_name <> cn.n_name),
+          |e AS (
+          |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          |  FROM flows),
+          |w AS (
+          |  SELECT ab.a AS node_a, ab.b AS node_b, ac.b AS node_c
+          |  FROM e ab JOIN e ac ON ab.a = ac.a AND ab.b < ac.b)
+          |SELECT node_a, node_b, node_c
+          |FROM w JOIN e bc ON w.node_b = bc.a AND w.node_c = bc.b""".stripMargin,
 
       "ana_od_matrix" ->
         """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,
@@ -2541,11 +2867,11 @@ object SparkEntry {
         |p AS (
         |  SELECT domain, n_docs,
         |    CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS raw_share,
-        |    sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS num
+        |    floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) / 1e6 AS numq
         |  FROM c CROSS JOIN t),
-        |d AS (SELECT SUM(CAST(floor(num * 1e6) / 1e6 AS DECIMAL(28,12))) AS den FROM p)
+        |d AS (SELECT SUM(CAST(numq AS DECIMAL(28,12))) AS den FROM p)
         |SELECT domain, n_docs, raw_share,
-        |  num / CAST(den AS DOUBLE) AS temp_share
+        |  numq / CAST(den AS DOUBLE) AS temp_share
         |FROM p CROSS JOIN d""".stripMargin,
 
     "dedup_semantic" ->
@@ -2591,7 +2917,24 @@ object SparkEntry {
         |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id, cos_sim
         |FROM scored
-        |QUALIFY rank <= 5""".stripMargin)
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // Radius search: the proven cosine fold, threshold filter, no rank.
+    "ann_range_search" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, n.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+        |      / (n.nrm * q.qnrm) AS cos_sim
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, cos_sim
+        |FROM scored WHERE cos_sim >= 0.35""".stripMargin)
 
   /** The pairwise-correlation oracle, generated from the profiled
     * column list so the moment names and the op order can never drift
@@ -3006,6 +3349,21 @@ object SparkEntry {
            |    / CAST(SUM(cnt_doc) AS BIGINT) AS mean_continuation_share
            |FROM pd JOIN cb USING (big) JOIN cp USING (pre)
            |GROUP BY 1""".stripMargin,
+
+      // Integer-exact Simpson diversity: Σc², n and max(c) are exact
+      // counts, each output exactly one double division.
+      "text_char_diversity" ->
+        """WITH pc AS (
+          |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+          |        FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+          |  WHERE ch <> '' GROUP BY 1, 2)
+          |SELECT doc_id,
+          |  CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+          |  CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+          |  1.0 - SUM(cnt * cnt) / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS simpson_diversity,
+          |  MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS top_char_share
+          |FROM pc GROUP BY 1""".stripMargin,
 
       "doc_repetition_stats" ->
         s"""WITH base AS (

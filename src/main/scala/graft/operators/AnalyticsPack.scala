@@ -626,6 +626,75 @@ object AnalyticsPack {
         (col("dem").cast("double") - col("dow_mean_demand")).as("residual"))
   }
 
+  /** Additive seasonal decomposition of the daily demand series —
+    * the STL-lite (trend / weekly-seasonal / residual) panel:
+    * trend = centered 7-day moving average (NULL at the 3-day edges
+    * where the window is incomplete — a partial-window "trend" is a
+    * different statistic), seasonal = the iso-dow mean of the
+    * detrended series, residual = demand − trend − seasonal.
+    *
+    * Scale shape: the fact collapses in one partial-agg shuffle; the
+    * 7-row window, the ≤7-key seasonal means and the final broadcast
+    * join all run on the ≤#days panel ([[dailyDelta]]'s day-panel
+    * convention). Numeric parity: demand is an exact 2-dp decimal
+    * sum; trend = decimal 7-sum, ONE double division; detrended
+    * values are full-entropy, so the seasonal mean floor-quantizes
+    * them to the 1e-6 grid before its DECIMAL(28,12) partials (the
+    * §5 rule); residual is raw IEEE over engine-identical inputs.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    import graft.functions.Temporal
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(graft.expressions.Kernels.toDecimal(col("value").cast("double"), 18, 2)).as("dem"))
+      .withColumn("iso_dow", Temporal.isoDow(col("day")))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(w7) === 7,
+          sum(col("dem")).over(w7).cast("double") / lit(7.0)))
+      .withColumn("demand", col("dem").cast("double"))
+      .withColumn("__detrended", col("demand") - col("trend"))
+    val seasonal = withTrend.filter(col("trend").isNotNull)
+      .groupBy(col("iso_dow"))
+      .agg((sum(graft.expressions.Kernels.toDecimal(
+          floor(col("__detrended") * lit(1e6)) / lit(1e6), 28, 12)).cast("double")
+        / count(lit(1))).as("seasonal"))
+    withTrend.join(broadcast(seasonal), Seq("iso_dow"), "left")
+      .select(col("day"), col("iso_dow"), col("demand"), col("trend"),
+        col("seasonal"),
+        (col("demand") - col("trend") - col("seasonal")).as("residual"))
+  }
+
+  /** Seasonality-aware anomaly panel: the MAD robust-z rule applied
+    * to [[seasonalDecompose]]'s residuals — "unusual FOR THAT
+    * weekday", where a raw-value z-score would flag every ordinary
+    * weekend. Emits every decomposable day with its robust z and the
+    * flag (not just the hits — the panel is ≤#days and the full
+    * series is the monitoring artifact).
+    *
+    * The decomposition panel materializes once (localCheckpoint — two
+    * consumers: the median panel and the deviation join). Median/MAD
+    * are exact order statistics over engine-identical residual bits
+    * (the F2 percentile≡quantile_cont parity); robust z ships RAW
+    * (the §6 quotient rule — no rounding on full-entropy quotients).
+    */
+  def anomalySeasonal(events: DataFrame, cut: Double = 3.5): DataFrame = {
+    val dec = seasonalDecompose(events).filter(col("residual").isNotNull)
+      .localCheckpoint(true)
+    val med = dec.agg(percentile(col("residual"), lit(0.5)).as("med"))
+    val dev = dec.crossJoin(broadcast(med))
+      .withColumn("__absdev", abs(col("residual") - col("med")))
+    val mad = dev.agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("robust_z", (col("residual") - col("med"))
+        / when(col("mad") * lit(1.4826) === 0, lit(null))
+          .otherwise(col("mad") * lit(1.4826)))
+      .select(col("day"), col("iso_dow"), col("demand"), col("residual"),
+        col("med"), col("mad"), col("robust_z"),
+        (abs(col("robust_z")) > cut).as("is_anomaly"))
+  }
+
   /** A/B experiment readout in ONE aggregation pass: per-variant
     * distinct users and distinct converters, conversion rates, the
     * absolute lift, and the standard two-proportion z statistic —

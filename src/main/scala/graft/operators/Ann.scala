@@ -365,6 +365,28 @@ object Ann {
       .agg(sum(grid6(col("cv") * col("r")).cast(d28)).cast("double").as("pc1_score"))
   }
 
+  /** Exact cosine RANGE search: every neighbor with cos ≥ threshold
+    * for each query `vec_id < nQueries` — the radius twin of
+    * [[cosineTopK]] (a recall-oriented dedup/retrieval sweep wants
+    * "all within ε", not "the best k"). Same broadcast-query × corpus
+    * scan, but with NO top-k windows at all: the threshold is a pure
+    * codegen filter, so the whole operator is one zero-window,
+    * zero-extra-shuffle pass — at 100 TB each task emits only its
+    * local matches. Same fold-order dot product as the proven cosine
+    * oracle.
+    */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  nQueries: Int, threshold: Double): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+  }
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  nQueries: Int, k: Int): DataFrame = {

@@ -57,6 +57,77 @@ object AsOfJoin {
     * Output schema matches [[apply]] with `joinType = "left"`:
     * fact columns then dim payload columns (null when uncovered).
     */
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`):
+    * each fact row resolves to the dim row whose `dimDateCol` is
+    * CLOSEST to the event date in either direction — backward wins
+    * distance ties — optionally bounded by `toleranceDays` (a fact
+    * with no dim within tolerance keeps NULL dim columns). The
+    * backward-only [[apply]]/[[mergeScan]] is interval semantics;
+    * nearest is snapshot semantics: "the measurement taken closest to
+    * this event", the sensor/price-mark alignment rule.
+    *
+    * Same one-shuffle merge-scan shape as [[mergeScan]]: dim snapshots
+    * and fact rows union, sort once per key by (date, dim-first), a
+    * running `last` resolves the backward candidate and a
+    * from-current `first` the forward one — no per-key pair
+    * materialization at any fan-in. The same-date dim sorts BEFORE
+    * the fact row, so it lands in the backward window at distance 0.
+    * Requires `dimDateCol` unique per key (true of an SCD2 chain's
+    * version starts) — duplicate same-key same-date dim rows would
+    * make "the" backward candidate order-dependent.
+    *
+    * Output: fact columns, dim payload columns (NULL when unresolved
+    * or out of tolerance), `asof_dist_days`, `asof_dir`
+    * ('backward' / 'forward' / NULL).
+    */
+  def nearest(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+              eventDate: Column, dimDateCol: String,
+              toleranceDays: Option[Int] = None): DataFrame = {
+    val payload = dim.columns.filterNot(_ == dimKey).toSeq
+    val factExtra = fact.columns.filterNot(_ == factKey).toSeq
+    val d = TempCol("d", fact)
+    val tag = TempCol("tag", fact)
+    val p = TempCol("p", fact)
+    val pb = TempCol("pb", fact)
+    val pf = TempCol("pf", fact)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => dim.schema(c)))
+    val dimSide = dim.select(
+      col(dimKey).as(factKey), col(dimDateCol).as(d), lit(0).as(tag),
+      struct(payload.map(col): _*).as(p))
+      .select(
+        Seq(col(factKey), col(d), col(tag)) ++
+          factExtra.map(c => lit(null).cast(fact.schema(c).dataType).as(c)) :+
+          col(p): _*)
+    val factSide = fact.select(
+      Seq(col(factKey), eventDate.as(d), lit(1).as(tag)) ++
+        factExtra.map(col) :+
+        lit(null).cast(payloadType).as(p): _*)
+    val wB = Window.partitionBy(col(factKey)).orderBy(col(d), col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(factKey)).orderBy(col(d), col(tag))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val resolved = factSide.unionByName(dimSide)
+      .withColumn(pb, last(col(p), ignoreNulls = true).over(wB))
+      .withColumn(pf, first(col(p), ignoreNulls = true).over(wF))
+      .filter(col(tag) === 1)
+    val distB = datediff(col(d), col(pb).getField(dimDateCol))
+    val distF = datediff(col(pf).getField(dimDateCol), col(d))
+    val useB = col(pb).isNotNull && (col(pf).isNull || distB <= distF)
+    val cand = when(useB, col(pb)).otherwise(col(pf))
+    val dist = when(useB, distB).otherwise(distF)
+    val within = toleranceDays.map(t => dist <= t).getOrElse(lit(true))
+    val chosen = when(cand.isNotNull && within, cand)
+    resolved
+      .withColumn(p, chosen)
+      .select(
+        Seq(col(factKey)) ++ factExtra.map(col) ++
+          payload.map(c => col(s"$p.$c").as(c)) ++ Seq(
+            when(col(p).isNotNull, dist).as("asof_dist_days"),
+            when(col(p).isNull, lit(null).cast("string"))
+              .when(useB, lit("backward")).otherwise(lit("forward")).as("asof_dir")): _*)
+  }
+
   def mergeScan(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                 eventDate: Column, dimOrderCol: String = "valid_from"): DataFrame = {
     val payload = dim.columns.filterNot(_ == dimKey).toSeq

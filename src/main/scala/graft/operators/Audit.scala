@@ -100,4 +100,57 @@ object Audit {
           col("xor_a") <=> col("xor_b") &&
           col("measure_sum_a") <=> col("measure_sum_b")).as("is_match"))
   }
+
+  /** Benford first-digit audit of a positive measure — the classic
+    * fabricated-data screen: observed first-significant-digit shares
+    * vs Benford's law, with per-digit χ² terms and the total.
+    *
+    * The first digit comes from a CASE ladder over fixed powers of
+    * ten (1e-6 … 1e8), NOT from log10/normalize-by-pow — engines
+    * differ in the last ulp of libm log/pow (the repo rule), while
+    * threshold compares + one divide + floor replay bit-for-bit.
+    * The expected shares are fixed double LITERALS (log10(1+1/d)
+    * precomputed once here, parsed identically by every engine), so
+    * no log is ever evaluated at query time.
+    *
+    * Scale shape: one codegen'd scan + a ≤9-key partial agg; the χ²
+    * total is panel math (grid-quantized DECIMAL partials, §5 rule).
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d) for d = 1..9, to 17 significant digits
+    val benford = Seq(
+      0.30102999566398120, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val v = abs(col(valueCol).cast("double"))
+    // ascending fold → the LARGEST matching threshold ends outermost
+    val scale = Seq(1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1, 1e0,
+        1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8)
+      .foldLeft(lit(null).cast("double")) { (acc, s) =>
+        when(v >= s, lit(s)).otherwise(acc)
+      }
+    val digit = floor(v / scale).cast("int")
+    val counts = df.filter(col(valueCol).isNotNull && v > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
+      .filter(col("digit").between(1, 9))
+    val tot = counts.agg(sum(col("n_obs")).as("__tot"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = benford.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+      .toDF("digit", "exp_share")
+    val perDigit = counts.crossJoin(broadcast(tot))
+      .join(broadcast(expected), "digit")
+      .withColumn("obs_share", col("n_obs") / col("__tot").cast("double"))
+      .withColumn("chi2_term",
+        (col("obs_share") - col("exp_share")) * (col("obs_share") - col("exp_share"))
+          / col("exp_share"))
+    val total = perDigit.agg(
+      sum(graft.expressions.Kernels.toDecimal(
+        floor(col("chi2_term") * lit(1e6)) / lit(1e6), 28, 12))
+        .cast("double").as("chi2_total"))
+    perDigit.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"), col("obs_share"), col("exp_share"),
+        col("chi2_term"), col("chi2_total"))
+  }
 }

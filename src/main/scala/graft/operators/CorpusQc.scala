@@ -107,6 +107,53 @@ object CorpusQc {
         (col("n_shared") / col("train_ngrams")).as("contamination_frac"))
   }
 
+  /** MinHash-banded decontamination — [[contaminationPairs]]'s scale
+    * path: instead of joining the full train×eval n-gram inverted
+    * index (shuffle ∝ every shared-shingle occurrence), both sides
+    * reduce to `numHashes`-slot MinHash signatures, candidates come
+    * from band-bucket collisions ONLY across train×eval, and each
+    * candidate is verified EXACTLY (shingle-set intersection over
+    * union — true Jaccard, so the band stage costs recall, never
+    * precision). The eval side is benchmark-sized: its banded
+    * relation broadcasts, so the candidate join adds no shuffle to
+    * the train scan at 100 TB.
+    *
+    * Rows-only by protocol (signatures are xxhash64-derived, not
+    * SQL-replayable) — the spec pins planted contamination, clean-doc
+    * silence, and agreement with the exact sweep on planted pairs.
+    */
+  def decontaminateMinhash(train: DataFrame, evalSet: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 8, numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    def sigs(df: DataFrame, as: String): DataFrame =
+      TextDedup.hashedShingles(df, idCol, textCol, n)
+        .select(col("doc_id").as(as), col("shs"),
+          Kernels.minhashSig(col("shs"), numHashes).as("sig"))
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)
+    def banded(df: DataFrame, as: String): DataFrame =
+      df.select(col(as), explode(bandStructs).as("bb"))
+        .select(col(as), col("bb.band_id"), col("bb.bucket"))
+    val ts = sigs(train, "train_id").localCheckpoint(true)
+    val es = sigs(evalSet, "eval_id").localCheckpoint(true)
+    val cands = banded(ts, "train_id")
+      .join(broadcast(banded(es, "eval_id")), Seq("band_id", "bucket"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_bands"))
+    cands
+      .join(ts.select(col("train_id"), col("shs").as("shs_t")), "train_id")
+      .join(broadcast(es.select(col("eval_id"), col("shs").as("shs_e"))), "eval_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("shs_t"), col("shs_e"))) /
+          size(array_union(col("shs_t"), col("shs_e"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("n_bands"), col("jaccard"))
+  }
+
   /** Corpus-frequency familiarity: a unigram-LM perplexity proxy with
     * no library math. Each document scores the arithmetic mean of its
     * tokens' corpus frequency shares — exact integer partials divided
@@ -298,5 +345,38 @@ object CorpusQc {
       .withColumn("status",
         when(col("n_docs") >= minDocs && col("mean_quality") >= minMeanQuality,
           "KEEP").otherwise("DROP"))
+  }
+
+  /** Per-document character-diversity panel — the LOG-FREE quality
+    * signal next to Shannon entropy (whose log2 the libm-portability
+    * rule forbids): Simpson diversity 1 − Σp², distinct character
+    * count, and the single most frequent character's share. A
+    * keyboard-mash or single-char-flood document scores near 0
+    * diversity / high top share; natural text sits high/low.
+    *
+    * Exactness: Σp² = (Σ c_i²)/n² — both sums are INTEGER partials
+    * (map-side combined, order-free), so each output is exactly ONE
+    * IEEE division over exact longs, engine-identical with no
+    * decimal machinery at all. Scale shape: one (doc, char) partial
+    * agg + one doc-keyed re-agg; the empty-string guard (`ch <> ''`)
+    * pins Java's trailing-empty split artifact to DuckDB's
+    * string_split semantics.
+    */
+  def charDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perChar = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    perChar.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars_counted"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("cnt") * col("cnt")).as("__ss"),
+        max(col("cnt")).as("__maxc"))
+      .select(col("doc_id"), col("n_chars_counted"), col("distinct_chars"),
+        (lit(1.0) - col("__ss") / (col("n_chars_counted") * col("n_chars_counted")).cast("double"))
+          .as("simpson_diversity"),
+        (col("__maxc") / col("n_chars_counted").cast("double")).as("top_char_share"))
   }
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.Kernels
+
+/** Distribution-drift statistics between an "old" and a "new" slice
+  * of one numeric column — the monitoring layer over the reference's
+  * quality reports (src/silver/transforms.py quality summary + the
+  * docs/queries drift panels), extended with the two standard
+  * scalar drift tests a training-data pipeline gates on.
+  *
+  * Both are deliberately LOG-FREE (the repo's libm-portability rule:
+  * engines differ in the last ulp of `ln`/`pow`, so PSI's
+  * (p−q)·ln(p/q) is not engine-replayable; Pearson's χ² and
+  * Kolmogorov–Smirnov carry the same decision signal on IEEE ops
+  * both engines execute bit-identically).
+  */
+object Drift {
+
+  private def grid6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
+  /** Pearson χ² + total-variation drift over an equi-width histogram
+    * — one row: the scalar drift verdict for a monitoring gate.
+    *
+    * Same bucketing as the per-bucket `data_drift_value` panel
+    * (k equi-width buckets over the observed [min,max]); buckets
+    * empty on the OLD side cannot contribute a χ² term (division by
+    * zero) and are counted in `n_buckets_skipped` instead — the
+    * "new mass appeared where old had none" signal survives in
+    * `tv_dist`, which has no such singularity.
+    *
+    * Scale shape: one corpus pass for the bounds panel, one for the
+    * bucket partial-agg (map-side combined, ≤k groups), then panel
+    * math. The χ²/TV terms are full-entropy quotient arithmetic —
+    * floor-quantized to the 1e-6 grid before their DECIMAL(28,12)
+    * partials (the §5 cast-portability rule), so the sums are
+    * order-free AND engine-replayable.
+    */
+  def chi2Histogram(df: DataFrame, valueCol: String, isNewCol: String,
+                    k: Int = 20): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets: $k")
+    val ev = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))
+    val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val width = (col("mx") - col("mn")) / k
+    val bucket = when(col("mx") === col("mn"), lit(0))
+      .otherwise(least(lit(k - 1), floor((col("value") - col("mn")) / width).cast("int")))
+    val byBucket = ev.crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old"), sum(col("is_new")).as("n_new"))
+    val tot = byBucket.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    val withP = byBucket.crossJoin(broadcast(tot))
+      .withColumn("p_old", col("n_old") / col("tot_old").cast("double"))
+      .withColumn("p_new", col("n_new") / col("tot_new").cast("double"))
+      .withColumn("__diff", col("p_new") - col("p_old"))
+    withP.agg(
+      sum(when(col("n_old") > 0,
+        Kernels.toDecimal(grid6(col("__diff") * col("__diff") / col("p_old")), 28, 12)))
+        .cast("double").as("chi2"),
+      (sum(Kernels.toDecimal(grid6(abs(col("__diff"))), 28, 12)).cast("double")
+        * lit(0.5)).as("tv_dist"),
+      sum(when(col("n_old") > 0, 1).otherwise(0)).as("n_buckets_used"),
+      sum(when(col("n_old") > 0, 0).otherwise(1)).as("n_buckets_skipped"),
+      max(col("tot_old")).as("tot_old"),
+      max(col("tot_new")).as("tot_new"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — one row:
+    * D = max over observed values of |ECDF_old − ECDF_new|, the
+    * value where the max is attained (ties → smallest value), and
+    * the slice sizes.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-value relation
+    * in one partial-agg shuffle (exact per-value old/new counts);
+    * both cumulative counts come from ONE two-phase distributed
+    * prefix sum over the value order ([[PrefixSum.globalOrderedN]] —
+    * never a single-partition global window); the ECDF quotients are
+    * exact-long / exact-long (one IEEE divide, engine-identical), and
+    * the argmax is a struct-max aggregate, no sort. Nothing here
+    * needs a decimal partial: counts are integers and the only
+    * doubles are compared, never summed.
+    */
+  def ksStatistic(df: DataFrame, valueCol: String, isNewCol: String): DataFrame = {
+    val perVal = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))
+      .groupBy(col("value"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old_v"), sum(col("is_new")).as("n_new_v"))
+    val cum = PrefixSum.globalOrderedN(perVal, Seq(col("value")),
+      Seq("n_old_v", "n_new_v"))
+    val tot = perVal.agg(sum(col("n_old_v")).as("tot_old"),
+      sum(col("n_new_v")).as("tot_new"))
+    val d = cum.crossJoin(broadcast(tot))
+      .withColumn("__d_abs", abs(
+        col("prefix_n_old_v") / when(col("tot_old") > 0, col("tot_old").cast("double"))
+          - col("prefix_n_new_v") / when(col("tot_new") > 0, col("tot_new").cast("double"))))
+    d.agg(max(struct(col("__d_abs"), (-col("value")).as("__neg_value"))).as("__m"),
+        count(lit(1)).as("n_distinct_values"),
+        max(col("tot_old")).as("n_old"), max(col("tot_new")).as("n_new"))
+      .select(col("__m.__d_abs").as("d_stat"),
+        (-col("__m.__neg_value")).as("at_value"),
+        col("n_distinct_values"), col("n_old"), col("n_new"))
+  }
+}

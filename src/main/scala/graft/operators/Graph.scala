@@ -14,6 +14,40 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Triangle enumeration over an undirected edge list: every
+    * unordered node triple {a,b,c} with all three edges present,
+    * emitted once as (node_a < node_b < node_c).
+    *
+    * The input is canonicalized to oriented edges (src < dst,
+    * distinct) — orienting by the node ordering means each triangle
+    * is generated exactly once by construction (a<b joined a<c, then
+    * the closing b<c edge), no post-hoc dedup. Scale shape: two
+    * co-keyed equi-joins on edge endpoints; the first join's fan-out
+    * is Σ deg²(node) over the ORIENTED degree, which the a<b
+    * orientation already bounds (a hub's edges split between in- and
+    * out-roles; the classic refinement — orient by (degree, id)
+    * instead of id — drops in here without changing the output,
+    * since the emitted triple is re-sorted by node id either way).
+    * No window, no driver structure; output is triangle-sized.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    // shuffled-hash on both joins (the Cdc.snapshotDiff steering):
+    // posting-list probes need no sort order, and the checkpointed
+    // edge relation carries no stats for the planner to see that.
+    val wedges = e.as("ab").join(e.as("ac").hint("shuffle_hash"),
+        col("ab.a") === col("ac.a") && col("ab.b") < col("ac.b"))
+      .select(col("ab.a").as("node_a"), col("ab.b").as("node_b"), col("ac.b").as("node_c"))
+    wedges.join(e.as("bc").hint("shuffle_hash"),
+        col("node_b") === col("bc.a") && col("node_c") === col("bc.b"))
+      .select(col("node_a"), col("node_b"), col("node_c"))
+  }
+
   /** Weighted PageRank by fixed-round power iteration: rank flows
     * along out-edges proportionally to edge weight, damped; dangling
     * mass (nodes with no out-edges) redistributes uniformly each

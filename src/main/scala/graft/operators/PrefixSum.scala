@@ -33,8 +33,20 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   def globalOrdered(df: DataFrame, orderCols: Seq[Column], valueCol: String,
-                    nRangeParts: Int = 32): DataFrame = {
+                    nRangeParts: Int = 32): DataFrame =
+    globalOrderedN(df, orderCols, Seq(valueCol), nRangeParts)
+      .withColumnRenamed(s"prefix_$valueCol", "prefix_sum")
+
+  /** Multi-column variant: one ranged materialization, one offsets
+    * panel, a running total per value column (`prefix_<name>`) — for
+    * consumers that need several aligned prefixes over the same order
+    * (e.g. a two-sample ECDF's old/new cumulative counts) without
+    * paying the range partitioning twice.
+    */
+  def globalOrderedN(df: DataFrame, orderCols: Seq[Column], valueCols: Seq[String],
+                     nRangeParts: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "globalOrdered needs an order")
+    require(valueCols.nonEmpty, "globalOrderedN needs at least one value column")
     require(nRangeParts >= 1, s"nRangeParts=$nRangeParts must be positive")
     // EAGER: the local-prefix branch and the offsets branch must see
     // the SAME range boundaries — repartitionByRange samples its
@@ -47,19 +59,28 @@ object PrefixSum {
       .localCheckpoint(false)
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = local
-      .withColumn("__local_sum", sum(col(valueCol)).over(w))
-      .withColumn("__local_n", count(lit(1)).over(w))
+    val withLocal = valueCols.zipWithIndex.foldLeft(
+        local.withColumn("__local_n", count(lit(1)).over(w))) {
+      case (d, (vc, i)) => d.withColumn(s"__local_sum_$i", sum(col(vc)).over(w))
+    }
     val wp = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__part_sum"), count(lit(1)).as("__part_n"))
-      .select(col("__pid"),
-        coalesce(sum(col("__part_sum")).over(wp), lit(0)).as("__offset_sum"),
-        coalesce(sum(col("__part_n")).over(wp), lit(0L)).as("__offset_n"))
-    withLocal.join(broadcast(offsets), "__pid")
-      .withColumn("prefix_sum", col("__local_sum") + col("__offset_sum"))
+      .agg(count(lit(1)).as("__part_n"),
+        valueCols.zipWithIndex.map { case (vc, i) =>
+          sum(col(vc)).as(s"__part_sum_$i")
+        }: _*)
+      .select(col("__pid") +:
+        coalesce(sum(col("__part_n")).over(wp), lit(0L)).as("__offset_n") +:
+        valueCols.indices.map(i =>
+          coalesce(sum(col(s"__part_sum_$i")).over(wp), lit(0)).as(s"__offset_sum_$i")): _*)
+    val joined = withLocal.join(broadcast(offsets), "__pid")
+    valueCols.zipWithIndex.foldLeft(joined) { case (d, (vc, i)) =>
+        d.withColumn(s"prefix_$vc", col(s"__local_sum_$i") + col(s"__offset_sum_$i"))
+      }
       .withColumn("row_rank", (col("__local_n") + col("__offset_n")).cast("long"))
-      .drop("__pid", "__local_sum", "__local_n", "__offset_sum", "__offset_n")
+      .drop("__pid" +: "__local_n" +: "__offset_n" +:
+        valueCols.indices.flatMap(i =>
+          Seq(s"__local_sum_$i", s"__offset_sum_$i")): _*)
   }
 }

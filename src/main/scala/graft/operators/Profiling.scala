@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution profiling — the ANALYZE-style statistics a lake load
@@ -117,5 +117,35 @@ object Profiling {
     }
     agg.select(col("n"), explode(array(pairStructs: _*)).as("p"))
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
+  }
+
+  /** 2-D equi-width histogram — the joint-distribution panel behind a
+    * heatmap or a 2-column drift monitor (the 1-D [[histogram]]'s
+    * product shape): kx × ky buckets over the observed [min,max] of
+    * each column, count + share per occupied cell.
+    *
+    * Scale shape: ONE bounds pass for both columns (a 1-row panel),
+    * then one ≤kx·ky-key partial-agg shuffle — identical cost class
+    * to the 1-D pass. The share is an exact-long/exact-long single
+    * divide; nothing needs decimal machinery.
+    */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+                  kx: Int, ky: Int): DataFrame = {
+    require(kx >= 1 && ky >= 1, s"histogram2d needs positive buckets: $kx x $ky")
+    val (x, y) = (col(xCol), col(yCol))
+    val rows = df.filter(x.isNotNull && y.isNotNull)
+    val bounds = rows.agg(min(x).as("xmn"), max(x).as("xmx"),
+      min(y).as("ymn"), max(y).as("ymx"))
+    def bucketOf(v: Column, mn: Column, mx: Column, k: Int) =
+      when(mx === mn, lit(0))
+        .otherwise(least(lit(k - 1), floor((v - mn) / ((mx - mn) / k)).cast("int")))
+    val tot = rows.agg(count(lit(1)).as("__tot"))
+    rows.crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(x, col("xmn"), col("xmx"), kx).as("bucket_x"),
+        bucketOf(y, col("ymn"), col("ymx"), ky).as("bucket_y"))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("n_rows") / col("__tot").cast("double"))
+      .select(col("bucket_x"), col("bucket_y"), col("n_rows"), col("share"))
   }
 }

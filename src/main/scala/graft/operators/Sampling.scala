@@ -174,16 +174,18 @@ object Sampling {
         if (alpha == 0.5) sqrt(col("raw_share"))
         else pow(col("raw_share"), lit(alpha)))
     // floor-quantize the full-entropy sqrt/pow output to the 1e-6 grid
-    // BEFORE the decimal cast (the §5 portability rule — engines round
-    // raw doubles to decimal differently in ~1e-5 of casts; a
-    // grid-aligned value leaves no rounding decision). temp_share
-    // itself stays a raw IEEE quotient of the unquantized numerator.
-    val den = p.agg(
-      sum(graft.expressions.Kernels.toDecimal(
-        floor(col("__num") * lit(1e6)) / lit(1e6), 28, 12)).as("__den"))
-    p.crossJoin(broadcast(den))
+    // (the §5 portability rule — engines round raw doubles to decimal
+    // differently in ~1e-5 of casts; a grid-aligned value leaves no
+    // rounding decision). The QUANTIZED weight is the weight: both the
+    // numerator and the decimal-summed normalizer use it, so the
+    // shares still sum to 1 at double precision (a quantized
+    // numerator over an unquantized sum would leave a ~1e-6 gap).
+    val pq = p.withColumn("__numq", floor(col("__num") * lit(1e6)) / lit(1e6))
+    val den = pq.agg(
+      sum(graft.expressions.Kernels.toDecimal(col("__numq"), 28, 12)).as("__den"))
+    pq.crossJoin(broadcast(den))
       .select(col("domain"), col("n_docs"), col("raw_share"),
-        (col("__num") / col("__den").cast("double")).as("temp_share"))
+        (col("__numq") / col("__den").cast("double")).as("temp_share"))
   }
 
   /** Stratified deterministic sample: each stratum value keeps its own

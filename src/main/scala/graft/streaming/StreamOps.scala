@@ -52,6 +52,31 @@ object StreamOps {
   private def withWatermarkOpt(events: DataFrame, watermark: Option[String]): DataFrame =
     watermark.fold(events)(events.withWatermark("ts", _))
 
+  /** Streaming drift monitor: per event-time window, the bucketed
+    * value histogram a `Drift.chi2Histogram`-style gate consumes —
+    * the windows are the rolling "new" slice against any stored
+    * baseline. Bucket bounds are FIXED ARGUMENTS (lo, hi): a
+    * streaming operator cannot scan twice for min/max, and a
+    * monitoring gate wants a stable bucket space across windows
+    * anyway (shifting bounds would make histograms incomparable).
+    * Out-of-range values clamp into the edge buckets, so no row is
+    * silently dropped. State = one count per (window, bucket) ≤ k
+    * per window, expired by the watermark.
+    */
+  def valueHistogram(events: DataFrame, lo: Double, hi: Double, k: Int,
+                     windowDur: String = "30 minutes",
+                     watermark: Option[String] = Some("1 hour")): DataFrame = {
+    require(k >= 1, s"need at least one bucket: $k")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val bucket = least(lit(k - 1), greatest(lit(0),
+      floor((col("value") - lit(lo)) / lit((hi - lo) / k)).cast("int")))
+    withWatermarkOpt(events, watermark)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowDur).as("w"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("w.start").as("window_start"), col("bucket"), col("n_rows"))
+  }
+
   /** Streaming exact dedup on the event key: late re-deliveries inside
     * the watermark are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` — state expires with the

@@ -360,4 +360,68 @@ class AnalyticsPackSpec extends SparkSpec {
     // the z-score twin misses the same outlier (breakdown in action)
     assert(AnalyticsPack.anomalyZscore(ev).count() == 0)
   }
+
+  test("seasonalDecompose: pure weekly pattern decomposes with ~zero interior residual") {
+    // 21 days, demand depends ONLY on iso-dow: trend = weekly mean,
+    // seasonal = dow offset, residual ~ 0 wherever trend is defined
+    val pattern = Map(1 -> 70.0, 2 -> 10.0, 3 -> 20.0, 4 -> 30.0,
+      5 -> 40.0, 6 -> 50.0, 7 -> 60.0)
+    val ev = (0 until 21).map { i =>
+      val day = java.time.LocalDate.parse("2024-01-01").plusDays(i)  // a Monday
+      val dow = ((i % 7) + 1)
+      (java.sql.Timestamp.valueOf(day.atTime(12, 0)), pattern(dow))
+    }.toDF("ts", "value")
+    val got = AnalyticsPack.seasonalDecompose(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[Any]("trend")), r.getAs[Double]("seasonal"),
+          Option(r.getAs[Any]("residual")))).toMap
+    assert(got.size == 21)
+    // 3-day edges have no full window: trend and residual NULL
+    assert(got("2024-01-01")._1.isEmpty && got("2024-01-21")._3.isEmpty)
+    val weeklyMean = pattern.values.sum / 7.0
+    got.filter(_._2._1.nonEmpty).foreach { case (day, (trend, seasonal, resid)) =>
+      assert(math.abs(trend.get.asInstanceOf[Double] - weeklyMean) < 1e-9, day)
+      assert(math.abs(resid.get.asInstanceOf[Double]) < 1e-6, day)
+    }
+    // seasonal offsets recover the pattern shape around the mean
+    val monday = got("2024-01-08")._2
+    assert(math.abs(monday - (70.0 - weeklyMean)) < 1e-6)
+  }
+
+  test("anomalySeasonal: a planted spike is the only flagged day") {
+    val pattern = Map(1 -> 70.0, 2 -> 10.0, 3 -> 20.0, 4 -> 30.0,
+      5 -> 40.0, 6 -> 50.0, 7 -> 60.0)
+    val ev = (0 until 28).map { i =>
+      val day = java.time.LocalDate.parse("2024-01-01").plusDays(i)
+      val dow = (i % 7) + 1
+      // big spike on day 10 breaks the otherwise-pure weekly pattern;
+      // tiny dow-dependent jitter keeps MAD nonzero
+      val v = pattern(dow) + (if (i == 10) 500.0 else 0.0) + i % 3 * 0.01
+      (java.sql.Timestamp.valueOf(day.atTime(12, 0)), v)
+    }.toDF("ts", "value")
+    val got = AnalyticsPack.anomalySeasonal(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[Any]("is_anomaly")), r.getAs[Double]("robust_z"))).toMap
+    // edges (trend NULL) are absent; the spike day is flagged with
+    // the extreme robust z (days whose MA window contains the spike
+    // legitimately co-flag — the MA smears the level shift ±3 days)
+    assert(!got.contains("2024-01-01") && !got.contains("2024-01-28"))
+    assert(got("2024-01-11")._1 == Some(true))
+    val maxAbsZ = got.values.map(v => math.abs(v._2)).max
+    assert(math.abs(got("2024-01-11")._2) == maxAbsZ)
+    // days far from the spike stay quiet
+    assert(got("2024-01-05")._1 == Some(false) && got("2024-01-24")._1 == Some(false))
+  }
+
+  test("histogram2d: known cells, clamped top edge, shares sum to 1") {
+    import graft.operators.Profiling
+    val df = Seq((0.0, 0.0), (0.1, 9.9), (9.9, 0.1), (10.0, 10.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val got = Profiling.histogram2d(df, "x", "y", kx = 10, ky = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // max values land in the TOP bucket (LEAST clamp), not bucket k
+    assert(got.keySet == Set((0, 0), (0, 9), (9, 0), (9, 9), (5, 5)))
+    assert(got.values.forall(_._1 == 1L))
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
 }

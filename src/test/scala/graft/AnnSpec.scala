@@ -311,4 +311,22 @@ class AnnSpec extends SparkSpec {
         threshold = 0.95)
     assert(auto.count() == 6)
   }
+
+  test("rangeSearch: threshold filter, self excluded, agrees with top-k on the same fixture") {
+    // q0 = e1; same-direction (scaled) vector cos=1; orthogonal cos=0
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),   // cos 1 with q0
+      (2L, Array(0f, 1f, 0f, 0f)),   // cos 0
+      (3L, Array(1f, 1f, 0f, 0f)))   // cos 1/sqrt(2) ≈ 0.707
+      .toDF("vec_id", "embedding")
+    val got = Ann.rangeSearch(emb, "vec_id", "embedding", nQueries = 1, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSet == Set(1L, 3L))         // 2 below threshold, 0 is self
+    assert(got.forall(_._1 == 0L) && got.forall(_._3 >= 0.7))
+    // the radius result is exactly the top-k result cut at the threshold
+    val topk = Ann.cosineTopK(emb, "vec_id", "embedding", nQueries = 1, k = 3)
+      .collect().filter(_.getDouble(3) >= 0.7).map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._2, t._3)).toSet == topk.toSet)
+  }
 }

@@ -118,6 +118,35 @@ class CoreOperatorsSpec extends SparkSpec {
       viaScan(1)._5.contains(true))
   }
 
+  test("as-of nearest: closest snapshot either direction, backward ties, tolerance") {
+    val dim = Seq(
+      ("S1", "A", Date.valueOf("2024-01-01")),
+      ("S1", "B", Date.valueOf("2024-01-11")),
+      ("S2", "Z", Date.valueOf("2024-03-01")))
+      .toDF("stop", "mode", "valid_from")
+    val fact = Seq(
+      (1L, "S1", Date.valueOf("2024-01-03")),  // A(2) vs B(8)  -> A backward
+      (2L, "S1", Date.valueOf("2024-01-09")),  // A(8) vs B(2)  -> B forward
+      (3L, "S1", Date.valueOf("2024-01-06")),  // A(5) vs B(5)  -> tie: A backward
+      (4L, "S1", Date.valueOf("2024-01-11")),  // B(0)          -> B backward
+      (5L, "S2", Date.valueOf("2024-01-01")),  // Z is 60d away -> out of tolerance
+      (6L, "SX", Date.valueOf("2024-01-01")))  // no key        -> null
+      .toDF("fid", "stop_code", "d")
+    val got = AsOfJoin.nearest(fact, dim, "stop_code", "stop", col("d"),
+        "valid_from", toleranceDays = Some(30))
+      .select($"fid", $"mode", $"asof_dist_days", $"asof_dir")
+      .orderBy("fid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)), Option(r.getString(3)))).toSeq
+    assert(got == Seq(
+      (1L, Some("A"), Some(2), Some("backward")),
+      (2L, Some("B"), Some(2), Some("forward")),
+      (3L, Some("A"), Some(5), Some("backward")),
+      (4L, Some("B"), Some(0), Some("backward")),
+      (5L, None, None, None),
+      (6L, None, None, None)))
+  }
+
   test("row contract: normalize-then-validate, first-match reasons, cross rules") {
     val df = Seq(
       (Some(1L), "  click ", Some(10.0), Some("p")),  // valid, type normalized

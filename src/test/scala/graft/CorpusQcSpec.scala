@@ -126,4 +126,42 @@ class CorpusQcSpec extends SparkSpec {
     assert(math.abs(got(1L)._3 - 2.5 / 3) < 1e-12)
     assert(got(2L)._3 == 0.75 && got(3L)._3 == 1.0)
   }
+
+  test("decontaminateMinhash: planted contamination found exactly, clean docs silent") {
+    val leaked = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val clean = (100 to 140).map(i => s"zed$i").mkString(" ")
+    val other = (200 to 240).map(i => s"oth$i").mkString(" ")
+    val train = Seq((1L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val evalSet = Seq((10L, leaked), (11L, other)).toDF("doc_id", "text")
+    val got = CorpusQc.decontaminateMinhash(train, evalSet, "doc_id", "text",
+        n = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == 1)
+    val (tid, eid, j) = got.head
+    assert(tid == 1L && eid == 10L && j == 1.0)
+    // agreement with the exact sweep on the planted pair
+    val exact = CorpusQc.contaminationPairs(train, evalSet, "doc_id", "text",
+        n = 8, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 10L)))
+  }
+
+  test("charDiversity: integer-exact Simpson index, degenerate and mixed docs") {
+    val docs = Seq(
+      (1L, "aaaa"),   // one char: diversity 0, top share 1
+      (2L, "abab"),   // two chars evenly: 1 - 8/16 = 0.5
+      (3L, "abcd"),   // all distinct: 1 - 4/16 = 0.75
+      (4L, ""),       // empty: dropped
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.charDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((4L, 1L, 0.0, 1.0)))
+    assert(got(2L) == ((4L, 2L, 0.5, 0.5)))
+    assert(got(3L) == ((4L, 4L, 0.75, 0.25)))
+    // counted chars == string length: no split artifact leaks in
+    assert(got.values.forall(_._1 == 4L))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Drift
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(old: Seq[Double], nw: Seq[Double]) =
+    (old.map((_, 0)) ++ nw.map((_, 1))).toDF("value", "is_new")
+
+  test("chi2Histogram: identical distributions score exactly zero") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0)
+    val r = Drift.chi2Histogram(frame(vals, vals), "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("tv_dist") == 0.0)
+    assert(r.getAs[Long]("n_buckets_skipped") == 0L)
+    assert(r.getAs[Long]("tot_old") == 10L && r.getAs[Long]("tot_new") == 10L)
+  }
+
+  test("chi2Histogram: shifted mass scores positive; old-empty buckets skip χ² but not TV") {
+    // old mass in [0,10], new mass adds a far cluster at 100 — the
+    // 100-bucket has n_old = 0: excluded from χ², visible in TV
+    val old = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val nw = Seq(1.0, 2.0, 100.0, 100.0, 100.0)
+    val r = Drift.chi2Histogram(frame(old, nw), "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("chi2") > 0.0)
+    assert(r.getAs[Double]("tv_dist") > 0.0)
+    assert(r.getAs[Long]("n_buckets_skipped") >= 1L)
+  }
+
+  test("ksStatistic: disjoint samples reach D = 1 at the old sample's max") {
+    val r = Drift.ksStatistic(frame(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("d_stat") == 1.0)
+    assert(r.getAs[Double]("at_value") == 3.0)
+    assert(r.getAs[Long]("n_distinct_values") == 6L)
+  }
+
+  test("ksStatistic: identical samples score zero, tie-break lands on the smallest value") {
+    val vals = Seq(2.0, 5.0, 9.0)
+    val r = Drift.ksStatistic(frame(vals, vals), "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    assert(r.getAs[Double]("at_value") == 2.0)
+  }
+
+  test("ksStatistic: layout-stable under repartition (distributed prefix sum)") {
+    val df = frame(Seq(1.0, 3.0, 5.0, 7.0, 11.0), Seq(2.0, 3.0, 8.0, 13.0))
+    val a = Drift.ksStatistic(df, "value", "is_new").collect()(0)
+    val b = Drift.ksStatistic(df.repartition(7), "value", "is_new").collect()(0)
+    assert(a.getAs[Double]("d_stat") == b.getAs[Double]("d_stat"))
+    assert(a.getAs[Double]("at_value") == b.getAs[Double]("at_value"))
+  }
+}

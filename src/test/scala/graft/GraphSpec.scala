@@ -49,4 +49,28 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(e, "src", "dst", "w", damping = 1.0))
   }
+
+  private def trianglesOf(edges: Seq[(String, String)]): Set[(String, String, String)] =
+    Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("triangles: one closed triad found once, the open tail excluded") {
+    val got = trianglesOf(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+    assert(got == Set(("a", "b", "c")))
+  }
+
+  test("triangles: K4 has its four triangles, each emitted exactly once") {
+    val nodes = Seq("a", "b", "c", "d")
+    val k4 = for (u <- nodes; v <- nodes if u < v) yield (u, v)
+    val got = trianglesOf(k4)
+    assert(got == Set(("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d")))
+    val n = Graph.triangles(k4.toDF("src", "dst"), "src", "dst").count()
+    assert(n == 4L)
+  }
+
+  test("triangles: direction, duplicate edges and self-loops do not change the result") {
+    val noisy = Seq(("b", "a"), ("a", "b"), ("c", "b"), ("a", "c"),
+      ("c", "a"), ("a", "a"), ("b", "a"))
+    assert(trianglesOf(noisy) == Set(("a", "b", "c")))
+  }
 }

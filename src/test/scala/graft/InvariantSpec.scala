@@ -38,11 +38,18 @@ class InvariantSpec extends SparkSpec {
       "gold_bridge_alloc", "ana_transition_matrix", "ana_gapfill_30m",
       "fct_periodic_snapshot", "audit_fk_integrity", "pack_sequences",
       "audit_table_diff", "dedup_incremental", "dedup_edit_distance",
-      "corpus_shuffle", "sample_token_budget")
+      "corpus_shuffle", "sample_token_budget",
+      "graph_triangles", "data_drift_ks", "ann_range_search",
+      "audit_benford_digits", "ana_seasonal_decompose")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
-    // n x 1, the analytics-pack 1-row-total pattern.
-    val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot")
+    // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
+    // audit_benford_digits: same 1-row totals panel crossed onto the
+    // distinct-value / 9-digit relation.
+    // ann_range_search: the broadcast side is the bounded query panel
+    // (nQueries rows), the cosineTopK compare-to-all shape.
+    val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
+      "data_drift_ks", "audit_benford_digits", "ann_range_search")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

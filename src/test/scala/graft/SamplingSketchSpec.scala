@@ -460,10 +460,11 @@ class SamplingSketchSpec extends SparkSpec {
     assert(math.abs(t05.values.map(_._3).sum - 1.0) < 1e-9)
     // ordering is preserved: bigger domains still get bigger shares
     assert(t05("big")._3 > t05("mid")._3 && t05("mid")._3 > t05("rare")._3)
-    // alpha = 1 reproduces the raw mixture (up to the decimal-sum quantum)
+    // alpha = 1 reproduces the raw mixture up to the 1e-6 weight grid
+    // (weights floor-quantize before normalization — the §5 rule)
     val t1 = graft.operators.Sampling.temperatureShares(docs, "lang", 1.0)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
-    assert(t1.values.forall { case (raw, temp) => math.abs(raw - temp) < 1e-9 })
+    assert(t1.values.forall { case (raw, temp) => math.abs(raw - temp) < 2e-6 })
     // deterministic across runs
     val again = graft.operators.Sampling.temperatureShares(docs, "lang", 0.5)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap

@@ -45,6 +45,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.subsetOf(streamed))
   }
 
+  test("streaming drift histogram: fixed buckets, clamped edges, matches a batch recount") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = in.toDF.toDF("event_id", "ts", "event_type", "value")
+    // bounds [0, 10), k=5 → width 2; -3 clamps to bucket 0, 99 to bucket 4
+    val q = StreamOps.valueHistogram(df, lo = 0.0, hi = 10.0, k = 5,
+        watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sdrift").outputMode("append").start()
+    val data = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "x", 1.0),   // bucket 0
+      (2L, ts("2024-01-01 10:05:00"), "x", 1.9),   // bucket 0
+      (3L, ts("2024-01-01 10:10:00"), "x", 5.0),   // bucket 2
+      (4L, ts("2024-01-01 10:15:00"), "x", -3.0),  // clamps to 0
+      (5L, ts("2024-01-01 10:20:00"), "x", 99.0),  // clamps to 4
+      (6L, ts("2024-01-01 10:40:00"), "x", 9.0))   // next window, bucket 4
+    in.addData(data)
+    q.processAllAvailable()
+    in.addData(Seq((9L, ts("2024-01-01 23:00:00"), "x", 0.5)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdrift")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+    val w1 = ts("2024-01-01 10:00:00")
+    val w2 = ts("2024-01-01 10:30:00")
+    assert(Set((w1, 0, 3L), (w1, 2, 1L), (w1, 4, 1L), (w2, 4, 1L)).subsetOf(streamed))
+  }
+
   test("streaming sliding-window aggregation matches the batch twin (2 windows per event)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
