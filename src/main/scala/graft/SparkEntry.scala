@@ -1194,6 +1194,16 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s: SparkSession, d: String) =>
       CorpusQc.bpeTopPairs(t(s, d, "documents"), "text", topN = 20)),
 
+    // Greedy BPE TRAINING: six merge rounds over the vocab relation —
+    // the learned merge table a tokenizer ships.
+    "bpe_train_merges" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bpeTrainMerges(t(s, d, "documents"), "text", rounds = 6)),
+
+    // The merges applied back to the corpus: per-doc BPE symbol
+    // counts (the packing-budget panel).
+    "bpe_encode" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bpeEncode(t(s, d, "documents"), "doc_id", "text", rounds = 6)),
+
     // Corpus token frequency top-N (training-data vocabulary stats):
     // explode + one partial-aggregable shuffle + TakeOrdered.
     "text_token_topn" -> ((s: SparkSession, d: String) =>
@@ -3111,6 +3121,38 @@ object SparkEntry {
        |$pairSelects""".stripMargin
   }
 
+  /** BPE training rounds as chained MATERIALIZED CTEs (v0 vocab,
+    * p_r pairs, b_r winner, v_r merged vocab) — shared by the
+    * bpe_train_merges and bpe_encode oracles so the two replay the
+    * SAME learned merges.
+    */
+  private def bpeTrainCtes(toksSql: String, rounds: Int): String = {
+    val head =
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' ' AS sym,
+         |         COUNT(*) AS wf
+         |  FROM (SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents))
+         |  GROUP BY 1)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT UNNEST(list_slice(t, 1, n - 1)) AS l,
+         |         UNNEST(list_slice(t, 2, n)) AS r,
+         |         wf
+         |  FROM (SELECT string_split(trim(sym), '  ') AS t,
+         |               len(string_split(trim(sym), '  ')) AS n, wf
+         |        FROM v${r - 1})
+         |  WHERE n >= 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(wf) AS BIGINT) AS cnt FROM p$r GROUP BY 1, 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || b.l || '  ' || b.r || ' ',
+         |                      ' ' || b.l || b.r || ' ') AS sym, wf
+         |  FROM v${r - 1}, b$r b)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** DuckDB twins of the text-pipeline queries (minhash/simhash/
     * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
     * the driver's rows-only check).
@@ -3620,6 +3662,41 @@ object SparkEntry {
 
       // Frequency-weighted adjacent char pairs over the vocabulary;
       // deterministic top-N boundary (count DESC, pair ASC).
+      // The training loop replayed as chained MATERIALIZED CTEs: per
+      // round, zip-unnest adjacent symbol pairs, argmax with the
+      // (count desc, pair asc) tie-break, ONE literal boundary-safe
+      // replace over the padded double-space symbol encoding.
+      "bpe_train_merges" -> {
+        val rounds = 6
+        val out = (1 to rounds).map { r =>
+          s"""SELECT $r AS round, l AS merge_left, r AS merge_right,
+             |  l || r AS merged, cnt AS n_occurrences FROM b$r""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        bpeTrainCtes(toksSql, rounds) + "\n" + out
+      },
+
+      // Training CTEs + the merges applied to every corpus token in
+      // round order — per-doc symbol counts.
+      "bpe_encode" -> {
+        val rounds = 6
+        val applies = (1 to rounds).map { r =>
+          s"""e$r AS MATERIALIZED (
+             |  SELECT doc_id, replace(sym, ' ' || b.l || '  ' || b.r || ' ',
+             |                              ' ' || b.l || b.r || ' ') AS sym
+             |  FROM e${r - 1}, b$r b)""".stripMargin
+        }.mkString(",\n")
+        bpeTrainCtes(toksSql, rounds) +
+          s""",
+             |e0 AS MATERIALIZED (
+             |  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' ' AS sym
+             |  FROM (SELECT doc_id, UNNEST(t) AS tok
+             |        FROM (SELECT doc_id, $toksSql AS t FROM documents))),
+             |$applies
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_symbols
+             |FROM e$rounds GROUP BY 1""".stripMargin
+      },
+
       "bpe_pair_counts" ->
         s"""WITH tk AS (
            |  SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents)),

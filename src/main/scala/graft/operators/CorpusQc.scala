@@ -270,6 +270,104 @@ object CorpusQc {
       .limit(topN)
   }
 
+  /** Greedy BPE merge TRAINING — the iterative loop [[bpeTopPairs]]
+    * is the first step of: `rounds` times, count adjacent-symbol
+    * pairs over the word vocabulary (frequency-weighted), merge the
+    * most frequent pair (ties → lexicographically smallest) into one
+    * symbol everywhere, repeat. Output: the learned merge table
+    * (round, merge_left, merge_right, merged, n_occurrences) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: ONE corpus pass builds the (token, freq) vocabulary
+    * — training then runs entirely on that vocab relation (distinct
+    * tokens, not corpus tokens), one ≤-pairs partial-agg shuffle + a
+    * TakeOrdered(1) per round, the winning pair broadcast back as a
+    * 1-row panel; localCheckpoint per round keeps the plan flat (the
+    * kmeans discipline).
+    *
+    * Engine parity: symbol sequences are stored as space-padded
+    * DOUBLE-space-joined strings (` a  b  c `), so the merge is ONE
+    * literal leftmost-non-overlapping `replace(' l  r ', ' lr ')` —
+    * the pad + double separator make a symbol boundary part of the
+    * pattern (a token ending in `e` can never false-match a pair
+    * starting with `e`), while consuming only ONE space of each
+    * separator keeps back-to-back occurrences matchable
+    * (`a a a a` → `aa aa`, and `a a a` → `aa a`, the standard BPE
+    * left-to-right rule — both engines' literal replace scan the
+    * source left to right and never rescan written output).
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round: $rounds")
+    val spark = df.sparkSession
+    var vocab = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
+      .select(concat(lit(" "),
+        array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
+        lit(" ")).as("sym"), col("wf"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val toks = vocab
+        .select(col("wf"), split(trim(col("sym")), "  ").as("t"))
+        .select(col("wf"), col("t"), size(col("t")).as("n"))
+      val best = toks.filter(col("n") >= 2)
+        .select(col("wf"), explode(zip_with(
+          slice(col("t"), lit(1), col("n") - 1),
+          slice(col("t"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("merge_left"), col("p.r").as("merge_right"))
+        .agg(sum(col("wf")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("merge_left"), col("merge_right"))
+        .limit(1)
+        .localCheckpoint(true)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(replace(col("sym"),
+            concat(lit(" "), col("merge_left"), lit("  "), col("merge_right"), lit(" ")),
+            concat(lit(" "), col("merge_left"), col("merge_right"), lit(" "))).as("sym"),
+          col("wf"))
+        .localCheckpoint(true)
+      best.select(lit(r).as("round"), col("merge_left"), col("merge_right"),
+        concat(col("merge_left"), col("merge_right")).as("merged"),
+        col("n_occurrences"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  /** BPE ENCODE — [[bpeTrainMerges]] applied back to the corpus: the
+    * learned merges run over every token in training order, yielding
+    * per-document symbol counts (the "how many BPE tokens is this
+    * corpus" panel that drives packing budgets and cost estimates).
+    *
+    * Scale shape: training stays vocab-sized (its per-round winners
+    * are already checkpointed 1-row panels); applying is `rounds`
+    * broadcast-crossJoin + literal-replace passes over the exploded
+    * token relation — the boundary-safe double-space encoding from
+    * training makes each pass one codegen'd string op. A production
+    * encoder collapses the passes into one trie walk; the
+    * rounds-passes shape is the price of exact SQL replayability and
+    * is linear in rounds × corpus either way.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    val merges = bpeTrainMerges(df, textCol, rounds)
+    var toks = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), concat(lit(" "),
+        array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
+        lit(" ")).as("sym"))
+    for (r <- 1 to rounds) {
+      val m = merges.filter(col("round") === r)
+        .select(col("merge_left").as("__l"), col("merge_right").as("__r"))
+      toks = toks.crossJoin(broadcast(m))
+        .withColumn("sym", replace(col("sym"),
+          concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .drop("__l", "__r")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(size(split(trim(col("sym")), "  "))).as("n_symbols"))
+  }
+
   /** Fixed-size token chunking with overlap — the pre-embedding /
     * pre-tokenization splitting step of a RAG or training pipeline.
     * Chunk k starts at token offset k·(size−overlap); trailing

@@ -127,6 +127,31 @@ class CorpusQcSpec extends SparkSpec {
     assert(got(2L)._3 == 0.75 && got(3L)._3 == 1.0)
   }
 
+  test("bpeTrainMerges: greedy merges with lexicographic ties and leftmost non-overlap") {
+    // vocab: the -> 3, then -> 1. Round 1: (t,h) and (h,e) both score
+    // 4 -> tie goes to ("h","e"). Round 2: (t,he) 4. Round 3: (the,n) 1.
+    val docs = Seq((1L, "the the the then")).toDF("doc_id", "text")
+    val got = CorpusQc.bpeTrainMerges(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "h", "e", "he", 4L),
+      (2, "t", "he", "the", 4L),
+      (3, "the", "n", "then", 1L)))
+    // leftmost non-overlap: "aaa" merges its FIRST (a,a); the second
+    // round then merges (aa,a) — never an overlapping double-count
+    val rep = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got2 = CorpusQc.bpeTrainMerges(rep, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(got2.toSeq == Seq((1, "aa", 4L), (2, "aaa", 2L)))
+    // encode applies the learned merges: every 'the' collapses to ONE
+    // symbol and 'then' to one after round 3 — 4 tokens, 4 symbols
+    val enc = CorpusQc.bpeEncode(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 4L, 4L)))
+  }
+
   test("decontaminateMinhash: planted contamination found exactly, clean docs silent") {
     val leaked = (1 to 40).map(i => s"tok$i").mkString(" ")
     val clean = (100 to 140).map(i => s"zed$i").mkString(" ")
