@@ -674,6 +674,14 @@ object SparkEntry {
     "ana_new_vs_returning" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.newVsReturning(t(s, d, "events"))),
 
+    // Cumulative registered-user curve: per first-seen day, new users
+    // + the running total — one user-keyed min aggregate collapses
+    // the fact, then the running sum is exact longs over the ≤#days
+    // panel (the day-panel window convention). Days with no first
+    // sighting don't appear (pair with ana_gapfill_30m to regularize).
+    "ana_cumulative_users" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.cumulativeUsers(t(s, d, "events"))),
+
     // Day-of-week seasonal component + per-day residuals.
     "ana_dow_seasonality" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.dowSeasonality(t(s, d, "events"))),
@@ -2513,6 +2521,16 @@ object SparkEntry {
           |  COUNT(DISTINCT CASE WHEN d <> first_seen THEN user_id END) AS n_returning
           |FROM ud JOIN f USING (user_id)
           |GROUP BY 1""".stripMargin,
+
+      "ana_cumulative_users" ->
+        """WITH f AS (
+          |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+          |  WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+          |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+          |SELECT day, n_new,
+          |  CAST(SUM(n_new) OVER (ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+          |FROM d""".stripMargin,
 
       // The oracle writes the naive global window; the Spark plan is
       // the two-phase distributed prefix sum — identical output for

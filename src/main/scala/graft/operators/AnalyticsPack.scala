@@ -749,6 +749,27 @@ object AnalyticsPack {
         countDistinct(when(col("d") =!= col("first_seen"), col("user_id"))).as("n_returning"))
   }
 
+  /** Cumulative registered-user (adoption) curve: per first-seen day,
+    * the number of users first observed that day plus the running
+    * total of all users seen so far. ONE user-keyed min aggregate
+    * collapses the fact to |users| rows, a day-keyed count collapses
+    * those to the ≤ #days panel, and only the panel rides the global
+    * running-sum window (the day-panel window convention — the
+    * data-sized analogue is [[graft.operators.PrefixSum.globalOrdered]]).
+    * Days with no first sighting don't appear; pair with the gap-fill
+    * operator to regularize the grid.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Rolling 7-day distinct active users per observed day (the WAU
     * curve next to [[rollingDemand]]'s additive sums) — COUNT
     * DISTINCT over a sliding window cannot be pre-aggregated, so the

@@ -271,6 +271,21 @@ class AnalyticsPackSpec extends SparkSpec {
       ("2024-02-01", 2L, 0L), ("2024-02-02", 1L, 1L), ("2024-02-05", 0L, 2L)))
   }
 
+  test("cumulativeUsers: first-seen days, new counts and running total") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00")
+    val ev = Seq(
+      (ts(1), 1L), (ts(1), 2L),          // day 1: u1, u2 first seen
+      (ts(2), 1L), (ts(2), 3L),          // day 2: only u3 is new
+      (ts(5), 1L), (ts(5), 2L),          // day 5: nobody new → no row
+      (ts(6), 4L))                       // day 6: u4 first seen
+      .toDF("ts", "user_id")
+    val got = AnalyticsPack.cumulativeUsers(ev).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-02-01", 2L, 2L), ("2024-02-02", 1L, 3L), ("2024-02-06", 1L, 4L)))
+  }
+
   test("globalOrdered prefix sum equals the naive global window, ranks dense") {
     import spark.implicits._
     import graft.operators.PrefixSum
