@@ -585,6 +585,11 @@ object SparkEntry {
     "ana_trend_slope" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.trendSlope(servingValid(s, d))),
 
+    // EWMA level smoother over the daily demand series (α = 0.25,
+    // dyadic-exact; the fold runs once over the collected day panel).
+    "ana_ewma_demand" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.ewmaDemand(servingValid(s, d))),
+
     "ana_od_matrix" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.odMatrix(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"))),
@@ -2293,6 +2298,28 @@ object SparkEntry {
            |SELECT date_sk, daily_value, deviation, cusum,
            |  abs(cusum) = max_abs AS is_changepoint
            |FROM cum CROSS JOIN pk""".stripMargin,
+
+      // Recursive-CTE replay of the EWMA fold: every step is two
+      // correctly-rounded IEEE ops on dyadic constants (0.25e0 /
+      // 0.75e0 force DOUBLE literals — a bare 0.25 parses as DECIMAL
+      // in DuckDB and would change the arithmetic).
+      "ana_ewma_demand" ->
+        s"""WITH RECURSIVE byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |idx AS (
+           |  SELECT date_sk, daily_value,
+           |    ROW_NUMBER() OVER (ORDER BY date_sk) AS rn
+           |  FROM byday),
+           |walk(rn, date_sk, daily_value, ewma) AS (
+           |  SELECT rn, date_sk, daily_value, daily_value FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.rn, i.date_sk, i.daily_value,
+           |    0.25e0 * i.daily_value + 0.75e0 * w.ewma
+           |  FROM idx i JOIN walk w ON i.rn = w.rn + 1)
+           |SELECT date_sk, daily_value, ewma FROM walk""".stripMargin,
 
       "ana_daily_delta" ->
         s"""WITH byday AS (

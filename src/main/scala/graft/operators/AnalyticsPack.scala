@@ -770,6 +770,43 @@ object AnalyticsPack {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Exponentially-weighted moving average of the daily demand series
+    * (Holt's level-only smoother): s_1 = x_1, s_t = α·x_t + (1−α)·
+    * s_{t−1} with α = 0.25. The recurrence is order-dependent, so it
+    * cannot ride a distributive window aggregate; instead the fact
+    * collapses to the ≤#days panel in one partial-agg shuffle, the
+    * panel collapses to ONE ordered array (the PCA-panel convention —
+    * days, not rows), and the fold runs inside a single `aggregate`
+    * higher-order function in codegen. At 100 TB the fact scan
+    * dominates; the fold is metadata-sized.
+    *
+    * Engine parity by construction: α = 0.25 and 1−α = 0.75 are exact
+    * dyadics, so every step is two correctly-rounded IEEE ops on
+    * bit-identical inputs — no exp/pow, no quantization needed; the
+    * DuckDB twin replays the same recurrence as a recursive CTE.
+    */
+  def ewmaDemand(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("daily_value"))
+    val packed = byDay.agg(array_sort(
+      collect_list(struct(col("date_sk"), col("daily_value")))).as("days"))
+    val folded = packed.select(explode(aggregate(
+      col("days"),
+      lit(null).cast("array<struct<date_sk:int,daily_value:double,ewma:double>>"),
+      (acc, e) => {
+        val s = when(coalesce(size(acc), lit(0)) === 0, e.getField("daily_value"))
+          .otherwise(lit(0.25) * e.getField("daily_value") +
+            lit(0.75) * element_at(acc, -1).getField("ewma"))
+        val row = struct(e.getField("date_sk").as("date_sk"),
+          e.getField("daily_value").as("daily_value"), s.as("ewma"))
+        when(acc.isNull, array(row)).otherwise(concat(acc, array(row)))
+      })).as("r"))
+    folded.select(col("r.date_sk").as("date_sk"),
+      col("r.daily_value").as("daily_value"), col("r.ewma").as("ewma"))
+  }
+
   /** Rolling 7-day distinct active users per observed day (the WAU
     * curve next to [[rollingDemand]]'s additive sums) — COUNT
     * DISTINCT over a sliding window cannot be pre-aggregated, so the

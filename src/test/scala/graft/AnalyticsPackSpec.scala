@@ -353,6 +353,23 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(flatGot.forall(_.getBoolean(4)))
   }
 
+  test("ewmaDemand: fold replays the recurrence exactly; first day seeds the level") {
+    import spark.implicits._
+    val ev = Seq((20240101, 8.0), (20240102, 16.0), (20240103, 4.0))
+      .toDF("date_sk", "value")
+    val got = AnalyticsPack.ewmaDemand(ev).orderBy("date_sk").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    // s1 = 8; s2 = 0.25*16 + 0.75*8 = 10; s3 = 0.25*4 + 0.75*10 = 8.5
+    // (all dyadic-exact, so == comparison is legitimate)
+    assert(got.toSeq == Seq(
+      (20240101, 8.0, 8.0), (20240102, 16.0, 10.0), (20240103, 4.0, 8.5)))
+    // multiple rows per day collapse before the fold
+    val dup = Seq((20240101, 4.0), (20240101, 4.0), (20240102, 16.0))
+      .toDF("date_sk", "value")
+    val g2 = AnalyticsPack.ewmaDemand(dup).orderBy("date_sk").collect()
+    assert(g2.map(_.getDouble(2)).toSeq == Seq(8.0, 10.0))
+  }
+
   test("anomalyMad: catches the outlier that inflates its own z-score; zero-MAD guard") {
     import spark.implicits._
     // group A: tight cluster at ~10 plus one 1000. The 1000 inflates
