@@ -938,6 +938,12 @@ object SparkEntry {
     "text_freq_familiarity" -> ((s: SparkSession, d: String) =>
       CorpusQc.freqFamiliarity(t(s, d, "documents"), "doc_id", "text")),
 
+    // Unigram-LM cross-entropy per doc (add-one smoothing; the log
+    // rides a quantized per-type panel, never row data — see
+    // CorpusQc.unigramSurprisal for the ulp-risk bound).
+    "text_surprisal" -> ((s: SparkSession, d: String) =>
+      CorpusQc.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
+
     // 64-token chunks, 16-token overlap (stride 48).
     "doc_chunks" -> ((s: SparkSession, d: String) =>
       CorpusQc.chunkTokens(t(s, d, "documents"), "doc_id", "text",
@@ -3587,6 +3593,28 @@ object SparkEntry {
            |  sum_cnt / n_tokens / total AS mean_token_share,
            |  min_cnt / total AS min_token_share
            |FROM per, tot""".stripMargin,
+
+      // ln() only ever touches the per-type vocab panel, floored to
+      // the 1e-4 grid (engine-ulp-safe); tf·lq re-floors to 1e-6
+      // before the decimal cast, matching the Spark side op-for-op.
+      "text_surprisal" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, UNNEST(t) AS tok
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+           |lp AS (
+           |  SELECT tok,
+           |    floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1e4) / 1e4 AS lq
+           |  FROM vocab, tot),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+           |s AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           |    SUM(CAST(floor(CAST(tf AS DOUBLE) * lq * 1e6) / 1e6 AS DECIMAL(28,6))) AS slp
+           |  FROM tf JOIN lp USING (tok) GROUP BY 1)
+           |SELECT doc_id, n_tokens, CAST(slp AS DOUBLE) AS sum_logp,
+           |  (-CAST(slp AS DOUBLE)) / n_tokens AS nats_per_token
+           |FROM s""".stripMargin,
 
       // 64-token chunks, stride 48; a start inside the previous
       // chunk's overlap tail (s >= n - 16) is not emitted.

@@ -189,6 +189,48 @@ object CorpusQc {
         (col("min_cnt") / col("total")).as("min_token_share"))
   }
 
+  /** Unigram-LM surprisal — the classic cheap LM-quality signal
+    * (cross-entropy of each document under an add-one-smoothed
+    * unigram model of the corpus itself): p(w) = (cnt+1)/(N+V),
+    * per-doc `sum_logp = Σ_w tf·log p(w)` and `nats_per_token =
+    * −sum_logp / n_tokens` (low = typical text, high = rare/garbled).
+    *
+    * Engine parity: `ln` is the one library call engines disagree on
+    * (last-ulp), so the log NEVER touches row-shaped data raw — it is
+    * computed once per vocabulary type and floor-quantized to the
+    * 1e-4 grid, where a 1-ulp disagreement flips the floor only if
+    * the true value sits within ~2e-15 of a grid line (≤ ~1e-6
+    * corpus-level odds at a 10^5-type vocabulary — and the oracle
+    * gate would catch it loudly). The per-row product tf·lq re-floors
+    * to the 1e-6 grid before the DECIMAL(28,6) cast (§5 rule) and
+    * sums order-free.
+    *
+    * Scale shape: one token-keyed partial-agg shuffle for the vocab
+    * panel, a (doc, token)-collapsed tf relation joined back on the
+    * token key (the [[freqFamiliarity]] discipline — hot stopword
+    * keys arrive pre-collapsed to ≤ |docs| rows each), one doc-keyed
+    * aggregation; the 1-row (N, V) panel is broadcast.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (floor(log((col("cnt") + 1).cast("double") /
+          (col("n") + col("v")).cast("double")) * lit(1e4)) / lit(1e4)).as("lq"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(lp, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((floor(col("tf").cast("double") * col("lq") * lit(1e6)) / lit(1e6))
+          .cast(DecimalType(28, 6))).as("slp"))
+      .select(col(idCol), col("n_tokens"),
+        col("slp").cast("double").as("sum_logp"),
+        ((-col("slp").cast("double")) / col("n_tokens")).as("nats_per_token"))
+  }
+
   /** Context-aware novelty profile — the LOG-FREE stand-in for a
     * bigram-LM perplexity score (library `ln` differs between
     * runtimes in the last ulp, which would break engine replay; MLE

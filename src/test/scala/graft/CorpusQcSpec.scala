@@ -107,6 +107,23 @@ class CorpusQcSpec extends SparkSpec {
     assert(covered == 16)
   }
 
+  test("unigramSurprisal: add-one model replayed op-for-op; rare tokens raise the score") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = CorpusQc.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // corpus: a×3, b×1, c×1 -> N=5, V=3; p(a)=4/8, p(b)=p(c)=2/8
+    def lq(cnt: Long) = math.floor(math.log((cnt + 1.0) / 8.0) * 1e4) / 1e4
+    def term(tf: Long, l: Double) = math.floor(tf * l * 1e6) / 1e6
+    val s1 = BigDecimal(term(2, lq(3))) + BigDecimal(term(1, lq(1)))
+    val s2 = BigDecimal(term(1, lq(3))) + BigDecimal(term(1, lq(1)))
+    assert(got(0)._2 == 3 && got(0)._3 == s1.toDouble
+      && got(0)._4 == -s1.toDouble / 3)
+    assert(got(1)._2 == 2 && got(1)._3 == s2.toDouble)
+    // doc 2 is all-rare-heavy per token: higher nats/token than doc 1
+    assert(got(1)._4 > got(0)._4)
+  }
+
   test("bigramNovelty: hand-computed novel counts and MLE continuation shares") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a b)x2, (b a)
