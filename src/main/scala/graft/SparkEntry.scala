@@ -1062,6 +1062,13 @@ object SparkEntry {
     "sample_temperature_mix" -> ((s: SparkSession, d: String) =>
       Sampling.temperatureShares(t(s, d, "documents"), "lang", alpha = 0.5)),
 
+    // DSIR importance weights: English slice as the target
+    // distribution, 64 hashed unigram buckets (see
+    // Sampling.importanceWeights).
+    "sample_importance_dsir" -> ((s: SparkSession, d: String) =>
+      Sampling.importanceWeights(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 64)),
+
     // Domain-mixture curation: keep the largest corpus whose language
     // proportions hit the target shares; per-domain keep rates are
     // computed from the counts, membership is key mod 65536.
@@ -3593,6 +3600,36 @@ object SparkEntry {
            |  sum_cnt / n_tokens / total AS mean_token_share,
            |  min_cnt / total AS min_token_share
            |FROM per, tot""".stripMargin,
+
+      // ln only on the 64-bucket panel (1e-4 floor); md5 bucketing
+      // and the 1e-6 product floor replay Sampling.importanceWeights
+      // op-for-op.
+      "sample_importance_dsir" ->
+        s"""WITH feat AS (
+           |  SELECT doc_id, lang = 'en' AS is_t,
+           |    CAST(concat('0x', substr(md5(COALESCE(CAST(tok AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT) % 64 AS b
+           |  FROM (SELECT doc_id, lang, UNNEST(t) AS tok
+           |        FROM (SELECT doc_id, lang, $toksSql AS t FROM documents))),
+           |cb AS (
+           |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cb, MAX(is_t) AS is_t
+           |  FROM feat GROUP BY 1, 2),
+           |panel AS (
+           |  SELECT b, CAST(SUM(cb) AS BIGINT) AS rc,
+           |    CAST(SUM(CASE WHEN is_t THEN cb ELSE 0 END) AS BIGINT) AS tc
+           |  FROM cb GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS tr, CAST(SUM(tc) AS BIGINT) AS tt FROM panel),
+           |lam AS (
+           |  SELECT b,
+           |    floor(ln((CAST(tc + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)) /
+           |             (CAST(rc + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE))) * 1e4) / 1e4 AS lam
+           |  FROM panel, tot),
+           |s AS (
+           |  SELECT doc_id, CAST(SUM(cb) AS BIGINT) AS n_feats,
+           |    SUM(CAST(floor(CAST(cb AS DOUBLE) * lam * 1e6) / 1e6 AS DECIMAL(28,6))) AS lw
+           |  FROM cb JOIN lam USING (b) GROUP BY 1)
+           |SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS log_weight,
+           |  CAST(lw AS DOUBLE) > 0 AS favors_target
+           |FROM s""".stripMargin,
 
       // ln() only ever touches the per-type vocab panel, floored to
       // the 1e-4 grid (engine-ulp-safe); tf·lq re-floors to 1e-6

@@ -287,4 +287,59 @@ object Sampling {
       .select(col(keyCol), col(qualityCol), col(tokenCol),
         col("prefix_sum").as("cum_tokens"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much an n-gram model of a TARGET slice prefers
+    * it over the raw-corpus model. Features are token unigrams hashed
+    * into `nBuckets` md5 buckets (the paper's hashed bag-of-ngrams);
+    * both distributions get add-one smoothing; a document's log
+    * weight is Σ_b c_b · λ_b with λ_b = ln(p_target[b] / p_raw[b]).
+    * Resample ∝ exp(weight) downstream, or gate on `favors_target`.
+    *
+    * Engine parity: the ln rides the ≤`nBuckets`-row panel only,
+    * floor-quantized to the 1e-4 grid ([[graft.operators.CorpusQc
+    * .unigramSurprisal]]'s ulp-risk bound, here at 64 values —
+    * vanishing); per-doc products re-floor to 1e-6 before the
+    * DECIMAL(28,6) cast and sum order-free. md5 bucketing replays in
+    * any engine byte-for-byte.
+    *
+    * Scale shape: ONE corpus-sized token explosion feeds a (doc,
+    * bucket)-collapsed count relation (hot buckets arrive bounded at
+    * `nBuckets` rows per doc); the bucket panels are `nBuckets`-row
+    * aggregates; the panel joins back via broadcast. One doc-keyed
+    * aggregation ends it — no token-keyed join at all, unlike the
+    * surprisal/familiarity pair.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetCol: Column, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be at least 2")
+    import graft.functions.TextOps
+    import org.apache.spark.sql.types.DecimalType
+    val feat = df.select(col(idCol), targetCol.as("__is_target"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("__is_target"),
+        (md5Long32(Seq(col("tok"))) % nBuckets).as("b"))
+    val cb = feat.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("cb"),
+        max(col("__is_target")).as("__is_target"))
+    val panel = cb.groupBy(col("b"))
+      .agg(sum(col("cb")).as("rc"),
+        sum(when(col("__is_target"), col("cb")).otherwise(lit(0L))).as("tc"))
+    val tot = panel.agg(sum(col("rc")).as("tr"), sum(col("tc")).as("tt"))
+    val lam = panel.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor(log(
+          ((col("tc") + 1).cast("double") / (col("tt") + nBuckets).cast("double")) /
+          ((col("rc") + 1).cast("double") / (col("tr") + nBuckets).cast("double")))
+          * lit(1e4)) / lit(1e4)).as("lam"))
+    cb.join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cb")).as("n_feats"),
+        sum((floor(col("cb").cast("double") * col("lam") * lit(1e6)) / lit(1e6))
+          .cast(DecimalType(28, 6))).as("lw"))
+      .select(col(idCol), col("n_feats"),
+        col("lw").cast("double").as("log_weight"),
+        (col("lw").cast("double") > 0).as("favors_target"))
+  }
 }

@@ -133,6 +133,28 @@ class SamplingSketchSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("importanceWeights: target-only vocabulary scores positive, anti-target negative") {
+    import spark.implicits._
+    // target docs speak {aa bb}, non-target docs speak {zz yy}; one
+    // mixed doc sits in between. Weights must order: pure-target
+    // vocab > mixed > pure-raw vocab, with signs matching.
+    val docs = Seq(
+      (1L, "aa bb aa bb", "en"), (2L, "aa bb bb aa", "en"),
+      (3L, "zz yy zz yy", "fr"), (4L, "yy zz yy zz", "fr"),
+      (5L, "aa zz", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en", nBuckets = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == 5)
+    assert(got(1)._1 == 4 && got(1)._2 > 0 && got(1)._3)
+    assert(got(3)._2 < 0 && !got(3)._3)
+    assert(got(1)._2 > got(5)._2 && got(5)._2 > got(3)._2)
+    // same text, same weight: the score is a pure function of tokens
+    assert(got(1)._2 == got(2)._2 && got(3)._2 == got(4)._2)
+  }
+
   test("sketch profile tracks exact distincts and quantiles within bounds") {
     val sk = SparkEntry.queries("sketch_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
