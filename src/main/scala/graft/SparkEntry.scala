@@ -1110,6 +1110,35 @@ object SparkEntry {
         rates = Map("CLICK" -> 0.25, "VIEW" -> 0.125), defaultRate = 0.5,
         keyCols = Seq("event_id"))),
 
+    // Exact k-per-stratum sample: each language keeps exactly its 12
+    // smallest-by-md5(doc_id) docs — candidate-bounded ranking, never
+    // a corpus-wide per-stratum sort (Sampling.exactQuota).
+    "sample_exact_quota" -> ((s: SparkSession, d: String) =>
+      Sampling.exactQuota(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 12)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))),
+
+    // Rank-ensemble quality calibration: per-source percentile ranks
+    // of three incomparable signals, ensembled as their mean — the
+    // scale-free "good for its source" score.
+    "doc_quality_ensemble" -> ((s: SparkSession, d: String) =>
+      CorpusQc.qualityEnsemble(
+        textStats(s, d)
+          .join(t(s, d, "documents").select(col("doc_id"), col("source")), "doc_id"),
+        "doc_id", "source", Seq("quality_score", "n_tokens", "avg_token_len"))),
+
+    // Unicode-script distribution panel: explicit codepoint-range
+    // classes (dialect-identical Java/RE2), residual, and dominant
+    // letter script by fixed precedence.
+    "text_script_profile" -> ((s: SparkSession, d: String) =>
+      CorpusQc.scriptProfile(t(s, d, "documents"), "doc_id", "text")),
+
+    // PII-signal panel: email/IPv4/long-digit-run/URL match counts +
+    // the curation gate flag (measurement twin of text_redact).
+    "pii_profile" -> ((s: SparkSession, d: String) =>
+      CorpusQc.piiProfile(t(s, d, "documents"), "doc_id", "text")),
+
     // Click-to-purchase attribution (batch twin of the stream-stream
     // watermarked join, StreamOps.attributionJoin): equi-key + a
     // both-ways-bounded event-time residual — a range join that plans
@@ -1931,6 +1960,18 @@ object SparkEntry {
         |         ELSE '8000' END AS sample_threshold
         |  FROM events)
         |WHERE sample_bucket < sample_threshold""".stripMargin,
+
+    // Exact top-k per stratum: DuckDB ranks whole strata (fine at
+    // oracle scale); Spark's candidate pre-filter provably preserves
+    // the same top-k because the filter bucket is a prefix of the
+    // ranking hash.
+    "sample_exact_quota" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 12""".stripMargin,
 
     // T = min(n/share) (the largest total the scarcest domain allows);
     // all share/rate arithmetic in DOUBLE, left-assoc like the Spark
@@ -3405,6 +3446,63 @@ object SparkEntry {
            |WHERE rn = 1""".stripMargin,
 
       "text_stats" -> textStatsSql,
+
+      // Percentile calibration: integer rank/count windows, one IEEE
+      // division each, fixed left-assoc ensemble sum — replays the
+      // Spark expression tree op-for-op. Single-row sources pin 0.0.
+      "doc_quality_ensemble" ->
+        s"""WITH st AS (SELECT * FROM ($textStatsSql)),
+           |j AS (SELECT st.doc_id, d.source, st.quality_score, st.n_tokens, st.avg_token_len
+           |      FROM st JOIN documents d USING (doc_id)),
+           |r AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+           |      THEN CAST(RANK() OVER (PARTITION BY source ORDER BY quality_score) - 1 AS DOUBLE)
+           |           / (COUNT(*) OVER (PARTITION BY source) - 1) ELSE 0.0 END AS pct_quality_score,
+           |    CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+           |      THEN CAST(RANK() OVER (PARTITION BY source ORDER BY n_tokens) - 1 AS DOUBLE)
+           |           / (COUNT(*) OVER (PARTITION BY source) - 1) ELSE 0.0 END AS pct_n_tokens,
+           |    CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+           |      THEN CAST(RANK() OVER (PARTITION BY source ORDER BY avg_token_len) - 1 AS DOUBLE)
+           |           / (COUNT(*) OVER (PARTITION BY source) - 1) ELSE 0.0 END AS pct_avg_token_len
+           |  FROM j)
+           |SELECT doc_id, source, pct_quality_score, pct_n_tokens, pct_avg_token_len,
+           |  (pct_quality_score + pct_n_tokens + pct_avg_token_len) / 3 AS quality_ensemble
+           |FROM r""".stripMargin,
+
+      // Explicit codepoint-range classes — each identical under Java
+      // regex and RE2 (the dialect rule); counts via length diffs.
+      "text_script_profile" ->
+        s"""WITH c AS (
+           |  SELECT doc_id, length(text) AS n_chars_calc,
+           |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+           |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           |    length(text) - length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS n_space,
+           |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+           |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+           |    length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS n_cyrillic
+           |  FROM documents)
+           |SELECT doc_id, n_chars_calc, n_latin, n_digit, n_space, n_punct, n_cjk, n_cyrillic,
+           |  n_chars_calc - n_latin - n_digit - n_space - n_punct - n_cjk - n_cyrillic AS n_other,
+           |  CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic AND n_latin > 0 THEN 'latin'
+           |       WHEN n_cjk >= n_cyrillic AND n_cjk > 0 THEN 'cjk'
+           |       WHEN n_cyrillic > 0 THEN 'cyrillic'
+           |       ELSE 'none' END AS dominant_script
+           |FROM c""".stripMargin,
+
+      // Lookaround-free patterns; both engines count leftmost
+      // non-overlapping matches, so the panels replay exactly.
+      "pii_profile" ->
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           |    len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+           |    len(regexp_extract_all(text, '[0-9]{8,}')) AS n_digit_runs,
+           |    len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls
+           |  FROM documents)
+           |SELECT doc_id, n_emails, n_ipv4, n_digit_runs, n_urls,
+           |  n_emails + n_ipv4 + n_digit_runs > 0 AS has_pii
+           |FROM c""".stripMargin,
 
       "corpus_shuffle" ->
         """WITH h AS (

@@ -487,6 +487,104 @@ object CorpusQc {
           "KEEP").otherwise("DROP"))
   }
 
+  /** Rank-ensemble quality calibration: raw quality signals live on
+    * incomparable scales (token counts vs ratios) AND distribute
+    * differently per source, so a single global threshold
+    * over-prunes one domain and under-prunes another. Calibrate each
+    * signal to its PER-SOURCE percentile rank ((rank−1)/(n−1), ties
+    * share), then ensemble as the mean of calibrated ranks — the
+    * scale-free "is this doc good *for its source*" score curation
+    * recipes gate on.
+    *
+    * Engine parity: rank/count windows are integer; each percentile
+    * is ONE IEEE division and the ensemble is a fixed left-assoc sum
+    * over `signalCols.size` doubles — identical evaluation order in
+    * the SQL twin, no library math. Single-row groups pin 0.0 (the
+    * (n−1)=0 case engines disagree on).
+    *
+    * Scale shape: one shuffle on the group key serves every signal's
+    * window (same partitioning, sorted per signal in-place); no
+    * global window, no joins. Groups are crawl sources — many and
+    * bounded; a pathological mega-source skews its one partition and
+    * would take the [[PrefixSum]] treatment instead.
+    */
+  def qualityEnsemble(df: DataFrame, idCol: String, groupCol: String,
+                      signalCols: Seq[String]): DataFrame = {
+    require(signalCols.nonEmpty, "qualityEnsemble needs at least one signal")
+    import org.apache.spark.sql.expressions.Window
+    val n = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+    val ranked = signalCols.foldLeft(df) { (d, sc) =>
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(sc))
+      d.withColumn(s"pct_$sc",
+        when(n > 1, (rank().over(w) - 1).cast("double") / (n - 1))
+          .otherwise(lit(0.0)))
+    }
+    val ens = signalCols.map(sc => col(s"pct_$sc")).reduce(_ + _) / signalCols.size
+    ranked.select(col(idCol) +: col(groupCol) +:
+      (signalCols.map(sc => col(s"pct_$sc")) :+ ens.as("quality_ensemble")): _*)
+  }
+
+  /** Per-document Unicode-script profile — the mixed-script /
+    * wrong-script signal (a "Spanish" crawl page that is 60% CJK is
+    * misrouted; heavy Cyrillic inside Latin text flags spoofing):
+    * per-class character counts over EXPLICIT codepoint ranges
+    * (Latin letters, ASCII digits, ASCII whitespace, ASCII
+    * punctuation, CJK U+4E00–9FFF, Cyrillic U+0400–04FF — each class
+    * written identically under Java regex and RE2, per the dialect
+    * rule), a residual `n_other`, and the dominant letter script by
+    * fixed-precedence comparison (latin ≥ cjk ≥ cyrillic on ties,
+    * 'none' when no letters).
+    *
+    * Scale shape: zero shuffles — seven codegen'd regexp_replace
+    * length-diffs inside the scan projection.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) = length(t) - length(regexp_replace(t, cls, ""))
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val space = cnt("[ \\t\\n\\r\\f]")
+    val punct = cnt("[!-/:-@\\[-`{-~]")
+    val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+    val cyr = cnt("[\\x{0400}-\\x{04ff}]")
+    df.select(col(idCol), length(t).as("n_chars_calc"),
+        latin.as("n_latin"), digit.as("n_digit"), space.as("n_space"),
+        punct.as("n_punct"), cjk.as("n_cjk"), cyr.as("n_cyrillic"))
+      .withColumn("n_other",
+        col("n_chars_calc") - col("n_latin") - col("n_digit") - col("n_space")
+          - col("n_punct") - col("n_cjk") - col("n_cyrillic"))
+      .withColumn("dominant_script",
+        when(col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_cyrillic")
+            && col("n_latin") > 0, "latin")
+          .when(col("n_cjk") >= col("n_cyrillic") && col("n_cjk") > 0, "cjk")
+          .when(col("n_cyrillic") > 0, "cyrillic")
+          .otherwise("none"))
+  }
+
+  /** Per-document PII-signal panel — the measurement twin of
+    * `text_redact`: non-overlapping match counts for email-shaped,
+    * IPv4-shaped, long-digit-run (card/account-shaped) and URL
+    * tokens, plus the gate flag curation pipelines route on. The
+    * patterns avoid every feature Java regex and RE2 disagree on (no
+    * lookaround, no backreferences, explicit classes); both engines
+    * scan leftmost non-overlapping, so the counts replay exactly.
+    *
+    * Scale shape: zero shuffles — four codegen'd regexp_count calls
+    * in the scan projection.
+    */
+  def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        regexp_count(t, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .as("n_emails"),
+        regexp_count(t, lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+          .as("n_ipv4"),
+        regexp_count(t, lit("[0-9]{8,}")).as("n_digit_runs"),
+        regexp_count(t, lit("https?://[^ ]+")).as("n_urls"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_digit_runs") > 0)
+  }
+
   /** Per-document character-diversity panel — the LOG-FREE quality
     * signal next to Shannon entropy (whose log2 the libm-portability
     * rule forbids): Simpson diversity 1 − Σp², distinct character

@@ -205,6 +205,72 @@ object Sampling {
       .filter(col("sample_bucket") < col("sample_threshold"))
   }
 
+  /** Exact k-per-stratum deterministic sample: every stratum keeps
+    * its k smallest-by-md5(key) rows (all rows when the stratum holds
+    * fewer) — the "exactly 1000 eval docs per language" curation ask,
+    * which rate-based sampling ([[stratified]]) only hits in
+    * expectation. Membership is a pure function of (stratum, key), so
+    * the sample replays bit-for-bit in any engine.
+    *
+    * Scale shape: the naive form is ROW_NUMBER over each stratum —
+    * a full per-stratum sort of the corpus. Here a candidate
+    * pre-filter bounds the sorted volume: the per-stratum count panel
+    * (tiny) sets a 4-hex bucket threshold expected to keep ~margin·k
+    * rows. Because that bucket is a PREFIX of the 32-hex ranking
+    * hash, every candidate precedes every non-candidate in rank
+    * order — so whenever a stratum's candidate draw holds at least
+    * min(k, n_s) rows it provably contains the true top-k. Strata
+    * whose draw undershoots (P ≈ e^-Θ(margin·k), vanishing) and
+    * strata small enough to sort whole fall back to all their rows.
+    * The ranking window then sorts ~margin·k candidate rows per
+    * stratum instead of n_s — at 100 TB the corpus is scanned (twice:
+    * count, filter) but never shuffled or sorted; only the
+    * checkpointed candidate relation (≤ ~margin·k·|strata| rows)
+    * moves.
+    */
+  def exactQuota(df: DataFrame, strataCol: String, keyCol: String, k: Int,
+                 margin: Double = 4.0): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(margin > 1, s"margin=$margin must exceed 1")
+    val bucket = hashBucket(Seq(col(keyCol)))
+    val counts = df.groupBy(col(strataCol).as("__s")).agg(count(lit(1)).as("__n"))
+    // Provisional threshold: "g" (keep all) for strata already near
+    // candidate size; otherwise floor(margin·k/n·65536)+1 — the +1
+    // guarantees a nonzero bucket range at any n.
+    val prov = counts.withColumn("__thr",
+      when(col("__n") <= lit(k * margin), lit("g"))
+        .otherwise(lower(lpad(hex(
+          least(lit(65535L),
+            floor(lit(k * margin) / col("__n") * 65536) + 1)), 4, "0"))))
+    val cand = df.join(broadcast(prov), col(strataCol) === col("__s"))
+      .filter(bucket < col("__thr"))
+      .localCheckpoint(true)
+    // Exactness audit: a stratum whose candidate draw came up short of
+    // min(k, n_s) cannot prove its top-k is inside — fall back to the
+    // whole stratum (the corpus-side branch below; empty in the
+    // overwhelmingly common case).
+    val audit = prov.join(
+        cand.groupBy(col("__s")).agg(count(lit(1)).as("__c")), Seq("__s"), "left")
+      .withColumn("__ok",
+        col("__thr") === "g" ||
+          coalesce(col("__c"), lit(0L)) >= least(lit(k.toLong), col("__n")))
+    val good = cand.join(
+      broadcast(audit.filter(col("__ok")).select(col("__s").as("__sg"))),
+      col(strataCol) === col("__sg")).drop("__sg")
+    val rescue = df.join(
+        broadcast(audit.filter(!col("__ok")).select(col("__s").as("__sr"))),
+        col(strataCol) === col("__sr"))
+      .join(broadcast(prov), col(strataCol) === col("__s"))
+      .drop("__sr")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    good.unionByName(rescue)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__s", "__thr", "__n")
+  }
+
   /** Per-group winsorization — the outlier-clamping twin of
     * `anomaly_zscore`'s detection: values are clipped to their
     * group's exact [pLo, pHi] percentile band (training-data

@@ -206,4 +206,79 @@ class CorpusQcSpec extends SparkSpec {
     // counted chars == string length: no split artifact leaks in
     assert(got.values.forall(_._1 == 4L))
   }
+
+  test("qualityEnsemble: per-group percentile calibration, ties share, singleton pins 0") {
+    val docs = Seq(
+      (1L, "s1", 1.0, 10L),
+      (2L, "s1", 2.0, 40L),
+      (3L, "s1", 2.0, 20L),
+      (4L, "s1", 4.0, 30L),
+      (5L, "solo", 9.9, 99L)) // single-row group -> 0.0, engine-pinned
+      .toDF("doc_id", "source", "q", "nt")
+    val got = CorpusQc.qualityEnsemble(docs, "doc_id", "source", Seq("q", "nt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // q ranks in s1: 1,2,2,4 -> pct 0, 1/3, 1/3, 1 (ties share)
+    assert(got(1L)._1 == 0.0 && got(4L)._1 == 1.0)
+    assert(got(2L)._1 == got(3L)._1 && math.abs(got(2L)._1 - 1.0 / 3) < 1e-15)
+    // nt ranks: 10,20,30,40 -> 0, 1, 2, 3 over 3
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 1.0 &&
+      math.abs(got(3L)._2 - 1.0 / 3) < 1e-15 && math.abs(got(4L)._2 - 2.0 / 3) < 1e-15)
+    // ensemble = left-assoc mean of the calibrated ranks
+    got.foreach { case (id, (p1, p2, e)) =>
+      assert(e == (p1 + p2) / 2, s"doc $id") }
+    assert(got(5L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("scriptProfile: explicit codepoint classes, residual, dominant precedence") {
+    val docs = Seq(
+      (1L, "Hello, World 42"),
+      (2L, "你好世界"),      // CJK only
+      (3L, "Привет"), // Cyrillic only
+      (4L, "1234 ..."),                      // digits/punct: no letters
+      (5L, "ab一二"),                // latin == cjk -> latin wins ties
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = {
+      val r = got(id)
+      (r.getAs[Int]("n_latin"), r.getAs[Int]("n_digit"), r.getAs[Int]("n_space"),
+        r.getAs[Int]("n_punct"), r.getAs[Int]("n_cjk"), r.getAs[Int]("n_cyrillic"),
+        r.getAs[Int]("n_other"), r.getAs[String]("dominant_script"))
+    }
+    assert(counts(1L) == ((10, 2, 2, 1, 0, 0, 0, "latin")))
+    assert(counts(2L) == ((0, 0, 0, 0, 4, 0, 0, "cjk")))
+    assert(counts(3L) == ((0, 0, 0, 0, 0, 6, 0, "cyrillic")))
+    assert(counts(4L) == ((0, 4, 1, 3, 0, 0, 0, "none")))
+    assert(counts(5L) == ((2, 0, 0, 0, 2, 0, 0, "latin")))
+    assert(counts(6L) == ((0, 0, 0, 0, 0, 0, 0, "none")))
+    // classes + residual tile the string exactly
+    got.values.foreach { r =>
+      assert(r.getAs[Int]("n_chars_calc") ==
+        r.getAs[Int]("n_latin") + r.getAs[Int]("n_digit") + r.getAs[Int]("n_space")
+          + r.getAs[Int]("n_punct") + r.getAs[Int]("n_cjk")
+          + r.getAs[Int]("n_cyrillic") + r.getAs[Int]("n_other"))
+    }
+  }
+
+  test("piiProfile: planted signals counted, clean docs silent, URL outside the gate") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice.smith+x@test.org today"),
+      (2L, "hosts 10.0.0.1 and 192.168.1.255 respond"),
+      (3L, "card 12345678901234 on file"),
+      (4L, "see https://example.com/a?b=1 and http://x.y/z"),
+      (5L, "a perfectly clean sentence with nothing sensitive"))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.piiProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ipv4"),
+          r.getAs[Int]("n_digit_runs"), r.getAs[Int]("n_urls"),
+          r.getAs[Boolean]("has_pii"))).toMap
+    assert(got(1L) == ((2, 0, 0, 0, true)))
+    assert(got(2L) == ((0, 2, 0, 0, true)))
+    assert(got(3L) == ((0, 0, 1, 0, true)))
+    assert(got(4L) == ((0, 0, 0, 2, false))) // URLs reported, not gated
+    assert(got(5L) == ((0, 0, 0, 0, false)))
+  }
 }

@@ -492,4 +492,32 @@ class SamplingSketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(t05.forall { case (k, v) => again(k) == v._3 })
   }
+
+  test("exactQuota equals the naive per-stratum window for every branch") {
+    import org.apache.spark.sql.expressions.Window
+    // big stratum exercises the candidate pre-filter; small ones the
+    // sort-whole fallback ("g" threshold)
+    val rows = (1L to 2000L).map(i => (i, "big")) ++
+      (3001L to 3005L).map(i => (i, "small")) ++
+      (4001L to 4060L).map(i => (i, "mid"))
+    val df = spark.createDataFrame(rows).toDF("k", "s")
+    val w = Window.partitionBy(col("s"))
+      .orderBy(md5(col("k").cast("string")), col("k"))
+    // several (k, margin) combos cover tight margins (where a stratum
+    // may undershoot its candidate draw and take the rescue branch) —
+    // the equivalence must hold regardless of which branch fired
+    for ((k, m) <- Seq((10, 4.0), (10, 1.2), (50, 1.05), (3, 2.0))) {
+      val naive = df.withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val got = graft.operators.Sampling.exactQuota(df, "s", "k", k, margin = m)
+        .select("k", "s", "sample_rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == naive, s"k=$k margin=$m")
+    }
+    // each stratum yields exactly min(k, n_s) rows
+    val q = graft.operators.Sampling.exactQuota(df, "s", "k", 10)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q == Map("big" -> 10L, "small" -> 5L, "mid" -> 10L))
+  }
 }
