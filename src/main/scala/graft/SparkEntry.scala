@@ -319,6 +319,17 @@ object SparkEntry {
       .drop("x_utm_m", "y_utm_m")
   }
 
+  /** 500 m grid-cell density over the map points (UTM-scaled exactly
+    * like [[svcUtmToWgs84]]): the serving heat-map aggregation.
+    */
+  private def svcGridDensity(spark: SparkSession, dir: String): DataFrame = {
+    val pts = svcMapPoints(spark, dir)
+      .withColumn("x_utm_m", lit(200000.0) + col("x_utm") * 750.0)
+      .withColumn("y_utm_m", lit(6200000.0) + col("y_utm") * 1500.0)
+    Serving.gridDensity(pts, "x_utm_m", "y_utm_m", cell = 500.0,
+      weightCol = "etapas_estimadas")
+  }
+
   // ── D. Training-data pipeline: text ───────────────────────────────
   /** Per-document token/char stats and a deterministic quality score. */
   private def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -555,6 +566,10 @@ object SparkEntry {
     "svc_top_boardings" -> svcTopBoardings _,
 
     "svc_map_points" -> svcMapPoints _,
+
+    // 500 m spatial grid density over the map points — per-cell point
+    // counts + exact-decimal boarding sums (serving heat map).
+    "svc_grid_density" -> svcGridDensity _,
 
     "svc_utm_to_wgs84" -> svcUtmToWgs84 _,
 
@@ -1138,6 +1153,18 @@ object SparkEntry {
     // the curation gate flag (measurement twin of text_redact).
     "pii_profile" -> ((s: SparkSession, d: String) =>
       CorpusQc.piiProfile(t(s, d, "documents"), "doc_id", "text")),
+
+    // BM25 top-k lexical retrieval against a fixed query term set —
+    // seed-set expansion; ln only on the idf panel (1e-4 floor), term
+    // scores 1e-6-floored before the decimal sum, cut by TakeOrdered.
+    "text_bm25_topk" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 25)),
+
+    // Power-of-2 length histogram: bucket = bit length of the token
+    // count (floor(log2)+1 with no libm), exact integer boundaries.
+    "doc_length_histogram" -> ((s: SparkSession, d: String) =>
+      CorpusQc.lengthHistogram(t(s, d, "documents"), "doc_id", "text")),
 
     // Click-to-purchase attribution (batch twin of the stream-stream
     // watermarked join, StreamOps.attributionJoin): equi-key + a
@@ -3504,6 +3531,44 @@ object SparkEntry {
            |  n_emails + n_ipv4 + n_digit_runs > 0 AS has_pii
            |FROM c""".stripMargin,
 
+      // BM25: ln only on the ≤3-row idf panel (1e-4 floor); constants
+      // and operator order replay CorpusQc.bm25TopK term for term.
+      "text_bm25_topk" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, UNNEST(t) AS tok
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_total FROM dl),
+           |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM tk WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+           |idf AS (
+           |  SELECT tok,
+           |    floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e4) / 1e4 AS idf
+           |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), st),
+           |av AS (SELECT CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st),
+           |ts AS (
+           |  SELECT tf.doc_id,
+           |    floor(idf * (CAST(tf AS DOUBLE) * 2.2) /
+           |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) * 1e6) / 1e6 AS term_score
+           |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), av),
+           |s AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           |    SUM(CAST(term_score AS DECIMAL(28,6))) AS sd
+           |  FROM ts GROUP BY 1)
+           |SELECT doc_id, n_terms_hit, CAST(sd AS DOUBLE) AS bm25_score
+           |FROM s ORDER BY bm25_score DESC, doc_id LIMIT 25""".stripMargin,
+
+      // Bit-length bucketing: length(bin(n)) = floor(log2 n)+1 in
+      // both engines; boundaries via integer shifts.
+      "doc_length_histogram" ->
+        s"""WITH n AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+           |b AS (SELECT CAST(length(bin(n_tokens)) AS INT) AS bucket, n_tokens FROM n)
+           |SELECT bucket, CAST(1 AS BIGINT) << (bucket - 1) AS bucket_lo,
+           |  (CAST(1 AS BIGINT) << bucket) - 1 AS bucket_hi,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+           |FROM b GROUP BY 1""".stripMargin,
+
       "corpus_shuffle" ->
         """WITH h AS (
           |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_hash
@@ -4006,6 +4071,21 @@ object SparkEntry {
            |LIMIT 20""".stripMargin,
 
       "svc_map_points" -> mapPointsSql,
+
+      // Cell ids are floor of one IEEE division (engine-identical);
+      // the weight sum follows the roundedSum money convention.
+      "svc_grid_density" ->
+        s"""WITH mp AS (${mapPointsSql.replace("\n", "\n  ")}),
+           |p AS (SELECT 200000.0 + x_utm * 750.0 AS xm,
+           |             6200000.0 + y_utm * 1500.0 AS ym, etapas_estimadas
+           |      FROM mp)
+           |SELECT CAST(FLOOR(xm / 500.0) AS BIGINT) AS cell_x,
+           |  CAST(FLOOR(ym / 500.0) AS BIGINT) AS cell_y,
+           |  CAST(COUNT(*) AS BIGINT) AS n_points,
+           |  CAST(COALESCE(ROUND(SUM(CAST(etapas_estimadas AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS weight_sum,
+           |  CAST(FLOOR(xm / 500.0) AS BIGINT) * 500.0 AS cell_x_min,
+           |  CAST(FLOOR(ym / 500.0) AS BIGINT) * 500.0 AS cell_y_min
+           |FROM p GROUP BY 1, 2""".stripMargin,
 
       "svc_utm_to_wgs84" -> utmToWgs84Sql)
   }

@@ -585,6 +585,82 @@ object CorpusQc {
         col("n_emails") + col("n_ipv4") + col("n_digit_runs") > 0)
   }
 
+  /** BM25 retrieval scoring against a fixed query term set, top-k
+    * docs — the lexical-retrieval primitive behind seed-set expansion
+    * ("find more docs like these quality exemplars") and RAG-style
+    * corpus search. Standard Robertson/Sparck-Jones BM25 with the
+    * +1 idf variant (always positive): per matched term,
+    * idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Engine parity: `ln` touches only the ≤|queryTerms|-row idf panel
+    * (floor-quantized to the 1e-4 grid, the unigramSurprisal rule);
+    * per-doc term scores re-floor to 1e-6 before the DECIMAL(28,6)
+    * sum (order-free); every constant and operator is written in the
+    * same order as the SQL twin, so scores replay bit-for-bit.
+    *
+    * Scale shape: one token-keyed aggregate for doc lengths, a
+    * corpus-scan filter to the query terms (tiny tf relation), the
+    * idf and avgdl panels broadcast, one doc-keyed join + aggregate;
+    * the cut is TakeOrdered over scored docs — never a global sort.
+    * Docs matching no query term score 0 and are absent by
+    * construction.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(topK >= 1, s"topK=$topK must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_total"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        (floor(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e4)) / lit(1e4))
+          .as("idf"))
+    val avgdl = stats.select(
+      (col("n_total").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("term_score",
+        floor(col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+          * lit(1e6)) / lit(1e6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("term_score").cast(DecimalType(28, 6))).as("__sd"))
+      .select(col(idCol), col("n_terms_hit"), col("__sd").cast("double").as("bm25_score"))
+      .orderBy(col("bm25_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Power-of-2 document-length histogram — the corpus length profile
+    * every curation readout starts with, LOG-FREE: the bucket index is
+    * the BIT LENGTH of the token count (`length(bin(n))` =
+    * floor(log2 n)+1 — an integer identity both engines compute from
+    * the binary string, no libm). Emits per-bucket doc counts, token
+    * totals, and the exact [2^(b−1), 2^b−1] boundaries via integer
+    * shifts.
+    *
+    * Scale shape: one corpus scan, one ≤64-key partial-agg shuffle;
+    * integer partials only.
+    */
+  def lengthHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(length(bin(col("n_tokens"))).as("bucket"), col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("bucket_lo", expr("shiftleft(cast(1 as bigint), bucket - 1)"))
+      .withColumn("bucket_hi", expr("shiftleft(cast(1 as bigint), bucket) - 1"))
+      .select(col("bucket"), col("bucket_lo"), col("bucket_hi"),
+        col("n_docs"), col("sum_tokens"))
+
   /** Per-document character-diversity panel — the LOG-FREE quality
     * signal next to Shannon entropy (whose log2 the libm-portability
     * rule forbids): Simpson diversity 1 − Σp², distinct character

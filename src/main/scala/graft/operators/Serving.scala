@@ -64,4 +64,30 @@ object Serving {
       .filter(col(rn) === 1)
       .drop(rn)
   }
+
+  /** Spatial grid density: points binned into square `cell`-sized
+    * cells by integer floor-division of their coordinates, per-cell
+    * point counts and an exact-decimal weight sum — the heat-map /
+    * coverage-density serving aggregation over stop coordinates.
+    * Cell ids are pure integer functions of the coordinates (floor of
+    * one IEEE division), so the binning replays in any engine; the
+    * weight sums as DECIMAL(18,2) partials (order-free) and rounds
+    * once, the `roundedSum` money convention.
+    *
+    * Scale shape: one partial-agg shuffle on the (tiny) cell-id key
+    * space; no window, no join.
+    */
+  def gridDensity(pts: DataFrame, xCol: String, yCol: String, cell: Double,
+                  weightCol: String): DataFrame = {
+    require(cell > 0, s"cell=$cell must be positive")
+    pts.groupBy(
+        floor(col(xCol) / cell).cast("long").as("cell_x"),
+        floor(col(yCol) / cell).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("n_points"),
+        coalesce(round(sum(col(weightCol)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2), lit(0))
+          .cast("double").as("weight_sum"))
+      .withColumn("cell_x_min", col("cell_x") * cell)
+      .withColumn("cell_y_min", col("cell_y") * cell)
+  }
 }

@@ -262,6 +262,43 @@ class CorpusQcSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: idf/tf/length behavior, absent non-matches, replayed score") {
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark alpha beta gamma"),
+      (3L, "alpha beta"),           // no query term -> absent
+      (4L, "join spark"))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L)._1 == 1 && got(2L)._1 == 1 && got(4L)._1 == 2)
+    // replay doc 1's score with the operator's exact arithmetic:
+    // N=4 docs, spark df=3, avgdl = 11/4
+    val idfSpark = math.floor(math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0) * 1e4) / 1e4
+    val avgdl = 11.0 / 4.0
+    val ts1 = math.floor(idfSpark * (3.0 * 2.2) /
+      (3.0 + 1.2 * (0.25 + 0.75 * (3.0 / avgdl))) * 1e6) / 1e6
+    assert(got(1L)._2 == ts1)
+    // two matched terms (one of them rare) outrank any single match
+    assert(got(4L)._2 > got(1L)._2 && got(4L)._2 > got(2L)._2)
+  }
+
+  test("lengthHistogram: bit-length buckets with exact power-of-2 boundaries") {
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+        (4L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.lengthHistogram(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 1 token -> bucket 1 [1,1]; 2 and 3 -> bucket 2 [2,3]; 8 -> bucket 4 [8,15]
+    assert(got == Map(
+      1 -> ((1L, 1L, 1L, 1L)),
+      2 -> ((2L, 3L, 2L, 5L)),
+      4 -> ((8L, 15L, 1L, 8L))))
+  }
+
   test("piiProfile: planted signals counted, clean docs silent, URL outside the gate") {
     val docs = Seq(
       (1L, "contact bob@example.com or alice.smith+x@test.org today"),

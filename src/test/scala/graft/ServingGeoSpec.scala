@@ -63,6 +63,24 @@ class ServingGeoSpec extends SparkSpec {
       Seq((1L, "b"), (2L, "a"))) // key 2 ties -> ascending value wins
   }
 
+  test("gridDensity: floor-division cells, negative coords, exact weight sums") {
+    val pts = Seq(
+      (10.0, 10.0, 1.005),
+      (499.0, 400.0, 2.015),  // same cell as the first point
+      (750.0, 100.0, 1.0),    // cell (1, 0)
+      (-1.0, -1.0, 0.5))      // floor semantics: cell (-1, -1)
+      .toDF("x", "y", "w")
+    val got = Serving.gridDensity(pts, "x", "y", cell = 500.0, weightCol = "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set((0L, 0L), (1L, 0L), (-1L, -1L)))
+    // decimal partials via shortest-repr cast (the money convention):
+    // 1.005 -> 1.01, 2.015 -> 2.02, exact sum 3.03
+    assert(got((0L, 0L)) == ((2L, 3.03, 0.0, 0.0)))
+    assert(got((1L, 0L)) == ((1L, 1.0, 500.0, 0.0)))
+    assert(got((-1L, -1L)) == ((1L, 0.5, -500.0, -500.0)))
+  }
+
   test("serving predicate composes only the active clauses") {
     val df = Seq(
       (20240110, "LABORAL", "CLICK", 13),  // in
