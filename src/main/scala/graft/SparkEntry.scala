@@ -600,6 +600,16 @@ object SparkEntry {
     "ana_trend_slope" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.trendSlope(servingValid(s, d))),
 
+    // Gini concentration of per-stop demand by day type (rank identity
+    // over the collapsed stop panel; one terminal IEEE division).
+    "ana_gini_demand" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.giniDemand(servingValid(s, d))),
+
+    // Median-of-pairwise-slopes robust trend (Theil–Sen) per type —
+    // the outlier-immune twin of ana_trend_slope.
+    "ana_theil_sen" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.theilSen(servingValid(s, d))),
+
     // EWMA level smoother over the daily demand series (α = 0.25,
     // dyadic-exact; the fold runs once over the collected day panel).
     "ana_ewma_demand" -> ((s: SparkSession, d: String) =>
@@ -770,6 +780,12 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    // Prefix-filtered EXACT similarity join (AllPairs/PPJoin): the
+    // complete Jaccard pair set with no df-cap recall loss — the
+    // threshold itself bounds the candidate join.
+    "dedup_prefix_filter" -> ((s: SparkSession, d: String) =>
+      TextDedup.prefixFilterPairs(t(s, d, "documents"), "doc_id", "text")),
 
     // Asymmetric containment: catches a short doc embedded in a long
     // one, which symmetric Jaccard scores near zero.
@@ -2332,6 +2348,54 @@ object SparkEntry {
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
            |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
 
+      "ana_gini_demand" ->
+        s"""WITH perstop AS (
+           |  SELECT tipo_dia, user_id AS stop_code,
+           |    COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS x
+           |  FROM ($validSql) WHERE user_id IS NOT NULL AND value IS NOT NULL
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT tipo_dia, x,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY tipo_dia ORDER BY x, stop_code) AS BIGINT) AS i
+           |  FROM perstop),
+           |agg AS (
+           |  SELECT tipo_dia, COUNT(*) AS n_stops, SUM(x) AS total, SUM(i * x) AS wsum
+           |  FROM ranked GROUP BY 1)
+           |SELECT tipo_dia, n_stops,
+           |  CAST(total AS DOUBLE) AS total_demand,
+           |  CASE WHEN total > 0 THEN
+           |    CAST(2 * wsum - (n_stops + 1) * total AS DOUBLE)
+           |      / CAST(n_stops * total AS DOUBLE)
+           |  END AS gini
+           |FROM agg""".stripMargin,
+
+      "ana_theil_sen" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT event_type_norm,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type_norm ORDER BY date_sk) - 1 AS BIGINT) AS x,
+           |    y
+           |  FROM byday),
+           |sl AS (
+           |  SELECT a.event_type_norm AS event_type_norm, a.x AS xa, b.x AS xb,
+           |    FLOOR(((b.y - a.y) / CAST(b.x - a.x AS DOUBLE)) * 1e6) / 1e6 AS slope_q
+           |  FROM idx a JOIN idx b
+           |    ON a.event_type_norm = b.event_type_norm AND a.x < b.x),
+           |ranked AS (
+           |  SELECT event_type_norm, slope_q,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type_norm ORDER BY slope_q, xa, xb) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type_norm) AS m
+           |  FROM sl)
+           |SELECT event_type_norm, MAX(m) AS n_pairs,
+           |  SUM(slope_q) / COUNT(*) AS ts_slope
+           |FROM ranked
+           |WHERE rn = FLOOR((m + 1) / 2.0) OR rn = FLOOR((m + 2) / 2.0)
+           |GROUP BY 1""".stripMargin,
+
       "ana_trend_slope" ->
         s"""WITH byday AS (
            |  SELECT event_type_norm, date_sk,
@@ -3344,6 +3408,26 @@ object SparkEntry {
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
+
+      // The UNCAPPED exact pair set: the oracle computes the true
+      // all-pairs join directly (feasible at oracle SF); the Spark
+      // side must reproduce it exactly through the prefix filter.
+      "dedup_prefix_filter" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, $shinglesSql AS shs
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, p.n_common,
+           |  p.n_common / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+           |FROM pairs p
+           |JOIN sizes sa ON sa.doc_id = p.doc_a
+           |JOIN sizes sb ON sb.doc_id = p.doc_b
+           |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin,
 
       "dedup_containment" ->
         s"""WITH docs AS (

@@ -168,6 +168,72 @@ object TextDedup {
         "containment_a", "containment_b")
   }
 
+  /** EXACT all-pairs Jaccard join via PREFIX FILTERING (AllPairs /
+    * PPJoin family) — the candidate generator that needs NO df cap and
+    * still never forms the n² pair space. [[jaccardPairs]] buys its
+    * join bound by DROPPING shingles above `maxDf` (a recall
+    * heuristic: two documents overlapping only on capped shingles are
+    * invisible). Prefix filtering gets the bound from the threshold
+    * itself and loses NOTHING: output is the complete exact-Jaccard
+    * pair set at `threshold`.
+    *
+    * The filter: order every document's shingle set by one global
+    * total order (document frequency ascending, hash tie-break —
+    * rarest first), and keep only each document's first
+    * `|S| - ceil(t·|S|) + 1` shingles as its PREFIX. If
+    * `J(A,B) ≥ t` then `|A∩B| ≥ t·|A|` (and `≥ t·|B|`), so the
+    * FIRST common shingle in global order sits within both prefixes —
+    * a prefix×prefix join finds every qualifying pair. Common
+    * shingles rank LAST in the global order, so the join fans out on
+    * rare shingles only; the df cap's job happens for free, exactly.
+    * Candidates also pass the length filter
+    * (`min(|A|,|B|) ≥ t·max(|A|,|B|)`, necessary for `J ≥ t`) before
+    * exact verification against the full posting lists. At 100 TB the
+    * verify cost is `|candidates| × set size`, and candidates are
+    * threshold-bounded, not vocabulary-shaped.
+    *
+    * Output schema/semantics: [[jaccardPairs]] with an UNCAPPED
+    * vocabulary — `n_sh_*` count full distinct-shingle sets.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Full posting relation, consumed four times (df counts, prefix
+    // build, both verify probes) — materialize once.
+    val sh = hashedShingles(df, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .localCheckpoint(true)
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Global order (df asc, sh asc) is a TOTAL order: positions are
+    // deterministic, so the prefix is well-defined per document.
+    val ranked = sh.join(dfc, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+    val prefix = ranked
+      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_sh"), col("b.n_sh")) >=
+            greatest(col("a.n_sh"), col("b.n_sh")) * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification: intersect the candidates' FULL shingle sets.
+    val common = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_sh_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("n_sh_a") + col("n_sh_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_sh_a", "n_sh_b", "n_common", "jaccard")
+  }
+
   /** Edit-distance-verified near-dup pairs: inverted-index candidates
     * (the df-capped Jaccard join at a LOW recall threshold) verified
     * by exact character-level Levenshtein — the check a pipeline runs

@@ -233,16 +233,23 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("events ts truncation agrees with the oracle: non-negative nanos") {
-    // The lake's TIMESTAMP(NANOS) values DO carry sub-microsecond
-    // precision (ns % 1000 != 0), and both sides truncate it away:
-    // Tables with `ts div 1000`, DuckDB by reading nanos parquet as
-    // microsecond TIMESTAMP. The two truncations agree exactly when
-    // epochs are non-negative (toward-zero == floor there); a pre-1970
-    // timestamp would split them one microsecond apart and silently
-    // hash-diverge every ts-bearing oracle row — pin the precondition.
+    // When the lake ships ts as TIMESTAMP(NANOS) (read as long nanos),
+    // both sides truncate sub-microsecond precision away: Tables with
+    // `ts div 1000`, DuckDB by reading nanos parquet as microsecond
+    // TIMESTAMP. The two truncations agree exactly when epochs are
+    // non-negative (toward-zero == floor there); a pre-1970 timestamp
+    // would split them one microsecond apart and silently hash-diverge
+    // every ts-bearing oracle row — pin the precondition. A data drop
+    // with native TIMESTAMP(MICROS) ts has nothing to truncate on
+    // either side; the precondition is vacuously met (and the Tables
+    // pass-through path is what every other events spec exercises).
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    assert(raw.filter(expr("ts < 0")).count() == 0L,
-      "pre-1970 nanos: div-1000 (toward zero) no longer matches DuckDB's floor")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      assert(raw.filter(expr("ts < 0")).count() == 0L,
+        "pre-1970 nanos: div-1000 (toward zero) no longer matches DuckDB's floor")
+    else
+      assert(raw.filter(col("ts") < lit("1970-01-01").cast("timestamp")).count() == 0L,
+        "pre-1970 ts: nanos-era truncation-agreement reasoning would not port")
   }
 
   test("parquet scans push filters and prune columns") {

@@ -41,6 +41,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefixFilterPairs: exact pair set, equals uncapped jaccardPairs") {
+    // Same output as the df-capped generator when the cap doesn't bind
+    // — here on the fixture, and by construction the complete set.
+    val pf = TextDedup.prefixFilterPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .orderBy("doc_a", "doc_b").collect()
+    val jp = TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4,
+      maxDf = Int.MaxValue).orderBy("doc_a", "doc_b").collect()
+    assert(pf.map(_.toSeq).toSeq == jp.map(_.toSeq).toSeq && pf.nonEmpty)
+    val pairs = pf.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs((1L, 3L)) == 1.0 && pairs((1L, 2L)) > 0.4)
+  }
+
+  test("prefixFilterPairs: finds pairs the df-cap heuristic drops") {
+    // 12 documents sharing one boilerplate shingle vocabulary: with a
+    // tiny maxDf the capped generator goes blind (every shingle is
+    // capped away); the prefix filter has no cap to bind and still
+    // emits the complete exact pair set.
+    val boiler = (1L to 12L).map(i => (i, "shared boilerplate header text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.jaccardPairs(boiler, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDf = 5)
+    assert(capped.count() == 0L)
+    val pf = TextDedup.prefixFilterPairs(boiler, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(pf.count() == 12L * 11 / 2)
+    assert(pf.filter($"jaccard" =!= 1.0).count() == 0L)
+  }
+
   test("lang_confusion: per-label shares sum to 1, match flag consistent") {
     val got = SparkEntry.queries("lang_confusion")(spark, sf).collect()
     assert(got.nonEmpty)
