@@ -819,6 +819,88 @@ object AnalyticsPack {
     * Shuffle volume is 7·|user-days|, independent of raw event count
     * (the (day, user) dedup is the only event-sized exchange).
     */
+  /** Gini coefficient of demand concentration across stops, per day
+    * type — the one-number inequality audit next to [[paretoUsers]]'
+    * full curve (is weekend demand more concentrated on few stops
+    * than weekday?). Sorted-rank identity
+    * `G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` with x ascending:
+    * one partial-agg shuffle collapses the fact to the per-(type,
+    * stop) panel, one per-type window ranks it (stop cardinality is
+    * physically bounded — a transit network's stop list — so the
+    * per-type window frame stays small at any fact scale), one
+    * aggregate finishes.
+    *
+    * Engine parity: xᵢ is the DECIMAL(18,2) money sum; `i·xᵢ`,
+    * `Σ i·xᵢ`, and the numerator/denominator products are all exact
+    * decimal/integer arithmetic — ties in x rank arbitrarily but
+    * Σ i·xᵢ is invariant within a tied block, so the tie-break is
+    * cosmetic — and the single terminal division is the only IEEE op.
+    */
+  def giniDemand(validEvents: DataFrame): DataFrame = {
+    val perStop = validEvents
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("tipo_dia"), col("user_id").as("stop_code"))
+      .agg(coalesce(round(sum(money(col("value"))), 2),
+        lit(0).cast(DecimalType(18, 2))).as("x"))
+    val ranked = perStop.withColumn("i",
+      row_number().over(Window.partitionBy(col("tipo_dia"))
+        .orderBy(col("x"), col("stop_code"))).cast("long"))
+    ranked.groupBy(col("tipo_dia"))
+      .agg(count(lit(1)).as("n_stops"),
+        sum(col("x")).as("__total"),
+        sum(col("i") * col("x")).as("__wsum"))
+      .select(col("tipo_dia"), col("n_stops"),
+        col("__total").cast("double").as("total_demand"),
+        when(col("__total") > 0,
+          (lit(2) * col("__wsum") - (col("n_stops") + 1) * col("__total"))
+            .cast("double") /
+            (col("n_stops") * col("__total")).cast("double"))
+          .as("gini"))
+  }
+
+  /** Theil–Sen robust trend over the daily demand series, per event
+    * type — the median of all pairwise slopes. Where [[trendSlope]]'s
+    * OLS line chases a single corrupted day (one bad feed day drags
+    * the fit), the pairwise-slope median shrugs off up to ~29% gross
+    * outliers. O(days²) pairs by definition — but over the COLLAPSED
+    * day panel (the fact table reduces in one partial-agg shuffle
+    * first), so the quadratic term is bounded by the calendar, not
+    * the data volume.
+    *
+    * Engine parity: each slope is one IEEE division of exact inputs,
+    * §5 grid-quantized (floor·1e6) before ranking so cross-engine ULP
+    * noise cannot reorder the median selection; the median of an even
+    * pair count averages two quantized values (a single IEEE add +
+    * divide). Pair identity (xₐ, x_b) breaks rank ties totally.
+    */
+  def theilSen(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+    val indexed = byDay.withColumn("x",
+      (row_number().over(Window.partitionBy(col("event_type_norm"))
+        .orderBy(col("date_sk"))) - 1).cast("long"))
+    val slopes = indexed.as("a").join(indexed.as("b"),
+        col("a.event_type_norm") === col("b.event_type_norm") &&
+          col("a.x") < col("b.x"))
+      .select(col("a.event_type_norm").as("event_type_norm"),
+        col("a.x").as("xa"), col("b.x").as("xb"),
+        (floor(((col("b.y") - col("a.y")) /
+          (col("b.x") - col("a.x")).cast("double")) * 1e6) / 1e6).as("slope_q"))
+    val w = Window.partitionBy(col("event_type_norm"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("slope_q"), col("xa"), col("xb"))))
+      .withColumn("m", count(lit(1)).over(w))
+    ranked
+      .filter(col("rn") === floor((col("m") + 1) / lit(2.0)) ||
+        col("rn") === floor((col("m") + 2) / lit(2.0)))
+      .groupBy(col("event_type_norm"))
+      .agg(first(col("m")).as("n_pairs"),
+        (sum(col("slope_q")) / count(lit(1))).as("ts_slope"))
+  }
+
   def rollingActiveUsers(events: DataFrame): DataFrame = {
     val ud = events.filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()

@@ -25,6 +25,32 @@ class AnalyticsPackSpec extends SparkSpec {
     ("u3", 20240114, "DOMINGO", 10, "VIEW", 4.0))
     .toDF("user_id", "date_sk", "tipo_dia", "time_30m_sk", "event_type_norm", "value")
 
+  test("giniDemand: equality -> 0, known unequal split matches closed form") {
+    // LABORAL per-stop totals: u1=60, u2=20 -> sorted [20,60]
+    // G = (2*(1*20+2*60) - 3*80) / (2*80) = (280-240)/160 = 0.25
+    val got = AnalyticsPack.giniDemand(events).collect()
+      .map(r => r.getAs[String]("tipo_dia") ->
+        (r.getAs[Long]("n_stops"), r.getAs[Double]("gini"))).toMap
+    assert(got("LABORAL") == (2L, 0.25))
+    // single-stop day types: G = (2*x - 2*x) / x = 0 exactly
+    assert(got("SABADO") == (1L, 0.0) && got("DOMINGO") == (1L, 0.0))
+  }
+
+  test("theilSen: median pairwise slope resists the outlier OLS chases") {
+    // days y = [10, 12, 14, 16, 1000]: all clean pairwise slopes ~2,
+    // the poisoned day only contributes 4 of 10 pairs -> median stays 2
+    val poisoned = Seq(
+      (20240101, 10.0), (20240102, 12.0), (20240103, 14.0),
+      (20240104, 16.0), (20240105, 1000.0))
+      .map { case (d, v) => ("u1", d, "LABORAL", 10, "CLICK", v) }
+      .toDF("user_id", "date_sk", "tipo_dia", "time_30m_sk", "event_type_norm", "value")
+    val ts = AnalyticsPack.theilSen(poisoned).collect().head
+    assert(ts.getAs[Long]("n_pairs") == 10L)
+    assert(ts.getAs[Double]("ts_slope") == 2.0)
+    val ols = AnalyticsPack.trendSlope(poisoned).collect().head
+    assert(ols.getAs[Double]("slope") > 100.0) // OLS dragged by the outlier
+  }
+
   test("coverageQuartile: quartile ranks cover 1..4 and categories map the rank") {
     val orders = Seq((1L, 1L, 100.0), (2L, 2L, 200.0), (3L, 3L, 50.0), (4L, 4L, 400.0))
       .toDF("o_orderkey", "o_custkey", "o_totalprice")
