@@ -657,6 +657,27 @@ object SparkEntry {
       Graph.triangles(flows, "src", "dst")
     }),
 
+    // Local clustering coefficient per zone over the same flow graph:
+    // degree + incident-triangle panels, one terminal division.
+    "graph_clustering_coeff" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+      Graph.clusteringCoeff(flows, "src", "dst")
+    }),
+
+    // Top 3-step event-type paths per user stream (sequence mining;
+    // integer-exact, total-ordered top-N).
+    "ana_top_paths" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.topPaths(t(s, d, "events"))),
+
     "ana_pct_of_peak" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.pctOfPeak(servingValid(s, d))),
 
@@ -1316,6 +1337,11 @@ object SparkEntry {
     // Corpus TF-IDF top terms per document: tf (one doc/token
     // shuffle), df (one token shuffle), broadcast 1-row corpus size,
     // per-doc top-3 by a doc-partitioned rank window. The idf is the
+    // PMI-ranked collocations (count floor + quantized ln) — the
+    // vocab-mining view of the corpus bigram space.
+    "text_pmi_bigrams" -> ((s: SparkSession, d: String) =>
+      CorpusQc.pmiBigrams(t(s, d, "documents"), "text")),
+
     // BM25-style RATIONAL form (n-df+0.5)/(df+0.5) — pure +,*,/ on
     // exact integers, so any engine replays it bit for bit (ln()
     // differs across libm implementations in the last ulp).
@@ -1432,6 +1458,11 @@ object SparkEntry {
     "table_corr_pairs" -> ((s: SparkSession, d: String) =>
       Profiling.corrPairs(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Categorical-dependence audit: per-cell mutual-information panel
+    // between day type and mode over the validated serving frame.
+    "table_mutual_info" -> ((s: SparkSession, d: String) =>
+      Profiling.mutualInfo(servingValid(s, d), "tipo_dia", "event_type_norm")),
 
     // Bucketed snapshot reconciliation: the B side drops event 17 and
     // perturbs event 42's value — the diff must localize both.
@@ -2348,6 +2379,23 @@ object SparkEntry {
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
            |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
 
+      "table_mutual_info" ->
+        s"""WITH xy AS (
+           |  SELECT tipo_dia AS x, event_type_norm AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+           |  FROM ($validSql)
+           |  WHERE tipo_dia IS NOT NULL AND event_type_norm IS NOT NULL
+           |  GROUP BY 1, 2),
+           |nx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY 1),
+           |ny AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY 1),
+           |nt AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM xy),
+           |cells AS (
+           |  SELECT x, y, n_xy, n_x, n_y, n,
+           |    FLOOR(LN(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)) * 1e4) / 1e4 AS pmi
+           |  FROM xy JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN nt)
+           |SELECT x, y, n_xy, n_x, n_y, n, pmi,
+           |  FLOOR((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) * pmi * 1e8) / 1e8 AS mi_term
+           |FROM cells""".stripMargin,
+
       "ana_gini_demand" ->
         s"""WITH perstop AS (
            |  SELECT tipo_dia, user_id AS stop_code,
@@ -2863,6 +2911,61 @@ object SparkEntry {
           |  FROM e ab JOIN e ac ON ab.a = ac.a AND ab.b < ac.b)
           |SELECT node_a, node_b, node_c
           |FROM w JOIN e bc ON w.node_b = bc.a AND w.node_c = bc.b""".stripMargin,
+
+      // Degree and incident-triangle panels over the same canonical
+      // edges; integer-exact until the one terminal division.
+      "graph_clustering_coeff" ->
+        """WITH flows AS (
+          |  SELECT sn.n_name AS src, cn.n_name AS dst
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  WHERE sn.n_name <> cn.n_name),
+          |e AS (
+          |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          |  FROM flows),
+          |deg AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+          |  GROUP BY 1),
+          |w AS (
+          |  SELECT ab.a AS node_a, ab.b AS node_b, ac.b AS node_c
+          |  FROM e ab JOIN e ac ON ab.a = ac.a AND ab.b < ac.b),
+          |tri AS (
+          |  SELECT node_a, node_b, node_c
+          |  FROM w JOIN e bc ON w.node_b = bc.a AND w.node_c = bc.b),
+          |tc AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          |  FROM (SELECT node_a AS node FROM tri
+          |        UNION ALL SELECT node_b AS node FROM tri
+          |        UNION ALL SELECT node_c AS node FROM tri)
+          |  GROUP BY 1)
+          |SELECT d.node, d.degree,
+          |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+          |  CASE WHEN d.degree >= 2 THEN
+          |    CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
+          |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+          |  ELSE 0.0 END AS clustering
+          |FROM deg d LEFT JOIN tc ON d.node = tc.node""".stripMargin,
+
+      // Integer-exact sequence mining: lead-window 3-grams per user,
+      // total-ordered top-N.
+      "ana_top_paths" ->
+        """WITH seqs AS (
+          |  SELECT user_id, event_type AS e1,
+          |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+          |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL)
+          |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths,
+          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM seqs WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+          |GROUP BY 1, 2, 3
+          |ORDER BY n_paths DESC, e1, e2, e3
+          |LIMIT 20""".stripMargin,
 
       "ana_od_matrix" ->
         """SELECT sn.n_name AS zona_origen, cn.n_name AS zona_destino,
@@ -3678,6 +3781,25 @@ object SparkEntry {
 
       // Non-distinct adjacent bigrams; fractions are raw single-
       // division IEEE quotients (see the SURVEY §6 rounding rule).
+      // Positional-marginal PMI over the pair panel; count floor and
+      // top-N cut applied AFTER marginals (which cover all pairs).
+      "text_pmi_bigrams" ->
+        s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+           |bigs AS (
+           |  SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           |    UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+           |  FROM toks WHERE len(t) >= 2),
+           |pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bigs GROUP BY 1, 2),
+           |m1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM pair GROUP BY 1),
+           |m2 AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_w2 FROM pair GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t FROM pair)
+           |SELECT w1, w2, n_pair, n_w1, n_w2,
+           |  FLOOR(LN(CAST(n_pair * t AS DOUBLE) / CAST(n_w1 * n_w2 AS DOUBLE)) * 1e4) / 1e4 AS pmi
+           |FROM pair JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+           |WHERE n_pair >= 5
+           |ORDER BY pmi DESC, w1, w2
+           |LIMIT 50""".stripMargin,
+
       "doc_bigram_novelty" ->
         s"""WITH bigs AS (
            |  SELECT doc_id,

@@ -901,6 +901,34 @@ object AnalyticsPack {
         (sum(col("slope_q")) / count(lit(1))).as("ts_slope"))
   }
 
+  /** Top event-type 3-step paths — sequence mining over per-user
+    * event streams ([[transitionMatrix]]'s first-order view extended
+    * one hop): sliding windows of three consecutive events per user,
+    * counted corpus-wide with the distinct-user reach, top-N under a
+    * total order. Integer-exact end to end.
+    *
+    * The lead-window runs per user (frames bounded by a user's own
+    * event count — the same shape the sessionizers already plan);
+    * everything after is one partial-agg shuffle on the path triple
+    * and a TakeOrdered.
+    */
+  def topPaths(events: DataFrame, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topN)
+  }
+
   def rollingActiveUsers(events: DataFrame): DataFrame = {
     val ud = events.filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()

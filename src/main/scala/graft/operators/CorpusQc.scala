@@ -281,6 +281,49 @@ object CorpusQc {
           / sum(col("cnt_doc"))).as("mean_continuation_share"))
   }
 
+  /** PMI-ranked collocations — the tokenizer/vocab-mining companion to
+    * [[bigramNovelty]]: corpus-level pointwise mutual information
+    * `ln( c(w₁w₂)·T / (c₁(w₁)·c₂(w₂)) )` over adjacent-token bigrams,
+    * where `c₁`/`c₂` are POSITIONAL marginals (occurrences as first /
+    * second element — the exact factorization of the bigram space) and
+    * `T` the total bigram count. High PMI + a count floor = the
+    * "strongly glued" pairs worth merging into vocabulary entries;
+    * the count floor also kills PMI's rare-pair divergence.
+    *
+    * Scale shape: one corpus-sized (w₁,w₂) partial-agg shuffle; both
+    * marginals and T derive from that collapsed panel (vocab²-bounded,
+    * no second corpus scan); the top-N cut is a TakeOrdered under a
+    * total order (quantized PMI desc, then the pair itself).
+    * Engine parity: counts exact, one IEEE division + `ln` per
+    * surviving pair, §5 grid-quantized (floor·1e4) before ranking.
+    */
+  def pmiBigrams(df: DataFrame, textCol: String,
+                 minCount: Long = 5, topN: Int = 50): DataFrame = {
+    val toks = df
+      .select(TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("ts"), size(col("ts")).as("n"))
+    val bigs = toks.filter(col("n") >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), col("n") - 1).as("c1"),
+        slice(col("ts"), lit(2), col("n") - 1).as("c2"))).as("z"))
+      .select(col("z.c1").as("w1"), col("z.c2").as("w2"))
+    val pair = bigs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
+    val m1 = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+    val m2 = pair.groupBy(col("w2")).agg(sum(col("n_pair")).as("n_w2"))
+    val tot = pair.agg(sum(col("n_pair")).as("t"))
+    pair.filter(col("n_pair") >= minCount)
+      .join(m1, "w1").join(m2, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        (floor(log((col("n_pair") * col("t")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double")) * lit(1e4)) / lit(1e4))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** First BPE merge-step candidates — the tokenizer-training
     * primitive: adjacent character-pair counts over the corpus,
     * weighted by word frequency, top `topN` by count (the pair a BPE

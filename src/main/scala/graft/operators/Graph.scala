@@ -48,6 +48,39 @@ object Graph {
       .select(col("node_a"), col("node_b"), col("node_c"))
   }
 
+  /** Per-node local clustering coefficient: of the `C(deg,2)` wedges
+    * centered on a node, the share that close into triangles —
+    * `2·t(v) / (deg(v)·(deg(v)−1))`, zero for degree-<2 nodes. The
+    * "how clique-ish is this node's neighborhood" profile next to
+    * [[triangles]]' raw enumeration.
+    *
+    * Both inputs collapse to node-sized panels before they meet:
+    * degrees from one partial-agg over the canonical edge list,
+    * incident-triangle counts from one partial-agg over the (already
+    * orientation-bounded) triangle enumeration — each triangle
+    * increments all three corners. Integer-exact until the single
+    * terminal IEEE division.
+    */
+  def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val triCorners = triangles(edges, srcCol, dstCol)
+      .select(explode(array(col("node_a"), col("node_b"), col("node_c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triCorners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (lit(2) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Weighted PageRank by fixed-round power iteration: rank flows
     * along out-edges proportionally to edge weight, damped; dangling
     * mass (nodes with no out-edges) redistributes uniformly each

@@ -129,6 +129,39 @@ object Profiling {
     * to the 1-D pass. The share is an exact-long/exact-long single
     * divide; nothing needs decimal machinery.
     */
+  /** Mutual-information panel between two categorical columns — the
+    * dependence audit next to [[corrPairs]]' linear correlation (which
+    * is blind to categorical association): per observed (x,y) cell,
+    * its counts, both marginals, the pointwise MI
+    * `ln(n_xy·N / (n_x·n_y))` and the cell's MI contribution
+    * `(n_xy/N)·pmi`. `Σ mi_term` over the panel is the table's MI;
+    * the flat per-cell grain keeps the output hashable and lets a
+    * consumer see WHICH cells carry the dependence.
+    *
+    * Scale shape: one fact-sized partial-agg shuffle to the (x,y)
+    * panel; marginals and the total derive from that collapsed panel
+    * (categories²-bounded). Engine parity: counts and count products
+    * exact; per cell one IEEE division + `ln`, §5 grid-quantized, and
+    * the mi_term product re-quantized so both factors are grid points.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xy = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint(true)
+    val nx = xy.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = xy.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val nt = xy.agg(sum(col("n_xy")).as("n"))
+    val pmi = floor(log((col("n_xy") * col("n")).cast("double") /
+      (col("n_x") * col("n_y")).cast("double")) * lit(1e4)) / lit(1e4)
+    xy.join(nx, "x").join(ny, "y").crossJoin(broadcast(nt))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n"), pmi.as("pmi"))
+      .withColumn("mi_term",
+        floor((col("n_xy").cast("double") / col("n").cast("double"))
+          * col("pmi") * lit(1e8)) / lit(1e8))
+  }
+
   def histogram2d(df: DataFrame, xCol: String, yCol: String,
                   kx: Int, ky: Int): DataFrame = {
     require(kx >= 1 && ky >= 1, s"histogram2d needs positive buckets: $kx x $ky")

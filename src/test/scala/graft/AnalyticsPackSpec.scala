@@ -51,6 +51,44 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(ols.getAs[Double]("slope") > 100.0) // OLS dragged by the outlier
   }
 
+  test("mutualInfo: independence -> zero terms, determinism -> ln(2) bits") {
+    import graft.operators.Profiling
+    val indep = (for (x <- Seq("A", "B"); y <- Seq("1", "2"); _ <- 1 to 5)
+      yield (x, y)).toDF("u", "v")
+    val gotI = Profiling.mutualInfo(indep, "u", "v").collect()
+    assert(gotI.length == 4)
+    assert(gotI.forall(r => r.getAs[Double]("pmi") == 0.0 &&
+      r.getAs[Double]("mi_term") == 0.0))
+    val dep = ((1 to 10).map(_ => ("A", "1")) ++ (1 to 10).map(_ => ("B", "2")))
+      .toDF("u", "v")
+    val gotD = Profiling.mutualInfo(dep, "u", "v").collect()
+    val pmiQ = math.floor(math.log(2.0) * 1e4) / 1e4
+    assert(gotD.length == 2 && gotD.forall(_.getAs[Double]("pmi") == pmiQ))
+    val mi = gotD.map(_.getAs[Double]("mi_term")).sum
+    assert(math.abs(mi - math.log(2.0)) < 1e-3) // two 0.5·ln2 terms, grid noise
+  }
+
+  test("topPaths: counts every sliding 3-window per user, ordered cut") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-08 10:00:00")
+    def at(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, at(1), 100L, "VIEW"), (2L, at(2), 100L, "CLICK"),
+      (3L, at(3), 100L, "BUY"), (4L, at(4), 100L, "VIEW"),
+      (5L, at(1), 200L, "VIEW"), (6L, at(2), 200L, "CLICK"),
+      (7L, at(3), 200L, "BUY"),
+      (8L, at(1), 300L, "VIEW"), (9L, at(2), 300L, "CLICK")) // only 2 events
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = AnalyticsPack.topPaths(ev, topN = 5).collect()
+    val byPath = got.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+      (r.getLong(3), r.getLong(4))).toMap
+    // user 100 contributes VIEW,CLICK,BUY and CLICK,BUY,VIEW; user 200 the first
+    assert(byPath(("VIEW", "CLICK", "BUY")) == (2L, 2L))
+    assert(byPath(("CLICK", "BUY", "VIEW")) == (1L, 1L))
+    assert(got.length == 2) // user 300's 2-event stream yields no path
+    assert((got.head.getString(0), got.head.getString(1), got.head.getString(2)) ==
+      ("VIEW", "CLICK", "BUY"))
+  }
+
   test("coverageQuartile: quartile ranks cover 1..4 and categories map the rank") {
     val orders = Seq((1L, 1L, 100.0), (2L, 2L, 200.0), (3L, 3L, 50.0), (4L, 4L, 400.0))
       .toDF("o_orderkey", "o_custkey", "o_totalprice")

@@ -73,6 +73,26 @@ class CorpusQcSpec extends SparkSpec {
     assert(got(1).getLong(1) == 2 && got(1).getDouble(2) == 3.0 / 10 && got(1).getDouble(3) == 1.0 / 5)
   }
 
+  test("pmiBigrams: exclusive pair outranks marginal-diluted pair; count floor binds") {
+    // (zx,qv): exclusive marginals 5/5 -> PMI ln(5T/25).
+    // (aa,bb): aa also pairs with cc, marginal 10 -> PMI ln(5T/50),
+    // exactly ln(2) lower. (rare,once): n_pair=1 < 5 -> floored out.
+    val docs = ((1L to 5L).map(i => (i, "zx qv")) ++
+      (6L to 10L).map(i => (i, "aa bb")) ++
+      (11L to 15L).map(i => (i, "aa cc")) ++
+      Seq((16L, "rare once"))).toDF("doc_id", "text")
+    val got = CorpusQc.pmiBigrams(docs, "text", minCount = 5, topN = 10).collect()
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(byPair(("zx", "qv")) == (5L, 5L, 5L,
+      math.floor(math.log(5.0 * 16 / 25) * 1e4) / 1e4))
+    assert(byPair(("aa", "bb")) == (5L, 10L, 5L,
+      math.floor(math.log(5.0 * 16 / 50) * 1e4) / 1e4))
+    assert(!byPair.keySet.exists(_._1 == "rare"))
+    // top row is the max-PMI pair under the total order
+    assert((got.head.getString(0), got.head.getString(1)) == ("zx", "qv"))
+  }
+
   test("bpeTopPairs: frequency-weighted char pairs, deterministic top-N boundary") {
     val docs = Seq((1L, "ab ab abc"), (2L, "xy")).toDF("doc_id", "text")
     // vocab: ab(wf 2) -> {ab:2}; abc(1) -> {ab:1, bc:1}; xy(1) -> {xy:1}

@@ -73,4 +73,17 @@ class GraphSpec extends SparkSpec {
       ("c", "a"), ("a", "a"), ("b", "a"))
     assert(trianglesOf(noisy) == Set(("a", "b", "c")))
   }
+
+  test("clusteringCoeff: triangle with a pendant — exact per-node values") {
+    // a-b-c closed triad, d hangs off a: deg(a)=3 with one of its
+    // three wedges closed -> 1/3; b,c fully clustered; d degree-1 -> 0
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoeff(edges, "src", "dst").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == (3L, 1L, 2.0 / 6.0))
+    assert(got("b") == (2L, 1L, 1.0) && got("c") == (2L, 1L, 1.0))
+    assert(got("d") == (1L, 0L, 0.0))
+  }
 }
