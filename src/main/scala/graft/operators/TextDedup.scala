@@ -211,8 +211,13 @@ object TextDedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .join(sizes, "doc_id")
+    // df = 1 prefix shingles cannot collide — they leave the candidate
+    // join entirely (usually most of the vocabulary) but MUST stay in
+    // the rank window above: dropping them before ranking would shift
+    // every position and redefine the prefix.
     val prefix = ranked
       .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .filter(col("df") >= 2)
       .select(col("doc_id"), col("sh"), col("n_sh"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
