@@ -678,6 +678,33 @@ object SparkEntry {
     "ana_top_paths" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.topPaths(t(s, d, "events"))),
 
+    // Churn survival curve: per-day hazard + cumulative log-survival
+    // over the per-user last-active-day panel (KM discipline, log
+    // space, no exp).
+    "ana_survival_curve" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.survivalCurve(t(s, d, "events"))),
+
+    // Point-in-interval RANGE JOIN via bucketized equi-join (the
+    // technique Catalyst lacks a native strategy for — a raw theta
+    // join plans BNLJ): open-order density per order date against
+    // each order's [orderdate, last shipment] fulfillment interval.
+    "join_range_interval" -> ((s: SparkSession, d: String) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("lo_d"))
+      val shipEnd = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("hi_d"))
+      val iv = orders
+        .join(shipEnd, col("o_orderkey") === col("l_orderkey"))
+        .select(datediff(col("lo_d"), epoch).cast("long").as("lo"),
+          datediff(col("hi_d"), epoch).cast("long").as("hi"))
+      val pts = orders.select(col("lo_d").as("d")).distinct()
+        .withColumn("p", datediff(col("d"), epoch).cast("long"))
+      RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", bucketWidth = 64)
+        .groupBy(col("d")).agg(count(lit(1)).as("n_open_orders"))
+    }),
+
     "ana_pct_of_peak" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.pctOfPeak(servingValid(s, d))),
 
@@ -2950,6 +2977,50 @@ object SparkEntry {
           |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
           |  ELSE 0.0 END AS clustering
           |FROM deg d LEFT JOIN tc ON d.node = tc.node""".stripMargin,
+
+      // KM churn curve: suffix at-risk counts, quantized ln(1-h),
+      // decimal-accumulated cumulative log-survival; the closed
+      // window's final day (hazard 1) is NULL by definition.
+      "ana_survival_curve" ->
+        """WITH lastday AS (
+          |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY 1),
+          |churn AS (
+          |  SELECT last_day, CAST(COUNT(*) AS BIGINT) AS n_churned
+          |  FROM lastday GROUP BY 1),
+          |risk AS (
+          |  SELECT last_day, n_churned,
+          |    CAST(SUM(n_churned) OVER (ORDER BY last_day DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+          |  FROM churn),
+          |hz AS (
+          |  SELECT last_day, n_churned, n_at_risk,
+          |    CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard,
+          |    CASE WHEN n_churned < n_at_risk THEN
+          |      FLOOR(LN(1.0 - CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1e6) / 1e6
+          |    END AS l1m
+          |  FROM risk)
+          |SELECT last_day, n_churned, n_at_risk, hazard,
+          |  CASE WHEN n_churned < n_at_risk THEN
+          |    CAST(SUM(CAST(l1m AS DECIMAL(28,6))) OVER (ORDER BY last_day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |  END AS log_survival
+          |FROM hz""".stripMargin,
+
+      // The oracle states the range join declaratively (DuckDB's
+      // IEJoin executes it); the Spark side must reproduce it through
+      // the bucketized equi-join + residual plan.
+      "join_range_interval" ->
+        """WITH iv AS (
+          |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo_d,
+          |    MAX(CAST(l_shipdate AS DATE)) AS hi_d
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |pts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+          |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_open_orders
+          |FROM pts JOIN iv ON iv.lo_d <= pts.d AND pts.d <= iv.hi_d
+          |GROUP BY 1""".stripMargin,
 
       // Integer-exact sequence mining: lead-window 3-grams per user,
       // total-ordered top-N.

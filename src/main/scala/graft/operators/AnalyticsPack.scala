@@ -901,6 +901,47 @@ object AnalyticsPack {
         (sum(col("slope_q")) / count(lit(1))).as("ts_slope"))
   }
 
+  /** Churn survival curve (Kaplan–Meier discipline over the closed
+    * observation window): treating each user's LAST active day as the
+    * churn event, per day — how many churned, how many were still at
+    * risk (last day ≥ d), the hazard `churned/at_risk`, and the
+    * cumulative log-survival `Σ_{k≤d} ln(1−hazard_k)` (log space —
+    * the survival product itself would need `exp`, whose last-ulp
+    * behavior is libm-specific; a consumer exponentiates at display
+    * time). The final observed day has hazard 1 (everyone still at
+    * risk churns by construction — the closed window right-censors
+    * nothing) where `ln(0)` is undefined: its log-survival is NULL.
+    *
+    * Scale shape: one fact-sized partial agg to the per-user last-day
+    * panel, one more to the day panel; both windows (suffix at-risk
+    * count, cumulative log) run over the ≤#days panel. Engine parity:
+    * counts exact, hazard one IEEE division, `ln` grid-quantized
+    * (§5), the cumulative sum accumulated as exact DECIMAL(28,6) over
+    * grid points (a raw double running sum would depend on the
+    * engine's window summation) and cast once at the edge.
+    */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val lastDay = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id")).agg(max(to_date(col("ts"))).as("last_day"))
+    val churn = lastDay.groupBy(col("last_day"))
+      .agg(count(lit(1)).as("n_churned"))
+    val wRisk = Window.orderBy(col("last_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy(col("last_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    churn
+      .withColumn("n_at_risk", sum(col("n_churned")).over(wRisk))
+      .withColumn("hazard",
+        col("n_churned").cast("double") / col("n_at_risk").cast("double"))
+      .withColumn("__l1m", when(col("n_churned") < col("n_at_risk"),
+        floor(log(lit(1.0) - col("hazard")) * lit(1e6)) / lit(1e6)))
+      .withColumn("log_survival", when(col("n_churned") < col("n_at_risk"),
+        sum(col("__l1m").cast(DecimalType(28, 6))).over(wSurv).cast("double")))
+      .select(col("last_day"), col("n_churned"), col("n_at_risk"),
+        col("hazard"), col("log_survival"))
+  }
+
   /** Top event-type 3-step paths — sequence mining over per-user
     * event streams ([[transitionMatrix]]'s first-order view extended
     * one hop): sliding windows of three consecutive events per user,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval joins Spark's planner has no native strategy for.
+  *
+  * A point-in-interval predicate (`lo <= p AND p <= hi`) is a theta
+  * join: Catalyst plans it as a broadcast nested loop (or worse, a
+  * cartesian product) — every point against every interval, O(n·m)
+  * compares however selective the predicate. The fix is the standard
+  * range-bucketing technique (the public form of the range-join
+  * optimization in Databricks/Photon and the interval-join in Flink):
+  * quantize the domain into fixed-width buckets, key each point to
+  * its bucket, EXPLODE each interval to every bucket it covers, and
+  * equi-join on the bucket key with the exact predicate as a
+  * residual filter. The equi-join hash-partitions both sides —
+  * shuffle and probe are linear in |points| + Σ(span/width), and the
+  * residual runs only within a bucket.
+  *
+  * `bucketWidth` trades explode fan-out (long intervals × narrow
+  * buckets) against residual selectivity (wide buckets pack unrelated
+  * points and intervals together). Pick it near the TYPICAL interval
+  * span so most intervals explode to 1–2 rows.
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join: every (point row × interval row)
+    * pair with `points(pointCol) ∈ [loCol, hiCol]` (both ends
+    * inclusive; null points/bounds drop — null never sits in an
+    * interval). Both inputs keep all their columns; names must not
+    * collide (the caller picks sides' schemas, as with any join).
+    * Columns must be integral (day numbers, epoch seconds, SKs —
+    * floor-division bucketing is exact on longs).
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
+    val bw = lit(bucketWidth)
+    // floor-div via floor(double division) would lose exactness past
+    // 2^53; integer arithmetic only. pmod-corrected for negatives.
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, bw)) / bw).cast("long")
+    val p = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__graft_bucket", bucketOf(col(pointCol).cast("long")))
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__graft_bucket",
+        explode(sequence(bucketOf(col(loCol).cast("long")),
+          bucketOf(col(hiCol).cast("long")))))
+    p.join(iv, "__graft_bucket")
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
+      .drop("__graft_bucket")
+  }
+}

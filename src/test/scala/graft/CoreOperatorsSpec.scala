@@ -147,6 +147,49 @@ class CoreOperatorsSpec extends SparkSpec {
       (6L, None, None, None)))
   }
 
+  test("rangeJoin: bucketized result equals the brute-force theta join") {
+    // deterministic pseudo-random points + intervals spanning several
+    // bucket widths, including empty, inverted and boundary cases
+    val pts = (0 until 200)
+      .map(i => (i.toLong, (i * 37 % 500).toLong)).toDF("pid", "p")
+    val ivs = (0 until 80).map { i =>
+      val lo = (i * 61 % 450).toLong
+      (i.toLong, lo, lo + (i * 13 % 120).toLong - 5) // some inverted (hi<lo)
+    }.toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bucketWidth = 16)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(ivs)
+      .filter($"lo" <= $"p" && $"p" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got.nonEmpty)
+    // inclusivity at both ends, exactly at bucket boundaries
+    val one = RangeJoin.pointInInterval(
+      Seq((1L, 16L), (2L, 31L), (3L, 32L)).toDF("pid", "p"), "p",
+      Seq((9L, 16L, 31L)).toDF("iid", "lo", "hi"), "lo", "hi", 16)
+    assert(one.select("pid").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("survivalCurve: hand-checked hazards, at-risk suffix, final-day NULL") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 10:00:00")
+    // churn days: u1,u2 -> Jan 1; u3 -> Jan 2; u4,u5,u6 -> Jan 3
+    val ev = Seq(
+      (1L, ts("2024-01-01"), 1L), (2L, ts("2024-01-01"), 2L),
+      (3L, ts("2024-01-01"), 3L), (4L, ts("2024-01-02"), 3L),
+      (5L, ts("2024-01-01"), 4L), (6L, ts("2024-01-03"), 4L),
+      (7L, ts("2024-01-03"), 5L), (8L, ts("2024-01-03"), 6L))
+      .toDF("event_id", "ts", "user_id")
+    val got = AnalyticsPack.survivalCurve(ev).orderBy("last_day").collect()
+    assert(got.map(_.getAs[Long]("n_churned")).toSeq == Seq(2L, 1L, 3L))
+    assert(got.map(_.getAs[Long]("n_at_risk")).toSeq == Seq(6L, 4L, 3L))
+    assert(got.map(_.getAs[Double]("hazard")).toSeq == Seq(2.0 / 6, 1.0 / 4, 1.0))
+    // day-1 log-survival = quantized ln(2/3); day 2 adds ln(3/4); final NULL
+    val q1 = math.floor(math.log(1 - 2.0 / 6) * 1e6) / 1e6
+    val q2 = math.floor(math.log(1 - 1.0 / 4) * 1e6) / 1e6
+    assert(got(0).getAs[Double]("log_survival") == q1)
+    assert(got(1).getAs[Double]("log_survival") == q1 + q2)
+    assert(got(2).isNullAt(got(2).fieldIndex("log_survival")))
+  }
+
   test("row contract: normalize-then-validate, first-match reasons, cross rules") {
     val df = Seq(
       (Some(1L), "  click ", Some(10.0), Some("p")),  // valid, type normalized
