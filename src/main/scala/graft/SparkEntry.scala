@@ -600,6 +600,11 @@ object SparkEntry {
     "ana_trend_slope" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.trendSlope(servingValid(s, d))),
 
+    // Holt level+trend smoother (dyadic coefficients, panel fold) —
+    // the trend-tracking twin of ana_ewma_demand.
+    "ana_holt_linear" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.holtDemand(servingValid(s, d))),
+
     // Gini concentration of per-stop demand by day type (rank identity
     // over the collapsed stop panel; one terminal IEEE division).
     "ana_gini_demand" -> ((s: SparkSession, d: String) =>
@@ -1368,6 +1373,11 @@ object SparkEntry {
     // vocab-mining view of the corpus bigram space.
     "text_pmi_bigrams" -> ((s: SparkSession, d: String) =>
       CorpusQc.pmiBigrams(t(s, d, "documents"), "text")),
+
+    // Zipf-exponent OLS over the frequency-ranked vocabulary
+    // (distributed prefix-sum ranks, quantized-log moments).
+    "text_zipf_fit" -> ((s: SparkSession, d: String) =>
+      CorpusQc.zipfFit(t(s, d, "documents"), "text")),
 
     // BM25-style RATIONAL form (n-df+0.5)/(df+0.5) — pure +,*,/ on
     // exact integers, so any engine replays it bit for bit (ln()
@@ -2523,6 +2533,30 @@ object SparkEntry {
       // correctly-rounded IEEE ops on dyadic constants (0.25e0 /
       // 0.75e0 force DOUBLE literals — a bare 0.25 parses as DECIMAL
       // in DuckDB and would change the arithmetic).
+      // Holt recursion replayed with the NEW level's formula repeated
+      // inside the trend term — identical op order to the Spark fold.
+      "ana_holt_linear" ->
+        s"""WITH RECURSIVE byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |idx AS (
+           |  SELECT date_sk, daily_value,
+           |    ROW_NUMBER() OVER (ORDER BY date_sk) AS rn
+           |  FROM byday),
+           |walk(rn, date_sk, daily_value, level, trend) AS (
+           |  SELECT rn, date_sk, daily_value, daily_value, 0e0 FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.rn, i.date_sk, i.daily_value,
+           |    0.25e0 * i.daily_value + 0.75e0 * (w.level + w.trend),
+           |    0.125e0 * ((0.25e0 * i.daily_value + 0.75e0 * (w.level + w.trend)) - w.level)
+           |      + 0.875e0 * w.trend
+           |  FROM idx i JOIN walk w ON i.rn = w.rn + 1)
+           |SELECT date_sk, daily_value, level, trend,
+           |  level + trend AS forecast_next
+           |FROM walk""".stripMargin,
+
       "ana_ewma_demand" ->
         s"""WITH RECURSIVE byday AS (
            |  SELECT date_sk,
@@ -3852,6 +3886,37 @@ object SparkEntry {
 
       // Non-distinct adjacent bigrams; fractions are raw single-
       // division IEEE quotients (see the SURVEY §6 rounding rule).
+      // Quantized-log OLS over the ranked vocabulary; rank ties broken
+      // by token so both engines rank identically.
+      "text_zipf_fit" ->
+        s"""WITH vocab AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
+           |  WHERE tok <> '' GROUP BY 1),
+           |ranked AS (
+           |  SELECT cnt,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+           |  FROM vocab),
+           |pts AS (
+           |  SELECT FLOOR(LN(CAST(rank AS DOUBLE)) * 1e6) / 1e6 AS lx,
+           |    FLOOR(LN(CAST(cnt AS DOUBLE)) * 1e6) / 1e6 AS ly
+           |  FROM ranked),
+           |moms AS (
+           |  SELECT COUNT(*) AS n_types,
+           |    SUM(CAST(FLOOR(lx * 1e8) / 1e8 AS DECIMAL(28,12))) AS sx,
+           |    SUM(CAST(FLOOR(ly * 1e8) / 1e8 AS DECIMAL(28,12))) AS sy,
+           |    SUM(CAST(FLOOR(lx * ly * 1e8) / 1e8 AS DECIMAL(28,12))) AS sxy,
+           |    SUM(CAST(FLOOR(lx * lx * 1e8) / 1e8 AS DECIMAL(28,12))) AS sxx
+           |  FROM pts),
+           |sl AS (
+           |  SELECT n_types, sx, sy,
+           |    (n_types * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      / NULLIF(n_types * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS zipf_slope
+           |  FROM moms)
+           |SELECT n_types, zipf_slope,
+           |  (CAST(sy AS DOUBLE) - zipf_slope * CAST(sx AS DOUBLE)) / n_types AS intercept
+           |FROM sl""".stripMargin,
+
       // Positional-marginal PMI over the pair panel; count floor and
       // top-N cut applied AFTER marginals (which cover all pairs).
       "text_pmi_bigrams" ->

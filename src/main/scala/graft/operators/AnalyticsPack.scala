@@ -807,18 +807,53 @@ object AnalyticsPack {
       col("r.daily_value").as("daily_value"), col("r.ewma").as("ewma"))
   }
 
-  /** Rolling 7-day distinct active users per observed day (the WAU
-    * curve next to [[rollingDemand]]'s additive sums) — COUNT
-    * DISTINCT over a sliding window cannot be pre-aggregated, so the
-    * scale shape matters: each distinct (day, user) observation
-    * expands to the ≤ 7 grid days it covers (a `sequence`+`explode`
-    * inside codegen — never a range join), the grid is semi-joined to
-    * observed days (broadcast — the day dim is tiny by construction),
-    * and ONE exact-distinct aggregation keyed by grid day produces
-    * both the day's own active count and its trailing-7-day count.
-    * Shuffle volume is 7·|user-days|, independent of raw event count
-    * (the (day, user) dedup is the only event-sized exchange).
+  /** Holt's linear-trend smoother over the daily demand series — the
+    * two-state extension of [[ewmaDemand]] (whose single state LAGS a
+    * trending series by a constant offset forever; Holt's coupled
+    * level+trend recurrence tracks it):
+    * `level_t = α·y_t + (1−α)·(level_{t−1} + trend_{t−1})`,
+    * `trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}`,
+    * seeded `level_1 = y_1, trend_1 = 0`. One-step-ahead forecast
+    * `level + trend` rides along.
+    *
+    * Same execution shape as the EWMA: the fact collapses to the day
+    * panel in one partial-agg shuffle, the inherently sequential
+    * recurrence folds ONCE over the collected fixed-size panel inside
+    * a single codegen'd `aggregate` — no per-row driver loop, no
+    * O(days) self-joins. Dyadic α=0.25, β=0.125: every coefficient
+    * product is an exact IEEE scaling, so the fold and the oracle's
+    * recursive CTE replay bit-identically in fixed op order.
     */
+  def holtDemand(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("daily_value"))
+    val packed = byDay.agg(array_sort(
+      collect_list(struct(col("date_sk"), col("daily_value")))).as("days"))
+    val accT = "array<struct<date_sk:int,daily_value:double,level:double,trend:double>>"
+    val folded = packed.select(explode(aggregate(
+      col("days"),
+      lit(null).cast(accT),
+      (acc, e) => {
+        val y = e.getField("daily_value")
+        val prev = element_at(acc, -1)
+        val lvl = when(coalesce(size(acc), lit(0)) === 0, y)
+          .otherwise(lit(0.25) * y +
+            lit(0.75) * (prev.getField("level") + prev.getField("trend")))
+        val trd = when(coalesce(size(acc), lit(0)) === 0, lit(0.0))
+          .otherwise(lit(0.125) * (lvl - prev.getField("level")) +
+            lit(0.875) * prev.getField("trend"))
+        val row = struct(e.getField("date_sk").as("date_sk"),
+          y.as("daily_value"), lvl.as("level"), trd.as("trend"))
+        when(acc.isNull, array(row)).otherwise(concat(acc, array(row)))
+      })).as("r"))
+    folded.select(col("r.date_sk").as("date_sk"),
+      col("r.daily_value").as("daily_value"),
+      col("r.level").as("level"), col("r.trend").as("trend"),
+      (col("r.level") + col("r.trend")).as("forecast_next"))
+  }
+
   /** Gini coefficient of demand concentration across stops, per day
     * type — the one-number inequality audit next to [[paretoUsers]]'
     * full curve (is weekend demand more concentrated on few stops
@@ -970,6 +1005,18 @@ object AnalyticsPack {
       .limit(topN)
   }
 
+  /** Rolling 7-day distinct active users per observed day (the WAU
+    * curve next to [[rollingDemand]]'s additive sums) — COUNT
+    * DISTINCT over a sliding window cannot be pre-aggregated, so the
+    * scale shape matters: each distinct (day, user) observation
+    * expands to the ≤ 7 grid days it covers (a `sequence`+`explode`
+    * inside codegen — never a range join), the grid is semi-joined to
+    * observed days (broadcast — the day dim is tiny by construction),
+    * and ONE exact-distinct aggregation keyed by grid day produces
+    * both the day's own active count and its trailing-7-day count.
+    * Shuffle volume is 7·|user-days|, independent of raw event count
+    * (the (day, user) dedup is the only event-sized exchange).
+    */
   def rollingActiveUsers(events: DataFrame): DataFrame = {
     val ud = events.filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()

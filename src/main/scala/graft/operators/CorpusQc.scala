@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.Kernels
@@ -279,6 +279,49 @@ object CorpusQc {
             * (col("cnt_big").cast("double") / col("cnt_pre").cast("double")))
           .cast(DecimalType(28, 12))).cast("double")
           / sum(col("cnt_doc"))).as("mean_continuation_share"))
+  }
+
+  /** Zipf-law fit over the corpus token-frequency distribution — the
+    * one-number power-law health check (natural text runs slope ≈ −1;
+    * a flat slope says synthetic/templated vocabulary, a cliff says
+    * boilerplate dominance): OLS of quantized `ln(freq)` on quantized
+    * `ln(rank)` over the full frequency-ranked vocabulary, emitting
+    * slope (−exponent), intercept, and the panel sizes.
+    *
+    * Scale shape: one corpus-sized token partial agg → the vocabulary
+    * panel; ranks come from the D55/F20 distributed prefix-sum
+    * machinery (`PrefixSum.globalOrdered` under (freq desc, token) —
+    * never a single-partition window over the vocabulary); moments
+    * are §5 floor-grid quantized products summed as DECIMAL partials
+    * (order-free), two IEEE divisions at the edge.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vocab = df
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.PrefixSum.globalOrdered(
+        vocab, Seq(col("cnt").desc, col("tok")), "cnt")
+      .select(col("cnt"), col("row_rank").as("rank"))
+    def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    def q8d(c: Column): Column =
+      (floor(c * lit(1e8)) / lit(1e8)).cast(DecimalType(28, 12))
+    val pts = ranked.select(
+      q6(log(col("rank").cast("double"))).as("lx"),
+      q6(log(col("cnt").cast("double"))).as("ly"))
+    val moms = pts.agg(count(lit(1)).as("n_types"),
+      sum(q8d(col("lx"))).as("sx"), sum(q8d(col("ly"))).as("sy"),
+      sum(q8d(col("lx") * col("ly"))).as("sxy"),
+      sum(q8d(col("lx") * col("lx"))).as("sxx"))
+    val den = col("n_types") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (col("n_types") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      when(den === 0, lit(null)).otherwise(den)
+    moms.select(col("n_types"), slope.as("zipf_slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n_types")).as("intercept"))
   }
 
   /** PMI-ranked collocations — the tokenizer/vocab-mining companion to

@@ -434,6 +434,27 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(g2.map(_.getDouble(2)).toSeq == Seq(8.0, 10.0))
   }
 
+  test("holtDemand: two-state fold replays the recurrence; tracks a linear ramp") {
+    import spark.implicits._
+    val ev = Seq((20240101, 8.0), (20240102, 16.0), (20240103, 24.0))
+      .toDF("date_sk", "value")
+    val got = AnalyticsPack.holtDemand(ev).orderBy("date_sk").collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // l1=8, b1=0; l2=.25*16+.75*8=10, b2=.125*2+.875*0=0.25
+    // l3=.25*24+.75*10.25=13.6875, b3=.125*3.6875+.875*.25=0.6796875
+    assert(got.toSeq == Seq(
+      (20240101, 8.0, 0.0, 8.0),
+      (20240102, 10.0, 0.25, 10.25),
+      (20240103, 13.6875, 0.6796875, 13.6875 + 0.6796875)))
+    // the single-state EWMA lags a steady ramp; Holt's trend state
+    // keeps the forecast strictly ahead of the EWMA level
+    val ramp = (1 to 40).map(i => (20240100 + i, 10.0 + 2 * i)).toDF("date_sk", "value")
+    val h = AnalyticsPack.holtDemand(ramp).orderBy("date_sk").collect()
+    val e = AnalyticsPack.ewmaDemand(ramp).orderBy("date_sk").collect()
+    assert(h.last.getDouble(2) > e.last.getDouble(2))         // level ahead
+    assert(math.abs(h.last.getDouble(3) - 2.0) < 0.2)         // trend -> slope
+  }
+
   test("anomalyMad: catches the outlier that inflates its own z-score; zero-MAD guard") {
     import spark.implicits._
     // group A: tight cluster at ~10 plus one 1000. The 1000 inflates

@@ -93,6 +93,18 @@ class CorpusQcSpec extends SparkSpec {
     assert((got.head.getString(0), got.head.getString(1)) == ("zx", "qv"))
   }
 
+  test("zipfFit: exact 1/rank law recovers slope -1; ties rank deterministically") {
+    // counts 60/k for ranks k=1..4 -> ln(cnt) = ln 60 - 1*ln(rank):
+    // a perfect power law, so OLS slope is -1 up to grid noise
+    val text = (Seq.fill(60)("aa") ++ Seq.fill(30)("bb") ++
+      Seq.fill(20)("cc") ++ Seq.fill(15)("dd")).mkString(" ")
+    val got = CorpusQc.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(got.getAs[Long]("n_types") == 4L)
+    assert(math.abs(got.getAs[Double]("zipf_slope") - (-1.0)) < 1e-3)
+    assert(math.abs(got.getAs[Double]("intercept") - math.log(60.0)) < 1e-3)
+  }
+
   test("bpeTopPairs: frequency-weighted char pairs, deterministic top-N boundary") {
     val docs = Seq((1L, "ab ab abc"), (2L, "xy")).toDF("doc_id", "text")
     // vocab: ab(wf 2) -> {ab:2}; abc(1) -> {ab:1, bc:1}; xy(1) -> {xy:1}
