@@ -1512,6 +1512,11 @@ object SparkEntry {
         nBuckets = 16)
     }),
 
+    // Deterministic Poisson-multiplier bootstrap: 32 hash-seeded
+    // resamples of the mean event value — the sampling-error panel.
+    "ana_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      Sampling.bootstrapMeans(t(s, d, "events"), "event_id", "value", b = 32)),
+
     // Per-group winsorization to the exact [p05, p95] band.
     "sample_winsorize" -> ((s: SparkSession, d: String) =>
       Sampling.winsorize(
@@ -2047,6 +2052,34 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND c.click_ts >= p.purchase_ts - INTERVAL 1800 SECONDS
         | AND c.click_ts <= p.purchase_ts""".stripMargin,
+
+    // Poisson(1) multiplicities from exact-rational md5 uniforms and
+    // exact-double CDF fences; weighted sums in decimal, one division
+    // per resample.
+    "ana_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |rs AS (SELECT range AS b FROM range(0, 32)),
+        |draws AS (
+        |  SELECT b, x,
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      CAST(event_id AS VARCHAR), CAST(b AS VARCHAR))), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM base CROSS JOIN rs),
+        |wts AS (
+        |  SELECT b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM draws)
+        |SELECT b AS resample_id, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CASE WHEN SUM(w) > 0 THEN CAST(SUM(w * x) AS DOUBLE) / SUM(w) END AS mean_boot
+        |FROM wts GROUP BY 1""".stripMargin,
 
     // Cumulative thresholds: 0.8 -> cccd, 0.9 -> e666 (round(f*65536)
     // as %04x). md5 goes through concat_ws like the Spark side, so a

@@ -408,4 +408,56 @@ object Sampling {
         col("lw").cast("double").as("log_weight"),
         (col("lw").cast("double") > 0).as("favors_target"))
   }
+
+  /** Poisson(1) cumulative-probability fences for the bootstrap
+    * weights: P(X≤k) for k = 0..5 as exact double literals (weights
+    * cap at 6 — P(X>6) ≈ 8·10⁻⁵ of rows get 6 instead of their true
+    * tail draw, a documented truncation every engine shares).
+    */
+  private val PoissonCdf1 = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Deterministic multiplier BOOTSTRAP for the mean — the
+    * distributed answer to "what's the sampling error on this
+    * metric": `b` resamples, each row entering resample `i` with a
+    * Poisson(1) multiplicity (the classic multinomial approximation
+    * whose draws need no global coordination), every draw a PURE
+    * FUNCTION of (row key, resample id) through the md5 uniform —
+    * layout-stable, replayable in any engine, no RNG state anywhere.
+    * Emits the per-resample panel (effective n, resampled mean);
+    * a consumer reads CI bounds off the sorted panel.
+    *
+    * Scale shape: the b-fold row expansion happens INSIDE codegen
+    * (sequence+explode, no join) and collapses immediately into a
+    * b-keyed partial aggregate — map-side combine reduces each
+    * partition to ≤ b rows, so the shuffle is b·partitions rows
+    * however large the fact. Engine parity: uniforms are exact
+    * rationals (32-bit md5 prefix / 2³²), fences exact literals,
+    * weighted sums exact DECIMAL, one IEEE division per resample.
+    */
+  def bootstrapMeans(df: DataFrame, keyCol: String, valueCol: String,
+                     b: Int = 32): DataFrame = {
+    require(b >= 1, s"need at least one resample: $b")
+    val u = md5Long32(Seq(col(keyCol), col("__graft_b"))).cast("double") /
+      lit(4294967296.0)
+    // reversed fold builds the CASE outside-in: the k=0 fence ends up
+    // the OUTERMOST test, so each uniform takes the first (smallest)
+    // fence it undercuts
+    val w = PoissonCdf1.zipWithIndex.reverse.foldLeft(lit(6)) { case (acc, (p, k)) =>
+      when(u < lit(p), lit(k)).otherwise(acc)
+    }
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        graft.expressions.Kernels.toDecimal(col(valueCol).cast("double"), 18, 2)
+          .as("__graft_x"))
+      .withColumn("__graft_b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__graft_w", w)
+      .groupBy(col("__graft_b").cast("long").as("resample_id"))
+      .agg(sum(col("__graft_w")).as("n_eff"),
+        sum(col("__graft_w") * col("__graft_x")).as("__graft_swx"))
+      .select(col("resample_id"), col("n_eff"),
+        when(col("n_eff") > 0,
+          col("__graft_swx").cast("double") / col("n_eff")).as("mean_boot"))
+  }
 }

@@ -22,6 +22,27 @@ class SamplingSketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.thresholdHex(-0.1))
   }
 
+  test("bootstrapMeans: Poisson(1) weights, layout-invariant, means bracket truth") {
+    import spark.implicits._
+    val n = 4000
+    val df = (1 to n).map(i => (i.toLong, 10.0 + (i % 7))).toDF("k", "v")
+    val got = Sampling.bootstrapMeans(df, "k", "v", b = 16)
+      .orderBy("resample_id").collect()
+    assert(got.length == 16)
+    // E[weight] = 1: each resample's effective n concentrates near n
+    val effs = got.map(_.getAs[Long]("n_eff"))
+    assert(effs.forall(e => e > n * 0.9 && e < n * 1.1))
+    // every resampled mean stays near the true mean (sd ~ 2/63 here)
+    val truth = (1 to n).map(i => 10.0 + (i % 7)).sum / n
+    assert(got.map(_.getAs[Double]("mean_boot")).forall(m => math.abs(m - truth) < 0.5))
+    // pure function of (key, resample): identical bits after repartition
+    val again = Sampling.bootstrapMeans(df.repartition(13), "k", "v", b = 16)
+      .orderBy("resample_id").collect()
+    assert(got.map(_.getAs[Double]("mean_boot")).toSeq ==
+      again.map(_.getAs[Double]("mean_boot")).toSeq)
+    assert(effs.toSeq == again.map(_.getAs[Long]("n_eff")).toSeq)
+  }
+
   test("stratified sample is deterministic and row-key-defined") {
     val s1 = Sampling.stratified(events, "event_type",
       Map("CLICK" -> 0.25, "VIEW" -> 0.125), 0.5, Seq("event_id"))
