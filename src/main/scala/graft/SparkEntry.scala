@@ -1045,6 +1045,11 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
+    // Greedy k-center coreset: 8 farthest-point picks + the coverage-
+    // radius curve — diverse-subset selection next to kmeans density.
+    "embedding_coreset" -> ((s: SparkSession, d: String) =>
+      Ann.kcenterSelect(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)),
+
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
@@ -2060,13 +2065,15 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS x
         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
-        |rs AS (SELECT range AS b FROM range(0, 32)),
+        |gs AS (SELECT range AS g FROM range(0, 8)),
+        |is_ AS (SELECT range AS i FROM range(0, 4)),
         |draws AS (
-        |  SELECT b, x,
+        |  SELECT g * 4 + i AS b, x,
         |    CAST(concat('0x', substr(md5(concat_ws('|',
-        |      CAST(event_id AS VARCHAR), CAST(b AS VARCHAR))), 1, 8)) AS BIGINT)
+        |      CAST(event_id AS VARCHAR), CAST(g AS VARCHAR))),
+        |      CAST(1 + 8 * i AS INTEGER), 8)) AS BIGINT)
         |      / 4294967296.0 AS u
-        |  FROM base CROSS JOIN rs),
+        |  FROM base CROSS JOIN gs CROSS JOIN is_),
         |wts AS (
         |  SELECT b, x,
         |    CASE WHEN u < 0.36787944117144233 THEN 0
@@ -3297,6 +3304,7 @@ object SparkEntry {
     "embedding_pca_project" -> pcaOracleSql(64, 15),
 
     "embedding_kmeans" -> kmeansOracleSql(4, 5),
+    "embedding_coreset" -> kcenterOracleSql(8),
 
     "embedding_kmeans_centroids" -> kmeansCentroidsOracleSql(4, 5),
 
@@ -3386,6 +3394,53 @@ object SparkEntry {
     * means, replaying Ann.kmeans op-for-op; the dot folds are the
     * proven cosine-oracle list_reduce idiom.
     */
+  /** Greedy k-center replayed as chained MATERIALIZED CTEs: the same
+    * md5-lowest seed, full |v|²−2v·c+|c|² distance in the same op
+    * order, (md DESC, vec_id) argmax per round, LEAST-folded
+    * min-distance relation — the kmeans replay discipline.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    def d2Sql(v: String, c: String) =
+      s"${dotSql(v, v)} - CAST(2 AS DOUBLE) * ${dotSql(v, c)} + ${dotSql(c, c)}"
+    val head =
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |sel0 AS MATERIALIZED (
+         |  SELECT vec_id, v FROM (
+         |    SELECT vec_id, v,
+         |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS dg
+         |    FROM base ORDER BY dg, vec_id LIMIT 1)),
+         |md1 AS MATERIALIZED (
+         |  SELECT b.vec_id, b.v, ${d2Sql("b.v", "s.v")} AS md
+         |  FROM base b CROSS JOIN sel0 s)""".stripMargin
+    val rounds = (1 until k).map { r =>
+      val sel =
+        s"""sel$r AS MATERIALIZED (
+           |  SELECT vec_id, v, md FROM md$r
+           |  QUALIFY ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) = 1)""".stripMargin
+      val nextMd = if (r < k - 1)
+        s""",
+           |md${r + 1} AS MATERIALIZED (
+           |  SELECT m.vec_id, m.v, LEAST(m.md, ${d2Sql("m.v", "s.v")}) AS md
+           |  FROM md$r m CROSS JOIN sel$r s)""".stripMargin
+      else ""
+      sel + nextMd
+    }.mkString(",\n")
+    val unions = (1 until k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_rank, vec_id, md AS d2_sel FROM sel$r")
+      .mkString("\nUNION ALL\n")
+    s"""$head,
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS d2_sel FROM sel0
+       |UNION ALL
+       |$unions""".stripMargin
+  }
+
   private def kmeansOracleSql(k: Int, rounds: Int): String = {
     def dotSql(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"

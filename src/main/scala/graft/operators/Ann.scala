@@ -259,6 +259,59 @@ object Ann {
     (base, cents)
   }
 
+  /** Greedy k-center CORESET selection (farthest-point traversal) —
+    * the diverse-subset primitive a curation pipeline runs where
+    * [[kmeans]] finds density: pick the md5-lowest vector, then k−1
+    * times the vector FARTHEST from everything chosen so far (max
+    * min-distance², smallest id on ties). The selected set 2-
+    * approximates the optimal k-center cover, and `d2_sel` — each
+    * pick's distance² to the set before it — is the shrinking
+    * coverage-radius curve (stop reading when it plateaus).
+    *
+    * Scale shape: the min-distance relation `md` carries ONE scalar
+    * per vector, updated per round by a broadcast of the single new
+    * center and a codegen `least` — k corpus passes total (the
+    * traversal's inherent cost), each one map-only + a TakeOrdered(1)
+    * argmax; nothing row-shaped at the driver, `localCheckpoint` per
+    * round (the kmeans discipline). Engine parity: the kmeans
+    * determinism kit — 1e-6 floor-grid components, md5-lowest seed,
+    * full `|v|²−2v·c+|c|²` distances in one fixed op order via the
+    * proven dot fold, (md desc, vec_id) total-order argmax.
+    */
+  def kcenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(1e6)) / lit(1e6)).as("v"))
+      .localCheckpoint(true)
+    def d2(v: Column, c: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+    val first = base
+      .withColumn("__dg", graft.operators.Sampling.md5Long32(Seq(col("vec_id"))))
+      .orderBy(col("__dg"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint(true)
+    var chosen = first.select(lit(0L).as("sel_rank"), col("vec_id"),
+      lit(null).cast("double").as("d2_sel"))
+    var md = base.crossJoin(broadcast(first.select(col("v").as("c"))))
+      .select(col("vec_id"), col("v"), d2(col("v"), col("c")).as("md"))
+      .localCheckpoint(true)
+    for (r <- 1 until k) {
+      val next = md.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .localCheckpoint(true)
+      chosen = chosen.unionByName(next.select(lit(r.toLong).as("sel_rank"),
+        col("vec_id"), col("md").as("d2_sel")))
+      if (r < k - 1)
+        md = md.crossJoin(broadcast(next.select(col("v").as("c"))))
+          .select(col("vec_id"), col("v"),
+            least(col("md"), d2(col("v"), col("c"))).as("md"))
+          .localCheckpoint(true)
+    }
+    chosen
+  }
+
   /** First principal component by power iteration — the DATA-DRIVEN
     * twin of [[randomProject]]'s data-free JL map: project onto the
     * direction of maximum variance instead of a random one. Classic

@@ -243,6 +243,38 @@ class AnnSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("kcenterSelect: visits every planted bundle before densifying, radius shrinks") {
+    val rnd = new scala.util.Random(11)
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.05).toFloat))
+    }
+    // four tight, well-separated bundles: the first four picks must
+    // land in four DIFFERENT bundles (greedy max-min provably leaves
+    // no far bundle unvisited while another holds two picks)
+    val pts = bundle(Array(1f, 0f, 0f, 0f), 0 until 10) ++
+      bundle(Array(0f, 1f, 0f, 0f), 10 until 20) ++
+      bundle(Array(0f, 0f, 1f, 0f), 20 until 30) ++
+      bundle(Array(0f, 0f, 0f, 1f), 30 until 40)
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = Ann.kcenterSelect(emb, "vec_id", "embedding", k = 6)
+      .orderBy("sel_rank").collect()
+    assert(got.length == 6)
+    assert(got.map(_.getLong(1)).distinct.length == 6)
+    assert(got.head.isNullAt(2)) // seed has no prior set
+    val firstFour = got.take(4).map(_.getLong(1) / 10).toSet
+    assert(firstFour == Set(0L, 1L, 2L, 3L), s"bundles visited: $firstFour")
+    // coverage radius non-increasing; intra-bundle picks are tiny
+    val d2s = got.drop(1).map(_.getDouble(2))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => b <= a })
+    // ranks 1-3 cross bundles (orthogonal units: d² ≈ 2); rank 4+ is
+    // the first intra-bundle pick (every bundle already covered)
+    assert(d2s(0) > 1.0 && d2s(2) > 1.0 && d2s(3) < 0.1 && d2s.last < 0.1)
+    // bit-deterministic
+    val again = Ann.kcenterSelect(emb, "vec_id", "embedding", k = 6)
+      .orderBy("sel_rank").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("pcaProject: recovers a planted dominant direction, centered, deterministic") {
     // variance concentrated on axis 0 (values spread ±8), tiny spread
     // on axis 1, nothing on 2..3 — PC1 must align with axis 0
