@@ -72,7 +72,10 @@ object Graph {
     val triCorners = triangles(edges, srcCol, dstCol)
       .select(explode(array(col("node_a"), col("node_b"), col("node_c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(triCorners, Seq("node"), "left")
+    // node-keyed panel join: shuffled-hash (the triangles steering) —
+    // stat-less aggregate inputs otherwise default the outer join to
+    // a sort-merge neither panel's size justifies
+    deg.join(triCorners.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") >= 2,

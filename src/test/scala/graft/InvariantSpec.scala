@@ -40,7 +40,11 @@ class InvariantSpec extends SparkSpec {
       "audit_table_diff", "dedup_incremental", "dedup_edit_distance",
       "corpus_shuffle", "sample_token_budget",
       "graph_triangles", "data_drift_ks", "ann_range_search",
-      "audit_benford_digits", "ana_seasonal_decompose")
+      "audit_benford_digits", "ana_seasonal_decompose",
+      "dedup_prefix_filter", "join_range_interval", "graph_clustering_coeff",
+      "table_mutual_info", "text_pmi_bigrams", "ana_top_paths",
+      "ana_survival_curve", "ana_gini_demand", "ana_theil_sen",
+      "ana_bootstrap_ci")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -48,8 +52,12 @@ class InvariantSpec extends SparkSpec {
     // distinct-value / 9-digit relation.
     // ann_range_search: the broadcast side is the bounded query panel
     // (nQueries rows), the cosineTopK compare-to-all shape.
+    // table_mutual_info / text_pmi_bigrams: the 1-row grand-total
+    // panel crossed onto the collapsed cell/pair panel — the same
+    // benign n x 1 class as data_drift_ks's totals.
     val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
-      "data_drift_ks", "audit_benford_digits", "ann_range_search")
+      "data_drift_ks", "audit_benford_digits", "ann_range_search",
+      "table_mutual_info", "text_pmi_bigrams")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
