@@ -1506,6 +1506,33 @@ object SparkEntry {
     "table_mutual_info" -> ((s: SparkSession, d: String) =>
       Profiling.mutualInfo(servingValid(s, d), "tipo_dia", "event_type_norm")),
 
+    // Shannon-entropy panel over the serving frame's categoricals.
+    "table_entropy" -> ((s: SparkSession, d: String) =>
+      Profiling.entropyProfile(servingValid(s, d),
+        Seq("tipo_dia", "event_type_norm", "prop_k"))),
+
+    // Interval-OVERLAP range join: same-customer order pairs whose
+    // fulfillment windows intersect, counted per customer — both
+    // sides bucket-exploded, pair ownership in the first shared
+    // bucket (no distinct).
+    "join_interval_overlap" -> ((s: SparkSession, d: String) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val shipEnd = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("ship_end"))
+      def side(suffix: String) = t(s, d, "orders")
+        .join(shipEnd, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as(s"cust$suffix"),
+          col("o_orderkey").as(s"ok$suffix"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as(s"lo$suffix"),
+          datediff(col("ship_end"), epoch).cast("long").as(s"hi$suffix"))
+      RangeJoin.intervalOverlap(side("_a"), "lo_a", "hi_a",
+          side("_b"), "lo_b", "hi_b", bucketWidth = 64)
+        .filter(col("cust_a") === col("cust_b") && col("ok_a") < col("ok_b"))
+        .groupBy(col("cust_a").as("custkey"))
+        .agg(count(lit(1)).as("n_overlapping_pairs"))
+    }),
+
     // Bucketed snapshot reconciliation: the B side drops event 17 and
     // perturbs event 42's value — the diff must localize both.
     "audit_table_diff" -> ((s: SparkSession, d: String) => {
@@ -2472,6 +2499,34 @@ object SparkEntry {
            |SELECT x, y, n_xy, n_x, n_y, n, pmi,
            |  FLOOR((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) * pmi * 1e8) / 1e8 AS mi_term
            |FROM cells""".stripMargin,
+
+      "table_entropy" -> Seq("tipo_dia", "event_type_norm", "prop_k").map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(MAX(n) AS BIGINT) AS n_values,
+           |  CAST(MAX(k) AS BIGINT) AS n_distinct,
+           |  CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           |    * LN(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e8) / 1e8
+           |    AS DECIMAL(28,12))) AS DOUBLE) AS entropy_nats
+           |FROM (
+           |  SELECT cnt, SUM(cnt) OVER () AS n, COUNT(*) OVER () AS k
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+           |        FROM (${servingValidSql}) WHERE $c IS NOT NULL GROUP BY 1))""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
+
+      // HAVING mirrors the operator's malformed-interval contract: an
+      // inverted window (last shipment before the order — a data
+      // quirk) is not an interval and drops on BOTH engines.
+      "join_interval_overlap" ->
+        """WITH iv AS (
+          |  SELECT o_custkey AS cust, o_orderkey AS ok,
+          |    CAST(o_orderdate AS DATE) AS lo_d, MAX(CAST(l_shipdate AS DATE)) AS hi_d
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2, 3
+          |  HAVING MAX(CAST(l_shipdate AS DATE)) >= CAST(o_orderdate AS DATE))
+          |SELECT a.cust AS custkey, CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+          |FROM iv a JOIN iv b ON a.cust = b.cust AND a.ok < b.ok
+          |  AND a.lo_d <= b.hi_d AND b.lo_d <= a.hi_d
+          |GROUP BY 1""".stripMargin,
 
       "ana_gini_demand" ->
         s"""WITH perstop AS (

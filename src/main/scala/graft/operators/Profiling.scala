@@ -162,6 +162,37 @@ object Profiling {
           * col("pmi") * lit(1e8)) / lit(1e8))
   }
 
+  /** Shannon-entropy profile of categorical columns — the "how much
+    * signal does this column carry" panel next to [[mutualInfo]]'s
+    * pairwise dependence: per column, non-null count, distinct count,
+    * and `H = Σ (c/n)·ln(n/c)` in nats (0 = constant column,
+    * `ln(distinct)` = uniform). One partial-agg shuffle per column to
+    * its value panel; terms are §5 grid-quantized and summed as
+    * order-free DECIMAL partials.
+    */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropyProfile needs at least one column")
+    import org.apache.spark.sql.types.DecimalType
+    cols.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"))
+      val term = floor((col("cnt").cast("double") / col("n").cast("double")) *
+        log(col("n").cast("double") / col("cnt").cast("double")) * lit(1e8)) / lit(1e8)
+      counts.crossJoin(broadcast(tot))
+        .select(col("n"), col("n_distinct"),
+          term.cast(DecimalType(28, 12)).as("__t"))
+        .groupBy()
+        .agg(max(col("n")).as("n_values"),
+          max(col("n_distinct")).as("n_distinct"),
+          sum(col("__t")).cast("double").as("entropy_nats"))
+        .select(lit(c).as("column_name"), col("n_values"),
+          col("n_distinct"), col("entropy_nats"))
+    }.reduce(_ unionByName _)
+  }
+
   def histogram2d(df: DataFrame, xCol: String, yCol: String,
                   kx: Int, ky: Int): DataFrame = {
     require(kx >= 1 && ky >= 1, s"histogram2d needs positive buckets: $kx x $ky")

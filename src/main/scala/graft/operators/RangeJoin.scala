@@ -55,4 +55,35 @@ object RangeJoin {
       .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
       .drop("__graft_bucket")
   }
+
+  /** Inner interval-OVERLAP join: every (left row × right row) pair
+    * whose intervals intersect (`loA ≤ hiB AND loB ≤ hiA`, closed
+    * ends). Same bucketization as [[pointInInterval]], but with BOTH
+    * sides exploded a qualifying pair would meet in every shared
+    * bucket — the OWNERSHIP rule keeps exactly one copy with no
+    * `distinct` (no extra shuffle): a pair is emitted only in bucket
+    * `max(bucket(loA), bucket(loB))`, the FIRST bucket both intervals
+    * cover (each covers a contiguous bucket range containing its own
+    * `lo`-bucket, and overlap guarantees the later `lo` precedes the
+    * earlier `hi`). Column names must be disjoint across the sides.
+    */
+  def intervalOverlap(left: DataFrame, loA: String, hiA: String,
+                      right: DataFrame, loB: String, hiB: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
+    val bw = lit(bucketWidth)
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, bw)) / bw).cast("long")
+    def explodeSide(df: DataFrame, lo: String, hi: String, b: String) =
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn(b, explode(sequence(bucketOf(col(lo).cast("long")),
+          bucketOf(col(hi).cast("long")))))
+    val l = explodeSide(left, loA, hiA, "__graft_bl")
+    val r = explodeSide(right, loB, hiB, "__graft_br")
+    l.join(r, col("__graft_bl") === col("__graft_br") &&
+        col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("__graft_bl") === greatest(bucketOf(col(loA).cast("long")),
+          bucketOf(col(loB).cast("long"))))
+      .drop("__graft_bl", "__graft_br")
+  }
 }

@@ -169,6 +169,37 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(one.select("pid").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("intervalOverlap: equals brute force with each pair emitted exactly once") {
+    val a = (0 until 60).map { i =>
+      val lo = (i * 53 % 400).toLong
+      (i.toLong, lo, lo + (i * 17 % 90).toLong)
+    }.toDF("aid", "lo_a", "hi_a")
+    val b = (0 until 60).map { i =>
+      val lo = (i * 41 % 400).toLong
+      (i.toLong, lo, lo + (i * 29 % 90).toLong)
+    }.toDF("bid", "lo_b", "hi_b")
+    val got = RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", 32)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = a.crossJoin(b)
+      .filter($"lo_a" <= $"hi_b" && $"lo_b" <= $"hi_a")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // set equality AND multiplicity: ownership emits one copy per pair
+    assert(got.sorted.toSeq == brute.sorted.toSeq && got.nonEmpty)
+    assert(got.length == got.distinct.length)
+  }
+
+  test("entropyProfile: constant column 0, uniform column ln k") {
+    import graft.operators.Profiling
+    val df = (0 until 64).map(i => ("K", s"v${i % 8}")).toDF("const_c", "uni_c")
+    val got = Profiling.entropyProfile(df, Seq("const_c", "uni_c")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("const_c") == (64L, 1L, 0.0))
+    val (n, k, h) = got("uni_c")
+    assert(n == 64L && k == 8L)
+    assert(math.abs(h - math.log(8.0)) < 1e-6) // 8 equal terms of (1/8)ln 8
+  }
+
   test("survivalCurve: hand-checked hazards, at-risk suffix, final-day NULL") {
     def ts(d: String) = Timestamp.valueOf(s"$d 10:00:00")
     // churn days: u1,u2 -> Jan 1; u3 -> Jan 2; u4,u5,u6 -> Jan 3

@@ -41,7 +41,8 @@ class InvariantSpec extends SparkSpec {
       "corpus_shuffle", "sample_token_budget",
       "graph_triangles", "data_drift_ks", "ann_range_search",
       "audit_benford_digits", "ana_seasonal_decompose",
-      "dedup_prefix_filter", "join_range_interval", "graph_clustering_coeff",
+      "dedup_prefix_filter", "join_range_interval", "join_interval_overlap",
+      "table_entropy", "embedding_coreset", "graph_clustering_coeff",
       "table_mutual_info", "text_pmi_bigrams", "ana_top_paths",
       "ana_survival_curve", "ana_gini_demand", "ana_theil_sen",
       "ana_bootstrap_ci")
@@ -57,7 +58,7 @@ class InvariantSpec extends SparkSpec {
     // benign n x 1 class as data_drift_ks's totals.
     val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
       "data_drift_ks", "audit_benford_digits", "ann_range_search",
-      "table_mutual_info", "text_pmi_bigrams")
+      "table_mutual_info", "text_pmi_bigrams", "table_entropy")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
