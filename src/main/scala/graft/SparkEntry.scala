@@ -1511,6 +1511,12 @@ object SparkEntry {
       Profiling.entropyProfile(servingValid(s, d),
         Seq("tipo_dia", "event_type_norm", "prop_k"))),
 
+    // Mergeable-HLL distinct rollup (daily sketches → weekly union) —
+    // the reaggregable COUNT(DISTINCT) shape; rows-only by protocol
+    // (sketch internals), mergeability spec-pinned.
+    "sketch_hll_rollup" -> ((s: SparkSession, d: String) =>
+      Profiling.hllRollup(t(s, d, "events"), "ts", "user_id")),
+
     // Interval-OVERLAP range join: same-customer order pairs whose
     // fulfillment windows intersect, counted per customer — both
     // sides bucket-exploded, pair ownership in the first shared

@@ -162,6 +162,38 @@ object Profiling {
           * col("pmi") * lit(1e8)) / lit(1e8))
   }
 
+  /** Mergeable-HLL distinct rollup — the REAGGREGABLE form of
+    * `COUNT(DISTINCT)`: exact distincts cannot roll up (Σ of daily
+    * distinct users ≠ weekly distinct users), so at 100 TB the lake
+    * stores per-partition HLL SKETCHES and merges them for any
+    * coarser grain — one pass over the fact ever, any rollup later
+    * from sketch unions (the Datasketches pattern Spark 4 ships as
+    * `hll_sketch_agg`/`hll_union_agg`). Emits per fine-grain day the
+    * sketch estimate AND the merged coarse-grain (week) estimate it
+    * contributes to — the mergeability contract is spec-pinned:
+    * union-of-daily-sketches == direct weekly sketch, bit-equal
+    * estimates (same sketch library, same lgK), within ~2% of exact.
+    * Rows-only by protocol (sketch internals are not
+    * SQL-replayable in DuckDB).
+    */
+  def hllRollup(df: DataFrame, tsCol: String, keyCol: String,
+                lgK: Int = 12): DataFrame = {
+    val days = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("k"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("k"), lit(lgK)).as("sk"))
+    days
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_union_agg(col("sk"), lit(false)).as("wsk"),
+        sum(hll_sketch_estimate(col("sk"))).as("sum_daily_est"))
+      .select(col("week"), col("n_days"),
+        hll_sketch_estimate(col("wsk")).as("distinct_est"),
+        col("sum_daily_est"))
+  }
+
   /** Shannon-entropy profile of categorical columns — the "how much
     * signal does this column carry" panel next to [[mutualInfo]]'s
     * pairwise dependence: per column, non-null count, distinct count,

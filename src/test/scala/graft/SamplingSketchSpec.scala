@@ -22,6 +22,32 @@ class SamplingSketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.thresholdHex(-0.1))
   }
 
+  test("hllRollup: union-of-daily == direct weekly sketch, near-exact, overlap-aware") {
+    import spark.implicits._
+    // 3 weekdays sharing a heavy user overlap: summed daily distincts
+    // overcount, the merged sketch must not
+    val rows = for {
+      d <- Seq("2024-01-08", "2024-01-09", "2024-01-10")
+      u <- 1 to 500 // users 1..500 active EVERY day
+    } yield (Timestamp.valueOf(s"$d 10:00:00"), u.toLong)
+    val extra = (501 to 700).map(u => (Timestamp.valueOf("2024-01-09 11:00:00"), u.toLong))
+    val df = (rows ++ extra).toDF("ts", "user_id")
+    val got = Profiling.hllRollup(df, "ts", "user_id").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_days") == 3L)
+    val est = r.getAs[Long]("distinct_est")
+    assert(math.abs(est - 700.0) / 700.0 < 0.05)     // lgK=12: ~1.6% rel std err
+    assert(r.getAs[Long]("sum_daily_est") > 1600L)   // naive sum overcounts ~2.4x
+    // mergeability: the weekly union equals sketching the week directly
+    val direct = df.select(date_trunc("week", to_date($"ts")).cast("date").as("week"),
+        $"user_id")
+      .groupBy($"week").agg(hll_sketch_estimate(
+        hll_sketch_agg($"user_id", lit(12))).as("direct_est"))
+      .collect().head.getAs[Long]("direct_est")
+    assert(est == direct) // same library, same lgK -> bit-equal estimate
+  }
+
   test("bootstrapMeans: Poisson(1) weights, layout-invariant, means bracket truth") {
     import spark.implicits._
     val n = 4000
