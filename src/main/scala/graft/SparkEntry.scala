@@ -689,6 +689,16 @@ object SparkEntry {
     "ana_survival_curve" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.survivalCurve(t(s, d, "events"))),
 
+    // Brand-level market-basket rules over order baskets: support /
+    // confidence / lift, exact counts, one division per metric.
+    "ana_market_basket" -> ((s: SparkSession, d: String) => {
+      val baskets = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      AnalyticsPack.marketBasket(baskets, "l_orderkey", "p_brand")
+    }),
+
     // Point-in-interval RANGE JOIN via bucketized equi-join (the
     // technique Catalyst lacks a native strategy for — a raw theta
     // join plans BNLJ): open-order density per order date against
@@ -3112,6 +3122,25 @@ object SparkEntry {
           |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
           |  ELSE 0.0 END AS clustering
           |FROM deg d LEFT JOIN tc ON d.node = tc.node""".stripMargin,
+
+      "ana_market_basket" ->
+        """WITH items AS (
+          |  SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+          |nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM items),
+          |marg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          |  FROM items a JOIN items b ON a.bk = b.bk AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+          |SELECT item_a, item_b, n_ab, ma.n_i AS n_a, mb.n_i AS n_b, n_baskets,
+          |  CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+          |  CAST(n_ab AS DOUBLE) / CAST(ma.n_i AS DOUBLE) AS confidence,
+          |  CAST(n_ab * n_baskets AS DOUBLE) / CAST(ma.n_i * mb.n_i AS DOUBLE) AS lift
+          |FROM pairs
+          |JOIN marg ma ON ma.item = item_a
+          |JOIN marg mb ON mb.item = item_b
+          |CROSS JOIN nb""".stripMargin,
 
       // KM churn curve: suffix at-risk counts, quantized ln(1-h),
       // decimal-accumulated cumulative log-survival; the closed

@@ -977,6 +977,51 @@ object AnalyticsPack {
         col("hazard"), col("log_survival"))
   }
 
+  /** Market-basket association rules over order baskets: for every
+    * unordered item pair (canonical a < b), joint and marginal basket
+    * counts plus the three classic rule metrics — support `n_ab/N`,
+    * confidence `n_ab/n_a`, lift `n_ab·N/(n_a·n_b)` (> 1 = the pair
+    * co-occurs above independence). The co-occurrence primitive
+    * behind "frequently bought together".
+    *
+    * Scale shape: baskets dedup in one (order, item) partial agg; the
+    * pair expansion is a self-join WITHIN basket keys (fan-out
+    * bounded by basket size², never corpus²); marginals and the
+    * basket total come from the collapsed panels. Counts exact, each
+    * metric one IEEE division (lift's integer products stay in longs).
+    */
+  def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
+                   minPairCount: Long = 2): DataFrame = {
+    val items = baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+      .localCheckpoint(true)
+    val nBaskets = items.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marg = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    // basket-keyed self-join: shuffled-hash (the posting-join
+    // steering) — the checkpointed relation carries no stats and
+    // would otherwise default to an unjustified sort-merge
+    val pairs = items.as("a").join(items.as("b").hint("shuffle_hash"),
+        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(marg.select(col("item").as("item_a"), col("n_i").as("n_a"))
+        .hint("shuffle_hash"), "item_a")
+      .join(marg.select(col("item").as("item_b"), col("n_i").as("n_b"))
+        .hint("shuffle_hash"), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        (col("n_ab").cast("double") / col("n_baskets").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Top event-type 3-step paths — sequence mining over per-user
     * event streams ([[transitionMatrix]]'s first-order view extended
     * one hop): sliding windows of three consecutive events per user,

@@ -68,6 +68,25 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(mi - math.log(2.0)) < 1e-3) // two 0.5·ln2 terms, grid noise
   }
 
+  test("marketBasket: hand-computed support/confidence/lift, canonical pairs") {
+    import graft.operators.AnalyticsPack
+    // baskets: {A,B} x3, {A,C} x1, {B,C} x1, {A} x1 -> N=6
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"),
+      (4L, "A"), (4L, "C"), (5L, "B"), (5L, "C"), (6L, "A"),
+      (1L, "A")) // duplicate line in a basket must not double-count
+      .toDF("bk", "item")
+    val got = AnalyticsPack.marketBasket(rows, "bk", "item", minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6),
+          r.getDouble(7), r.getDouble(8))).toMap
+    // (A,B): n_ab=3, n_a=5, n_b=4 -> conf 3/5, lift 3*6/20 = 0.9
+    assert(got(("A", "B")) == (3L, 5L, 4L, 3.0 / 6, 3.0 / 5, 18.0 / 20))
+    assert(got(("A", "C")) == (1L, 5L, 2L, 1.0 / 6, 1.0 / 5, 6.0 / 10))
+    assert(got(("B", "C")) == (1L, 4L, 2L, 1.0 / 6, 1.0 / 4, 6.0 / 8))
+    assert(!got.contains(("B", "A"))) // canonical orientation only
+  }
+
   test("topPaths: counts every sliding 3-window per user, ordered cut") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-08 10:00:00")
     def at(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)

@@ -44,7 +44,7 @@ class InvariantSpec extends SparkSpec {
       "dedup_prefix_filter", "join_range_interval", "join_interval_overlap",
       "table_entropy", "embedding_coreset", "graph_clustering_coeff",
       "table_mutual_info", "text_pmi_bigrams", "ana_top_paths",
-      "ana_survival_curve", "ana_gini_demand", "ana_theil_sen",
+      "ana_survival_curve", "ana_gini_demand", "ana_theil_sen", "ana_market_basket",
       "ana_bootstrap_ci")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
@@ -58,7 +58,8 @@ class InvariantSpec extends SparkSpec {
     // benign n x 1 class as data_drift_ks's totals.
     val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
       "data_drift_ks", "audit_benford_digits", "ann_range_search",
-      "table_mutual_info", "text_pmi_bigrams", "table_entropy")
+      "table_mutual_info", "text_pmi_bigrams", "table_entropy",
+      "ana_market_basket")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
