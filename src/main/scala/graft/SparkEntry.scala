@@ -1394,6 +1394,10 @@ object SparkEntry {
     "text_zipf_fit" -> ((s: SparkSession, d: String) =>
       CorpusQc.zipfFit(t(s, d, "documents"), "text")),
 
+    // Flesch readability panel (vowel-group syllables, shuffle-free).
+    "text_readability" -> ((s: SparkSession, d: String) =>
+      CorpusQc.readability(t(s, d, "documents"), "doc_id", "text")),
+
     // BM25-style RATIONAL form (n-df+0.5)/(df+0.5) — pure +,*,/ on
     // exact integers, so any engine replays it bit for bit (ln()
     // differs across libm implementations in the last ulp).
@@ -4064,6 +4068,25 @@ object SparkEntry {
 
       // Non-distinct adjacent bigrams; fractions are raw single-
       // division IEEE quotients (see the SURVEY §6 rounding rule).
+      // Same three regex splits (dialect-shared character classes),
+      // blank segments dropped, one fixed-order score expression.
+      "text_readability" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    len(list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(trim(x)) > 0)) AS n_words,
+          |    len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+          |      x -> len(trim(x)) > 0)) AS n_sentences,
+          |    len(list_filter(regexp_split_to_array(lower(text), '[^aeiouy]+'),
+          |      x -> len(trim(x)) > 0)) AS n_syllables
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+          |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          |  END AS flesch
+          |FROM c""".stripMargin,
+
       // Quantized-log OLS over the ranked vocabulary; rank ties broken
       // by token so both engines rank identically.
       "text_zipf_fit" ->

@@ -281,6 +281,41 @@ object CorpusQc {
           / sum(col("cnt_doc"))).as("mean_continuation_share"))
   }
 
+  /** Flesch-style readability panel — the surface-form difficulty
+    * screen next to the quality gate's ratio features: per document,
+    * word / sentence / syllable-group counts and the classic score
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+    * (higher = easier; NULL when either count is zero — a score
+    * from a degenerate denominator would be noise with a confident
+    * sign). A terminator-less document is one run-on sentence (split
+    * semantics), which is exactly how its length should score.
+    *
+    * Syllables are the standard vowel-GROUP heuristic; splitting the
+    * whole lowercased text on `[^aeiouy]+` equals the per-word sum
+    * (groups never span words — spaces are non-vowels), one regex
+    * pass instead of a per-word lambda. Sentences split on `[.!?]+`
+    * with blank segments dropped. Everything is a stateless codegen'd
+    * map — no shuffle at all; the two divisions and two multiplies
+    * run in one fixed order both engines share.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def nonBlank(arr: Column): Column =
+      size(filter(arr, s => length(trim(s)) > 0))
+    val words = nonBlank(split(col(textCol), "\\s+"))
+    val sentences = nonBlank(split(col(textCol), "[.!?]+"))
+    val syllables = nonBlank(split(lower(col(textCol)), "[^aeiouy]+"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+  }
+
   /** Zipf-law fit over the corpus token-frequency distribution — the
     * one-number power-law health check (natural text runs slope ≈ −1;
     * a flat slope says synthetic/templated vocabulary, a cliff says

@@ -93,6 +93,32 @@ class CorpusQcSpec extends SparkSpec {
     assert((got.head.getString(0), got.head.getString(1)) == ("zx", "qv"))
   }
 
+  test("readability: hand-counted panels, degenerate docs NULL out") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),      // 6 words, 2 sentences
+      (2L, "no terminator here"),              // unterminated = 1 run-on sentence
+      (3L, "..."),                             // no sentences -> NULL score
+      (4L, "Why wait? Try density now."))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Int]("n_words") == 6 && r1.getAs[Int]("n_sentences") == 2)
+    // vowel groups: e,a,a,e,o,a = 6 (one per word here)
+    assert(r1.getAs[Int]("n_syllables") == 6)
+    assert(r1.getAs[Double]("flesch") ==
+      206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6))
+    assert(got(2L).getAs[Int]("n_sentences") == 1 &&
+      !got(2L).isNullAt(got(2L).fieldIndex("flesch")))
+    // "..." is one non-blank whitespace token but zero sentences
+    assert(got(3L).getAs[Int]("n_words") == 1 &&
+      got(3L).getAs[Int]("n_sentences") == 0 &&
+      got(3L).isNullAt(got(3L).fieldIndex("flesch")))
+    // y counts as a vowel: "why"=1, "wait"=1, "try"=1, "density"=3, "now"=1
+    val r4 = got(4L)
+    assert(r4.getAs[Int]("n_sentences") == 2 && r4.getAs[Int]("n_syllables") == 7)
+  }
+
   test("zipfFit: exact 1/rank law recovers slope -1; ties rank deterministically") {
     // counts 60/k for ranks k=1..4 -> ln(cnt) = ln 60 - 1*ln(rank):
     // a perfect power law, so OLS slope is -1 up to grid noise

@@ -89,6 +89,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: prefix-filter join == uncapped inverted-index join on any corpus") {
+    // random corpora from a tiny vocabulary (dense overlap, heavy
+    // ties): the prefix filter must reproduce the exact pair set the
+    // full inverted index produces, at several thresholds
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(n, Gen.choose(3, 9).flatMap(Gen.listOfN(_, word)))
+      t <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (docs, t)
+    samples(gen, 6).foreach { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pf = TextDedup.prefixFilterPairs(df, "doc_id", "text", n = 3, threshold = t)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val jp = TextDedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = t,
+        maxDf = Int.MaxValue).collect().map(_.toSeq).sortBy(_.toString)
+      assert(pf.toSeq == jp.toSeq, s"threshold=$t docs=$docs")
+    }
+  }
+
+  test("property: bucketized range joins == brute-force theta joins on any intervals") {
+    import graft.operators.RangeJoin
+    val gen = for {
+      np <- Gen.choose(1, 60)
+      pts <- Gen.listOfN(np, Gen.choose(-100L, 300L))
+      ni <- Gen.choose(1, 40)
+      ivs <- Gen.listOfN(ni, for {
+        lo <- Gen.choose(-120L, 280L)
+        span <- Gen.choose(-10L, 80L) // negatives: inverted intervals drop
+      } yield (lo, lo + span))
+      bw <- Gen.oneOf(1L, 7L, 32L, 101L)
+    } yield (pts, ivs, bw)
+    samples(gen, 6).foreach { case (pts, ivs, bw) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(p, "p", iv, "lo", "hi", bw)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = p.crossJoin(iv).filter($"lo" <= $"p" && $"p" <= $"hi" && $"lo" <= $"hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted.toSeq == brute.sorted.toSeq, s"bw=$bw")
+      // overlap join: set equality AND multiplicity one per pair
+      val iv2 = iv.select($"iid".as("jid"), $"lo".as("lo2"), $"hi".as("hi2"))
+      val ov = RangeJoin.intervalOverlap(iv, "lo", "hi", iv2, "lo2", "hi2", bw)
+        .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ovBrute = iv.crossJoin(iv2)
+        .filter($"lo" <= $"hi2" && $"lo2" <= $"hi" && $"lo" <= $"hi" && $"lo2" <= $"hi2")
+        .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(ov.sorted.toSeq == ovBrute.sorted.toSeq, s"bw=$bw")
+      assert(ov.length == ov.distinct.length)
+    }
+  }
+
   test("property: exact dedup conserves rows — survivor copy counts sum to input") {
     val gen = for {
       n <- Gen.choose(1, 100)
