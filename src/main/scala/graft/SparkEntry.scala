@@ -438,6 +438,16 @@ object SparkEntry {
       Dedup.latestByGrain(t(s, d, "events"),
         grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id"))),
 
+    // The reference's grain-index validation as a relational audit:
+    // the deduped fact must have ZERO duplicate grain keys (empty
+    // output = pass — the end-to-end proof the dedup holds its
+    // declared grain).
+    "audit_grain_unique" -> ((s: SparkSession, d: String) =>
+      Audit.grainViolations(
+        Dedup.latestByGrain(t(s, d, "events"),
+          grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id")),
+        Seq("user_id", "event_type"))),
+
     "gold_scd2_build" -> scd2User _,
 
     "gold_scd2_incremental" -> scd2UserIncremental _,
@@ -1778,6 +1788,13 @@ object SparkEntry {
     // The salted variant is output-identical by construction.
     "gold_dedup_grain_salted" -> dedupGrainSql,
 
+    // Empty on both engines: the deduped fact holds its declared
+    // grain (the reference's unique-grain-index assertion).
+    "audit_grain_unique" ->
+      s"""SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM ($dedupGrainSql)
+         |GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
+
     // SUM over integers is HUGEINT in DuckDB — cast every summed stat
     // to BIGINT or the driver's type-faithful hash can never match
     // (the sessionize_gap lesson, round 2).
@@ -2870,7 +2887,7 @@ object SparkEntry {
           |se AS (
           |  SELECT iso_dow,
           |    CAST(SUM(CAST(floor((CAST(dem AS DOUBLE) - trend) * 1e6) / 1e6
-          |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+          |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS seasonal
           |  FROM tr WHERE trend IS NOT NULL GROUP BY 1)
           |SELECT day, iso_dow, CAST(dem AS DOUBLE) AS demand, trend, seasonal,
           |  CAST(dem AS DOUBLE) - trend - seasonal AS residual
@@ -2891,7 +2908,7 @@ object SparkEntry {
           |se AS (
           |  SELECT iso_dow,
           |    CAST(SUM(CAST(floor((CAST(dem AS DOUBLE) - trend) * 1e6) / 1e6
-          |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+          |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS seasonal
           |  FROM tr WHERE trend IS NOT NULL GROUP BY 1),
           |dec AS (
           |  SELECT day, iso_dow, CAST(dem AS DOUBLE) AS demand,

@@ -655,10 +655,18 @@ object AnalyticsPack {
           sum(col("dem")).over(w7).cast("double") / lit(7.0)))
       .withColumn("demand", col("dem").cast("double"))
       .withColumn("__detrended", col("demand") - col("trend"))
+    // DECIMAL scale == the quantization grid's own scale (6): the
+    // 1e-6 grid point is EXACTLY representable at scale 6, and the
+    // double approximation sits ~1e-10 away — far inside the scale-6
+    // rounding margin, so both engines' casts agree for ANY value
+    // magnitude. At scale 12 the 12th digit fell inside the double's
+    // representation error for sf0.1-sized day sums (~1e5) and the
+    // engines' cast paths disagreed by one quantum (caught by the
+    // sf0.1 gate; sf0.01 magnitudes never exposed it).
     val seasonal = withTrend.filter(col("trend").isNotNull)
       .groupBy(col("iso_dow"))
       .agg((sum(graft.expressions.Kernels.toDecimal(
-          floor(col("__detrended") * lit(1e6)) / lit(1e6), 28, 12)).cast("double")
+          floor(col("__detrended") * lit(1e6)) / lit(1e6), 28, 6)).cast("double")
         / count(lit(1))).as("seasonal"))
     withTrend.join(broadcast(seasonal), Seq("iso_dow"), "left")
       .select(col("day"), col("iso_dow"), col("demand"), col("trend"),

@@ -116,6 +116,22 @@ object Audit {
     * Scale shape: one codegen'd scan + a ≤9-key partial agg; the χ²
     * total is panel math (grid-quantized DECIMAL partials, §5 rule).
     */
+  /** Grain-uniqueness audit — the reference's post-load grain-index
+    * validation (`_validate_indexes.py` checks the unique index ON
+    * `fct_trip`'s declared grain actually exists and holds) as a
+    * portable relational assertion: every grain key appearing more
+    * than once, with its multiplicity. EMPTY output = the grain
+    * holds; any row is a pipeline bug (a MERGE that double-applied, a
+    * dedup that missed). One partial-agg shuffle on the grain —
+    * map-side combine collapses clean data to nearly nothing.
+    */
+  def grainViolations(df: DataFrame, grainCols: Seq[String]): DataFrame = {
+    require(grainCols.nonEmpty, "grainViolations needs grain columns")
+    df.groupBy(grainCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     // log10(1 + 1/d) for d = 1..9, to 17 significant digits
     val benford = Seq(

@@ -169,6 +169,17 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(one.select("pid").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("grainViolations: clean grain empty, planted duplicate flagged with count") {
+    val clean = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "g", "v")
+    assert(Audit.grainViolations(clean, Seq("k", "g")).count() == 0L)
+    val dup = clean.unionAll(Seq((2L, "B", 99.0), (2L, "B", 98.0)).toDF("k", "g", "v"))
+    val got = Audit.grainViolations(dup, Seq("k", "g")).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getString(1), got.head.getLong(2)) ==
+      (2L, "B", 3L))
+  }
+
   test("intervalOverlap: equals brute force with each pair emitted exactly once") {
     val a = (0 until 60).map { i =>
       val lo = (i * 53 % 400).toLong
