@@ -1998,8 +1998,8 @@ object SparkEntry {
         |  FROM k, tot)
         |SELECT
         |  CAST(SUM(CASE WHEN n_old > 0
-        |    THEN CAST(floor(diff * diff / p_old * 1e6) / 1e6 AS DECIMAL(28,12)) END) AS DOUBLE) AS chi2,
-        |  CAST(SUM(CAST(floor(abs(diff) * 1e6) / 1e6 AS DECIMAL(28,12))) AS DOUBLE) * 0.5 AS tv_dist,
+        |    THEN CAST(floor(diff * diff / p_old * 1e6) / 1e6 AS DECIMAL(28,6)) END) AS DOUBLE) AS chi2,
+        |  CAST(SUM(CAST(floor(abs(diff) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) * 0.5 AS tv_dist,
         |  CAST(SUM(CASE WHEN n_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
         |  CAST(SUM(CASE WHEN n_old > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_buckets_skipped,
         |  CAST(MAX(tot_old) AS BIGINT) AS tot_old,
@@ -2092,7 +2092,7 @@ object SparkEntry {
         |      * (n_obs / CAST(t AS DOUBLE) - exp_share) / exp_share AS chi2_term
         |  FROM c JOIN e USING (digit), tot),
         |tt AS (
-        |  SELECT CAST(SUM(CAST(floor(chi2_term * 1e6) / 1e6 AS DECIMAL(28,12))) AS DOUBLE)
+        |  SELECT CAST(SUM(CAST(floor(chi2_term * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
         |    AS chi2_total FROM p)
         |SELECT digit, n_obs, obs_share, exp_share, chi2_term, chi2_total
         |FROM p, tt""".stripMargin,

@@ -101,21 +101,6 @@ object Audit {
           col("measure_sum_a") <=> col("measure_sum_b")).as("is_match"))
   }
 
-  /** Benford first-digit audit of a positive measure — the classic
-    * fabricated-data screen: observed first-significant-digit shares
-    * vs Benford's law, with per-digit χ² terms and the total.
-    *
-    * The first digit comes from a CASE ladder over fixed powers of
-    * ten (1e-6 … 1e8), NOT from log10/normalize-by-pow — engines
-    * differ in the last ulp of libm log/pow (the repo rule), while
-    * threshold compares + one divide + floor replay bit-for-bit.
-    * The expected shares are fixed double LITERALS (log10(1+1/d)
-    * precomputed once here, parsed identically by every engine), so
-    * no log is ever evaluated at query time.
-    *
-    * Scale shape: one codegen'd scan + a ≤9-key partial agg; the χ²
-    * total is panel math (grid-quantized DECIMAL partials, §5 rule).
-    */
   /** Grain-uniqueness audit — the reference's post-load grain-index
     * validation (`_validate_indexes.py` checks the unique index ON
     * `fct_trip`'s declared grain actually exists and holds) as a
@@ -132,6 +117,21 @@ object Audit {
       .filter(col("n_rows") > 1)
   }
 
+  /** Benford first-digit audit of a positive measure — the classic
+    * fabricated-data screen: observed first-significant-digit shares
+    * vs Benford's law, with per-digit χ² terms and the total.
+    *
+    * The first digit comes from a CASE ladder over fixed powers of
+    * ten (1e-6 … 1e8), NOT from log10/normalize-by-pow — engines
+    * differ in the last ulp of libm log/pow (the repo rule), while
+    * threshold compares + one divide + floor replay bit-for-bit.
+    * The expected shares are fixed double LITERALS (log10(1+1/d)
+    * precomputed once here, parsed identically by every engine), so
+    * no log is ever evaluated at query time.
+    *
+    * Scale shape: one codegen'd scan + a ≤9-key partial agg; the χ²
+    * total is panel math (grid-quantized DECIMAL partials, §5 rule).
+    */
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     // log10(1 + 1/d) for d = 1..9, to 17 significant digits
     val benford = Seq(
@@ -163,7 +163,7 @@ object Audit {
           / col("exp_share"))
     val total = perDigit.agg(
       sum(graft.expressions.Kernels.toDecimal(
-        floor(col("chi2_term") * lit(1e6)) / lit(1e6), 28, 12))
+        floor(col("chi2_term") * lit(1e6)) / lit(1e6), 28, 6))
         .cast("double").as("chi2_total"))
     perDigit.crossJoin(broadcast(total))
       .select(col("digit"), col("n_obs"), col("obs_share"), col("exp_share"),

@@ -58,9 +58,9 @@ object Drift {
       .withColumn("__diff", col("p_new") - col("p_old"))
     withP.agg(
       sum(when(col("n_old") > 0,
-        Kernels.toDecimal(grid6(col("__diff") * col("__diff") / col("p_old")), 28, 12)))
+        Kernels.toDecimal(grid6(col("__diff") * col("__diff") / col("p_old")), 28, 6)))
         .cast("double").as("chi2"),
-      (sum(Kernels.toDecimal(grid6(abs(col("__diff"))), 28, 12)).cast("double")
+      (sum(Kernels.toDecimal(grid6(abs(col("__diff"))), 28, 6)).cast("double")
         * lit(0.5)).as("tv_dist"),
       sum(when(col("n_old") > 0, 1).otherwise(0)).as("n_buckets_used"),
       sum(when(col("n_old") > 0, 0).otherwise(1)).as("n_buckets_skipped"),
