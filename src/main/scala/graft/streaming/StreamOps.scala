@@ -196,6 +196,54 @@ object StreamOps {
       Merge.mergeAggregate(existing, p, keys), batchId, writerId)
   }
 
+  /** Streaming SKETCH-TABLE sink: maintains a persisted per-key HLL
+    * sketch table — the streaming twin of the batch mergeable-HLL
+    * rollup ([[graft.operators.Profiling.hllRollup]]): each
+    * micro-batch collapses to per-key sketches (`hll_sketch_agg`) and
+    * folds into the stored table with the scalar `hll_union`, so
+    * exact `COUNT(DISTINCT)` state NEVER accumulates — the table
+    * holds one fixed-size sketch per key however many distincts
+    * stream through, and any coarser grain is answerable later by
+    * unioning stored sketches. Batch-id replays no-op under the
+    * same identity rule as the other replay-guarded sinks.
+    */
+  def sketchSink(stream: DataFrame, checkpoint: String, target: String,
+                 keys: Seq[String], valueCol: String, lgK: Int = 12):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sketchBatchToParquet(batch.toDF(), target, keys, valueCol, lgK, batchId)
+      }
+
+  private[graft] def sketchBatchToParquet(batch: DataFrame, target: String,
+                                          keys: Seq[String], valueCol: String,
+                                          lgK: Int,
+                                          batchId: Long = -1L,
+                                          writerId: Option[String] = None): Unit = {
+    val p = batch.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"),
+        count(lit(1)).as("n_rows"))
+    upsertParquet(target, p, { existing =>
+      val e = existing.select(keys.map(col) :+ col("sk").as("__sk_old") :+
+        col("n_rows").as("__n_old"): _*)
+      // full outer on the key: union sketches where both sides exist,
+      // pass through the single side otherwise (hll_union rejects null
+      // inputs — the CASE keeps it off the null branches)
+      e.join(p.select(keys.map(col) :+ col("sk").as("__sk_new") :+
+          col("n_rows").as("__n_new"): _*).hint("shuffle_hash"),
+          keys, "full_outer")
+        .select(keys.map(col) :+
+          when(col("__sk_old").isNotNull && col("__sk_new").isNotNull,
+            hll_union(col("__sk_old"), col("__sk_new")))
+            .otherwise(coalesce(col("__sk_new"), col("__sk_old"))).as("sk") :+
+          (coalesce(col("__n_old"), lit(0L)) +
+            coalesce(col("__n_new"), lit(0L))).as("n_rows"): _*)
+    }, batchId, writerId)
+  }
+
   /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
     * micro-batch commits ONE append segment through the manifest log,
     * so readers get snapshot isolation over a live stream — a query

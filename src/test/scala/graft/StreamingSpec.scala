@@ -568,6 +568,46 @@ class StreamingSpec extends SparkSpec {
     assert(norm(spark.read.parquet(target)) == streamed)
   }
 
+  test("sketch sink: streamed sketches match direct sketching; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketchsink").toString
+    val target = s"$dir/sketches"
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF.toDF("grp", "uid")
+    val q = StreamOps.sketchSink(df, s"$dir/ckpt", target, Seq("grp"), "uid").start()
+    // heavy overlap across batches: distinct state must not double
+    val b1 = (1L to 400L).map(u => ("A", u)) ++ (1L to 100L).map(u => ("B", u))
+    val b2 = (201L to 600L).map(u => ("A", u)) ++ (1L to 100L).map(u => ("B", u))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    def estimates(path: String) = spark.read.parquet(path)
+      .select($"grp", hll_sketch_estimate($"sk").as("est"), $"n_rows")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = estimates(target)
+    // union-of-batches tracks sketching all data at once. Bit-equality
+    // holds only in the sparse (coupon-list) regime — B's 100
+    // distincts; A's 600 promote the sketch to dense HLL mode where
+    // the union path and the update path legitimately differ within
+    // the sketch's error bound.
+    val direct = (b1 ++ b2).toDF("grp", "uid")
+      .groupBy($"grp").agg(hll_sketch_estimate(
+        hll_sketch_agg($"uid", lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("B")._1 == direct("B")) // sparse regime: exact agreement
+    assert(math.abs(got("A")._1 - direct("A")).toDouble / 600.0 < 0.03)
+    assert(math.abs(got("A")._1 - 600.0) / 600.0 < 0.05)
+    assert(math.abs(got("B")._1 - 100.0) < 5)
+    assert(got("A")._2 == 800L && got("B")._2 == 200L) // raw rows, not distincts
+    // replaying batch 1 under the query's identity must change nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.sketchBatchToParquet(b2.toDF("grp", "uid"), target,
+        Seq("grp"), "uid", lgK = 12, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(estimates(target) == got)
+  }
+
   test("SCD2 sink: replaying an applied batch id is a no-op, not a poison batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2replay").toString
     val target = s"$dir/dim"
