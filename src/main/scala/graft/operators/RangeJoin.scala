@@ -33,15 +33,38 @@ object RangeJoin {
     * Columns must be integral (day numbers, epoch seconds, SKs —
     * floor-division bucketing is exact on longs).
     */
+  /** One interval exploding past this many buckets fails LOUDLY: it
+    * means `bucketWidth` is wildly under the data's span scale (or a
+    * corrupt interval spans eras) — silently materializing a
+    * billion-row explode per bad row is the failure mode a 100 TB run
+    * cannot afford to discover from an OOM.
+    */
+  val MaxBucketsPerInterval: Long = 4096L
+
+  private def bucketOfCol(c: Column, bw: Long): Column =
+    ((c - pmod(c, lit(bw))) / lit(bw)).cast("long")
+
+  /** `sequence(loB, hiB)` with the fan-out guard: a span past
+    * [[MaxBucketsPerInterval]] raises with the offending bounds in
+    * the message instead of exploding.
+    */
+  private def guardedBuckets(loB: Column, hiB: Column): Column =
+    explode(when(hiB - loB >= lit(MaxBucketsPerInterval),
+      raise_error(concat(
+        lit("RangeJoin: interval spans "),
+        (hiB - loB + 1).cast("string"),
+        lit(" buckets (> " + MaxBucketsPerInterval +
+          ") — raise bucketWidth or quarantine the interval ["),
+        loB.cast("string"), lit(", "), hiB.cast("string"), lit("]"))))
+      .otherwise(sequence(loB, hiB)))
+
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
-    val bw = lit(bucketWidth)
     // floor-div via floor(double division) would lose exactness past
     // 2^53; integer arithmetic only. pmod-corrected for negatives.
-    def bucketOf(c: Column): Column =
-      ((c - pmod(c, bw)) / bw).cast("long")
+    def bucketOf(c: Column): Column = bucketOfCol(c, bucketWidth)
     val p = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__graft_bucket", bucketOf(col(pointCol).cast("long")))
@@ -49,8 +72,8 @@ object RangeJoin {
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
       .withColumn("__graft_bucket",
-        explode(sequence(bucketOf(col(loCol).cast("long")),
-          bucketOf(col(hiCol).cast("long")))))
+        guardedBuckets(bucketOf(col(loCol).cast("long")),
+          bucketOf(col(hiCol).cast("long"))))
     p.join(iv, "__graft_bucket")
       .filter(col(loCol) <= col(pointCol) && col(pointCol) <= col(hiCol))
       .drop("__graft_bucket")
@@ -71,13 +94,11 @@ object RangeJoin {
                       right: DataFrame, loB: String, hiB: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
-    val bw = lit(bucketWidth)
-    def bucketOf(c: Column): Column =
-      ((c - pmod(c, bw)) / bw).cast("long")
+    def bucketOf(c: Column): Column = bucketOfCol(c, bucketWidth)
     def explodeSide(df: DataFrame, lo: String, hi: String, b: String) =
       df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
-        .withColumn(b, explode(sequence(bucketOf(col(lo).cast("long")),
-          bucketOf(col(hi).cast("long")))))
+        .withColumn(b, guardedBuckets(bucketOf(col(lo).cast("long")),
+          bucketOf(col(hi).cast("long"))))
     val l = explodeSide(left, loA, hiA, "__graft_bl")
     val r = explodeSide(right, loB, hiB, "__graft_br")
     l.join(r, col("__graft_bl") === col("__graft_br") &&

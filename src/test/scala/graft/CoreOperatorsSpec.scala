@@ -180,6 +180,18 @@ class CoreOperatorsSpec extends SparkSpec {
       (2L, "B", 3L))
   }
 
+  test("rangeJoin: an era-spanning interval fails loudly, not with a giant explode") {
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val bad = Seq((1L, 0L, 50_000_000L)).toDF("iid", "lo", "hi") // 50M buckets at width 1
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", bad, "lo", "hi", bucketWidth = 1).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("RangeJoin") && m.contains("bucketWidth")),
+      msgs(e).mkString("; "))
+  }
+
   test("intervalOverlap: equals brute force with each pair emitted exactly once") {
     val a = (0 until 60).map { i =>
       val lo = (i * 53 % 400).toLong
