@@ -1070,6 +1070,13 @@ object SparkEntry {
     "embedding_coreset" -> ((s: SparkSession, d: String) =>
       Ann.kcenterSelect(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)),
 
+    // Recall@k of every approximate index vs the exact baseline —
+    // the trust-the-index measurement as a query (rows-only: the
+    // approximate sides are seeded by protocol).
+    "ann_recall_eval" -> ((s: SparkSession, d: String) =>
+      Ann.recallEval(t(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, k = 5)),
+
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Ann.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 

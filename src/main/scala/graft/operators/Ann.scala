@@ -259,6 +259,37 @@ object Ann {
     (base, cents)
   }
 
+  /** Recall panel of every approximate index against the exact
+    * baseline — "measure, don't guess" as a first-class operator: per
+    * method (lsh / ivf / pq), how many of the exact top-k pairs the
+    * approximate search returned, and recall@k. The evaluation a
+    * pipeline runs BEFORE trusting an index at scale, maintained next
+    * to the indexes themselves so a parameter change shows its recall
+    * cost immediately.
+    *
+    * Each method's result joins the exact pair set on (query,
+    * neighbor) — truth is nQueries·k rows, so the panel math is
+    * negligible next to the searches it measures.
+    */
+  def recallEval(emb: DataFrame, idCol: String, vecCol: String,
+                 nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    def row(method: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("q_id"), col("neighbor_id"),
+          lit(1L).as("__graft_hit")),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__graft_hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall_at_k"))
+    row("lsh", lshTopK(emb, idCol, vecCol, nQueries, k))
+      .unionByName(row("ivf", ivfTopK(emb, idCol, vecCol, nQueries, k)))
+      .unionByName(row("pq", pqTopK(emb, idCol, vecCol, nQueries, k)))
+  }
+
   /** Greedy k-center CORESET selection (farthest-point traversal) —
     * the diverse-subset primitive a curation pipeline runs where
     * [[kmeans]] finds density: pick the md5-lowest vector, then k−1

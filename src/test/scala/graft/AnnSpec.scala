@@ -243,6 +243,26 @@ class AnnSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("recallEval: one row per method, sane recall bounds, deterministic") {
+    val emb = Tables(spark, sf, "embeddings")
+    val got = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
+      .orderBy("method").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq"))
+    got.foreach { r =>
+      assert(r.getLong(1) == 50L) // 10 queries x top-5 truth rows
+      val recall = r.getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall == r.getLong(2).toDouble / r.getLong(1))
+    }
+    // a floor that says "not junk" at this spec's tiny sf0.001 corpus
+    // (80 vectors starves the seeded tables; the per-method specs pin
+    // tighter floors on their tuned fixtures)
+    assert(got.forall(_.getDouble(3) >= 0.25), got.map(_.getDouble(3)).mkString(","))
+    val again = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
+      .orderBy("method").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("kcenterSelect: visits every planted bundle before densifying, radius shrinks") {
     val rnd = new scala.util.Random(11)
     def bundle(center: Array[Float], ids: Range) = ids.map { i =>
