@@ -247,7 +247,8 @@ class AnnSpec extends SparkSpec {
     val emb = Tables(spark, sf, "embeddings")
     val got = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
       .orderBy("method").collect()
-    assert(got.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq"))
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("ivf", "lsh", "lsh_multiprobe", "pq"))
     got.foreach { r =>
       assert(r.getLong(1) == 50L) // 10 queries x top-5 truth rows
       val recall = r.getDouble(3)
@@ -258,6 +259,9 @@ class AnnSpec extends SparkSpec {
     // (80 vectors starves the seeded tables; the per-method specs pin
     // tighter floors on their tuned fixtures)
     assert(got.forall(_.getDouble(3) >= 0.25), got.map(_.getDouble(3)).mkString(","))
+    // multi-probe never loses to single-probe on the SAME index
+    val byM = got.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byM("lsh_multiprobe") >= byM("lsh"), byM.toString)
     val again = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
       .orderBy("method").collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
