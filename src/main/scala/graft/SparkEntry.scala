@@ -1593,6 +1593,11 @@ object SparkEntry {
     "ana_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       Sampling.bootstrapMeans(t(s, d, "events"), "event_id", "value", b = 32)),
 
+    // Exact-n weighted sample without replacement (A-ES, md5 uniforms,
+    // quantized-ln rank) — budgeted weight-proportional selection.
+    "sample_weighted_n" -> ((s: SparkSession, d: String) =>
+      Sampling.weightedSampleN(t(s, d, "events"), "event_id", "value", n = 500)),
+
     // Per-group winsorization to the exact [p05, p95] band.
     "sample_winsorize" -> ((s: SparkSession, d: String) =>
       Sampling.winsorize(
@@ -2135,6 +2140,19 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND c.click_ts >= p.purchase_ts - INTERVAL 1800 SECONDS
         | AND c.click_ts <= p.purchase_ts""".stripMargin,
+
+    // Same md5 uniform, same quantized-ln rank, same total order.
+    "sample_weighted_n" ->
+      """SELECT * FROM (
+        |  SELECT *,
+        |    FLOOR(LN((CAST(concat('0x', substr(md5(
+        |        COALESCE(CAST(event_id AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT)
+        |      + 1.0) / 4294967296.0)
+        |      / CAST(value AS DOUBLE) * 1e9) / 1e9 AS sample_rank_key
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL AND value > 0)
+        |ORDER BY sample_rank_key DESC, event_id
+        |LIMIT 500""".stripMargin,
 
     // Poisson(1) multiplicities from exact-rational md5 uniforms and
     // exact-double CDF fences; weighted sums in decimal, one division

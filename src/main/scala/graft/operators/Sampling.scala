@@ -418,6 +418,37 @@ object Sampling {
     0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
 
+  /** Weighted sampling WITHOUT replacement, exact size n — the
+    * Efraimidis–Spirakis A-ES scheme made deterministic: each row
+    * draws the md5 uniform `u ∈ (0,1]` from its key and ranks by
+    * `ln(u)/w` (the log form of `u^(1/w)` — no libm `pow`, and the
+    * one `ln` is §5 grid-quantized); the top n ranks ARE a weighted
+    * sample without replacement (inclusion probability ∝ weight, the
+    * A-ES theorem). Where [[stratified]] takes a RATE and
+    * quality-weighted tiers take thresholds, this takes an exact
+    * BUDGET: "the best n rows, weight-proportionally, reproducibly".
+    *
+    * Scale shape: a stateless codegen'd rank expression + ONE
+    * TakeOrdered(n) — no shuffle, no state; membership is a pure
+    * function of (key, weight), layout-stable and engine-replayable.
+    * Rows with null/non-positive weight are excluded (they have no
+    * defined inclusion probability). Quantization ties break on the
+    * key — total order, deterministic boundary.
+    */
+  def weightedSampleN(df: DataFrame, keyCol: String, weightCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be positive: $n")
+    // (0,1]: the +1 shift keeps ln defined at the 0 bucket
+    val u = (md5Long32(Seq(col(keyCol))).cast("double") + lit(1.0)) /
+      lit(4294967296.0)
+    val rankKey = floor(log(u) / col(weightCol).cast("double") * lit(1e9)) / lit(1e9)
+    df.filter(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_rank_key", rankKey)
+      .orderBy(col("sample_rank_key").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic multiplier BOOTSTRAP for the mean — the
     * distributed answer to "what's the sampling error on this
     * metric": `b` resamples, each row entering resample `i` with a

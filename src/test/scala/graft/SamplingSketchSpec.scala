@@ -48,6 +48,28 @@ class SamplingSketchSpec extends SparkSpec {
     assert(est == direct) // same library, same lgK -> bit-equal estimate
   }
 
+  test("weightedSampleN: exact size, weight-proportional inclusion, deterministic") {
+    import spark.implicits._
+    // 1000 light (w=1) + 1000 heavy (w=10) rows
+    val df = ((1L to 1000L).map(i => (i, 1.0)) ++
+      (1001L to 2000L).map(i => (i, 10.0))).toDF("k", "w")
+    val got = Sampling.weightedSampleN(df, "k", "w", n = 200).collect()
+    assert(got.length == 200)
+    assert(got.map(_.getLong(0)).distinct.length == 200) // without replacement
+    val heavy = got.count(_.getLong(0) > 1000L)
+    // inclusion odds ~10:1 -> expect ~180 heavy; leave generous noise room
+    assert(heavy > 150 && heavy < 200, s"heavy=$heavy")
+    // pure function of (key, weight): identical rows after repartition
+    val again = Sampling.weightedSampleN(df.repartition(17), "k", "w", n = 200)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // zero/negative/null weights never selected
+    val mixed = df.unionAll(Seq((3000L, 0.0), (3001L, -5.0)).toDF("k", "w"))
+    val sel = Sampling.weightedSampleN(mixed, "k", "w", n = 2000)
+      .collect().map(_.getLong(0)).toSet
+    assert(!sel.contains(3000L) && !sel.contains(3001L) && sel.size == 2000)
+  }
+
   test("bootstrapMeans: Poisson(1) weights, layout-invariant, means bracket truth") {
     import spark.implicits._
     val n = 4000
