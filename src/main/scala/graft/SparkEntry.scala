@@ -1422,6 +1422,11 @@ object SparkEntry {
     "text_readability" -> ((s: SparkSession, d: String) =>
       CorpusQc.readability(t(s, d, "documents"), "doc_id", "text")),
 
+    // Corpus bigram conditional vs unigram entropy — the one-row
+    // language-structure fingerprint.
+    "text_bigram_entropy" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bigramEntropy(t(s, d, "documents"), "text")),
+
     // BM25-style RATIONAL form (n-df+0.5)/(df+0.5) — pure +,*,/ on
     // exact integers, so any engine replays it bit for bit (ln()
     // differs across libm implementations in the last ulp).
@@ -4117,6 +4122,37 @@ object SparkEntry {
 
       // Non-distinct adjacent bigrams; fractions are raw single-
       // division IEEE quotients (see the SURVEY §6 rounding rule).
+      // Positional marginals from the pair panel; quantized count-ratio
+      // lns, integer-count × grid-point products at the grid scale.
+      "text_bigram_entropy" ->
+        s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+           |bigs AS (
+           |  SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           |    UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+           |  FROM toks WHERE len(t) >= 2),
+           |pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bigs GROUP BY 1, 2),
+           |m1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM pair GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pair),
+           |cond AS (
+           |  SELECT SUM(CAST(n12 *
+           |    (FLOOR(LN(CAST(n1 AS DOUBLE) / CAST(n12 AS DOUBLE)) * 1e6) / 1e6)
+           |    AS DECIMAL(28,6))) AS ch
+           |  FROM pair JOIN m1 USING (w1)),
+           |uni AS (
+           |  SELECT SUM(CAST(n1 *
+           |    (FLOOR(LN(CAST(t AS DOUBLE) / CAST(n1 AS DOUBLE)) * 1e6) / 1e6)
+           |    AS DECIMAL(28,6))) AS uh,
+           |    CAST(COUNT(*) AS BIGINT) AS n_distinct_w1
+           |  FROM m1 CROSS JOIN tot)
+           |SELECT t AS n_bigrams, n_pairs AS n_distinct_pairs, n_distinct_w1,
+           |  CAST(ch AS DOUBLE) / CAST(t AS DOUBLE) AS cond_entropy_nats,
+           |  CAST(uh AS DOUBLE) / CAST(t AS DOUBLE) AS unigram_entropy_nats,
+           |  CASE WHEN CAST(uh AS DOUBLE) / CAST(t AS DOUBLE) > 0 THEN
+           |    (CAST(ch AS DOUBLE) / CAST(t AS DOUBLE))
+           |      / (CAST(uh AS DOUBLE) / CAST(t AS DOUBLE))
+           |  END AS predictability_ratio
+           |FROM cond CROSS JOIN uni CROSS JOIN tot""".stripMargin,
+
       // Same three regex splits (dialect-shared character classes),
       // blank segments dropped, one fixed-order score expression.
       "text_readability" ->

@@ -281,6 +281,59 @@ object CorpusQc {
           / sum(col("cnt_doc"))).as("mean_continuation_share"))
   }
 
+  /** Corpus bigram CONDITIONAL entropy — "how predictable is the next
+    * token given this one": `H(W₂|W₁) = Σ c(w₁w₂)·ln(c₁(w₁)/c(w₁w₂)) / T`
+    * next to the unigram entropy `H(W₁) = Σ c₁·ln(T/c₁) / T`, plus
+    * their ratio — the one-row language-structure fingerprint
+    * (natural text: conditional ≪ unigram; shuffled/templated
+    * corpora drift toward equality or degeneracy). The corpus-level
+    * twin of [[bigramNovelty]]'s per-document continuation shares.
+    *
+    * Scale shape: one corpus-sized pair partial agg; marginals and T
+    * from the collapsed panel. Engine parity: each `ln` of an exact
+    * count ratio is §5 grid-quantized at 1e-6, the integer-count ×
+    * grid-point products cast at the grid's own scale (the §5 round-8
+    * rule), two terminal divisions by T.
+    */
+  def bigramEntropy(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df
+      .select(TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("ts"), size(col("ts")).as("n"))
+    val bigs = toks.filter(col("n") >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), col("n") - 1).as("c1"),
+        slice(col("ts"), lit(2), col("n") - 1).as("c2"))).as("z"))
+      .select(col("z.c1").as("w1"), col("z.c2").as("w2"))
+    val pair = bigs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .localCheckpoint(true)
+    val m1 = pair.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val tot = pair.agg(sum(col("n12")).as("t"), count(lit(1)).as("n_pairs"))
+    def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    val cond = pair.join(m1, "w1")
+      .select((col("n12") *
+        q6(log(col("n1").cast("double") / col("n12").cast("double"))))
+        .cast(DecimalType(28, 6)).as("__t"))
+      .agg(sum(col("__t")).as("__ch"))
+    val uni = m1.crossJoin(broadcast(tot.select(col("t"))))
+      .select((col("n1") *
+        q6(log(col("t").cast("double") / col("n1").cast("double"))))
+        .cast(DecimalType(28, 6)).as("__t"),
+        lit(1L).as("__n1key"))
+      .agg(sum(col("__t")).as("__uh"), count(lit(1)).as("n_distinct_w1"))
+    cond.crossJoin(broadcast(uni)).crossJoin(broadcast(tot))
+      .select(col("t").as("n_bigrams"), col("n_pairs").as("n_distinct_pairs"),
+        col("n_distinct_w1"),
+        (col("__ch").cast("double") / col("t").cast("double"))
+          .as("cond_entropy_nats"),
+        (col("__uh").cast("double") / col("t").cast("double"))
+          .as("unigram_entropy_nats"))
+      .withColumn("predictability_ratio",
+        when(col("unigram_entropy_nats") > 0,
+          col("cond_entropy_nats") / col("unigram_entropy_nats")))
+  }
+
   /** Flesch-style readability panel — the surface-form difficulty
     * screen next to the quality gate's ratio features: per document,
     * word / sentence / syllable-group counts and the classic score

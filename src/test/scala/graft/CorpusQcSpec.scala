@@ -93,6 +93,26 @@ class CorpusQcSpec extends SparkSpec {
     assert((got.head.getString(0), got.head.getString(1)) == ("zx", "qv"))
   }
 
+  test("bigramEntropy: deterministic chain -> 0 bits, known split -> ln 2") {
+    // "x y x y ..." — every token has exactly ONE continuation:
+    // conditional entropy 0, unigram entropy ln 2 (x and y equal mass)
+    val chain = Seq((1L, "x y x y x y x y x")).toDF("doc_id", "text")
+    val c = CorpusQc.bigramEntropy(chain, "text").collect().head
+    assert(c.getAs[Long]("n_bigrams") == 8L &&
+      c.getAs[Long]("n_distinct_pairs") == 2L)
+    assert(c.getAs[Double]("cond_entropy_nats") == 0.0)
+    val q = math.floor(math.log(2.0) * 1e6) / 1e6
+    assert(c.getAs[Double]("unigram_entropy_nats") == q)
+    assert(c.getAs[Double]("predictability_ratio") == 0.0)
+    // "p q"/"p r" split 50/50: H(W2|p) = ln 2; only one w1 -> unigram 0
+    val split = Seq((1L, "p q"), (2L, "p q"), (3L, "p r"), (4L, "p r"))
+      .toDF("doc_id", "text")
+    val s = CorpusQc.bigramEntropy(split, "text").collect().head
+    assert(s.getAs[Double]("cond_entropy_nats") == q)
+    assert(s.getAs[Double]("unigram_entropy_nats") == 0.0)
+    assert(s.isNullAt(s.fieldIndex("predictability_ratio")))
+  }
+
   test("readability: hand-counted panels, degenerate docs NULL out") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"),      // 6 words, 2 sentences
