@@ -615,6 +615,28 @@ object SparkEntry {
     "ana_holt_linear" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.holtDemand(servingValid(s, d))),
 
+    // Seasonality-aware one-step forecast: the Holt level+trend
+    // forecast plus the F27 seasonal index of the NEXT day's weekday
+    // — a pure composition of two green operators, so the oracle is
+    // the composition of their oracles.
+    "ana_seasonal_forecast" -> ((s: SparkSession, d: String) => {
+      import graft.functions.Temporal
+      val holt = AnalyticsPack.holtDemand(servingValid(s, d))
+        .withColumn("day", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+        .withColumn("next_day", date_add(col("day"), 1))
+        .withColumn("next_iso_dow", Temporal.isoDow(col("next_day")))
+      val seasonal = AnalyticsPack.seasonalDecompose(t(s, d, "events"))
+        .select(col("iso_dow").as("next_iso_dow"), col("seasonal"))
+        .distinct()
+      holt.join(broadcast(seasonal), Seq("next_iso_dow"), "left")
+        .select(col("date_sk"), col("daily_value"), col("level"), col("trend"),
+          col("next_day"),
+          (col("level") + col("trend")).as("trend_forecast"),
+          when(col("seasonal").isNotNull,
+            col("level") + col("trend") + col("seasonal"))
+            .as("seasonal_forecast"))
+    }),
+
     // Gini concentration of per-stop demand by day type (rank identity
     // over the collapsed stop panel; one terminal IEEE division).
     "ana_gini_demand" -> ((s: SparkSession, d: String) =>
@@ -2702,6 +2724,48 @@ object SparkEntry {
       // correctly-rounded IEEE ops on dyadic constants (0.25e0 /
       // 0.75e0 force DOUBLE literals — a bare 0.25 parses as DECIMAL
       // in DuckDB and would change the arithmetic).
+      // Composition of the Holt walk (validSql day panel) and the F27
+      // seasonal panel (raw-events day panel) — both replayed as in
+      // their own oracles, joined on the NEXT day's iso weekday.
+      "ana_seasonal_forecast" ->
+        s"""WITH RECURSIVE byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |idx AS (
+           |  SELECT date_sk, daily_value,
+           |    ROW_NUMBER() OVER (ORDER BY date_sk) AS rn
+           |  FROM byday),
+           |walk(rn, date_sk, daily_value, level, trend) AS (
+           |  SELECT rn, date_sk, daily_value, daily_value, 0e0 FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.rn, i.date_sk, i.daily_value,
+           |    0.25e0 * i.daily_value + 0.75e0 * (w.level + w.trend),
+           |    0.125e0 * ((0.25e0 * i.daily_value + 0.75e0 * (w.level + w.trend)) - w.level)
+           |      + 0.875e0 * w.trend
+           |  FROM idx i JOIN walk w ON i.rn = w.rn + 1),
+           |daily AS (
+           |  SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS dem
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |d2 AS (SELECT *, CAST(isodow(day) AS INTEGER) AS iso_dow FROM daily),
+           |tr AS (
+           |  SELECT *, CASE WHEN COUNT(*) OVER wd = 7
+           |    THEN CAST(SUM(dem) OVER wd AS DOUBLE) / 7.0 END AS trend_ma
+           |  FROM d2 WINDOW wd AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |se AS (
+           |  SELECT iso_dow,
+           |    CAST(SUM(CAST(floor((CAST(dem AS DOUBLE) - trend_ma) * 1e6) / 1e6
+           |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS seasonal
+           |  FROM tr WHERE trend_ma IS NOT NULL GROUP BY 1)
+           |SELECT w.date_sk, w.daily_value, w.level, w.trend,
+           |  CAST(strptime(CAST(w.date_sk AS VARCHAR), '%Y%m%d') AS DATE) + 1 AS next_day,
+           |  w.level + w.trend AS trend_forecast,
+           |  CASE WHEN se.seasonal IS NOT NULL THEN w.level + w.trend + se.seasonal END AS seasonal_forecast
+           |FROM walk w
+           |LEFT JOIN se ON se.iso_dow = CAST(isodow(
+           |  CAST(strptime(CAST(w.date_sk AS VARCHAR), '%Y%m%d') AS DATE) + 1) AS INTEGER)""".stripMargin,
+
       // Holt recursion replayed with the NEW level's formula repeated
       // inside the trend term — identical op order to the Spark fold.
       "ana_holt_linear" ->
