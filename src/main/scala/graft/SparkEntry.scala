@@ -4253,10 +4253,10 @@ object SparkEntry {
            |  FROM ranked),
            |moms AS (
            |  SELECT COUNT(*) AS n_types,
-           |    SUM(CAST(FLOOR(lx * 1e8) / 1e8 AS DECIMAL(28,12))) AS sx,
-           |    SUM(CAST(FLOOR(ly * 1e8) / 1e8 AS DECIMAL(28,12))) AS sy,
-           |    SUM(CAST(FLOOR(lx * ly * 1e8) / 1e8 AS DECIMAL(28,12))) AS sxy,
-           |    SUM(CAST(FLOOR(lx * lx * 1e8) / 1e8 AS DECIMAL(28,12))) AS sxx
+           |    SUM(CAST(FLOOR(lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sx,
+           |    SUM(CAST(FLOOR(ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sy,
+           |    SUM(CAST(FLOOR(lx * ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxy,
+           |    SUM(CAST(FLOOR(lx * lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxx
            |  FROM pts),
            |sl AS (
            |  SELECT n_types, sx, sy,
@@ -4299,8 +4299,8 @@ object SparkEntry {
            |SELECT pd.doc_id,
            |  CAST(SUM(cnt_doc) AS BIGINT) AS n_bigrams,
            |  CAST(SUM(CASE WHEN cnt_big = cnt_doc THEN cnt_doc ELSE 0 END) AS BIGINT) AS n_novel,
-           |  CAST(SUM(CAST(CAST(cnt_doc AS DOUBLE)
-           |      * (CAST(cnt_big AS DOUBLE) / CAST(cnt_pre AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+           |  CAST(SUM(CAST(FLOOR(CAST(cnt_doc AS DOUBLE)
+           |      * (CAST(cnt_big AS DOUBLE) / CAST(cnt_pre AS DOUBLE)) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
            |    / CAST(SUM(cnt_doc) AS BIGINT) AS mean_continuation_share
            |FROM pd JOIN cb USING (big) JOIN cp USING (pre)
            |GROUP BY 1""".stripMargin,

@@ -275,9 +275,14 @@ object CorpusQc {
       .agg(sum(col("cnt_doc")).as("n_bigrams"),
         sum(when(col("cnt_big") === col("cnt_doc"), col("cnt_doc"))
           .otherwise(lit(0L))).as("n_novel"),
-        (sum((col("cnt_doc").cast("double")
-            * (col("cnt_big").cast("double") / col("cnt_pre").cast("double")))
-          .cast(DecimalType(28, 12))).cast("double")
+        // §5: cnt_doc · share exceeds unit magnitude (cnt_doc is a
+        // per-doc count), so the full-entropy product floor-quantizes
+        // to the 1e-6 grid and casts at THE GRID'S scale before the
+        // order-free decimal partials.
+        (sum((floor(col("cnt_doc").cast("double")
+            * (col("cnt_big").cast("double") / col("cnt_pre").cast("double"))
+            * lit(1e6)) / lit(1e6))
+          .cast(DecimalType(28, 6))).cast("double")
           / sum(col("cnt_doc"))).as("mean_continuation_share"))
   }
 
@@ -393,8 +398,11 @@ object CorpusQc {
         vocab, Seq(col("cnt").desc, col("tok")), "cnt")
       .select(col("cnt"), col("row_rank").as("rank"))
     def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    // §5 scale rule: a 1e-8 grid casts at DECIMAL scale 8, never finer
+    // — finer scales let the grid point's double representation error
+    // into the cast's rounding decision.
     def q8d(c: Column): Column =
-      (floor(c * lit(1e8)) / lit(1e8)).cast(DecimalType(28, 12))
+      (floor(c * lit(1e8)) / lit(1e8)).cast(DecimalType(28, 8))
     val pts = ranked.select(
       q6(log(col("rank").cast("double"))).as("lx"),
       q6(log(col("cnt").cast("double"))).as("ly"))

@@ -98,11 +98,17 @@ object Graph {
     * the plan deterministic and the oracle replayable as chained
     * CTEs.
     *
-    * Scale shape: edges carry the bulk; each round shuffles them once
-    * on src (contribution join) and once on dst (partial-agg sum) —
-    * both key-partitioned, no global structure. The rank and
-    * out-weight relations are node-sized. Node count and dangling
-    * mass are 1-row broadcast panels.
+    * Scale shape: edges carry the bulk; each round touches them in
+    * exactly ONE fused pass — ranks LEFT-join the (pre-joined,
+    * checkpointed) edge⋈out-weight relation, and one partial-agg
+    * shuffle groups by dst where the NULL-dst group (a rank row with
+    * no out-edges) IS the dangling mass: contributions and dangling
+    * sum come out of the same aggregation. (The earlier two-job form
+    * — a separate anti-join dangling aggregate per round — re-executed
+    * up to a checkpoint-cadence's worth of edge shuffles through the
+    * growing rank lineage; fused + checkpointed per round, each edge
+    * shuffle executes once.) The rank and out-weight relations are
+    * node-sized; node count and dangling mass are scalar/1-row panels.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iterations: Int = 10,
@@ -116,7 +122,12 @@ object Graph {
       .localCheckpoint(true)
     val outW = e.groupBy(col("src"))
       .agg(sum(col("w").cast(DecimalType(28, 6))).cast("double").as("out_w"))
-      .localCheckpoint(true)
+    // Static across rounds: every out-edge with its source's total
+    // out-weight, joined ONCE and checkpointed — rounds never repeat
+    // the edge⋈out-weight join. Op order inside the round stays
+    // rank·w/out_w (both columns ride along), so the oracle's
+    // contribution arithmetic is untouched.
+    val eOut = e.join(outW, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -131,24 +142,38 @@ object Graph {
       .select(col("node"), (lit(1.0) / lit(nNodes).cast("double")).as("rank"))
       .localCheckpoint(true)
     for (i <- 1 to iterations) {
-      val dang = ranks.join(outW, ranks("node") === outW("src"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast(DecimalType(28, 12))), zero28)
-          .as("dang"))
-      val contrib = e.join(outW, "src")
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum((col("rank") * col("w") / col("out_w"))
+      // One fused pass: matched rows carry a contribution, unmatched
+      // (dangling) rows carry their rank into the NULL-dst group.
+      // Per-row cast to DECIMAL(28,12) before the sum on BOTH
+      // branches — bit-identical partials to the unfused form.
+      // fresh unique names per round: round i+1's rank lineage already
+      // contains eOut, so dataset-tagged refs would be an ambiguous
+      // self-join — re-aliased output attributes resolve by name
+      val eo = eOut.select(col("src").as("__src"), col("dst").as("__dst"),
+        col("w").as("__w"), col("out_w").as("__outw"))
+      val agg = ranks.join(eo, col("node") === col("__src"), "left")
+        .groupBy(col("__dst"))
+        .agg(sum(when(col("__dst").isNull, col("rank"))
+          .otherwise(col("rank") * col("__w") / col("__outw"))
           .cast(DecimalType(28, 12))).as("s"))
+      // A graph with no dangling nodes has no NULL group: aggregate
+      // (never filter-only) so the panel is always exactly one row.
+      val dang = agg.filter(col("__dst").isNull)
+        .agg(coalesce(sum(col("s")), zero28).as("dang"))
+      val contrib = agg.filter(col("__dst").isNotNull)
+        .select(col("__dst").as("node"), col("s"))
+      // Checkpoint RANKS each round: the one eager job per round runs
+      // a fixed-depth plan (checkpointed ranks ⋈ checkpointed eOut →
+      // one agg, panel joins) — lineage depth never grows with the
+      // round index, and the round's double consumption of `agg`
+      // (dang broadcast + contrib) re-reads checkpointed inputs only.
       ranks = nodes.crossJoin(broadcast(dang))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / lit(nNodes).cast("double")
             + lit(damping) * (coalesce(col("s"), zero28).cast("double")
               + col("dang").cast("double") / lit(nNodes).cast("double"))).as("rank"))
-      // rank relations are node-sized panels; an eager checkpoint per
-      // round costs a fixed Spark job each. Every 5th round bounds
-      // the plan while cutting job count 5x (values identical).
-      if (i % 5 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
+        .localCheckpoint(true)
     }
     ranks
   }
