@@ -2184,19 +2184,34 @@ object SparkEntry {
     // Poisson(1) multiplicities from exact-rational md5 uniforms and
     // exact-double CDF fences; weighted sums in decimal, one division
     // per resample.
+    // splitmix64 replay: seed = first 64 digest bits, k-th uniform =
+    // mix64(seed + (k+1)*gamma) via exact UHUGEINT mod-2^64 products
+    // and xor/shift — verified bit-equal to the JVM kernel.
     "ana_bootstrap_ci" ->
       """WITH base AS (
-        |  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS x
+        |  SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+        |      CAST(event_id AS VARCHAR), 'boot')), 1, 16)) AS UBIGINT) AS seed,
+        |    CAST(value AS DECIMAL(18,2)) AS x
         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
-        |gs AS (SELECT range AS g FROM range(0, 8)),
-        |is_ AS (SELECT range AS i FROM range(0, 4)),
+        |bs AS (SELECT range AS b FROM range(0, 32)),
+        |z0 AS (
+        |  SELECT b, x,
+        |    CAST((CAST(seed AS UHUGEINT) + CAST(b + 1 AS UHUGEINT)
+        |      * CAST(11400714819323198485 AS UHUGEINT))
+        |      % CAST(18446744073709551616 AS UHUGEINT) AS UBIGINT) AS z
+        |  FROM base CROSS JOIN bs),
+        |z1 AS (SELECT b, x, xor(z, z >> 30) AS z FROM z0),
+        |z2 AS (SELECT b, x,
+        |    CAST((CAST(z AS UHUGEINT) * CAST(13787848793156543929 AS UHUGEINT))
+        |      % CAST(18446744073709551616 AS UHUGEINT) AS UBIGINT) AS z FROM z1),
+        |z3 AS (SELECT b, x, xor(z, z >> 27) AS z FROM z2),
+        |z4 AS (SELECT b, x,
+        |    CAST((CAST(z AS UHUGEINT) * CAST(10723151780598845931 AS UHUGEINT))
+        |      % CAST(18446744073709551616 AS UHUGEINT) AS UBIGINT) AS z FROM z3),
         |draws AS (
-        |  SELECT g * 4 + i AS b, x,
-        |    CAST(concat('0x', substr(md5(concat_ws('|',
-        |      CAST(event_id AS VARCHAR), CAST(g AS VARCHAR))),
-        |      CAST(1 + 8 * i AS INTEGER), 8)) AS BIGINT)
-        |      / 4294967296.0 AS u
-        |  FROM base CROSS JOIN gs CROSS JOIN is_),
+        |  SELECT b, x,
+        |    CAST(xor(z, z >> 31) >> 32 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM z4),
         |wts AS (
         |  SELECT b, x,
         |    CASE WHEN u < 0.36787944117144233 THEN 0

@@ -29,6 +29,14 @@ object Kernels {
   def toDecimal(c: Column, precision: Int, scale: Int): Column =
     ColumnBridge.column(DoubleToDecimalExpr(ColumnBridge.expression(c), precision, scale))
 
+  /** The k-th deterministic uniform of a digest-seeded splitmix64
+    * stream (see [[SplitMixUniformExpr]]); seedHex is a 32-hex md5
+    * string, k an integer draw index.
+    */
+  def splitmixUniform(seedHex: Column, k: Column): Column =
+    ColumnBridge.column(SplitMixUniformExpr(
+      ColumnBridge.expression(seedHex), ColumnBridge.expression(k)))
+
   /** Both document fingerprints ([rolling, min-shingle]) in one pass
     * (see [[FingerprintsExpr]]).
     */

@@ -463,19 +463,21 @@ object Sampling {
     * (sequence+explode, no join) and collapses immediately into a
     * b-keyed partial aggregate — map-side combine reduces each
     * partition to ≤ b rows, so the shuffle is b·partitions rows
-    * however large the fact. Engine parity: uniforms are exact
-    * rationals (32-bit md5 prefix / 2³²), fences exact literals,
-    * weighted sums exact DECIMAL, one IEEE division per resample.
+    * however large the fact. Engine parity: ONE md5 digest per row
+    * seeds a splitmix64 counter stream (the k-th draw is the pure
+    * mix of seed + (k+1)·γ — [[graft.expressions.RandomKernels]],
+    * replayed by the oracle through exact UHUGEINT mod-2^64
+    * arithmetic), uniforms are exact rationals (top 32 mixed bits /
+    * 2³²), fences exact literals, weighted sums exact DECIMAL, one
+    * IEEE division per resample. The digest had dominated the cost
+    * at one-per-draw, then one-per-4-draws; one per ROW makes the
+    * hash cost independent of b entirely.
     */
   def bootstrapMeans(df: DataFrame, keyCol: String, valueCol: String,
                      b: Int = 32): DataFrame = {
-    require(b >= 1 && b % 4 == 0, s"resample count must be a positive multiple of 4: $b")
-    // One md5 digest is 128 bits = FOUR independent 32-bit uniforms:
-    // digest per (key, group of 4), uniforms from its four 8-hex-char
-    // chunks — 4x fewer md5 evaluations than one digest per draw (the
-    // hash dominated the measured cost), same per-draw independence.
-    val u = conv(expr("substring(__graft_md5, 1 + 8 * __graft_i, 8)"), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    require(b >= 1, s"resample count must be positive: $b")
+    val u = graft.expressions.Kernels.splitmixUniform(
+      col("__graft_md5"), col("__graft_b"))
     // reversed fold builds the CASE outside-in: the k=0 fence ends up
     // the OUTERMOST test, so each uniform takes the first (smallest)
     // fence it undercuts
@@ -486,14 +488,13 @@ object Sampling {
       .select(col(keyCol),
         graft.expressions.Kernels.toDecimal(col(valueCol).cast("double"), 18, 2)
           .as("__graft_x"))
-      .withColumn("__graft_g", explode(sequence(lit(0), lit(b / 4 - 1))))
+      // the "boot" salt decorrelates this stream from every other
+      // md5-of-key use (split/stratified buckets share the raw key)
       .withColumn("__graft_md5", md5(concat_ws("|",
-        coalesce(col(keyCol).cast("string"), lit("<NULL>")),
-        col("__graft_g").cast("string"))))
-      .withColumn("__graft_i", explode(sequence(lit(0), lit(3))))
+        coalesce(col(keyCol).cast("string"), lit("<NULL>")), lit("boot"))))
+      .withColumn("__graft_b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__graft_w", w)
-      .groupBy((col("__graft_g") * 4 + col("__graft_i")).cast("long")
-        .as("resample_id"))
+      .groupBy(col("__graft_b").cast("long").as("resample_id"))
       .agg(sum(col("__graft_w")).as("n_eff"),
         sum(col("__graft_w") * col("__graft_x")).as("__graft_swx"))
       .select(col("resample_id"), col("n_eff"),
