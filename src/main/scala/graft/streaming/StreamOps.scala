@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -124,6 +124,86 @@ object StreamOps {
           col(clickTs) <= col(purchaseTs),
         "inner")
       .drop(purchases(key))
+  }
+
+  /** LEFT-OUTER twin of [[attributionJoin]] — every click emits: with
+    * its purchase when one arrives in the window, or with NULL
+    * purchase columns once the watermark proves none can (the
+    * "unconverted clicks" side the inner join silently drops, which
+    * is exactly the population a conversion-rate or remarketing
+    * pipeline needs). Outer-result timing is the stream-stream
+    * contract: the null row is emitted only after the click's event
+    * time falls behind `watermark + windowSec` — correctness first,
+    * latency bounded by the horizon. Same bounded state as the inner
+    * form; the watermark delay also sets how long a click waits
+    * before being declared unmatched.
+    */
+  def attributionJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                               key: String, clickTs: String, purchaseTs: String,
+                               windowSec: Long, watermark: String = "1 hour"): DataFrame = {
+    require(windowSec > 0, s"attribution window must be positive: $windowSec")
+    clicks.withWatermark(clickTs, watermark)
+      .join(purchases.withWatermark(purchaseTs, watermark),
+        clicks(key) === purchases(key) &&
+          col(clickTs) >= col(purchaseTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+          col(clickTs) <= col(purchaseTs),
+        "left_outer")
+      .drop(purchases(key))
+  }
+
+  /** Stream-stream point-in-interval JOIN — the batch range-join
+    * bucketization (graft.operators.RangeJoin.pointInInterval) run
+    * inside watermarks: a `lo ≤ p ≤ hi` theta condition alone gives a
+    * stream-stream join no equi-key and no bounded state, so each
+    * interval explodes to its covered fixed-width time buckets
+    * (codegen `sequence`, fan-out capped by `maxSpanSec/bucketSec`)
+    * and each point keys to its one bucket — bucket equality IS the
+    * equi-key, the exact `[lo, hi]` test rides as the residual, and a
+    * qualifying pair meets in exactly ONE bucket (the point's own),
+    * so no dedup is ever needed.
+    *
+    * State stays bounded by the watermarks plus the explicit
+    * event-time range `lo ≤ p ≤ lo + maxSpanSec` between the two
+    * watermarked columns — which is also why `maxSpanSec` is a hard
+    * CONTRACT: an interval longer than it could match points the
+    * state constraint has already evicted, so such a row fails
+    * loudly (raise_error) instead of silently under-joining.
+    * Inclusive on both ends, like the batch twin; null/inverted
+    * intervals drop by contract.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointTs: String, loTs: String, hiTs: String,
+                   maxSpanSec: Long, bucketSec: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    require(maxSpanSec > 0, s"maxSpanSec must be positive: $maxSpanSec")
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    require(maxSpanSec / bucketSec + 1 <= graft.operators.RangeJoin.MaxBucketsPerInterval,
+      s"maxSpanSec/bucketSec fan-out ${maxSpanSec / bucketSec + 1} exceeds " +
+        s"${graft.operators.RangeJoin.MaxBucketsPerInterval} buckets per interval")
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketSec))) / lit(bucketSec)).cast("long")
+    val p = points.withWatermark(pointTs, watermark)
+      .filter(col(pointTs).isNotNull)
+      .withColumn("__graft_bp", bucketOf(unix_seconds(col(pointTs))))
+    val iv = intervals.withWatermark(loTs, watermark)
+      .filter(col(loTs).isNotNull && col(hiTs).isNotNull &&
+        col(loTs) <= col(hiTs))
+      .withColumn("__graft_bi", explode(
+        when(col(hiTs) > col(loTs) + expr(s"INTERVAL $maxSpanSec SECONDS"),
+          raise_error(concat(
+            lit("intervalJoin: interval ["), col(loTs).cast("string"),
+            lit(", "), col(hiTs).cast("string"),
+            lit(s"] spans more than the declared maxSpanSec=$maxSpanSec — " +
+              "matches beyond it would be silently lost to state eviction; " +
+              "raise maxSpanSec or quarantine the interval"))))
+          .otherwise(sequence(bucketOf(unix_seconds(col(loTs))),
+            bucketOf(unix_seconds(col(hiTs)))))))
+    p.join(iv,
+        col("__graft_bp") === col("__graft_bi") &&
+          col(pointTs) >= col(loTs) && col(pointTs) <= col(hiTs) &&
+          col(pointTs) <= col(loTs) + expr(s"INTERVAL $maxSpanSec SECONDS"),
+        "inner")
+      .drop("__graft_bp", "__graft_bi")
   }
 
   /** Streaming MERGE-on-grain sink: each micro-batch is deduped to

@@ -338,6 +338,94 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((100L, 1L), (100L, 5L), (100L, 6L)))
   }
 
+  test("stream-stream left-outer attribution: unmatched clicks emit nulls after the watermark") {
+    implicit val sql = spark.sqlContext
+    val inC = MemoryStream[(Long, Timestamp, Long)]
+    val inP = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.attributionJoinLeftOuter(
+        inC.toDF.toDF("user_id", "click_ts", "click_id"),
+        inP.toDF.toDF("user_id", "purchase_ts", "purchase_id", "purchase_value"),
+        "user_id", "click_ts", "purchase_ts", windowSec = 600, watermark = "0 seconds")
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("attrib_lo").outputMode("append").start()
+    inC.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),   // converts (purchase 10:08)
+      (1L, ts("2024-01-01 09:45:00"), 2L),   // too early -> unmatched
+      (2L, ts("2024-01-01 10:05:00"), 3L)))  // other user -> unmatched
+    inP.addData(Seq((1L, ts("2024-01-01 10:08:00"), 100L, 9.99)))
+    q.processAllAvailable()
+    // matched rows emit immediately; a null row emits ONLY once the
+    // global watermark (min across inputs = 10:05) clears that
+    // click's horizon: click 2 (09:45 + 10 min < 10:05) is proven
+    // unmatched already, click 3 (10:05 + 10 min) is still open
+    val early = spark.table("attrib_lo").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(early == Set((1L, 100L), (2L, -1L)))
+    // advance both watermarks past click_ts + window: absence proven
+    inC.addData(Seq((9L, ts("2024-01-02 00:00:00"), 99L)))
+    inP.addData(Seq((9L, ts("2024-01-02 00:00:00"), 999L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("attrib_lo")
+      .filter($"click_id" < 99L)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(all == Set((1L, 100L), (2L, -1L), (3L, -1L)))
+  }
+
+  test("stream-stream interval join: equals the batch range join, one row per pair") {
+    implicit val sql = spark.sqlContext
+    val pointRows = Seq(
+      (10L, ts("2024-01-01 10:00:00")),  // == lo of interval 1 (inclusive)
+      (11L, ts("2024-01-01 10:25:00")),  // interior, interval 1 spans 3+ buckets
+      (12L, ts("2024-01-01 10:40:00")),  // == hi of interval 1 (inclusive)
+      (13L, ts("2024-01-01 10:41:00")),  // just past hi — no match
+      (14L, ts("2024-01-01 12:05:00")),  // inside interval 2 only
+      (15L, ts("2024-01-01 09:00:00"))) // before everything
+    val ivRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00")),
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00")),
+      (3L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:10:00"))) // inverted: drops
+    val inP = MemoryStream[(Long, Timestamp)]
+    val inI = MemoryStream[(Long, Timestamp, Timestamp)]
+    val q = StreamOps.intervalJoin(
+        inP.toDF.toDF("point_id", "pts"),
+        inI.toDF.toDF("interval_id", "lo_ts", "hi_ts"),
+        "pts", "lo_ts", "hi_ts",
+        maxSpanSec = 3600, bucketSec = 600, watermark = "0 seconds")
+      .select("point_id", "interval_id")
+      .writeStream.format("memory").queryName("ivjoin_s").outputMode("append").start()
+    inP.addData(pointRows)
+    inI.addData(ivRows)
+    q.processAllAvailable()
+    // push both watermarks far forward so all joined rows emit
+    inP.addData(Seq((99L, ts("2024-01-02 00:00:00"))))
+    inI.addData(Seq((99L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivjoin_s")
+      .filter($"point_id" < 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly once per qualifying pair — the point's single bucket is
+    // the only meeting place, so no multiplicity even on intervals
+    // spanning several buckets
+    assert(streamed.size == streamed.toSet.size, s"duplicated pairs: $streamed")
+    // the REAL pin: the batch bucketized range join over the same rows
+    // (epoch seconds, same bucket width) — a unilateral boundary change
+    // on either side breaks this equality
+    val batch = graft.operators.RangeJoin.pointInInterval(
+        pointRows.toDF("point_id", "pts")
+          .select($"point_id", unix_seconds($"pts").as("p")),
+        "p",
+        ivRows.toDF("interval_id", "lo_ts", "hi_ts")
+          .select($"interval_id", unix_seconds($"lo_ts").as("lo"),
+            unix_seconds($"hi_ts").as("hi")),
+        "lo", "hi", bucketWidth = 600L)
+      .select("point_id", "interval_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.toSet == batch)
+    assert(streamed.toSet == Set((10L, 1L), (11L, 1L), (12L, 1L), (14L, 2L)))
+  }
+
   test("foreachBatch merge sink: grains never duplicate across micro-batches") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_mergesink").toString
