@@ -1690,6 +1690,18 @@ object SparkEntry {
             coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
         "value", "is_new")),
 
+    // Wasserstein-1 drift over the same old/new snapshot split —
+    // "how much mass moved how far" next to KS's worst-point gap;
+    // ECDF differences integrated over the value axis via the same
+    // distributed prefix sum plus a rank->rank+1 self-join (never a
+    // global LEAD window).
+    "data_drift_wasserstein" -> ((s: SparkSession, d: String) =>
+      Drift.wassersteinW1(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("is_new",
+            coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
+        "value", "is_new")),
+
     // Benford first-digit audit over the monetary measure — the
     // fabricated-data screen, log-free (CASE-ladder scale, literal
     // expected shares).
@@ -2084,6 +2096,43 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
         |  tot_old AS n_old, tot_new AS n_new
         |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
+
+    // W1 = sum over consecutive distinct values of |dECDF| * gap;
+    // terms floor-quantize to the 1e-6 grid before DECIMAL(28,6)
+    // partials (grid scale == decimal scale).
+    "data_drift_wasserstein" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (
+        |  SELECT value,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old_v,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new_v
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old_v) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new_v) AS BIGINT) AS tot_new,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct_values
+        |  FROM pv),
+        |c AS (
+        |  SELECT value,
+        |    SUM(n_old_v) OVER (ORDER BY value) AS cum_old,
+        |    SUM(n_new_v) OVER (ORDER BY value) AS cum_new,
+        |    LEAD(value) OVER (ORDER BY value) AS next_value
+        |  FROM pv),
+        |terms AS (
+        |  SELECT CAST(FLOOR(ABS(
+        |      cum_old / CAST(CASE WHEN tot_old > 0 THEN tot_old END AS DOUBLE)
+        |      - cum_new / CAST(CASE WHEN tot_new > 0 THEN tot_new END AS DOUBLE))
+        |    * (next_value - value) * 1e6) / 1e6 AS DECIMAL(28,6)) AS contrib
+        |  FROM c, tot WHERE next_value IS NOT NULL)
+        |SELECT
+        |  CAST(CASE WHEN tot_old > 0 AND tot_new > 0
+        |    THEN COALESCE((SELECT SUM(contrib) FROM terms), CAST(0 AS DECIMAL(28,6)))
+        |    END AS DOUBLE) AS w1_distance,
+        |  n_distinct_values, tot_old AS n_old, tot_new AS n_new
+        |FROM tot""".stripMargin,
 
     // Both bucket rules replay data_drift_value's 1-D formula per
     // axis; shares are exact-count quotients.

@@ -83,6 +83,68 @@ object Drift {
     * needs a decimal partial: counts are integers and the only
     * doubles are compared, never summed.
     */
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    * old and new samples — `W₁ = ∫ |F_old(x) − F_new(x)| dx`, the
+    * MAGNITUDE-aware drift scalar next to [[ksStatistic]]'s
+    * worst-point statistic: KS says how badly the ECDFs disagree
+    * somewhere, W₁ says how much probability mass moved how far (a
+    * uniform +10 shift of every value moves KS to its 1.0 ceiling
+    * but scores W₁ = 10 — the gate that distinguishes "everything
+    * shifted a little" from "something is completely different").
+    * Discretely: Σ over consecutive distinct values of
+    * |ΔECDF| · (vᵢ₊₁ − vᵢ).
+    *
+    * Scale shape: the same collapsed distinct-value relation and ONE
+    * [[PrefixSum.globalOrderedN]] pass as KS; the "next value" comes
+    * from a co-keyed self-join on the emitted global rank (rank →
+    * rank+1, ≤1 row per side, shuffled-hash) — never a global LEAD
+    * window. Engine parity: ECDF quotients are exact-long divides,
+    * each |ΔF|·Δx term floor-quantizes to the 1e-6 grid and sums as
+    * DECIMAL(28,6) partials (§5: scale = grid scale; terms can
+    * exceed unit magnitude through Δx), one cast at the edge.
+    * Undefined when either side is empty (NULL out like KS's
+    * guarded quotients).
+    */
+  def wassersteinW1(df: DataFrame, valueCol: String, isNewCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perVal = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))
+      .groupBy(col("value"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old_v"), sum(col("is_new")).as("n_new_v"))
+    // consumed twice (current row + next-value probe): materialize the
+    // prefix relation once so the second branch re-reads blocks
+    val cum = PrefixSum.globalOrderedN(perVal, Seq(col("value")),
+        Seq("n_old_v", "n_new_v"))
+      .localCheckpoint(false)
+    val nxt = cum.select((col("row_rank") - 1).as("row_rank"),
+      col("value").as("__next_value"))
+    val tot = perVal.agg(sum(col("n_old_v")).as("tot_old"),
+      sum(col("n_new_v")).as("tot_new"),
+      count(lit(1)).as("n_distinct_values"))
+    val contrib = floor(abs(
+        col("prefix_n_old_v") / when(col("tot_old") > 0, col("tot_old").cast("double"))
+          - col("prefix_n_new_v") / when(col("tot_new") > 0, col("tot_new").cast("double")))
+      * (col("__next_value") - col("value")) * lit(1e6)) / lit(1e6)
+    val terms = cum.join(nxt.hint("shuffle_hash"), Seq("row_rank"))
+      .crossJoin(broadcast(tot))
+      .select(contrib.cast(DecimalType(28, 6)).as("__contrib"),
+        col("tot_old"), col("tot_new"))
+    terms.agg(
+        sum(col("__contrib")).as("__w1"),
+        count(lit(1)).as("__n_terms"))
+      .crossJoin(broadcast(tot))
+      .select(
+        // a single distinct value has no terms: the distributions sit
+        // on one point, distance 0 (but stay NULL when a side is
+        // empty — no ECDF to integrate)
+        when(col("tot_old") > 0 && col("tot_new") > 0,
+          coalesce(col("__w1"),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 6))))
+          .cast("double").as("w1_distance"),
+        col("n_distinct_values"), col("tot_old").as("n_old"),
+        col("tot_new").as("n_new"))
+  }
+
   def ksStatistic(df: DataFrame, valueCol: String, isNewCol: String): DataFrame = {
     val perVal = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))

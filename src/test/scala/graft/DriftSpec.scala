@@ -52,4 +52,41 @@ class DriftSpec extends SparkSpec {
     assert(a.getAs[Double]("d_stat") == b.getAs[Double]("d_stat"))
     assert(a.getAs[Double]("at_value") == b.getAs[Double]("at_value"))
   }
+
+  test("wassersteinW1: identical samples score zero; uniform shift scores the shift") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0)
+    val same = Drift.wassersteinW1(frame(vals, vals), "value", "is_new").collect()(0)
+    assert(same.getAs[Double]("w1_distance") == 0.0)
+    assert(same.getAs[Long]("n_old") == 4L && same.getAs[Long]("n_new") == 4L)
+    // every point moved +10: W1 = 10 exactly — KS on the same pair
+    // saturates at 1.0 and cannot say HOW FAR the mass moved
+    val shifted = Drift.wassersteinW1(
+      frame(vals, vals.map(_ + 10.0)), "value", "is_new").collect()(0)
+    assert(shifted.getAs[Double]("w1_distance") == 10.0)
+    val ks = Drift.ksStatistic(
+      frame(vals, vals.map(_ + 10.0)), "value", "is_new").collect()(0)
+    assert(ks.getAs[Double]("d_stat") == 1.0)
+  }
+
+  test("wassersteinW1: hand-computed partial overlap") {
+    // old {0, 4}, new {0, 8}: ECDF diff is 0 on [0,4) and 1/2 on
+    // [4,8) -> W1 = 0.5 * 4 = 2
+    val r = Drift.wassersteinW1(frame(Seq(0.0, 4.0), Seq(0.0, 8.0)),
+      "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("w1_distance") == 2.0)
+    assert(r.getAs[Long]("n_distinct_values") == 3L)
+  }
+
+  test("wassersteinW1: single shared point is zero; empty side is NULL; layout-stable") {
+    val one = Drift.wassersteinW1(frame(Seq(5.0), Seq(5.0)), "value", "is_new")
+      .collect()(0)
+    assert(one.getAs[Double]("w1_distance") == 0.0)
+    val empty = Drift.wassersteinW1(frame(Seq(1.0, 2.0), Seq()), "value", "is_new")
+      .collect()(0)
+    assert(empty.isNullAt(empty.fieldIndex("w1_distance")))
+    val df = frame(Seq(1.0, 3.0, 5.0, 7.0, 11.0), Seq(2.0, 3.0, 8.0, 13.0))
+    val a = Drift.wassersteinW1(df, "value", "is_new").collect()(0)
+    val b = Drift.wassersteinW1(df.repartition(7), "value", "is_new").collect()(0)
+    assert(a.getAs[Double]("w1_distance") == b.getAs[Double]("w1_distance"))
+  }
 }
