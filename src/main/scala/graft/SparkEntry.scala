@@ -675,6 +675,25 @@ object SparkEntry {
       Graph.pageRank(flows, "src", "dst", "w", iterations = 10, damping = 0.85)
     }),
 
+    // Synchronous weighted label propagation over the same flow
+    // graph: which zones cluster into trade communities. Five fixed
+    // rounds, min-label ties, every round one edge join + node-sized
+    // argmax panels — see Graph.labelPropagation.
+    "graph_label_propagation" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.labelPropagation(flows, "src", "dst", "w", rounds = 5)
+    }),
+
     // Triangle enumeration over the same nation-flow graph (edges
     // canonicalized undirected): closed 3-cliques = the tightly
     // coupled trade triads. Two co-keyed joins, orientation-bounded
@@ -3248,6 +3267,7 @@ object SparkEntry {
           |SELECT * FROM scored WHERE ABS(z) > 3""".stripMargin,
 
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
+      "graph_label_propagation" -> labelPropOracleSql(5),
 
       // Same nation-flow edges, canonicalized undirected; the a<b<c
       // orientation generates each triangle exactly once.
@@ -3818,6 +3838,42 @@ object SparkEntry {
        |SELECT c.vec_id, CAST(SUM(CAST(floor((c.cv * r.r) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS pc1_score
        |FROM centered c JOIN r$iterations r USING (dim_pos)
        |GROUP BY 1""".stripMargin
+  }
+
+  /** Label-propagation oracle: each synchronous round is one chained
+    * CTE stage — neighbor-label weight sums (the same DECIMAL(28,6)
+    * partials), max-weight panel, min-label winner, coalesce for
+    * isolated nodes — generated with the SAME round count as the
+    * registered query.
+    */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT sn.n_name AS u, cn.n_name AS v, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name <> cn.n_name
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT e.u, l.label, SUM(CAST(e.w AS DECIMAL(28,6))) AS sw
+         |  FROM e JOIN l${r - 1} l ON e.v = l.node GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT u, MAX(sw) AS msw FROM s$r GROUP BY 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT s.u AS node, MIN(s.label) AS label
+         |  FROM s$r s JOIN m$r m ON s.u = m.u AND s.sw = m.msw GROUP BY 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(n.label, l.label) AS label
+         |  FROM l${r - 1} l LEFT JOIN w$r n ON l.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$iters\nSELECT node, label AS community FROM l$rounds"
   }
 
   /** The PageRank oracle, generated with the SAME iteration count and

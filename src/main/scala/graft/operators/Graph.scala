@@ -84,6 +84,65 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Community detection by synchronous weighted label propagation
+    * (Raghavan et al. 2007, made fully deterministic): every node
+    * starts as its own community; each round EVERY node
+    * simultaneously adopts the label carrying the largest total
+    * incident edge weight among its neighbors' previous-round labels,
+    * ties broken to the SMALLEST label — the argmax is a pure
+    * function of the previous round, so 1000 executors and a
+    * sequential SQL replay converge identically (asynchronous LPA's
+    * update-order dependence is exactly what's being excluded).
+    * Fixed round count (the [[pageRank]] doctrine): deterministic
+    * plan, chained-CTE-replayable oracle; synchronous LPA can
+    * oscillate on bipartite structures, which a fixed horizon simply
+    * truncates — documented, not hidden. Isolated nodes keep their
+    * own label.
+    *
+    * Scale shape: per round, ONE edge-sized join (neighbor labels) +
+    * one (node, label) partial-agg shuffle; the argmax is the
+    * max-weight panel join + min-label aggregate on the node-sized
+    * candidate relation (a struct-max cannot express "max weight
+    * then MIN string label"). Labels checkpoint per round — fixed
+    * job depth, nothing row-shaped at the driver. Weights sum as
+    * DECIMAL(28,6) partials: order-free reduction, exact equality in
+    * the max-weight probe on both engines.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"need at least one round: $rounds")
+    val e0 = edges.select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v") && col("w") > 0)
+    // undirected: both orientations, so "neighbors of u" is one
+    // equi-join on the second endpoint
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // fresh names per round (the pageRank self-join discipline)
+      val nb = e.join(labels.select(col("node").as("v"),
+            col("label").as("__cand")), "v")
+        .groupBy(col("u"), col("__cand"))
+        .agg(sum(col("w").cast(DecimalType(28, 6))).as("__sw"))
+      val mx = nb.groupBy(col("u")).agg(max(col("__sw")).as("__msw"))
+        .select(col("u").as("__u2"), col("__msw"))
+      val newLab = nb.join(mx, col("u") === col("__u2") &&
+          col("__sw") === col("__msw"))
+        .groupBy(col("u")).agg(min(col("__cand")).as("__new_label"))
+        .select(col("u").as("__n2"), col("__new_label"))
+      labels = labels.join(newLab, col("node") === col("__n2"), "left")
+        .select(col("node"),
+          coalesce(col("__new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Weighted PageRank by fixed-round power iteration: rank flows
     * along out-edges proportionally to edge weight, damped; dangling
     * mass (nodes with no out-edges) redistributes uniformly each

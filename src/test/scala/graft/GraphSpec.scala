@@ -74,6 +74,56 @@ class GraphSpec extends SparkSpec {
     assert(trianglesOf(noisy) == Set(("a", "b", "c")))
   }
 
+  test("labelPropagation: two dense cliques joined by one weak bridge split cleanly") {
+    // cliques {a1,a2,a3} and {b1,b2,b3} (weight-5 internal edges), one
+    // weight-1 bridge a3-b1: LPA must label each clique by its own
+    // minimum member, the bridge too weak to merge them
+    val edges = Seq(
+      ("a1", "a2", 5.0), ("a1", "a3", 5.0), ("a2", "a3", 5.0),
+      ("b1", "b2", 5.0), ("b1", "b3", 5.0), ("b2", "b3", 5.0),
+      ("a3", "b1", 1.0)).toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(edges, "src", "dst", "w", rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a1", "a2", "a3").map(got) == Set("a1"))
+    assert(Set("b1", "b2", "b3").map(got) == Set("b1"))
+  }
+
+  test("labelPropagation: weight outvotes count; min-label tie-break; isolated self-label") {
+    // x's neighbors: y (weight 10) vs {p, q} (1 each) -> after round 1
+    // x takes y's label (10 > 2 summed only per-label: p and q carry
+    // DIFFERENT labels round 1, 1 each)
+    val edges = Seq(
+      ("x", "y", 10.0), ("x", "p", 1.0), ("x", "q", 1.0)).toDF("src", "dst", "w")
+    val r1 = Graph.labelPropagation(edges, "src", "dst", "w", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1("x") == "y")
+    // exact tie (equal decimal sums): smallest candidate label wins
+    val tie = Seq(("m", "z", 2.0), ("m", "c", 2.0)).toDF("src", "dst", "w")
+    val rt = Graph.labelPropagation(tie, "src", "dst", "w", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rt("m") == "c")
+    // zero/negative-weight edges drop entirely -> their endpoints are
+    // absent; self-loops drop; a node seen only via dropped edges is
+    // not in the output by contract
+    val weird = Seq(("s", "s", 5.0), ("s", "t", 3.0), ("u", "v", 0.0))
+      .toDF("src", "dst", "w")
+    val rw = Graph.labelPropagation(weird, "src", "dst", "w", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rw.keySet == Set("s", "t"))
+    assert(rw("s") == "s" || rw("s") == "t") // 2-cycle oscillation truncated
+  }
+
+  test("labelPropagation: deterministic bits under repartition") {
+    val edges = Seq(
+      ("a", "b", 2.5), ("b", "c", 1.5), ("c", "d", 3.0), ("d", "a", 0.5),
+      ("e", "a", 2.0), ("e", "c", 2.0)).toDF("src", "dst", "w")
+    val x = Graph.labelPropagation(edges, "src", "dst", "w", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val y = Graph.labelPropagation(edges.repartition(7), "src", "dst", "w", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(x.toSeq == y.toSeq)
+  }
+
   test("clusteringCoeff: triangle with a pendant — exact per-node values") {
     // a-b-c closed triad, d hangs off a: deg(a)=3 with one of its
     // three wedges closed -> 1/3; b,c fully clustered; d degree-1 -> 0
