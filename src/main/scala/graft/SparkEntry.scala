@@ -1411,6 +1411,21 @@ object SparkEntry {
           coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double")
             .as("value_sum"))),
 
+    // Full CUBE over (type, day) — all four grouping sets (detail,
+    // per-type, per-day, grand total) in ONE pass via Catalyst's
+    // grouping-set Expand with map-side partials, same cost class as
+    // the rollup's three; grouping_id disambiguates a subtotal NULL
+    // from a NULL in the data (the rollup can't see per-day totals
+    // at all — that's the set CUBE adds).
+    "ana_cube_demand" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .cube(upper(trim(col("event_type"))).as("event_type_norm"),
+          to_date(col("ts")).as("day"))
+        .agg(grouping_id().as("grouping_set_id"),
+          count(lit(1)).as("n_events"),
+          coalesce(round(sum(money(col("value"))), 2), lit(0)).cast("double")
+            .as("value_sum"))),
+
     // Leakage-safe train/val/test split: keyed on user_id (NOT the
     // row id), so every row of a user lands in one split — groups
     // split across train and test leak shared context into eval. The
@@ -1896,6 +1911,18 @@ object SparkEntry {
         |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
         |FROM events
         |GROUP BY ROLLUP (UPPER(TRIM(event_type)), CAST(ts AS DATE))""".stripMargin,
+
+    // DuckDB GROUPING(a, b) carries Spark's grouping_id() bit layout
+    // (leftmost column = most significant bit, 1 = aggregated away).
+    "ana_cube_demand" ->
+      """SELECT UPPER(TRIM(event_type)) AS event_type_norm,
+        |  CAST(ts AS DATE) AS day,
+        |  CAST(GROUPING(UPPER(TRIM(event_type)), CAST(ts AS DATE)) AS BIGINT)
+        |    AS grouping_set_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY CUBE (UPPER(TRIM(event_type)), CAST(ts AS DATE))""".stripMargin,
 
     // The bloom prune must be invisible in the result — the oracle is
     // the SAME join with no bloom anywhere.

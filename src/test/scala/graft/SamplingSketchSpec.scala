@@ -352,6 +352,29 @@ class SamplingSketchSpec extends SparkSpec {
     assert(modeTotals.nonEmpty && detail.length > modeTotals.length)
   }
 
+  test("cube demand: all four grouping sets present and every level reconciles") {
+    val got = SparkEntry.queries("ana_cube_demand")(spark, sf).collect()
+    def ofSet(gid: Long) = got.filter(_.getAs[Long]("grouping_set_id") == gid)
+    val detail = ofSet(0L)      // (type, day)
+    val perType = ofSet(1L)     // day aggregated away
+    val perDay = ofSet(2L)      // type aggregated away — the set ROLLUP lacks
+    val grand = ofSet(3L)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_events")
+    assert(detail.map(_.getAs[Long]("n_events")).sum == total)
+    assert(perType.map(_.getAs[Long]("n_events")).sum == total)
+    assert(perDay.map(_.getAs[Long]("n_events")).sum == total)
+    // the grouping id, not NULL-ness, is the set discriminator: every
+    // per-day row has its type NULLed by the cube
+    assert(perDay.forall(_.isNullAt(0)) && perDay.forall(!_.isNullAt(1)))
+    assert(perType.forall(!_.isNullAt(0)) && perType.forall(_.isNullAt(1)))
+    // CUBE == ROLLUP + the per-day slice: the shared sets agree
+    val roll = SparkEntry.queries("ana_rollup_demand")(spark, sf).collect()
+      .filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
+    assert(perType.map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap == roll)
+  }
+
   test("histogram: exact equi-width buckets, max value clamped into the last") {
     import spark.implicits._
     val df = (0 to 100).map(_.toDouble).toDF("v") // mn=0, mx=100, 10 buckets of width 10
