@@ -84,9 +84,11 @@ object VersionedTable {
 
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
              statsCol: Option[String] = None,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             bloomCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     statsCol.foreach(requireJsonSafe(_, "statsCol"))
+    bloomCol.foreach(requireJsonSafe(_, "bloomCol"))
     txn.foreach(t => requireJsonSafe(t._1, "txn writer id"))
     val hfs = fs(spark, dir)
     val committed = versions(hfs, dir)
@@ -111,6 +113,34 @@ object VersionedTable {
         publish(hfs, new HPath(s"$dir/data/$segment/._graft_stats.json.tmp"),
           new HPath(s"$dir/data/$segment/_graft_stats.json"),
           s"""{"column": "$c", "min": ${r.getDouble(0)}, "max": ${r.getDouble(1)}}""")
+    }
+    bloomCol.foreach { c =>
+      // Bloom sidecar for POINT lookups: min/max stats prune only
+      // when the data is clustered by the key — on a high-cardinality
+      // unclustered key every segment's range spans everything and
+      // readWhere opens all of them; a per-segment bloom still
+      // answers "definitely not here". Built distributed (partial
+      // filters bit-or merged — no key list at the driver), sized to
+      // the segment's exact key count.
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val segDf = spark.read.parquet(s"$dir/data/$segment")
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(segDf.schema(c).dataType),
+        s"bloomCol '$c' must be integral (bloom keys hash as longs): " +
+          segDf.schema(c).dataType)
+      val keys = segDf.filter(col(c).isNotNull).select(col(c).cast("long").as(c))
+      val n = keys.count()
+      // an all-null/empty segment publishes NO sidecar and is simply
+      // always read — same conservative rule as the stats sidecar
+      if (n > 0) {
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          graft.expressions.BloomKernels.serialize(
+            keys.stat.bloomFilter(c, n, 0.01)))
+        publish(hfs, new HPath(s"$dir/data/$segment/._graft_bloom.json.tmp"),
+          new HPath(s"$dir/data/$segment/_graft_bloom.json"),
+          s"""{"column": "$c", "n": $n, "fpp": 0.01, "bits_b64": "$b64"}""")
+      }
     }
     val prevJson = committed.maxOption.map(pv => manifestJson(hfs, dir, pv))
     val prevSegs =
@@ -142,8 +172,10 @@ object VersionedTable {
     * rewriting concurrently is safe by construction.
     */
   def optimizeCompact(spark: SparkSession, dir: String,
-                      statsCol: Option[String] = None): Long =
-    commit(read(spark, dir), dir, overwrite = true, statsCol = statsCol)
+                      statsCol: Option[String] = None,
+                      bloomCol: Option[String] = None): Long =
+    commit(read(spark, dir), dir, overwrite = true, statsCol = statsCol,
+      bloomCol = bloomCol)
 
   /** Highest `txn` sequence number recorded for writer identity `app`
     * — the replay-detection probe for idempotent streaming commits.
@@ -215,6 +247,43 @@ object VersionedTable {
       read(spark, dir, Some(v)).filter(org.apache.spark.sql.functions.lit(false))
     else spark.read.parquet(kept.map(s => s"$dir/data/$s"): _*)
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** Point-lookup read: rows with `bloomCol == value`, opening only
+    * segments whose bloom sidecar might contain it — the
+    * high-cardinality-key complement of [[readWhere]]'s range
+    * pruning (min/max stats stop pruning the moment the key isn't
+    * what the data is clustered by; a bloom still says "definitely
+    * not in this segment"). A segment without a sidecar (never
+    * built, all-null, or unparsable) is read — conservative, no
+    * false negatives ever; false positives cost one extra segment
+    * scan at the sidecar's fpp. Pruning is O(#segments) driver work
+    * on KB-sized sidecars; the residual equality filter still
+    * applies to what remains.
+    */
+  def readPoint(spark: SparkSession, dir: String, bloomCol: String,
+                value: Long, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val hfs = fs(spark, dir)
+    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    val kept = segments(spark, dir, v).filter { s =>
+      val p = new HPath(s"$dir/data/$s/_graft_bloom.json")
+      if (!hfs.exists(p)) true
+      else {
+        val json = readText(hfs, p)
+        val colM = """"column"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        val bitsM = """"bits_b64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        if (!colM.contains(bloomCol) || bitsM.isEmpty) true
+        else try {
+          graft.expressions.BloomKernels.deserialize(
+            java.util.Base64.getDecoder.decode(bitsM.get)).mightContainLong(value)
+        } catch { case _: Throwable => true }
+      }
+    }
+    if (kept.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else spark.read.parquet(kept.map(s => s"$dir/data/$s"): _*)
+      .filter(col(bloomCol) === value)
   }
 
   /** Garbage collection: drop manifests older than the newest

@@ -59,6 +59,53 @@ class VersionedTableSpec extends SparkSpec {
       .distinct.length == 2)
   }
 
+  test("bloom sidecar: readPoint prunes segments range stats cannot") {
+    val dir = Files.createTempDirectory("graft_vt_bloom").toString
+    // INTERLEAVED key sets: every segment's [min, max] spans the whole
+    // domain, so stats pruning would open all three — the exact case
+    // the bloom sidecar exists for
+    VersionedTable.commit((0L to 28L by 2).map(k => (k, s"e$k")).toDF("k", "v"),
+      dir, statsCol = Some("k"), bloomCol = Some("k"))
+    VersionedTable.commit((1L to 29L by 2).map(k => (k, s"o$k")).toDF("k", "v"),
+      dir, statsCol = Some("k"), bloomCol = Some("k"))
+    VersionedTable.commit(Seq((2L, "dup2")).toDF("k", "v"),
+      dir, statsCol = Some("k"), bloomCol = Some("k"))
+    // range stats are blind between the two interleaved segments:
+    // both [min,max] spans contain 4, so readWhere opens both (only
+    // the single-key c2 segment is range-prunable)
+    assert(VersionedTable.readWhere(spark, dir, "k", 4, 4).inputFiles
+      .map(f => new java.io.File(f).getParentFile.getName).distinct.length == 2)
+    val got = VersionedTable.readPoint(spark, dir, "k", 4L)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((4L, "e4")))
+    val segDirs = got.inputFiles.map(f =>
+      new java.io.File(f).getParentFile.getName).distinct
+    assert(segDirs.forall(_.startsWith("c0-")), s"expected only c0, got $segDirs")
+    // a key present in TWO segments returns both rows (bloom keeps both)
+    val dup = VersionedTable.readPoint(spark, dir, "k", 2L)
+      .collect().map(_.getString(1)).sorted
+    assert(dup.toSeq == Seq("dup2", "e2"))
+    // no false negatives anywhere
+    (0L to 29L).foreach { k =>
+      assert(VersionedTable.readPoint(spark, dir, "k", k).count() >= 1, s"lost key $k")
+    }
+    // an absent key reads nothing — typically zero segments opened
+    assert(VersionedTable.readPoint(spark, dir, "k", 5000L).count() == 0)
+  }
+
+  test("bloom sidecar: segments without one stay readable (conservative)") {
+    val dir = Files.createTempDirectory("graft_vt_bloom2").toString
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir) // no sidecars at all
+    VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), dir, bloomCol = Some("k"))
+    val got = VersionedTable.readPoint(spark, dir, "k", 1L)
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("a"))
+    // non-integral bloom keys are rejected loudly at commit time
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((1L, "x")).toDF("k", "v"), dir, bloomCol = Some("v"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("versioned sink: replayed batch id commits nothing; foreign query applies") {
     val dir = Files.createTempDirectory("graft_vt_sink").toString
     val sc = spark.sparkContext
