@@ -1213,6 +1213,13 @@ object SparkEntry {
       Ann.kmeansCentroids(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 4, rounds = 5)),
 
+    // Per-cluster compactness/separation panel over the SAME trained
+    // model (k, rounds match embedding_kmeans) — the quality readout
+    // a k change shows its cost in.
+    "embedding_cluster_quality" -> ((s: SparkSession, d: String) =>
+      Ann.clusterQuality(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, rounds = 5)),
+
     // SemDeDup: cluster around k deterministic seeds, near-dup search
     // within clusters only. k = 4 is what the auto rule
     // (max(4, ceil(n/512))) yields across every driver SF — pinned
@@ -3627,6 +3634,7 @@ object SparkEntry {
     "embedding_pca_project" -> pcaOracleSql(64, 15),
 
     "embedding_kmeans" -> kmeansOracleSql(4, 5),
+    "embedding_cluster_quality" -> kmeansQualityOracleSql(4, 5),
     "embedding_coreset" -> kcenterOracleSql(8),
 
     "embedding_kmeans_centroids" -> kmeansCentroidsOracleSql(4, 5),
@@ -3816,6 +3824,42 @@ object SparkEntry {
     val cut = body.lastIndexOf("SELECT vec_id, cid AS cluster_id, d2 FROM (")
     body.substring(0, cut) +
       s"SELECT cluster_id AS cid, dim_pos, mx AS c FROM mean$rounds"
+  }
+
+  /** Cluster-quality twin of [[kmeansOracleSql]]: same trained
+    * rounds, then the full-distance intra panel (d2 + |v|², 1e-6-grid
+    * DECIMAL(28,6) partials) and the k×k nearest-other-centroid
+    * separation, ratio as a raw quotient.
+    */
+  private def kmeansQualityOracleSql(k: Int, rounds: Int): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    val body = kmeansOracleSql(k, rounds)
+    val cut = body.lastIndexOf("SELECT vec_id, cid AS cluster_id, d2 FROM (")
+    // the inherited prefix ends after the last round CTE (no trailing
+    // comma — the original's final SELECT followed directly)
+    body.substring(0, cut).stripSuffix("\n") + ",\n" +
+      s"""asgF AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster_id, d2 FROM (
+         |    SELECT b.vec_id, ct.cid,
+         |      ${dotSql("ct.c", "ct.c")} - CAST(2 AS DOUBLE) * ${dotSql("b.v", "ct.c")} AS d2
+         |    FROM base b CROSS JOIN cent$rounds ct)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |intra AS MATERIALIZED (
+         |  SELECT a.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    CAST(SUM(CAST(FLOOR((a.d2 + ${dotSql("b.v", "b.v")}) * 1e6) / 1e6
+         |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_d2
+         |  FROM base b JOIN asgF a USING (vec_id)
+         |  GROUP BY 1),
+         |sep AS MATERIALIZED (
+         |  SELECT a.cid AS cluster_id,
+         |    MIN(${dotSql("a.c", "a.c")} - CAST(2 AS DOUBLE) * ${dotSql("a.c", "b.c")}
+         |      + ${dotSql("b.c", "b.c")}) AS min_other_d2
+         |  FROM cent$rounds a JOIN cent$rounds b ON a.cid <> b.cid
+         |  GROUP BY 1)
+         |SELECT i.cluster_id, i.n_members, i.mean_d2, s.min_other_d2,
+         |  i.mean_d2 / NULLIF(s.min_other_d2, 0) AS compactness_ratio
+         |FROM intra i LEFT JOIN sep s ON i.cluster_id = s.cluster_id""".stripMargin
   }
 
   /** The power-iteration PCA oracle — scatter panel, fixed-round

@@ -220,6 +220,48 @@ object Ann {
     cents.select(col("cid"), posexplode(col("c")).as(Seq("dim_pos", "c")))
   }
 
+  /** Per-cluster quality panel of the trained [[kmeans]] — the
+    * clustering twin of `recallEval`'s "measure, don't guess": for
+    * each cluster its size, mean TRUE squared distance to its
+    * centroid (compactness), squared distance to the NEAREST other
+    * centroid (separation), and their ratio (a Davies–Bouldin-style
+    * score — ≪ 1 means tight well-separated clusters; ≈ 1 means the
+    * clustering is doing nothing). A k change shows its quality cost
+    * here immediately, next to the model it describes.
+    *
+    * Scale shape: one extra corpus pass over the final assignment
+    * (the full `|v|² − 2v·c + |c|²` distance — the assignment's
+    * argmin legitimately drops `|v|²`, a panel describing cluster
+    * tightness cannot), collapsing map-side to k rows; separation is
+    * k×(k−1) panel math on the broadcast centroid panel. §5: the
+    * full-entropy d² floor-quantizes to the 1e-6 grid before its
+    * DECIMAL(28,6) partials; the ratio ships as a raw IEEE quotient.
+    * k = 1 has no "other centroid": separation and ratio are NULL.
+    */
+  def clusterQuality(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int, rounds: Int = 5): DataFrame = {
+    val d28q = org.apache.spark.sql.types.DecimalType(28, 6)
+    val (base, cents) = kmeansCents(emb, idCol, vecCol, k, rounds)
+    val full = base.join(kmeansAssign(base, cents), "vec_id")
+      .withColumn("__d2t", col("d2") + dot(col("v"), col("v")))
+    val intra = full.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum((floor(col("__d2t") * lit(1e6)) / lit(1e6)).cast(d28q))
+          .cast("double") / count(lit(1))).as("mean_d2"))
+    val ca = cents.select(col("cid").as("cid_a"), col("c").as("ca"))
+    val cb = cents.select(col("cid").as("cid_b"), col("c").as("cb"))
+    val sep = ca.crossJoin(broadcast(cb))
+      .filter(col("cid_a") =!= col("cid_b"))
+      .groupBy(col("cid_a").as("cluster_id"))
+      .agg(min(dot(col("ca"), col("ca")) - lit(2.0) * dot(col("ca"), col("cb"))
+        + dot(col("cb"), col("cb"))).as("min_other_d2"))
+    intra.join(broadcast(sep), Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"), col("mean_d2"),
+        col("min_other_d2"),
+        (col("mean_d2") / when(col("min_other_d2") =!= 0, col("min_other_d2")))
+          .as("compactness_ratio"))
+  }
+
   private def kmeansAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("d2", dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")))

@@ -243,6 +243,36 @@ class AnnSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("clusterQuality: tight separated bundles score low ratios; k=1 has NULL separation") {
+    val rnd = new scala.util.Random(11)
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.05).toFloat))
+    }
+    val emb = (bundle(Array(1f, 0f, 0f, 0f), 0 until 10) ++
+      bundle(Array(0f, 1f, 0f, 0f), 10 until 20)).toDF("vec_id", "embedding")
+    val got = Ann.clusterQuality(emb, "vec_id", "embedding", k = 2, rounds = 5)
+      .collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 10L)
+      // intra spread ~0.05² per dim; separation ~2 (orthogonal axes):
+      // the ratio must scream "well-clustered"
+      assert(r.getAs[Double]("mean_d2") < 0.1)
+      assert(r.getAs[Double]("min_other_d2") > 1.0)
+      assert(r.getAs[Double]("compactness_ratio") < 0.1)
+    }
+    // the consistency identity: ratio == mean/sep bit-for-bit
+    got.foreach { r =>
+      assert(r.getAs[Double]("compactness_ratio") ==
+        r.getAs[Double]("mean_d2") / r.getAs[Double]("min_other_d2"))
+    }
+    val k1 = Ann.clusterQuality(emb, "vec_id", "embedding", k = 1, rounds = 2)
+      .collect()
+    assert(k1.length == 1 && k1.head.getAs[Long]("n_members") == 20L)
+    assert(k1.head.isNullAt(k1.head.fieldIndex("min_other_d2")))
+    assert(k1.head.isNullAt(k1.head.fieldIndex("compactness_ratio")))
+  }
+
   test("recallEval: one row per method, sane recall bounds, deterministic") {
     val emb = Tables(spark, sf, "embeddings")
     val got = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
