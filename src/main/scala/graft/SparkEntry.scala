@@ -448,6 +448,12 @@ object SparkEntry {
           grain = Seq("user_id", "event_type"), order = Seq("ts", "event_id")),
         Seq("user_id", "event_type"))),
 
+    // Does user_id determine event_type? Measured, not assumed — the
+    // denormalization-safety audit (here loudly violated: users mix
+    // event types, which is the finding).
+    "audit_fd_check" -> ((s: SparkSession, d: String) =>
+      Audit.fdCheck(t(s, d, "events"), "user_id", "event_type")),
+
     "gold_scd2_build" -> scd2User _,
 
     "gold_scd2_incremental" -> scd2UserIncremental _,
@@ -1164,6 +1170,15 @@ object SparkEntry {
 
     "sessionize_gap" -> ((s: SparkSession, d: String) =>
       Sessionize.byGap(t(s, d, "events"), "user_id", "ts", "event_id", "value", gapSec = 1800)),
+
+    // Sweep-line peak concurrency over the gap sessions: the busiest
+    // instant's open-session count — capacity planning over the
+    // session table. Distributed prefix sum, codegen sweep expansion.
+    "ana_peak_concurrency" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.peakConcurrency(
+        Sessionize.byGap(t(s, d, "events"), "user_id", "ts", "event_id",
+          "value", gapSec = 1800),
+        "session_start", "session_end", Seq("user_id", "session_seq"))),
 
     "quality_threshold_gate" -> ((s: SparkSession, d: String) =>
       QualityGate.thresholdGate(cleanseEvents(s, d), eventRules,
@@ -1893,6 +1908,23 @@ object SparkEntry {
       s"""SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM ($dedupGrainSql)
          |GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin,
+
+    // Two-phase exact distinct per key; worst key = struct-max of
+    // (n distinct, key) — ties to the largest key on both engines.
+    "audit_fd_check" ->
+      """WITH pk AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM (SELECT DISTINCT user_id,
+        |          COALESCE(CAST(event_type AS VARCHAR), '<NULL>') AS v
+        |        FROM events WHERE user_id IS NOT NULL)
+        |  GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(CASE WHEN COUNT(*) > 0 THEN COUNT(*) END AS DOUBLE) AS violation_share,
+        |  MAX({'nd': nd, 'k': k}).nd AS max_distinct_dependents,
+        |  MAX({'nd': nd, 'k': k}).k AS worst_key
+        |FROM pk""".stripMargin,
 
     // SUM over integers is HUGEINT in DuckDB — cast every summed stat
     // to BIGINT or the driver's type-faithful hash can never match
@@ -3519,6 +3551,25 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "sessionize_gap" -> sessionizeOracleSql,
+
+    // Sweep replay: starts before ends at a shared instant (delta
+    // DESC), total order closed by (user_id, session_seq), running
+    // sum over exact longs, struct-argmax with earliest-instant ties.
+    "ana_peak_concurrency" ->
+      s"""WITH sess AS MATERIALIZED ($sessionizeOracleSql),
+         |sw AS (
+         |  SELECT session_start AS ts, CAST(1 AS BIGINT) AS delta, user_id, session_seq FROM sess
+         |  UNION ALL
+         |  SELECT session_end, CAST(-1 AS BIGINT), user_id, session_seq FROM sess),
+         |c AS (
+         |  SELECT ts,
+         |    SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_seq
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM sw)
+         |SELECT CAST(MAX({'p': run, 'negts': -epoch_ms(ts)}).p AS BIGINT) AS peak_concurrency,
+         |  make_timestamp(-MAX({'p': run, 'negts': -epoch_ms(ts)}).negts * 1000) AS at_ts,
+         |  CAST((SELECT COUNT(*) FROM sw) / 2 AS BIGINT) AS n_intervals
+         |FROM c""".stripMargin,
 
     "gold_cut_replace" ->
       s"""WITH c AS (${cleanseEventsSql("")}),

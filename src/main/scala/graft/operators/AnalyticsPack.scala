@@ -1083,4 +1083,45 @@ object AnalyticsPack {
         countDistinct(when(col("d") === col("g"), col("user_id"))).as("n_users_day"),
         countDistinct(col("user_id")).as("n_users_7d"))
   }
+
+  /** Peak concurrency over closed intervals — "how many sessions were
+    * open at the busiest instant, and when was it": the classic
+    * sweep-line (+1 at start, −1 after end, running sum, argmax),
+    * the capacity-planning number a session table exists to answer.
+    * Closed-interval semantics: at a shared instant starts order
+    * before ends, so a session ending at T and one starting at T
+    * count as overlapping.
+    *
+    * Scale shape: the 2-per-interval sweep expansion happens inside
+    * codegen (array+explode), the running sum is the DISTRIBUTED
+    * two-phase prefix sum over the (ts, delta desc, id…) total order
+    * — never a single-partition global window over 2·|sessions| rows
+    * — and the argmax is one struct-max aggregate (peak, then the
+    * EARLIEST attaining instant; only +1 rows can attain the peak,
+    * so both engines argmax over identical candidates). Deltas are
+    * exact longs: order-free offset reduction.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: String, endCol: String,
+                      idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty,
+      "peakConcurrency needs tie-break id columns for a total sweep order")
+    val sw = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .select(explode(array(
+        struct(col(startCol).as("ts"), lit(1L).as("delta")),
+        struct(col(endCol).as("ts"), lit(-1L).as("delta")))).as("__e")
+        +: idCols.map(col): _*)
+      .select(col("__e.ts").as("ts") +: col("__e.delta").as("delta")
+        +: idCols.map(col): _*)
+    val run = PrefixSum.globalOrdered(sw,
+      col("ts").asc +: col("delta").desc +: idCols.map(col(_).asc), "delta")
+    run.agg(
+        max(struct(col("prefix_sum").as("p"),
+          (-unix_millis(col("ts"))).as("negts"))).as("__m"),
+        (count(lit(1)) / lit(2)).cast("long").as("n_intervals"))
+      .select(col("__m.p").as("peak_concurrency"),
+        timestamp_millis(-col("__m.negts")).as("at_ts"),
+        col("n_intervals"))
+  }
 }

@@ -132,6 +132,41 @@ object Audit {
     * Scale shape: one codegen'd scan + a ≤9-key partial agg; the χ²
     * total is panel math (grid-quantized DECIMAL partials, §5 rule).
     */
+  /** Functional-dependency audit: does `determinant → dependent`
+    * actually hold in the data? One summary row: total determinant
+    * keys, keys carrying MORE than one distinct dependent value
+    * (violations), the violation share, and the worst offender (max
+    * distinct dependents; ties take the lexicographically largest
+    * key — one struct-max, total order) — the
+    * schema-assumption check next to [[grainViolations]]' uniqueness
+    * audit: "can I safely denormalize/join on this?", answered by
+    * measurement instead of hope. NULL dependents count as a value
+    * of their own (a key mapping to both x and NULL is NOT
+    * single-valued); NULL determinants are excluded (no key).
+    *
+    * Scale shape: one (key, value) partial-agg dedup + one key-keyed
+    * count — the standard two-phase exact COUNT(DISTINCT) — then a
+    * 1-row panel aggregate with a struct-max argmax. Clean data
+    * collapses map-side to nearly nothing.
+    */
+  def fdCheck(df: DataFrame, determinant: String, dependent: String): DataFrame = {
+    val perKey = df.filter(col(determinant).isNotNull)
+      .select(col(determinant).cast("string").as("__k"),
+        coalesce(col(dependent).cast("string"), lit("<NULL>")).as("__v"))
+      .distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__nd"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        max(struct(col("__nd").as("nd"), col("__k").as("k"))).as("__worst"))
+      .select(col("n_keys"), col("n_violating_keys"),
+        (col("n_violating_keys").cast("double") /
+          when(col("n_keys") > 0, col("n_keys").cast("double")))
+          .as("violation_share"),
+        col("__worst.nd").as("max_distinct_dependents"),
+        col("__worst.k").as("worst_key"))
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     // log10(1 + 1/d) for d = 1..9, to 17 significant digits
     val benford = Seq(

@@ -549,6 +549,37 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got("2024-01-05")._1 == Some(false) && got("2024-01-24")._1 == Some(false))
   }
 
+  test("peakConcurrency: hand-built overlap, closed-end touch counts, earliest peak wins") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // timeline: a[10:00-10:30] b[10:10-10:40] c[10:20-10:50] overlap
+    // 3-deep at 10:20; d starts exactly when a ends (10:30) — closed
+    // intervals make the instant 10:30 FOUR-deep (a still open at its
+    // own end + b + c + d); half-open semantics would say 3
+    val iv = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (2L, 1L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:40:00")),
+      (3L, 1L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:50:00")),
+      (4L, 1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:35:00")),
+      (5L, 1L, ts("2024-01-01 15:00:00"), ts("2024-01-01 15:10:00")))
+      .toDF("uid", "seq", "s", "e")
+    val got = AnalyticsPack.peakConcurrency(iv, "s", "e", Seq("uid", "seq"))
+      .collect()(0)
+    assert(got.getAs[Long]("peak_concurrency") == 4L)
+    assert(got.getAs[java.sql.Timestamp]("at_ts") == ts("2024-01-01 10:30:00"))
+    assert(got.getAs[Long]("n_intervals") == 5L)
+    // layout-stable (distributed prefix sum, total sweep order)
+    val again = AnalyticsPack.peakConcurrency(iv.repartition(7), "s", "e",
+      Seq("uid", "seq")).collect()(0)
+    assert(again.getAs[Long]("peak_concurrency") == 4L &&
+      again.getAs[java.sql.Timestamp]("at_ts") == ts("2024-01-01 10:30:00"))
+    // inverted/null intervals drop by contract
+    val withBad = iv.unionAll(Seq(
+      (9L, 1L, ts("2024-01-01 10:25:00"), ts("2024-01-01 10:00:00")))
+      .toDF("uid", "seq", "s", "e"))
+    assert(AnalyticsPack.peakConcurrency(withBad, "s", "e", Seq("uid", "seq"))
+      .collect()(0).getAs[Long]("n_intervals") == 5L)
+  }
+
   test("histogram2d: known cells, clamped top edge, shares sum to 1") {
     import graft.operators.Profiling
     val df = Seq((0.0, 0.0), (0.1, 9.9), (9.9, 0.1), (10.0, 10.0), (5.0, 5.0))

@@ -180,6 +180,29 @@ class CoreOperatorsSpec extends SparkSpec {
       (2L, "B", 3L))
   }
 
+  test("fdCheck: holding FD scores zero; violations counted with the worst key") {
+    val holds = Seq((1L, "X", 1), (1L, "X", 2), (2L, "Y", 3)).toDF("k", "dep", "junk")
+    val ok = Audit.fdCheck(holds, "k", "dep").collect()(0)
+    assert(ok.getAs[Long]("n_keys") == 2L)
+    assert(ok.getAs[Long]("n_violating_keys") == 0L)
+    assert(ok.getAs[Double]("violation_share") == 0.0)
+    // key 2 maps to Y and NULL (null IS a distinct dependent value);
+    // key 3 maps to three values -> the worst offender
+    val viol = Seq((1L, "X"), (2L, "Y"), (2L, null), (3L, "A"), (3L, "B"), (3L, "C"))
+      .toDF("k", "dep")
+    val got = Audit.fdCheck(viol, "k", "dep").collect()(0)
+    assert(got.getAs[Long]("n_keys") == 3L)
+    assert(got.getAs[Long]("n_violating_keys") == 2L)
+    assert(got.getAs[Double]("violation_share") == 2.0 / 3.0)
+    assert(got.getAs[Long]("max_distinct_dependents") == 3L)
+    assert(got.getAs[String]("worst_key") == "3")
+    // NULL determinants carry no key: excluded entirely
+    val withNullKey = viol.unionAll(Seq((null.asInstanceOf[java.lang.Long], "Z"))
+      .map(t => (t._1: java.lang.Long, t._2)).toDF("k", "dep"))
+    assert(Audit.fdCheck(withNullKey, "k", "dep").collect()(0)
+      .getAs[Long]("n_keys") == 3L)
+  }
+
   test("rangeJoin: an era-spanning interval fails loudly, not with a giant explode") {
     val pts = Seq((1L, 5L)).toDF("pid", "p")
     val bad = Seq((1L, 0L, 50_000_000L)).toDF("iid", "lo", "hi") // 50M buckets at width 1
