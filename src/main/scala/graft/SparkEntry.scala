@@ -1464,6 +1464,11 @@ object SparkEntry {
       Sampling.splitAssign(t(s, d, "events"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id"))),
 
+    // 5-fold CV assignment keyed on user_id — same leakage argument
+    // as the split assigner, exact hash-space tiling, zero shuffle.
+    "sample_kfold_assign" -> ((s: SparkSession, d: String) =>
+      Sampling.kfoldAssign(t(s, d, "events"), k = 5, Seq("user_id"))),
+
     // First BPE merge-step pair counts over the corpus vocabulary
     // (tokenizer-training primitive; frequency-weighted).
     "bpe_pair_counts" -> ((s: SparkSession, d: String) =>
@@ -1644,6 +1649,16 @@ object SparkEntry {
     // (sketch internals), mergeability spec-pinned.
     "sketch_hll_rollup" -> ((s: SparkSession, d: String) =>
       Profiling.hllRollup(t(s, d, "events"), "ts", "user_id")),
+
+    // HLL set algebra (rows-only by protocol): user overlap between
+    // the two snapshot halves — the retention/overlap question the
+    // stored-sketch tier answers without a rescan.
+    "sketch_overlap" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      Profiling.hllOverlap(ev, "user_id",
+        to_date(col("ts")) <= lit("2024-01-15"),
+        to_date(col("ts")) > lit("2024-01-15"))
+    }),
 
     // Interval-OVERLAP range join: same-customer order pairs whose
     // fulfillment windows intersect, counted per customer — both
@@ -2378,6 +2393,16 @@ object SparkEntry {
         |FROM (
         |  SELECT *, substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) AS __b
         |  FROM events)""".stripMargin,
+
+    // fold = floor(u*k) over the md5 uniform: bucket*k < 2^53 is
+    // double-exact and the 2^32 divisor is a power of two — no
+    // rounding decision for the engines to disagree on.
+    "sample_kfold_assign" ->
+      """SELECT *,
+        |  CAST(FLOOR(CAST(CAST(concat('0x',
+        |    substr(md5(COALESCE(CAST(user_id AS VARCHAR), '<NULL>')), 1, 8))
+        |    AS BIGINT) * 5 AS DOUBLE) / 4294967296.0) AS INT) AS fold_id
+        |FROM events""".stripMargin,
 
     // Deterministic sampler: DuckDB replays the exact md5-bucket
     // membership rule — same rows survive in both engines.

@@ -194,6 +194,44 @@ object Profiling {
         col("sum_daily_est"))
   }
 
+  /** HLL set algebra between two slices of one key column: distinct
+    * estimates for each slice, their union (one scalar `hll_union`),
+    * the intersection by inclusion–exclusion (clamped at 0 — I-E can
+    * go slightly negative inside the sketch error), and the Jaccard
+    * estimate — "how many users are in BOTH halves" answered from
+    * fixed-size sketches, the overlap/retention question exact
+    * distincts cannot answer reaggregably at 100 TB (and the reason
+    * a lake stores sketches per slice: ANY pairwise overlap is two
+    * stored sketches + this panel, no rescan). Intersection error
+    * grows as the true overlap shrinks relative to the union (the
+    * standard I-E caveat) — the estimate is for "is the overlap
+    * big", not for counting tiny intersections.
+    *
+    * Scale shape: ONE corpus pass building both sketches as
+    * conditional aggregates (map-side partial sketches merge in any
+    * order), then 1-row panel math. Rows-only by protocol (sketch
+    * internals are not oracle-replayable); the spec pins near-exact
+    * sparse-regime numbers and the clamp.
+    */
+  def hllOverlap(df: DataFrame, keyCol: String,
+                 sliceACond: Column, sliceBCond: Column,
+                 lgK: Int = 12): DataFrame = {
+    val sk = df.filter(col(keyCol).isNotNull)
+      .agg(
+        hll_sketch_agg(when(sliceACond, col(keyCol)), lit(lgK)).as("ska"),
+        hll_sketch_agg(when(sliceBCond, col(keyCol)), lit(lgK)).as("skb"))
+      .select(
+        hll_sketch_estimate(col("ska")).cast("double").as("est_a"),
+        hll_sketch_estimate(col("skb")).cast("double").as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).cast("double")
+          .as("est_union"))
+    sk.select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"))
+      .withColumn("jaccard_est",
+        col("est_intersect") / when(col("est_union") > 0, col("est_union")))
+  }
+
   /** Shannon-entropy profile of categorical columns — the "how much
     * signal does this column carry" panel next to [[mutualInfo]]'s
     * pairwise dependence: per column, non-null count, distinct count,

@@ -449,6 +449,26 @@ object Sampling {
       .limit(n)
   }
 
+  /** Leakage-safe K-FOLD cross-validation assignment: every row gets
+    * a fold in [0, k) as a pure function of its GROUP key —
+    * `floor(u·k)` over the md5 uniform, so folds tile the hash space
+    * in equal contiguous ranges (exact-double arithmetic: bucket·k
+    * stays under 2^53 and the 2^32 divisor is a power of two — no
+    * rounding anywhere for any engine to disagree on) and every row
+    * of a group lands in ONE fold (grouped keys are the same
+    * leakage argument as [[splitAssign]]: a user split across train
+    * and validation folds leaks shared context into every eval).
+    * Stateless codegen'd map — zero shuffle, layout/engine/run
+    * stable; re-running with a different k re-tiles consistently.
+    */
+  def kfoldAssign(df: DataFrame, k: Int, keyCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2: $k")
+    require(keyCols.nonEmpty, "kfoldAssign needs at least one key column")
+    val b = md5Long32(keyCols.map(col))
+    df.withColumn("fold_id",
+      floor((b * lit(k.toLong)).cast("double") / lit(4294967296.0)).cast("int"))
+  }
+
   /** Deterministic multiplier BOOTSTRAP for the mean — the
     * distributed answer to "what's the sampling error on this
     * metric": `b` resamples, each row entering resample `i` with a

@@ -352,6 +352,53 @@ class SamplingSketchSpec extends SparkSpec {
     assert(modeTotals.nonEmpty && detail.length > modeTotals.length)
   }
 
+  test("kfoldAssign: complete tiling, group purity, near-even folds, stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 4000L).map(u => (u, u % 13)).toDF("user_id", "x")
+    val got = Sampling.kfoldAssign(df, k = 5, Seq("user_id"))
+    val folds = got.groupBy("fold_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4))
+    // equal hash-space tiles: binomial noise only
+    assert(folds.values.forall(n => n > 600 && n < 1000), folds.toString)
+    // every row of a group lands in one fold (pure function of the key)
+    val multi = df.unionAll(df) // duplicate rows = same keys
+    val perKey = Sampling.kfoldAssign(multi, k = 5, Seq("user_id"))
+      .groupBy("user_id").agg(countDistinct(col("fold_id")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(perKey == 0L)
+    // layout/run stable
+    val again = Sampling.kfoldAssign(df.repartition(7), k = 5, Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val first = got.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(first == again)
+  }
+
+  test("hllOverlap: inclusion-exclusion overlap near-exact in the sparse regime") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val df = ((1 to 1000).map(k => (k.toLong, "A")) ++
+      (501 to 1500).map(k => (k.toLong, "B"))).toDF("k", "slice")
+    val got = Profiling.hllOverlap(df, "k",
+      col("slice") === "A", col("slice") === "B").collect()(0)
+    // truth: |A|=1000, |B|=1000, |A∪B|=1500, |A∩B|=500, J=1/3;
+    // lgK=12 sketches at this cardinality estimate within a few %
+    assert(math.abs(got.getAs[Double]("est_a") - 1000.0) < 50)
+    assert(math.abs(got.getAs[Double]("est_b") - 1000.0) < 50)
+    assert(math.abs(got.getAs[Double]("est_union") - 1500.0) < 75)
+    assert(math.abs(got.getAs[Double]("est_intersect") - 500.0) < 100)
+    assert(math.abs(got.getAs[Double]("jaccard_est") - 1.0 / 3.0) < 0.07)
+    // disjoint slices: the clamp keeps I-E's noise out of negative
+    // territory and Jaccard stays near zero
+    val dj = Profiling.hllOverlap(df, "k",
+      col("slice") === "A" && col("k") <= 200,
+      col("slice") === "A" && col("k") > 800).collect()(0)
+    assert(dj.getAs[Double]("est_intersect") >= 0.0)
+    assert(dj.getAs[Double]("est_intersect") < 40.0)
+    assert(dj.getAs[Double]("jaccard_est") < 0.1)
+  }
+
   test("cube demand: all four grouping sets present and every level reconciles") {
     val got = SparkEntry.queries("ana_cube_demand")(spark, sf).collect()
     def ofSet(gid: Long) = got.filter(_.getAs[Long]("grouping_set_id") == gid)
