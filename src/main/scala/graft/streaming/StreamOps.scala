@@ -206,6 +206,56 @@ object StreamOps {
       .drop("__graft_bp", "__graft_bi")
   }
 
+  /** Stream-stream interval-OVERLAP join — the E18 bucketization and
+    * bucket-OWNERSHIP rule run inside watermarks: both interval
+    * streams explode to their covered fixed-width time buckets,
+    * bucket equality is the stream-stream equi-key, the exact
+    * `loA ≤ hiB AND loB ≤ hiA` closed-ends test rides as the
+    * residual, and a qualifying pair is emitted ONLY in
+    * `max(bucket(loA), bucket(loB))` — the first bucket both
+    * intervals provably cover — so each pair appears exactly once
+    * with NO dedup state. Both sides declare the same `maxSpanSec`
+    * contract (loud failure past it, as in [[intervalJoin]]); the
+    * overlap condition plus the span bound imply
+    * `loB ∈ [loA − maxSpan, loA + maxSpan]`, which is stated
+    * explicitly so the state store can evict by event time.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          loA: String, hiA: String, loB: String, hiB: String,
+                          maxSpanSec: Long, bucketSec: Long,
+                          watermark: String = "1 hour"): DataFrame = {
+    require(maxSpanSec > 0, s"maxSpanSec must be positive: $maxSpanSec")
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    require(maxSpanSec / bucketSec + 1 <= graft.operators.RangeJoin.MaxBucketsPerInterval,
+      s"maxSpanSec/bucketSec fan-out ${maxSpanSec / bucketSec + 1} exceeds " +
+        s"${graft.operators.RangeJoin.MaxBucketsPerInterval} buckets per interval")
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketSec))) / lit(bucketSec)).cast("long")
+    def explodeSide(df: DataFrame, lo: String, hi: String, b: String) =
+      df.withWatermark(lo, watermark)
+        .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn(b, explode(
+          when(col(hi) > col(lo) + expr(s"INTERVAL $maxSpanSec SECONDS"),
+            raise_error(concat(
+              lit("intervalOverlapJoin: interval ["), col(lo).cast("string"),
+              lit(", "), col(hi).cast("string"),
+              lit(s"] spans more than the declared maxSpanSec=$maxSpanSec — " +
+                "matches beyond it would be silently lost to state eviction"))))
+            .otherwise(sequence(bucketOf(unix_seconds(col(lo))),
+              bucketOf(unix_seconds(col(hi)))))))
+    val l = explodeSide(left, loA, hiA, "__graft_bl")
+    val r = explodeSide(right, loB, hiB, "__graft_br")
+    l.join(r,
+        col("__graft_bl") === col("__graft_br") &&
+          col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+          col(loB) >= col(loA) - expr(s"INTERVAL $maxSpanSec SECONDS") &&
+          col(loB) <= col(loA) + expr(s"INTERVAL $maxSpanSec SECONDS") &&
+          col("__graft_bl") === greatest(bucketOf(unix_seconds(col(loA))),
+            bucketOf(unix_seconds(col(loB)))),
+        "inner")
+      .drop("__graft_bl", "__graft_br")
+  }
+
   /** Streaming MERGE-on-grain sink: each micro-batch is deduped to
     * the declared grain and appended WHEN-NOT-MATCHED into the target
     * (graft.operators.Merge.appendNewGrains per batch — the

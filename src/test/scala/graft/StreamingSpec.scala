@@ -426,6 +426,82 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == Set((10L, 1L), (11L, 1L), (12L, 1L), (14L, 2L)))
   }
 
+  test("stateless curation gates run unchanged on streams: split+fold stream == batch") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Sampling
+    val rows = (1L to 500L).map(i => (i, i % 97))
+    val in = MemoryStream[(Long, Long)]
+    // the md5-keyed samplers are pure row functions — they compose
+    // straight into a streaming projection with NO state, and the
+    // stream's assignment is bit-identical to the batch's (the
+    // deterministic-sampler property, now proven on the stream path)
+    val q = Sampling.kfoldAssign(
+        Sampling.splitAssign(in.toDF.toDF("event_id", "user_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id")),
+        k = 5, Seq("user_id"))
+      .writeStream.format("memory").queryName("curation_s").outputMode("append").start()
+    in.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation_s").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("split"),
+        r.getAs[Int]("fold_id"))).toSet
+    val batch = Sampling.kfoldAssign(
+        Sampling.splitAssign(rows.toDF("event_id", "user_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id")),
+        k = 5, Seq("user_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("split"),
+        r.getAs[Int]("fold_id"))).toSet
+    assert(streamed == batch && streamed.size == 500)
+  }
+
+  test("stream-stream interval overlap: equals the batch overlap join, one row per pair") {
+    implicit val sql = spark.sqlContext
+    val leftRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 10:40:00"), ts("2024-01-01 11:20:00")),  // spans 4+ buckets
+      (3L, ts("2024-01-01 14:00:00"), ts("2024-01-01 14:05:00")))
+    val rightRows = Seq(
+      (10L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:50:00")), // overlaps 1 AND 2
+      (11L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:31:00")), // touches 1's end
+      (12L, ts("2024-01-01 11:20:00"), ts("2024-01-01 11:59:00")), // touches 2's end
+      (13L, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:40:00"))) // no partner
+    val inL = MemoryStream[(Long, Timestamp, Timestamp)]
+    val inR = MemoryStream[(Long, Timestamp, Timestamp)]
+    val q = StreamOps.intervalOverlapJoin(
+        inL.toDF.toDF("l_id", "l_lo", "l_hi"),
+        inR.toDF.toDF("r_id", "r_lo", "r_hi"),
+        "l_lo", "l_hi", "r_lo", "r_hi",
+        maxSpanSec = 3600, bucketSec = 600, watermark = "0 seconds")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ovjoin_s").outputMode("append").start()
+    inL.addData(leftRows)
+    inR.addData(rightRows)
+    q.processAllAvailable()
+    inL.addData(Seq((99L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"))))
+    inR.addData(Seq((99L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ovjoin_s").filter($"l_id" < 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ownership rule: exactly one copy per qualifying pair even when
+    // both intervals share several buckets
+    assert(streamed.size == streamed.toSet.size, s"duplicated pairs: $streamed")
+    val batch = graft.operators.RangeJoin.intervalOverlap(
+        leftRows.toDF("l_id", "l_lo", "l_hi")
+          .select($"l_id", unix_seconds($"l_lo").as("la"), unix_seconds($"l_hi").as("ha")),
+        "la", "ha",
+        rightRows.toDF("r_id", "r_lo", "r_hi")
+          .select($"r_id", unix_seconds($"r_lo").as("lb"), unix_seconds($"r_hi").as("hb")),
+        "lb", "hb", bucketWidth = 600L)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.toSet == batch)
+    assert(streamed.toSet ==
+      Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)))
+  }
+
   test("foreachBatch merge sink: grains never duplicate across micro-batches") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_mergesink").toString
