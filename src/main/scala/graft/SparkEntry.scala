@@ -1242,6 +1242,13 @@ object SparkEntry {
       Ann.clusterQuality(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 4, rounds = 5)),
 
+    // Per-cluster p95 distance gate over the same model: the
+    // embedding-space junk filter (out-of-band vectors flagged
+    // against their OWN cluster's distance distribution).
+    "embedding_outlier_filter" -> ((s: SparkSession, d: String) =>
+      Ann.clusterOutliers(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, rounds = 5)),
+
     // SemDeDup: cluster around k deterministic seeds, near-dup search
     // within clusters only. k = 4 is what the auto rule
     // (max(4, ceil(n/512))) yields across every driver SF — pinned
@@ -3718,6 +3725,7 @@ object SparkEntry {
 
     "embedding_kmeans" -> kmeansOracleSql(4, 5),
     "embedding_cluster_quality" -> kmeansQualityOracleSql(4, 5),
+    "embedding_outlier_filter" -> kmeansOutlierOracleSql(4, 5, 0.95),
     "embedding_coreset" -> kcenterOracleSql(8),
 
     "embedding_kmeans_centroids" -> kmeansCentroidsOracleSql(4, 5),
@@ -3943,6 +3951,33 @@ object SparkEntry {
          |SELECT i.cluster_id, i.n_members, i.mean_d2, s.min_other_d2,
          |  i.mean_d2 / NULLIF(s.min_other_d2, 0) AS compactness_ratio
          |FROM intra i LEFT JOIN sep s ON i.cluster_id = s.cluster_id""".stripMargin
+  }
+
+  /** Outlier-gate twin of [[kmeansOracleSql]]: full distance per
+    * vector, per-cluster exact quantile_cont threshold (the F2
+    * percentile parity), one comparison.
+    */
+  private def kmeansOutlierOracleSql(k: Int, rounds: Int, p: Double): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    val body = kmeansOracleSql(k, rounds)
+    val cut = body.lastIndexOf("SELECT vec_id, cid AS cluster_id, d2 FROM (")
+    body.substring(0, cut).stripSuffix("\n") + ",\n" +
+      s"""asgF AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster_id, d2 FROM (
+         |    SELECT b.vec_id, ct.cid,
+         |      ${dotSql("ct.c", "ct.c")} - CAST(2 AS DOUBLE) * ${dotSql("b.v", "ct.c")} AS d2
+         |    FROM base b CROSS JOIN cent$rounds ct)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |full_d AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cluster_id, a.d2 + ${dotSql("b.v", "b.v")} AS d2_full
+         |  FROM base b JOIN asgF a USING (vec_id)),
+         |thr AS MATERIALIZED (
+         |  SELECT cluster_id, quantile_cont(d2_full, $p) AS p95_d2
+         |  FROM full_d GROUP BY 1)
+         |SELECT f.vec_id, f.cluster_id, f.d2_full, t.p95_d2,
+         |  f.d2_full > t.p95_d2 AS is_outlier
+         |FROM full_d f JOIN thr t USING (cluster_id)""".stripMargin
   }
 
   /** The power-iteration PCA oracle — scatter panel, fixed-round

@@ -262,6 +262,35 @@ object Ann {
           .as("compactness_ratio"))
   }
 
+  /** Per-cluster distance-outlier gate over the trained [[kmeans]] —
+    * the embedding-space junk filter next to [[semanticDedup]]'s
+    * duplicate filter: a vector sitting past its OWN cluster's p-th
+    * distance percentile is flagged (noise, corrupt embeddings,
+    * out-of-domain content — the population a curation pass prunes
+    * or quarantines). Per-cluster thresholds, not global: a naturally
+    * diffuse cluster must not condemn its whole membership, and a
+    * tight cluster's junk must not hide under a global band.
+    *
+    * Engine parity: the full distance `d2 + |v|²` is the
+    * hash-proven kmeans value, the threshold is the exact sort-based
+    * `percentile` (the F2 `quantile_cont` parity), the flag one
+    * comparison of engine-identical doubles. Scale shape: one
+    * ≤-k-row threshold panel broadcast back over the assignment —
+    * nothing beyond the kmeans passes themselves.
+    */
+  def clusterOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, rounds: Int = 5, p: Double = 0.95): DataFrame = {
+    require(p > 0 && p < 1, s"percentile must be in (0,1): $p")
+    val (base, cents) = kmeansCents(emb, idCol, vecCol, k, rounds)
+    val full = base.join(kmeansAssign(base, cents), "vec_id")
+      .withColumn("d2_full", col("d2") + dot(col("v"), col("v")))
+    val thr = full.groupBy(col("cluster_id"))
+      .agg(percentile(col("d2_full"), lit(p)).as("p95_d2"))
+    full.join(broadcast(thr), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("d2_full"),
+        col("p95_d2"), (col("d2_full") > col("p95_d2")).as("is_outlier"))
+  }
+
   private def kmeansAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("d2", dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")))

@@ -294,6 +294,33 @@ class AnnSpec extends SparkSpec {
     assert(k1.head.isNullAt(k1.head.fieldIndex("compactness_ratio")))
   }
 
+  test("clusterOutliers: planted far point flagged against its own cluster's band") {
+    val rnd = new scala.util.Random(13)
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.05).toFloat))
+    }
+    // two tight bundles + one far outlier nominally nearest bundle A
+    val emb = (bundle(Array(1f, 0f, 0f, 0f), 0 until 20) ++
+      bundle(Array(0f, 1f, 0f, 0f), 20 until 40) ++
+      Seq((99L, Array(3f, 0f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val got = Ann.clusterOutliers(emb, "vec_id", "embedding", k = 2, rounds = 5,
+        p = 0.9).collect()
+    assert(got.length == 41)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // the planted point is the flagged one
+    assert(byId(99L).getAs[Boolean]("is_outlier"))
+    // per-cluster p90 over 21/20 members flags only the extreme tail:
+    // a small, cluster-local set — never a whole bundle
+    val flagged = got.filter(_.getAs[Boolean]("is_outlier")).map(_.getLong(0)).toSet
+    assert(flagged.contains(99L) && flagged.size <= 5, flagged.toString)
+    // threshold is shared within a cluster and the flag is exactly the
+    // comparison (consistency identity)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("is_outlier") ==
+        (r.getAs[Double]("d2_full") > r.getAs[Double]("p95_d2")))
+    }
+  }
+
   test("recallEval: one row per method, sane recall bounds, deterministic") {
     val emb = Tables(spark, sf, "embeddings")
     val got = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
