@@ -794,6 +794,11 @@ object SparkEntry {
     "ana_retention_cohort" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.retentionCohort(t(s, d, "events"))),
 
+    // Cumulative cohort value (the LTV curve): what retention's
+    // headcount view is worth in money, per cohort age.
+    "ana_cohort_ltv" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.cohortLtv(t(s, d, "events"))),
+
     // Ordered VIEW→CLICK→PURCHASE funnel (running-min windows per
     // user, one shuffle), panel of counts + conversion rates.
     "ana_funnel_steps" -> ((s: SparkSession, d: String) =>
@@ -1641,6 +1646,12 @@ object SparkEntry {
       Profiling.corrPairs(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Missingness co-occurrence audit: do NULLs arrive together?
+    // phi per column pair over one integer-moment scan.
+    "table_missingness" -> ((s: SparkSession, d: String) =>
+      Profiling.missingnessPairs(t(s, d, "events"),
+        Seq("user_id", "event_type", "value", "props"))),
+
     // Categorical-dependence audit: per-cell mutual-information panel
     // between day type and mode over the validated serving frame.
     "table_mutual_info" -> ((s: SparkSession, d: String) =>
@@ -2031,6 +2042,9 @@ object SparkEntry {
     // IEEE-correctly-rounded sqrt (the anomaly_zscore convention).
     "table_corr_pairs" -> corrPairsOracleSql(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    "table_missingness" -> missingnessOracleSql(
+      Seq("user_id", "event_type", "value", "props")),
 
     // md5-derived 32-bit digests summed per bucket (order-free) —
     // Spark's conv(hex,16,10) == DuckDB's CAST('0x…') ; the measure
@@ -3073,7 +3087,30 @@ object SparkEntry {
            |FROM ($validSql)
            |GROUP BY 1, 2""".stripMargin,
 
-      "ana_retention_cohort" ->
+      "ana_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fs AS (SELECT user_id, MIN(day) AS cohort_date FROM ev GROUP BY 1),
+        |ba AS (
+        |  SELECT cohort_date, date_diff('day', cohort_date, day) AS age_days,
+        |    CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active_users,
+        |    COALESCE(SUM(CAST(v AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS rev
+        |  FROM ev JOIN fs USING (user_id)
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT cohort_date, n_active_users AS cohort_size
+        |  FROM ba WHERE age_days = 0)
+        |SELECT ba.cohort_date, ba.age_days, ba.n_active_users,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY ba.cohort_date ORDER BY ba.age_days
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY ba.cohort_date ORDER BY ba.age_days
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(cohort_size AS DOUBLE) AS ltv_per_user
+        |FROM ba JOIN base USING (cohort_date)""".stripMargin,
+
+    "ana_retention_cohort" ->
         """WITH ev AS (
           |  SELECT user_id, CAST(ts AS DATE) AS day
           |  FROM events WHERE user_id IS NOT NULL),
@@ -4106,6 +4143,29 @@ object SparkEntry {
          |    LEFT JOIN c$i c ON c.node = nd.node)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$iters\nSELECT node, rank FROM r$iterations"
+  }
+
+  /** Missingness-audit oracle generated from the SAME column list —
+    * integer moments, the identical fixed-order phi expression.
+    */
+  private def missingnessOracleSql(cols: Seq[String]): String = {
+    val moms =
+      cols.map(c => s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c") ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        s"CAST(SUM(CASE WHEN $a IS NULL AND $b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb_${a}_$b" }
+    val pairSelects = cols.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  nn_$a AS n_null_x, nn_$b AS n_null_y, nb_${a}_$b AS n_both_null,
+         |  (CAST(n AS DOUBLE) * CAST(nb_${a}_$b AS DOUBLE)
+         |     - CAST(nn_$a AS DOUBLE) * CAST(nn_$b AS DOUBLE))
+         |  / NULLIF(sqrt(CAST(nn_$a AS DOUBLE) * CAST(n - nn_$a AS DOUBLE)
+         |     * CAST(nn_$b AS DOUBLE) * CAST(n - nn_$b AS DOUBLE)), 0) AS phi
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n, ${moms.mkString(",\n  ")}
+       |  FROM events)
+       |$pairSelects""".stripMargin
   }
 
   private def corrPairsOracleSql(cols: Seq[String]): String = {

@@ -396,6 +396,46 @@ object AnalyticsPack {
       .drop("cohort_size")
   }
 
+  /** Cumulative cohort value (the LTV curve): per (cohort first-seen
+    * day, age in days) the period revenue, the running cumulative
+    * revenue, and cumulative value PER COHORT MEMBER — the
+    * "how much is a user worth by age N" panel [[retentionCohort]]'s
+    * headcount view prices out. Revenue accumulates as exact
+    * DECIMAL(18,2) sums (the money rule) with the running total a
+    * decimal window over the ≤#days panel per cohort (the day-panel
+    * window convention); per-member value is ONE IEEE division of
+    * the exact cumulative by the day-0 cohort size.
+    *
+    * Scale shape: one user-keyed first-seen aggregate, one co-keyed
+    * join back (same partitioning), one (cohort, age) partial-agg
+    * shuffle — the window and the broadcast size panel never see
+    * fact rows.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast("double").as("v"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_date"))
+    val byAge = ev.join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("day"), col("cohort_date")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"),
+        coalesce(sum(graft.expressions.Kernels.toDecimal(col("v"), 18, 2)),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2)))
+          .as("__rev"))
+    val base = byAge.filter(col("age_days") === 0)
+      .select(col("cohort_date"), col("n_active_users").as("cohort_size"))
+    val w = Window.partitionBy(col("cohort_date")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.join(broadcast(base), "cohort_date")
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .select(col("cohort_date"), col("age_days"), col("n_active_users"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cum").cast("double").as("cum_revenue"),
+        (col("__cum").cast("double") / col("cohort_size").cast("double"))
+          .as("ltv_per_user"))
+  }
+
   /** Ordered conversion funnel VIEW → CLICK → PURCHASE: a step counts
     * only when it happens at-or-after the user's first completion of
     * the previous step (event-time order with event_id tie-break).

@@ -119,6 +119,45 @@ object Profiling {
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
   }
 
+  /** Missingness co-occurrence audit: for every column pair, do NULLs
+    * arrive TOGETHER or independently — the φ (Pearson on the 2×2
+    * null-indicator table) per pair, next to [[corrPairs]]' value
+    * correlation: correlated missingness is a pipeline fingerprint
+    * (one upstream failure nulls a whole column group; MCAR data
+    * shows φ ≈ 0), and it decides whether imputation can treat
+    * columns independently. Emits per pair the row count, each side's
+    * null count, the both-null count and φ (NULL when either column
+    * never/always nulls — a constant indicator has no correlation).
+    *
+    * Scale shape: ONE scan, integer `sum(case)` moments per column +
+    * pair (map-side combined to a 1-row panel), the pair expansion on
+    * the panel — the corrPairs discipline with exact-long moments,
+    * one fixed-order IEEE expression per pair at the edge.
+    */
+  def missingnessPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"missingnessPairs needs at least two columns: $cols")
+    def ind(c: String) = when(col(c).isNull, 1L).otherwise(0L)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(ind(c)).as(s"nn_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum(ind(a) * ind(b)).as(s"nb_${a}_$b") }
+    val agg = df.agg(moments.head, moments.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val na = col(s"nn_$a"); val nb = col(s"nn_$b"); val n11 = col(s"nb_${a}_$b")
+      val denom = sqrt(d(na) * d(col("n") - na) * d(nb) * d(col("n") - nb))
+      val phi = (d(col("n")) * d(n11) - d(na) * d(nb)) /
+        when(denom === 0, lit(null)).otherwise(denom)
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        na.as("n_null_x"), nb.as("n_null_y"), n11.as("n_both_null"),
+        phi.as("phi"))
+    }
+    agg.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("n"),
+        col("p.n_null_x"), col("p.n_null_y"), col("p.n_both_null"), col("p.phi"))
+  }
+
   /** 2-D equi-width histogram — the joint-distribution panel behind a
     * heatmap or a 2-column drift monitor (the 1-D [[histogram]]'s
     * product shape): kx × ky buckets over the observed [min,max] of

@@ -549,6 +549,53 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got("2024-01-05")._1 == Some(false) && got("2024-01-24")._1 == Some(false))
   }
 
+  test("cohortLtv: hand-computed revenue, cumulative and per-member value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cohort 2024-01-01: u1 + u2 (size 2). age 0 revenue 10+2=12,
+    // age 1 revenue 5 (u1 only). cohort 2024-01-02: u3 alone, 7.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, ts("2024-01-01 11:00:00"), 2.0),
+      (1L, ts("2024-01-02 09:00:00"), 5.0),
+      (3L, ts("2024-01-02 12:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val got = AnalyticsPack.cohortLtv(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(("2024-01-01", 0)) == (2L, 12.0, 12.0, 6.0))
+    assert(got(("2024-01-01", 1)) == (1L, 5.0, 17.0, 8.5))
+    assert(got(("2024-01-02", 0)) == (1L, 7.0, 7.0, 7.0))
+    // null values contribute zero revenue but keep the user active
+    val withNull = ev.unionAll(Seq((2L, ts("2024-01-02 10:00:00"),
+      null.asInstanceOf[java.lang.Double]))
+      .map(t => (t._1, t._2, t._3: java.lang.Double)).toDF("user_id", "ts", "value"))
+    val g2 = AnalyticsPack.cohortLtv(withNull).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(g2(("2024-01-01", 1)) == (2L, 5.0))
+  }
+
+  test("missingnessPairs: coupled nulls phi=1, independent ~0, constant NULL") {
+    import graft.operators.Profiling
+    // a,b null together on half the rows -> phi = 1; c null on an
+    // independent half -> phi ~ 0 vs a; d never null -> NULL phi
+    val rows = (1 to 100).map { i =>
+      val ab = if (i % 2 == 0) Some(1.0) else None
+      val c = if ((i / 2) % 2 == 0) Some(1.0) else None
+      (ab.map(_ => "x").orNull, ab, c, i)
+    }
+    val df = rows.toDF("a", "b", "c", "d")
+    val got = Profiling.missingnessPairs(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Long]("n_null_x") == 50L && ab.getAs[Long]("n_both_null") == 50L)
+    assert(ab.getAs[Double]("phi") == 1.0)
+    assert(math.abs(got(("a", "c")).getAs[Double]("phi")) < 0.1)
+    val ad = got(("a", "d"))
+    assert(ad.isNullAt(ad.fieldIndex("phi"))) // d never null: no variance
+    assert(got.size == 6) // C(4,2) pairs
+  }
+
   test("peakConcurrency: hand-built overlap, closed-end touch counts, earliest peak wins") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // timeline: a[10:00-10:30] b[10:10-10:40] c[10:20-10:50] overlap

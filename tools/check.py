@@ -61,6 +61,14 @@ def main():
 
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     failures = 0
+    # A requested name missing from the dumped oracle map is a FAILURE,
+    # not a silent skip: it means the Verify run never produced it
+    # (compile error, crashed dump, or a typo'd name) and a green
+    # "0 failures" would be a lie.
+    missing_requested = sorted(n for n in ONLY if n not in oracle)
+    for name in missing_requested:
+        print(f"FAIL {name}: not in {OUT_DIR}/oracle_sql.json (Verify never dumped it)")
+        failures += 1
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
             continue
