@@ -966,6 +966,66 @@ object SparkEntry {
               lit("BEST_OF_CLUSTER").as("keep_reason")))
     }),
 
+    // END-TO-END curation pipeline: the proven stages CHAINED with
+    // first-match staged drop reasons over EVERY input doc — the
+    // operational "run my whole corpus cleanup" shape. Stage order:
+    // canonical exact-dup (min-id keeps) -> quality gate (the
+    // doc_quality_gate rules) -> near-dup best-of-cluster over the
+    // SURVIVORS (dedup never wastes pairs on already-dropped docs) ->
+    // greedy token-budget cut (quality desc). Output = audit + filter
+    // in one: (doc, tokens, quality, drop_stage|NULL, is_kept).
+    "corpus_curation_pipeline" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val norm = lower(regexp_replace(trim(col("text")),
+        "[ \\t\\n\\r\\f\\x0B]+", " "))
+      val canon = docs.select(col("doc_id"), norm.as("__norm"))
+      val keepers = canon.groupBy(col("__norm"))
+        .agg(min(col("doc_id")).as("__keep_id"))
+      val s1 = canon.join(keepers, "__norm")
+        .select(col("doc_id"), (col("doc_id") =!= col("__keep_id")).as("__exact_dup"))
+      val staged = textStats(s, d)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .join(s1, "doc_id")
+        .withColumn("__q", when(col("n_tokens") < 5, "TOO_SHORT")
+          .when(col("n_tokens") > 100000, "TOO_LONG")
+          .when(col("punct_ratio") > 0.3, "HIGH_PUNCT")
+          .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0,
+            "BAD_TOKEN_LEN")
+          .when(col("lang") === "en" && col("n_tokens") >= 50 &&
+            col("stopword_ratio") < 0.01, "NO_STOPWORDS")
+          .otherwise(lit(null).cast("string")))
+        .localCheckpoint(true) // consumed by the dedup stage AND final assembly
+      val surv12 = staged.filter(!col("__exact_dup") && col("__q").isNull)
+      val clusters = TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(docs.join(surv12.select("doc_id"), "doc_id"),
+          "doc_id", "text"), "doc_a", "doc_b")
+      val j = surv12.select(col("doc_id"), col("quality_score"))
+        .join(clusters, Seq("doc_id"), "left")
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val nearKeep = j.filter(col("cluster_id").isNull).select("doc_id")
+        .unionByName(j.filter(col("cluster_id").isNotNull)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("doc_id"))
+      val surv123 = surv12.select(col("doc_id"), col("quality_score"),
+          col("n_tokens"))
+        .join(nearKeep, "doc_id")
+      val inBudget = Sampling.tokenBudget(surv123, "doc_id", "quality_score",
+          "n_tokens", budget = 50000L)
+        .select(col("doc_id"), lit(true).as("__in_budget"))
+      staged
+        .join(nearKeep.withColumn("__near_keep", lit(true)), Seq("doc_id"), "left")
+        .join(inBudget, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          when(col("__exact_dup"), "EXACT_DUP")
+            .when(col("__q").isNotNull, col("__q"))
+            .when(col("__near_keep").isNull, "NEAR_DUP")
+            .when(col("__in_budget").isNull, "OVER_BUDGET")
+            .otherwise(lit(null).cast("string")).as("drop_stage"))
+        .withColumn("is_kept", col("drop_stage").isNull)
+    }),
+
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
 
@@ -4234,8 +4294,8 @@ object SparkEntry {
     // The min-label fixpoint as a recursive transitive-closure CTE
     // (UNION-distinct terminates it) — shared by dedup_clusters and
     // the corpus-keep endpoint so both replay the SAME cluster set.
-    val clusterCtes =
-      s"""jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql)}),
+    def clusterCtesFor(src: String) =
+      s"""jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql, src = src)}),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM jp
          |  UNION
@@ -4247,6 +4307,7 @@ object SparkEntry {
          |clusters AS (
          |  SELECT id AS doc_id, MIN(label) AS cluster_id
          |  FROM walk GROUP BY id)""".stripMargin
+    val clusterCtes = clusterCtesFor("documents")
     val textStatsSql =
       s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, n_tokens_bpe, punct_ratio, stopword_ratio,
          |  least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio * 0.5) * (1.0 - punct_ratio) AS quality_score
@@ -4434,6 +4495,66 @@ object SparkEntry {
            |WHERE rn = 1""".stripMargin,
 
       "text_stats" -> textStatsSql,
+
+      // The chained pipeline replayed stage-for-stage: canonical
+      // keepers, the gate CASE, the recursive cluster CTEs over the
+      // stage-1/2 survivor relation, best-of-cluster, cumulative
+      // budget window — first-match CASE at the end.
+      "corpus_curation_pipeline" ->
+        s"""WITH RECURSIVE canon AS (
+           |  SELECT doc_id,
+           |    lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
+           |  FROM documents),
+           |kp AS (SELECT norm, MIN(doc_id) AS keep_id FROM canon GROUP BY 1),
+           |s1 AS (SELECT c.doc_id, c.doc_id <> k.keep_id AS exact_dup
+           |       FROM canon c JOIN kp k USING (norm)),
+           |st AS (SELECT * FROM ($textStatsSql)),
+           |staged AS (
+           |  SELECT st.doc_id, st.n_tokens, st.quality_score, s1.exact_dup,
+           |    CASE WHEN st.n_tokens < 5 THEN 'TOO_SHORT'
+           |         WHEN st.n_tokens > 100000 THEN 'TOO_LONG'
+           |         WHEN st.punct_ratio > 0.3 THEN 'HIGH_PUNCT'
+           |         WHEN st.avg_token_len < 2.0 OR st.avg_token_len > 12.0 THEN 'BAD_TOKEN_LEN'
+           |         WHEN d.lang = 'en' AND st.n_tokens >= 50 AND st.stopword_ratio < 0.01 THEN 'NO_STOPWORDS'
+           |         ELSE NULL END AS q
+           |  FROM st JOIN documents d USING (doc_id) JOIN s1 USING (doc_id)),
+           |surv12 AS (
+           |  SELECT d.doc_id, d.text FROM documents d JOIN staged sg USING (doc_id)
+           |  WHERE NOT sg.exact_dup AND sg.q IS NULL),
+           |${clusterCtesFor("surv12")},
+           |jq AS (
+           |  SELECT sg.doc_id, sg.quality_score, c.cluster_id
+           |  FROM staged sg JOIN surv12 USING (doc_id)
+           |  LEFT JOIN clusters c USING (doc_id)),
+           |nearkeep AS (
+           |  SELECT doc_id FROM jq WHERE cluster_id IS NULL
+           |  UNION ALL
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |      ORDER BY quality_score DESC, doc_id) AS rn
+           |    FROM jq WHERE cluster_id IS NOT NULL) WHERE rn = 1),
+           |surv123 AS (
+           |  SELECT sg.doc_id, sg.quality_score, sg.n_tokens
+           |  FROM staged sg JOIN nearkeep USING (doc_id)),
+           |budget AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM surv123) WHERE cum <= 50000)
+           |SELECT sg.doc_id, sg.n_tokens, sg.quality_score,
+           |  CASE WHEN sg.exact_dup THEN 'EXACT_DUP'
+           |       WHEN sg.q IS NOT NULL THEN sg.q
+           |       WHEN nk.doc_id IS NULL THEN 'NEAR_DUP'
+           |       WHEN b.doc_id IS NULL THEN 'OVER_BUDGET'
+           |       ELSE NULL END AS drop_stage,
+           |  CASE WHEN sg.exact_dup THEN 'EXACT_DUP'
+           |       WHEN sg.q IS NOT NULL THEN sg.q
+           |       WHEN nk.doc_id IS NULL THEN 'NEAR_DUP'
+           |       WHEN b.doc_id IS NULL THEN 'OVER_BUDGET'
+           |       ELSE NULL END IS NULL AS is_kept
+           |FROM staged sg
+           |LEFT JOIN nearkeep nk USING (doc_id)
+           |LEFT JOIN budget b USING (doc_id)""".stripMargin,
 
       // Percentile calibration: integer rank/count windows, one IEEE
       // division each, fixed left-assoc ensemble sum — replays the
@@ -5064,10 +5185,11 @@ object SparkEntry {
     * and the clusters row (whose edge set it is).
     */
   private def jaccardPairsOracleSql(toksSql: String, shinglesSql: String,
-                                    threshold: Double = 0.5): String =
+                                    threshold: Double = 0.5,
+                                    src: String = "documents"): String =
     s"""WITH docs AS (
        |  SELECT doc_id, $shinglesSql AS shs
-       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+       |  FROM (SELECT doc_id, $toksSql AS t FROM $src)),
        |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM docs),
        |dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
        |kept AS (SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfc d USING (sh)),

@@ -313,6 +313,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == Map(1L -> "BEST_OF_CLUSTER", 3L -> "UNIQUE", 5L -> "BEST_OF_CLUSTER"))
   }
 
+  test("curation pipeline: staged first-match drops — exact dup, gate, near-dup") {
+    val d = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog again and again"),
+      // whitespace/case variant of 1 -> canonical EXACT_DUP
+      (2L, "en", "  The   Quick  Brown fox jumps over the lazy dog again and again "),
+      (3L, "en", "hi there"), // TOO_SHORT
+      // near-dup of 1 (one token appended): best-of-cluster decides
+      (4L, "en", "the quick brown fox jumps over the lazy dog again and again extra"),
+      (5L, "en", "completely different content about boats and rivers today"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    d.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_curation_pipeline")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3), r.getBoolean(4))).toMap
+    assert(got.size == 5) // EVERY input doc gets a row
+    assert(got(2L) == (("EXACT_DUP", false)))
+    assert(got(3L) == (("TOO_SHORT", false)))
+    assert(got(5L) == ((null, true)))
+    // the near-dup pair resolves to exactly one survivor (4 has more
+    // tokens -> higher quality score -> it wins)
+    assert(got(4L) == ((null, true)) && got(1L) == (("NEAR_DUP", false)))
+  }
+
+  test("curation pipeline: greedy token budget cuts the quality-ranked prefix") {
+    // six 10001-token fillers (quality 1.0 each, lang xx dodges the
+    // stopword gate): 4 x 10001 fit the 50000 budget, the 5th
+    // breaches it, and the greedy prefix cut drops 5 AND 6
+    val filler = (1 to 6).map { k =>
+      (k.toLong, "xx", (0 until 10001).map(i => s"w${k}x$i").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipeb").toString
+    filler.toDF("doc_id", "lang", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_curation_pipeline")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert((1L to 4L).forall(got(_) == null), got.toString)
+    assert(got(5L) == "OVER_BUDGET" && got(6L) == "OVER_BUDGET")
+  }
+
   test("fingerprints: deterministic, content-sensitive, within prime range") {
     val got = docs.select($"doc_id",
       TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"),
