@@ -1760,6 +1760,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlapping_pairs"))
     }),
 
+    // Per-customer fulfillment-interval UNION: merged busy blocks,
+    // covered days vs span — the utilization view over the same
+    // closed [orderdate, last-shipment] intervals E18 pairs up.
+    // Key-bounded windows, exact long lengths, one raw quotient.
+    "ana_interval_union" -> ((s: SparkSession, d: String) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val shipEnd = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("ship_end"))
+      val iv = t(s, d, "orders")
+        .join(shipEnd, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("lo"),
+          datediff(col("ship_end"), epoch).cast("long").as("hi"))
+      AnalyticsPack.intervalUnion(iv, "custkey", "lo", "hi")
+        .withColumnRenamed("key", "custkey")
+    }),
+
     // Bucketed snapshot reconciliation: the B side drops event 17 and
     // perturbs event 42's value — the diff must localize both.
     "audit_table_diff" -> ((s: SparkSession, d: String) => {
@@ -1834,6 +1852,17 @@ object SparkEntry {
     // panel above is their diagnostic drill-down).
     "data_drift_chi2" -> ((s: SparkSession, d: String) =>
       Drift.chi2Histogram(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("is_new",
+            coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
+        "value", "is_new", k = 20)),
+
+    // PSI over the same histogram — the industry-standard monitoring
+    // scalar (0.1/0.25 rules of thumb); ln terms ride only the
+    // ≤k-bucket panel under the §5 floor-grid, both-sides-empty
+    // buckets skipped (counted) rather than epsilon-smoothed.
+    "data_drift_psi" -> ((s: SparkSession, d: String) =>
+      Drift.psiHistogram(
         t(s, d, "events").filter(col("value").isNotNull)
           .withColumn("is_new",
             coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
@@ -2248,6 +2277,42 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(abs(diff) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) * 0.5 AS tv_dist,
         |  CAST(SUM(CASE WHEN n_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
         |  CAST(SUM(CASE WHEN n_old > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_buckets_skipped,
+        |  CAST(MAX(tot_old) AS BIGINT) AS tot_old,
+        |  CAST(MAX(tot_new) AS BIGINT) AS tot_new
+        |FROM p""".stripMargin,
+
+    // PSI replay: same buckets/totals as chi2; each term's ln and the
+    // final (p_new-p_old)*ln product floor-quantize to 1e-6 before the
+    // DECIMAL(28,6) partial — grid scale == decimal scale (§5).
+    "data_drift_psi" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+        |k AS (
+        |  SELECT
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE LEAST(19, CAST(FLOOR((value - mn) / ((mx - mn) / 20)) AS INTEGER)) END AS bucket,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new
+        |  FROM ev, b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new) AS BIGINT) AS tot_new
+        |  FROM k),
+        |p AS (
+        |  SELECT n_old, n_new, tot_old, tot_new,
+        |    n_old / CAST(tot_old AS DOUBLE) AS p_old,
+        |    n_new / CAST(tot_new AS DOUBLE) AS p_new
+        |  FROM k, tot)
+        |SELECT
+        |  CAST(SUM(CASE WHEN n_old > 0 AND n_new > 0
+        |    THEN CAST(floor((p_new - p_old)
+        |      * (floor(ln(p_new / p_old) * 1e6) / 1e6) * 1e6) / 1e6
+        |      AS DECIMAL(28,6)) END) AS DOUBLE) AS psi,
+        |  CAST(SUM(CASE WHEN n_old > 0 AND n_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_used,
+        |  CAST(SUM(CASE WHEN n_old > 0 AND n_new > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_buckets_skipped,
         |  CAST(MAX(tot_old) AS BIGINT) AS tot_old,
         |  CAST(MAX(tot_new) AS BIGINT) AS tot_new
         |FROM p""".stripMargin,
@@ -2885,6 +2950,53 @@ object SparkEntry {
           |FROM iv a JOIN iv b ON a.cust = b.cust AND a.ok < b.ok
           |  AND a.lo_d <= b.hi_d AND b.lo_d <= a.hi_d
           |GROUP BY 1""".stripMargin,
+
+      // Interval-union replay: running-max-hi sweep per customer
+      // (closed semantics: lo > prev max starts a block), blocks
+      // collapse to (min lo, max hi), exact long lengths, raw quotient.
+      "ana_interval_union" ->
+        """WITH ivd AS (
+          |  SELECT o_custkey AS custkey, o_orderkey AS ok,
+          |    CAST(o_orderdate AS DATE) AS lo_d,
+          |    MAX(CAST(l_shipdate AS DATE)) AS hi_d
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2, 3
+          |  HAVING MAX(CAST(l_shipdate AS DATE)) >= CAST(o_orderdate AS DATE)),
+          |iv AS (
+          |  SELECT custkey,
+          |    CAST(lo_d - DATE '1970-01-01' AS BIGINT) AS lo,
+          |    CAST(hi_d - DATE '1970-01-01' AS BIGINT) AS hi
+          |  FROM ivd),
+          |m AS (
+          |  SELECT custkey, lo, hi,
+          |    CASE WHEN MAX(hi) OVER (PARTITION BY custkey ORDER BY lo, hi
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          |      OR lo > MAX(hi) OVER (PARTITION BY custkey ORDER BY lo, hi
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |    THEN 1 ELSE 0 END AS nb
+          |  FROM iv),
+          |blk AS (
+          |  SELECT custkey, lo, hi,
+          |    SUM(nb) OVER (PARTITION BY custkey ORDER BY lo, hi
+          |      ROWS UNBOUNDED PRECEDING) AS block
+          |  FROM m),
+          |g AS (
+          |  SELECT custkey, block, MIN(lo) AS b_lo, MAX(hi) AS b_hi,
+          |    CAST(COUNT(*) AS BIGINT) AS n_iv
+          |  FROM blk GROUP BY 1, 2),
+          |per AS (
+          |  SELECT custkey,
+          |    CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+          |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          |    CAST(SUM(b_hi - b_lo + 1) AS BIGINT) AS covered_units,
+          |    CAST(MIN(b_lo) AS BIGINT) AS span_lo,
+          |    CAST(MAX(b_hi) AS BIGINT) AS span_hi
+          |  FROM g GROUP BY 1)
+          |SELECT custkey, n_intervals, n_blocks, covered_units, span_lo, span_hi,
+          |  CAST(span_hi - span_lo + 1 AS BIGINT) AS span_units,
+          |  CAST(covered_units AS DOUBLE) / CAST(span_hi - span_lo + 1 AS DOUBLE)
+          |    AS coverage_ratio
+          |FROM per""".stripMargin,
 
       "ana_gini_demand" ->
         s"""WITH perstop AS (

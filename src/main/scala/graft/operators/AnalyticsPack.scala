@@ -1141,6 +1141,53 @@ object AnalyticsPack {
     * so both engines argmax over identical candidates). Deltas are
     * exact longs: order-free offset reduction.
     */
+  /** Per-key INTERVAL UNION: merge a key's overlapping/touching closed
+    * [lo, hi] intervals into maximal disjoint blocks and report the
+    * total covered length, block count, full span and coverage ratio —
+    * "how much of the timeline is this key actually busy" (the
+    * utilization/coverage complement of [[peakConcurrency]]'s depth
+    * question; double-counted overlap is exactly what a naive
+    * Σ(hi−lo+1) gets wrong).
+    *
+    * Sweep: within each key, intervals in (lo, hi) order; an interval
+    * starts a new block iff its lo lies strictly past the running max
+    * hi of all earlier intervals (closed semantics: touching at one
+    * unit merges); block id = running count of starts; blocks then
+    * collapse to (min lo, max hi). Ties on identical (lo, hi) rows are
+    * inert — either order yields the same flags — so the window is
+    * deterministic without a unique id.
+    *
+    * Scale shape: both windows partition by the KEY — frames are
+    * bounded by one key's own interval count (the sessionizer shape),
+    * never a global order; the rest is two partial-agg collapses.
+    * Lengths are exact longs; the one quotient ships raw (§6 rule).
+    */
+  def intervalUnion(intervals: DataFrame, keyCol: String,
+                    loCol: String, hiCol: String): DataFrame = {
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(hiCol) >= col(loCol))
+      .select(col(keyCol).as("key"), col(loCol).cast("long").as("lo"),
+        col(hiCol).cast("long").as("hi"))
+    val w = Window.partitionBy(col("key")).orderBy(col("lo"), col("hi"))
+    val prevMax = max(col("hi")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv.withColumn("__new_block",
+      when(prevMax.isNull || col("lo") > prevMax, 1L).otherwise(0L))
+    val blocks = marked.withColumn("__block",
+      sum(col("__new_block")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("key"), col("__block"))
+      .agg(min(col("lo")).as("b_lo"), max(col("hi")).as("b_hi"),
+        count(lit(1)).as("n_iv"))
+    blocks.groupBy(col("key"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("b_hi") - col("b_lo") + 1).as("covered_units"),
+        min(col("b_lo")).as("span_lo"), max(col("b_hi")).as("span_hi"))
+      .withColumn("span_units", col("span_hi") - col("span_lo") + 1)
+      .withColumn("coverage_ratio",
+        col("covered_units").cast("double") / col("span_units").cast("double"))
+  }
+
   def peakConcurrency(intervals: DataFrame, startCol: String, endCol: String,
                       idCols: Seq[String]): DataFrame = {
     require(idCols.nonEmpty,

@@ -11,15 +11,68 @@ import graft.expressions.Kernels
   * docs/queries drift panels), extended with the two standard
   * scalar drift tests a training-data pipeline gates on.
   *
-  * Both are deliberately LOG-FREE (the repo's libm-portability rule:
-  * engines differ in the last ulp of `ln`/`pow`, so PSI's
-  * (p−q)·ln(p/q) is not engine-replayable; Pearson's χ² and
-  * Kolmogorov–Smirnov carry the same decision signal on IEEE ops
-  * both engines execute bit-identically).
+  * χ²/TV and KS are deliberately LOG-FREE (the repo's libm-portability
+  * rule: engines differ in the last ulp of `ln`/`pow`, so those two
+  * carry the drift signal on IEEE ops both engines execute
+  * bit-identically). [[psiHistogram]] completes the family with the
+  * industry-standard PSI itself, admissible because its `ln` terms
+  * ride only the ≤k-bucket PANEL under the §5 floor-grid (the
+  * pmi/zipf/entropy precedent: a last-ulp `ln` difference moves a
+  * 1e-6-grid floor only when ln·1e6 sits within ~1e-10 of an integer
+  * — vanishing over panel-sized term counts, and caught by the hash
+  * gate if it ever lands).
   */
 object Drift {
 
   private def grid6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
+  /** Population Stability Index over the shared equi-width histogram —
+    * the scalar the credit-risk / model-monitoring world actually
+    * gates on (rule of thumb: <0.1 stable, 0.1–0.25 shifting, >0.25
+    * drifted): `PSI = Σ (p_new − p_old)·ln(p_new / p_old)`.
+    *
+    * Buckets empty on EITHER side have no finite term (ln 0); they are
+    * skipped from the sum and counted in `n_buckets_skipped` — the
+    * epsilon-smoothing some implementations apply bakes an arbitrary
+    * constant into the score, and the appeared/vanished-mass signal
+    * already lives in the companion [[chi2Histogram]]'s `tv_dist`.
+    *
+    * Scale shape: identical to χ² — one bounds pass, one ≤k-bucket
+    * partial agg, panel math. Engine parity: the proportions are
+    * exact-long/exact-long single divides; each term's `ln` and the
+    * final product floor-quantize to the 1e-6 grid before DECIMAL(28,6)
+    * partials (§5 scale rule: cast scale == grid scale; terms can
+    * exceed unit magnitude when a bucket's mass ratio is extreme).
+    */
+  def psiHistogram(df: DataFrame, valueCol: String, isNewCol: String,
+                   k: Int = 20): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets: $k")
+    val ev = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))
+    val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val width = (col("mx") - col("mn")) / k
+    val bucket = when(col("mx") === col("mn"), lit(0))
+      .otherwise(least(lit(k - 1), floor((col("value") - col("mn")) / width).cast("int")))
+    val byBucket = ev.crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old"), sum(col("is_new")).as("n_new"))
+    val tot = byBucket.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    val withP = byBucket.crossJoin(broadcast(tot))
+      .withColumn("p_old", col("n_old") / col("tot_old").cast("double"))
+      .withColumn("p_new", col("n_new") / col("tot_new").cast("double"))
+    val term = grid6((col("p_new") - col("p_old"))
+      * grid6(log(col("p_new") / col("p_old"))))
+    withP.agg(
+      sum(when(col("n_old") > 0 && col("n_new") > 0,
+        Kernels.toDecimal(term, 28, 6))).cast("double").as("psi"),
+      sum(when(col("n_old") > 0 && col("n_new") > 0, 1).otherwise(0))
+        .as("n_buckets_used"),
+      sum(when(col("n_old") > 0 && col("n_new") > 0, 0).otherwise(1))
+        .as("n_buckets_skipped"),
+      max(col("tot_old")).as("tot_old"),
+      max(col("tot_new")).as("tot_new"))
+  }
 
   /** Pearson χ² + total-variation drift over an equi-width histogram
     * — one row: the scalar drift verdict for a monitoring gate.

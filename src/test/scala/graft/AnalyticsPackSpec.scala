@@ -627,6 +627,43 @@ class AnalyticsPackSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_intervals") == 5L)
   }
 
+  test("intervalUnion: overlap merges, touch merges (closed), gap splits; exact lengths") {
+    // key A: [1,5] ∪ [3,8] overlap -> [1,8]; [9,12] touches 8+1?
+    // closed semantics merge only on lo <= running max hi — 9 > 8
+    // starts a NEW block; [9,12] ∪ [12,14] touch AT 12 -> merge.
+    // key B: one interval.
+    val iv = Seq(
+      ("A", 1L, 5L), ("A", 3L, 8L), ("A", 9L, 12L), ("A", 12L, 14L),
+      ("A", 20L, 21L),
+      ("B", 100L, 100L),
+      ("C", 7L, 3L)) // inverted: dropped by contract
+      .toDF("k", "lo", "hi")
+    val got = AnalyticsPack.intervalUnion(iv, "k", "lo", "hi")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(!got.contains("C"))
+    val a = got("A")
+    assert(a.getAs[Long]("n_intervals") == 5L)
+    assert(a.getAs[Long]("n_blocks") == 3L) // [1,8], [9,14], [20,21]
+    assert(a.getAs[Long]("covered_units") == 8L + 6L + 2L)
+    assert(a.getAs[Long]("span_lo") == 1L && a.getAs[Long]("span_hi") == 21L)
+    assert(a.getAs[Long]("span_units") == 21L)
+    assert(math.abs(a.getAs[Double]("coverage_ratio") - 16.0 / 21.0) < 1e-15)
+    val b = got("B")
+    assert(b.getAs[Long]("n_blocks") == 1L &&
+      b.getAs[Long]("covered_units") == 1L &&
+      b.getAs[Double]("coverage_ratio") == 1.0)
+    // a containing interval swallows later ones (running max, not LAG)
+    val nest = Seq(("N", 1L, 100L), ("N", 2L, 3L), ("N", 50L, 60L))
+      .toDF("k", "lo", "hi")
+    val n = AnalyticsPack.intervalUnion(nest, "k", "lo", "hi").collect()(0)
+    assert(n.getAs[Long]("n_blocks") == 1L &&
+      n.getAs[Long]("covered_units") == 100L)
+    // layout-stable: key-bounded windows, no global order
+    val again = AnalyticsPack.intervalUnion(iv.repartition(7), "k", "lo", "hi")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("covered_units")).toMap
+    assert(again == Map("A" -> 16L, "B" -> 1L))
+  }
+
   test("histogram2d: known cells, clamped top edge, shares sum to 1") {
     import graft.operators.Profiling
     val df = Seq((0.0, 0.0), (0.1, 9.9), (9.9, 0.1), (10.0, 10.0), (5.0, 5.0))

@@ -30,6 +30,44 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets_skipped") >= 1L)
   }
 
+  test("psiHistogram: identical distributions score exactly zero") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0)
+    val r = Drift.psiHistogram(frame(vals, vals), "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("psi") == 0.0)
+    assert(r.getAs[Long]("n_buckets_skipped") == 0L)
+    assert(r.getAs[Long]("tot_old") == 10L && r.getAs[Long]("tot_new") == 10L)
+  }
+
+  test("psiHistogram: reweighted mass scores positive; one-side-empty buckets skip") {
+    // both sides occupy buckets 0 and 19, but with opposite weights —
+    // every term is finite and the reweighting must score > 0
+    val old = Seq(1.0, 1.1, 1.2, 1.3, 100.0)
+    val nw = Seq(1.0, 100.0, 100.1, 100.2, 100.3)
+    val r = Drift.psiHistogram(frame(old, nw), "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("psi") > 0.0)
+    assert(r.getAs[Long]("n_buckets_used") == 2L)
+    // disjoint clusters: new mass where old had none is SKIPPED (the
+    // appeared-mass signal lives in chi2Histogram's tv_dist)
+    val disj = Drift.psiHistogram(
+      frame(Seq(1.0, 2.0, 3.0), Seq(100.0, 101.0)), "value", "is_new").collect()(0)
+    assert(disj.getAs[Long]("n_buckets_skipped") >= 2L)
+  }
+
+  test("psiHistogram: hand-computed two-bucket value") {
+    // k=2 over values {0,10}: bucket 0 gets old 3/4, new 1/4; bucket 1
+    // gets old 1/4, new 3/4. PSI = 2 * (0.5 * ln(3)) with each term
+    // floor-quantized to the 1e-6 grid before summation.
+    val old = Seq(0.0, 1.0, 2.0, 10.0)
+    val nw = Seq(0.0, 8.0, 9.0, 10.0)
+    val r = Drift.psiHistogram(frame(old, nw), "value", "is_new", k = 2).collect()(0)
+    def g6(x: Double) = math.floor(x * 1e6) / 1e6
+    val lnUp = g6(math.log(3.0))      // p 0.25 -> 0.75
+    val lnDn = g6(math.log(1.0 / 3.0)) // p 0.75 -> 0.25
+    val expected = g6(0.5 * lnUp) + g6(-0.5 * lnDn)
+    assert(math.abs(r.getAs[Double]("psi") - expected) < 1e-12)
+    assert(r.getAs[Long]("n_buckets_used") == 2L)
+  }
+
   test("ksStatistic: disjoint samples reach D = 1 at the old sample's max") {
     val r = Drift.ksStatistic(frame(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
       "value", "is_new").collect()(0)
