@@ -735,6 +735,34 @@ object SparkEntry {
       Graph.clusteringCoeff(flows, "src", "dst")
     }),
 
+    // Link prediction over the TOP-DECILE flow graph: the full
+    // nation graph is complete (every pair trades a little), which
+    // makes link prediction vacuous — keeping only edges at/above
+    // the exact p90 flow count leaves the heavy-trade backbone
+    // (~60 of 276 possible edges), where "which strong edges should
+    // exist next" is a real question. Threshold = one broadcast
+    // 1-row exact percentile (the winsorize parity); then wedge join
+    // + one pair partial agg + left-anti on the edge list; AA's ln
+    // is safe by construction (shared neighbors have degree >= 2)
+    // and grid-quantized before its decimal partial.
+    "graph_link_prediction" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val thr = flows.agg(expr("percentile(w, 0.9)").as("__thr"))
+      val sparse = flows.crossJoin(broadcast(thr))
+        .filter(col("w") >= col("__thr"))
+      Graph.linkPrediction(sparse, "src", "dst")
+    }),
+
     // Top 3-step event-type paths per user stream (sequence mining;
     // integer-exact, total-ordered top-N).
     "ana_top_paths" -> ((s: SparkSession, d: String) =>
@@ -3642,6 +3670,53 @@ object SparkEntry {
           |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
           |  ELSE 0.0 END AS clustering
           |FROM deg d LEFT JOIN tc ON d.node = tc.node""".stripMargin,
+
+      // Link-prediction replay: wedge pairs per shared neighbor,
+      // 1/ln(deg(w)) grid-quantized into DECIMAL(28,6) partials,
+      // NOT EXISTS drops adjacent pairs, raw Jaccard quotient.
+      "graph_link_prediction" ->
+        """WITH flows AS (
+          |  SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  WHERE sn.n_name <> cn.n_name
+          |  GROUP BY 1, 2),
+          |thr AS (SELECT quantile_cont(w, 0.9) AS t FROM flows),
+          |sparse AS (SELECT src, dst FROM flows, thr WHERE w >= t),
+          |e AS (
+          |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          |  FROM sparse),
+          |nbr AS (
+          |  SELECT a AS node, b AS nb FROM e
+          |  UNION ALL SELECT b AS node, a AS nb FROM e),
+          |deg AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          |  FROM nbr GROUP BY 1),
+          |wedge AS (
+          |  SELECT l.node AS node_a, r.node AS node_b, l.nb AS w
+          |  FROM nbr l JOIN nbr r ON l.nb = r.nb AND l.node < r.node),
+          |pairs AS (
+          |  SELECT node_a, node_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+          |    SUM(CAST(FLOOR((1.0 / ln(CAST(dw.degree AS DOUBLE))) * 1e6) / 1e6
+          |      AS DECIMAL(28,6))) AS aa
+          |  FROM wedge JOIN deg dw ON wedge.w = dw.node
+          |  GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT * FROM pairs p
+          |  WHERE NOT EXISTS (SELECT 1 FROM e
+          |    WHERE e.a = p.node_a AND e.b = p.node_b))
+          |SELECT c.node_a, c.node_b, c.n_common,
+          |  da.degree AS deg_a, db.degree AS deg_b,
+          |  CAST(c.n_common AS DOUBLE)
+          |    / CAST(da.degree + db.degree - c.n_common AS DOUBLE) AS jaccard,
+          |  CAST(c.aa AS DOUBLE) AS adamic_adar
+          |FROM cand c
+          |JOIN deg da ON c.node_a = da.node
+          |JOIN deg db ON c.node_b = db.node""".stripMargin,
 
       "ana_market_basket" ->
         """WITH items AS (

@@ -84,6 +84,61 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Link-prediction panel over the undirected graph: for every
+    * NON-adjacent node pair sharing at least one neighbor, the three
+    * classic similarity scores — common-neighbor count, neighbor-set
+    * Jaccard, and Adamic–Adar `Σ_w 1/ln(deg(w))` (Adamic & Adar 2003;
+    * rare shared neighbors weigh more than hubs everyone shares).
+    * "Which edges should exist next" — the recommendation/completion
+    * primitive next to [[triangles]]' retrospective closure count.
+    *
+    * Scale shape: the wedge join is the [[triangles]] fan-out
+    * (Σ deg²(w) pairs, generated per shared neighbor w — a<b
+    * orientation, no dedup), collapsed by one (a, b) partial agg;
+    * existing edges drop via one left-anti on the canonical edge
+    * list; degrees are node-sized panels joined at the end. Engine
+    * parity: counts exact; each wedge's 1/ln(deg(w)) term is safe by
+    * construction (a shared neighbor has degree ≥ 2, so ln ≥ ln 2)
+    * and floor-quantizes to the 1e-6 grid before its DECIMAL(28,6)
+    * partial (§5: ln rides only panel-derived degree values); the
+    * Jaccard quotient ships raw (§6).
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nbr = e.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nb")))
+    val deg = nbr.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    val byW = nbr.select(col("nb").as("w"), col("node").as("u"))
+    val wedges = byW.as("l").join(byW.as("r").hint("shuffle_hash"),
+        col("l.w") === col("r.w") && col("l.u") < col("r.u"))
+      .select(col("l.u").as("node_a"), col("r.u").as("node_b"), col("l.w").as("w"))
+    val aaTerm = floor((lit(1.0) / log(col("__wdeg").cast("double"))) * lit(1e6)) / lit(1e6)
+    val pairs = wedges.join(deg.select(col("node").as("w"),
+          col("degree").as("__wdeg")).hint("shuffle_hash"), "w")
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(aaTerm.cast(DecimalType(28, 6))).as("__aa"))
+    val cand = pairs.join(e.select(col("a").as("node_a"), col("b").as("node_b"))
+        .hint("shuffle_hash"),
+      Seq("node_a", "node_b"), "left_anti")
+    cand.join(deg.select(col("node").as("node_a"), col("degree").as("deg_a"))
+        .hint("shuffle_hash"), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("degree").as("deg_b"))
+        .hint("shuffle_hash"), "node_b")
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        col("__aa").cast("double").as("adamic_adar"))
+  }
+
   /** Community detection by synchronous weighted label propagation
     * (Raghavan et al. 2007, made fully deterministic): every node
     * starts as its own community; each round EVERY node

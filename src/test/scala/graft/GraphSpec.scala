@@ -136,4 +136,53 @@ class GraphSpec extends SparkSpec {
     assert(got("b") == (2L, 1L, 1.0) && got("c") == (2L, 1L, 1.0))
     assert(got("d") == (1L, 0L, 0.0))
   }
+
+  test("linkPrediction: path endpoints scored, adjacent pairs excluded, exact panels") {
+    def g6(x: Double) = math.floor(x * 1e6) / 1e6
+    // path a-b-c: only non-adjacent pair (a,c) shares b
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val p = Graph.linkPrediction(path, "src", "dst").collect()
+    assert(p.length == 1)
+    val r = p(0)
+    assert(r.getAs[String]("node_a") == "a" && r.getAs[String]("node_b") == "c")
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Long]("deg_a") == 1L && r.getAs[Long]("deg_b") == 1L)
+    assert(r.getAs[Double]("jaccard") == 1.0) // 1 / (1 + 1 - 1)
+    assert(r.getAs[Double]("adamic_adar") == g6(1.0 / math.log(2.0)))
+  }
+
+  test("linkPrediction: square's diagonals share two neighbors; triangle predicts nothing") {
+    def g6(x: Double) = math.floor(x * 1e6) / 1e6
+    // square a-b-c-d-a: diagonals (a,c) and (b,d) each share 2
+    // degree-2 neighbors -> jaccard 2/(2+2-2)=1, AA = 2·g6(1/ln 2)
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(sq, "src", "dst").collect()
+      .map(r => (r.getAs[String]("node_a"), r.getAs[String]("node_b")) -> r).toMap
+    assert(got.keySet == Set(("a", "c"), ("b", "d")))
+    val ac = got(("a", "c"))
+    assert(ac.getAs[Long]("n_common") == 2L && ac.getAs[Double]("jaccard") == 1.0)
+    assert(math.abs(ac.getAs[Double]("adamic_adar") - 2 * g6(1.0 / math.log(2.0))) < 1e-12)
+    // a closed triangle has no non-adjacent pairs: empty result
+    val tri = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    assert(Graph.linkPrediction(tri, "src", "dst").count() == 0L)
+    // direction + duplicate edges are inert (canonicalized distinct)
+    val dup = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("b", "c")).toDF("src", "dst")
+    val d = Graph.linkPrediction(dup, "src", "dst").collect()
+    assert(d.length == 1 && d(0).getAs[Long]("n_common") == 1L)
+  }
+
+  test("linkPrediction: hub neighbor weighs less than a rare shared neighbor") {
+    // (p,q) share rare (degree-2) neighbor r; (x,y) share hub h that
+    // also serves 4 spokes (degree 6) — same n_common, AA must rank
+    // the rare-neighbor pair higher
+    val edges = Seq(
+      ("p", "r"), ("q", "r"),
+      ("x", "h"), ("y", "h"), ("s1", "h"), ("s2", "h"), ("s3", "h"), ("s4", "h"))
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, "src", "dst").collect()
+      .map(r => (r.getAs[String]("node_a"), r.getAs[String]("node_b")) ->
+        r.getAs[Double]("adamic_adar")).toMap
+    assert(got(("p", "q")) > got(("x", "y")))
+  }
 }
