@@ -1806,6 +1806,14 @@ object SparkEntry {
         .withColumnRenamed("key", "custkey")
     }),
 
+    // RFM segmentation over orders: quartile-scored recency/
+    // frequency/monetary + a first-match segment ladder. One
+    // customer-panel collapse, broadcast anchor + exact-percentile
+    // thresholds, pure codegen scoring.
+    "ana_rfm_segments" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.rfmSegments(t(s, d, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")),
+
     // Bucketed snapshot reconciliation: the B side drops event 17 and
     // perturbs event 42's value — the diff must localize both.
     "audit_table_diff" -> ((s: SparkSession, d: String) => {
@@ -2978,6 +2986,53 @@ object SparkEntry {
           |FROM iv a JOIN iv b ON a.cust = b.cust AND a.ok < b.ok
           |  AND a.lo_d <= b.hi_d AND b.lo_d <= a.hi_d
           |GROUP BY 1""".stripMargin,
+
+      // RFM replay: same panel collapse, quantile_cont thresholds
+      // (the percentile parity), identical CASE ladders.
+      "ana_rfm_segments" ->
+        """WITH base AS (
+          |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+          |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+          |  FROM orders WHERE o_orderdate IS NOT NULL),
+          |anchor AS (SELECT MAX(d) AS anchor_d FROM base),
+          |rfm AS (
+          |  SELECT custkey,
+          |    CAST(MIN(anchor_d - d) AS BIGINT) AS recency_days,
+          |    CAST(COUNT(*) AS BIGINT) AS frequency,
+          |    CAST(SUM(amt) AS DOUBLE) AS monetary
+          |  FROM base, anchor GROUP BY 1),
+          |thr AS (
+          |  SELECT quantile_cont(recency_days, 0.25) AS r25,
+          |    quantile_cont(recency_days, 0.5) AS r50,
+          |    quantile_cont(recency_days, 0.75) AS r75,
+          |    quantile_cont(frequency, 0.25) AS f25,
+          |    quantile_cont(frequency, 0.5) AS f50,
+          |    quantile_cont(frequency, 0.75) AS f75,
+          |    quantile_cont(monetary, 0.25) AS m25,
+          |    quantile_cont(monetary, 0.5) AS m50,
+          |    quantile_cont(monetary, 0.75) AS m75
+          |  FROM rfm),
+          |scored AS (
+          |  SELECT custkey, recency_days, frequency, monetary,
+          |    CASE WHEN recency_days <= r25 THEN 4
+          |         WHEN recency_days <= r50 THEN 3
+          |         WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+          |    CASE WHEN frequency >= f75 THEN 4
+          |         WHEN frequency >= f50 THEN 3
+          |         WHEN frequency >= f25 THEN 2 ELSE 1 END AS f_score,
+          |    CASE WHEN monetary >= m75 THEN 4
+          |         WHEN monetary >= m50 THEN 3
+          |         WHEN monetary >= m25 THEN 2 ELSE 1 END AS m_score
+          |  FROM rfm, thr)
+          |SELECT custkey, recency_days, frequency, monetary,
+          |  r_score, f_score, m_score,
+          |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'CHAMPION'
+          |       WHEN r_score >= 3 AND f_score >= 3 THEN 'LOYAL'
+          |       WHEN m_score >= 4 THEN 'BIG_SPENDER'
+          |       WHEN r_score <= 2 AND f_score >= 3 THEN 'AT_RISK'
+          |       WHEN r_score <= 1 AND f_score <= 2 THEN 'LOST'
+          |       ELSE 'REGULAR' END AS segment
+          |FROM scored""".stripMargin,
 
       // Interval-union replay: running-max-hi sweep per customer
       // (closed semantics: lo > prev max starts a block), blocks

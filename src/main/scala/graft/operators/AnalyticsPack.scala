@@ -1141,6 +1141,67 @@ object AnalyticsPack {
     * so both engines argmax over identical candidates). Deltas are
     * exact longs: order-free offset reduction.
     */
+  /** RFM customer segmentation — the classic warehouse marketing
+    * analysis: per customer, Recency (days since their last order,
+    * measured from the corpus's own last order date), Frequency
+    * (order count) and Monetary (exact decimal spend), each scored
+    * 1–4 by QUARTILE position, then a first-match segment ladder
+    * (CHAMPION / LOYAL / BIG_SPENDER / AT_RISK / LOST / REGULAR —
+    * the quality-gate discipline: one CASE, deterministic order).
+    *
+    * Scale shape: orders collapse to the customer panel in ONE
+    * partial-agg shuffle; the anchor date and the nine quartile
+    * thresholds are broadcast 1-row panels (exact `percentile`, the
+    * winsorize parity — never a global NTILE window over customers);
+    * scoring is a pure codegen pass over the panel. Engine parity:
+    * recency/frequency are exact integers, monetary an exact
+    * DECIMAL(18,2) sum compared as double (low-entropy cast, §5),
+    * thresholds replayed by `quantile_cont`.
+    */
+  def rfmSegments(orders: DataFrame, keyCol: String, dateCol: String,
+                  amountCol: String): DataFrame = {
+    val base = orders.filter(col(dateCol).isNotNull)
+      .select(col(keyCol).as("custkey"), to_date(col(dateCol)).as("d"),
+        money(col(amountCol)).as("amt"))
+    val anchor = base.agg(max(col("d")).as("__anchor"))
+    val rfm = base.crossJoin(broadcast(anchor))
+      .groupBy(col("custkey"))
+      .agg(min(datediff(col("__anchor"), col("d"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("amt")).cast("double").as("monetary"))
+    val thr = rfm.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r25"),
+      percentile(col("recency_days"), lit(0.5)).as("r50"),
+      percentile(col("recency_days"), lit(0.75)).as("r75"),
+      percentile(col("frequency"), lit(0.25)).as("f25"),
+      percentile(col("frequency"), lit(0.5)).as("f50"),
+      percentile(col("frequency"), lit(0.75)).as("f75"),
+      percentile(col("monetary"), lit(0.25)).as("m25"),
+      percentile(col("monetary"), lit(0.5)).as("m50"),
+      percentile(col("monetary"), lit(0.75)).as("m75"))
+    val scored = rfm.crossJoin(broadcast(thr))
+      .withColumn("r_score",
+        when(col("recency_days") <= col("r25"), 4)
+          .when(col("recency_days") <= col("r50"), 3)
+          .when(col("recency_days") <= col("r75"), 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("frequency") >= col("f75"), 4)
+          .when(col("frequency") >= col("f50"), 3)
+          .when(col("frequency") >= col("f25"), 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("monetary") >= col("m75"), 4)
+          .when(col("monetary") >= col("m50"), 3)
+          .when(col("monetary") >= col("m25"), 2).otherwise(1))
+    scored.select(col("custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "CHAMPION")
+        .when(col("r_score") >= 3 && col("f_score") >= 3, "LOYAL")
+        .when(col("m_score") >= 4, "BIG_SPENDER")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "AT_RISK")
+        .when(col("r_score") <= 1 && col("f_score") <= 2, "LOST")
+        .otherwise("REGULAR").as("segment"))
+  }
+
   /** Per-key INTERVAL UNION: merge a key's overlapping/touching closed
     * [lo, hi] intervals into maximal disjoint blocks and report the
     * total covered length, block count, full span and coverage ratio —

@@ -627,6 +627,44 @@ class AnalyticsPackSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_intervals") == 5L)
   }
 
+  test("rfmSegments: exact panels, quartile scores, first-match segment ladder") {
+    // anchor = 2024-01-31. Four customers spanning the quartile grid:
+    //  c1: recent + frequent + big  -> CHAMPION
+    //  c2: old + frequent           -> AT_RISK (r<=2, f>=3)
+    //  c3: recent, one small order  -> REGULAR-ish band
+    //  c4: old, one small order     -> low everything
+    val orders = Seq(
+      ("c1", "2024-01-31", 100.0), ("c1", "2024-01-30", 100.0),
+      ("c1", "2024-01-29", 100.0),
+      ("c2", "2023-06-01", 90.0), ("c2", "2023-06-02", 90.0),
+      ("c2", "2023-06-03", 90.0),
+      ("c3", "2024-01-25", 10.0),
+      ("c4", "2023-01-01", 5.0))
+      .toDF("k", "d", "amt")
+    val got = AnalyticsPack.rfmSegments(orders, "k", "d", "amt")
+      .collect().map(r => r.getAs[String]("custkey") -> r).toMap
+    val c1 = got("c1")
+    assert(c1.getAs[Long]("recency_days") == 0L)
+    assert(c1.getAs[Long]("frequency") == 3L)
+    assert(c1.getAs[Double]("monetary") == 300.0)
+    assert(c1.getAs[Int]("r_score") == 4 && c1.getAs[Int]("f_score") == 4 &&
+      c1.getAs[Int]("m_score") == 4)
+    assert(c1.getAs[String]("segment") == "CHAMPION")
+    val c2 = got("c2")
+    assert(c2.getAs[Int]("r_score") <= 2 && c2.getAs[Int]("f_score") >= 3)
+    assert(c2.getAs[String]("segment") == "AT_RISK")
+    assert(got("c4").getAs[Long]("recency_days") == 395L)
+    // every customer lands in exactly one segment; scores in 1..4
+    assert(got.values.forall { r =>
+      val s = Seq(r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
+      s.forall(x => x >= 1 && x <= 4) && r.getAs[String]("segment").nonEmpty
+    })
+    // layout-stable (broadcast panels, no windows)
+    val again = AnalyticsPack.rfmSegments(orders.repartition(5), "k", "d", "amt")
+      .collect().map(r => r.getAs[String]("custkey") -> r.getAs[String]("segment")).toMap
+    assert(again == got.view.mapValues(_.getAs[String]("segment")).toMap)
+  }
+
   test("intervalUnion: overlap merges, touch merges (closed), gap splits; exact lengths") {
     // key A: [1,5] ∪ [3,8] overlap -> [1,8]; [9,12] touches 8+1?
     // closed semantics merge only on lo <= running max hi — 9 > 8
