@@ -1775,12 +1775,18 @@ object SparkEntry {
       val shipEnd = t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(max(to_date(col("l_shipdate"))).as("ship_end"))
-      def side(suffix: String) = t(s, d, "orders")
+      // the interval relation feeds BOTH join sides: materialize the
+      // orders⋈shipEnd derivation once (each side previously re-ran
+      // the lineitem aggregate + join through its own lineage)
+      val iv = t(s, d, "orders")
         .join(shipEnd, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as(s"cust$suffix"),
-          col("o_orderkey").as(s"ok$suffix"),
-          datediff(to_date(col("o_orderdate")), epoch).cast("long").as(s"lo$suffix"),
-          datediff(col("ship_end"), epoch).cast("long").as(s"hi$suffix"))
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long").as("lo"),
+          datediff(col("ship_end"), epoch).cast("long").as("hi"))
+        .localCheckpoint(true)
+      def side(suffix: String) = iv.select(col("cust").as(s"cust$suffix"),
+        col("ok").as(s"ok$suffix"), col("lo").as(s"lo$suffix"),
+        col("hi").as(s"hi$suffix"))
       RangeJoin.intervalOverlap(side("_a"), "lo_a", "hi_a",
           side("_b"), "lo_b", "hi_b", bucketWidth = 64)
         .filter(col("cust_a") === col("cust_b") && col("ok_a") < col("ok_b"))
