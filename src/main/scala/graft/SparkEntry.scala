@@ -1497,6 +1497,12 @@ object SparkEntry {
       Sampling.corpusShuffle(t(s, d, "documents"), "doc_id", shardSize = 256)
         .select("doc_id", "shuffle_hash", "shuffle_pos", "shard", "shard_pos")),
 
+    // Deterministic contrastive negatives: 4 per anchor as a pure
+    // function of (doc_id, index) — nonzero rotation of the md5-rank
+    // permutation, never self-pairing, reproducible across engines.
+    "sample_negative_pairs" -> ((s: SparkSession, d: String) =>
+      Sampling.negativePairs(t(s, d, "documents"), "doc_id", k = 4)),
+
     // Quality-greedy selection under a global token budget: keep the
     // best docs while the running token total fits — the "best corpus
     // that fits the training budget" cut, running total = distributed
@@ -4911,6 +4917,31 @@ object SparkEntry {
           |  CAST(FLOOR((shuffle_pos - 1) / 256) AS BIGINT) AS shard,
           |  shuffle_pos - CAST(FLOOR((shuffle_pos - 1) / 256) AS BIGINT) * 256 AS shard_pos
           |FROM r""".stripMargin,
+
+      // Negative-pair replay: ROW_NUMBER over the md5 order stands in
+      // for the distributed prefix-sum rank; identical offset/mod
+      // arithmetic on the 32-bit md5 prefix.
+      "sample_negative_pairs" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          |      AS BIGINT) AS rnk
+          |  FROM documents),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM r),
+          |a AS (
+          |  SELECT doc_id, rnk, nn, js.neg_seq
+          |  FROM r, n, (SELECT UNNEST([1, 2, 3, 4]) AS neg_seq) js
+          |  WHERE nn >= 2),
+          |o AS (
+          |  SELECT doc_id, neg_seq, nn,
+          |    ((rnk - 1 +
+          |      (CAST(concat('0x', substr(md5(concat_ws('|',
+          |         CAST(doc_id AS VARCHAR), 'neg', CAST(neg_seq AS VARCHAR))), 1, 8))
+          |        AS BIGINT) % (nn - 1)) + 1) % nn) + 1 AS neg_rank
+          |  FROM a)
+          |SELECT o.doc_id, CAST(o.neg_seq AS INTEGER) AS neg_seq,
+          |  p.doc_id AS neg_doc_id
+          |FROM o JOIN r p ON o.neg_rank = p.rnk""".stripMargin,
 
       "sample_token_budget" ->
         s"""WITH st AS (SELECT doc_id, quality_score, n_tokens FROM ($textStatsSql)),

@@ -320,6 +320,53 @@ object Sampling {
     * deterministic order — reshuffle-per-epoch without ever touching
     * `rand()`. The default empty salt hashes the bare key.
     */
+  /** Deterministic NEGATIVE sampling for contrastive training: per
+    * anchor row, `k` negatives drawn uniformly from the rest of the
+    * corpus as a PURE FUNCTION of (key, negative index) — the
+    * in-batch/random-negative generation step of embedding-model
+    * pipelines, reproducible across runs, engines and layouts where
+    * an `orderBy(rand())` pick is none of those. Self-pairing is
+    * impossible by construction: the negative's permutation offset is
+    * `1 + (h mod (n−1)) ∈ [1, n−1]`, a nonzero rotation of the
+    * anchor's own md5-order rank.
+    *
+    * Scale shape: ranks ride the two-phase distributed prefix sum
+    * (the corpusShuffle permutation — never a global ROW_NUMBER
+    * window); the rank→doc probe is ONE equi-join of k·n anchor rows
+    * against the n-row rank relation (shuffled-hash, both sides
+    * rank-keyed). The rank relation is checkpointed once for its two
+    * consumers. Uniformity: `mod (n−1)` of a 32-bit hash carries
+    * ≤ (n−1)/2³² bias per cell — meaningless for negative SAMPLING
+    * (cf. domainMix, where mod-N bias breaks exact membership rates
+    * and the hex-threshold rule is required instead; documented
+    * trade, not an oversight).
+    */
+  def negativePairs(df: DataFrame, keyCol: String, k: Int,
+                    salt: String = ""): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val ranked = PrefixSum.globalOrdered(
+        df.select(col(keyCol))
+          .withColumn("__h", md5(concat(col(keyCol).cast("string"), lit(salt))))
+          .withColumn("__one", lit(1)),
+        Seq(col("__h"), col(keyCol)), "__one")
+      .select(col(keyCol).as("doc_id"), col("row_rank").as("__rank"))
+      .localCheckpoint(true)
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val anchors = ranked.crossJoin(broadcast(n))
+      .filter(col("__n") >= 2)
+      .select(col("doc_id"), col("__rank"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("neg_seq"))
+      .withColumn("__off",
+        pmod(md5Long32(Seq(col("doc_id"), lit(s"neg$salt"), col("neg_seq"))),
+          col("__n") - 1) + 1)
+      .withColumn("__neg_rank",
+        pmod(col("__rank") - 1 + col("__off"), col("__n")) + 1)
+    anchors.join(ranked.select(col("doc_id").as("neg_doc_id"),
+          col("__rank").as("__pr")).hint("shuffle_hash"),
+        col("__neg_rank") === col("__pr"))
+      .select(col("doc_id"), col("neg_seq"), col("neg_doc_id"))
+  }
+
   def corpusShuffle(df: DataFrame, keyCol: String, shardSize: Int,
                     salt: String = ""): DataFrame = {
     require(shardSize >= 1, s"shardSize=$shardSize must be positive")

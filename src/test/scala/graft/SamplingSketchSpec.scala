@@ -495,6 +495,31 @@ class SamplingSketchSpec extends SparkSpec {
     assert(interior.forall(!_.getAs[Boolean]("was_clipped")))
   }
 
+  test("negativePairs: exact k per anchor, never self, deterministic, degenerate-safe") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = graft.operators.Sampling.negativePairs(docs, "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // exactly k rows per anchor, every anchor covered
+    assert(out.length == 400)
+    assert(out.groupBy(_._1).forall { case (_, g) =>
+      g.length == 4 && g.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4) })
+    // self-pairing is impossible by construction (nonzero rotation)
+    assert(out.forall { case (a, _, n) => a != n })
+    // negatives land in the corpus
+    assert(out.forall { case (_, _, n) => n >= 0L && n < 100L })
+    // pure function of (key, index): layout cannot change the draw
+    val re = graft.operators.Sampling.negativePairs(docs.repartition(7), "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(re.toSet == out.toSet)
+    // roughly uniform usage: no doc should dominate as a negative
+    val use = out.groupBy(_._3).view.mapValues(_.length)
+    assert(use.values.max <= 20)
+    // a 1-row corpus has no valid negative: empty, not a crash
+    val one = Seq((1L, "only")).toDF("doc_id", "text")
+    assert(graft.operators.Sampling.negativePairs(one, "doc_id", 4).count() == 0L)
+  }
+
   test("corpusShuffle: exact permutation, bounded shards, layout-stable") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
