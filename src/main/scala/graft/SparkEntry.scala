@@ -1309,6 +1309,13 @@ object SparkEntry {
       Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)),
 
+    // Mutual k-NN graph over the LSH candidate structure: symmetric
+    // neighborhoods for graph-based clustering/dedup (mutuality
+    // filters hub edges). Rows-only by protocol (seeded hyperplanes);
+    // bundles/mutuality/determinism spec-pinned.
+    "embedding_mutual_knn" -> ((s: SparkSession, d: String) =>
+      Ann.mutualKnnLsh(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)),
+
     // First principal component by two-stage distributed power
     // iteration: scatter panel in one pass, recurrence on d-sized
     // panels, projection on the second corpus pass.

@@ -902,6 +902,55 @@ object Ann {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** Mutual k-NN graph over the LSH candidate structure: every pair
+    * (a < b) where b ranks in a's top-k AND a ranks in b's top-k
+    * among their LSH-bucket candidates — the symmetric-neighborhood
+    * graph density-based clustering and graph-based dedup consume
+    * (mutuality filters the hub effect: a vector "near everything"
+    * ranks high for many nodes but keeps few of them in its OWN
+    * top-k, so its spurious edges drop). Emits both directed ranks
+    * with the exact cosine.
+    *
+    * Scale shape: candidates come from the bucketed self-join (the
+    * [[cosineNearDupPairs]] collision-bounded shape — never n²), each
+    * candidate pair scored ONCE (checkpointed, consumed by both
+    * directions), per-node ranks over collision-bounded neighbor
+    * lists (node-keyed window, frame = a node's own candidates), and
+    * the mutuality test is one co-keyed self-join of two ≤ k·n
+    * relations. Rows-only by protocol (seeded hyperplanes);
+    * spec-pinned: planted bundles, mutuality, determinism.
+    */
+  def mutualKnnLsh(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, tables: Int = 3, planes: Int = 0,
+                   dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val base = prepared(emb, idCol, vecCol).localCheckpoint(true)
+    val hashed = bucketed(base, tables, resolvePlanes(planes, base), dim, seed)
+    val cands = hashed.as("a").join(hashed.as("b").hint("shuffle_hash"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val scored = cands
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .localCheckpoint(true)
+    val directed = scored.select(col("vec_a").as("node"), col("vec_b").as("nb"), col("cos_sim"))
+      .unionAll(scored.select(col("vec_b").as("node"), col("vec_a").as("nb"), col("cos_sim")))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cos_sim").desc, col("nb"))
+    val ranked = directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    ranked.as("x").join(ranked.as("y").hint("shuffle_hash"),
+        col("x.node") === col("y.nb") && col("x.nb") === col("y.node"))
+      .filter(col("x.node") < col("x.nb"))
+      .select(col("x.node").as("node_a"), col("x.nb").as("node_b"),
+        col("x.cos_sim").as("cos_sim"),
+        col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"))
+  }
+
   /** (table, bucket) sign-hash assignment shared by the LSH paths.
     * Hyperplane coefficients come from a fixed seed, so every run,
     * executor and cluster assigns identical buckets.

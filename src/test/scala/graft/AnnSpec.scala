@@ -464,4 +464,39 @@ class AnnSpec extends SparkSpec {
       .collect().filter(_.getDouble(3) >= 0.7).map(r => (r.getLong(2), r.getDouble(3)))
     assert(got.map(t => (t._2, t._3)).toSet == topk.toSet)
   }
+
+  test("mutualKnnLsh: bundles connect internally, pairs are mutual and canonical, deterministic") {
+    val rnd = new scala.util.Random(11)
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.05).toFloat))
+    }
+    // two tight bundles on orthogonal axes: within-bundle cosines
+    // ~1.0, cross-bundle ~0 — mutual top-k edges must stay in-bundle
+    val pts = bundle(Array(1f, 0f, 0f, 0f), 0 until 8) ++
+      bundle(Array(0f, 1f, 0f, 0f), 100 until 108)
+    val emb = pts.toDF("vec_id", "embedding")
+    val got = Ann.mutualKnnLsh(emb, "vec_id", "embedding", k = 4,
+        planes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    // canonical orientation, no self-pairs
+    assert(got.forall { case (a, b, _, _, _) => a < b })
+    // no cross-bundle edge survives the mutual top-4 cut
+    assert(got.forall { case (a, b, _, _, _) => (a < 50) == (b < 50) },
+      s"cross-bundle edge in: ${got.mkString(",")}")
+    // both directed ranks within k
+    assert(got.forall { case (_, _, _, rab, rba) =>
+      rab >= 1 && rab <= 4 && rba >= 1 && rba <= 4 })
+    // every node keeps at most k mutual edges per direction
+    val degree = got.flatMap { case (a, b, _, _, _) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.length)
+    assert(degree.values.forall(_ <= 4))
+    // deterministic across layouts (seeded hyperplanes, total-order ranks)
+    val again = Ann.mutualKnnLsh(emb.repartition(5), "vec_id", "embedding",
+        k = 4, planes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4)))
+    assert(again.toSet == got.toSet)
+  }
 }
