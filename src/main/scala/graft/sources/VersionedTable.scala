@@ -195,12 +195,24 @@ object VersionedTable {
   /** Snapshot read: the latest version, or `asOf` for time travel.
     * Throws on a version that was never committed or has been
     * vacuumed away.
+    *
+    * SCHEMA EVOLUTION: segments are read with `mergeSchema`, so a
+    * later commit may ADD columns — older segments surface the new
+    * column as NULL, and an `asOf` read before the addition still
+    * sees the old shape (the schema is versioned with the data, like
+    * Delta/Iceberg add-column). Without the merge option Spark would
+    * silently adopt one arbitrary segment file's schema and DROP the
+    * others' extra columns. An incompatible change (same name,
+    * conflicting type) fails the read loudly at plan time — the
+    * type-widening rewrite is an OPTIMIZE-style full rewrite, not a
+    * silent cast.
     */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed version under $dir"))
     val segs = segments(spark, dir, v)
-    spark.read.parquet(segs.map(s => s"$dir/data/$s"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => s"$dir/data/$s"): _*)
   }
 
   /** (version, mode, n_segments) for every retained manifest,
@@ -245,7 +257,8 @@ object VersionedTable {
     }
     if (kept.isEmpty)
       read(spark, dir, Some(v)).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(kept.map(s => s"$dir/data/$s"): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(s => s"$dir/data/$s"): _*)
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -282,7 +295,8 @@ object VersionedTable {
       }
     }
     if (kept.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
-    else spark.read.parquet(kept.map(s => s"$dir/data/$s"): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(s => s"$dir/data/$s"): _*)
       .filter(col(bloomCol) === value)
   }
 

@@ -23,6 +23,35 @@ class VersionedTableSpec extends SparkSpec {
       Seq((0L, "append", 1), (1L, "append", 2), (2L, "overwrite", 1)))
   }
 
+  test("schema evolution: add-column commits merge on read, asOf sees the old shape") {
+    val dir = Files.createTempDirectory("graft_vt_schema").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    // later commit ADDS a column
+    VersionedTable.commit(Seq((3L, "c", 30.0)).toDF("k", "v", "score"), dir)
+    val latest = VersionedTable.read(spark, dir)
+    // merged schema: all three columns; pre-evolution rows NULL-fill
+    assert(latest.columns.toSet == Set("k", "v", "score"))
+    val byK = latest.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byK(1L).isEmpty && byK(2L).isEmpty && byK(3L).contains(30.0))
+    // time travel to before the addition: the OLD schema, not a NULL column
+    val v0 = VersionedTable.read(spark, dir, asOf = Some(0L))
+    assert(v0.columns.toSet == Set("k", "v"))
+    // an OPTIMIZE rewrite unifies the physical schema; rows unchanged
+    VersionedTable.optimizeCompact(spark, dir)
+    val opt = VersionedTable.read(spark, dir)
+    assert(opt.columns.toSet == Set("k", "v", "score") && opt.count() == 3)
+    // incompatible type change (v: string -> v: long) fails LOUDLY at
+    // read instead of silently casting
+    val dir2 = Files.createTempDirectory("graft_vt_schema2").toString
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), dir2)
+    VersionedTable.commit(Seq((2L, 99L)).toDF("k", "v"), dir2)
+    val e = intercept[Exception] {
+      VersionedTable.read(spark, dir2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("crashed commit is invisible: an orphan segment never reaches a reader") {
     val dir = Files.createTempDirectory("graft_vt_crash").toString
     VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
