@@ -1833,6 +1833,13 @@ object SparkEntry {
       AnalyticsPack.rfmSegments(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    // Forecast backtest: persistence (lag-1) and seasonal-naive
+    // (lag-7) baselines scored per type (MAE/MAPE/bias) — the
+    // evaluation tier any shipped forecast must beat; calendar lag
+    // joins on the day panel, never row offsets.
+    "ana_forecast_backtest" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.forecastBacktest(servingValid(s, d))),
+
     // Bucketed snapshot reconciliation: the B side drops event 17 and
     // perturbs event 42's value — the diff must localize both.
     "audit_table_diff" -> ((s: SparkSession, d: String) => {
@@ -3005,6 +3012,37 @@ object SparkEntry {
           |FROM iv a JOIN iv b ON a.cust = b.cust AND a.ok < b.ok
           |  AND a.lo_d <= b.hi_d AND b.lo_d <= a.hi_d
           |GROUP BY 1""".stripMargin,
+
+      // Backtest replay: same day panel, calendar self-joins at +1/+7,
+      // 2dp decimal error partials, grid-quantized MAPE quotients.
+      "ana_forecast_backtest" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |joined AS (
+           |  SELECT b.event_type_norm, b.y, l1.y AS f_lag1, l7.y AS f_lag7
+           |  FROM byday b
+           |  LEFT JOIN byday l1 ON b.event_type_norm = l1.event_type_norm
+           |    AND b.d = l1.d + 1
+           |  LEFT JOIN byday l7 ON b.event_type_norm = l7.event_type_norm
+           |    AND b.d = l7.d + 7),
+           |longf AS (
+           |  SELECT event_type_norm, u.method, y,
+           |    CASE u.method WHEN 'naive_lag1' THEN f_lag1 ELSE f_lag7 END AS f
+           |  FROM joined,
+           |    (SELECT UNNEST(['naive_lag1', 'seasonal_lag7']) AS method) u),
+           |ev AS (SELECT * FROM longf WHERE f IS NOT NULL)
+           |SELECT event_type_norm, method,
+           |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+           |  CAST(SUM(CAST(ABS(y - f) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mae,
+           |  CAST(SUM(CAST(y - f AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS bias,
+           |  CAST(SUM(CASE WHEN y <> 0 THEN
+           |      CAST(FLOOR(ABS(y - f) / y * 1e6) / 1e6 AS DECIMAL(28,6)) END) AS DOUBLE)
+           |    / SUM(CASE WHEN y <> 0 THEN 1 END) AS mape
+           |FROM ev GROUP BY 1, 2""".stripMargin,
 
       // RFM replay: same panel collapse, quantile_cont thresholds
       // (the percentile parity), identical CASE ladders.

@@ -1141,6 +1141,57 @@ object AnalyticsPack {
     * so both engines argmax over identical candidates). Deltas are
     * exact longs: order-free offset reduction.
     */
+  /** Walk-forward one-step forecast BACKTEST of the two standard
+    * baselines — persistence ("tomorrow = today", lag-1) and
+    * seasonal-naive ("tomorrow = same weekday last week", lag-7) —
+    * per event type: n evaluated days, MAE, MAPE and signed bias.
+    * The evaluation tier of the smoothing/forecast family (the
+    * recall-panel discipline applied to forecasting): any model the
+    * lake ships (EWMA, Holt, seasonal) must BEAT these numbers, and
+    * the panel makes "does it" a standing measurement instead of a
+    * guess.
+    *
+    * Lags are CALENDAR joins on (type, date−1 / date−7), not row
+    * offsets — a gap day yields no forecast rather than silently
+    * borrowing the wrong day. Scale shape: the fact collapses to the
+    * (type, day) panel in one partial-agg shuffle (the F6 shape);
+    * lag joins and aggregates run on the panel. Engine parity:
+    * demand and errors are 2dp money (exact DECIMAL partials, one
+    * division); the MAPE quotient is full-entropy — floor-grid to
+    * 1e-6 before its DECIMAL(28,6) partials (§5), zero-demand days
+    * excluded from MAPE only.
+    */
+  def forecastBacktest(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .localCheckpoint(false)
+    def lagged(days: Int, name: String) = byDay.select(
+      col("event_type_norm"), date_add(col("d"), days).as("d"), col("y").as(name))
+    val joined = byDay
+      .join(lagged(1, "f_lag1"), Seq("event_type_norm", "d"), "left")
+      .join(lagged(7, "f_lag7"), Seq("event_type_norm", "d"), "left")
+    val long = joined.select(col("event_type_norm"), col("y"),
+        explode(array(
+          struct(lit("naive_lag1").as("method"), col("f_lag1").as("f")),
+          struct(lit("seasonal_lag7").as("method"), col("f_lag7").as("f")))).as("m"))
+      .select(col("event_type_norm"), col("m.method").as("method"),
+        col("y"), col("m.f").as("f"))
+      .filter(col("f").isNotNull)
+    val err = col("y") - col("f")
+    val g6 = (c: Column) => floor(c * lit(1e6)) / lit(1e6)
+    long.groupBy(col("event_type_norm"), col("method"))
+      .agg(count(lit(1)).as("n_eval"),
+        (sum(money(abs(err))).cast("double") / count(lit(1))).as("mae"),
+        (sum(money(err)).cast("double") / count(lit(1))).as("bias"),
+        (sum(when(col("y") =!= 0,
+            graft.expressions.Kernels.toDecimal(g6(abs(err) / col("y")), 28, 6)))
+          .cast("double")
+          / sum(when(col("y") =!= 0, 1L))).as("mape"))
+  }
+
   /** RFM customer segmentation — the classic warehouse marketing
     * analysis: per customer, Recency (days since their last order,
     * measured from the corpus's own last order date), Frequency

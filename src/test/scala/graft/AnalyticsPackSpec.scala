@@ -627,6 +627,29 @@ class AnalyticsPackSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_intervals") == 5L)
   }
 
+  test("forecastBacktest: calendar lags, exact MAE/bias, gap days yield no forecast") {
+    // one type, 8 consecutive days 10,20,30,...,80 then a GAP and day
+    // +2 with 90: lag1 evaluates days 2..8 (err +10 each); the
+    // post-gap day has no d-1 neighbor -> excluded from lag1
+    val rows =
+      (1 to 8).map(i => ("A", 20240100 + i, i * 10.0)) :+ (("A", 20240110, 90.0))
+    val ev = rows.toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.forecastBacktest(ev)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    val l1 = got("naive_lag1")
+    assert(l1.getAs[Long]("n_eval") == 7L) // days 2..8; the gap day drops
+    assert(l1.getAs[Double]("mae") == 10.0)
+    assert(l1.getAs[Double]("bias") == 10.0) // y grows: actual - forecast = +10
+    val l7 = got("seasonal_lag7")
+    // day 8 <- day 1 (err 70) and day 10 <- day 3 (err 60)
+    assert(l7.getAs[Long]("n_eval") == 2L)
+    assert(l7.getAs[Double]("mae") == 65.0)
+    // mape of lag1 = mean over days 2..8 of 10/y, grid-quantized
+    def g6(x: Double) = math.floor(x * 1e6) / 1e6
+    val expMape = (2 to 8).map(i => g6(10.0 / (i * 10.0))).sum / 7.0
+    assert(math.abs(l1.getAs[Double]("mape") - expMape) < 1e-12)
+  }
+
   test("rfmSegments: exact panels, quartile scores, first-match segment ladder") {
     // anchor = 2024-01-31. Four customers spanning the quartile grid:
     //  c1: recent + frequent + big  -> CHAMPION
