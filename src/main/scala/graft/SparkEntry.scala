@@ -832,6 +832,13 @@ object SparkEntry {
     "ana_funnel_steps" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.funnelSteps(t(s, d, "events"))),
 
+    // Time-bounded funnel: each step counts only within 48h of the
+    // previous step's first completion — conversion, not retention.
+    // Same one-sort window ladder as the unbounded funnel, ms-exact
+    // deadlines.
+    "ana_funnel_windowed" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.funnelWindowed(t(s, d, "events"), windowSec = 48 * 3600)),
+
     // 7-day rolling demand over the per-day aggregate series.
     "ana_rolling_demand" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingDemand(t(s, d, "events"))),
@@ -3463,6 +3470,44 @@ object SparkEntry {
           |  CAST(SUM(had_view) AS BIGINT) AS users_view,
           |  CAST(SUM(had_click) AS BIGINT) AS users_click_after_view,
           |  CAST(SUM(had_purchase) AS BIGINT) AS users_purchase_after_click,
+          |  ROUND(100.0 * CAST(SUM(had_view) AS BIGINT) / NULLIF(COUNT(*), 0), 2) AS pct_to_view,
+          |  ROUND(100.0 * CAST(SUM(had_click) AS BIGINT) / NULLIF(CAST(SUM(had_view) AS BIGINT), 0), 2) AS pct_view_to_click,
+          |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase
+          |FROM per_user""".stripMargin,
+
+      // Windowed-funnel replay: the same ladder with epoch-ms step
+      // deadlines (48h) on the cumulative first-step times.
+      "ana_funnel_windowed" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et
+          |  FROM events WHERE user_id IS NOT NULL),
+          |w1 AS (
+          |  SELECT *, MIN(CASE WHEN et = 'VIEW' THEN ts END) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view
+          |  FROM e),
+          |w2 AS (
+          |  SELECT *, MIN(CASE WHEN et = 'CLICK' AND first_view IS NOT NULL
+          |      AND epoch_ms(ts) - epoch_ms(first_view) <= 172800000 THEN ts END) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_w
+          |  FROM w1),
+          |w3 AS (
+          |  SELECT *, MIN(CASE WHEN et = 'PURCHASE' AND first_click_w IS NOT NULL
+          |      AND epoch_ms(ts) - epoch_ms(first_click_w) <= 172800000 THEN ts END) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_w
+          |  FROM w2),
+          |per_user AS (
+          |  SELECT user_id,
+          |    MAX(CASE WHEN et = 'VIEW' THEN 1 ELSE 0 END) AS had_view,
+          |    MAX(CASE WHEN first_click_w IS NOT NULL THEN 1 ELSE 0 END) AS had_click,
+          |    MAX(CASE WHEN first_purchase_w IS NOT NULL THEN 1 ELSE 0 END) AS had_purchase
+          |  FROM w3 GROUP BY user_id)
+          |SELECT COUNT(*) AS users_total,
+          |  CAST(SUM(had_view) AS BIGINT) AS users_view,
+          |  CAST(SUM(had_click) AS BIGINT) AS users_click_in_window,
+          |  CAST(SUM(had_purchase) AS BIGINT) AS users_purchase_in_window,
           |  ROUND(100.0 * CAST(SUM(had_view) AS BIGINT) / NULLIF(COUNT(*), 0), 2) AS pct_to_view,
           |  ROUND(100.0 * CAST(SUM(had_click) AS BIGINT) / NULLIF(CAST(SUM(had_view) AS BIGINT), 0), 2) AS pct_view_to_click,
           |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase

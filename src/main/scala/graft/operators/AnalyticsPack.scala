@@ -472,6 +472,53 @@ object AnalyticsPack {
       pct(sum(col("had_purchase")), sum(col("had_click"))).as("pct_click_to_purchase"))
   }
 
+  /** Time-BOUNDED funnel: VIEW → CLICK → PURCHASE where each step
+    * counts only within `windowSec` of the PREVIOUS step's first
+    * completion — the product-analytics form of `funnelSteps`'
+    * unbounded ladder ("converted eventually" vs "converted inside
+    * the attribution window"; a purchase three months after the
+    * click is retention, not funnel conversion).
+    *
+    * Same execution shape as the unbounded funnel: all running-min
+    * windows share ONE user-keyed sort (frames bounded by a user's
+    * own events), one per-user collapse, one 1-row panel. The step
+    * deadline compares epoch millis (ms-precision, the sessionizer
+    * parity) — engine-identical integer arithmetic.
+    */
+  def funnelWindowed(events: DataFrame, windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec=$windowSec must be positive")
+    val winMs = windowSec * 1000L
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        upper(trim(col("event_type"))).as("et"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("first_view", min(when(col("et") === "VIEW", col("ts"))).over(w))
+      .withColumn("first_click_w",
+        min(when(col("et") === "CLICK" && col("first_view").isNotNull &&
+          unix_millis(col("ts")) - unix_millis(col("first_view")) <= winMs,
+          col("ts"))).over(w))
+      .withColumn("first_purchase_w",
+        min(when(col("et") === "PURCHASE" && col("first_click_w").isNotNull &&
+          unix_millis(col("ts")) - unix_millis(col("first_click_w")) <= winMs,
+          col("ts"))).over(w))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(when(col("et") === "VIEW", 1).otherwise(0)).as("had_view"),
+      max(when(col("first_click_w").isNotNull, 1).otherwise(0)).as("had_click"),
+      max(when(col("first_purchase_w").isNotNull, 1).otherwise(0)).as("had_purchase"))
+    def pct(num: Column, den: Column): Column =
+      round(lit(100.0) * num / when(den === 0, lit(null)).otherwise(den), 2)
+    perUser.agg(
+      count(lit(1)).as("users_total"),
+      sum(col("had_view")).as("users_view"),
+      sum(col("had_click")).as("users_click_in_window"),
+      sum(col("had_purchase")).as("users_purchase_in_window"),
+      pct(sum(col("had_view")), count(lit(1))).as("pct_to_view"),
+      pct(sum(col("had_click")), sum(col("had_view"))).as("pct_view_to_click"),
+      pct(sum(col("had_purchase")), sum(col("had_click"))).as("pct_click_to_purchase"))
+  }
+
   /** 7-day rolling demand: aggregate the fact to one row per day (one
     * partial-aggregable shuffle), then ROWS-window the tiny daily
     * series — the rolling sum/average never sees fact rows, so the

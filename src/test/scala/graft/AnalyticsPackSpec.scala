@@ -627,6 +627,35 @@ class AnalyticsPackSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_intervals") == 5L)
   }
 
+  test("funnelWindowed: in-window converts, late steps drop, boundary is inclusive") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full funnel inside 1h windows
+      (1L, "u1", "VIEW", ts("2024-01-01 10:00:00")),
+      (2L, "u1", "CLICK", ts("2024-01-01 10:30:00")),
+      (3L, "u1", "PURCHASE", ts("2024-01-01 11:00:00")),
+      // u2: click LATE (2h after view) — drops from the windowed count
+      (4L, "u2", "VIEW", ts("2024-01-01 10:00:00")),
+      (5L, "u2", "CLICK", ts("2024-01-01 12:00:00")),
+      // u3: click exactly AT the boundary (inclusive)
+      (6L, "u3", "VIEW", ts("2024-01-01 10:00:00")),
+      (7L, "u3", "CLICK", ts("2024-01-01 11:00:00")),
+      // u4: purchase before any click — never counts
+      (8L, "u4", "VIEW", ts("2024-01-01 10:00:00")),
+      (9L, "u4", "PURCHASE", ts("2024-01-01 10:10:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = AnalyticsPack.funnelWindowed(ev, windowSec = 3600).collect()(0)
+    assert(r.getAs[Long]("users_total") == 4L)
+    assert(r.getAs[Long]("users_view") == 4L)
+    assert(r.getAs[Long]("users_click_in_window") == 2L) // u1, u3 (boundary)
+    assert(r.getAs[Long]("users_purchase_in_window") == 1L) // u1
+    assert(r.getAs[Double]("pct_view_to_click") == 50.0)
+    // the unbounded ladder would count u2's late click: the window is
+    // the semantic difference, not an implementation detail
+    val unbounded = AnalyticsPack.funnelSteps(ev).collect()(0)
+    assert(unbounded.getAs[Long]("users_click_after_view") == 3L)
+  }
+
   test("forecastBacktest: calendar lags, exact MAE/bias, gap days yield no forecast") {
     // one type, 8 consecutive days 10,20,30,...,80 then a GAP and day
     // +2 with 90: lag1 evaluates days 2..8 (err +10 each); the
