@@ -1770,6 +1770,13 @@ object SparkEntry {
       Profiling.entropyProfile(servingValid(s, d),
         Seq("tipo_dia", "event_type_norm", "prop_k"))),
 
+    // Most-common-values panel (the ANALYZE MCV statistic): top-5
+    // values per column with exact counts + raw shares; two-phase
+    // salted rank, never a global sort of a value panel.
+    "table_topk_values" -> ((s: SparkSession, d: String) =>
+      Profiling.topValues(t(s, d, "events"),
+        Seq("event_type", "user_id", "props"), k = 5)),
+
     // Mergeable-HLL distinct rollup (daily sketches → weekly union) —
     // the reaggregable COUNT(DISTINCT) shape; rows-only by protocol
     // (sketch internals), mergeability spec-pinned.
@@ -3003,6 +3010,19 @@ object SparkEntry {
            |  SELECT cnt, SUM(cnt) OVER () AS n, COUNT(*) OVER () AS k
            |  FROM (SELECT CAST($c AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
            |        FROM (${servingValidSql}) WHERE $c IS NOT NULL GROUP BY 1))""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
+
+      // MCV replay: per column top-5 by (count desc, value), raw
+      // share quotients of exact longs.
+      "table_topk_values" -> Seq("event_type", "user_id", "props").map { c =>
+        s"""SELECT * FROM (
+           |  SELECT '$c' AS column_name,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, value) AS INTEGER) AS rank,
+           |    value, n_rows,
+           |    CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share
+           |  FROM (SELECT CAST($c AS VARCHAR) AS value, CAST(COUNT(*) AS BIGINT) AS n_rows
+           |        FROM events WHERE $c IS NOT NULL GROUP BY 1))
+           |WHERE rank <= 5""".stripMargin
       }.mkString("", "\nUNION ALL\n", ""),
 
       // HAVING mirrors the operator's malformed-interval contract: an

@@ -302,6 +302,44 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Most-common-values panel (the ANALYZE "MCV list" statistic next
+    * to the histograms and [[entropyProfile]]): per column, the top-k
+    * values by exact count with their share of non-null rows — what
+    * an optimizer consults for selectivity on skewed categoricals,
+    * and what [[skewHotKeys]] reports for ONE join key generalized to
+    * a standing multi-column profile.
+    *
+    * Scale shape: one (column, value) partial-agg shuffle per column;
+    * the top-k never globally sorts the value panel — a salted local
+    * rank bounds every task at k rows before the per-column final
+    * rank (the two-phase topK discipline; a high-cardinality column's
+    * distinct panel never converges on one task). Ties break on the
+    * value string; shares are exact-long quotients, shipped raw (§6).
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty && k >= 1, s"topValues needs columns and k >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    cols.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = counts.agg(sum(col("n_rows")).as("__tot"))
+      val salted = Window.partitionBy(pmod(xxhash64(col("value")), lit(64)))
+        .orderBy(col("n_rows").desc, col("value"))
+      val global = Window.partitionBy(lit(1))
+        .orderBy(col("n_rows").desc, col("value"))
+      counts
+        .withColumn("__lrank", row_number().over(salted))
+        .filter(col("__lrank") <= k)
+        .withColumn("rank", row_number().over(global))
+        .filter(col("rank") <= k)
+        .crossJoin(broadcast(tot))
+        .select(lit(c).as("column_name"), col("rank"), col("value"),
+          col("n_rows"),
+          (col("n_rows").cast("double") / col("__tot").cast("double")).as("share"))
+    }.reduce(_ unionByName _)
+  }
+
   def histogram2d(df: DataFrame, xCol: String, yCol: String,
                   kx: Int, ky: Int): DataFrame = {
     require(kx >= 1 && ky >= 1, s"histogram2d needs positive buckets: $kx x $ky")

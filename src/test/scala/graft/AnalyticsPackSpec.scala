@@ -754,6 +754,29 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(again == Map("A" -> 16L, "B" -> 1L))
   }
 
+  test("topValues: exact counts, deterministic ties, shares of non-null rows") {
+    import graft.operators.Profiling
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("b", null), ("b", "y"),
+      ("c", "z"), ("c", "z"), ("c", "z"), ("d", "w"))
+      .toDF("k", "v")
+    val got = Profiling.topValues(df, Seq("k", "v"), k = 2).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("value"), r.getAs[Long]("n_rows"), r.getAs[Double]("share"))).toMap
+    // k: c ×3, a ×3 — tie broken on value asc: a first
+    assert(got(("k", 1)) == ("a", 3L, 3.0 / 9.0))
+    assert(got(("k", 2)) == ("c", 3L, 3.0 / 9.0))
+    // v: z ×3 of 8 NON-NULL rows (the null drops from count and share)
+    assert(got(("v", 1)) == ("z", 3L, 3.0 / 8.0))
+    assert(got(("v", 2))._1 == "x" || got(("v", 2))._1 == "y")
+    assert(got.size == 4) // two columns × top-2
+    // layout-stable (salted two-phase rank, total order)
+    val again = Profiling.topValues(df.repartition(5), Seq("k", "v"), k = 2)
+      .collect().map(r => (r.getAs[String]("column_name"), r.getAs[Int]("rank")) ->
+        r.getAs[String]("value")).toMap
+    assert(again == got.view.mapValues(_._1).toMap)
+  }
+
   test("histogram2d: known cells, clamped top edge, shares sum to 1") {
     import graft.operators.Profiling
     val df = Seq((0.0, 0.0), (0.1, 9.9), (9.9, 0.1), (10.0, 10.0), (5.0, 5.0))
