@@ -1064,6 +1064,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
 
+    // Recall panel of the approximate dedup tiers vs the exact
+    // prefix-filter truth — "measure, don't guess" for banding
+    // parameters; rows-only by protocol (xxhash64 tiers), panel
+    // consistency spec-pinned.
+    "dedup_recall_eval" -> ((s: SparkSession, d: String) =>
+      TextDedup.dedupRecallEval(t(s, d, "documents"), "doc_id", "text")),
+
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
       TextDedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
 

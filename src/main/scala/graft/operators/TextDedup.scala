@@ -582,6 +582,44 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_bands", "jaccard")
   }
 
+  /** Recall panel of the approximate near-dup tiers against the EXACT
+    * Jaccard pair truth — the ANN recall-panel discipline applied to
+    * text dedup: per method (minhash_lsh / simhash), how many of the
+    * exact-threshold pairs the approximate tier surfaced, and the
+    * surplus it emits beyond them. Maintained next to the tiers so a
+    * band/width parameter change shows its recall cost immediately —
+    * and the simhash row honestly measures how far Hamming proximity
+    * diverges from set-Jaccard on this corpus (a different metric, so
+    * its "recall" is an ALIGNMENT number, not an error).
+    *
+    * Truth = [[prefixFilterPairs]] (the no-recall-loss exact tier);
+    * both evaluated sides and the truth read one checkpointed source
+    * projection. Panel math joins pair relations on (doc_a, doc_b) —
+    * pair-sized, nothing corpus-shaped at the driver.
+    */
+  def dedupRecallEval(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val src = df.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val truth = prefixFilterPairs(src, idCol, textCol, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    def row(method: String, found: DataFrame): DataFrame = {
+      val f = found.select(col("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint(true)
+      val hits = truth.join(f.withColumn("__hit", lit(1L)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      hits.crossJoin(broadcast(f.agg(count(lit(1)).as("n_found"))))
+        .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }
+    row("minhash_lsh", minhashLsh(src, idCol, textCol, threshold = threshold))
+      .unionByName(row("simhash", simhashPairs(src, idCol, textCol)))
+  }
+
   /** 64-bit SimHash from a pre-hashed token column (one xxhash64 per
     * token TOTAL): per-bit majority vote, assembled with bitwise OR
     * (no overflow under ANSI arithmetic). The 64 bit-votes are

@@ -353,6 +353,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(5L) == "OVER_BUDGET" && got(6L) == "OVER_BUDGET")
   }
 
+  test("dedupRecallEval: minhash finds the exact pairs on this fixture; panel consistent") {
+    val got = TextDedup.dedupRecallEval(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"),
+          r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(got.keySet == Set("minhash_lsh", "simhash"))
+    // truth = the exact >= 0.4 pairs: (1,2), (1,3), (2,3)
+    assert(got.values.forall(_._1 == 3L))
+    // panel consistency: hits bounded by both sides, recall = hit/truth
+    assert(got.values.forall { case (t, f, h, r) =>
+      h <= t && h <= f && r == h.toDouble / t })
+    // near-identical docs: minhash banding must surface all of them
+    assert(got("minhash_lsh")._4 == 1.0)
+    // an exact duplicate has Hamming 0 — simhash can never miss it
+    assert(got("simhash")._3 >= 1L)
+    // deterministic across layouts (hashed tiers, seeded)
+    val again = TextDedup.dedupRecallEval(docs.repartition(5), "doc_id", "text", 0.4)
+      .collect().map(r => r.getAs[String]("method") -> r.getAs[Long]("n_hit")).toMap
+    assert(again == got.view.mapValues(_._3).toMap)
+  }
+
   test("fingerprints: deterministic, content-sensitive, within prime range") {
     val got = docs.select($"doc_id",
       TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"),
