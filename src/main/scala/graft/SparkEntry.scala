@@ -621,6 +621,13 @@ object SparkEntry {
     "ana_holt_linear" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.holtDemand(servingValid(s, d))),
 
+    // Holt–Winters additive triple smoothing (m=7): the seasonal
+    // state absorbs the weekly dip Holt keeps re-reading as a trend
+    // change. One panel fold, dyadic coefficients, the seasonal lag
+    // read from the fold's own history.
+    "ana_holt_winters" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.holtWinters(servingValid(s, d))),
+
     // Seasonality-aware one-step forecast: the Holt level+trend
     // forecast plus the F27 seasonal index of the NEXT day's weekday
     // — a pure composition of two green operators, so the oracle is
@@ -3316,6 +3323,43 @@ object SparkEntry {
 
       // Holt recursion replayed with the NEW level's formula repeated
       // inside the trend term — identical op order to the Spark fold.
+      // Holt–Winters replay: the recursive walk carries the last
+      // seven seasonals as a LIST column (hist[1] = s_{t-7},
+      // hist[2] = s_{t-6}); the level formula is repeated textually
+      // inside the trend/seasonal/forecast terms (the Holt oracle's
+      // precedent) so the op order matches the fold bit-for-bit.
+      "ana_holt_winters" ->
+        s"""WITH RECURSIVE byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |idx AS (
+           |  SELECT date_sk, daily_value,
+           |    ROW_NUMBER() OVER (ORDER BY date_sk) AS rn
+           |  FROM byday),
+           |walk(rn, date_sk, daily_value, level, trend, seasonal, forecast_next, hist) AS (
+           |  SELECT rn, date_sk, daily_value, daily_value, 0e0, 0e0, daily_value,
+           |    [0e0, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0]
+           |  FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.rn, i.date_sk, i.daily_value,
+           |    0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend),
+           |    0.125e0 * ((0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)) - w.level)
+           |      + 0.875e0 * w.trend,
+           |    0.25e0 * (i.daily_value - (0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)))
+           |      + 0.75e0 * w.hist[1],
+           |    (0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend))
+           |      + (0.125e0 * ((0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)) - w.level)
+           |         + 0.875e0 * w.trend)
+           |      + w.hist[2],
+           |    w.hist[2:7] ||
+           |      [0.25e0 * (i.daily_value - (0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)))
+           |       + 0.75e0 * w.hist[1]]
+           |  FROM idx i JOIN walk w ON i.rn = w.rn + 1)
+           |SELECT date_sk, daily_value, level, trend, seasonal, forecast_next
+           |FROM walk""".stripMargin,
+
       "ana_holt_linear" ->
         s"""WITH RECURSIVE byday AS (
            |  SELECT date_sk,

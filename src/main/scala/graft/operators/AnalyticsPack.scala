@@ -949,6 +949,68 @@ object AnalyticsPack {
       (col("r.level") + col("r.trend")).as("forecast_next"))
   }
 
+  /** Holt–Winters ADDITIVE triple smoothing (level + trend + weekly
+    * seasonal, m = 7) — the tier above [[holtDemand]]: where Holt
+    * chases the weekend dip as a trend change every single week, the
+    * seasonal state absorbs it and the trend tracks actual growth.
+    * Recurrence (all coefficients DYADIC — α=0.25, β=0.125, γ=0.25 —
+    * so every product is an exact IEEE scaling):
+    *   level_t = α·(y_t − s_{t−7}) + (1−α)·(level + trend)
+    *   trend_t = β·(level_t − level) + (1−β)·trend
+    *   s_t     = γ·(y_t − level_t) + (1−γ)·s_{t−7}
+    *   forecast_next = level_t + trend_t + s_{t−6}
+    * Seasonal slots start at 0 (the first cycle is pure Holt, the
+    * pattern is learned from cycle two on); day 1 initializes
+    * level = y, trend = 0.
+    *
+    * Same execution as the smoothing family: ONE partial-agg shuffle
+    * collapses the fact to the day panel, the recurrence is a single
+    * codegen'd `aggregate` fold over the collected panel (s_{t−7} is
+    * read from the fold's own history — no extra state vector), and
+    * the DuckDB oracle replays it as a recursive CTE carrying the
+    * last seven seasonals as a LIST column — identical op order,
+    * hash-comparable bits.
+    */
+  def holtWinters(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("daily_value"))
+    val packed = byDay.agg(array_sort(
+      collect_list(struct(col("date_sk"), col("daily_value")))).as("days"))
+    val accT = "array<struct<date_sk:int,daily_value:double,level:double," +
+      "trend:double,seasonal:double,forecast_next:double>>"
+    val folded = packed.select(explode(aggregate(
+      col("days"),
+      lit(null).cast(accT),
+      (acc, e) => {
+        val y = e.getField("daily_value")
+        val prev = element_at(acc, -1)
+        val hist = coalesce(size(acc), lit(0))
+        val sprev = when(hist >= 7,
+          element_at(acc, -7).getField("seasonal")).otherwise(lit(0.0))
+        val snext = when(hist >= 6,
+          element_at(acc, -6).getField("seasonal")).otherwise(lit(0.0))
+        val lvl = when(hist === 0, y)
+          .otherwise(lit(0.25) * (y - sprev) +
+            lit(0.75) * (prev.getField("level") + prev.getField("trend")))
+        val trd = when(hist === 0, lit(0.0))
+          .otherwise(lit(0.125) * (lvl - prev.getField("level")) +
+            lit(0.875) * prev.getField("trend"))
+        val seas = when(hist === 0, lit(0.0))
+          .otherwise(lit(0.25) * (y - lvl) + lit(0.75) * sprev)
+        val row = struct(e.getField("date_sk").as("date_sk"),
+          y.as("daily_value"), lvl.as("level"), trd.as("trend"),
+          seas.as("seasonal"), (lvl + trd + snext).as("forecast_next"))
+        when(acc.isNull, array(row)).otherwise(concat(acc, array(row)))
+      })).as("r"))
+    folded.select(col("r.date_sk").as("date_sk"),
+      col("r.daily_value").as("daily_value"),
+      col("r.level").as("level"), col("r.trend").as("trend"),
+      col("r.seasonal").as("seasonal"),
+      col("r.forecast_next").as("forecast_next"))
+  }
+
   /** Gini coefficient of demand concentration across stops, per day
     * type — the one-number inequality audit next to [[paretoUsers]]'
     * full curve (is weekend demand more concentrated on few stops

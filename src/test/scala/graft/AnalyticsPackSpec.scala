@@ -627,6 +627,47 @@ class AnalyticsPackSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_intervals") == 5L)
   }
 
+  test("holtWinters: bit-exact vs a sequential replay; seasonal state learns the weekly dip") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // three weeks: base 100 with a -40 dip every 7th day, +2/day trend
+    val ys = (1 to 21).map(i =>
+      100.0 + 2.0 * i + (if (i % 7 == 0) -40.0 else 0.0))
+    val ev = ys.zipWithIndex.map { case (y, i) =>
+      (i.toLong, 1L, "VIEW", ts(i + 1), y) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("date_sk",
+        (lit(20240100) + dayofmonth(col("ts"))).cast("int"))
+      .withColumn("event_type_norm", col("event_type"))
+    val got = AnalyticsPack.holtWinters(ev)
+      .orderBy("date_sk").collect()
+    assert(got.length == 21)
+    // sequential driver replay, identical op order and coefficients
+    var (l, t) = (0.0, 0.0)
+    val seas = Array.fill(22)(0.0)
+    got.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      val y = r.getAs[Double]("daily_value")
+      val sprev = if (i >= 8) seas(i - 7) else 0.0
+      val snext = if (i >= 7) seas(i - 6) else 0.0
+      val (nl, nt) =
+        if (i == 1) (y, 0.0)
+        else (0.25 * (y - sprev) + 0.75 * (l + t),
+          0.125 * ((0.25 * (y - sprev) + 0.75 * (l + t)) - l) + 0.875 * t)
+      val ns = if (i == 1) 0.0 else 0.25 * (y - nl) + 0.75 * sprev
+      assert(r.getAs[Double]("level") == nl, s"level day $i")
+      assert(r.getAs[Double]("trend") == nt, s"trend day $i")
+      assert(r.getAs[Double]("seasonal") == ns, s"seasonal day $i")
+      assert(r.getAs[Double]("forecast_next") == nl + nt + snext, s"fore day $i")
+      l = nl; t = nt; seas(i) = ns
+    }
+    // by week 3 the dip day's seasonal state is decidedly negative and
+    // the smallest of its week — the pattern lives in s, not in trend
+    val day21 = got.last
+    assert(day21.getAs[Double]("seasonal") < -10.0)
+    val week3Seas = got.slice(14, 21).map(_.getAs[Double]("seasonal"))
+    assert(week3Seas.min == day21.getAs[Double]("seasonal"))
+  }
+
   test("funnelWindowed: in-window converts, late steps drop, boundary is inclusive") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
