@@ -628,6 +628,12 @@ object SparkEntry {
     "ana_holt_winters" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.holtWinters(servingValid(s, d))),
 
+    // One-step model evaluation: Holt and Holt-Winters forecasts
+    // scored against the next observed day — the model side of the
+    // baseline backtest ("does the model beat lag-7").
+    "ana_forecast_eval_models" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.forecastEvalModels(servingValid(s, d))),
+
     // Seasonality-aware one-step forecast: the Holt level+trend
     // forecast plus the F27 seasonal index of the NEXT day's weekday
     // — a pure composition of two green operators, so the oracle is
@@ -3323,6 +3329,73 @@ object SparkEntry {
 
       // Holt recursion replayed with the NEW level's formula repeated
       // inside the trend term — identical op order to the Spark fold.
+      // Model-evaluation replay: both recursive walks, LEAD for the
+      // next observed actual, grid-quantized error partials.
+      "ana_forecast_eval_models" ->
+        s"""WITH RECURSIVE byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |idx AS (
+           |  SELECT date_sk, daily_value,
+           |    ROW_NUMBER() OVER (ORDER BY date_sk) AS rn
+           |  FROM byday),
+           |hwalk(rn, date_sk, daily_value, level, trend) AS (
+           |  SELECT rn, date_sk, daily_value, daily_value, 0e0 FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.rn, i.date_sk, i.daily_value,
+           |    0.25e0 * i.daily_value + 0.75e0 * (w.level + w.trend),
+           |    0.125e0 * ((0.25e0 * i.daily_value + 0.75e0 * (w.level + w.trend)) - w.level)
+           |      + 0.875e0 * w.trend
+           |  FROM idx i JOIN hwalk w ON i.rn = w.rn + 1),
+           |wwalk(rn, date_sk, daily_value, level, trend, forecast_next, hist) AS (
+           |  SELECT rn, date_sk, daily_value, daily_value, 0e0, daily_value,
+           |    [0e0, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0]
+           |  FROM idx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.rn, i.date_sk, i.daily_value,
+           |    0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend),
+           |    0.125e0 * ((0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)) - w.level)
+           |      + 0.875e0 * w.trend,
+           |    (0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend))
+           |      + (0.125e0 * ((0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)) - w.level)
+           |         + 0.875e0 * w.trend)
+           |      + w.hist[2],
+           |    w.hist[2:7] ||
+           |      [0.25e0 * (i.daily_value - (0.25e0 * (i.daily_value - w.hist[1]) + 0.75e0 * (w.level + w.trend)))
+           |       + 0.75e0 * w.hist[1]]
+           |  FROM idx i JOIN wwalk w ON i.rn = w.rn + 1),
+           |hev AS (
+           |  SELECT daily_value, level + trend AS forecast_next,
+           |    LEAD(daily_value, 1) OVER (ORDER BY date_sk) AS actual_next
+           |  FROM hwalk),
+           |wev AS (
+           |  SELECT daily_value, forecast_next,
+           |    LEAD(daily_value, 1) OVER (ORDER BY date_sk) AS actual_next
+           |  FROM wwalk)
+           |SELECT 'holt_linear' AS method,
+           |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+           |  CAST(SUM(CAST(FLOOR(ABS(actual_next - forecast_next) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+           |    / COUNT(*) AS mae,
+           |  CAST(SUM(CAST(FLOOR((actual_next - forecast_next) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+           |    / COUNT(*) AS bias,
+           |  CAST(SUM(CASE WHEN actual_next <> 0 THEN
+           |      CAST(FLOOR(ABS(actual_next - forecast_next) / actual_next * 1e6) / 1e6 AS DECIMAL(28,6)) END) AS DOUBLE)
+           |    / SUM(CASE WHEN actual_next <> 0 THEN 1 END) AS mape
+           |FROM hev WHERE actual_next IS NOT NULL
+           |UNION ALL
+           |SELECT 'holt_winters',
+           |  CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(CAST(FLOOR(ABS(actual_next - forecast_next) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+           |    / COUNT(*),
+           |  CAST(SUM(CAST(FLOOR((actual_next - forecast_next) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+           |    / COUNT(*),
+           |  CAST(SUM(CASE WHEN actual_next <> 0 THEN
+           |      CAST(FLOOR(ABS(actual_next - forecast_next) / actual_next * 1e6) / 1e6 AS DECIMAL(28,6)) END) AS DOUBLE)
+           |    / SUM(CASE WHEN actual_next <> 0 THEN 1 END)
+           |FROM wev WHERE actual_next IS NOT NULL""".stripMargin,
+
       // Holt–Winters replay: the recursive walk carries the last
       // seven seasonals as a LIST column (hist[1] = s_{t-7},
       // hist[2] = s_{t-6}); the level formula is repeated textually

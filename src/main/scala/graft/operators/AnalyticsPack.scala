@@ -1011,6 +1011,47 @@ object AnalyticsPack {
       col("r.forecast_next").as("forecast_next"))
   }
 
+  /** One-step evaluation of the SHIPPED forecast models — Holt
+    * (level+trend) and Holt–Winters (level+trend+seasonal) — against
+    * the next observed day's actual: n evaluated, MAE, MAPE, signed
+    * bias per model. Pairs with [[forecastBacktest]]'s naive
+    * baselines to answer the only question that matters about a
+    * forecasting tier: does the model BEAT the baseline it costs
+    * more than. Each model's `forecast_next` is compared to the next
+    * ROW of its own day panel (the recurrence's definition of
+    * "next"), so gaps evaluate what the model actually predicted.
+    *
+    * Execution: both recurrences fold their shared day panel; the
+    * next-day actual is a LEAD over the ≤#days panel (benign window
+    * class). Engine parity: the error is full-entropy (model output)
+    * — floor-grid quantized to 1e-6 before its DECIMAL(28,6)
+    * partials (§5), one division per stat.
+    */
+  def forecastEvalModels(validEvents: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("date_sk"))
+    val g6 = (c: Column) => floor(c * lit(1e6)) / lit(1e6)
+    def evalModel(method: String, df: DataFrame): DataFrame = {
+      val err = col("actual_next") - col("forecast_next")
+      df.select(col("date_sk"), col("daily_value"), col("forecast_next"))
+        .withColumn("actual_next", lead(col("daily_value"), 1).over(w))
+        .filter(col("actual_next").isNotNull)
+        .agg(count(lit(1)).as("n_eval"),
+          (sum(graft.expressions.Kernels.toDecimal(g6(abs(err)), 28, 6))
+            .cast("double") / count(lit(1))).as("mae"),
+          (sum(graft.expressions.Kernels.toDecimal(g6(err), 28, 6))
+            .cast("double") / count(lit(1))).as("bias"),
+          (sum(when(col("actual_next") =!= 0,
+              graft.expressions.Kernels.toDecimal(
+                g6(abs(err) / col("actual_next")), 28, 6)))
+            .cast("double")
+            / sum(when(col("actual_next") =!= 0, 1L))).as("mape"))
+        .select(lit(method).as("method"), col("n_eval"), col("mae"),
+          col("bias"), col("mape"))
+    }
+    evalModel("holt_linear", holtDemand(validEvents))
+      .unionByName(evalModel("holt_winters", holtWinters(validEvents)))
+  }
+
   /** Gini coefficient of demand concentration across stops, per day
     * type — the one-number inequality audit next to [[paretoUsers]]'
     * full curve (is weekend demand more concentrated on few stops

@@ -668,6 +668,28 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(week3Seas.min == day21.getAs[Double]("seasonal"))
   }
 
+  test("forecastEvalModels: seasonal model beats Holt on a strongly weekly series") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-${1 + (i - 1) / 28}%02d-${1 + (i - 1) % 28}%02d 12:00:00")
+    // eight weeks of a pure weekly pattern: HW learns it, Holt cannot
+    val ys = (1 to 56).map(i => 100.0 + (if (i % 7 == 0) -40.0 else 0.0))
+    val ev = ys.zipWithIndex.map { case (y, i) =>
+      (i.toLong, 1L, "VIEW", ts(i + 1), y) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("date_sk",
+        (lit(20240000) + month(col("ts")) * 100 + dayofmonth(col("ts"))).cast("int"))
+      .withColumn("event_type_norm", col("event_type"))
+    val got = AnalyticsPack.forecastEvalModels(ev)
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_eval"), r.getAs[Double]("mae"))).toMap
+    assert(got.keySet == Set("holt_linear", "holt_winters"))
+    // both evaluate every day but the last
+    assert(got.values.forall(_._1 == 55L))
+    // the seasonal state pays off: HW's one-step MAE beats Holt's
+    assert(got("holt_winters")._2 < got("holt_linear")._2,
+      s"hw=${got("holt_winters")._2} holt=${got("holt_linear")._2}")
+  }
+
   test("funnelWindowed: in-window converts, late steps drop, boundary is inclusive") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
