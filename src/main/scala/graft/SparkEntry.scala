@@ -852,6 +852,12 @@ object SparkEntry {
     "ana_funnel_windowed" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.funnelWindowed(t(s, d, "events"), windowSec = 48 * 3600)),
 
+    // Multi-model attribution: first/last/linear credit per purchase
+    // across its 72h click window, reported per (model, click day) —
+    // the credit-assignment semantics over E9's pair join.
+    "ana_attribution_models" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.attributionModels(t(s, d, "events"), windowSec = 72 * 3600)),
+
     // 7-day rolling demand over the per-day aggregate series.
     "ana_rolling_demand" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingDemand(t(s, d, "events"))),
@@ -3618,6 +3624,43 @@ object SparkEntry {
           |  ROUND(100.0 * CAST(SUM(had_click) AS BIGINT) / NULLIF(CAST(SUM(had_view) AS BIGINT), 0), 2) AS pct_view_to_click,
           |  ROUND(100.0 * CAST(SUM(had_purchase) AS BIGINT) / NULLIF(CAST(SUM(had_click) AS BIGINT), 0), 2) AS pct_click_to_purchase
           |FROM per_user""".stripMargin,
+
+      // Attribution replay: the same user-keyed pair join, struct
+      // min/max first/last (ts then id), grid-quantized linear split.
+      "ana_attribution_models" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et, value
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |clicks AS (
+          |  SELECT user_id, ts AS click_ts, event_id AS click_id
+          |  FROM e WHERE et = 'CLICK'),
+          |purchases AS (
+          |  SELECT user_id, ts AS p_ts, event_id AS p_id,
+          |    COALESCE(CAST(value AS DECIMAL(18,2)), CAST(0.0 AS DECIMAL(18,2))) AS p_val
+          |  FROM e WHERE et = 'PURCHASE'),
+          |pairs AS (
+          |  SELECT p.p_id, p.p_val, c.click_ts, c.click_id
+          |  FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+          |  WHERE c.click_ts <= p.p_ts
+          |    AND epoch_ms(p.p_ts) - epoch_ms(c.click_ts) <= 259200000),
+          |perp AS (
+          |  SELECT p_id, p_val, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+          |    MIN({'click_ts': click_ts, 'click_id': click_id}) AS first_c,
+          |    MAX({'click_ts': click_ts, 'click_id': click_id}) AS last_c
+          |  FROM pairs GROUP BY 1, 2),
+          |credits AS (
+          |  SELECT 'linear' AS model, pr.click_ts,
+          |    CAST(FLOOR(CAST(pr.p_val AS DOUBLE) / CAST(pp.n_clicks AS DOUBLE) * 1e6) / 1e6
+          |      AS DECIMAL(28,6)) AS credit
+          |  FROM pairs pr JOIN perp pp ON pr.p_id = pp.p_id
+          |  UNION ALL
+          |  SELECT 'first_touch', first_c.click_ts, CAST(p_val AS DECIMAL(28,6)) FROM perp
+          |  UNION ALL
+          |  SELECT 'last_touch', last_c.click_ts, CAST(p_val AS DECIMAL(28,6)) FROM perp)
+          |SELECT model, CAST(click_ts AS DATE) AS click_day,
+          |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+          |  CAST(SUM(credit) AS DOUBLE) AS attributed_value
+          |FROM credits GROUP BY 1, 2""".stripMargin,
 
       // Windowed-funnel replay: the same ladder with epoch-ms step
       // deadlines (48h) on the cumulative first-step times.

@@ -472,6 +472,64 @@ object AnalyticsPack {
       pct(sum(col("had_purchase")), sum(col("had_click"))).as("pct_click_to_purchase"))
   }
 
+  /** Multi-model marketing ATTRIBUTION panel: every PURCHASE's value
+    * credited to its preceding CLICKs (same user, within
+    * `windowSec`) under the three standard models — first-touch
+    * (all credit to the earliest in-window click), last-touch (the
+    * latest), linear (split equally) — reported per (model, click
+    * day). The credit-assignment semantics on top of the E9 pair
+    * join, which only MATCHES pairs; which click "deserves" the
+    * conversion is a modeling choice, and shipping all three side by
+    * side is how the choice gets made on evidence.
+    *
+    * Scale shape: purchases ⋈ clicks is the E9 equi-key (user) +
+    * bounded time-residual hash join — never a cartesian; per-purchase
+    * first/last are ONE struct-min/max partial agg (no window); the
+    * model expansion is pair-sized. Engine parity: first/last credits
+    * are the exact DECIMAL purchase value; the linear split is a
+    * full-entropy quotient — floor-grid to 1e-6 before its
+    * DECIMAL(28,6) partial (§5).
+    */
+  def attributionModels(events: DataFrame, windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec=$windowSec must be positive")
+    val winMs = windowSec * 1000L
+    val ev = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        upper(trim(col("event_type"))).as("et"), col("value"))
+    val clicks = ev.filter(col("et") === "CLICK")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("et") === "PURCHASE")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+        coalesce(money(col("value")), money(lit(0.0))).as("p_val"))
+    val pairs = purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("p_ts") &&
+        unix_millis(col("p_ts")) - unix_millis(col("click_ts")) <= winMs)
+      .select(col("p_id"), col("p_val"), col("click_ts"), col("click_id"))
+      .localCheckpoint(true)
+    val perP = pairs.groupBy(col("p_id"), col("p_val"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(struct(col("click_ts"), col("click_id"))).as("first_c"),
+        max(struct(col("click_ts"), col("click_id"))).as("last_c"))
+    val g6 = (c: Column) => floor(c * lit(1e6)) / lit(1e6)
+    val credit6 = graft.expressions.Kernels.toDecimal(
+      g6(col("p_val").cast("double") / col("n_clicks").cast("double")), 28, 6)
+    val linear = pairs.join(perP.select(col("p_id"), col("n_clicks")), "p_id")
+      .select(lit("linear").as("model"), col("click_ts"),
+        credit6.as("credit"))
+    val firstTouch = perP.select(lit("first_touch").as("model"),
+      col("first_c.click_ts").as("click_ts"),
+      col("p_val").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(28, 6)).as("credit"))
+    val lastTouch = perP.select(lit("last_touch").as("model"),
+      col("last_c.click_ts").as("click_ts"),
+      col("p_val").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(28, 6)).as("credit"))
+    linear.unionByName(firstTouch).unionByName(lastTouch)
+      .groupBy(col("model"), to_date(col("click_ts")).as("click_day"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).cast("double").as("attributed_value"))
+  }
+
   /** Time-BOUNDED funnel: VIEW → CLICK → PURCHASE where each step
     * counts only within `windowSec` of the PREVIOUS step's first
     * completion — the product-analytics form of `funnelSteps`'

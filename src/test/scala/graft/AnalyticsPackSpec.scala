@@ -690,6 +690,36 @@ class AnalyticsPackSpec extends SparkSpec {
       s"hw=${got("holt_winters")._2} holt=${got("holt_linear")._2}")
   }
 
+  test("attributionModels: first/last/linear credits, window bound, conservation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: two clicks (day 1, day 2), purchase 100 on day 2
+      (1L, "u1", "CLICK", ts("2024-01-01 10:00:00"), null.asInstanceOf[java.lang.Double]),
+      (2L, "u1", "CLICK", ts("2024-01-02 10:00:00"), null.asInstanceOf[java.lang.Double]),
+      (3L, "u1", "PURCHASE", ts("2024-01-02 12:00:00"), java.lang.Double.valueOf(100.0)),
+      // u2: click OUTSIDE the 72h window — purchase has no credits
+      (4L, "u2", "CLICK", ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double]),
+      (5L, "u2", "PURCHASE", ts("2024-01-10 00:00:00"), java.lang.Double.valueOf(50.0)))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = AnalyticsPack.attributionModels(ev, windowSec = 72 * 3600)
+      .collect().map(r => (r.getAs[String]("model"),
+        r.getAs[java.sql.Date]("click_day").toString) ->
+        (r.getAs[Long]("n_credits"), r.getAs[Double]("attributed_value"))).toMap
+    // first touch: all 100 to day 1; last touch: all to day 2
+    assert(got(("first_touch", "2024-01-01")) == (1L, 100.0))
+    assert(got(("last_touch", "2024-01-02")) == (1L, 100.0))
+    // linear: 50 to each click day
+    assert(got(("linear", "2024-01-01")) == (1L, 50.0))
+    assert(got(("linear", "2024-01-02")) == (1L, 50.0))
+    // u2's out-of-window click earns nothing under any model
+    assert(!got.keySet.exists(_._2 == "2024-01-10") &&
+      got.keySet.forall(k => k._2 != "2024-01-01" || got(k)._2 <= 100.0))
+    // conservation: every model distributes exactly the purchase value
+    val byModel = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(byModel.values.forall(v => math.abs(v - 100.0) < 1e-9))
+  }
+
   test("funnelWindowed: in-window converts, late steps drop, boundary is inclusive") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
