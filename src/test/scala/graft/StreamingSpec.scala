@@ -772,6 +772,39 @@ class StreamingSpec extends SparkSpec {
     assert(estimates(target) == got)
   }
 
+  test("drift-alert sink: quiet batch passes, shifted batch alerts; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftsink").toString
+    val target = s"$dir/alerts"
+    // baseline: uniform mass over [0, 100) in 10 buckets
+    val baseline = Seq.fill(10)(100L)
+    val in = MemoryStream[Double]
+    val df = in.toDF.toDF("value")
+    val q = StreamOps.driftAlertSink(df, s"$dir/ckpt", target, "value",
+      baseline, lo = 0.0, hi = 100.0, alertTv = 0.2).start()
+    // batch 0: uniform like the baseline — no alert
+    in.addData((0 until 100).map(i => i.toDouble + 0.5)); q.processAllAvailable()
+    // batch 1: everything piled into one bucket — alert
+    in.addData(Seq.fill(100)(5.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target)
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Boolean]("alert"), r.getAs[Double]("tv_dist"),
+          r.getAs[Double]("psi"), r.getAs[Long]("n_rows"))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(!got(0L)._1 && got(0L)._2 == 0.0)
+    assert(got(1L)._1 && math.abs(got(1L)._2 - 0.9) < 1e-12) // 90% of mass moved
+    assert(got(1L)._3 > got(0L)._3) // PSI agrees with TV's ordering
+    assert(got.values.forall(_._4 == 100L))
+    // replaying an applied batch id appends nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.driftAlertBatch(Seq.fill(50)(5.0).toDF("value"), target,
+        "value", baseline, 0.0, 100.0, 0.2, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(spark.read.parquet(target).count() == 2L)
+  }
+
   test("SCD2 sink: replaying an applied batch id is a no-op, not a poison batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2replay").toString
     val target = s"$dir/dim"
