@@ -879,6 +879,18 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // Experiment power panel: required per-arm n across an MDE grid
+    // vs what the assignment has — "can this test detect a 5% lift"
+    // answered at design time. Literal z constants, raw IEEE panel
+    // math, NULL on unreachable targets.
+    "ana_abtest_power" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.abtestPower(
+        Sampling.splitAssign(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
+        "split", "A", "B",
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
     // Daily new-vs-returning user split from first-seen days.
     "ana_new_vs_returning" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.newVsReturning(t(s, d, "events"))),
@@ -992,6 +1004,28 @@ object SparkEntry {
       TextDedup.connectedComponents(
         TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text"),
         "doc_a", "doc_b")),
+
+    // Duplication-mass telemetry: the cluster-SIZE distribution of
+    // the dup graph — per size, how many clusters, how many docs
+    // they hold, how many a dedup pass would remove, and the share
+    // of the corpus — the "how much duplication do we actually have"
+    // panel that sizes a dedup investment before running it.
+    "dedup_cluster_stats" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val clusters = TextDedup.connectedComponents(
+        TextDedup.jaccardPairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+      val sizes = clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
+          ((col("cluster_size") * col("n_clusters")).cast("double")
+            / col("__n_docs").cast("double")).as("corpus_share"))
+    }),
 
     // End-to-end corpus dedup ENDPOINT: duplicate clusters (Jaccard
     // pairs + connected components), ONE best-quality survivor per
@@ -1303,6 +1337,14 @@ object SparkEntry {
 
     "sessionize_gap" -> ((s: SparkSession, d: String) =>
       Sessionize.byGap(t(s, d, "events"), "user_id", "ts", "event_id", "value", gapSec = 1800)),
+
+    // One-row session KPI panel over the gap sessions: counts, exact
+    // duration percentiles, bounce rate, value per session.
+    "ana_session_stats" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.sessionStats(
+        Sessionize.byGap(t(s, d, "events"), "user_id", "ts", "event_id",
+          "value", gapSec = 1800),
+        "user_id")),
 
     // Sweep-line peak concurrency over the gap sessions: the busiest
     // instant's open-session count — capacity planning over the
@@ -3726,6 +3768,43 @@ object SparkEntry {
           |           * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
           |FROM agg""".stripMargin,
 
+      // Power replay: the same assignment + conversion, the z-sum
+      // squared as a PARSED LITERAL (7.848879734349088 — libm erfinv
+      // differs across engines, literals do not), raw IEEE panel math.
+      "ana_abtest_power" ->
+        """WITH ev AS (
+          |  SELECT user_id, UPPER(TRIM(event_type)) AS et, value,
+          |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+          |         THEN 'A' ELSE 'B' END AS split
+          |  FROM events WHERE user_id IS NOT NULL),
+          |agg AS (
+          |  SELECT
+          |    COUNT(DISTINCT CASE WHEN split = 'A' THEN user_id END) AS n_a,
+          |    COUNT(DISTINCT CASE WHEN split = 'B' THEN user_id END) AS n_b,
+          |    COUNT(DISTINCT CASE WHEN split = 'A' AND et = 'PURCHASE' AND value > 95 THEN user_id END) AS conv_a
+          |  FROM ev),
+          |grid AS (
+          |  SELECT n_a, n_b, conv_a / NULLIF(n_a, 0) AS p_control, g.mde_rel
+          |  FROM agg, (SELECT UNNEST([0.02e0, 0.05e0, 0.10e0, 0.20e0, 0.50e0]) AS mde_rel) g),
+          |t AS (
+          |  SELECT *, CASE WHEN p_control IS NOT NULL
+          |      AND p_control * (1.0 + mde_rel) < 1.0
+          |    THEN p_control * (1.0 + mde_rel) END AS p_target
+          |  FROM grid)
+          |SELECT mde_rel, p_control, p_target,
+          |  CASE WHEN p_target IS NOT NULL AND p_target <> p_control THEN
+          |    CAST(CEIL(7.848879734349088
+          |      * (p_control * (1.0 - p_control) + p_target * (1.0 - p_target))
+          |      / ((p_target - p_control) * (p_target - p_control))) AS BIGINT)
+          |  END AS required_n_per_arm,
+          |  LEAST(n_a, n_b) AS available_n_per_arm,
+          |  CASE WHEN p_target IS NOT NULL AND p_target <> p_control THEN
+          |    LEAST(n_a, n_b) >= CAST(CEIL(7.848879734349088
+          |      * (p_control * (1.0 - p_control) + p_target * (1.0 - p_target))
+          |      / ((p_target - p_control) * (p_target - p_control))) AS BIGINT)
+          |  END AS feasible
+          |FROM t""".stripMargin,
+
       // isoDow <-> isodow parity (the B1 convention); means are the
       // one-division rule over DECIMAL sums.
       "ana_dow_seasonality" ->
@@ -4218,6 +4297,19 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "sessionize_gap" -> sessionizeOracleSql,
+
+    // Session-KPI replay over the same sessionizer CTE: exact counts,
+    // quantile_cont percentiles, decimal value sums, one division each.
+    "ana_session_stats" ->
+      s"""WITH sess AS MATERIALIZED ($sessionizeOracleSql)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  quantile_cont(epoch_ms(session_end) - epoch_ms(session_start), 0.5) AS p50_duration_ms,
+         |  quantile_cont(epoch_ms(session_end) - epoch_ms(session_start), 0.9) AS p90_duration_ms,
+         |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bounce_rate,
+         |  CAST(SUM(CAST(value_sum AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+         |FROM sess""".stripMargin,
 
     // Sweep replay: starts before ends at a shared instant (delta
     // DESC), total order closed by (user_id, session_seq), running
@@ -5006,6 +5098,20 @@ object SparkEntry {
       "dedup_clusters" ->
         s"""WITH RECURSIVE $clusterCtes
            |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+
+      // Cluster-size distribution over the SAME recursive clusters.
+      "dedup_cluster_stats" ->
+        s"""WITH RECURSIVE $clusterCtes,
+           |sizes AS (
+           |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           |  FROM clusters GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents)
+           |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable,
+           |  CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(MAX(n_docs_total) AS DOUBLE)
+           |    AS corpus_share
+           |FROM sizes, tot GROUP BY cluster_size""".stripMargin,
 
       // Survivor selection replayed over the SAME clusters + the SAME
       // quality score the other oracles pin — ties broken by doc_id.

@@ -472,6 +472,32 @@ object AnalyticsPack {
       pct(sum(col("had_purchase")), sum(col("had_click"))).as("pct_click_to_purchase"))
   }
 
+  /** One-row session-quality panel over the sessionizer's output —
+    * the KPI surface a session table exists to feed: session/user
+    * counts, exact p50/p90 duration, events per session, bounce rate
+    * (single-event sessions) and value per session. Runs on the
+    * ALREADY-AGGREGATED session relation (one row per session), so
+    * every stat is panel arithmetic: exact counts/decimal sums with
+    * one division each, exact sort-based percentiles (the F2
+    * `percentile == quantile_cont` parity), distinct users as the
+    * standard two-phase aggregate.
+    */
+  def sessionStats(sessions: DataFrame, userCol: String): DataFrame = {
+    val dur = unix_millis(col("session_end")) - unix_millis(col("session_start"))
+    sessions.select(col(userCol).as("__u"), col("n_events"),
+        col("value_sum"), dur.as("__dur_ms"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("__u")).as("n_users"),
+        percentile(col("__dur_ms"), lit(0.5)).as("p50_duration_ms"),
+        percentile(col("__dur_ms"), lit(0.9)).as("p90_duration_ms"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+        (sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("bounce_rate"),
+        (sum(money(col("value_sum"))).cast("double") / count(lit(1)))
+          .as("avg_value"))
+  }
+
   /** Multi-model marketing ATTRIBUTION panel: every PURCHASE's value
     * credited to its preceding CLICKs (same user, within
     * `windowSec`) under the three standard models — first-touch
@@ -880,6 +906,55 @@ object AnalyticsPack {
       rateA.as("rate_a"), rateB.as("rate_b"),
       (rateB - rateA).as("lift_abs"),
       ((rateB - rateA) / nz(se)).as("z_score"))
+  }
+
+  /** A/B experiment POWER panel — the design-time companion of
+    * [[abtestReadout]]'s verdict: for a grid of relative MDEs
+    * (minimum detectable effects), the required per-arm sample size
+    * at α=0.05 / power=0.8 (two-proportion z, the readout's own
+    * test) against what the assignment actually has — so "can this
+    * experiment even detect a 5% lift" is answered BEFORE burning
+    * weeks on an underpowered test.
+    * `n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/(p₂−p₁)²` with the
+    * control rate p₁ measured from arm A and p₂ = p₁·(1+mde).
+    *
+    * One distinct-user aggregation pass (the readout's shape) → a
+    * 1-row panel × the literal MDE grid. z-quantile constants are
+    * PARSED LITERALS (the Benford rule: libm erfinv differs across
+    * engines, number literals do not). Unreachable targets (p₂ ≥ 1)
+    * and degenerate arms yield NULL, not errors.
+    */
+  def abtestPower(events: DataFrame, variantCol: String, a: String, b: String,
+                  convPred: Column,
+                  mdes: Seq[Double] = Seq(0.02, 0.05, 0.10, 0.20, 0.50)): DataFrame = {
+    val zSum = 1.959963984540054 + 0.8416212335729143 // z_{0.025} + z_{0.2}
+    val zSum2 = zSum * zSum
+    val isA = col(variantCol) === a
+    val isB = col(variantCol) === b
+    def nz(c: Column) = when(c === 0, lit(null)).otherwise(c)
+    val agg = events.filter(col("user_id").isNotNull).agg(
+      countDistinct(when(isA, col("user_id"))).as("n_a"),
+      countDistinct(when(isB, col("user_id"))).as("n_b"),
+      countDistinct(when(isA && convPred, col("user_id"))).as("conv_a"))
+    val p1 = col("conv_a") / nz(col("n_a"))
+    val p2 = col("p_control") * (lit(1.0) + col("mde_rel"))
+    agg.select(col("n_a"), col("n_b"), p1.as("p_control"),
+        explode(typedlit(mdes)).as("mde_rel"))
+      .withColumn("p_target",
+        when(col("p_control").isNotNull && p2 < 1.0, p2))
+      .withColumn("required_n_per_arm",
+        when(col("p_target").isNotNull && col("p_target") =!= col("p_control"),
+          ceil(lit(zSum2) *
+            (col("p_control") * (lit(1.0) - col("p_control"))
+              + col("p_target") * (lit(1.0) - col("p_target")))
+            / ((col("p_target") - col("p_control"))
+              * (col("p_target") - col("p_control")))).cast("long")))
+      .withColumn("available_n_per_arm", least(col("n_a"), col("n_b")))
+      .withColumn("feasible",
+        when(col("required_n_per_arm").isNotNull,
+          col("available_n_per_arm") >= col("required_n_per_arm")))
+      .select(col("mde_rel"), col("p_control"), col("p_target"),
+        col("required_n_per_arm"), col("available_n_per_arm"), col("feasible"))
   }
 
   /** Daily new-vs-returning user split: a user counts as NEW on their

@@ -690,6 +690,52 @@ class AnalyticsPackSpec extends SparkSpec {
       s"hw=${got("holt_winters")._2} holt=${got("holt_linear")._2}")
   }
 
+  test("abtestPower: hand-computed n, MDE monotonicity, unreachable target NULLs") {
+    // arm A: 100 users, 10 converters (p = 0.1); arm B: 80 users
+    val ev = ((1 to 100).map(u => (s"a$u", "VIEW", 0.0)) ++
+      (1 to 10).map(u => (s"a$u", "BUY", 1.0)) ++
+      (101 to 180).map(u => (s"b$u", "VIEW", 0.0)))
+      .toDF("user_id", "et", "conv")
+      .withColumn("split", when(col("user_id").startsWith("a"), "A").otherwise("B"))
+    val got = AnalyticsPack.abtestPower(ev, "split", "A", "B",
+        col("et") === "BUY", mdes = Seq(0.5, 1.0, 20.0))
+      .collect().map(r => r.getAs[Double]("mde_rel") -> r).toMap
+    assert(got.keySet == Set(0.5, 1.0, 20.0))
+    val m5 = got(0.5)
+    assert(m5.getAs[Double]("p_control") == 0.1)
+    assert(m5.getAs[Double]("p_target") == 0.1 * 1.5)
+    // closed form: 7.848879734349088*(0.1*0.9+0.15*0.85)/(0.05^2)
+    val expected = math.ceil(7.848879734349088 * (0.1 * 0.9 + 0.15 * 0.85)
+      / (0.05 * 0.05)).toLong
+    assert(m5.getAs[Long]("required_n_per_arm") == expected)
+    assert(m5.getAs[Long]("available_n_per_arm") == 80L)
+    assert(!m5.getAs[Boolean]("feasible")) // ~682 needed, 80 available
+    // a bigger MDE needs fewer users
+    assert(got(1.0).getAs[Long]("required_n_per_arm") <
+      m5.getAs[Long]("required_n_per_arm"))
+    // p2 = 0.1*21 = 2.1 >= 1: unreachable — NULLs, not an error
+    val unreach = got(20.0)
+    assert(unreach.isNullAt(unreach.fieldIndex("p_target")) &&
+      unreach.isNullAt(unreach.fieldIndex("required_n_per_arm")))
+  }
+
+  test("sessionStats: exact panel over a hand-built session table") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sess = Seq(
+      ("u1", 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 5L, 10.0),
+      ("u1", 2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L, 0.0),
+      ("u2", 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 4L, 20.0))
+      .toDF("user_id", "session_seq", "session_start", "session_end",
+        "n_events", "value_sum")
+    val r = AnalyticsPack.sessionStats(sess, "user_id").collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 3L && r.getAs[Long]("n_users") == 2L)
+    // durations ms: 600000, 0, 1200000 -> p50 = 600000
+    assert(r.getAs[Double]("p50_duration_ms") == 600000.0)
+    assert(r.getAs[Double]("avg_events") == 10.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("bounce_rate") - 1.0 / 3.0) < 1e-15)
+    assert(r.getAs[Double]("avg_value") == 10.0)
+  }
+
   test("attributionModels: first/last/linear credits, window bound, conservation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

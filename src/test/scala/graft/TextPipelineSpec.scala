@@ -353,6 +353,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(5L) == "OVER_BUDGET" && got(6L) == "OVER_BUDGET")
   }
 
+  test("cluster-size stats: the dup-mass panel over connected components") {
+    import org.apache.spark.sql.functions._
+    val clusters = TextDedup.connectedComponents(
+      TextDedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4),
+      "doc_a", "doc_b")
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val stats = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"),
+        ((col("cluster_size") * col("n_clusters")).cast("double")
+          / col("__n_docs").cast("double")).as("corpus_share"))
+      .collect()
+    // docs 1,2,3 form one >=0.4-Jaccard cluster of size 3; 4 and 5 are
+    // singletons (not in the pair graph at all)
+    assert(stats.length == 1)
+    val r = stats(0)
+    assert(r.getAs[Long]("cluster_size") == 3L && r.getAs[Long]("n_clusters") == 1L)
+    assert(r.getAs[Long]("n_removable") == 2L)
+    assert(r.getAs[Double]("corpus_share") == 3.0 / 5.0)
+  }
+
   test("dedupRecallEval: minhash finds the exact pairs on this fixture; panel consistent") {
     val got = TextDedup.dedupRecallEval(docs, "doc_id", "text", threshold = 0.4)
       .collect().map(r => r.getAs[String]("method") ->
