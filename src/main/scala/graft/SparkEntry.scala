@@ -1391,6 +1391,16 @@ object SparkEntry {
     "embedding_mutual_knn" -> ((s: SparkSession, d: String) =>
       Ann.mutualKnnLsh(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)),
 
+    // Embedding-space duplicate CLUSTERS: connected components over
+    // the LSH-verified cosine near-dup pairs — the D16 cluster step
+    // applied to the embedding tier (SemDeDup groups around seeds;
+    // this follows the actual near-dup graph). Rows-only by protocol.
+    "dedup_embedding_clusters" -> ((s: SparkSession, d: String) =>
+      TextDedup.connectedComponents(
+        Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45),
+        "vec_a", "vec_b")),
+
     // First principal component by two-stage distributed power
     // iteration: scatter panel in one pass, recurrence on d-sized
     // panels, projection on the second corpus pass.
@@ -1837,6 +1847,24 @@ object SparkEntry {
     "table_entropy" -> ((s: SparkSession, d: String) =>
       Profiling.entropyProfile(servingValid(s, d),
         Seq("tipo_dia", "event_type_norm", "prop_k"))),
+
+    // Type-inference audit over a simulated all-VARCHAR bronze frame:
+    // per column the lexical-form match counts and the narrowest type
+    // covering >= 99% of non-empty values — the evidence-derived
+    // column spec the TRY_CAST coercion consumes. Anchored regex in
+    // the cross-engine subset, never try_cast (whose string->number
+    // edges differ across engines).
+    "silver_type_infer" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val bronze = ev.select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        money(col("value")).cast("string").as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), col("props"))
+      TypedCoerce.inferTypes(bronze,
+        Seq("event_id", "user_id", "value", "ts", "event_type", "props"))
+    }),
 
     // Most-common-values panel (the ANALYZE MCV statistic): top-5
     // values per column with exact counts + raw shares; two-phase
@@ -3079,6 +3107,44 @@ object SparkEntry {
            |  FROM (SELECT CAST($c AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
            |        FROM (${servingValidSql}) WHERE $c IS NOT NULL GROUP BY 1))""".stripMargin
       }.mkString("", "\nUNION ALL\n", ""),
+
+      // Type-inference replay: identical bronze stringification
+      // (decimal-rendered doubles, strftime timestamps — floats are
+      // never CAST-rendered, the tableDiff rule), same anchored
+      // regexes, same >= threshold ladder.
+      "silver_type_infer" -> {
+        val cols = Seq("event_id", "user_id", "value", "ts", "event_type", "props")
+        val bronzeSql =
+          """SELECT CAST(event_id AS VARCHAR) AS event_id,
+            |    CAST(user_id AS VARCHAR) AS user_id,
+            |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+            |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+            |    event_type, props
+            |  FROM events""".stripMargin
+        cols.map { c =>
+          def cnt(pat: String) =
+            s"CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' AND " +
+              s"regexp_matches(TRIM($c), '$pat') THEN 1 ELSE 0 END) AS BIGINT)"
+          val nb = cnt("^(true|false|TRUE|FALSE|True|False)$")
+          val nl = cnt("^[+-]?[0-9]{1,18}$")
+          val nd = cnt("^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$")
+          val ndt = cnt("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+          val nts = cnt("^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}")
+          s"""SELECT '$c' AS column_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnull,
+             |  $nb AS n_bool, $nl AS n_long, $nd AS n_double,
+             |  $ndt AS n_date, $nts AS n_ts,
+             |  CASE WHEN SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) = 0 THEN 'VARCHAR'
+             |       WHEN CAST($nb AS DOUBLE) >= 0.99 * CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) AS DOUBLE) THEN 'BOOLEAN'
+             |       WHEN CAST($nl AS DOUBLE) >= 0.99 * CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) AS DOUBLE) THEN 'BIGINT'
+             |       WHEN CAST($nd AS DOUBLE) >= 0.99 * CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) AS DOUBLE) THEN 'DOUBLE'
+             |       WHEN CAST($ndt AS DOUBLE) >= 0.99 * CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) AS DOUBLE) THEN 'DATE'
+             |       WHEN CAST($nts AS DOUBLE) >= 0.99 * CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END) AS DOUBLE) THEN 'TIMESTAMP'
+             |       ELSE 'VARCHAR' END AS suggested_type
+             |FROM ($bronzeSql)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "")
+      },
 
       // MCV replay: per column top-5 by (count desc, value), raw
       // share quotients of exact longs.

@@ -465,6 +465,29 @@ class AnnSpec extends SparkSpec {
     assert(got.map(t => (t._2, t._3)).toSet == topk.toSet)
   }
 
+  test("embedding near-dup clusters: components follow the cosine pair graph") {
+    val rnd = new scala.util.Random(13)
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.02).toFloat))
+    }
+    val pts = bundle(Array(1f, 0f, 0f, 0f), 0 until 5) ++
+      bundle(Array(0f, 1f, 0f, 0f), 100 until 105) ++
+      Seq((999L, Array(0.7f, 0.7f, 0.1f, 0.1f))) // between: near neither at 0.9
+    val emb = pts.toDF("vec_id", "embedding")
+    val clusters = graft.operators.TextDedup.connectedComponents(
+      Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.9, planes = 4, dim = 4),
+      "vec_a", "vec_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each bundle collapses to one cluster; bundles stay apart
+    val c0 = (0L until 5L).map(clusters)
+    val c1 = (100L until 105L).map(clusters)
+    assert(c0.distinct.size == 1 && c1.distinct.size == 1)
+    assert(c0.head != c1.head)
+    // the in-between vector is in neither bundle's cluster
+    assert(!clusters.contains(999L))
+  }
+
   test("mutualKnnLsh: bundles connect internally, pairs are mutual and canonical, deterministic") {
     val rnd = new scala.util.Random(11)
     def bundle(center: Array[Float], ids: Range) = ids.map { i =>

@@ -219,6 +219,33 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).isNullAt(2) && !rows(2).getBoolean(3))
   }
 
+  test("inferTypes: lexical classes, the 99% ladder, junk tolerance") {
+    import spark.implicits._
+    val bronze = Seq(
+      ("1", "12.50", "2024-01-05", "2024-01-05 10:30:00", "true", "hello"),
+      ("2", "7", "2024-01-06", "2024-01-06 11:00:00", "false", "world"),
+      ("3", "-3.25", "2024-01-07", "2024-01-07 12:00:00", "True", ""))
+      .toDF("id", "amt", "d", "ts", "flag", "txt")
+    val got = graft.operators.TypedCoerce.inferTypes(bronze,
+        Seq("id", "amt", "d", "ts", "flag", "txt"))
+      .collect().map(r => r.getAs[String]("column_name") ->
+        r.getAs[String]("suggested_type")).toMap
+    assert(got == Map("id" -> "BIGINT", "amt" -> "DOUBLE", "d" -> "DATE",
+      "ts" -> "TIMESTAMP", "flag" -> "BOOLEAN", "txt" -> "VARCHAR"))
+    // integers are doubles too, but the ladder prefers the narrower type;
+    // an empty string is not a value (txt has 2 non-null values, both words)
+    // 99% threshold: 1 junk row in 300 does not demote the column
+    val mostlyInts = ((1 to 299).map(i => i.toString) :+ "junk").toDF("v")
+    val inferred = graft.operators.TypedCoerce.inferTypes(mostlyInts, Seq("v"))
+      .collect()(0)
+    assert(inferred.getAs[String]("suggested_type") == "BIGINT")
+    assert(inferred.getAs[Long]("n_long") == 299L)
+    // but 2 junk in 100 does (98% < 99%)
+    val dirty = ((1 to 98).map(_.toString) ++ Seq("a", "b")).toDF("v")
+    assert(graft.operators.TypedCoerce.inferTypes(dirty, Seq("v"))
+      .collect()(0).getAs[String]("suggested_type") == "VARCHAR")
+  }
+
   test("medallion layout prunes partitions: a month filter scans only its directory") {
     val root = Files.createTempDirectory("graft_prune").toString
     val df = Seq.tabulate(100)(i => (i.toLong, 2024, 1 + i % 4, s"p$i"))
