@@ -1255,10 +1255,57 @@ object SparkEntry {
     "text_surprisal" -> ((s: SparkSession, d: String) =>
       CorpusQc.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
 
+    // Laplace-smoothed bigram-LM cross-entropy (CCNet-style quality
+    // score) — the context-aware tier above text_surprisal.
+    "text_bigram_lm" -> ((s: SparkSession, d: String) =>
+      CorpusQc.bigramLmScore(t(s, d, "documents"), "doc_id", "text")),
+
     // 64-token chunks, 16-token overlap (stride 48).
     "doc_chunks" -> ((s: SparkSession, d: String) =>
       CorpusQc.chunkTokens(t(s, d, "documents"), "doc_id", "text",
         chunkSize = 64, overlap = 16)),
+
+    // Entity resolution: candidate pairs over the distinct part-name
+    // entities (block = the noun token), native Jaro–Winkler kernel
+    // (bit-exact vs the DuckDB oracle — see JaroWinklerExpr), 1e-6
+    // grid before the threshold compare.
+    "er_candidate_pairs" -> ((s: SparkSession, d: String) =>
+      Linkage.candidatePairs(
+        t(s, d, "part").groupBy(upper(trim(col("p_name"))).as("ent_name"))
+          .agg(min(col("p_partkey")).as("ent_id")),
+        "ent_id", "ent_name", threshold = 0.8)),
+
+    // Linkage assignment: the same entities deterministically
+    // "dirtied" (first token truncated to 3 chars) and re-linked to
+    // the clean set — within-block argmax by (score desc, ref id).
+    "er_best_match" -> ((s: SparkSession, d: String) => {
+      val clean = t(s, d, "part")
+        .groupBy(upper(trim(col("p_name"))).as("ent_name"))
+        .agg(min(col("p_partkey")).as("ent_id"))
+      val dirty = clean.select(col("ent_id"),
+        concat_ws(" ",
+          substring(element_at(split(col("ent_name"), " "), 1), 1, 3),
+          element_at(split(col("ent_name"), " "), -1)).as("ent_name"))
+      Linkage.bestMatch(dirty, "ent_id", "ent_name",
+        clean, "ent_id", "ent_name", threshold = 0.75)
+    }),
+
+    // Item-item collaborative filtering: user-level co-occurrence
+    // cosine, top-5 neighbor list per item (Recsys.scala — the
+    // user-history twin of the order-basket association rules).
+    "recsys_item_cosine" -> ((s: SparkSession, d: String) =>
+      Recsys.itemCosineTopK(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_partkey", k = 5)),
+
+    // Serving-time recommendations from the bounded neighbor lists:
+    // per-user top-5 unseen items by summed cosine linkage.
+    "recsys_recommend" -> ((s: SparkSession, d: String) =>
+      Recsys.recommendTopN(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_partkey", n = 5, k = 10)),
 
     "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
@@ -4558,6 +4605,130 @@ object SparkEntry {
         |SELECT b.vec_id, b.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
         |FROM best b LEFT JOIN dups d ON b.vec_id = d.vec_id""".stripMargin,
 
+    // ER pair generation: DuckDB's jaro_winkler_similarity is the
+    // kernel's byte-based reference implementation; both sides floor
+    // to the 1e-6 grid before the threshold compare.
+    "er_candidate_pairs" ->
+      """WITH names AS (
+        |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
+        |  FROM part GROUP BY 2),
+        |b AS (
+        |  SELECT rec_id, name_norm,
+        |    list_extract(string_split(name_norm, ' '), -1) AS block
+        |  FROM names),
+        |sz AS (SELECT block, COUNT(*) AS block_n FROM b GROUP BY 1),
+        |ok AS (SELECT b.* FROM b JOIN sz USING (block) WHERE block_n <= 1000)
+        |SELECT * FROM (
+        |  SELECT a.rec_id AS rec_id_a, c.rec_id AS rec_id_b,
+        |    a.name_norm AS name_a, c.name_norm AS name_b,
+        |    FLOOR(jaro_winkler_similarity(a.name_norm, c.name_norm) * 1e6) / 1e6 AS jw_sim
+        |  FROM ok a JOIN ok c ON a.block = c.block AND a.rec_id < c.rec_id)
+        |WHERE jw_sim >= 0.8""".stripMargin,
+
+    "er_best_match" ->
+      """WITH clean AS (
+        |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
+        |  FROM part GROUP BY 2),
+        |dirty AS (
+        |  SELECT rec_id,
+        |    concat(substr(list_extract(string_split(name_norm, ' '), 1), 1, 3),
+        |           ' ', list_extract(string_split(name_norm, ' '), -1)) AS name_norm
+        |  FROM clean),
+        |lb AS (
+        |  SELECT rec_id, name_norm,
+        |    list_extract(string_split(name_norm, ' '), -1) AS block
+        |  FROM (SELECT DISTINCT rec_id, name_norm FROM dirty)),
+        |lsz AS (SELECT block, COUNT(*) AS block_n FROM lb GROUP BY 1),
+        |lok AS (SELECT lb.* FROM lb JOIN lsz USING (block) WHERE block_n <= 1000),
+        |rb AS (
+        |  SELECT rec_id, name_norm,
+        |    list_extract(string_split(name_norm, ' '), -1) AS block
+        |  FROM clean),
+        |rsz AS (SELECT block, COUNT(*) AS block_n FROM rb GROUP BY 1),
+        |rok AS (SELECT rb.* FROM rb JOIN rsz USING (block) WHERE block_n <= 1000),
+        |scored AS (
+        |  SELECT * FROM (
+        |    SELECT l.rec_id, l.name_norm, r.rec_id AS ref_id,
+        |      r.name_norm AS ref_name,
+        |      FLOOR(jaro_winkler_similarity(l.name_norm, r.name_norm) * 1e6) / 1e6 AS jw_sim
+        |    FROM lok l JOIN rok r ON l.block = r.block)
+        |  WHERE jw_sim >= 0.75),
+        |best AS (
+        |  SELECT * FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY rec_id
+        |    ORDER BY jw_sim DESC, ref_id) = 1)
+        |SELECT l.rec_id, l.name_norm, b.ref_id, b.ref_name, b.jw_sim
+        |FROM lok l LEFT JOIN best b ON l.rec_id = b.rec_id""".stripMargin,
+
+    // Item-item CF: exact integer co-occurrence counts; the cosine is
+    // one sqrt + one division over exact-integer doubles (bit-identical
+    // across engines), floored to the 1e-6 grid before ranking.
+    "recsys_item_cosine" ->
+      s"""WITH capped AS ($recsysInteractionsSql),
+        |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT ia, ib, n_both,
+        |    FLOOR(CAST(n_both AS DOUBLE)
+        |      / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) * 1e6) / 1e6 AS cosine
+        |  FROM pairs
+        |  JOIN marg ma ON ia = ma.item_id
+        |  JOIN marg mb ON ib = mb.item_id),
+        |sym AS (
+        |  SELECT ia AS item_id, ib AS neighbor_id, n_both, cosine FROM scored
+        |  UNION ALL
+        |  SELECT ib, ia, n_both, cosine FROM scored)
+        |SELECT item_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY item_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank,
+        |  neighbor_id, n_both, cosine
+        |FROM sym
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "recsys_recommend" ->
+      s"""WITH capped AS ($recsysInteractionsSql),
+        |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT ia, ib,
+        |    FLOOR(CAST(n_both AS DOUBLE)
+        |      / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) * 1e6) / 1e6 AS cosine
+        |  FROM pairs
+        |  JOIN marg ma ON ia = ma.item_id
+        |  JOIN marg mb ON ib = mb.item_id),
+        |sym AS (
+        |  SELECT ia AS item_id, ib AS neighbor_id, cosine FROM scored
+        |  UNION ALL
+        |  SELECT ib, ia, cosine FROM scored),
+        |nbr AS (
+        |  SELECT item_id, neighbor_id, cosine FROM sym
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY item_id
+        |    ORDER BY cosine DESC, neighbor_id) <= 10),
+        |cand AS (
+        |  SELECT i.user_id, n.neighbor_id AS rec_item,
+        |    CAST(SUM(CAST(n.cosine AS DECIMAL(28,6))) AS DOUBLE) AS score,
+        |    COUNT(*) AS n_links
+        |  FROM capped i JOIN nbr n ON i.item_id = n.item_id
+        |  GROUP BY 1, 2),
+        |unseen AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN capped s ON c.user_id = s.user_id AND c.rec_item = s.item_id
+        |  WHERE s.item_id IS NULL)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY score DESC, rec_item) AS INTEGER) AS rank,
+        |  rec_item, n_links, score
+        |FROM unseen
+        |QUALIFY rank <= 5""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5726,6 +5897,35 @@ object SparkEntry {
            |  (-CAST(slp AS DOUBLE)) / n_tokens AS nats_per_token
            |FROM s""".stripMargin,
 
+      // Laplace-smoothed bigram LM: same quantization ladder as
+      // text_surprisal (1e-4 ln grid, 1e-6 term grid, DECIMAL(28,6)
+      // partials, one division at the edge).
+      "text_bigram_lm" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, t, CAST(len(t) AS INTEGER) AS n
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |vocab AS (
+           |  SELECT COUNT(DISTINCT tok) AS v
+           |  FROM (SELECT UNNEST(t) AS tok FROM tk)),
+           |bigs AS (
+           |  SELECT doc_id, t[i] AS pre, t[i] || ' ' || t[i + 1] AS big
+           |  FROM tk, UNNEST(range(1, n)) AS r(i)
+           |  WHERE n >= 2),
+           |cbig AS (SELECT pre, big, COUNT(*) AS cbig FROM bigs GROUP BY 1, 2),
+           |cpre AS (SELECT pre, COUNT(*) AS cpre FROM bigs GROUP BY 1),
+           |lp AS (
+           |  SELECT big,
+           |    floor(ln(CAST(cbig + 1 AS DOUBLE) / CAST(cpre + v AS DOUBLE)) * 1e4) / 1e4 AS lq
+           |  FROM cbig JOIN cpre USING (pre), vocab),
+           |tf AS (SELECT doc_id, big, COUNT(*) AS tf FROM bigs GROUP BY 1, 2),
+           |s AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           |    SUM(CAST(floor(CAST(tf AS DOUBLE) * lq * 1e6) / 1e6 AS DECIMAL(28,6))) AS slp
+           |  FROM tf JOIN lp USING (big) GROUP BY 1)
+           |SELECT doc_id, n_bigrams, CAST(slp AS DOUBLE) AS sum_logp,
+           |  (-CAST(slp AS DOUBLE)) / n_bigrams AS nats_per_bigram
+           |FROM s""".stripMargin,
+
       // 64-token chunks, stride 48; a start inside the previous
       // chunk's overlap tail (s >= n - 16) is not emitted.
       "doc_chunks" ->
@@ -5935,6 +6135,19 @@ object SparkEntry {
        |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= $threshold""".stripMargin
 
   /** DuckDB twins of the serving queries. */
+  /** Capped distinct (user, item) interactions — the shared input of
+    * both recsys oracles (mirrors Recsys.interactions exactly).
+    */
+  private def recsysInteractionsSql: String =
+    """SELECT user_id, item_id FROM (
+      |  SELECT user_id, item_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item_id) AS rn
+      |  FROM (
+      |    SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL))
+      |WHERE rn <= 1000""".stripMargin
+
   private def servingValidSql: String =
     s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
 

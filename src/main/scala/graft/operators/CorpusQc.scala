@@ -231,6 +231,56 @@ object CorpusQc {
         ((-col("slp").cast("double")) / col("n_tokens")).as("nats_per_token"))
   }
 
+  /** Bigram-LM cross-entropy — the context-aware tier above
+    * [[unigramSurprisal]] (CCNet-style: score each document by how
+    * well a corpus-trained LM predicts it, filter the tails). The LM
+    * is Laplace-smoothed MLE over adjacent-token bigrams:
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)` with V the unigram
+    * vocab size; each document reports its bigram count, summed log
+    * probability and `nats_per_bigram` (exp to perplexity at display
+    * time — libm `exp` is runtime-specific, ln stays inside).
+    *
+    * Scale shape: bigrams from an `arrays_zip` of two slices (the
+    * bigramNovelty spine), corpus bigram/prefix counts as partial-agg
+    * shuffles on their own keys, the vocab size one broadcast scalar;
+    * per-(pre,big) log-probs join back to the per-doc tf relation by
+    * bigram key (fact-to-vocab join). Engine parity: counts exact;
+    * `ln` floor-quantizes on the 1e-4 grid (§5, the unigramSurprisal
+    * convention), tf-weighted terms floor to 1e-6 and sum as exact
+    * DECIMAL(28,6); the per-bigram average divides once at the edge.
+    * Documents with < 2 tokens have no bigram distribution and drop.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"), size(col("ts")).as("n"))
+    val vocabN = toks.select(explode(col("ts")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val bigs = toks.filter(col("n") >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), col("n") - 1).as("c1"),
+          slice(col("ts"), lit(2), col("n") - 1).as("c2"))).as("z"))
+      .select(col(idCol), col("z.c1").as("pre"),
+        concat_ws(" ", col("z.c1"), col("z.c2")).as("big"))
+    val cBig = bigs.groupBy(col("pre"), col("big")).agg(count(lit(1)).as("cbig"))
+    val cPre = bigs.groupBy(col("pre")).agg(count(lit(1)).as("cpre"))
+    val lp = cBig.join(cPre, Seq("pre")).crossJoin(broadcast(vocabN))
+      .select(col("big"),
+        (floor(log((col("cbig") + 1).cast("double") /
+          (col("cpre") + col("v")).cast("double")) * lit(1e4)) / lit(1e4)).as("lq"))
+    val tf = bigs.groupBy(col(idCol), col("big")).agg(count(lit(1)).as("tf"))
+    tf.join(lp, Seq("big"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum((floor(col("tf").cast("double") * col("lq") * lit(1e6)) / lit(1e6))
+          .cast(DecimalType(28, 6))).as("slp"))
+      .select(col(idCol), col("n_bigrams"),
+        col("slp").cast("double").as("sum_logp"),
+        ((-col("slp").cast("double")) / col("n_bigrams")).as("nats_per_bigram"))
+  }
+
   /** Context-aware novelty profile — the LOG-FREE stand-in for a
     * bigram-LM perplexity score (library `ln` differs between
     * runtimes in the last ulp, which would break engine replay; MLE

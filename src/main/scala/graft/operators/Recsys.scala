@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over implicit interactions — the
+  * co-occurrence-normalized neighbor structure behind "users who took
+  * X also took Y" serving panels. Distinct from the order-basket
+  * association rules (AnalyticsPack.marketBasket): here co-occurrence
+  * is at the USER level across that user's whole history, scored with
+  * the cosine `n_ij / sqrt(n_i · n_j)` and cut to the top-k neighbor
+  * list per item (the artifact an online recommender actually loads).
+  *
+  * Scale shape: interactions dedup in one (user, item) partial agg;
+  * a deterministic per-user cap (`row_number` by item id) bounds the
+  * within-user pair fan-out at cap²/2 — the classic guard that keeps
+  * one crawler/power user from quadratically exploding the self-join
+  * (same role as the dedup df-cap; at 100 TB the cap is what makes
+  * pair volume linear in users). Pairs shuffle on the user key only;
+  * marginals and pair counts are partial-agg shuffles on item keys;
+  * the final top-k window partitions per item (panel-sized lists,
+  * never a global sort). Engine parity: counts are exact integers,
+  * the cosine is one sqrt + one division, floor-quantized to the 1e-6
+  * grid (§5) before the rank so a last-ulp disagreement cannot flip
+  * neighbor order (rank ties break on neighbor id).
+  */
+object Recsys {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
+  /** Distinct (user, item) interactions with the deterministic
+    * per-user cap applied.
+    */
+  def interactions(raw: DataFrame, userCol: String, itemCol: String,
+                   userCap: Int): DataFrame = {
+    val base = raw
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"), col(itemCol).as("item_id"))
+      .agg(count(lit(1)).as("__n")).drop("__n")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("item_id"))
+    base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= userCap).drop("__rn")
+  }
+
+  /** Top-k cosine neighbors per item. `raw` is any frame with a user
+    * and an item column (duplicates fine — dedup happens here).
+    */
+  def itemCosineTopK(raw: DataFrame, userCol: String, itemCol: String,
+                     k: Int, userCap: Int = 1000): DataFrame = {
+    val inter = interactions(raw, userCol, itemCol, userCap)
+    val marginals = inter.groupBy(col("item_id")).agg(count(lit(1)).as("n_users"))
+    val pairs = inter.as("a").join(inter.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val scored = pairs
+      .join(marginals.withColumnRenamed("item_id", "item_a")
+        .withColumnRenamed("n_users", "n_a"), Seq("item_a"))
+      .join(marginals.withColumnRenamed("item_id", "item_b")
+        .withColumnRenamed("n_users", "n_b"), Seq("item_b"))
+      .withColumn("cosine", q6(col("n_both").cast("double") /
+        sqrt(col("n_a").cast("double") * col("n_b").cast("double"))))
+    // Symmetrize so every item ranks its full neighborhood, then cut.
+    val sym = scored.select(col("item_a").as("item_id"),
+        col("item_b").as("neighbor_id"), col("n_both"), col("cosine"))
+      .unionByName(scored.select(col("item_b").as("item_id"),
+        col("item_a").as("neighbor_id"), col("n_both"), col("cosine")))
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("n_both"), col("cosine"))
+  }
+
+  /** Per-user top-n recommendations: score each candidate item by the
+    * SUM of its cosine links to items the user already interacted
+    * with (restricted to the top-k neighbor lists — the bounded
+    * serving-time join), drop already-seen items, rank per user.
+    * Cosine partials sum as exact DECIMAL(28,6) over grid points so
+    * parallel reduction order can never change a score.
+    */
+  def recommendTopN(raw: DataFrame, userCol: String, itemCol: String,
+                    n: Int, k: Int, userCap: Int = 1000): DataFrame = {
+    val inter = interactions(raw, userCol, itemCol, userCap)
+    val neighbors = itemCosineTopK(raw, userCol, itemCol, k, userCap)
+    val candidates = inter.join(neighbors, Seq("item_id"))
+      .groupBy(col("user_id"), col("neighbor_id").as("rec_item"))
+      .agg(sum(col("cosine").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("score"),
+        count(lit(1)).as("n_links"))
+    val unseen = candidates.join(
+        inter.withColumnRenamed("item_id", "rec_item").withColumn("__seen", lit(1)),
+        Seq("user_id", "rec_item"), "left")
+      .filter(col("__seen").isNull).drop("__seen")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("rec_item"))
+    unseen.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("user_id"), col("rank").cast("int").as("rank"),
+        col("rec_item"), col("n_links"), col("score"))
+  }
+}

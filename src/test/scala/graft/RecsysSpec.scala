@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Recsys
+
+/** Item-item CF semantics: exact co-occurrence counts, cosine
+  * normalization, cap discipline, and the serving-time
+  * recommendation join. The oracle gate pins full values at sf; these
+  * pin the arithmetic the hash alone would not explain.
+  */
+class RecsysSpec extends SparkSpec {
+  import spark.implicits._
+
+  // u1:{A,B,C} u2:{A,B} u3:{A,D} -> n(A)=3 n(B)=2 n(C)=1 n(D)=1
+  // n(A,B)=2 n(A,C)=1 n(B,C)=1 n(A,D)=1
+  private def raw = Seq(
+    ("u1", "A"), ("u1", "B"), ("u1", "C"), ("u1", "A"), // dup A collapses
+    ("u2", "A"), ("u2", "B"),
+    ("u3", "A"), ("u3", "D"))
+    .toDF("user_id", "item_id")
+
+  test("itemCosineTopK: exact counts and cosine, symmetric lists, tie-break") {
+    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 3)
+      .collect().map(r => (r.getAs[String]("item_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("neighbor_id"), r.getAs[Long]("n_both"),
+          r.getAs[Double]("cosine"))).toMap
+    def q6(x: Double) = math.floor(x * 1e6) / 1e6
+    // cos(A,B) = 2/sqrt(3*2); cos(A,C) = 1/sqrt(3); cos(A,D) = 1/sqrt(3)
+    assert(got(("A", 1)) == (("B", 2L, q6(2.0 / math.sqrt(6.0)))))
+    // C before D on equal cosine (neighbor id tie-break)
+    assert(got(("A", 2))._1 == "C" && got(("A", 3))._1 == "D")
+    // symmetric: B's list leads with A at the same cosine
+    assert(got(("B", 1)) == (("A", 2L, q6(2.0 / math.sqrt(6.0)))))
+    // cos(B,C) = 1/sqrt(2) > cos(B,A)? 1/sqrt(2)=.707 vs 2/sqrt(6)=.816 -> A first
+    assert(got(("B", 2))._1 == "C")
+  }
+
+  test("per-user cap bounds the pair fan-out deterministically") {
+    // cap=2 keeps each user's 2 smallest item ids: u1:{A,B} u2:{A,B} u3:{A,D}
+    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 5, userCap = 2)
+      .select("item_id", "neighbor_id").as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("B", "A"), ("A", "D"), ("D", "A")))
+  }
+
+  test("recommendTopN: seen items excluded, scores sum over neighbor links") {
+    val got = Recsys.recommendTopN(raw, "user_id", "item_id", n = 3, k = 3)
+      .collect().map(r => (r.getAs[String]("user_id"), r.getAs[String]("rec_item")) ->
+        (r.getAs[Long]("n_links"), r.getAs[Double]("score"))).toMap
+    // u2 has {A,B}; candidates from neighbor lists: C (via A and B), D (via A)
+    def q6(x: Double) = math.floor(x * 1e6) / 1e6
+    val cAC = q6(1.0 / math.sqrt(3.0))   // cos(A,C)
+    val cBC = q6(1.0 / math.sqrt(2.0))   // cos(B,C)
+    val cAD = q6(1.0 / math.sqrt(3.0))   // cos(A,D)
+    // the operator sums on a 6dp DECIMAL, not on doubles — mirror that
+    // exactly (a plain double add can differ in the last ulp)
+    val sumCD = (BigDecimal(cAC).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      + BigDecimal(cBC).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble
+    assert(got(("u2", "C")) == ((2L, sumCD)))
+    assert(got(("u2", "D")) == ((1L, cAD)))
+    // nothing recommends an already-seen item
+    assert(!got.contains(("u2", "A")) && !got.contains(("u2", "B")))
+  }
+}
