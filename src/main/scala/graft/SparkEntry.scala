@@ -879,6 +879,21 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // Quantile normalization: per-type daily demand aligned to the
+    // cross-type rank-mean distribution (ordering preserved).
+    "ana_quantile_normalize" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.quantileNormalize(servingValid(s, d))),
+
+    // Quasi-experimental DiD readout: md5-deterministic T/C groups,
+    // calendar split at 20240115 — shared trends cancel in the
+    // (T_post−T_pre)−(C_post−C_pre) estimate.
+    "ana_did" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.diffInDiff(
+        Sampling.splitAssign(
+          servingValid(s, d).filter(col("user_id").isNotNull),
+          Seq("T" -> 0.5, "C" -> 0.5), Seq("user_id")),
+        "split", "T", "C", col("value"), col("date_sk") >= 20240115)),
+
     // Experiment power panel: required per-arm n across an MDE grid
     // vs what the assignment has — "can this test detect a 5% lift"
     // answered at design time. Literal z constants, raw IEEE panel
@@ -1994,6 +2009,11 @@ object SparkEntry {
     // (lag-7) baselines scored per type (MAE/MAPE/bias) — the
     // evaluation tier any shipped forecast must beat; calendar lag
     // joins on the day panel, never row offsets.
+    // Distribution-free conformal intervals over the backtest
+    // residuals: forecast ± q̂ with certified ≥80% coverage.
+    "ana_forecast_conformal" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.forecastConformal(servingValid(s, d))),
+
     "ana_forecast_backtest" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.forecastBacktest(servingValid(s, d))),
 
@@ -3252,6 +3272,65 @@ object SparkEntry {
            |    / SUM(CASE WHEN y <> 0 THEN 1 END) AS mape
            |FROM ev GROUP BY 1, 2""".stripMargin,
 
+      // Split-conformal intervals: residuals ordered as exact
+      // DECIMAL(18,2), the ⌈0.8(n+1)⌉ rank in integer arithmetic,
+      // next-day anchors joined on the calendar.
+      "ana_forecast_conformal" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |joined AS (
+           |  SELECT b.event_type_norm, b.d, b.y, l1.y AS f_lag1, l7.y AS f_lag7
+           |  FROM byday b
+           |  LEFT JOIN byday l1 ON b.event_type_norm = l1.event_type_norm
+           |    AND b.d = l1.d + 1
+           |  LEFT JOIN byday l7 ON b.event_type_norm = l7.event_type_norm
+           |    AND b.d = l7.d + 7),
+           |longf AS (
+           |  SELECT event_type_norm, u.method, d, y,
+           |    CASE u.method WHEN 'naive_lag1' THEN f_lag1 ELSE f_lag7 END AS f
+           |  FROM joined,
+           |    (SELECT UNNEST(['naive_lag1', 'seasonal_lag7']) AS method) u),
+           |ev AS (SELECT event_type_norm, method, d,
+           |    CAST(ABS(y - f) AS DECIMAL(18,2)) AS abs_err_dec
+           |  FROM longf WHERE f IS NOT NULL),
+           |ranked AS (
+           |  SELECT event_type_norm, method, abs_err_dec,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type_norm, method
+           |      ORDER BY abs_err_dec, d) AS rn,
+           |    COUNT(*) OVER (PARTITION BY event_type_norm, method) AS n_eval
+           |  FROM ev),
+           |groups AS (
+           |  SELECT event_type_norm, method,
+           |    CAST(MAX(n_eval) AS BIGINT) AS n_eval,
+           |    CAST(MAX((8 * (n_eval + 1) + 9) // 10) AS BIGINT) AS conf_rank
+           |  FROM ranked GROUP BY 1, 2),
+           |qsel AS (
+           |  SELECT event_type_norm, method, CAST(abs_err_dec AS DOUBLE) AS q_hat
+           |  FROM ranked WHERE rn = (8 * (n_eval + 1) + 9) // 10),
+           |anchor AS (
+           |  SELECT event_type_norm, MAX(d) AS last_d FROM byday GROUP BY 1),
+           |fnext AS (
+           |  SELECT a.event_type_norm, u.method,
+           |    CASE u.method WHEN 'naive_lag1' THEN p.y ELSE s.y END AS f_next
+           |  FROM anchor a
+           |  LEFT JOIN byday p ON a.event_type_norm = p.event_type_norm
+           |    AND p.d = a.last_d
+           |  LEFT JOIN byday s ON a.event_type_norm = s.event_type_norm
+           |    AND s.d + 6 = a.last_d,
+           |    (SELECT UNNEST(['naive_lag1', 'seasonal_lag7']) AS method) u)
+           |SELECT g.event_type_norm, g.method, g.n_eval, g.conf_rank,
+           |  q.q_hat, f.f_next,
+           |  f.f_next - q.q_hat AS lo, f.f_next + q.q_hat AS hi
+           |FROM groups g
+           |LEFT JOIN qsel q ON g.event_type_norm = q.event_type_norm
+           |  AND g.method = q.method
+           |LEFT JOIN fnext f ON g.event_type_norm = f.event_type_norm
+           |  AND g.method = f.method""".stripMargin,
+
       // RFM replay: same panel collapse, quantile_cont thresholds
       // (the percentile parity), identical CASE ladders.
       "ana_rfm_segments" ->
@@ -3393,6 +3472,52 @@ object SparkEntry {
            |FROM ranked
            |WHERE rn = FLOOR((m + 1) / 2.0) OR rn = FLOOR((m + 2) / 2.0)
            |GROUP BY 1""".stripMargin,
+
+      "ana_quantile_normalize" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS y
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT event_type_norm, date_sk, y,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type_norm
+           |      ORDER BY y, date_sk) AS INTEGER) AS rank
+           |  FROM byday),
+           |refs AS (
+           |  SELECT rank,
+           |    ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS y_qnorm,
+           |    COUNT(*) AS n_groups
+           |  FROM ranked GROUP BY 1)
+           |SELECT event_type_norm, date_sk, y, rank, n_groups, y_qnorm
+           |FROM ranked JOIN refs USING (rank)""".stripMargin,
+
+      // DiD: same md5 split as the A/B oracles, calendar split at
+      // 20240115, 4dp money means, fixed subtraction order.
+      "ana_did" ->
+        s"""WITH ev AS (
+           |  SELECT user_id, value, date_sk,
+           |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+           |         THEN 'T' ELSE 'C' END AS split
+           |  FROM ($validSql) WHERE user_id IS NOT NULL),
+           |agg AS (
+           |  SELECT
+           |    COUNT(CASE WHEN split = 'T' AND date_sk < 20240115 THEN 1 END) AS n_treat_pre,
+           |    ROUND(CAST(SUM(CASE WHEN split = 'T' AND date_sk < 20240115 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           |      / NULLIF(COUNT(CASE WHEN split = 'T' AND date_sk < 20240115 THEN 1 END), 0), 4) AS mean_treat_pre,
+           |    COUNT(CASE WHEN split = 'T' AND date_sk >= 20240115 THEN 1 END) AS n_treat_post,
+           |    ROUND(CAST(SUM(CASE WHEN split = 'T' AND date_sk >= 20240115 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           |      / NULLIF(COUNT(CASE WHEN split = 'T' AND date_sk >= 20240115 THEN 1 END), 0), 4) AS mean_treat_post,
+           |    COUNT(CASE WHEN split = 'C' AND date_sk < 20240115 THEN 1 END) AS n_ctrl_pre,
+           |    ROUND(CAST(SUM(CASE WHEN split = 'C' AND date_sk < 20240115 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           |      / NULLIF(COUNT(CASE WHEN split = 'C' AND date_sk < 20240115 THEN 1 END), 0), 4) AS mean_ctrl_pre,
+           |    COUNT(CASE WHEN split = 'C' AND date_sk >= 20240115 THEN 1 END) AS n_ctrl_post,
+           |    ROUND(CAST(SUM(CASE WHEN split = 'C' AND date_sk >= 20240115 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           |      / NULLIF(COUNT(CASE WHEN split = 'C' AND date_sk >= 20240115 THEN 1 END), 0), 4) AS mean_ctrl_post
+           |  FROM ev)
+           |SELECT agg.*,
+           |  (mean_treat_post - mean_treat_pre) - (mean_ctrl_post - mean_ctrl_pre) AS did_estimate
+           |FROM agg""".stripMargin,
 
       "ana_trend_slope" ->
         s"""WITH byday AS (

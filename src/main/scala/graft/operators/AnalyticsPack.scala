@@ -908,6 +908,72 @@ object AnalyticsPack {
       ((rateB - rateA) / nz(se)).as("z_score"))
   }
 
+  /** Quantile normalization of per-group daily series — the
+    * distribution-alignment move (omics-classic, equally useful for
+    * making per-segment engagement curves comparable): within each
+    * group rank the days by value, replace each value with the MEAN
+    * across groups of the values holding the same rank. After it,
+    * every group has an identical value distribution; ordering within
+    * a group is preserved.
+    *
+    * Scale shape: one fact-sized partial agg to the (group, day)
+    * panel; the rank window partitions PER GROUP (panel-sized, never
+    * a global sort); the rank-reference means are one tiny agg joined
+    * back by rank. Engine parity: ranks are integers with a (value,
+    * day) total order; reference means follow the house money
+    * convention (exact DECIMAL(18,2) sums, one division, 4dp round).
+    */
+  def quantileNormalize(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(round(sum(money(col("value"))), 2).cast("double").as("y"))
+    val w = Window.partitionBy(col("event_type_norm"))
+      .orderBy(col("y"), col("date_sk"))
+    val ranked = byDay.withColumn("rank",
+      row_number().over(w).cast("int"))
+    val refs = ranked.groupBy(col("rank"))
+      .agg((round(sum(money(col("y"))).cast("double") / count(lit(1)), 4))
+        .as("y_qnorm"), count(lit(1)).as("n_groups"))
+    ranked.join(refs, Seq("rank"))
+      .select(col("event_type_norm"), col("date_sk"), col("y"),
+        col("rank"), col("n_groups"), col("y_qnorm"))
+  }
+
+  /** Difference-in-differences readout — the quasi-experimental
+    * companion of [[abtestReadout]] for launches WITHOUT a randomized
+    * holdout: compare the treated group's pre→post metric change
+    * against the control group's over the same calendar split, so any
+    * shared trend (seasonality, platform drift) cancels and
+    * `ΔΔ = (T_post − T_pre) − (C_post − C_pre)` estimates the effect.
+    *
+    * One fact scan → one 1-row conditional aggregation (eight
+    * cells). Engine parity: per-cell means follow the house money
+    * convention (exact DECIMAL sums cast to double, one division,
+    * rounded to 4dp); the DiD combines the four rounded means in a
+    * fixed subtraction order, so both engines walk identical IEEE
+    * steps. Degenerate cells (no rows) yield NULL means and a NULL
+    * estimate, not a division error.
+    */
+  def diffInDiff(events: DataFrame, groupCol: String, treat: String,
+                 control: String, valueCol: Column,
+                 postPred: Column): DataFrame = {
+    def nz(c: Column) = when(c === 0, lit(null)).otherwise(c)
+    val isT = col(groupCol) === treat
+    val isC = col(groupCol) === control
+    def cell(pred: Column, as: String): Seq[Column] = Seq(
+      count(when(pred, lit(1))).as(s"n_$as"),
+      round(sum(when(pred, money(valueCol))).cast("double") /
+        nz(count(when(pred, lit(1)))), 4).as(s"mean_$as"))
+    val cells = cell(isT && !postPred, "treat_pre") ++
+      cell(isT && postPred, "treat_post") ++
+      cell(isC && !postPred, "ctrl_pre") ++
+      cell(isC && postPred, "ctrl_post")
+    val agg = events.filter(isT || isC).agg(cells.head, cells.tail: _*)
+    agg.select(col("*"),
+      ((col("mean_treat_post") - col("mean_treat_pre")) -
+        (col("mean_ctrl_post") - col("mean_ctrl_pre"))).as("did_estimate"))
+  }
+
   /** A/B experiment POWER panel — the design-time companion of
     * [[abtestReadout]]'s verdict: for a grid of relative MDEs
     * (minimum detectable effects), the required per-arm sample size
@@ -1473,6 +1539,82 @@ object AnalyticsPack {
             graft.expressions.Kernels.toDecimal(g6(abs(err) / col("y")), 28, 6)))
           .cast("double")
           / sum(when(col("y") =!= 0, 1L))).as("mape"))
+  }
+
+  /** Split-conformal prediction intervals for the forecast family —
+    * the distribution-free certification tier above
+    * [[forecastBacktest]]: the walk-forward one-step absolute
+    * residuals are the calibration scores, and the conformal quantile
+    * `q̂` = the ⌈(n+1)(1−α)⌉-th smallest of them guarantees ≥ 1−α
+    * coverage of `forecast ± q̂` under exchangeability — no normality
+    * assumption, no libm quantile. α = 0.2 here, and the rank is
+    * computed in EXACT integer arithmetic (`⌈8(n+1)/10⌉` via
+    * `(8(n+1)+9) div 10`), so both engines select the identical
+    * residual. Each (type, method) row also carries the next-day
+    * point forecast (persistence: the last observed day; seasonal:
+    * the day six back) and its certified interval; a calibration set
+    * too small for the rank (rank > n) or a gap at the forecast
+    * anchor yields NULLs, not errors.
+    *
+    * Scale shape: the fact collapses to the (type, day) panel once
+    * (backtest spine, checkpointed); residual ranking windows
+    * partition per (type, method) — panel-sized; the anchor joins are
+    * panel-to-panel. Engine parity: residuals order as exact
+    * DECIMAL(18,2) money values (double ties would be
+    * engine-dependent), intervals are 2dp-double adds at the edge.
+    */
+  def forecastConformal(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .localCheckpoint(false)
+    def lagged(days: Int, name: String) = byDay.select(
+      col("event_type_norm"), date_add(col("d"), days).as("d"), col("y").as(name))
+    val long = byDay
+      .join(lagged(1, "f_lag1"), Seq("event_type_norm", "d"), "left")
+      .join(lagged(7, "f_lag7"), Seq("event_type_norm", "d"), "left")
+      .select(col("event_type_norm"), col("d"), col("y"),
+        explode(array(
+          struct(lit("naive_lag1").as("method"), col("f_lag1").as("f")),
+          struct(lit("seasonal_lag7").as("method"), col("f_lag7").as("f")))).as("m"))
+      .select(col("event_type_norm"), col("m.method").as("method"),
+        col("d"), col("y"), col("m.f").as("f"))
+      .filter(col("f").isNotNull)
+    val w = Window.partitionBy(col("event_type_norm"), col("method"))
+    val ranked = long
+      .withColumn("abs_err_dec", money(abs(col("y") - col("f"))))
+      .withColumn("rn", row_number().over(w.orderBy(col("abs_err_dec"), col("d"))))
+      .withColumn("n_eval", count(lit(1)).over(w))
+      .withColumn("conf_rank",
+        expr("(8 * (n_eval + 1) + 9) div 10"))
+    // keep (type, method) rows whose calibration set is too small for
+    // the rank (conf_rank > n): NULL q_hat, not a vanished group
+    val qSel = ranked.filter(col("rn") === col("conf_rank"))
+      .select(col("event_type_norm"), col("method"),
+        col("abs_err_dec").cast("double").as("q_hat"))
+    val q = ranked.groupBy(col("event_type_norm"), col("method"))
+      .agg(max(col("n_eval")).as("n_eval"), max(col("conf_rank")).as("conf_rank"))
+      .join(qSel, Seq("event_type_norm", "method"), "left")
+    val anchor = byDay.groupBy(col("event_type_norm")).agg(max(col("d")).as("last_d"))
+    val fNext = anchor
+      .join(byDay.select(col("event_type_norm"), col("d").as("last_d"),
+        col("y").as("f_pers")), Seq("event_type_norm", "last_d"), "left")
+      .join(byDay.select(col("event_type_norm"),
+        date_add(col("d"), 6).as("last_d"), col("y").as("f_seas")),
+        Seq("event_type_norm", "last_d"), "left")
+      .select(col("event_type_norm"),
+        explode(array(
+          struct(lit("naive_lag1").as("method"), col("f_pers").as("f_next")),
+          struct(lit("seasonal_lag7").as("method"), col("f_seas").as("f_next")))).as("m"))
+      .select(col("event_type_norm"), col("m.method").as("method"),
+        col("m.f_next").as("f_next"))
+    q.join(fNext, Seq("event_type_norm", "method"), "left")
+      .select(col("event_type_norm"), col("method"), col("n_eval"),
+        col("conf_rank"), col("q_hat"), col("f_next"),
+        (col("f_next") - col("q_hat")).as("lo"),
+        (col("f_next") + col("q_hat")).as("hi"))
   }
 
   /** RFM customer segmentation — the classic warehouse marketing

@@ -927,4 +927,61 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.values.forall(_._1 == 1L))
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
+
+  test("diffInDiff: shared trend cancels; empty cell -> NULL estimate") {
+    val df = Seq(
+      ("T", "pre", 10.0), ("T", "pre", 20.0), ("T", "post", 30.0),
+      ("C", "pre", 5.0), ("C", "post", 10.0),
+      ("X", "post", 999.0)) // outside both groups -> ignored
+      .toDF("grp", "period", "value")
+    val r = AnalyticsPack.diffInDiff(df, "grp", "T", "C", col("value"),
+      col("period") === "post").collect().head
+    // (30 - 15) - (10 - 5) = 10
+    assert(r.getAs[Double]("mean_treat_pre") == 15.0)
+    assert(r.getAs[Double]("did_estimate") == 10.0)
+    assert(r.getAs[Long]("n_treat_pre") == 2L && r.getAs[Long]("n_ctrl_post") == 1L)
+    val r2 = AnalyticsPack.diffInDiff(
+      df.filter(!(col("grp") === "C" && col("period") === "post")),
+      "grp", "T", "C", col("value"), col("period") === "post").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("mean_ctrl_post")))
+    assert(r2.isNullAt(r2.fieldIndex("did_estimate")))
+  }
+
+  test("quantileNormalize: groups align to rank means, ordering preserved") {
+    val df = Seq(
+      ("A", 20240101, 10.0), ("A", 20240102, 30.0),
+      ("B", 20240101, 20.0), ("B", 20240102, 40.0))
+      .toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.quantileNormalize(df)
+      .collect().map(r => (r.getAs[String]("event_type_norm"),
+        r.getAs[Int]("date_sk")) ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("y_qnorm"))).toMap
+    // rank-1 mean (10+20)/2 = 15, rank-2 mean (30+40)/2 = 35
+    assert(got(("A", 20240101)) == ((1, 15.0)))
+    assert(got(("A", 20240102)) == ((2, 35.0)))
+    assert(got(("B", 20240101)) == ((1, 15.0)))
+    assert(got(("B", 20240102)) == ((2, 35.0)))
+  }
+
+  test("forecastConformal: exact integer rank, NULL when calibration too small") {
+    // y cumulative 0,1,3,...,45: persistence residuals are exactly 1..9
+    val ys = Seq(0, 1, 3, 6, 10, 15, 21, 28, 36, 45)
+    val df = ys.zipWithIndex.map { case (y, i) =>
+      ("E", 20240101 + i, y.toDouble) }
+      .toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.forecastConformal(df)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    val p = got("naive_lag1")
+    // n = 9 -> conf_rank = ceil(0.8*10) = 8 -> 8th smallest |err| = 8
+    assert(p.getAs[Long]("n_eval") == 9L && p.getAs[Long]("conf_rank") == 8L)
+    assert(p.getAs[Double]("q_hat") == 8.0)
+    assert(p.getAs[Double]("f_next") == 45.0)
+    assert(p.getAs[Double]("lo") == 37.0 && p.getAs[Double]("hi") == 53.0)
+    val s = got("seasonal_lag7")
+    // only 3 lag-7 residuals -> conf_rank 4 > n -> cannot certify
+    assert(s.getAs[Long]("n_eval") == 3L && s.getAs[Long]("conf_rank") == 4L)
+    assert(s.isNullAt(s.fieldIndex("q_hat")) && s.isNullAt(s.fieldIndex("lo")))
+    // seasonal anchor still resolves: y at last_d - 6 = day 4 value 6
+    assert(s.getAs[Double]("f_next") == 6.0)
+  }
 }
