@@ -713,6 +713,24 @@ object SparkEntry {
       Graph.labelPropagation(flows, "src", "dst", "w", rounds = 5)
     }),
 
+    // k-core membership over the item co-purchase graph (edges =
+    // capped user-level co-occurrence with support >= 4): six fixed
+    // peel rounds, exact integer degrees — the degeneracy filter
+    // separating the dense co-purchase core from the long tail.
+    "graph_k_core" -> ((s: SparkSession, d: String) => {
+      val inter = Recsys.interactions(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_partkey", userCap = 1000)
+      val edges = inter.as("a").join(inter.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.item_id") < col("b.item_id"))
+        .groupBy(col("a.item_id").as("ia"), col("b.item_id").as("ib"))
+        .agg(count(lit(1)).as("nb"))
+        .filter(col("nb") >= 4)
+      Graph.kCore(edges, "ia", "ib", k = 3, rounds = 6)
+    }),
+
     // Triangle enumeration over the same nation-flow graph (edges
     // canonicalized undirected): closed 3-cliques = the tightly
     // coupled trade triads. Two co-keyed joins, orientation-bounded
@@ -2119,6 +2137,15 @@ object SparkEntry {
     // ECDF differences integrated over the value axis via the same
     // distributed prefix sum plus a rank->rank+1 self-join (never a
     // global LEAD window).
+    // Vector-tier drift gate: unbiased polynomial-kernel MMD² between
+    // the even- and odd-label embedding populations (deterministic
+    // 200-per-side sample; the scalar histograms cannot see a vector
+    // distribution rotate).
+    "data_drift_mmd" -> ((s: SparkSession, d: String) =>
+      Drift.mmdPolynomial(
+        t(s, d, "embeddings").withColumn("is_new", pmod(col("label"), lit(2)) === 1),
+        "vec_id", "embedding", "is_new")),
+
     "data_drift_wasserstein" -> ((s: SparkSession, d: String) =>
       Drift.wassersteinW1(
         t(s, d, "events").filter(col("value").isNotNull)
@@ -2588,6 +2615,46 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
         |  tot_old AS n_old, tot_new AS n_new
         |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
+
+    // MMD²: the proven list_reduce dot fold, explicit (1+d/l)² multiply
+    // (no POW), 1e-6 grid, DECIMAL(28,6) partials, edge divisions.
+    "data_drift_mmd" -> {
+      val dot = "list_reduce(list_prepend(0.0, list_transform(" +
+        "list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)"
+      val kterm = s"CAST(FLOOR((1.0 + ($dot) / len(a.v)) * " +
+        s"(1.0 + ($dot) / len(a.v)) * 1e6) / 1e6 AS DECIMAL(28,6))"
+      s"""WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (label % 2 = 1) AS is_new
+        |  FROM embeddings),
+        |capped AS (
+        |  SELECT id, v, is_new FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY is_new ORDER BY id) AS rn
+        |    FROM base)
+        |  WHERE rn <= 200),
+        |cnt AS (
+        |  SELECT CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |  FROM capped),
+        |xx AS (
+        |  SELECT SUM($kterm) AS sxx, COUNT(*) AS nxx
+        |  FROM capped a JOIN capped b
+        |    ON NOT a.is_new AND NOT b.is_new AND a.id <> b.id),
+        |yy AS (
+        |  SELECT SUM($kterm) AS syy, COUNT(*) AS nyy
+        |  FROM capped a JOIN capped b
+        |    ON a.is_new AND b.is_new AND a.id <> b.id),
+        |xy AS (
+        |  SELECT SUM($kterm) AS sxy, COUNT(*) AS nxy
+        |  FROM capped a JOIN capped b ON NOT a.is_new AND b.is_new)
+        |SELECT m, n,
+        |  CAST(sxx AS DOUBLE) / nxx AS term_xx,
+        |  CAST(syy AS DOUBLE) / nyy AS term_yy,
+        |  CAST(sxy AS DOUBLE) / nxy AS term_xy,
+        |  CAST(sxx AS DOUBLE) / nxx + CAST(syy AS DOUBLE) / nyy
+        |    - 2.0 * (CAST(sxy AS DOUBLE) / nxy) AS mmd2
+        |FROM cnt, xx, yy, xy""".stripMargin
+    },
 
     // W1 = sum over consecutive distinct values of |dECDF| * gap;
     // terms floor-quantize to the 1e-6 grid before DECIMAL(28,6)
@@ -4272,6 +4339,8 @@ object SparkEntry {
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
       "graph_label_propagation" -> labelPropOracleSql(5),
 
+      "graph_k_core" -> kCoreOracleSql(3, 6),
+
       // Same nation-flow edges, canonicalized undirected; the a<b<c
       // orientation generates each triangle exactly once.
       "graph_triangles" ->
@@ -5117,6 +5186,40 @@ object SparkEntry {
     * isolated nodes — generated with the SAME round count as the
     * registered query.
     */
+  /** The k-core oracle, generated with the SAME k and round count as
+    * the registered query — each peel round is one degree CTE + one
+    * filter CTE over the previous alive set.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH capped AS MATERIALIZED ($recsysInteractionsSql),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.item_id AS u, b.item_id AS v
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         |e AS MATERIALIZED (
+         |  SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT e.u, COUNT(*) AS deg
+         |  FROM e JOIN a${r - 1} x ON e.u = x.node
+         |         JOIN a${r - 1} y ON e.v = y.node
+         |  GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT u AS node FROM d$r WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""cd AS (
+         |  SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |  FROM e JOIN a$rounds x ON e.u = x.node
+         |         JOIN a$rounds y ON e.v = y.node
+         |  GROUP BY 1)
+         |SELECT n.node, (c.node IS NOT NULL) AS in_core, c.core_degree
+         |FROM a0 n LEFT JOIN cd c ON n.node = c.node""".stripMargin
+    s"$head,\n$iters,\n$tail"
+  }
+
   private def labelPropOracleSql(rounds: Int): String = {
     val head =
       """WITH e0 AS MATERIALIZED (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.Kernels
@@ -119,6 +120,64 @@ object Drift {
       sum(when(col("n_old") > 0, 0).otherwise(1)).as("n_buckets_skipped"),
       max(col("tot_old")).as("tot_old"),
       max(col("tot_new")).as("tot_new"))
+  }
+
+  /** Kernel two-sample test over EMBEDDINGS — unbiased MMD² (maximum
+    * mean discrepancy) with a polynomial kernel
+    * `k(u,v) = (1 + ⟨u,v⟩/dim)²`: the drift gate for the vector tier,
+    * where the scalar histograms above cannot see a distribution
+    * rotate or collapse. A polynomial kernel (not RBF) keeps libm
+    * `exp` out of the replay path — the kernel is one bit-exact dot
+    * fold (ArrayKernels.dot ≡ the DuckDB list_reduce fold), one
+    * division by the integer dim, one add, one multiply.
+    *
+    * Both sides reduce to a DETERMINISTIC bounded sample (the `cap`
+    * lowest ids per side — layout-stable, engine-replayable) so the
+    * three pair blocks cost cap² kernel evaluations regardless of
+    * corpus size — the MMD estimate's error is O(1/√cap), so a fixed
+    * cap is the statistically honest 100-TB shape, not a shortcut.
+    * Engine parity: kernel values floor-quantize to the 1e-6 grid
+    * (§5) before exact DECIMAL(28,6) partials; the three unbiased
+    * normalizations divide once at the edge; diagonal (i=j) pairs
+    * are excluded within sides. One output row:
+    * m, n, term_xx, term_yy, term_xy, mmd2 (≈0 ⇒ same distribution).
+    */
+  def mmdPolynomial(emb: DataFrame, idCol: String, vecCol: String,
+                    isNewCol: String, cap: Int = 200): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), col(isNewCol).as("is_new"))
+    val w = Window.partitionBy(col("is_new")).orderBy(col("id"))
+    val capped = base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+      .localCheckpoint(false)
+    // (1 + dot/dim)² via explicit multiply — libm pow stays out
+    def kTerm = {
+      val kv = lit(1.0) +
+        graft.expressions.Kernels.dotProduct(col("a.v"), col("b.v")) /
+          size(col("a.v")).cast("double")
+      grid6(kv * kv).cast(DecimalType(28, 6))
+    }
+    def sideSum(isNew: Boolean): DataFrame = {
+      val s = capped.filter(col("is_new") === isNew)
+      s.as("a").join(s.as("b"), col("a.id") =!= col("b.id"))
+        .agg(sum(kTerm).as("s"), count(lit(1)).as("np"))
+    }
+    val xx = sideSum(false).select(col("s").as("sxx"), col("np").as("nxx"))
+    val yy = sideSum(true).select(col("s").as("syy"), col("np").as("nyy"))
+    val xy = capped.filter(!col("is_new")).as("a")
+      .join(capped.filter(col("is_new")).as("b"), lit(true))
+      .agg(sum(kTerm).as("sxy"), count(lit(1)).as("nxy"))
+    val cnt = capped.agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("m"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n"))
+    cnt.crossJoin(xx).crossJoin(yy).crossJoin(xy)
+      .select(col("m"), col("n"),
+        (col("sxx").cast("double") / col("nxx")).as("term_xx"),
+        (col("syy").cast("double") / col("nyy")).as("term_yy"),
+        (col("sxy").cast("double") / col("nxy")).as("term_xy"))
+      .withColumn("mmd2",
+        col("term_xx") + col("term_yy") - lit(2.0) * col("term_xy"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov statistic — one row:

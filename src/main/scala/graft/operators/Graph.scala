@@ -198,6 +198,55 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** k-core decomposition membership by fixed-round peeling: repeat
+    * "drop every node with fewer than k neighbors still alive" for
+    * `rounds` rounds — the degeneracy filter that separates the
+    * densely-interconnected core from tendrils and isolated chains
+    * (spam/bot subgraphs and long tails peel out; the core is where
+    * community structure lives). A fixed round count (not a fixpoint
+    * test) keeps the plan deterministic and the oracle replayable as
+    * chained CTEs — peeling converges in a handful of rounds on
+    * real degree distributions, and extra rounds are no-ops.
+    *
+    * Scale shape: edges normalize + dedup once (checkpointed); each
+    * round is ONE edge-sized pass — two semi-joins against the
+    * node-sized alive relation and a partial-agg degree count — and
+    * the alive relation (node-sized) checkpoints per round, so no
+    * growing lineage. Output: every original node with its final
+    * core membership and its degree WITHIN the surviving core (NULL
+    * when peeled) — exact integers, no floats anywhere.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds out of range")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("node")).distinct().localCheckpoint(true)
+    var alive = nodes
+    for (_ <- 1 to rounds) {
+      val deg = e
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("__deg"))
+      alive = deg.filter(col("__deg") >= k)
+        .select(col("u").as("node"))
+        .localCheckpoint(true)
+    }
+    val coreDeg = e
+      .join(alive.select(col("node").as("u")), "u")
+      .join(alive.select(col("node").as("v")), "v")
+      .groupBy(col("u")).agg(count(lit(1)).as("__cd"))
+      .select(col("u").as("node"), col("__cd"))
+    nodes.join(coreDeg, Seq("node"), "left")
+      .select(col("node"), col("__cd").isNotNull.as("in_core"),
+        col("__cd").as("core_degree"))
+  }
+
   /** Weighted PageRank by fixed-round power iteration: rank flows
     * along out-edges proportionally to edge weight, damped; dangling
     * mass (nodes with no out-edges) redistributes uniformly each

@@ -127,4 +127,39 @@ class DriftSpec extends SparkSpec {
     val b = Drift.wassersteinW1(df.repartition(7), "value", "is_new").collect()(0)
     assert(a.getAs[Double]("w1_distance") == b.getAs[Double]("w1_distance"))
   }
+
+  test("mmdPolynomial: hand-computed kernel blocks, diagonal excluded") {
+    import spark.implicits._
+    // X = {(1,0),(0,1)}, Y = {(2,0),(0,2)}, dim 2:
+    // k(u,v) = (1 + <u,v>/2)^2 -> term_xx = term_yy = 1 (cross pairs
+    // only, k=1), term_xy = (4+1+1+4)/4 = 2.5, mmd2 = -3
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), false), (2L, Seq(0.0, 1.0), false),
+      (3L, Seq(2.0, 0.0), true), (4L, Seq(0.0, 2.0), true))
+      .toDF("vec_id", "embedding", "is_new")
+    val r = Drift.mmdPolynomial(df, "vec_id", "embedding", "is_new").collect()(0)
+    assert(r.getAs[Long]("m") == 2L && r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("term_xx") == 1.0)
+    assert(r.getAs[Double]("term_yy") == 1.0)
+    assert(r.getAs[Double]("term_xy") == 2.5)
+    assert(r.getAs[Double]("mmd2") == -3.0)
+  }
+
+  test("mmdPolynomial: the cap keeps the lowest ids per side, deterministically") {
+    import spark.implicits._
+    // an extra far-away vector on each side with a HIGHER id must be
+    // ignored at cap=2 regardless of layout
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), false), (2L, Seq(0.0, 1.0), false),
+      (9L, Seq(100.0, 100.0), false),
+      (3L, Seq(2.0, 0.0), true), (4L, Seq(0.0, 2.0), true),
+      (8L, Seq(-50.0, 7.0), true))
+      .toDF("vec_id", "embedding", "is_new")
+    val r = Drift.mmdPolynomial(df, "vec_id", "embedding", "is_new", cap = 2)
+      .collect()(0)
+    val r2 = Drift.mmdPolynomial(df.repartition(5), "vec_id", "embedding",
+      "is_new", cap = 2).collect()(0)
+    assert(r.getAs[Double]("mmd2") == -3.0)
+    assert(r2.getAs[Double]("mmd2") == -3.0)
+  }
 }

@@ -185,4 +185,23 @@ class GraphSpec extends SparkSpec {
         r.getAs[Double]("adamic_adar")).toMap
     assert(got(("p", "q")) > got(("x", "y")))
   }
+
+  test("kCore: pendant chains peel transitively, the dense core survives") {
+    // triangle 1-2-3 plus chain 3-4-5: at k=2 node 5 peels first,
+    // then 4 (its degree drops to 1 only AFTER 5 leaves) — the
+    // transitive cascade a single degree filter would miss
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ia", "ib")
+    val got = Graph.kCore(edges, "ia", "ib", k = 2, rounds = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Boolean]("in_core"),
+          if (r.isNullAt(r.fieldIndex("core_degree"))) -1L
+          else r.getAs[Long]("core_degree"))).toMap
+    assert(got(1L) == ((true, 2L)) && got(2L) == ((true, 2L)) &&
+      got(3L) == ((true, 2L)))
+    assert(got(4L) == ((false, -1L)) && got(5L) == ((false, -1L)))
+    // k above the max degree empties the core but keeps every node row
+    val none = Graph.kCore(edges, "ia", "ib", k = 5, rounds = 3).collect()
+    assert(none.length == 5 && none.forall(!_.getAs[Boolean]("in_core")))
+  }
 }
