@@ -440,6 +440,89 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming HEAVY-HITTER sink: maintains a bounded Misra–Gries
+    * summary table of the hottest keys — the streaming twin of the
+    * batch skew diagnosis (`skew_hot_keys`): per micro-batch, exact
+    * batch counts fold into the stored summary (counts add on the
+    * key), then the summary TRUNCATES to `capacity` rows by the MG
+    * merge rule — subtract the (capacity+1)-th largest count from
+    * every row, drop rows at ≤ 0, accumulate the subtraction into the
+    * error bound. `err` is GLOBAL (the same value on every row — the
+    * total mass ever decremented): a key absorbed into a truncation
+    * and re-entering later still satisfies the bound, which a per-key
+    * error could not guarantee. State is ≤ capacity rows forever, and
+    * for EVERY key (stored or not): stored cnt (0 if absent)
+    * `≤ true count ≤ cnt + err` — the classic N/capacity guarantee,
+    * deterministic (no sketch randomness). Batch-id replays no-op
+    * under the same identity rule as the other replay-guarded sinks.
+    */
+  def topkSink(stream: DataFrame, checkpoint: String, target: String,
+               keys: Seq[String], capacity: Int = 100):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        topkBatchToParquet(batch.toDF(), target, keys, capacity, batchId)
+      }
+
+  /** MG truncation: after counts are summed, subtract the
+    * (capacity+1)-th largest and keep the positive remainder. A row
+    * can only survive if it sits in the global top `capacity`, so the
+    * global rank runs on a SALTED two-phase pre-filter (top capacity+1
+    * per salt group first — the Ann.cosineTopK discipline): the
+    * single-ordering window only ever sees ≤ 32·(capacity+1) rows,
+    * never a batch-sized key panel.
+    */
+  private def mgTruncate(summary: DataFrame, keys: Seq[String],
+                         capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = col("cnt").desc +: keys.map(col)
+    val wSalt = Window.partitionBy(col("__salt")).orderBy(order: _*)
+    val pre = summary
+      .withColumn("__salt", pmod(hash(keys.map(col): _*), lit(32)))
+      .withColumn("__rs", row_number().over(wSalt))
+      .filter(col("__rs") <= capacity + 1)
+      .drop("__salt", "__rs")
+    val ranked = pre.withColumn("__rn",
+      row_number().over(Window.orderBy(order: _*)))
+    val thr = ranked.agg(
+      coalesce(max(when(col("__rn") === capacity + 1, col("cnt"))), lit(0L))
+        .as("__t"))
+    ranked.crossJoin(broadcast(thr))
+      .filter(col("cnt") - col("__t") > 0)
+      .select(keys.map(col) :+
+        (col("cnt") - col("__t")).as("cnt") :+
+        (col("err") + col("__t")).as("err"): _*)
+  }
+
+  private[graft] def topkBatchToParquet(batch: DataFrame, target: String,
+                                        keys: Seq[String], capacity: Int,
+                                        batchId: Long = -1L,
+                                        writerId: Option[String] = None): Unit = {
+    val p = batch
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("err", lit(0L))
+    upsertParquet(target, mgTruncate(p, keys, capacity), { existing =>
+      // err is global (identical on every stored row): new keys must
+      // inherit it, not start at 0 — their pre-history may have been
+      // decremented away
+      val tOld = existing.agg(coalesce(max(col("err")), lit(0L)).as("__t_old"))
+      val merged = existing
+        .select(keys.map(col) :+ col("cnt").as("__c_old"): _*)
+        .join(p.select(keys.map(col) :+ col("cnt").as("__c_new"): _*)
+          .hint("shuffle_hash"), keys, "full_outer")
+        .crossJoin(broadcast(tOld))
+        .select(keys.map(col) :+
+          (coalesce(col("__c_old"), lit(0L)) +
+            coalesce(col("__c_new"), lit(0L))).as("cnt") :+
+          col("__t_old").as("err"): _*)
+      mgTruncate(merged, keys, capacity)
+    }, batchId, writerId)
+  }
+
   /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
     * micro-batch commits ONE append segment through the manifest log,
     * so readers get snapshot isolation over a live stream — a query

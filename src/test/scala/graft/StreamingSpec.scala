@@ -839,6 +839,44 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.read.parquet(target).columns.contains("max_obs_day"))
   }
 
+  test("top-k sink: MG bound holds across truncations, re-entry included; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_topksink").toString
+    val target = s"$dir/topk"
+    val in = MemoryStream[String]
+    val q = StreamOps.topkSink(in.toDF.toDF("k"), s"$dir/ckpt", target,
+      Seq("k"), capacity = 2).start()
+    // batch 1: a×5 b×3 c×1 -> t = 1 -> stored a:4 b:2, err 1
+    val b1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    // batch 2: c×4 b×1 -> merged a4 b3 c4 -> t = 3 -> a:1 c:1, err 4
+    val b2 = Seq.fill(4)("c") ++ Seq("b")
+    in.addData(b1); q.processAllAvailable()
+    val after1 = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("cnt"), r.getAs[Long]("err"))).toMap
+    assert(after1 == Map("a" -> ((4L, 1L)), "b" -> ((2L, 1L))))
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("cnt"), r.getAs[Long]("err"))).toMap
+    assert(after2 == Map("a" -> ((1L, 4L)), "c" -> ((1L, 4L))))
+    // the MG guarantee: stored cnt <= true <= cnt + err for EVERY key,
+    // including the re-entered c (true 5) and the dropped b (true 4)
+    val truth = Map("a" -> 5L, "b" -> 4L, "c" -> 5L)
+    truth.foreach { case (k, n) =>
+      val (cnt, err) = after2.getOrElse(k, (0L, 4L))
+      assert(cnt <= n && n <= cnt + err, s"$k: $cnt <= $n <= ${cnt + err}")
+    }
+    // replaying batch 1 under the query's identity must change nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.topkBatchToParquet(b1.toDF("k"), target, Seq("k"),
+        capacity = 2, batchId = 0L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    val after3 = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("cnt"), r.getAs[Long]("err"))).toMap
+    assert(after3 == after2)
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
