@@ -277,6 +277,28 @@ object SparkEntry {
     * board/alight legs; MIN replaces the reference's nondeterministic
     * ANY_VALUE(comuna) so the oracle can hash-match.
     */
+  /** Grid-bucketed nearest-stop resolution: every coordinate-bearing
+    * valid event resolved to its closest modal stop location within
+    * radius 5 (NULL when uncovered) — the spatial-join tier above
+    * svc_map_points' exact-key join.
+    */
+  private def geoNearestStop(spark: SparkSession, dir: String): DataFrame = {
+    val ev = servingValid(spark, dir)
+    def coordLeg(pred: Column): DataFrame = ev.filter(pred).select(
+      col("user_id").as("stop_code"), col("value").as("x_utm"),
+      col("prop_k").cast("double").as("y_utm"))
+    val legs = coordLeg(col("event_type_norm").isin("CLICK", "VIEW"))
+      .unionAll(coordLeg(!col("event_type_norm").isin("CLICK", "VIEW")))
+      .filter(col("x_utm").between(10, 400) && col("y_utm").between(5, 95))
+    val coords = Serving.modalValue(legs, "stop_code", Seq("x_utm", "y_utm"))
+      .drop("modal_cnt")
+    val points = ev.select(col("event_id"), col("value").as("x"),
+        col("prop_k").cast("double").as("y"))
+      .filter(col("x").between(10, 400) && col("y").between(5, 95))
+    SpatialJoin.nearestNeighbor(points, "event_id", "x", "y",
+      coords, "stop_code", "x_utm", "y_utm", radius = 5.0)
+  }
+
   private def svcMapPoints(spark: SparkSession, dir: String): DataFrame = {
     val ev = servingValid(spark, dir)
     def coordLeg(pred: Column): DataFrame = ev.filter(pred).select(
@@ -588,6 +610,11 @@ object SparkEntry {
     "svc_grid_density" -> svcGridDensity _,
 
     "svc_utm_to_wgs84" -> svcUtmToWgs84 _,
+
+    // Grid-bucketed spatial nearest-neighbor join: each event resolves
+    // to its closest modal stop within radius 5 (3x3 cell probe, never
+    // points x sites) — NULL site when uncovered.
+    "geo_nearest_stop" -> geoNearestStop _,
 
     // ── gold analytics pack (docs/queries/01-05 twins) ──────────────
     "ana_coverage_quartile" -> ((s: SparkSession, d: String) =>
@@ -6439,7 +6466,52 @@ object SparkEntry {
            |  CAST(FLOOR(ym / 500.0) AS BIGINT) * 500.0 AS cell_y_min
            |FROM p GROUP BY 1, 2""".stripMargin,
 
-      "svc_utm_to_wgs84" -> utmToWgs84Sql)
+      "svc_utm_to_wgs84" -> utmToWgs84Sql,
+
+      // Nearest-stop spatial join: floor-division cell ids, 3x3 probe,
+      // (dist^2, site id) argmin, 1e-6-grid sqrt at the edge.
+      "geo_nearest_stop" ->
+        s"""WITH valid AS ($servingValidSql),
+           |coords AS (
+           |  SELECT stop_code, x_utm, y_utm FROM (
+           |    SELECT stop_code, x_utm, y_utm, COUNT(*) AS cnt,
+           |      ROW_NUMBER() OVER (PARTITION BY stop_code ORDER BY COUNT(*) DESC, x_utm, y_utm) AS rn
+           |    FROM (
+           |      SELECT user_id AS stop_code, value AS x_utm, CAST(prop_k AS DOUBLE) AS y_utm
+           |      FROM valid WHERE event_type_norm IN ('CLICK','VIEW')
+           |      UNION ALL
+           |      SELECT user_id, value, CAST(prop_k AS DOUBLE)
+           |      FROM valid WHERE event_type_norm NOT IN ('CLICK','VIEW')
+           |    ) c
+           |    WHERE x_utm BETWEEN 10 AND 400 AND y_utm BETWEEN 5 AND 95
+           |    GROUP BY stop_code, x_utm, y_utm) t
+           |  WHERE rn = 1),
+           |sites AS (
+           |  SELECT stop_code AS site_id, x_utm AS sx, y_utm AS sy,
+           |    FLOOR(x_utm / 5.0) AS cx, FLOOR(y_utm / 5.0) AS cy
+           |  FROM coords),
+           |pts AS (
+           |  SELECT event_id AS point_id, value AS px, CAST(prop_k AS DOUBLE) AS py
+           |  FROM valid
+           |  WHERE value BETWEEN 10 AND 400
+           |    AND CAST(prop_k AS DOUBLE) BETWEEN 5 AND 95),
+           |probes AS (
+           |  SELECT point_id, px, py,
+           |    FLOOR(px / 5.0) + ox.o AS cx, FLOOR(py / 5.0) + oy.o AS cy
+           |  FROM pts,
+           |    (SELECT UNNEST([-1, 0, 1]) AS o) ox,
+           |    (SELECT UNNEST([-1, 0, 1]) AS o) oy),
+           |cands AS (
+           |  SELECT p.point_id, p.px, p.py, s.site_id,
+           |    (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) AS d2
+           |  FROM probes p JOIN sites s ON p.cx = s.cx AND p.cy = s.cy
+           |  WHERE (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) <= 25.0),
+           |best AS (
+           |  SELECT point_id, site_id, FLOOR(sqrt(d2) * 1e6) / 1e6 AS dist
+           |  FROM cands
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d2, site_id) = 1)
+           |SELECT p.point_id, p.px, p.py, b.site_id, b.dist
+           |FROM pts p LEFT JOIN best b ON p.point_id = b.point_id""".stripMargin)
   }
 
   private def mapPointsSql: String =

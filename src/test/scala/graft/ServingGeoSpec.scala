@@ -95,4 +95,28 @@ class ServingGeoSpec extends SparkSpec {
     assert(df.filter(Serving.predicate(f)).count() == 1)
     assert(df.filter(Serving.predicate(Serving.Filters())).count() == 5)
   }
+
+  test("nearestNeighbor: argmin with id tie-break, cross-cell probe, NULL when uncovered") {
+    import spark.implicits._
+    import graft.operators.SpatialJoin
+    val sites = Seq((1L, 0.0, 0.0), (2L, 3.0, 0.0), (3L, 4.9, 20.0))
+      .toDF("sid", "sx", "sy")
+    val points = Seq(
+      (10L, 1.0, 0.0),   // site 1 at d=1 beats site 2 at d=2
+      (11L, 1.5, 0.0),   // exact tie (1.5 both) -> lower site id wins
+      (12L, 5.1, 20.0),  // site 3 lives in the NEIGHBOR cell (4.9 vs 5.1 across the r=5 cell wall)
+      (13L, 60.0, 60.0)) // nothing within radius -> NULL
+      .toDF("pid", "x", "y")
+    val got = SpatialJoin.nearestNeighbor(points, "pid", "x", "y",
+      sites, "sid", "sx", "sy", radius = 5.0)
+      .collect().map(r => r.getAs[Long]("point_id") ->
+        (if (r.isNullAt(r.fieldIndex("site_id"))) None
+         else Some(r.getAs[Long]("site_id") -> r.getAs[Double]("dist")))).toMap
+    assert(got(10L) == Some((1L, 1.0)))
+    assert(got(11L) == Some((1L, 1.5)))
+    assert(got(12L).map(_._1) == Some(3L))
+    assert(math.abs(got(12L).get._2 - 0.2) <= 2e-6) // 1e-6 floor grid + fp
+    assert(got(13L) == None)
+    assert(got.size == 4) // the uncovered point keeps its spine row
+  }
 }
