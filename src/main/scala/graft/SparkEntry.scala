@@ -136,6 +136,25 @@ object SparkEntry {
       bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("event_type"))
   }
 
+  /** Full-snapshot SCD2 load with DELETE semantics: the post-cutoff
+    * state (latest event_type per user observed at the snapshot date)
+    * is the complete universe — users absent from it expire, present
+    * users follow the applyChanges path.
+    */
+  private def scd2UserSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cutoff = to_timestamp(lit("2024-01-16 00:00:00"))
+    val existing = Scd2.fromHistory(ev.filter(col("ts") < cutoff),
+      bk = "user_id", ts = "ts", tieBreak = Seq("event_id"), attrs = Seq("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = ev.filter(col("ts") >= cutoff)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"))
+    Scd2.applySnapshot(existing, snap, bk = "user_id",
+      attrs = Seq("event_type"), asOfDate = to_date(lit("2024-01-16")))
+  }
+
   /** As-of resolution of every event to its covering SCD2 user version
     * (reference: src/gold/load_gold.py:1144-1154).
     */
@@ -480,6 +499,11 @@ object SparkEntry {
 
     "gold_scd2_incremental" -> scd2UserIncremental _,
 
+    // Snapshot-diff SCD2: the batch is the COMPLETE universe, so
+    // absence is deletion — current versions of vanished keys expire
+    // at asOf−1; present keys take the applyChanges path.
+    "gold_scd2_snapshot" -> scd2UserSnapshot _,
+
     "gold_asof_join" -> asofEvents _,
 
     "gold_asof_merge_scan" -> asofEventsMergeScan _,
@@ -745,10 +769,12 @@ object SparkEntry {
     // peel rounds, exact integer degrees — the degeneracy filter
     // separating the dense co-purchase core from the long tail.
     "graph_k_core" -> ((s: SparkSession, d: String) => {
+      // checkpointed: both sides of the pair self-join reuse it
       val inter = Recsys.interactions(
         t(s, d, "lineitem").join(t(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", userCap = 1000)
+        .localCheckpoint(false)
       val edges = inter.as("a").join(inter.as("b"),
           col("a.user_id") === col("b.user_id") &&
             col("a.item_id") < col("b.item_id"))
@@ -1576,6 +1602,30 @@ object SparkEntry {
         col("text").cast("binary").as("media"),
         lit("txt").as("format")))),
 
+    // Image near-dup dedup: embeddings render to REAL 8x8 grayscale
+    // PNGs (every 20th vector additionally renders a one-component-
+    // jittered clone at id+10^6 — the planted near-dup truth, the
+    // dedup_recall_eval discipline), decode back through
+    // javax.imageio, hash with the integer-exact average-hash, and
+    // pair through the shared 64-bit banded hamming sweep. Rows-only
+    // by protocol (binary decode); kernel + banding spec-pinned.
+    "image_ahash_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val rows = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])]
+        .flatMap { case (id, v) =>
+          val orig = Multimodal.MediaRow(id, Multimodal.grayPng8x8(v), "png")
+          if (id % 20 == 0) {
+            val jittered = v.toArray; jittered(0) += 0.02
+            Seq(orig, Multimodal.MediaRow(id + 1000000L,
+              Multimodal.grayPng8x8(jittered.toSeq), "png"))
+          } else Seq(orig)
+        }
+      TextDedup.hammingPairs64(Multimodal.aHashes(rows).toDF(),
+        "media_id", "ahash", maxHamming = 4)
+    }),
+
     // Built-in session_window twin of sessionize_gap: identical
     // sessions with zero window-function passes (MergingSessionsExec),
     // batch and streaming alike — shares the sessionize oracle.
@@ -2054,6 +2104,11 @@ object SparkEntry {
     // (lag-7) baselines scored per type (MAE/MAPE/bias) — the
     // evaluation tier any shipped forecast must beat; calendar lag
     // joins on the day panel, never row offsets.
+    // ACF diagnostic panel (lags 1..7, calendar-lagged): which lags
+    // carry signal — the measurement under the forecast family.
+    "ana_autocorrelation" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.autocorrelation(servingValid(s, d), maxLag = 7)),
+
     // Distribution-free conformal intervals over the backtest
     // residuals: forecast ± q̂ with certified ≥80% coverage.
     "ana_forecast_conformal" -> ((s: SparkSession, d: String) =>
@@ -2959,6 +3014,8 @@ object SparkEntry {
     // The incremental load must reproduce the full rebuild exactly.
     "gold_scd2_incremental" -> scd2UserSql,
 
+    "gold_scd2_snapshot" -> scd2SnapshotSql,
+
     // The dim as of a date = versions whose interval covers it.
     "gold_scd2_pit" ->
       s"""SELECT * FROM ($scd2UserSql)
@@ -3365,6 +3422,40 @@ object SparkEntry {
            |      CAST(FLOOR(ABS(y - f) / y * 1e6) / 1e6 AS DECIMAL(28,6)) END) AS DOUBLE)
            |    / SUM(CASE WHEN y <> 0 THEN 1 END) AS mape
            |FROM ev GROUP BY 1, 2""".stripMargin,
+
+      // ACF: 4dp mean, 1e-6-grid deviation products, DECIMAL(28,6)
+      // partials, one edge division per (type, lag).
+      "ana_autocorrelation" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |mp AS (
+           |  SELECT event_type_norm,
+           |    ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS ybar
+           |  FROM byday GROUP BY 1),
+           |dev AS (
+           |  SELECT b.event_type_norm, b.d, b.y - m.ybar AS dev
+           |  FROM byday b JOIN mp m USING (event_type_norm)),
+           |den AS (
+           |  SELECT event_type_norm,
+           |    CAST(SUM(CAST(FLOOR(dev * dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS den
+           |  FROM dev GROUP BY 1),
+           |probes AS (
+           |  SELECT event_type_norm, u.lag, d + u.lag AS d, dev AS dev_t
+           |  FROM dev, (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag) u),
+           |num AS (
+           |  SELECT p.event_type_norm, p.lag,
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(CAST(FLOOR(p.dev_t * v.dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS num
+           |  FROM probes p JOIN dev v
+           |    ON p.event_type_norm = v.event_type_norm AND p.d = v.d
+           |  GROUP BY 1, 2)
+           |SELECT n.event_type_norm, n.lag, n.n_pairs,
+           |  CASE WHEN de.den <> 0 THEN n.num / de.den END AS acf
+           |FROM num n JOIN den de USING (event_type_norm)""".stripMargin,
 
       // Split-conformal intervals: residuals ordered as exact
       // DECIMAL(18,2), the ⌈0.8(n+1)⌉ rank in integer arithmetic,
@@ -6588,6 +6679,60 @@ object SparkEntry {
     * Scd2.fromHistory (per-day latest-wins, change points via LAG,
     * validity ranges via LEAD, sha256 row hash).
     */
+  /** The change-point SCD2 builder over any (user_id, obs_date,
+    * event_type) observation relation — shared by the snapshot oracle's
+    * present/absent chains (mirrors Scd2.fromHistory step 2-3).
+    */
+  private def scd2BuildSql(obsRel: String): String =
+    s"""SELECT user_id, event_type,
+       |  obs_date AS valid_from,
+       |  LEAD(obs_date) OVER (PARTITION BY user_id ORDER BY obs_date) - 1 AS valid_to,
+       |  LEAD(obs_date) OVER (PARTITION BY user_id ORDER BY obs_date) IS NULL AS is_current,
+       |  sha256(k) AS row_hash
+       |FROM (
+       |  SELECT user_id, obs_date, event_type, k FROM (
+       |    SELECT *, LAG(k) OVER (PARTITION BY user_id ORDER BY obs_date) AS prev FROM (
+       |      SELECT user_id, obs_date, event_type,
+       |        UPPER(TRIM(COALESCE(CAST(event_type AS VARCHAR), ''))) AS k
+       |      FROM ($obsRel)))
+       |  WHERE prev IS NULL OR prev <> k)""".stripMargin
+
+  /** The snapshot-diff SCD2 oracle: present keys rebuild over
+    * pre-cutoff daily observations plus the snapshot observation;
+    * absent keys rebuild over pre-cutoff only and expire at asOf−1.
+    */
+  private def scd2SnapshotSql: String = {
+    val preObs =
+      """SELECT user_id, obs_date, event_type FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS obs_date, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1""".stripMargin
+    val snapObs =
+      """SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1""".stripMargin
+    val presentObs =
+      s"""SELECT p.user_id, p.obs_date, p.event_type
+         |FROM ($preObs) p WHERE EXISTS (
+         |  SELECT 1 FROM ($snapObs) s WHERE s.user_id = p.user_id)
+         |UNION ALL
+         |SELECT user_id, DATE '2024-01-16' AS obs_date, event_type
+         |FROM ($snapObs)""".stripMargin
+    val absentObs =
+      s"""SELECT p.user_id, p.obs_date, p.event_type
+         |FROM ($preObs) p WHERE NOT EXISTS (
+         |  SELECT 1 FROM ($snapObs) s WHERE s.user_id = p.user_id)""".stripMargin
+    s"""SELECT * FROM (${scd2BuildSql(presentObs)})
+       |UNION ALL
+       |SELECT user_id, event_type, valid_from,
+       |  CASE WHEN is_current THEN DATE '2024-01-15' ELSE valid_to END AS valid_to,
+       |  FALSE AS is_current, row_hash
+       |FROM (${scd2BuildSql(absentObs)})""".stripMargin
+  }
+
   private def scd2UserSql: String =
     """SELECT user_id, event_type,
       |  obs_date AS valid_from,

@@ -1541,6 +1541,57 @@ object AnalyticsPack {
           / sum(when(col("y") =!= 0, 1L))).as("mape"))
   }
 
+  /** Autocorrelation panel (ACF lags 1..`maxLag`) of the per-type
+    * daily series — the diagnostic the forecast family stands on:
+    * which lags carry signal (a lag-7 spike ⇒ weekly seasonality ⇒
+    * the seasonal-naive/Holt-Winters tier is worth its state), and
+    * when a residual series is white noise.
+    * `r_k = Σ_t (y_t−ȳ)(y_{t+k}−ȳ) / Σ_t (y_t−ȳ)²` with CALENDAR
+    * lags (a gap day contributes no pair, the backtest discipline).
+    *
+    * Scale shape: one fact-sized partial agg to the (type, day)
+    * panel; the per-type mean is a tiny broadcast panel; lag pairs
+    * come from one panel self-join on (type, d+k) with the lag grid
+    * exploded on the probe side. Engine parity: ȳ follows the house
+    * money-mean convention (4dp round); deviation products and
+    * squares floor-quantize to 1e-6 (§5) before exact DECIMAL(28,6)
+    * partials; the single ACF division happens once at the edge.
+    */
+  def autocorrelation(validEvents: DataFrame, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 1, s"need at least lag 1: $maxLag")
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .localCheckpoint(false)
+    val meanPanel = byDay.groupBy(col("event_type_norm"))
+      .agg(round(sum(money(col("y"))).cast("double") / count(lit(1)), 4).as("ybar"))
+    val dev = byDay.join(broadcast(meanPanel), Seq("event_type_norm"))
+      .select(col("event_type_norm"), col("d"),
+        (col("y") - col("ybar")).as("dev"))
+      .localCheckpoint(false)
+    val den = dev.groupBy(col("event_type_norm"))
+      .agg(sum(q6(col("dev") * col("dev")).cast(DecimalType(28, 6)))
+        .cast("double").as("den"))
+    val lagGrid = array((1 to maxLag).map(lit): _*)
+    val probes = dev
+      .withColumn("lag", explode(lagGrid))
+      .select(col("event_type_norm"), col("lag"),
+        expr("date_add(d, lag)").as("d"), col("dev").as("dev_t"))
+    val num = probes
+      .join(dev.withColumnRenamed("dev", "dev_tk"), Seq("event_type_norm", "d"))
+      .groupBy(col("event_type_norm"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(q6(col("dev_t") * col("dev_tk")).cast(DecimalType(28, 6)))
+          .cast("double").as("num"))
+    num.join(broadcast(den), Seq("event_type_norm"))
+      .select(col("event_type_norm"), col("lag"), col("n_pairs"),
+        when(col("den") =!= 0, col("num") / col("den")).as("acf"))
+  }
+
   /** Split-conformal prediction intervals for the forecast family —
     * the distribution-free certification tier above
     * [[forecastBacktest]]: the walk-forward one-step absolute

@@ -219,12 +219,17 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds out of range")
-    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+    // canonicalize (min, max) FIRST: one distinct on the canonical
+    // pair relation, then the two orientations are disjoint by
+    // construction — a naive union-then-distinct pays a second
+    // edge-sized shuffle for nothing
+    val canon = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
       .distinct()
-    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
+    val e = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val nodes = e.select(col("u").as("node")).distinct().localCheckpoint(true)
     var alive = nodes

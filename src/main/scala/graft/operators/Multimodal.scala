@@ -197,6 +197,83 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(media_id: Long, format: String, ahash: Long)
+
+  /** Perceptual average-hash (aHash) of each decodable image: box-
+    * average the pixel grid down to 8×8 luma cells (MANUAL integer
+    * cell sums — `Graphics2D` scaling goes through a platform
+    * rendering pipeline whose output is not bit-stable across JVMs;
+    * exact sums are), threshold each cell against the cell-mean, pack
+    * 64 bits MSB-first. Two images a crop/re-encode/brightness-jitter
+    * apart land within a few bits — feed the result to
+    * [[TextDedup.hammingPairs64]] for the banded near-dup pair sweep
+    * (the image tier of the dedup family). Non-decodable bodies drop
+    * (the hash of nothing is not 0 — absence, not a sentinel).
+    */
+  def aHashes(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(aHashOne)))
+  }
+
+  private[operators] def aHashOne(r: MediaRow): Option[MediaHash] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(r.media))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(7, x * 8 / w)
+          val rgb = img.getRGB(x, y)
+          val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          sums(cy * 8 + cx) += luma
+          cnts(cy * 8 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      // integer-exact threshold: per-cell averages as 2^20-scaled
+      // fixed point (no double rounding; overflow-safe below ~10^10
+      // pixels per cell), mean over cells in the same fixed point
+      val avgs = Array.tabulate(64)(i =>
+        if (cnts(i) == 0) 0L else (sums(i) << 20) / cnts(i))
+      val mean = avgs.sum / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (avgs(i) > mean) hash |= (1L << (63 - i))
+        i += 1
+      }
+      Some(MediaHash(r.media_id, r.format, hash))
+    }
+  }
+
+  /** Deterministic grayscale 8×8 PNG rendering of a numeric vector
+    * (component i → pixel i, linear clamp to [0,255]) — the
+    * embedding-to-image encoder behind the registered image-dedup
+    * demo and the specs: real PNG bytes, real decode on the way back.
+    */
+  private[graft] def grayPng8x8(values: Seq[Double]): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < 64) {
+      val v = if (i < values.length) values(i) else 0.0
+      val p = math.max(0, math.min(255, math.round(128.0 + v * 64.0).toInt))
+      im.getRaster.setSample(i % 8, i / 8, 0, p)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   final case class MediaFrame(
       media_id: Long, frame_ix: Int, byte_offset: Long, frame: Array[Byte])
 

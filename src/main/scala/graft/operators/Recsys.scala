@@ -47,14 +47,28 @@ object Recsys {
     * and an item column (duplicates fine — dedup happens here).
     */
   def itemCosineTopK(raw: DataFrame, userCol: String, itemCol: String,
-                     k: Int, userCap: Int = 1000): DataFrame = {
-    val inter = interactions(raw, userCol, itemCol, userCap)
+                     k: Int, userCap: Int = 1000): DataFrame =
+    itemCosineFromInteractions(
+      interactions(raw, userCol, itemCol, userCap).localCheckpoint(false), k)
+
+  /** Neighbor lists from an already-materialized interaction relation
+    * — callers that reuse `inter` (the recommender, the co-purchase
+    * graph) checkpoint it ONCE and share: the marginals pass and both
+    * sides of the pair self-join would otherwise re-derive the
+    * join+dedup+cap lineage three times.
+    */
+  private[operators] def itemCosineFromInteractions(inter: DataFrame,
+                                                    k: Int): DataFrame = {
     val marginals = inter.groupBy(col("item_id")).agg(count(lit(1)).as("n_users"))
     val pairs = inter.as("a").join(inter.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.item_id") < col("b.item_id"))
       .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
       .agg(count(lit(1)).as("n_both"))
+    // marginals are item-panel-sized: with `inter` checkpointed their
+    // stats are real, so Catalyst broadcasts them when they fit and
+    // falls back to a key shuffle when the item universe is huge —
+    // no explicit hint that could OOM the driver at 100 TB.
     val scored = pairs
       .join(marginals.withColumnRenamed("item_id", "item_a")
         .withColumnRenamed("n_users", "n_a"), Seq("item_a"))
@@ -84,8 +98,14 @@ object Recsys {
     */
   def recommendTopN(raw: DataFrame, userCol: String, itemCol: String,
                     n: Int, k: Int, userCap: Int = 1000): DataFrame = {
+    // one materialized interaction relation feeds the neighbor build,
+    // the candidate join and the seen-filter — without it the whole
+    // join+dedup+cap lineage (and the pair aggregation above it)
+    // executes twice
     val inter = interactions(raw, userCol, itemCol, userCap)
-    val neighbors = itemCosineTopK(raw, userCol, itemCol, k, userCap)
+      .localCheckpoint(false)
+    val neighbors = itemCosineFromInteractions(inter, k)
+      .localCheckpoint(false)
     val candidates = inter.join(neighbors, Seq("item_id"))
       .groupBy(col("user_id"), col("neighbor_id").as("rec_item"))
       .agg(sum(col("cosine").cast(org.apache.spark.sql.types.DecimalType(28, 6)))

@@ -138,4 +138,39 @@ object Scd2 {
     val rebuilt = fromHistory(versionObs.unionByName(batchObs), bk, ts, tieBreak, attrs)
     untouched.unionByName(rebuilt)
   }
+
+  /** FULL-SNAPSHOT incremental load — [[applyChanges]] plus DELETE
+    * semantics: the batch is the complete current universe as of
+    * `asOfDate`, so a business key holding a current version but
+    * ABSENT from the snapshot is a deletion — its current version
+    * expires (`valid_to = asOfDate − 1 day`, `is_current = false`)
+    * and its history passes through untouched. Keys present in the
+    * snapshot follow the applyChanges path (change-only versions,
+    * observed at `asOfDate`). This is the reference's
+    * expire-and-insert dim upsert (load_gold.py:295-439) completed
+    * with the snapshot-diff deletion rule the reference never needed
+    * (its sources are append-only).
+    *
+    * Scale shape: two key-panel semi/anti-joins split existing into
+    * present/absent; the absent side is a pure projection (no
+    * shuffle); the present side pays applyChanges' affected-keys-only
+    * rebuild. LIMITATION (documented, spec-pinned): a deleted key
+    * that REAPPEARS in a later snapshot rebuilds a contiguous chain —
+    * the deletion gap is not preserved, because versions reconstitute
+    * from their valid_from observations only.
+    */
+  def applySnapshot(existing: DataFrame, snapshot: DataFrame, bk: String,
+                    attrs: Seq[String], asOfDate: Column): DataFrame = {
+    val tsCol = TempCol("snap_ts", snapshot)
+    val obs = snapshot.select(col(bk) +: attrs.map(col): _*)
+      .withColumn(tsCol, asOfDate.cast("timestamp"))
+    val snapKeys = obs.select(col(bk)).distinct()
+    val present = existing.join(snapKeys, Seq(bk), "left_semi")
+    val absent = existing.join(snapKeys, Seq(bk), "left_anti")
+    val expired = absent.withColumn("valid_to",
+        when(col("is_current"), date_sub(asOfDate, 1)).otherwise(col("valid_to")))
+      .withColumn("is_current", lit(false))
+    applyChanges(present, obs, bk, tsCol, Seq.empty, attrs)
+      .unionByName(expired)
+  }
 }

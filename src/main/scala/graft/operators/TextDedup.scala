@@ -645,16 +645,30 @@ object TextDedup {
         TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("simhash", Kernels.simhash64(col("toks")))
       .select("doc_id", "simhash")
+    hammingPairs64(docs, "doc_id", "simhash", maxHamming)
+  }
+
+  /** Banded near-pair generation over ANY 64-bit hash column
+    * (pigeonhole: ≤ maxHamming ≤ 15 differing bits ⇒ at least one of
+    * the four 16-bit bands is identical) — shared by the text SimHash
+    * tier and the image average-hash tier. Candidates come only from
+    * band-bucket collisions; the exact hamming distance verifies each.
+    */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"banding guarantees recall only for hamming <= 15: $maxHamming")
+    val base = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)
-    val banded = docs.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band_id"), col("bb.bucket"))
+        shiftright(col("h64"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)
+    val banded = base.select(col("doc_id"), col("h64"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("h64"), col("bb.band_id"), col("bb.bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

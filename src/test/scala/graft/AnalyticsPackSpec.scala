@@ -963,6 +963,26 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got(("B", 20240102)) == ((2, 35.0)))
   }
 
+  test("autocorrelation: alternating series has negative lag-1, positive lag-2 ACF") {
+    // 6 consecutive days alternating 10/0: ybar = 5, dev = ±5
+    // lag1: 5 pairs x (-25) / (6 x 25) = -5/6; lag2: 4 x 25 / 150 = 2/3
+    val df = (0 until 6).map(i => ("E", 20240101 + i, if (i % 2 == 0) 10.0 else 0.0))
+      .toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.autocorrelation(df, maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(got(1) == ((5L, -125.0 / 150.0)))
+    assert(got(2) == ((4L, 100.0 / 150.0)))
+    assert(got(3) == ((3L, -75.0 / 150.0)))
+  }
+
+  test("autocorrelation: constant series (zero variance) yields NULL, not a division error") {
+    val df = (0 until 5).map(i => ("C", 20240101 + i, 7.0))
+      .toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.autocorrelation(df, maxLag = 2).collect()
+    assert(got.nonEmpty && got.forall(_.isNullAt(3)))
+  }
+
   test("forecastConformal: exact integer rank, NULL when calibration too small") {
     // y cumulative 0,1,3,...,45: persistence residuals are exactly 1..9
     val ys = Seq(0, 1, 3, 6, 10, 15, 21, 28, 36, 45)

@@ -395,6 +395,56 @@ class SourcesSpec extends SparkSpec {
     assert(got(3L).width == 0 && got(3L).media.length == 3)
   }
 
+  test("aHash: near-identical images pair within a few bits, distinct ones do not") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def gradient(w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / math.max(1, w - 1)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (tweak) im.setRGB(0, 0, 0x111111) // one-pixel jitter
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, "png", out))
+      out.toByteArray
+    }
+    def inverse(w: Int, h: Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 255 - (x * 255) / math.max(1, w - 1)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, "png", out))
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, gradient(64, 64, tweak = false), "png"),
+      Multimodal.MediaRow(2L, gradient(64, 64, tweak = true), "png"),
+      // same gradient at a DIFFERENT size: box-average makes the hash
+      // scale-invariant — the crop/re-encode robustness aHash is for
+      Multimodal.MediaRow(3L, gradient(32, 32, tweak = false), "png"),
+      Multimodal.MediaRow(4L, inverse(64, 64), "png"),
+      Multimodal.MediaRow(5L, Array[Byte](9, 9, 9), "png"))) // undecodable drops
+    val hashed = Multimodal.aHashes(media).toDF()
+    assert(hashed.count() == 4) // the corrupt body is absent, not hashed-as-zero
+    val pairs = graft.operators.TextDedup
+      .hammingPairs64(hashed, "media_id", "ahash", maxHamming = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 2)
+    assert(pairs.contains((1L, 3L))) // scale-invariant
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // deterministic across layout
+    val again = Multimodal.aHashes(media.repartition(3)).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    val first = Multimodal.aHashes(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(again == first)
+  }
+
   test("sampleFrames: k uniform-offset frames per asset, bounded slices") {
     val body = (0 until 1000).map(_.toByte).toArray
     val media = spark.createDataset(Seq(

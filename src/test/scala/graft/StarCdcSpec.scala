@@ -247,4 +247,35 @@ class StarCdcSpec extends SparkSpec {
     val n = Audit.tableDiff(aNull, bVal, "k", Seq("name"), "m", nBuckets = 1).collect()
     assert(n.length == 1 && !n(0).getAs[Boolean]("is_match"))
   }
+
+  test("scd2 applySnapshot: absence expires the current version, presence versions changes") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val history = Seq(
+      ("u1", ts("2024-03-01 10:00:00"), 1L, "A"),
+      ("u2", ts("2024-03-01 11:00:00"), 2L, "A"),
+      ("u2", ts("2024-03-02 09:00:00"), 3L, "B"))
+      .toDF("bk", "ts", "event_id", "attr")
+    val existing = Scd2.fromHistory(history, "bk", "ts", Seq("event_id"), Seq("attr"))
+    // snapshot at 03-05: u1 changed to B, u2 vanished (deleted)
+    val snap = Seq(("u1", "B")).toDF("bk", "attr")
+    val got = Scd2.applySnapshot(existing, snap, "bk", Seq("attr"),
+      to_date(lit("2024-03-05")))
+      .collect().map(r => (r.getAs[String]("bk"), r.getAs[String]("attr")) ->
+        (r.getAs[Date]("valid_from").toString,
+          Option(r.getAs[Date]("valid_to")).map(_.toString),
+          r.getAs[Boolean]("is_current"))).toMap
+    // u1: A expires the day before the snapshot version starts; B current
+    assert(got(("u1", "A")) == (("2024-03-01", Some("2024-03-04"), false)))
+    assert(got(("u1", "B")) == (("2024-03-05", None, true)))
+    // u2: closed history untouched, current version expired at asOf-1
+    assert(got(("u2", "A")) == (("2024-03-01", Some("2024-03-01"), false)))
+    assert(got(("u2", "B")) == (("2024-03-02", Some("2024-03-04"), false)))
+    // invariant: nobody is current for a deleted key
+    assert(!got.exists { case ((bk, _), (_, _, cur)) => bk == "u2" && cur })
+    // an UNCHANGED present key gains no version: snapshot again with B
+    val again = Scd2.applySnapshot(
+      Scd2.applySnapshot(existing, snap, "bk", Seq("attr"), to_date(lit("2024-03-05"))),
+      Seq(("u1", "B")).toDF("bk", "attr"), "bk", Seq("attr"), to_date(lit("2024-03-08")))
+    assert(again.filter(col("bk") === "u1").count() == 2)
+  }
 }
