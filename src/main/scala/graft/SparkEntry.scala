@@ -4982,7 +4982,7 @@ object SparkEntry {
         |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
         |  FROM capped a JOIN capped b
         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
-        |  GROUP BY 1, 2),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |scored AS (
         |  SELECT ia, ib, n_both,
         |    FLOOR(CAST(n_both AS DOUBLE)
@@ -5008,7 +5008,7 @@ object SparkEntry {
         |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
         |  FROM capped a JOIN capped b
         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
-        |  GROUP BY 1, 2),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |scored AS (
         |  SELECT ia, ib,
         |    FLOOR(CAST(n_both AS DOUBLE)

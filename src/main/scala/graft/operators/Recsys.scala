@@ -47,9 +47,11 @@ object Recsys {
     * and an item column (duplicates fine — dedup happens here).
     */
   def itemCosineTopK(raw: DataFrame, userCol: String, itemCol: String,
-                     k: Int, userCap: Int = 1000): DataFrame =
+                     k: Int, userCap: Int = 1000,
+                     minSupport: Int = 2): DataFrame =
     itemCosineFromInteractions(
-      interactions(raw, userCol, itemCol, userCap).localCheckpoint(false), k)
+      interactions(raw, userCol, itemCol, userCap).localCheckpoint(false),
+      k, minSupport)
 
   /** Neighbor lists from an already-materialized interaction relation
     * — callers that reuse `inter` (the recommender, the co-purchase
@@ -57,14 +59,19 @@ object Recsys {
     * sides of the pair self-join would otherwise re-derive the
     * join+dedup+cap lineage three times.
     */
-  private[operators] def itemCosineFromInteractions(inter: DataFrame,
-                                                    k: Int): DataFrame = {
+  private[operators] def itemCosineFromInteractions(inter: DataFrame, k: Int,
+                                                    minSupport: Int): DataFrame = {
     val marginals = inter.groupBy(col("item_id")).agg(count(lit(1)).as("n_users"))
     val pairs = inter.as("a").join(inter.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.item_id") < col("b.item_id"))
       .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
       .agg(count(lit(1)).as("n_both"))
+      // support floor: a single shared user is noise, not a signal —
+      // and it is the scale lever: the pair relation is dominated by
+      // singletons (>70% observed), so the floor shrinks everything
+      // downstream (marginal joins, symmetrize, the rank window) 3-4x
+      .filter(col("n_both") >= minSupport)
     // marginals are item-panel-sized: with `inter` checkpointed their
     // stats are real, so Catalyst broadcasts them when they fit and
     // falls back to a key shuffle when the item universe is huge —
@@ -97,14 +104,15 @@ object Recsys {
     * parallel reduction order can never change a score.
     */
   def recommendTopN(raw: DataFrame, userCol: String, itemCol: String,
-                    n: Int, k: Int, userCap: Int = 1000): DataFrame = {
+                    n: Int, k: Int, userCap: Int = 1000,
+                    minSupport: Int = 2): DataFrame = {
     // one materialized interaction relation feeds the neighbor build,
     // the candidate join and the seen-filter — without it the whole
     // join+dedup+cap lineage (and the pair aggregation above it)
     // executes twice
     val inter = interactions(raw, userCol, itemCol, userCap)
       .localCheckpoint(false)
-    val neighbors = itemCosineFromInteractions(inter, k)
+    val neighbors = itemCosineFromInteractions(inter, k, minSupport)
       .localCheckpoint(false)
     val candidates = inter.join(neighbors, Seq("item_id"))
       .groupBy(col("user_id"), col("neighbor_id").as("rec_item"))

@@ -21,7 +21,7 @@ class RecsysSpec extends SparkSpec {
     .toDF("user_id", "item_id")
 
   test("itemCosineTopK: exact counts and cosine, symmetric lists, tie-break") {
-    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 3)
+    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 3, minSupport = 1)
       .collect().map(r => (r.getAs[String]("item_id"), r.getAs[Int]("rank")) ->
         (r.getAs[String]("neighbor_id"), r.getAs[Long]("n_both"),
           r.getAs[Double]("cosine"))).toMap
@@ -36,15 +36,25 @@ class RecsysSpec extends SparkSpec {
     assert(got(("B", 2))._1 == "C")
   }
 
+  test("default support floor drops singleton co-occurrence") {
+    // only (A,B) has n_both = 2; every other pair is a single shared
+    // user and must vanish at the default minSupport = 2
+    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 5)
+      .select("item_id", "neighbor_id").as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("B", "A")))
+  }
+
   test("per-user cap bounds the pair fan-out deterministically") {
     // cap=2 keeps each user's 2 smallest item ids: u1:{A,B} u2:{A,B} u3:{A,D}
-    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 5, userCap = 2)
+    val got = Recsys.itemCosineTopK(raw, "user_id", "item_id", k = 5, userCap = 2,
+      minSupport = 1)
       .select("item_id", "neighbor_id").as[(String, String)].collect().toSet
     assert(got == Set(("A", "B"), ("B", "A"), ("A", "D"), ("D", "A")))
   }
 
   test("recommendTopN: seen items excluded, scores sum over neighbor links") {
-    val got = Recsys.recommendTopN(raw, "user_id", "item_id", n = 3, k = 3)
+    val got = Recsys.recommendTopN(raw, "user_id", "item_id", n = 3, k = 3,
+      minSupport = 1)
       .collect().map(r => (r.getAs[String]("user_id"), r.getAs[String]("rec_item")) ->
         (r.getAs[Long]("n_links"), r.getAs[Double]("score"))).toMap
     // u2 has {A,B}; candidates from neighbor lists: C (via A and B), D (via A)
