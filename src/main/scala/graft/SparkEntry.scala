@@ -717,6 +717,12 @@ object SparkEntry {
     "ana_theil_sen" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.theilSen(servingValid(s, d))),
 
+    // Per-stop robust trends (the F32 panel at stop grain): pair
+    // fan-out stays days² per stop, windows partition per stop.
+    "ana_theil_sen_stop" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.theilSenBy(
+        servingValid(s, d).filter(col("user_id").isNotNull), "user_id")),
+
     // EWMA level smoother over the daily demand series (α = 0.25,
     // dyadic-exact; the fold runs once over the collected day panel).
     "ana_ewma_demand" -> ((s: SparkSession, d: String) =>
@@ -1392,6 +1398,26 @@ object SparkEntry {
         t(s, d, "lineitem").join(t(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", n = 5, k = 10)),
+
+    // ER survivorship: connected components over the fuzzy candidate
+    // pairs, canonical entity = the min-id member — the golden-record
+    // step that turns pair evidence into one master row per entity.
+    "er_golden_record" -> ((s: SparkSession, d: String) => {
+      val ents = t(s, d, "part")
+        .groupBy(upper(trim(col("p_name"))).as("ent_name"))
+        .agg(min(col("p_partkey")).as("ent_id"))
+      val pairs = Linkage.candidatePairs(ents, "ent_id", "ent_name",
+        threshold = 0.8)
+      val comps = TextDedup.connectedComponents(pairs, "rec_id_a", "rec_id_b")
+      ents.join(comps.withColumnRenamed("doc_id", "ent_id"), Seq("ent_id"), "left")
+        .withColumn("canonical_id", coalesce(col("cluster_id"), col("ent_id")))
+        .drop("cluster_id")
+        .join(ents.select(col("ent_id").as("canonical_id"),
+          col("ent_name").as("canonical_name")), Seq("canonical_id"))
+        .select(col("ent_id"), col("ent_name"), col("canonical_id"),
+          col("canonical_name"),
+          (col("ent_id") === col("canonical_id")).as("is_canonical"))
+    }),
 
     "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
@@ -3658,6 +3684,33 @@ object SparkEntry {
            |WHERE rn = FLOOR((m + 1) / 2.0) OR rn = FLOOR((m + 2) / 2.0)
            |GROUP BY 1""".stripMargin,
 
+      "ana_theil_sen_stop" ->
+        s"""WITH byday AS (
+           |  SELECT user_id, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL AND user_id IS NOT NULL
+           |  GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT user_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date_sk) - 1 AS BIGINT) AS x,
+           |    y
+           |  FROM byday),
+           |sl AS (
+           |  SELECT a.user_id AS user_id, a.x AS xa, b.x AS xb,
+           |    FLOOR(((b.y - a.y) / CAST(b.x - a.x AS DOUBLE)) * 1e6) / 1e6 AS slope_q
+           |  FROM idx a JOIN idx b
+           |    ON a.user_id = b.user_id AND a.x < b.x),
+           |ranked AS (
+           |  SELECT user_id, slope_q,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope_q, xa, xb) AS rn,
+           |    COUNT(*) OVER (PARTITION BY user_id) AS m
+           |  FROM sl)
+           |SELECT user_id, MAX(m) AS n_pairs,
+           |  SUM(slope_q) / COUNT(*) AS ts_slope
+           |FROM ranked
+           |WHERE rn = FLOOR((m + 1) / 2.0) OR rn = FLOOR((m + 2) / 2.0)
+           |GROUP BY 1""".stripMargin,
+
       "ana_quantile_normalize" ->
         s"""WITH byday AS (
            |  SELECT event_type_norm, date_sk,
@@ -4936,6 +4989,42 @@ object SparkEntry {
         |    FLOOR(jaro_winkler_similarity(a.name_norm, c.name_norm) * 1e6) / 1e6 AS jw_sim
         |  FROM ok a JOIN ok c ON a.block = c.block AND a.rec_id < c.rec_id)
         |WHERE jw_sim >= 0.8""".stripMargin,
+
+    // Golden record: the ER pair CTE + the house recursive-closure
+    // fixpoint (the dedup_clusters convention), min-id survivorship.
+    "er_golden_record" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
+        |  FROM part GROUP BY 2),
+        |b AS (
+        |  SELECT rec_id, name_norm,
+        |    list_extract(string_split(name_norm, ' '), -1) AS block
+        |  FROM names),
+        |sz AS (SELECT block, COUNT(*) AS block_n FROM b GROUP BY 1),
+        |ok AS (SELECT b.* FROM b JOIN sz USING (block) WHERE block_n <= 1000),
+        |ep AS (
+        |  SELECT * FROM (
+        |    SELECT a.rec_id AS rec_id_a, c.rec_id AS rec_id_b,
+        |      FLOOR(jaro_winkler_similarity(a.name_norm, c.name_norm) * 1e6) / 1e6 AS jw_sim
+        |    FROM ok a JOIN ok c ON a.block = c.block AND a.rec_id < c.rec_id)
+        |  WHERE jw_sim >= 0.8),
+        |edges AS (
+        |  SELECT rec_id_a AS src, rec_id_b AS dst FROM ep
+        |  UNION
+        |  SELECT rec_id_b, rec_id_a FROM ep),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+        |clusters AS (
+        |  SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT n.rec_id AS ent_id, n.name_norm AS ent_name,
+        |  COALESCE(c.cluster_id, n.rec_id) AS canonical_id,
+        |  cn.name_norm AS canonical_name,
+        |  (n.rec_id = COALESCE(c.cluster_id, n.rec_id)) AS is_canonical
+        |FROM names n
+        |LEFT JOIN clusters c ON n.rec_id = c.id
+        |JOIN names cn ON cn.rec_id = COALESCE(c.cluster_id, n.rec_id)""".stripMargin,
 
     "er_best_match" ->
       """WITH clean AS (

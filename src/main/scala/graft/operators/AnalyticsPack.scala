@@ -1305,22 +1305,30 @@ object AnalyticsPack {
     * pair count averages two quantized values (a single IEEE add +
     * divide). Pair identity (xₐ, x_b) breaks rank ties totally.
     */
-  def theilSen(validEvents: DataFrame): DataFrame = {
+  def theilSen(validEvents: DataFrame): DataFrame =
+    theilSenBy(validEvents, "event_type_norm")
+
+  /** [[theilSen]] over any grouping key — e.g. per stop (`user_id`),
+    * where the per-key panel is small but the key panel is large: the
+    * pair fan-out stays days² PER KEY and every window partitions by
+    * the key, so a million stops parallelize; nothing global.
+    */
+  def theilSenBy(validEvents: DataFrame, keyCol: String): DataFrame = {
     val byDay = validEvents.filter(col("date_sk").isNotNull)
-      .groupBy(col("event_type_norm"), col("date_sk"))
+      .groupBy(col(keyCol), col("date_sk"))
       .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
         .cast("double").as("y"))
     val indexed = byDay.withColumn("x",
-      (row_number().over(Window.partitionBy(col("event_type_norm"))
+      (row_number().over(Window.partitionBy(col(keyCol))
         .orderBy(col("date_sk"))) - 1).cast("long"))
     val slopes = indexed.as("a").join(indexed.as("b"),
-        col("a.event_type_norm") === col("b.event_type_norm") &&
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
           col("a.x") < col("b.x"))
-      .select(col("a.event_type_norm").as("event_type_norm"),
+      .select(col(s"a.$keyCol").as(keyCol),
         col("a.x").as("xa"), col("b.x").as("xb"),
         (floor(((col("b.y") - col("a.y")) /
           (col("b.x") - col("a.x")).cast("double")) * 1e6) / 1e6).as("slope_q"))
-    val w = Window.partitionBy(col("event_type_norm"))
+    val w = Window.partitionBy(col(keyCol))
     val ranked = slopes
       .withColumn("rn", row_number().over(
         w.orderBy(col("slope_q"), col("xa"), col("xb"))))
@@ -1328,7 +1336,7 @@ object AnalyticsPack {
     ranked
       .filter(col("rn") === floor((col("m") + 1) / lit(2.0)) ||
         col("rn") === floor((col("m") + 2) / lit(2.0)))
-      .groupBy(col("event_type_norm"))
+      .groupBy(col(keyCol))
       .agg(first(col("m")).as("n_pairs"),
         (sum(col("slope_q")) / count(lit(1))).as("ts_slope"))
   }
