@@ -656,8 +656,11 @@ object TextDedup {
     */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"banding guarantees recall only for hamming <= 15: $maxHamming")
+    // recall is GUARANTEED only for maxHamming <= 15 (pigeonhole over
+    // four bands); larger thresholds still work but return banded
+    // candidates only — callers inspecting the full distance spectrum
+    // (diagnostics, specs) accept that deliberately
+    require(maxHamming >= 0, s"negative hamming threshold: $maxHamming")
     val base = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
