@@ -97,51 +97,8 @@ object VersionedTable {
     val segment = s"c$v-$nonce"
     df.write.mode("errorifexists").option("compression", "zstd")
       .parquet(s"$dir/data/$segment")
-    statsCol.foreach { c =>
-      // One-column scan of the segment just written (at footer-stats
-      // maturity this becomes a metadata read; the sidecar contract —
-      // and the pruning it feeds — is identical either way).
-      import org.apache.spark.sql.functions.{col, max, min}
-      val r = spark.read.parquet(s"$dir/data/$segment")
-        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
-      // NaN/Infinity are not JSON atoms — a segment with non-finite
-      // bounds publishes NO sidecar and is simply always read
-      // (conservative), instead of publishing invalid JSON
-      if (!r.isNullAt(0) &&
-          java.lang.Double.isFinite(r.getDouble(0)) &&
-          java.lang.Double.isFinite(r.getDouble(1)))
-        publish(hfs, new HPath(s"$dir/data/$segment/._graft_stats.json.tmp"),
-          new HPath(s"$dir/data/$segment/_graft_stats.json"),
-          s"""{"column": "$c", "min": ${r.getDouble(0)}, "max": ${r.getDouble(1)}}""")
-    }
-    bloomCol.foreach { c =>
-      // Bloom sidecar for POINT lookups: min/max stats prune only
-      // when the data is clustered by the key — on a high-cardinality
-      // unclustered key every segment's range spans everything and
-      // readWhere opens all of them; a per-segment bloom still
-      // answers "definitely not here". Built distributed (partial
-      // filters bit-or merged — no key list at the driver), sized to
-      // the segment's exact key count.
-      import org.apache.spark.sql.functions.col
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val segDf = spark.read.parquet(s"$dir/data/$segment")
-      require(Seq(ByteType, ShortType, IntegerType, LongType)
-          .contains(segDf.schema(c).dataType),
-        s"bloomCol '$c' must be integral (bloom keys hash as longs): " +
-          segDf.schema(c).dataType)
-      val keys = segDf.filter(col(c).isNotNull).select(col(c).cast("long").as(c))
-      val n = keys.count()
-      // an all-null/empty segment publishes NO sidecar and is simply
-      // always read — same conservative rule as the stats sidecar
-      if (n > 0) {
-        val b64 = java.util.Base64.getEncoder.encodeToString(
-          graft.expressions.BloomKernels.serialize(
-            keys.stat.bloomFilter(c, n, 0.01)))
-        publish(hfs, new HPath(s"$dir/data/$segment/._graft_bloom.json.tmp"),
-          new HPath(s"$dir/data/$segment/_graft_bloom.json"),
-          s"""{"column": "$c", "n": $n, "fpp": 0.01, "bits_b64": "$b64"}""")
-      }
-    }
+    statsCol.foreach(writeStatsSidecar(spark, hfs, dir, segment, _))
+    bloomCol.foreach(writeBloomSidecar(spark, hfs, dir, segment, _))
     val prevJson = committed.maxOption.map(pv => manifestJson(hfs, dir, pv))
     val prevSegs =
       if (overwrite) Seq.empty
@@ -171,6 +128,152 @@ object VersionedTable {
     * rewrite. Source segments are immutable, so reading and
     * rewriting concurrently is safe by construction.
     */
+  /** One-column scan of a just-written segment (at footer-stats
+    * maturity this becomes a metadata read; the sidecar contract —
+    * and the pruning it feeds — is identical either way). NaN/
+    * Infinity are not JSON atoms — a segment with non-finite bounds
+    * publishes NO sidecar and is simply always read (conservative).
+    */
+  private def writeStatsSidecar(spark: SparkSession, hfs: FileSystem,
+                                dir: String, segment: String, c: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val r = spark.read.parquet(s"$dir/data/$segment")
+      .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    if (!r.isNullAt(0) &&
+        java.lang.Double.isFinite(r.getDouble(0)) &&
+        java.lang.Double.isFinite(r.getDouble(1)))
+      publish(hfs, new HPath(s"$dir/data/$segment/._graft_stats.json.tmp"),
+        new HPath(s"$dir/data/$segment/_graft_stats.json"),
+        s"""{"column": "$c", "min": ${r.getDouble(0)}, "max": ${r.getDouble(1)}}""")
+  }
+
+  /** Bloom sidecar for POINT lookups: min/max stats prune only when
+    * the data is clustered by the key — on a high-cardinality
+    * unclustered key every segment's range spans everything and
+    * readWhere opens all of them; a per-segment bloom still answers
+    * "definitely not here". Built distributed (partial filters
+    * bit-or merged — no key list at the driver), sized to the
+    * segment's exact key count. An all-null/empty segment publishes
+    * NO sidecar and is simply always read — the conservative rule.
+    */
+  private def writeBloomSidecar(spark: SparkSession, hfs: FileSystem,
+                                dir: String, segment: String, c: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val segDf = spark.read.parquet(s"$dir/data/$segment")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(segDf.schema(c).dataType),
+      s"bloomCol '$c' must be integral (bloom keys hash as longs): " +
+        segDf.schema(c).dataType)
+    val keys = segDf.filter(col(c).isNotNull).select(col(c).cast("long").as(c))
+    val n = keys.count()
+    if (n > 0) {
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        graft.expressions.BloomKernels.serialize(
+          keys.stat.bloomFilter(c, n, 0.01)))
+      publish(hfs, new HPath(s"$dir/data/$segment/._graft_bloom.json.tmp"),
+        new HPath(s"$dir/data/$segment/_graft_bloom.json"),
+        s"""{"column": "$c", "n": $n, "fpp": 0.01, "bits_b64": "$b64"}""")
+    }
+  }
+
+  /** Targeted DELETE (the GDPR-erasure shape): remove every row whose
+    * integral `keyCol` equals `value`, as a new committed version.
+    * Only segments that MIGHT contain the key rewrite — the same
+    * sidecar evidence the readers prune by (bloom "definitely not
+    * here", stats range miss) carries untouched segments forward BY
+    * REFERENCE, so erasing one subject from a 10k-segment table
+    * rewrites the handful of segments the blooms cannot clear.
+    * Rewritten segments re-publish the requested sidecars; a segment
+    * whose every row matched vanishes from the manifest entirely.
+    * Txn markers carry forward (replay detection survives the
+    * rewrite); a crash mid-rewrite leaves only invisible orphans.
+    * RETENTION BOUNDARY (documented, spec-pinned): older versions
+    * still serve the deleted rows via `asOf` until [[vacuum]]
+    * reclaims them — erasure COMPLETES at vacuum, the manifest
+    * commit only stops serving them at the head.
+    * Returns (new version, segments rewritten, rows deleted); a key
+    * no segment might contain commits nothing and returns the
+    * current version with zero counts.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, keyCol: String,
+                  value: Long,
+                  statsCol: Option[String] = None,
+                  bloomCol: Option[String] = None): (Long, Int, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val hfs = fs(spark, dir)
+    val committed = versions(hfs, dir)
+    val cur = committed.maxOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    val prevJson = manifestJson(hfs, dir, cur)
+    val (affected, untouched) = segmentNames(prevJson)
+      .partition(segmentMightContainLong(spark, hfs, dir, _, keyCol, value))
+    if (affected.isEmpty) return (cur, 0, 0L)
+    val v = cur + 1
+    var deleted = 0L
+    val rewritten = affected.zipWithIndex.flatMap { case (s, i) =>
+      val srcPath = s"$dir/data/$s"
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val newSeg = s"c$v-$nonce-d$i"
+      val src = spark.read.parquet(srcPath)
+      // null-safe: rows with a NULL key are never the erased subject
+      src.filter(!(col(keyCol).cast("long") <=> lit(value)))
+        .write.mode("errorifexists").option("compression", "zstd")
+        .parquet(s"$dir/data/$newSeg")
+      val keptN = spark.read.parquet(s"$dir/data/$newSeg").count()
+      deleted += src.count() - keptN
+      if (keptN == 0) { hfs.delete(new HPath(s"$dir/data/$newSeg"), true); None }
+      else {
+        statsCol.foreach(writeStatsSidecar(spark, hfs, dir, newSeg, _))
+        bloomCol.foreach(writeBloomSidecar(spark, hfs, dir, newSeg, _))
+        Some(newSeg)
+      }
+    }
+    val segs = (untouched ++ rewritten).map(s => s""""$s"""").mkString("[", ", ", "]")
+    val txns = txnsOf(prevJson)
+    val txnsJson =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sortBy(_._1)
+        .map { case (a, s) => s""""$a": $s""" }
+        .mkString(""", "txns": {""", ", ", "}")
+    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
+      new HPath(s"$dir/_graft_log/$v.json"),
+      s"""{"version": $v, "mode": "delete", "segments": $segs$txnsJson}""")
+    (v, affected.size, deleted)
+  }
+
+  /** The reader-side pruning evidence, reused for delete targeting: a
+    * segment may be cleared by its bloom sidecar (keyed on `keyCol`)
+    * or by a stats range miss; anything inconclusive counts as a
+    * possible container (conservative — a rewrite too many, never an
+    * erasure too few).
+    */
+  private def segmentMightContainLong(spark: SparkSession, hfs: FileSystem,
+                                      dir: String, segment: String,
+                                      keyCol: String, value: Long): Boolean = {
+    val bp = new HPath(s"$dir/data/$segment/_graft_bloom.json")
+    val bloomClears =
+      if (!hfs.exists(bp)) false
+      else {
+        val json = readText(hfs, bp)
+        val colM = """"column"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        val bitsM = """"bits_b64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        colM.contains(keyCol) && bitsM.isDefined &&
+          (try !graft.expressions.BloomKernels.deserialize(
+            java.util.Base64.getDecoder.decode(bitsM.get)).mightContainLong(value)
+          catch { case _: Throwable => false })
+      }
+    if (bloomClears) return false
+    val sp = new HPath(s"$dir/data/$segment/_graft_stats.json")
+    if (!hfs.exists(sp)) return true
+    val json = readText(hfs, sp)
+    val colM = """"column"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val minM = DoubleField("min").findFirstMatchIn(json).map(_.group(1).toDouble)
+    val maxM = DoubleField("max").findFirstMatchIn(json).map(_.group(1).toDouble)
+    if (!colM.contains(keyCol) || minM.isEmpty || maxM.isEmpty) true
+    else minM.get <= value && value <= maxM.get
+  }
+
   def optimizeCompact(spark: SparkSession, dir: String,
                       statsCol: Option[String] = None,
                       bloomCol: Option[String] = None): Long =

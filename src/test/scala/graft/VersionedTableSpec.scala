@@ -267,4 +267,50 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, dir, asOf = Some(0L)).collect()
     }
   }
+
+  test("deleteWhere: bloom-targeted erasure, by-reference carry, retention boundary") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_vt_del").toString
+    // three bloom-keyed segments over disjoint user ranges
+    VersionedTable.commit((1L to 10L).map(u => (u, s"r$u")).toDF("uid", "payload"),
+      dir, bloomCol = Some("uid"), txn = Some(("loader", 7L)))
+    VersionedTable.commit((11L to 20L).map(u => (u, s"r$u")).toDF("uid", "payload"),
+      dir, bloomCol = Some("uid"))
+    VersionedTable.commit((21L to 30L).map(u => (u, s"r$u")).toDF("uid", "payload"),
+      dir, bloomCol = Some("uid"))
+    val (v, rewritten, deleted) = VersionedTable.deleteWhere(
+      spark, dir, "uid", 15L, bloomCol = Some("uid"))
+    assert(v == 3L && deleted == 1L)
+    // blooms cleared two of three segments: exactly one rewrite
+    assert(rewritten == 1)
+    val head = VersionedTable.read(spark, dir)
+    assert(head.count() == 29)
+    assert(head.filter(col("uid") === 15L).count() == 0)
+    assert(VersionedTable.history(spark, dir).last._2 == "delete")
+    // retention boundary: the PRE-delete version still serves row 15
+    // until vacuum reclaims it — erasure completes at vacuum
+    assert(VersionedTable.read(spark, dir, asOf = Some(2L))
+      .filter(col("uid") === 15L).count() == 1)
+    // txn markers carried through the delete manifest
+    assert(VersionedTable.lastTxnVersion(spark, dir, "loader").contains(7L))
+    // a key no bloom admits: no-op, no new version
+    assert(VersionedTable.deleteWhere(spark, dir, "uid", 999L,
+      bloomCol = Some("uid")) == ((3L, 0, 0L)))
+    assert(VersionedTable.latestVersion(spark, dir).contains(3L))
+    // a fully-matching segment vanishes from the manifest entirely
+    VersionedTable.commit(Seq((99L, "x"), (99L, "y")).toDF("uid", "payload"),
+      dir, bloomCol = Some("uid"))
+    val segsBefore = VersionedTable.history(spark, dir).last._3
+    val (_, rw2, del2) = VersionedTable.deleteWhere(spark, dir, "uid", 99L,
+      bloomCol = Some("uid"))
+    assert(rw2 == 1 && del2 == 2L)
+    assert(VersionedTable.history(spark, dir).last._3 == segsBefore - 1)
+    assert(VersionedTable.read(spark, dir).count() == 29)
+    // vacuum reclaims the pre-delete history: the subject is now gone
+    VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    intercept[Exception] {
+      VersionedTable.read(spark, dir, asOf = Some(2L)).collect()
+    }
+    assert(VersionedTable.read(spark, dir).filter(col("uid") === 15L).count() == 0)
+  }
 }
