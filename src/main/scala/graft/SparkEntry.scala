@@ -956,6 +956,11 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // Inter-arrival gap panel per type (the evidence a sessionization
+    // gap parameter is chosen by — p99 is the boundary candidate).
+    "ana_interarrival" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.interarrivalStats(t(s, d, "events"))),
+
     // Quantile normalization: per-type daily demand aligned to the
     // cross-type rank-mean distribution (ordering preserved).
     "ana_quantile_normalize" -> ((s: SparkSession, d: String) =>
@@ -1888,6 +1893,11 @@ object SparkEntry {
     // (distributed prefix-sum ranks, quantized-log moments).
     "text_zipf_fit" -> ((s: SparkSession, d: String) =>
       CorpusQc.zipfFit(t(s, d, "documents"), "text")),
+
+    // Vocabulary coverage curve: share of token occurrences the top-k
+    // types cover, per candidate vocab size (prefix-sum ranks).
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      CorpusQc.vocabCoverage(t(s, d, "documents"), "text")),
 
     // Flesch readability panel (vowel-group syllables, shuffle-free).
     "text_readability" -> ((s: SparkSession, d: String) =>
@@ -3710,6 +3720,26 @@ object SparkEntry {
            |FROM ranked
            |WHERE rn = FLOOR((m + 1) / 2.0) OR rn = FLOOR((m + 2) / 2.0)
            |GROUP BY 1""".stripMargin,
+
+      // Integer-ms gaps, quantile_cont percentile parity, exact mean.
+      "ana_interarrival" ->
+        """WITH base AS (
+          |  SELECT user_id, UPPER(TRIM(event_type)) AS event_type_norm,
+          |    epoch_ms(ts) AS ms, event_id
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |gaps AS (
+          |  SELECT event_type_norm,
+          |    ms - LAG(ms) OVER (PARTITION BY user_id, event_type_norm
+          |      ORDER BY ms, event_id) AS gap_ms
+          |  FROM base)
+          |SELECT event_type_norm,
+          |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          |  CAST(SUM(gap_ms) AS DOUBLE) / COUNT(*) AS mean_gap_ms,
+          |  quantile_cont(gap_ms, 0.5) AS p50_gap_ms,
+          |  quantile_cont(gap_ms, 0.9) AS p90_gap_ms,
+          |  quantile_cont(gap_ms, 0.99) AS p99_gap_ms
+          |FROM gaps WHERE gap_ms IS NOT NULL
+          |GROUP BY 1""".stripMargin,
 
       "ana_quantile_normalize" ->
         s"""WITH byday AS (
@@ -6059,6 +6089,32 @@ object SparkEntry {
           |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
           |  END AS flesch
           |FROM c""".stripMargin,
+
+      // Coverage at each k: exact-integer cumulative counts under the
+      // (freq desc, token) total order, one division at the edge.
+      "text_vocab_coverage" ->
+        s"""WITH vocab AS (
+           |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT UNNEST($toksSql) AS tok FROM documents)
+           |  WHERE tok <> '' GROUP BY 1),
+           |ranked AS (
+           |  SELECT cnt,
+           |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+           |    SUM(cnt) OVER (ORDER BY cnt DESC, tok
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM vocab),
+           |tot AS (
+           |  SELECT CAST(MAX(cum) AS BIGINT) AS total_tokens,
+           |    CAST(COUNT(*) AS BIGINT) AS n_types
+           |  FROM ranked),
+           |g AS (SELECT UNNEST([100, 1000, 10000]) AS k)
+           |SELECT CAST(k AS INTEGER) AS k, n_types,
+           |  CAST(COUNT(*) AS BIGINT) AS types_used,
+           |  CAST(MAX(cum) AS BIGINT) AS tokens_covered, total_tokens,
+           |  CAST(MAX(cum) AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+           |FROM ranked, g, tot
+           |WHERE rank <= k
+           |GROUP BY k, n_types, total_tokens""".stripMargin,
 
       // Quantized-log OLS over the ranked vocabulary; rank ties broken
       // by token so both engines rank identically.

@@ -908,6 +908,33 @@ object AnalyticsPack {
       ((rateB - rateA) / nz(se)).as("z_score"))
   }
 
+  /** Inter-arrival gap panel — per event type, the distribution of
+    * within-user gaps between consecutive events (count, mean, exact
+    * p50/p90/p99 in ms): the evidence a sessionization gap parameter
+    * and a staleness SLO are chosen by (the p99 inter-arrival IS the
+    * natural session boundary candidate). Gaps lag within (user,
+    * type) ordered by (ts, id) — a per-user panel window, never
+    * global; exact integer ms, interpolated percentiles replayed by
+    * `quantile_cont` (the established percentile parity), mean as
+    * exact integer sum / count.
+    */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), upper(trim(col("event_type"))).as("event_type_norm"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("event_type_norm"))
+      .orderBy(col("ms"), col("event_id"))
+    base.withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_ms")).cast("double") / count(lit(1))).as("mean_gap_ms"),
+        percentile(col("gap_ms"), lit(0.5)).as("p50_gap_ms"),
+        percentile(col("gap_ms"), lit(0.9)).as("p90_gap_ms"),
+        percentile(col("gap_ms"), lit(0.99)).as("p99_gap_ms"))
+  }
+
   /** Quantile normalization of per-group daily series — the
     * distribution-alignment move (omics-classic, equally useful for
     * making per-segment engagement curves comparable): within each

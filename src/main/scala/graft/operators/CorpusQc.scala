@@ -470,6 +470,45 @@ object CorpusQc {
         / col("n_types")).as("intercept"))
   }
 
+  /** Vocabulary COVERAGE curve — the tokenizer-sizing question next to
+    * [[zipfFit]]'s distribution shape: for each candidate vocab size
+    * k, what share of ALL token occurrences the top-k types cover
+    * ("32k types cover 98.5%" is the number a vocab budget is chosen
+    * by; the tail share is the OOV rate a word-level vocab would
+    * eat). Ranks ride the distributed prefix sum under (freq desc,
+    * token) — never a single-partition window over a 100-TB corpus's
+    * vocabulary; the cumulative counts come from the SAME machinery
+    * (running sum), so each k is one panel filter, and the share is
+    * exact-integer counts with one division at the edge.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad vocab sizes: $ks")
+    val vocab = df
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.PrefixSum.globalOrdered(
+        vocab, Seq(col("cnt").desc, col("tok")), "cnt")
+      .select(col("cnt"), col("row_rank").as("rank"),
+        col("prefix_sum").as("cum_cnt"))
+      .localCheckpoint(false)
+    val tot = ranked.agg(max(col("cum_cnt")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val kGrid = ks.sorted.map(k => lit(k))
+    ranked
+      .withColumn("k", explode(array(kGrid: _*)))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("cum_cnt")).as("tokens_covered"),
+        count(lit(1)).as("types_used"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("int").as("k"), col("n_types"),
+        col("types_used"), col("tokens_covered"), col("total_tokens"),
+        (col("tokens_covered").cast("double") /
+          col("total_tokens").cast("double")).as("coverage"))
+  }
+
   /** PMI-ranked collocations — the tokenizer/vocab-mining companion to
     * [[bigramNovelty]]: corpus-level pointwise mutual information
     * `ln( c(w₁w₂)·T / (c₁(w₁)·c₂(w₂)) )` over adjacent-token bigrams,

@@ -983,6 +983,37 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.isNullAt(3)))
   }
 
+  test("interarrivalStats: within-user gaps only, interpolated percentiles") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1704067200000L + s * 1000)
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(30), 3L),
+      (2L, ts(1000), 4L)) // second user: no gap bridges users
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("event_type", lit("click"))
+    val r = AnalyticsPack.interarrivalStats(df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("event_type_norm") == "CLICK")
+    assert(row.getAs[Long]("n_gaps") == 2L)         // 10s and 20s
+    assert(row.getAs[Double]("mean_gap_ms") == 15000.0)
+    assert(row.getAs[Double]("p50_gap_ms") == 15000.0) // interpolated
+    assert(row.getAs[Double]("p99_gap_ms") == 19900.0)
+  }
+
+  test("vocabCoverage: exact cumulative shares at each k") {
+    import graft.operators.CorpusQc
+    // freq: a=5 b=3 c=2 -> total 10
+    val df = Seq("a a a b b", "a a b c c").toDF("text")
+    val got = CorpusQc.vocabCoverage(df, "text", ks = Seq(1, 2, 3))
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("types_used"), r.getAs[Long]("tokens_covered"),
+          r.getAs[Double]("coverage"))).toMap
+    assert(got(1) == ((1L, 5L, 0.5)))
+    assert(got(2) == ((2L, 8L, 0.8)))
+    assert(got(3) == ((3L, 10L, 1.0)))
+  }
+
   test("forecastConformal: exact integer rank, NULL when calibration too small") {
     // y cumulative 0,1,3,...,45: persistence residuals are exactly 1..9
     val ys = Seq(0, 1, 3, 6, 10, 15, 21, 28, 36, 45)
