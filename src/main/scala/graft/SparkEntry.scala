@@ -1010,6 +1010,11 @@ object SparkEntry {
     "ana_seasonal_decompose" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.seasonalDecompose(t(s, d, "events"))),
 
+    // Hyndman STL strength diagnostics over the decomposition: does
+    // the weekly cycle / the trend carry signal (F ≈ 0 = noise).
+    "ana_seasonal_strength" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.seasonalStrength(t(s, d, "events"))),
+
     // MAD robust-z over the decomposition residuals: "unusual for
     // that weekday" — the seasonality-aware anomaly tier.
     "anomaly_seasonal" -> ((s: SparkSession, d: String) =>
@@ -4347,6 +4352,49 @@ object SparkEntry {
           |SELECT day, iso_dow, CAST(dem AS DOUBLE) AS demand, trend, seasonal,
           |  CAST(dem AS DOUBLE) - trend - seasonal AS residual
           |FROM tr LEFT JOIN se USING (iso_dow)""".stripMargin,
+
+      // The decomposition replayed, then §5 quantized-moment
+      // variances (4dp means, 1e-6 squared deviations, DECIMAL
+      // partials) and the two strength ratios at the edge.
+      "ana_seasonal_strength" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,2))) AS dem
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |d2 AS (SELECT *, CAST(isodow(day) AS INTEGER) AS iso_dow FROM daily),
+          |tr AS (
+          |  SELECT *, CASE WHEN COUNT(*) OVER w = 7
+          |    THEN CAST(SUM(dem) OVER w AS DOUBLE) / 7.0 END AS trend
+          |  FROM d2 WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |se AS (
+          |  SELECT iso_dow,
+          |    CAST(SUM(CAST(floor((CAST(dem AS DOUBLE) - trend) * 1e6) / 1e6
+          |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS seasonal
+          |  FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+          |dec AS (
+          |  SELECT trend, seasonal,
+          |    CAST(dem AS DOUBLE) - trend - seasonal AS residual
+          |  FROM tr LEFT JOIN se USING (iso_dow)
+          |  WHERE trend IS NOT NULL),
+          |base AS (
+          |  SELECT residual AS r, seasonal + residual AS sr,
+          |    trend + residual AS tr2
+          |  FROM dec),
+          |means AS (
+          |  SELECT COUNT(*) AS n_days,
+          |    ROUND(CAST(SUM(CAST(FLOOR(r * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS mr,
+          |    ROUND(CAST(SUM(CAST(FLOOR(sr * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS msr,
+          |    ROUND(CAST(SUM(CAST(FLOOR(tr2 * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS mtr
+          |  FROM base),
+          |v AS (
+          |  SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+          |    CAST(SUM(CAST(FLOOR((r - mr) * (r - mr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / MAX(n_days) AS var_r,
+          |    CAST(SUM(CAST(FLOOR((sr - msr) * (sr - msr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / MAX(n_days) AS var_sr,
+          |    CAST(SUM(CAST(FLOOR((tr2 - mtr) * (tr2 - mtr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / MAX(n_days) AS var_tr
+          |  FROM base, means)
+          |SELECT n_days, var_r, var_sr, var_tr,
+          |  GREATEST(0.0, 1.0 - var_r / NULLIF(var_sr, 0)) AS f_seasonal,
+          |  GREATEST(0.0, 1.0 - var_r / NULLIF(var_tr, 0)) AS f_trend
+          |FROM v""".stripMargin,
 
       // The decomposition replayed, then exact-order-statistic
       // median/MAD on the residuals (quantile_cont ≡ percentile, the

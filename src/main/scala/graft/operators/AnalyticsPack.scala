@@ -845,6 +845,54 @@ object AnalyticsPack {
         (col("demand") - col("trend") - col("seasonal")).as("residual"))
   }
 
+  /** Seasonal/trend STRENGTH panel (Hyndman's STL diagnostics) over
+    * [[seasonalDecompose]]: `F_seasonal = max(0, 1 − Var(R)/Var(S+R))`
+    * and `F_trend = max(0, 1 − Var(R)/Var(T+R))` — one row that says
+    * whether the weekly cycle and the trend CARRY SIGNAL (≈0 = the
+    * component is noise; ≳0.6 = strong), i.e. whether the
+    * seasonal-naive/Holt–Winters tier is worth its state, measured
+    * not guessed. Decomposable days only (the MA window's interior).
+    *
+    * Variances follow the §5 quantized-moment shape: 4dp means, 1e-6
+    * floor-grid squared deviations summed as exact DECIMAL(28,6)
+    * partials, single divisions; the two strength ratios are plain
+    * IEEE edge math, NULL when Var(R) itself is NULL (degenerate
+    * panel), clamped at 0.
+    */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val d = seasonalDecompose(events)
+      .filter(col("trend").isNotNull)
+      .select(col("residual").as("r"),
+        (col("seasonal") + col("residual")).as("sr"),
+        (col("trend") + col("residual")).as("tr"))
+      .localCheckpoint(false)
+    val means = d.agg(
+      round(sum(graft.expressions.Kernels.toDecimal(q6(col("r")), 28, 6)).cast("double")
+        / count(lit(1)), 4).as("mr"),
+      round(sum(graft.expressions.Kernels.toDecimal(q6(col("sr")), 28, 6)).cast("double")
+        / count(lit(1)), 4).as("msr"),
+      round(sum(graft.expressions.Kernels.toDecimal(q6(col("tr")), 28, 6)).cast("double")
+        / count(lit(1)), 4).as("mtr"),
+      count(lit(1)).as("n_days"))
+    val v = d.crossJoin(broadcast(means)).agg(
+      first(col("n_days")).as("n_days"),
+      (sum(graft.expressions.Kernels.toDecimal(q6((col("r") - col("mr")) * (col("r") - col("mr"))), 28, 6))
+        .cast("double") / first(col("n_days"))).as("var_r"),
+      (sum(graft.expressions.Kernels.toDecimal(q6((col("sr") - col("msr")) * (col("sr") - col("msr"))), 28, 6))
+        .cast("double") / first(col("n_days"))).as("var_sr"),
+      (sum(graft.expressions.Kernels.toDecimal(q6((col("tr") - col("mtr")) * (col("tr") - col("mtr"))), 28, 6))
+        .cast("double") / first(col("n_days"))).as("var_tr"))
+    v.select(col("n_days"), col("var_r"), col("var_sr"), col("var_tr"),
+      greatest(lit(0.0), lit(1.0) - col("var_r") /
+        when(col("var_sr") === 0, lit(null)).otherwise(col("var_sr")))
+        .as("f_seasonal"),
+      greatest(lit(0.0), lit(1.0) - col("var_r") /
+        when(col("var_tr") === 0, lit(null)).otherwise(col("var_tr")))
+        .as("f_trend"))
+  }
+
   /** Seasonality-aware anomaly panel: the MAD robust-z rule applied
     * to [[seasonalDecompose]]'s residuals — "unusual FOR THAT
     * weekday", where a raw-value z-score would flag every ordinary

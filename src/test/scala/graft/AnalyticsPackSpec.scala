@@ -983,6 +983,24 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.isNullAt(3)))
   }
 
+  test("seasonalStrength: pure weekly cycle -> f_seasonal 1, flat trend -> f_trend 0") {
+    import java.sql.Timestamp
+    // 28 days of an exact weekly pattern: residual is identically 0,
+    // the MA trend is flat -> Var(T+R) = 0
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0)
+    val rows = (0 until 28).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i.toLong * 86400000L),
+        pattern(i % 7))
+    }
+    val df = rows.toDF("event_id", "ts", "value")
+    val r = AnalyticsPack.seasonalStrength(df).collect().head
+    assert(r.getAs[Double]("var_r") == 0.0)
+    assert(r.getAs[Double]("f_seasonal") == 1.0)
+    assert(r.getAs[Double]("f_trend") == 0.0)
+    // decomposable interior only: 28 days minus 3 on each edge
+    assert(r.getAs[Long]("n_days") == 22L)
+  }
+
   test("interarrivalStats: within-user gaps only, interpolated percentiles") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(1704067200000L + s * 1000)
