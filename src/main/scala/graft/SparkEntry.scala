@@ -635,6 +635,18 @@ object SparkEntry {
 
     "svc_utm_to_wgs84" -> svcUtmToWgs84 _,
 
+    // Grid-density hotspot clustering (DBSCAN's grid cousin): cells
+    // with >= 2 points merge with 8-neighbors into connected hotspot
+    // regions via the min-label fixpoint — per-region cell/point/
+    // boarding totals + bounding box.
+    "svc_hotspot_clusters" -> ((s: SparkSession, d: String) => {
+      val pts = svcMapPoints(s, d)
+        .withColumn("x_utm_m", lit(200000.0) + col("x_utm") * 750.0)
+        .withColumn("y_utm_m", lit(6200000.0) + col("y_utm") * 1500.0)
+      Serving.hotspotClusters(pts, "x_utm_m", "y_utm_m", cell = 500.0,
+        weightCol = "etapas_estimadas", minPts = 2)
+    }),
+
     // Grid-bucketed spatial nearest-neighbor join: each event resolves
     // to its closest modal stop within radius 5 (3x3 cell probe, never
     // points x sites) — NULL site when uncovered.
@@ -1409,6 +1421,42 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", n = 5, k = 10)),
 
+    // ── in-engine classical ML (MlLite.scala) ───────────────────────
+
+    // Multinomial naive-Bayes language classifier, trained and scored
+    // in one shot over the corpus: add-one smoothed per-class token
+    // log-likelihoods (1e-6-grid ln summed as DECIMAL partials),
+    // argmax per doc with the runner-up margin.
+    "ml_naive_bayes" -> ((s: SparkSession, d: String) =>
+      MlLite.naiveBayes(t(s, d, "documents"), "doc_id", "text", "lang")),
+
+    // Two-regressor OLS with intercept (value ~ hour + iso-dow) solved
+    // closed-form from exact decimal moments — the multi-feature
+    // sibling of ana_trend_slope's single-regressor fit.
+    "ml_ols_value" -> ((s: SparkSession, d: String) =>
+      MlLite.olsTwoFeature(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("value"),
+            hour(col("ts")).cast("double").as("hr"),
+            Temporal.isoDow(col("ts")).cast("double").as("iso_dow")),
+        "value", "hr", "iso_dow")),
+
+    // Logistic regression by 6 rounds of full-batch gradient descent
+    // (driver sees one 4-scalar gradient panel per round): is this
+    // event a purchase, from grid-quantized hour/dow/value features.
+    "ml_logreg_purchase" -> ((s: SparkSession, d: String) =>
+      MlLite.logisticRegression(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"),
+            (floor(hour(col("ts")).cast("double") / lit(24.0) * lit(1e6))
+              / lit(1e6)).as("x1"),
+            (floor(Temporal.isoDow(col("ts")).cast("double") / lit(7.0)
+              * lit(1e6)) / lit(1e6)).as("x2"),
+            (floor(col("value") / lit(100.0) * lit(1e6)) / lit(1e6)).as("x3")),
+        "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)),
+
     // ER survivorship: connected components over the fuzzy candidate
     // pairs, canonical entity = the min-id member — the golden-record
     // step that turns pair evidence into one master row per entity.
@@ -1934,6 +1982,13 @@ object SparkEntry {
           col("tf"), col("df"), col("tfidf"))
     }),
 
+    // Feature hashing (the hashing trick): token counts folded into a
+    // fixed 256-bucket sparse vector per doc, L2-normalized — the
+    // vocabulary-free featurization a downstream linear model eats.
+    "text_feature_hash" -> ((s: SparkSession, d: String) =>
+      CorpusQc.featureHash(t(s, d, "documents"), "doc_id", "text",
+        dim = 256)),
+
     // Embedding quality gate — see Ann.qualityGate (vector twin of
     // the document/event gates; testdata vectors are 64-dim).
     "embedding_quality_gate" -> ((s: SparkSession, d: String) =>
@@ -2086,6 +2141,17 @@ object SparkEntry {
         to_date(col("ts")) <= lit("2024-01-15"),
         to_date(col("ts")) > lit("2024-01-15"))
     }),
+
+    // Count-min sketch frequency estimation (batch twin of the
+    // Misra–Gries streaming sink): 4x256 md5-salted cell grid over
+    // corpus tokens, per-token min-of-cells estimate vs exact for the
+    // top-40 — constant sketch memory regardless of vocabulary.
+    "sketch_countmin" -> ((s: SparkSession, d: String) =>
+      Profiling.countMinTopN(
+        t(s, d, "documents").select(
+          explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= ""),
+        "tok", d = 4, w = 256, topN = 40)),
 
     // Interval-OVERLAP range join: same-customer order pairs whose
     // fulfillment windows intersect, counted per customer — both
@@ -3238,9 +3304,98 @@ object SparkEntry {
          |LEFT JOIN etype t ON t.event_type_name = d.event_type_norm
          |LEFT JOIN dim_user u ON u.bk_user_id = d.user_id
          |  AND u.valid_from <= CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE)
-         |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin
+         |  AND (u.valid_to IS NULL OR CAST(STRPTIME(CAST(d.date_sk AS VARCHAR), '%Y%m%d') AS DATE) <= u.valid_to)""".stripMargin,
+
+    // MlLite.olsTwoFeature mirrored: exact DECIMAL(28,6) moments (the
+    // regressand floor-quantized first), then the centered 2x2 Cramer
+    // solve in double arithmetic with the operation tree copied
+    // parenthesis for parenthesis.
+    "ml_ols_value" ->
+      """WITH r0 AS (
+        |  SELECT FLOOR(value * 1e6) / 1e6 AS yq,
+        |    CAST(hour(ts) AS DOUBLE) AS x1,
+        |    CAST(isodow(ts) AS DOUBLE) AS x2
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(yq AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS sx1x1,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx2x2,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx1x2,
+        |    CAST(SUM(CAST(x1 * yq AS DECIMAL(28,6))) AS DOUBLE) AS sx1y,
+        |    CAST(SUM(CAST(x2 * yq AS DECIMAL(28,6))) AS DOUBLE) AS sx2y,
+        |    CAST(SUM(CAST(FLOOR(yq * yq * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM r0),
+        |c1s AS (
+        |  SELECT *,
+        |    sx1x1 - sx1 * sx1 / NULLIF(n, 0.0) AS a11,
+        |    sx2x2 - sx2 * sx2 / NULLIF(n, 0.0) AS a22,
+        |    sx1x2 - sx1 * sx2 / NULLIF(n, 0.0) AS a12,
+        |    sx1y - sx1 * sy / NULLIF(n, 0.0) AS c1,
+        |    sx2y - sx2 * sy / NULLIF(n, 0.0) AS c2,
+        |    syy - sy * sy / NULLIF(n, 0.0) AS sst
+        |  FROM m),
+        |c2s AS (SELECT *, NULLIF(a11 * a22 - a12 * a12, 0.0) AS det FROM c1s),
+        |c3s AS (
+        |  SELECT *,
+        |    (c1 * a22 - c2 * a12) / det AS b1,
+        |    (c2 * a11 - c1 * a12) / det AS b2
+        |  FROM c2s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (sy - b1 * sx1 - b2 * sx2) / NULLIF(n, 0.0) AS beta0,
+        |  b1 AS beta1, b2 AS beta2,
+        |  CASE WHEN sst = 0.0 THEN 0.0
+        |       ELSE 1.0 - (sst - (b1 * c1 + b2 * c2)) / sst END AS r2
+        |FROM c3s""".stripMargin,
+
+    "ml_logreg_purchase" -> logregOracleSql(rounds = 6, lr = "0.5")
   ) ++ servingOracleSql ++ analyticsOracleSql ++ textOracleSql ++ annOracleSql ++
     centroidOracleSql ++ streamingOracleSql
+
+  /** MlLite.logisticRegression replayed as a chained CTE (the
+    * bpe_train_merges convention): round r's gradient scans r0 with
+    * round r−1's 1-row weight panel cross-joined in, the weight
+    * update mirrors the driver's `floor((w − lr·(g/n))·1e6)/1e6`
+    * double arithmetic op for op, σ(z) floor-quantized per row.
+    */
+  private def logregOracleSql(rounds: Int, lr: String): String = {
+    val head =
+      """r0 AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+        |    FLOOR(hour(ts) / 24.0 * 1e6) / 1e6 AS x1,
+        |    FLOOR(isodow(ts) / 7.0 * 1e6) / 1e6 AS x2,
+        |    FLOOR(value / 100.0 * 1e6) / 1e6 AS x3
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM r0),
+        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    def pExpr(w: String) =
+      s"FLOOR(1.0 / (1.0 + exp(-($w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3))) * 1e6) / 1e6"
+    val iters = (1 to rounds).map { r =>
+      s"""g$r AS (
+         |  SELECT
+         |    CAST(SUM(CAST((p - y) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |    CAST(SUM(CAST((p - y) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST((p - y) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+         |    CAST(SUM(CAST((p - y) * x3 AS DECIMAL(38,12))) AS DOUBLE) AS g3
+         |  FROM (SELECT r0.*, ${pExpr("w")} AS p FROM r0, w${r - 1} w)),
+         |w$r AS (
+         |  SELECT
+         |    FLOOR((w.w0 - $lr * (g.g0 / nn.n)) * 1e6) / 1e6 AS w0,
+         |    FLOOR((w.w1 - $lr * (g.g1 / nn.n)) * 1e6) / 1e6 AS w1,
+         |    FLOOR((w.w2 - $lr * (g.g2 / nn.n)) * 1e6) / 1e6 AS w2,
+         |    FLOOR((w.w3 - $lr * (g.g3 / nn.n)) * 1e6) / 1e6 AS w3
+         |  FROM w${r - 1} w, g$r g, nn)""".stripMargin
+    }
+    s"""WITH ${(head +: iters).mkString(",\n")}
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(w.w0) AS w0, MIN(w.w1) AS w1, MIN(w.w2) AS w2, MIN(w.w3) AS w3,
+       |  CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+       |FROM (SELECT r0.*, ${pExpr("w")} AS p
+       |      FROM r0, w$rounds w) q, w$rounds w""".stripMargin
+  }
 
   /** DuckDB twins of the gold analytics pack (reference:
     * docs/queries/01-05). Shared determinism rules: averages are
@@ -5715,6 +5870,93 @@ object SparkEntry {
           |         COUNT(*) OVER (PARTITION BY text) AS n_copies
           |  FROM documents) WHERE rn = 1""".stripMargin,
 
+      // MlLite.naiveBayes mirrored term for term: the Σ tf·ln(cnt+1)
+      // inner join (unseen pairs contribute ln(1)=0 by construction),
+      // 1e-6-grid ln terms summed as DECIMAL(28,6), argmax by
+      // (score DESC, label).
+      "ml_naive_bayes" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, lang AS label, UNNEST($toksSql) AS token FROM documents),
+           |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+           |dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+           |ct AS (SELECT label, token, COUNT(*) AS cnt FROM tok2 GROUP BY 1, 2),
+           |nd AS (SELECT COUNT(*) AS n_total FROM documents),
+           |vv AS (SELECT COUNT(DISTINCT token) AS v FROM dt),
+           |cp AS (
+           |  SELECT c.label,
+           |    FLOOR(LN(CAST(c.n_c AS DOUBLE) / CAST(nd.n_total AS DOUBLE)) * 1e6) / 1e6 AS log_prior,
+           |    FLOOR(LN(CAST(tc.total_c + vv.v AS DOUBLE)) * 1e6) / 1e6 AS log_denom
+           |  FROM (SELECT lang AS label, COUNT(*) AS n_c FROM documents GROUP BY 1) c, nd, vv,
+           |       (SELECT label, SUM(cnt) AS total_c FROM ct GROUP BY 1) tc
+           |  WHERE tc.label = c.label),
+           |ms AS (
+           |  SELECT dt.doc_id, ct.label,
+           |    SUM(CAST(dt.tf * (FLOOR(LN(CAST(ct.cnt + 1 AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS match_sum
+           |  FROM dt JOIN ct ON ct.token = dt.token GROUP BY 1, 2),
+           |dp AS (
+           |  SELECT dt.doc_id, SUM(dt.tf) AS n_tok, MIN(d.lang) AS true_label
+           |  FROM dt JOIN documents d ON d.doc_id = dt.doc_id GROUP BY 1),
+           |scored AS (
+           |  SELECT dp.doc_id, dp.true_label, cp.label,
+           |    CAST(CAST(cp.log_prior AS DECIMAL(28,6))
+           |      - CAST(dp.n_tok * cp.log_denom AS DECIMAL(28,6))
+           |      + COALESCE(ms.match_sum, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS score
+           |  FROM dp CROSS JOIN cp
+           |  LEFT JOIN ms ON ms.doc_id = dp.doc_id AND ms.label = cp.label),
+           |rk AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
+           |    LEAD(score, 1) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS nxt
+           |  FROM scored)
+           |SELECT doc_id, true_label, label AS pred_label, score,
+           |  COALESCE(score - nxt, 0.0) AS margin,
+           |  label = true_label AS is_correct
+           |FROM rk WHERE rn = 1""".stripMargin,
+
+      // CorpusQc.featureHash: md5-bucket fold to 256 dims, L2 weight
+      // floor-quantized after one IEEE division (identical bits both
+      // engines).
+      "text_feature_hash" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, UNNEST($toksSql) AS token FROM documents),
+           |tf AS (
+           |  SELECT doc_id,
+           |    CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 256 AS bucket,
+           |    COUNT(*) AS tf
+           |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+           |norms AS (
+           |  SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+           |  FROM tf GROUP BY 1)
+           |SELECT tf.doc_id, tf.bucket, tf.tf,
+           |  FLOOR(CAST(tf.tf AS DOUBLE) / norms.nrm * 1e6) / 1e6 AS weight
+           |FROM tf JOIN norms ON norms.doc_id = tf.doc_id""".stripMargin,
+
+      // Profiling.countMinTopN: 4x256 salted md5 cell grid, estimate
+      // = min over the item's 4 cells, top-40 by exact count.
+      "sketch_countmin" ->
+        s"""WITH it AS (
+           |  SELECT token AS item FROM (
+           |    SELECT UNNEST($toksSql) AS token FROM documents)
+           |  WHERE token <> ''),
+           |rs AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+           |cells AS (
+           |  SELECT r,
+           |    CAST(concat('0x', substr(md5(concat_ws('|', CAST(r AS VARCHAR), item)), 1, 8)) AS BIGINT) % 256 AS bucket,
+           |    COUNT(*) AS cell_n
+           |  FROM it CROSS JOIN rs GROUP BY 1, 2),
+           |exact AS (SELECT item, COUNT(*) AS n_exact FROM it GROUP BY 1),
+           |est AS (
+           |  SELECT e.item, e.n_exact, MIN(c.cell_n) AS n_est
+           |  FROM exact e CROSS JOIN rs
+           |  JOIN cells c ON c.r = rs.r AND c.bucket =
+           |    CAST(concat('0x', substr(md5(concat_ws('|', CAST(rs.r AS VARCHAR), e.item)), 1, 8)) AS BIGINT) % 256
+           |  GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_exact DESC, item) AS rank
+           |  FROM est)
+           |SELECT rank, item, n_exact, n_est, n_est - n_exact AS overcount
+           |FROM rk WHERE rank <= 40""".stripMargin,
+
       // Mirrors the df-cap (stop shingles with df > 1000 leave both
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
@@ -6749,6 +6991,43 @@ object SparkEntry {
            |  CAST(FLOOR(xm / 500.0) AS BIGINT) * 500.0 AS cell_x_min,
            |  CAST(FLOOR(ym / 500.0) AS BIGINT) * 500.0 AS cell_y_min
            |FROM p GROUP BY 1, 2""".stripMargin,
+
+      // Hotspot regions = min-label fixpoint over the 8-neighbor
+      // adjacency of dense (>= 2 points) grid cells, replayed as the
+      // repo's recursive transitive-closure CTE (the dedup_clusters
+      // convention); packed cell id mirrors Serving.hotspotClusters.
+      "svc_hotspot_clusters" ->
+        s"""WITH RECURSIVE mp AS (${mapPointsSql.replace("\n", "\n  ")}),
+           |p AS (SELECT 200000.0 + x_utm * 750.0 AS xm,
+           |             6200000.0 + y_utm * 1500.0 AS ym, etapas_estimadas
+           |      FROM mp),
+           |g AS (
+           |  SELECT CAST(FLOOR(xm / 500.0) AS BIGINT) AS cell_x,
+           |    CAST(FLOOR(ym / 500.0) AS BIGINT) AS cell_y,
+           |    CAST(COUNT(*) AS BIGINT) AS n_points,
+           |    CAST(COALESCE(ROUND(SUM(CAST(etapas_estimadas AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS weight_sum
+           |  FROM p GROUP BY 1, 2),
+           |d AS (
+           |  SELECT *, (cell_x + 1000000) * 2000000 + (cell_y + 1000000) AS id
+           |  FROM g WHERE n_points >= 2),
+           |e0 AS (
+           |  SELECT a.id AS src, b.id AS dst FROM d a JOIN d b
+           |  ON abs(a.cell_x - b.cell_x) <= 1 AND abs(a.cell_y - b.cell_y) <= 1
+           |    AND a.id < b.id),
+           |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |walk(id, label) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+           |lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+           |SELECT COALESCE(lab.cluster_id, d.id) AS cluster_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+           |  CAST(SUM(n_points) AS BIGINT) AS n_points,
+           |  CAST(SUM(CAST(weight_sum AS DECIMAL(18,2))) AS DOUBLE) AS weight_sum,
+           |  MIN(cell_x) AS cell_x_min, MAX(cell_x) AS cell_x_max,
+           |  MIN(cell_y) AS cell_y_min, MAX(cell_y) AS cell_y_max
+           |FROM d LEFT JOIN lab ON lab.id = d.id
+           |GROUP BY 1""".stripMargin,
 
       "svc_utm_to_wgs84" -> utmToWgs84Sql,
 

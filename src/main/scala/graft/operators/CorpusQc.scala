@@ -964,4 +964,37 @@ object CorpusQc {
           .as("simpson_diversity"),
         (col("__maxc") / col("n_chars_counted").cast("double")).as("top_char_share"))
   }
+
+  /** Feature hashing (the "hashing trick"): each document's token
+    * counts folded into a fixed `dim`-bucket sparse vector — the
+    * vocabulary-free featurization step a downstream linear model or
+    * clustering consumes. Buckets come from the repo's md5 idiom
+    * (`md5Long32(token) mod dim`), so the fold is engine-replayable;
+    * the L2-normalized weight divides by a per-doc norm computed from
+    * exact integer bucket counts (sqrt is correctly-rounded IEEE in
+    * every engine) and ships floor-grid-quantized (§5).
+    *
+    * Output: one row per (doc, non-empty bucket) — doc_id, bucket,
+    * tf (exact), weight (tf / ‖doc‖₂ on the 1e-6 grid). Scale shape:
+    * one (doc, bucket) partial-agg shuffle + one doc-keyed re-agg
+    * joined back — vocabulary size never appears; the bucket space
+    * is fixed at `dim` regardless of corpus growth, which is the
+    * entire point of the trick at 100 TB.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim >= 2, s"featureHash needs dim >= 2: $dim")
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("bucket", pmod(Sampling.md5Long32(Seq(col("token"))), lit(dim)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("__norm"))
+    tf.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("tf"),
+        (floor(col("tf").cast("double") / col("__norm") * lit(1e6)) / lit(1e6))
+          .as("weight"))
+  }
 }

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** In-engine classical ML — the model-fitting steps a curation
+  * pipeline runs WITHOUT leaving the lake (the reference runs its
+  * analytics as in-warehouse SQL over the gold layer, e.g.
+  * docs/queries/04_tendencias.sql's trend fits; this file widens that
+  * to supervised fits over the same scan shapes). Everything here is
+  * a fixed number of scans + panel-sized aggregates: no driver-side
+  * iteration over rows, no per-row model state — the 100 TB form of
+  * "train a small model on a big table".
+  *
+  * Engine parity follows §5: transcendental outputs (ln) are
+  * floor-grid-quantized to the 1e-6 grid before entering DECIMAL
+  * partial sums, so parallel reduction order and a last-ulp libm
+  * disagreement can never flip a result; closed-form solves happen
+  * in double arithmetic over decimal-exact moments with the operation
+  * tree mirrored verbatim in the oracle.
+  */
+object MlLite {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+  private val D6 = DecimalType(28, 6)
+
+  /** Multinomial naive-Bayes language classifier, trained and scored
+    * in one shot over the corpus (in-sample — the op is the fit
+    * machinery, not a holdout benchmark; compose with
+    * `sample_split_assign` for train/test).
+    *
+    * Per-class token log-likelihoods use add-one smoothing over the
+    * corpus vocabulary V. The per-document score for class c is
+    * rearranged so UNSEEN (class, token) pairs contribute exactly
+    * zero and the whole thing becomes one inner join:
+    *
+    *   score(d, c) = ln(n_c/N) − |d|·ln(total_c + V)
+    *                 + Σ_t tf(d,t) · ln(cnt(c,t) + 1)
+    *
+    * (missing pairs would add ln(0+1) = 0). The Σ term is an inner
+    * join of the doc-term relation with the class-term panel — pair
+    * volume is (tokens in d) × (classes containing that token), never
+    * docs × vocab. Scale shape: two token-keyed partial-agg shuffles
+    * (doc-term, class-term), one token-keyed join, one doc-keyed agg;
+    * the class panel (priors + denominators) is broadcast. All ln
+    * outputs are 1e-6-grid points summed as DECIMAL(28,6).
+    *
+    * Output: one row per (doc, class) collapsed to the argmax —
+    * doc_id, the true label, pred label, the winning score, and the
+    * margin over the runner-up (0 when only one class exists).
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val docTerm = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint(false)
+    val classTerm = tok.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    // class panel: priors and smoothed denominators (broadcast-sized)
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val vocab = docTerm.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val classPanel = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vocab))
+      .join(classTerm.groupBy(col("label")).agg(sum(col("cnt")).as("total_c")),
+        Seq("label"))
+      .select(col("label"),
+        q6(log(col("n_c").cast("double") / col("n_total").cast("double")))
+          .as("log_prior"),
+        q6(log((col("total_c") + col("v")).cast("double"))).as("log_denom"))
+    // Σ_t tf · ln(cnt+1): inner join on token, zero for unseen pairs
+    val matchSum = docTerm
+      .join(classTerm.select(col("label"),
+          col("token"), q6(log((col("cnt") + 1).cast("double"))).as("log_cnt1")),
+        Seq("token"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum((col("tf") * col("log_cnt1")).cast(D6)).as("match_sum"))
+    val docPanel = docTerm.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"))
+      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("true_label")),
+        Seq("doc_id"))
+    // left side is docs × classes, right side ≤ one row per (doc,
+    // class): both bounded per key, so the shuffled-hash build side
+    // is safe and the sort pass of an SMJ is pure waste (the
+    // snapshot-diff convention)
+    val scored = docPanel.crossJoin(broadcast(classPanel).as("cp"))
+      .join(matchSum.hint("shuffle_hash"), Seq("doc_id", "label"), "left")
+      .withColumn("score",
+        (col("log_prior").cast(D6)
+          - (col("n_tok") * col("log_denom")).cast(D6)
+          + coalesce(col("match_sum"), lit(0).cast(D6))).cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__next", lead(col("score"), 1).over(w))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("true_label"), col("label").as("pred_label"),
+        col("score"),
+        coalesce(col("score") - col("__next"), lit(0.0)).as("margin"),
+        (col("label") === col("true_label")).as("is_correct"))
+  }
+
+  /** Two-regressor OLS with intercept, solved closed-form from exact
+    * moment sums (normal equations via Cramer's rule on the 3×3
+    * system). One scan builds the nine moments as DECIMAL partials
+    * (the double regressand is grid-quantized first so products stay
+    * on a decimal grid — §5); the solve is pure double arithmetic
+    * over the 1-row panel, mirrored operation-for-operation in the
+    * oracle. R² comes from the same moments
+    * (explained-SS / total-SS form), no second data pass.
+    *
+    * Output: 1 row — n, beta0, beta1, beta2, r2 (doubles; the betas
+    * are raw IEEE quotients per the §5 quotient rule).
+    */
+  def olsTwoFeature(df: DataFrame, yCol: String, x1Col: String,
+                    x2Col: String): DataFrame = {
+    val rows = df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+      col(x2Col).isNotNull)
+    val yq = q6(col(yCol).cast("double"))
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val m = rows.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x1.cast(D6)).cast("double").as("sx1"),
+      sum(x2.cast(D6)).cast("double").as("sx2"),
+      sum(yq.cast(D6)).cast("double").as("sy"),
+      sum((x1 * x1).cast(D6)).cast("double").as("sx1x1"),
+      sum((x2 * x2).cast(D6)).cast("double").as("sx2x2"),
+      sum((x1 * x2).cast(D6)).cast("double").as("sx1x2"),
+      sum((x1 * yq).cast(D6)).cast("double").as("sx1y"),
+      sum((x2 * yq).cast(D6)).cast("double").as("sx2y"),
+      // yq² sits on the 1e-12 grid at >unit magnitude — §5 forbids a
+      // scale-12 cast there; re-floor onto the 1e-6 grid first so the
+      // scale-6 cast has no rounding decision to make
+      sum(q6(yq * yq).cast(D6)).cast("double").as("syy"))
+    // Cramer over the centered 2×2 system (the intercept eliminated):
+    //   [a11 a12] [b1]   [c1]      a11 = Sx1x1 − Sx1²/n, …
+    //   [a12 a22] [b2] = [c2]
+    // Divisors go through the NULLIF convention (ana_trend_slope):
+    // an empty input or a singular design yields NULL betas instead
+    // of an ANSI divide-by-zero error — loud in the output, typed.
+    def nz(d: Column): Column =
+      when(d === 0.0, lit(null).cast("double")).otherwise(d)
+    val n = nz(col("n"))
+    val a11 = col("sx1x1") - col("sx1") * col("sx1") / n
+    val a22 = col("sx2x2") - col("sx2") * col("sx2") / n
+    val a12 = col("sx1x2") - col("sx1") * col("sx2") / n
+    val c1 = col("sx1y") - col("sx1") * col("sy") / n
+    val c2 = col("sx2y") - col("sx2") * col("sy") / n
+    val det = nz(a11 * a22 - a12 * a12)
+    val b1 = (c1 * a22 - c2 * a12) / det
+    val b2 = (c2 * a11 - c1 * a12) / det
+    val b0 = (col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n
+    val sst = col("syy") - col("sy") * col("sy") / n
+    val sse = sst - (b1 * c1 + b2 * c2)
+    m.select(col("n").cast("long").as("n"),
+      b0.as("beta0"), b1.as("beta1"), b2.as("beta2"),
+      when(sst === 0.0, lit(0.0)).otherwise(lit(1.0) - sse / sst).as("r2"))
+  }
+
+  /** Logistic regression by full-batch gradient descent — the
+    * iterative sibling of [[olsTwoFeature]]: `rounds` passes, each
+    * ONE scan aggregating the gradient `Σ (σ(w·x) − y)·x_j` into a
+    * 3+1-component panel, weights updated ON THE DRIVER over the
+    * collected 1-row gradient (the kmeans/PCA panel-recurrence
+    * convention: per-round driver traffic is a handful of scalars,
+    * never data). The input relation is checkpointed once; round r's
+    * scan carries round r−1's weights as literals, so the whole fit
+    * is `rounds` map-side-combined aggregations — the 100 TB shape
+    * for "train a small model on a big table".
+    *
+    * Engine parity (§5): features arrive grid-quantized from the
+    * caller; σ(z) is floor-quantized to the 1e-6 grid per row (the
+    * only transcendental — a last-ulp `exp` disagreement is masked
+    * by the grid except on a measure-zero boundary, the accepted
+    * ln-class risk); residual×feature products sit on the 1e-12 grid
+    * at ≤ unit magnitude and sum as DECIMAL(38,12); the weight
+    * update `floor((w − lr·(g/n))·1e6)/1e6` is pure IEEE arithmetic
+    * an oracle replays as a chained CTE, round for round.
+    *
+    * Output: 1 row — n, the fitted weights (intercept first), and
+    * in-sample accuracy at the 0.5 threshold (raw IEEE quotient).
+    */
+  def logisticRegression(df: DataFrame, yCol: String, xCols: Seq[String],
+                         lr: Double, rounds: Int): DataFrame = {
+    require(xCols.size == 3, s"this fit is fixed at 3 features: $xCols")
+    require(rounds >= 1 && lr > 0, s"rounds=$rounds lr=$lr")
+    val d12 = DecimalType(38, 12)
+    val base = df.select(
+        col(yCol).cast("double").as("y"),
+        col(xCols(0)).cast("double").as("x1"),
+        col(xCols(1)).cast("double").as("x2"),
+        col(xCols(2)).cast("double").as("x3"))
+      .filter(col("y").isNotNull && col("x1").isNotNull &&
+        col("x2").isNotNull && col("x3").isNotNull)
+      .localCheckpoint(true)
+    val nRow = base.agg(count(lit(1)).as("n")).collect().head
+    val n = nRow.getAs[Long]("n").toDouble
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def zOf(wts: Array[Double]): Column =
+      lit(wts(0)) + lit(wts(1)) * col("x1") +
+        lit(wts(2)) * col("x2") + lit(wts(3)) * col("x3")
+    def pOf(wts: Array[Double]): Column =
+      floor(lit(1.0) / (lit(1.0) + exp(-zOf(wts))) * lit(1e6)) / lit(1e6)
+    for (_ <- 1 to rounds) {
+      val resid = pOf(w) - col("y")
+      val g = base.agg(
+        sum(resid.cast(d12)).cast("double").as("g0"),
+        sum((resid * col("x1")).cast(d12)).cast("double").as("g1"),
+        sum((resid * col("x2")).cast(d12)).cast("double").as("g2"),
+        sum((resid * col("x3")).cast(d12)).cast("double").as("g3"))
+        .collect().head
+      w = Array.tabulate(4) { j =>
+        math.floor((w(j) - lr * (g.getAs[Double](s"g$j") / n)) * 1e6) / 1e6
+      }
+    }
+    base.agg(
+      count(lit(1)).as("n"),
+      lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+      lit(w(2)).as("w2"), lit(w(3)).as("w3"),
+      (sum(when((pOf(w) >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("accuracy"))
+  }
+}

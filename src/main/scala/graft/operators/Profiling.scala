@@ -359,4 +359,58 @@ object Profiling {
       .withColumn("share", col("n_rows") / col("__tot").cast("double"))
       .select(col("bucket_x"), col("bucket_y"), col("n_rows"), col("share"))
   }
+
+  /** Count-min sketch frequency estimation — the batch twin of the
+    * streaming Misra–Gries heavy-hitter sink: a d×w cell grid where
+    * cell (r, b) counts every item whose r-th hash lands in bucket b,
+    * and an item's estimate is the MIN over its d cells (always ≥ the
+    * exact count; collisions only inflate). Hashes are the repo's
+    * md5-bucket idiom salted per row (`md5Long32(r, item) mod w`), so
+    * an oracle replays cell assignment bit-for-bit.
+    *
+    * The sketch build is ONE partial-agg shuffle onto d·w cells —
+    * constant memory regardless of item cardinality (the entire point
+    * at 100 TB: d·w longs summarize any stream). The estimate probe
+    * joins the distinct-item panel against the cell grid (broadcast —
+    * d·w is tiny by construction) and takes the per-item min; output
+    * is cut to the top-n items by exact count so the panel stays
+    * serving-sized. Columns: item, n_exact, n_est, overcount
+    * (= n_est − n_exact, the collision inflation this sketch traded
+    * for constant memory).
+    */
+  def countMinTopN(df: DataFrame, itemCol: String, d: Int, w: Int,
+                   topN: Int): DataFrame = {
+    require(d >= 1 && w >= 1, s"count-min needs positive dims: $d x $w")
+    val items = df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("item"))
+    val hashed = items.select(col("item"),
+      explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket",
+        pmod(Sampling.md5Long32(Seq(col("r"), col("item"))), lit(w)))
+    val cells = hashed.groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+    val est = exact
+      .select(col("item"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket",
+        pmod(Sampling.md5Long32(Seq(col("r"), col("item"))), lit(w)))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("item"), col("n_exact"))
+      .agg(min(col("cell_n")).as("n_est"))
+    // the topValues two-phase discipline: salt-local prune to ≤ 64·n
+    // survivors, THEN the single-partition rank on a panel that is
+    // bounded by construction — never a global sort of the item panel
+    import org.apache.spark.sql.expressions.Window
+    val salted = Window.partitionBy(pmod(xxhash64(col("item")), lit(64)))
+      .orderBy(col("n_exact").desc, col("item"))
+    val global = Window.partitionBy(lit(1))
+      .orderBy(col("n_exact").desc, col("item"))
+    est.withColumn("__lrank", row_number().over(salted))
+      .filter(col("__lrank") <= topN).drop("__lrank")
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("item"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
 }

@@ -90,4 +90,65 @@ object Serving {
       .withColumn("cell_x_min", col("cell_x") * cell)
       .withColumn("cell_y_min", col("cell_y") * cell)
   }
+
+  /** Grid-density hotspot clustering (DBSCAN's grid cousin): dense
+    * cells (`n_points >= minPts`) merge with their 8-neighbors into
+    * connected hotspot regions — the "where do boardings concentrate"
+    * serving panel over the [[gridDensity]] heat map.
+    *
+    * Cells pack into a single long id `(cell_x + off)·2off + cell_y
+    * + off` (pure integer arithmetic, engine-replayable; the `off`
+    * bound covers any earthly coordinate / cell size combination and
+    * is guarded). Adjacency is an 8-offset explode joined back to the
+    * dense-cell id set — candidate volume is 8·|dense cells|, never
+    * cells² — and regions come from the repo's min-label fixpoint
+    * ([[graft.operators.TextDedup.connectedComponents]]: O(diameter)
+    * rounds, scalar-only driver traffic). Isolated dense cells are
+    * their own single-cell region. Everything downstream of the
+    * density aggregation operates on the dense-cell PANEL (bounded by
+    * area / cell², not by data volume) — the 100 TB shape.
+    *
+    * Output: one row per hotspot — cluster_id (min packed cell id),
+    * n_cells, n_points, weight_sum, and the cell-coordinate bounding
+    * box.
+    */
+  def hotspotClusters(pts: DataFrame, xCol: String, yCol: String,
+                      cell: Double, weightCol: String,
+                      minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts=$minPts must be >= 1")
+    val off = 1000000L
+    def pack(cx: Column, cy: Column): Column =
+      (cx + off) * (2 * off) + (cy + off)
+    val dense = gridDensity(pts, xCol, yCol, cell, weightCol)
+      .filter(col("n_points") >= minPts)
+      .withColumn("__id", pack(col("cell_x"), col("cell_y")))
+      .localCheckpoint(false)
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val nbr = dense.select(col("__id"), col("cell_x"), col("cell_y"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("__id"),
+        pack(col("cell_x") + col("o.dx"), col("cell_y") + col("o.dy"))
+          .as("__nbr"))
+    val edges = nbr
+      .join(dense.select(col("__id").as("__nbr")), Seq("__nbr"))
+      .filter(col("__id") < col("__nbr"))
+    val labels = TextDedup.connectedComponents(edges, "__id", "__nbr")
+      .withColumnRenamed("doc_id", "__id")
+    // labels ≤ one row per dense cell: shuffled-hash beats sorting the
+    // checkpointed (stats-free) label relation (snapshot-diff
+    // convention)
+    dense.join(labels.hint("shuffle_hash"), Seq("__id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("__id")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_points")).as("n_points"),
+        sum(col("weight_sum")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("weight_sum"),
+        min(col("cell_x")).as("cell_x_min"),
+        max(col("cell_x")).as("cell_x_max"),
+        min(col("cell_y")).as("cell_y_min"),
+        max(col("cell_y")).as("cell_y_max"))
+  }
 }

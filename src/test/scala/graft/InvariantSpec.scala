@@ -45,7 +45,9 @@ class InvariantSpec extends SparkSpec {
       "table_entropy", "embedding_coreset", "graph_clustering_coeff",
       "table_mutual_info", "text_pmi_bigrams", "ana_top_paths",
       "ana_survival_curve", "ana_gini_demand", "ana_theil_sen", "ana_market_basket",
-      "ana_bootstrap_ci")
+      "ana_bootstrap_ci",
+      "ml_naive_bayes", "sketch_countmin", "text_feature_hash",
+      "svc_hotspot_clusters")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -56,10 +58,12 @@ class InvariantSpec extends SparkSpec {
     // table_mutual_info / text_pmi_bigrams: the 1-row grand-total
     // panel crossed onto the collapsed cell/pair panel — the same
     // benign n x 1 class as data_drift_ks's totals.
+    // ml_naive_bayes: the broadcast cross is the bounded class panel
+    // (|classes| rows) onto the doc panel — the 1-row-totals class.
     val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
       "data_drift_ks", "audit_benford_digits", "ann_range_search",
       "table_mutual_info", "text_pmi_bigrams", "table_entropy",
-      "ana_market_basket")
+      "ana_market_basket", "ml_naive_bayes")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusQc, MlLite, Profiling, Serving}
+
+/** Round-12 additions: in-engine classical ML (naive Bayes, OLS),
+  * count-min sketch, feature hashing, grid-density hotspot clustering.
+  */
+class MlLiteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ── naive Bayes ───────────────────────────────────────────────────
+
+  private def nbFixture = Seq(
+    (1L, "der hund und die katze", "de"),
+    (2L, "die katze und der vogel", "de"),
+    (3L, "der vogel und die maus", "de"),
+    (4L, "the cat and the dog", "en"),
+    (5L, "the dog and the bird", "en"),
+    (6L, "the bird and the mouse", "en"),
+    (7L, "die katze und der hund", "de"),
+    (8L, "the mouse and the cat", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("naiveBayes: separable two-language corpus classifies perfectly") {
+    val got = MlLite.naiveBayes(nbFixture, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("true_label"), r.getAs[String]("pred_label"),
+          r.getAs[Boolean]("is_correct"), r.getAs[Double]("margin"))).toMap
+    assert(got.size == 8)
+    got.foreach { case (id, (truth, pred, ok, margin)) =>
+      assert(pred == truth, s"doc $id predicted $pred, wanted $truth")
+      assert(ok)
+      assert(margin > 0.0, s"doc $id margin must be positive, got $margin")
+    }
+  }
+
+  test("naiveBayes: unseen-token doc falls back to the prior majority") {
+    // doc 9's tokens appear in NO class: every match_sum is zero, so
+    // the score reduces to prior - |d|·log_denom; 'en' has both the
+    // larger prior (5 docs vs 4) and the smaller denominator penalty
+    // cannot flip it on a symmetric vocabulary of this size.
+    val docs = nbFixture.unionByName(
+      Seq((9L, "zzz qqq xxx", "en")).toDF("doc_id", "text", "lang"))
+    val got = MlLite.naiveBayes(docs, "doc_id", "text", "lang")
+      .filter($"doc_id" === 9L).collect().head
+    assert(got.getAs[String]("pred_label") == "en")
+  }
+
+  test("naiveBayes: scores are permutation-stable (decimal partials)") {
+    val a = MlLite.naiveBayes(nbFixture.repartition(7), "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().map(_.getAs[Double]("score")).toSeq
+    val b = MlLite.naiveBayes(nbFixture.repartition(2), "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().map(_.getAs[Double]("score")).toSeq
+    assert(a == b)
+  }
+
+  // ── two-feature OLS ───────────────────────────────────────────────
+
+  test("olsTwoFeature: recovers an exact linear relationship, r2 = 1") {
+    // y = 2 + 3·x1 - 0.5·x2, exact on the 1e-6 grid
+    val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
+      yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
+    val got = MlLite.olsTwoFeature(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().head
+    assert(got.getAs[Long]("n") == 70L)
+    assert(math.abs(got.getAs[Double]("beta0") - 2.0) < 1e-9)
+    assert(math.abs(got.getAs[Double]("beta1") - 3.0) < 1e-9)
+    assert(math.abs(got.getAs[Double]("beta2") + 0.5) < 1e-9)
+    assert(math.abs(got.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("olsTwoFeature: constant regressand has r2 = 0 by convention") {
+    val rows = for (x1 <- 0 to 5; x2 <- 0 to 5)
+      yield (7.0, x1.toDouble, x2.toDouble)
+    val got = MlLite.olsTwoFeature(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().head
+    assert(got.getAs[Double]("r2") == 0.0)
+    assert(math.abs(got.getAs[Double]("beta1")) < 1e-9)
+    assert(math.abs(got.getAs[Double]("beta0") - 7.0) < 1e-9)
+  }
+
+  test("olsTwoFeature: a degenerate design (constant x2) surfaces as NULL betas") {
+    // x2 constant → centered a22 = 0, det = 0: the operator surfaces
+    // the singular system as NULL (the NULLIF convention) rather than
+    // fabricating a fit or raising an ANSI divide-by-zero.
+    val rows = for (x1 <- 0 to 9) yield (1.0 + 2.0 * x1, x1.toDouble, 3.0)
+    val r = MlLite.olsTwoFeature(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("beta1")))
+    assert(r.isNullAt(r.fieldIndex("beta0")))
+  }
+
+  // ── logistic regression ───────────────────────────────────────────
+
+  test("logisticRegression: separable data pushes the weight the right way") {
+    // y = 1 exactly when x1 is high: after 6 rounds the x1 weight must
+    // be positive and the fit must beat the majority-class baseline.
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 10) / 10.0
+      val y = if (x1 >= 0.5) 1.0 else 0.0
+      (y, x1, 0.5, 0.25)
+    }
+    val got = MlLite.logisticRegression(rows.toDF("y", "x1", "x2", "x3"),
+      "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6).collect().head
+    assert(got.getAs[Long]("n") == 200L)
+    assert(got.getAs[Double]("w1") > 0.0)
+    assert(got.getAs[Double]("accuracy") >= 0.5)
+  }
+
+  test("logisticRegression: weights are partitioning-invariant (grid + decimal partials)") {
+    val rows = (0 until 300).map { i =>
+      val x1 = (i % 24) / 24.0
+      val x2 = (i % 7) / 7.0
+      val x3 = (i % 13) / 13.0
+      val y = if ((i * 2654435761L) % 97 < 30) 1.0 else 0.0
+      (y, math.floor(x1 * 1e6) / 1e6, math.floor(x2 * 1e6) / 1e6,
+        math.floor(x3 * 1e6) / 1e6)
+    }
+    val df = rows.toDF("y", "x1", "x2", "x3")
+    val a = MlLite.logisticRegression(df.repartition(7), "y",
+      Seq("x1", "x2", "x3"), lr = 0.5, rounds = 4).collect().head
+    val b = MlLite.logisticRegression(df.repartition(2), "y",
+      Seq("x1", "x2", "x3"), lr = 0.5, rounds = 4).collect().head
+    Seq("w0", "w1", "w2", "w3", "accuracy").foreach { c =>
+      assert(a.getAs[Double](c) == b.getAs[Double](c), s"column $c diverged")
+    }
+  }
+
+  // ── count-min sketch ──────────────────────────────────────────────
+
+  private def tokenFrame(rows: Seq[(String, Int)]) =
+    rows.flatMap { case (tok, n) => Seq.fill(n)(tok) }.toDF("item")
+
+  test("countMinTopN: estimate never undercounts and a wide sketch is exact") {
+    val items = tokenFrame(Seq("a" -> 50, "b" -> 30, "c" -> 10, "d" -> 5, "e" -> 1))
+    val got = Profiling.countMinTopN(items, "item", d = 4, w = 4096, topN = 10)
+      .collect().map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))).toMap
+    assert(got("a") == ((50L, 50L))) // w >> items: no collisions
+    assert(got("e") == ((1L, 1L)))
+    got.values.foreach { case (exact, est) => assert(est >= exact) }
+  }
+
+  test("countMinTopN: collisions only inflate; rank order follows exact counts") {
+    val items = tokenFrame((1 to 200).map(i => s"tok$i" -> i))
+    val got = Profiling.countMinTopN(items, "item", d = 3, w = 16, topN = 5)
+      .orderBy("rank").collect()
+    assert(got.length == 5)
+    assert(got.map(_.getAs[String]("item")).toSeq ==
+      Seq("tok200", "tok199", "tok198", "tok197", "tok196"))
+    got.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L)
+      assert(r.getAs[Long]("n_est") >=  r.getAs[Long]("n_exact"))
+    }
+  }
+
+  // ── feature hashing ───────────────────────────────────────────────
+
+  test("featureHash: bucket fold conserves token mass and L2-normalizes") {
+    val docs = Seq(
+      (1L, "a b c a b a"),
+      (2L, "x y"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = CorpusQc.featureHash(docs, "doc_id", "text", dim = 64)
+    val byDoc = got.groupBy("doc_id")
+      .agg(sum($"tf").as("mass"), sum($"weight" * $"weight").as("l2sq"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mass"), r.getAs[Double]("l2sq"))).toMap
+    assert(byDoc(1L)._1 == 6L)
+    assert(byDoc(2L)._1 == 2L)
+    assert(byDoc(3L)._1 == 1L)
+    // quantized weights: ‖w‖² lands within the 1e-6-grid slack of 1
+    byDoc.values.foreach { case (_, l2) => assert(math.abs(l2 - 1.0) < 1e-4) }
+    got.collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b < 64L)
+    }
+  }
+
+  test("featureHash: same token always lands in the same bucket across docs") {
+    val docs = Seq((1L, "shared unique1"), (2L, "shared unique2")).toDF("doc_id", "text")
+    val got = CorpusQc.featureHash(docs, "doc_id", "text", dim = 32).collect()
+    // 'shared' hashes identically for both docs → bucket sets intersect
+    val b1 = got.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[Long]("bucket")).toSet
+    val b2 = got.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[Long]("bucket")).toSet
+    assert((b1 intersect b2).nonEmpty)
+  }
+
+  // ── hotspot clustering ────────────────────────────────────────────
+
+  test("hotspotClusters: adjacent dense cells merge, isolated dense cell stands alone, sparse cells drop") {
+    // cell size 10: (0,0) and (1,1) dense and diagonal-adjacent →
+    // one region; (5,5) dense but isolated → its own region; (9,9)
+    // has a single point → not dense, excluded entirely.
+    def pts(cx: Int, cy: Int, n: Int) =
+      (1 to n).map(i => (cx * 10.0 + 1.0 + (i % 3), cy * 10.0 + 2.0, 1.0))
+    val df = (pts(0, 0, 3) ++ pts(1, 1, 2) ++ pts(5, 5, 4) ++ pts(9, 9, 1))
+      .toDF("x", "y", "w")
+    val got = Serving.hotspotClusters(df, "x", "y", cell = 10.0,
+      weightCol = "w", minPts = 2).collect()
+    assert(got.length == 2)
+    val merged = got.find(_.getAs[Long]("n_cells") == 2L).get
+    assert(merged.getAs[Long]("n_points") == 5L)
+    assert(merged.getAs[Long]("cell_x_min") == 0L)
+    assert(merged.getAs[Long]("cell_x_max") == 1L)
+    val iso = got.find(_.getAs[Long]("n_cells") == 1L).get
+    assert(iso.getAs[Long]("n_points") == 4L)
+    assert(iso.getAs[Long]("cell_x_min") == 5L)
+  }
+
+  test("hotspotClusters: a snake of adjacent dense cells is one region with the min packed id") {
+    val df = (0 to 6).flatMap(i =>
+      Seq((i * 10.0 + 1, 1.0, 1.0), (i * 10.0 + 2, 2.0, 1.0)))
+      .toDF("x", "y", "w")
+    val got = Serving.hotspotClusters(df, "x", "y", cell = 10.0,
+      weightCol = "w", minPts = 2).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_cells") == 7L)
+    assert(got.head.getAs[Long]("n_points") == 14L)
+    // min packed id of cell (0,0): (0+1e6)·2e6 + (0+1e6)
+    assert(got.head.getAs[Long]("cluster_id") == 1000000L * 2000000L + 1000000L)
+  }
+}
