@@ -973,6 +973,15 @@ object SparkEntry {
     "ana_interarrival" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.interarrivalStats(t(s, d, "events"))),
 
+    // Mann–Whitney U rank-sum test, weekend vs weekday values — the
+    // nonparametric sibling of the abtest readout: midrank ties,
+    // tie-corrected z, ranks over the distinct-value panel through
+    // the two-phase prefix sum (never a global data window).
+    "ana_mann_whitney" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.mannWhitney(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        "value", Temporal.isoDow(col("ts")) >= 6)),
+
     // Quantile normalization: per-type daily demand aligned to the
     // cross-type rank-mean distribution (ordering preserved).
     "ana_quantile_normalize" -> ((s: SparkSession, d: String) =>
@@ -1708,6 +1717,21 @@ object SparkEntry {
         }
       TextDedup.hammingPairs64(Multimodal.aHashes(rows).toDF(),
         "media_id", "ahash", maxHamming = 4)
+    }),
+
+    // Per-channel color statistics over REAL PNG decode (R/G/B means
+    // + luma-std contrast proxy, the flat/blank-asset gate input) —
+    // same bounded-pixel decode discipline as multimodal_features.
+    // Rows-only by protocol (binary decode); exactness spec-pinned.
+    "image_color_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val rows = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, v) =>
+          Multimodal.MediaRow(id, Multimodal.grayPng8x8(v), "png")
+        }
+      Multimodal.colorStats(rows).toDF()
     }),
 
     // Built-in session_window twin of sessionize_gap: identical
@@ -3409,6 +3433,49 @@ object SparkEntry {
     def avgD(sumExpr: String, cntExpr: String, scale: Int): String =
       s"ROUND(CAST(SUM($sumExpr) AS DOUBLE) / NULLIF($cntExpr, 0), $scale)"
     Map(
+      // AnalyticsPack.mannWhitney mirrored: distinct-value panel,
+      // half-integer midranks summed as DECIMAL(28,1), tie-corrected
+      // normal z over exact integer moments.
+      "ana_mann_whitney" ->
+        """WITH r0 AS (
+          |  SELECT value AS v, isodow(ts) >= 6 AS ga
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          |p AS (
+          |  SELECT v,
+          |    SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS na,
+          |    SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS nb,
+          |    COUNT(*) AS nt
+          |  FROM r0 GROUP BY 1),
+          |rk AS (SELECT *, SUM(nt) OVER (ORDER BY v) AS cum FROM p),
+          |mid AS (
+          |  SELECT *,
+          |    CAST(cum - nt AS DOUBLE) + CAST(nt + 1 AS DOUBLE) / 2.0 AS midrank
+          |  FROM rk),
+          |agg AS (
+          |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+          |    CAST(SUM(nb) AS BIGINT) AS n_b,
+          |    SUM(CAST(CAST(na AS DOUBLE) * midrank AS DECIMAL(28,1))) AS r_a,
+          |    CAST(SUM(nt * nt * nt - nt) AS BIGINT) AS ties
+          |  FROM mid),
+          |u AS (
+          |  SELECT *,
+          |    r_a - CAST(n_a * (n_a + 1) / 2.0 AS DECIMAL(28,1)) AS u_a,
+          |    n_a + n_b AS nn
+          |  FROM agg),
+          |vv AS (
+          |  SELECT *,
+          |    CAST(n_a * n_b AS DECIMAL(28,1)) - u_a AS u_b,
+          |    CAST(n_a * n_b AS DOUBLE) / 12.0 *
+          |      (CAST(nn + 1 AS DOUBLE)
+          |        - CAST(ties AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)) AS var
+          |  FROM u)
+          |SELECT n_a, n_b,
+          |  CAST(u_a AS DOUBLE) AS u_a, CAST(u_b AS DOUBLE) AS u_b,
+          |  CAST(r_a AS DOUBLE) AS r_a,
+          |  CASE WHEN var = 0.0 THEN 0.0
+          |       ELSE (CAST(u_a AS DOUBLE) - CAST(n_a * n_b AS DOUBLE) / 2.0)
+          |            / sqrt(var) END AS z
+          |FROM vv""".stripMargin,
       "ana_coverage_quartile" ->
         s"""WITH base AS (
            |  SELECT n_name,

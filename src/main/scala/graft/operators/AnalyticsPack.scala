@@ -1882,4 +1882,62 @@ object AnalyticsPack {
         timestamp_millis(-col("__m.negts")).as("at_ts"),
         col("n_intervals"))
   }
+
+  /** Mann–Whitney U rank-sum test between two groups of a numeric
+    * column — the NONPARAMETRIC sibling of the abtest-readout's
+    * Welch-style comparison: no normality assumption, driven entirely
+    * by ranks, with the standard midrank treatment of ties and the
+    * tie-corrected normal approximation for the z statistic.
+    *
+    * Scale shape: ranks never touch row-level data — the test runs on
+    * the DISTINCT-VALUE panel (value, per-group counts), globally
+    * ordered through the two-phase [[PrefixSum]] (no single-partition
+    * window over data). Midranks are half-integers (cum-before +
+    * (ties+1)/2), so the rank sum is EXACT as DECIMAL(28,1) partials;
+    * U, its mean and the tie-corrected variance are integer-derived;
+    * only the final z is floating (one sqrt + one division over
+    * exact inputs, engine-identical).
+    *
+    * Output: 1 row — n_a, n_b, u_a, u_b (longs; U_a + U_b = n_a·n_b
+    * by construction), r_a (the group-A rank sum, DECIMAL-exact) and
+    * z (U_a vs its null mean, + means group A ranks higher).
+    */
+  def mannWhitney(df: DataFrame, valueCol: String,
+                  groupA: Column): DataFrame = {
+    val d1 = DecimalType(28, 1)
+    val panel = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(groupA, 0L).otherwise(1L)).as("__nb"))
+      .withColumn("__nt", col("__na") + col("__nb"))
+    val ranked = PrefixSum.globalOrdered(panel, Seq(col("__v")), "__nt")
+      .withColumn("__midrank",
+        (col("prefix_sum") - col("__nt")).cast("double")
+          + (col("__nt") + 1L).cast("double") / 2.0)
+    // U can itself be a half-integer under cross-group ties, so U
+    // stays in the exact DECIMAL(28,1) space and ships as a double
+    // (exact cast), never truncated to a long.
+    ranked.agg(
+        sum(col("__na")).as("n_a"),
+        sum(col("__nb")).as("n_b"),
+        sum((col("__na").cast("double") * col("__midrank")).cast(d1)).as("r_a"),
+        sum(col("__nt") * col("__nt") * col("__nt") - col("__nt")).as("__ties"))
+      .withColumn("u_a",
+        col("r_a") - ((col("n_a") * (col("n_a") + 1L)) / lit(2.0)).cast(d1))
+      .withColumn("u_b", (col("n_a") * col("n_b")).cast(d1) - col("u_a"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__var",
+        (col("n_a") * col("n_b")).cast("double") / 12.0 *
+          ((col("__n") + 1L).cast("double")
+            - col("__ties").cast("double")
+              / (col("__n") * (col("__n") - 1L)).cast("double")))
+      .select(col("n_a"), col("n_b"),
+        col("u_a").cast("double").as("u_a"),
+        col("u_b").cast("double").as("u_b"),
+        col("r_a").cast("double").as("r_a"),
+        when(col("__var") === 0.0, lit(0.0))
+          .otherwise((col("u_a").cast("double")
+            - (col("n_a") * col("n_b")).cast("double") / 2.0)
+            / sqrt(col("__var"))).as("z"))
+  }
 }

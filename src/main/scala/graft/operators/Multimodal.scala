@@ -313,4 +313,58 @@ object Multimodal {
     import df.sparkSession.implicits._
     extractFeatures(df.as[MediaRow]).toDF()
   }
+
+  final case class MediaColorStats(
+      media_id: Long, format: String, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, std_luma: Double)
+
+  /** Per-channel color statistics over a REAL decode — the
+    * channel-level profile next to [[extractFeatures]]'s single
+    * brightness scalar: R/G/B means plus the luma standard deviation
+    * (the contrast proxy a quality gate thresholds — near-zero std =
+    * a flat/blank asset). Same bounded-pixel discipline as the
+    * feature decode (stride-sampled grid capped at ~2¹⁶ pixels, so a
+    * 100-megapixel asset costs what a thumbnail costs), same
+    * batched-iterator memory bound, same drop-on-corrupt behavior.
+    * Sums are exact integers; each mean is one division, the variance
+    * is the integer-moment form E[x²]−E[x]² over exact sums.
+    */
+  def colorStats(ds: Dataset[MediaRow]): Dataset[MediaColorStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(colorStatsOne)))
+  }
+
+  private[operators] def colorStatsOne(r: MediaRow): Option[MediaColorStats] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(r.media))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val stride = math.max(1, math.ceil(math.sqrt(w.toDouble * h / 65536.0)).toInt)
+      var (sr, sg, sb, sl, sl2, n) = (0L, 0L, 0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val (cr, cg, cb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          val luma = cr + cg + cb
+          sr += cr; sg += cg; sb += cb
+          sl += luma; sl2 += luma.toLong * luma
+          n += 1
+          x += stride
+        }
+        y += stride
+      }
+      if (n == 0) None
+      else {
+        val meanL = sl.toDouble / n
+        val varL = sl2.toDouble / n - meanL * meanL
+        Some(MediaColorStats(r.media_id, r.format, w, h,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+          math.sqrt(math.max(0.0, varL)) / 3.0))
+      }
+    }
+  }
 }

@@ -128,6 +128,40 @@ class MlLiteSpec extends SparkSpec {
     }
   }
 
+  // ── Mann–Whitney U ────────────────────────────────────────────────
+
+  test("mannWhitney: hand-computed U on disjoint groups") {
+    import graft.operators.AnalyticsPack
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"))
+      .toDF("v", "g")
+    val r = AnalyticsPack.mannWhitney(df, "v", $"g" === "a").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 0.0)   // every A below every B
+    assert(r.getAs[Double]("u_b") == 4.0)   // U_a + U_b = n_a·n_b
+    assert(r.getAs[Double]("r_a") == 3.0)   // ranks 1 + 2
+    assert(r.getAs[Double]("z") < 0.0)
+  }
+
+  test("mannWhitney: cross-group tie produces the half-integer midrank U") {
+    import graft.operators.AnalyticsPack
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"))
+      .toDF("v", "g")
+    val r = AnalyticsPack.mannWhitney(df, "v", $"g" === "a").collect().head
+    // sorted 1, 2, 2, 3 → midranks 1, 2.5, 2.5, 4; R_A = 3.5
+    assert(r.getAs[Double]("r_a") == 3.5)
+    assert(r.getAs[Double]("u_a") == 0.5)
+    assert(r.getAs[Double]("u_b") == 3.5)
+  }
+
+  test("mannWhitney: identical distributions give symmetric U and z = 0") {
+    import graft.operators.AnalyticsPack
+    val df = (1 to 50).flatMap(i => Seq((i.toDouble, "a"), (i.toDouble, "b")))
+      .toDF("v", "g")
+    val r = AnalyticsPack.mannWhitney(df, "v", $"g" === "a").collect().head
+    assert(r.getAs[Double]("u_a") == r.getAs[Double]("u_b"))
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
   // ── count-min sketch ──────────────────────────────────────────────
 
   private def tokenFrame(rows: Seq[(String, Int)]) =

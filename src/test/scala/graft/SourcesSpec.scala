@@ -333,6 +333,37 @@ class SourcesSpec extends SparkSpec {
     assert(got(4L).width == 4 && got(4L).height == 5)
   }
 
+  test("multimodal: colorStats — exact per-channel means + contrast from real decode") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 4x2: top row pure white, bottom row pure black → R/G/B means
+    // all 127.5, luma values {765, 0} → std 382.5, /3 = 127.5; and a
+    // half-red / half-green image → channel means split, zero
+    // contrast (equal luma everywhere)
+    def bytesOf(im: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, "png", out))
+      out.toByteArray
+    }
+    val bw = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) { bw.setRGB(x, 0, 0xffffff); bw.setRGB(x, 1, 0x000000) }
+    val rg = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    rg.setRGB(0, 0, 0xff0000); rg.setRGB(0, 1, 0xff0000)
+    rg.setRGB(1, 0, 0x00ff00); rg.setRGB(1, 1, 0x00ff00)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, bytesOf(bw), "png"),
+      Multimodal.MediaRow(2L, bytesOf(rg), "png"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "png")))  // corrupt → dropped
+    val got = Multimodal.colorStats(media).collect().map(c => c.media_id -> c).toMap
+    assert(got.size == 2) // the corrupt asset is dropped, not stubbed
+    assert(got(1L).width == 4 && got(1L).height == 2)
+    assert(got(1L).mean_r == 127.5 && got(1L).mean_g == 127.5 && got(1L).mean_b == 127.5)
+    assert(got(1L).std_luma == 127.5)
+    assert(got(2L).mean_r == 127.5 && got(2L).mean_g == 127.5 && got(2L).mean_b == 0.0)
+    assert(got(2L).std_luma == 0.0)
+  }
+
   test("multimodal: real javax.sound WAV decode — rate, duration, amplitude") {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
