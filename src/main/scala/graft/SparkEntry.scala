@@ -767,6 +767,24 @@ object SparkEntry {
     // graph: which zones cluster into trade communities. Five fixed
     // rounds, min-label ties, every round one edge join + node-sized
     // argmax panels — see Graph.labelPropagation.
+    // Directed BFS hop distance from NATION_3 over the trade-flow
+    // graph — the reachability panel next to pagerank's centrality:
+    // frontier relaxation with one edge pass + scalar delta per round.
+    "graph_bfs_hops" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.bfsHops(flows, "src", "dst", source = "NATION_3")
+    }),
+
     "graph_label_propagation" -> ((s: SparkSession, d: String) => {
       val nation = t(s, d, "nation")
       val flows = t(s, d, "lineitem")
@@ -4809,6 +4827,30 @@ object SparkEntry {
 
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
       "graph_label_propagation" -> labelPropOracleSql(5),
+
+      // Graph.bfsHops replayed as the recursive min-hop CTE (the
+      // dedup_clusters walk convention, depth-bounded to the
+      // operator's maxRounds).
+      "graph_bfs_hops" ->
+        """WITH RECURSIVE e0 AS MATERIALIZED (
+          |  SELECT sn.n_name AS src, cn.n_name AS dst
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  WHERE sn.n_name <> cn.n_name
+          |  GROUP BY 1, 2),
+          |walk(node, d) AS (
+          |  SELECT 'NATION_3' AS node, 0 AS d
+          |  WHERE EXISTS (SELECT 1 FROM e0
+          |                WHERE src = 'NATION_3' OR dst = 'NATION_3')
+          |  UNION
+          |  SELECT e.dst, w.d + 1 FROM e0 e JOIN walk w ON w.node = e.src
+          |  WHERE w.d < 32)
+          |SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+          |FROM walk GROUP BY 1""".stripMargin,
 
       "graph_k_core" -> kCoreOracleSql(3, 6),
 

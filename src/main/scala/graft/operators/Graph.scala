@@ -345,4 +345,56 @@ object Graph {
     }
     ranks
   }
+
+  /** Directed BFS hop distance from one source node — the reachability
+    * panel next to [[pageRank]]'s centrality: how many directed hops
+    * from `source` to every reachable node (the source itself at 0;
+    * unreachable nodes are absent, which IS the reachability answer).
+    *
+    * The frontier-relaxation loop is the [[graft.operators.TextDedup
+    * .connectedComponents]] discipline verbatim: each round one
+    * edge-keyed join pushes `hops + 1` across out-edges, a min-agg
+    * folds it into the best-known distance, and the round's delta is
+    * read off the SAME aggregation (one scalar per round to the
+    * driver, no convergence join). Rounds are O(eccentricity of the
+    * source), each a bounded edge pass — the 100 TB shape; a
+    * diameter deeper than `maxRounds` fails loudly rather than
+    * returning silently-truncated distances.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              source: String, maxRounds: Int = 32): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var dist = e.select(col("src").as("node")).unionAll(e.select(col("dst")))
+      .distinct()
+      .filter(col("node") === source)
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val via = e
+        .join(dist.select(col("node").as("src"), col("hops")), "src")
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"),
+          lit(Long.MaxValue).as("__graft_prev"))
+      val step = via
+        .unionAll(dist.select(col("node"), col("hops"),
+          col("hops").as("__graft_prev")))
+        .groupBy(col("node"))
+        .agg(min(col("hops")).as("hops"),
+          min(col("__graft_prev")).as("__graft_prev"))
+        .localCheckpoint(true)
+      changed = step.filter(col("hops") =!= col("__graft_prev")).count()
+      dist = step.select(col("node"), col("hops"))
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"bfsHops did not converge in $maxRounds rounds ($changed " +
+          "distances still improving) — raise maxRounds")
+    dist
+  }
 }

@@ -523,6 +523,56 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming COUNT-MIN sink: maintains the d×w cell grid of
+    * `Profiling.countMinTopN`'s sketch as a tiny parquet table — the
+    * sketch-table twin of the Misra–Gries [[topkSink]] with the
+    * opposite trade: MG stores the hot KEYS with a global error
+    * bound; count-min stores NO keys at all, answering point
+    * frequency queries for ANY item at probe time with one-sided
+    * error (estimate ≥ true count, inflation bounded by collisions).
+    *
+    * Count-min is exactly mergeable (cell-wise addition), so each
+    * micro-batch folds its exact batch cells into the stored grid
+    * with a full-outer sum on (r, bucket) — state is ≤ d·w rows
+    * FOREVER regardless of stream cardinality, and the merged grid
+    * equals the single-shot sketch of the whole history (spec-pinned;
+    * the mergeable-HLL discipline). Batch-id replays no-op under the
+    * shared writer-identity rule.
+    */
+  def countMinSink(stream: DataFrame, checkpoint: String, target: String,
+                   itemCol: String, d: Int = 4, w: Int = 256):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        countMinBatchToParquet(batch.toDF(), target, itemCol, d, w, batchId)
+      }
+
+  private[graft] def countMinBatchToParquet(batch: DataFrame, target: String,
+                                            itemCol: String, d: Int, w: Int,
+                                            batchId: Long = -1L,
+                                            writerId: Option[String] = None): Unit = {
+    require(d >= 1 && w >= 1, s"count-min needs positive dims: $d x $w")
+    val cells = batch.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("item"))
+      .select(col("item"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket",
+        pmod(graft.operators.Sampling.md5Long32(Seq(col("r"), col("item"))),
+          lit(w)))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    upsertParquet(target, cells, { existing =>
+      existing.select(col("r"), col("bucket"), col("cell_n").as("__c_old"))
+        .join(cells.select(col("r"), col("bucket"), col("cell_n").as("__c_new"))
+          .hint("shuffle_hash"),
+          Seq("r", "bucket"), "full_outer")
+        .select(col("r"), col("bucket"),
+          (coalesce(col("__c_old"), lit(0L)) + coalesce(col("__c_new"), lit(0L)))
+            .as("cell_n"))
+    }, batchId, writerId)
+  }
+
   /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
     * micro-batch commits ONE append segment through the manifest log,
     * so readers get snapshot isolation over a live stream — a query

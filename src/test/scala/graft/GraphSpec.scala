@@ -204,4 +204,22 @@ class GraphSpec extends SparkSpec {
     val none = Graph.kCore(edges, "ia", "ib", k = 5, rounds = 3).collect()
     assert(none.length == 5 && none.forall(!_.getAs[Boolean]("in_core")))
   }
+
+  test("bfsHops: directed chain distances, shortcuts win, unreachable absent") {
+    // a → b → c → d plus shortcut a → c; e → a makes e a pure
+    // ancestor (unreachable FROM a); isolated direction matters
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a"))
+      .toDF("s", "t")
+    val got = Graph.bfsHops(edges, "s", "t", source = "a")
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("hops")).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
+  test("bfsHops: cycle terminates; missing source yields an empty panel") {
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "t")
+    val got = Graph.bfsHops(cyc, "s", "t", source = "x")
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("hops")).toMap
+    assert(got == Map("x" -> 0L, "y" -> 1L, "z" -> 2L))
+    assert(Graph.bfsHops(cyc, "s", "t", source = "nope").collect().isEmpty)
+  }
 }

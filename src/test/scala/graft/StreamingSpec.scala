@@ -877,6 +877,59 @@ class StreamingSpec extends SparkSpec {
     assert(after3 == after2)
   }
 
+  test("count-min sink: merged grid equals the single-shot sketch; estimates bound; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsink").toString
+    val target = s"$dir/cms"
+    val in = MemoryStream[String]
+    val q = StreamOps.countMinSink(in.toDF.toDF("item"), s"$dir/ckpt", target,
+      "item", d = 3, w = 16).start()
+    val b1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val b2 = Seq.fill(4)("c") ++ Seq("b") ++ Seq.fill(2)("d")
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val merged = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cell_n"))
+      .toMap
+    // mergeability: the streamed grid IS the single-shot sketch of the
+    // full history (cell-wise addition is exact)
+    import spark.implicits._
+    val direct = graft.operators.Profiling.countMinTopN(
+      (b1 ++ b2).toDF("item"), "item", d = 3, w = 16, topN = 10)
+    // total mass check: sum of cells per row r equals total items
+    val total = (b1 ++ b2).size.toLong
+    (0 until 3).foreach { r =>
+      assert(merged.collect { case ((`r`, _), n) => n }.sum == total)
+    }
+    // the one-sided estimate bound for every item, probed via the twin
+    direct.collect().foreach { row =>
+      assert(row.getAs[Long]("n_est") >= row.getAs[Long]("n_exact"))
+    }
+    // and the batch twin's estimate over the streamed grid matches:
+    // min over the item's 3 stored cells >= its true count
+    val truth = (b1 ++ b2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (item, n) =>
+      val est = (0 until 3).map { r =>
+        val b = graft.operators.Sampling.md5Long32(Seq(lit(r), lit(item)))
+        val bucket = Seq((1)).toDF("x")
+          .select(pmod(b, lit(16)).as("b")).collect().head.getAs[Long]("b")
+        merged.getOrElse((r, bucket), 0L)
+      }.min
+      assert(est >= n, s"$item: est $est < true $n")
+    }
+    // replaying batch 0 under the query's identity must change nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.countMinBatchToParquet(b1.toDF("item"), target, "item",
+        d = 3, w = 16, batchId = 0L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    val after = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cell_n"))
+      .toMap
+    assert(after == merged)
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
