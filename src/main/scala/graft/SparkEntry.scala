@@ -1507,6 +1507,20 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
+    // k-NN classification over the exact cosine tier: majority label
+    // of the 5 nearest neighbors, vote ties to the smaller label —
+    // the application layer the recall panel prices approximations
+    // against.
+    "ml_knn_classify" -> ((s: SparkSession, d: String) =>
+      Ann.knnClassify(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", nQueries = 50, k = 5)),
+
+    // INT8 scalar quantization error panel (the 4x-compression tier
+    // below PQ): per-vector symmetric scale, round-half-up codes,
+    // MSE / max-error / norm-ratio over the exploded relation.
+    "embedding_sq8_error" -> ((s: SparkSession, d: String) =>
+      Ann.sq8ErrorPanel(t(s, d, "embeddings"), "vec_id", "embedding")),
+
     // Radius twin of top-k: all neighbors with cos >= 0.35, pure
     // codegen filter — zero windows, zero extra shuffles.
     "ann_range_search" -> ((s: SparkSession, d: String) =>
@@ -5489,6 +5503,71 @@ object SparkEntry {
         |       neighbor_id, cos_sim
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Ann.knnClassify mirrored over the proven cosine fold: top-5
+    // neighbors per query, majority vote, ties to the smaller label.
+    "ml_knn_classify" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, label AS label_true, v AS qv, nrm AS qnrm
+        |      FROM n WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.q_id, n.vec_id AS neighbor_id, n.label AS n_label,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+        |      / (n.nrm * q.qnrm) AS cos_sim
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id),
+        |topk AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT q_id, n_label, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM topk GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS vr
+        |  FROM votes)
+        |SELECT b.q_id AS vec_id, qq.label_true, b.n_label AS pred_label,
+        |  b.votes, b.n_label = qq.label_true AS is_correct
+        |FROM best b
+        |JOIN (SELECT DISTINCT q_id, label_true FROM q) qq ON qq.q_id = b.q_id
+        |WHERE b.vr = 1""".stripMargin,
+
+    // Ann.sq8ErrorPanel mirrored on the exploded relation: round-
+    // half-up codes via one engine-exact floor, error terms
+    // 1e-12-grid-quantized into DECIMAL(38,12) partials.
+    "embedding_sq8_error" ->
+      """WITH comps AS (
+        |  SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |scales AS (
+        |  SELECT vec_id, MAX(abs(x)) AS mx, CAST(COUNT(*) AS BIGINT) AS dim
+        |  FROM comps GROUP BY 1),
+        |s2 AS (SELECT *, mx / 127.0 AS scale FROM scales),
+        |j AS (
+        |  SELECT c.vec_id, s.dim, s.scale, c.x,
+        |    CASE WHEN s.scale = 0.0 THEN 0
+        |         ELSE CAST(FLOOR(c.x / s.scale + 0.5) AS BIGINT) END AS code
+        |  FROM comps c JOIN s2 s ON s.vec_id = c.vec_id),
+        |e AS (
+        |  SELECT *, x - CAST(code AS DOUBLE) * scale AS err,
+        |    CAST(code AS DOUBLE) * scale AS recon
+        |  FROM j),
+        |agg AS (
+        |  SELECT vec_id, dim, scale,
+        |    CAST(SUM(CAST(FLOOR(err * err * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) / dim AS mse,
+        |    MAX(abs(err)) AS max_abs_err,
+        |    CAST(SUM(CAST(FLOOR(recon * recon * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS rn2,
+        |    CAST(SUM(CAST(FLOOR(x * x * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS xn2
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT vec_id, dim, scale, mse, max_abs_err,
+        |  CASE WHEN xn2 = 0.0 THEN 0.0 ELSE sqrt(rn2) / sqrt(xn2) END AS norm_ratio
+        |FROM agg""".stripMargin,
 
     // Radius search: the proven cosine fold, threshold filter, no rank.
     "ann_range_search" ->

@@ -998,4 +998,81 @@ object Ann {
       .select("q_id", "vec_id", "cos_sim")
     topK(scored, k)
   }
+
+  /** k-NN classification — the APPLICATION layer over [[cosineTopK]]:
+    * each query vector takes the majority label of its k exact cosine
+    * neighbors (vote ties break on the smaller label, the house
+    * deterministic-tie rule). Same scale shape as the search it wraps
+    * (broadcast query panel, salted two-phase top-k, never a global
+    * corpus rank); the vote is panel math on nQueries·k rows. The
+    * exact tier is the oracle-checkable baseline — swap in
+    * lshMultiProbeTopK/ivfTopK for the approximate serving path, and
+    * `recallEval` already prices that substitution.
+    *
+    * Output per query: vec_id, label_true, pred_label, votes (the
+    * winner's neighbor count), is_correct.
+    */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, nQueries: Int, k: Int): DataFrame = {
+    val labels = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).cast("long").as("label"))
+    val neighbors = cosineTopK(emb, idCol, vecCol, nQueries, k)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label"), Seq("neighbor_id"))
+    val votes = neighbors.groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "label_true"), Seq("q_id"))
+      .select(col("q_id").as("vec_id"), col("label_true"),
+        col("n_label").as("pred_label"), col("votes"),
+        (col("n_label") === col("label_true")).as("is_correct"))
+  }
+
+  /** INT8 scalar quantization error panel (SQ8 — the 4×-compression
+    * tier below [[pqTopK]]'s codebooks): per vector, symmetric
+    * per-vector scale `max|x| / 127`, integer codes
+    * `floor(x/s + 0.5)` (round-half-up — one engine-exact floor, no
+    * banker's-rounding divergence), and the reconstruction-quality
+    * panel a storage pipeline reads before committing to int8: MSE,
+    * max absolute error, and the reconstructed-over-true norm ratio.
+    *
+    * Everything runs on the exploded (vec, dim, component) relation —
+    * two partial-agg shuffles on vec_id, no vector ever rebuilt, no
+    * HOF lambda in the hot path (the §4 interpreted-HOF rule). §5:
+    * full-entropy error terms floor-quantize to the 1e-12 grid (≤
+    * unit magnitude) before their DECIMAL partials; ratios ship as
+    * raw IEEE quotients.
+    */
+  def sq8ErrorPanel(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    def q12(c: Column): Column = floor(c * lit(1e12)) / lit(1e12)
+    val comps = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        explode(col(vecCol).cast("array<double>")).as("x"))
+    val scales = comps.groupBy(col("vec_id"))
+      .agg(max(abs(col("x"))).as("__mx"), count(lit(1)).as("dim"))
+      .withColumn("scale", col("__mx") / lit(127.0))
+    comps.join(scales.hint("shuffle_hash"), Seq("vec_id"))
+      .withColumn("code",
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(col("x") / col("scale") + lit(0.5)).cast("long")))
+      .withColumn("recon", col("code").cast("double") * col("scale"))
+      .withColumn("__err", col("x") - col("recon"))
+      .groupBy(col("vec_id"), col("dim"), col("scale"))
+      .agg(
+        (sum(q12(col("__err") * col("__err")).cast(d12)).cast("double")
+          / col("dim")).as("mse"),
+        max(abs(col("__err"))).as("max_abs_err"),
+        sum(q12(col("recon") * col("recon")).cast(d12)).cast("double")
+          .as("__rn2"),
+        sum(q12(col("x") * col("x")).cast(d12)).cast("double").as("__xn2"))
+      .select(col("vec_id"), col("dim"), col("scale"), col("mse"),
+        col("max_abs_err"),
+        when(col("__xn2") === 0.0, lit(0.0))
+          .otherwise(sqrt(col("__rn2")) / sqrt(col("__xn2"))).as("norm_ratio"))
+  }
 }

@@ -128,6 +128,63 @@ class MlLiteSpec extends SparkSpec {
     }
   }
 
+  // ── k-NN classification + SQ8 quantization ────────────────────────
+
+  test("knnClassify: cluster structure classifies; vote ties break to the smaller label") {
+    import graft.operators.Ann
+    // two tight clusters on orthogonal axes; queries 0 and 1 sit in
+    // cluster 0 and 1 respectively (labels follow clusters)
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0, 0.05), 0),
+      (1L, Seq(0.0, 1.0, 0.05), 1),
+      (2L, Seq(0.9, 0.1, 0.0), 0),
+      (3L, Seq(1.0, 0.05, 0.0), 0),
+      (4L, Seq(0.95, 0.0, 0.1), 0),
+      (5L, Seq(0.1, 0.9, 0.0), 1),
+      (6L, Seq(0.05, 1.0, 0.0), 1),
+      (7L, Seq(0.0, 0.95, 0.1), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Ann.knnClassify(rows, "vec_id", "embedding", "label",
+      nQueries = 2, k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("pred_label"), r.getAs[Boolean]("is_correct"),
+          r.getAs[Long]("votes"))).toMap
+    assert(got(0L) == ((0L, true, 3L)))
+    assert(got(1L) == ((1L, true, 3L)))
+  }
+
+  test("sq8ErrorPanel: exact-grid vector reconstructs losslessly; zero vector is safe") {
+    import graft.operators.Ann
+    // components are exact multiples of max/127 → codes reconstruct
+    // exactly → mse 0, norm_ratio 1; the zero vector takes scale 0
+    // and the code-0 guard
+    val grid = Seq(0L -> Seq(127.0, 64.0, -127.0, 0.0),
+      1L -> Seq(0.0, 0.0, 0.0, 0.0)).toDF("vec_id", "embedding")
+    val got = Ann.sq8ErrorPanel(grid, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val g0 = got(0L)
+    assert(g0.getAs[Long]("dim") == 4L)
+    assert(g0.getAs[Double]("scale") == 1.0)
+    assert(g0.getAs[Double]("mse") == 0.0)
+    assert(g0.getAs[Double]("max_abs_err") == 0.0)
+    assert(g0.getAs[Double]("norm_ratio") == 1.0)
+    val g1 = got(1L)
+    assert(g1.getAs[Double]("scale") == 0.0)
+    assert(g1.getAs[Double]("mse") == 0.0 && g1.getAs[Double]("norm_ratio") == 0.0)
+  }
+
+  test("sq8ErrorPanel: error bounded by half a quantization step") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i =>
+      i -> Seq.fill(16)(rnd.nextDouble() * 2 - 1)).toDF("vec_id", "embedding")
+    Ann.sq8ErrorPanel(vecs, "vec_id", "embedding").collect().foreach { r =>
+      val halfStep = r.getAs[Double]("scale") / 2.0
+      assert(r.getAs[Double]("max_abs_err") <= halfStep + 1e-12)
+      assert(r.getAs[Double]("norm_ratio") > 0.95 && r.getAs[Double]("norm_ratio") < 1.05)
+    }
+  }
+
   // ── Mann–Whitney U ────────────────────────────────────────────────
 
   test("mannWhitney: hand-computed U on disjoint groups") {
