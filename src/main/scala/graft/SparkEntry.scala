@@ -1484,6 +1484,29 @@ object SparkEntry {
             (floor(col("value") / lit(100.0) * lit(1e6)) / lit(1e6)).as("x3")),
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)),
 
+    // Incremental JOIN-view maintenance (the join sibling of
+    // gold_agg_incremental): orders >= 2000-01-01 arrive as the fact
+    // delta, every 97th customer arrives re-segmented as the dim
+    // delta; only touched custkey partitions recompute, the rest of
+    // the stored view carries over. The oracle is the full recompute
+    // of the upserted join — equality IS the correctness claim.
+    "gold_join_incremental" -> ((s: SparkSession, d: String) => {
+      val cut = lit("2000-01-01").cast("timestamp")
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val viewCols = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      val aOld = orders.filter(col("o_orderdate") < cut)
+      val aDelta = orders.filter(col("o_orderdate") >= cut)
+      val bOld = cust.withColumnRenamed("c_custkey", "o_custkey")
+      val bDelta = bOld.filter(col("o_custkey") % 97 === 0)
+        .withColumn("c_mktsegment", lit("CHANGED"))
+      val view = aOld.join(bOld, Seq("o_custkey")).select(viewCols: _*)
+      Merge.maintainJoinView(view,
+        aOld, aDelta, Seq("o_orderkey"),
+        bOld, bDelta, "o_custkey")
+    }),
+
     // ER survivorship: connected components over the fuzzy candidate
     // pairs, canonical entity = the min-id member — the golden-record
     // step that turns pair evidence into one master row per entity.
@@ -1827,6 +1850,23 @@ object SparkEntry {
     "text_bm25_topk" -> ((s: SparkSession, d: String) =>
       CorpusQc.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"), topK = 25)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    // lexical top-25 with the exact-cosine semantic top-25 anchored
+    // on doc 0's embedding — the calibration-free fusion a hybrid
+    // search stack serves.
+    "search_hybrid_rrf" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val lex = CorpusQc.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "join", "window"), topK = 25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_score").desc, col("doc_id"))))
+      val emb = t(s, d, "embeddings").join(
+        docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val sem = Ann.cosineTopK(emb, "vec_id", "embedding", nQueries = 1, k = 25)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      CorpusQc.rrfFuse(lex, sem, "doc_id", kConst = 60, topK = 10)
+    }),
 
     // Power-of-2 length histogram: bucket = bit length of the token
     // count (floor(log2)+1 with no libm), exact integer boundaries.
@@ -3406,7 +3446,17 @@ object SparkEntry {
         |       ELSE 1.0 - (sst - (b1 * c1 + b2 * c2)) / sst END AS r2
         |FROM c3s""".stripMargin,
 
-    "ml_logreg_purchase" -> logregOracleSql(rounds = 6, lr = "0.5")
+    "ml_logreg_purchase" -> logregOracleSql(rounds = 6, lr = "0.5"),
+
+    // Merge.maintainJoinView: the oracle IS the full recompute of the
+    // upserted join — incremental == full is the correctness claim.
+    "gold_join_incremental" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 97 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN b ON b.c_custkey = o_custkey""".stripMargin
   ) ++ servingOracleSql ++ analyticsOracleSql ++ textOracleSql ++ annOracleSql ++
     centroidOracleSql ++ streamingOracleSql
 
@@ -6456,6 +6506,63 @@ object SparkEntry {
            |  FROM ts GROUP BY 1)
            |SELECT doc_id, n_terms_hit, CAST(sd AS DOUBLE) AS bm25_score
            |FROM s ORDER BY bm25_score DESC, doc_id LIMIT 25""".stripMargin,
+
+      // CorpusQc.rrfFuse over the two replayed retrievers: the bm25
+      // CTE chain verbatim (rank over its top-25), the cosine fold
+      // restricted to doc-id vectors with vec 0 as the query, fused
+      // as 1/(60+rank) sums in fixed coalesce order.
+      "search_hybrid_rrf" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, UNNEST(t) AS tok
+           |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+           |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_total FROM dl),
+           |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM tk WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+           |idf AS (
+           |  SELECT tok,
+           |    floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e4) / 1e4 AS idf
+           |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), st),
+           |av AS (SELECT CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st),
+           |ts AS (
+           |  SELECT tf.doc_id,
+           |    floor(idf * (CAST(tf AS DOUBLE) * 2.2) /
+           |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) * 1e6) / 1e6 AS term_score
+           |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), av),
+           |bm AS (
+           |  SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE) AS bm25_score
+           |  FROM ts GROUP BY 1 ORDER BY bm25_score DESC, doc_id LIMIT 25),
+           |lex AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS rank_lex
+           |  FROM bm),
+           |base AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+           |nv AS (
+           |  SELECT vec_id, v,
+           |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM base),
+           |qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM nv WHERE vec_id < 1),
+           |sc AS (
+           |  SELECT nv.vec_id AS doc_id,
+           |    list_reduce(list_prepend(0.0, list_transform(list_zip(nv.v, qv.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+           |      / (nv.nrm * qv.qnrm) AS cos_sim
+           |  FROM nv CROSS JOIN qv WHERE nv.vec_id <> qv.q_id),
+           |sem AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_sem
+           |  FROM sc ORDER BY cos_sim DESC, doc_id LIMIT 25),
+           |fused AS (
+           |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+           |    COALESCE(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0)
+           |      + COALESCE(1.0 / CAST(60 + s.rank_sem AS DOUBLE), 0.0) AS rrf_score
+           |  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id)
+           |SELECT doc_id,
+           |  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+           |  rrf_score, rank_lex, rank_sem
+           |FROM fused
+           |QUALIFY rank <= 10""".stripMargin,
 
       // Bit-length bucketing: length(bin(n)) = floor(log2 n)+1 in
       // both engines; boundaries via integer shifts.

@@ -965,6 +965,36 @@ object CorpusQc {
         (col("__maxc") / col("n_chars_counted").cast("double")).as("top_char_share"))
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-search combiner (lexical BM25 ⊕ semantic ANN):
+    * `score(d) = Σ_list 1/(k + rank_list(d))`, documents missing from
+    * a list contribute nothing for it. Rank-based, so the two lists'
+    * incomparable score scales never need calibration — the property
+    * that made RRF the default fusion in hybrid retrieval.
+    *
+    * Inputs are ALREADY top-k panels (bounded by their retrievers),
+    * so the full-outer merge and the final rank run on ≤ |a|+|b|
+    * rows — panel math, no data-sized window. Engine parity: each
+    * term is one IEEE division of exact integers, the sum is two
+    * coalesced terms in fixed order, ranking ties break on id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(kConst >= 1 && topK >= 1, s"kConst=$kConst topK=$topK")
+    val ra = a.select(col(idCol).as("__id"), col("rank").cast("long").as("rank_lex"))
+    val rb = b.select(col(idCol).as("__id"), col("rank").cast("long").as("rank_sem"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("__id"))
+    ra.join(rb, Seq("__id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kConst) + col("rank_lex")).cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kConst) + col("rank_sem")).cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("__id").as(idCol), col("rank"), col("rrf_score"),
+        col("rank_lex"), col("rank_sem"))
+  }
+
   /** Feature hashing (the "hashing trick"): each document's token
     * counts folded into a fixed `dim`-bucket sparse vector — the
     * vocabulary-free featurization step a downstream linear model or

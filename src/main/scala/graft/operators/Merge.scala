@@ -25,6 +25,42 @@ object Merge {
       incoming.join(existing.select(grain.map(col): _*).distinct(),
         grain, "left_anti"))
 
+  /** Incremental maintenance of a materialized JOIN view — the join
+    * sibling of [[mergeAggregate]]'s aggregate IVM: given the stored
+    * view `A ⋈ B` and upsert deltas on either (or both) sides, only
+    * the join-key partitions a delta TOUCHES are recomputed; every
+    * untouched view row is carried over verbatim. At 100 TB this is
+    * the difference between rewriting a petabyte view nightly and
+    * rewriting the handful of partitions that changed.
+    *
+    * Semantics: both sides are upserted on their primary keys (delta
+    * row wins), then `touched = joinKeys(ΔA) ∪ joinKeys(ΔB ∪ the B
+    * rows ΔB replaced — a dim UPDATE touches its old key's rows
+    * too... here B's pk IS its join key in the star shape, so ΔB's
+    * keys cover both versions); the new view is
+    * `view ∖ touched ∪ (A' ⋈ B')|touched`. Every join shuffles on
+    * the join key; the anti/semi prunes are key-only relations.
+    *
+    * `joinKey` must be B's primary key (the star-schema dim key):
+    * that is what makes the touched-set complete under updates.
+    */
+  def maintainJoinView(view: DataFrame,
+                       aOld: DataFrame, aDelta: DataFrame, aPk: Seq[String],
+                       bOld: DataFrame, bDelta: DataFrame,
+                       joinKey: String): DataFrame = {
+    val touched = aDelta.select(col(joinKey))
+      .unionByName(bDelta.select(col(joinKey)))
+      .distinct()
+    val aNew = aDelta.unionByName(
+      aOld.join(aDelta.select(aPk.map(col): _*).distinct(), aPk, "left_anti"))
+    val bNew = bDelta.unionByName(
+      bOld.join(bDelta.select(col(joinKey)).distinct(), Seq(joinKey), "left_anti"))
+    val keep = view.join(touched, Seq(joinKey), "left_anti")
+    val recomputed = aNew.join(touched.hint("shuffle_hash"), Seq(joinKey), "left_semi")
+      .join(bNew, Seq(joinKey))
+    keep.unionByName(recomputed.select(view.columns.map(col): _*))
+  }
+
   /** Cut-replacement load: delete-cut-then-insert, the reference's
     * partition reload (models/gold/cleanup_cut.sql + the dim_cut
     * audit): every existing row of a cut PRESENT IN the incoming

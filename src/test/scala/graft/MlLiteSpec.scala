@@ -280,6 +280,59 @@ class MlLiteSpec extends SparkSpec {
     assert((b1 intersect b2).nonEmpty)
   }
 
+  // ── RRF fusion + incremental join view ────────────────────────────
+
+  test("rrfFuse: shared docs outrank single-list docs; missing list contributes zero") {
+    import graft.operators.CorpusQc
+    val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
+    val got = CorpusQc.rrfFuse(lex, sem, "doc_id", kConst = 60, topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("rrf_score"))).toMap
+    // 11 appears in both lists → rank 1 overall
+    assert(got(11L)._1 == 1)
+    assert(got(11L)._2 == 1.0 / 62 + 1.0 / 61)
+    assert(got(10L)._2 == 1.0 / 61)
+    assert(got(13L)._2 == 1.0 / 62)
+    assert(got.size == 4)
+  }
+
+  test("maintainJoinView: incremental result equals the full recompute under both-side deltas") {
+    import graft.operators.Merge
+    val aOld = Seq((1L, 100L, "o1"), (2L, 200L, "o2"), (3L, 300L, "o3"))
+      .toDF("pk", "jk", "payload")
+    val aDelta = Seq((4L, 100L, "o4"), (2L, 200L, "o2v2")).toDF("pk", "jk", "payload")
+    val bOld = Seq((100L, "dA"), (200L, "dB"), (300L, "dC")).toDF("jk", "dim")
+    val bDelta = Seq((300L, "dC2")).toDF("jk", "dim")
+    val view = aOld.join(bOld, Seq("jk")).select($"jk", $"pk", $"payload", $"dim")
+    val got = Merge.maintainJoinView(view, aOld, aDelta, Seq("pk"),
+      bOld, bDelta, "jk")
+      .collect().map(r => r.getAs[Long]("pk") ->
+        (r.getAs[String]("payload"), r.getAs[String]("dim"))).toMap
+    // full recompute truth: upserted A {1,3,4 old payloads; 2 → o2v2}
+    // joined to upserted B {100 dA, 200 dB, 300 dC2}
+    assert(got == Map(
+      1L -> (("o1", "dA")), 2L -> (("o2v2", "dB")),
+      3L -> (("o3", "dC2")), 4L -> (("o4", "dA"))))
+  }
+
+  test("maintainJoinView: untouched partitions are carried, not recomputed") {
+    import graft.operators.Merge
+    val aOld = Seq((1L, 100L, "o1"), (2L, 200L, "o2")).toDF("pk", "jk", "payload")
+    val aDelta = Seq((3L, 200L, "o3")).toDF("pk", "jk", "payload")
+    val bOld = Seq((100L, "dA"), (200L, "dB")).toDF("jk", "dim")
+    val bDelta = spark.emptyDataFrame.select(lit(0L).as("jk"), lit("x").as("dim")).limit(0)
+    // poison the stored view's untouched row: if the operator
+    // recomputed it, the poison would be overwritten
+    val view = Seq((100L, 1L, "o1", "POISON"), (200L, 2L, "o2", "dB"))
+      .toDF("jk", "pk", "payload", "dim")
+    val got = Merge.maintainJoinView(view, aOld, aDelta, Seq("pk"),
+      bOld, bDelta, "jk")
+      .collect().map(r => r.getAs[Long]("pk") -> r.getAs[String]("dim")).toMap
+    assert(got(1L) == "POISON") // carried verbatim — proof of no recompute
+    assert(got(2L) == "dB" && got(3L) == "dB")
+  }
+
   // ── hotspot clustering ────────────────────────────────────────────
 
   test("hotspotClusters: adjacent dense cells merge, isolated dense cell stands alone, sparse cells drop") {
