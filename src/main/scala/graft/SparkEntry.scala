@@ -1472,17 +1472,23 @@ object SparkEntry {
     // (driver sees one 4-scalar gradient panel per round): is this
     // event a purchase, from grid-quantized hour/dow/value features.
     "ml_logreg_purchase" -> ((s: SparkSession, d: String) =>
-      MlLite.logisticRegression(
-        t(s, d, "events")
-          .filter(col("ts").isNotNull && col("value").isNotNull)
-          .select(
-            when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"),
-            (floor(hour(col("ts")).cast("double") / lit(24.0) * lit(1e6))
-              / lit(1e6)).as("x1"),
-            (floor(Temporal.isoDow(col("ts")).cast("double") / lit(7.0)
-              * lit(1e6)) / lit(1e6)).as("x2"),
-            (floor(col("value") / lit(100.0) * lit(1e6)) / lit(1e6)).as("x3")),
+      MlLite.logisticRegression(logregFeatures(s, d),
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)),
+
+    // Calibration (reliability) panel of the same fit: 10 equal-width
+    // probability bins, mean predicted p vs observed positive rate —
+    // the curve that says whether "p = 0.8" means 80%.
+    "ml_logreg_calibration" -> ((s: SparkSession, d: String) =>
+      MlLite.logisticCalibration(logregFeatures(s, d),
+        "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6, bins = 10)),
+
+    // Confusion panel of the naive-Bayes classifier: exact
+    // (true, predicted) doc counts — the evaluation artifact next to
+    // the model it describes.
+    "ml_nb_confusion" -> ((s: SparkSession, d: String) =>
+      MlLite.naiveBayes(t(s, d, "documents"), "doc_id", "text", "lang")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n_docs"))),
 
     // Incremental JOIN-view maintenance (the join sibling of
     // gold_agg_incremental): orders >= 2000-01-01 arrive as the fact
@@ -2486,6 +2492,21 @@ object SparkEntry {
   )
 
   /** DuckDB twins. Table names resolve to the same parquet files. */
+  /** Shared feature frame of the logreg fit + its calibration panel:
+    * purchase flag vs grid-quantized hour/iso-dow/value (§5 grids so
+    * the chained-CTE oracle replays the fit bit for bit).
+    */
+  private def logregFeatures(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"),
+        (floor(hour(col("ts")).cast("double") / lit(24.0) * lit(1e6))
+          / lit(1e6)).as("x1"),
+        (floor(Temporal.isoDow(col("ts")).cast("double") / lit(7.0)
+          * lit(1e6)) / lit(1e6)).as("x2"),
+        (floor(col("value") / lit(100.0) * lit(1e6)) / lit(1e6)).as("x3"))
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3448,6 +3469,9 @@ object SparkEntry {
 
     "ml_logreg_purchase" -> logregOracleSql(rounds = 6, lr = "0.5"),
 
+    "ml_logreg_calibration" ->
+      logregCalibrationOracleSql(rounds = 6, lr = "0.5", bins = 10),
+
     // Merge.maintainJoinView: the oracle IS the full recompute of the
     // upserted join — incremental == full is the correctness claim.
     "gold_join_incremental" ->
@@ -3501,6 +3525,26 @@ object SparkEntry {
        |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
        |FROM (SELECT r0.*, ${pExpr("w")} AS p
        |      FROM r0, w$rounds w) q, w$rounds w""".stripMargin
+  }
+
+  /** The same chained-CTE fit, finished with the calibration binning
+    * instead of the weight panel (MlLite.logisticCalibration).
+    */
+  private def logregCalibrationOracleSql(rounds: Int, lr: String,
+                                         bins: Int): String = {
+    val fit = logregOracleSql(rounds, lr)
+    val ctes = fit.substring(0, fit.lastIndexOf("SELECT CAST(COUNT(*)"))
+    s"""$ctes
+       |SELECT LEAST(${bins - 1}, CAST(FLOOR(p * $bins) AS INTEGER)) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS mean_p,
+       |  CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+       |FROM (SELECT r0.*,
+       |        FLOOR(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) * 1e6) / 1e6 AS p
+       |      FROM r0, w$rounds w) q
+       |GROUP BY 1""".stripMargin
   }
 
   /** DuckDB twins of the gold analytics pack (reference:
@@ -6074,6 +6118,46 @@ object SparkEntry {
          |  SELECT id AS doc_id, MIN(label) AS cluster_id
          |  FROM walk GROUP BY id)""".stripMargin
     val clusterCtes = clusterCtesFor("documents")
+    // MlLite.naiveBayes mirrored term for term — shared by the
+    // per-doc prediction row and the confusion panel wrapper.
+    val nbOracleSql =
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS label, UNNEST($toksSql) AS token FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         |dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+         |ct AS (SELECT label, token, COUNT(*) AS cnt FROM tok2 GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n_total FROM documents),
+         |vv AS (SELECT COUNT(DISTINCT token) AS v FROM dt),
+         |cp AS (
+         |  SELECT c.label,
+         |    FLOOR(LN(CAST(c.n_c AS DOUBLE) / CAST(nd.n_total AS DOUBLE)) * 1e6) / 1e6 AS log_prior,
+         |    FLOOR(LN(CAST(tc.total_c + vv.v AS DOUBLE)) * 1e6) / 1e6 AS log_denom
+         |  FROM (SELECT lang AS label, COUNT(*) AS n_c FROM documents GROUP BY 1) c, nd, vv,
+         |       (SELECT label, SUM(cnt) AS total_c FROM ct GROUP BY 1) tc
+         |  WHERE tc.label = c.label),
+         |ms AS (
+         |  SELECT dt.doc_id, ct.label,
+         |    SUM(CAST(dt.tf * (FLOOR(LN(CAST(ct.cnt + 1 AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS match_sum
+         |  FROM dt JOIN ct ON ct.token = dt.token GROUP BY 1, 2),
+         |dp AS (
+         |  SELECT dt.doc_id, SUM(dt.tf) AS n_tok, MIN(d.lang) AS true_label
+         |  FROM dt JOIN documents d ON d.doc_id = dt.doc_id GROUP BY 1),
+         |scored AS (
+         |  SELECT dp.doc_id, dp.true_label, cp.label,
+         |    CAST(CAST(cp.log_prior AS DECIMAL(28,6))
+         |      - CAST(dp.n_tok * cp.log_denom AS DECIMAL(28,6))
+         |      + COALESCE(ms.match_sum, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS score
+         |  FROM dp CROSS JOIN cp
+         |  LEFT JOIN ms ON ms.doc_id = dp.doc_id AND ms.label = cp.label),
+         |rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
+         |    LEAD(score, 1) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS nxt
+         |  FROM scored)
+         |SELECT doc_id, true_label, label AS pred_label, score,
+         |  COALESCE(score - nxt, 0.0) AS margin,
+         |  label = true_label AS is_correct
+         |FROM rk WHERE rn = 1""".stripMargin
     val textStatsSql =
       s"""SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, n_tokens_bpe, punct_ratio, stopword_ratio,
          |  least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio * 0.5) * (1.0 - punct_ratio) AS quality_score
@@ -6112,44 +6196,15 @@ object SparkEntry {
       // inner join (unseen pairs contribute ln(1)=0 by construction),
       // 1e-6-grid ln terms summed as DECIMAL(28,6), argmax by
       // (score DESC, label).
-      "ml_naive_bayes" ->
-        s"""WITH tok AS (
-           |  SELECT doc_id, lang AS label, UNNEST($toksSql) AS token FROM documents),
-           |tok2 AS (SELECT * FROM tok WHERE token <> ''),
-           |dt AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
-           |ct AS (SELECT label, token, COUNT(*) AS cnt FROM tok2 GROUP BY 1, 2),
-           |nd AS (SELECT COUNT(*) AS n_total FROM documents),
-           |vv AS (SELECT COUNT(DISTINCT token) AS v FROM dt),
-           |cp AS (
-           |  SELECT c.label,
-           |    FLOOR(LN(CAST(c.n_c AS DOUBLE) / CAST(nd.n_total AS DOUBLE)) * 1e6) / 1e6 AS log_prior,
-           |    FLOOR(LN(CAST(tc.total_c + vv.v AS DOUBLE)) * 1e6) / 1e6 AS log_denom
-           |  FROM (SELECT lang AS label, COUNT(*) AS n_c FROM documents GROUP BY 1) c, nd, vv,
-           |       (SELECT label, SUM(cnt) AS total_c FROM ct GROUP BY 1) tc
-           |  WHERE tc.label = c.label),
-           |ms AS (
-           |  SELECT dt.doc_id, ct.label,
-           |    SUM(CAST(dt.tf * (FLOOR(LN(CAST(ct.cnt + 1 AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS match_sum
-           |  FROM dt JOIN ct ON ct.token = dt.token GROUP BY 1, 2),
-           |dp AS (
-           |  SELECT dt.doc_id, SUM(dt.tf) AS n_tok, MIN(d.lang) AS true_label
-           |  FROM dt JOIN documents d ON d.doc_id = dt.doc_id GROUP BY 1),
-           |scored AS (
-           |  SELECT dp.doc_id, dp.true_label, cp.label,
-           |    CAST(CAST(cp.log_prior AS DECIMAL(28,6))
-           |      - CAST(dp.n_tok * cp.log_denom AS DECIMAL(28,6))
-           |      + COALESCE(ms.match_sum, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS score
-           |  FROM dp CROSS JOIN cp
-           |  LEFT JOIN ms ON ms.doc_id = dp.doc_id AND ms.label = cp.label),
-           |rk AS (
-           |  SELECT *,
-           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
-           |    LEAD(score, 1) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS nxt
-           |  FROM scored)
-           |SELECT doc_id, true_label, label AS pred_label, score,
-           |  COALESCE(score - nxt, 0.0) AS margin,
-           |  label = true_label AS is_correct
-           |FROM rk WHERE rn = 1""".stripMargin,
+      "ml_naive_bayes" -> nbOracleSql,
+
+      // The confusion panel is the NB oracle wrapped in one GROUP BY
+      // — exact (true, predicted) counts.
+      "ml_nb_confusion" ->
+        s"""WITH nb AS (
+           |${nbOracleSql.replace("\n", "\n  ")})
+           |SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM nb GROUP BY 1, 2""".stripMargin,
 
       // CorpusQc.featureHash: md5-bucket fold to 256 dims, L2 weight
       // floor-quantized after one IEEE division (identical bits both

@@ -189,6 +189,44 @@ object MlLite {
     */
   def logisticRegression(df: DataFrame, yCol: String, xCols: Seq[String],
                          lr: Double, rounds: Int): DataFrame = {
+    val (base, w) = logisticFit(df, yCol, xCols, lr, rounds)
+    base.agg(
+      count(lit(1)).as("n"),
+      lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+      lit(w(2)).as("w2"), lit(w(3)).as("w3"),
+      (sum(when((sigmoidQ(w) >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("accuracy"))
+  }
+
+  /** Calibration (reliability) panel of the [[logisticRegression]]
+    * fit: predicted probabilities bucketed into `bins` equal-width
+    * bins, each reporting its size, mean predicted probability
+    * (DECIMAL-exact over the 1e-6-grid p values) and the observed
+    * positive rate — the curve that says whether "p = 0.8" means 80%.
+    * One extra scan over the checkpointed fit relation; the panel is
+    * ≤ `bins` rows.
+    */
+  def logisticCalibration(df: DataFrame, yCol: String, xCols: Seq[String],
+                          lr: Double, rounds: Int, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val (base, w) = logisticFit(df, yCol, xCols, lr, rounds)
+    val p = sigmoidQ(w)
+    base
+      .withColumn("bin",
+        least(lit(bins - 1), floor(p * bins).cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(p.cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("mean_p"),
+        (sum(col("y").cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)).cast("double")).as("pos_rate"))
+  }
+
+  /** The shared GD loop: returns the checkpointed (y, x1..x3)
+    * relation and the fitted weight vector (intercept first).
+    */
+  private def logisticFit(df: DataFrame, yCol: String, xCols: Seq[String],
+                          lr: Double, rounds: Int): (DataFrame, Array[Double]) = {
     require(xCols.size == 3, s"this fit is fixed at 3 features: $xCols")
     require(rounds >= 1 && lr > 0, s"rounds=$rounds lr=$lr")
     val d12 = DecimalType(38, 12)
@@ -203,13 +241,8 @@ object MlLite {
     val nRow = base.agg(count(lit(1)).as("n")).collect().head
     val n = nRow.getAs[Long]("n").toDouble
     var w = Array(0.0, 0.0, 0.0, 0.0)
-    def zOf(wts: Array[Double]): Column =
-      lit(wts(0)) + lit(wts(1)) * col("x1") +
-        lit(wts(2)) * col("x2") + lit(wts(3)) * col("x3")
-    def pOf(wts: Array[Double]): Column =
-      floor(lit(1.0) / (lit(1.0) + exp(-zOf(wts))) * lit(1e6)) / lit(1e6)
     for (_ <- 1 to rounds) {
-      val resid = pOf(w) - col("y")
+      val resid = sigmoidQ(w) - col("y")
       val g = base.agg(
         sum(resid.cast(d12)).cast("double").as("g0"),
         sum((resid * col("x1")).cast(d12)).cast("double").as("g1"),
@@ -220,11 +253,13 @@ object MlLite {
         math.floor((w(j) - lr * (g.getAs[Double](s"g$j") / n)) * 1e6) / 1e6
       }
     }
-    base.agg(
-      count(lit(1)).as("n"),
-      lit(w(0)).as("w0"), lit(w(1)).as("w1"),
-      lit(w(2)).as("w2"), lit(w(3)).as("w3"),
-      (sum(when((pOf(w) >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
-        .cast("double") / count(lit(1)).cast("double")).as("accuracy"))
+    (base, w)
+  }
+
+  /** 1e-6-grid-quantized σ(w·x) over the fit relation's columns. */
+  private def sigmoidQ(wts: Array[Double]): Column = {
+    val z = lit(wts(0)) + lit(wts(1)) * col("x1") +
+      lit(wts(2)) * col("x2") + lit(wts(3)) * col("x3")
+    floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(1e6)) / lit(1e6)
   }
 }

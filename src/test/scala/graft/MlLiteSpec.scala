@@ -219,6 +219,25 @@ class MlLiteSpec extends SparkSpec {
     assert(r.getAs[Double]("z") == 0.0)
   }
 
+  test("logisticCalibration: bins partition the rows and mean_p sits inside each bin") {
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 20) / 20.0
+      val y = if (i % 3 == 0) 1.0 else 0.0
+      (y, math.floor(x1 * 1e6) / 1e6, 0.25, 0.5)
+    }
+    val got = MlLite.logisticCalibration(rows.toDF("y", "x1", "x2", "x3"),
+      "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 4, bins = 10).collect()
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 400L)
+    got.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val mp = r.getAs[Double]("mean_p")
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_p $mp outside its bounds")
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   // ── count-min sketch ──────────────────────────────────────────────
 
   private def tokenFrame(rows: Seq[(String, Int)]) =
