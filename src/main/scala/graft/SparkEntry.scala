@@ -1490,6 +1490,14 @@ object SparkEntry {
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // 5-fold cross-validated NB accuracy WITHOUT training 5 models:
+    // every per-fold training count is global minus fold (counts are
+    // additive), per-fold vocabulary by exclusive-token subtraction —
+    // in-engine CV linear in corpus size, not k x it.
+    "ml_nb_kfold_cv" -> ((s: SparkSession, d: String) =>
+      MlLite.naiveBayesKFold(t(s, d, "documents"), "doc_id", "text",
+        "lang", folds = 5)),
+
     // Incremental JOIN-view maintenance (the join sibling of
     // gold_agg_incremental): orders >= 2000-01-01 arrive as the fact
     // delta, every 97th customer arrives re-segmented as the dim
@@ -6197,6 +6205,72 @@ object SparkEntry {
       // 1e-6-grid ln terms summed as DECIMAL(28,6), argmax by
       // (score DESC, label).
       "ml_naive_bayes" -> nbOracleSql,
+
+      // MlLite.naiveBayesKFold mirrored: the global-minus-fold count
+      // subtraction, the exclusive-token vocabulary, the same §5
+      // scoring, folds from the md5-tiling idiom.
+      "ml_nb_kfold_cv" ->
+        s"""WITH tok0 AS (
+           |  SELECT doc_id, lang AS label, UNNEST($toksSql) AS token FROM documents),
+           |tok AS (
+           |  SELECT *, CAST(FLOOR(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 5 AS DOUBLE) / 4294967296.0) AS INTEGER) AS fold_id
+           |  FROM tok0 WHERE token <> ''),
+           |dt AS (SELECT doc_id, fold_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+           |ctg AS (SELECT label, token, COUNT(*) AS cnt_g FROM tok GROUP BY 1, 2),
+           |ctf AS (SELECT fold_id, label, token, COUNT(*) AS cnt_f FROM tok GROUP BY 1, 2, 3),
+           |tg AS (SELECT token, SUM(cnt_g) AS any_g FROM ctg GROUP BY 1),
+           |tft AS (SELECT fold_id, token, SUM(cnt_f) AS any_f FROM ctf GROUP BY 1, 2),
+           |vg AS (SELECT COUNT(*) AS v_g FROM tg),
+           |vf AS (
+           |  SELECT fold_id, v_g - SUM(CASE WHEN any_f = any_g THEN 1 ELSE 0 END) AS v_train
+           |  FROM tft JOIN tg USING (token), vg GROUP BY fold_id, v_g),
+           |dff AS (
+           |  SELECT doc_id, lang AS label,
+           |    CAST(FLOOR(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 5 AS DOUBLE) / 4294967296.0) AS INTEGER) AS fold_id
+           |  FROM documents),
+           |ncg AS (SELECT label, COUNT(*) AS n_c_g FROM dff GROUP BY 1),
+           |ncf AS (SELECT fold_id, label, COUNT(*) AS n_c_f FROM dff GROUP BY 1, 2),
+           |ntot AS (SELECT COUNT(*) AS n_g FROM dff),
+           |nfold AS (SELECT fold_id, COUNT(*) AS n_f FROM dff GROUP BY 1),
+           |tcg AS (SELECT label, SUM(cnt_g) AS tot_g FROM ctg GROUP BY 1),
+           |tcf AS (SELECT fold_id, label, SUM(cnt_f) AS tot_f FROM ctf GROUP BY 1, 2),
+           |cp AS (
+           |  SELECT f.fold_id, g.label,
+           |    FLOOR(LN(CAST(g.n_c_g - COALESCE(ncf.n_c_f, 0) AS DOUBLE)
+           |      / CAST(ntot.n_g - f.n_f AS DOUBLE)) * 1e6) / 1e6 AS log_prior,
+           |    FLOOR(LN(CAST((tcg.tot_g - COALESCE(tcf.tot_f, 0)) + vf.v_train AS DOUBLE)) * 1e6) / 1e6 AS log_denom
+           |  FROM nfold f
+           |  CROSS JOIN ncg g
+           |  JOIN vf ON vf.fold_id = f.fold_id
+           |  CROSS JOIN ntot
+           |  LEFT JOIN ncf ON ncf.fold_id = f.fold_id AND ncf.label = g.label
+           |  JOIN tcg ON tcg.label = g.label
+           |  LEFT JOIN tcf ON tcf.fold_id = f.fold_id AND tcf.label = g.label
+           |  WHERE g.n_c_g - COALESCE(ncf.n_c_f, 0) > 0),
+           |ms AS (
+           |  SELECT dt.doc_id, ctg.label,
+           |    SUM(CAST(dt.tf * (FLOOR(LN(CAST((ctg.cnt_g - COALESCE(ctf.cnt_f, 0)) + 1 AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS match_sum
+           |  FROM dt JOIN ctg ON ctg.token = dt.token
+           |  LEFT JOIN ctf ON ctf.fold_id = dt.fold_id AND ctf.label = ctg.label AND ctf.token = dt.token
+           |  GROUP BY 1, 2),
+           |dp AS (
+           |  SELECT dt.doc_id, dt.fold_id, SUM(dt.tf) AS n_tok, MIN(d.label) AS true_label
+           |  FROM dt JOIN dff d ON d.doc_id = dt.doc_id GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT dp.doc_id, dp.fold_id, dp.true_label, cp.label,
+           |    CAST(CAST(cp.log_prior AS DECIMAL(28,6))
+           |      - CAST(dp.n_tok * cp.log_denom AS DECIMAL(28,6))
+           |      + COALESCE(ms.match_sum, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS score
+           |  FROM dp JOIN cp ON cp.fold_id = dp.fold_id
+           |  LEFT JOIN ms ON ms.doc_id = dp.doc_id AND ms.label = cp.label),
+           |rk AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+           |  FROM sc)
+           |SELECT fold_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           |  CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+           |FROM rk WHERE rn = 1 GROUP BY 1""".stripMargin,
 
       // The confusion panel is the NB oracle wrapped in one GROUP BY
       // — exact (true, predicted) counts.

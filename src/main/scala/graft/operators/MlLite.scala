@@ -106,6 +106,110 @@ object MlLite {
         (col("label") === col("true_label")).as("is_correct"))
   }
 
+  /** K-fold CROSS-VALIDATED naive Bayes — the honest generalization
+    * estimate next to [[naiveBayes]]'s in-sample fit, computed
+    * WITHOUT training k separate models: every per-fold training
+    * count is `global − fold` (counts are additive, so holding a
+    * fold out is a subtraction, not a re-scan), and the per-fold
+    * vocabulary is `V_global − |tokens exclusive to the fold|`. One
+    * extra (fold, …) aggregation per relation buys all k models at
+    * once — the trick that makes in-engine CV linear in corpus size
+    * rather than k× it.
+    *
+    * Folds come from the md5-tiling idiom (`sample_kfold_assign`),
+    * so membership is deterministic and engine-replayable. A class
+    * with zero training docs for some fold drops out of that fold's
+    * candidate set (its prior has no finite log). Scoring follows
+    * [[naiveBayes]] §5 discipline verbatim.
+    *
+    * Output: one row per fold — fold_id, n_docs, n_correct,
+    * accuracy (raw IEEE quotient).
+    */
+  def naiveBayesKFold(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, folds: Int): DataFrame = {
+    require(folds >= 2, s"folds=$folds must be >= 2")
+    val tok = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("fold_id",
+        floor((Sampling.md5Long32(Seq(col("doc_id"))) * lit(folds.toLong))
+          .cast("double") / lit(4294967296.0)).cast("int"))
+    val docTerm = tok.groupBy(col("doc_id"), col("fold_id"), col("token"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint(false)
+    val ctg = tok.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt_g")).localCheckpoint(false)
+    val ctf = tok.groupBy(col("fold_id"), col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt_f")).localCheckpoint(false)
+    // per-fold vocabulary: V_g minus the tokens the fold holds all
+    // occurrences of (token totals equal ⇒ absent from training)
+    val tg = ctg.groupBy(col("token")).agg(sum(col("cnt_g")).as("any_g"))
+    val tfTok = ctf.groupBy(col("fold_id"), col("token"))
+      .agg(sum(col("cnt_f")).as("any_f"))
+    val vg = tg.agg(count(lit(1)).as("v_g"))
+    val vf = tfTok.join(tg, Seq("token"))
+      .groupBy(col("fold_id"))
+      .agg(sum(when(col("any_f") === col("any_g"), 1L).otherwise(0L))
+        .as("__excl"))
+      .crossJoin(broadcast(vg))
+      .select(col("fold_id"), (col("v_g") - col("__excl")).as("v_train"))
+    // per-fold class panel: doc counts and token totals by subtraction
+    val docsF = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"))
+      .withColumn("fold_id",
+        floor((Sampling.md5Long32(Seq(col("doc_id"))) * lit(folds.toLong))
+          .cast("double") / lit(4294967296.0)).cast("int"))
+    val ncg = docsF.groupBy(col("label")).agg(count(lit(1)).as("n_c_g"))
+    val ncf = docsF.groupBy(col("fold_id"), col("label"))
+      .agg(count(lit(1)).as("n_c_f"))
+    val nTot = docsF.agg(count(lit(1)).as("n_g"))
+    val nFold = docsF.groupBy(col("fold_id")).agg(count(lit(1)).as("n_f"))
+    val tcg = ctg.groupBy(col("label")).agg(sum(col("cnt_g")).as("tot_g"))
+    val tcf = ctf.groupBy(col("fold_id"), col("label"))
+      .agg(sum(col("cnt_f")).as("tot_f"))
+    val allFolds = nFold.select(col("fold_id"))
+    val classPanel = allFolds.crossJoin(ncg).crossJoin(broadcast(nTot))
+      .join(nFold, Seq("fold_id"))
+      .join(ncf, Seq("fold_id", "label"), "left")
+      .join(tcg, Seq("label"))
+      .join(tcf, Seq("fold_id", "label"), "left")
+      .join(vf, Seq("fold_id"))
+      .withColumn("n_c_tr", col("n_c_g") - coalesce(col("n_c_f"), lit(0L)))
+      .filter(col("n_c_tr") > 0)
+      .select(col("fold_id"), col("label"),
+        q6(log(col("n_c_tr").cast("double")
+          / (col("n_g") - col("n_f")).cast("double"))).as("log_prior"),
+        q6(log(((col("tot_g") - coalesce(col("tot_f"), lit(0L)))
+          + col("v_train")).cast("double"))).as("log_denom"))
+    // Σ tf·ln(cnt_train+1): held-out counts subtract inside the join
+    val matchSum = docTerm
+      .join(ctg, Seq("token"))
+      .join(ctf, Seq("fold_id", "label", "token"), "left")
+      .withColumn("__cnt_tr", col("cnt_g") - coalesce(col("cnt_f"), lit(0L)))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum((col("tf") * q6(log((col("__cnt_tr") + 1).cast("double"))))
+        .cast(D6)).as("match_sum"))
+    val docPanel = docTerm.groupBy(col("doc_id"), col("fold_id"))
+      .agg(sum(col("tf")).as("n_tok"))
+      .join(docsF.select(col("doc_id"), col("label").as("true_label")),
+        Seq("doc_id"))
+    val scored = docPanel
+      .join(broadcast(classPanel), Seq("fold_id"))
+      .join(matchSum.hint("shuffle_hash"), Seq("doc_id", "label"), "left")
+      .withColumn("score",
+        (col("log_prior").cast(D6)
+          - (col("n_tok") * col("log_denom")).cast(D6)
+          + coalesce(col("match_sum"), lit(0).cast(D6))).cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col("fold_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Two-regressor OLS with intercept, solved closed-form from exact
     * moment sums (normal equations via Cramer's rule on the 3×3
     * system). One scan builds the nine moments as DECIMAL partials

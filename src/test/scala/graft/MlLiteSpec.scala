@@ -56,6 +56,29 @@ class MlLiteSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("naiveBayesKFold: folds partition the corpus; separable classes stay separable held-out") {
+    // 40 docs, 2 classes with disjoint vocabularies and enough
+    // redundancy that every fold's complement still contains both
+    // vocabularies → held-out accuracy 1.0 everywhere
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "der hund katze vogel", "de")
+      else (i.toLong, "the dog cat bird", "en")
+    }.toDF("doc_id", "text", "lang")
+    val got = MlLite.naiveBayesKFold(docs, "doc_id", "text", "lang", folds = 4)
+      .collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 40L)
+    got.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0,
+        s"fold ${r.getAs[Int]("fold_id")} accuracy ${r.getAs[Double]("accuracy")}")
+      assert(r.getAs[Long]("n_correct") == r.getAs[Long]("n_docs"))
+    }
+    // determinism under re-partitioning
+    val again = MlLite.naiveBayesKFold(docs.repartition(7), "doc_id", "text",
+      "lang", folds = 4).collect()
+    assert(again.map(r => r.getAs[Int]("fold_id") -> r.getAs[Long]("n_docs")).toMap ==
+      got.map(r => r.getAs[Int]("fold_id") -> r.getAs[Long]("n_docs")).toMap)
+  }
+
   // ── two-feature OLS ───────────────────────────────────────────────
 
   test("olsTwoFeature: recovers an exact linear relationship, r2 = 1") {
