@@ -497,6 +497,16 @@ object SparkEntry {
 
     "gold_scd2_build" -> scd2User _,
 
+    // SCD TYPE 3 — current + previous attribute value per key with
+    // run-start timestamps (Kimball's alternate-reality column):
+    // lag-change runs, last two collapsed by conditional aggregate.
+    "gold_scd3_current_prev" -> ((s: SparkSession, d: String) =>
+      Scd2.scd3CurrentPrev(
+        t(s, d, "events").filter(col("ts").isNotNull &&
+          col("user_id").isNotNull && col("event_type").isNotNull),
+        "user_id", "ts", "event_id",
+        upper(trim(col("event_type"))))),
+
     "gold_scd2_incremental" -> scd2UserIncremental _,
 
     // Snapshot-diff SCD2: the batch is the COMPLETE universe, so
@@ -3479,6 +3489,36 @@ object SparkEntry {
 
     "ml_logreg_calibration" ->
       logregCalibrationOracleSql(rounds = 6, lr = "0.5", bins = 10),
+
+    // Scd2.scd3CurrentPrev mirrored: lag-change flag, running-sum run
+    // ids, per-run min collapse, last-two conditional aggregate.
+    "gold_scd3_current_prev" ->
+      """WITH r0 AS (
+        |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS attr
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |ch AS (
+        |  SELECT *, CASE WHEN LAG(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                   OR LAG(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> attr
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM r0),
+        |rn AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM ch),
+        |pr AS (
+        |  SELECT user_id, run, MIN(ts) AS since, MIN(attr) AS value
+        |  FROM rn GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY run DESC) AS rk
+        |  FROM pr)
+        |SELECT user_id,
+        |  MAX(CASE WHEN rk = 1 THEN value END) AS current_value,
+        |  MAX(CASE WHEN rk = 1 THEN since END) AS current_since,
+        |  MAX(CASE WHEN rk = 2 THEN value END) AS prev_value,
+        |  MAX(CASE WHEN rk = 2 THEN since END) AS prev_since,
+        |  CAST(MAX(run) AS BIGINT) AS n_runs
+        |FROM rk WHERE rk <= 2 GROUP BY 1""".stripMargin,
 
     // Merge.maintainJoinView: the oracle IS the full recompute of the
     // upserted join — incremental == full is the correctness claim.

@@ -173,4 +173,44 @@ object Scd2 {
     applyChanges(present, obs, bk, tsCol, Seq.empty, attrs)
       .unionByName(expired)
   }
+
+  /** SCD TYPE 3 — the "current + previous" dimension (Kimball's
+    * alternate-reality column): per business key, the latest
+    * attribute value with the start of its run, plus the value of
+    * the run immediately before it — the shape a report uses to
+    * compare "this segment vs the one it moved from" without walking
+    * SCD2 history.
+    *
+    * Runs come from the lag-change flag summed into a per-key run id
+    * (one shuffle on the business key, the [[fromHistory]] window
+    * discipline; ties broken on the order columns so replays are
+    * deterministic); the last two runs collapse into one row via a
+    * conditional aggregate — no second shuffle, no join. Keys with a
+    * single run ship NULL previous columns.
+    */
+  def scd3CurrentPrev(df: DataFrame, bk: String, ts: String,
+                      tieBreak: String, attr: Column): DataFrame = {
+    val w = Window.partitionBy(col(bk)).orderBy(col(ts), col(tieBreak))
+    val runs = df
+      .withColumn("__attr", attr)
+      .withColumn("__chg",
+        when(lag(col("__attr"), 1).over(w).isNull ||
+          lag(col("__attr"), 1).over(w) =!= col("__attr"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perRun = runs.groupBy(col(bk), col("__run"))
+      .agg(min(struct(col(ts), col(tieBreak), col("__attr"))).as("__f"))
+      .select(col(bk), col("__run"),
+        col(s"__f.$ts").as("__since"), col("__f.__attr").as("__value"))
+    val wr = Window.partitionBy(col(bk)).orderBy(col("__run").desc)
+    perRun.withColumn("__rk", row_number().over(wr))
+      .filter(col("__rk") <= 2)
+      .groupBy(col(bk))
+      .agg(
+        max(when(col("__rk") === 1, col("__value"))).as("current_value"),
+        max(when(col("__rk") === 1, col("__since"))).as("current_since"),
+        max(when(col("__rk") === 2, col("__value"))).as("prev_value"),
+        max(when(col("__rk") === 2, col("__since"))).as("prev_since"),
+        max(col("__run")).as("n_runs"))
+  }
 }

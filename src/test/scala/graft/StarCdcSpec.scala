@@ -278,4 +278,31 @@ class StarCdcSpec extends SparkSpec {
       Seq(("u1", "B")).toDF("bk", "attr"), "bk", Seq("attr"), to_date(lit("2024-03-08")))
     assert(again.filter(col("bk") === "u1").count() == 2)
   }
+
+  test("scd3CurrentPrev: last two runs with run-start stamps; single-run keys ship NULL prev") {
+    val rows = Seq(
+      // u1: A(t1,t2) -> B(t3) -> A(t4,t5): current A since t4, prev B since t3, 3 runs
+      ("u1", "2024-03-01 10:00:00", 1L, "A"),
+      ("u1", "2024-03-01 11:00:00", 2L, "A"),
+      ("u1", "2024-03-02 09:00:00", 3L, "B"),
+      ("u1", "2024-03-03 08:00:00", 4L, "A"),
+      ("u1", "2024-03-03 09:00:00", 5L, "A"),
+      // u2: single run
+      ("u2", "2024-03-01 10:00:00", 6L, "X"),
+      ("u2", "2024-03-02 10:00:00", 7L, "X")
+    ).map { case (u, ts, id, a) => (u, Timestamp.valueOf(ts), id, a) }
+      .toDF("bk", "ts", "event_id", "attr")
+    val got = Scd2.scd3CurrentPrev(rows, "bk", "ts", "event_id", col("attr"))
+      .collect().map(r => r.getAs[String]("bk") -> r).toMap
+    val u1 = got("u1")
+    assert(u1.getAs[String]("current_value") == "A")
+    assert(u1.getAs[Timestamp]("current_since") == Timestamp.valueOf("2024-03-03 08:00:00"))
+    assert(u1.getAs[String]("prev_value") == "B")
+    assert(u1.getAs[Timestamp]("prev_since") == Timestamp.valueOf("2024-03-02 09:00:00"))
+    assert(u1.getAs[Long]("n_runs") == 3L)
+    val u2 = got("u2")
+    assert(u2.getAs[String]("current_value") == "X")
+    assert(u2.isNullAt(u2.fieldIndex("prev_value")))
+    assert(u2.getAs[Long]("n_runs") == 1L)
+  }
 }
