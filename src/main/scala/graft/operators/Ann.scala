@@ -406,6 +406,43 @@ object Ann {
       .unionByName(row("pq", pqTopK(embX, idCol, vecCol, nQueries, k)))
       .unionByName(row("ivf_pq", ivfPqTopK(embX, idCol, vecCol, nQueries, k,
         nProbe = 6, shortlistFactor = 8)))
+      .unionByName(row("sq8", sq8TopK(embX, idCol, vecCol, nQueries, k)))
+  }
+
+  /** Brute-force cosine top-k over SQ8-RECONSTRUCTED corpus vectors
+    * (full-precision queries — the ADC convention): what serving out
+    * of int8 storage actually returns. [[sq8ErrorPanel]] prices the
+    * per-component error; this arm prices its RANKING effect, and
+    * [[recallEval]] reports it next to the other index tiers.
+    * Reconstruction rides the exploded relation + one per-vector
+    * collect (the kmeans centroid idiom); scoring is the exact-tier
+    * shape (broadcast query panel, salted two-phase top-k).
+    */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int, k: Int): DataFrame = {
+    val comps = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim_pos", "x")))
+    val scales = comps.groupBy(col("vec_id"))
+      .agg(max(abs(col("x"))).as("__mx"))
+      .withColumn("scale", col("__mx") / lit(127.0))
+    val recon = comps.join(scales.hint("shuffle_hash"), Seq("vec_id"))
+      .withColumn("__r",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(floor(col("x") / col("scale") + lit(0.5)).cast("long")
+            .cast("double") * col("scale")))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim_pos"), col("__r")))),
+        s => s.getField("__r")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val q = prepared(emb, idCol, vecCol).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = recon.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(scored, k)
   }
 
   /** Greedy k-center CORESET selection (farthest-point traversal) —

@@ -326,7 +326,7 @@ class AnnSpec extends SparkSpec {
     val got = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
       .orderBy("method").collect()
     assert(got.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivf_pq", "lsh", "lsh_multiprobe", "pq"))
+      Seq("ivf", "ivf_pq", "lsh", "lsh_multiprobe", "pq", "sq8"))
     got.foreach { r =>
       assert(r.getLong(1) == 50L) // 10 queries x top-5 truth rows
       val recall = r.getDouble(3)
@@ -341,6 +341,8 @@ class AnnSpec extends SparkSpec {
     // multi-probe never loses to single-probe on the SAME index
     val byM = got.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byM("lsh_multiprobe") >= byM("lsh"), byM.toString)
+    // int8 reconstruction barely perturbs cosine ranks: near-exact
+    assert(byM("sq8") >= 0.8, s"sq8 recall ${byM("sq8")}")
     val again = Ann.recallEval(emb, "vec_id", "embedding", nQueries = 10, k = 5)
       .orderBy("method").collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
