@@ -777,6 +777,21 @@ object SparkEntry {
     // graph: which zones cluster into trade communities. Five fixed
     // rounds, min-label ties, every round one edge join + node-sized
     // argmax panels — see Graph.labelPropagation.
+    // Directed-edge reciprocity of the trade-flow graph: share of
+    // distinct flows whose reverse flow also exists (1-row panel).
+    "graph_reciprocity" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+      Graph.reciprocity(flows, "src", "dst")
+    }),
+
     // Directed BFS hop distance from NATION_3 over the trade-flow
     // graph — the reachability panel next to pagerank's centrality:
     // frontier relaxation with one edge pass + scalar delta per round.
@@ -1568,6 +1583,13 @@ object SparkEntry {
     "embedding_sq8_error" -> ((s: SparkSession, d: String) =>
       Ann.sq8ErrorPanel(t(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // FILTERED vector search: exact top-5 among even-label vectors
+    // only (pre-filter, so every query gets its true filtered top-k
+    // — the modern "nearest WHERE metadata" serving shape).
+    "ann_filtered_topk" -> ((s: SparkSession, d: String) =>
+      Ann.filteredTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("label") % 2 === 0, nQueries = 10, k = 5)),
+
     // Radius twin of top-k: all neighbors with cos >= 0.35, pure
     // codegen filter — zero windows, zero extra shuffles.
     "ann_range_search" -> ((s: SparkSession, d: String) =>
@@ -2108,6 +2130,12 @@ object SparkEntry {
     "text_feature_hash" -> ((s: SparkSession, d: String) =>
       CorpusQc.featureHash(t(s, d, "documents"), "doc_id", "text",
         dim = 256)),
+
+    // Sentence-level shape stats per doc (split on [.!?]+): sentence
+    // count, mean tokens per sentence, longest sentence in chars —
+    // the wall-of-text / staccato signals a prose gate reads.
+    "text_sentence_stats" -> ((s: SparkSession, d: String) =>
+      CorpusQc.sentenceStats(t(s, d, "documents"), "doc_id", "text")),
 
     // Embedding quality gate — see Ann.qualityGate (vector twin of
     // the document/event gates; testdata vectors are 64-dim).
@@ -4984,6 +5012,25 @@ object SparkEntry {
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
       "graph_label_propagation" -> labelPropOracleSql(5),
 
+      // Graph.reciprocity: distinct directed flows left-joined to
+      // their own reversal, a 1-row panel.
+      "graph_reciprocity" ->
+        """WITH e AS (
+          |  SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  WHERE sn.n_name <> cn.n_name),
+          |r AS (SELECT dst AS src, src AS dst, 1 AS rr FROM e)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+          |  CAST(SUM(CASE WHEN r.rr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated,
+          |  CAST(SUM(CASE WHEN r.rr IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+          |FROM e LEFT JOIN r ON r.src = e.src AND r.dst = e.dst""".stripMargin,
+
       // Graph.bfsHops replayed as the recursive min-hop CTE (the
       // dedup_clusters walk convention, depth-bounded to the
       // operator's maxRounds).
@@ -5680,6 +5727,29 @@ object SparkEntry {
         |JOIN (SELECT DISTINCT q_id, label_true FROM q) qq ON qq.q_id = b.q_id
         |WHERE b.vr = 1""".stripMargin,
 
+    // Ann.filteredTopK: the proven cosine fold with the metadata
+    // predicate cutting the corpus side BEFORE ranking.
+    "ann_filtered_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, n.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+        |      / (n.nrm * q.qnrm) AS cos_sim
+        |  FROM n CROSS JOIN q
+        |  WHERE n.vec_id <> q.q_id AND n.label % 2 = 0)
+        |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+        |       neighbor_id, cos_sim
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
     // Ann.sq8ErrorPanel mirrored on the exploded relation: round-
     // half-up codes via one engine-exact floor, error terms
     // 1e-12-grid-quantized into DECIMAL(38,12) partials.
@@ -6337,6 +6407,22 @@ object SparkEntry {
            |SELECT tf.doc_id, tf.bucket, tf.tf,
            |  FLOOR(CAST(tf.tf AS DOUBLE) / norms.nrm * 1e6) / 1e6 AS weight
            |FROM tf JOIN norms ON norms.doc_id = tf.doc_id""".stripMargin,
+
+      // CorpusQc.sentenceStats: [.!?]+ splits (same regex both
+      // dialects), explicit whitespace class for the token count.
+      "text_sentence_stats" ->
+        """WITH s0 AS (
+          |  SELECT doc_id, UNNEST(regexp_split_to_array(text, '[.!?]+')) AS s
+          |  FROM documents WHERE text IS NOT NULL),
+          |s1 AS (SELECT doc_id, trim(s) AS s FROM s0 WHERE trim(s) <> ''),
+          |s2 AS (
+          |  SELECT doc_id, len(regexp_split_to_array(s, '[ \t\n\r\f]+')) AS ntok,
+          |    length(s) AS nch
+          |  FROM s1)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+          |  CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_sentence_tokens,
+          |  MAX(nch) AS max_sentence_chars
+          |FROM s2 GROUP BY 1""".stripMargin,
 
       // Profiling.countMinTopN: 4x256 salted md5 cell grid, estimate
       // = min over the item's 4 cells, top-40 by exact count.

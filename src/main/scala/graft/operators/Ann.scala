@@ -409,6 +409,34 @@ object Ann {
       .unionByName(row("sq8", sq8TopK(embX, idCol, vecCol, nQueries, k)))
   }
 
+  /** FILTERED vector search — exact cosine top-k where the corpus is
+    * PRE-filtered by a metadata predicate (the "filtered ANN" shape
+    * modern vector stores serve: "nearest neighbors WHERE label = X").
+    * Pre-filtering is the exact-recall form — a post-filter of an
+    * unfiltered top-k can return fewer than k (or zero) survivors
+    * when the predicate is selective; here the predicate cuts the
+    * candidate set BEFORE ranking, so every query gets its true
+    * filtered top-k. Queries stay unrestricted (the asker need not
+    * satisfy the filter). Same scale shape as [[cosineTopK]]:
+    * broadcast query panel, salted two-phase top-k, and the predicate
+    * reaches the scan as a pushed filter.
+    */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   pred: Column, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"), pred.as("__keep"))
+      .withColumn("nrm", l2norm(col("v")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = base.filter(col("__keep"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .select("q_id", "vec_id", "cos_sim")
+    topK(scored, k)
+  }
+
   /** Brute-force cosine top-k over SQ8-RECONSTRUCTED corpus vectors
     * (full-precision queries — the ADC convention): what serving out
     * of int8 storage actually returns. [[sq8ErrorPanel]] prices the

@@ -965,6 +965,33 @@ object CorpusQc {
         (col("__maxc") / col("n_chars_counted").cast("double")).as("top_char_share"))
   }
 
+  /** Sentence-level shape statistics per document — the granularity
+    * below [[featureHash]]'s token fold and beside `doc_chunks`'
+    * token windows: sentences split on `[.!?]+` (identical regex in
+    * Java and RE2), per-doc sentence count, mean tokens per sentence
+    * and the longest sentence in characters — the "wall of text /
+    * staccato fragments" signals a prose-quality gate reads.
+    * One explode + one doc-keyed partial agg; the mean is one IEEE
+    * division over exact longs (no decimal machinery).
+    */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sent = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "[.!?]+")).as("__s0"))
+      .withColumn("__s", trim(col("__s0")))
+      .filter(col("__s") =!= "")
+      // explicit whitespace class — the exactCanonical dialect rule
+      .withColumn("__ntok", size(split(col("__s"), "[ \\t\\n\\r\\f]+")))
+    sent.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__ntok").cast("long")).as("__tok"),
+        max(length(col("__s"))).as("max_sentence_chars"))
+      .select(col("doc_id"), col("n_sentences"),
+        (col("__tok").cast("double") / col("n_sentences").cast("double"))
+          .as("avg_sentence_tokens"),
+        col("max_sentence_chars"))
+  }
+
   /** Reciprocal-rank fusion of two ranked retrieval lists — the
     * standard hybrid-search combiner (lexical BM25 ⊕ semantic ANN):
     * `score(d) = Σ_list 1/(k + rank_list(d))`, documents missing from

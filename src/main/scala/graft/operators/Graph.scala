@@ -346,6 +346,30 @@ object Graph {
     ranks
   }
 
+  /** Directed-graph RECIPROCITY: the share of distinct directed edges
+    * whose reverse edge also exists — the one-scalar symmetry
+    * diagnostic next to [[clusteringCoeff]]'s local density (a trade
+    * network near 1 flows both ways; near 0 it is strictly
+    * hierarchical). One distinct on the edge relation, one self-join
+    * against its own reversal (both sides shuffle on the same
+    * composite key), a 1-row panel out.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("__r", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_reciprocated"))
+      .withColumn("reciprocity",
+        col("n_reciprocated").cast("double") / col("n_edges").cast("double"))
+  }
+
   /** Directed BFS hop distance from one source node — the reachability
     * panel next to [[pageRank]]'s centrality: how many directed hops
     * from `source` to every reachable node (the source itself at 0;

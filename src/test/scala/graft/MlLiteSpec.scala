@@ -322,6 +322,50 @@ class MlLiteSpec extends SparkSpec {
     assert((b1 intersect b2).nonEmpty)
   }
 
+  test("filteredTopK: predicate cuts the corpus before ranking; full k survives") {
+    import graft.operators.Ann
+    // 1 query (vec 0) + 6 corpus vectors; only even labels rankable.
+    // The nearest odd-label vector must NOT appear even though it
+    // would win an unfiltered ranking.
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0), 0),
+      (1L, Seq(0.99, 0.1), 1),   // closest — but odd label
+      (2L, Seq(0.8, 0.3), 2),
+      (3L, Seq(0.5, 0.6), 4),
+      (4L, Seq(0.0, 1.0), 6),
+      (5L, Seq(-1.0, 0.0), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Ann.filteredTopK(rows, "vec_id", "embedding",
+      $"label" % 2 === 0, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("sentenceStats: exact counts on a hand fixture") {
+    import graft.operators.CorpusQc
+    val docs = Seq(
+      (1L, "One two three. Four five! Six?"),
+      (2L, "Single sentence only")
+    ).toDF("doc_id", "text")
+    val got = CorpusQc.sentenceStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_sentences") == 3L)
+    assert(got(1L).getAs[Double]("avg_sentence_tokens") == 6.0 / 3)
+    assert(got(1L).getAs[Int]("max_sentence_chars") == 13)
+    assert(got(2L).getAs[Long]("n_sentences") == 1L)
+    assert(got(2L).getAs[Double]("avg_sentence_tokens") == 3.0)
+  }
+
+  test("reciprocity: two-way pair counts once each way, one-way edges dilute") {
+    import graft.operators.Graph
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "d"))
+      .toDF("s", "t")
+    val r = Graph.reciprocity(edges, "s", "t").collect().head
+    assert(r.getAs[Long]("n_edges") == 4L)        // self-loop dropped
+    assert(r.getAs[Long]("n_reciprocated") == 2L) // a→b and b→a
+    assert(r.getAs[Double]("reciprocity") == 0.5)
+  }
+
   // ── RRF fusion + incremental join view ────────────────────────────
 
   test("rrfFuse: shared docs outrank single-list docs; missing list contributes zero") {
