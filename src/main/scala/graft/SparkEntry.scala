@@ -1507,6 +1507,24 @@ object SparkEntry {
       MlLite.logisticCalibration(logregFeatures(s, d),
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6, bins = 10)),
 
+    // Precision/recall curve of the same fit: exact confusion counts
+    // per decision threshold — the operating-point menu.
+    "ml_logreg_pr_curve" -> ((s: SparkSession, d: String) =>
+      MlLite.logisticPrCurve(logregFeatures(s, d),
+        "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6,
+        thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))),
+
+    // Ridge regression on the same moment panel (lambda on the
+    // centered diagonal, intercept unpenalized) — shrinkage priced by
+    // the honest quadratic-form r2.
+    "ml_ridge_value" -> ((s: SparkSession, d: String) =>
+      MlLite.ridgeTwoFeature(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("value"),
+            hour(col("ts")).cast("double").as("hr"),
+            Temporal.isoDow(col("ts")).cast("double").as("iso_dow")),
+        "value", "hr", "iso_dow", lambda = 100000.0)),
+
     // Confusion panel of the naive-Bayes classifier: exact
     // (true, predicted) doc counts — the evaluation artifact next to
     // the model it describes.
@@ -3518,6 +3536,55 @@ object SparkEntry {
     "ml_logreg_calibration" ->
       logregCalibrationOracleSql(rounds = 6, lr = "0.5", bins = 10),
 
+    "ml_logreg_pr_curve" ->
+      logregPrOracleSql(rounds = 6, lr = "0.5",
+        thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+
+    // MlLite.ridgeTwoFeature mirrored: the OLS moment panel with
+    // lambda on the centered diagonal and the full quadratic-form SSE
+    // over the UNpenalized moments.
+    "ml_ridge_value" ->
+      """WITH r0 AS (
+        |  SELECT FLOOR(value * 1e6) / 1e6 AS yq,
+        |    CAST(hour(ts) AS DOUBLE) AS x1,
+        |    CAST(isodow(ts) AS DOUBLE) AS x2
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(yq AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS sx1x1,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx2x2,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx1x2,
+        |    CAST(SUM(CAST(x1 * yq AS DECIMAL(28,6))) AS DOUBLE) AS sx1y,
+        |    CAST(SUM(CAST(x2 * yq AS DECIMAL(28,6))) AS DOUBLE) AS sx2y,
+        |    CAST(SUM(CAST(FLOOR(yq * yq * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM r0),
+        |c1s AS (
+        |  SELECT *,
+        |    sx1x1 - sx1 * sx1 / NULLIF(n, 0.0) AS a11u,
+        |    sx2x2 - sx2 * sx2 / NULLIF(n, 0.0) AS a22u,
+        |    sx1x2 - sx1 * sx2 / NULLIF(n, 0.0) AS a12,
+        |    sx1y - sx1 * sy / NULLIF(n, 0.0) AS c1,
+        |    sx2y - sx2 * sy / NULLIF(n, 0.0) AS c2,
+        |    syy - sy * sy / NULLIF(n, 0.0) AS sst
+        |  FROM m),
+        |c1r AS (SELECT *, a11u + 100000.0 AS a11, a22u + 100000.0 AS a22 FROM c1s),
+        |c2s AS (SELECT *, NULLIF(a11 * a22 - a12 * a12, 0.0) AS det FROM c1r),
+        |c3s AS (
+        |  SELECT *,
+        |    (c1 * a22 - c2 * a12) / det AS b1,
+        |    (c2 * a11 - c1 * a12) / det AS b2
+        |  FROM c2s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (sy - b1 * sx1 - b2 * sx2) / NULLIF(n, 0.0) AS beta0,
+        |  b1 AS beta1, b2 AS beta2,
+        |  CASE WHEN sst = 0.0 THEN 0.0
+        |       ELSE 1.0 - (sst - 2.0 * (b1 * c1 + b2 * c2)
+        |         + (b1 * b1 * a11u + 2.0 * b1 * b2 * a12 + b2 * b2 * a22u)) / sst END AS r2
+        |FROM c3s""".stripMargin,
+
     // Scd2.scd3CurrentPrev mirrored: lag-change flag, running-sum run
     // ids, per-run min collapse, last-two conditional aggregate.
     "gold_scd3_current_prev" ->
@@ -3621,6 +3688,47 @@ object SparkEntry {
        |        FLOOR(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) * 1e6) / 1e6 AS p
        |      FROM r0, w$rounds w) q
        |GROUP BY 1""".stripMargin
+  }
+
+  /** The chained-CTE fit finished with per-threshold exact confusion
+    * counts (MlLite.logisticPrCurve).
+    */
+  private def logregPrOracleSql(rounds: Int, lr: String,
+                                thresholds: Seq[Double]): String = {
+    val fit = logregOracleSql(rounds, lr)
+    val ctes = fit.substring(0, fit.lastIndexOf("SELECT CAST(COUNT(*)"))
+    val list = thresholds.mkString(", ")
+    s"""$ctes
+       |SELECT threshold,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN 0.0
+       |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |  CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END)
+       |          + (CASE WHEN tp + fn = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END) = 0.0
+       |       THEN 0.0
+       |       ELSE 2.0 * (CASE WHEN tp + fp = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END)
+       |          * (CASE WHEN tp + fn = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END)
+       |          / ((CASE WHEN tp + fp = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END)
+       |           + (CASE WHEN tp + fn = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END)) END AS f1
+       |FROM (
+       |  SELECT t.threshold,
+       |    SUM(CASE WHEN p >= t.threshold AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN p >= t.threshold AND y = 0.0 THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN p < t.threshold AND y = 1.0 THEN 1 ELSE 0 END) AS fn
+       |  FROM (SELECT r0.*,
+       |          FLOOR(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) * 1e6) / 1e6 AS p
+       |        FROM r0, w$rounds w) q
+       |  CROSS JOIN (SELECT CAST(UNNEST([$list]) AS DOUBLE) AS threshold) t
+       |  GROUP BY 1) agg""".stripMargin
   }
 
   /** DuckDB twins of the gold analytics pack (reference:

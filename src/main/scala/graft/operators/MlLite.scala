@@ -223,7 +223,21 @@ object MlLite {
     * are raw IEEE quotients per the §5 quotient rule).
     */
   def olsTwoFeature(df: DataFrame, yCol: String, x1Col: String,
-                    x2Col: String): DataFrame = {
+                    x2Col: String): DataFrame =
+    ridgeTwoFeature(df, yCol, x1Col, x2Col, lambda = 0.0)
+
+  /** Ridge variant of [[olsTwoFeature]]: `λ` adds to the centered
+    * normal-equation diagonal (`(X'X + λI)β = X'y` on the centered
+    * system; the intercept is never penalized — it falls out of the
+    * centering). λ = 0 reproduces the OLS expression tree EXACTLY
+    * (no `+ 0.0` term is emitted), so the OLS oracle stays
+    * bit-identical. Same single-scan moment panel, same §5
+    * discipline; shrinkage trades variance for bias and the r2
+    * column reports the in-sample cost of that trade.
+    */
+  def ridgeTwoFeature(df: DataFrame, yCol: String, x1Col: String,
+                      x2Col: String, lambda: Double): DataFrame = {
+    require(lambda >= 0, s"lambda=$lambda must be non-negative")
     val rows = df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
       col(x2Col).isNotNull)
     val yq = q6(col(yCol).cast("double"))
@@ -252,8 +266,12 @@ object MlLite {
     def nz(d: Column): Column =
       when(d === 0.0, lit(null).cast("double")).otherwise(d)
     val n = nz(col("n"))
-    val a11 = col("sx1x1") - col("sx1") * col("sx1") / n
-    val a22 = col("sx2x2") - col("sx2") * col("sx2") / n
+    def ridged(c: Column): Column =
+      if (lambda == 0.0) c else c + lit(lambda)
+    val a11u = col("sx1x1") - col("sx1") * col("sx1") / n
+    val a22u = col("sx2x2") - col("sx2") * col("sx2") / n
+    val a11 = ridged(a11u)
+    val a22 = ridged(a22u)
     val a12 = col("sx1x2") - col("sx1") * col("sx2") / n
     val c1 = col("sx1y") - col("sx1") * col("sy") / n
     val c2 = col("sx2y") - col("sx2") * col("sy") / n
@@ -262,7 +280,14 @@ object MlLite {
     val b2 = (c2 * a11 - c1 * a12) / det
     val b0 = (col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n
     val sst = col("syy") - col("sy") * col("sy") / n
-    val sse = sst - (b1 * c1 + b2 * c2)
+    // λ = 0: the OLS identity SSE = SST − β'c (unchanged expression
+    // tree, keeps the OLS oracle bit-identical). λ > 0: the identity
+    // no longer holds — expand the full quadratic form over the
+    // UNpenalized moments.
+    val sse =
+      if (lambda == 0.0) sst - (b1 * c1 + b2 * c2)
+      else sst - lit(2.0) * (b1 * c1 + b2 * c2) +
+        (b1 * b1 * a11u + lit(2.0) * b1 * b2 * a12 + b2 * b2 * a22u)
     m.select(col("n").cast("long").as("n"),
       b0.as("beta0"), b1.as("beta1"), b2.as("beta2"),
       when(sst === 0.0, lit(0.0)).otherwise(lit(1.0) - sse / sst).as("r2"))
@@ -324,6 +349,48 @@ object MlLite {
           / count(lit(1)).cast("double")).as("mean_p"),
         (sum(col("y").cast(DecimalType(28, 6))).cast("double")
           / count(lit(1)).cast("double")).as("pos_rate"))
+  }
+
+  /** Precision/recall curve of the [[logisticRegression]] fit: one
+    * row per decision threshold with exact confusion counts and the
+    * derived precision, recall and F1 — the operating-point menu a
+    * deployment picks from (the threshold is a BUSINESS choice; this
+    * panel prices each option). One scan over the checkpointed fit
+    * relation crossed with the broadcast threshold panel; counts are
+    * exact longs, ratios raw IEEE quotients with the NULLIF-style
+    * zero guard.
+    */
+  def logisticPrCurve(df: DataFrame, yCol: String, xCols: Seq[String],
+                      lr: Double, rounds: Int,
+                      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "logisticPrCurve needs thresholds")
+    val (base, w) = logisticFit(df, yCol, xCols, lr, rounds)
+    val p = sigmoidQ(w)
+    val th = thresholds.map(t => lit(t).cast("double"))
+    base
+      .withColumn("__p", p)
+      .select(col("y"), col("__p"),
+        explode(array(th: _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__p") >= col("threshold") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__p") >= col("threshold") && col("y") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__p") < col("threshold") && col("y") === 1.0, 1L)
+          .otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))))
   }
 
   /** The shared GD loop: returns the checkpointed (y, x1..x3)

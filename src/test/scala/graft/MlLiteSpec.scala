@@ -151,6 +151,43 @@ class MlLiteSpec extends SparkSpec {
     }
   }
 
+  test("logisticPrCurve: confusion counts conserve and recall is monotone in threshold") {
+    val rows = (0 until 300).map { i =>
+      val x1 = (i % 10) / 10.0
+      (if (x1 >= 0.5) 1.0 else 0.0, math.floor(x1 * 1e6) / 1e6, 0.5, 0.25)
+    }
+    val got = MlLite.logisticPrCurve(rows.toDF("y", "x1", "x2", "x3"),
+      "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 4,
+      thresholds = Seq(0.2, 0.4, 0.6, 0.8))
+      .orderBy("threshold").collect()
+    assert(got.length == 4)
+    val nPos = 150L
+    got.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos)
+      val p = r.getAs[Double]("precision"); val rc = r.getAs[Double]("recall")
+      assert(p >= 0.0 && p <= 1.0 && rc >= 0.0 && rc <= 1.0)
+    }
+    // raising the threshold can only lose positives
+    val recalls = got.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls == recalls.sorted.reverse, recalls.toString)
+  }
+
+  test("ridgeTwoFeature: lambda shrinks slopes toward zero; lambda 0 equals OLS") {
+    val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
+      yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
+    val df = rows.toDF("y", "x1", "x2")
+    val ols = MlLite.olsTwoFeature(df, "y", "x1", "x2").collect().head
+    val zero = MlLite.ridgeTwoFeature(df, "y", "x1", "x2", lambda = 0.0)
+      .collect().head
+    assert(ols.getAs[Double]("beta1") == zero.getAs[Double]("beta1"))
+    val heavy = MlLite.ridgeTwoFeature(df, "y", "x1", "x2", lambda = 1000.0)
+      .collect().head
+    assert(math.abs(heavy.getAs[Double]("beta1")) < math.abs(ols.getAs[Double]("beta1")))
+    assert(math.abs(heavy.getAs[Double]("beta2")) < math.abs(ols.getAs[Double]("beta2")))
+    assert(heavy.getAs[Double]("r2") < ols.getAs[Double]("r2") + 1e-12)
+    assert(heavy.getAs[Double]("r2") >= 0.0)
+  }
+
   // ── k-NN classification + SQ8 quantization ────────────────────────
 
   test("knnClassify: cluster structure classifies; vote ties break to the smaller label") {
