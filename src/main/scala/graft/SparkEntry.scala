@@ -1514,6 +1514,20 @@ object SparkEntry {
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6,
         thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))),
 
+    // Information-gain ranking of binned features vs the purchase
+    // label — the decision-tree split criterion as a panel, the
+    // nonparametric complement of the logistic coefficients.
+    "ml_info_gain" -> ((s: SparkSession, d: String) =>
+      MlLite.infoGain(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            hour(col("ts")).cast("long").as("hr"),
+            Temporal.isoDow(col("ts")).cast("long").as("dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
+        "y", Seq("hr", "dow", "valdec"))),
+
     // Ridge regression on the same moment panel (lambda on the
     // centered diagonal, intercept unpenalized) — shrinkage priced by
     // the honest quadratic-form r2.
@@ -3539,6 +3553,37 @@ object SparkEntry {
     "ml_logreg_pr_curve" ->
       logregPrOracleSql(rounds = 6, lr = "0.5",
         thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+
+    // MlLite.infoGain mirrored: count-weighted entropies with
+    // 1e-6-grid ln terms in DECIMAL partials, one /n at the end.
+    "ml_info_gain" ->
+      """WITH r0 AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    hour(ts) AS hr, isodow(ts) AS dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS valdec
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |lng AS (
+        |  SELECT y, 'hr' AS feature, CAST(hr AS BIGINT) AS fval FROM r0
+        |  UNION ALL SELECT y, 'dow', CAST(dow AS BIGINT) FROM r0
+        |  UNION ALL SELECT y, 'valdec', valdec FROM r0),
+        |cells AS (SELECT feature, fval, y, COUNT(*) AS n_vc FROM lng GROUP BY 1, 2, 3),
+        |pv AS (SELECT feature, fval, SUM(n_vc) AS n_v FROM cells GROUP BY 1, 2),
+        |cond AS (
+        |  SELECT c.feature,
+        |    SUM(CAST(c.n_vc * (FLOOR(LN(CAST(c.n_vc AS DOUBLE) / CAST(p.n_v AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS sx,
+        |    COUNT(DISTINCT c.fval) AS n_values,
+        |    SUM(c.n_vc) AS n
+        |  FROM cells c JOIN pv p ON p.feature = c.feature AND p.fval = c.fval
+        |  GROUP BY 1),
+        |lt AS (
+        |  SELECT SUM(CAST(n_c * (FLOOR(LN(CAST(n_c AS DOUBLE) / CAST(n_t AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS sy
+        |  FROM (SELECT y, SUM(n_vc) AS n_c FROM cells WHERE feature = 'hr' GROUP BY 1) a,
+        |       (SELECT SUM(n_vc) AS n_t FROM cells WHERE feature = 'hr') b)
+        |SELECT feature, CAST(n_values AS BIGINT) AS n_values,
+        |  -CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS entropy_y,
+        |  -CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cond_entropy,
+        |  CAST(sx - sy AS DOUBLE) / CAST(n AS DOUBLE) AS info_gain
+        |FROM cond, lt""".stripMargin,
 
     // MlLite.ridgeTwoFeature mirrored: the OLS moment panel with
     // lambda on the centered diagonal and the full quadratic-form SSE

@@ -351,6 +351,62 @@ object MlLite {
           / count(lit(1)).cast("double")).as("pos_rate"))
   }
 
+  /** Information-gain feature ranking — the decision-tree split
+    * criterion as a standalone panel: for each (pre-binned) feature
+    * column, `H(Y) − H(Y|X)` against a binary label; the
+    * nonparametric "which features matter" answer next to the
+    * logistic fit's coefficients. One scan explodes the feature
+    * columns into a long (feature, value, label) relation, one
+    * partial-agg shuffle counts cells, and the entropies stay in
+    * count-weighted form (`Σ n·ln(n/total)` with 1e-6-grid ln terms,
+    * integer × grid products into DECIMAL partials — §5; the final
+    * `/n` is one IEEE division), so no fractional entropy ever
+    * enters a decimal sum.
+    *
+    * Output: one row per feature — feature, n_values (distinct bins),
+    * entropy_y, cond_entropy, info_gain (nats).
+    */
+  def infoGain(df: DataFrame, yCol: String,
+               featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "infoGain needs at least one feature")
+    val lnq = (c: Column) => q6(log(c))
+    val long = df
+      .filter(col(yCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(yCol).cast("long").as("y"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("long").as("fval"))): _*))
+          .as("fx"))
+      .select(col("y"), col("fx.feature").as("feature"), col("fx.fval").as("fval"))
+    val cells = long.groupBy(col("feature"), col("fval"), col("y"))
+      .agg(count(lit(1)).as("n_vc")).localCheckpoint(false)
+    val perVal = cells.groupBy(col("feature"), col("fval"))
+      .agg(sum(col("n_vc")).as("n_v"))
+    // conditional term per feature: Σ_v Σ_c n_vc · ln(n_vc / n_v)
+    val cond = cells.join(perVal, Seq("feature", "fval"))
+      .groupBy(col("feature"))
+      .agg(sum((col("n_vc") * lnq(col("n_vc").cast("double")
+          / col("n_v").cast("double"))).cast(D6)).as("__sx"),
+        countDistinct(col("fval")).as("n_values"),
+        sum(col("n_vc")).as("__n"))
+    // label term (identical for every feature — from the first one)
+    val labelTerm = cells.filter(col("feature") === featureCols.head)
+      .groupBy(col("y")).agg(sum(col("n_vc")).as("n_c"))
+      .crossJoin(broadcast(
+        cells.filter(col("feature") === featureCols.head)
+          .agg(sum(col("n_vc")).as("n_t"))))
+      .agg(sum((col("n_c") * lnq(col("n_c").cast("double")
+        / col("n_t").cast("double"))).cast(D6)).as("__sy"))
+    cond.crossJoin(broadcast(labelTerm))
+      .select(col("feature"), col("n_values"),
+        (negate(col("__sy").cast("double")) / col("__n").cast("double"))
+          .as("entropy_y"),
+        (negate(col("__sx").cast("double")) / col("__n").cast("double"))
+          .as("cond_entropy"),
+        ((col("__sx") - col("__sy")).cast("double") / col("__n").cast("double"))
+          .as("info_gain"))
+  }
+
   /** Precision/recall curve of the [[logisticRegression]] fit: one
     * row per decision threshold with exact confusion counts and the
     * derived precision, recall and F1 — the operating-point menu a

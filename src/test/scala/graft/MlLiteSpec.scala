@@ -172,6 +172,24 @@ class MlLiteSpec extends SparkSpec {
     assert(recalls == recalls.sorted.reverse, recalls.toString)
   }
 
+  test("infoGain: a perfectly predictive feature gains H(Y); an independent one gains ~0") {
+    // y == f1 exactly (gain = H(Y) = ln 2 for a balanced label);
+    // f2 cycles independently of y (gain ~ 0)
+    val rows = (0 until 240).map { i =>
+      val y = i % 2
+      (y.toLong, y.toLong, (i % 3).toLong)
+    }
+    val got = MlLite.infoGain(rows.toDF("y", "f1", "f2"), "y", Seq("f1", "f2"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    val g1 = got("f1")
+    assert(math.abs(g1.getAs[Double]("info_gain") - math.log(2)) < 1e-4)
+    assert(math.abs(g1.getAs[Double]("cond_entropy")) < 1e-9)
+    assert(g1.getAs[Long]("n_values") == 2L)
+    val g2 = got("f2")
+    assert(math.abs(g2.getAs[Double]("info_gain")) < 1e-4)
+    assert(math.abs(g2.getAs[Double]("entropy_y") - math.log(2)) < 1e-4)
+  }
+
   test("ridgeTwoFeature: lambda shrinks slopes toward zero; lambda 0 equals OLS") {
     val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
       yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
