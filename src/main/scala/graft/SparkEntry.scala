@@ -1528,6 +1528,20 @@ object SparkEntry {
             least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
         "y", Seq("hr", "dow", "valdec"))),
 
+    // Decision stump: the best single feature<=threshold split by
+    // info gain over the same binned features, with majority leaves
+    // and training accuracy — the unit a boosting loop stacks.
+    "ml_decision_stump" -> ((s: SparkSession, d: String) =>
+      MlLite.decisionStump(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            hour(col("ts")).cast("long").as("hr"),
+            Temporal.isoDow(col("ts")).cast("long").as("dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
+        "y", Seq("hr", "dow", "valdec"))),
+
     // Ridge regression on the same moment panel (lambda on the
     // centered diagonal, intercept unpenalized) — shrinkage priced by
     // the honest quadratic-form r2.
@@ -3584,6 +3598,52 @@ object SparkEntry {
         |  -CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cond_entropy,
         |  CAST(sx - sy AS DOUBLE) / CAST(n AS DOUBLE) AS info_gain
         |FROM cond, lt""".stripMargin,
+
+    // MlLite.decisionStump mirrored: cumulative bin prefixes per
+    // feature, guarded 0·ln0 split entropies, total-ordered argmax.
+    "ml_decision_stump" ->
+      """WITH r0 AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    hour(ts) AS hr, isodow(ts) AS dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS valdec
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |lng AS (
+        |  SELECT y, 'hr' AS feature, CAST(hr AS BIGINT) AS fval FROM r0
+        |  UNION ALL SELECT y, 'dow', CAST(dow AS BIGINT) FROM r0
+        |  UNION ALL SELECT y, 'valdec', valdec FROM r0),
+        |cells AS (SELECT feature, fval, y, COUNT(*) AS n_vc FROM lng GROUP BY 1, 2, 3),
+        |pv AS (
+        |  SELECT feature, fval, SUM(n_vc) AS n_v,
+        |    SUM(CASE WHEN y = 1 THEN n_vc ELSE 0 END) AS pos_v
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT feature, SUM(n_v) AS n, SUM(pos_v) AS pos, MAX(fval) AS maxv
+        |        FROM pv GROUP BY 1),
+        |cand AS (
+        |  SELECT pv.feature, pv.fval,
+        |    SUM(n_v) OVER (PARTITION BY pv.feature ORDER BY fval ROWS UNBOUNDED PRECEDING) AS n_le,
+        |    SUM(pos_v) OVER (PARTITION BY pv.feature ORDER BY fval ROWS UNBOUNDED PRECEDING) AS pos_le,
+        |    tot.n, tot.pos, tot.maxv
+        |  FROM pv JOIN tot ON tot.feature = pv.feature),
+        |c2 AS (
+        |  SELECT *, n - n_le AS n_gt, pos - pos_le AS pos_gt
+        |  FROM cand WHERE fval < maxv),
+        |scored AS (
+        |  SELECT *,
+        |    (CASE WHEN pos_le > 0 THEN CAST(pos_le * (FLOOR(LN(CAST(pos_le AS DOUBLE) / CAST(n_le AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END
+        |     + CASE WHEN n_le - pos_le > 0 THEN CAST((n_le - pos_le) * (FLOOR(LN(CAST(n_le - pos_le AS DOUBLE) / CAST(n_le AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END
+        |     + CASE WHEN pos_gt > 0 THEN CAST(pos_gt * (FLOOR(LN(CAST(pos_gt AS DOUBLE) / CAST(n_gt AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END
+        |     + CASE WHEN n_gt - pos_gt > 0 THEN CAST((n_gt - pos_gt) * (FLOOR(LN(CAST(n_gt - pos_gt AS DOUBLE) / CAST(n_gt AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS sx,
+        |    (CASE WHEN pos > 0 THEN CAST(pos * (FLOOR(LN(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END
+        |     + CASE WHEN n - pos > 0 THEN CAST((n - pos) * (FLOOR(LN(CAST(n - pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS sy
+        |  FROM c2)
+        |SELECT feature, fval AS threshold,
+        |  CAST(sx - sy AS DOUBLE) / CAST(n AS DOUBLE) AS info_gain,
+        |  CASE WHEN pos_le * 2 > n_le THEN 1 ELSE 0 END AS left_pred,
+        |  CASE WHEN pos_gt * 2 > n_gt THEN 1 ELSE 0 END AS right_pred,
+        |  CAST(GREATEST(pos_le, n_le - pos_le) + GREATEST(pos_gt, n_gt - pos_gt) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS accuracy
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY CAST(sx - sy AS DOUBLE) / CAST(n AS DOUBLE) DESC, feature, fval) = 1""".stripMargin,
 
     // MlLite.ridgeTwoFeature mirrored: the OLS moment panel with
     // lambda on the centered diagonal and the full quadratic-form SSE

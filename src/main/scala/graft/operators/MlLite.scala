@@ -370,16 +370,7 @@ object MlLite {
                featureCols: Seq[String]): DataFrame = {
     require(featureCols.nonEmpty, "infoGain needs at least one feature")
     val lnq = (c: Column) => q6(log(c))
-    val long = df
-      .filter(col(yCol).isNotNull &&
-        featureCols.map(col(_).isNotNull).reduce(_ && _))
-      .select(col(yCol).cast("long").as("y"),
-        explode(array(featureCols.map(f =>
-          struct(lit(f).as("feature"), col(f).cast("long").as("fval"))): _*))
-          .as("fx"))
-      .select(col("y"), col("fx.feature").as("feature"), col("fx.fval").as("fval"))
-    val cells = long.groupBy(col("feature"), col("fval"), col("y"))
-      .agg(count(lit(1)).as("n_vc")).localCheckpoint(false)
+    val cells = cellsOf(df, yCol, featureCols)
     val perVal = cells.groupBy(col("feature"), col("fval"))
       .agg(sum(col("n_vc")).as("n_v"))
     // conditional term per feature: Σ_v Σ_c n_vc · ln(n_vc / n_v)
@@ -405,6 +396,86 @@ object MlLite {
           .as("cond_entropy"),
         ((col("__sx") - col("__sy")).cast("double") / col("__n").cast("double"))
           .as("info_gain"))
+  }
+
+  /** One shared (feature, value, label) count panel for the
+    * tree-criterion family. */
+  private def cellsOf(df: DataFrame, yCol: String,
+                      featureCols: Seq[String]): DataFrame =
+    df.filter(col(yCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(yCol).cast("long").as("y"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("long").as("fval"))): _*))
+          .as("fx"))
+      .select(col("y"), col("fx.feature").as("feature"), col("fx.fval").as("fval"))
+      .groupBy(col("feature"), col("fval"), col("y"))
+      .agg(count(lit(1)).as("n_vc")).localCheckpoint(false)
+
+  /** DECISION STUMP over a binary label: the best single `feature ≤
+    * threshold` split by information gain, with majority-vote leaf
+    * predictions and the stump's training accuracy — the weakest
+    * useful tree, and the unit a boosting loop would stack. After
+    * the one [[cellsOf]] scan EVERYTHING is panel math: per-feature
+    * cumulative (count, positive) prefixes over the ordered bins
+    * give every candidate split's left/right class counts without
+    * touching the data again; candidate volume is Σ bins per
+    * feature. Zero-count sides contribute zero entropy (the 0·ln 0
+    * convention, guarded). Ties break (gain desc, feature, threshold)
+    * so the pick is total-ordered.
+    *
+    * Output: 1 row — feature, threshold, info_gain, left_pred,
+    * right_pred, accuracy.
+    */
+  def decisionStump(df: DataFrame, yCol: String,
+                    featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "decisionStump needs at least one feature")
+    val lnq = (c: Column) => q6(log(c))
+    val cells = cellsOf(df, yCol, featureCols)
+    val perVal = cells.groupBy(col("feature"), col("fval"))
+      .agg(sum(col("n_vc")).as("n_v"),
+        sum(when(col("y") === 1L, col("n_vc")).otherwise(0L)).as("pos_v"))
+    val wf = Window.partitionBy(col("feature")).orderBy(col("fval"))
+    val totals = perVal.groupBy(col("feature"))
+      .agg(sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"),
+        max(col("fval")).as("__maxv"))
+    val cand = perVal
+      .withColumn("n_le", sum(col("n_v")).over(
+        wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pos_le", sum(col("pos_v")).over(
+        wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), Seq("feature"))
+      .filter(col("fval") < col("__maxv")) // last bin: empty right side
+      .withColumn("n_gt", col("n") - col("n_le"))
+      .withColumn("pos_gt", col("pos") - col("pos_le"))
+    // count-weighted split entropy with the 0·ln0 = 0 guard
+    def term(nc: Column, ns: Column): Column =
+      when(nc > 0L,
+        (nc * lnq(nc.cast("double") / ns.cast("double"))).cast(D6))
+        .otherwise(lit(0).cast(D6))
+    val scored = cand.withColumn("__sx",
+        term(col("pos_le"), col("n_le"))
+          + term(col("n_le") - col("pos_le"), col("n_le"))
+          + term(col("pos_gt"), col("n_gt"))
+          + term(col("n_gt") - col("pos_gt"), col("n_gt")))
+      .withColumn("__sy",
+        term(col("pos"), col("n")) + term(col("n") - col("pos"), col("n")))
+      .withColumn("info_gain",
+        (col("__sx") - col("__sy")).cast("double") / col("n").cast("double"))
+      .withColumn("left_pred",
+        when(col("pos_le") * 2L > col("n_le"), 1L).otherwise(0L))
+      .withColumn("right_pred",
+        when(col("pos_gt") * 2L > col("n_gt"), 1L).otherwise(0L))
+      .withColumn("accuracy",
+        (greatest(col("pos_le"), col("n_le") - col("pos_le"))
+          + greatest(col("pos_gt"), col("n_gt") - col("pos_gt")))
+          .cast("double") / col("n").cast("double"))
+    val rank = Window.orderBy(col("info_gain").desc, col("feature"), col("fval"))
+    scored.withColumn("__rk", row_number().over(rank))
+      .filter(col("__rk") === 1)
+      .select(col("feature"), col("fval").as("threshold"),
+        col("info_gain"), col("left_pred"), col("right_pred"),
+        col("accuracy"))
   }
 
   /** Precision/recall curve of the [[logisticRegression]] fit: one

@@ -190,6 +190,24 @@ class MlLiteSpec extends SparkSpec {
     assert(math.abs(g2.getAs[Double]("entropy_y") - math.log(2)) < 1e-4)
   }
 
+  test("decisionStump: picks the predictive split with pure leaves and perfect accuracy") {
+    // y = 1 exactly when f1 <= 3; f2 is noise — the stump must pick
+    // (f1, 3) with left_pred 1 / right_pred 0 and accuracy 1
+    val rows = (0 until 200).map { i =>
+      val f1 = (i % 10).toLong
+      (if (f1 <= 3) 1L else 0L, f1, (i % 7).toLong)
+    }
+    val got = MlLite.decisionStump(rows.toDF("y", "f1", "f2"), "y", Seq("f1", "f2"))
+      .collect().head
+    assert(got.getAs[String]("feature") == "f1")
+    assert(got.getAs[Long]("threshold") == 3L)
+    assert(got.getAs[Long]("left_pred") == 1L)
+    assert(got.getAs[Long]("right_pred") == 0L)
+    assert(got.getAs[Double]("accuracy") == 1.0)
+    assert(math.abs(got.getAs[Double]("info_gain") -
+      (-(0.4 * math.log(0.4) + 0.6 * math.log(0.6)))) < 1e-4)
+  }
+
   test("ridgeTwoFeature: lambda shrinks slopes toward zero; lambda 0 equals OLS") {
     val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
       yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
