@@ -1528,6 +1528,20 @@ object SparkEntry {
             least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
         "y", Seq("hr", "dow", "valdec"))),
 
+    // AdaBoost over 5 weighted stumps on the collapsed feature-combo
+    // panel (one data scan; each boosting pass is panel math): the
+    // per-round model + the cumulative ensemble accuracy curve.
+    "ml_adaboost_stumps" -> ((s: SparkSession, d: String) =>
+      MlLite.adaboostStumps(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            hour(col("ts")).cast("long").as("hr"),
+            Temporal.isoDow(col("ts")).cast("long").as("dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
+        "y", Seq("hr", "dow", "valdec"), rounds = 5)),
+
     // Decision stump: the best single feature<=threshold split by
     // info gain over the same binned features, with majority leaves
     // and training accuracy — the unit a boosting loop stacks.
@@ -3599,6 +3613,8 @@ object SparkEntry {
         |  CAST(sx - sy AS DOUBLE) / CAST(n AS DOUBLE) AS info_gain
         |FROM cond, lt""".stripMargin,
 
+    "ml_adaboost_stumps" -> adaboostOracleSql(rounds = 5),
+
     // MlLite.decisionStump mirrored: cumulative bin prefixes per
     // feature, guarded 0·ln0 split entropies, total-ordered argmax.
     "ml_decision_stump" ->
@@ -3793,6 +3809,90 @@ object SparkEntry {
        |        FLOOR(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) * 1e6) / 1e6 AS p
        |      FROM r0, w$rounds w) q
        |GROUP BY 1""".stripMargin
+  }
+
+  /** MlLite.adaboostStumps replayed as chained CTEs: per round the
+    * weighted-error stump argmin, the clamped ε / grid-ln α scalars
+    * and the rescale mass update, then one accuracy row per round
+    * over the cumulative ensemble.
+    */
+  private def adaboostOracleSql(rounds: Int): String = {
+    val head =
+      """r0 AS MATERIALIZED (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    hour(ts) AS hr, isodow(ts) AS dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS valdec
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |c0 AS MATERIALIZED (
+        |  SELECT y, CAST(hr AS BIGINT) AS hr, CAST(dow AS BIGINT) AS dow,
+        |    valdec, COUNT(*) AS n_j
+        |  FROM r0 GROUP BY 1, 2, 3, 4),
+        |nn AS MATERIALIZED (SELECT CAST(SUM(n_j) AS BIGINT) AS n FROM c0),
+        |p0 AS MATERIALIZED (
+        |  SELECT c0.*,
+        |    FLOOR(CAST(n_j AS DOUBLE) / CAST(nn.n AS DOUBLE) * 1e12) / 1e12 AS m
+        |  FROM c0, nn)""".stripMargin
+    def fvalOf(alias: String) =
+      s"(CASE $alias.feature WHEN 'hr' THEN p.hr WHEN 'dow' THEN p.dow ELSE p.valdec END)"
+    val iters = (1 to rounds).map { r =>
+      s"""pv$r AS MATERIALIZED (
+         |  SELECT feature, fval,
+         |    SUM(CASE WHEN y = 1 THEN CAST(m AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS mp,
+         |    SUM(CASE WHEN y = 0 THEN CAST(m AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12)) END) AS mn
+         |  FROM (SELECT y, m, 'hr' AS feature, hr AS fval FROM p${r - 1}
+         |        UNION ALL SELECT y, m, 'dow', dow FROM p${r - 1}
+         |        UNION ALL SELECT y, m, 'valdec', valdec FROM p${r - 1})
+         |  GROUP BY 1, 2),
+         |cd$r AS MATERIALIZED (
+         |  SELECT pv.feature, pv.fval,
+         |    SUM(mp) OVER (PARTITION BY pv.feature ORDER BY fval ROWS UNBOUNDED PRECEDING) AS mp_le,
+         |    SUM(mn) OVER (PARTITION BY pv.feature ORDER BY fval ROWS UNBOUNDED PRECEDING) AS mn_le,
+         |    t.pos, t.neg, t.maxv
+         |  FROM pv$r pv JOIN (
+         |    SELECT feature, SUM(mp) AS pos, SUM(mn) AS neg, MAX(fval) AS maxv
+         |    FROM pv$r GROUP BY 1) t ON t.feature = pv.feature),
+         |ce$r AS MATERIALIZED (
+         |  SELECT *,
+         |    CAST(mn_le + (pos - mp_le) AS DOUBLE) AS err_a,
+         |    CAST(mp_le + (neg - mn_le) AS DOUBLE) AS err_b
+         |  FROM cd$r WHERE fval < maxv),
+         |bs$r AS MATERIALIZED (
+         |  SELECT feature, fval, NOT (err_b < err_a) AS pol_a,
+         |    LEAST(err_a, err_b) AS err
+         |  FROM ce$r
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY LEAST(err_a, err_b), feature, fval) = 1),
+         |sa$r AS MATERIALIZED (
+         |  SELECT eps, 0.5 * (FLOOR(LN((1.0 - eps) / eps) * 1e6) / 1e6) AS alpha
+         |  FROM (SELECT GREATEST(CAST(0.000001 AS DOUBLE),
+         |               LEAST(1.0 - CAST(0.000001 AS DOUBLE), err)) AS eps
+         |        FROM bs$r)),
+         |p$r AS MATERIALIZED (
+         |  SELECT p.y, p.hr, p.dow, p.valdec, p.n_j,
+         |    CASE WHEN (CASE WHEN b.pol_a
+         |                THEN CASE WHEN ${fvalOf("b")} <= b.fval THEN 1 ELSE 0 END
+         |                ELSE CASE WHEN ${fvalOf("b")} <= b.fval THEN 0 ELSE 1 END END) <> p.y
+         |         THEN FLOOR(p.m / (2.0 * s.eps) * 1e12) / 1e12
+         |         ELSE FLOOR(p.m / (2.0 * (1.0 - s.eps)) * 1e12) / 1e12 END AS m
+         |  FROM p${r - 1} p, bs$r b, sa$r s)""".stripMargin
+    }
+    val finalRows = (1 to rounds).map { t =>
+      val score = (1 to t).map { r =>
+        s"""(CASE WHEN b$r.pol_a
+           |  THEN CASE WHEN ${fvalOf(s"b$r")} <= b$r.fval THEN 1.0 ELSE -1.0 END
+           |  ELSE CASE WHEN ${fvalOf(s"b$r")} <= b$r.fval THEN -1.0 ELSE 1.0 END END
+           | * s$r.alpha)""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      val froms = (1 to t).map(r => s"bs$r b$r, sa$r s$r").mkString(", ")
+      s"""SELECT $t AS round, bt.feature, CAST(bt.fval AS BIGINT) AS threshold,
+         |  CASE WHEN bt.pol_a THEN 'A' ELSE 'B' END AS polarity,
+         |  st.eps AS epsilon, st.alpha,
+         |  (SELECT CAST(SUM(CASE WHEN (CASE WHEN $score > 0.0 THEN 1 ELSE 0 END) = p.y THEN p.n_j ELSE 0 END) AS DOUBLE)
+         |     / CAST(SUM(p.n_j) AS DOUBLE)
+         |   FROM c0 p, $froms) AS ensemble_accuracy
+         |FROM bs$t bt, sa$t st""".stripMargin
+    }
+    s"""WITH ${(head +: iters).mkString(",\n")}
+       |${finalRows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** The chained-CTE fit finished with per-threshold exact confusion

@@ -478,6 +478,128 @@ object MlLite {
         col("accuracy"))
   }
 
+  /** ADABOOST over decision stumps — `rounds` boosting iterations on
+    * the COLLAPSED feature-combo panel: rows with identical
+    * (features, label) always share a weight, so the row-level weight
+    * distribution lives on the distinct-combo panel (≤ Π |bins| rows)
+    * and every boosting pass is panel math after ONE data scan — the
+    * trick that makes in-engine boosting independent of table size.
+    *
+    * Per round: the weighted-error-minimal `feature ≤ threshold`
+    * stump over BOTH polarities (ties → lower error, then feature,
+    * threshold, polarity A), ε clamped to [1e-6, 1−1e-6],
+    * `α = ½·ln((1−ε)/ε)` on the 1e-6 ln grid, and the classic
+    * rescale update `m/(2ε)` (misclassified) vs `m/(2(1−ε))`
+    * (correct) — no exp, masses re-floored onto the 1e-12 grid so
+    * every ε is an exact DECIMAL(38,12) sum (§5). The driver sees
+    * one scalar row per round (the kmeans/logreg recurrence
+    * discipline).
+    *
+    * Output: one row per round — round, feature, threshold,
+    * polarity ('A' = left→1, 'B' = left→0), epsilon, alpha, and the
+    * CUMULATIVE ensemble's training accuracy after that round (the
+    * boosting curve).
+    */
+  def adaboostStumps(df: DataFrame, yCol: String, featureCols: Seq[String],
+                     rounds: Int): DataFrame = {
+    require(featureCols.nonEmpty && rounds >= 1,
+      s"adaboost needs features and rounds >= 1: $featureCols, $rounds")
+    val d12 = DecimalType(38, 12)
+    def q12(c: Column): Column = floor(c * lit(1e12)) / lit(1e12)
+    val combos = df
+      .filter(col(yCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(col(yCol).cast("long").as("y") +:
+        featureCols.map(f => col(f).cast("long").as(f)): _*)
+      .agg(count(lit(1)).as("n_j"))
+      .localCheckpoint(true)
+    val nTotal = combos.agg(sum(col("n_j")).as("n")).collect()
+      .head.getAs[Long]("n").toDouble
+    // initial mass: n_j/n floored to the 1e-12 grid
+    var panel = combos.withColumn("m",
+      q12(col("n_j").cast("double") / lit(nTotal))).localCheckpoint(true)
+    final case class Stump(feature: String, thr: Long, polA: Boolean,
+                           eps: Double, alpha: Double)
+    var model = List.empty[Stump]
+    for (_ <- 1 to rounds) {
+      val perVal = panel.select(col("y"), col("m"),
+          explode(array(featureCols.map(f =>
+            struct(lit(f).as("feature"), col(f).as("fval"))): _*)).as("fx"))
+        .groupBy(col("fx.feature").as("feature"), col("fx.fval").as("fval"))
+        .agg(sum(when(col("y") === 1L, col("m").cast(d12))
+          .otherwise(lit(0).cast(d12))).as("mp"),
+          sum(when(col("y") === 0L, col("m").cast(d12))
+            .otherwise(lit(0).cast(d12))).as("mn"))
+      val wf = Window.partitionBy(col("feature")).orderBy(col("fval"))
+      val totals = perVal.groupBy(col("feature"))
+        .agg(sum(col("mp")).as("pos"), sum(col("mn")).as("neg"),
+          max(col("fval")).as("__maxv"))
+      // masses are <= 1, so the sums fit DECIMAL(18,12) with room to
+      // spare — narrowing them BEFORE the error arithmetic keeps the
+      // adds exact at scale 12 (two (38,12) operands would overflow
+      // precision 38 and Spark's precision-loss rule silently cuts
+      // the scale to 10, which diverges from DuckDB's widening adds)
+      val d18 = DecimalType(18, 12)
+      val cand = perVal
+        .withColumn("mp_le", sum(col("mp")).over(
+          wf.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(d18))
+        .withColumn("mn_le", sum(col("mn")).over(
+          wf.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(d18))
+        .join(broadcast(totals), Seq("feature"))
+        .filter(col("fval") < col("__maxv"))
+        .withColumn("err_a",
+          (col("mn_le") + (col("pos").cast(d18) - col("mp_le"))).cast("double"))
+        .withColumn("err_b",
+          (col("mp_le") + (col("neg").cast(d18) - col("mn_le"))).cast("double"))
+        .withColumn("err", least(col("err_a"), col("err_b")))
+        .withColumn("pol_a", !(col("err_b") < col("err_a")))
+      val rank = Window.orderBy(col("err"), col("feature"), col("fval"))
+      val best = cand.withColumn("__rk", row_number().over(rank))
+        .filter(col("__rk") === 1)
+        .select(col("feature"), col("fval"), col("pol_a"), col("err"))
+        .collect().head
+      val eps0 = best.getAs[Double]("err")
+      val eps = math.max(1e-6, math.min(1.0 - 1e-6, eps0))
+      val alpha =
+        0.5 * (math.floor(math.log((1.0 - eps) / eps) * 1e6) / 1e6)
+      val st = Stump(best.getAs[String]("feature"), best.getAs[Long]("fval"),
+        best.getAs[Boolean]("pol_a"), eps, alpha)
+      model = st :: model
+      val predicted =
+        if (st.polA) when(col(st.feature) <= st.thr, 1L).otherwise(0L)
+        else when(col(st.feature) <= st.thr, 0L).otherwise(1L)
+      panel = panel.withColumn("m",
+          when(predicted =!= col("y"),
+            q12(col("m") / (lit(2.0) * lit(eps))))
+            .otherwise(q12(col("m") / (lit(2.0) * (lit(1.0) - lit(eps))))))
+        .localCheckpoint(true)
+    }
+    val stumps = model.reverse.toArray
+    // final pass: cumulative ensemble accuracy after each round
+    val rows = stumps.zipWithIndex.map { case (_, t) =>
+      val score = stumps.take(t + 1).map { s =>
+        val h =
+          if (s.polA) when(col(s.feature) <= s.thr, lit(1.0)).otherwise(lit(-1.0))
+          else when(col(s.feature) <= s.thr, lit(-1.0)).otherwise(lit(1.0))
+        h * lit(s.alpha)
+      }.reduce(_ + _)
+      val pred = when(score > 0.0, 1L).otherwise(0L)
+      combos.agg(
+        (sum(when(pred === col("y"), col("n_j")).otherwise(0L)).cast("double")
+          / sum(col("n_j")).cast("double")).as("ensemble_accuracy"))
+        .select(lit(t + 1).as("round"),
+          lit(stumps(t).feature).as("feature"),
+          lit(stumps(t).thr).as("threshold"),
+          lit(if (stumps(t).polA) "A" else "B").as("polarity"),
+          lit(stumps(t).eps).as("epsilon"),
+          lit(stumps(t).alpha).as("alpha"),
+          col("ensemble_accuracy"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Precision/recall curve of the [[logisticRegression]] fit: one
     * row per decision threshold with exact confusion counts and the
     * derived precision, recall and F1 — the operating-point menu a

@@ -208,6 +208,35 @@ class MlLiteSpec extends SparkSpec {
       (-(0.4 * math.log(0.4) + 0.6 * math.log(0.6)))) < 1e-4)
   }
 
+  test("adaboostStumps: boosting beats the best single stump on a two-feature XOR-ish target") {
+    // y = (f1 <= 4) with an exception pocket (f2 = 0 flips the left
+    // side): the first stump leaves the pocket wrong, later rounds
+    // upweight and fix it — a symmetric XOR would stall at eps = 0.5
+    val rows = (0 until 400).map { i =>
+      val f1 = (i % 10).toLong
+      val f2 = ((i / 10) % 4).toLong
+      val y = if (f1 <= 4) (if (f2 == 0) 0L else 1L) else 0L
+      (y, f1, f2, 0L)
+    }
+    val got = MlLite.adaboostStumps(rows.toDF("y", "f1", "f2", "f3"),
+      "y", Seq("f1", "f2", "f3"), rounds = 4)
+      .orderBy("round").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val eps = r.getAs[Double]("epsilon")
+      assert(eps > 0.0 && eps < 0.5, s"round ${r.getAs[Int]("round")} eps $eps")
+      assert(r.getAs[Double]("alpha") > 0.0)
+    }
+    val accs = got.map(_.getAs[Double]("ensemble_accuracy"))
+    assert(accs.last >= accs.head, accs.mkString(","))
+    assert(accs.last > 0.8)
+    // determinism under re-partitioning
+    val again = MlLite.adaboostStumps(
+      rows.toDF("y", "f1", "f2", "f3").repartition(7),
+      "y", Seq("f1", "f2", "f3"), rounds = 4).orderBy("round").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("ridgeTwoFeature: lambda shrinks slopes toward zero; lambda 0 equals OLS") {
     val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
       yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
