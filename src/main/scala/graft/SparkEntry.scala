@@ -999,6 +999,25 @@ object SparkEntry {
     "ana_rolling_active_users" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.rollingActiveUsers(t(s, d, "events"))),
 
+    // DAU/WAU/MAU + stickiness (DAU/MAU) per day via the bounded
+    // 28-day window expansion — the product-health ratio panel.
+    "ana_stickiness" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.stickinessPanel(t(s, d, "events"))),
+
+    // K-anonymity / l-diversity audit over binned quasi-identifiers
+    // (6h band x iso-dow x value decile) with event_type as the
+    // sensitive attribute — the release gate next to GDPR erasure.
+    "privacy_k_anon_audit" -> ((s: SparkSession, d: String) =>
+      Audit.kAnonymity(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            floor(hour(col("ts")) / 6).cast("long").as("hour_band"),
+            Temporal.isoDow(col("ts")).cast("long").as("iso_dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("val_decile")),
+        Seq("hour_band", "iso_dow", "val_decile"),
+        "event_type", k = 5, l = 2)),
+
     // A/B readout over the deterministic md5 50/50 user assignment:
     // one aggregation pass, two-proportion z statistic. Conversion =
     // a high-value purchase (the plain PURCHASE flag saturates every
@@ -3615,6 +3634,19 @@ object SparkEntry {
 
     "ml_adaboost_stumps" -> adaboostOracleSql(rounds = 5),
 
+    // Audit.kAnonymity mirrored: exact combo populations + distinct
+    // sensitive counts, both verdicts.
+    "privacy_k_anon_audit" ->
+      """SELECT CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
+        |  CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |  LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS val_decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+        |  COUNT(*) >= 5 AS k_anonymous,
+        |  COUNT(DISTINCT event_type) >= 2 AS l_diverse
+        |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // MlLite.decisionStump mirrored: cumulative bin prefixes per
     // feature, guarded 0·ln0 split entropies, total-ordered argmax.
     "ml_decision_stump" ->
@@ -5216,6 +5248,25 @@ object SparkEntry {
           |  COUNT(DISTINCT u.user_id) AS n_users_7d
           |FROM days g JOIN ud u ON u.d BETWEEN g.g - 6 AND g.g
           |GROUP BY 1""".stripMargin,
+
+      // AnalyticsPack.stickinessPanel: the 28-day range-join twin of
+      // the rolling-actives oracle, with the WAU band and the
+      // DAU/MAU raw quotient.
+      "ana_stickiness" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+          |  FROM events WHERE ts IS NOT NULL),
+          |days AS (SELECT DISTINCT d AS g FROM ud),
+          |agg AS (
+          |  SELECT g.g AS day,
+          |    COUNT(DISTINCT CASE WHEN u.d = g.g THEN u.user_id END) AS dau,
+          |    COUNT(DISTINCT CASE WHEN u.d >= g.g - 6 THEN u.user_id END) AS wau,
+          |    COUNT(DISTINCT u.user_id) AS mau
+          |  FROM days g JOIN ud u ON u.d BETWEEN g.g - 27 AND g.g
+          |  GROUP BY 1)
+          |SELECT day, dau, wau, mau,
+          |  CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+          |FROM agg""".stripMargin,
 
       "ana_rolling_demand" ->
         """WITH daily AS (

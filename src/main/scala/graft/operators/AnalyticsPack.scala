@@ -1556,6 +1556,34 @@ object AnalyticsPack {
         countDistinct(col("user_id")).as("n_users_7d"))
   }
 
+  /** DAU/WAU/MAU STICKINESS — the product-health ratio panel over
+    * [[rollingActiveUsers]]'s window-expansion technique widened to
+    * 28 days: per day, daily / 7-day / 28-day distinct actives and
+    * the DAU/MAU ratio ("what share of the monthly audience shows up
+    * on a given day"). Each (user, day) pair fans out to the ≤ 28
+    * future days its activity keeps alive — fan-out is bounded by
+    * the window length, the aggregation is the standard two-phase
+    * distinct, and no day ever rescans history. Ratios ship as raw
+    * IEEE quotients of exact longs.
+    */
+  def stickinessPanel(events: DataFrame): DataFrame = {
+    val ud = events.filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = ud.select(col("d").as("g")).distinct()
+    ud.select(col("user_id"), col("d"),
+        explode(sequence(col("d"), date_add(col("d"), 27),
+          expr("interval 1 day"))).as("g"))
+      .join(broadcast(days), "g")
+      .groupBy(col("g").as("day"))
+      .agg(
+        countDistinct(when(col("d") === col("g"), col("user_id"))).as("dau"),
+        countDistinct(when(col("d") >= date_sub(col("g"), 6), col("user_id")))
+          .as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("mau").cast("double"))
+  }
+
   /** Peak concurrency over closed intervals — "how many sessions were
     * open at the busiest instant, and when was it": the classic
     * sweep-line (+1 at start, −1 after end, running sum, argmax),

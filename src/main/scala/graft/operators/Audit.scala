@@ -204,4 +204,31 @@ object Audit {
       .select(col("digit"), col("n_obs"), col("obs_share"), col("exp_share"),
         col("chi2_term"), col("chi2_total"))
   }
+
+  /** K-ANONYMITY / L-DIVERSITY audit over a quasi-identifier
+    * combination — the privacy gate next to the GDPR-erasure path:
+    * a quasi-identifier combo shared by fewer than `k` rows
+    * re-identifies its members, and a combo whose rows all carry ONE
+    * sensitive value leaks it even when k-anonymous (hence the
+    * l-diversity column). Output is one row per observed combo with
+    * its population, distinct sensitive values and both verdicts —
+    * the panel a release process inspects (and suppresses unsafe
+    * combos from) before publishing.
+    *
+    * Scale shape: one partial-agg shuffle on the (bounded by
+    * construction: callers pass BINNED quasi columns) combo space;
+    * the distinct-sensitive count is the standard two-phase distinct
+    * aggregate. Everything is exact integers.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1,
+      s"kAnonymity needs quasi columns and positive k/l: $k/$l")
+    df.filter(quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
 }

@@ -521,6 +521,44 @@ class MlLiteSpec extends SparkSpec {
     assert(got(2L) == "dB" && got(3L) == "dB")
   }
 
+  test("stickinessPanel: hand-computed DAU/WAU/MAU on a tiny activity grid") {
+    import java.sql.Timestamp
+    import graft.operators.AnalyticsPack
+    // u1 active days 1 and 10; u2 active day 10 only
+    val rows = Seq(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-03-10 10:00:00"), 1L),
+      (Timestamp.valueOf("2024-03-10 11:00:00"), 2L)
+    ).toDF("ts", "user_id")
+    val got = AnalyticsPack.stickinessPanel(rows)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    val d1 = got("2024-03-01")
+    assert(d1.getAs[Long]("dau") == 1L && d1.getAs[Long]("wau") == 1L &&
+      d1.getAs[Long]("mau") == 1L && d1.getAs[Double]("stickiness") == 1.0)
+    val d10 = got("2024-03-10")
+    assert(d10.getAs[Long]("dau") == 2L)
+    assert(d10.getAs[Long]("wau") == 2L)   // only day-10 activity in window
+    assert(d10.getAs[Long]("mau") == 2L)   // u1's day-1 visit is within 28d
+    assert(d10.getAs[Double]("stickiness") == 1.0)
+  }
+
+  test("kAnonymity: small combos flagged, single-sensitive combos not l-diverse") {
+    import graft.operators.Audit
+    val rows = Seq(
+      // combo (1,1): 5 rows, 2 sensitive values -> safe both ways
+      ("a", 1L, 1L), ("b", 1L, 1L), ("a", 1L, 1L), ("a", 1L, 1L), ("b", 1L, 1L),
+      // combo (2,2): 2 rows -> not k-anonymous at k=3; single value -> not l-diverse
+      ("x", 2L, 2L), ("x", 2L, 2L)
+    ).toDF("sens", "q1", "q2")
+    val got = Audit.kAnonymity(rows, Seq("q1", "q2"), "sens", k = 3, l = 2)
+      .collect().map(r => (r.getAs[Long]("q1"), r.getAs[Long]("q2")) -> r).toMap
+    val safe = got((1L, 1L))
+    assert(safe.getAs[Long]("n_rows") == 5L && safe.getAs[Boolean]("k_anonymous"))
+    assert(safe.getAs[Long]("n_sensitive") == 2L && safe.getAs[Boolean]("l_diverse"))
+    val leak = got((2L, 2L))
+    assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
+  }
+
   // ── hotspot clustering ────────────────────────────────────────────
 
   test("hotspotClusters: adjacent dense cells merge, isolated dense cell stands alone, sparse cells drop") {
