@@ -573,6 +573,65 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming LATENESS AUDIT sink — the telemetry a watermark choice
+    * is justified by: per micro-batch, one appended audit row with
+    * the batch's row count, how many rows arrived at-or-ahead of the
+    * stored event-time high water, how many landed 0-1 min / 1-10
+    * min / >10 min behind it, and the high water before/after. A
+    * watermark of W minutes silently DROPS the rows this panel counts
+    * beyond W — so the panel is the evidence for (or against) W,
+    * maintained next to the stream instead of guessed.
+    *
+    * State is the audit table itself (high water = max of the stored
+    * `high_water_after`); each batch appends exactly one row through
+    * the replay-guarded swap, so re-delivered batches no-op and the
+    * audit never double-counts.
+    */
+  def latenessSink(stream: DataFrame, checkpoint: String, target: String,
+                   tsCol: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        latenessBatchToParquet(batch.toDF(), target, tsCol, batchId)
+      }
+
+  private[graft] def latenessBatchToParquet(batch: DataFrame, target: String,
+                                            tsCol: String,
+                                            batchId: Long = -1L,
+                                            writerId: Option[String] = None): Unit = {
+    val ts = col(tsCol)
+    def auditRow(highWaterBefore: Column): DataFrame =
+      batch.filter(ts.isNotNull)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          max(ts).as("__batch_max"),
+          sum(when(highWaterBefore.isNull || ts >= highWaterBefore, 1L)
+            .otherwise(0L)).as("n_on_time"),
+          sum(when(highWaterBefore.isNotNull && ts < highWaterBefore &&
+            ts >= highWaterBefore - expr("interval 1 minute"), 1L)
+            .otherwise(0L)).as("n_late_1m"),
+          sum(when(highWaterBefore.isNotNull &&
+            ts < highWaterBefore - expr("interval 1 minute") &&
+            ts >= highWaterBefore - expr("interval 10 minutes"), 1L)
+            .otherwise(0L)).as("n_late_10m"),
+          sum(when(highWaterBefore.isNotNull &&
+            ts < highWaterBefore - expr("interval 10 minutes"), 1L)
+            .otherwise(0L)).as("n_late_inf"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("high_water_before", highWaterBefore)
+        .withColumn("high_water_after",
+          greatest(coalesce(highWaterBefore, col("__batch_max")),
+            col("__batch_max")))
+        .drop("__batch_max")
+    upsertParquet(target, auditRow(lit(null).cast("timestamp")), { existing =>
+      val hw = existing.agg(max(col("high_water_after")).as("hw"))
+        .collect().head.getTimestamp(0)
+      existing.unionByName(auditRow(lit(hw)))
+    }, batchId, writerId)
+  }
+
   /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
     * micro-batch commits ONE append segment through the manifest log,
     * so readers get snapshot isolation over a live stream — a query

@@ -930,6 +930,50 @@ class StreamingSpec extends SparkSpec {
     assert(after == merged)
   }
 
+  test("lateness sink: per-batch lateness buckets against the stored high water; replay no-ops") {
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_latesink").toString
+    val target = s"$dir/late"
+    val in = MemoryStream[Timestamp]
+    val q = StreamOps.latenessSink(in.toDF.toDF("ts"), s"$dir/ckpt", target, "ts")
+      .start()
+    // batch 0: establishes high water 12:00
+    in.addData(Timestamp.valueOf("2024-03-01 11:00:00"),
+      Timestamp.valueOf("2024-03-01 12:00:00"))
+    q.processAllAvailable()
+    // batch 1 vs high water 12:00: one on-time (12:30), one 30s late,
+    // one 5min late, one 30min late
+    in.addData(Timestamp.valueOf("2024-03-01 12:30:00"),
+      Timestamp.valueOf("2024-03-01 11:59:30"),
+      Timestamp.valueOf("2024-03-01 11:55:00"),
+      Timestamp.valueOf("2024-03-01 11:30:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+    val b0 = rows(0L)
+    assert(b0.getAs[Long]("n_rows") == 2L && b0.getAs[Long]("n_on_time") == 2L)
+    assert(b0.isNullAt(b0.fieldIndex("high_water_before")))
+    assert(b0.getAs[Timestamp]("high_water_after") ==
+      Timestamp.valueOf("2024-03-01 12:00:00"))
+    val b1 = rows(1L)
+    assert(b1.getAs[Long]("n_on_time") == 1L)
+    assert(b1.getAs[Long]("n_late_1m") == 1L)
+    assert(b1.getAs[Long]("n_late_10m") == 1L)
+    assert(b1.getAs[Long]("n_late_inf") == 1L)
+    assert(b1.getAs[Timestamp]("high_water_after") ==
+      Timestamp.valueOf("2024-03-01 12:30:00"))
+    // replaying batch 0 under the query's identity must change nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.latenessBatchToParquet(
+        Seq(Timestamp.valueOf("2024-03-01 11:00:00")).toDF("ts"),
+        target, "ts", batchId = 0L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(spark.read.parquet(target).count() == 2L)
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
