@@ -1018,6 +1018,23 @@ object SparkEntry {
         Seq("hour_band", "iso_dow", "val_decile"),
         "event_type", k = 5, l = 2)),
 
+    // The ACTING twin of the audit: the released view keeps only rows
+    // whose quasi-identifier combo passes both verdicts (suppression,
+    // the quality_valid/quarantine pattern applied to privacy).
+    "privacy_suppress_release" -> ((s: SparkSession, d: String) => {
+      val binned = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(hour(col("ts")) / 6).cast("long").as("hour_band"),
+          Temporal.isoDow(col("ts")).cast("long").as("iso_dow"),
+          least(lit(9L), floor(col("value") / 10).cast("long")).as("val_decile"))
+      val quasi = Seq("hour_band", "iso_dow", "val_decile")
+      val safe = Audit.kAnonymity(binned, quasi, "event_type", k = 5, l = 2)
+        .filter(col("k_anonymous") && col("l_diverse"))
+        .select(quasi.map(col): _*)
+      binned.join(safe.hint("shuffle_hash"), quasi, "left_semi")
+    }),
+
     // A/B readout over the deterministic md5 50/50 user assignment:
     // one aggregation pass, two-proportion z statistic. Conversion =
     // a high-value purchase (the plain PURCHASE flag saturates every
@@ -3646,6 +3663,23 @@ object SparkEntry {
         |  COUNT(DISTINCT event_type) >= 2 AS l_diverse
         |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "privacy_suppress_release" ->
+      """WITH binned AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
+        |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS val_decile
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |safe AS (
+        |  SELECT hour_band, iso_dow, val_decile
+        |  FROM binned GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 5 AND COUNT(DISTINCT event_type) >= 2)
+        |SELECT b.event_id, b.event_type, b.value,
+        |  b.hour_band, b.iso_dow, b.val_decile
+        |FROM binned b
+        |JOIN safe s ON s.hour_band = b.hour_band AND s.iso_dow = b.iso_dow
+        |  AND s.val_decile = b.val_decile""".stripMargin,
 
     // MlLite.decisionStump mirrored: cumulative bin prefixes per
     // feature, guarded 0·ln0 split entropies, total-ordered argmax.
