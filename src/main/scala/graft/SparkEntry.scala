@@ -1035,6 +1035,19 @@ object SparkEntry {
       binned.join(safe.hint("shuffle_hash"), quasi, "left_semi")
     }),
 
+    // Deterministic Laplace DP release over the same quasi-identifier
+    // combos: epsilon=0.5 (b=2.0), noise a pure function of the group
+    // key through the md5 uniform — reproducible across runs so the
+    // privacy budget is spent once, not per re-run.
+    "privacy_dp_release" -> ((s: SparkSession, d: String) =>
+      Audit.dpNoisyCounts(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(floor(hour(col("ts")) / 6).cast("long").as("hour_band"),
+            Temporal.isoDow(col("ts")).cast("long").as("iso_dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("val_decile")),
+        Seq("hour_band", "iso_dow", "val_decile"), epsilon = 0.5)),
+
     // A/B readout over the deterministic md5 50/50 user assignment:
     // one aggregation pass, two-proportion z statistic. Conversion =
     // a high-value purchase (the plain PURCHASE flag saturates every
@@ -1087,6 +1100,18 @@ object SparkEntry {
           Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
+    // CUPED variance-reduced readout over the same md5 A/B split:
+    // pre-period (date_sk < 20240115) user spend as the covariate,
+    // pooled theta, per-arm raw vs adjusted mean/variance and the
+    // variance-reduction share. One fact collapse to the user panel;
+    // everything after is panel math.
+    "ana_cuped" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.cupedReadout(
+        Sampling.splitAssign(
+          servingValid(s, d).filter(col("user_id").isNotNull),
+          Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
+        "split", col("value"), col("date_sk") < 20240115)),
 
     // Daily new-vs-returning user split from first-seen days.
     "ana_new_vs_returning" -> ((s: SparkSession, d: String) =>
@@ -3681,6 +3706,34 @@ object SparkEntry {
         |JOIN safe s ON s.hour_band = b.hour_band AND s.iso_dow = b.iso_dow
         |  AND s.val_decile = b.val_decile""".stripMargin,
 
+    // Laplace DP release replay: the md5-32 uniform, the inverse-CDF
+    // draw with the ln floor-quantized on the group panel (§5), the
+    // clamped floor release; b = sensitivity/epsilon = 2.0 exact.
+    "privacy_dp_release" ->
+      """WITH g AS (
+        |  SELECT CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
+        |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS val_decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |drawn AS (
+        |  SELECT *,
+        |    (CAST(CAST('0x' || substr(md5(concat_ws('|',
+        |       CAST(hour_band AS VARCHAR), CAST(iso_dow AS VARCHAR),
+        |       CAST(val_decile AS VARCHAR))), 1, 8) AS BIGINT) AS DOUBLE)
+        |      + 0.5) / 4294967296.0 AS u
+        |  FROM g),
+        |noised AS (
+        |  SELECT hour_band, iso_dow, val_decile, n_rows,
+        |    FLOOR((-2.0) * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+        |      * (FLOOR(LN(1.0 - 2.0 * ABS(u - 0.5)) * 1e6) / 1e6) * 1e6) / 1e6 AS noise
+        |  FROM drawn)
+        |SELECT hour_band, iso_dow, val_decile, n_rows, noise,
+        |  CAST(n_rows AS DOUBLE) + noise AS noisy_count,
+        |  CAST(GREATEST(0, FLOOR(CAST(n_rows AS DOUBLE) + noise)) AS BIGINT) AS released_count
+        |FROM noised""".stripMargin,
+
     // MlLite.decisionStump mirrored: cumulative bin prefixes per
     // feature, guarded 0·ln0 split entropies, total-ordered argmax.
     "ml_decision_stump" ->
@@ -4594,6 +4647,51 @@ object SparkEntry {
            |SELECT agg.*,
            |  (mean_treat_post - mean_treat_pre) - (mean_ctrl_post - mean_ctrl_pre) AS did_estimate
            |FROM agg""".stripMargin,
+
+      // CUPED replay: the same md5 split, per-user pre/post money
+      // sums narrowed to DECIMAL(18,2), pooled theta from exact
+      // decimal moments in the Spark op order, adjusted values on the
+      // 1e-6 floor grid before their DECIMAL(28,6) partials.
+      "ana_cuped" ->
+        s"""WITH ev AS (
+           |  SELECT user_id, value, date_sk,
+           |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+           |         THEN 'A' ELSE 'B' END AS split
+           |  FROM ($validSql) WHERE user_id IS NOT NULL),
+           |users AS (
+           |  SELECT user_id, split AS arm,
+           |    CAST(COALESCE(SUM(CASE WHEN date_sk < 20240115 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+           |    CAST(COALESCE(SUM(CASE WHEN NOT (date_sk < 20240115) THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+           |  FROM ev GROUP BY 1, 2),
+           |pooled AS (
+           |  SELECT
+           |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_x,
+           |    (CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
+           |       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           |      / NULLIF(CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
+           |       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0) AS theta
+           |  FROM users),
+           |adj AS (
+           |  SELECT u.arm, u.x, u.y, p.theta,
+           |    FLOOR((CAST(u.y AS DOUBLE) - p.theta * (CAST(u.x AS DOUBLE) - p.mean_x)) * 1e6) / 1e6 AS ya
+           |  FROM users u CROSS JOIN pooled p),
+           |arms AS (
+           |  SELECT arm, COUNT(*) AS n_users, MIN(theta) AS theta,
+           |    CAST(SUM(y) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           |    CAST(SUM(CAST(ya AS DECIMAL(28,6))) AS DOUBLE) AS sa,
+           |    CAST(SUM(CAST(FLOOR(ya * ya * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS saa,
+           |    CAST(COUNT(*) AS DOUBLE) AS nd
+           |  FROM adj GROUP BY 1),
+           |panel AS (
+           |  SELECT arm, n_users, theta,
+           |    sy / nd AS mean_raw, sa / nd AS mean_adj,
+           |    (syy - sy * sy / nd) / nd AS var_raw,
+           |    (saa - sa * sa / nd) / nd AS var_adj
+           |  FROM arms)
+           |SELECT arm, n_users, theta, mean_raw, mean_adj, var_raw, var_adj,
+           |  1.0 - var_adj / NULLIF(var_raw, 0) AS var_reduction
+           |FROM panel""".stripMargin,
 
       "ana_trend_slope" ->
         s"""WITH byday AS (

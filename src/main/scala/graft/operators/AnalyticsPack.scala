@@ -1968,4 +1968,93 @@ object AnalyticsPack {
             - (col("n_a") * col("n_b")).cast("double") / 2.0)
             / sqrt(col("__var"))).as("z"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    * the pre-experiment covariate adjustment that shrinks metric
+    * variance by the squared pre/post correlation, so the same
+    * experiment detects smaller lifts (or needs fewer users): each
+    * user's post-period metric Y is replaced by
+    * `Y' = Y − θ·(X − mean(X))` with X the user's PRE-period metric
+    * and `θ = cov(X,Y)/var(X)` fit pooled across arms (the standard
+    * practice — θ from the pooled sample is independent of assignment
+    * under randomization, so the adjustment is unbiased).
+    *
+    * Output: one row per arm — n users, raw mean, adjusted mean, raw
+    * and adjusted population variance, plus the pooled θ and the
+    * variance-reduction share `1 − var'/var` (≈ corr²(X,Y)).
+    *
+    * Scale shape: ONE fact-sized partial agg collapses events to the
+    * per-user (x, y) panel (users without pre-period history take
+    * x = 0 — they contribute their own mean, the standard missing-
+    * covariate rule); the pooled moment pass is a 1-row panel
+    * broadcast back; the per-arm pass aggregates the user panel.
+    * Nothing after the first collapse is fact-sized.
+    *
+    * Engine parity: x/y are exact DECIMAL(18,2) money sums; pooled
+    * moments Σx, Σy, Σxy, Σx² ride exact DECIMAL partials (2dp
+    * products are 4dp — direct-cast-safe, the A19 discipline); θ and
+    * mean are fixed IEEE op sequences. The adjusted value is a
+    * full-entropy double, so it floor-quantizes to the 1e-6 grid
+    * (§5) before its DECIMAL(28,6) partials; its square re-quantizes
+    * after the multiply. Zero pre-period variance yields θ = NULL and
+    * NULL adjusted stats, not a division error.
+    */
+  def cupedReadout(events: DataFrame, variantCol: String,
+                   valueCol: Column, prePred: Column): DataFrame = {
+    def nz(c: Column) = when(c === 0.0, lit(null)).otherwise(c)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val d4 = DecimalType(28, 4)
+    val d6 = DecimalType(28, 6)
+    // fact -> per-user panel: one partial-agg shuffle on the user key
+    // per-user sums narrow back to DECIMAL(18,2) so the moment
+    // products below stay inside precision 38 (the §5 decimal-add
+    // rule: wide-sum arithmetic trips allowPrecisionLoss)
+    val users = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col(variantCol).as("arm"))
+      .agg(
+        coalesce(sum(when(prePred, money(valueCol))), lit(0).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("x"),
+        coalesce(sum(when(!prePred, money(valueCol))), lit(0).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("y"))
+    // pooled 1-row moment panel: theta and mean(x) in fixed IEEE ops
+    val pooled = users.agg(
+        count(lit(1)).as("__n"),
+        sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"),
+        sum((col("x") * col("y")).cast(d4)).as("__sxy"),
+        sum((col("x") * col("x")).cast(d4)).as("__sxx"))
+      .select(
+        (col("__sx").cast("double") / col("__n").cast("double")).as("__mean_x"),
+        ((col("__sxy").cast("double")
+          - col("__sx").cast("double") * col("__sy").cast("double")
+            / col("__n").cast("double"))
+          / nz(col("__sxx").cast("double")
+            - col("__sx").cast("double") * col("__sx").cast("double")
+              / col("__n").cast("double"))).as("theta"))
+    // adjusted per-user values on the 1e-6 grid, then per-arm stats
+    val adj = users.crossJoin(broadcast(pooled))
+      .withColumn("__ya", q6(col("y").cast("double")
+        - col("theta") * (col("x").cast("double") - col("__mean_x"))))
+    adj.groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("theta")).as("theta"),
+        sum(col("y")).as("__sy"),
+        sum((col("y") * col("y")).cast(d4)).as("__syy"),
+        sum(col("__ya").cast(d6)).as("__sa"),
+        sum(q6(col("__ya") * col("__ya")).cast(d6)).as("__saa"))
+      .select(col("arm"), col("n_users"), col("theta"),
+        (col("__sy").cast("double") / col("n_users").cast("double")).as("mean_raw"),
+        (col("__sa").cast("double") / col("n_users").cast("double")).as("mean_adj"),
+        ((col("__syy").cast("double")
+          - col("__sy").cast("double") * col("__sy").cast("double")
+            / col("n_users").cast("double"))
+          / col("n_users").cast("double")).as("var_raw"),
+        ((col("__saa").cast("double")
+          - col("__sa").cast("double") * col("__sa").cast("double")
+            / col("n_users").cast("double"))
+          / col("n_users").cast("double")).as("var_adj"))
+      .withColumn("var_reduction",
+        lit(1.0) - col("var_adj") / nz(col("var_raw")))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit across a star schema.
@@ -230,5 +230,47 @@ object Audit {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("k_anonymous", col("n_rows") >= k)
       .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
+  /** Differentially-private count release (the Laplace mechanism,
+    * Dwork et al. 2006) made DETERMINISTIC: each group's count is
+    * published with Laplace(sensitivity/ε) noise whose draw is a pure
+    * function of the group key — `u` from the md5 uniform, the noise
+    * via the inverse CDF `−b·sign(u−½)·ln(1−2|u−½|)` — so the release
+    * is reproducible across runs, engines and layouts (a re-run can
+    * never leak a fresh draw of the same statistic, which would
+    * compound the privacy budget; the fixed draw spends ε once).
+    *
+    * Output per group: the true count (engineering observability —
+    * the RELEASABLE projection drops `n_rows` and `noise`), the
+    * grid-quantized noise, the noisy count, and the clamped integer
+    * `released_count = max(0, floor(n + noise))` (post-processing
+    * keeps DP).
+    *
+    * Scale shape: ONE partial-agg shuffle collapses the fact to the
+    * group panel; the noise is stateless codegen arithmetic on the
+    * panel. Engine parity: `u = (md5_32 + 0.5)/2³²` is never 0, ½ or
+    * 1 (the ln argument stays in (0,1], the sign total); the `ln`
+    * rides only the panel under the §5 1e-6 floor grid (the PSI/PMI
+    * precedent), the final noise re-quantizes after its multiplies.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double, sensitivity: Double = 1.0): DataFrame = {
+    require(epsilon > 0 && sensitivity > 0,
+      s"epsilon and sensitivity must be positive: $epsilon/$sensitivity")
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val b = sensitivity / epsilon
+    val g = df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val u = (Sampling.md5Long32(groupCols.map(col)).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val sign = when(u < 0.5, lit(-1.0)).otherwise(lit(1.0))
+    val lnq = grid6(log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
+    val noise = grid6(lit(-b) * sign * lnq)
+    g.withColumn("noise", noise)
+      .withColumn("noisy_count", col("n_rows").cast("double") + col("noise"))
+      .withColumn("released_count",
+        greatest(lit(0L), floor(col("noisy_count"))).cast("long"))
   }
 }

@@ -340,6 +340,49 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - z) < 1e-12)
   }
 
+  test("cupedReadout: hand-computed theta, equal means, shrunk variance") {
+    import spark.implicits._
+    // y ~= 2x + arm effect + small noise -> theta = Sxy/Sxx = 810/400
+    val ev = Seq(
+      (1L, "A", 10.0, 1), (1L, "A", 21.0, 0),
+      (2L, "A", 20.0, 1), (2L, "A", 39.0, 0),
+      (3L, "A", 30.0, 1), (3L, "A", 62.0, 0),
+      (4L, "B", 10.0, 1), (4L, "B", 26.0, 0),
+      (5L, "B", 20.0, 1), (5L, "B", 44.0, 0),
+      (6L, "B", 30.0, 1), (6L, "B", 66.0, 0))
+      .toDF("user_id", "variant", "value", "pre")
+    val r = AnalyticsPack.cupedReadout(ev, "variant", col("value"),
+        col("pre") === 1)
+      .orderBy("arm").collect()
+    assert(r.length == 2)
+    val a = r(0); val b = r(1)
+    assert(a.getAs[String]("arm") == "A" && a.getAs[Long]("n_users") == 3L)
+    assert(math.abs(a.getAs[Double]("theta") - 2.025) < 1e-12)
+    // per-arm x means equal the pooled mean here, so the adjustment
+    // preserves each arm's mean (up to the 1e-6 grid)
+    assert(math.abs(a.getAs[Double]("mean_adj") - a.getAs[Double]("mean_raw")) < 1e-5)
+    assert(math.abs(b.getAs[Double]("mean_adj") - b.getAs[Double]("mean_raw")) < 1e-5)
+    // the correlated covariate soaks up most of the variance
+    assert(a.getAs[Double]("var_adj") < a.getAs[Double]("var_raw") / 10)
+    assert(a.getAs[Double]("var_reduction") > 0.9)
+    assert(b.getAs[Double]("var_reduction") > 0.9)
+  }
+
+  test("cupedReadout: zero pre-period variance yields NULL theta, not an error") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", 5.0, 1), (1L, "A", 9.0, 0),
+      (2L, "B", 5.0, 1), (2L, "B", 11.0, 0))
+      .toDF("user_id", "variant", "value", "pre")
+    val r = AnalyticsPack.cupedReadout(ev, "variant", col("value"),
+        col("pre") === 1)
+      .orderBy("arm").collect()
+    assert(r.forall(_.isNullAt(r.head.fieldIndex("theta"))))
+    assert(r.forall(_.isNullAt(r.head.fieldIndex("var_reduction"))))
+    // raw stats still present
+    assert(r.forall(!_.isNullAt(r.head.fieldIndex("mean_raw"))))
+  }
+
   test("newVsReturning: first day is new, later active days are returning") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00")

@@ -559,6 +559,43 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("dpNoisyCounts: noise replays the md5 Laplace draw exactly; clamp holds") {
+    import graft.operators.Audit
+    val rows = (1 to 7).map(i => ("g1", 1L)) ++ Seq(("g2", 2L))
+    val df = rows.toDF("pad", "grp")
+    val got = Audit.dpNoisyCounts(df.select(col("grp")), Seq("grp"),
+        epsilon = 0.5)
+      .collect().map(r => r.getAs[Long]("grp") -> r).toMap
+    // replay the draw driver-side: u from the first 8 md5 hex chars
+    def noiseOf(key: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      val lnq = math.floor(math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1e6) / 1e6
+      val s = if (u < 0.5) -1.0 else 1.0
+      math.floor(-2.0 * s * lnq * 1e6) / 1e6
+    }
+    val g1 = got(1L); val g2 = got(2L)
+    assert(g1.getAs[Long]("n_rows") == 7L && g2.getAs[Long]("n_rows") == 1L)
+    assert(g1.getAs[Double]("noise") == noiseOf("1"))
+    assert(g2.getAs[Double]("noise") == noiseOf("2"))
+    assert(g1.getAs[Double]("noisy_count") == 7.0 + noiseOf("1"))
+    // released counts are floor-clamped at zero
+    assert(got.values.forall(_.getAs[Long]("released_count") >= 0L))
+    assert(g1.getAs[Long]("released_count") ==
+      math.max(0L, math.floor(7.0 + noiseOf("1")).toLong))
+    // a second evaluation is bit-identical (pure function of the key)
+    val again = Audit.dpNoisyCounts(df.select(col("grp")), Seq("grp"),
+        epsilon = 0.5)
+      .collect().map(r => r.getAs[Long]("grp") -> r.getAs[Double]("noise")).toMap
+    assert(again(1L) == g1.getAs[Double]("noise"))
+    // a tighter privacy budget (smaller epsilon) scales noise up
+    val loose = Audit.dpNoisyCounts(df.select(col("grp")), Seq("grp"),
+        epsilon = 2.0)
+      .collect().map(r => r.getAs[Long]("grp") -> r.getAs[Double]("noise")).toMap
+    assert(math.abs(loose(1L)) <= math.abs(g1.getAs[Double]("noise")))
+  }
+
   // ── hotspot clustering ────────────────────────────────────────────
 
   test("hotspotClusters: adjacent dense cells merge, isolated dense cell stands alone, sparse cells drop") {
