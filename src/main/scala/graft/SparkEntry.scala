@@ -1603,6 +1603,20 @@ object SparkEntry {
             least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
         "y", Seq("hr", "dow", "valdec"), rounds = 5)),
 
+    // Gradient-boosted stump regression (squared loss) predicting
+    // event value from the calendar features: 5 shrunk residual-fit
+    // rounds on the collapsed (hr, dow) combo panel; the train_mse
+    // column is the boosting curve. eta=0.25 (dyadic — exact IEEE
+    // scaling, oracle-replayable).
+    "ml_gbt_regression" -> ((s: SparkSession, d: String) =>
+      MlLite.gbtStumpsRegression(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("value").as("y"),
+            hour(col("ts")).cast("long").as("hr"),
+            Temporal.isoDow(col("ts")).cast("long").as("dow")),
+        "y", Seq("hr", "dow"), rounds = 5, eta = 0.25)),
+
     // Decision stump: the best single feature<=threshold split by
     // info gain over the same binned features, with majority leaves
     // and training accuracy — the unit a boosting loop stacks.
@@ -3676,6 +3690,8 @@ object SparkEntry {
 
     "ml_adaboost_stumps" -> adaboostOracleSql(rounds = 5),
 
+    "ml_gbt_regression" -> gbtOracleSql(rounds = 5),
+
     // Audit.kAnonymity mirrored: exact combo populations + distinct
     // sensitive counts, both verdicts.
     "privacy_k_anon_audit" ->
@@ -3935,6 +3951,79 @@ object SparkEntry {
     * and the rescale mass update, then one accuracy row per round
     * over the cumulative ensemble.
     */
+  /** Chained-MATERIALIZED-CTE replay of the gradient-boosted stump
+    * regression (MlLite.gbtStumpsRegression): per round the gridded
+    * residual masses, the prefix-summed split candidates (narrowed to
+    * DECIMAL(18,6) before subtraction — the §5 decimal-add rule), the
+    * SSE-gain argmax with the (gain desc, feature, fval) total order,
+    * the gridded leaf means and the eta-shrunk prediction update;
+    * eta = 0.25 is a dyadic literal so the scaling is exact IEEE on
+    * both engines.
+    */
+  private def gbtOracleSql(rounds: Int): String = {
+    val head =
+      """r0 AS MATERIALIZED (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS yv,
+        |    hour(ts) AS hr, isodow(ts) AS dow
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |c0 AS MATERIALIZED (
+        |  SELECT CAST(hr AS BIGINT) AS hr, CAST(dow AS BIGINT) AS dow,
+        |    COUNT(*) AS n_j,
+        |    CAST(SUM(yv) AS DECIMAL(18,2)) AS sy,
+        |    CAST(SUM(CAST(yv * yv AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS syy
+        |  FROM r0 GROUP BY 1, 2),
+        |f0 AS MATERIALIZED (
+        |  SELECT FLOOR(CAST(SUM(sy) AS DOUBLE) / CAST(SUM(n_j) AS DOUBLE) * 1e6) / 1e6 AS f
+        |  FROM c0),
+        |p0 AS MATERIALIZED (SELECT c0.*, f0.f FROM c0, f0)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""sv$r AS MATERIALIZED (
+         |  SELECT *, FLOOR((CAST(sy AS DOUBLE) - CAST(n_j AS DOUBLE) * f) * 1e6) / 1e6 AS s
+         |  FROM p${r - 1}),
+         |pv$r AS MATERIALIZED (
+         |  SELECT feature, fval, SUM(CAST(s AS DECIMAL(28,6))) AS sr, SUM(n_j) AS nv
+         |  FROM (SELECT s, n_j, 'hr' AS feature, hr AS fval FROM sv$r
+         |        UNION ALL SELECT s, n_j, 'dow', dow FROM sv$r)
+         |  GROUP BY 1, 2),
+         |cd$r AS MATERIALIZED (
+         |  SELECT pv.feature, pv.fval,
+         |    CAST(SUM(sr) OVER (PARTITION BY pv.feature ORDER BY fval ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,6)) AS s_le,
+         |    SUM(nv) OVER (PARTITION BY pv.feature ORDER BY fval ROWS UNBOUNDED PRECEDING) AS n_le,
+         |    t.st, t.nt, t.maxv
+         |  FROM pv$r pv JOIN (
+         |    SELECT feature, CAST(SUM(sr) AS DECIMAL(18,6)) AS st,
+         |      SUM(nv) AS nt, MAX(fval) AS maxv
+         |    FROM pv$r GROUP BY 1) t ON t.feature = pv.feature),
+         |ce$r AS MATERIALIZED (
+         |  SELECT feature, fval,
+         |    CAST(s_le AS DOUBLE) AS sl, CAST(st - s_le AS DOUBLE) AS sg,
+         |    CAST(n_le AS DOUBLE) AS nl, CAST(nt - n_le AS DOUBLE) AS ng
+         |  FROM cd$r WHERE fval < maxv),
+         |bs$r AS MATERIALIZED (
+         |  SELECT feature, fval,
+         |    FLOOR(sl / nl * 1e6) / 1e6 AS gamma_l,
+         |    FLOOR(sg / ng * 1e6) / 1e6 AS gamma_r
+         |  FROM ce$r
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    ORDER BY sl * sl / nl + sg * sg / ng DESC, feature, fval) = 1),
+         |p$r AS MATERIALIZED (
+         |  SELECT p.hr, p.dow, p.n_j, p.sy, p.syy,
+         |    p.f + (CASE WHEN (CASE b.feature WHEN 'hr' THEN p.hr ELSE p.dow END) <= b.fval
+         |           THEN 0.25 * b.gamma_l ELSE 0.25 * b.gamma_r END) AS f
+         |  FROM p${r - 1} p, bs$r b)""".stripMargin
+    }
+    val finalRows = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, b.feature, CAST(b.fval AS BIGINT) AS threshold,
+         |  b.gamma_l AS gamma_left, b.gamma_r AS gamma_right,
+         |  (SELECT CAST(SUM(CAST(FLOOR((CAST(syy AS DOUBLE) - 2.0 * f * CAST(sy AS DOUBLE)
+         |       + CAST(n_j AS DOUBLE) * f * f) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+         |     / CAST(SUM(n_j) AS DOUBLE) FROM p$r) AS train_mse
+         |FROM bs$r b""".stripMargin
+    }
+    s"""WITH ${(head +: iters).mkString(",\n")}
+       |${finalRows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def adaboostOracleSql(rounds: Int): String = {
     val head =
       """r0 AS MATERIALIZED (

@@ -600,6 +600,118 @@ object MlLite {
     rows.reduce(_ unionByName _)
   }
 
+  /** GRADIENT-BOOSTED stump REGRESSION (squared loss) — the
+    * regression sibling of [[adaboostStumps]], run on the same
+    * collapsed feature-combo panel: because every row sharing a
+    * feature combo receives the SAME ensemble prediction, the model
+    * state is one double per distinct combo (≤ Π |bins| rows) and
+    * each boosting round is panel math after ONE data scan.
+    *
+    * Per round (classic least-squares boosting, Friedman 2001): the
+    * per-combo residual mass `s_j = Σy_j − n_j·F_j`, the best
+    * `feature ≤ threshold` split by the SSE-reduction score
+    * `s_L²/n_L + s_R²/n_R` (ties → feature, threshold), leaf values
+    * `γ = s/n` (the residual means), and the shrunk update
+    * `F ← F + η·γ_leaf`. The driver sees one scalar row per round
+    * (the adaboost/kmeans recurrence discipline).
+    *
+    * Engine parity: per-combo Σy / Σy² are exact DECIMAL money sums;
+    * residual masses are full-entropy doubles so they floor-quantize
+    * to the 1e-6 grid before their DECIMAL(28,6) partials (§5, with
+    * the prefix sums narrowed to DECIMAL(18,6) before subtraction —
+    * the decimal-add precision rule); γ quantizes after its division,
+    * η must be dyadic (default ¼) so `η·γ` is an exact IEEE scaling;
+    * the tracked MSE is the same quantize-then-sum shape.
+    *
+    * Output: one row per round — round, feature, threshold,
+    * gamma_left, gamma_right, and the ensemble's training MSE after
+    * the update (the boosting curve a learning-rate choice reads).
+    */
+  def gbtStumpsRegression(df: DataFrame, yCol: String,
+                          featureCols: Seq[String], rounds: Int,
+                          eta: Double = 0.25): DataFrame = {
+    require(featureCols.nonEmpty && rounds >= 1,
+      s"gbt needs features and rounds >= 1: $featureCols, $rounds")
+    require(eta > 0 && eta <= 1 &&
+        java.lang.Double.doubleToLongBits(eta) ==
+          java.lang.Double.doubleToLongBits(
+            math.pow(2, math.getExponent(eta))),
+      s"eta must be a positive power of two (exact IEEE scaling): $eta")
+    val d4 = DecimalType(28, 4)
+    val d18 = DecimalType(18, 6)
+    val money = (c: Column) =>
+      graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
+    val combos = df
+      .filter(col(yCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(featureCols.map(f => col(f).cast("long").as(f)): _*)
+      .agg(count(lit(1)).as("n_j"),
+        sum(money(col(yCol))).cast(DecimalType(18, 2)).as("sy"),
+        sum((money(col(yCol)) * money(col(yCol))).cast(d4)).cast(d4).as("syy"))
+      .localCheckpoint(true)
+    val tot = combos.agg(sum(col("n_j")).as("n"),
+        sum(col("sy")).cast("double").as("sy")).collect().head
+    val f0 = math.floor(tot.getAs[Double]("sy") /
+      tot.getAs[Long]("n").toDouble * 1e6) / 1e6
+    var panel = combos.withColumn("f", lit(f0)).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Double, Double, Double)]
+    for (r <- 1 to rounds) {
+      val resid = panel.withColumn("s",
+        q6(col("sy").cast("double") - col("n_j").cast("double") * col("f")))
+      val perVal = resid.select(col("s"), col("n_j"),
+          explode(array(featureCols.map(f =>
+            struct(lit(f).as("feature"), col(f).as("fval"))): _*)).as("fx"))
+        .groupBy(col("fx.feature").as("feature"), col("fx.fval").as("fval"))
+        .agg(sum(col("s").cast(D6)).as("sr"), sum(col("n_j")).as("nv"))
+      val wf = Window.partitionBy(col("feature")).orderBy(col("fval"))
+      val totals = perVal.groupBy(col("feature"))
+        .agg(sum(col("sr")).cast(d18).as("st"), sum(col("nv")).as("nt"),
+          max(col("fval")).as("__maxv"))
+      val cand = perVal
+        .withColumn("s_le", sum(col("sr")).over(
+          wf.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(d18))
+        .withColumn("n_le", sum(col("nv")).over(
+          wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(totals), Seq("feature"))
+        .filter(col("fval") < col("__maxv"))
+        .withColumn("sl", col("s_le").cast("double"))
+        .withColumn("sg", (col("st") - col("s_le")).cast("double"))
+        .withColumn("nl", col("n_le").cast("double"))
+        .withColumn("ng", (col("nt") - col("n_le")).cast("double"))
+        .withColumn("gain",
+          col("sl") * col("sl") / col("nl") + col("sg") * col("sg") / col("ng"))
+        .withColumn("gamma_l", q6(col("sl") / col("nl")))
+        .withColumn("gamma_r", q6(col("sg") / col("ng")))
+      val rank = Window.orderBy(col("gain").desc, col("feature"), col("fval"))
+      val bestRows = cand.withColumn("__rk", row_number().over(rank))
+        .filter(col("__rk") === 1)
+        .select(col("feature"), col("fval"), col("gamma_l"), col("gamma_r"))
+        .collect()
+      require(bestRows.nonEmpty,
+        "gbt: no candidate split (every feature has a single bin)")
+      val best = bestRows.head
+      val (feat, thr) = (best.getAs[String]("feature"), best.getAs[Long]("fval"))
+      val (gl, gr) = (best.getAs[Double]("gamma_l"), best.getAs[Double]("gamma_r"))
+      panel = panel.withColumn("f",
+          col("f") + when(col(feat) <= thr, lit(eta * gl))
+            .otherwise(lit(eta * gr)))
+        .localCheckpoint(true)
+      val mse = panel.agg(
+          (sum(q6(col("syy").cast("double")
+            - lit(2.0) * col("f") * col("sy").cast("double")
+            + col("n_j").cast("double") * col("f") * col("f")).cast(D6))
+            .cast("double") / sum(col("n_j")).cast("double")).as("mse"))
+        .collect().head.getAs[Double]("mse")
+      out += ((r, feat, thr, gl, gr, mse))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("round", "feature", "threshold",
+      "gamma_left", "gamma_right", "train_mse")
+  }
+
   /** Precision/recall curve of the [[logisticRegression]] fit: one
     * row per decision threshold with exact confusion counts and the
     * derived precision, recall and F1 — the operating-point menu a

@@ -559,6 +559,35 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("gbtStumpsRegression: residual recurrence replayed by hand; mse decays geometrically") {
+    val df = Seq((10.0, 0L), (10.0, 0L), (20.0, 1L), (20.0, 1L))
+      .toDF("y", "x")
+    val got = MlLite.gbtStumpsRegression(df, "y", Seq("x"), rounds = 3, eta = 0.25)
+      .orderBy("round").collect()
+    assert(got.length == 3)
+    // f0 = 15; round 1 residual sums are -10/+10 over 2 rows each
+    val r1 = got(0)
+    assert(r1.getAs[String]("feature") == "x" && r1.getAs[Long]("threshold") == 0L)
+    assert(r1.getAs[Double]("gamma_left") == -5.0)
+    assert(r1.getAs[Double]("gamma_right") == 5.0)
+    // after the eta=1/4 update F = (13.75, 16.25): mse = 3.75^2
+    assert(math.abs(r1.getAs[Double]("train_mse") - 14.0625) < 1e-9)
+    // residuals shrink by (1 - eta) per round -> gamma and mse follow
+    val r2 = got(1)
+    assert(r2.getAs[Double]("gamma_left") == -3.75)
+    // mse terms floor onto the 1e-6 grid -> tolerance one grid step
+    assert(math.abs(r2.getAs[Double]("train_mse") - 25.0 * math.pow(0.5625, 2)) < 1e-6)
+    assert(got.map(_.getAs[Double]("train_mse")).sliding(2)
+      .forall(p => p(1) < p(0)))
+  }
+
+  test("gbtStumpsRegression: non-dyadic eta is rejected") {
+    val df = Seq((1.0, 0L), (2.0, 1L)).toDF("y", "x")
+    intercept[IllegalArgumentException] {
+      MlLite.gbtStumpsRegression(df, "y", Seq("x"), rounds = 1, eta = 0.3)
+    }
+  }
+
   test("dpNoisyCounts: noise replays the md5 Laplace draw exactly; clamp holds") {
     import graft.operators.Audit
     val rows = (1 to 7).map(i => ("g1", 1L)) ++ Seq(("g2", 2L))
