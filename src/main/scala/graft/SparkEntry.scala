@@ -1603,6 +1603,14 @@ object SparkEntry {
             least(lit(9L), floor(col("value") / 10).cast("long")).as("valdec")),
         "y", Seq("hr", "dow", "valdec"), rounds = 5)),
 
+    // Leave-one-out target encoding of the high-cardinality customer
+    // key against order value (smoothing m=20): the encoded column a
+    // downstream fit consumes, own label excluded, rare categories
+    // shrunk to the prior.
+    "ml_target_encode" -> ((s: SparkSession, d: String) =>
+      MlLite.targetEncode(t(s, d, "orders"),
+        "o_orderkey", "o_custkey", "o_totalprice", smoothing = 20.0)),
+
     // Gradient-boosted stump regression (squared loss) predicting
     // event value from the calendar features: 5 shrunk residual-fit
     // rounds on the collapsed (hr, dow) combo panel; the train_mse
@@ -3691,6 +3699,22 @@ object SparkEntry {
     "ml_adaboost_stumps" -> adaboostOracleSql(rounds = 5),
 
     "ml_gbt_regression" -> gbtOracleSql(rounds = 5),
+
+    // LOO target encoding replay: decimal-exact category sums, the
+    // subtract-in-decimal-then-cast encode, raw-quotient prior.
+    "ml_target_encode" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_custkey AS cat,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS yv
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cats AS (
+        |  SELECT cat, COUNT(*) AS n_cat, CAST(SUM(yv) AS DECIMAL(18,2)) AS sy_cat
+        |  FROM base GROUP BY 1),
+        |g AS (SELECT CAST(SUM(yv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS prior FROM base)
+        |SELECT b.id, b.cat, CAST(b.yv AS DOUBLE) AS y, c.n_cat, g.prior,
+        |  (CAST(c.sy_cat - b.yv AS DOUBLE) + 20.0 * g.prior)
+        |    / (CAST(c.n_cat - 1 AS DOUBLE) + 20.0) AS encoded
+        |FROM base b JOIN cats c ON c.cat = b.cat, g""".stripMargin,
 
     // Audit.kAnonymity mirrored: exact combo populations + distinct
     // sensitive counts, both verdicts.

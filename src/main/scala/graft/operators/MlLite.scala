@@ -600,6 +600,52 @@ object MlLite {
     rows.reduce(_ unionByName _)
   }
 
+  /** Smoothed LEAVE-ONE-OUT target encoding — the feature-engineering
+    * move that turns a high-cardinality categorical into one numeric
+    * column (the mean target of the category) WITHOUT leaking each
+    * row's own label into its own feature:
+    *
+    *   enc_i = (Σy(cat) − y_i + m·ȳ) / (n(cat) − 1 + m)
+    *
+    * — own-row excluded (the LOO rule; naive mean encoding leaks the
+    * label and a downstream fit overfits on it), shrunk toward the
+    * global prior ȳ by the smoothing pseudo-count m so rare
+    * categories don't encode as their own noise (a singleton encodes
+    * exactly as the prior's IEEE quotient).
+    *
+    * Scale shape: ONE category-keyed partial agg builds the (n, Σy)
+    * panel (broadcast while small, co-keyed shuffle at scale — no
+    * forced hint), the 1-row global panel broadcasts, the encode is
+    * a stateless codegen pass over the fact. Engine parity: Σy are
+    * exact DECIMAL(18,2) money sums, the encode is one fixed IEEE op
+    * sequence over exact operands (subtract in decimal, then cast),
+    * the prior a raw quotient.
+    */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+                   yCol: String, smoothing: Double = 20.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive: $smoothing")
+    val money = (c: Column) =>
+      graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
+    val base = df.filter(col(catCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).as("id"), col(catCol).as("cat"),
+        money(col(yCol)).as("yv"))
+    val cats = base.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_cat"),
+        sum(col("yv")).cast(DecimalType(18, 2)).as("sy_cat"))
+    val global = base.agg(
+        (sum(col("yv")).cast("double") / count(lit(1)).cast("double"))
+          .as("prior"))
+    base.join(cats, Seq("cat"))
+      .crossJoin(broadcast(global))
+      .select(col("id"), col("cat"),
+        col("yv").cast("double").as("y"),
+        col("n_cat"), col("prior"),
+        (((col("sy_cat") - col("yv")).cast("double")
+          + lit(smoothing) * col("prior"))
+          / ((col("n_cat") - lit(1L)).cast("double") + lit(smoothing)))
+          .as("encoded"))
+  }
+
   /** GRADIENT-BOOSTED stump REGRESSION (squared loss) — the
     * regression sibling of [[adaboostStumps]], run on the same
     * collapsed feature-combo panel: because every row sharing a

@@ -559,6 +559,22 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("targetEncode: own label excluded, singleton encodes as the prior") {
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("id", "cat", "y")
+    val got = MlLite.targetEncode(df, "id", "cat", "y", smoothing = 2.0)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // prior = 60/3 = 20
+    assert(got(1L).getAs[Double]("prior") == 20.0)
+    // LOO for (A, 10): (30-10 + 2*20)/(1+2) = 20 — its own 10 excluded
+    assert(got(1L).getAs[Double]("encoded") == 20.0)
+    // LOO for (A, 20): (30-20 + 40)/3
+    assert(math.abs(got(2L).getAs[Double]("encoded") - 50.0 / 3) < 1e-12)
+    // singleton B: (0 + 2*20)/(0+2) = the prior exactly
+    assert(got(3L).getAs[Double]("encoded") == 20.0)
+    assert(got(3L).getAs[Long]("n_cat") == 1L)
+  }
+
   test("gbtStumpsRegression: residual recurrence replayed by hand; mse decays geometrically") {
     val df = Seq((10.0, 0L), (10.0, 0L), (20.0, 1L), (20.0, 1L))
       .toDF("y", "x")
