@@ -1101,6 +1101,16 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // 2-D Pareto skyline of the parts catalog: cheapest-for-the-size
+    // frontier (price lower-better, size higher-better) — every part
+    // flagged, dominance derived from the distributed prefix max.
+    "ana_skyline_parts" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.skyline2d(
+        t(s, d, "part").select(col("p_partkey").as("id"),
+          col("p_retailprice").as("x"),
+          col("p_size").cast("long").as("y")),
+        "x", "y")),
+
     // CUPED variance-reduced readout over the same md5 A/B split:
     // pre-period (date_sk < 20240115) user spend as the covariate,
     // pooled theta, per-arm raw vs adjusted mean/variance and the
@@ -4760,6 +4770,25 @@ object SparkEntry {
            |SELECT agg.*,
            |  (mean_treat_post - mean_treat_pre) - (mean_ctrl_post - mean_ctrl_pre) AS did_estimate
            |FROM agg""".stripMargin,
+
+      // Skyline replay: the declarative dominance form (per-x maxima
+      // + the strictly-below-x running max) — two different
+      // algorithms, identical rows; comparisons only, no arithmetic.
+      "ana_skyline_parts" ->
+        """WITH pts AS (
+          |  SELECT p_partkey AS id, p_retailprice AS x, CAST(p_size AS BIGINT) AS y
+          |  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+          |panel AS (
+          |  SELECT x, MAX(y) AS max_y_at_x FROM pts GROUP BY 1),
+          |panel2 AS (
+          |  SELECT x, max_y_at_x,
+          |    MAX(max_y_at_x) OVER (ORDER BY x
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_y_below_x
+          |  FROM panel)
+          |SELECT p.id, p.x, p.y, q.max_y_at_x, q.max_y_below_x,
+          |  NOT ((q.max_y_below_x IS NOT NULL AND q.max_y_below_x >= p.y)
+          |       OR q.max_y_at_x > p.y) AS is_skyline
+          |FROM pts p JOIN panel2 q ON q.x = p.x""".stripMargin,
 
       // CUPED replay: the same md5 split, per-user pre/post money
       // sums narrowed to DECIMAL(18,2), pooled theta from exact

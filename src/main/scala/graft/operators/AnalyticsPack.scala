@@ -1969,6 +1969,41 @@ object AnalyticsPack {
             / sqrt(col("__var"))).as("z"))
   }
 
+  /** 2-D Pareto-frontier (SKYLINE) flags — which rows are
+    * NON-DOMINATED under "x lower is better, y higher is better"
+    * (the classic price/quality trade-off query; a row is dominated
+    * when some other row is at least as good on both axes and
+    * strictly better on one). Every input row is emitted with its
+    * verdict plus the two panel maxima the verdict derives from —
+    * the audit-panel convention.
+    *
+    * Scale shape: the fact collapses to the per-x panel (one
+    * partial-agg shuffle), the running maximum over x rides the
+    * DISTRIBUTED two-phase prefix max ([[PrefixSum.globalOrderedMax]]
+    * — never a single-partition window over the distinct-x relation),
+    * the strictly-below-x maximum comes from the rank→rank+1 co-keyed
+    * self-join (the W₁ consecutive-gap precedent, never a global
+    * LAG), and the verdict joins back to the fact on the x key.
+    * Engine parity: comparisons only — no arithmetic anywhere, so
+    * any comparable x/y types replay exactly.
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val panel = base.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("max_y_at_x"))
+    val ranked = PrefixSum.globalOrderedMax(panel, Seq(col("__x")), "max_y_at_x")
+    val prev = ranked.select((col("row_rank") + 1L).as("row_rank"),
+      col("prefix_max").as("max_y_below_x"))
+    val xinfo = ranked.join(prev.hint("shuffle_hash"), Seq("row_rank"), "left")
+      .select(col("__x"), col("max_y_at_x"), col("max_y_below_x"))
+    base.join(xinfo, col(xCol) === col("__x"))
+      .withColumn("is_skyline",
+        !((col("max_y_below_x").isNotNull &&
+            col("max_y_below_x") >= col(yCol)) ||
+          col("max_y_at_x") > col(yCol)))
+      .drop("__x")
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. 2013) —
     * the pre-experiment covariate adjustment that shrinks metric
     * variance by the squared pre/post correlation, so the same

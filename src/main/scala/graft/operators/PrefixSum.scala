@@ -37,6 +37,43 @@ object PrefixSum {
     globalOrderedN(df, orderCols, Seq(valueCol), nRangeParts)
       .withColumnRenamed(s"prefix_$valueCol", "prefix_sum")
 
+  /** Distributed global ordered prefix MAX — the running-maximum
+    * sibling of [[globalOrderedN]] (same two-phase shape: range
+    * partition, local running max, per-partition max panel turned
+    * into broadcast offsets combined with `greatest`). Max is
+    * associative, commutative and EXACT on every comparable type —
+    * unlike the sum variant it is order-safe even on raw doubles.
+    * Emits `prefix_max` (running max of `valueCol` in `orderCols`
+    * order, current row included) and `row_rank`; the first range
+    * partition's offset is NULL and `greatest` skips it.
+    */
+  def globalOrderedMax(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                       nRangeParts: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty, "globalOrderedMax needs an order")
+    require(nRangeParts >= 1, s"nRangeParts=$nRangeParts must be positive")
+    // same eager-materialization rule as globalOrderedN: both branches
+    // must see one sampled range layout
+    val local = df.repartitionByRange(nRangeParts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = local
+      .withColumn("__local_n", count(lit(1)).over(w))
+      .withColumn("__local_max", max(col(valueCol)).over(w))
+    val wp = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__part_n"), max(col(valueCol)).as("__part_max"))
+      .select(col("__pid"),
+        coalesce(sum(col("__part_n")).over(wp), lit(0L)).as("__offset_n"),
+        max(col("__part_max")).over(wp).as("__offset_max"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn("prefix_max", greatest(col("__local_max"), col("__offset_max")))
+      .withColumn("row_rank", (col("__local_n") + col("__offset_n")).cast("long"))
+      .drop("__pid", "__local_n", "__local_max", "__offset_n", "__offset_max")
+  }
+
   /** Multi-column variant: one ranged materialization, one offsets
     * panel, a running total per value column (`prefix_<name>`) — for
     * consumers that need several aligned prefixes over the same order

@@ -340,6 +340,37 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - z) < 1e-12)
   }
 
+  test("globalOrderedMax equals the naive running-max window; ranks dense") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    val df = Seq((5L, 3.0), (1L, 9.0), (3L, 2.0), (2L, 4.0), (4L, 11.0))
+      .toDF("k", "v").repartition(3)
+    val got = PrefixSum.globalOrderedMax(df, Seq(col("k")), "v", nRangeParts = 2)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("prefix_max"),
+        r.getAs[Long]("row_rank")))
+    assert(got.toSeq == Seq((1L, 9.0, 1L), (2L, 9.0, 2L), (3L, 9.0, 3L),
+      (4L, 11.0, 4L), (5L, 11.0, 5L)))
+  }
+
+  test("skyline2d: dominated rows flagged, duplicates both survive, frontier exact") {
+    import spark.implicits._
+    import graft.operators.AnalyticsPack
+    val pts = Seq(
+      (1L, 1.0, 5L),  // frontier (cheapest)
+      (2L, 2.0, 7L),  // frontier (better y for more x)
+      (3L, 2.0, 6L),  // dominated by id 2 (same x, higher y)
+      (4L, 3.0, 7L),  // dominated by id 2 (smaller x, equal y)
+      (5L, 3.0, 9L),  // frontier
+      (6L, 4.0, 9L),  // dominated by id 5 (smaller x, equal y)
+      (7L, 1.0, 5L))  // exact duplicate of id 1: neither dominates -> both stay
+      .toDF("id", "x", "y")
+    val got = AnalyticsPack.skyline2d(pts, "x", "y")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_skyline")).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true))
+  }
+
   test("cupedReadout: hand-computed theta, equal means, shrunk variance") {
     import spark.implicits._
     // y ~= 2x + arm effect + small noise -> theta = Sxy/Sxx = 810/400
