@@ -274,6 +274,186 @@ object VersionedTable {
     else minM.get <= value && value <= maxM.get
   }
 
+  /** MERGE INTO (copy-on-write upsert): each source row REPLACES the
+    * target row with the same integral `keyCol` (whole-row update) or
+    * INSERTS if the key is new, committed as one new version. The
+    * target stays unique on `keyCol` if it was before — merge is the
+    * maintenance operation that KEEPS a versioned table keyed.
+    *
+    * Copy-on-write targeting reuses the readers' pruning evidence:
+    * segments whose stats range cannot intersect the source-key range
+    * are cleared on the driver; segments with a bloom sidecar are
+    * cleared by ONE distributed membership job (source keys probe
+    * every candidate bloom; output is at most one row per segment —
+    * never a key list at the driver). Only the surviving segments are
+    * rewritten — merged into a SINGLE fresh segment together with the
+    * source rows (their replaced rows dropped by a left-anti join) —
+    * so upserting a small batch into a 10k-segment table rewrites the
+    * handful of segments the sidecars cannot clear, and everything
+    * else carries forward BY REFERENCE. A crash mid-rewrite leaves
+    * only invisible orphans; the manifest publish is the commit point.
+    *
+    * Contract: source must be non-null and UNIQUE on `keyCol` (checked
+    * with one aggregate job — duplicate-key merges are ambiguous and
+    * fail loudly, the standard MERGE rule) and carry exactly the
+    * target's columns. Txn markers carry forward and `txn` merges in,
+    * so an idempotent streaming merge sink works unchanged.
+    * Returns (version, segments rewritten, rows updated, rows
+    * inserted); an empty source commits nothing.
+    */
+  def merge(spark: SparkSession, dir: String, source: DataFrame, keyCol: String,
+            statsCol: Option[String] = None,
+            bloomCol: Option[String] = None,
+            txn: Option[(String, Long)] = None): (Long, Int, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    statsCol.foreach(requireJsonSafe(_, "statsCol"))
+    bloomCol.foreach(requireJsonSafe(_, "bloomCol"))
+    txn.foreach(t => requireJsonSafe(t._1, "txn writer id"))
+    val hfs = fs(spark, dir)
+    val cur = versions(hfs, dir).maxOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    val prevJson = manifestJson(hfs, dir, cur)
+    val target = read(spark, dir, Some(cur))
+    require(source.columns.toSet == target.columns.toSet,
+      s"merge source columns ${source.columns.sorted.mkString(",")} must equal " +
+        s"target columns ${target.columns.sorted.mkString(",")}")
+    val cols = target.columns.toSeq
+    val src = source.select(cols.map(col): _*).localCheckpoint(true)
+    // one panel job: row count, null-key count, key distinctness, key range
+    val p = src.agg(count(lit(1)), count(col(keyCol)), countDistinct(col(keyCol)),
+      min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double")).head()
+    val srcN = p.getLong(0)
+    if (srcN == 0) return (cur, 0, 0L, 0L)
+    require(p.getLong(1) == srcN, s"merge source has NULL $keyCol keys")
+    require(p.getLong(2) == srcN,
+      s"merge source is not unique on $keyCol (${srcN - p.getLong(2)} duplicate rows)")
+    val (srcLo, srcHi) = (p.getDouble(3), p.getDouble(4))
+    // driver-side range clearing, then one distributed bloom-probe job
+    val segs = segmentNames(prevJson)
+    val rangeSurvivors = segs.filter { s =>
+      val sp = new HPath(s"$dir/data/$s/_graft_stats.json")
+      if (!hfs.exists(sp)) true
+      else {
+        val json = readText(hfs, sp)
+        val colM = """"column"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        val minM = DoubleField("min").findFirstMatchIn(json).map(_.group(1).toDouble)
+        val maxM = DoubleField("max").findFirstMatchIn(json).map(_.group(1).toDouble)
+        if (!colM.contains(keyCol) || minM.isEmpty || maxM.isEmpty) true
+        else maxM.get >= srcLo && minM.get <= srcHi
+      }
+    }
+    val bloomBytes: Map[String, Array[Byte]] = rangeSurvivors.flatMap { s =>
+      val bp = new HPath(s"$dir/data/$s/_graft_bloom.json")
+      if (!hfs.exists(bp)) None
+      else {
+        val json = readText(hfs, bp)
+        val colM = """"column"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        val bitsM = """"bits_b64"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        if (colM.contains(keyCol) && bitsM.isDefined)
+          Some(s -> java.util.Base64.getDecoder.decode(bitsM.get))
+        else None
+      }
+    }.toMap
+    val bloomHit: Set[String] =
+      if (bloomBytes.isEmpty) Set.empty
+      else {
+        val bc = spark.sparkContext.broadcast(bloomBytes)
+        src.select(col(keyCol).cast("long")).distinct().rdd
+          .mapPartitions { it =>
+            val filters = bc.value.map { case (s, b) =>
+              s -> graft.expressions.BloomKernels.deserialize(b)
+            }
+            val hit = scala.collection.mutable.Set[String]()
+            it.foreach { r =>
+              val k = r.getLong(0)
+              filters.foreach { case (s, f) =>
+                if (!hit(s) && f.mightContainLong(k)) hit += s
+              }
+            }
+            hit.iterator
+          }.distinct().collect().toSet
+      }
+    val affected = rangeSurvivors.filter(s => !bloomBytes.contains(s) || bloomHit(s))
+    val untouched = segs.filterNot(affected.contains)
+    val v = cur + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val newSeg = s"c$v-$nonce-m"
+    val (matchedN, rewriteData) =
+      if (affected.isEmpty) (0L, src)
+      else {
+        val affectedDf = spark.read.option("mergeSchema", "true")
+          .parquet(affected.map(s => s"$dir/data/$s"): _*)
+        val srcKeys = src.select(col(keyCol))
+        val m = affectedDf.join(srcKeys, Seq(keyCol), "left_semi").count()
+        (m, affectedDf.select(cols.map(col): _*)
+          .join(srcKeys, Seq(keyCol), "left_anti")
+          .select(cols.map(col): _*).unionByName(src))
+      }
+    rewriteData.write.mode("errorifexists").option("compression", "zstd")
+      .parquet(s"$dir/data/$newSeg")
+    statsCol.foreach(writeStatsSidecar(spark, hfs, dir, newSeg, _))
+    bloomCol.foreach(writeBloomSidecar(spark, hfs, dir, newSeg, _))
+    val mergedTxns = txn.foldLeft(txnsOf(prevJson)) {
+      case (m, (app, seq)) => m.updated(app, math.max(seq, m.getOrElse(app, Long.MinValue)))
+    }
+    val segsJson = (untouched :+ newSeg).map(s => s""""$s"""").mkString("[", ", ", "]")
+    val txnsJson =
+      if (mergedTxns.isEmpty) ""
+      else mergedTxns.toSeq.sortBy(_._1)
+        .map { case (a, s) => s""""$a": $s""" }
+        .mkString(""", "txns": {""", ", ", "}")
+    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
+      new HPath(s"$dir/_graft_log/$v.json"),
+      s"""{"version": $v, "mode": "merge", "segments": $segsJson$txnsJson}""")
+    (v, affected.size, matchedN, srcN - matchedN)
+  }
+
+  /** Change data feed between two committed versions, for a table kept
+    * UNIQUE on `keyCol` (i.e. maintained through [[merge]] /
+    * [[deleteWhere]] / overwrite commits): INSERT / DELETE / UPDATE
+    * rows with `old_` / `new_` attribute pairs, exactly
+    * [[graft.operators.Cdc.snapshotDiff]] semantics.
+    *
+    * The lakehouse trick: segments are IMMUTABLE, so any row living in
+    * a segment both manifests share cannot have changed — the diff
+    * reads ONLY the segments the two manifests do NOT share (for a
+    * small merge that is one rewritten + one fresh segment, however
+    * large the table), then runs the keyed full-outer compare on that
+    * bounded slice. On a table that is not key-unique between the two
+    * versions the feed is as undefined as any keyed diff would be.
+    * Schema evolution: attributes are taken from the NEWER version;
+    * the older side NULL-fills columns it predates (an added-column
+    * transition therefore reports as an UPDATE only where a real
+    * value appeared — NULL to NULL is no change).
+    */
+  def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
+                 toVersion: Long, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion < toVersion,
+      s"changeFeed: fromVersion=$fromVersion must precede toVersion=$toVersion")
+    val oldSegs = segments(spark, dir, fromVersion)
+    val newSegs = segments(spark, dir, toVersion)
+    val removed = oldSegs.filterNot(newSegs.contains)
+    val added = newSegs.filterNot(oldSegs.contains)
+    val newShape = read(spark, dir, Some(toVersion))
+    val attrs = newShape.columns.toSeq.filterNot(_ == keyCol)
+    def side(onlySegs: Seq[String], shapeOf: Long): DataFrame = {
+      val df =
+        if (onlySegs.isEmpty) read(spark, dir, Some(shapeOf)).filter(lit(false))
+        else spark.read.option("mergeSchema", "true")
+          .parquet(onlySegs.map(s => s"$dir/data/$s"): _*)
+      // align to the newer version's shape; predated columns NULL-fill
+      val have = df.columns.toSet
+      val aligned = (keyCol +: attrs).map { c =>
+        if (have(c)) col(c)
+        else lit(null).cast(newShape.schema(c).dataType).as(c)
+      }
+      df.select(aligned: _*)
+    }
+    graft.operators.Cdc.snapshotDiff(
+      side(removed, fromVersion), side(added, toVersion), Seq(keyCol), attrs)
+  }
+
   def optimizeCompact(spark: SparkSession, dir: String,
                       statsCol: Option[String] = None,
                       bloomCol: Option[String] = None): Long =

@@ -313,4 +313,81 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(VersionedTable.read(spark, dir).filter(col("uid") === 15L).count() == 0)
   }
+
+  test("merge: copy-on-write upsert rewrites only sidecar-targeted segments") {
+    val dir = Files.createTempDirectory("graft_vt_merge").toString
+    // three range-clustered segments with stats + bloom sidecars on k
+    for (lo <- Seq(1L, 11L, 21L))
+      VersionedTable.commit((lo to lo + 9).map(k => (k, s"v$k")).toDF("k", "v"),
+        dir, statsCol = Some("k"), bloomCol = Some("k"))
+    def segDirs(files: Set[String]) =
+      files.map(f => f.substring(0, f.lastIndexOf('/')))
+    val f2 = VersionedTable.read(spark, dir, Some(2L)).inputFiles.toSet
+    val (v, rewritten, updated, inserted) = VersionedTable.merge(spark, dir,
+      Seq((15L, "NEW15"), (16L, "NEW16"), (99L, "NEW99")).toDF("k", "v"), "k",
+      statsCol = Some("k"), bloomCol = Some("k"))
+    // keys 15/16 land in the middle segment's range only; 99 is new
+    assert(v == 3L && rewritten == 1 && updated == 2L && inserted == 1L)
+    val cur = VersionedTable.read(spark, dir)
+    assert(cur.count() == 31)
+    val byK = cur.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byK(15L) == "NEW15" && byK(16L) == "NEW16" && byK(99L) == "NEW99")
+    assert(byK(1L) == "v1" && byK(21L) == "v21") // untouched rows intact
+    // by-reference carry: two untouched segments share physical files
+    // across versions; exactly one fresh merge segment appears
+    val f3 = cur.inputFiles.toSet
+    assert(segDirs(f2 intersect f3).size == 2)
+    assert(segDirs(f3 -- f2).size == 1)
+    assert(VersionedTable.history(spark, dir).last._2 == "merge")
+    // time travel: pre-merge snapshot unchanged
+    assert(VersionedTable.read(spark, dir, Some(2L)).count() == 30)
+    // an all-new-key merge rewrites nothing (pure insert segment)
+    val (v4, rw4, up4, ins4) = VersionedTable.merge(spark, dir,
+      Seq((200L, "x")).toDF("k", "v"), "k",
+      statsCol = Some("k"), bloomCol = Some("k"))
+    assert(v4 == 4L && rw4 == 0 && up4 == 0L && ins4 == 1L)
+    assert(VersionedTable.read(spark, dir).count() == 32)
+    // duplicate-key and null-key sources fail loudly (ambiguous MERGE)
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, Seq((1L, "a"), (1L, "b")).toDF("k", "v"), "k")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq((Some(1L), "a"), (None, "b")).toDF("k", "v"), "k")
+    }
+    // txn markers merge in and carry forward through a merge commit
+    VersionedTable.merge(spark, dir, Seq((15L, "AGAIN")).toDF("k", "v"), "k",
+      statsCol = Some("k"), bloomCol = Some("k"), txn = Some(("upserter", 3L)))
+    assert(VersionedTable.lastTxnVersion(spark, dir, "upserter").contains(3L))
+  }
+
+  test("changeFeed: version-to-version CDC reads only manifest-delta segments") {
+    val dir = Files.createTempDirectory("graft_vt_cdf").toString
+    VersionedTable.commit((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, statsCol = Some("k"), bloomCol = Some("k")) // v0
+    VersionedTable.commit((11L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, statsCol = Some("k"), bloomCol = Some("k")) // v1
+    VersionedTable.merge(spark, dir,
+      Seq((5L, "NEW5"), (99L, "N99")).toDF("k", "v"), "k",
+      statsCol = Some("k"), bloomCol = Some("k")) // v2
+    val feed = VersionedTable.changeFeed(spark, dir, 1L, 2L, "k")
+    val rows = feed.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (5L, "UPDATE", Some("v5"), Some("NEW5")),
+      (99L, "INSERT", None, Some("N99"))))
+    // the untouched segment (keys 11..20) is shared by both manifests
+    // and must never be scanned by the feed
+    val shared = VersionedTable.read(spark, dir, Some(1L)).inputFiles.toSet
+      .intersect(VersionedTable.read(spark, dir, Some(2L)).inputFiles.toSet)
+    assert(shared.nonEmpty)
+    assert(feed.inputFiles.toSet.intersect(shared).isEmpty)
+    // a delete surfaces as DELETE with the old row
+    VersionedTable.deleteWhere(spark, dir, "k", 7L,
+      statsCol = Some("k"), bloomCol = Some("k")) // v3
+    val delFeed = VersionedTable.changeFeed(spark, dir, 2L, 3L, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(delFeed.toSeq == Seq((7L, "DELETE", Some("v7"))))
+  }
 }
