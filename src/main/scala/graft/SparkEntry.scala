@@ -1074,6 +1074,12 @@ object SparkEntry {
         t(s, d, "events").filter(col("ts").isNotNull),
         "value", Temporal.isoDow(col("ts")) >= 6)),
 
+    // Kruskal–Wallis H: does value's distribution differ across the
+    // K event types — the K-group generalization of the rank-sum
+    // test, same doubled-midrank prefix-sum machinery, tie-corrected.
+    "ana_kruskal_wallis" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.kruskalWallis(t(s, d, "events"), "value", "event_type")),
+
     // Quantile normalization: per-type daily demand aligned to the
     // cross-type rank-mean distribution (ordering preserved).
     "ana_quantile_normalize" -> ((s: SparkSession, d: String) =>
@@ -2385,6 +2391,21 @@ object SparkEntry {
     "table_corr_pairs" -> ((s: SparkSession, d: String) =>
       Profiling.corrPairs(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Spearman rank correlation (monotone association) between the
+    // fact's quantity and price — doubled midranks over the
+    // distinct-value panels through the two-phase prefix sum; exact
+    // integer moments, one fixed-order double step at the edge.
+    "table_corr_spearman" -> ((s: SparkSession, d: String) =>
+      Profiling.spearmanPair(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice")),
+
+    // Kendall tau-b between two discrete ordinal measures —
+    // concordant/discordant mass from the joint cell panel's
+    // broadcast self-join (panel², never data²), tie-adjusted.
+    "table_corr_kendall" -> ((s: SparkSession, d: String) =>
+      Profiling.kendallTauB(t(s, d, "lineitem"),
+        "l_quantity", "l_linenumber")),
 
     // Missingness co-occurrence audit: do NULLs arrive together?
     // phi per column pair over one integer-moment scan.
@@ -4315,6 +4336,90 @@ object SparkEntry {
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'SABADO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_sabado,
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
            |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
+
+      // Profiling.spearmanPair mirrored: doubled integer midranks per
+      // distinct value, HUGEINT moments, one fixed-order double rho.
+      "table_corr_spearman" ->
+        """WITH pairs AS (
+          |  SELECT l_quantity AS vx, l_extendedprice AS vy FROM lineitem
+          |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+          |px AS (SELECT vx, COUNT(*) AS nt FROM pairs GROUP BY 1),
+          |rx AS (SELECT vx, 2*(SUM(nt) OVER (ORDER BY vx) - nt) + nt + 1 AS dx FROM px),
+          |py AS (SELECT vy, COUNT(*) AS nt FROM pairs GROUP BY 1),
+          |ry AS (SELECT vy, 2*(SUM(nt) OVER (ORDER BY vy) - nt) + nt + 1 AS dy FROM py),
+          |j AS (SELECT dx, dy FROM pairs JOIN rx USING (vx) JOIN ry USING (vy)),
+          |agg AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+          |  SUM(dx*dx) AS sxx, SUM(dy*dy) AS syy, SUM(dx*dy) AS sxy FROM j)
+          |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+          |  CAST(n AS BIGINT) AS n_pairs,
+          |  (CAST(n*sxy AS DOUBLE) - CAST(sx*sy AS DOUBLE))
+          |    / NULLIF(sqrt(CAST(n*sxx AS DOUBLE) - CAST(sx*sx AS DOUBLE))
+          |        * sqrt(CAST(n*syy AS DOUBLE) - CAST(sy*sy AS DOUBLE)), 0) AS rho
+          |FROM agg""".stripMargin,
+
+      // Profiling.kendallTauB mirrored: joint-cell panel self-join for
+      // concordant/discordant mass, exact margin tie terms, tau-b.
+      "table_corr_kendall" ->
+        """WITH cells AS (
+          |  SELECT l_quantity AS cx, l_linenumber AS cy, COUNT(*) AS nc
+          |  FROM lineitem
+          |  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+          |  GROUP BY 1, 2),
+          |pm AS (
+          |  SELECT
+          |    SUM(CASE WHEN b.cy > a.cy THEN CAST(a.nc AS HUGEINT) * b.nc END) AS c_mass,
+          |    SUM(CASE WHEN b.cy < a.cy THEN CAST(a.nc AS HUGEINT) * b.nc END) AS d_mass
+          |  FROM cells a JOIN cells b ON b.cx > a.cx),
+          |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM cells),
+          |tx AS (SELECT SUM(CAST(t AS HUGEINT)*(t-1)) AS tie_x2
+          |  FROM (SELECT SUM(nc) AS t FROM cells GROUP BY cx)),
+          |ty AS (SELECT SUM(CAST(t AS HUGEINT)*(t-1)) AS tie_y2
+          |  FROM (SELECT SUM(nc) AS t FROM cells GROUP BY cy)),
+          |fin AS (
+          |  SELECT n,
+          |    COALESCE(CAST(c_mass AS DOUBLE), 0.0) AS n_c,
+          |    COALESCE(CAST(d_mass AS DOUBLE), 0.0) AS n_d,
+          |    CAST(tie_x2 AS DOUBLE) AS tie_x2,
+          |    CAST(tie_y2 AS DOUBLE) AS tie_y2,
+          |    CAST(CAST(n AS HUGEINT)*(n-1) - tie_x2 AS DOUBLE) / 2.0 AS halfx,
+          |    CAST(CAST(n AS HUGEINT)*(n-1) - tie_y2 AS DOUBLE) / 2.0 AS halfy
+          |  FROM pm CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty)
+          |SELECT 'l_quantity' AS col_x, 'l_linenumber' AS col_y,
+          |  n AS n_rows, n_c, n_d, tie_x2, tie_y2,
+          |  (n_c - n_d) / NULLIF(sqrt(halfx) * sqrt(halfy), 0) AS tau_b
+          |FROM fin""".stripMargin,
+
+      // AnalyticsPack.kruskalWallis mirrored: doubled midranks over
+      // the distinct-value panel, per-group HUGEINT rank sums, the
+      // 1e-12-grid share terms summed as DECIMAL(18,12), fixed-order
+      // H and tie correction.
+      "ana_kruskal_wallis" ->
+        """WITH r0 AS (
+          |  SELECT value AS v, event_type AS g FROM events
+          |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |cell AS (SELECT v, g, COUNT(*) AS nvg FROM r0 GROUP BY 1, 2),
+          |pv AS (SELECT v, SUM(nvg) AS nt FROM cell GROUP BY 1),
+          |dv AS (SELECT v, nt, 2*(SUM(nt) OVER (ORDER BY v) - nt) + nt + 1 AS d2
+          |  FROM pv),
+          |grp AS (SELECT g, SUM(nvg) AS ng, SUM(CAST(nvg AS HUGEINT) * d2) AS r2g
+          |  FROM cell JOIN dv USING (v) GROUP BY g),
+          |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+          |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM grp),
+          |tie AS (SELECT SUM(CAST(nt AS HUGEINT)*nt*nt - nt) AS t3 FROM pv),
+          |sq AS (SELECT SUM(CAST(FLOOR(s*s / CAST(ng AS DOUBLE) * 1e12) / 1e12
+          |    AS DECIMAL(18,12))) AS sq
+          |  FROM (SELECT ng,
+          |      CAST(r2g AS DOUBLE) / CAST(CAST(n AS HUGEINT)*(n+1) AS DOUBLE) AS s
+          |    FROM grp CROSS JOIN tot)),
+          |fin AS (SELECT n, n_groups,
+          |  3.0 * CAST(CAST(n AS HUGEINT)*(n+1) AS DOUBLE) * CAST(sq AS DOUBLE)
+          |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+          |  1.0 - CAST(t3 AS DOUBLE)
+          |    / CAST(CAST(n AS HUGEINT)*n*n - n AS DOUBLE) AS c
+          |  FROM sq CROSS JOIN tot CROSS JOIN tie)
+          |SELECT n, n_groups, h,
+          |  CASE WHEN c = 0.0 THEN NULL ELSE h / c END AS h_corrected
+          |FROM fin""".stripMargin,
 
       "table_mutual_info" ->
         s"""WITH xy AS (

@@ -1969,6 +1969,63 @@ object AnalyticsPack {
             / sqrt(col("__var"))).as("z"))
   }
 
+  /** Kruskal–Wallis H test — does a numeric column's distribution
+    * differ across K groups; the K-group generalization of
+    * [[mannWhitney]] (same midrank machinery, same tie-corrected
+    * normal theory: H ~ χ²(k−1) under the null).
+    *
+    * Scale shape: the fact collapses ONCE to the (value, group) cell
+    * panel; value-level totals and the global ordering ride the
+    * two-phase [[PrefixSum]] over the distinct-value panel (never a
+    * data-sized window), per-group rank sums are one panel join +
+    * k-key aggregation. Engine parity: DOUBLED midranks keep every
+    * rank sum an exact integer DECIMAL; the per-group term
+    * s_g²/n_g (s_g = rank-sum share ≤ 1, an IEEE division of exact
+    * integers) is §5 floor-grid-quantized at 1e-12 before its
+    * DECIMAL(18,12) sum, so the cross-group total is order-free and
+    * engine-identical; H and the tie correction are fixed-order
+    * doubles over exact inputs.
+    *
+    * Output: 1 row — n, n_groups, h, h_corrected (NULL when every
+    * value ties — the correction denominator vanishes).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val d12 = DecimalType(12, 0)
+    val cell = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__nvg"))
+      .localCheckpoint(true)
+    val pv = cell.groupBy(col("__v")).agg(sum(col("__nvg")).as("__nt"))
+      .localCheckpoint(true)
+    val dv = PrefixSum.globalOrdered(pv, Seq(col("__v")), "__nt")
+      .select(col("__v"),
+        (lit(2L) * (col("prefix_sum") - col("__nt")) + col("__nt") + 1L).as("__d2"))
+    val grp = cell.join(dv, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__nvg")).as("__ng"),
+        sum(col("__nvg").cast(d12) * col("__d2").cast(d12)).as("__r2g"))
+    val nRow = grp.agg(sum(col("__ng")).as("__n"),
+      count(lit(1)).as("n_groups"))
+    val tie = pv.agg(
+      sum(col("__nt").cast(d12) * col("__nt").cast(d12) * col("__nt").cast(d12)
+        - col("__nt").cast(d12)).as("__t3"))
+    val nn1d = (col("__n").cast(d12) * (col("__n") + 1L).cast(d12)).cast("double")
+    val sq = grp.crossJoin(broadcast(nRow))
+      .withColumn("__s", col("__r2g").cast("double") / nn1d)
+      .withColumn("__term",
+        floor(col("__s") * col("__s") / col("__ng").cast("double") * lit(1e12))
+          / lit(1e12))
+      .agg(sum(col("__term").cast(DecimalType(18, 12))).as("__sq"))
+    val h = lit(3.0) * nn1d * col("__sq").cast("double") -
+      lit(3.0) * (col("__n").cast("double") + lit(1.0))
+    val nn3d = (col("__n").cast(d12) * col("__n").cast(d12) * col("__n").cast(d12)
+      - col("__n").cast(d12)).cast("double")
+    val cTie = lit(1.0) - col("__t3").cast("double") / nn3d
+    sq.crossJoin(broadcast(nRow)).crossJoin(broadcast(tie))
+      .select(col("__n").as("n"), col("n_groups"), h.as("h"),
+        when(cTie === 0.0, lit(null)).otherwise(h / cTie).as("h_corrected"))
+  }
+
   /** 2-D Pareto-frontier (SKYLINE) flags — which rows are
     * NON-DOMINATED under "x lower is better, y higher is better"
     * (the classic price/quality trade-off query; a row is dominated

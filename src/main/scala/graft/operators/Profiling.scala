@@ -413,4 +413,116 @@ object Profiling {
       .select(col("rank"), col("item"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
   }
+
+  /** Spearman rank correlation between two numeric columns — the
+    * MONOTONE-association profile next to [[corrPairs]]' linear
+    * Pearson: outlier-robust (a single extreme pair cannot drag it),
+    * invariant under any monotone rescaling, with the standard
+    * midrank treatment of ties (Pearson on midranks).
+    *
+    * Scale shape: ranks never touch row-level data — each column
+    * collapses to its DISTINCT-VALUE panel, the panel is globally
+    * ordered through the two-phase [[PrefixSum]] (no single-partition
+    * window), and rows pick up their ranks by two value-keyed joins.
+    * Engine-parity trick: the DOUBLED midrank `2·(cum−nt)+nt+1` is a
+    * pure INTEGER (Pearson is affine-invariant, so rho on doubled
+    * ranks equals rho on ranks) — every moment is an exact integer
+    * DECIMAL partial, and only the final (num, var_x, var_y) →
+    * double step is floating, in one fixed op order.
+    */
+  def spearmanPair(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    def dranks(c: String, rank: String): DataFrame = {
+      val panel = pairs.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__nt"))
+      PrefixSum.globalOrdered(panel, Seq(col("__v")), "__nt")
+        .select(col("__v").as(c),
+          (lit(2L) * (col("prefix_sum") - col("__nt"))
+            + col("__nt") + lit(1L)).as(rank))
+    }
+    val ranked = pairs
+      .join(dranks("__x", "__dx"), Seq("__x"))
+      .join(dranks("__y", "__dy"), Seq("__y"))
+    // per-row products fit a long (d ≤ 2n); sums go DECIMAL — then
+    // RE-NARROWED before the n·Σ products so every multiply stays
+    // inside precision 38 with zero loss (§5 decimal-arithmetic rule)
+    val d18 = DecimalType(18, 0)
+    val d27 = DecimalType(27, 0)
+    val agg = ranked.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__dx").cast(d18)).as("__sx"),
+      sum(col("__dy").cast(d18)).as("__sy"),
+      sum((col("__dx") * col("__dx")).cast(d27)).as("__sxx"),
+      sum((col("__dy") * col("__dy")).cast(d27)).as("__syy"),
+      sum((col("__dx") * col("__dy")).cast(d27)).as("__sxy"))
+    val n10 = col("n_pairs").cast(DecimalType(10, 0))
+    def prod2(a: String, b: String) =
+      (col(a).cast(d18) * col(b).cast(d18)).cast("double")
+    val num = (n10 * col("__sxy").cast(d27)).cast("double") - prod2("__sx", "__sy")
+    val vx = (n10 * col("__sxx").cast(d27)).cast("double") - prod2("__sx", "__sx")
+    val vy = (n10 * col("__syy").cast(d27)).cast("double") - prod2("__sy", "__sy")
+    val denom = sqrt(vx) * sqrt(vy)
+    agg.select(lit(xCol).as("col_x"), lit(yCol).as("col_y"), col("n_pairs"),
+      (num / when(denom === 0.0, lit(null)).otherwise(denom)).as("rho"))
+  }
+
+  /** Kendall tau-b between two DISCRETE (low-cardinality ordinal)
+    * columns — concordance-based association from the joint
+    * contingency panel: every (x,y) cell pair with x₂>x₁ ∧ y₂>y₁ is
+    * concordant mass n₁·n₂, x₂>x₁ ∧ y₂<y₁ discordant, and tau-b
+    * normalizes by the tie-adjusted pair counts so heavy ties (the
+    * whole point of the discrete variant) do not deflate the score.
+    *
+    * Scale shape: the fact collapses once to the ≤ kx·ky cell panel;
+    * concordant/discordant masses come from the panel's BROADCAST
+    * self-join (panel², not data², rows — panel math by
+    * construction), margins from two panel aggregations. All masses
+    * and tie terms are exact integers; tau is one fixed-order
+    * double expression at the edge. Output also carries n_c / n_d /
+    * the margin tie terms so the verdict is auditable.
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // cell counts ≤ n (≤ 12 digits at any realistic scale); products
+    // then stay at precision 25 — inside 38 with the sum's +10 headroom
+    val d12 = DecimalType(12, 0)
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__cx"), col(yCol).as("__cy"))
+      .agg(count(lit(1)).as("__nc"))
+      .localCheckpoint(true)
+    val other = cells.select(col("__cx").as("__ox"), col("__cy").as("__oy"),
+      col("__nc").as("__on"))
+    // each unordered cell pair counted once via the x₂>x₁ direction;
+    // per-row mass products as DECIMAL (n₁·n₂ can pass a long at the
+    // extremes of a skewed panel)
+    val pairMass = cells.join(broadcast(other), col("__ox") > col("__cx"))
+      .agg(
+        sum(when(col("__oy") > col("__cy"),
+          col("__nc").cast(d12) * col("__on").cast(d12))).as("n_c"),
+        sum(when(col("__oy") < col("__cy"),
+          col("__nc").cast(d12) * col("__on").cast(d12))).as("n_d"))
+    val n = cells.agg(sum(col("__nc")).as("__n"))
+    val tx = cells.groupBy(col("__cx")).agg(sum(col("__nc")).as("__t"))
+      .agg(sum(col("__t").cast(d12) * (col("__t") - 1L).cast(d12)).as("tie_x2"))
+    val ty = cells.groupBy(col("__cy")).agg(sum(col("__nc")).as("__t"))
+      .agg(sum(col("__t").cast(d12) * (col("__t") - 1L).cast(d12)).as("tie_y2"))
+    // doubled pair counts keep everything integer: n0₂ = n(n−1),
+    // tie terms Σt(t−1); tau-b = (C−D)/sqrt(((n0₂−tx₂)/2)·((n0₂−ty₂)/2))
+    val n02 = col("__n").cast(d12) * (col("__n") - 1L).cast(d12)
+    val halfx = ((n02 - col("tie_x2")).cast("double")) / lit(2.0)
+    val halfy = ((n02 - col("tie_y2")).cast("double")) / lit(2.0)
+    val denom = sqrt(halfx) * sqrt(halfy)
+    // a panel with no qualifying cell pairs sums to NULL mass — zero
+    val cMass = coalesce(col("n_c").cast("double"), lit(0.0))
+    val dMass = coalesce(col("n_d").cast("double"), lit(0.0))
+    pairMass.crossJoin(broadcast(n)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(lit(xCol).as("col_x"), lit(yCol).as("col_y"),
+        col("__n").as("n_rows"),
+        cMass.as("n_c"), dMass.as("n_d"),
+        col("tie_x2").cast("double").as("tie_x2"),
+        col("tie_y2").cast("double").as("tie_y2"),
+        ((cMass - dMass)
+          / when(denom === 0.0, lit(null)).otherwise(denom)).as("tau_b"))
+  }
 }

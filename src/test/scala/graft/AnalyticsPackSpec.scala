@@ -1127,4 +1127,55 @@ class AnalyticsPackSpec extends SparkSpec {
     // seasonal anchor still resolves: y at last_d - 6 = day 4 value 6
     assert(s.getAs[Double]("f_next") == 6.0)
   }
+
+  test("spearmanPair: monotone ±1, hand-computed midrank ties") {
+    import graft.operators.Profiling
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0)).toDF("x", "y")
+    assert((Profiling.spearmanPair(up, "x", "y").collect().head
+      .getAs[Double]("rho") - 1.0).abs < 1e-12)
+    val down = Seq((1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0)).toDF("x", "y")
+    assert((Profiling.spearmanPair(down, "x", "y").collect().head
+      .getAs[Double]("rho") + 1.0).abs < 1e-12)
+    // ties: rx=[1.5,1.5,3,4], ry=[1,2.5,2.5,4] -> rho = 3.75/4.5 = 5/6
+    val tied = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    val r = Profiling.spearmanPair(tied, "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(math.abs(r.getAs[Double]("rho") - 5.0 / 6.0) < 1e-12)
+    // a constant column has no rank variance -> NULL, not a crash
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Profiling.spearmanPair(const, "x", "y").collect().head.isNullAt(3))
+  }
+
+  test("kendallTauB: perfect concordance, independence, tie-adjusted 0.5") {
+    import graft.operators.Profiling
+    val mono = Seq((1, 1), (2, 2), (3, 3)).toDF("x", "y")
+    val m = Profiling.kendallTauB(mono, "x", "y").collect().head
+    assert(m.getAs[Double]("n_c") == 3.0 && m.getAs[Double]("n_d") == 0.0)
+    assert(math.abs(m.getAs[Double]("tau_b") - 1.0) < 1e-12)
+    // balanced 2x2 grid: C == D -> tau 0
+    val indep = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("x", "y")
+    assert(Profiling.kendallTauB(indep, "x", "y").collect().head
+      .getAs[Double]("tau_b") == 0.0)
+    // ties on both margins: n_c=1, tie_x2=tie_y2=2, n0_2=6 -> tau = 1/2
+    val tied = Seq((1, 1), (1, 2), (2, 2)).toDF("x", "y")
+    val t = Profiling.kendallTauB(tied, "x", "y").collect().head
+    assert(t.getAs[Double]("n_c") == 1.0 && t.getAs[Double]("n_d") == 0.0)
+    assert(t.getAs[Double]("tie_x2") == 2.0 && t.getAs[Double]("tie_y2") == 2.0)
+    assert(math.abs(t.getAs[Double]("tau_b") - 0.5) < 1e-12)
+  }
+
+  test("kruskalWallis: textbook H on distinct ranks, all-tied NULL correction") {
+    // A=[1,2], B=[3,4]: R_A=3, R_B=7 -> H = 0.6*29 - 15 = 2.4, no ties
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r = AnalyticsPack.kruskalWallis(df, "v", "g").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_groups") == 2L)
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-8)
+    assert(math.abs(r.getAs[Double]("h_corrected") - 2.4) < 1e-8)
+    // every value tied: H = 0 and the tie correction denominator
+    // vanishes -> h_corrected NULL
+    val flat = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)).toDF("g", "v")
+    val f = AnalyticsPack.kruskalWallis(flat, "v", "g").collect().head
+    assert(math.abs(f.getAs[Double]("h")) < 1e-8)
+    assert(f.isNullAt(f.fieldIndex("h_corrected")))
+  }
 }
