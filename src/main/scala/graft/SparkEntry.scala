@@ -1074,6 +1074,12 @@ object SparkEntry {
         t(s, d, "events").filter(col("ts").isNotNull),
         "value", Temporal.isoDow(col("ts")) >= 6)),
 
+    // Lead/lag cross-correlation: does CLICK volume predict PURCHASE
+    // volume L days later — one Pearson per lag in [-7, 7] over the
+    // co-observed day panels, exact decimal moments per lag.
+    "ana_xcorr_lags" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.xcorrLags(t(s, d, "events"), "CLICK", "PURCHASE")),
+
     // Kruskal–Wallis H: does value's distribution differ across the
     // K event types — the K-group generalization of the rank-sum
     // test, same doubled-midrank prefix-sum machinery, tie-corrected.
@@ -2417,6 +2423,12 @@ object SparkEntry {
     // between day type and mode over the validated serving frame.
     "table_mutual_info" -> ((s: SparkSession, d: String) =>
       Profiling.mutualInfo(servingValid(s, d), "tipo_dia", "event_type_norm")),
+
+    // Chi-square independence test + Cramér's V over the same pair
+    // the MI panel profiles — test statistic and normalized effect
+    // size; share-space terms keep the §5 grid magnitude-safe.
+    "table_chi2_assoc" -> ((s: SparkSession, d: String) =>
+      Profiling.chi2Assoc(servingValid(s, d), "tipo_dia", "event_type_norm")),
 
     // Shannon-entropy panel over the serving frame's categoricals.
     "table_entropy" -> ((s: SparkSession, d: String) =>
@@ -4336,6 +4348,72 @@ object SparkEntry {
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'SABADO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_sabado,
            |    CAST(COALESCE(ROUND(SUM(CASE WHEN tipo_dia = 'DOMINGO' THEN CAST(value AS DECIMAL(18,2)) END), 2), 0) AS DOUBLE) AS subidas_domingo
            |  FROM ($validSql) GROUP BY time_30m_sk)""".stripMargin,
+
+      // Profiling.chi2Assoc mirrored: share-space cell terms on the
+      // 1e-12 grid, DECIMAL(18,12) order-free sum, fixed-order chi2/V.
+      "table_chi2_assoc" ->
+        s"""WITH xy AS (
+           |  SELECT tipo_dia AS x, event_type_norm AS y,
+           |    CAST(COUNT(*) AS BIGINT) AS nxy
+           |  FROM ($validSql)
+           |  WHERE tipo_dia IS NOT NULL AND event_type_norm IS NOT NULL
+           |  GROUP BY 1, 2),
+           |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
+           |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+           |kx AS (SELECT CAST(COUNT(*) AS BIGINT) AS kx FROM nx),
+           |ky AS (SELECT CAST(COUNT(*) AS BIGINT) AS ky FROM ny),
+           |nt AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM xy),
+           |grid AS (
+           |  SELECT nx.x, ny.y, nx.nx, ny.ny, COALESCE(xy.nxy, 0) AS nxy
+           |  FROM nx CROSS JOIN ny
+           |  LEFT JOIN xy ON xy.x = nx.x AND xy.y = ny.y),
+           |pe AS (
+           |  SELECT n, nxy, CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) AS pxy,
+           |    (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) AS e
+           |  FROM grid CROSS JOIN nt),
+           |terms AS (
+           |  SELECT n, nxy,
+           |    FLOOR((pxy - e) * (pxy - e) / e * 1e12) / 1e12 AS term
+           |  FROM pe),
+           |s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN nxy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+           |  SUM(CAST(term AS DECIMAL(18,12))) AS s FROM terms)
+           |SELECT 'tipo_dia' AS col_x, 'event_type_norm' AS col_y,
+           |  n, n_cells, kx AS k_x, ky AS k_y,
+           |  (kx - 1) * (ky - 1) AS dof,
+           |  CAST(n AS DOUBLE) * CAST(s AS DOUBLE) AS chi2,
+           |  CASE WHEN LEAST(kx - 1, ky - 1) <= 0 THEN NULL
+           |       ELSE sqrt(CAST(s AS DOUBLE)
+           |                 / CAST(LEAST(kx - 1, ky - 1) AS DOUBLE)) END AS cramers_v
+           |FROM s CROSS JOIN kx CROSS JOIN ky""".stripMargin,
+
+      // AnalyticsPack.xcorrLags mirrored: co-observed day panels per
+      // lag, HUGEINT moments, one fixed-order double corr per lag.
+      "ana_xcorr_lags" ->
+        """WITH a AS (
+          |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS na
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND UPPER(TRIM(event_type)) = 'CLICK'
+          |  GROUP BY 1),
+          |b AS (
+          |  SELECT CAST(ts AS DATE) AS db, CAST(COUNT(*) AS BIGINT) AS nb
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND UPPER(TRIM(event_type)) = 'PURCHASE'
+          |  GROUP BY 1),
+          |l AS (SELECT CAST(UNNEST(range(-7, 8)) AS INTEGER) AS lag),
+          |j AS (SELECT lag, na, nb
+          |  FROM a CROSS JOIN l JOIN b ON a.d + lag = b.db),
+          |agg AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+          |    SUM(na) AS sa, SUM(nb) AS sb, SUM(na*na) AS saa,
+          |    SUM(nb*nb) AS sbb, SUM(na*nb) AS sab
+          |  FROM j GROUP BY 1)
+          |SELECT lag, n_days,
+          |  (CAST(n_days*sab AS DOUBLE) - CAST(sa*sb AS DOUBLE))
+          |    / NULLIF(sqrt(CAST(n_days*saa AS DOUBLE) - CAST(sa*sa AS DOUBLE))
+          |        * sqrt(CAST(n_days*sbb AS DOUBLE) - CAST(sb*sb AS DOUBLE)), 0)
+          |    AS xcorr
+          |FROM agg""".stripMargin,
 
       // Profiling.spearmanPair mirrored: doubled integer midranks per
       // distinct value, HUGEINT moments, one fixed-order double rho.

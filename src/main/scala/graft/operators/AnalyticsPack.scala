@@ -1969,6 +1969,52 @@ object AnalyticsPack {
             / sqrt(col("__var"))).as("z"))
   }
 
+  /** Lead/lag cross-correlation panel between two event types' daily
+    * count series — "does A's volume predict B's L days later": one
+    * Pearson correlation per lag in [−maxLag, +maxLag], over the
+    * days observed in BOTH series at that alignment. Positive lag =
+    * A leads B. The lagged companion of the ACF panel (which is a
+    * series against itself).
+    *
+    * Scale shape: the fact collapses once per side to a ≤#days panel;
+    * the lag expansion (panel × (2·maxLag+1)) and the date-shifted
+    * join are panel math. Moments are exact DECIMAL partials per lag
+    * (counts cast before products so every multiply stays inside
+    * precision 38), the corr is one fixed-order double expression —
+    * the spearman/corrPairs discipline.
+    */
+  def xcorrLags(events: DataFrame, typeA: String, typeB: String,
+                maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag must be positive")
+    val d10 = DecimalType(10, 0)
+    val d18 = DecimalType(18, 0)
+    val d27 = DecimalType(27, 0)
+    def daily(t: String, day: String, cn: String) = events
+      .filter(col("ts").isNotNull && upper(trim(col("event_type"))) === t)
+      .groupBy(to_date(col("ts")).as(day)).agg(count(lit(1)).as(cn))
+    val a = daily(typeA, "d", "na")
+    val b = daily(typeB, "db", "nb")
+    val pairs = a
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .join(b, date_add(col("d"), col("lag")) === col("db"))
+    val agg = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("na").cast(d18)).as("__sa"),
+        sum(col("nb").cast(d18)).as("__sb"),
+        sum(col("na").cast(d18) * col("na").cast(d18)).as("__saa"),
+        sum(col("nb").cast(d18) * col("nb").cast(d18)).as("__sbb"),
+        sum(col("na").cast(d18) * col("nb").cast(d18)).as("__sab"))
+    def prod2(x: String, y: String) =
+      (col(x).cast(d18) * col(y).cast(d18)).cast("double")
+    val n10 = col("n_days").cast(d10)
+    val num = (n10 * col("__sab").cast(d27)).cast("double") - prod2("__sa", "__sb")
+    val va = (n10 * col("__saa").cast(d27)).cast("double") - prod2("__sa", "__sa")
+    val vb = (n10 * col("__sbb").cast(d27)).cast("double") - prod2("__sb", "__sb")
+    val denom = sqrt(va) * sqrt(vb)
+    agg.select(col("lag"), col("n_days"),
+      (num / when(denom === 0.0, lit(null)).otherwise(denom)).as("xcorr"))
+  }
+
   /** Kruskal–Wallis H test — does a numeric column's distribution
     * differ across K groups; the K-group generalization of
     * [[mannWhitney]] (same midrank machinery, same tie-corrected

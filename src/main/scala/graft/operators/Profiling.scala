@@ -414,6 +414,57 @@ object Profiling {
         (col("n_est") - col("n_exact")).as("overcount"))
   }
 
+  /** Chi-square test of independence + Cramér's V between two
+    * categorical columns — the hypothesis-test member of the
+    * categorical-association trio ([[mutualInfo]] gives per-cell
+    * dependence direction, this gives the test statistic and the
+    * [0,1]-normalized effect size).
+    *
+    * Scale shape: one fact-sized partial-agg shuffle to the (x,y)
+    * cell panel; margins/totals are panel aggregations. Engine
+    * parity: the statistic is computed in SHARE space — each cell
+    * term (p_xy − p_x·p_y)²/(p_x·p_y) is provably ≤ 2 (p_xy² ≤
+    * p_x·p_y), so the §5 floor-grid at 1e-12 is magnitude-safe; the
+    * grid terms sum as exact DECIMAL(18,12) (order-free) and χ² =
+    * n·Σ recovers the count scale in one fixed-order double step.
+    */
+  def chi2Assoc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def grid12(c: Column): Column = floor(c * lit(1e12)) / lit(1e12)
+    val xy = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+      .localCheckpoint(true)
+    val nx = xy.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val ny = xy.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val kx = nx.agg(count(lit(1)).as("__kx"))
+    val ky = ny.agg(count(lit(1)).as("__ky"))
+    val nt = xy.agg(sum(col("__nxy")).as("__n"))
+    // the FULL margin grid, not just observed cells: an empty cell
+    // (observed 0, expected n_x·n_y/n > 0) still contributes its
+    // expected mass to chi2 — dropping it understates dependence
+    val grid = nx.crossJoin(ny)
+      .join(xy, Seq("__x", "__y"), "left")
+      .withColumn("__nxy", coalesce(col("__nxy"), lit(0L)))
+    val pxy = col("__nxy").cast("double") / col("__n").cast("double")
+    val ex = (col("__nx").cast("double") / col("__n").cast("double")) *
+      (col("__ny").cast("double") / col("__n").cast("double"))
+    val term = grid12((pxy - ex) * (pxy - ex) / ex)
+    val sums = grid.crossJoin(broadcast(nt))
+      .agg(sum(term.cast(DecimalType(18, 12))).as("__s"),
+        sum(when(col("__nxy") > 0L, 1L).otherwise(0L)).as("n_cells"),
+        max(col("__n")).as("n"))
+    val minDim = least(col("__kx") - 1L, col("__ky") - 1L)
+    sums.crossJoin(broadcast(kx)).crossJoin(broadcast(ky))
+      .select(lit(xCol).as("col_x"), lit(yCol).as("col_y"),
+        col("n"), col("n_cells"), col("__kx").as("k_x"), col("__ky").as("k_y"),
+        ((col("__kx") - 1L) * (col("__ky") - 1L)).as("dof"),
+        (col("n").cast("double") * col("__s").cast("double")).as("chi2"),
+        when(minDim <= 0L, lit(null)).otherwise(
+          sqrt(col("__s").cast("double") / minDim.cast("double")))
+          .as("cramers_v"))
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * MONOTONE-association profile next to [[corrPairs]]' linear
     * Pearson: outlier-robust (a single extreme pair cannot drag it),

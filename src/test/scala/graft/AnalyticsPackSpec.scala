@@ -1164,6 +1164,42 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(t.getAs[Double]("tau_b") - 0.5) < 1e-12)
   }
 
+  test("chi2Assoc: independence zero, perfect diagonal chi2=n V=1, empty cells count") {
+    import graft.operators.Profiling
+    val indep = (for (x <- Seq("A", "B"); y <- Seq("1", "2"); _ <- 1 to 5)
+      yield (x, y)).toDF("u", "v")
+    val i = Profiling.chi2Assoc(indep, "u", "v").collect().head
+    assert(i.getAs[Long]("n") == 20L && i.getAs[Long]("dof") == 1L)
+    assert(i.getAs[Double]("chi2") == 0.0 && i.getAs[Double]("cramers_v") == 0.0)
+    // perfect diagonal: the two EMPTY cells carry half the statistic
+    // (observed 0, expected 0.25 each) -> chi2 = n, V = 1
+    val dep = ((1 to 10).map(_ => ("A", "1")) ++ (1 to 10).map(_ => ("B", "2")))
+      .toDF("u", "v")
+    val d = Profiling.chi2Assoc(dep, "u", "v").collect().head
+    assert(d.getAs[Long]("n_cells") == 2L && d.getAs[Long]("dof") == 1L)
+    assert(math.abs(d.getAs[Double]("chi2") - 20.0) < 1e-6)
+    assert(math.abs(d.getAs[Double]("cramers_v") - 1.0) < 1e-7)
+  }
+
+  test("xcorrLags: a one-day lead correlates perfectly at lag +1 only") {
+    import java.sql.Timestamp
+    val counts = Seq(1, 3, 2, 5, 4)
+    val rows =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((Timestamp.valueOf(f"2024-01-${i + 1}%02d 10:00:00"), "CLICK")) } ++
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((Timestamp.valueOf(f"2024-01-${i + 2}%02d 10:00:00"), "PURCHASE")) }
+    val df = rows.toDF("ts", "event_type")
+    val got = AnalyticsPack.xcorrLags(df, "CLICK", "PURCHASE", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("xcorr"))).toMap
+    // purchases replay clicks shifted one day: full overlap, corr 1
+    assert(got(1)._1 == 5L && math.abs(got(1)._2 - 1.0) < 1e-12)
+    // other alignments overlap fewer days and decorrelate
+    assert(got(0)._1 == 4L && got(0)._2 < 0.99)
+    assert(got(-1)._1 == 3L)
+  }
+
   test("kruskalWallis: textbook H on distinct ranks, all-tied NULL correction") {
     // A=[1,2], B=[3,4]: R_A=3, R_B=7 -> H = 0.6*29 - 15 = 2.4, no ties
     val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
