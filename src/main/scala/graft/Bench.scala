@@ -53,11 +53,25 @@ object Bench {
       case None => SparkEntry.queries
     }
     // detail row: (name, reported-min, first-pass, retime-or-NaN, start-offset-sec)
+    // Retime protocol: a wide plan's first pass can carry 2-4x of JIT/
+    // codegen warm-up (measured: a steady-state 11 s query first-timing
+    // at 49 s), and ONE retime does not fully shed it on the widest
+    // plans — nor does a single retime survive a microVM steal spike.
+    // So: >10 s first pass → 3 extra passes, 2.5-10 s → 1, min
+    // reported. Deterministic (no adaptive stop that a variance spike
+    // can fool), bounded (only the handful of slow queries pay), and
+    // the min-of-N is the steady-state number a resident service
+    // would see — a per-session JIT compile is noise at 100 TB.
     val detailRows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startOff = (System.currentTimeMillis() - wallStart) / 1e3
       val first = timeOnce(name, fn)
-      val second = if (first > RetimeThresholdSec) timeOnce(name, fn) else Double.NaN
-      val best = if (second.isNaN) first else math.min(first, second)
+      val extraPasses =
+        if (first > 4 * RetimeThresholdSec) 3
+        else if (first > RetimeThresholdSec) 1
+        else 0
+      val reruns = (1 to extraPasses).map(_ => timeOnce(name, fn))
+      val best = (first +: reruns).min
+      val second = reruns.headOption.getOrElse(Double.NaN)
       (name, best, first, second, startOff)
     }
     val results = detailRows.map { case (n, best, _, _, _) => n -> best }
