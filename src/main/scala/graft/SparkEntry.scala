@@ -1060,6 +1060,18 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // Always-valid sequential readout (mSPRT): per-day cumulative
+    // enrollment/conversion panel with the mixture log LR and the
+    // monotone always-valid log p — peeking-safe, prefix-sum/-max
+    // machinery end to end.
+    "ana_msprt" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.msprtSequential(
+        Sampling.splitAssign(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
+        "split", "A",
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
     // Inter-arrival gap panel per type (the evidence a sessionization
     // gap parameter is chosen by — p99 is the boundary candidate).
     "ana_interarrival" -> ((s: SparkSession, d: String) =>
@@ -5504,6 +5516,59 @@ object SparkEntry {
           |           * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
           |           * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
           |FROM agg""".stripMargin,
+
+      // AnalyticsPack.msprtSequential mirrored: per-user collapse,
+      // additive day panel, window cumulative sums, 1e-6 grid-ln,
+      // running MAX, parsed ln(0.05) boundary.
+      "ana_msprt" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day,
+          |    UPPER(TRIM(event_type)) AS et, value,
+          |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+          |         THEN 'A' ELSE 'B' END AS split
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |users AS (
+          |  SELECT user_id, split, MIN(day) AS enr_d,
+          |    MIN(CASE WHEN et = 'PURCHASE' AND value > 95 THEN day END) AS cnv_d
+          |  FROM ev GROUP BY 1, 2),
+          |enr AS (SELECT enr_d AS day,
+          |    SUM(CASE WHEN split = 'A' THEN 1 ELSE 0 END) AS d_na,
+          |    SUM(CASE WHEN split = 'B' THEN 1 ELSE 0 END) AS d_nb,
+          |    0 AS d_ca, 0 AS d_cb
+          |  FROM users GROUP BY 1),
+          |cnv AS (SELECT cnv_d AS day, 0 AS d_na, 0 AS d_nb,
+          |    SUM(CASE WHEN split = 'A' THEN 1 ELSE 0 END) AS d_ca,
+          |    SUM(CASE WHEN split = 'B' THEN 1 ELSE 0 END) AS d_cb
+          |  FROM users WHERE cnv_d IS NOT NULL GROUP BY 1),
+          |byday AS (SELECT day, SUM(d_na) AS d_na, SUM(d_nb) AS d_nb,
+          |    SUM(d_ca) AS d_ca, SUM(d_cb) AS d_cb
+          |  FROM (SELECT * FROM enr UNION ALL SELECT * FROM cnv)
+          |  GROUP BY 1),
+          |cum AS (SELECT day,
+          |    CAST(SUM(d_na) OVER (ORDER BY day) AS BIGINT) AS n_a,
+          |    CAST(SUM(d_nb) OVER (ORDER BY day) AS BIGINT) AS n_b,
+          |    CAST(SUM(d_ca) OVER (ORDER BY day) AS BIGINT) AS conv_a,
+          |    CAST(SUM(d_cb) OVER (ORDER BY day) AS BIGINT) AS conv_b
+          |  FROM byday),
+          |v AS (SELECT *,
+          |    conv_b / NULLIF(n_b, 0) - conv_a / NULLIF(n_a, 0) AS delta,
+          |    ((conv_a + conv_b) / NULLIF(n_a + n_b, 0))
+          |      * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
+          |      * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0)) AS vn
+          |  FROM cum),
+          |ll AS (SELECT day, n_a, n_b, conv_a, conv_b,
+          |    CASE WHEN vn IS NULL OR vn = 0.0 THEN NULL
+          |         ELSE 0.5 * (FLOOR(LN(vn / (vn + 0.01)) * 1e6) / 1e6)
+          |           + delta * delta * 0.01 / (2.0 * vn * (vn + 0.01)) END
+          |      AS ln_lambda
+          |  FROM v),
+          |fin AS (SELECT *, MAX(ln_lambda) OVER (ORDER BY day) AS pm FROM ll)
+          |SELECT day, n_a, n_b, conv_a, conv_b, ln_lambda,
+          |  CASE WHEN pm IS NULL THEN NULL
+          |       ELSE -GREATEST(pm, 0.0) END AS ln_p_always_valid,
+          |  CASE WHEN pm IS NULL THEN NULL
+          |       ELSE -GREATEST(pm, 0.0) < -2.995732273553991 END AS reject_5pct
+          |FROM fin""".stripMargin,
 
       // Power replay: the same assignment + conversion, the z-sum
       // squared as a PARSED LITERAL (7.848879734349088 — libm erfinv

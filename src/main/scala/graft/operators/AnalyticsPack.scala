@@ -1969,6 +1969,75 @@ object AnalyticsPack {
             / sqrt(col("__var"))).as("z"))
   }
 
+  /** Always-valid SEQUENTIAL experiment readout (mSPRT, Johari et
+    * al.'s mixture sequential probability ratio test on the
+    * two-proportion metric) — the "peek every day without inflating
+    * false positives" companion of [[abtestReadout]]'s fixed-horizon
+    * z: per calendar day, the cumulative enrollment/conversion panel,
+    * the mixture log likelihood ratio ln Λ_n (normal approximation,
+    * N(0, τ²) effect prior), and the always-valid log p-value
+    * `ln p_n = −max(0, running-max ln Λ)` — monotone by construction,
+    * so a decision at ANY day is valid.
+    *
+    * Scale shape: users collapse once (enrollment day = first event,
+    * conversion day = first converting event — each user enters the
+    * panel exactly once, which is what makes the day panel additive),
+    * the day panel rides [[PrefixSum.globalOrderedN]] for the four
+    * cumulative counts and [[PrefixSum.globalOrderedMax]] for the
+    * running maximum — never a data-sized or single-partition window.
+    * Engine parity: counts are exact; ln is §5 grid-quantized; every
+    * other step is fixed-order IEEE on exact inputs; the α=0.05
+    * boundary is a parsed literal (ln 0.05), never a libm call.
+    * Degenerate days (an empty arm, pooled rate 0 or 1) yield NULL
+    * ln Λ and inherit the running maximum, never a division error.
+    */
+  def msprtSequential(events: DataFrame, variantCol: String, a: String,
+                      convPred: Column, tau2: Double = 0.01): DataFrame = {
+    def nz(c: Column) = when(c === 0, lit(null)).otherwise(c)
+    val isA = col(variantCol) === a
+    val users = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), col(variantCol))
+      .agg(min(to_date(col("ts"))).as("enr_d"),
+        min(when(convPred, to_date(col("ts")))).as("cnv_d"))
+      .localCheckpoint(true)
+    val enr = users.groupBy(col("enr_d").as("day"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("d_na"),
+        sum(when(!isA, 1L).otherwise(0L)).as("d_nb"))
+      .withColumn("d_ca", lit(0L)).withColumn("d_cb", lit(0L))
+    val cnv = users.filter(col("cnv_d").isNotNull)
+      .groupBy(col("cnv_d").as("day"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("d_ca"),
+        sum(when(!isA, 1L).otherwise(0L)).as("d_cb"))
+      .withColumn("d_na", lit(0L)).withColumn("d_nb", lit(0L))
+    val byDay = enr.unionByName(cnv, allowMissingColumns = false)
+      .groupBy(col("day"))
+      .agg(sum(col("d_na")).as("d_na"), sum(col("d_nb")).as("d_nb"),
+        sum(col("d_ca")).as("d_ca"), sum(col("d_cb")).as("d_cb"))
+    val cum = PrefixSum.globalOrderedN(byDay, Seq(col("day")),
+      Seq("d_na", "d_nb", "d_ca", "d_cb"))
+      .select(col("day"), col("prefix_d_na").as("n_a"),
+        col("prefix_d_nb").as("n_b"), col("prefix_d_ca").as("conv_a"),
+        col("prefix_d_cb").as("conv_b"))
+    val delta = col("conv_b") / nz(col("n_b")) - col("conv_a") / nz(col("n_a"))
+    val pooled = (col("conv_a") + col("conv_b")) / nz(col("n_a") + col("n_b"))
+    val vn = pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / nz(col("n_a")) + lit(1.0) / nz(col("n_b")))
+    val gln = floor(log(col("__vn") / (col("__vn") + lit(tau2))) * lit(1e6)) / lit(1e6)
+    val lnLambda = when(col("__vn").isNull || col("__vn") === 0.0, lit(null))
+      .otherwise(lit(0.5) * gln +
+        col("__delta") * col("__delta") * lit(tau2) /
+          (lit(2.0) * col("__vn") * (col("__vn") + lit(tau2))))
+    val panel = cum.withColumn("__delta", delta).withColumn("__vn", vn)
+      .withColumn("ln_lambda", lnLambda)
+    val run = PrefixSum.globalOrderedMax(panel, Seq(col("day")), "ln_lambda")
+    val lnP = when(col("prefix_max").isNull, lit(null))
+      .otherwise(-greatest(col("prefix_max"), lit(0.0)))
+    run.select(col("day"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      col("ln_lambda"), lnP.as("ln_p_always_valid"),
+      when(col("prefix_max").isNull, lit(null))
+        .otherwise(lnP < lit(-2.995732273553991)).as("reject_5pct"))
+  }
+
   /** Lead/lag cross-correlation panel between two event types' daily
     * count series — "does A's volume predict B's L days later": one
     * Pearson correlation per lag in [−maxLag, +maxLag], over the

@@ -1164,6 +1164,39 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(t.getAs[Double]("tau_b") - 0.5) < 1e-12)
   }
 
+  test("msprtSequential: evidence accumulates, always-valid p never rises") {
+    import java.sql.Timestamp
+    def ev(u: Long, split: String, day: Int, et: String) =
+      (u, split, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), et, 100.0)
+    val rows =
+      (1L to 4L).map(u => ev(u, "A", 1, "CLICK")) ++
+      (5L to 8L).map(u => ev(u, "B", 1, "CLICK")) ++
+      Seq(ev(5L, "B", 2, "PURCHASE"), ev(6L, "B", 2, "PURCHASE")) ++
+      Seq(ev(7L, "B", 3, "PURCHASE")) ++
+      (1L to 3L).map(u => ev(u, "A", 4, "PURCHASE"))
+    val df = rows.toDF("user_id", "split", "ts", "event_type", "value")
+    val got = AnalyticsPack.msprtSequential(df, "split", "A",
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    // day 1: no conversions -> pooled 0, vn 0 -> NULL lnL, NULL p
+    val d1 = got("2024-01-01")
+    assert(d1.getAs[Long]("n_a") == 4L && d1.getAs[Long]("n_b") == 4L)
+    assert(d1.isNullAt(d1.fieldIndex("ln_lambda")) &&
+      d1.isNullAt(d1.fieldIndex("ln_p_always_valid")))
+    // days 2-3: B converts, evidence grows, p falls
+    val (d2, d3, d4) = (got("2024-01-02"), got("2024-01-03"), got("2024-01-04"))
+    assert(d2.getAs[Long]("conv_b") == 2L && d3.getAs[Long]("conv_b") == 3L)
+    val (p2, p3) = (d2.getAs[Double]("ln_p_always_valid"),
+      d3.getAs[Double]("ln_p_always_valid"))
+    assert(p2 < 0.0 && p3 < p2)
+    assert(math.abs(p3 + d3.getAs[Double]("ln_lambda")) < 1e-12)
+    // day 4: A catches up (delta -> 0) — the running max HOLDS, the
+    // always-valid p cannot rise even though today's evidence shrank
+    assert(d4.getAs[Double]("ln_lambda") < d3.getAs[Double]("ln_lambda"))
+    assert(d4.getAs[Double]("ln_p_always_valid") == p3)
+    assert(!d4.getAs[Boolean]("reject_5pct"))
+  }
+
   test("chi2Assoc: independence zero, perfect diagonal chi2=n V=1, empty cells count") {
     import graft.operators.Profiling
     val indep = (for (x <- Seq("A", "B"); y <- Seq("1", "2"); _ <- 1 to 5)
