@@ -845,6 +845,23 @@ object SparkEntry {
       Graph.kCore(edges, "ia", "ib", k = 3, rounds = 6)
     }),
 
+    // Minimum spanning forest (Borůvka rounds) over the nation-flow
+    // graph weighted by total flow value — the cheapest backbone
+    // connecting every zone; rows-only by protocol (the iterative
+    // contraction has no SQL replay), spec-pinned against a
+    // driver-side Kruskal on seeded random graphs.
+    "graph_mst" -> ((s: SparkSession, d: String) => {
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(round(sum(money(col("l_extendedprice"))), 2)
+          .cast("double").as("w"))
+      Graph.minSpanningForest(flows, "src", "dst", "w")
+    }),
+
     // Triangle enumeration over the same nation-flow graph (edges
     // canonicalized undirected): closed 3-cliques = the tightly
     // coupled trade triads. Two co-keyed joins, orientation-bounded

@@ -421,4 +421,81 @@ object Graph {
           "distances still improving) — raise maxRounds")
     dist
   }
+
+  /** Minimum spanning FOREST by Borůvka rounds — the distributed MST
+    * algorithm (Kruskal/Prim are inherently sequential: both grow one
+    * frontier through a global priority queue; Borůvka lets every
+    * component pick its cheapest outgoing edge simultaneously, so
+    * each round is two co-keyed joins + one per-component min — and
+    * the component count at least halves per round, so `maxRounds`
+    * of 16 covers 65k+ components).
+    *
+    * Determinism: parallel edges collapse to their minimum weight and
+    * edges are totally ordered by (w, u, v), which makes the forest
+    * UNIQUE even under weight ties (the classic tie-break argument) —
+    * so the output is engine-replayable, not just weight-optimal.
+    * Each round's component labels come from a CONVERGED min-label
+    * fixpoint over the chosen forest ([[TextDedup.connectedComponents]]
+    * — driver sees one scalar per iteration), so a selected edge
+    * always bridges two distinct real components and `chosen` can
+    * never acquire a cycle.
+    *
+    * Output: one row per forest edge (u, v, w, comp = the component's
+    * final min-node label). Isolated nodes contribute no edges (a
+    * forest has none); total edge count = n_nodes − n_components.
+    */
+  def minSpanningForest(edges: DataFrame, srcCol: String, dstCol: String,
+                        wCol: String, maxRounds: Int = 16): DataFrame = {
+    val canon = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"), col(wCol).cast("double").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v") && col("w").isNotNull)
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val both = canon.unionAll(
+      canon.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    var labels = both.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var chosen: DataFrame = null
+    var crossEdges = 1L
+    var round = 0
+    while (crossEdges > 0 && round < maxRounds) {
+      val lab = both
+        .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint(true)
+      crossEdges = lab.count()
+      if (crossEdges > 0) {
+        val sel = lab.groupBy(col("cu"))
+          .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+          .select(least(col("m.u"), col("m.v")).as("u"),
+            greatest(col("m.u"), col("m.v")).as("v"), col("m.w").as("w"))
+          .distinct()
+        chosen =
+          if (chosen == null) sel.localCheckpoint(true)
+          else chosen.unionAll(sel).distinct().localCheckpoint(true)
+        val cc = TextDedup.connectedComponents(chosen, "u", "v")
+        labels = labels.select(col("node"))
+          .join(cc.select(col("doc_id").as("node"), col("cluster_id")),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("cluster_id"), col("node")).as("comp"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    if (crossEdges > 0)
+      throw new IllegalStateException(
+        s"minSpanningForest did not converge in $maxRounds rounds " +
+          s"($crossEdges cross-component edges remain) — raise maxRounds")
+    if (chosen == null)
+      canon.filter(lit(false)).withColumn("comp", col("u"))
+    else chosen
+      .join(labels.select(col("node").as("u"), col("comp")), "u")
+      .select(col("u"), col("v"), col("w"), col("comp"))
+  }
 }

@@ -222,4 +222,61 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("x" -> 0L, "y" -> 1L, "z" -> 2L))
     assert(Graph.bfsHops(cyc, "s", "t", source = "nope").collect().isEmpty)
   }
+
+  test("minSpanningForest: hand forest, two components, cycle edge dropped") {
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0), (3L, 4L, 4.0),
+      (10L, 11L, 5.0))
+      .toDF("u", "v", "w")
+    val got = Graph.minSpanningForest(edges, "u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 1.0, 1L), (2L, 3L, 2.0, 1L), (3L, 4L, 4.0, 1L),
+      (10L, 11L, 5.0, 10L)))
+  }
+
+  test("minSpanningForest: weight ties resolve by the (w,u,v) total order") {
+    // all three triangle edges weigh 1 — the unique tie-broken MST
+    // keeps the two lowest-(u,v) edges
+    val tri = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0)).toDF("u", "v", "w")
+    val got = Graph.minSpanningForest(tri, "u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L)))
+    // parallel edges collapse to their minimum weight first
+    val par = Seq((1L, 2L, 9.0), (2L, 1L, 4.0)).toDF("u", "v", "w")
+    val p = Graph.minSpanningForest(par, "u", "v", "w").collect()
+    assert(p.length == 1 && p.head.getDouble(2) == 4.0)
+  }
+
+  test("minSpanningForest: seeded random graphs match driver-side Kruskal") {
+    def kruskalTotal(es: Seq[(Long, Long, Double)]): (Double, Int) = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      var total = 0.0; var picked = 0
+      for ((u, v, w) <- es.sortBy(e => (e._3, e._1, e._2))) {
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(math.max(ru, rv)) = math.min(ru, rv)
+          total += w; picked += 1 }
+      }
+      (total, picked)
+    }
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val es = for {
+        u <- 1L to 10L; v <- (u + 1) to 10L
+        if rng.nextDouble() < 0.35
+      } yield (u, v, (rng.nextInt(9) + 1).toDouble) // heavy ties
+      if (es.nonEmpty) {
+        val (expTotal, expCount) = kruskalTotal(es)
+        val got = Graph.minSpanningForest(es.toDF("u", "v", "w"), "u", "v", "w")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(got.length == expCount, s"seed $seed edge count")
+        assert(got.map(_._3).sum == expTotal, s"seed $seed total weight")
+      }
+    }
+  }
 }
