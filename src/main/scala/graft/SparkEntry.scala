@@ -2014,6 +2014,24 @@ object SparkEntry {
         "media_id", "ahash", maxHamming = 4)
     }),
 
+    // Spectral band energies over REAL WAV decode: embeddings render
+    // to actual 16-bit PCM WAV (period = vector dim, so the spectrum
+    // concentrates on the dim's harmonics), decode through
+    // javax.sound, in-JVM radix-2 FFT, one flat row per band.
+    // Rows-only by protocol (binary decode); FFT + band fold
+    // spec-pinned on known tones.
+    "audio_spectral_bands" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val rows = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, v) =>
+          val samples = Array.tabulate(1024)(i => v(i % v.length)).toSeq
+          Multimodal.MediaRow(id, Multimodal.wavPcm16(samples, 8000), "wav")
+        }
+      Multimodal.spectralBands(rows).toDF()
+    }),
+
     // Per-channel color statistics over REAL PNG decode (R/G/B means
     // + luma-std contrast proxy, the flat/blank-asset gate input) —
     // same bounded-pixel decode discipline as multimodal_features.

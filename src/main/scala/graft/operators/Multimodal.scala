@@ -367,4 +367,153 @@ object Multimodal {
       }
     }
   }
+
+  final case class MediaSpectral(
+      media_id: Long, band: Int, lo_hz: Double, hi_hz: Double,
+      energy: Double, energy_share: Double, sample_rate: Int, n_samples: Int)
+
+  /** Minimal RIFF/WAV writer (16-bit PCM mono, little-endian) — the
+    * audio twin of [[grayPng8x8]]: render a numeric vector into a
+    * REAL asset so the audio pipeline is exercised through the actual
+    * JDK codec, not a stub. Samples clamp to [−1, 1].
+    */
+  def wavPcm16(samples: Seq[Double], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    samples.foreach { s =>
+      bb.putShort((math.max(-1.0, math.min(1.0, s)) * 32767.0).toShort)
+    }
+    bb.array()
+  }
+
+  /** Spectral band-energy features over REAL audio decode — the
+    * frequency-domain companion of [[decodeAudio]]'s time-domain
+    * amplitude: per asset, the first `window` 16-bit PCM samples
+    * (zero-padded if shorter — an hour-long asset costs the same as a
+    * jingle) run through an in-JVM radix-2 FFT, and the [0, Nyquist)
+    * spectrum folds into `nBands` equal bands with linear energy +
+    * share per band (share is a plain IEEE division; no dB/log in the
+    * output, the log-free house rule). Emits one ROW PER BAND — a
+    * flat sortable schema, never an array column (the driver-check
+    * rule D37 established). Non-PCM-16 or undecodable assets emit
+    * nothing. `mapPartitions` justified: opaque binary input.
+    */
+  def spectralBands(ds: Dataset[MediaRow], nBands: Int = 8,
+                    window: Int = 1024): Dataset[MediaSpectral] = {
+    require(nBands >= 1 && window >= 2 * nBands &&
+      (window & (window - 1)) == 0, s"window=$window must be a power of " +
+      s"two with at least 2 bins per band (nBands=$nBands)")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.flatMap(r =>
+      spectralOne(r, nBands, window))))
+  }
+
+  private[operators] def spectralOne(r: MediaRow, nBands: Int,
+                                     window: Int): Seq[MediaSpectral] = {
+    val decoded =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+        try {
+          val f = in.getFormat
+          if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16) None
+          else {
+            val ch = math.max(1, f.getChannels)
+            val want = window * 2 * ch
+            val buf = new Array[Byte](want)
+            var filled = 0
+            var k = in.read(buf, 0, want)
+            while (k > 0 && filled + k < want) {
+              filled += k; k = in.read(buf, filled, want - filled)
+            }
+            if (k > 0) filled += k
+            val nFrames = filled / (2 * ch)
+            val re = new Array[Double](window)
+            var i = 0
+            while (i < nFrames) {
+              val off = i * 2 * ch // first channel of each frame
+              val s =
+                if (f.isBigEndian) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                else (buf(off + 1) << 8) | (buf(off) & 0xff)
+              re(i) = s / 32768.0
+              i += 1
+            }
+            if (nFrames == 0) None
+            else Some((re, f.getSampleRate.toInt, nFrames))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    decoded.toSeq.flatMap { case (re, rate, nSamples) =>
+      val mag2 = fftMag2(re)
+      val perBand = mag2.length / nBands
+      val energies = Array.tabulate(nBands) { b =>
+        var e = 0.0
+        var k = b * perBand
+        val end = (b + 1) * perBand
+        while (k < end) { e += mag2(k); k += 1 }
+        e
+      }
+      val total = energies.sum
+      val nyquist = rate / 2.0
+      (0 until nBands).map { b =>
+        MediaSpectral(r.media_id, b,
+          nyquist * b / nBands, nyquist * (b + 1) / nBands,
+          energies(b), if (total == 0.0) 0.0 else energies(b) / total,
+          rate, nSamples)
+      }
+    }
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey; returns |X_k|² for
+    * k < n/2 (the real-signal half-spectrum). Pure JVM math —
+    * deterministic across executors.
+    */
+  private[operators] def fftMag2(signal: Array[Double]): Array[Double] = {
+    val n = signal.length
+    val re = signal.clone()
+    val im = new Array[Double](n)
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while (j >= bit) { j -= bit; bit >>= 1 }
+      j += bit
+      if (i < j) {
+        val t = re(i); re(i) = re(j); re(j) = t
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k
+          val b = a + len / 2
+          val tr = re(b) * cr - im(b) * ci
+          val ti = re(b) * ci + im(b) * cr
+          re(b) = re(a) - tr; im(b) = im(a) - ti
+          re(a) += tr; im(a) += ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    Array.tabulate(n / 2)(k => re(k) * re(k) + im(k) * im(k))
+  }
 }

@@ -487,4 +487,32 @@ class SourcesSpec extends SparkSpec {
     assert(got.forall(_.frame.length == 100))
     assert(got.sortBy(_.frame_ix).head.frame(0) == 0.toByte)
   }
+
+  test("multimodal: spectral bands — a pure tone lands in exactly its band") {
+    import spark.implicits._
+    // bin 96 of a 1024-window at 8 kHz = 750 Hz -> band 1 of 8 ([500,1000))
+    val tone = Array.tabulate(1024)(i =>
+      0.5 * math.sin(2.0 * math.Pi * 96.0 * i / 1024.0)).toSeq
+    // constant (DC) signal -> all energy in band 0
+    val dc = Seq.fill(1024)(0.4)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, Multimodal.wavPcm16(tone, 8000), "wav"),
+      Multimodal.MediaRow(2L, Multimodal.wavPcm16(dc, 8000), "wav"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "wav"))) // corrupt → dropped
+    val got = Multimodal.spectralBands(media).collect()
+      .groupBy(_.media_id)
+    assert(!got.contains(3L))
+    val byBand1 = got(1L).map(s => s.band -> s).toMap
+    assert(byBand1.size == 8)
+    assert(byBand1(1).lo_hz == 500.0 && byBand1(1).hi_hz == 1000.0)
+    assert(byBand1(1).energy_share > 0.999)
+    assert(byBand1(1).sample_rate == 8000 && byBand1(1).n_samples == 1024)
+    assert(math.abs(got(1L).map(_.energy_share).sum - 1.0) < 1e-9)
+    val byBand2 = got(2L).map(s => s.band -> s.energy_share).toMap
+    assert(byBand2(0) > 0.999)
+    // deterministic: a second run reproduces bit-identical energies
+    val again = Multimodal.spectralBands(media).collect()
+      .filter(_.media_id == 1L).map(_.energy).toSeq
+    assert(again == got(1L).map(_.energy).toSeq)
+  }
 }
