@@ -1052,6 +1052,25 @@ object SparkEntry {
       binned.join(safe.hint("shuffle_hash"), quasi, "left_semi")
     }),
 
+    // Generalization-ladder release over the same quasi identifiers:
+    // coarsen (hour band / weekend flag / value band, then full
+    // redaction) until every class reaches k=5 — the third mechanism
+    // next to suppression and noise; gen_level records the cost.
+    "privacy_generalize_release" -> ((s: SparkSession, d: String) => {
+      val base = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      val ladder = Seq(
+        Seq(floor(hour(col("ts")) / 6).cast("long").cast("string"),
+          Temporal.isoDow(col("ts")).cast("long").cast("string"),
+          least(lit(9L), floor(col("value") / 10).cast("long")).cast("string")),
+        Seq(floor(hour(col("ts")) / 6).cast("long").cast("string"),
+          when(Temporal.isoDow(col("ts")) >= 6, "WE").otherwise("WD"),
+          least(lit(4L), floor(col("value") / 20).cast("long")).cast("string")),
+        Seq(lit("*"), lit("*"), lit("*")))
+      Audit.generalizeRelease(base, ladder,
+        Seq("hour_band", "iso_dow", "val_decile"), k = 5)
+    }),
+
     // Deterministic Laplace DP release over the same quasi-identifier
     // combos: epsilon=0.5 (b=2.0), noise a pure function of the group
     // key through the md5 uniform — reproducible across runs so the
@@ -3835,6 +3854,43 @@ object SparkEntry {
         |FROM binned b
         |JOIN safe s ON s.hour_band = b.hour_band AND s.iso_dow = b.iso_dow
         |  AND s.val_decile = b.val_decile""".stripMargin,
+
+    // Generalization ladder replay: per-level min class size, the
+    // first-k-anonymous-level choice, CASE-selected rendering, final
+    // windowed suppression at the chosen grain.
+    "privacy_generalize_release" ->
+      """WITH base AS (
+        |  SELECT
+        |    CAST(CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS VARCHAR) AS g0_0,
+        |    CAST(CAST(isodow(ts) AS BIGINT) AS VARCHAR) AS g0_1,
+        |    CAST(LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS VARCHAR) AS g0_2,
+        |    CAST(CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS VARCHAR) AS g1_0,
+        |    CASE WHEN isodow(ts) >= 6 THEN 'WE' ELSE 'WD' END AS g1_1,
+        |    CAST(LEAST(4, CAST(FLOOR(value / 20) AS BIGINT)) AS VARCHAR) AS g1_2,
+        |    '*' AS g2_0, '*' AS g2_1, '*' AS g2_2
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m0 AS (SELECT MIN(c) AS m0 FROM
+        |  (SELECT COUNT(*) AS c FROM base GROUP BY g0_0, g0_1, g0_2)),
+        |m1 AS (SELECT MIN(c) AS m1 FROM
+        |  (SELECT COUNT(*) AS c FROM base GROUP BY g1_0, g1_1, g1_2)),
+        |lvl AS (SELECT CAST(CASE WHEN m0 >= 5 THEN 0
+        |                         WHEN m1 >= 5 THEN 1
+        |                         ELSE 2 END AS INTEGER) AS gen_level
+        |  FROM m0 CROSS JOIN m1),
+        |rel AS (SELECT
+        |    CASE gen_level WHEN 0 THEN g0_0 WHEN 1 THEN g1_0 ELSE g2_0 END
+        |      AS hour_band,
+        |    CASE gen_level WHEN 0 THEN g0_1 WHEN 1 THEN g1_1 ELSE g2_1 END
+        |      AS iso_dow,
+        |    CASE gen_level WHEN 0 THEN g0_2 WHEN 1 THEN g1_2 ELSE g2_2 END
+        |      AS val_decile,
+        |    gen_level
+        |  FROM base CROSS JOIN lvl)
+        |SELECT hour_band, iso_dow, val_decile, gen_level FROM (
+        |  SELECT *, COUNT(*) OVER
+        |    (PARTITION BY hour_band, iso_dow, val_decile) AS cn
+        |  FROM rel)
+        |WHERE cn >= 5""".stripMargin,
 
     // Laplace DP release replay: the md5-32 uniform, the inverse-CDF
     // draw with the ln floor-quantized on the group panel (§5), the

@@ -273,4 +273,63 @@ object Audit {
       .withColumn("released_count",
         greatest(lit(0L), floor(col("noisy_count"))).cast("long"))
   }
+
+  /** k-anonymity by GENERALIZATION ladder — the third release
+    * mechanism next to suppression ([[kAnonymity]]'s acting twin) and
+    * noise ([[dpNoisyCounts]]): instead of dropping rare rows or
+    * perturbing counts, coarsen the quasi-identifiers just enough.
+    * `ladder(ℓ)(i)` is quasi-column i rendered (as STRING — one
+    * schema across levels) at generalization level ℓ, finest first;
+    * the release uses the FIRST level whose every equivalence class
+    * reaches k rows, falling back to the coarsest level plus
+    * suppression of its residual small classes — so the output is
+    * k-anonymous by construction, with `gen_level` recording how much
+    * resolution the data cost.
+    *
+    * Scale shape: rows project all levels' keys in one pass and
+    * collapse ONCE to the finest-grain panel (levels are nested, so
+    * the finest key determines the coarser ones); each level's
+    * minimum class size is a panel aggregation collapsing to one row,
+    * broadcast back — the level CHOICE stays in-plan, nothing
+    * row-shaped touches the driver. The final suppression check is
+    * one left-semi join against the chosen-level class panel.
+    */
+  def generalizeRelease(df: DataFrame, ladder: Seq[Seq[Column]],
+                        names: Seq[String], k: Int): DataFrame = {
+    require(ladder.nonEmpty && names.nonEmpty && k >= 1,
+      s"generalizeRelease needs a ladder, names and positive k: $k")
+    require(ladder.forall(_.size == names.size),
+      s"every ladder level must render all ${names.size} quasi columns")
+    val nL = ladder.size
+    val nQ = names.size
+    def g(l: Int, i: Int) = s"__g${l}_$i"
+    val keyed = df.select(
+      (for { l <- 0 until nL; i <- 0 until nQ }
+        yield ladder(l)(i).cast("string").as(g(l, i))): _*)
+      .filter((0 until nQ).map(i => col(g(0, i)).isNotNull).reduce(_ && _))
+      .localCheckpoint(true)
+    val panel = keyed
+      .groupBy((for { l <- 0 until nL; i <- 0 until nQ } yield col(g(l, i))): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    def minAt(l: Int): DataFrame = panel
+      .groupBy((0 until nQ).map(i => col(g(l, i))): _*)
+      .agg(sum(col("__cnt")).as("__c"))
+      .agg(min(col("__c")).as(s"__m$l"))
+    val withMins = (0 until nL).foldLeft(keyed)((d, l) =>
+      d.crossJoin(broadcast(minAt(l))))
+    val lvl = (0 until nL - 1).foldRight(lit(nL - 1): Column)((l, acc) =>
+      when(col(s"__m$l") >= k, lit(l)).otherwise(acc))
+    val released = withMins.withColumn("gen_level", lvl.cast("int"))
+      .select(
+        (0 until nQ).map(i =>
+          (0 until nL).foldRight(lit(null).cast("string"): Column)((l, acc) =>
+            when(col("gen_level") === l, col(g(l, i))).otherwise(acc))
+            .as(names(i))) :+ col("gen_level"): _*)
+    val classes = released
+      .groupBy(names.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .select(names.map(col): _*)
+    released.join(classes, names, "left_semi")
+  }
 }

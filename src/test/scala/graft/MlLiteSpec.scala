@@ -675,4 +675,25 @@ class MlLiteSpec extends SparkSpec {
     // min packed id of cell (0,0): (0+1e6)·2e6 + (0+1e6)
     assert(got.head.getAs[Long]("cluster_id") == 1000000L * 2000000L + 1000000L)
   }
+
+  test("generalizeRelease: picks the first k-anonymous level, falls back to suppression") {
+    import graft.operators.Audit
+    import org.apache.spark.sql.functions.{col, lit}
+    // level 0 has a singleton class -> coarsen to '*' and keep ALL rows
+    val df1 = (Seq.fill(10)(1) :+ 2).toDF("x")
+    val lad2 = Seq(Seq(col("x").cast("string")), Seq(lit("*")))
+    val r1 = Audit.generalizeRelease(df1, lad2, Seq("x"), k = 5).collect()
+    assert(r1.length == 11)
+    assert(r1.forall(r => r.getString(0) == "*" && r.getAs[Int]("gen_level") == 1))
+    // every level-0 class >= k -> finest level survives intact
+    val df2 = (Seq.fill(10)(1) ++ Seq.fill(6)(2)).toDF("x")
+    val r2 = Audit.generalizeRelease(df2, lad2, Seq("x"), k = 5).collect()
+    assert(r2.length == 16 && r2.forall(_.getAs[Int]("gen_level") == 0))
+    assert(r2.count(_.getString(0) == "2") == 6)
+    // single-level ladder that cannot reach k: residual suppression
+    val df3 = (Seq.fill(6)(1) ++ Seq.fill(2)(2)).toDF("x")
+    val r3 = Audit.generalizeRelease(df3,
+      Seq(Seq(col("x").cast("string"))), Seq("x"), k = 5).collect()
+    assert(r3.length == 6 && r3.forall(_.getString(0) == "1"))
+  }
 }
