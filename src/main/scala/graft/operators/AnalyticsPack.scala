@@ -1991,9 +1991,26 @@ object AnalyticsPack {
     * Degenerate days (an empty arm, pooled rate 0 or 1) yield NULL
     * ln Λ and inherit the running maximum, never a division error.
     */
+  /** The mSPRT mixture log likelihood ratio on a cumulative
+    * two-proportion panel — shared by the batch per-day readout and
+    * the streaming per-batch sink so the two can never drift. One
+    * fixed IEEE op order; ln is §5 grid-quantized; NULL on a
+    * degenerate panel (empty arm, pooled rate 0 or 1).
+    */
+  private[graft] def msprtLnLambda(nA: Column, nB: Column, cA: Column,
+                                   cB: Column, tau2: Double): Column = {
+    def nz(c: Column) = when(c === 0, lit(null)).otherwise(c)
+    val delta = cB / nz(nB) - cA / nz(nA)
+    val pooled = (cA + cB) / nz(nA + nB)
+    val vn = pooled * (lit(1.0) - pooled) * (lit(1.0) / nz(nA) + lit(1.0) / nz(nB))
+    val gln = floor(log(vn / (vn + lit(tau2))) * lit(1e6)) / lit(1e6)
+    when(vn.isNull || vn === 0.0, lit(null))
+      .otherwise(lit(0.5) * gln +
+        delta * delta * lit(tau2) / (lit(2.0) * vn * (vn + lit(tau2))))
+  }
+
   def msprtSequential(events: DataFrame, variantCol: String, a: String,
                       convPred: Column, tau2: Double = 0.01): DataFrame = {
-    def nz(c: Column) = when(c === 0, lit(null)).otherwise(c)
     val isA = col(variantCol) === a
     val users = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy(col("user_id"), col(variantCol))
@@ -2018,17 +2035,8 @@ object AnalyticsPack {
       .select(col("day"), col("prefix_d_na").as("n_a"),
         col("prefix_d_nb").as("n_b"), col("prefix_d_ca").as("conv_a"),
         col("prefix_d_cb").as("conv_b"))
-    val delta = col("conv_b") / nz(col("n_b")) - col("conv_a") / nz(col("n_a"))
-    val pooled = (col("conv_a") + col("conv_b")) / nz(col("n_a") + col("n_b"))
-    val vn = pooled * (lit(1.0) - pooled) *
-      (lit(1.0) / nz(col("n_a")) + lit(1.0) / nz(col("n_b")))
-    val gln = floor(log(col("__vn") / (col("__vn") + lit(tau2))) * lit(1e6)) / lit(1e6)
-    val lnLambda = when(col("__vn").isNull || col("__vn") === 0.0, lit(null))
-      .otherwise(lit(0.5) * gln +
-        col("__delta") * col("__delta") * lit(tau2) /
-          (lit(2.0) * col("__vn") * (col("__vn") + lit(tau2))))
-    val panel = cum.withColumn("__delta", delta).withColumn("__vn", vn)
-      .withColumn("ln_lambda", lnLambda)
+    val panel = cum.withColumn("ln_lambda",
+      msprtLnLambda(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"), tau2))
     val run = PrefixSum.globalOrderedMax(panel, Seq(col("day")), "ln_lambda")
     val lnP = when(col("prefix_max").isNull, lit(null))
       .otherwise(-greatest(col("prefix_max"), lit(0.0)))

@@ -632,6 +632,84 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming ALWAYS-VALID EXPERIMENT sink — the live twin of the
+    * batch mSPRT readout ([[graft.operators.AnalyticsPack
+    * .msprtSequential]], sharing its exact ln Λ expression): per
+    * micro-batch, the events fold into a per-user STATE table
+    * (user_id, arm, converted-ever — state is ≤ one row per enrolled
+    * user forever, never per-event), the state collapses to the
+    * cumulative two-proportion panel, and ONE readout row appends
+    * with ln Λ, the carried running maximum, and the always-valid
+    * `ln p = −max(0, running max)` — so the dashboard can be watched
+    * continuously and a rejection at any batch is statistically
+    * valid. Both tables are batch-id replay-guarded under the house
+    * writer-identity rule; a crash between the state swap and the
+    * readout append replays into a state table that already absorbed
+    * the batch, which the cumulative panel makes idempotent.
+    */
+  def msprtSink(stream: DataFrame, checkpoint: String, stateTarget: String,
+                readoutTarget: String, variantCol: String, a: String,
+                convPred: Column, tau2: Double = 0.01):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        msprtBatchToParquet(batch.toDF(), stateTarget, readoutTarget,
+          variantCol, a, convPred, tau2, batchId)
+      }
+
+  private[graft] def msprtBatchToParquet(batch: DataFrame, stateTarget: String,
+                                         readoutTarget: String,
+                                         variantCol: String, a: String,
+                                         convPred: Column, tau2: Double,
+                                         batchId: Long = -1L,
+                                         writerId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val userPartial = batch
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col(variantCol)).as("arm"),
+        max(when(convPred, 1L).otherwise(0L)).as("converted"))
+    upsertParquet(stateTarget, userPartial, { existing =>
+      val e = existing.select(col("user_id"), col("arm").as("__arm_old"),
+        col("converted").as("__cv_old"))
+      e.join(userPartial.select(col("user_id"), col("arm").as("__arm_new"),
+          col("converted").as("__cv_new")).hint("shuffle_hash"),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("__arm_old"), col("__arm_new")).as("arm"),
+          greatest(coalesce(col("__cv_old"), lit(0L)),
+            coalesce(col("__cv_new"), lit(0L))).as("converted"))
+    }, batchId, writerId)
+    val isA = col("arm") === a
+    val panel = spark.read.parquet(stateTarget)
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(!isA, col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("ln_lambda", graft.operators.AnalyticsPack.msprtLnLambda(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"), tau2))
+      .withColumn("batch_id", lit(batchId))
+    def withP(row: DataFrame, priorMax: Column): DataFrame = {
+      val runMax =
+        when(col("ln_lambda").isNull, priorMax)
+          .otherwise(when(priorMax.isNull, col("ln_lambda"))
+            .otherwise(greatest(priorMax, col("ln_lambda"))))
+      row.withColumn("run_max", runMax)
+        .withColumn("ln_p_always_valid",
+          when(col("run_max").isNull, lit(null))
+            .otherwise(-greatest(col("run_max"), lit(0.0))))
+    }
+    upsertParquet(readoutTarget, withP(panel, lit(null).cast("double")),
+      { existing =>
+        val prior = existing.agg(max(col("run_max"))).collect().head
+        val pm = if (prior.isNullAt(0)) lit(null).cast("double")
+                 else lit(prior.getDouble(0))
+        existing.unionByName(withP(panel, pm))
+      }, batchId, writerId)
+  }
+
   /** Streaming ingestion into a [[graft.sources.VersionedTable]]: each
     * micro-batch commits ONE append segment through the manifest log,
     * so readers get snapshot isolation over a live stream — a query

@@ -974,6 +974,63 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2L)
   }
 
+  test("msprt sink: per-batch readout equals the batch operator on the same prefix; replay no-ops") {
+    import java.sql.Timestamp
+    import graft.operators.AnalyticsPack
+    implicit val sql = spark.sqlContext
+    def ev(u: Long, split: String, day: Int, et: String) =
+      (u, split, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), et, 100.0)
+    val prefix1 =
+      (1L to 4L).map(ev(_, "A", 1, "CLICK")) ++
+      (5L to 8L).map(ev(_, "B", 1, "CLICK")) ++
+      Seq(ev(5L, "B", 2, "PURCHASE"), ev(6L, "B", 2, "PURCHASE"))
+    val increment =
+      Seq(ev(7L, "B", 3, "PURCHASE")) ++ (1L to 3L).map(ev(_, "A", 4, "PURCHASE"))
+    val conv = upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95
+    def lastRow(rows: Seq[(Long, String, Timestamp, String, Double)]) =
+      AnalyticsPack.msprtSequential(
+        rows.toDF("user_id", "split", "ts", "event_type", "value"),
+        "split", "A", conv)
+        .orderBy(col("day").desc).collect().head
+    val exp1 = lastRow(prefix1)
+    val exp2 = lastRow(prefix1 ++ increment)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_msprtsink").toString
+    val in = MemoryStream[(Long, String, Timestamp, String, Double)]
+    val q = StreamOps.msprtSink(
+      in.toDF.toDF("user_id", "split", "ts", "event_type", "value"),
+      s"$dir/ckpt", s"$dir/state", s"$dir/readout", "split", "A", conv)
+      .start()
+    in.addData(prefix1: _*); q.processAllAvailable()
+    in.addData(increment: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/readout").collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(rows.size == 2)
+    val (b0, b1) = (rows(0L), rows(1L))
+    assert(b0.getAs[Long]("n_a") == 4L && b0.getAs[Long]("n_b") == 4L)
+    assert(b0.getAs[Long]("conv_a") == 0L && b0.getAs[Long]("conv_b") == 2L)
+    assert(b0.getAs[Double]("ln_lambda") == exp1.getAs[Double]("ln_lambda"))
+    assert(b1.getAs[Long]("conv_a") == 3L && b1.getAs[Long]("conv_b") == 3L)
+    assert(b1.getAs[Double]("ln_lambda") == exp2.getAs[Double]("ln_lambda"))
+    // always-valid: run max over the sink's own readout sequence
+    val expMax = math.max(b0.getAs[Double]("ln_lambda"), b1.getAs[Double]("ln_lambda"))
+    assert(b1.getAs[Double]("run_max") == expMax)
+    assert(b1.getAs[Double]("ln_p_always_valid") == -math.max(0.0, expMax))
+    // per-user state stays one row per user with converted-ever flags
+    val state = spark.read.parquet(s"$dir/state").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("converted")).toMap
+    assert(state.size == 8 && state(5L) == 1L && state(4L) == 0L)
+    // replaying batch 1 under the query's identity must change nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.msprtBatchToParquet(
+        increment.toDF("user_id", "split", "ts", "event_type", "value"),
+        s"$dir/state", s"$dir/readout", "split", "A", conv, 0.01, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(spark.read.parquet(s"$dir/readout").count() == 2L)
+  }
+
   test("batch sessionization: gap boundary is inclusive (<= gap stays)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
