@@ -330,6 +330,9 @@ object Audit {
       .groupBy(names.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= k)
       .select(names.map(col): _*)
-    released.join(classes, names, "left_semi")
+    // shuffled-hash, never sort-merge: the class panel is ≤ one row
+    // per surviving combo (the suppress-release precedent) — both
+    // sides hash on the quasi key, no per-partition sorts
+    released.join(classes.hint("shuffle_hash"), names, "left_semi")
   }
 }

@@ -47,7 +47,10 @@ class InvariantSpec extends SparkSpec {
       "ana_survival_curve", "ana_gini_demand", "ana_theil_sen", "ana_market_basket",
       "ana_bootstrap_ci",
       "ml_naive_bayes", "sketch_countmin", "text_feature_hash",
-      "svc_hotspot_clusters")
+      "svc_hotspot_clusters",
+      "table_corr_spearman", "table_corr_kendall", "ana_kruskal_wallis",
+      "ana_xcorr_lags", "ana_msprt", "table_chi2_assoc",
+      "privacy_generalize_release")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -60,10 +63,18 @@ class InvariantSpec extends SparkSpec {
     // benign n x 1 class as data_drift_ks's totals.
     // ml_naive_bayes: the broadcast cross is the bounded class panel
     // (|classes| rows) onto the doc panel — the 1-row-totals class.
+    // table_corr_kendall: the panel² self-join's only condition is an
+    // inequality (cx₂ > cx₁) — BNLJ on a ≤cells-sized broadcast panel
+    // is the designed shape. table_chi2_assoc: the kx × ky margin
+    // grid cross. privacy_generalize_release / ana_kruskal_wallis /
+    // ana_msprt: broadcast 1-row minima/totals panels crossed onto
+    // the row/panel relation — the analytics-pack 1-row-total class.
     val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
       "data_drift_ks", "audit_benford_digits", "ann_range_search",
       "table_mutual_info", "text_pmi_bigrams", "table_entropy",
-      "ana_market_basket", "ml_naive_bayes")
+      "ana_market_basket", "ml_naive_bayes",
+      "table_corr_kendall", "table_chi2_assoc",
+      "privacy_generalize_release", "ana_kruskal_wallis", "ana_msprt")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
