@@ -454,6 +454,74 @@ object VersionedTable {
       side(removed, fromVersion), side(added, toVersion), Seq(keyCol), attrs)
   }
 
+  /** RESTORE: roll the table's HEAD back to `toVersion`'s content as
+    * a NEW commit (the Delta-style restore) — nothing is deleted or
+    * rewritten, the new manifest simply references the target
+    * version's segments BY NAME, so restore is O(1) driver work
+    * regardless of table size, history stays intact (the bad
+    * versions remain readable until [[vacuum]]), and txn markers
+    * carry forward from the CURRENT head so replay detection cannot
+    * be rolled back with the data (a marker lost to restore would
+    * let an already-applied streaming batch re-apply).
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val hfs = fs(spark, dir)
+    val cur = versions(hfs, dir).maxOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    require(toVersion <= cur, s"restore target $toVersion is beyond head $cur")
+    val targetSegs = segments(spark, dir, toVersion)
+    val txns = txnsOf(manifestJson(hfs, dir, cur))
+    val v = cur + 1
+    val segsJson = targetSegs.map(s => s""""$s"""").mkString("[", ", ", "]")
+    val txnsJson =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sortBy(_._1)
+        .map { case (a, s) => s""""$a": $s""" }
+        .mkString(""", "txns": {""", ", ", "}")
+    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
+      new HPath(s"$dir/_graft_log/$v.json"),
+      s"""{"version": $v, "mode": "restore", "segments": $segsJson$txnsJson}""")
+    v
+  }
+
+  /** Commit-time CONSTRAINT gate (the Delta CHECK-constraint shape):
+    * evaluate every named predicate over the batch in ONE aggregate
+    * job and fail LOUDLY with per-constraint violation counts if any
+    * row breaks any of them; `uniqueKey` additionally enforces
+    * key-uniqueness (the invariant [[merge]] preserves but a plain
+    * append could silently break). Run it immediately before
+    * [[commit]]/[[merge]] — a constraint caught at write time costs
+    * one scan; one caught downstream costs an incident.
+    */
+  def assertConstraints(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)],
+                        uniqueKey: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, sum, when}
+    if (checks.isEmpty && uniqueKey.isEmpty) return
+    checks.foreach(c => requireJsonSafe(c._1, "constraint name"))
+    val aggs =
+      checks.map { case (n, pred) =>
+        sum(when(!pred || pred.isNull, 1L).otherwise(0L)).as(s"__viol_$n")
+      } ++ uniqueKey.toSeq.flatMap(k => Seq(
+        count(org.apache.spark.sql.functions.col(k)).as("__uk_n"),
+        countDistinct(org.apache.spark.sql.functions.col(k)).as("__uk_d"),
+        count(lit(1)).as("__uk_all")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val violations = checks.zipWithIndex.collect {
+      case ((n, _), i) if r.getLong(i) > 0 => s"$n: ${r.getLong(i)} rows"
+    }
+    val ukViol = uniqueKey.flatMap { k =>
+      val base = checks.size
+      val (nn, nd, all) = (r.getLong(base), r.getLong(base + 1), r.getLong(base + 2))
+      if (nn != all) Some(s"unique_key($k): ${all - nn} NULL keys")
+      else if (nd != nn) Some(s"unique_key($k): ${nn - nd} duplicate rows")
+      else None
+    }
+    val all = violations ++ ukViol
+    if (all.nonEmpty)
+      throw new IllegalStateException(
+        s"constraint violations — commit refused: ${all.mkString("; ")}")
+  }
+
   def optimizeCompact(spark: SparkSession, dir: String,
                       statsCol: Option[String] = None,
                       bloomCol: Option[String] = None): Long =

@@ -361,6 +361,58 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.lastTxnVersion(spark, dir, "upserter").contains(3L))
   }
 
+  test("restore: head rolls back by reference, history and txn markers survive") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_vt_restore").toString
+    VersionedTable.commit((1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, txn = Some(("loader", 9L)))                        // v0
+    VersionedTable.commit(Seq((6L, "bad")).toDF("k", "v"), dir) // v1 (regretted)
+    VersionedTable.deleteWhere(spark, dir, "k", 3L)             // v2 (regretted)
+    val v = VersionedTable.restore(spark, dir, 0L)
+    assert(v == 3L)
+    val head = VersionedTable.read(spark, dir)
+    assert(head.count() == 5 && head.filter(col("k") === 3L).count() == 1)
+    // by reference: restored head reads v0's physical files
+    assert(head.inputFiles.toSet ==
+      VersionedTable.read(spark, dir, Some(0L)).inputFiles.toSet)
+    // the bad versions stay time-travelable until vacuum
+    assert(VersionedTable.read(spark, dir, Some(2L)).count() == 5)
+    assert(VersionedTable.history(spark, dir).last._2 == "restore")
+    // replay detection survives the rollback
+    assert(VersionedTable.lastTxnVersion(spark, dir, "loader").contains(9L))
+    // vacuum keeps the restored head readable (its manifest references
+    // the v0 segment)
+    VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    assert(VersionedTable.read(spark, dir).count() == 5)
+  }
+
+  test("assertConstraints: clean batch passes; violations refuse loudly with counts") {
+    import org.apache.spark.sql.functions.col
+    val clean = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    VersionedTable.assertConstraints(clean,
+      Seq("v_positive" -> (col("v") > 0)), uniqueKey = Some("k"))
+    val dirty = Seq((1L, 10.0), (1L, -5.0), (2L, -1.0)).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      VersionedTable.assertConstraints(dirty,
+        Seq("v_positive" -> (col("v") > 0)), uniqueKey = Some("k"))
+    }
+    assert(e.getMessage.contains("v_positive: 2 rows"))
+    assert(e.getMessage.contains("unique_key(k): 1 duplicate rows"))
+    // a NULL predicate result counts as a violation (CHECK semantics)
+    val nullish = Seq((1L, Some(1.0)), (2L, None)).toDF("k", "v")
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.assertConstraints(nullish, Seq("v_positive" -> (col("v") > 0)))
+    }
+    assert(e2.getMessage.contains("v_positive: 1 rows"))
+    // NULL keys refuse too
+    val e3 = intercept[IllegalStateException] {
+      VersionedTable.assertConstraints(
+        Seq((Some(1L), 1.0), (None, 2.0)).toDF("k", "v"),
+        Seq.empty, uniqueKey = Some("k"))
+    }
+    assert(e3.getMessage.contains("NULL keys"))
+  }
+
   test("changeFeed: version-to-version CDC reads only manifest-delta segments") {
     val dir = Files.createTempDirectory("graft_vt_cdf").toString
     VersionedTable.commit((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
