@@ -2616,6 +2616,12 @@ object SparkEntry {
     "ana_autocorrelation" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.autocorrelation(servingValid(s, d), maxLag = 7)),
 
+    // PACF (Durbin–Levinson over the ACF panel): the AR-order
+    // diagnostic — where the ACF of an AR process decays forever,
+    // its PACF cuts off at the true lag order.
+    "ana_pacf" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.pacf(servingValid(s, d), maxLag = 7)),
+
     // Distribution-free conformal intervals over the backtest
     // residuals: forecast ± q̂ with certified ≥80% coverage.
     "ana_forecast_conformal" -> ((s: SparkSession, d: String) =>
@@ -4320,6 +4326,72 @@ object SparkEntry {
     * division), percentiles are exact quantile_cont, every window
     * orders an aggregated frame with tie-break keys.
     */
+  /** The ACF oracle body, shared verbatim by ana_autocorrelation and
+    * the PACF replay (which pivots it and runs Durbin-Levinson CTE
+    * levels on top).
+    */
+  private def acfOracleSql(validSql: String): String =
+    s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |mp AS (
+           |  SELECT event_type_norm,
+           |    ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS ybar
+           |  FROM byday GROUP BY 1),
+           |dev AS (
+           |  SELECT b.event_type_norm, b.d, b.y - m.ybar AS dev
+           |  FROM byday b JOIN mp m USING (event_type_norm)),
+           |den AS (
+           |  SELECT event_type_norm,
+           |    CAST(SUM(CAST(FLOOR(dev * dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS den
+           |  FROM dev GROUP BY 1),
+           |probes AS (
+           |  SELECT event_type_norm, u.lag, d + u.lag AS d, dev AS dev_t
+           |  FROM dev, (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag) u),
+           |num AS (
+           |  SELECT p.event_type_norm, p.lag,
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(CAST(FLOOR(p.dev_t * v.dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS num
+           |  FROM probes p JOIN dev v
+           |    ON p.event_type_norm = v.event_type_norm AND p.d = v.d
+           |  GROUP BY 1, 2)
+           |SELECT n.event_type_norm, n.lag, n.n_pairs,
+           |  CASE WHEN de.den <> 0 THEN n.num / de.den END AS acf
+           |FROM num n JOIN den de USING (event_type_norm)""".stripMargin
+
+  /** Durbin–Levinson PACF replay: pivot the ACF panel to r1..rK, one
+    * CTE pair per level (fkk, then the coefficient updates that
+    * reference it), sequential left-to-right term sums — op-for-op
+    * the driver recursion in [[graft.operators.AnalyticsPack.pacf]].
+    */
+  private def pacfOracleSql(acfSql: String, maxLag: Int): String = {
+    val rcols = (1 to maxLag)
+      .map(k => s"MAX(CASE WHEN lag = $k THEN acf END) AS r$k")
+      .mkString(",\n    ")
+    val sb = new StringBuilder
+    sb.append(s"WITH acf_panel AS (\n$acfSql\n),\n")
+    sb.append(s"piv AS (\n  SELECT event_type_norm,\n    $rcols\n  FROM acf_panel GROUP BY 1),\n")
+    sb.append("p1 AS (SELECT *, r1 AS f1_1 FROM piv)")
+    for (k <- 2 to maxLag) {
+      val num = s"(r$k - (${(1 until k).map(j => s"f${k - 1}_$j * r${k - j}").mkString(" + ")}))"
+      val den = s"(1.0 - (${(1 until k).map(j => s"f${k - 1}_$j * r$j").mkString(" + ")}))"
+      sb.append(s",\npd$k AS (SELECT *, CASE WHEN $den = 0.0 THEN NULL " +
+        s"ELSE $num / $den END AS f${k}_$k FROM p${k - 1})")
+      val ups = (1 until k)
+        .map(j => s"f${k - 1}_$j - f${k}_$k * f${k - 1}_${k - j} AS f${k}_$j")
+        .mkString(", ")
+      sb.append(s",\np$k AS (SELECT *, $ups FROM pd$k)")
+    }
+    val unions = (1 to maxLag).map(k =>
+      s"SELECT event_type_norm, CAST($k AS INTEGER) AS lag, r$k AS acf, " +
+        s"f${k}_$k AS pacf FROM p$maxLag").mkString("\nUNION ALL\n")
+    sb.append(s"\n$unions")
+    sb.toString
+  }
+
   private def analyticsOracleSql: Map[String, String] = {
     val validSql =
       s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
@@ -4729,39 +4801,17 @@ object SparkEntry {
            |    / SUM(CASE WHEN y <> 0 THEN 1 END) AS mape
            |FROM ev GROUP BY 1, 2""".stripMargin,
 
+      // PACF: the Durbin–Levinson recursion replayed as chained CTE
+      // levels over the pivoted ACF panel — sequential left-to-right
+      // term sums and one division per level, mirroring the driver's
+      // panel recursion op for op; NULL/zero-denominator cascade.
+      "ana_pacf" -> pacfOracleSql(acfOracleSql(validSql), 7),
+
       // ACF: 4dp mean, 1e-6-grid deviation products, DECIMAL(28,6)
       // partials, one edge division per (type, lag).
-      "ana_autocorrelation" ->
-        s"""WITH byday AS (
-           |  SELECT event_type_norm, date_sk,
-           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
-           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
-           |  FROM ($validSql) WHERE date_sk IS NOT NULL
-           |  GROUP BY 1, 2),
-           |mp AS (
-           |  SELECT event_type_norm,
-           |    ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS ybar
-           |  FROM byday GROUP BY 1),
-           |dev AS (
-           |  SELECT b.event_type_norm, b.d, b.y - m.ybar AS dev
-           |  FROM byday b JOIN mp m USING (event_type_norm)),
-           |den AS (
-           |  SELECT event_type_norm,
-           |    CAST(SUM(CAST(FLOOR(dev * dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS den
-           |  FROM dev GROUP BY 1),
-           |probes AS (
-           |  SELECT event_type_norm, u.lag, d + u.lag AS d, dev AS dev_t
-           |  FROM dev, (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag) u),
-           |num AS (
-           |  SELECT p.event_type_norm, p.lag,
-           |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           |    CAST(SUM(CAST(FLOOR(p.dev_t * v.dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS num
-           |  FROM probes p JOIN dev v
-           |    ON p.event_type_norm = v.event_type_norm AND p.d = v.d
-           |  GROUP BY 1, 2)
-           |SELECT n.event_type_norm, n.lag, n.n_pairs,
-           |  CASE WHEN de.den <> 0 THEN n.num / de.den END AS acf
-           |FROM num n JOIN den de USING (event_type_norm)""".stripMargin,
+      "ana_autocorrelation" -> acfOracleSql(validSql),
+
+
 
       // Split-conformal intervals: residuals ordered as exact
       // DECIMAL(18,2), the ⌈0.8(n+1)⌉ rank in integer arithmetic,

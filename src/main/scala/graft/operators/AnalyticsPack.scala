@@ -1703,6 +1703,55 @@ object AnalyticsPack {
         when(col("den") =!= 0, col("num") / col("den")).as("acf"))
   }
 
+  /** Partial autocorrelation panel (PACF lags 1..`maxLag`) via the
+    * Durbin–Levinson recursion over [[autocorrelation]]'s ACF panel —
+    * the AR-order diagnostic the ACF cannot give (ACF of an AR(1)
+    * decays forever; its PACF cuts off after lag 1, which is how the
+    * lag order is actually chosen).
+    *
+    * Scale shape: the heavy work is the ACF panel (fact-collapsing,
+    * distributed); the recursion runs on the COLLECTED ≤ types×lags
+    * panel on the driver (the PCA gram-panel precedent — fixed-size
+    * panel math, not data), in one fixed op order: sequential
+    * left-to-right term sums, one division per level, so a SQL replay
+    * of the same recursion is bit-identical. A missing or NULL ACF
+    * lag (short series, zero variance) cascades NULL through every
+    * later level — both engines propagate identically.
+    */
+  def pacf(validEvents: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need at least lag 1: $maxLag")
+    val spark = validEvents.sparkSession
+    val panel = autocorrelation(validEvents, maxLag)
+      .select(col("event_type_norm"), col("lag"), col("acf")).collect()
+    def seqSum(terms: Seq[Option[Double]]): Option[Double] =
+      terms.foldLeft(Option(0.0))((acc, t) => for { a <- acc; x <- t } yield a + x)
+    val out = panel.groupBy(_.getString(0)).toSeq.flatMap { case (t, rs) =>
+      val r: Map[Int, Option[Double]] = rs.map(x => x.getInt(1) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+      def rr(k: Int): Option[Double] = r.getOrElse(k, None)
+      val phi = Array.fill(maxLag + 1, maxLag + 1)(Option.empty[Double])
+      phi(1)(1) = rr(1)
+      for (k <- 2 to maxLag) {
+        val num = for {
+          s <- seqSum((1 until k).map(j =>
+            for { p <- phi(k - 1)(j); rv <- rr(k - j) } yield p * rv))
+          rk <- rr(k)
+        } yield rk - s
+        val den = seqSum((1 until k).map(j =>
+          for { p <- phi(k - 1)(j); rv <- rr(j) } yield p * rv))
+          .map(1.0 - _)
+        phi(k)(k) = for { n <- num; d <- den; if d != 0.0 } yield n / d
+        for (j <- 1 until k)
+          phi(k)(j) = for {
+            a <- phi(k - 1)(j); kk <- phi(k)(k); b <- phi(k - 1)(k - j)
+          } yield a - kk * b
+      }
+      (1 to maxLag).map(k => (t, k, rr(k), phi(k)(k)))
+    }
+    import spark.implicits._
+    out.toDF("event_type_norm", "lag", "acf", "pacf")
+  }
+
   /** Split-conformal prediction intervals for the forecast family —
     * the distribution-free certification tier above
     * [[forecastBacktest]]: the walk-forward one-step absolute

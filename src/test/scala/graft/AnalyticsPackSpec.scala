@@ -1164,6 +1164,28 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(t.getAs[Double]("tau_b") - 0.5) < 1e-12)
   }
 
+  test("pacf: lag-1 equals ACF, lag-2 matches the Yule-Walker closed form, gaps cascade NULL") {
+    val rows = Seq(10.0, 14.0, 11.0, 17.0, 12.0, 18.0, 13.0, 19.0, 11.0, 16.0)
+      .zipWithIndex.map { case (v, i) =>
+        ("u1", 20240101 + i, "LABORAL", 10, "CLICK", v) }
+      .toDF("user_id", "date_sk", "tipo_dia", "time_30m_sk", "event_type_norm", "value")
+    val acf = AnalyticsPack.autocorrelation(rows, maxLag = 3).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val got = AnalyticsPack.pacf(rows, maxLag = 3).collect()
+      .map(r => r.getInt(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1).contains(acf(1)))
+    // Yule-Walker order 2: phi22 = (r2 - r1^2) / (1 - r1^2)
+    val exp2 = (acf(2) - acf(1) * acf(1)) / (1.0 - acf(1) * acf(1))
+    assert(got(2).contains(exp2))
+    assert(got(3).isDefined)
+    // a single-day series has no lag pairs at all: the ACF panel is
+    // empty, so the PACF emits nothing for that type (not NULL rows)
+    val one = Seq(("u1", 20240101, "LABORAL", 10, "CLICK", 5.0))
+      .toDF("user_id", "date_sk", "tipo_dia", "time_30m_sk", "event_type_norm", "value")
+    assert(AnalyticsPack.pacf(one, maxLag = 3).collect().isEmpty)
+  }
+
   test("msprtSequential: evidence accumulates, always-valid p never rises") {
     import java.sql.Timestamp
     def ev(u: Long, split: String, day: Int, et: String) =
