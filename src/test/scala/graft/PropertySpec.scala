@@ -162,4 +162,91 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: distributed Spearman == Pearson of sequential midranks") {
+    import graft.operators.Profiling
+    def midranks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.sorted
+      xs.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val gen = for {
+      n <- Gen.choose(3, 60)
+      xs <- Gen.listOfN(n, Gen.choose(0, 8).map(_.toDouble)) // heavy ties
+      ys <- Gen.listOfN(n, Gen.choose(0, 8).map(_.toDouble))
+    } yield (xs, ys)
+    samples(gen).foreach { case (xs, ys) =>
+      val got = Profiling.spearmanPair(xs.zip(ys).toDF("x", "y"), "x", "y")
+        .collect().head
+      val (rx, ry) = (midranks(xs), midranks(ys))
+      val n = xs.length
+      val (mx, my) = (rx.sum / n, ry.sum / n)
+      val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = rx.map(a => (a - mx) * (a - mx)).sum
+      val vy = ry.map(b => (b - my) * (b - my)).sum
+      if (vx == 0.0 || vy == 0.0) assert(got.isNullAt(3))
+      else assert(math.abs(got.getAs[Double]("rho") -
+        cov / math.sqrt(vx * vy)) < 1e-9)
+    }
+  }
+
+  test("property: Kendall tau-b == brute-force pair counting on any discrete data") {
+    import graft.operators.Profiling
+    val gen = for {
+      n <- Gen.choose(3, 40)
+      xs <- Gen.listOfN(n, Gen.choose(0, 4))
+      ys <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield (xs, ys)
+    samples(gen).foreach { case (xs, ys) =>
+      val got = Profiling.kendallTauB(xs.zip(ys).toDF("x", "y"), "x", "y")
+        .collect().head
+      val pairs = for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield ((xs(i) compare xs(j)) * (ys(i) compare ys(j)))
+      val (c, d) = (pairs.count(_ > 0).toDouble, pairs.count(_ < 0).toDouble)
+      assert(got.getAs[Double]("n_c") == c && got.getAs[Double]("n_d") == d)
+      val n = xs.length.toDouble
+      def ties(vs: Seq[Int]) =
+        vs.groupBy(identity).values.map(g => g.size.toDouble * (g.size - 1)).sum
+      val denom = math.sqrt((n * (n - 1) - ties(xs)) / 2.0) *
+        math.sqrt((n * (n - 1) - ties(ys)) / 2.0)
+      if (denom == 0.0) assert(got.isNullAt(got.fieldIndex("tau_b")))
+      else assert(math.abs(got.getAs[Double]("tau_b") - (c - d) / denom) < 1e-9)
+    }
+  }
+
+  test("property: Kruskal-Wallis H == the direct rank-sum formula") {
+    import graft.operators.AnalyticsPack
+    val gen = for {
+      n <- Gen.choose(4, 50)
+      gs <- Gen.listOfN(n, Gen.oneOf("A", "B", "C"))
+      vs <- Gen.listOfN(n, Gen.choose(0, 6).map(_.toDouble)) // ties
+    } yield (gs, vs)
+    samples(gen).foreach { case (gs, vs) =>
+      val distinctGroups = gs.distinct.size
+      val got = AnalyticsPack.kruskalWallis(
+        gs.zip(vs).toDF("g", "v"), "v", "g").collect().head
+      // sequential replica: midranks, per-group rank sums, textbook H
+      val sorted = vs.sorted
+      val rank = vs.map { v =>
+        ((sorted.indexOf(v) + 1) + (sorted.lastIndexOf(v) + 1)) / 2.0
+      }
+      val n = vs.length.toDouble
+      val byG = gs.zip(rank).groupBy(_._1)
+      val h = 12.0 / (n * (n + 1)) *
+        byG.values.map { g =>
+          val r = g.map(_._2).sum; r * r / g.size
+        }.sum - 3.0 * (n + 1)
+      val t3 = vs.groupBy(identity).values
+        .map(g => math.pow(g.size, 3) - g.size).sum
+      val corr = 1.0 - t3 / (n * n * n - n)
+      assert(got.getAs[Long]("n_groups") == distinctGroups.toLong)
+      assert(math.abs(got.getAs[Double]("h") - h) < 1e-6)
+      if (corr == 0.0) assert(got.isNullAt(got.fieldIndex("h_corrected")))
+      else assert(math.abs(got.getAs[Double]("h_corrected") - h / corr) < 1e-6)
+    }
+  }
 }
