@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the merge as-of join's planner
+    // strategy (custom LogicalPlan -> custom merge SparkPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.MergeAsOfStrategy)
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),

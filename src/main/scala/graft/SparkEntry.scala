@@ -518,6 +518,25 @@ object SparkEntry {
 
     "gold_asof_merge_scan" -> asofEventsMergeScan _,
 
+    // The same resolution through the CUSTOM CATALYST OPERATOR
+    // (graft.plans.MergeAsOf: logical node + planner strategy +
+    // merge SparkPlan registered via SparkSessionExtensions): one
+    // exchange per side, zero pair materialization, zero window
+    // state — must produce identical rows, so it shares the
+    // gold_asof_join oracle.
+    "gold_asof_custom_exec" -> ((s: SparkSession, d: String) => {
+      val dim = scd2User(s, d)
+        .withColumnRenamed("user_id", "bk_user_id")
+        .withColumnRenamed("event_type", "segment")
+        .select("bk_user_id", "segment", "valid_from", "is_current")
+      val fact = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_dt"))
+      graft.plans.MergeAsOf.join(fact, dim,
+          Seq("user_id"), Seq("bk_user_id"), "event_dt", "valid_from")
+        .select("event_id", "user_id", "event_dt", "segment", "valid_from",
+          "is_current")
+    }),
+
     // Nearest-snapshot as-of (merge_asof direction='nearest'): each
     // event takes the CLOSEST dim version start in either direction,
     // backward on ties, NULL beyond the 30-day tolerance.
@@ -3694,6 +3713,16 @@ object SparkEntry {
 
     // Identical semantics through the merge-scan physical path.
     "gold_asof_merge_scan" ->
+      s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,
+         |  d.event_type AS segment, d.valid_from, d.is_current
+         |FROM events e LEFT JOIN ($scd2UserSql) d
+         |  ON d.user_id = e.user_id
+         | AND d.valid_from <= CAST(e.ts AS DATE)
+         | AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) <= d.valid_to)""".stripMargin,
+
+    // The custom-operator twin must equal the interval join row for
+    // row on the contiguous SCD2 chain — same oracle as the others.
+    "gold_asof_custom_exec" ->
       s"""SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_dt,
          |  d.event_type AS segment, d.valid_from, d.is_current
          |FROM events e LEFT JOIN ($scd2UserSql) d
