@@ -93,6 +93,18 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("plan invariant: the custom merge as-of exec joins without SMJ or extra exchanges") {
+    val plan = SparkEntry.queries("gold_asof_custom_exec")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MergeAsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the windows in this plan belong to the upstream SCD2 dim BUILD
+    // (per-key panels), not to the as-of resolution itself; data
+    // moves at most three times — fact hash, dim-build hash, and the
+    // dim side reusing (or re-keying) the build's layout
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
+  }
+
   test("scan invariants: column pruning and raw-column filter pushdown reach parquet") {
     // A 2-column projection over documents must scan ONLY text (the §4
     // "a scan that reads all columns is wrong" contract)...
