@@ -1623,6 +1623,15 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", n = 5, k = 10)),
 
+    // Isotonic calibration of the purchase rate against the value
+    // bin: the PAV fit through the exact minimax identity — pure
+    // comparisons over exact-integer quotients, bit-replayable.
+    "ml_isotonic_calibration" -> ((s: SparkSession, d: String) =>
+      MlLite.isotonicCalibration(
+        t(s, d, "events").filter(col("value").isNotNull),
+        least(lit(19L), greatest(lit(0L), floor(col("value") / 5))),
+        upper(trim(col("event_type"))) === "PURCHASE")),
+
     // ── in-engine classical ML (MlLite.scala) ───────────────────────
 
     // Multinomial naive-Bayes language classifier, trained and scored
@@ -7371,6 +7380,33 @@ object SparkEntry {
       // 1e-6-grid ln terms summed as DECIMAL(28,6), argmax by
       // (score DESC, label).
       "ml_naive_bayes" -> nbOracleSql,
+
+      // Isotonic fit replay: the minimax identity over the binned
+      // panel — exact-integer cumulative quotients, MIN within the
+      // (j ≤ i ≤ k) triangle, MAX across j; comparisons only.
+      "ml_isotonic_calibration" ->
+        """WITH panel AS (
+          |  SELECT LEAST(19, GREATEST(0, CAST(FLOOR(value / 5) AS BIGINT))) AS bin,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN UPPER(TRIM(event_type)) = 'PURCHASE'
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |cum AS (SELECT bin, n, n_pos,
+          |    SUM(n) OVER (ORDER BY bin) AS cn,
+          |    SUM(n_pos) OVER (ORDER BY bin) AS cp
+          |  FROM panel),
+          |pairs AS (SELECT j.bin AS bj, k.bin AS bk_,
+          |    CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+          |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS rate
+          |  FROM cum j JOIN cum k ON k.bin >= j.bin),
+          |inner_min AS (SELECT c.bin AS bin, p.bj, MIN(p.rate) AS mn
+          |  FROM cum c JOIN pairs p ON p.bj <= c.bin AND p.bk_ >= c.bin
+          |  GROUP BY 1, 2),
+          |fit AS (SELECT bin, MAX(mn) AS rate_isotonic FROM inner_min GROUP BY 1)
+          |SELECT c.bin, c.n, c.n_pos,
+          |  CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS rate_raw,
+          |  f.rate_isotonic
+          |FROM cum c JOIN fit f USING (bin)""".stripMargin,
 
       // MlLite.naiveBayesKFold mirrored: the global-minus-fold count
       // subtraction, the exclusive-token vocabulary, the same §5

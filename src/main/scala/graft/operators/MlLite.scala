@@ -840,4 +840,55 @@ object MlLite {
       lit(wts(2)) * col("x2") + lit(wts(3)) * col("x3")
     floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(1e6)) / lit(1e6)
   }
+
+  /** Isotonic calibration over a binned score (pool-adjacent-violators
+    * fit, computed through the exact MINIMAX identity
+    * `fit_i = max_{j≤i} min_{k≥i} mean(y on bins j..k)` — the two are
+    * the same function, but the minimax form is pure comparisons over
+    * exact-integer quotients, so a SQL replay is bit-identical where
+    * an incremental pooling loop's running means would not be): the
+    * monotone-nondecreasing rate curve closest to the raw per-bin
+    * rates in L², the standard model-calibration step when raw bin
+    * rates wiggle against the score ordering.
+    *
+    * Scale shape: the fact collapses once to the ≤`bins`-row panel
+    * (exact counts); the O(bins³) minimax runs on the COLLECTED panel
+    * on the driver (panel math, the PCA/PACF precedent). Output per
+    * present bin: counts, raw rate, isotonic rate.
+    */
+  def isotonicCalibration(df: DataFrame, binCol: Column,
+                          labelPred: Column): DataFrame = {
+    val spark = df.sparkSession
+    val panel = df.select(binCol.cast("long").as("bin"),
+        when(labelPred, 1L).otherwise(0L).as("y"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .orderBy(col("bin"))
+      .collect()
+    val bins = panel.map(_.getLong(0))
+    val n = panel.map(_.getLong(1))
+    val pos = panel.map(_.getLong(2))
+    val m = bins.length
+    // exclusive/inclusive integer prefix sums — every minimax quotient
+    // is exact-int / exact-int, identical in any engine
+    val cn = n.scanLeft(0L)(_ + _)   // cn(i) = Σ n(0..i-1)
+    val cp = pos.scanLeft(0L)(_ + _)
+    val fitted = (0 until m).map { i =>
+      var best = Double.NegativeInfinity
+      for (j <- 0 to i) {
+        var mn = Double.PositiveInfinity
+        for (k <- i until m) {
+          val r = (cp(k + 1) - cp(j)).toDouble / (cn(k + 1) - cn(j)).toDouble
+          if (r < mn) mn = r
+        }
+        if (mn > best) best = mn
+      }
+      best
+    }
+    import spark.implicits._
+    (0 until m).map(i => (bins(i), n(i), pos(i),
+        pos(i).toDouble / n(i).toDouble, fitted(i)))
+      .toDF("bin", "n", "n_pos", "rate_raw", "rate_isotonic")
+  }
 }

@@ -676,6 +676,29 @@ class MlLiteSpec extends SparkSpec {
     assert(got.head.getAs[Long]("cluster_id") == 1000000L * 2000000L + 1000000L)
   }
 
+  test("isotonicCalibration: violations pool to the L2-closest monotone fit") {
+    import graft.operators.MlLite
+    import org.apache.spark.sql.functions.col
+    // raw rates 0.2, 0.6, 0.4 with equal bin mass: bins 1-2 pool to 0.5
+    val rows =
+      (1 to 5).map(i => (0, i <= 1)) ++
+      (1 to 5).map(i => (1, i <= 3)) ++
+      (1 to 5).map(i => (2, i <= 2))
+    val df = rows.toDF("b", "lab")
+    val got = MlLite.isotonicCalibration(df, col("b"), col("lab"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("rate_raw"), r.getAs[Double]("rate_isotonic"))).toMap
+    assert(got(0L) == ((0.2, 0.2)))
+    assert(got(1L) == ((0.6, 0.5)))
+    assert(got(2L) == ((0.4, 0.5)))
+    // already-monotone input passes through unchanged
+    val mono = ((1 to 4).map(i => (0, i <= 1)) ++ (1 to 4).map(i => (1, i <= 3)))
+      .toDF("b", "lab")
+    val g2 = MlLite.isotonicCalibration(mono, col("b"), col("lab"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("rate_isotonic")).toMap
+    assert(g2 == Map(0L -> 0.25, 1L -> 0.75))
+  }
+
   test("generalizeRelease: picks the first k-anonymous level, falls back to suppression") {
     import graft.operators.Audit
     import org.apache.spark.sql.functions.{col, lit}
