@@ -1147,6 +1147,13 @@ object SparkEntry {
     "ana_xcorr_lags" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.xcorrLags(t(s, d, "events"), "CLICK", "PURCHASE")),
 
+    // SPC p-chart: the daily purchase rate against its binomial 3σ
+    // control limits — the rate monitor next to the drift/anomaly/
+    // CUSUM tiers.
+    "ana_control_chart" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.controlChartP(t(s, d, "events"),
+        upper(trim(col("event_type"))) === "PURCHASE")),
+
     // Kruskal–Wallis H: does value's distribution differ across the
     // K event types — the K-group generalization of the rank-sum
     // test, same doubled-midrank prefix-sum machinery, tie-corrected.
@@ -4600,6 +4607,31 @@ object SparkEntry {
            |       ELSE sqrt(CAST(s AS DOUBLE)
            |                 / CAST(LEAST(kx - 1, ky - 1) AS DOUBLE)) END AS cramers_v
            |FROM s CROSS JOIN kx CROSS JOIN ky""".stripMargin,
+
+      // AnalyticsPack.controlChartP mirrored: exact-integer rate and
+      // center-line quotients, fixed-order IEEE limits, comparisons.
+      "ana_control_chart" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN UPPER(TRIM(event_type)) = 'PURCHASE'
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |tot AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM daily),
+          |lim AS (SELECT day, n, n_pos,
+          |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+          |    CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE) AS p_bar,
+          |    CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+          |      + 3.0 * sqrt(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+          |          * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+          |          / CAST(n AS DOUBLE)) AS ucl,
+          |    GREATEST(0.0, CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+          |      - 3.0 * sqrt(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+          |          * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+          |          / CAST(n AS DOUBLE))) AS lcl
+          |  FROM daily CROSS JOIN tot)
+          |SELECT day, n, n_pos, rate, p_bar, ucl, lcl,
+          |  (rate > ucl OR rate < lcl) AS out_of_control
+          |FROM lim""".stripMargin,
 
       // AnalyticsPack.xcorrLags mirrored: co-observed day panels per
       // lag, HUGEINT moments, one fixed-order double corr per lag.

@@ -2095,6 +2095,36 @@ object AnalyticsPack {
         .otherwise(lnP < lit(-2.995732273553991)).as("reject_5pct"))
   }
 
+  /** Statistical process control p-chart over a daily proportion —
+    * the SPC member of the monitoring family (drift gates watch the
+    * distribution, anomaly scores watch the level, CUSUM watches the
+    * mean; the control chart watches a RATE against its binomial
+    * noise floor): per day, the conversion rate with center line p̄
+    * and per-day 3σ limits `p̄ ± 3·√(p̄(1−p̄)/n_t)` — wider on quiet
+    * days, tighter on busy ones — and the out-of-control verdict.
+    *
+    * Scale shape: one fact-collapsing partial agg to the day panel,
+    * one 1-row totals panel broadcast back. Engine parity: p̄ and the
+    * per-day rates are exact-integer quotients; limits are fixed-order
+    * IEEE (one sqrt); the verdict is comparisons.
+    */
+  def controlChartP(events: DataFrame, convPred: Column): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(convPred, 1L).otherwise(0L)).as("n_pos"))
+    val tot = daily.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    val pbar = col("__tp").cast("double") / col("__tn").cast("double")
+    val se = sqrt(pbar * (lit(1.0) - pbar) / col("n").cast("double"))
+    val rate = col("n_pos").cast("double") / col("n").cast("double")
+    val ucl = pbar + lit(3.0) * se
+    val lcl = greatest(lit(0.0), pbar - lit(3.0) * se)
+    daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), col("n_pos"), rate.as("rate"),
+        pbar.as("p_bar"), ucl.as("ucl"), lcl.as("lcl"),
+        (rate > ucl || rate < lcl).as("out_of_control"))
+  }
+
   /** Lead/lag cross-correlation panel between two event types' daily
     * count series — "does A's volume predict B's L days later": one
     * Pearson correlation per lag in [−maxLag, +maxLag], over the

@@ -1164,6 +1164,28 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(t.getAs[Double]("tau_b") - 0.5) < 1e-12)
   }
 
+  test("controlChartP: only the shifted day breaches its 3-sigma binomial band") {
+    import java.sql.Timestamp
+    val rows = Seq(28, 30, 32, 80).zipWithIndex.flatMap { case (pos, d) =>
+      (1 to 100).map(i => (
+        Timestamp.valueOf(f"2024-02-${d + 1}%02d 09:00:00"),
+        if (i <= pos) "PURCHASE" else "CLICK"))
+    }
+    val got = AnalyticsPack.controlChartP(rows.toDF("ts", "event_type"),
+        upper(trim(col("event_type"))) === "PURCHASE")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Double]("rate"), r.getAs[Boolean]("out_of_control"))).toMap
+    assert(got.size == 4)
+    assert(got("2024-02-04") == ((0.8, true)))
+    assert(Seq("2024-02-01", "2024-02-02", "2024-02-03")
+      .forall(d => !got(d)._2))
+    // center line is the pooled rate
+    val pbar = AnalyticsPack.controlChartP(rows.toDF("ts", "event_type"),
+        upper(trim(col("event_type"))) === "PURCHASE")
+      .collect().head.getAs[Double]("p_bar")
+    assert(pbar == 170.0 / 400.0)
+  }
+
   test("pacf: lag-1 equals ACF, lag-2 matches the Yule-Walker closed form, gaps cascade NULL") {
     val rows = Seq(10.0, 14.0, 11.0, 17.0, 12.0, 18.0, 13.0, 19.0, 11.0, 16.0)
       .zipWithIndex.map { case (v, i) =>
