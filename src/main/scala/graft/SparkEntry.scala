@@ -1147,6 +1147,24 @@ object SparkEntry {
     "ana_xcorr_lags" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.xcorrLags(t(s, d, "events"), "CLICK", "PURCHASE")),
 
+    // 2×2 odds-ratio readout: weekend exposure vs high-value-purchase
+    // outcome, log-scale Wald interval (grid-ln, parsed 1.96), the
+    // epidemiology companion of the abtest readout.
+    "ana_odds_ratio" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.oddsRatio(
+        t(s, d, "events").filter(col("ts").isNotNull && col("value").isNotNull),
+        Temporal.isoDow(col("ts")) >= 6,
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
+    // Cumulative gains/lift by descending value bin: how much of the
+    // purchase mass the top-value slices capture vs their population
+    // share — the targeting-evaluation panel next to the calibration.
+    "ml_gains_table" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.gainsTable(
+        t(s, d, "events").filter(col("value").isNotNull),
+        least(lit(19L), greatest(lit(0L), floor(col("value") / 5))),
+        upper(trim(col("event_type"))) === "PURCHASE")),
+
     // SPC p-chart: the daily purchase rate against its binomial 3σ
     // control limits — the rate monitor next to the drift/anomaly/
     // CUSUM tiers.
@@ -4607,6 +4625,59 @@ object SparkEntry {
            |       ELSE sqrt(CAST(s AS DOUBLE)
            |                 / CAST(LEAST(kx - 1, ky - 1) AS DOUBLE)) END AS cramers_v
            |FROM s CROSS JOIN kx CROSS JOIN ky""".stripMargin,
+
+      // AnalyticsPack.oddsRatio mirrored: exact-integer cell products,
+      // grid-ln, parsed 1.96, log-scale interval and verdict.
+      "ana_odds_ratio" ->
+        """WITH g AS (
+          |  SELECT
+          |    SUM(CASE WHEN isodow(ts) >= 6 AND UPPER(TRIM(event_type)) = 'PURCHASE' AND value > 95 THEN 1 ELSE 0 END) AS a,
+          |    SUM(CASE WHEN isodow(ts) >= 6 AND NOT (UPPER(TRIM(event_type)) = 'PURCHASE' AND value > 95) THEN 1 ELSE 0 END) AS b,
+          |    SUM(CASE WHEN isodow(ts) < 6 AND UPPER(TRIM(event_type)) = 'PURCHASE' AND value > 95 THEN 1 ELSE 0 END) AS c,
+          |    SUM(CASE WHEN isodow(ts) < 6 AND NOT (UPPER(TRIM(event_type)) = 'PURCHASE' AND value > 95) THEN 1 ELSE 0 END) AS d
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          |s AS (SELECT
+          |    CAST(a AS BIGINT) AS n_exp_pos, CAST(b AS BIGINT) AS n_exp_neg,
+          |    CAST(c AS BIGINT) AS n_ctl_pos, CAST(d AS BIGINT) AS n_ctl_neg,
+          |    (a = 0 OR b = 0 OR c = 0 OR d = 0) AS empty,
+          |    CAST(a*d AS DOUBLE) / CAST(b*c AS DOUBLE) AS orr,
+          |    FLOOR(LN(CAST(a*d AS DOUBLE) / CAST(b*c AS DOUBLE)) * 1e6) / 1e6 AS lnor,
+          |    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+          |       + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+          |  FROM g)
+          |SELECT n_exp_pos, n_exp_neg, n_ctl_pos, n_ctl_neg,
+          |  CASE WHEN empty THEN NULL ELSE orr END AS odds_ratio,
+          |  CASE WHEN empty THEN NULL ELSE lnor END AS ln_or,
+          |  CASE WHEN empty THEN NULL ELSE lnor - 1.96 * se END AS ln_or_lo95,
+          |  CASE WHEN empty THEN NULL ELSE lnor + 1.96 * se END AS ln_or_hi95,
+          |  CASE WHEN empty THEN NULL
+          |       ELSE (lnor - 1.96 * se > 0.0 OR lnor + 1.96 * se < 0.0)
+          |  END AS significant_5pct
+          |FROM s""".stripMargin,
+
+      // AnalyticsPack.gainsTable mirrored: descending-bin cumulative
+      // window sums, exact-integer share quotients, one lift divide.
+      "ml_gains_table" ->
+        """WITH panel AS (
+          |  SELECT LEAST(19, GREATEST(0, CAST(FLOOR(value / 5) AS BIGINT))) AS bin,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN UPPER(TRIM(event_type)) = 'PURCHASE'
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |tot AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM panel),
+          |cum AS (SELECT bin, n, n_pos,
+          |    CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+          |    CAST(SUM(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos
+          |  FROM panel)
+          |SELECT bin, n, n_pos, cum_n, cum_pos,
+          |  CAST(cum_n AS DOUBLE) / CAST(tn AS DOUBLE) AS population_share,
+          |  CASE WHEN tp = 0 THEN NULL
+          |       ELSE CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) END
+          |    AS captured_share,
+          |  CASE WHEN tp = 0 THEN NULL
+          |       ELSE (CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE))
+          |            / (CAST(cum_n AS DOUBLE) / CAST(tn AS DOUBLE)) END AS lift
+          |FROM cum CROSS JOIN tot""".stripMargin,
 
       // AnalyticsPack.controlChartP mirrored: exact-integer rate and
       // center-line quotients, fixed-order IEEE limits, comparisons.

@@ -2095,6 +2095,77 @@ object AnalyticsPack {
         .otherwise(lnP < lit(-2.995732273553991)).as("reject_5pct"))
   }
 
+  /** Odds-ratio panel for a binary outcome against a binary exposure
+    * (the 2×2 epidemiology/experiment readout): OR = (a·d)/(b·c) with
+    * its log-scale Wald interval `ln OR ± 1.96·√(1/a+1/b+1/c+1/d)` —
+    * reported IN LOG SCALE (the house libm rule: ln grid-quantized on
+    * the 1-row panel, no exp anywhere; the significance verdict is
+    * `0 outside the log interval`, identical either way).
+    *
+    * One fact scan → a 1-row four-cell panel; cell products are exact
+    * integers, the quotient/sqrt are fixed-order IEEE, 1.96 is a
+    * parsed literal. Any empty cell yields NULL estimates, never a
+    * division error.
+    */
+  def oddsRatio(events: DataFrame, exposure: Column, outcome: Column): DataFrame = {
+    def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val g = events.agg(
+      cell(exposure && outcome).as("n_exp_pos"),
+      cell(exposure && !outcome).as("n_exp_neg"),
+      cell(!exposure && outcome).as("n_ctl_pos"),
+      cell(!exposure && !outcome).as("n_ctl_neg"))
+    val (a, b, c, d) = (col("n_exp_pos"), col("n_exp_neg"),
+      col("n_ctl_pos"), col("n_ctl_neg"))
+    val anyEmpty = a === 0L || b === 0L || c === 0L || d === 0L
+    val or = (a * d).cast("double") / (b * c).cast("double")
+    val lnOr = floor(log(or) * lit(1e6)) / lit(1e6)
+    val se = sqrt(lit(1.0) / a.cast("double") + lit(1.0) / b.cast("double")
+      + lit(1.0) / c.cast("double") + lit(1.0) / d.cast("double"))
+    val lo = lnOr - lit(1.96) * se
+    val hi = lnOr + lit(1.96) * se
+    g.select(a, b, c, d,
+      when(anyEmpty, lit(null)).otherwise(or).as("odds_ratio"),
+      when(anyEmpty, lit(null)).otherwise(lnOr).as("ln_or"),
+      when(anyEmpty, lit(null)).otherwise(lo).as("ln_or_lo95"),
+      when(anyEmpty, lit(null)).otherwise(hi).as("ln_or_hi95"),
+      when(anyEmpty, lit(null))
+        .otherwise(lo > 0.0 || hi < 0.0).as("significant_5pct"))
+  }
+
+  /** Cumulative gains / lift table over a binned score — the
+    * model-evaluation panel next to the calibration bins and the PR
+    * curve: bins ordered by score DESCENDING, the share of all
+    * positives captured within the top bins vs the share of
+    * population taken, and the per-depth lift (captured share /
+    * population share); lift > 1 above random, → 1 at full depth.
+    *
+    * Scale shape: one fact-collapsing partial agg to the ≤bins panel;
+    * the cumulative sums ride the two-phase [[PrefixSum]] over the
+    * panel in descending-score order. Exact-integer quotients, one
+    * division per column.
+    */
+  def gainsTable(df: DataFrame, binCol: Column, labelPred: Column): DataFrame = {
+    val panel = df.select(binCol.cast("long").as("bin"),
+        when(labelPred, 1L).otherwise(0L).as("__y"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val cum = PrefixSum.globalOrderedN(
+      panel.withColumn("__ord", -col("bin")), Seq(col("__ord")),
+      Seq("n", "n_pos"))
+    val tot = panel.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    val popShare = col("prefix_n").cast("double") / col("__tn").cast("double")
+    val capShare = col("prefix_n_pos").cast("double") / col("__tp").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("prefix_n").as("cum_n"), col("prefix_n_pos").as("cum_pos"),
+        popShare.as("population_share"),
+        when(col("__tp") === 0L, lit(null)).otherwise(capShare)
+          .as("captured_share"),
+        when(col("__tp") === 0L, lit(null))
+          .otherwise(capShare / popShare).as("lift"))
+  }
+
   /** Statistical process control p-chart over a daily proportion —
     * the SPC member of the monitoring family (drift gates watch the
     * distribution, anomaly scores watch the level, CUSUM watches the

@@ -1164,6 +1164,37 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(t.getAs[Double]("tau_b") - 0.5) < 1e-12)
   }
 
+  test("oddsRatio: hand 2x2, grid-ln, log interval; empty cell -> NULLs") {
+    val rows =
+      (1 to 10).map(_ => (true, true)) ++ (1 to 40).map(_ => (true, false)) ++
+      (1 to 5).map(_ => (false, true)) ++ (1 to 45).map(_ => (false, false))
+    val df = rows.toDF("exp", "out")
+    val r = AnalyticsPack.oddsRatio(df, col("exp"), col("out")).collect().head
+    assert(r.getAs[Long]("n_exp_pos") == 10L && r.getAs[Long]("n_ctl_neg") == 45L)
+    assert(r.getAs[Double]("odds_ratio") == 2.25)
+    assert(r.getAs[Double]("ln_or") == math.floor(math.log(2.25) * 1e6) / 1e6)
+    assert(!r.getAs[Boolean]("significant_5pct")) // CI spans 0
+    assert(r.getAs[Double]("ln_or_lo95") < 0.0 &&
+      r.getAs[Double]("ln_or_hi95") > 0.0)
+    val degenerate = Seq((true, true), (false, false)).toDF("exp", "out")
+    val e = AnalyticsPack.oddsRatio(degenerate, col("exp"), col("out"))
+      .collect().head
+    assert(e.isNullAt(e.fieldIndex("odds_ratio")) &&
+      e.isNullAt(e.fieldIndex("significant_5pct")))
+  }
+
+  test("gainsTable: top slice lifts, full depth converges to 1") {
+    val rows = (1 to 10).map(i => (0, i <= 1)) ++ (1 to 10).map(i => (1, i <= 9))
+    val got = AnalyticsPack.gainsTable(rows.toDF("b", "lab"),
+        col("b"), col("lab"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("cum_n"), r.getAs[Long]("cum_pos"),
+          r.getAs[Double]("population_share"),
+          r.getAs[Double]("captured_share"), r.getAs[Double]("lift"))).toMap
+    assert(got(1L) == ((10L, 9L, 0.5, 0.9, 1.8)))
+    assert(got(0L) == ((20L, 10L, 1.0, 1.0, 1.0)))
+  }
+
   test("controlChartP: only the shifted day breaches its 3-sigma binomial band") {
     import java.sql.Timestamp
     val rows = Seq(28, 30, 32, 80).zipWithIndex.flatMap { case (pos, d) =>
