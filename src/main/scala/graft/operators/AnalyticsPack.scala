@@ -2117,7 +2117,12 @@ object AnalyticsPack {
     val (a, b, c, d) = (col("n_exp_pos"), col("n_exp_neg"),
       col("n_ctl_pos"), col("n_ctl_neg"))
     val anyEmpty = a === 0L || b === 0L || c === 0L || d === 0L
-    val or = (a * d).cast("double") / (b * c).cast("double")
+    // cells cast to double BEFORE the multiply: LONG×LONG overflows
+    // silently past ~3e9-count cells and flips the ratio; double
+    // products round the same exact integer product once, so results
+    // are bit-identical wherever the long product fits
+    val or = (a.cast("double") * d.cast("double")) /
+      (b.cast("double") * c.cast("double"))
     val lnOr = floor(log(or) * lit(1e6)) / lit(1e6)
     val se = sqrt(lit(1.0) / a.cast("double") + lit(1.0) / b.cast("double")
       + lit(1.0) / c.cast("double") + lit(1.0) / d.cast("double"))

@@ -470,10 +470,18 @@ object Graph {
         .localCheckpoint(true)
       crossEdges = lab.count()
       if (crossEdges > 0) {
+        // The min must be taken under a GLOBALLY consistent edge order
+        // (w, min-endpoint, max-endpoint): `both` carries both
+        // orientations, so ordering by the component's own endpoint
+        // would let two components linked by tied-weight edges each
+        // pick a DIFFERENT edge (adding both → a cycle). Canonicalizing
+        // inside the struct restores the classic tie-break argument.
         val sel = lab.groupBy(col("cu"))
-          .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-          .select(least(col("m.u"), col("m.v")).as("u"),
-            greatest(col("m.u"), col("m.v")).as("v"), col("m.w").as("w"))
+          .agg(min(struct(col("w"),
+            least(col("u"), col("v")).as("cu_"),
+            greatest(col("u"), col("v")).as("cv_"))).as("m"))
+          .select(col("m.cu_").as("u"), col("m.cv_").as("v"),
+            col("m.w").as("w"))
           .distinct()
         chosen =
           if (chosen == null) sel.localCheckpoint(true)

@@ -504,9 +504,13 @@ object Profiling {
       count(lit(1)).as("n_pairs"),
       sum(col("__dx").cast(d18)).as("__sx"),
       sum(col("__dy").cast(d18)).as("__sy"),
-      sum((col("__dx") * col("__dx")).cast(d27)).as("__sxx"),
-      sum((col("__dy") * col("__dy")).cast(d27)).as("__syy"),
-      sum((col("__dx") * col("__dy")).cast(d27)).as("__sxy"))
+      // ranks cast to DECIMAL BEFORE the multiply (the xcorrLags
+      // discipline): doubled midranks reach 2n+1, so a LONG×LONG
+      // product overflows silently past n ≈ 1.5e9 — exactly the
+      // 100-TB row counts this is designed for
+      sum((col("__dx").cast(d18) * col("__dx").cast(d18)).cast(d27)).as("__sxx"),
+      sum((col("__dy").cast(d18) * col("__dy").cast(d18)).cast(d27)).as("__syy"),
+      sum((col("__dx").cast(d18) * col("__dy").cast(d18)).cast(d27)).as("__sxy"))
     val n10 = col("n_pairs").cast(DecimalType(10, 0))
     def prod2(a: String, b: String) =
       (col(a).cast(d18) * col(b).cast(d18)).cast("double")

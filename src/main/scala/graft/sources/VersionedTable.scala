@@ -327,7 +327,13 @@ object VersionedTable {
     require(p.getLong(1) == srcN, s"merge source has NULL $keyCol keys")
     require(p.getLong(2) == srcN,
       s"merge source is not unique on $keyCol (${srcN - p.getLong(2)} duplicate rows)")
-    val (srcLo, srcHi) = (p.getDouble(3), p.getDouble(4))
+    // Widen the source key range by 1 ULP each side: the panel casts
+    // keys to double, and integral keys above 2^53 round — an exact
+    // compare could falsely CLEAR a segment that contains a source key
+    // (never bloom-probed → stale duplicate). Conservative widening
+    // only costs extra probes, never correctness.
+    val (srcLo, srcHi) =
+      (Math.nextDown(p.getDouble(3)), Math.nextUp(p.getDouble(4)))
     // driver-side range clearing, then one distributed bloom-probe job
     val segs = segmentNames(prevJson)
     val rangeSurvivors = segs.filter { s =>
@@ -495,12 +501,15 @@ object VersionedTable {
     */
   def assertConstraints(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)],
                         uniqueKey: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, count, countDistinct, lit, sum, when}
     if (checks.isEmpty && uniqueKey.isEmpty) return
     checks.foreach(c => requireJsonSafe(c._1, "constraint name"))
+    // coalesce: sum() over an EMPTY batch is NULL, and an empty
+    // micro-batch / no-op commit must pass vacuously, not throw.
     val aggs =
       checks.map { case (n, pred) =>
-        sum(when(!pred || pred.isNull, 1L).otherwise(0L)).as(s"__viol_$n")
+        coalesce(sum(when(!pred || pred.isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__viol_$n")
       } ++ uniqueKey.toSeq.flatMap(k => Seq(
         count(org.apache.spark.sql.functions.col(k)).as("__uk_n"),
         countDistinct(org.apache.spark.sql.functions.col(k)).as("__uk_d"),

@@ -249,6 +249,19 @@ class GraphSpec extends SparkSpec {
     assert(p.length == 1 && p.head.getDouble(2) == 4.0)
   }
 
+  test("minSpanningForest: tied CROSS-component edges cannot form a cycle") {
+    // regression: components {1,4} and {2,3} are linked by two tied
+    // w=5 edges; with an orientation-dependent tie-break each side
+    // picks a different one and the output acquires a 4-edge cycle.
+    // The (w, min-endpoint, max-endpoint) order must pick exactly one.
+    val es = Seq((1L, 4L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0), (2L, 4L, 5.0))
+      .toDF("u", "v", "w")
+    val got = Graph.minSpanningForest(es, "u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.size == 3, s"expected a 3-edge forest, got $got")
+    assert(got == Set((1L, 4L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0)))
+  }
+
   test("minSpanningForest: seeded random graphs match driver-side Kruskal") {
     def kruskalTotal(es: Seq[(Long, Long, Double)]): (Double, Int) = {
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -411,6 +411,12 @@ class VersionedTableSpec extends SparkSpec {
         Seq.empty, uniqueKey = Some("k"))
     }
     assert(e3.getMessage.contains("NULL keys"))
+    // an EMPTY batch (no-op commit / empty micro-batch) passes
+    // vacuously — sum() over zero rows is NULL, which must coalesce
+    // to 0 violations, not throw ROW_VALUE_IS_NULL
+    val empty = clean.filter(col("k") < 0L)
+    VersionedTable.assertConstraints(empty,
+      Seq("v_positive" -> (col("v") > 0)), uniqueKey = Some("k"))
   }
 
   test("changeFeed: version-to-version CDC reads only manifest-delta segments") {
