@@ -14,6 +14,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Count-gated broadcast for node-sized relations with a known row
+    * count (checkpointed per round): broadcast when provably small,
+    * shuffle-join at graph scale — the AQE decision taken one stage
+    * early so the edge side never sorts for a SortMergeJoin.
+    */
+  private def bcastIfSmall(df: DataFrame, rows: Long,
+                           maxRows: Long = 2000000L): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** Triangle enumeration over an undirected edge list: every
     * unordered node triple {a,b,c} with all three edges present,
     * emitted once as (node_a < node_b < node_c).
@@ -233,21 +242,25 @@ object Graph {
       .localCheckpoint(true)
     val nodes = e.select(col("u").as("node")).distinct().localCheckpoint(true)
     var alive = nodes
+    var aliveRows = nodes.count()
     for (_ <- 1 to rounds) {
+      val aliveB = bcastIfSmall(alive, aliveRows)
       val deg = e
-        .join(alive.select(col("node").as("u")), "u")
-        .join(alive.select(col("node").as("v")), "v")
+        .join(aliveB.select(col("node").as("u")), "u")
+        .join(aliveB.select(col("node").as("v")), "v")
         .groupBy(col("u")).agg(count(lit(1)).as("__deg"))
       alive = deg.filter(col("__deg") >= k)
         .select(col("u").as("node"))
         .localCheckpoint(true)
+      aliveRows = alive.count()
     }
+    val aliveB = bcastIfSmall(alive, aliveRows)
     val coreDeg = e
-      .join(alive.select(col("node").as("u")), "u")
-      .join(alive.select(col("node").as("v")), "v")
+      .join(aliveB.select(col("node").as("u")), "u")
+      .join(aliveB.select(col("node").as("v")), "v")
       .groupBy(col("u")).agg(count(lit(1)).as("__cd"))
-      .select(col("u").as("node"), col("__cd"))
-    nodes.join(coreDeg, Seq("node"), "left")
+      .select(col("u").as("node"), col("__cd")).localCheckpoint(true)
+    nodes.join(bcastIfSmall(coreDeg, coreDeg.count()), Seq("node"), "left")
       .select(col("node"), col("__cd").isNotNull.as("in_core"),
         col("__cd").as("core_degree"))
   }

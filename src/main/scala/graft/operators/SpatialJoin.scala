@@ -46,16 +46,24 @@ object SpatialJoin {
         (floor(col("py") / radius) + col("o.dy")).as("cy"))
     val dist2 = (col("px") - col("sx")) * (col("px") - col("sx")) +
       (col("py") - col("sy")) * (col("py") - col("sy"))
-    val cands = probes.join(s, Seq("cx", "cy"))
+    // LEFT join on the cell keys (radius bound as a residual): every
+    // probe row survives, so an uncovered point keeps its NULL site
+    // through the argmin window directly — the previous shape re-joined
+    // the winners back onto the point spine, paying a second row-scale
+    // shuffle for rows the window already carried.
+    val sCells = s.withColumnRenamed("cx", "scx").withColumnRenamed("cy", "scy")
+    val cands = probes.join(sCells,
+        col("cx") === col("scx") && col("cy") === col("scy") &&
+          dist2 <= lit(radius * radius), "left")
       .withColumn("d2", dist2)
-      .filter(col("d2") <= lit(radius * radius))
+    // NULL d2 (no site in range) sorts LAST, so a real candidate
+    // always wins when one exists and row 1 is NULL only for
+    // genuinely uncovered points
     val w = Window.partitionBy(col("point_id"))
-      .orderBy(col("d2"), col("site_id"))
-    val best = cands.withColumn("__rn", row_number().over(w))
+      .orderBy(col("d2").asc_nulls_last, col("site_id").asc_nulls_last)
+    cands.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("point_id"), col("site_id"),
+      .select(col("point_id"), col("px"), col("py"), col("site_id"),
         q6(sqrt(col("d2"))).as("dist"))
-    p.select(col("point_id"), col("px"), col("py"))
-      .join(best, Seq("point_id"), "left")
   }
 }
