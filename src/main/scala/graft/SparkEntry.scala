@@ -1141,6 +1141,15 @@ object SparkEntry {
         t(s, d, "events").filter(col("ts").isNotNull),
         "value", Temporal.isoDow(col("ts")) >= 6)),
 
+    // Welch two-sample t-test on the same weekend/weekday split — the
+    // PARAMETRIC sibling of the rank-sum test: unequal-variance t,
+    // Welch–Satterthwaite df, Cohen's d / Hedges' g effect sizes from
+    // one exact-decimal moment panel.
+    "ana_welch_ttest" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.welchTTest(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        "value", Temporal.isoDow(col("ts")) >= 6)),
+
     // Lead/lag cross-correlation: does CLICK volume predict PURCHASE
     // volume L days later — one Pearson per lag in [-7, 7] over the
     // co-observed day panels, exact decimal moments per lag.
@@ -1177,6 +1186,26 @@ object SparkEntry {
     // test, same doubled-midrank prefix-sum machinery, tie-corrected.
     "ana_kruskal_wallis" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.kruskalWallis(t(s, d, "events"), "value", "event_type")),
+
+    // One-way ANOVA F across the K event types — the parametric
+    // K-group sibling of Kruskal–Wallis: between/within SS
+    // decomposition, F and η² from per-group exact decimal moments.
+    "ana_anova_f" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.anovaF(t(s, d, "events"), "value", "event_type")),
+
+    // Brown–Forsythe variance-homogeneity W on the same grouping —
+    // the spread-equality assumption check ANOVA rests on: Levene's
+    // test on |x − group median|, delegated to the ANOVA machinery.
+    "ana_brown_forsythe" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.brownForsythe(t(s, d, "events"), "value", "event_type")),
+
+    // Exact ROC AUC via the rank-sum identity: does event VALUE rank-
+    // predict the purchase label — the standard scalar a ranking
+    // model is judged by, on the distinct-score panel (never a global
+    // row sort), with gini = 2·AUC − 1.
+    "ml_auc_roc" -> ((s: SparkSession, d: String) =>
+      MlLite.aucRoc(t(s, d, "events"), "value",
+        upper(trim(col("event_type"))) === "PURCHASE")),
 
     // Quantile normalization: per-type daily demand aligned to the
     // cross-type rank-mean distribution (ordering preserved).
@@ -2768,6 +2797,16 @@ object SparkEntry {
     // buckets skipped (counted) rather than epsilon-smoothed.
     "data_drift_psi" -> ((s: SparkSession, d: String) =>
       Drift.psiHistogram(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("is_new",
+            coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
+        "value", "is_new", k = 20)),
+
+    // Jensen–Shannon divergence over the same histogram — the
+    // symmetric, always-finite drift scalar (bounded [0, ln 2], no
+    // skipped-bucket accounting).
+    "data_drift_js" -> ((s: SparkSession, d: String) =>
+      Drift.jsHistogram(
         t(s, d, "events").filter(col("value").isNotNull)
           .withColumn("is_new",
             coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
@@ -4504,6 +4543,190 @@ object SparkEntry {
           |       ELSE (CAST(u_a AS DOUBLE) - CAST(n_a * n_b AS DOUBLE) / 2.0)
           |            / sqrt(var) END AS z
           |FROM vv""".stripMargin,
+      // AnalyticsPack.welchTTest mirrored: q6 values, decimal moment
+      // sums per CASE side, then the identical fixed-order IEEE panel
+      // math (variance, t, Welch df, Cohen d, Hedges g).
+      "ana_welch_ttest" ->
+        """WITH r0 AS (
+          |  SELECT FLOOR(value * 1e6) / 1e6 AS v, isodow(ts) >= 6 AS ga
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          |m AS (
+          |  SELECT
+          |    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |    CAST(SUM(CAST(CASE WHEN ga THEN v ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS s_a,
+          |    CAST(SUM(CAST(CASE WHEN ga THEN FLOOR(v * v * 1e6) / 1e6 ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS ss_a,
+          |    CAST(SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+          |    CAST(SUM(CAST(CASE WHEN ga THEN 0.0 ELSE v END AS DECIMAL(28,6))) AS DOUBLE) AS s_b,
+          |    CAST(SUM(CAST(CASE WHEN ga THEN 0.0 ELSE FLOOR(v * v * 1e6) / 1e6 END AS DECIMAL(28,6))) AS DOUBLE) AS ss_b
+          |  FROM r0),
+          |st AS (
+          |  SELECT n_a, n_b,
+          |    s_a / NULLIF(CAST(n_a AS DOUBLE), 0.0) AS mean_a,
+          |    s_b / NULLIF(CAST(n_b AS DOUBLE), 0.0) AS mean_b,
+          |    (ss_a - s_a * s_a / NULLIF(CAST(n_a AS DOUBLE), 0.0))
+          |      / NULLIF(CAST(n_a AS DOUBLE) - 1.0, 0.0) AS var_a,
+          |    (ss_b - s_b * s_b / NULLIF(CAST(n_b AS DOUBLE), 0.0))
+          |      / NULLIF(CAST(n_b AS DOUBLE) - 1.0, 0.0) AS var_b
+          |  FROM m),
+          |se AS (
+          |  SELECT *,
+          |    var_a / NULLIF(CAST(n_a AS DOUBLE), 0.0) AS se_a,
+          |    var_b / NULLIF(CAST(n_b AS DOUBLE), 0.0) AS se_b
+          |  FROM st),
+          |tt AS (
+          |  SELECT *,
+          |    (mean_a - mean_b) / NULLIF(sqrt(se_a + se_b), 0.0) AS t_stat,
+          |    (se_a + se_b) * (se_a + se_b)
+          |      / NULLIF(se_a * se_a / NULLIF(CAST(n_a AS DOUBLE) - 1.0, 0.0)
+          |             + se_b * se_b / NULLIF(CAST(n_b AS DOUBLE) - 1.0, 0.0), 0.0) AS df_welch,
+          |    (mean_a - mean_b) / NULLIF(sqrt(((CAST(n_a AS DOUBLE) - 1.0) * var_a
+          |        + (CAST(n_b AS DOUBLE) - 1.0) * var_b)
+          |      / NULLIF(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0, 0.0)), 0.0) AS cohen_d
+          |  FROM se)
+          |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+          |  mean_a - mean_b AS mean_diff, t_stat, df_welch, cohen_d,
+          |  cohen_d * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0)) AS hedges_g,
+          |  ABS(t_stat) > 1.96 AS significant_normal_5pct
+          |FROM tt""".stripMargin,
+
+      // AnalyticsPack.anovaF mirrored: per-group decimal moments,
+      // grid-quantized s²/n panel partials, fixed-order F/η².
+      "ana_anova_f" ->
+        """WITH r0 AS (
+          |  SELECT FLOOR(value * 1e6) / 1e6 AS v, event_type AS g
+          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |grp AS (
+          |  SELECT g, COUNT(*) AS n,
+          |    SUM(CAST(v AS DECIMAL(28,6))) AS sdec,
+          |    SUM(CAST(FLOOR(v * v * 1e6) / 1e6 AS DECIMAL(28,6))) AS ssdec
+          |  FROM r0 GROUP BY g),
+          |panel AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+          |    CAST(SUM(n) AS BIGINT) AS n_total,
+          |    CAST(SUM(CAST(FLOOR(CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE)
+          |      / CAST(n AS DOUBLE) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sum_sg2n,
+          |    CAST(SUM(sdec) AS DOUBLE) AS grand_s,
+          |    CAST(SUM(ssdec) AS DOUBLE) AS grand_ss
+          |  FROM grp),
+          |calc AS (
+          |  SELECT *,
+          |    sum_sg2n - grand_s * grand_s / NULLIF(CAST(n_total AS DOUBLE), 0.0) AS ssb,
+          |    grand_ss - sum_sg2n AS ssw
+          |  FROM panel)
+          |SELECT k_groups, n_total, ssb AS ss_between, ssw AS ss_within,
+          |  CAST(k_groups AS DOUBLE) - 1.0 AS df_between,
+          |  CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) AS df_within,
+          |  (ssb / NULLIF(CAST(k_groups AS DOUBLE) - 1.0, 0.0))
+          |    / NULLIF(ssw / NULLIF(CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE), 0.0), 0.0) AS f_stat,
+          |  ssb / NULLIF(ssb + ssw, 0.0) AS eta_sq
+          |FROM calc""".stripMargin,
+
+      // AnalyticsPack.brownForsythe mirrored: quantile_cont group
+      // medians, |x − med| deviations, then the anovaF body verbatim
+      // (the deviation is floor-gridded exactly once, matching the
+      // operator's single q6).
+      "ana_brown_forsythe" ->
+        """WITH rows0 AS (
+          |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v0
+          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |meds AS (SELECT g, quantile_cont(v0, 0.5) AS med FROM rows0 GROUP BY g),
+          |r0 AS (
+          |  SELECT rows0.g AS g,
+          |    FLOOR(ABS(v0 - med) * 1e6) / 1e6 AS v
+          |  FROM rows0 JOIN meds ON rows0.g = meds.g),
+          |grp AS (
+          |  SELECT g, COUNT(*) AS n,
+          |    SUM(CAST(v AS DECIMAL(28,6))) AS sdec,
+          |    SUM(CAST(FLOOR(v * v * 1e6) / 1e6 AS DECIMAL(28,6))) AS ssdec
+          |  FROM r0 GROUP BY g),
+          |panel AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+          |    CAST(SUM(n) AS BIGINT) AS n_total,
+          |    CAST(SUM(CAST(FLOOR(CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE)
+          |      / CAST(n AS DOUBLE) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sum_sg2n,
+          |    CAST(SUM(sdec) AS DOUBLE) AS grand_s,
+          |    CAST(SUM(ssdec) AS DOUBLE) AS grand_ss
+          |  FROM grp),
+          |calc AS (
+          |  SELECT *,
+          |    sum_sg2n - grand_s * grand_s / NULLIF(CAST(n_total AS DOUBLE), 0.0) AS ssb,
+          |    grand_ss - sum_sg2n AS ssw
+          |  FROM panel)
+          |SELECT k_groups, n_total,
+          |  (ssb / NULLIF(CAST(k_groups AS DOUBLE) - 1.0, 0.0))
+          |    / NULLIF(ssw / NULLIF(CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE), 0.0), 0.0) AS w_stat,
+          |  CAST(k_groups AS DOUBLE) - 1.0 AS df_between,
+          |  CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) AS df_within
+          |FROM calc""".stripMargin,
+
+      // MlLite.aucRoc mirrored: distinct-score panel, midranks via
+      // the running sum, DECIMAL(28,1) rank mass, the U/(n⁺·n⁻)
+      // normalization in one fixed op order.
+      "ml_auc_roc" ->
+        """WITH r0 AS (
+          |  SELECT value AS s, upper(trim(event_type)) = 'PURCHASE' AS pos
+          |  FROM events WHERE value IS NOT NULL),
+          |p AS (
+          |  SELECT s,
+          |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+          |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn,
+          |    COUNT(*) AS nt
+          |  FROM r0 GROUP BY 1),
+          |rk AS (SELECT *, SUM(nt) OVER (ORDER BY s) AS cum FROM p),
+          |mid AS (
+          |  SELECT *,
+          |    CAST(cum - nt AS DOUBLE) + CAST(nt + 1 AS DOUBLE) / 2.0 AS midrank
+          |  FROM rk),
+          |agg AS (
+          |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+          |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+          |    SUM(CAST(CAST(np AS DOUBLE) * midrank AS DECIMAL(28,1))) AS rp
+          |  FROM mid),
+          |a AS (
+          |  SELECT n_pos, n_neg,
+          |    (CAST(rp AS DOUBLE)
+          |      - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+          |      / NULLIF(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0) AS auc
+          |  FROM agg)
+          |SELECT n_pos, n_neg, auc, 2.0 * auc - 1.0 AS gini FROM a""".stripMargin,
+
+      // Drift.jsHistogram mirrored: same bucketing as PSI, mixture
+      // midpoint, grid-ln KL terms summed as DECIMAL(28,6).
+      "data_drift_js" ->
+        """WITH ev AS (
+          |  SELECT value,
+          |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+          |  FROM events WHERE value IS NOT NULL),
+          |b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+          |k AS (
+          |  SELECT
+          |    CASE WHEN mx = mn THEN 0
+          |         ELSE LEAST(19, CAST(FLOOR((value - mn) / ((mx - mn) / 20)) AS INTEGER)) END AS bucket,
+          |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+          |    CAST(SUM(is_new) AS BIGINT) AS n_new
+          |  FROM ev, b GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+          |         CAST(SUM(n_new) AS BIGINT) AS tot_new
+          |  FROM k),
+          |p AS (
+          |  SELECT n_old, n_new, tot_old, tot_new,
+          |    n_old / CAST(tot_old AS DOUBLE) AS p_old,
+          |    n_new / CAST(tot_new AS DOUBLE) AS p_new
+          |  FROM k, tot),
+          |pm AS (SELECT *, (p_old + p_new) / 2.0 AS m FROM p)
+          |SELECT
+          |  (CAST(SUM(CAST(CASE WHEN p_old > 0.0
+          |      THEN FLOOR(p_old * (FLOOR(ln(p_old / m) * 1e6) / 1e6) * 1e6) / 1e6
+          |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+          |   + CAST(SUM(CAST(CASE WHEN p_new > 0.0
+          |      THEN FLOOR(p_new * (FLOOR(ln(p_new / m) * 1e6) / 1e6) * 1e6) / 1e6
+          |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)) / 2.0 AS js_div,
+          |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |  CAST(MAX(tot_old) AS BIGINT) AS tot_old,
+          |  CAST(MAX(tot_new) AS BIGINT) AS tot_new
+          |FROM pm""".stripMargin,
+
       "ana_coverage_quartile" ->
         s"""WITH base AS (
            |  SELECT n_name,

@@ -2018,6 +2018,138 @@ object AnalyticsPack {
             / sqrt(col("__var"))).as("z"))
   }
 
+  /** Welch two-sample t-test + standardized effect sizes — the
+    * PARAMETRIC sibling of [[mannWhitney]] (means rather than ranks):
+    * unequal-variance t, the Welch–Satterthwaite degrees of freedom,
+    * Cohen's d on the pooled SD and its small-sample Hedges' g
+    * correction. The verdict column compares |t| to the NORMAL 1.96
+    * critical value (exact t quantiles need the incomplete beta — a
+    * libm surface the engine-parity rule excludes; at panel-scale df
+    * the normal approximation is the textbook practice and the df
+    * column lets a caller apply an exact table offline).
+    *
+    * Scale shape: ONE scan collapsing to a 1-row panel of exact
+    * decimal moments per group (count/sum/sum-of-squares under the §5
+    * grid discipline — value² re-floored to the 1e-6 grid before its
+    * scale-6 cast, the ridgeTwoFeature idiom); everything after is
+    * fixed-order IEEE panel math. Degenerate inputs (an empty group,
+    * zero variance) surface as NULL statistics via the NULLIF
+    * convention, never an ANSI arithmetic error.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, groupA: Column): DataFrame = {
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val v = q6(col(valueCol).cast("double"))
+    def side(p: Column, tag: String): Seq[Column] = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(p, v).otherwise(lit(0.0)).cast(d6)).cast("double").as(s"__s_$tag"),
+      sum(when(p, q6(v * v)).otherwise(lit(0.0)).cast(d6)).cast("double").as(s"__ss_$tag"))
+    val cols = side(groupA, "a") ++ side(!groupA, "b")
+    val m = df.filter(col(valueCol).isNotNull).agg(cols.head, cols.tail: _*)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    def stats(tag: String): (Column, Column, Column) = {
+      val n = col(s"n_$tag").cast("double")
+      val mean = col(s"__s_$tag") / nz(n)
+      val variance = (col(s"__ss_$tag") - col(s"__s_$tag") * col(s"__s_$tag") / nz(n)) /
+        nz(n - 1.0)
+      (n, mean, variance)
+    }
+    val (na, meanA, varA) = stats("a")
+    val (nb, meanB, varB) = stats("b")
+    val seA = varA / nz(na)
+    val seB = varB / nz(nb)
+    val se2 = seA + seB
+    val t = (meanA - meanB) / nz(sqrt(se2))
+    val dfW = se2 * se2 / nz(seA * seA / nz(na - 1.0) + seB * seB / nz(nb - 1.0))
+    val sdPooled = sqrt(((na - 1.0) * varA + (nb - 1.0) * varB) / nz(na + nb - 2.0))
+    val d = (meanA - meanB) / nz(sdPooled)
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0))
+    m.select(col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      varA.as("var_a"), varB.as("var_b"),
+      (meanA - meanB).as("mean_diff"),
+      t.as("t_stat"), dfW.as("df_welch"),
+      d.as("cohen_d"), g.as("hedges_g"),
+      (abs(t) > 1.96).as("significant_normal_5pct"))
+  }
+
+  /** One-way ANOVA F over a categorical grouping — the K-group
+    * PARAMETRIC sibling of [[kruskalWallis]] (means rather than
+    * ranks): between/within sum-of-squares decomposition, the F
+    * statistic and the η² effect share. Reported with its (k−1,
+    * N−k) degrees of freedom; the verdict is left to the caller (F
+    * quantiles are another incomplete-beta surface).
+    *
+    * Scale shape: one scan → ≤K-group panel of exact decimal moments
+    * (map-side combined), then the panel collapses to one row. The
+    * cross-group sums ride DECIMAL partials on 1e-6-grid terms (§5) so
+    * parallel reduction order can never move SSB/SSW; the F quotient
+    * is fixed-order IEEE at the edge.
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val v = q6(col(valueCol).cast("double"))
+    val groups = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast(d6)).as("__sdec"),
+        sum(q6(v * v).cast(d6)).as("__ssdec"))
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    // pure sums stay DECIMAL across both aggregation levels (no
+    // double→decimal recast to diverge on); the per-group s²/n is a
+    // full-entropy quotient → floor-grid before its decimal panel
+    // partial so the cross-group sum is order-free
+    val panel = groups.agg(
+      count(lit(1)).as("k_groups"),
+      sum(col("__n")).as("n_total"),
+      sum(q6(col("__sdec").cast("double") * col("__sdec").cast("double")
+        / col("__n").cast("double")).cast(d6))
+        .cast("double").as("__sum_sg2n"),
+      sum(col("__sdec")).cast("double").as("__grand_s"),
+      sum(col("__ssdec")).cast("double").as("__grand_ss"))
+    val n = col("n_total").cast("double")
+    val k = col("k_groups").cast("double")
+    val ssb = col("__sum_sg2n") - col("__grand_s") * col("__grand_s") / nz(n)
+    val ssw = col("__grand_ss") - col("__sum_sg2n")
+    val sst = ssb + ssw
+    val f = (ssb / nz(k - 1.0)) / nz(ssw / nz(n - k))
+    panel.select(col("k_groups"), col("n_total"),
+      ssb.as("ss_between"), ssw.as("ss_within"),
+      (k - 1.0).as("df_between"), (n - k).as("df_within"),
+      f.as("f_stat"), (ssb / nz(sst)).as("eta_sq"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test — Levene's W on
+    * absolute deviations from the GROUP MEDIAN (the robust variant):
+    * "do the K groups even have comparable spread" is the assumption
+    * check ANOVA's F rests on, so the two ship as a pair. W is
+    * literally the one-way ANOVA F of z = |x − median_g| — computed by
+    * delegating to [[anovaF]], so the §5 moment discipline is shared,
+    * not duplicated.
+    *
+    * Scale shape: one exact-percentile pass builds the ≤K-row median
+    * panel (broadcast — the group key is a bounded categorical by
+    * contract), one scan forms the deviations, then anovaF's
+    * panel collapse. The deviation column enters anovaF RAW (its
+    * single q6 is the only grid step — a double floor-grid is not
+    * idempotent across engines).
+    */
+  def brownForsythe(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val meds = rows.groupBy(col("__g"))
+      .agg(percentile(col("__v"), lit(0.5)).as("__med"))
+    val dev = rows.join(broadcast(meds), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+    anovaF(dev, "__z", "__g")
+      .select(col("k_groups"), col("n_total"),
+        col("f_stat").as("w_stat"),
+        col("df_between"), col("df_within"))
+  }
+
   /** Always-valid SEQUENTIAL experiment readout (mSPRT, Johari et
     * al.'s mixture sequential probability ratio test on the
     * two-proportion metric) — the "peek every day without inflating

@@ -75,6 +75,52 @@ object Drift {
       max(col("tot_new")).as("tot_new"))
   }
 
+  /** Jensen–Shannon divergence over the shared equi-width histogram —
+    * the SYMMETRIC, always-finite member of the drift family (PSI and
+    * KL blow up on one-sided empty buckets; JS's mixture midpoint
+    * `m = (p_old + p_new)/2` is positive wherever either side has
+    * mass, so every bucket contributes and no skip accounting is
+    * needed): `JS = ½·Σ p_old·ln(p_old/m) + ½·Σ p_new·ln(p_new/m)`,
+    * bounded in [0, ln 2] — comparable across columns and over time,
+    * which is what a fleet-wide drift dashboard actually wants.
+    *
+    * Scale shape: identical to PSI/χ² — one bounds pass, one
+    * ≤k-bucket partial agg, panel math. Engine parity: proportions
+    * are exact-long divides; each `ln` and each product floor-quantize
+    * to the 1e-6 grid before the DECIMAL(28,6) panel partials (§5 —
+    * JS terms are ≤ unit magnitude by construction, so scale 6 has
+    * full headroom). The 0·ln0 = 0 convention lands as a `when`
+    * guard, not an epsilon.
+    */
+  def jsHistogram(df: DataFrame, valueCol: String, isNewCol: String,
+                  k: Int = 20): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets: $k")
+    val ev = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))
+    val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val width = (col("mx") - col("mn")) / k
+    val bucket = when(col("mx") === col("mn"), lit(0))
+      .otherwise(least(lit(k - 1), floor((col("value") - col("mn")) / width).cast("int")))
+    val byBucket = ev.crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old"), sum(col("is_new")).as("n_new"))
+    val tot = byBucket.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    val withP = byBucket.crossJoin(broadcast(tot))
+      .withColumn("p_old", col("n_old") / col("tot_old").cast("double"))
+      .withColumn("p_new", col("n_new") / col("tot_new").cast("double"))
+      .withColumn("m", (col("p_old") + col("p_new")) / 2.0)
+    def kl(p: Column): Column =
+      when(p > 0.0, grid6(p * grid6(log(p / col("m"))))).otherwise(lit(0.0))
+    withP.agg(
+      ((sum(Kernels.toDecimal(kl(col("p_old")), 28, 6)).cast("double")
+        + sum(Kernels.toDecimal(kl(col("p_new")), 28, 6)).cast("double")) / 2.0)
+        .as("js_div"),
+      count(lit(1)).as("n_buckets"),
+      max(col("tot_old")).as("tot_old"),
+      max(col("tot_new")).as("tot_new"))
+  }
+
   /** Pearson χ² + total-variation drift over an equi-width histogram
     * — one row: the scalar drift verdict for a monitoring gate.
     *

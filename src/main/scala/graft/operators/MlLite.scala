@@ -767,6 +767,46 @@ object MlLite {
     * exact longs, ratios raw IEEE quotients with the NULLIF-style
     * zero guard.
     */
+  /** Exact ROC AUC by the rank-sum identity — AUC equals the
+    * probability a random positive outscores a random negative, which
+    * is the Mann–Whitney U of the positive class normalized by
+    * n_pos·n_neg; ties contribute ½ through midranks, exactly the
+    * trapezoidal ROC convention. The standard threshold-sweep
+    * construction needs a global sort of every score; the rank
+    * identity needs only the DISTINCT-score panel through the
+    * two-phase prefix sum — same machinery as mannWhitney, so AUC on
+    * 10¹² rows costs one partial-agg shuffle + a panel pass.
+    *
+    * Midrank products sum as exact DECIMAL(28,1) (half-integer grid),
+    * so parallel reduction order cannot move the third decimal of
+    * AUC. Output: n_pos, n_neg, auc, gini (= 2·AUC − 1).
+    */
+  def aucRoc(df: DataFrame, scoreCol: String, labelPos: Column): DataFrame = {
+    val d1 = DecimalType(28, 1)
+    val panel = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(labelPos, 1L).otherwise(0L)).as("__np"),
+        sum(when(labelPos, 0L).otherwise(1L)).as("__nn"))
+      .withColumn("__nt", col("__np") + col("__nn"))
+    val ranked = PrefixSum.globalOrdered(panel, Seq(col("__s")), "__nt")
+      .withColumn("__midrank",
+        (col("prefix_sum") - col("__nt")).cast("double")
+          + (col("__nt") + 1L).cast("double") / 2.0)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    // counts go through double BEFORE multiplying (the oddsRatio
+    // overflow lesson): n_pos·(n_pos+1) in LONG would wrap past ~3e9
+    val agg = ranked.agg(
+      sum(col("__np")).as("n_pos"),
+      sum(col("__nn")).as("n_neg"),
+      sum((col("__np").cast("double") * col("__midrank")).cast(d1)).as("__rp"))
+    val auc = (col("__rp").cast("double")
+      - col("n_pos").cast("double") * (col("n_pos") + lit(1L)).cast("double") / 2.0) /
+      nz(col("n_pos").cast("double") * col("n_neg").cast("double"))
+    agg.select(col("n_pos"), col("n_neg"), auc.as("auc"))
+      .withColumn("gini", lit(2.0) * col("auc") - 1.0)
+  }
+
   def logisticPrCurve(df: DataFrame, yCol: String, xCols: Seq[String],
                       lr: Double, rounds: Int,
                       thresholds: Seq[Double]): DataFrame = {

@@ -1322,4 +1322,77 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(f.getAs[Double]("h")) < 1e-8)
     assert(f.isNullAt(f.fieldIndex("h_corrected")))
   }
+
+  test("welchTTest: textbook statistics against a sequential computation") {
+    val a = Seq(27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6)
+    val b = Seq(27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = AnalyticsPack.welchTTest(df, "v", col("g") === "A").collect().head
+    def mv(xs: Seq[Double]): (Double, Double) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (ma, va) = mv(a); val (mb, vb) = mv(b)
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("n_b") == 10L)
+    // tolerances at the 1e-6 value grid: the operator floor-quantizes
+    // v and v² (§5 engine-parity discipline), so moments sit within
+    // ~n·1e-6 of the unquantized sequential computation
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-5)
+    assert(math.abs(r.getAs[Double]("var_b") - vb) < 1e-5)
+    val se2 = va / 10 + vb / 10
+    val t = (ma - mb) / math.sqrt(se2)
+    val dfw = se2 * se2 / (math.pow(va / 10, 2) / 9 + math.pow(vb / 10, 2) / 9)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-4)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfw) < 1e-3)
+    val dpool = (ma - mb) / math.sqrt((9 * va + 9 * vb) / 18)
+    assert(math.abs(r.getAs[Double]("cohen_d") - dpool) < 1e-4)
+    assert(math.abs(r.getAs[Double]("hedges_g") - dpool * (1 - 3.0 / 71.0)) < 1e-4)
+    // zero-variance degenerate group -> NULL t, never an error
+    val flat2 = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 1.0)).toDF("g", "v")
+    val z = AnalyticsPack.welchTTest(flat2, "v", col("g") === "A").collect().head
+    assert(z.isNullAt(z.fieldIndex("t_stat")))
+  }
+
+  test("anovaF: textbook F decomposition, SSB+SSW=SST, degenerate single group") {
+    // groups [1,2,3], [2,3,4], [4,5,6]: grand mean = 30/9
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 4.0), ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = AnalyticsPack.anovaF(df, "v", "g").collect().head
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n_total") == 9L)
+    val all = Seq(1.0, 2, 3, 2, 3, 4, 4, 5, 6)
+    val gm = all.sum / 9
+    val sst = all.map(x => (x - gm) * (x - gm)).sum
+    val ssb = Seq(Seq(1.0, 2, 3), Seq(2.0, 3, 4), Seq(4.0, 5, 6))
+      .map(g => g.length * math.pow(g.sum / g.length - gm, 2)).sum
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ss_within") - (sst - ssb)) < 1e-6)
+    val f = (ssb / 2) / ((sst - ssb) / 6)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-6)
+    assert(math.abs(r.getAs[Double]("eta_sq") - ssb / sst) < 1e-9)
+    // a single group: SSB 0, df_between 0 -> NULL F, eta 0/sst
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val o = AnalyticsPack.anovaF(one, "v", "g").collect().head
+    assert(o.isNullAt(o.fieldIndex("f_stat")))
+  }
+
+  test("brownForsythe: W equals ANOVA F of |x − group median|") {
+    // A=[1,2,3] (med 2 → z=[1,0,1]), B=[10,20,30] (med 20 → z=[10,0,10]):
+    // SSB=54, SSW=67.333…, W = 54 / (SSW/4)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 10.0), ("B", 20.0), ("B", 30.0)).toDF("g", "v")
+    val r = AnalyticsPack.brownForsythe(df, "v", "g").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n_total") == 6L)
+    val za = Seq(1.0, 0.0, 1.0); val zb = Seq(10.0, 0.0, 10.0)
+    val gm = (za ++ zb).sum / 6
+    val ssb = 3 * math.pow(za.sum / 3 - gm, 2) + 3 * math.pow(zb.sum / 3 - gm, 2)
+    val ssw = za.map(z => math.pow(z - za.sum / 3, 2)).sum +
+      zb.map(z => math.pow(z - zb.sum / 3, 2)).sum
+    val w = (ssb / 1) / (ssw / 4)
+    assert(math.abs(r.getAs[Double]("w_stat") - w) < 1e-6)
+    // identical spreads → W exactly 0 (deviation profiles equal)
+    val same = Seq(("A", 0.0), ("A", 2.0), ("B", 10.0), ("B", 12.0)).toDF("g", "v")
+    val s0 = AnalyticsPack.brownForsythe(same, "v", "g").collect().head
+    assert(math.abs(s0.getAs[Double]("w_stat")) < 1e-9)
+  }
 }

@@ -53,6 +53,23 @@ class DriftSpec extends SparkSpec {
     assert(disj.getAs[Long]("n_buckets_skipped") >= 2L)
   }
 
+  test("jsHistogram: zero on identical, symmetric, finite on disjoint, ≤ ln 2") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0)
+    val same = Drift.jsHistogram(frame(vals, vals), "value", "is_new").collect()(0)
+    assert(same.getAs[Double]("js_div") == 0.0)
+    // symmetric in the two slices (PSI is too, but JS must also be
+    // FINITE on fully disjoint support — its defining property)
+    val old = Seq(1.0, 2.0, 3.0)
+    val nw = Seq(100.0, 101.0)
+    val ab = Drift.jsHistogram(frame(old, nw), "value", "is_new").collect()(0)
+    val ba = Drift.jsHistogram(frame(nw, old), "value", "is_new").collect()(0)
+    assert(math.abs(ab.getAs[Double]("js_div") - ba.getAs[Double]("js_div")) < 1e-9)
+    // disjoint support: JS = ln 2 exactly (up to the 1e-6 term grid)
+    assert(math.abs(ab.getAs[Double]("js_div") - math.log(2)) < 1e-5)
+    assert(ab.getAs[Double]("js_div") <= math.log(2) + 1e-12)
+    assert(ab.getAs[Long]("n_buckets") >= 2L)
+  }
+
   test("psiHistogram: hand-computed two-bucket value") {
     // k=2 over values {0,10}: bucket 0 gets old 3/4, new 1/4; bucket 1
     // gets old 1/4, new 3/4. PSI = 2 * (0.5 * ln(3)) with each term

@@ -719,4 +719,24 @@ class MlLiteSpec extends SparkSpec {
       Seq(Seq(col("x").cast("string"))), Seq("x"), k = 5).collect()
     assert(r3.length == 6 && r3.forall(_.getString(0) == "1"))
   }
+
+  test("aucRoc: midrank ties as half-credit, perfect and inverted separation") {
+    import org.apache.spark.sql.functions.col
+    // pos scores {3,5}, neg {1,3}: pair credit (3>1)+½(3=3)+(5>1)+(5>3)
+    // = 3.5 of 4 → AUC 0.875
+    val df = Seq((3.0, true), (5.0, true), (1.0, false), (3.0, false))
+      .toDF("s", "y")
+    val r = MlLite.aucRoc(df, "s", col("y")).collect().head
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(math.abs(r.getAs[Double]("auc") - 0.875) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gini") - 0.75) < 1e-12)
+    // perfect separation → 1; inverted labels → 0
+    val sep = Seq((10.0, true), (11.0, true), (1.0, false)).toDF("s", "y")
+    assert(MlLite.aucRoc(sep, "s", col("y")).collect().head.getAs[Double]("auc") == 1.0)
+    assert(MlLite.aucRoc(sep, "s", !col("y")).collect().head.getAs[Double]("auc") == 0.0)
+    // one empty class → NULL, never a division error
+    val onec = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val o = MlLite.aucRoc(onec, "s", col("y")).collect().head
+    assert(o.isNullAt(o.fieldIndex("auc")))
+  }
 }
