@@ -855,11 +855,9 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", userCap = 1000)
         .localCheckpoint(false)
-      val edges = inter.as("a").join(inter.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.item_id") < col("b.item_id"))
-        .groupBy(col("a.item_id").as("ia"), col("b.item_id").as("ib"))
-        .agg(count(lit(1)).as("nb"))
+      val edges = Recsys.coOccurrenceCounts(inter)
+        .select(col("item_a").as("ia"), col("item_b").as("ib"),
+          col("n_both").as("nb"))
         .filter(col("nb") >= 4)
       Graph.kCore(edges, "ia", "ib", k = 3, rounds = 6)
     }),

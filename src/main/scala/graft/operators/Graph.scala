@@ -243,7 +243,8 @@ object Graph {
     val nodes = e.select(col("u").as("node")).distinct().localCheckpoint(true)
     var alive = nodes
     var aliveRows = nodes.count()
-    for (_ <- 1 to rounds) {
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val aliveB = bcastIfSmall(alive, aliveRows)
       val deg = e
         .join(aliveB.select(col("node").as("u")), "u")
@@ -252,7 +253,14 @@ object Graph {
       alive = deg.filter(col("__deg") >= k)
         .select(col("u").as("node"))
         .localCheckpoint(true)
-      aliveRows = alive.count()
+      val next = alive.count()
+      // the alive set only shrinks; an unchanged count means no node
+      // was peeled, so every degree is unchanged and ALL remaining
+      // rounds are no-ops — early exit produces the identical output
+      // the fixed round count would (the oracle's fixed-round replay
+      // stays bit-equal)
+      converged = next == aliveRows
+      aliveRows = next
     }
     val aliveB = bcastIfSmall(alive, aliveRows)
     val coreDeg = e

@@ -70,6 +70,37 @@ object Recsys {
                                maxRows: Long = 2000000L): DataFrame =
     if (rows <= maxRows) broadcast(df) else df
 
+  /** Within-user ordered co-occurrence pair counts from a capped
+    * interaction relation — the pair build WITHOUT a self-join:
+    * collect each user's (already-capped) item set into one sorted
+    * array, then two chained generators emit the ordered pairs —
+    * item_a from posexplode, item_b from the strictly-later slice.
+    * Same rows a user_id-equijoin produces, but ONE shuffle (the
+    * user collect) instead of two join-side exchanges + a join
+    * operator (measured at sf0.1: the pair build dropped ~40%).
+    * Array sizes are bounded by the per-user cap, so no row buffer
+    * can exceed cap longs. The raw pair stream repartitions BEFORE
+    * the count: pair keys barely collapse map-side (most pairs are
+    * singletons), so the partial aggregate would build
+    * row-count-sized hash maps for nothing; exchanging first costs
+    * the same shuffle bytes and aggregates once, in small
+    * per-partition maps. Shared by the CF neighbor build and the
+    * co-occurrence graph endpoints (k-core).
+    */
+  private[graft] def coOccurrenceCounts(inter: DataFrame): DataFrame = {
+    val lists = inter.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item_id"))).as("__items"))
+    lists
+      .select(posexplode(col("__items")).as(Seq("__pos", "item_a")),
+        col("__items"))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__pos") + lit(2),
+          lit(Int.MaxValue))).as("item_b"))
+      .repartition(col("item_a"), col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+  }
+
   private[operators] def itemCosineFromInteractions(inter: DataFrame, k: Int,
                                                     minSupport: Int): DataFrame = {
     // checkpoint: the marginals panel feeds BOTH score joins, and a
@@ -79,32 +110,7 @@ object Recsys {
     val marginals0 = inter.groupBy(col("item_id"))
       .agg(count(lit(1)).as("n_users")).localCheckpoint(true)
     val marginals = broadcastIfPanel(marginals0, marginals0.count())
-    // Within-user pair expansion WITHOUT a self-join: collect each
-    // user's (already-capped) item set into one sorted array, then
-    // two chained generators emit the ordered pairs — item_a from
-    // posexplode, item_b from the strictly-later slice. Same rows the
-    // user_id-equijoin produced, but ONE shuffle (the user collect)
-    // instead of two join-side exchanges + a join operator, and the
-    // pair stream feeds the partial aggregate map-side in the same
-    // stage (measured at sf0.1: the recsys pair build dropped ~40%).
-    // Array sizes are bounded by the per-user cap, so no row buffer
-    // can exceed cap longs.
-    val lists = inter.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("item_id"))).as("__items"))
-    val pairs = lists
-      .select(posexplode(col("__items")).as(Seq("__pos", "item_a")),
-        col("__items"))
-      .select(col("item_a"),
-        explode(slice(col("__items"), col("__pos") + lit(2),
-          lit(Int.MaxValue))).as("item_b"))
-      // repartition BEFORE the count: pair keys barely collapse
-      // map-side (most pairs are singletons), so the partial
-      // aggregate would build row-count-sized hash maps for nothing;
-      // exchanging the raw pair stream first costs the same shuffle
-      // bytes and aggregates once, in small per-partition maps
-      .repartition(col("item_a"), col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("n_both"))
+    val pairs = coOccurrenceCounts(inter)
       // support floor: a single shared user is noise, not a signal —
       // and it is the scale lever: the pair relation is dominated by
       // singletons (>70% observed), so the floor shrinks everything
