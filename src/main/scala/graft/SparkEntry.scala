@@ -2544,6 +2544,13 @@ object SparkEntry {
       Profiling.corrPairs(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // First-order partial correlation: does quantity↔extendedprice
+    // survive holding the per-unit tax fixed — the confounder audit
+    // over the same one-scan moment panel as table_corr_pairs.
+    "table_corr_partial" -> ((s: SparkSession, d: String) =>
+      Profiling.partialCorr(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_tax")),
+
     // Spearman rank correlation (monotone association) between the
     // fact's quantity and price — doubled midranks over the
     // distinct-value panels through the two-phase prefix sum; exact
@@ -3097,6 +3104,9 @@ object SparkEntry {
     // IEEE-correctly-rounded sqrt (the anomaly_zscore convention).
     "table_corr_pairs" -> corrPairsOracleSql(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    "table_corr_partial" -> partialCorrOracleSql(
+      "l_quantity", "l_extendedprice", "l_tax"),
 
     "table_missingness" -> missingnessOracleSql(
       Seq("user_id", "event_type", "value", "props")),
@@ -7543,6 +7553,39 @@ object SparkEntry {
        |  SELECT COUNT(*) AS n, ${moms.mkString(",\n  ")}
        |  FROM events)
        |$pairSelects""".stripMargin
+  }
+
+  /** Profiling.partialCorr mirrored: the corrPairs moment idiom, the
+    * three r's as subexpressions, one fixed-order partial at the edge.
+    */
+  private def partialCorrOracleSql(x: String, y: String, z: String): String = {
+    val cols = Seq(x, y, z)
+    val moms =
+      cols.map(c => s"SUM(CAST($c AS DECIMAL(18,6))) AS s1_$c") ++
+      cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(18,6))) AS s2_$c") ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        s"SUM(CAST($a * $b AS DECIMAL(18,6))) AS sp_${a}_$b" }
+    def r(a: String, b: String): String = {
+      val sp = if (cols.indexOf(a) < cols.indexOf(b)) s"sp_${a}_$b" else s"sp_${b}_$a"
+      s"""(CAST($sp AS DOUBLE) - CAST(s1_$a AS DOUBLE) * CAST(s1_$b AS DOUBLE) / n)
+         |  / NULLIF(sqrt(CAST(s2_$a AS DOUBLE) - CAST(s1_$a AS DOUBLE) * CAST(s1_$a AS DOUBLE) / n)
+         |         * sqrt(CAST(s2_$b AS DOUBLE) - CAST(s1_$b AS DOUBLE) * CAST(s1_$b AS DOUBLE) / n), 0)""".stripMargin
+    }
+    s"""WITH r AS (
+       |  SELECT * FROM lineitem
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+       |m AS (SELECT COUNT(*) AS n, ${moms.mkString(",\n  ")} FROM r),
+       |rr AS (
+       |  SELECT n,
+       |    ${r(x, y)} AS r_xy,
+       |    ${r(x, z)} AS r_xz,
+       |    ${r(y, z)} AS r_yz
+       |  FROM m)
+       |SELECT '$x' AS col_x, '$y' AS col_y, '$z' AS col_given, n,
+       |  r_xy, r_xz, r_yz,
+       |  (r_xy - r_xz * r_yz)
+       |    / NULLIF(sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 0.0) AS partial_corr
+       |FROM rr""".stripMargin
   }
 
   private def corrPairsOracleSql(cols: Seq[String]): String = {

@@ -119,6 +119,51 @@ object Profiling {
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
   }
 
+  /** First-order PARTIAL correlation — the linear association of x
+    * and y with a confounder z held fixed:
+    * `ρ_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))` — the
+    * statistic that says whether an observed pairwise correlation
+    * survives controlling for the obvious third variable (the
+    * classic "quantity correlates with tax… through price" audit).
+    * Reports the three raw Pearson r's next to the partial so the
+    * collapse (or survival) is visible.
+    *
+    * Scale shape: the [[corrPairs]] discipline exactly — ONE scan, 9
+    * decimal moment partials map-side combined to a 1-row panel,
+    * then fixed-order IEEE panel math. Degenerate cases (a constant
+    * column, |r_xz| = 1) surface as NULL via the NULLIF convention.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String, rowPrecision: Int = 18): DataFrame = {
+    val cols = Seq(xCol, yCol, zCol)
+    require(cols.distinct.size == 3, s"need three distinct columns: $cols")
+    val rows = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def dec(c: org.apache.spark.sql.Column) =
+      graft.expressions.Kernels.toDecimal(c.cast("double"), rowPrecision, 6)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(dec(col(c))).as(s"s1_$c")) ++
+      cols.map(c => sum(dec(col(c) * col(c))).as(s"s2_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum(dec(col(a) * col(b))).as(s"sp_${a}_$b") }
+    val agg = rows.agg(moments.head, moments.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    def r(a: String, b: String): Column = {
+      val sp = if (cols.indexOf(a) < cols.indexOf(b)) s"sp_${a}_$b" else s"sp_${b}_$a"
+      val cov = d(sp) - d(s"s1_$a") * d(s"s1_$b") / col("n")
+      val denom = sqrt(d(s"s2_$a") - d(s"s1_$a") * d(s"s1_$a") / col("n")) *
+        sqrt(d(s"s2_$b") - d(s"s1_$b") * d(s"s1_$b") / col("n"))
+      cov / when(denom === 0, lit(null)).otherwise(denom)
+    }
+    val (rxy, rxz, ryz) = (r(xCol, yCol), r(xCol, zCol), r(yCol, zCol))
+    val pden = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    agg.select(lit(xCol).as("col_x"), lit(yCol).as("col_y"),
+      lit(zCol).as("col_given"), col("n"),
+      rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+      ((rxy - rxz * ryz) /
+        when(pden === 0.0, lit(null)).otherwise(pden)).as("partial_corr"))
+  }
+
   /** Missingness co-occurrence audit: for every column pair, do NULLs
     * arrive TOGETHER or independently — the φ (Pearson on the 2×2
     * null-indicator table) per pair, next to [[corrPairs]]' value

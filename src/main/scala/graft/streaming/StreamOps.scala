@@ -122,7 +122,7 @@ object StreamOps {
     val nNew = obs.sum
     val nOld = baselineCounts.sum
     require(nOld > 0, "driftAlertBatch: empty baseline")
-    var (chi2, tv, psi) = (0.0, 0.0, 0.0)
+    var (chi2, tv, psi, js) = (0.0, 0.0, 0.0, 0.0)
     var skipped = 0L
     if (nNew > 0) (0 until k).foreach { i =>
       val pOld = baselineCounts(i).toDouble / nOld
@@ -131,13 +131,20 @@ object StreamOps {
       tv += math.abs(diff)
       if (baselineCounts(i) > 0) chi2 += diff * diff / pOld else skipped += 1
       if (baselineCounts(i) > 0 && obs(i) > 0) psi += diff * math.log(pNew / pOld)
+      // JS over the mixture midpoint: symmetric and finite on
+      // one-sided buckets (0·ln 0 = 0), the batch twin of
+      // Drift.jsHistogram — bounded [0, ln 2], so it is the score a
+      // fleet-wide dashboard can compare across columns
+      val m = (pOld + pNew) / 2.0
+      if (pOld > 0) js += 0.5 * pOld * math.log(pOld / m)
+      if (pNew > 0) js += 0.5 * pNew * math.log(pNew / m)
     }
     tv *= 0.5
     val spark = batch.sparkSession
     import spark.implicits._
-    val row = Seq((batchId, nNew, chi2, tv, psi, skipped,
+    val row = Seq((batchId, nNew, chi2, tv, psi, js, skipped,
         nNew > 0 && tv >= alertTv))
-      .toDF("batch_id", "n_rows", "chi2", "tv_dist", "psi",
+      .toDF("batch_id", "n_rows", "chi2", "tv_dist", "psi", "js_div",
         "n_buckets_skipped", "alert")
     upsertParquet(target, row, existing => existing.unionByName(row),
       batchId, writerId)

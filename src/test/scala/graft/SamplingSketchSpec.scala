@@ -629,6 +629,41 @@ class SamplingSketchSpec extends SparkSpec {
     assert(got(("x", "c"))._2 == null) // zero variance -> NULL, not a div error
   }
 
+  test("partialCorr: matches the textbook recursion; confounder collapse and survival") {
+    import spark.implicits._
+    // x and y both driven by z plus distinct wiggles: pairwise r_xy is
+    // strongly positive, but controlling for z must collapse it toward
+    // the wiggles' (near-zero) association.
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.tabulate(200) { i =>
+      val z = rnd.nextDouble() * 10
+      (z + rnd.nextGaussian() * 0.5, z + rnd.nextGaussian() * 0.5, z)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val r = graft.operators.Profiling.partialCorr(df, "x", "y", "z").collect().head
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length; val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum
+      cov / math.sqrt(a.map(u => (u - ma) * (u - ma)).sum *
+        b.map(v => (v - mb) * (v - mb)).sum)
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val expect = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(r.getAs[Long]("n") == 200L)
+    // decimal(18,6) moment grid: agreement to ~1e-4 on unit-scale r's
+    assert(math.abs(r.getAs[Double]("r_xy") - rxy) < 1e-4)
+    assert(math.abs(r.getAs[Double]("partial_corr") - expect) < 1e-3)
+    // the collapse: the partial is much smaller than the raw r_xy
+    assert(math.abs(r.getAs[Double]("partial_corr")) <
+      math.abs(r.getAs[Double]("r_xy")) / 2)
+    // |r_xz| = 1 (x IS z): denominator 0 → NULL partial, not an error
+    val degen = rows.map(t => (t._3, t._2, t._3)).toDF("x", "y", "z")
+    val dg = graft.operators.Profiling.partialCorr(degen, "x", "y", "z").collect().head
+    assert(dg.isNullAt(dg.fieldIndex("partial_corr")))
+  }
+
   test("temperatureShares: flattens toward uniform, alpha=1 reproduces raw shares") {
     import spark.implicits._
     // 100:10:1 domain imbalance, plus a null domain that must drop

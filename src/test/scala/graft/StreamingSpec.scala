@@ -790,12 +790,16 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(target)
       .collect().map(r => r.getAs[Long]("batch_id") ->
         (r.getAs[Boolean]("alert"), r.getAs[Double]("tv_dist"),
-          r.getAs[Double]("psi"), r.getAs[Long]("n_rows"))).toMap
+          r.getAs[Double]("psi"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("js_div"))).toMap
     assert(got.keySet == Set(0L, 1L))
     assert(!got(0L)._1 && got(0L)._2 == 0.0)
     assert(got(1L)._1 && math.abs(got(1L)._2 - 0.9) < 1e-12) // 90% of mass moved
     assert(got(1L)._3 > got(0L)._3) // PSI agrees with TV's ordering
     assert(got.values.forall(_._4 == 100L))
+    // JS: zero on the identical batch, positive and ≤ ln 2 on the shift
+    assert(got(0L)._5 == 0.0)
+    assert(got(1L)._5 > 0.0 && got(1L)._5 <= math.log(2) + 1e-12)
     // replaying an applied batch id appends nothing
     spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
     try
