@@ -1205,6 +1205,15 @@ object SparkEntry {
       MlLite.aucRoc(t(s, d, "events"), "value",
         upper(trim(col("event_type"))) === "PURCHASE")),
 
+    // Brier + log-loss of the hour-of-day rate baseline for the same
+    // label — the proper-scoring floor a real model must beat; the
+    // row sums collapse onto the 24-row hour panel algebraically.
+    "ml_brier_logloss" -> ((s: SparkSession, d: String) =>
+      MlLite.baselineScorePanel(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        upper(trim(col("event_type"))) === "PURCHASE",
+        hour(col("ts")))),
+
     // Quantile normalization: per-type daily demand aligned to the
     // cross-type rank-mean distribution (ordering preserved).
     "ana_quantile_normalize" -> ((s: SparkSession, d: String) =>
@@ -4697,6 +4706,38 @@ object SparkEntry {
           |      / NULLIF(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0) AS auc
           |  FROM agg)
           |SELECT n_pos, n_neg, auc, 2.0 * auc - 1.0 AS gini FROM a""".stripMargin,
+
+      // MlLite.baselineScorePanel mirrored: hour panel, Laplace rate,
+      // the algebraically-collapsed Brier/log-loss terms with panel
+      // grid-ln, DECIMAL(28,6) partials.
+      "ml_brier_logloss" ->
+        """WITH r0 AS (
+          |  SELECT hour(ts) AS g,
+          |    CASE WHEN upper(trim(event_type)) = 'PURCHASE' THEN 1 ELSE 0 END AS y
+          |  FROM events WHERE ts IS NOT NULL),
+          |panel AS (
+          |  SELECT g, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          |  FROM r0 GROUP BY g),
+          |pp AS (
+          |  SELECT *,
+          |    (CAST(pos AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 1.0) AS p,
+          |    n - pos AS neg
+          |  FROM panel),
+          |terms AS (
+          |  SELECT *,
+          |    FLOOR((CAST(pos AS DOUBLE) * (1.0 - p) * (1.0 - p)
+          |      + CAST(neg AS DOUBLE) * p * p) * 1e6) / 1e6 AS bt,
+          |    FLOOR((-1.0 * (CAST(pos AS DOUBLE) * (FLOOR(ln(p) * 1e6) / 1e6)
+          |      + CAST(neg AS DOUBLE) * (FLOOR(ln(1.0 - p) * 1e6) / 1e6))) * 1e6) / 1e6 AS lt
+          |  FROM pp)
+          |SELECT CAST(SUM(n) AS BIGINT) AS n,
+          |  CAST(COUNT(*) AS BIGINT) AS k_groups,
+          |  CAST(SUM(pos) AS DOUBLE) / NULLIF(CAST(SUM(n) AS DOUBLE), 0.0) AS base_rate,
+          |  CAST(SUM(CAST(bt AS DECIMAL(28,6))) AS DOUBLE)
+          |    / NULLIF(CAST(SUM(n) AS DOUBLE), 0.0) AS brier,
+          |  CAST(SUM(CAST(lt AS DECIMAL(28,6))) AS DOUBLE)
+          |    / NULLIF(CAST(SUM(n) AS DOUBLE), 0.0) AS log_loss
+          |FROM terms""".stripMargin,
 
       // Drift.jsHistogram mirrored: same bucketing as PSI, mixture
       // midpoint, grid-ln KL terms summed as DECIMAL(28,6).

@@ -807,6 +807,52 @@ object MlLite {
       .withColumn("gini", lit(2.0) * col("auc") - 1.0)
   }
 
+  /** Brier score + log-loss of the GROUP-RATE baseline predictor —
+    * the proper-scoring floor every real model must beat: predict
+    * each row's positive probability as its feature-group's smoothed
+    * empirical rate `(pos + ½)/(n + 1)` (Laplace — keeps ln finite on
+    * pure groups), then score with the two standard proper rules.
+    * Published next to [[aucRoc]] so ranking quality and calibration
+    * quality are judged together.
+    *
+    * The row-level sums collapse algebraically onto the group panel:
+    * Σ(p−y)² over a group is `pos·(1−p)² + neg·p²` because p is
+    * group-constant — so the whole computation is ONE partial-agg
+    * scan to the ≤K-row panel, panel math after (the ln rides the
+    * panel only, grid-quantized per §5, like PSI). Output one row:
+    * n, k_groups, base_rate, brier, log_loss.
+    */
+  def baselineScorePanel(df: DataFrame, labelPos: Column,
+                         groupExpr: Column): DataFrame = {
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def lnq(c: Column) = q6(log(c))
+    val panel = df.groupBy(groupExpr.as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(labelPos, 1L).otherwise(0L)).as("__pos"))
+      .withColumn("__p",
+        (col("__pos").cast("double") + 0.5) / (col("__n").cast("double") + 1.0))
+      .withColumn("__neg", col("__n") - col("__pos"))
+    val brierTerm = q6(col("__pos").cast("double")
+      * (lit(1.0) - col("__p")) * (lit(1.0) - col("__p"))
+      + col("__neg").cast("double") * col("__p") * col("__p"))
+    val llTerm = q6(lit(-1.0) * (col("__pos").cast("double") * lnq(col("__p"))
+      + col("__neg").cast("double") * lnq(lit(1.0) - col("__p"))))
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    panel.agg(
+        sum(col("__n")).as("n"),
+        count(lit(1)).as("k_groups"),
+        sum(col("__pos")).as("__tot_pos"),
+        sum(brierTerm.cast(d6)).cast("double").as("__sb"),
+        sum(llTerm.cast(d6)).cast("double").as("__sl"))
+      .select(col("n"), col("k_groups"),
+        (col("__tot_pos").cast("double") / nz(col("n").cast("double")))
+          .as("base_rate"),
+        (col("__sb") / nz(col("n").cast("double"))).as("brier"),
+        (col("__sl") / nz(col("n").cast("double"))).as("log_loss"))
+  }
+
   def logisticPrCurve(df: DataFrame, yCol: String, xCols: Seq[String],
                       lr: Double, rounds: Int,
                       thresholds: Seq[Double]): DataFrame = {

@@ -739,4 +739,25 @@ class MlLiteSpec extends SparkSpec {
     val o = MlLite.aucRoc(onec, "s", col("y")).collect().head
     assert(o.isNullAt(o.fieldIndex("auc")))
   }
+
+  test("baselineScorePanel: collapsed sums equal the row-level proper scores") {
+    import org.apache.spark.sql.functions.col
+    // group A: 4 rows 2 pos (p = 2.5/5 = 0.5); group B: 2 rows 0 pos
+    // (p = 0.5/3). Row-level Brier/log-loss computed sequentially.
+    val df = Seq(("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false)).toDF("g", "y")
+    val r = MlLite.baselineScorePanel(df, col("y"), col("g")).collect().head
+    val pA = 2.5 / 5.0; val pB = 0.5 / 3.0
+    val rows = Seq((pA, 1.0), (pA, 1.0), (pA, 0.0), (pA, 0.0),
+      (pB, 0.0), (pB, 0.0))
+    val brier = rows.map { case (p, y) => (p - y) * (p - y) }.sum / 6
+    val ll = rows.map { case (p, y) =>
+      -(y * math.log(p) + (1 - y) * math.log(1 - p)) }.sum / 6
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k_groups") == 2L)
+    assert(math.abs(r.getAs[Double]("base_rate") - 2.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("brier") - brier) < 1e-5)
+    assert(math.abs(r.getAs[Double]("log_loss") - ll) < 1e-5)
+    // a pure group stays finite through the Laplace smoothing
+    assert(!r.isNullAt(r.fieldIndex("log_loss")))
+  }
 }
