@@ -1871,6 +1871,12 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s: SparkSession, d: String) =>
       Ann.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
+    // Pairwise cosine-similarity histogram over the deterministic
+    // 96-vector md5 probe panel — the corpus-geometry evidence a
+    // SemDeDup/near-dup/LSH threshold is chosen against.
+    "embedding_similarity_hist" -> ((s: SparkSession, d: String) =>
+      Ann.similarityHist(t(s, d, "embeddings"), "vec_id", "embedding")),
+
     // k-NN classification over the exact cosine tier: majority label
     // of the 5 nearest neighbors, vote ties to the smaller label —
     // the application layer the recall panel prices approximations
@@ -7114,6 +7120,34 @@ object SparkEntry {
         |  rec_item, n_links, score
         |FROM unseen
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Ann.similarityHist mirrored: md5-smallest probe panel, the
+    // left-fold cosine, fixed [-1,1] bucket arithmetic.
+    "embedding_similarity_hist" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |panel AS (
+        |  SELECT vec_id, v, nrm FROM (
+        |    SELECT *, CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |    FROM n WHERE nrm > 0.0)
+        |  ORDER BY h, vec_id LIMIT 96),
+        |pairs AS (
+        |  SELECT
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cos
+        |  FROM panel a JOIN panel b ON a.vec_id < b.vec_id),
+        |hist AS (
+        |  SELECT LEAST(19, CAST(FLOOR((cos + 1.0) / 0.1) AS INTEGER)) AS bucket,
+        |    COUNT(*) AS n_pairs
+        |  FROM pairs GROUP BY 1)
+        |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  -1.0 + CAST(bucket AS DOUBLE) * 0.1 AS bucket_lo
+        |FROM hist""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH base AS (

@@ -53,6 +53,44 @@ object Ann {
             col("v").cast("double"), 28, 12)).cast("double")
           / count(lit(1)), 6).as("centroid_v"))
 
+  /** Pairwise cosine-similarity HISTOGRAM over a deterministic probe
+    * panel — the corpus-geometry diagnostic behind threshold choices
+    * (SemDeDup's cut, the near-dup radius, LSH banding): how much of
+    * the pair mass sits at each similarity level. All-pairs over the
+    * corpus is n²; the standard estimate samples pairs — here the
+    * probe panel is the `panelK` vectors SMALLEST by (md5(id), id),
+    * a deterministic, engine-replayable choice (the md5 split/quota
+    * discipline), so the histogram is a fixed measurement, not a
+    * random one. Pairs are panelK²/2 ≈ 4.5k at the default — panel
+    * math at any corpus size; the only corpus-scale work is the
+    * TakeOrdered(panelK) scan.
+    *
+    * Buckets are fixed over [−1, 1] so histograms compare across
+    * corpora and over time; the cosine reuses the left-fold dot
+    * kernel (bit-identical in the oracle).
+    */
+  def similarityHist(emb: DataFrame, idCol: String, vecCol: String,
+                     panelK: Int = 96, buckets: Int = 20): DataFrame = {
+    require(panelK >= 2 && buckets >= 2,
+      s"panelK=$panelK buckets=$buckets out of range")
+    val panel = prepared(emb, idCol, vecCol)
+      .filter(col("v").isNotNull && col("nrm") > 0.0)
+      .withColumn("__h", Sampling.md5Long32(Seq(col("vec_id"))))
+      .orderBy(col("__h"), col("vec_id")).limit(panelK)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    val width = 2.0 / buckets
+    val cands = panel.as("a").join(broadcast(panel.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("__cos", dot(col("a.v"), col("b.v"))
+        / (col("a.nrm") * col("b.nrm")))
+    cands
+      .groupBy(least(lit(buckets - 1),
+        floor((col("__cos") + lit(1.0)) / lit(width)).cast("int")).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bucket_lo", lit(-1.0) + col("bucket").cast("double") * lit(width))
+  }
+
   /** Embedding quality gate (the vector twin of the corpus/document
     * gates): first-match reason codes for null vectors, wrong
     * dimensionality, non-finite components, zero and out-of-band L2

@@ -524,4 +524,32 @@ class AnnSpec extends SparkSpec {
         r.getInt(3), r.getInt(4)))
     assert(again.toSet == got.toSet)
   }
+
+  test("similarityHist: pair conservation, fixed buckets, deterministic panel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2 identical (cos 1 → bucket 19), 2 orthogonal axes (cos 0 →
+    // bucket 10), an anti-parallel pair (cos −1 → bucket 0)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Ann.similarityHist(vecs, "vec_id", "embedding",
+        panelK = 96, buckets = 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 4 vectors → 6 pairs, all accounted for
+    assert(got.values.sum == 6L)
+    assert(got(19) == 1L) // the identical pair (1,2)
+    assert(got(10) == 3L) // the orthogonal pairs (1,3),(2,3),(3,4)
+    assert(got(0) == 2L)  // the anti-parallel pairs (1,4),(2,4)
+    // deterministic: a repartitioned input yields the same histogram
+    val again = graft.operators.Ann.similarityHist(vecs.repartition(3),
+        "vec_id", "embedding", panelK = 96, buckets = 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // bucket_lo arithmetic: bucket b starts at −1 + b·0.1
+    val lo = graft.operators.Ann.similarityHist(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(lo(10) - 0.0) < 1e-12)
+  }
 }
