@@ -2724,6 +2724,13 @@ object SparkEntry {
     "ana_pacf" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.pacf(servingValid(s, d), maxLag = 7)),
 
+    // AR(3) 7-day demand forecast — the autoregressive member of the
+    // forecast family: Yule–Walker coefficients via Durbin–Levinson
+    // over the ACF panel, then the mean-centered multi-step recursion
+    // (reverts toward the mean at the fitted correlation rate).
+    "ana_ar_forecast" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.arForecast(servingValid(s, d), p = 3, horizon = 7)),
+
     // Distribution-free conformal intervals over the backtest
     // residuals: forecast ± q̂ with certified ≥80% coverage.
     "ana_forecast_conformal" -> ((s: SparkSession, d: String) =>
@@ -4517,6 +4524,73 @@ object SparkEntry {
     sb.toString
   }
 
+  /** AR(p) forecast replay: the Durbin–Levinson chain (as in
+    * [[pacfOracleSql]]) for the Yule–Walker row, the 4dp mean and
+    * back-pivoted tail values, then one chained CTE per horizon step
+    * with the mean-centered recursion in the driver's exact term
+    * order.
+    */
+  private def arForecastOracleSql(acfSql: String, validSql: String,
+                                  p: Int, horizon: Int): String = {
+    val rcols = (1 to p)
+      .map(k => s"MAX(CASE WHEN lag = $k THEN acf END) AS r$k")
+      .mkString(",\n    ")
+    val sb = new StringBuilder
+    sb.append(s"WITH acf_panel AS (\n$acfSql\n),\n")
+    sb.append(s"piv AS (\n  SELECT event_type_norm,\n    $rcols\n  FROM acf_panel GROUP BY 1),\n")
+    sb.append("p1 AS (SELECT *, r1 AS f1_1 FROM piv)")
+    for (k <- 2 to p) {
+      val num = s"(r$k - (${(1 until k).map(j => s"f${k - 1}_$j * r${k - j}").mkString(" + ")}))"
+      val den = s"(1.0 - (${(1 until k).map(j => s"f${k - 1}_$j * r$j").mkString(" + ")}))"
+      sb.append(s",\npd$k AS (SELECT *, CASE WHEN $den = 0.0 THEN NULL " +
+        s"ELSE $num / $den END AS f${k}_$k FROM p${k - 1})")
+      val ups = (1 until k)
+        .map(j => s"f${k - 1}_$j - f${k}_$k * f${k - 1}_${k - j} AS f${k}_$j")
+        .mkString(", ")
+      sb.append(s",\np$k AS (SELECT *, $ups FROM pd$k)")
+    }
+    // the day panel, 4dp mean, and the last p observed calendar days
+    // pivoted to xb0 (= the max day) .. xb{p-1}
+    sb.append(s""",
+      |byday2 AS (
+      |  SELECT event_type_norm,
+      |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+      |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+      |  FROM ($validSql) WHERE date_sk IS NOT NULL
+      |  GROUP BY event_type_norm, date_sk),
+      |mp2 AS (
+      |  SELECT event_type_norm,
+      |    ROUND(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS ybar
+      |  FROM byday2 GROUP BY 1),
+      |mx AS (SELECT event_type_norm, MAX(d) AS d_max FROM byday2 GROUP BY 1),
+      |tl AS (
+      |  SELECT b.event_type_norm, date_diff('day', b.d, m.d_max) AS back, b.y
+      |  FROM byday2 b JOIN mx m USING (event_type_norm)
+      |  WHERE b.d >= m.d_max - ${p - 1}),
+      |tp AS (
+      |  SELECT event_type_norm,
+      |    ${(0 until p).map(i => s"MAX(CASE WHEN back = $i THEN y END) AS xb$i").mkString(",\n    ")}
+      |  FROM tl GROUP BY 1),
+      |base AS (
+      |  SELECT f.*, m.ybar, ${(0 until p).map(i => s"t.xb$i").mkString(", ")}
+      |  FROM p$p f
+      |  LEFT JOIN mp2 m USING (event_type_norm)
+      |  LEFT JOIN tp t USING (event_type_norm))""".stripMargin)
+    def xref(i: Int): String = if (i >= 1) s"f$i" else s"xb${-i}"
+    var prev = "base"
+    for (h <- 1 to horizon) {
+      val terms = (1 to p)
+        .map(j => s"f${p}_$j * (${xref(h - j)} - ybar)").mkString(" + ")
+      sb.append(s",\nfc$h AS (SELECT *, ybar + ($terms) AS f$h FROM $prev)")
+      prev = s"fc$h"
+    }
+    val unions = (1 to horizon).map(h =>
+      s"SELECT event_type_norm, CAST($h AS INTEGER) AS h, f$h AS forecast FROM fc$horizon")
+      .mkString("\nUNION ALL\n")
+    sb.append(s"\n$unions")
+    sb.toString
+  }
+
   private def analyticsOracleSql: Map[String, String] = {
     val validSql =
       s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"
@@ -5225,6 +5299,11 @@ object SparkEntry {
       // term sums and one division per level, mirroring the driver's
       // panel recursion op for op; NULL/zero-denominator cascade.
       "ana_pacf" -> pacfOracleSql(acfOracleSql(validSql), 7),
+
+      // AR(3) forecast: D-L Yule–Walker row + tail pivot + chained
+      // per-horizon recursion CTEs, op-for-op the driver fold.
+      "ana_ar_forecast" ->
+        arForecastOracleSql(acfOracleSql(validSql), validSql, 3, 7),
 
       // ACF: 4dp mean, 1e-6-grid deviation products, DECIMAL(28,6)
       // partials, one edge division per (type, lag).

@@ -1718,38 +1718,118 @@ object AnalyticsPack {
     * lag (short series, zero variance) cascades NULL through every
     * later level — both engines propagate identically.
     */
+  /** The Durbin–Levinson recursion over one type's ACF values —
+    * returns the full φ triangle (φ(k)(j), NULL-propagating through
+    * Options). Shared by [[pacf]] (needs the diagonal) and
+    * [[arForecast]] (needs the last row φ(p)(1..p) — the Yule–Walker
+    * AR coefficients).
+    */
+  private def durbinLevinson(rr: Int => Option[Double],
+                             maxLag: Int): Array[Array[Option[Double]]] = {
+    def seqSum(terms: Seq[Option[Double]]): Option[Double] =
+      terms.foldLeft(Option(0.0))((acc, t) => for { a <- acc; x <- t } yield a + x)
+    val phi = Array.fill(maxLag + 1, maxLag + 1)(Option.empty[Double])
+    phi(1)(1) = rr(1)
+    for (k <- 2 to maxLag) {
+      val num = for {
+        s <- seqSum((1 until k).map(j =>
+          for { p <- phi(k - 1)(j); rv <- rr(k - j) } yield p * rv))
+        rk <- rr(k)
+      } yield rk - s
+      val den = seqSum((1 until k).map(j =>
+        for { p <- phi(k - 1)(j); rv <- rr(j) } yield p * rv))
+        .map(1.0 - _)
+      phi(k)(k) = for { n <- num; d <- den; if d != 0.0 } yield n / d
+      for (j <- 1 until k)
+        phi(k)(j) = for {
+          a <- phi(k - 1)(j); kk <- phi(k)(k); b <- phi(k - 1)(k - j)
+        } yield a - kk * b
+    }
+    phi
+  }
+
+  private def acfByType(validEvents: DataFrame, maxLag: Int)
+      : Seq[(String, Int => Option[Double])] = {
+    val panel = autocorrelation(validEvents, maxLag)
+      .select(col("event_type_norm"), col("lag"), col("acf")).collect()
+    panel.groupBy(_.getString(0)).toSeq.map { case (t, rs) =>
+      val r: Map[Int, Option[Double]] = rs.map(x => x.getInt(1) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+      (t, (k: Int) => r.getOrElse(k, None))
+    }
+  }
+
   def pacf(validEvents: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, s"need at least lag 1: $maxLag")
     val spark = validEvents.sparkSession
-    val panel = autocorrelation(validEvents, maxLag)
-      .select(col("event_type_norm"), col("lag"), col("acf")).collect()
-    def seqSum(terms: Seq[Option[Double]]): Option[Double] =
-      terms.foldLeft(Option(0.0))((acc, t) => for { a <- acc; x <- t } yield a + x)
-    val out = panel.groupBy(_.getString(0)).toSeq.flatMap { case (t, rs) =>
-      val r: Map[Int, Option[Double]] = rs.map(x => x.getInt(1) ->
-        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
-      def rr(k: Int): Option[Double] = r.getOrElse(k, None)
-      val phi = Array.fill(maxLag + 1, maxLag + 1)(Option.empty[Double])
-      phi(1)(1) = rr(1)
-      for (k <- 2 to maxLag) {
-        val num = for {
-          s <- seqSum((1 until k).map(j =>
-            for { p <- phi(k - 1)(j); rv <- rr(k - j) } yield p * rv))
-          rk <- rr(k)
-        } yield rk - s
-        val den = seqSum((1 until k).map(j =>
-          for { p <- phi(k - 1)(j); rv <- rr(j) } yield p * rv))
-          .map(1.0 - _)
-        phi(k)(k) = for { n <- num; d <- den; if d != 0.0 } yield n / d
-        for (j <- 1 until k)
-          phi(k)(j) = for {
-            a <- phi(k - 1)(j); kk <- phi(k)(k); b <- phi(k - 1)(k - j)
-          } yield a - kk * b
-      }
+    val out = acfByType(validEvents, maxLag).flatMap { case (t, rr) =>
+      val phi = durbinLevinson(rr, maxLag)
       (1 to maxLag).map(k => (t, k, rr(k), phi(k)(k)))
     }
     import spark.implicits._
     out.toDF("event_type_norm", "lag", "acf", "pacf")
+  }
+
+  /** AR(p) multi-step demand forecast — the autoregressive member of
+    * the forecast family (naive/seasonal/Holt/Holt–Winters ship
+    * already; AR is the one whose ORDER the PACF panel motivates):
+    * Yule–Walker coefficients φ(p)(1..p) from the Durbin–Levinson
+    * recursion over the ACF panel, then the textbook mean-centered
+    * recursion `x̂(t+h) = ȳ + Σⱼ φⱼ·(x(t+h−j) − ȳ)` with observed
+    * tail values for h−j ≤ 0 and earlier forecasts after — so the
+    * h-step path reverts toward the mean at the rate the fitted
+    * correlation structure implies.
+    *
+    * Scale shape: the fact collapses once to the per-type day panel
+    * (the ACF pass); the driver sees only the ≤types×p ACF/tail
+    * panels (the pacf discipline) and the recursion is panel math.
+    * A missing tail day or an undefined coefficient propagates NULL
+    * forecasts (Option-chained), never an error.
+    */
+  def arForecast(validEvents: DataFrame, p: Int = 3,
+                 horizon: Int = 7): DataFrame = {
+    require(p >= 1 && horizon >= 1, s"p=$p horizon=$horizon out of range")
+    val spark = validEvents.sparkSession
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .localCheckpoint(false)
+    val meanPanel = byDay.groupBy(col("event_type_norm"))
+      .agg(round(sum(money(col("y"))).cast("double") / count(lit(1)), 4).as("ybar"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val maxPanel = byDay.groupBy(col("event_type_norm"))
+      .agg(max(col("d")).as("d_max"))
+    val tails = byDay.join(broadcast(maxPanel), Seq("event_type_norm"))
+      .filter(col("d") >= date_sub(col("d_max"), p - 1))
+      .select(col("event_type_norm"),
+        datediff(col("d_max"), col("d")).as("back"), col("y"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap }
+    val out = acfByType(validEvents, p).flatMap { case (t, rr) =>
+      val phiRow: Int => Option[Double] =
+        if (p == 1) { j => if (j == 1) rr(1) else None }
+        else { val phi = durbinLevinson(rr, p); j => phi(p)(j) }
+      val ybar = meanPanel.get(t)
+      val back = tails.getOrElse(t, Map.empty[Int, Double])
+      // x(i): observed day d_max+i for i ≤ 0, earlier forecast for i ≥ 1
+      val fc = Array.fill(horizon + 1)(Option.empty[Double])
+      def x(i: Int): Option[Double] =
+        if (i <= 0) back.get(-i) else fc(i)
+      for (h <- 1 to horizon) {
+        var s: Option[Double] = Some(0.0)
+        for (j <- 1 to p)
+          s = for { acc <- s; ph <- phiRow(j); xv <- x(h - j); yb <- ybar }
+            yield acc + ph * (xv - yb)
+        fc(h) = for { yb <- ybar; sv <- s } yield yb + sv
+      }
+      (1 to horizon).map(h => (t, h, fc(h)))
+    }
+    import spark.implicits._
+    out.toDF("event_type_norm", "h", "forecast")
   }
 
   /** Split-conformal prediction intervals for the forecast family —

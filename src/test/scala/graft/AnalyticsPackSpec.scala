@@ -1239,6 +1239,33 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(AnalyticsPack.pacf(one, maxLag = 3).collect().isEmpty)
   }
 
+  test("arForecast: AR(1) recursion matches the closed form; mean reversion; NULL on flat series") {
+    // AR(1): forecast(h) = ybar + phi1^h · (x_last − ybar), with
+    // phi1 = acf(1) — verify the recursion against the closed form.
+    val rows = Seq(10.0, 14.0, 11.0, 17.0, 12.0, 18.0, 13.0, 19.0, 11.0, 16.0)
+      .zipWithIndex.map { case (v, i) => ("E", 20240101 + i, v) }
+      .toDF("event_type_norm", "date_sk", "value")
+    val acf1 = AnalyticsPack.autocorrelation(rows, maxLag = 1).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap.apply(1)
+    val ybar = rows.agg(org.apache.spark.sql.functions.round(
+      org.apache.spark.sql.functions.avg("value"), 4)).collect().head.getDouble(0)
+    val got = AnalyticsPack.arForecast(rows, p = 1, horizon = 3).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val x0 = 16.0
+    var f = x0
+    for (h <- 1 to 3) {
+      f = ybar + acf1 * (f - ybar)
+      assert(math.abs(got(h) - f) < 1e-9, s"h=$h")
+    }
+    // forecasts revert toward the mean as h grows (|phi| < 1)
+    assert(math.abs(got(3) - ybar) < math.abs(got(1) - ybar))
+    // constant series: zero variance → NULL ACF → NULL forecasts
+    val flat = (0 until 5).map(i => ("F", 20240101 + i, 7.0))
+      .toDF("event_type_norm", "date_sk", "value")
+    val nf = AnalyticsPack.arForecast(flat, p = 1, horizon = 2).collect()
+    assert(nf.length == 2 && nf.forall(_.isNullAt(2)))
+  }
+
   test("msprtSequential: evidence accumulates, always-valid p never rises") {
     import java.sql.Timestamp
     def ev(u: Long, split: String, day: Int, et: String) =
