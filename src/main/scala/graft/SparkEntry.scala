@@ -6735,7 +6735,10 @@ object SparkEntry {
           |  CASE WHEN n_churned < n_at_risk THEN
           |    CAST(SUM(CAST(l1m AS DECIMAL(28,6))) OVER (ORDER BY last_day
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-          |  END AS log_survival
+          |  END AS log_survival,
+          |  CAST(SUM(CAST(FLOOR(hazard * 1e6) / 1e6 AS DECIMAL(28,6)))
+          |    OVER (ORDER BY last_day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_hazard
           |FROM hz""".stripMargin,
 
       // The oracle states the range join declaratively (DuckDB's

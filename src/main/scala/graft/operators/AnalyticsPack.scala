@@ -1453,8 +1453,15 @@ object AnalyticsPack {
         floor(log(lit(1.0) - col("hazard")) * lit(1e6)) / lit(1e6)))
       .withColumn("log_survival", when(col("n_churned") < col("n_at_risk"),
         sum(col("__l1m").cast(DecimalType(28, 6))).over(wSurv).cast("double")))
+      // Nelson–Aalen cumulative hazard H(t) = Σ d_i/n_i — the
+      // estimator that stays FINITE at the last event time where the
+      // KM log-survival hits −∞ (d = n); same grid-decimal running
+      // sum, no log at all.
+      .withColumn("cum_hazard",
+        sum((floor(col("hazard") * lit(1e6)) / lit(1e6))
+          .cast(DecimalType(28, 6))).over(wSurv).cast("double"))
       .select(col("last_day"), col("n_churned"), col("n_at_risk"),
-        col("hazard"), col("log_survival"))
+        col("hazard"), col("log_survival"), col("cum_hazard"))
   }
 
   /** Market-basket association rules over order baskets: for every

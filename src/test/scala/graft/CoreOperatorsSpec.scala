@@ -265,6 +265,13 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(got(0).getAs[Double]("log_survival") == q1)
     assert(got(1).getAs[Double]("log_survival") == q1 + q2)
     assert(got(2).isNullAt(got(2).fieldIndex("log_survival")))
+    // Nelson–Aalen cumulative hazard: running Σ d/n on the 1e-6 grid,
+    // FINITE on the final day where KM's log-survival is NULL
+    def qh(h: Double) = math.floor(h * 1e6) / 1e6
+    assert(got(0).getAs[Double]("cum_hazard") == qh(2.0 / 6))
+    assert(got(1).getAs[Double]("cum_hazard") == qh(2.0 / 6) + qh(1.0 / 4))
+    assert(got(2).getAs[Double]("cum_hazard")
+      == qh(2.0 / 6) + qh(1.0 / 4) + qh(1.0))
   }
 
   test("row contract: normalize-then-validate, first-match reasons, cross rules") {
