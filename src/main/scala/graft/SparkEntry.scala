@@ -2104,6 +2104,26 @@ object SparkEntry {
         col("text").cast("binary").as("media"),
         lit("txt").as("format")))),
 
+    // REAL video frame features: every 16th embedding renders to a
+    // 4-frame Motion-JPEG AVI (rotated gray tiles — deterministic,
+    // distinct frames), the RIFF demux extracts the actual frame
+    // payloads and javax.imageio decodes each sampled frame. Rows-only
+    // by protocol (binary decode); demux + round-trip spec-pinned.
+    "video_frame_features" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val rows = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])]
+        .filter(_._1 % 16 == 0)
+        .map { case (id, v) =>
+          val frames = (0 until 4).map(j =>
+            Multimodal.grayJpeg8x8(v.drop(j * 4) ++ v.take(j * 4)))
+          Multimodal.MediaRow(id, Multimodal.mjpegAvi(frames.toSeq), "avi")
+        }
+      Multimodal.videoFrameFeatures(rows, k = 2).toDF()
+        .orderBy(col("media_id"), col("frame_ix"))
+    }),
+
     // Image near-dup dedup: embeddings render to REAL 8x8 grayscale
     // PNGs (every 20th vector additionally renders a one-component-
     // jittered clone at id+10^6 — the planted near-dup truth, the

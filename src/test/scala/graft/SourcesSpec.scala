@@ -391,6 +391,41 @@ class SourcesSpec extends SparkSpec {
     assert(got(3L).sample_rate == 0 && got(3L).duration_ms == 0L)
   }
 
+  test("multimodal: real MJPEG-AVI demux + per-frame decode, corrupt falls to stub") {
+    // 3 real JPEG frames with distinct brightness levels wrapped in a
+    // real AVI container (40 ms/frame)
+    def frame(level: Double) = Multimodal.grayJpeg8x8(Seq.fill(64)(level))
+    val avi = Multimodal.mjpegAvi(
+      Seq(frame(-1.0), frame(0.0), frame(1.0)), microSecPerFrame = 40000)
+    val (frames, micro) = Multimodal.aviDemux(avi)
+    assert(frames.length == 3 && micro == 40000L)
+    // each demuxed payload is a REAL decodable JPEG
+    val ims = frames.map(f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f._3)))
+    assert(ims.forall(im => im != null && im.getWidth == 8 && im.getHeight == 8))
+    // decode(): width/height from the first frame, duration from avih
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, avi, "avi"),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4), "avi")))  // corrupt -> stub
+    val got = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).width == 8 && got(1L).height == 8)
+    assert(got(1L).duration_ms == 120L) // 3 frames x 40 ms
+    assert(got(1L).brightness > 0.0)
+    assert(got(2L).width == 2 && got(2L).duration_ms == 0L) // stub: b(0)+1
+    // per-frame features: real frame indices, real per-frame decode,
+    // brightness strictly increasing across the three planted levels
+    val ff = Multimodal.videoFrameFeatures(
+      spark.createDataset(Seq(Multimodal.MediaRow(1L, avi, "avi"))), k = 3)
+      .collect().sortBy(_.frame_ix)
+    assert(ff.map(_.frame_ix).toSeq == Seq(0, 1, 2))
+    assert(ff.forall(f => f.n_frames == 3 && f.width == 8 && f.height == 8))
+    assert(ff(0).brightness < ff(1).brightness && ff(1).brightness < ff(2).brightness)
+    // a writer round-trip with ODD-sized frames exercises the RIFF
+    // even-padding rule (JPEG sizes are arbitrary)
+    val avi2 = Multimodal.mjpegAvi(Seq(Array[Byte](0x11), frame(0.5)))
+    assert(Multimodal.aviDemux(avi2)._1.length == 2)
+  }
+
   test("multimodal featuresOf survives > one batch per partition") {
     val big = (1L to 200L).map(i => (i, s"payload_$i".getBytes("UTF-8"), "txt"))
       .toDF("media_id", "media", "format")
