@@ -8,14 +8,14 @@ package graft
   *
   * Contention defense: a single sequential pass on a loaded host can
   * record 100x outliers that say nothing about the engine (observed:
-  * a 1.1 s query timed at 449 s under driver-window contention). Any
-  * query whose first measurement exceeds [[RetimeThresholdSec]] is
-  * timed a second time and the MIN of the two is reported — a genuine
-  * slow query stays slow on the retime; a contention spike (or a
-  * one-time whole-stage-codegen compile, irrelevant at 100 TB) does
-  * not. Both measurements plus host loadavg before/after and
-  * per-query wall-clock timestamps land in BENCH_DETAIL.json so a
-  * contended run is self-diagnosing.
+  * a 1.1 s query timed at 449 s under driver-window contention).
+  * EVERY query is timed at least twice and the MIN is reported
+  * (queries whose first pass exceeds 4x [[RetimeThresholdSec]] get
+  * three extra passes) — a genuine slow query stays slow on the
+  * retime; a contention spike (or a one-time whole-stage-codegen
+  * compile, irrelevant at 100 TB) does not. All measurements plus
+  * host loadavg before/after and per-query wall-clock timestamps
+  * land in BENCH_DETAIL.json so a contended run is self-diagnosing.
   */
 object Bench {
   val RetimeThresholdSec = 2.5

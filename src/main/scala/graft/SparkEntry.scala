@@ -7244,7 +7244,7 @@ object SparkEntry {
         |      / (a.nrm * b.nrm) AS cos
         |  FROM panel a JOIN panel b ON a.vec_id < b.vec_id),
         |hist AS (
-        |  SELECT LEAST(19, CAST(FLOOR((cos + 1.0) / 0.1) AS INTEGER)) AS bucket,
+        |  SELECT GREATEST(0, LEAST(19, CAST(FLOOR((cos + 1.0) / 0.1) AS INTEGER))) AS bucket,
         |    COUNT(*) AS n_pairs
         |  FROM pairs GROUP BY 1)
         |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,

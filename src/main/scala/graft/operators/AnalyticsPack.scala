@@ -1817,9 +1817,9 @@ object AnalyticsPack {
       .map { case (t, rs) =>
         t -> rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap }
     val out = acfByType(validEvents, p).flatMap { case (t, rr) =>
-      val phiRow: Int => Option[Double] =
-        if (p == 1) { j => if (j == 1) rr(1) else None }
-        else { val phi = durbinLevinson(rr, p); j => phi(p)(j) }
+      // durbinLevinson handles p = 1 itself (phi(1)(1) = r1)
+      val phi = durbinLevinson(rr, p)
+      val phiRow: Int => Option[Double] = j => phi(p)(j)
       val ybar = meanPanel.get(t)
       val back = tails.getOrElse(t, Map.empty[Int, Double])
       // x(i): observed day d_max+i for i ≤ 0, earlier forecast for i ≥ 1

@@ -84,9 +84,12 @@ object Ann {
         col("a.vec_id") < col("b.vec_id"))
       .withColumn("__cos", dot(col("a.v"), col("b.v"))
         / (col("a.nrm") * col("b.nrm")))
+    // clamp BOTH ends: rounding can push a cosine a last-ulp outside
+    // [−1, 1] (nrm product rounding), and bucket −1 would violate the
+    // fixed-bucket contract
     cands
-      .groupBy(least(lit(buckets - 1),
-        floor((col("__cos") + lit(1.0)) / lit(width)).cast("int")).as("bucket"))
+      .groupBy(greatest(lit(0), least(lit(buckets - 1),
+        floor((col("__cos") + lit(1.0)) / lit(width)).cast("int"))).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("bucket_lo", lit(-1.0) + col("bucket").cast("double") * lit(width))
   }

@@ -15,13 +15,12 @@ import org.apache.spark.sql.types.DecimalType
 object Graph {
 
   /** Count-gated broadcast for node-sized relations with a known row
-    * count (checkpointed per round): broadcast when provably small,
-    * shuffle-join at graph scale — the AQE decision taken one stage
-    * early so the edge side never sorts for a SortMergeJoin.
+    * count (checkpointed per round) — the shared
+    * [[Prejoin.broadcastIfSmall]] decision, taken one stage early so
+    * the edge side never sorts for a SortMergeJoin.
     */
-  private def bcastIfSmall(df: DataFrame, rows: Long,
-                           maxRows: Long = 2000000L): DataFrame =
-    if (rows <= maxRows) broadcast(df) else df
+  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    Prejoin.broadcastIfSmall(df, rows)
 
   /** Triangle enumeration over an undirected edge list: every
     * unordered node triple {a,b,c} with all three edges present,

@@ -497,9 +497,8 @@ object Multimodal {
   private[operators] def decodeVideo(r: MediaRow): Option[MediaFeature] = {
     val (frames, microPerFrame) = aviDemux(r.media)
     if (frames.isEmpty) return None
-    val probeIdx =
-      (0 until math.min(4, frames.length)).map(i => (frames.length.toLong * i / 4).toInt)
-        .distinct
+    val m = math.min(4, frames.length)
+    val probeIdx = (0 until m).map(i => (frames.length.toLong * i / m).toInt).distinct
     val probes = probeIdx.flatMap(i =>
       decodeImage(MediaRow(r.media_id, frames(i)._3, "jpg")))
     if (probes.isEmpty) return None

@@ -20,6 +20,19 @@ import graft.expressions.Kernels
   */
 object Prejoin {
 
+  /** Count-gated broadcast — the shared decision for checkpointed
+    * relations whose stats the planner cannot see (a localCheckpoint
+    * is a LogicalRDD with unknown size, so even a panel-sized side
+    * plans a SortMergeJoin): broadcast when a KNOWN row count proves
+    * the side small, fall back to the shuffle join at scale. One
+    * threshold, one helper — Recsys (marginals/neighbors/seen-set),
+    * Graph (per-round alive sets) and TextDedup (recall found-pairs)
+    * all route through here.
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame, rows: Long,
+                                      maxRows: Long = 2000000L): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** Bloom over the dim's (long-castable) join keys: ONE aggregate
     * job on the dim side producing a fixed-size sketch — executors
     * build partial filters, the driver merges bit-or; no key list is

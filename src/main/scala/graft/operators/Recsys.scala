@@ -53,22 +53,12 @@ object Recsys {
       interactions(raw, userCol, itemCol, userCap).localCheckpoint(false),
       k, minSupport)
 
-  /** Neighbor lists from an already-materialized interaction relation
-    * — callers that reuse `inter` (the recommender, the co-purchase
-    * graph) checkpoint it ONCE and share: the marginals pass and both
-    * sides of the pair self-join would otherwise re-derive the
-    * join+dedup+cap lineage three times.
+  /** Items-panel broadcast gate — the shared [[Prejoin.broadcastIfSmall]]
+    * decision: broadcast when a known row count proves the panel
+    * small, shuffle-join at corpus scale.
     */
-  /** Items-panel broadcast gate: a checkpointed panel with a KNOWN
-    * row count broadcasts when it is provably small (≤ maxRows ⇒ tens
-    * of MB), and falls back to the shuffle join above that — the same
-    * decision AQE would make, taken one stage earlier so the probe
-    * side skips its exchange entirely. Scale-safe: a 1e9-item universe
-    * fails the gate and shuffles.
-    */
-  private def broadcastIfPanel(df: DataFrame, rows: Long,
-                               maxRows: Long = 2000000L): DataFrame =
-    if (rows <= maxRows) broadcast(df) else df
+  private def broadcastIfPanel(df: DataFrame, rows: Long): DataFrame =
+    Prejoin.broadcastIfSmall(df, rows)
 
   /** Within-user ordered co-occurrence pair counts from a capped
     * interaction relation — the pair build WITHOUT a self-join:
@@ -116,10 +106,6 @@ object Recsys {
       // singletons (>70% observed), so the floor shrinks everything
       // downstream (marginal joins, symmetrize, the rank window) 3-4x
       .filter(col("n_both") >= minSupport)
-    // marginals are item-panel-sized: with `inter` checkpointed their
-    // stats are real, so Catalyst broadcasts them when they fit and
-    // falls back to a key shuffle when the item universe is huge —
-    // no explicit hint that could OOM the driver at 100 TB.
     val scored = pairs
       .join(marginals.withColumnRenamed("item_id", "item_a")
         .withColumnRenamed("n_users", "n_a"), Seq("item_a"))

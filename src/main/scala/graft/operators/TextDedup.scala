@@ -606,13 +606,13 @@ object TextDedup {
     def row(method: String, found: DataFrame): DataFrame = {
       val f = found.select(col("doc_a"), col("doc_b")).distinct()
         .localCheckpoint(true)
-      // count-gated broadcast: the found-pair relation is checkpointed
-      // (stats unknown to the planner), so without the gate this left
-      // join plans a SortMergeJoin even when f is panel-sized; at
-      // near-dup-mass scale the gate falls back to the shuffle join
-      val fSmall = f.count() <= 2000000L
-      val fHit = f.withColumn("__hit", lit(1L))
-      val hits = truth.join(if (fSmall) broadcast(fHit) else fHit,
+      // count-gated broadcast (shared Prejoin.broadcastIfSmall): the
+      // found-pair relation is checkpointed (stats unknown to the
+      // planner), so without the gate this left join plans a
+      // SortMergeJoin even when f is panel-sized; at near-dup-mass
+      // scale the gate falls back to the shuffle join
+      val hits = truth.join(
+          Prejoin.broadcastIfSmall(f.withColumn("__hit", lit(1L)), f.count()),
           Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))

@@ -146,7 +146,11 @@ object StreamOps {
         nNew > 0 && tv >= alertTv))
       .toDF("batch_id", "n_rows", "chi2", "tv_dist", "psi", "js_div",
         "n_buckets_skipped", "alert")
-    upsertParquet(target, row, existing => existing.unionByName(row),
+    // allowMissingColumns: a target written by a pre-js_div build has
+    // 7 columns — the append must EVOLVE the store (old rows surface
+    // NULL js_div), not crash the stream on a schema mismatch
+    upsertParquet(target, row,
+      existing => existing.unionByName(row, allowMissingColumns = true),
       batchId, writerId)
   }
 

@@ -50,6 +50,11 @@ def main():
         print("new (no baseline):", ", ".join(new))
     if gone:
         print("dropped from registry:", ", ".join(gone))
+    if gone:
+        print(f"FAIL: {len(gone)} baseline queries missing from this run "
+              "(truncated/partial bench) — a gate cannot pass on work it "
+              "didn't measure")
+        sys.exit(1)
     if regressed:
         print(f"{len(regressed)} queries beyond {threshold}x + {abs_floor}s")
         sys.exit(1)
