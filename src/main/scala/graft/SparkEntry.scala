@@ -879,6 +879,35 @@ object SparkEntry {
       Graph.minSpanningForest(flows, "src", "dst", "w")
     }),
 
+    // Connected components over the STRONG half of the trade-flow
+    // graph (bilateral flow ≥ the median edge weight — a scale-free
+    // threshold that fragments the graph at any SF): per component,
+    // size and the node-id span. Labels come from the min-label
+    // fixpoint (TextDedup.connectedComponents); the oracle replays it
+    // as a recursive reachability CTE.
+    "graph_components" -> ((s: SparkSession, d: String) => {
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(sum(money(col("l_extendedprice"))).as("__wdec"))
+      val edges = flows
+        .groupBy(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .agg(sum(col("__wdec")).cast("double").as("w"))
+      val med = edges.agg(percentile(col("w"), lit(0.5)).as("m"))
+      val strong = edges.crossJoin(broadcast(med))
+        .filter(col("w") >= col("m"))
+        .select(col("u"), col("v"))
+      TextDedup.connectedComponents(strong, "u", "v")
+        .groupBy(col("cluster_id").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("doc_id")).as("node_min"),
+          max(col("doc_id")).as("node_max"))
+    }),
+
     // Triangle enumeration over the same nation-flow graph (edges
     // canonicalized undirected): closed 3-cliques = the tightly
     // coupled trade triads. Two co-keyed joins, orientation-bounded
@@ -6556,6 +6585,38 @@ object SparkEntry {
 
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
       "graph_label_propagation" -> labelPropOracleSql(5),
+
+      // Connected components over the median-thresholded flow graph:
+      // the min-label fixpoint replayed as recursive reachability
+      // (the svc_hotspot_clusters walk pattern).
+      "graph_components" ->
+        """WITH RECURSIVE flows AS (
+          |  SELECT s_nationkey AS src, c_nationkey AS dst,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS wdec
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE s_nationkey <> c_nationkey
+          |  GROUP BY 1, 2),
+          |edges AS (
+          |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+          |    CAST(SUM(wdec) AS DOUBLE) AS w
+          |  FROM flows GROUP BY 1, 2),
+          |med AS (SELECT quantile_cont(w, 0.5) AS m FROM edges),
+          |strong AS (SELECT u, v FROM edges, med WHERE w >= m),
+          |e2 AS (SELECT u AS src, v AS dst FROM strong
+          |       UNION ALL SELECT v, u FROM strong),
+          |walk(id, label) AS (
+          |  SELECT src, src FROM e2
+          |  UNION
+          |  SELECT e.src, w.label FROM e2 e JOIN walk w ON w.id = e.dst),
+          |lab AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+          |SELECT CAST(cluster_id AS BIGINT) AS component_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |  CAST(MIN(id) AS BIGINT) AS node_min,
+          |  CAST(MAX(id) AS BIGINT) AS node_max
+          |FROM lab GROUP BY 1""".stripMargin,
 
       // Graph.reciprocity: distinct directed flows left-joined to
       // their own reversal, a 1-row panel.

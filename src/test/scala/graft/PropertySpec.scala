@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{CorpusQc, Prejoin, PrefixSum, TextDedup}
+import graft.operators.{AnalyticsPack, CorpusQc, MlLite, Prejoin, PrefixSum, TextDedup}
 
 /** Property-based invariants over randomized inputs — the algebraic
   * contracts that example specs cannot exhaust:
@@ -247,6 +247,55 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(got.getAs[Double]("h") - h) < 1e-6)
       if (corr == 0.0) assert(got.isNullAt(got.fieldIndex("h_corrected")))
       else assert(math.abs(got.getAs[Double]("h_corrected") - h / corr) < 1e-6)
+    }
+  }
+  test("property: ROC AUC == brute-force pair counting with half-credit ties") {
+    val gen = for {
+      n <- Gen.choose(4, 60)
+      ys <- Gen.listOfN(n, Gen.oneOf(true, false))
+      ss <- Gen.listOfN(n, Gen.choose(0, 8).map(_.toDouble)) // heavy ties
+    } yield (ys, ss)
+    samples(gen).foreach { case (ys, ss) =>
+      val rows = ss.zip(ys)
+      val got = MlLite.aucRoc(rows.toDF("s", "y"), "s", col("y"))
+        .collect().head
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty)
+        assert(got.isNullAt(got.fieldIndex("auc")))
+      else {
+        val credit = (for { p <- pos; q <- neg } yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val auc = credit / (pos.size.toDouble * neg.size)
+        assert(math.abs(got.getAs[Double]("auc") - auc) < 1e-9)
+        assert(math.abs(got.getAs[Double]("gini") - (2 * auc - 1)) < 1e-9)
+      }
+    }
+  }
+
+  test("property: Welch t == the sequential two-sample computation") {
+    val gen = for {
+      na <- Gen.choose(2, 30)
+      nb <- Gen.choose(2, 30)
+      as <- Gen.listOfN(na, Gen.choose(0, 400).map(_ / 4.0))
+      bs <- Gen.listOfN(nb, Gen.choose(0, 400).map(_ / 4.0))
+    } yield (as, bs)
+    samples(gen).foreach { case (as, bs) =>
+      val df = (as.map(("A", _)) ++ bs.map(("B", _))).toDF("g", "v")
+      val got = AnalyticsPack.welchTTest(df, "v", col("g") === "A")
+        .collect().head
+      def mv(xs: Seq[Double]): (Double, Double) = {
+        val m = xs.sum / xs.length
+        (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      }
+      val (ma, va) = mv(as); val (mb, vb) = mv(bs)
+      assert(math.abs(got.getAs[Double]("mean_a") - ma) < 1e-4)
+      assert(math.abs(got.getAs[Double]("mean_b") - mb) < 1e-4)
+      if (va + vb > 1e-9) {
+        val t = (ma - mb) / math.sqrt(va / as.size + vb / bs.size)
+        assert(math.abs(got.getAs[Double]("t_stat") - t) < 1e-2,
+          s"t ${got.getAs[Double]("t_stat")} vs $t")
+      }
     }
   }
 }
