@@ -1142,6 +1142,23 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // Wilson 95% intervals per arm over the same split/conversion —
+    // what each arm's rate plausibly IS (the abtest z says whether
+    // they differ); honest at small n where Wald collapses.
+    "ana_rate_wilson" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.rateWilson(
+        Sampling.splitAssign(
+          t(s, d, "events").filter(col("user_id").isNotNull),
+          Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
+        "split",
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
+    // Exact ANALYZE-style quantile profile of the fact's numeric
+    // columns: p25/50/75/90/99 per column, one scan, flat panel.
+    "table_quantiles" -> ((s: SparkSession, d: String) =>
+      Profiling.quantileProfile(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Always-valid sequential readout (mSPRT): per-day cumulative
     // enrollment/conversion panel with the mixture log LR and the
     // monotone always-valid log p — peeking-safe, prefix-sum/-max
@@ -6204,6 +6221,48 @@ object SparkEntry {
           |           * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
           |           * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
           |FROM agg""".stripMargin,
+
+      // AnalyticsPack.rateWilson mirrored: same split/conversion
+      // grain as the abtest oracle, Wilson center/half in the
+      // identical fixed op order (z = 1.96 parsed literal).
+      "ana_rate_wilson" ->
+        """WITH ev AS (
+          |  SELECT user_id, UPPER(TRIM(event_type)) AS et, value,
+          |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+          |         THEN 'A' ELSE 'B' END AS split
+          |  FROM events WHERE user_id IS NOT NULL),
+          |panel AS (
+          |  SELECT split AS variant,
+          |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+          |    CAST(COUNT(DISTINCT CASE WHEN et = 'PURCHASE' AND value > 95
+          |      THEN user_id END) AS BIGINT) AS n_conv
+          |  FROM ev GROUP BY 1),
+          |w AS (
+          |  SELECT *,
+          |    CAST(n_users AS DOUBLE) AS n,
+          |    CAST(n_conv AS DOUBLE) / NULLIF(CAST(n_users AS DOUBLE), 0.0) AS p
+          |  FROM panel),
+          |c AS (
+          |  SELECT *,
+          |    1.0 + 1.96 * 1.96 / n AS denom,
+          |    (p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) AS center,
+          |    1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n))
+          |      / (1.0 + 1.96 * 1.96 / n) AS half
+          |  FROM w)
+          |SELECT variant, n_users, n_conv, p AS rate,
+          |  center - half AS wilson_lo, center + half AS wilson_hi
+          |FROM c""".stripMargin,
+
+      // Profiling.quantileProfile mirrored: quantile_cont per
+      // (column, p), unioned flat.
+      "table_quantiles" ->
+        (for {
+          c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          p <- Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+        } yield
+          s"""SELECT '$c' AS column_name, $p AS quantile,
+             |  quantile_cont(CAST($c AS DOUBLE), $p) AS value FROM lineitem""".stripMargin)
+          .mkString("\nUNION ALL\n"),
 
       // AnalyticsPack.msprtSequential mirrored: per-user collapse,
       // additive day panel, window cumulative sums, 1e-6 grid-ln,

@@ -956,6 +956,39 @@ object AnalyticsPack {
       ((rateB - rateA) / nz(se)).as("z_score"))
   }
 
+  /** Wilson score 95% intervals for per-arm conversion rates — the
+    * interval that stays honest at small n and extreme rates where
+    * the naive Wald band collapses or leaves [0, 1] (the abtest
+    * readout's z says whether arms DIFFER; this says what each arm's
+    * rate plausibly IS): center `(p̂ + z²/2n)/(1 + z²/n)`, half-width
+    * `z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)`, z = 1.96 as a parsed
+    * literal — sqrt-only panel math, no libm beyond the house rule.
+    *
+    * One scan → the ≤arms panel of exact user/conversion counts
+    * (countDistinct — the abtestReadout grain); fixed-order IEEE per
+    * arm at the edge. An empty arm yields NULLs via NULLIF.
+    */
+  def rateWilson(events: DataFrame, variantCol: String,
+                 convPred: Column): DataFrame = {
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val z = lit(1.96)
+    val panel = events
+      .filter(col("user_id").isNotNull && col(variantCol).isNotNull)
+      .groupBy(col(variantCol).as("variant"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(convPred, col("user_id"))).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / nz(n)
+    val denom = lit(1.0) + z * z / n
+    val center = (p + z * z / (lit(2.0) * n)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / n
+      + z * z / (lit(4.0) * n * n)) / denom
+    panel.select(col("variant"), col("n_users"), col("n_conv"),
+      p.as("rate"),
+      (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+  }
+
   /** Inter-arrival gap panel — per event type, the distribution of
     * within-user gaps between consecutive events (count, mean, exact
     * p50/p90/p99 in ms): the evidence a sessionization gap parameter

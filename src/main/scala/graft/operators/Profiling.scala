@@ -119,6 +119,34 @@ object Profiling {
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
   }
 
+  /** Exact quantile profile — the ANALYZE-style five-point summary
+    * (p25/p50/p75/p90/p99) per numeric column, in one pass: Spark's
+    * exact sort-based `percentile` aggregate per column, exploded to
+    * one row per (column, quantile) so the panel is flat and
+    * sortable. The established `percentile` ↔ `quantile_cont`
+    * interpolation parity carries the oracle.
+    *
+    * Scale shape: ONE scan; each percentile aggregate is the
+    * sort-based exact form (the profiling-tier contract — the
+    * mergeable-at-any-cardinality variant is the t-digest/KLL class,
+    * out of scope per §5's exactness rule); output is columns × 5
+    * rows.
+    */
+  def quantileProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "quantileProfile needs at least one column")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    // index-keyed aliases: a literal quantile in the name ("0.25")
+    // would parse as a struct path in col()
+    val aggs = cols.flatMap(c => ps.zipWithIndex.map { case (p, i) =>
+      percentile(col(c).cast("double"), lit(p)).as(s"__q_${c}_$i") })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.flatMap(c => ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(c).as("column_name"), lit(p).as("quantile"),
+        col(s"__q_${c}_$i").as("value")) })
+    one.select(explode(array(structs: _*)).as("q"))
+      .select(col("q.column_name"), col("q.quantile"), col("q.value"))
+  }
+
   /** First-order PARTIAL correlation — the linear association of x
     * and y with a confounder z held fixed:
     * `ρ_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))` — the

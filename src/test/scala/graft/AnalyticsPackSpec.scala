@@ -1266,6 +1266,44 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(nf.length == 2 && nf.forall(_.isNullAt(2)))
   }
 
+  test("rateWilson: textbook interval, rate inside, degenerate rates stay in [0,1]") {
+    def ev(u: Long, arm: String, et: String) = (u, arm, et)
+    // arm A: 4 users, 1 converter; arm B: 2 users, 2 converters (p̂=1)
+    val rows = (Seq(ev(1, "A", "PURCHASE")) ++ (2L to 4L).map(ev(_, "A", "CLICK")) ++
+      Seq(ev(5, "B", "PURCHASE"), ev(6, "B", "PURCHASE")))
+      .toDF("user_id", "split", "event_type")
+    val got = AnalyticsPack.rateWilson(rows, "split",
+        col("event_type") === "PURCHASE")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    val (z, n, p) = (1.96, 4.0, 0.25)
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2 * n)) / denom
+    val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert(a.getAs[Long]("n_users") == 4L && a.getAs[Long]("n_conv") == 1L)
+    assert(math.abs(a.getAs[Double]("wilson_lo") - (center - half)) < 1e-12)
+    assert(math.abs(a.getAs[Double]("wilson_hi") - (center + half)) < 1e-12)
+    assert(a.getAs[Double]("wilson_lo") < 0.25 && 0.25 < a.getAs[Double]("wilson_hi"))
+    // p̂ = 1: Wald would give a zero-width band at 1; Wilson pulls the
+    // lower bound in and never leaves [0, 1]
+    val b = got("B")
+    assert(b.getAs[Double]("rate") == 1.0)
+    assert(b.getAs[Double]("wilson_lo") > 0.0 && b.getAs[Double]("wilson_lo") < 1.0)
+    assert(b.getAs[Double]("wilson_hi") <= 1.0 + 1e-12)
+  }
+
+  test("quantileProfile: hand-checked interpolated quantiles, flat panel shape") {
+    val df = (1 to 100).map(i => (i.toDouble, i * 2.0)).toDF("a", "b")
+    val got = graft.operators.Profiling.quantileProfile(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 10)
+    // 1..100: p50 = 50.5 (linear interpolation), p25 = 25.75, p99 = 99.01
+    assert(math.abs(got(("a", 0.5)) - 50.5) < 1e-9)
+    assert(math.abs(got(("a", 0.25)) - 25.75) < 1e-9)
+    assert(math.abs(got(("a", 0.99)) - 99.01) < 1e-9)
+    assert(math.abs(got(("b", 0.5)) - 101.0) < 1e-9)
+  }
+
   test("msprtSequential: evidence accumulates, always-valid p never rises") {
     import java.sql.Timestamp
     def ev(u: Long, split: String, day: Int, et: String) =
