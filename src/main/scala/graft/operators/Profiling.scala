@@ -120,31 +120,68 @@ object Profiling {
   }
 
   /** Exact quantile profile — the ANALYZE-style five-point summary
-    * (p25/p50/p75/p90/p99) per numeric column, in one pass: Spark's
-    * exact sort-based `percentile` aggregate per column, exploded to
-    * one row per (column, quantile) so the panel is flat and
-    * sortable. The established `percentile` ↔ `quantile_cont`
-    * interpolation parity carries the oracle.
+    * (p25/p50/p75/p90/p99) per numeric column, as a DISTRIBUTED rank
+    * computation rather than Spark's `percentile` aggregate: the
+    * built-in exact percentile buffers a value→count map per
+    * aggregate and merges every map in ONE final task — O(distinct)
+    * memory in a single JVM, which a near-unique double column turns
+    * into the whole corpus at 100 TB. Here instead: unpivot to
+    * (column, value), exact distinct-value counts (one shuffled
+    * groupBy, map-side combined), a two-phase [[PrefixSum]] over the
+    * composite (column, value) order for cumulative counts, then the
+    * ≤ cols×5 target ranks broadcast against the value rows that
+    * bracket them. Interpolation mirrors `percentile` /
+    * `quantile_cont` exactly: position `p·(n−1)`, value
+    * `(hi−pos)·v_lo + (pos−lo)·v_hi` — so the established oracle
+    * parity carries over bit-wise.
     *
-    * Scale shape: ONE scan; each percentile aggregate is the
-    * sort-based exact form (the profiling-tier contract — the
-    * mergeable-at-any-cardinality variant is the t-digest/KLL class,
-    * out of scope per §5's exactness rule); output is columns × 5
-    * rows.
+    * Scale shape: one scan, one distinct-count shuffle (∝ distinct
+    * values, fully parallel), the PrefixSum range exchange, and
+    * broadcast panel joins; no task ever holds more than its range
+    * slice. Output is columns × 5 rows.
     */
-  def quantileProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def quantileProfile(df: DataFrame, cols: Seq[String],
+                      nRangeParts: Int = 32): DataFrame = {
     require(cols.nonEmpty, "quantileProfile needs at least one column")
     val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    // index-keyed aliases: a literal quantile in the name ("0.25")
-    // would parse as a struct path in col()
-    val aggs = cols.flatMap(c => ps.zipWithIndex.map { case (p, i) =>
-      percentile(col(c).cast("double"), lit(p)).as(s"__q_${c}_$i") })
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val structs = cols.flatMap(c => ps.zipWithIndex.map { case (p, i) =>
-      struct(lit(c).as("column_name"), lit(p).as("quantile"),
-        col(s"__q_${c}_$i").as("value")) })
-    one.select(explode(array(structs: _*)).as("q"))
-      .select(col("q.column_name"), col("q.quantile"), col("q.value"))
+    val long = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.column_name"), col("e.v"))
+      .filter(col("v").isNotNull)
+    val counts = long.groupBy("column_name", "v").agg(count(lit(1)).as("cnt"))
+    // global cumulative counts in (column, value) order; unique
+    // composite key by construction (post-distinct)
+    val pref = PrefixSum.globalOrdered(counts,
+      Seq(col("column_name"), col("v")), "cnt", nRangeParts)
+    // ≤ cols.size-row totals panel; base_c = Σ n over columns sorting
+    // before c rebases the global prefix to a within-column cumulative
+    // (triangular panel self-join — windowless by design)
+    val totals = counts.groupBy("column_name").agg(sum("cnt").as("n"))
+      .localCheckpoint(false)
+    val bases = totals.as("a").join(totals.as("b"),
+        col("b.column_name") < col("a.column_name"), "left")
+      .groupBy(col("a.column_name").as("column_name"), col("a.n").as("n"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("base"))
+    val qpanel = bases.select(col("column_name"), col("n"), col("base"),
+        explode(array(ps.map(lit(_)): _*)).as("quantile"))
+      .withColumn("pos", col("quantile") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    // a value row covers 0-based sorted index i iff cum_prev <= i < cum
+    val loHit = col("cum_prev") <= col("lo") && col("lo") < col("cum")
+    val hiHit = col("cum_prev") <= col("hi") && col("hi") < col("cum")
+    pref.join(broadcast(qpanel), Seq("column_name"))
+      .withColumn("cum", col("prefix_sum") - col("base"))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+      .filter(loHit || hiHit)
+      .groupBy("column_name", "quantile", "pos", "lo", "hi")
+      .agg(max(when(loHit, col("v"))).as("v_lo"),
+           max(when(hiHit, col("v"))).as("v_hi"))
+      .select(col("column_name"), col("quantile"),
+        when(col("lo") === col("hi"), col("v_lo"))
+          .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
+                     (col("pos") - col("lo").cast("double")) * col("v_hi"))
+          .as("value"))
   }
 
   /** First-order PARTIAL correlation — the linear association of x
