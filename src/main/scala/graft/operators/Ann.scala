@@ -313,20 +313,31 @@ object Ann {
     * tight cluster's junk must not hide under a global band.
     *
     * Engine parity: the full distance `d2 + |v|²` is the
-    * hash-proven kmeans value, the threshold is the exact sort-based
-    * `percentile` (the F2 `quantile_cont` parity), the flag one
-    * comparison of engine-identical doubles. Scale shape: one
-    * ≤-k-row threshold panel broadcast back over the assignment —
-    * nothing beyond the kmeans passes themselves.
+    * hash-proven kmeans value, the threshold is
+    * [[Profiling.exactQuantilesBy]] — bit-identical to the exact
+    * `percentile` / `quantile_cont` interpolation, but computed as a
+    * distributed rank bracket (per-cluster `percentile` would merge
+    * each cluster's near-unique distance map in ONE reducer — the
+    * largest cluster's whole membership in a single JVM at 100 TB) —
+    * the flag one comparison of engine-identical doubles. Scale
+    * shape: one ≤-k-row threshold panel broadcast back over the
+    * assignment — nothing beyond the kmeans passes themselves plus
+    * the rank machinery's distinct-count shuffle.
     */
   def clusterOutliers(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int, rounds: Int = 5, p: Double = 0.95): DataFrame = {
     require(p > 0 && p < 1, s"percentile must be in (0,1): $p")
     val (base, cents) = kmeansCents(emb, idCol, vecCol, k, rounds)
+    // eager checkpoint of the SLIM (id, cluster, distance) assignment —
+    // the vectors are never needed again, and the frame feeds both the
+    // rank machinery's distinct-count pass and the final flag join
+    // (re-deriving it would repeat the n×k assignment shuffle)
     val full = base.join(kmeansAssign(base, cents), "vec_id")
-      .withColumn("d2_full", col("d2") + dot(col("v"), col("v")))
-    val thr = full.groupBy(col("cluster_id"))
-      .agg(percentile(col("d2_full"), lit(p)).as("p95_d2"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("d2") + dot(col("v"), col("v"))).as("d2_full"))
+      .localCheckpoint(true)
+    val thr = Profiling.exactQuantilesBy(full, Seq("cluster_id"), "d2_full", Seq(p))
+      .select(col("cluster_id"), col("value").as("p95_d2"))
     full.join(broadcast(thr), "cluster_id")
       .select(col("vec_id"), col("cluster_id"), col("d2_full"),
         col("p95_d2"), (col("d2_full") > col("p95_d2")).as("is_outlier"))

@@ -41,9 +41,12 @@ object Profiling {
     * column, where equi-width piles everything into one bar. Bucket
     * index = how many thresholds the value exceeds (ties fall low).
     *
-    * Scale shape: one exact-percentile aggregate (sort-based, the
-    * engine distributes it) broadcast as a 1-row threshold panel, then
-    * the same ≤ k-key partial-agg shuffle as the equi-width pass. The
+    * Scale shape: thresholds come from [[exactQuantilesBy]] (the
+    * two-phase rank-bracket plan — Spark's exact `percentile`
+    * aggregate would merge the whole value→count map in ONE final
+    * task, O(distinct) memory in a single JVM on a near-unique
+    * column), pivoted to a 1-row broadcast panel, then the same
+    * ≤ k-key partial-agg shuffle as the equi-width pass. The
     * probabilities j/k must be exact binary doubles for oracle parity
     * — k a power of two keeps them exact.
     */
@@ -51,8 +54,12 @@ object Profiling {
     require(k >= 2, s"equi-depth histogram needs at least two buckets: $k")
     val v = col(valueCol)
     val rows = df.filter(v.isNotNull)
-    val thrCols = (1 until k).map(j => percentile(v, lit(j.toDouble / k)).as(s"__t$j"))
-    val thr = rows.agg(thrCols.head, thrCols.tail: _*)
+    val q = exactQuantilesBy(rows.select(v.as("__ev")), Seq.empty, "__ev",
+      (1 until k).map(_.toDouble / k))
+    // k−1 rows → one 1-row threshold panel (exact-double quantile keys)
+    val thrCols = (1 until k).map(j =>
+      max(when(col("quantile") === lit(j.toDouble / k), col("value"))).as(s"__t$j"))
+    val thr = q.agg(thrCols.head, thrCols.tail: _*)
     val bucket = (1 until k).map(j => when(v > col(s"__t$j"), 1).otherwise(0))
       .reduce(_ + _)
     rows.crossJoin(broadcast(thr))
@@ -148,40 +155,83 @@ object Profiling {
         struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("e"))
       .select(col("e.column_name"), col("e.v"))
       .filter(col("v").isNotNull)
-    val counts = long.groupBy("column_name", "v").agg(count(lit(1)).as("cnt"))
-    // global cumulative counts in (column, value) order; unique
+    exactQuantilesBy(long, Seq("column_name"), "v", ps, nRangeParts)
+  }
+
+  /** Grouped EXACT quantiles as a DISTRIBUTED rank computation — the
+    * general form of [[quantileProfile]]'s machinery, and the
+    * scale-safe replacement for `percentile(...)` under `groupBy`
+    * whenever the value column is near-unique: Spark's exact
+    * percentile buffers a value→count map PER GROUP and merges each
+    * group's map in one reducer, so a near-unique double column makes
+    * the largest group's whole membership sit in a single JVM.
+    *
+    * Plan instead: exact distinct-(group, value) counts (one shuffled
+    * groupBy, map-side combined), a two-phase [[PrefixSum]] over the
+    * composite (group…, value) order, a ≤ groups-row totals panel
+    * whose triangular self-join (struct-lexicographic, matching the
+    * range partitioner's composite order) rebases the global prefix
+    * to a within-group cumulative, then the groups × ps target-rank
+    * panel broadcast against the value rows that bracket each rank.
+    * Interpolation is bit-identical to Spark `percentile` / DuckDB
+    * `quantile_cont`: position `p·(n−1)`, value
+    * `(hi−pos)·v_lo + (pos−lo)·v_hi`.
+    *
+    * The rank panel is groups × ps rows and is BROADCAST — callers
+    * must have a bounded group domain (k clusters, profiled columns,
+    * one global group). `groupCols` may be empty for a whole-relation
+    * quantile. Output: groupCols…, `quantile`, `value`; NULL values
+    * are excluded before ranking (the `percentile` convention).
+    */
+  def exactQuantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[Double], nRangeParts: Int = 32): DataFrame = {
+    require(ps.nonEmpty, "exactQuantilesBy needs at least one probability")
+    require(ps.forall(p => p >= 0 && p <= 1), s"probabilities outside [0,1]: $ps")
+    val gs = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val in0 = if (groupCols.isEmpty) df.withColumn("__g", lit(0)) else df
+    val long = in0.select(gs.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    // eager checkpoint: three consumers follow (the range partitioner's
+    // SAMPLE job, the actual repartition, and the totals panel) — without
+    // it the full input lineage executes once per consumer
+    val counts = long.groupBy(gs.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // global cumulative counts in (group…, value) order; unique
     // composite key by construction (post-distinct)
     val pref = PrefixSum.globalOrdered(counts,
-      Seq(col("column_name"), col("v")), "cnt", nRangeParts)
-    // ≤ cols.size-row totals panel; base_c = Σ n over columns sorting
-    // before c rebases the global prefix to a within-column cumulative
+      gs.map(col) :+ col("__v"), "cnt", nRangeParts)
+    // ≤ #groups-row totals panel; base_g = Σ n over groups sorting
+    // before g rebases the global prefix to a within-group cumulative
     // (triangular panel self-join — windowless by design)
-    val totals = counts.groupBy("column_name").agg(sum("cnt").as("n"))
+    val totals = counts.groupBy(gs.map(col): _*).agg(sum("cnt").as("n"))
       .localCheckpoint(false)
     val bases = totals.as("a").join(totals.as("b"),
-        col("b.column_name") < col("a.column_name"), "left")
-      .groupBy(col("a.column_name").as("column_name"), col("a.n").as("n"))
+        struct(gs.map(c => col(s"b.$c")): _*) < struct(gs.map(c => col(s"a.$c")): _*),
+        "left")
+      .groupBy(gs.map(c => col(s"a.$c").as(c)) :+ col("a.n").as("n"): _*)
       .agg(coalesce(sum(col("b.n")), lit(0L)).as("base"))
-    val qpanel = bases.select(col("column_name"), col("n"), col("base"),
-        explode(array(ps.map(lit(_)): _*)).as("quantile"))
+    val qpanel = bases.select(gs.map(col) ++ Seq(col("n"), col("base"),
+        explode(array(ps.map(lit(_)): _*)).as("quantile")): _*)
       .withColumn("pos", col("quantile") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
     // a value row covers 0-based sorted index i iff cum_prev <= i < cum
     val loHit = col("cum_prev") <= col("lo") && col("lo") < col("cum")
     val hiHit = col("cum_prev") <= col("hi") && col("hi") < col("cum")
-    pref.join(broadcast(qpanel), Seq("column_name"))
+    val out = pref.join(broadcast(qpanel), gs)
       .withColumn("cum", col("prefix_sum") - col("base"))
       .withColumn("cum_prev", col("cum") - col("cnt"))
       .filter(loHit || hiHit)
-      .groupBy("column_name", "quantile", "pos", "lo", "hi")
-      .agg(max(when(loHit, col("v"))).as("v_lo"),
-           max(when(hiHit, col("v"))).as("v_hi"))
-      .select(col("column_name"), col("quantile"),
+      .groupBy(gs.map(col) ++ Seq(col("quantile"), col("pos"), col("lo"), col("hi")): _*)
+      .agg(max(when(loHit, col("__v"))).as("v_lo"),
+           max(when(hiHit, col("__v"))).as("v_hi"))
+      .select(gs.map(col) ++ Seq(col("quantile"),
         when(col("lo") === col("hi"), col("v_lo"))
           .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
                      (col("pos") - col("lo").cast("double")) * col("v_hi"))
-          .as("value"))
+          .as("value")): _*)
+    if (groupCols.isEmpty) out.drop("__g") else out
   }
 
   /** First-order PARTIAL correlation — the linear association of x

@@ -1304,6 +1304,32 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(got(("b", 0.5)) - 101.0) < 1e-9)
   }
 
+  test("exactQuantilesBy: bit-identical to Spark's exact percentile, per group and global") {
+    // uneven groups, duplicated values, NULLs excluded — the shapes
+    // where a rank-bracket plan and the builtin could diverge
+    val rows = Seq.tabulate(97)(i => ("g" + (i % 3), Some((i * 37 % 13).toDouble / 7.0)))
+    val df = (rows :+ (("g1", None: Option[Double]))).toDF("g", "v")
+    val ps = Seq(0.1, 0.25, 0.5, 0.9, 0.95)
+    val got = graft.operators.Profiling.exactQuantilesBy(df, Seq("g"), "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = df.filter(col("v").isNotNull).groupBy("g")
+      .agg(percentile(col("v"), lit(ps.head)).as("p0"),
+        ps.tail.map(p => percentile(col("v"), lit(p)).as(s"p$p")): _*)
+      .collect().flatMap(r => ps.zipWithIndex.map { case (p, i) =>
+        (r.getString(0), p) -> r.getDouble(i + 1) }).toMap
+    assert(got.size == 15)
+    want.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(got(k)) ==
+        java.lang.Double.doubleToLongBits(v), s"mismatch at $k: ${got(k)} vs $v")
+    }
+    // empty groupCols = whole-relation quantile, same bit parity
+    val g0 = graft.operators.Profiling.exactQuantilesBy(df, Seq.empty, "v", Seq(0.5))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val w0 = df.agg(percentile(col("v"), lit(0.5))).head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(g0(0.5)) ==
+      java.lang.Double.doubleToLongBits(w0))
+  }
+
   test("msprtSequential: evidence accumulates, always-valid p never rises") {
     import java.sql.Timestamp
     def ev(u: Long, split: String, day: Int, et: String) =
