@@ -1040,6 +1040,12 @@ object SparkEntry {
     "ana_funnel_steps" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.funnelSteps(t(s, d, "events"))),
 
+    // Funnel latency: exact p25/50/75/90 of first-CLICK -> first-
+    // PURCHASE-after ms latency over converted users (rank-bracket
+    // quantiles; ms latencies are near-unique) plus conversion rate.
+    "ana_time_to_convert" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.timeToConvert(t(s, d, "events"))),
+
     // Time-bounded funnel: each step counts only within 48h of the
     // previous step's first completion — conversion, not retention.
     // Same one-sort window ladder as the unbounded funnel, ms-exact
@@ -1157,6 +1163,12 @@ object SparkEntry {
     // columns: p25/50/75/90/99 per column, one scan, flat panel.
     "table_quantiles" -> ((s: SparkSession, d: String) =>
       Profiling.quantileProfile(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Tukey-fence outlier audit over the same columns: exact
+    // rank-bracket quartiles, 1.5x-IQR fences, per-column tail counts.
+    "table_outlier_iqr" -> ((s: SparkSession, d: String) =>
+      Profiling.outlierFences(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // Always-valid sequential readout (mSPRT): per-day cumulative
@@ -6092,6 +6104,34 @@ object SparkEntry {
           |JOIN (SELECT cohort_date, retained_users AS cohort_size
           |      FROM offs WHERE offset_days = 0) b USING (cohort_date)""".stripMargin,
 
+      // AnalyticsPack.timeToConvert mirrored: same running-min window
+      // (ts, event_id order), epoch-ms latency, quantile_cont panel.
+      "ana_time_to_convert" ->
+        """WITH ev AS (
+          |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et
+          |  FROM events WHERE user_id IS NOT NULL),
+          |st AS (
+          |  SELECT user_id, ts, et,
+          |    MIN(CASE WHEN et = 'CLICK' THEN ts END) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click
+          |  FROM ev),
+          |pu AS (
+          |  SELECT user_id,
+          |    MAX(CASE WHEN et = 'CLICK' THEN 1 ELSE 0 END) AS had_click,
+          |    MIN(CASE WHEN et = 'PURCHASE' AND first_click IS NOT NULL
+          |      THEN epoch_ms(ts) - epoch_ms(first_click) END) AS latency_ms
+          |  FROM st GROUP BY 1),
+          |ck AS (SELECT * FROM pu WHERE had_click = 1)
+          |SELECT COUNT(*) AS n_clickers,
+          |  COUNT(latency_ms) AS n_converted,
+          |  ROUND(100.0 * COUNT(latency_ms) / NULLIF(COUNT(*), 0), 2) AS pct_convert,
+          |  quantile_cont(CAST(latency_ms AS DOUBLE), 0.25) AS p25_ms,
+          |  quantile_cont(CAST(latency_ms AS DOUBLE), 0.5) AS p50_ms,
+          |  quantile_cont(CAST(latency_ms AS DOUBLE), 0.75) AS p75_ms,
+          |  quantile_cont(CAST(latency_ms AS DOUBLE), 0.9) AS p90_ms
+          |FROM ck""".stripMargin,
+
       "ana_funnel_steps" ->
         """WITH e AS (
           |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et
@@ -6263,6 +6303,29 @@ object SparkEntry {
           s"""SELECT '$c' AS column_name, $p AS quantile,
              |  quantile_cont(CAST($c AS DOUBLE), $p) AS value FROM lineitem""".stripMargin)
           .mkString("\nUNION ALL\n"),
+
+      // Profiling.outlierFences mirrored: unpivot, exact quartiles,
+      // fixed-order fence arithmetic, tail counts CAST to BIGINT
+      // (HUGEINT surfaces as float64 through the pandas fetch).
+      "table_outlier_iqr" ->
+        ("WITH l AS (\n" +
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+            s"  SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem WHERE $c IS NOT NULL")
+            .mkString("\n  UNION ALL\n") + "),\n" +
+          """f AS (
+            |  SELECT column_name,
+            |    quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+            |  FROM l GROUP BY 1),
+            |f2 AS (SELECT column_name, q1, q3, q3 - q1 AS iqr FROM f),
+            |f3 AS (SELECT *, q1 - 1.5 * iqr AS fence_lo, q3 + 1.5 * iqr AS fence_hi FROM f2)
+            |SELECT column_name, q1, q3, iqr, fence_lo, fence_hi,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(CASE WHEN v < fence_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+            |  CAST(SUM(CASE WHEN v > fence_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+            |  ROUND(100.0 * (SUM(CASE WHEN v < fence_lo THEN 1 ELSE 0 END)
+            |    + SUM(CASE WHEN v > fence_hi THEN 1 ELSE 0 END)) / COUNT(*), 4) AS pct_outliers
+            |FROM l JOIN f3 USING (column_name)
+            |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin),
 
       // AnalyticsPack.msprtSequential mirrored: per-user collapse,
       // additive day panel, window cumulative sums, 1e-6 grid-ln,

@@ -436,6 +436,53 @@ object AnalyticsPack {
           .as("ltv_per_user"))
   }
 
+  /** Funnel LATENCY panel — how long conversion takes, not just how
+    * often: per user, the first CLICK and the first PURCHASE at-or-
+    * after it (the [[funnelSteps]] ordering convention: event time,
+    * event_id tie-break), then exact p25/p50/p75/p90 of the
+    * click→purchase latency over converted users plus the conversion
+    * rate — the SLA readout next to the funnel's volume counts.
+    *
+    * Scale shape: one user-keyed shuffle (running-min window + the
+    * per-user collapse share the partitioning), the per-user panel
+    * eagerly checkpointed for its two consumers, and the exact
+    * latency quantiles through [[Profiling.exactQuantilesBy]]'s
+    * two-phase rank brackets — latencies are ms-grain near-unique,
+    * exactly the shape where the builtin percentile's single-reducer
+    * value map dies at scale. Output: one row.
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        upper(trim(col("event_type"))).as("et"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev.withColumn("first_click",
+      min(when(col("et") === "CLICK", col("ts"))).over(w))
+    val perUser = staged.groupBy(col("user_id")).agg(
+        max(when(col("et") === "CLICK", 1).otherwise(0)).as("had_click"),
+        min(when(col("et") === "PURCHASE" && col("first_click").isNotNull,
+          unix_millis(col("ts")) - unix_millis(col("first_click"))))
+          .as("latency_ms"))
+      .filter(col("had_click") === 1)
+      .localCheckpoint(true)
+    val counts = perUser.agg(
+      count(lit(1)).as("n_clickers"),
+      count(col("latency_ms")).as("n_converted"),
+      round(lit(100.0) * count(col("latency_ms")) /
+        when(count(lit(1)) === 0, lit(null)).otherwise(count(lit(1))), 2)
+        .as("pct_convert"))
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val q = Profiling.exactQuantilesBy(
+        perUser.filter(col("latency_ms").isNotNull), Seq.empty, "latency_ms", ps)
+      .agg(
+        max(when(col("quantile") === 0.25, col("value"))).as("p25_ms"),
+        max(when(col("quantile") === 0.5, col("value"))).as("p50_ms"),
+        max(when(col("quantile") === 0.75, col("value"))).as("p75_ms"),
+        max(when(col("quantile") === 0.9, col("value"))).as("p90_ms"))
+    counts.crossJoin(broadcast(q))
+  }
+
   /** Ordered conversion funnel VIEW → CLICK → PURCHASE: a step counts
     * only when it happens at-or-after the user's first completion of
     * the previous step (event-time order with event_id tie-break).

@@ -234,6 +234,46 @@ object Profiling {
     if (groupCols.isEmpty) out.drop("__g") else out
   }
 
+  /** Tukey-fence outlier audit per numeric column — exact q1/q3,
+    * IQR, the lo/hi fences at `whisker`×IQR and how many rows sit
+    * outside each: the ANALYZE companion to [[quantileProfile]] that
+    * answers "is this column's tail junk or signal" before a
+    * winsorize/clip decision.
+    *
+    * Scale shape: one unpivot (eagerly checkpointed — it feeds both
+    * the quantile machinery and the fence-count pass), exact quartiles
+    * through [[exactQuantilesBy]]'s two-phase rank brackets (never
+    * the builtin percentile's single-reducer value map), the ≤-cols
+    * fence panel broadcast back, and a ≤-cols-key counting aggregate.
+    * Fence arithmetic is a fixed IEEE sequence (`iqr = q3 − q1`,
+    * `lo = q1 − w·iqr`, `hi = q3 + w·iqr`) an oracle replays exactly.
+    */
+  def outlierFences(df: DataFrame, cols: Seq[String], whisker: Double = 1.5,
+                    nRangeParts: Int = 32): DataFrame = {
+    require(cols.nonEmpty, "outlierFences needs at least one column")
+    val long = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.column_name"), col("e.v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+    val fences = exactQuantilesBy(long, Seq("column_name"), "v",
+        Seq(0.25, 0.75), nRangeParts)
+      .groupBy("column_name")
+      .agg(max(when(col("quantile") === 0.25, col("value"))).as("q1"),
+           max(when(col("quantile") === 0.75, col("value"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("fence_lo", col("q1") - lit(whisker) * col("iqr"))
+      .withColumn("fence_hi", col("q3") + lit(whisker) * col("iqr"))
+    long.join(broadcast(fences), "column_name")
+      .groupBy(col("column_name"), col("q1"), col("q3"), col("iqr"),
+        col("fence_lo"), col("fence_hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("fence_lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("fence_hi"), 1L).otherwise(0L)).as("n_above"))
+      .withColumn("pct_outliers",
+        round(lit(100.0) * (col("n_below") + col("n_above")) / col("n"), 4))
+  }
+
   /** First-order PARTIAL correlation — the linear association of x
     * and y with a confounder z held fixed:
     * `ρ_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))` — the

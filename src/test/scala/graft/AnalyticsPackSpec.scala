@@ -1330,6 +1330,44 @@ class AnalyticsPackSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(w0))
   }
 
+  test("outlierFences: hand-checked quartiles, fences, tail counts") {
+    // 1..99 plus one extreme: q1 = 25.75, q3 = 75.25 (interpolated),
+    // iqr = 49.5, fences [-48.5, 149.5] -> exactly the 1000 is out
+    val df = ((1 to 99).map(_.toDouble) :+ 1000.0).map(Tuple1(_)).toDF("x")
+    val r = graft.operators.Profiling.outlierFences(df, Seq("x")).head
+    assert(r.getAs[String]("column_name") == "x")
+    assert(math.abs(r.getAs[Double]("q1") - 25.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("q3") - 75.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("iqr") - 49.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fence_lo") - (-48.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fence_hi") - 149.5) < 1e-12)
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_below") == 0L &&
+      r.getAs[Long]("n_above") == 1L)
+    assert(r.getAs[Double]("pct_outliers") == 1.0)
+  }
+
+  test("timeToConvert: purchase counts only after the first click; latency panel exact") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:${s}%02d")
+    // u1: click then purchase 5 s later (converts, 5000 ms)
+    // u2: purchase BEFORE its only click (clicker, not converted)
+    // u3: purchase only, never clicks (not a clicker at all)
+    // u4: click only (clicker, not converted)
+    val rows = Seq(
+      (1L, ts(0), 1L, "click"), (1L, ts(5), 2L, "purchase"),
+      (2L, ts(0), 3L, "purchase"), (2L, ts(5), 4L, "click"),
+      (3L, ts(0), 5L, "purchase"),
+      (4L, ts(0), 6L, "click"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val r = AnalyticsPack.timeToConvert(df).head
+    assert(r.getAs[Long]("n_clickers") == 3L)
+    assert(r.getAs[Long]("n_converted") == 1L)
+    assert(r.getAs[Double]("pct_convert") == 33.33)
+    Seq("p25_ms", "p50_ms", "p75_ms", "p90_ms").foreach { c =>
+      assert(r.getAs[Double](c) == 5000.0, c)
+    }
+  }
+
   test("msprtSequential: evidence accumulates, always-valid p never rises") {
     import java.sql.Timestamp
     def ev(u: Long, split: String, day: Int, et: String) =
