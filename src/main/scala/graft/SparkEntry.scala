@@ -927,6 +927,23 @@ object SparkEntry {
       Graph.triangles(flows, "src", "dst")
     }),
 
+    // Degree assortativity of the flow graph: Pearson r of endpoint
+    // degrees over both edge orientations — hub-to-hub vs
+    // hub-and-spoke mixing in one scalar; exact integer moments.
+    "graph_assortativity" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+      Graph.assortativity(flows, "src", "dst")
+    }),
+
     // Local clustering coefficient per zone over the same flow graph:
     // degree + incident-triangle panels, one terminal division.
     "graph_clustering_coeff" -> ((s: SparkSession, d: String) => {
@@ -6787,6 +6804,45 @@ object SparkEntry {
 
       // Same nation-flow edges, canonicalized undirected; the a<b<c
       // orientation generates each triangle exactly once.
+      // Graph.assortativity mirrored: canonical edges, degree panel,
+      // exact decimal moments, fixed-order IEEE r on the 1-row panel.
+      "graph_assortativity" ->
+        """WITH flows AS (
+          |  SELECT sn.n_name AS src, cn.n_name AS dst
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |  WHERE sn.n_name <> cn.n_name),
+          |e AS (
+          |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          |  FROM flows),
+          |deg AS (
+          |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+          |  GROUP BY 1),
+          |wd AS (
+          |  SELECT CAST(da.degree AS DECIMAL(19,0)) AS da,
+          |         CAST(db.degree AS DECIMAL(19,0)) AS db
+          |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+          |m AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+          |    SUM(da + db) AS s1, SUM(da * da + db * db) AS s2,
+          |    SUM(da * db) AS sdd
+          |  FROM wd),
+          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+          |SELECT n_nodes, n_edges,
+          |  (2.0 * CAST(sdd AS DOUBLE) / CAST(2 * n_edges AS DOUBLE)
+          |     - (CAST(s1 AS DOUBLE) / CAST(2 * n_edges AS DOUBLE))
+          |       * (CAST(s1 AS DOUBLE) / CAST(2 * n_edges AS DOUBLE)))
+          |  / NULLIF(CAST(s2 AS DOUBLE) / CAST(2 * n_edges AS DOUBLE)
+          |     - (CAST(s1 AS DOUBLE) / CAST(2 * n_edges AS DOUBLE))
+          |       * (CAST(s1 AS DOUBLE) / CAST(2 * n_edges AS DOUBLE)), 0.0)
+          |  AS assortativity
+          |FROM m, nn""".stripMargin,
+
       "graph_triangles" ->
         """WITH flows AS (
           |  SELECT sn.n_name AS src, cn.n_name AS dst

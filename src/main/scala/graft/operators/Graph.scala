@@ -56,6 +56,55 @@ object Graph {
       .select(col("node_a"), col("node_b"), col("node_c"))
   }
 
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees over every (undirected) edge, both orientations counted:
+    * positive when hubs attach to hubs (social-style mixing),
+    * negative when hubs attach to leaves (hub-and-spoke
+    * infrastructure — the shape a transit flow graph usually shows).
+    * The one scalar that says which regime a graph is in before any
+    * per-node drill-down.
+    *
+    * Scale shape: canonical (a<b, distinct) edges checkpointed once,
+    * a node-sized degree panel from one partial agg, two key joins to
+    * decorate each edge with its endpoint degrees, then ONE moment
+    * aggregate — Σ(da+db), Σ(da²+db²), Σ da·db as exact integer
+    * DECIMAL partials (degrees cast to DECIMAL before any multiply —
+    * the overflow discipline), both orientations folded in
+    * algebraically (x and y are exchangeable, so n = 2m,
+    * Σxy = 2Σ da·db). The final r is a fixed IEEE sequence on a
+    * 1-row panel. A regular graph (zero degree variance) yields NULL.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val da = col("da").cast(d19)
+    val db = col("db").cast(d19)
+    val m = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(da + db).as("s1"),
+        sum(da * da + db * db).as("s2"),
+        sum(da * db).as("sdd"))
+    def d(c: String) = col(c).cast("double")
+    val n2 = (lit(2L) * col("n_edges")).cast("double")
+    val mu = d("s1") / n2
+    val vr = d("s2") / n2 - mu * mu
+    val cv = lit(2.0) * d("sdd") / n2 - mu * mu
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_edges"),
+        (cv / when(vr === 0.0, lit(null)).otherwise(vr)).as("assortativity"))
+  }
+
   /** Per-node local clustering coefficient: of the `C(deg,2)` wedges
     * centered on a node, the share that close into triangles —
     * `2·t(v) / (deg(v)·(deg(v)−1))`, zero for degree-<2 nodes. The

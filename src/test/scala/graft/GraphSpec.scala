@@ -54,6 +54,20 @@ class GraphSpec extends SparkSpec {
     Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
 
+  test("assortativity: star is -1, regular ring is NULL, duplicates/orientation ignored") {
+    import spark.implicits._
+    // perfect star K1,3: every edge pairs degree 3 with degree 1 -> r = -1
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("b", "h"), ("h", "a"))
+      .toDF("s", "t")
+    val r1 = Graph.assortativity(star, "s", "t").head
+    assert(r1.getAs[Long]("n_nodes") == 4L && r1.getAs[Long]("n_edges") == 3L)
+    assert(math.abs(r1.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+    // 4-ring: every node degree 2, zero degree variance -> NULL
+    val ring = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("s", "t")
+    val r2 = Graph.assortativity(ring, "s", "t").head
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
+
   test("triangles: one closed triad found once, the open tail excluded") {
     val got = trianglesOf(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
     assert(got == Set(("a", "b", "c")))
