@@ -1165,6 +1165,19 @@ object SparkEntry {
         "split", "A", "B",
         upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
 
+    // FDR-controlled segment drill-down of the same experiment: the
+    // two-proportion z per ISO weekday, gridded A&S normal p, and
+    // the Benjamini-Hochberg step-up verdict at q=0.05.
+    "ana_benjamini_hochberg" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.benjaminiHochberg(
+        Sampling.splitAssign(
+          t(s, d, "events")
+            .filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .withColumn("iso_dow", Temporal.isoDow(col("ts"))),
+          Seq("A" -> 0.5, "B" -> 0.5), Seq("user_id")),
+        "iso_dow", "split", "A", "B",
+        upper(trim(col("event_type"))) === "PURCHASE" && col("value") > 95)),
+
     // Wilson 95% intervals per arm over the same split/conversion —
     // what each arm's rate plausibly IS (the abtest z says whether
     // they differ); honest at small n where Wald collapses.
@@ -6278,6 +6291,50 @@ object SparkEntry {
           |           * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
           |           * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
           |FROM agg""".stripMargin,
+
+      // AnalyticsPack.benjaminiHochberg mirrored: per-ISO-weekday
+      // two-proportion z, the same A&S 7.1.26 Horner erfc under the
+      // 1e-6 grid, rank/threshold/k* step-up in fixed IEEE order.
+      "ana_benjamini_hochberg" ->
+        """WITH ev AS (
+          |  SELECT user_id, UPPER(TRIM(event_type)) AS et, value,
+          |    CAST(isodow(ts) AS INTEGER) AS segment,
+          |    CASE WHEN substr(md5(concat_ws('|', CAST(user_id AS VARCHAR))), 1, 4) < '8000'
+          |         THEN 'A' ELSE 'B' END AS split
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |agg AS (
+          |  SELECT segment,
+          |    COUNT(DISTINCT CASE WHEN split = 'A' THEN user_id END) AS n_a,
+          |    COUNT(DISTINCT CASE WHEN split = 'B' THEN user_id END) AS n_b,
+          |    COUNT(DISTINCT CASE WHEN split = 'A' AND et = 'PURCHASE' AND value > 95 THEN user_id END) AS conv_a,
+          |    COUNT(DISTINCT CASE WHEN split = 'B' AND et = 'PURCHASE' AND value > 95 THEN user_id END) AS conv_b
+          |  FROM ev GROUP BY 1),
+          |zs AS (
+          |  SELECT *,
+          |    conv_a / NULLIF(n_a, 0) AS rate_a,
+          |    conv_b / NULLIF(n_b, 0) AS rate_b,
+          |    (conv_b / NULLIF(n_b, 0) - conv_a / NULLIF(n_a, 0))
+          |      / NULLIF(sqrt(((conv_a + conv_b) / NULLIF(n_a + n_b, 0))
+          |             * (1.0 - (conv_a + conv_b) / NULLIF(n_a + n_b, 0))
+          |             * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0) AS z_score
+          |  FROM agg),
+          |pv AS (
+          |  SELECT segment, n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_score,
+          |    FLOOR(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+          |      - 0.284496736) * tt + 0.254829592) * tt
+          |      * exp(-(xx * xx)) * 1e6) / 1e6 AS p_value
+          |  FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS tt FROM
+          |        (SELECT *, abs(z_score) / 1.4142135623730951 AS xx FROM zs))
+          |  WHERE z_score IS NOT NULL),
+          |rk AS (
+          |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, segment) AS BIGINT) AS p_rank,
+          |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+          |  FROM pv),
+          |th AS (SELECT *, CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) AS bh_threshold FROM rk),
+          |ks AS (SELECT COALESCE(MAX(CASE WHEN p_value <= bh_threshold THEN p_rank END), CAST(0 AS BIGINT)) AS k FROM th)
+          |SELECT segment, n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_score,
+          |  p_value, p_rank, bh_threshold, p_rank <= k AS significant
+          |FROM th, ks""".stripMargin,
 
       // AnalyticsPack.rateWilson mirrored: same split/conversion
       // grain as the abtest oracle, Wilson center/half in the

@@ -1003,6 +1003,78 @@ object AnalyticsPack {
       ((rateB - rateA) / nz(se)).as("z_score"))
   }
 
+  /** Benjamini–Hochberg FDR readout over per-segment A/B tests — the
+    * multiple-comparisons control an experimentation platform needs
+    * the moment one experiment is read out across segments: each
+    * segment gets the [[abtestReadout]] two-proportion z, a normal
+    * two-sided p (Abramowitz–Stegun 7.1.26 erfc — max abs error
+    * 1.5e-7, under the 1e-6 grid it is quantized to; the same
+    * gridded-libm convention as the mSPRT ln terms), and the BH
+    * step-up verdict at FDR `q`: rank p ascending, k* = max rank with
+    * `p ≤ rank·q/m`, reject ranks ≤ k*. Naive per-segment 0.05
+    * gating inflates false discoveries m-fold; this is the fix.
+    *
+    * Scale shape: ONE fact scan collapsing to the ≤-segments panel
+    * (4 countDistinct partials per segment), eagerly checkpointed;
+    * ranking is a triangular panel self-join on (p, segment) — a
+    * deterministic total order, windowless by the house rule — and
+    * k* one panel aggregate broadcast back. Degenerate segments
+    * (empty arm, pooled rate 0/1 → NULL z) are excluded from both m
+    * and the output. All comparisons happen on gridded p against the
+    * raw-double threshold, a fixed IEEE sequence an oracle replays.
+    */
+  def benjaminiHochberg(events: DataFrame, segmentCol: String,
+                        variantCol: String, a: String, b: String,
+                        convPred: Column, q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, s"FDR level must be in (0,1): $q")
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def nz(c: Column) = when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val isA = col(variantCol) === a
+    val isB = col(variantCol) === b
+    val panel = events.filter(col("user_id").isNotNull && col(segmentCol).isNotNull)
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(
+        countDistinct(when(isA, col("user_id"))).as("n_a"),
+        countDistinct(when(isB, col("user_id"))).as("n_b"),
+        countDistinct(when(isA && convPred, col("user_id"))).as("conv_a"),
+        countDistinct(when(isB && convPred, col("user_id"))).as("conv_b"))
+    val rateA = col("conv_a") / nz(col("n_a"))
+    val rateB = col("conv_b") / nz(col("n_b"))
+    val pooled = (col("conv_a") + col("conv_b")) / nz(col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / nz(col("n_a")) + lit(1.0) / nz(col("n_b"))))
+    val z = (rateB - rateA) / nz(se)
+    // two-sided normal p = erfc(|z|/sqrt 2), A&S 7.1.26 Horner form
+    val x = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val pv = panel
+      .select(col("segment"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        rateA.as("rate_a"), rateB.as("rate_b"), z.as("z_score"),
+        grid6(poly * exp(-(x * x))).as("p_value"))
+      .filter(col("p_value").isNotNull)
+      .localCheckpoint(true)
+    val ranked = pv.as("x").join(broadcast(pv.as("y")),
+        struct(col("y.p_value"), col("y.segment")) <=
+          struct(col("x.p_value"), col("x.segment")))
+      .groupBy(col("x.segment").as("segment"))
+      .agg(count(lit(1)).as("p_rank"))
+    val mTot = pv.agg(count(lit(1)).as("__m"))
+    val flagged = pv.join(broadcast(ranked), "segment")
+      .crossJoin(broadcast(mTot))
+      .withColumn("bh_threshold",
+        col("p_rank").cast("double") * lit(q) / col("__m").cast("double"))
+      .localCheckpoint(true)
+    val kstar = flagged.agg(coalesce(max(when(
+      col("p_value") <= col("bh_threshold"), col("p_rank"))), lit(0L)).as("__k"))
+    flagged.crossJoin(broadcast(kstar))
+      .select(col("segment"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a"), col("rate_b"), col("z_score"), col("p_value"),
+        col("p_rank"), col("bh_threshold"),
+        (col("p_rank") <= col("__k")).as("significant"))
+  }
+
   /** Wilson score 95% intervals for per-arm conversion rates — the
     * interval that stays honest at small n and extreme rates where
     * the naive Wald band collapses or leaves [0, 1] (the abtest

@@ -1330,6 +1330,35 @@ class AnalyticsPackSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(w0))
   }
 
+  test("benjaminiHochberg: step-up ranks, thresholds and flags; null effect survives") {
+    // seg 1: all of B converts, none of A (huge z, p -> 0)
+    // seg 2: identical arms (z = 0, p -> 1) — must NOT be flagged
+    val rows =
+      (1L to 40L).map(u => (u, "A", 1, false)) ++
+      (41L to 80L).map(u => (u, "B", 1, true)) ++
+      (81L to 120L).map(u => (u, if (u <= 100L) "A" else "B", 2, u % 2 == 0))
+    val df = rows.toDF("user_id", "split", "seg", "conv")
+    val got = AnalyticsPack.benjaminiHochberg(df, "seg", "split", "A", "B",
+        col("conv"), q = 0.05)
+      .collect().map(r => r.getAs[Int]("segment") -> r).toMap
+    assert(got.size == 2)
+    val (s1, s2) = (got(1), got(2))
+    assert(s1.getAs[Long]("p_rank") == 1L && s2.getAs[Long]("p_rank") == 2L)
+    assert(s1.getAs[Double]("bh_threshold") == 0.025)
+    assert(s2.getAs[Double]("bh_threshold") == 0.05)
+    assert(s1.getAs[Double]("p_value") < 1e-6)
+    assert(s2.getAs[Double]("p_value") > 0.9)
+    assert(s1.getAs[Boolean]("significant") && !s2.getAs[Boolean]("significant"))
+    // the flag set must be a downward-closed rank prefix (step-up law)
+    val all = got.values.toSeq
+    val kStar = all.filter(r =>
+      r.getAs[Double]("p_value") <= r.getAs[Double]("bh_threshold"))
+      .map(_.getAs[Long]("p_rank")).maxOption.getOrElse(0L)
+    all.foreach { r =>
+      assert(r.getAs[Boolean]("significant") == (r.getAs[Long]("p_rank") <= kStar))
+    }
+  }
+
   test("outlierFences: hand-checked quartiles, fences, tail counts") {
     // 1..99 plus one extreme: q1 = 25.75, q3 = 75.25 (interpolated),
     // iqr = 49.5, fences [-48.5, 149.5] -> exactly the 1000 is out
