@@ -1801,6 +1801,17 @@ object SparkEntry {
             Temporal.isoDow(col("ts")).cast("double").as("iso_dow")),
         "value", "hr", "iso_dow")),
 
+    // The same fit with classical inference: sigma^2, coefficient
+    // standard errors from the centered (X'X)^-1 cofactors, t stats
+    // and normal-approx 5% verdicts — all from the one moment panel.
+    "ml_linear_tstats" -> ((s: SparkSession, d: String) =>
+      MlLite.olsInference(
+        t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("value"),
+            hour(col("ts")).cast("double").as("hr"),
+            Temporal.isoDow(col("ts")).cast("double").as("iso_dow")),
+        "value", "hr", "iso_dow")),
+
     // Logistic regression by 6 rounds of full-batch gradient descent
     // (driver sees one 4-scalar gradient panel per round): is this
     // event a purchase, from grid-quantized hour/dow/value features.
@@ -4010,6 +4021,69 @@ object SparkEntry {
         |  CASE WHEN sst = 0.0 THEN 0.0
         |       ELSE 1.0 - (sst - (b1 * c1 + b2 * c2)) / sst END AS r2
         |FROM c3s""".stripMargin,
+
+    // MlLite.olsInference mirrored: the ml_ols_value CTE chain plus
+    // sigma2/SE/t in the identical fixed IEEE order; sqrt through the
+    // same NULL-on-negative guard (DuckDB errors on sqrt(<0)).
+    "ml_linear_tstats" ->
+      """WITH r0 AS (
+        |  SELECT FLOOR(value * 1e6) / 1e6 AS yq,
+        |    CAST(hour(ts) AS DOUBLE) AS x1,
+        |    CAST(isodow(ts) AS DOUBLE) AS x2
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(yq AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS sx1x1,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx2x2,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS sx1x2,
+        |    CAST(SUM(CAST(x1 * yq AS DECIMAL(28,6))) AS DOUBLE) AS sx1y,
+        |    CAST(SUM(CAST(x2 * yq AS DECIMAL(28,6))) AS DOUBLE) AS sx2y,
+        |    CAST(SUM(CAST(FLOOR(yq * yq * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM r0),
+        |c1s AS (
+        |  SELECT *,
+        |    sx1x1 - sx1 * sx1 / NULLIF(n, 0.0) AS a11,
+        |    sx2x2 - sx2 * sx2 / NULLIF(n, 0.0) AS a22,
+        |    sx1x2 - sx1 * sx2 / NULLIF(n, 0.0) AS a12,
+        |    sx1y - sx1 * sy / NULLIF(n, 0.0) AS c1,
+        |    sx2y - sx2 * sy / NULLIF(n, 0.0) AS c2,
+        |    syy - sy * sy / NULLIF(n, 0.0) AS sst
+        |  FROM m),
+        |c2s AS (SELECT *, NULLIF(a11 * a22 - a12 * a12, 0.0) AS det FROM c1s),
+        |c3s AS (
+        |  SELECT *,
+        |    (c1 * a22 - c2 * a12) / det AS b1,
+        |    (c2 * a11 - c1 * a12) / det AS b2
+        |  FROM c2s),
+        |c4s AS (
+        |  SELECT *,
+        |    (sst - (b1 * c1 + b2 * c2)) / NULLIF(n - 3.0, 0.0) AS sigma2,
+        |    sx1 / NULLIF(n, 0.0) AS m1, sx2 / NULLIF(n, 0.0) AS m2
+        |  FROM c3s),
+        |c5s AS (
+        |  SELECT *,
+        |    CASE WHEN sigma2 * a22 / det < 0.0 THEN NULL
+        |         ELSE sqrt(sigma2 * a22 / det) END AS se1,
+        |    CASE WHEN sigma2 * a11 / det < 0.0 THEN NULL
+        |         ELSE sqrt(sigma2 * a11 / det) END AS se2,
+        |    CASE WHEN sigma2 * (1.0 / NULLIF(n, 0.0)
+        |        + (m1 * m1 * a22 - 2.0 * m1 * m2 * a12 + m2 * m2 * a11) / det) < 0.0 THEN NULL
+        |         ELSE sqrt(sigma2 * (1.0 / NULLIF(n, 0.0)
+        |        + (m1 * m1 * a22 - 2.0 * m1 * m2 * a12 + m2 * m2 * a11) / det)) END AS se0,
+        |    (sy - b1 * sx1 - b2 * sx2) / NULLIF(n, 0.0) AS b0
+        |  FROM c4s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  b0 AS beta0, b1 AS beta1, b2 AS beta2, sigma2,
+        |  se0, se1, se2,
+        |  b0 / NULLIF(se0, 0.0) AS t0,
+        |  b1 / NULLIF(se1, 0.0) AS t1,
+        |  b2 / NULLIF(se2, 0.0) AS t2,
+        |  abs(b1 / NULLIF(se1, 0.0)) > 1.96 AS x1_significant_5pct,
+        |  abs(b2 / NULLIF(se2, 0.0)) > 1.96 AS x2_significant_5pct
+        |FROM c5s""".stripMargin,
 
     "ml_logreg_purchase" -> logregOracleSql(rounds = 6, lr = "0.5"),
 

@@ -293,6 +293,72 @@ object MlLite {
       when(sst === 0.0, lit(0.0)).otherwise(lit(1.0) - sse / sst).as("r2"))
   }
 
+  /** OLS inference panel — [[olsTwoFeature]]'s fit plus the classical
+    * coefficient inference a readout actually needs: σ̂² = SSE/(n−3),
+    * standard errors from the centered (X'X)⁻¹ cofactors over the
+    * SAME moment panel (the intercept's SE restores the means via
+    * the quadratic form `1/n + x̄'C⁻¹x̄`), t statistics, and the
+    * normal-approximation 5% verdicts (exact t quantiles are an
+    * incomplete-beta surface — the welchTTest rule; at data-scale n
+    * the normal approximation is textbook practice).
+    *
+    * Same single-scan decimal moment discipline as the ridge/OLS fit;
+    * everything after the scan is fixed-order IEEE math on the 1-row
+    * panel. Square roots go through a NULL-on-negative guard (a
+    * numerically-degenerate SSE must not crash an ANSI engine), and
+    * all divisors through the NULLIF convention.
+    */
+  def olsInference(df: DataFrame, yCol: String, x1Col: String,
+                   x2Col: String): DataFrame = {
+    val rows = df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+      col(x2Col).isNotNull)
+    val yq = q6(col(yCol).cast("double"))
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val m = rows.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x1.cast(D6)).cast("double").as("sx1"),
+      sum(x2.cast(D6)).cast("double").as("sx2"),
+      sum(yq.cast(D6)).cast("double").as("sy"),
+      sum((x1 * x1).cast(D6)).cast("double").as("sx1x1"),
+      sum((x2 * x2).cast(D6)).cast("double").as("sx2x2"),
+      sum((x1 * x2).cast(D6)).cast("double").as("sx1x2"),
+      sum((x1 * yq).cast(D6)).cast("double").as("sx1y"),
+      sum((x2 * yq).cast(D6)).cast("double").as("sx2y"),
+      sum(q6(yq * yq).cast(D6)).cast("double").as("syy"))
+    def nz(d: Column): Column =
+      when(d === 0.0, lit(null).cast("double")).otherwise(d)
+    def sqp(c: Column): Column =
+      when(c < 0.0, lit(null).cast("double")).otherwise(sqrt(c))
+    val n = nz(col("n"))
+    val a11 = col("sx1x1") - col("sx1") * col("sx1") / n
+    val a22 = col("sx2x2") - col("sx2") * col("sx2") / n
+    val a12 = col("sx1x2") - col("sx1") * col("sx2") / n
+    val c1 = col("sx1y") - col("sx1") * col("sy") / n
+    val c2 = col("sx2y") - col("sx2") * col("sy") / n
+    val det = nz(a11 * a22 - a12 * a12)
+    val b1 = (c1 * a22 - c2 * a12) / det
+    val b2 = (c2 * a11 - c1 * a12) / det
+    val b0 = (col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n
+    val sst = col("syy") - col("sy") * col("sy") / n
+    val sse = sst - (b1 * c1 + b2 * c2)
+    val sigma2 = sse / nz(col("n") - lit(3.0))
+    val se1 = sqp(sigma2 * a22 / det)
+    val se2 = sqp(sigma2 * a11 / det)
+    val m1 = col("sx1") / n
+    val m2 = col("sx2") / n
+    val quad = (m1 * m1 * a22 - lit(2.0) * m1 * m2 * a12 + m2 * m2 * a11) / det
+    val se0 = sqp(sigma2 * (lit(1.0) / n + quad))
+    val (t0, t1, t2) = (b0 / nz(se0), b1 / nz(se1), b2 / nz(se2))
+    m.select(col("n").cast("long").as("n"),
+      b0.as("beta0"), b1.as("beta1"), b2.as("beta2"),
+      sigma2.as("sigma2"),
+      se0.as("se0"), se1.as("se1"), se2.as("se2"),
+      t0.as("t0"), t1.as("t1"), t2.as("t2"),
+      (abs(t1) > 1.96).as("x1_significant_5pct"),
+      (abs(t2) > 1.96).as("x2_significant_5pct"))
+  }
+
   /** Logistic regression by full-batch gradient descent — the
     * iterative sibling of [[olsTwoFeature]]: `rounds` passes, each
     * ONE scan aggregating the gradient `Σ (σ(w·x) − y)·x_j` into a

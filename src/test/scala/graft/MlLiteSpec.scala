@@ -94,6 +94,50 @@ class MlLiteSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("r2") - 1.0) < 1e-9)
   }
 
+  test("olsInference: betas/SEs/t-stats match an independent normal-equation solve") {
+    // grid-exact noisy data: y = 2 + 3·x1 - x2 + e
+    val es = Seq(0.5, -0.5, 0.25, -0.25, 0.5, -0.5, 0.125, -0.125)
+    val rows = (0 until 8).map { i =>
+      val (x1, x2) = (i.toDouble, (i % 2).toDouble)
+      (2.0 + 3.0 * x1 - x2 + es(i), x1, x2)
+    }
+    val got = MlLite.olsInference(rows.toDF("y", "x1", "x2"), "y", "x1", "x2").head
+    // independent reference: explicit 3x3 inverse of X'X
+    val n = rows.size.toDouble
+    val xs = rows.map { case (y, a, b) => Array(1.0, a, b) }
+    val ys = rows.map(_._1)
+    val xtx = Array.tabulate(3, 3)((i, j) => xs.map(r => r(i) * r(j)).sum)
+    val xty = Array.tabulate(3)(i => xs.zip(ys).map { case (r, y) => r(i) * y }.sum)
+    def cof(m: Array[Array[Double]], i: Int, j: Int): Double = {
+      val r = (0 to 2).filter(_ != i); val c = (0 to 2).filter(_ != j)
+      val s = m(r(0))(c(0)) * m(r(1))(c(1)) - m(r(0))(c(1)) * m(r(1))(c(0))
+      if ((i + j) % 2 == 0) s else -s
+    }
+    val det = (0 to 2).map(j => xtx(0)(j) * cof(xtx, 0, j)).sum
+    val inv = Array.tabulate(3, 3)((i, j) => cof(xtx, j, i) / det)
+    val beta = Array.tabulate(3)(i => (0 to 2).map(j => inv(i)(j) * xty(j)).sum)
+    val sse = xs.zip(ys).map { case (r, y) =>
+      val e = y - (0 to 2).map(j => beta(j) * r(j)).sum; e * e }.sum
+    val s2 = sse / (n - 3.0)
+    val se = Array.tabulate(3)(i => math.sqrt(s2 * inv(i)(i)))
+    assert(got.getAs[Long]("n") == 8L)
+    Seq("beta0" -> beta(0), "beta1" -> beta(1), "beta2" -> beta(2),
+      "sigma2" -> s2, "se0" -> se(0), "se1" -> se(1), "se2" -> se(2),
+      "t0" -> beta(0) / se(0), "t1" -> beta(1) / se(1), "t2" -> beta(2) / se(2))
+      .foreach { case (c, want) =>
+        assert(math.abs(got.getAs[Double](c) - want) < 1e-8, s"$c: ${got.getAs[Double](c)} vs $want")
+      }
+    assert(got.getAs[Boolean]("x1_significant_5pct"))
+  }
+
+  test("olsInference: a perfect fit yields ~zero sigma2 and exact betas") {
+    val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
+      yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
+    val got = MlLite.olsInference(rows.toDF("y", "x1", "x2"), "y", "x1", "x2").head
+    assert(math.abs(got.getAs[Double]("beta1") - 3.0) < 1e-9)
+    assert(math.abs(got.getAs[Double]("sigma2")) < 1e-9)
+  }
+
   test("olsTwoFeature: constant regressand has r2 = 0 by convention") {
     val rows = for (x1 <- 0 to 5; x2 <- 0 to 5)
       yield (7.0, x1.toDouble, x2.toDouble)
