@@ -531,18 +531,28 @@ object AnalyticsPack {
     */
   def sessionStats(sessions: DataFrame, userCol: String): DataFrame = {
     val dur = unix_millis(col("session_end")) - unix_millis(col("session_start"))
-    sessions.select(col(userCol).as("__u"), col("n_events"),
+    // ms durations are near-unique: the duration quantiles go through
+    // the rank brackets (the builtin exact percentile would merge the
+    // whole duration->count map in ONE reducer); the slim projection
+    // is checkpointed for its two consumers
+    val base = sessions.select(col(userCol).as("__u"), col("n_events"),
         col("value_sum"), dur.as("__dur_ms"))
-      .agg(
-        count(lit(1)).as("n_sessions"),
-        countDistinct(col("__u")).as("n_users"),
-        percentile(col("__dur_ms"), lit(0.5)).as("p50_duration_ms"),
-        percentile(col("__dur_ms"), lit(0.9)).as("p90_duration_ms"),
-        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
-        (sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
-          / count(lit(1))).as("bounce_rate"),
-        (sum(money(col("value_sum"))).cast("double") / count(lit(1)))
-          .as("avg_value"))
+      .localCheckpoint(true)
+    val counts = base.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("__u")).as("n_users"),
+      (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+      (sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("bounce_rate"),
+      (sum(money(col("value_sum"))).cast("double") / count(lit(1)))
+        .as("avg_value"))
+    val q = Profiling.exactQuantilesBy(base, Seq.empty, "__dur_ms", Seq(0.5, 0.9))
+      .agg(max(when(col("quantile") === 0.5, col("value"))).as("p50_duration_ms"),
+           max(when(col("quantile") === 0.9, col("value"))).as("p90_duration_ms"))
+    counts.crossJoin(broadcast(q))
+      .select(col("n_sessions"), col("n_users"),
+        col("p50_duration_ms"), col("p90_duration_ms"),
+        col("avg_events"), col("bounce_rate"), col("avg_value"))
   }
 
   /** Multi-model marketing ATTRIBUTION panel: every PURCHASE's value
@@ -1116,7 +1126,10 @@ object AnalyticsPack {
     * type) ordered by (ts, id) — a per-user panel window, never
     * global; exact integer ms, interpolated percentiles replayed by
     * `quantile_cont` (the established percentile parity), mean as
-    * exact integer sum / count.
+    * exact integer sum / count. The per-type gap quantiles run
+    * through [[Profiling.exactQuantilesBy]]'s rank brackets — ms
+    * gaps are near-unique, and the builtin grouped percentile would
+    * hold a whole event type's gap map in one reducer.
     */
   def interarrivalStats(events: DataFrame): DataFrame = {
     val base = events
@@ -1125,14 +1138,20 @@ object AnalyticsPack {
         unix_millis(col("ts")).as("ms"), col("event_id"))
     val w = Window.partitionBy(col("user_id"), col("event_type_norm"))
       .orderBy(col("ms"), col("event_id"))
-    base.withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+    val gaps = base.withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
       .filter(col("gap_ms").isNotNull)
-      .groupBy(col("event_type_norm"))
+      .select(col("event_type_norm"), col("gap_ms"))
+      .localCheckpoint(true)
+    val counts = gaps.groupBy(col("event_type_norm"))
       .agg(count(lit(1)).as("n_gaps"),
-        (sum(col("gap_ms")).cast("double") / count(lit(1))).as("mean_gap_ms"),
-        percentile(col("gap_ms"), lit(0.5)).as("p50_gap_ms"),
-        percentile(col("gap_ms"), lit(0.9)).as("p90_gap_ms"),
-        percentile(col("gap_ms"), lit(0.99)).as("p99_gap_ms"))
+        (sum(col("gap_ms")).cast("double") / count(lit(1))).as("mean_gap_ms"))
+    val q = Profiling.exactQuantilesBy(gaps, Seq("event_type_norm"), "gap_ms",
+        Seq(0.5, 0.9, 0.99))
+      .groupBy(col("event_type_norm"))
+      .agg(max(when(col("quantile") === 0.5, col("value"))).as("p50_gap_ms"),
+           max(when(col("quantile") === 0.9, col("value"))).as("p90_gap_ms"),
+           max(when(col("quantile") === 0.99, col("value"))).as("p99_gap_ms"))
+    counts.join(broadcast(q), Seq("event_type_norm"))
   }
 
   /** Quantile normalization of per-group daily series — the
@@ -2076,13 +2095,17 @@ object AnalyticsPack {
     * the quality-gate discipline: one CASE, deterministic order).
     *
     * Scale shape: orders collapse to the customer panel in ONE
-    * partial-agg shuffle; the anchor date and the nine quartile
-    * thresholds are broadcast 1-row panels (exact `percentile`, the
-    * winsorize parity — never a global NTILE window over customers);
-    * scoring is a pure codegen pass over the panel. Engine parity:
-    * recency/frequency are exact integers, monetary an exact
-    * DECIMAL(18,2) sum compared as double (low-entropy cast, §5),
-    * thresholds replayed by `quantile_cont`.
+    * partial-agg shuffle (checkpointed — it feeds both the threshold
+    * machinery and the scoring pass); the anchor date and the nine
+    * quartile thresholds are broadcast 1-row panels — thresholds via
+    * [[Profiling.exactQuantilesBy]]'s rank brackets over one unpivot
+    * (monetary is a near-unique double: the builtin exact percentile
+    * would hold the whole customer spend map in one reducer) — never
+    * a global NTILE window over customers; scoring is a pure codegen
+    * pass over the panel. Engine parity: recency/frequency are exact
+    * integers, monetary an exact DECIMAL(18,2) sum compared as
+    * double (low-entropy cast, §5), thresholds replayed by
+    * `quantile_cont` (the established interpolation parity).
     */
   def rfmSegments(orders: DataFrame, keyCol: String, dateCol: String,
                   amountCol: String): DataFrame = {
@@ -2095,16 +2118,20 @@ object AnalyticsPack {
       .agg(min(datediff(col("__anchor"), col("d"))).cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("amt")).cast("double").as("monetary"))
-    val thr = rfm.agg(
-      percentile(col("recency_days"), lit(0.25)).as("r25"),
-      percentile(col("recency_days"), lit(0.5)).as("r50"),
-      percentile(col("recency_days"), lit(0.75)).as("r75"),
-      percentile(col("frequency"), lit(0.25)).as("f25"),
-      percentile(col("frequency"), lit(0.5)).as("f50"),
-      percentile(col("frequency"), lit(0.75)).as("f75"),
-      percentile(col("monetary"), lit(0.25)).as("m25"),
-      percentile(col("monetary"), lit(0.5)).as("m50"),
-      percentile(col("monetary"), lit(0.75)).as("m75"))
+      .localCheckpoint(true)
+    val qs = Profiling.exactQuantilesBy(
+      rfm.select(explode(array(
+          struct(lit("r").as("__c"), col("recency_days").cast("double").as("__v")),
+          struct(lit("f").as("__c"), col("frequency").cast("double").as("__v")),
+          struct(lit("m").as("__c"), col("monetary").as("__v")))).as("e"))
+        .select(col("e.__c").as("__c"), col("e.__v").as("__v")),
+      Seq("__c"), "__v", Seq(0.25, 0.5, 0.75))
+    def th(c: String, p: Double): Column =
+      max(when(col("__c") === c && col("quantile") === p, col("value")))
+    val thr = qs.agg(
+      th("r", 0.25).as("r25"), th("r", 0.5).as("r50"), th("r", 0.75).as("r75"),
+      th("f", 0.25).as("f25"), th("f", 0.5).as("f50"), th("f", 0.75).as("f75"),
+      th("m", 0.25).as("m25"), th("m", 0.5).as("m50"), th("m", 0.75).as("m75"))
     val scored = rfm.crossJoin(broadcast(thr))
       .withColumn("r_score",
         when(col("recency_days") <= col("r25"), 4)
