@@ -73,23 +73,38 @@ object AnalyticsPack {
   /** Exact p50/p90 wait-time percentiles per mode (docs/queries/
     * 04_calidad_servicio.sql:113-130): per-group exact
     * PERCENTILE_CONT plus conditional day-type averages, with the
-    * reference's outlier band filter. Spark's `percentile` is the
-    * exact (sort-based) aggregate, not approx_percentile — required
-    * for hash parity with DuckDB's quantile_cont.
+    * reference's outlier band filter. The quantiles run through
+    * [[Profiling.exactQuantilesBy]]'s distributed rank brackets —
+    * bit-identical to `percentile`/`quantile_cont` interpolation
+    * (required for hash parity with DuckDB), without the builtin's
+    * per-group value→count map merging in a single reducer (a mode's
+    * whole semi-continuous wait distribution at 100 TB).
     */
   def waitPercentiles(validEvents: DataFrame): DataFrame = {
     val laboral = when(col("tipo_dia") === "LABORAL", col("value"))
     val domingo = when(col("tipo_dia") === "DOMINGO", col("value"))
-    validEvents
+    val rows = validEvents
       .filter(col("value").isNotNull && col("value").between(0, 450))
-      .groupBy(col("event_type_norm").as("mode_code"))
+      .select(col("event_type_norm").as("mode_code"), col("value"),
+        col("tipo_dia"))
+      .localCheckpoint(true)
+    val counts = rows.groupBy(col("mode_code"))
       .agg(
         count(lit(1)).as("validaciones"),
         exactAvg(col("value"), count(lit(1)), 2).as("espera_promedio_min"),
-        round(percentile(col("value"), lit(0.5)), 2).as("espera_mediana_min"),
-        round(percentile(col("value"), lit(0.9)), 2).as("espera_p90_min"),
         exactAvg(laboral, count(laboral), 2).as("espera_laboral"),
         exactAvg(domingo, count(domingo), 2).as("espera_domingo"))
+    val q = Profiling.exactQuantilesBy(rows, Seq("mode_code"), "value",
+        Seq(0.5, 0.9))
+      .groupBy(col("mode_code"))
+      .agg(round(max(when(col("quantile") === 0.5, col("value"))), 2)
+          .as("espera_mediana_min"),
+        round(max(when(col("quantile") === 0.9, col("value"))), 2)
+          .as("espera_p90_min"))
+    counts.join(broadcast(q), Seq("mode_code"))
+      .select(col("mode_code"), col("validaciones"), col("espera_promedio_min"),
+        col("espera_mediana_min"), col("espera_p90_min"),
+        col("espera_laboral"), col("espera_domingo"))
   }
 
   /** COUNT(DISTINCT)+HAVING user-frequency segmentation (docs/queries/
@@ -728,10 +743,12 @@ object AnalyticsPack {
     * 1/Φ⁻¹(3/4) rescales MAD to σ under normality, so `cut` reads in
     * sigma units like the z-score's).
     *
-    * Scale shape: two exact-percentile passes (group median, then
-    * median of absolute deviations — the same sort-within-group
-    * `percentile` aggregate the winsorizer uses, pinned to DuckDB's
-    * quantile_cont), each reduced to a ≤-#groups-row panel and
+    * Scale shape: two exact-median passes (group median, then median
+    * of absolute deviations), each through
+    * [[Profiling.exactQuantilesBy]]'s rank brackets (bit-identical to
+    * the `percentile`/`quantile_cont` interpolation, but never a
+    * per-group value→count map in one reducer — values and absdevs
+    * are near-unique), each reduced to a ≤-#groups-row panel and
     * broadcast back; the fact is scanned, never globally sorted.
     * Zero-MAD groups (constant-majority values) yield NULL scores and
     * drop, like the z-score's zero-std guard.
@@ -740,13 +757,18 @@ object AnalyticsPack {
     val ev = events.filter(col("value").isNotNull)
       .select(col("event_id"), upper(trim(col("event_type"))).as("event_type_norm"),
         col("value"))
-    val med = ev.groupBy(col("event_type_norm"))
-      .agg(count(lit(1)).as("n"), percentile(col("value"), lit(0.5)).as("med"))
-      .filter(col("n") >= 2).drop("n")
+      .localCheckpoint(true)
+    val bigEnough = ev.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).drop("n")
+    val med = Profiling.exactQuantilesBy(ev, Seq("event_type_norm"), "value",
+        Seq(0.5))
+      .select(col("event_type_norm"), col("value").as("med"))
+      .join(bigEnough, "event_type_norm")
     val dev = ev.join(broadcast(med), "event_type_norm")
       .withColumn("__absdev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type_norm"))
-      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
+    val mad = Profiling.exactQuantilesBy(dev, Seq("event_type_norm"), "__absdev",
+        Seq(0.5))
+      .select(col("event_type_norm"), col("value").as("mad"))
     val score = round((col("value") - col("med"))
       / when(col("mad") * 1.4826 === 0, lit(null))
         .otherwise(col("mad") * 1.4826), 3)

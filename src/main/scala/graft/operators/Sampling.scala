@@ -275,19 +275,24 @@ object Sampling {
     * `anomaly_zscore`'s detection: values are clipped to their
     * group's exact [pLo, pHi] percentile band (training-data
     * preprocessing that keeps heavy tails from dominating a loss or
-    * a normalization). Thresholds come from ONE distributed
-    * exact-percentile aggregate (sort-based within groups, the same
-    * `percentile` the F2 oracle pins to quantile_cont) broadcast back
-    * over the scan — the data itself is never sorted globally, and
-    * the clip is a pure codegen'd least/greatest.
+    * a normalization). Thresholds come from
+    * [[Profiling.exactQuantilesBy]]'s distributed rank brackets
+    * (bit-identical to the `percentile`/`quantile_cont` interpolation
+    * the F2 oracle pins, but never a per-group value→count map in
+    * one reducer — the measure is near-unique) broadcast back over
+    * the scan — the data itself is never sorted globally, and the
+    * clip is a pure codegen'd least/greatest.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= $pLo < $pHi <= 1")
     val v = col(valueCol)
-    val bands = df.filter(v.isNotNull)
+    val bands = Profiling.exactQuantilesBy(
+        df.filter(v.isNotNull).select(col(groupCol), v),
+        Seq(groupCol), valueCol, Seq(pLo, pHi))
       .groupBy(col(groupCol))
-      .agg(percentile(v, lit(pLo)).as("p_lo"), percentile(v, lit(pHi)).as("p_hi"))
+      .agg(max(when(col("quantile") === pLo, col("value"))).as("p_lo"),
+           max(when(col("quantile") === pHi, col("value"))).as("p_hi"))
     df.filter(v.isNotNull)
       .join(broadcast(bands), groupCol)
       .select(col("*"),
