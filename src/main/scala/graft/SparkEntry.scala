@@ -2386,17 +2386,22 @@ object SparkEntry {
     }),
 
     // Quality-weighted corpus sampling: exact quartile THRESHOLDS of
-    // the text_stats quality score (a distributed sort-based
-    // percentile aggregate broadcast as one row — never a global
-    // NTILE window over the corpus), tier by comparison, then each
-    // tier keeps its own deterministic md5 rate (top tier whole,
-    // bottom 12.5%) — upweight quality without losing replayability.
+    // the text_stats quality score through the rank brackets (the
+    // score is a near-unique ratio — the builtin percentile would
+    // merge the whole corpus's value map in one reducer) broadcast as
+    // one row — never a global NTILE window over the corpus —, tier
+    // by comparison, then each tier keeps its own deterministic md5
+    // rate (top tier whole, bottom 12.5%) — upweight quality without
+    // losing replayability.
     "sample_quality_weighted" -> ((s: SparkSession, d: String) => {
       val q = textStats(s, d).select(col("doc_id"), col("quality_score"))
-      val thr = q.agg(
-        percentile(col("quality_score"), lit(0.25)).as("p25"),
-        percentile(col("quality_score"), lit(0.5)).as("p50"),
-        percentile(col("quality_score"), lit(0.75)).as("p75"))
+        .localCheckpoint(true)
+      val thr = Profiling.exactQuantilesBy(q, Seq.empty, "quality_score",
+          Seq(0.25, 0.5, 0.75))
+        .agg(
+          max(when(col("quantile") === 0.25, col("value"))).as("p25"),
+          max(when(col("quantile") === 0.5, col("value"))).as("p50"),
+          max(when(col("quantile") === 0.75, col("value"))).as("p75"))
       val tiered = q.crossJoin(broadcast(thr))
         .withColumn("quality_tier",
           when(col("quality_score") <= col("p25"), "T1")
