@@ -1215,6 +1215,16 @@ object SparkEntry {
 
     // Inter-arrival gap panel per type (the evidence a sessionization
     // gap parameter is chosen by — p99 is the boundary candidate).
+    // Monthly growth accounting: MAU decomposed into new/retained/
+    // resurrected + churn and the quick ratio — join-only, windowless.
+    "ana_growth_accounting" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.growthAccounting(t(s, d, "events"))),
+
+    // Goh-Barabasi burstiness + CV per event type over the same
+    // within-user gaps as the interarrival panel: schedule vs bursts.
+    "ana_burstiness" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.burstiness(t(s, d, "events"))),
+
     "ana_interarrival" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.interarrivalStats(t(s, d, "events"))),
 
@@ -1800,6 +1810,17 @@ object SparkEntry {
             hour(col("ts")).cast("double").as("hr"),
             Temporal.isoDow(col("ts")).cast("double").as("iso_dow")),
         "value", "hr", "iso_dow")),
+
+    // Price elasticity of demand per part brand: grouped log-log OLS
+    // slope of ln(quantity) on ln(unit price), gridded lns, one scan.
+    "ana_price_elasticity" -> ((s: SparkSession, d: String) =>
+      MlLite.logLogElasticity(
+        t(s, d, "lineitem")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_quantity"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              / col("l_quantity")).as("unit_price")),
+        "p_brand", "l_quantity", "unit_price")),
 
     // The same fit with classical inference: sigma^2, coefficient
     // standard errors from the centered (X'X)^-1 cofactors, t stats
@@ -4027,6 +4048,41 @@ object SparkEntry {
         |       ELSE 1.0 - (sst - (b1 * c1 + b2 * c2)) / sst END AS r2
         |FROM c3s""".stripMargin,
 
+    // MlLite.logLogElasticity mirrored: gridded lns, q6-refloored
+    // products, decimal moment partials, fixed-order slope/corr.
+    "ana_price_elasticity" ->
+      """WITH r0 AS (
+        |  SELECT p_brand,
+        |    FLOOR(ln(l_extendedprice * (1.0 - l_discount) / l_quantity) * 1e6) / 1e6 AS x,
+        |    FLOOR(ln(l_quantity) * 1e6) / 1e6 AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity IS NOT NULL AND l_quantity > 0
+        |    AND l_extendedprice * (1.0 - l_discount) / l_quantity > 0),
+        |m AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(FLOOR(x * x * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(FLOOR(x * y * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(FLOOR(y * y * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM r0 GROUP BY 1),
+        |c AS (
+        |  SELECT p_brand, n,
+        |    sxx - sx * sx / NULLIF(CAST(n AS DOUBLE), 0.0) AS cxx,
+        |    sxy - sx * sy / NULLIF(CAST(n AS DOUBLE), 0.0) AS cxy,
+        |    syy - sy * sy / NULLIF(CAST(n AS DOUBLE), 0.0) AS cyy,
+        |    sx, sy
+        |  FROM m),
+        |s AS (
+        |  SELECT *, cxy / NULLIF(cxx, 0.0) AS slope,
+        |    (CASE WHEN cxx < 0.0 THEN NULL ELSE sqrt(cxx) END)
+        |      * (CASE WHEN cyy < 0.0 THEN NULL ELSE sqrt(cyy) END) AS denom
+        |  FROM c)
+        |SELECT p_brand, n, slope AS elasticity,
+        |  (sy - slope * sx) / NULLIF(CAST(n AS DOUBLE), 0.0) AS intercept,
+        |  cxy / NULLIF(denom, 0.0) AS corr
+        |FROM s""".stripMargin,
+
     // MlLite.olsInference mirrored: the ml_ols_value CTE chain plus
     // sigma2/SE/t in the identical fixed IEEE order; sqrt through the
     // same NULL-on-negative guard (DuckDB errors on sqrt(<0)).
@@ -6212,6 +6268,72 @@ object SparkEntry {
           |FROM offs
           |JOIN (SELECT cohort_date, retained_users AS cohort_size
           |      FROM offs WHERE offset_days = 0) b USING (cohort_date)""".stripMargin,
+
+      // AnalyticsPack.growthAccounting mirrored: distinct user-months,
+      // first-month panel, month-shifted joins, churn bounded to the
+      // observed month panel, one guarded quotient.
+      "ana_growth_accounting" ->
+        """WITH um AS (
+          |  SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS month
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |fm AS (SELECT user_id, MIN(month) AS first_month FROM um GROUP BY 1),
+          |pv AS (SELECT user_id, CAST(month + INTERVAL 1 MONTH AS DATE) AS month FROM um),
+          |cl AS (
+          |  SELECT u.month,
+          |    CASE WHEN u.month = f.first_month THEN 'new'
+          |         WHEN p.user_id IS NOT NULL THEN 'retained'
+          |         ELSE 'resurrected' END AS status
+          |  FROM um u JOIN fm f USING (user_id)
+          |  LEFT JOIN pv p ON p.user_id = u.user_id AND p.month = u.month),
+          |mau AS (
+          |  SELECT month, CAST(COUNT(*) AS BIGINT) AS mau,
+          |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+          |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+          |  FROM cl GROUP BY 1),
+          |ch AS (
+          |  SELECT p.month, CAST(COUNT(*) AS BIGINT) AS n_churned
+          |  FROM pv p
+          |  JOIN (SELECT DISTINCT month FROM um) mp ON mp.month = p.month
+          |  LEFT JOIN um u ON u.user_id = p.user_id AND u.month = p.month
+          |  WHERE u.user_id IS NULL GROUP BY 1)
+          |SELECT m.month, mau, n_new, n_retained, n_resurrected,
+          |  COALESCE(ch.n_churned, CAST(0 AS BIGINT)) AS n_churned,
+          |  CAST(n_new + n_resurrected AS DOUBLE)
+          |    / NULLIF(CAST(COALESCE(ch.n_churned, CAST(0 AS BIGINT)) AS DOUBLE), 0.0) AS quick_ratio
+          |FROM mau m LEFT JOIN ch ON ch.month = m.month""".stripMargin,
+
+      // AnalyticsPack.burstiness mirrored: same per-user gap lag,
+      // exact decimal moments, fixed-order IEEE panel math.
+      "ana_burstiness" ->
+        """WITH base AS (
+          |  SELECT user_id, UPPER(TRIM(event_type)) AS event_type_norm,
+          |    epoch_ms(ts) AS ms, event_id
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |gaps AS (
+          |  SELECT event_type_norm,
+          |    ms - LAG(ms) OVER (PARTITION BY user_id, event_type_norm
+          |                       ORDER BY ms, event_id) AS gap_ms
+          |  FROM base),
+          |m AS (
+          |  SELECT event_type_norm, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          |    SUM(CAST(gap_ms AS DECIMAL(19,0))) AS s1,
+          |    SUM(CAST(gap_ms AS DECIMAL(19,0)) * CAST(gap_ms AS DECIMAL(19,0))) AS s2
+          |  FROM gaps WHERE gap_ms IS NOT NULL GROUP BY 1),
+          |st AS (
+          |  SELECT event_type_norm, n_gaps,
+          |    CAST(s1 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0) AS mu,
+          |    CAST(s2 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0)
+          |      - (CAST(s1 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0))
+          |        * (CAST(s1 AS DOUBLE) / NULLIF(CAST(n_gaps AS DOUBLE), 0.0)) AS var
+          |  FROM m),
+          |sd AS (
+          |  SELECT *, CASE WHEN var < 0.0 THEN 0.0 ELSE sqrt(var) END AS sdv
+          |  FROM st)
+          |SELECT event_type_norm, n_gaps, mu AS mean_gap_ms, sdv AS std_gap_ms,
+          |  sdv / NULLIF(mu, 0.0) AS cv,
+          |  (sdv - mu) / NULLIF(sdv + mu, 0.0) AS burstiness
+          |FROM sd""".stripMargin,
 
       // AnalyticsPack.timeToConvert mirrored: same running-min window
       // (ts, event_id order), epoch-ms latency, quantile_cont panel.

@@ -1035,6 +1035,98 @@ object AnalyticsPack {
       ((rateB - rateA) / nz(se)).as("z_score"))
   }
 
+  /** Monthly growth accounting — the MAU decomposition a subscription
+    * or engagement business reads first: every active (user, month)
+    * classified as NEW (first month ever), RETAINED (also active the
+    * previous calendar month) or RESURRECTED (active before, but not
+    * last month), plus CHURNED (active last month, missing this
+    * month) and the quick ratio (new + resurrected) / churned. MAU
+    * alone hides composition; the same flat MAU can be healthy
+    * retention or a leaky bucket refilled by acquisition.
+    *
+    * Scale shape: ONE distinct over (user, month) — the only
+    * data-sized shuffle, checkpointed for its four consumers — then
+    * user-keyed equi-joins (first-month panel, the month-shifted
+    * self-join for retained, the anti-join for churned; churn months
+    * are bounded to the observed month panel so the horizon's edge
+    * never fabricates a churn wave) and a ≤-months aggregate.
+    * Windowless; all counts exact longs, the quick ratio one guarded
+    * IEEE quotient.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    def nz(c: Column) = when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val um = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), trunc(to_date(col("ts")), "month").as("month"))
+      .distinct()
+      .localCheckpoint(true)
+    val firstM = um.groupBy(col("user_id")).agg(min(col("month")).as("first_month"))
+    val shifted = um.select(col("user_id"),
+      add_months(col("month"), 1).as("month"), lit(1).as("__was_prev"))
+    val classified = um.join(firstM, "user_id")
+      .join(shifted, Seq("user_id", "month"), "left")
+      .select(col("month"),
+        when(col("month") === col("first_month"), "new")
+          .when(col("__was_prev") === 1, "retained")
+          .otherwise("resurrected").as("status"))
+    val mau = classified.groupBy(col("month")).agg(
+      count(lit(1)).as("mau"),
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val monthPanel = um.select(col("month")).distinct()
+    val churn = um.select(col("user_id"), add_months(col("month"), 1).as("month"))
+      .join(monthPanel, Seq("month"), "left_semi")
+      .join(um, Seq("user_id", "month"), "left_anti")
+      .groupBy(col("month")).agg(count(lit(1)).as("n_churned"))
+    mau.join(churn, Seq("month"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .select(col("month"), col("mau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        ((col("n_new") + col("n_resurrected")).cast("double")
+          / nz(col("n_churned").cast("double"))).as("quick_ratio"))
+  }
+
+  /** Burstiness panel per event type — Goh–Barabási
+    * `B = (σ − μ)/(σ + μ)` and the coefficient of variation over the
+    * same within-user inter-arrival gaps as [[interarrivalStats]]:
+    * B → −1 for a metronome, 0 for a Poisson process, → 1 for heavy
+    * bursts — whether traffic is schedule-like or bursty decides
+    * provisioning and sessionization defaults, and the scalar pairs
+    * with the percentile panel's point estimates.
+    *
+    * Scale shape: the gap lag is a per-user panel window (never
+    * global), then ONE moment aggregate per type — n, Σgap, Σgap² as
+    * exact integer DECIMAL partials (gaps cast to DECIMAL before the
+    * square — the overflow discipline) — and fixed-order IEEE panel
+    * math at the ≤-types edge. Degenerate types (zero mean, σ+μ = 0)
+    * yield NULLs via the NULLIF convention.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    def nz(c: Column) = when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), upper(trim(col("event_type"))).as("event_type_norm"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("event_type_norm"))
+      .orderBy(col("ms"), col("event_id"))
+    val m = base.withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_ms").cast(d19)).as("__s1"),
+        sum(col("gap_ms").cast(d19) * col("gap_ms").cast(d19)).as("__s2"))
+    val n = col("n_gaps").cast("double")
+    val mu = col("__s1").cast("double") / nz(n)
+    val variance = col("__s2").cast("double") / nz(n) - mu * mu
+    val sd = when(variance < 0.0, lit(0.0)).otherwise(sqrt(variance))
+    m.select(col("event_type_norm"), col("n_gaps"),
+      mu.as("mean_gap_ms"), sd.as("std_gap_ms"),
+      (sd / nz(mu)).as("cv"),
+      ((sd - mu) / nz(sd + mu)).as("burstiness"))
+  }
+
   /** Benjamini–Hochberg FDR readout over per-segment A/B tests — the
     * multiple-comparisons control an experimentation platform needs
     * the moment one experiment is read out across segments: each

@@ -293,6 +293,52 @@ object MlLite {
       when(sst === 0.0, lit(0.0)).otherwise(lit(1.0) - sse / sst).as("r2"))
   }
 
+  /** Grouped log–log elasticity — the economist's workhorse: per
+    * group, the OLS slope of ln(quantity) on ln(price), which IS the
+    * price elasticity of demand (a 1% price move changes quantity by
+    * `elasticity`%), with the intercept and the log-log correlation
+    * as fit evidence. Positive slopes flag data problems (or Giffen
+    * goods) at a glance.
+    *
+    * Scale shape: ONE scan → a ≤-groups moment panel (both lns
+    * floor-gridded to 1e-6 before their DECIMAL partials — the
+    * psi/mSPRT gridded-libm convention; products re-floored onto the
+    * grid before the scale-6 cast, §5), then fixed-order IEEE slope/
+    * intercept/corr per group. Non-positive prices or quantities are
+    * excluded (ln is undefined); degenerate groups (zero x-variance)
+    * yield NULLs via the NULLIF convention, and correlation roots go
+    * through the NULL-on-negative sqrt guard.
+    */
+  def logLogElasticity(df: DataFrame, groupCol: String, qtyCol: String,
+                       priceCol: String): DataFrame = {
+    val rows = df.filter(col(qtyCol).isNotNull && col(priceCol).isNotNull &&
+        col(qtyCol) > 0 && col(priceCol) > 0)
+      .select(col(groupCol).as("__g"),
+        q6(log(col(priceCol).cast("double"))).as("__x"),
+        q6(log(col(qtyCol).cast("double"))).as("__y"))
+    val m = rows.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(D6)).cast("double").as("sx"),
+      sum(col("__y").cast(D6)).cast("double").as("sy"),
+      sum(q6(col("__x") * col("__x")).cast(D6)).cast("double").as("sxx"),
+      sum(q6(col("__x") * col("__y")).cast(D6)).cast("double").as("sxy"),
+      sum(q6(col("__y") * col("__y")).cast(D6)).cast("double").as("syy"))
+    def nz(d: Column): Column =
+      when(d === 0.0, lit(null).cast("double")).otherwise(d)
+    def sqp(c: Column): Column =
+      when(c < 0.0, lit(null).cast("double")).otherwise(sqrt(c))
+    val nd = nz(col("n").cast("double"))
+    val cxx = col("sxx") - col("sx") * col("sx") / nd
+    val cxy = col("sxy") - col("sx") * col("sy") / nd
+    val cyy = col("syy") - col("sy") * col("sy") / nd
+    val slope = cxy / nz(cxx)
+    val denom = sqp(cxx) * sqp(cyy)
+    m.select(col("__g").as(groupCol), col("n"),
+      slope.as("elasticity"),
+      ((col("sy") - slope * col("sx")) / nd).as("intercept"),
+      (cxy / nz(denom)).as("corr"))
+  }
+
   /** OLS inference panel — [[olsTwoFeature]]'s fit plus the classical
     * coefficient inference a readout actually needs: σ̂² = SSE/(n−3),
     * standard errors from the centered (X'X)⁻¹ cofactors over the

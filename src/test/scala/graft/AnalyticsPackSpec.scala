@@ -1330,6 +1330,48 @@ class AnalyticsPackSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(w0))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned ledger over planted months") {
+    import java.sql.Timestamp
+    def ev(u: Long, month: Int) =
+      (u, Timestamp.valueOf(f"2024-$month%02d-10 12:00:00"))
+    // u1: Jan+Feb+Mar (retained twice); u2: Jan+Mar (churns in Feb,
+    // resurrects in Mar); u3: Feb only (new in Feb, churns in Mar)
+    val rows = Seq(ev(1, 1), ev(1, 2), ev(1, 3), ev(2, 1), ev(2, 3), ev(3, 2))
+    val got = AnalyticsPack.growthAccounting(rows.toDF("user_id", "ts"))
+      .collect().map(r => r.getAs[java.sql.Date]("month").toString -> r).toMap
+    assert(got.size == 3)
+    val (jan, feb, mar) = (got("2024-01-01"), got("2024-02-01"), got("2024-03-01"))
+    assert(jan.getAs[Long]("mau") == 2L && jan.getAs[Long]("n_new") == 2L &&
+      jan.getAs[Long]("n_churned") == 0L && jan.isNullAt(jan.fieldIndex("quick_ratio")))
+    assert(feb.getAs[Long]("mau") == 2L && feb.getAs[Long]("n_new") == 1L &&
+      feb.getAs[Long]("n_retained") == 1L && feb.getAs[Long]("n_resurrected") == 0L &&
+      feb.getAs[Long]("n_churned") == 1L)
+    assert(feb.getAs[Double]("quick_ratio") == 1.0)
+    assert(mar.getAs[Long]("mau") == 2L && mar.getAs[Long]("n_retained") == 1L &&
+      mar.getAs[Long]("n_resurrected") == 1L && mar.getAs[Long]("n_churned") == 1L)
+  }
+
+  test("burstiness: a metronome reads -1, a bursty stream reads positive") {
+    import java.sql.Timestamp
+    def at(ms: Long) = new Timestamp(1700000000000L + ms)
+    // user 1 / TICK: exact 10 s metronome. user 2 / BURST: nine 1 ms
+    // gaps then a 100 s silence — sigma far above the mean
+    val tick = (0 to 10).map(i => (1L, at(i * 10000L), (i + 1).toLong, "tick"))
+    val burst = ((0 to 9).map(i => (2L, at(i.toLong), (100 + i).toLong, "burst")) :+
+      ((2L, at(100000L), 111L, "burst")))
+    val df = (tick ++ burst).toDF("user_id", "ts", "event_id", "event_type")
+    val got = AnalyticsPack.burstiness(df)
+      .collect().map(r => r.getAs[String]("event_type_norm") -> r).toMap
+    val t = got("TICK")
+    assert(t.getAs[Long]("n_gaps") == 10L)
+    assert(t.getAs[Double]("mean_gap_ms") == 10000.0)
+    assert(t.getAs[Double]("std_gap_ms") == 0.0)
+    assert(t.getAs[Double]("burstiness") == -1.0 && t.getAs[Double]("cv") == 0.0)
+    val b = got("BURST")
+    assert(b.getAs[Double]("burstiness") > 0.4)
+    assert(b.getAs[Double]("cv") > 1.0)
+  }
+
   test("benjaminiHochberg: step-up ranks, thresholds and flags; null effect survives") {
     // seg 1: all of B converts, none of A (huge z, p -> 0)
     // seg 2: identical arms (z = 0, p -> 1) — must NOT be flagged

@@ -130,6 +130,18 @@ class MlLiteSpec extends SparkSpec {
     assert(got.getAs[Boolean]("x1_significant_5pct"))
   }
 
+  test("logLogElasticity: exact power law recovers its exponent; non-positives drop") {
+    // qty = 16 / price^2 -> elasticity exactly -2 (up to the ln grid)
+    val rows = Seq(("B1", 16.0, 1.0), ("B1", 4.0, 2.0), ("B1", 1.0, 4.0),
+      ("B1", -1.0, 3.0), ("B1", 5.0, 0.0))
+    val got = MlLite.logLogElasticity(rows.toDF("brand", "qty", "price"),
+      "brand", "qty", "price").head
+    assert(got.getAs[Long]("n") == 3L)
+    assert(math.abs(got.getAs[Double]("elasticity") - (-2.0)) < 1e-4)
+    assert(math.abs(got.getAs[Double]("corr") - (-1.0)) < 1e-6)
+    assert(math.abs(got.getAs[Double]("intercept") - math.log(16.0)) < 1e-4)
+  }
+
   test("olsInference: a perfect fit yields ~zero sigma2 and exact betas") {
     val rows = for (x1 <- 0 to 9; x2 <- 0 to 6)
       yield (2.0 + 3.0 * x1 - 0.5 * x2, x1.toDouble, x2.toDouble)
