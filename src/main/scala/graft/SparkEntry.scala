@@ -844,6 +844,24 @@ object SparkEntry {
       Graph.labelPropagation(flows, "src", "dst", "w", rounds = 5)
     }),
 
+    // Newman modularity of those communities: per community
+    // Q_c = W_c/W - (S_c/2W)^2 over the undirected weighted edges —
+    // the partition-quality score next to the partition itself.
+    "graph_modularity" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.modularity(flows, "src", "dst", "w", rounds = 5)
+    }),
+
     // k-core membership over the item co-purchase graph (edges =
     // capped user-level co-occurrence with support >= 4): six fixed
     // peel rounds, exact integer degrees — the degeneracy filter
@@ -6982,6 +7000,7 @@ object SparkEntry {
 
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
       "graph_label_propagation" -> labelPropOracleSql(5),
+      "graph_modularity" -> modularityOracleSql(5),
 
       // Connected components over the median-thresholded flow graph:
       // the min-label fixpoint replayed as recursive reachability
@@ -8161,6 +8180,38 @@ object SparkEntry {
          |  FROM l${r - 1} l LEFT JOIN w$r n ON l.node = n.node)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$iters\nSELECT node, label AS community FROM l$rounds"
+  }
+
+  /** Modularity oracle: the label-propagation replay (same round
+    * count) extended with the undirected-weight aggregate and the
+    * per-community Q pieces in Graph.modularity's fixed IEEE order.
+    */
+  private def modularityOracleSql(rounds: Int): String = {
+    val body = labelPropOracleSql(rounds)
+    val cut = body.lastIndexOf("SELECT node, label AS community")
+    body.substring(0, cut).stripSuffix("\n") + ",\n" +
+      s"""lblf AS MATERIALIZED (SELECT node, label AS community FROM l$rounds),
+         |und AS MATERIALIZED (
+         |  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b,
+         |    SUM(CAST(w AS DECIMAL(28,6))) AS w
+         |  FROM e0 GROUP BY 1, 2),
+         |wt AS (SELECT SUM(w) AS tot_w FROM und),
+         |str AS (
+         |  SELECT l.community, SUM(s.w) AS strength
+         |  FROM (SELECT a AS node, w FROM und UNION ALL SELECT b AS node, w FROM und) s
+         |  JOIN lblf l ON l.node = s.node GROUP BY 1),
+         |intra AS (
+         |  SELECT la.community, SUM(u.w) AS w_intra
+         |  FROM und u JOIN lblf la ON u.a = la.node JOIN lblf lb ON u.b = lb.node
+         |  WHERE la.community = lb.community GROUP BY 1),
+         |sz AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lblf GROUP BY 1)
+         |SELECT sz.community, n_nodes,
+         |  CAST(COALESCE(w_intra, 0) AS DOUBLE) AS w_intra,
+         |  CAST(strength AS DOUBLE) AS strength,
+         |  CAST(COALESCE(w_intra, 0) AS DOUBLE) / CAST(tot_w AS DOUBLE)
+         |    - (CAST(strength AS DOUBLE) / (2.0 * CAST(tot_w AS DOUBLE)))
+         |      * (CAST(strength AS DOUBLE) / (2.0 * CAST(tot_w AS DOUBLE))) AS q_contribution
+         |FROM sz JOIN str USING (community) LEFT JOIN intra USING (community) CROSS JOIN wt""".stripMargin
   }
 
   /** The PageRank oracle, generated with the SAME iteration count and

@@ -54,6 +54,25 @@ class GraphSpec extends SparkSpec {
     Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
 
+  test("modularity: two cliques over a weak bridge score well above chance") {
+    import spark.implicits._
+    def clique(p: String) = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (s"$p$i", s"$p$j", 10L)
+    val edges = (clique("a") ++ clique("b") :+ (("a1", "b1", 1L)))
+      .toDF("src", "dst", "w")
+    val got = Graph.modularity(edges, "src", "dst", "w", rounds = 5)
+      .collect().map(r => r.getAs[String]("community") -> r).toMap
+    assert(got.size == 2)
+    // W = 121; each clique: intra 60, strength 121 (bridge counted once)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 4L)
+      assert(r.getAs[Double]("w_intra") == 60.0)
+      assert(r.getAs[Double]("strength") == 121.0)
+      assert(math.abs(r.getAs[Double]("q_contribution") - (60.0 / 121.0 - 0.25)) < 1e-12)
+    }
+  }
+
   test("assortativity: star is -1, regular ring is NULL, duplicates/orientation ignored") {
     import spark.implicits._
     // perfect star K1,3: every edge pairs degree 3 with degree 1 -> r = -1
