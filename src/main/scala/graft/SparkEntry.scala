@@ -2200,6 +2200,12 @@ object SparkEntry {
       Ann.clusterQuality(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 4, rounds = 5)),
 
+    // Centroid-based silhouette per cluster over the same model:
+    // s = (b-a)/max(a,b), mean per cluster — the separation readout.
+    "ml_kmeans_silhouette" -> ((s: SparkSession, d: String) =>
+      Ann.kmeansSilhouette(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, rounds = 5)),
+
     // Per-cluster p95 distance gate over the same model: the
     // embedding-space junk filter (out-of-band vectors flagged
     // against their OWN cluster's distance distribution).
@@ -7532,6 +7538,7 @@ object SparkEntry {
 
     "embedding_kmeans" -> kmeansOracleSql(4, 5),
     "embedding_cluster_quality" -> kmeansQualityOracleSql(4, 5),
+    "ml_kmeans_silhouette" -> kmeansSilhouetteOracleSql(4, 5),
     "embedding_outlier_filter" -> kmeansOutlierOracleSql(4, 5, 0.95),
     "embedding_coreset" -> kcenterOracleSql(8),
 
@@ -8061,6 +8068,37 @@ object SparkEntry {
          |SELECT f.vec_id, f.cluster_id, f.d2_full, t.p95_d2,
          |  f.d2_full > t.p95_d2 AS is_outlier
          |FROM full_d f JOIN thr t USING (cluster_id)""".stripMargin
+  }
+
+  /** Silhouette oracle: the kmeans replay extended with the full n×k
+    * distance pass, the (d2f, cid) argmin, the other-centroid min and
+    * the gridded per-vector s — Ann.kmeansSilhouette op-for-op.
+    */
+  private def kmeansSilhouetteOracleSql(k: Int, rounds: Int): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+    val body = kmeansOracleSql(k, rounds)
+    val cut = body.lastIndexOf("SELECT vec_id, cid AS cluster_id, d2 FROM (")
+    body.substring(0, cut).stripSuffix("\n") + ",\n" +
+      s"""allF AS MATERIALIZED (
+         |  SELECT b.vec_id, ct.cid,
+         |    ${dotSql("ct.c", "ct.c")} - CAST(2 AS DOUBLE) * ${dotSql("b.v", "ct.c")}
+         |      + ${dotSql("b.v", "b.v")} AS d2f
+         |  FROM base b CROSS JOIN cent$rounds ct),
+         |dd AS MATERIALIZED (
+         |  SELECT *, sqrt(GREATEST(0.0, d2f)) AS dist FROM allF),
+         |own AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster_id, sqrt(GREATEST(0.0, d2f)) AS a_dist
+         |  FROM allF QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2f, cid) = 1),
+         |oth AS MATERIALIZED (
+         |  SELECT d.vec_id, o.cluster_id, o.a_dist, MIN(d.dist) AS b_dist
+         |  FROM dd d JOIN own o USING (vec_id) WHERE d.cid <> o.cluster_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CAST(FLOOR((b_dist - a_dist)
+         |      / NULLIF(GREATEST(a_dist, b_dist), 0.0) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+         |    / COUNT(*) AS mean_silhouette
+         |FROM oth GROUP BY 1""".stripMargin
   }
 
   /** The power-iteration PCA oracle — scatter panel, fixed-round

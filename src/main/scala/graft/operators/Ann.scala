@@ -343,6 +343,53 @@ object Ann {
         col("p95_d2"), (col("d2_full") > col("p95_d2")).as("is_outlier"))
   }
 
+  /** Centroid-based (simplified) silhouette per cluster over the
+    * trained [[kmeans]] — `s = (b − a)/max(a, b)` with `a` the
+    * distance to the OWN centroid and `b` the distance to the nearest
+    * OTHER centroid: the classic "are these clusters actually
+    * separated" readout next to [[clusterQuality]]'s compactness
+    * ratio (full silhouette needs all pairwise point distances — the
+    * centroid form is the standard large-n surrogate and keeps the
+    * plan at one n×k pass). Mean s per cluster; s near 1 = well
+    * separated, near 0 = boundary soup, negative = likely
+    * misassigned.
+    *
+    * Scale shape: ONE n×k distance pass (checkpointed slim — it
+    * feeds the argmin panel and the other-centroid min), the argmin
+    * by the same (distance, cid) total order the assigner uses, and
+    * a ≤-k aggregate; each per-vector s is a full-entropy quotient
+    * floor-gridded to 1e-6 before its DECIMAL partial (§5). sqrt
+    * rides a GREATEST(0, ·) clamp — the d² expression can dip a few
+    * ulp below zero and DuckDB raises on sqrt(<0).
+    */
+  def kmeansSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, rounds: Int = 5): DataFrame = {
+    val d28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    def grid6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    val (base, cents) = kmeansCents(emb, idCol, vecCol, k, rounds)
+    val alld = base.crossJoin(broadcast(cents))
+      .withColumn("d2f", dot(col("c"), col("c"))
+        - lit(2.0) * dot(col("v"), col("c")) + dot(col("v"), col("v")))
+      .select(col("vec_id"), col("cid"), col("d2f"),
+        sqrt(greatest(lit(0.0), col("d2f"))).as("dist"))
+      .localCheckpoint(true)
+    val own = alld.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2f"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster_id"),
+        sqrt(greatest(lit(0.0), col("m.d2f"))).as("a_dist"))
+    val oth = alld.join(own, "vec_id")
+      .filter(col("cid") =!= col("cluster_id"))
+      .groupBy(col("vec_id"), col("cluster_id"), col("a_dist"))
+      .agg(min(col("dist")).as("b_dist"))
+    val s = grid6((col("b_dist") - col("a_dist")) /
+      when(greatest(col("a_dist"), col("b_dist")) === 0.0, lit(null))
+        .otherwise(greatest(col("a_dist"), col("b_dist"))))
+    oth.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(s.cast(d28)).cast("double") / count(lit(1)))
+          .as("mean_silhouette"))
+  }
+
   private def kmeansAssign(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
       .withColumn("d2", dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")))

@@ -294,6 +294,23 @@ class AnnSpec extends SparkSpec {
     assert(k1.head.isNullAt(k1.head.fieldIndex("compactness_ratio")))
   }
 
+  test("kmeansSilhouette: tight well-separated bundles score near 1") {
+    val rnd = new scala.util.Random(7)
+    def bundle(center: Array[Float], ids: Range) = ids.map { i =>
+      (i.toLong, center.map(c => c + (rnd.nextDouble() * 0.02).toFloat))
+    }
+    val emb = (bundle(Array(1f, 0f, 0f, 0f), 0 until 20) ++
+      bundle(Array(0f, 1f, 0f, 0f), 20 until 40)).toDF("vec_id", "embedding")
+    val got = Ann.kmeansSilhouette(emb, "vec_id", "embedding", k = 2, rounds = 5)
+      .collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("n_members")).sum == 40L)
+    got.foreach { r =>
+      assert(r.getAs[Double]("mean_silhouette") > 0.9,
+        s"cluster ${r.getLong(0)}: ${r.getAs[Double]("mean_silhouette")}")
+    }
+  }
+
   test("clusterOutliers: planted far point flagged against its own cluster's band") {
     val rnd = new scala.util.Random(13)
     def bundle(center: Array[Float], ids: Range) = ids.map { i =>
