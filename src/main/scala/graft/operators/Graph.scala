@@ -83,14 +83,21 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    // node-sized panel, checkpointed + counted once: the count gates
+    // the two decoration joins to broadcast (stats-less aggregate
+    // outputs would SMJ statically), falling back to shuffle at scale
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    val degRows = deg.count()
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val da = col("da").cast(d19)
     val db = col("db").cast(d19)
     val m = e
-      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .join(bcastIfSmall(deg.select(col("node").as("a"),
+        col("degree").as("da")), degRows), "a")
+      .join(bcastIfSmall(deg.select(col("node").as("b"),
+        col("degree").as("db")), degRows), "b")
       .agg(count(lit(1)).as("n_edges"),
         sum(da + db).as("s1"),
         sum(da * da + db * db).as("s2"),
@@ -302,8 +309,10 @@ object Graph {
     val wd = col("tot_w").cast("double")
     val wi = coalesce(col("w_intra"), lit(0).cast(d6)).cast("double")
     val st = col("strength").cast("double")
-    sizes.join(strengths, Seq("community"), "left")
-      .join(intra, Seq("community"), "left")
+    // community panels are ≤ lblRows (stats-less aggregate outputs —
+    // the static planner would SMJ them); reuse the label count gate
+    sizes.join(bcastIfSmall(strengths, lblRows), Seq("community"), "left")
+      .join(bcastIfSmall(intra, lblRows), Seq("community"), "left")
       .crossJoin(broadcast(wTot))
       .select(col("community"), col("n_nodes"),
         wi.as("w_intra"), st.as("strength"),

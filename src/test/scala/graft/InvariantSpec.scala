@@ -56,7 +56,13 @@ class InvariantSpec extends SparkSpec {
       "recsys_item_cosine", "recsys_recommend", "graph_k_core",
       "graph_link_prediction", "corpus_curation_pipeline",
       "dedup_recall_eval", "geo_nearest_stop", "dedup_clusters",
-      "bpe_encode", "dedup_corpus_keep", "embedding_pca_project")
+      "bpe_encode", "dedup_corpus_keep", "embedding_pca_project",
+      // the r9 rank-bracket quantile family + graph additions — the
+      // PrefixSum range exchange and the checkpointed panels must
+      // never degrade into SMJ (checkpoints carry no stats)
+      "table_quantiles", "table_outlier_iqr", "anomaly_mad",
+      "ana_wait_percentiles", "embedding_outlier_filter",
+      "graph_modularity", "graph_assortativity", "ana_growth_accounting")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -95,7 +101,17 @@ class InvariantSpec extends SparkSpec {
       "dedup_recall_eval",
       // bpe_encode: each encode round crosses the corpus with the
       // broadcast 1-ROW merge-rule panel for that round — n × 1.
-      "bpe_encode")
+      "bpe_encode",
+      // the exactQuantilesBy family: the group-totals rebase is a
+      // triangular self-join on struct(groups) < struct(groups) — a
+      // ≤-groups panel² inequality join (the table_corr_kendall
+      // class; groups = profiled columns / event types / k clusters)
+      "table_quantiles", "table_outlier_iqr", "anomaly_mad",
+      "ana_wait_percentiles", "embedding_outlier_filter",
+      // graph_modularity / graph_assortativity: the broadcast 1-ROW
+      // total-weight / node-count panel crossed onto the moment
+      // panel — the 1-row-totals class
+      "graph_modularity", "graph_assortativity")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
