@@ -1243,6 +1243,12 @@ object SparkEntry {
     "ana_burstiness" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.burstiness(t(s, d, "events"))),
 
+    // HHI concentration of activity across users per type: exact
+    // integer sum-of-squares, one terminal division; 1/H = effective
+    // participant count.
+    "ana_concentration_hhi" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.concentrationHhi(t(s, d, "events"))),
+
     "ana_interarrival" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.interarrivalStats(t(s, d, "events"))),
 
@@ -6326,6 +6332,29 @@ object SparkEntry {
           |  CAST(n_new + n_resurrected AS DOUBLE)
           |    / NULLIF(CAST(COALESCE(ch.n_churned, CAST(0 AS BIGINT)) AS DOUBLE), 0.0) AS quick_ratio
           |FROM mau m LEFT JOIN ch ON ch.month = m.month""".stripMargin,
+
+      // AnalyticsPack.concentrationHhi mirrored: exact integer
+      // sum-of-squares, identical terminal divisions.
+      "ana_concentration_hhi" ->
+        """WITH pu AS (
+          |  SELECT UPPER(TRIM(event_type)) AS event_type_norm, user_id,
+          |    CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+          |m AS (
+          |  SELECT event_type_norm,
+          |    CAST(COUNT(*) AS BIGINT) AS n_users,
+          |    CAST(SUM(n) AS BIGINT) AS n_events,
+          |    SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS s2
+          |  FROM pu GROUP BY 1),
+          |h AS (
+          |  SELECT *,
+          |    CAST(s2 AS DOUBLE) / NULLIF(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE), 0.0) AS hhi,
+          |    1.0 / NULLIF(CAST(n_users AS DOUBLE), 0.0) AS inv_n
+          |  FROM m)
+          |SELECT event_type_norm, n_users, n_events, hhi,
+          |  (hhi - inv_n) / NULLIF(1.0 - inv_n, 0.0) AS hhi_normalized,
+          |  1.0 / NULLIF(hhi, 0.0) AS effective_users
+          |FROM h""".stripMargin,
 
       // AnalyticsPack.burstiness mirrored: same per-user gap lag,
       // exact decimal moments, fixed-order IEEE panel math.

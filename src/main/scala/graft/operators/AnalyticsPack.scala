@@ -1086,6 +1086,43 @@ object AnalyticsPack {
           / nz(col("n_churned").cast("double"))).as("quick_ratio"))
   }
 
+  /** Herfindahl–Hirschman concentration per event type — how
+    * concentrated activity is across users: `HHI = Σ s_u²` over user
+    * shares, emitted with the normalized form `(H − 1/n)/(1 − 1/n)`
+    * and the effective participant count `1/H` — the concentration
+    * complement to [[giniDemand]]'s inequality curve (HHI is the
+    * antitrust/market convention and 1/H reads directly as "how many
+    * equal-weight users this behaves like").
+    *
+    * Engine parity is EXACT, not gridded: `Σ (n_u/N)² = Σ n_u² / N²`,
+    * so the data-sized sum is the integer `Σ n_u²` (counts cast to
+    * DECIMAL before squaring — the overflow discipline) and the only
+    * floating op is one terminal division per type. Scale shape: two
+    * partial-agg shuffles ((type, user) collapse, then the type
+    * panel); no window, no driver structure. A single-user type has
+    * NULL normalized HHI (the 1 − 1/n guard).
+    */
+  def concentrationHhi(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    def nz(c: Column) = when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(upper(trim(col("event_type"))).as("event_type_norm"),
+        col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+    val m = perUser.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__n").cast(d19) * col("__n").cast(d19)).as("__s2"))
+    val hhi = col("__s2").cast("double") /
+      nz(col("n_events").cast("double") * col("n_events").cast("double"))
+    val invN = lit(1.0) / nz(col("n_users").cast("double"))
+    m.select(col("event_type_norm"), col("n_users"), col("n_events"),
+      hhi.as("hhi"),
+      ((hhi - invN) / nz(lit(1.0) - invN)).as("hhi_normalized"),
+      (lit(1.0) / nz(hhi)).as("effective_users"))
+  }
+
   /** Burstiness panel per event type — Goh–Barabási
     * `B = (σ − μ)/(σ + μ)` and the coefficient of variation over the
     * same within-user inter-arrival gaps as [[interarrivalStats]]:

@@ -1351,6 +1351,24 @@ class AnalyticsPackSpec extends SparkSpec {
       mar.getAs[Long]("n_resurrected") == 1L && mar.getAs[Long]("n_churned") == 1L)
   }
 
+  test("concentrationHhi: monopoly reads 1, equal split reads 1/n, effective users exact") {
+    // type A: one user owns all 10 events -> HHI 1, normalized 1 over
+    // 2 users? plant: u1 has 9, u2 has 1 -> HHI = (81+1)/100
+    // type B: 4 users x 5 events each -> HHI = 1/4, normalized 0
+    val rows = Seq.fill(9)((1L, "a")) ++ Seq((2L, "a")) ++
+      (1 to 4).flatMap(u => Seq.fill(5)((u.toLong + 10L, "b")))
+    val got = AnalyticsPack.concentrationHhi(rows.toDF("user_id", "event_type"))
+      .collect().map(r => r.getAs[String]("event_type_norm") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_users") == 2L && a.getAs[Long]("n_events") == 10L)
+    assert(a.getAs[Double]("hhi") == 0.82)
+    assert(math.abs(a.getAs[Double]("hhi_normalized") - (0.82 - 0.5) / 0.5) < 1e-12)
+    val b = got("B")
+    assert(b.getAs[Double]("hhi") == 0.25)
+    assert(b.getAs[Double]("hhi_normalized") == 0.0)
+    assert(b.getAs[Double]("effective_users") == 4.0)
+  }
+
   test("burstiness: a metronome reads -1, a bursty stream reads positive") {
     import java.sql.Timestamp
     def at(ms: Long) = new Timestamp(1700000000000L + ms)
