@@ -1249,6 +1249,12 @@ object SparkEntry {
     "ana_concentration_hhi" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.concentrationHhi(t(s, d, "events"))),
 
+    // Mood's median test: global rank-bracket median, k x 2
+    // above/below counts, gridded chi2 — the outlier-immune
+    // shared-center screen before Kruskal-Wallis.
+    "ana_median_test" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.medianTest(t(s, d, "events"))),
+
     "ana_interarrival" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.interarrivalStats(t(s, d, "events"))),
 
@@ -6332,6 +6338,42 @@ object SparkEntry {
           |  CAST(n_new + n_resurrected AS DOUBLE)
           |    / NULLIF(CAST(COALESCE(ch.n_churned, CAST(0 AS BIGINT)) AS DOUBLE), 0.0) AS quick_ratio
           |FROM mau m LEFT JOIN ch ON ch.month = m.month""".stripMargin,
+
+      // AnalyticsPack.medianTest mirrored: quantile_cont median, k x 2
+      // counts, gridded (O-E)^2/E decimal partials.
+      "ana_median_test" ->
+        """WITH ev AS (
+          |  SELECT UPPER(TRIM(event_type)) AS event_type_norm, value
+          |  FROM events WHERE value IS NOT NULL),
+          |md AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS m FROM ev),
+          |cnt AS (
+          |  SELECT event_type_norm,
+          |    CAST(SUM(CASE WHEN value > m THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+          |    CAST(SUM(CASE WHEN value <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_below_eq
+          |  FROM ev, md GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+          |    CAST(SUM(n_below_eq) AS BIGINT) AS tb,
+          |    CAST(COUNT(*) AS BIGINT) AS k
+          |  FROM cnt),
+          |wt AS (
+          |  SELECT c.*, t.ta, t.tb, t.k, t.ta + t.tb AS n,
+          |    c.n_above + c.n_below_eq AS rg
+          |  FROM cnt c CROSS JOIN tot t),
+          |ex AS (
+          |  SELECT *,
+          |    CAST(rg AS DOUBLE) * CAST(ta AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0) AS ea,
+          |    CAST(rg AS DOUBLE) * CAST(tb AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0) AS eb
+          |  FROM wt),
+          |ch AS (
+          |  SELECT CAST(
+          |      SUM(CAST(FLOOR((CAST(n_above AS DOUBLE) - ea) * (CAST(n_above AS DOUBLE) - ea) / NULLIF(ea, 0.0) * 1e6) / 1e6 AS DECIMAL(28,6)))
+          |      + SUM(CAST(FLOOR((CAST(n_below_eq AS DOUBLE) - eb) * (CAST(n_below_eq AS DOUBLE) - eb) / NULLIF(eb, 0.0) * 1e6) / 1e6 AS DECIMAL(28,6)))
+          |    AS DOUBLE) AS chi2,
+          |    CAST(MAX(k) - 1 AS BIGINT) AS dof
+          |  FROM ex)
+          |SELECT event_type_norm, n_above, n_below_eq, ea AS exp_above, chi2, dof
+          |FROM ex CROSS JOIN ch""".stripMargin,
 
       // AnalyticsPack.concentrationHhi mirrored: exact integer
       // sum-of-squares, identical terminal divisions.

@@ -1086,6 +1086,63 @@ object AnalyticsPack {
           / nz(col("n_churned").cast("double"))).as("quick_ratio"))
   }
 
+  /** Mood's median test across event types — the nonparametric
+    * "do these groups share a center" screen that needs nothing but
+    * counts: split every value at the GLOBAL median (from
+    * [[Profiling.exactQuantilesBy]]'s rank brackets — the value
+    * column is near-unique), count above/at-or-below per group, and
+    * chi-square the k×2 table. Cruder than Kruskal–Wallis but
+    * outlier-immune to the point of ignoring everything except the
+    * side of the median — the right first question for heavy-tailed
+    * measures. Emits the per-group counts panel AND the single-row
+    * verdict columns (chi2, dof) repeated per group row.
+    *
+    * Scale shape: the rank-bracket median, one broadcast of the 1-row
+    * median panel, one ≤-groups counting aggregate, then panel math;
+    * each (O−E)²/E term floor-grids to 1e-6 before its DECIMAL
+    * partial (panel rows can land in different partitions — the
+    * multi-row double-sum rule). Zero-expected cells yield NULL chi2
+    * via NULLIF.
+    */
+  def medianTest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(28, 6)
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def nz(c: Column) = when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val ev = events.filter(col("value").isNotNull)
+      .select(upper(trim(col("event_type"))).as("event_type_norm"), col("value"))
+      .localCheckpoint(true)
+    val med = Profiling.exactQuantilesBy(ev, Seq.empty, "value", Seq(0.5))
+      .select(col("value").as("__med"))
+    val cnt = ev.crossJoin(broadcast(med))
+      .groupBy(col("event_type_norm"))
+      .agg(sum(when(col("value") > col("__med"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("value") <= col("__med"), 1L).otherwise(0L)).as("n_below_eq"))
+      .localCheckpoint(true)
+    val tot = cnt.agg(sum(col("n_above")).as("__ta"),
+      sum(col("n_below_eq")).as("__tb"),
+      count(lit(1)).as("__k"))
+    val withTot = cnt.crossJoin(broadcast(tot))
+      .withColumn("__n", col("__ta") + col("__tb"))
+      .withColumn("__rg", col("n_above") + col("n_below_eq"))
+    val ea = col("__rg").cast("double") * col("__ta").cast("double") /
+      nz(col("__n").cast("double"))
+    val eb = col("__rg").cast("double") * col("__tb").cast("double") /
+      nz(col("__n").cast("double"))
+    val termA = grid6((col("n_above").cast("double") - ea) *
+      (col("n_above").cast("double") - ea) / nz(ea))
+    val termB = grid6((col("n_below_eq").cast("double") - eb) *
+      (col("n_below_eq").cast("double") - eb) / nz(eb))
+    val chi2 = withTot
+      .agg((sum(termA.cast(d6)) + sum(termB.cast(d6))).as("__chi2d"),
+        max(col("__k")).as("__kk"))
+      .select(col("__chi2d").cast("double").as("chi2"),
+        (col("__kk") - 1L).as("dof"))
+    withTot.select(col("event_type_norm"), col("n_above"), col("n_below_eq"),
+        ea.as("exp_above"))
+      .crossJoin(broadcast(chi2))
+  }
+
   /** Herfindahl–Hirschman concentration per event type — how
     * concentrated activity is across users: `HHI = Σ s_u²` over user
     * shares, emitted with the normalized form `(H − 1/n)/(1 − 1/n)`

@@ -1351,6 +1351,29 @@ class AnalyticsPackSpec extends SparkSpec {
       mar.getAs[Long]("n_resurrected") == 1L && mar.getAs[Long]("n_churned") == 1L)
   }
 
+  test("medianTest: shifted group splits cleanly off the median; identical groups score 0") {
+    // A sits wholly below the global median, B wholly above; C is the
+    // bulk straddling it -> big chi2. Identical groups -> chi2 = 0.
+    val shifted = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("b", 100.0)) ++
+      (1 to 20).map(i => ("c", 40.0 + i)))
+      .toDF("event_type", "value")
+    val got = AnalyticsPack.medianTest(shifted)
+      .collect().map(r => r.getAs[String]("event_type_norm") -> r).toMap
+    assert(got.size == 3)
+    val a = got("A")
+    assert(a.getAs[Long]("n_above") == 0L && a.getAs[Long]("n_below_eq") == 10L)
+    assert(got("B").getAs[Long]("n_above") == 10L)
+    assert(a.getAs[Long]("dof") == 2L)
+    assert(a.getAs[Double]("chi2") == 20.0)
+    // exp_above = rowTotal * totalAbove / N = 10 * 20 / 40 = 5
+    assert(a.getAs[Double]("exp_above") == 5.0)
+    val same = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("a", 3.0)) ++
+      Seq.fill(10)(("b", 1.0)) ++ Seq.fill(10)(("b", 3.0)))
+      .toDF("event_type", "value")
+    val s = AnalyticsPack.medianTest(same).head
+    assert(s.getAs[Double]("chi2") == 0.0 && s.getAs[Long]("dof") == 1L)
+  }
+
   test("concentrationHhi: monopoly reads 1, equal split reads 1/n, effective users exact") {
     // type A: one user owns all 10 events -> HHI 1, normalized 1 over
     // 2 users? plant: u1 has 9, u2 has 1 -> HHI = (81+1)/100
