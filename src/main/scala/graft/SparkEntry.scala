@@ -2092,9 +2092,10 @@ object SparkEntry {
         nQueries = 10, k = 5, nProbe = 6, shortlistFactor = 8)),
 
     // JL random projection 64 -> 16 dims (seeded Rademacher matrix;
-    // rows-only — the seeded matrix is not oracle-expressible). Long
-    // form (vec_id, dim_pos, component): flat sortable schema, no
-    // nested array column in the driver-checked output.
+    // oracle-checked: both sides embed the SAME driver-generated
+    // matrix literals, so the replay is the left-fold dot parity).
+    // Long form (vec_id, dim_pos, component): flat sortable schema,
+    // no nested array column in the driver-checked output.
     "embedding_random_projection" -> ((s: SparkSession, d: String) =>
       Ann.randomProjectLong(t(s, d, "embeddings"), "vec_id", "embedding",
         inDim = 64, outDim = 16)),
@@ -7610,6 +7611,7 @@ object SparkEntry {
     "embedding_kmeans" -> kmeansOracleSql(4, 5),
     "embedding_cluster_quality" -> kmeansQualityOracleSql(4, 5),
     "ml_kmeans_silhouette" -> kmeansSilhouetteOracleSql(4, 5),
+    "embedding_random_projection" -> randomProjectionOracleSql(64, 16, 42L),
     "embedding_outlier_filter" -> kmeansOutlierOracleSql(4, 5, 0.95),
     "embedding_coreset" -> kcenterOracleSql(8),
 
@@ -8139,6 +8141,31 @@ object SparkEntry {
          |SELECT f.vec_id, f.cluster_id, f.d2_full, t.p95_d2,
          |  f.d2_full > t.p95_d2 AS is_outlier
          |FROM full_d f JOIN thr t USING (cluster_id)""".stripMargin
+  }
+
+  /** JL projection oracle: the SAME seeded Rademacher matrix the
+    * operator embeds as literals (both sides are generated by this
+    * JVM from the same java.util.Random sequence), replayed with the
+    * left-fold dot product (the annOracleSql bit-parity precedent)
+    * and the identical terminal scale multiply.
+    */
+  private def randomProjectionOracleSql(inDim: Int, outDim: Int,
+                                        seed: Long): String = {
+    val rnd = new java.util.Random(seed)
+    val mat = Seq.fill(outDim)(Array.fill(inDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    def fold(row: Array[Double]): String = {
+      val lst = row.map(x => if (x > 0) "1" else "-1").mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip(v, CAST($lst AS DOUBLE[])), p -> p[1] * p[2])), (x, y) -> x + y)"
+    }
+    val branches = mat.zipWithIndex.map { case (row, j) =>
+      s"""SELECT vec_id, $j AS dim_pos,
+         |  ${fold(row)} * CAST('${scale.toString}' AS DOUBLE) AS component
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |$branches""".stripMargin
   }
 
   /** Silhouette oracle: the kmeans replay extended with the full n×k
