@@ -1477,6 +1477,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text")),
 
+    // Dedup-rate curve: per Jaccard threshold, surviving pairs, docs
+    // removed under keep-lowest-id, and the removed corpus share —
+    // the threshold-selection evidence before a near-dup commit.
+    "dedup_rate_curve" -> ((s: SparkSession, d: String) =>
+      TextDedup.dedupRateCurve(t(s, d, "documents"), "doc_id", "text")),
+
     // Prefix-filtered EXACT similarity join (AllPairs/PPJoin): the
     // complete Jaccard pair set with no df-cap recall loss — the
     // threshold itself bounds the candidate join.
@@ -8774,6 +8780,27 @@ object SparkEntry {
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
+
+      // TextDedup.dedupRateCurve mirrored: the pair replay nested as
+      // a CTE, threshold fan-out, keep-lowest-id loser counts, one
+      // guarded share quotient.
+      "dedup_rate_curve" ->
+        s"""WITH pr AS (${jaccardPairsOracleSql(toksSql, shinglesSql)}),
+           |thr AS (SELECT UNNEST(CAST([0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS threshold),
+           |tot AS (
+           |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           |hits AS (
+           |  SELECT t.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(COUNT(DISTINCT GREATEST(p.doc_a, p.doc_b)) AS BIGINT) AS n_docs_removed
+           |  FROM thr t JOIN pr p ON t.threshold <= p.jaccard GROUP BY 1)
+           |SELECT t.threshold,
+           |  COALESCE(h.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+           |  COALESCE(h.n_docs_removed, CAST(0 AS BIGINT)) AS n_docs_removed,
+           |  n_docs,
+           |  CAST(COALESCE(h.n_docs_removed, CAST(0 AS BIGINT)) AS DOUBLE)
+           |    / CAST(n_docs AS DOUBLE) AS pct_removed
+           |FROM thr t LEFT JOIN hits h ON h.threshold = t.threshold CROSS JOIN tot""".stripMargin,
 
       // The UNCAPPED exact pair set: the oracle computes the true
       // all-pairs join directly (feasible at oracle SF); the Spark

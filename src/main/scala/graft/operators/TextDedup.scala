@@ -100,6 +100,53 @@ object TextDedup {
     * input — they cannot pair — but still count toward union sizes,
     * keeping Jaccard exact.
     */
+  /** Dedup-rate curve — how much of the corpus a near-dup pass would
+    * remove AT EACH candidate Jaccard threshold: per threshold τ, the
+    * surviving-pair count, the documents removed under the
+    * keep-lowest-id rule (the loser is `greatest(doc_a, doc_b)` —
+    * [[jaccardPairs]]' canonical orientation), and the removed share
+    * of the corpus. THE panel a curation run reads before committing
+    * to a threshold: too low eats paraphrases, too high keeps
+    * boilerplate, and the knee is data-dependent.
+    *
+    * Scale shape: ONE [[jaccardPairs]] pass at the lowest threshold
+    * (checkpointed slim), each pair fanned out to the ≤-thresholds it
+    * clears via an array-literal filter+explode (no join against the
+    * pair set), a ≤-thresholds aggregate, and 1-row corpus-size
+    * panel. `thresholds` must all be ≥ the 0.5 base — pairs below the
+    * base never materialize. The removed share is one raw IEEE
+    * quotient per panel row.
+    */
+  def dedupRateCurve(df: DataFrame, idCol: String, textCol: String,
+                     thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+                     n: Int = 3, maxDf: Int = 1000): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 0.5 && t <= 1.0),
+      s"thresholds must sit in [0.5, 1]: $thresholds")
+    val pairs = jaccardPairs(df, idCol, textCol, n, 0.5, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(true)
+    val hits = pairs
+      .select(col("doc_a"), col("doc_b"),
+        explode(filter(typedlit(thresholds.toArray),
+          t => t <= col("jaccard"))).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(greatest(col("doc_a"), col("doc_b"))).as("n_docs_removed"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thrPanel = thresholds.toDF("threshold")
+    val total = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    thrPanel.join(broadcast(hits), Seq("threshold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
+        col("n_docs"),
+        (coalesce(col("n_docs_removed"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("pct_removed"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {

@@ -41,6 +41,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)) && !pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedupRateCurve: removal monotonically shrinks as the threshold rises") {
+    val got = TextDedup.dedupRateCurve(docs, "doc_id", "text",
+        thresholds = Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    assert(got.size == 2)
+    val (lo, hi) = (got(0.5), got(0.9))
+    // every row sees the full 5-doc corpus
+    assert(lo.getAs[Long]("n_docs") == 5L && hi.getAs[Long]("n_docs") == 5L)
+    // tau=0.5 catches the exact dup (1,3) and the near-dup pairs;
+    // losers are {2, 3} -> 2 removed; tau=0.9 keeps only jaccard-1.0
+    // pairs -> loser {3} only
+    assert(lo.getAs[Long]("n_docs_removed") == 2L)
+    assert(hi.getAs[Long]("n_docs_removed") == 1L)
+    assert(lo.getAs[Long]("n_pairs") > hi.getAs[Long]("n_pairs"))
+    assert(lo.getAs[Double]("pct_removed") == 0.4)
+    assert(hi.getAs[Double]("pct_removed") == 0.2)
+  }
+
   test("prefixFilterPairs: exact pair set, equals uncapped jaccardPairs") {
     // Same output as the df-capped generator when the cap doesn't bind
     // — here on the fixture, and by construction the complete set.
