@@ -3034,6 +3034,16 @@ object SparkEntry {
             coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
         "value", "is_new")),
 
+    // Cramer-von Mises over the same split: the whole-curve squared
+    // EDF gap next to KS's worst single point — catches spread/tail
+    // drift KS misses.
+    "data_drift_cvm" -> ((s: SparkSession, d: String) =>
+      Drift.cvmStatistic(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .withColumn("is_new",
+            coalesce((to_date(col("ts")) > lit("2024-01-15")).cast("int"), lit(0))),
+        "value", "is_new")),
+
     // Wasserstein-1 drift over the same old/new snapshot split —
     // "how much mass moved how far" next to KS's worst-point gap;
     // ECDF differences integrated over the value axis via the same
@@ -3535,6 +3545,48 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
         |  tot_old AS n_old, tot_new AS n_new
         |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
+
+    // Drift.cvmStatistic mirrored: same distinct counts + cumulative
+    // window, gridded squared gaps times exact decimal weights, the
+    // identical n*m/(n+m)^2 panel factor.
+    "data_drift_cvm" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL),
+        |pv AS (
+        |  SELECT value,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old_v,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new_v
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old_v) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new_v) AS BIGINT) AS tot_new,
+        |         CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM pv),
+        |c AS (
+        |  SELECT value, n_old_v, n_new_v,
+        |    SUM(n_old_v) OVER (ORDER BY value) AS cum_old,
+        |    SUM(n_new_v) OVER (ORDER BY value) AS cum_new
+        |  FROM pv),
+        |dd AS (
+        |  SELECT n_old_v, n_new_v,
+        |    cum_old / CAST(CASE WHEN tot_old > 0 THEN tot_old END AS DOUBLE)
+        |      - cum_new / CAST(CASE WHEN tot_new > 0 THEN tot_new END AS DOUBLE) AS d,
+        |    tot_old, tot_new, nd
+        |  FROM c, tot),
+        |ag AS (
+        |  SELECT SUM(CAST(n_old_v + n_new_v AS DECIMAL(19,0))
+        |      * CAST(FLOOR(d * d * 1e6) / 1e6 AS DECIMAL(28,6))) AS s,
+        |    MAX(tot_old) AS n_old, MAX(tot_new) AS n_new, MAX(nd) AS nd
+        |  FROM dd)
+        |SELECT
+        |  CAST(s AS DOUBLE) * (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)
+        |    / ((CAST(n_old AS DOUBLE) + CAST(n_new AS DOUBLE))
+        |      * (CAST(n_old AS DOUBLE) + CAST(n_new AS DOUBLE)))) AS cvm_stat,
+        |  CAST(s AS DOUBLE) AS sum_sq_weighted,
+        |  nd AS n_distinct_values, n_old, n_new
+        |FROM ag""".stripMargin,
 
     // MMD²: the proven list_reduce dot fold, explicit (1+d/l)² multiply
     // (no POW), 1e-6 grid, DECIMAL(28,6) partials, edge divisions.

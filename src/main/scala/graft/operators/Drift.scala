@@ -303,6 +303,51 @@ object Drift {
         col("tot_new").as("n_new"))
   }
 
+  /** Two-sample Cramér–von Mises statistic over the same old/new
+    * split — the WHOLE-curve EDF distance next to KS's single worst
+    * point: `T = (n·m/(n+m)²) · Σ_pooled (F(x) − G(x))²`, summing the
+    * squared ECDF gap at every pooled observation (each distinct
+    * value weighted by its multiplicity). More powerful than KS
+    * against spread/tail differences that never open one large gap.
+    *
+    * Scale shape: the [[ksStatistic]] machinery exactly — distinct
+    * (value, side) counts (checkpointed: prefix + totals consume it),
+    * the two-phase [[PrefixSum]] for cumulative counts, then ONE
+    * aggregate: each squared gap floor-grids to 1e-6 before its
+    * DECIMAL cast and multiplies the exact integer weight in DECIMAL
+    * (order-free partials); the n·m/(n+m)² factor is a fixed IEEE
+    * sequence on the 1-row panel. An empty side yields NULL.
+    */
+  def cvmStatistic(df: DataFrame, valueCol: String, isNewCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perVal = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))
+      .groupBy(col("value"))
+      .agg(sum(lit(1) - col("is_new")).as("n_old_v"), sum(col("is_new")).as("n_new_v"))
+      .localCheckpoint(true)
+    val cum = PrefixSum.globalOrderedN(perVal, Seq(col("value")),
+      Seq("n_old_v", "n_new_v"))
+    val tot = perVal.agg(sum(col("n_old_v")).as("tot_old"),
+      sum(col("n_new_v")).as("tot_new"),
+      count(lit(1)).as("n_distinct_values"))
+    val diff =
+      col("prefix_n_old_v") / when(col("tot_old") > 0, col("tot_old").cast("double")) -
+      col("prefix_n_new_v") / when(col("tot_new") > 0, col("tot_new").cast("double"))
+    val term = (col("n_old_v") + col("n_new_v")).cast(DecimalType(19, 0)) *
+      (floor(diff * diff * lit(1e6)) / lit(1e6)).cast(DecimalType(28, 6))
+    val agg = cum.crossJoin(broadcast(tot))
+      .agg(sum(term).as("__s"), max(col("tot_old")).as("n_old"),
+        max(col("tot_new")).as("n_new"),
+        max(col("n_distinct_values")).as("n_distinct_values"))
+    val no = col("n_old").cast("double")
+    val nn = col("n_new").cast("double")
+    agg.select(
+      (col("__s").cast("double") * (no * nn / ((no + nn) * (no + nn))))
+        .as("cvm_stat"),
+      col("__s").cast("double").as("sum_sq_weighted"),
+      col("n_distinct_values"), col("n_old"), col("n_new"))
+  }
+
   def ksStatistic(df: DataFrame, valueCol: String, isNewCol: String): DataFrame = {
     val perVal = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("value"), col(isNewCol).cast("int").as("is_new"))

@@ -85,6 +85,19 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets_used") == 2L)
   }
 
+  test("cvmStatistic: hand-computed disjoint case; identical samples score zero") {
+    // old {1,2}, new {3,4}: gaps 0.5,1,0.5,0 squared -> sum 1.5,
+    // scale (2*2)/(4*4) = 0.25 -> T = 0.375 exactly (grid-exact terms)
+    val r = Drift.cvmStatistic(frame(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      "value", "is_new").collect()(0)
+    assert(r.getAs[Double]("cvm_stat") == 0.375)
+    assert(r.getAs[Double]("sum_sq_weighted") == 1.5)
+    assert(r.getAs[Long]("n_distinct_values") == 4L)
+    val same = Drift.cvmStatistic(frame(Seq(2.0, 5.0, 9.0), Seq(2.0, 5.0, 9.0)),
+      "value", "is_new").collect()(0)
+    assert(same.getAs[Double]("cvm_stat") == 0.0)
+  }
+
   test("ksStatistic: disjoint samples reach D = 1 at the old sample's max") {
     val r = Drift.ksStatistic(frame(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
       "value", "is_new").collect()(0)
