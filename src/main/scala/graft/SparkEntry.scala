@@ -1333,6 +1333,13 @@ object SparkEntry {
       MlLite.aucRoc(t(s, d, "events"), "value",
         upper(trim(col("event_type"))) === "PURCHASE")),
 
+    // Exact average precision (PR-AUC) over the same score/label: the
+    // imbalanced-data metric next to ROC AUC, block-wise over the
+    // distinct-score panel with its prevalence floor.
+    "ml_avg_precision" -> ((s: SparkSession, d: String) =>
+      MlLite.averagePrecision(t(s, d, "events"), "value",
+        upper(trim(col("event_type"))) === "PURCHASE")),
+
     // Brier + log-loss of the hour-of-day rate baseline for the same
     // label — the proper-scoring floor a real model must beat; the
     // row sums collapse onto the 24-row hour panel algebraically.
@@ -5124,6 +5131,39 @@ object SparkEntry {
           |      / NULLIF(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0) AS auc
           |  FROM agg)
           |SELECT n_pos, n_neg, auc, 2.0 * auc - 1.0 AS gini FROM a""".stripMargin,
+
+      // MlLite.averagePrecision mirrored: ascending cumulative panel,
+      // >= -score cumulatives by subtraction, gridded block precision
+      // times exact decimal block positives, one /P at the edge.
+      "ml_avg_precision" ->
+        """WITH r0 AS (
+          |  SELECT value AS s, upper(trim(event_type)) = 'PURCHASE' AS pos
+          |  FROM events WHERE value IS NOT NULL),
+          |p AS (
+          |  SELECT s,
+          |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+          |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+          |  FROM r0 GROUP BY 1),
+          |p2 AS (SELECT *, np + nn AS nt FROM p),
+          |rk AS (
+          |  SELECT *, SUM(np) OVER (ORDER BY s) AS pnp,
+          |    SUM(nt) OVER (ORDER BY s) AS pnt
+          |  FROM p2),
+          |tot AS (
+          |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+          |    CAST(SUM(nn) AS BIGINT) AS n_neg
+          |  FROM p2),
+          |tm AS (
+          |  SELECT CAST(np AS DECIMAL(19,0)) * CAST(FLOOR(
+          |      (CAST(n_pos AS DOUBLE) - CAST(pnp - np AS DOUBLE))
+          |      / (CAST(n_pos + n_neg AS DOUBLE) - CAST(pnt - nt AS DOUBLE))
+          |      * 1e6) / 1e6 AS DECIMAL(28,6)) AS term,
+          |    n_pos, n_neg
+          |  FROM rk CROSS JOIN tot)
+          |SELECT MAX(n_pos) AS n_pos, MAX(n_neg) AS n_neg,
+          |  CAST(SUM(term) AS DOUBLE) / NULLIF(CAST(MAX(n_pos) AS DOUBLE), 0.0) AS avg_precision,
+          |  CAST(MAX(n_pos) AS DOUBLE) / NULLIF(CAST(MAX(n_pos) + MAX(n_neg) AS DOUBLE), 0.0) AS prevalence
+          |FROM tm""".stripMargin,
 
       // MlLite.baselineScorePanel mirrored: hour panel, Laplace rate,
       // the algebraically-collapsed Brier/log-loss terms with panel

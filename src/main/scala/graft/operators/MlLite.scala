@@ -919,6 +919,54 @@ object MlLite {
       .withColumn("gini", lit(2.0) * col("auc") - 1.0)
   }
 
+  /** Exact average precision (PR-AUC) — the imbalanced-data
+    * counterpart of [[aucRoc]]: each positive contributes the
+    * precision of its score block (distinct scores descending, ties
+    * one block — the step-wise AP convention), `AP = Σ_s np_s ·
+    * prec(s) / P` with `prec(s) = TP(≥s) / N(≥s)`. ROC AUC stays
+    * near-blind to false positives when negatives dominate; AP is
+    * the metric that actually moves. Reported with the positive
+    * prevalence — AP's no-skill floor.
+    *
+    * Scale shape: the [[aucRoc]] machinery exactly — distinct-score
+    * panel, two-phase [[PrefixSum]], then ONE aggregate: the ≥-score
+    * cumulatives come from the ascending prefix by subtraction, each
+    * block precision floor-grids to 1e-6 before its DECIMAL cast and
+    * multiplies the exact integer block-positive count in DECIMAL.
+    * No positives → NULL AP via NULLIF.
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelPos: Column): DataFrame = {
+    val d6 = DecimalType(28, 6)
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val panel = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(labelPos, 1L).otherwise(0L)).as("__np"),
+        sum(when(labelPos, 0L).otherwise(1L)).as("__nn"))
+      .withColumn("__nt", col("__np") + col("__nn"))
+      .localCheckpoint(true)
+    val pref = PrefixSum.globalOrderedN(panel, Seq(col("__s")),
+      Seq("__np", "__nt"))
+    val tot = panel.agg(sum(col("__np")).as("n_pos"),
+      sum(col("__nn")).as("n_neg"))
+    val tpGe = col("n_pos").cast("double") -
+      (col("prefix___np") - col("__np")).cast("double")
+    val nGe = (col("n_pos") + col("n_neg")).cast("double") -
+      (col("prefix___nt") - col("__nt")).cast("double")
+    val term = col("__np").cast(DecimalType(19, 0)) *
+      grid6(tpGe / nGe).cast(d6)
+    pref.crossJoin(broadcast(tot))
+      .agg(sum(term).as("__ap"), max(col("n_pos")).as("n_pos"),
+        max(col("n_neg")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("__ap").cast("double") / nz(col("n_pos").cast("double")))
+          .as("avg_precision"),
+        (col("n_pos").cast("double") /
+          nz((col("n_pos") + col("n_neg")).cast("double"))).as("prevalence"))
+  }
+
   /** Brier score + log-loss of the GROUP-RATE baseline predictor —
     * the proper-scoring floor every real model must beat: predict
     * each row's positive probability as its feature-group's smoothed

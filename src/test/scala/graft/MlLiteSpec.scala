@@ -776,6 +776,21 @@ class MlLiteSpec extends SparkSpec {
     assert(r3.length == 6 && r3.forall(_.getString(0) == "1"))
   }
 
+  test("averagePrecision: perfect separation is 1; interleaved case hand-computed") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "pos")
+    val p = MlLite.averagePrecision(perfect, "score", col("pos")).head
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(p.getAs[Double]("avg_precision") == 1.0)
+    assert(p.getAs[Double]("prevalence") == 0.5)
+    // pos {3,1}, neg {2}: blocks desc -> prec 1 at s=3, 2/3 at s=1;
+    // AP = (1 + grid6(2/3)) / 2
+    val mixed = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("score", "pos")
+    val m = MlLite.averagePrecision(mixed, "score", col("pos")).head
+    val want = (1.0 + math.floor(2.0 / 3.0 * 1e6) / 1e6) / 2.0
+    assert(math.abs(m.getAs[Double]("avg_precision") - want) < 1e-12)
+  }
+
   test("aucRoc: midrank ties as half-credit, perfect and inverted separation") {
     import org.apache.spark.sql.functions.col
     // pos scores {3,5}, neg {1,3}: pair credit (3>1)+½(3=3)+(5>1)+(5>3)
