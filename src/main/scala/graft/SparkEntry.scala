@@ -2377,6 +2377,13 @@ object SparkEntry {
         rates = Map("CLICK" -> 0.25, "VIEW" -> 0.125), defaultRate = 0.5,
         keyCols = Seq("event_id"))),
 
+    // Deterministic class balancing: every language kept at the
+    // minority language's DATA-DERIVED rate — flat expected class
+    // histogram, md5-pure membership.
+    "sample_class_balance" -> ((s: SparkSession, d: String) =>
+      Sampling.classBalance(t(s, d, "documents"), "lang",
+        keyCols = Seq("doc_id"))),
+
     // Exact k-per-stratum sample: each language keeps exactly its 12
     // smallest-by-md5(doc_id) docs — candidate-bounded ranking, never
     // a corpus-wide per-stratum sort (Sampling.exactQuota).
@@ -3846,6 +3853,22 @@ object SparkEntry {
         |         ELSE '8000' END AS sample_threshold
         |  FROM events)
         |WHERE sample_bucket < sample_threshold""".stripMargin,
+
+    // Sampling.classBalance mirrored: data-derived minority rate per
+    // class, integer bucket threshold round(rate*65536), md5 rule.
+    "sample_class_balance" ->
+      """WITH r AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_class FROM r GROUP BY 1),
+        |mn AS (SELECT MIN(n_class) AS m FROM c),
+        |p AS (
+        |  SELECT lang, n_class,
+        |    CAST(m AS DOUBLE) / CAST(n_class AS DOUBLE) AS class_rate,
+        |    CAST(ROUND(CAST(m AS DOUBLE) / CAST(n_class AS DOUBLE) * 65536.0) AS BIGINT) AS thr
+        |  FROM c CROSS JOIN mn)
+        |SELECT r.lang, r.doc_id, r.text, r.source, r.n_chars,
+        |  p.n_class, p.class_rate
+        |FROM r JOIN p USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < thr""".stripMargin,
 
     // Exact top-k per stratum: DuckDB ranks whole strata (fine at
     // oracle scale); Spark's candidate pre-filter provably preserves

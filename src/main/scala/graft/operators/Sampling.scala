@@ -188,6 +188,39 @@ object Sampling {
         (col("__numq") / col("__den").cast("double")).as("temp_share"))
   }
 
+  /** Deterministic class-balance downsample — every class kept at the
+    * MINORITY class's rate (`rate_c = min_n / n_c`), so the expected
+    * class histogram comes out flat: the standard imbalance fix for a
+    * training mix, with [[stratified]]'s md5 determinism (membership
+    * is a pure function of the key — stable across engines, re-runs
+    * and repartitions). Unlike [[stratified]], the rates are
+    * DATA-DERIVED: the ≤-classes count panel sets each class's
+    * integer bucket threshold `round(rate·65536)` and broadcasts it
+    * back over one scan; the kept rows carry `n_class` and
+    * `class_rate` so the applied rule is part of the checked output.
+    *
+    * Scale shape: one count aggregate (checkpointed — min panel +
+    * rate join consume it), one broadcast panel join, one codegen'd
+    * md5 filter. No shuffle of the fact beyond the count partials.
+    */
+  def classBalance(df: DataFrame, classCol: String,
+                   keyCols: Seq[String]): DataFrame = {
+    val rows = df.filter(col(classCol).isNotNull)
+    val counts = rows.groupBy(col(classCol)).agg(count(lit(1)).as("n_class"))
+      .localCheckpoint(true)
+    val minN = counts.agg(min(col("n_class")).as("__min_n"))
+    val panel = counts.crossJoin(broadcast(minN))
+      .withColumn("class_rate",
+        col("__min_n").cast("double") / col("n_class").cast("double"))
+      .withColumn("__thr",
+        round(col("class_rate") * lit(65536.0)).cast("long"))
+      .drop("__min_n")
+    rows.join(broadcast(panel), Seq(classCol))
+      .withColumn("__b", conv(hashBucket(keyCols.map(col)), 16, 10).cast("long"))
+      .filter(col("__b") < col("__thr"))
+      .drop("__b", "__thr")
+  }
+
   /** Stratified deterministic sample: each stratum value keeps its own
     * rate (`rates`), anything else keeps `defaultRate`. Adds the
     * bucket and the applied threshold so the membership rule itself is

@@ -112,6 +112,27 @@ class SamplingSketchSpec extends SparkSpec {
     }
   }
 
+  test("classBalance: minority kept whole, majority thinned toward parity, md5-pure") {
+    import spark.implicits._
+    // 400 majority 'a' vs 50 minority 'b': b keeps rate 1 (thr 65536
+    // > any 4-hex bucket), a keeps ~50 in expectation
+    val df = ((1L to 400L).map(i => (i, "a")) ++ (401L to 450L).map(i => (i, "b")))
+      .toDF("doc_id", "cls")
+    val got = Sampling.classBalance(df, "cls", Seq("doc_id"))
+    val byCls = got.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCls("b") == 50L)
+    assert(byCls("a") > 20L && byCls("a") < 90L)
+    // rate columns carry the applied rule
+    val aRow = got.filter(col("cls") === "a").head
+    assert(aRow.getAs[Long]("n_class") == 400L)
+    assert(aRow.getAs[Double]("class_rate") == 0.125)
+    // determinism
+    val again = Sampling.classBalance(df, "cls", Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratified sample hits each stratum's rate within binomial noise") {
     val s = Sampling.stratified(events, "event_type",
       Map("CLICK" -> 0.25, "VIEW" -> 0.125), 0.5, Seq("event_id"))
