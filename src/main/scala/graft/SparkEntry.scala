@@ -1773,6 +1773,11 @@ object SparkEntry {
     "text_surprisal" -> ((s: SparkSession, d: String) =>
       CorpusQc.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
 
+    // Pairwise JS divergence between source unigram distributions:
+    // one token join; single-source mass folds into ln2*(1-coverage).
+    "text_js_sources" -> ((s: SparkSession, d: String) =>
+      CorpusQc.jsBySource(t(s, d, "documents"), "source", "text")),
+
     // Laplace-smoothed bigram-LM cross-entropy (CCNet-style quality
     // score) — the context-aware tier above text_surprisal.
     "text_bigram_lm" -> ((s: SparkSession, d: String) =>
@@ -9667,6 +9672,45 @@ object SparkEntry {
            |SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS log_weight,
            |  CAST(lw AS DOUBLE) > 0 AS favors_target
            |FROM s""".stripMargin,
+
+      // CorpusQc.jsBySource mirrored: (source, token) counts, the
+      // token self-join with source_a < source_b, the integer-product
+      // ln argument, gridded terms, ln2*(1-coverage) closure.
+      "text_js_sources" ->
+        s"""WITH tk AS (
+           |  SELECT source AS src, UNNEST(t) AS tok
+           |  FROM (SELECT source, $toksSql AS t FROM documents
+           |        WHERE source IS NOT NULL AND text IS NOT NULL)),
+           |cnt AS (
+           |  SELECT src, tok, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+           |tt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+           |j AS (
+           |  SELECT a.src AS source_a, b.src AS source_b,
+           |    a.n AS na, b.n AS nb, ta.nt AS ta, tb.nt AS tb
+           |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.src < b.src
+           |  JOIN tt ta ON ta.src = a.src JOIN tt tb ON tb.src = b.src),
+           |tm AS (
+           |  SELECT source_a, source_b, na, nb, ta, tb,
+           |    CAST(na AS DOUBLE) * CAST(tb AS DOUBLE) AS c1,
+           |    CAST(nb AS DOUBLE) * CAST(ta AS DOUBLE) AS c2
+           |  FROM j),
+           |ag AS (
+           |  SELECT source_a, source_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_tokens_common,
+           |    CAST(SUM(na) AS BIGINT) AS ca, CAST(SUM(nb) AS BIGINT) AS cb,
+           |    MAX(ta) AS ta, MAX(tb) AS tb,
+           |    SUM(CAST(FLOOR(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+           |      * ln(2.0 * c1 / (c1 + c2)) * 1e6) / 1e6 AS DECIMAL(28,6))) AS sa,
+           |    SUM(CAST(FLOOR(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
+           |      * ln(2.0 * c2 / (c1 + c2)) * 1e6) / 1e6 AS DECIMAL(28,6))) AS sb
+           |  FROM tm GROUP BY 1, 2)
+           |SELECT source_a, source_b, n_tokens_common,
+           |  0.5 * (CAST(sa AS DOUBLE)
+           |      + 0.6931471805599453 * (1.0 - CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)))
+           |  + 0.5 * (CAST(sb AS DOUBLE)
+           |      + 0.6931471805599453 * (1.0 - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS js_div
+           |FROM ag""".stripMargin,
 
       // ln() only ever touches the per-type vocab panel, floored to
       // the 1e-4 grid (engine-ulp-safe); tf·lq re-floors to 1e-6

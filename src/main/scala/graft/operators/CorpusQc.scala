@@ -19,6 +19,66 @@ import graft.functions.TextOps
   */
 object CorpusQc {
 
+  /** Pairwise Jensen–Shannon divergence between SOURCE unigram
+    * distributions — the corpus-mix drift monitor: which sources
+    * speak the same language and which bring a genuinely different
+    * vocabulary (JS is symmetric, finite, ≤ ln 2; the panel is the
+    * evidence behind a domain-mix or dedup-across-source decision).
+    *
+    * Algebraic trick that keeps it ONE inner token join: tokens
+    * present in only one source contribute `p·ln 2` each, so their
+    * total is `ln 2 · (1 − coverage)` where coverage is the
+    * co-occurring share — an exact integer sum over the joined
+    * relation divided once by the source total. Per co-occurring
+    * token the ln argument rewrites to the integer-product ratio
+    * `2·n_a·N_b / (n_a·N_b + n_b·N_a)` (counts cast to double
+    * BEFORE multiplying — the overflow discipline), each full term
+    * floor-grids to 1e-6 before its DECIMAL partial (§5 gridded-ln).
+    * Scale shape: one (source, token) count shuffle, one token-keyed
+    * self-join with source_a < source_b, a ≤-pairs aggregate, and
+    * fixed-order IEEE panel math.
+    */
+  def jsBySource(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(28, 6)
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val counts = df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("src"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("nt"))
+    val a = counts.join(totals, "src")
+      .select(col("src").as("source_a"), col("tok"),
+        col("n").as("na"), col("nt").as("ta"))
+    val b = counts.join(totals, "src")
+      .select(col("src").as("source_b"), col("tok"),
+        col("n").as("nb"), col("nt").as("tb"))
+    val joined = a.join(b.hint("shuffle_hash"), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val taD = col("ta").cast("double")
+    val tbD = col("tb").cast("double")
+    val cross1 = naD * tbD
+    val cross2 = nbD * taD
+    val termA = grid6(naD / taD * log(lit(2.0) * cross1 / (cross1 + cross2)))
+    val termB = grid6(nbD / tbD * log(lit(2.0) * cross2 / (cross1 + cross2)))
+    val pair = joined.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_tokens_common"),
+        sum(col("na")).as("__ca"), sum(col("nb")).as("__cb"),
+        max(col("ta")).as("__ta"), max(col("tb")).as("__tb"),
+        sum(termA.cast(d6)).as("__sa"), sum(termB.cast(d6)).as("__sb"))
+    val ln2 = lit(0.6931471805599453)
+    val covA = col("__ca").cast("double") / col("__ta").cast("double")
+    val covB = col("__cb").cast("double") / col("__tb").cast("double")
+    pair.select(col("source_a"), col("source_b"), col("n_tokens_common"),
+      (lit(0.5) * (col("__sa").cast("double") + ln2 * (lit(1.0) - covA))
+        + lit(0.5) * (col("__sb").cast("double") + ln2 * (lit(1.0) - covB)))
+        .as("js_div"))
+  }
+
   /** Per-document repetition statistics (the Gopher-style "repetitive
     * text" signal): over the document's adjacent token bigrams, the
     * share held by the single most frequent bigram and the share of

@@ -7,6 +7,27 @@ import graft.operators.CorpusQc
 class CorpusQcSpec extends SparkSpec {
   import spark.implicits._
 
+  test("jsBySource: identical sources score 0; partial overlap hand-computed") {
+    val same = Seq(("s1", "x y z"), ("s2", "x y z")).toDF("source", "text")
+    val r0 = graft.operators.CorpusQc.jsBySource(same, "source", "text").head
+    assert(r0.getAs[Long]("n_tokens_common") == 3L)
+    assert(r0.getAs[Double]("js_div") == 0.0)
+    // a: {x:2, y:1}, b: {x:1, z:1} -> only x co-occurs
+    val mixed = Seq(("a", "x x y"), ("b", "x z")).toDF("source", "text")
+    val r = graft.operators.CorpusQc.jsBySource(mixed, "source", "text").head
+    assert(r.getAs[Long]("n_tokens_common") == 1L)
+    def g6(v: Double) = math.floor(v * 1e6) / 1e6
+    val (c1, c2) = (2.0 * 2.0, 1.0 * 3.0)
+    val ln2 = 0.6931471805599453
+    val want = 0.5 * (g6(2.0 / 3.0 * math.log(2.0 * c1 / (c1 + c2))) + ln2 * (1.0 - 2.0 / 3.0)) +
+      0.5 * (g6(1.0 / 2.0 * math.log(2.0 * c2 / (c1 + c2))) + ln2 * (1.0 - 1.0 / 2.0))
+    assert(math.abs(r.getAs[Double]("js_div") - want) < 1e-12)
+    // disjoint vocabularies never join: the pair is absent (JS = ln 2
+    // by definition — the caller reads absence as "nothing shared")
+    val disjoint = Seq(("a", "x"), ("b", "y")).toDF("source", "text")
+    assert(graft.operators.CorpusQc.jsBySource(disjoint, "source", "text").count() == 0L)
+  }
+
   test("repetitionStats: fractions over non-distinct bigrams, short docs zeroed") {
     val docs = Seq(
       (1L, "a a a a"),         // bigram "a a" x3 -> top 1.0, dup 1.0
