@@ -704,6 +704,20 @@ object SparkEntry {
     "ana_changepoint_cusum" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.changepointCusum(servingValid(s, d))),
 
+    // Binary-segmentation changepoint LOCATION: per candidate split
+    // day the exact two-mean SSE reduction from the prefix-sum
+    // identity, argmax flagged — the estimator next to cusum's
+    // detector.
+    "ana_changepoint_binseg" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.changepointBinseg(servingValid(s, d))),
+
+    // Entropy rate of the user-journey Markov chain (π weighted by
+    // out-transition mass, so the sum is n_ij/N over the transition
+    // panel) + perplexity — the predictability scalar over
+    // ana_transition_matrix.
+    "ana_markov_entropy" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.markovEntropyRate(t(s, d, "events"))),
+
     // Per-type OLS daily trend (slope + intercept from exact moments).
     "ana_trend_slope" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.trendSlope(servingValid(s, d))),
@@ -1348,6 +1362,31 @@ object SparkEntry {
         t(s, d, "events").filter(col("ts").isNotNull),
         upper(trim(col("event_type"))) === "PURCHASE",
         hour(col("ts")))),
+
+    // Binned calibration audit (ECE / MCE) of the same hour-rate
+    // baseline — Brier says HOW wrong the probabilities are, ECE says
+    // WHERE per confidence bin. One partial-agg scan to the 24-hour
+    // panel, panel math after.
+    "ml_calibration_ece" -> ((s: SparkSession, d: String) =>
+      MlLite.calibrationEce(
+        t(s, d, "events").filter(col("ts").isNotNull),
+        upper(trim(col("event_type"))) === "PURCHASE",
+        hour(col("ts")), nBins = 10)),
+
+    // McNemar paired test: the peak-hour rule vs the high-value rule
+    // as PURCHASE classifiers on the SAME rows — only the discordant
+    // cells carry signal; the unpaired z over-counts shared rows.
+    "ml_mcnemar" -> ((s: SparkSession, d: String) =>
+      MlLite.mcnemar(t(s, d, "events"),
+        upper(trim(col("event_type"))) === "PURCHASE",
+        hour(col("ts")).isin(7, 8, 17, 18),
+        col("value") > lit(55.0))),
+
+    // Cohen's kappa between the DECLARED lang tag and the n-gram
+    // classifier's prediction — the chance-corrected one-scalar
+    // label-QC readout next to lang_confusion's full matrix.
+    "ml_cohens_kappa" -> ((s: SparkSession, d: String) =>
+      MlLite.cohensKappa(textLangId(s, d), "lang", "predicted_lang")),
 
     // Quantile normalization: per-type daily demand aligned to the
     // cross-type rank-mean distribution (ordering preserved).
@@ -5225,6 +5264,80 @@ object SparkEntry {
           |    / NULLIF(CAST(SUM(n) AS DOUBLE), 0.0) AS log_loss
           |FROM terms""".stripMargin,
 
+      // MlLite.calibrationEce mirrored: hour panel → Laplace rate →
+      // equal-width bins; per-bin confidence mass as exact-decimal ×
+      // gridded-rate products, the gap re-gridded before the ece sum.
+      "ml_calibration_ece" ->
+        """WITH g AS (
+          |  SELECT hour(ts) AS hr, COUNT(*) AS n,
+          |    CAST(SUM(CASE WHEN upper(trim(event_type)) = 'PURCHASE'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+          |gp AS (
+          |  SELECT *,
+          |    (CAST(pos AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 1.0) AS p
+          |  FROM g),
+          |gb AS (
+          |  SELECT *, LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bin FROM gp),
+          |b AS (
+          |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n_rows,
+          |    COUNT(*) AS n_groups, CAST(SUM(pos) AS BIGINT) AS bpos,
+          |    SUM(CAST(n AS DECIMAL(19,0))
+          |      * CAST(FLOOR(p * 1e6) / 1e6 AS DECIMAL(28,6))) AS conf_mass
+          |  FROM gb GROUP BY 1),
+          |b2 AS (
+          |  SELECT bin, n_rows, n_groups,
+          |    CAST(conf_mass AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0) AS avg_conf,
+          |    CAST(bpos AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0) AS accuracy
+          |  FROM b),
+          |b3 AS (SELECT *, ABS(accuracy - avg_conf) AS abs_gap FROM b2),
+          |s AS (
+          |  SELECT
+          |    CAST(SUM(CAST(n_rows AS DECIMAL(19,0))
+          |        * CAST(FLOOR(abs_gap * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+          |      / NULLIF(CAST(SUM(n_rows) AS DOUBLE), 0.0) AS ece,
+          |    MAX(FLOOR(abs_gap * 1e6) / 1e6) AS mce
+          |  FROM b3)
+          |SELECT bin, n_rows, n_groups, avg_conf, accuracy, abs_gap, ece, mce
+          |FROM b3 CROSS JOIN s""".stripMargin,
+
+      // MlLite.mcnemar mirrored: one scan to the 2×2 paired cells,
+      // continuity-corrected chi2, the Horner-erfc 1-dof tail gridded.
+      "ml_mcnemar" ->
+        """WITH r AS (
+          |  SELECT upper(trim(event_type)) = 'PURCHASE' AS y,
+          |    hour(ts) IN (7, 8, 17, 18) AS pa,
+          |    value > 55.0 AS pb
+          |  FROM events),
+          |f AS (SELECT * FROM r
+          |      WHERE y IS NOT NULL AND pa IS NOT NULL AND pb IS NOT NULL),
+          |g AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n_both_correct,
+          |    CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+          |    CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+          |    CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_both_wrong
+          |  FROM f),
+          |c AS (
+          |  SELECT *,
+          |    CASE WHEN n_a_only + n_b_only = 0 THEN NULL
+          |         ELSE GREATEST(ABS(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1.0, 0.0)
+          |            * GREATEST(ABS(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1.0, 0.0)
+          |            / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+          |    END AS chi2_cc
+          |  FROM g),
+          |px AS (SELECT *, SQRT(chi2_cc / 2.0) AS x FROM c),
+          |pt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px)
+          |SELECT n, n_both_correct, n_a_only, n_b_only, n_both_wrong,
+          |  (CAST(n_both_correct AS DOUBLE) + CAST(n_a_only AS DOUBLE))
+          |    / NULLIF(CAST(n AS DOUBLE), 0.0) AS acc_a,
+          |  (CAST(n_both_correct AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+          |    / NULLIF(CAST(n AS DOUBLE), 0.0) AS acc_b,
+          |  chi2_cc,
+          |  FLOOR(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+          |    - 0.284496736) * t + 0.254829592) * t * EXP(-(x * x)) * 1e6) / 1e6 AS p_value
+          |FROM pt""".stripMargin,
+
       // Drift.jsHistogram mirrored: same bucketing as PSI, mixture
       // midpoint, grid-ln KL terms summed as DECIMAL(28,6).
       "data_drift_js" ->
@@ -6122,6 +6235,45 @@ object SparkEntry {
            |SELECT date_sk, daily_value, deviation, cusum,
            |  abs(cusum) = max_abs AS is_changepoint
            |FROM cum CROSS JOIN pk""".stripMargin,
+
+      // AnalyticsPack.changepointBinseg mirrored: same byday panel as
+      // cusum, day-ordered DECIMAL prefix sums, the prefix-sum SSE
+      // identity as the identical double expression tree, argmax by
+      // exact-double equality.
+      "ana_changepoint_binseg" ->
+        s"""WITH byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS daily_value
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |pre AS (
+           |  SELECT date_sk,
+           |    CAST(SUM(CAST(daily_value AS DECIMAL(28,6)))
+           |      OVER (ORDER BY date_sk) AS DOUBLE) AS sl,
+           |    COUNT(*) OVER (ORDER BY date_sk) AS n_left
+           |  FROM byday),
+           |tot AS (
+           |  SELECT CAST(SUM(CAST(daily_value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+           |    COUNT(*) AS n
+           |  FROM byday),
+           |g AS (
+           |  SELECT date_sk, n_left, n - n_left AS n_right, sl, s - sl AS sr, s, n
+           |  FROM pre CROSS JOIN tot
+           |  WHERE n - n_left > 0),
+           |gains AS (
+           |  SELECT date_sk AS split_after_date_sk,
+           |    CAST(n_left AS BIGINT) AS n_left,
+           |    CAST(n_right AS BIGINT) AS n_right,
+           |    sl / CAST(n_left AS DOUBLE) AS mean_left,
+           |    sr / CAST(n_right AS DOUBLE) AS mean_right,
+           |    sl * sl / CAST(n_left AS DOUBLE)
+           |      + sr * sr / CAST(n_right AS DOUBLE)
+           |      - s * s / CAST(n AS DOUBLE) AS sse_reduction
+           |  FROM g),
+           |best AS (SELECT MAX(sse_reduction) AS b FROM gains)
+           |SELECT split_after_date_sk, n_left, n_right, mean_left, mean_right,
+           |  sse_reduction, sse_reduction = b AS is_split
+           |FROM gains CROSS JOIN best""".stripMargin,
 
       // Recursive-CTE replay of the EWMA fold: every step is two
       // correctly-rounded IEEE ops on dyadic constants (0.25e0 /
@@ -7125,6 +7277,42 @@ object SparkEntry {
           |      FROM c GROUP BY 1)
           |SELECT from_type, to_type, n, n / total_from AS p
           |FROM c JOIN t USING (from_type)""".stripMargin,
+
+      // AnalyticsPack.markovEntropyRate mirrored: the transition panel
+      // as above, per-cell gridded ln terms re-gridded before the
+      // DECIMAL(28,6) sum, one mirrored exp at the edge.
+      "ana_markov_entropy" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, event_id, UPPER(TRIM(event_type)) AS et
+          |  FROM events WHERE user_id IS NOT NULL),
+          |tr AS (
+          |  SELECT et AS from_type,
+          |    LEAD(et) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM e),
+          |c AS (
+          |  SELECT from_type, to_type, COUNT(*) AS n
+          |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS total_from
+          |      FROM c GROUP BY 1),
+          |tm AS (
+          |  SELECT from_type, to_type, n, n / total_from AS p
+          |  FROM c JOIN t USING (from_type)),
+          |st AS (
+          |  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_states FROM (
+          |    SELECT from_type AS s FROM tm
+          |    UNION ALL SELECT to_type FROM tm)),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM tm),
+          |h AS (
+          |  SELECT
+          |    COALESCE(CAST(SUM(CAST(FLOOR((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+          |      * (FLOOR(ln(p) * 1e6) / 1e6) * 1e6) / 1e6
+          |      AS DECIMAL(28,6))) AS DECIMAL(28,6)), 0) AS hsum,
+          |    MAX(nt) AS n_transitions
+          |  FROM tm CROSS JOIN tot)
+          |SELECT n_transitions, n_states,
+          |  -CAST(hsum AS DOUBLE) AS entropy_rate_nats,
+          |  FLOOR(EXP(-CAST(hsum AS DOUBLE)) * 1e6) / 1e6 AS perplexity
+          |FROM h CROSS JOIN st""".stripMargin,
 
       "ana_top_days_per_type" ->
         """SELECT * FROM (
@@ -9836,6 +10024,38 @@ object SparkEntry {
            |  c.n_docs / t.n_label AS share_of_label,
            |  c.lang = c.predicted_lang AS is_match
            |FROM c JOIN t USING (lang)""".stripMargin,
+
+      // MlLite.cohensKappa over the same declared-vs-predicted pair:
+      // k² confusion panel, marginal products gridded to 1e-12 before
+      // the DECIMAL(28,12) expected-agreement sum, one mirrored ratio.
+      "ml_cohens_kappa" ->
+        s"""WITH p AS ($langIdSql),
+           |c AS (
+           |  SELECT lang AS a, predicted_lang AS b, COUNT(*) AS n
+           |  FROM p WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
+           |  GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_items,
+           |    COALESCE(CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT), 0) AS n_agree
+           |  FROM c),
+           |ma AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS ra FROM c GROUP BY 1),
+           |mb AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS cb FROM c GROUP BY 1),
+           |nc AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes
+           |  FROM (SELECT cls FROM ma UNION SELECT cls FROM mb)),
+           |pe AS (
+           |  SELECT COALESCE(CAST(SUM(CAST(FLOOR(
+           |      (CAST(ra AS DOUBLE) / CAST(n_items AS DOUBLE))
+           |      * (CAST(cb AS DOUBLE) / CAST(n_items AS DOUBLE)) * 1e12) / 1e12
+           |    AS DECIMAL(28,12))) AS DECIMAL(28,12)), 0) AS pev
+           |  FROM ma JOIN mb USING (cls) CROSS JOIN tot)
+           |SELECT n_items, n_classes, n_agree,
+           |  CAST(n_agree AS DOUBLE) / NULLIF(CAST(n_items AS DOUBLE), 0.0) AS p_observed,
+           |  CAST(pev AS DOUBLE) AS p_expected,
+           |  (CAST(n_agree AS DOUBLE) / NULLIF(CAST(n_items AS DOUBLE), 0.0)
+           |    - CAST(pev AS DOUBLE))
+           |    / NULLIF(1.0 - CAST(pev AS DOUBLE), 0.0) AS kappa
+           |FROM tot CROSS JOIN nc CROSS JOIN pe""".stripMargin,
 
       "text_tfidf_topn" ->
         s"""WITH tok AS (

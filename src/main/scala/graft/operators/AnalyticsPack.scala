@@ -284,6 +284,57 @@ object AnalyticsPack {
         (abs(col("cusum")) === col("__max_abs")).as("is_changepoint"))
   }
 
+  /** Binary-segmentation changepoint — the LOCATION estimator next to
+    * [[changepointCusum]]'s detector: for every candidate boundary
+    * (split AFTER day d) the exact SSE reduction a two-mean model
+    * buys over the one-mean model,
+    * `gain = S_l²/n_l + S_r²/n_r − S²/n` (the classic prefix-sum
+    * identity — no per-split rescan), with the argmax flagged. One
+    * recursion level is the whole estimator here; deeper segmentation
+    * is re-running it on each side.
+    *
+    * Scale shape: the fact collapses once to the day panel; prefix
+    * sums ride a calendar-bounded day-ordered window (the cusum
+    * idiom); totals broadcast from a 1-row panel. Engine parity: the
+    * panel sums run as DECIMAL(28,6) partials, every downstream gain
+    * is a mirrored double expression over those exact sums — ties in
+    * `is_split` resolve identically because the doubles are
+    * bit-identical.
+    */
+  def changepointBinseg(validEvents: DataFrame): DataFrame = {
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("daily_value"))
+    val w = Window.orderBy(col("date_sk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = byDay
+      .withColumn("__sl", sum(graft.expressions.Kernels.toDecimal(
+        col("daily_value"), 28, 6)).over(w).cast("double"))
+      .withColumn("n_left", count(lit(1)).over(w))
+    val tot = byDay.agg(
+      sum(graft.expressions.Kernels.toDecimal(col("daily_value"), 28, 6))
+        .cast("double").as("__s"),
+      count(lit(1)).as("__n"))
+    val gains = pre.crossJoin(broadcast(tot))
+      .withColumn("n_right", col("__n") - col("n_left"))
+      .filter(col("n_right") > 0)
+      .withColumn("__sr", col("__s") - col("__sl"))
+      .withColumn("mean_left", col("__sl") / col("n_left").cast("double"))
+      .withColumn("mean_right", col("__sr") / col("n_right").cast("double"))
+      .withColumn("sse_reduction",
+        col("__sl") * col("__sl") / col("n_left").cast("double")
+          + col("__sr") * col("__sr") / col("n_right").cast("double")
+          - col("__s") * col("__s") / col("__n").cast("double"))
+      .localCheckpoint(true)
+    val best = gains.agg(max(col("sse_reduction")).as("__best"))
+    gains.crossJoin(broadcast(best))
+      .select(col("date_sk").as("split_after_date_sk"),
+        col("n_left"), col("n_right"), col("mean_left"), col("mean_right"),
+        col("sse_reduction"),
+        (col("sse_reduction") === col("__best")).as("is_split"))
+  }
+
   /** Pct-of-peak pressure curve (docs/queries/01_demanda_horaria
     * .sql:47-66): aggregate in-transit demand per slot, then each
     * slot as a share of the PEAK slot — the `MAX(...) OVER ()` kept a
@@ -834,6 +885,38 @@ object AnalyticsPack {
     trans.join(broadcast(totals), "from_type")
       .withColumn("p", col("n") / col("total_from"))
       .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  /** Entropy rate of the user-journey Markov chain — the one-scalar
+    * predictability readout over [[transitionMatrix]]'s full matrix:
+    * H = −Σ_ij π_i·p_ij·ln p_ij with π taken as the empirical
+    * out-transition mass (so π_i·p_ij = n_ij/N and the whole sum is
+    * panel math over the k² transition cells). Low H = journeys are
+    * scripted; ln(k) = uniform wandering. Perplexity = e^H is the
+    * effective branching factor.
+    *
+    * Engine parity: ln rides only the panel (gridded 1e-6 per cell,
+    * §5), each term re-grids before its DECIMAL(28,6) partial sum;
+    * the final exp is one mirrored call on identical input, gridded.
+    */
+  def markovEntropyRate(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val tm = transitionMatrix(events).localCheckpoint(true)
+    val states = tm.select(col("from_type").as("s"))
+      .unionAll(tm.select(col("to_type").as("s")))
+      .agg(countDistinct(col("s")).as("n_states"))
+    val tot = tm.agg(sum(col("n")).as("__nt"))
+    val h = tm.crossJoin(broadcast(tot))
+      .agg(
+        coalesce(sum(q6((col("n").cast("double") / col("__nt").cast("double"))
+          * q6(log(col("p")))).cast(d6)), lit(0).cast(d6)).as("__h"),
+        max(col("__nt")).as("n_transitions"))
+    h.crossJoin(broadcast(states))
+      .select(col("n_transitions"), col("n_states"),
+        (-col("__h").cast("double")).as("entropy_rate_nats"))
+      .withColumn("perplexity", q6(exp(col("entropy_rate_nats"))))
   }
 
   /** Top-N days per group by daily volume via DENSE_RANK (ties all

@@ -1137,4 +1137,168 @@ object MlLite {
         pos(i).toDouble / n(i).toDouble, fitted(i)))
       .toDF("bin", "n", "n_pos", "rate_raw", "rate_isotonic")
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelers (the label-QC primitive: declared metadata
+    * vs a classifier, or two annotators; raw percent agreement
+    * overstates quality whenever the class mix is skewed, kappa
+    * subtracts the agreement two independent raters with these
+    * marginals would reach by luck). One row out: item count, class
+    * count, observed/expected agreement, kappa.
+    *
+    * Scale shape: the fact collapses in ONE partial-agg scan to the
+    * k² confusion panel; marginals, the expected-agreement sum and
+    * the final ratio are all panel math (k classes, never row-scale).
+    * Engine parity: counts are exact longs; each per-class expected
+    * term (row share × column share, ≤ 1) is floor-quantized to the
+    * 1e-12 grid before its DECIMAL(28,12) partial sum (§5 — scale-12
+    * is reserved for ≤unit magnitudes), so panel reduction order
+    * cannot move the sum; the kappa ratio is one mirrored double op.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d12 = DecimalType(28, 12)
+    def q12(c: Column) = floor(c * lit(1e12)) / lit(1e12)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val tot = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val ma = cells.groupBy(col("__a").as("__c")).agg(sum(col("__n")).as("__ra"))
+    val mb = cells.groupBy(col("__b").as("__c")).agg(sum(col("__n")).as("__cb"))
+    // classes seen by only ONE rater have a zero opposite marginal —
+    // their expected term is 0, so the inner join loses nothing; the
+    // class count still spans BOTH sides (full outer)
+    val nClasses = ma.join(mb, Seq("__c"), "full_outer")
+      .agg(count(lit(1)).as("n_classes"))
+    val pe = ma.join(mb, Seq("__c"))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(sum(
+        q12((col("__ra").cast("double") / col("n_items").cast("double")) *
+            (col("__cb").cast("double") / col("n_items").cast("double")))
+          .cast(d12)), lit(0).cast(d12)).as("__pe"))
+    tot.crossJoin(broadcast(nClasses)).crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_classes"), col("n_agree"),
+        (col("n_agree").cast("double") / nz(col("n_items").cast("double")))
+          .as("p_observed"),
+        col("__pe").cast("double").as("p_expected"))
+      .withColumn("kappa",
+        (col("p_observed") - col("p_expected")) /
+          nz(lit(1.0) - col("p_expected")))
+  }
+
+  /** McNemar's test — do two classifiers evaluated on the SAME rows
+    * disagree more in one direction than the other? The paired
+    * model-comparison gate (accuracy deltas on shared data are
+    * correlated; the unpaired two-proportion z over-counts the shared
+    * rows): only the discordant cells carry signal, χ² with the
+    * standard continuity correction = (|b−c|−1)²/(b+c), p from the
+    * 1-dof tail via the A&S 7.1.26 erfc form (gridded per §5).
+    *
+    * One partial-agg scan to ONE row — every output is a mirrored
+    * double op over exact long cells; no panel sums at all.
+    */
+  def mcnemar(df: DataFrame, labelPos: Column,
+              predA: Column, predB: Column): DataFrame = {
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val okA = predA === labelPos
+    val okB = predB === labelPos
+    val g = df
+      .filter(labelPos.isNotNull && predA.isNotNull && predB.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(okA && okB, 1L).otherwise(0L)).as("n_both_correct"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!okA && !okB, 1L).otherwise(0L)).as("n_both_wrong"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    val chi2 = when(col("n_a_only") + col("n_b_only") === 0L,
+        lit(null).cast("double"))
+      .otherwise({
+        val d = greatest(abs(b - c) - lit(1.0), lit(0.0))
+        d * d / (b + c)
+      })
+    g.withColumn("acc_a",
+        (col("n_both_correct") + col("n_a_only")).cast("double")
+          / nz(col("n").cast("double")))
+      .withColumn("acc_b",
+        (col("n_both_correct") + col("n_b_only")).cast("double")
+          / nz(col("n").cast("double")))
+      .withColumn("chi2_cc", chi2)
+      .withColumn("p_value", {
+        // P(χ²₁ > x) = erfc(√(x/2)) — the same Horner erfc the a/b
+        // readout uses, gridded so a last-ulp exp disagreement can't
+        // flip the hash
+        val x = sqrt(col("chi2_cc") / lit(2.0))
+        val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+        val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+          + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+        grid6(poly * exp(-(x * x)))
+      })
+  }
+
+  /** Expected / maximum calibration error of the group-rate baseline
+    * — the binned companion of [[baselineScorePanel]]'s proper scores
+    * (Brier says HOW wrong the probabilities are overall; ECE says
+    * WHERE: per confidence bin, the gap between predicted confidence
+    * and realized rate). Predictions are the group's Laplace rate
+    * `(pos+½)/(n+1)` (group-constant, so the fact collapses onto the
+    * ≤k-group panel first); bins are `nBins` equal-width cells over
+    * [0,1]. Output one row per NON-EMPTY bin — counts, mean
+    * confidence, accuracy, gap — with the weighted summary (`ece`,
+    * `mce`) broadcast onto every row.
+    *
+    * Engine parity: bin ids come from floor over the exact Laplace
+    * quotient; per-bin confidence mass is Σ n_g·q6(p_g) as
+    * exact-decimal × gridded-double products (the AP/Benford term
+    * discipline); the per-bin gap re-grids before the ece partial
+    * sum. All sums are panel-sized (≤ nBins, ≤ k groups).
+    */
+  def calibrationEce(df: DataFrame, labelPos: Column, groupExpr: Column,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins=$nBins must be >= 2")
+    val d6 = DecimalType(28, 6)
+    def q6c(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val groups = df.groupBy(groupExpr.as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(labelPos, 1L).otherwise(0L)).as("__pos"))
+      .withColumn("__p",
+        (col("__pos").cast("double") + 0.5) / (col("__n").cast("double") + 1.0))
+      // Laplace rates live strictly inside (0,1): floor(p·nBins) is
+      // already < nBins, the `least` only guards a future p = 1.0
+      .withColumn("bin",
+        least(floor(col("__p") * lit(nBins)).cast("int"), lit(nBins - 1)))
+    val bins = groups.groupBy(col("bin"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("__pos")).as("__pos"),
+        sum(col("__n").cast(DecimalType(19, 0)) * q6c(col("__p")).cast(d6))
+          .as("__conf_mass"))
+      .withColumn("avg_conf",
+        col("__conf_mass").cast("double") / nz(col("n_rows").cast("double")))
+      .withColumn("accuracy",
+        col("__pos").cast("double") / nz(col("n_rows").cast("double")))
+      .withColumn("abs_gap", abs(col("accuracy") - col("avg_conf")))
+      .localCheckpoint(true)
+    val summary = bins.agg(
+      (sum(col("n_rows").cast(DecimalType(19, 0)) * q6c(col("abs_gap")).cast(d6))
+        .cast("double") /
+        nz(sum(col("n_rows")).cast("double"))).as("ece"),
+      max(q6c(col("abs_gap"))).as("mce"))
+    bins.crossJoin(broadcast(summary))
+      .select(col("bin"), col("n_rows"), col("n_groups"),
+        col("avg_conf"), col("accuracy"), col("abs_gap"),
+        col("ece"), col("mce"))
+  }
 }

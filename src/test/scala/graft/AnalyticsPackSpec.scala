@@ -510,6 +510,26 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(flatGot.forall(_.getBoolean(4)))
   }
 
+  test("changepointBinseg: max SSE reduction lands exactly on the planted boundary") {
+    import spark.implicits._
+    // level 10 for five days, then 20 for five: best split after day 5,
+    // gain = n_l·n_r/n · (Δmean)² = 5·5/10 · 100 = 250
+    val ev = (1 to 10).map(d =>
+      (20240100 + d, if (d <= 5) 10.0 else 20.0)).toDF("date_sk", "value")
+    val got = AnalyticsPack.changepointBinseg(ev).orderBy("split_after_date_sk")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.length == 9) // the last day has no right side
+    val best = got.filter(_._7)
+    assert(best.map(_._1).toSeq == Seq(20240105))
+    assert(best.head._2 == 5L && best.head._3 == 5L)
+    assert(best.head._4 == 10.0 && best.head._5 == 20.0)
+    assert(math.abs(best.head._6 - 250.0) < 1e-9)
+    // flat series: every split gains exactly 0, all tie as best
+    val flat = (1 to 4).map(d => (20240100 + d, 7.0)).toDF("date_sk", "value")
+    assert(AnalyticsPack.changepointBinseg(flat).collect().forall(_.getBoolean(6)))
+  }
+
   test("ewmaDemand: fold replays the recurrence exactly; first day seeds the level") {
     import spark.implicits._
     val ev = Seq((20240101, 8.0), (20240102, 16.0), (20240103, 4.0))

@@ -831,4 +831,79 @@ class MlLiteSpec extends SparkSpec {
     // a pure group stays finite through the Laplace smoothing
     assert(!r.isNullAt(r.fieldIndex("log_loss")))
   }
+
+  test("cohensKappa: hand-computed 2x2 kappa; perfect agreement is 1") {
+    import org.apache.spark.sql.functions.col
+    // confusion: (x,x)=4 (y,y)=2 (x,y)=1 (y,x)=1 → n=8 po=6/8
+    // marginals a: x=5 y=3; b: x=5 y=3 → pe=(25+9)/64
+    val df = Seq(("x","x"),("x","x"),("x","x"),("x","x"),
+      ("y","y"),("y","y"),("x","y"),("y","x")).toDF("a","b")
+    val r = MlLite.cohensKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_items") == 8L && r.getAs[Long]("n_agree") == 6L)
+    assert(r.getAs[Long]("n_classes") == 2L)
+    val pe = 25.0 / 64 + 9.0 / 64
+    assert(math.abs(r.getAs[Double]("p_expected") - pe) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kappa") - (0.75 - pe) / (1 - pe)) < 1e-6)
+    val perf = Seq(("x","x"),("y","y")).toDF("a","b")
+    assert(math.abs(MlLite.cohensKappa(perf, "a", "b")
+      .collect().head.getAs[Double]("kappa") - 1.0) < 1e-9)
+  }
+
+  test("cohensKappa: one-rater-only classes widen n_classes, not p_expected") {
+    import org.apache.spark.sql.functions.col
+    // rater b never says 'z'; the z row adds a class but its expected
+    // term is zero (zero column marginal)
+    val df = Seq(("x","x"),("y","y"),("z","x")).toDF("a","b")
+    val r = MlLite.cohensKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_classes") == 3L)
+    // pe = (ra_x*cb_x + ra_y*cb_y)/9 = (1*2 + 1*1)/9
+    assert(math.abs(r.getAs[Double]("p_expected") - 3.0 / 9.0) < 1e-9)
+  }
+
+  test("mcnemar: discordant-only chi2 with continuity correction, symmetric case is 0") {
+    import org.apache.spark.sql.functions.col
+    // y always true; A right on 6, B right on 2 of those+2 others:
+    // build b=4 (A only), c=1 (B only), both=2, neither=1 → n=8
+    val rows = Seq.fill(2)((true, true, true)) ++   // both correct
+      Seq.fill(4)((true, true, false)) ++            // A only
+      Seq.fill(1)((true, false, true)) ++            // B only
+      Seq.fill(1)((true, false, false))              // both wrong
+    val df = rows.toDF("y", "pa", "pb")
+    val r = MlLite.mcnemar(df, col("y"), col("pa"), col("pb")).collect().head
+    assert(r.getAs[Long]("n_a_only") == 4L && r.getAs[Long]("n_b_only") == 1L)
+    // chi2 = (|4−1|−1)² / (4+1) = 4/5
+    assert(math.abs(r.getAs[Double]("chi2_cc") - 4.0 / 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("acc_a") - 6.0 / 8.0) < 1e-12)
+    // b = c → |b−c|−1 clamps to 0 → chi2 exactly 0, p ~ 1
+    val sym = (Seq.fill(3)((true, true, false)) ++ Seq.fill(3)((true, false, true)))
+      .toDF("y", "pa", "pb")
+    val rs = MlLite.mcnemar(sym, col("y"), col("pa"), col("pb")).collect().head
+    assert(rs.getAs[Double]("chi2_cc") == 0.0)
+    assert(rs.getAs[Double]("p_value") > 0.99)
+    // no discordant rows → NULL chi2, never a division error
+    val none = Seq((true, true, true)).toDF("y", "pa", "pb")
+    val rn = MlLite.mcnemar(none, col("y"), col("pa"), col("pb")).collect().head
+    assert(rn.isNullAt(rn.fieldIndex("chi2_cc")))
+  }
+
+  test("calibrationEce: perfectly calibrated groups give near-zero ece; gap lands in the right bin") {
+    import org.apache.spark.sql.functions.col
+    // group A: 9 rows 5 pos → p=5.5/10=0.55, acc=5/9; group B: 9 rows
+    // 0 pos → p=0.5/10=0.05, acc=0. Two bins: 5 (A) and 0 (B).
+    val rows = (1 to 9).map(i => ("A", i <= 5)) ++ (1 to 9).map(_ => ("B", false))
+    val df = rows.toDF("g", "y")
+    val out = MlLite.calibrationEce(df, col("y"), col("g"), nBins = 10)
+      .collect().map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(out.keySet == Set(0, 5))
+    val a = out(5)
+    assert(a.getAs[Long]("n_rows") == 9L)
+    assert(math.abs(a.getAs[Double]("avg_conf") - 0.55) < 1e-6)
+    assert(math.abs(a.getAs[Double]("accuracy") - 5.0 / 9) < 1e-12)
+    // ece = weighted mean of the two gaps; both rows carry the same summary
+    val gapA = math.abs(5.0 / 9 - 0.55); val gapB = 0.05
+    val ece = (9 * math.floor(gapA * 1e6) / 1e6 + 9 * math.floor(gapB * 1e6) / 1e6) / 18
+    assert(math.abs(a.getAs[Double]("ece") - ece) < 1e-6)
+    assert(a.getAs[Double]("ece") == out(0).getAs[Double]("ece"))
+    assert(math.abs(a.getAs[Double]("mce") - math.floor(gapA.max(gapB) * 1e6) / 1e6) < 1e-9)
+  }
 }

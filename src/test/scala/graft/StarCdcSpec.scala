@@ -141,6 +141,36 @@ class StarCdcSpec extends SparkSpec {
     assert(m.size == 3)
   }
 
+  test("markovEntropyRate: deterministic chain is 0 nats; fair branch is ln 2") {
+    // A->B, B->A repeated: every transition certain → H = 0, perplexity 1
+    val det = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = AnalyticsPack.markovEntropyRate(det).collect().head
+    assert(r.getAs[Long]("n_transitions") == 3L)
+    assert(r.getAs[Long]("n_states") == 2L)
+    assert(math.abs(r.getAs[Double]("entropy_rate_nats")) < 1e-5)
+    // A splits evenly to B/C: H = π_A·ln2 with π_A = 2/4 of transitions
+    val fair = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (2L, ts("2024-01-01 11:00:00"), 3L, "a"),
+      (2L, ts("2024-01-01 11:01:00"), 4L, "c"),
+      (3L, ts("2024-01-01 12:00:00"), 5L, "b"),
+      (3L, ts("2024-01-01 12:01:00"), 6L, "a"),
+      (4L, ts("2024-01-01 13:00:00"), 7L, "c"),
+      (4L, ts("2024-01-01 13:01:00"), 8L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val f = AnalyticsPack.markovEntropyRate(fair).collect().head
+    // transitions: a->b, a->c (each p=.5), b->a, c->a (p=1):
+    // H = (1/4)ln2 + (1/4)ln2 = ln2/2
+    assert(math.abs(f.getAs[Double]("entropy_rate_nats") - math.log(2.0) / 2) < 1e-4)
+    assert(f.getAs[Long]("n_states") == 3L)
+  }
+
   test("periodicSnapshot zero-fills quiet months and carries the balance forward") {
     val fact = Seq(
       (1L, ts("2024-01-05 00:00:00"), 10.0),
