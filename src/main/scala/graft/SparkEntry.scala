@@ -2661,6 +2661,12 @@ object SparkEntry {
     "text_zipf_fit" -> ((s: SparkSession, d: String) =>
       CorpusQc.zipfFit(t(s, d, "documents"), "text")),
 
+    // Heaps'-law vocabulary-growth fit: cumulative type counts at 16
+    // md5-bucket boundary points, log-log OLS → (k, beta) — "will 10x
+    // more crawl give 10x more vocabulary".
+    "text_heaps_fit" -> ((s: SparkSession, d: String) =>
+      CorpusQc.heapsFit(t(s, d, "documents"), "doc_id", "text")),
+
     // Vocabulary coverage curve: share of token occurrences the top-k
     // types cover, per candidate vocab size (prefix-sum ranks).
     "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
@@ -2717,6 +2723,11 @@ object SparkEntry {
     // Distributed per-label vector mean — see Ann.centroids.
     "embedding_centroids" -> ((s: SparkSession, d: String) =>
       Ann.centroids(t(s, d, "embeddings"), "label", "embedding")),
+
+    // Per-dimension mean/std/min/max + variance-share anisotropy —
+    // the embedding QC panel before any geometry-dependent op.
+    "embedding_dim_stats" -> ((s: SparkSession, d: String) =>
+      Ann.dimStats(t(s, d, "embeddings"), "embedding")),
 
     // One-scan table statistics profile (the ANALYZE TABLE / catalog-
     // stats step of a lake load — the reference's build_catalog row
@@ -7885,7 +7896,38 @@ object SparkEntry {
         |SELECT label, CAST(dim_pos AS INTEGER) AS dim_pos,
         |  COUNT(*) AS n_vectors,
         |  ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS centroid_v
-        |FROM ex GROUP BY 1, 2""".stripMargin)
+        |FROM ex GROUP BY 1, 2""".stripMargin,
+
+    // Ann.dimStats mirrored: exact float→double→decimal mean sums
+    // (the centroids precedent), squares gridded 1e-12 (components
+    // are sub-unit) before their decimal partials, mirrored variance
+    // identity, per-dim variance re-gridded before the total sum.
+    "embedding_dim_stats" ->
+      """WITH ex AS (
+        |  SELECT UNNEST(range(0, len(embedding))) AS dim_pos,
+        |    UNNEST(embedding) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (
+        |  SELECT CAST(dim_pos AS INTEGER) AS dim_pos, COUNT(*) AS n_vectors,
+        |    SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e12) / 1e12 AS DECIMAL(28,12))) AS s,
+        |    SUM(CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12) / 1e12
+        |      AS DECIMAL(28,12))) AS ss,
+        |    MIN(CAST(v AS DOUBLE)) AS min_v, MAX(CAST(v AS DOUBLE)) AS max_v
+        |  FROM ex GROUP BY 1),
+        |p2 AS (
+        |  SELECT dim_pos, n_vectors,
+        |    CAST(s AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS mean_v,
+        |    (CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_vectors AS DOUBLE))
+        |      / CAST(n_vectors AS DOUBLE) AS var_v,
+        |    min_v, max_v
+        |  FROM p),
+        |tv AS (
+        |  SELECT SUM(CAST(FLOOR(var_v * 1e12) / 1e12 AS DECIMAL(28,12))) AS t
+        |  FROM p2)
+        |SELECT dim_pos, n_vectors, mean_v, SQRT(var_v) AS std_v, min_v, max_v,
+        |  (FLOOR(var_v * 1e12) / 1e12) / NULLIF(CAST(t AS DOUBLE), 0.0) AS var_share
+        |FROM p2 CROSS JOIN tv""".stripMargin)
 
   /** DuckDB twin of the brute-force ANN baseline (annOracleSql). Float parity is
     * exact because both sides fold the products left-to-right in
@@ -9641,6 +9683,62 @@ object SparkEntry {
            |SELECT n_types, zipf_slope,
            |  (CAST(sy AS DOUBLE) - zipf_slope * CAST(sx AS DOUBLE)) / n_types AS intercept
            |FROM sl""".stripMargin,
+
+      // CorpusQc.heapsFit mirrored: md5 doc buckets, min-bucket type
+      // attribution, triangular cumulation, the zipfFit OLS grids.
+      "text_heaps_fit" ->
+        s"""WITH toks AS (
+           |  SELECT CAST(CAST(concat('0x', substr(md5(
+           |      COALESCE(CAST(doc_id AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT)
+           |      % 16 AS INTEGER) AS bucket,
+           |    UNNEST($toksSql) AS tok
+           |  FROM documents),
+           |tk AS (SELECT * FROM toks WHERE tok <> ''),
+           |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           |       FROM tk GROUP BY 1),
+           |fs AS (
+           |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types FROM (
+           |    SELECT tok, MIN(bucket) AS bucket FROM tk GROUP BY 1)
+           |  GROUP BY 1),
+           |panel AS (
+           |  SELECT COALESCE(pb.bucket, fs.bucket) AS bucket,
+           |    COALESCE(n_tokens, 0) AS n_tokens,
+           |    COALESCE(n_new_types, 0) AS n_new_types
+           |  FROM pb FULL OUTER JOIN fs ON pb.bucket = fs.bucket),
+           |cum AS (
+           |  SELECT x.bucket AS bucket,
+           |    MAX(x.n_tokens) AS n_tokens,
+           |    MAX(x.n_new_types) AS n_new_types,
+           |    CAST(SUM(y.n_tokens) AS BIGINT) AS cum_tokens,
+           |    CAST(SUM(y.n_new_types) AS BIGINT) AS cum_types
+           |  FROM panel x JOIN panel y ON y.bucket <= x.bucket
+           |  GROUP BY 1),
+           |pts AS (
+           |  SELECT FLOOR(LN(CAST(cum_tokens AS DOUBLE)) * 1e6) / 1e6 AS lx,
+           |    FLOOR(LN(CAST(cum_types AS DOUBLE)) * 1e6) / 1e6 AS ly
+           |  FROM cum WHERE cum_tokens > 0 AND cum_types > 0),
+           |moms AS (
+           |  SELECT COUNT(*) AS n,
+           |    SUM(CAST(FLOOR(lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sx,
+           |    SUM(CAST(FLOOR(ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sy,
+           |    SUM(CAST(FLOOR(lx * ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxy,
+           |    SUM(CAST(FLOOR(lx * lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxx
+           |  FROM pts),
+           |fit AS (
+           |  SELECT
+           |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+           |      AS heaps_beta,
+           |    sx, sy, n
+           |  FROM moms),
+           |fit2 AS (
+           |  SELECT heaps_beta,
+           |    FLOOR(EXP((CAST(sy AS DOUBLE) - heaps_beta * CAST(sx AS DOUBLE)) / n)
+           |      * 1e6) / 1e6 AS heaps_k
+           |  FROM fit)
+           |SELECT bucket, n_tokens, n_new_types, cum_tokens, cum_types,
+           |  heaps_beta, heaps_k
+           |FROM cum CROSS JOIN fit2""".stripMargin,
 
       // Positional-marginal PMI over the pair panel; count floor and
       // top-N cut applied AFTER marginals (which cover all pairs).

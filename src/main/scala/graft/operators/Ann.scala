@@ -53,6 +53,55 @@ object Ann {
             col("v").cast("double"), 28, 12)).cast("double")
           / count(lit(1)), 6).as("centroid_v"))
 
+  /** Per-DIMENSION embedding statistics + anisotropy — the embedding
+    * QC panel before any geometry-dependent op (cosine dedup, k-means,
+    * PQ): a dimension with runaway variance dominates every distance;
+    * a dead dimension (zero variance) wastes code budget; `var_share`
+    * sorted descending is the quick anisotropy read (how close the
+    * mass is to a few directions). One posexplode scan collapses to
+    * the d-row panel; everything after is panel math.
+    *
+    * Engine parity: float32 components cast to double are exact as
+    * VALUES but full-entropy at decimal scale 12, so components AND
+    * squares are floor-gridded to 1e-12 (≤unit-magnitude rule) before
+    * their decimal partials — [[centroids]] can skip the grid only
+    * because its output rounds to 1e-6 at the edge; the
+    * variance identity (Σv² − (Σv)²/n)/n and the share ratio are
+    * mirrored double trees over those exact sums, with the per-dim
+    * variance re-gridded before the total-variance panel sum.
+    */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q12(c: Column) = floor(c * lit(1e12)) / lit(1e12)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val ex = emb.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim_pos", "__v")))
+      .select(col("dim_pos"), col("__v").cast("double").as("__v"))
+    val panel = ex.groupBy(col("dim_pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        // float32→double components are exact but FULL-ENTROPY at
+        // decimal scale 12 — the cast itself must not round (§5), so
+        // grid first (unlike centroids, whose output rounds to 1e-6)
+        sum(q12(col("__v")).cast(DecimalType(28, 12))).as("__s"),
+        sum(q12(col("__v") * col("__v")).cast(DecimalType(28, 12))).as("__ss"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+      .withColumn("mean_v",
+        col("__s").cast("double") / col("n_vectors").cast("double"))
+      .withColumn("var_v",
+        (col("__ss").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double")
+            / col("n_vectors").cast("double"))
+          / col("n_vectors").cast("double"))
+      .localCheckpoint(true)
+    val tot = panel.agg(
+      sum(q12(col("var_v")).cast(DecimalType(28, 12))).as("__tv"))
+    panel.crossJoin(broadcast(tot))
+      .select(col("dim_pos"), col("n_vectors"), col("mean_v"),
+        sqrt(col("var_v")).as("std_v"), col("min_v"), col("max_v"),
+        (q12(col("var_v")) / nz(col("__tv").cast("double"))).as("var_share"))
+  }
+
   /** Pairwise cosine-similarity HISTOGRAM over a deterministic probe
     * panel — the corpus-geometry diagnostic behind threshold choices
     * (SemDeDup's cut, the near-dup radius, LSH banding): how much of

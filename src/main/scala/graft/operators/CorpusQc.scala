@@ -530,6 +530,80 @@ object CorpusQc {
         / col("n_types")).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit — the corpus-GROWTH question
+    * next to [[zipfFit]]'s frequency shape: how fast does the type
+    * count V grow with token count N (V ≈ k·N^β, β ~ 0.5 for natural
+    * text)? The answer to "will 10× more crawl give 10× more
+    * vocabulary" when sizing tokenizers and dedup thresholds.
+    *
+    * The growth curve needs a cumulative order over the corpus;
+    * shuffling all tokens would be row-scale. Instead documents land
+    * in `nBuckets` md5 buckets (deterministic, engine-replayable —
+    * the split-assign discipline), the curve is measured at the
+    * nBuckets cumulative boundary points (a RANDOM prefix of the
+    * corpus at each), and types count toward the FIRST bucket that
+    * introduces them (min bucket per type — one token-keyed agg, the
+    * same shuffle the vocab panel pays anyway). Cumulation and the
+    * log-log OLS both run on the ≤nBuckets-row panel (triangular
+    * broadcast join — no unpartitioned window, no second shuffle).
+    *
+    * Output: one row per bucket — its own token/new-type counts, the
+    * cumulative curve point (cum_tokens, cum_types) — with the fitted
+    * (heaps_beta, heaps_k) broadcast on every row. Engine parity: the
+    * zipfFit discipline (ln gridded 1e-6 on panel points, 1e-8 grid →
+    * DECIMAL(28,8) moment sums, mirrored double solve, exp gridded).
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               nBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val toks = df.select(
+        pmod(Sampling.md5Long32(Seq(col(idCol))), lit(nBuckets))
+          .cast("int").as("bucket"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val panel = perBucket.join(firstSeen, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .localCheckpoint(true)
+    val cum = panel.as("x").join(broadcast(panel.as("y")),
+        col("y.bucket") <= col("x.bucket"))
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(max(col("x.n_tokens")).as("n_tokens"),
+        max(col("x.n_new_types")).as("n_new_types"),
+        sum(col("y.n_tokens")).as("cum_tokens"),
+        sum(col("y.n_new_types")).as("cum_types"))
+      .localCheckpoint(true)
+    def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    def q8d(c: Column): Column =
+      (floor(c * lit(1e8)) / lit(1e8)).cast(DecimalType(28, 8))
+    val pts = cum.filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+      .select(q6(log(col("cum_tokens").cast("double"))).as("lx"),
+        q6(log(col("cum_types").cast("double"))).as("ly"))
+    val moms = pts.agg(count(lit(1)).as("__n"),
+      sum(q8d(col("lx"))).as("sx"), sum(q8d(col("ly"))).as("sy"),
+      sum(q8d(col("lx") * col("ly"))).as("sxy"),
+      sum(q8d(col("lx") * col("lx"))).as("sxx"))
+    val den = col("__n") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val beta = (col("__n") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      when(den === 0, lit(null)).otherwise(den)
+    val fit = moms.select(beta.as("heaps_beta"),
+        ((col("sy").cast("double") - beta * col("sx").cast("double"))
+          / col("__n")).as("__icept"))
+      .select(col("heaps_beta"), q6(exp(col("__icept"))).as("heaps_k"))
+    cum.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"),
+        col("heaps_beta"), col("heaps_k"))
+  }
+
   /** Vocabulary COVERAGE curve — the tokenizer-sizing question next to
     * [[zipfFit]]'s distribution shape: for each candidate vocab size
     * k, what share of ALL token occurrences the top-k types cover

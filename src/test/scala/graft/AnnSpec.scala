@@ -569,4 +569,26 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(math.abs(lo(10) - 0.0) < 1e-12)
   }
+
+  test("dimStats: per-dimension moments exact on a hand panel; shares sum to 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f)),
+      (3L, Array(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Ann.dimStats(df, "embedding")
+      .orderBy("dim_pos").collect()
+    assert(got.length == 2)
+    val d0 = got(0)
+    assert(d0.getAs[Long]("n_vectors") == 3L)
+    assert(d0.getAs[Double]("mean_v") == 3.0)
+    // var = ((1+9+25) − 9²/3)/3 = 8/3; std = sqrt
+    assert(math.abs(d0.getAs[Double]("std_v") - math.sqrt(8.0 / 3)) < 1e-9)
+    assert(d0.getAs[Double]("min_v") == 1.0 && d0.getAs[Double]("max_v") == 5.0)
+    // dim 1 is dead: zero variance, zero share; dim 0 carries all of it
+    val d1 = got(1)
+    assert(d1.getAs[Double]("std_v") == 0.0)
+    assert(d1.getAs[Double]("var_share") == 0.0)
+    assert(math.abs(d0.getAs[Double]("var_share") - 1.0) < 1e-9)
+  }
 }

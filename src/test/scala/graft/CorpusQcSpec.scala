@@ -417,4 +417,34 @@ class CorpusQcSpec extends SparkSpec {
     assert(got(4L) == ((0, 0, 0, 2, false))) // URLs reported, not gated
     assert(got(5L) == ((0, 0, 0, 0, false)))
   }
+
+  test("heapsFit: cumulative curve conserves counts; repeats grow tokens but not types") {
+    // 40 docs: half pure repetition of one shared word, half one
+    // unique word each — vocab grows sublinearly in tokens
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, "common common common common")
+      else (i, s"common uniq$i")
+    }
+    val got = CorpusQc.heapsFit(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("bucket").collect()
+    val cumToks = got.map(_.getAs[Long]("cum_tokens"))
+    val cumTypes = got.map(_.getAs[Long]("cum_types"))
+    // cumulation really is the prefix sum of the per-bucket panel
+    assert(cumToks.last == got.map(_.getAs[Long]("n_tokens")).sum)
+    assert(cumTypes.last == got.map(_.getAs[Long]("n_new_types")).sum)
+    assert(cumToks.zip(cumToks.tail).forall { case (a, b) => a <= b })
+    // total types = 'common' + 20 uniq words; total tokens = 20*4+20*2
+    assert(cumTypes.last == 21L)
+    assert(cumToks.last == 120L)
+    // vocabulary grows but sublinearly: 0 < beta < 1
+    val beta = got.head.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta < 1.0)
+    // the fit columns broadcast identically onto every bucket row
+    assert(got.forall(_.getAs[Double]("heaps_beta") == beta))
+    // deterministic under repartition
+    val again = CorpusQc.heapsFit(
+      docs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .orderBy("bucket").collect().map(_.getAs[Long]("cum_types"))
+    assert(again.toSeq == cumTypes.toSeq)
+  }
 }
