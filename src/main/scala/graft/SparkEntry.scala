@@ -2032,6 +2032,13 @@ object SparkEntry {
       MlLite.naiveBayesKFold(t(s, d, "documents"), "doc_id", "text",
         "lang", folds = 5)),
 
+    // Learning curve: NB held-out accuracy at nested md5 train
+    // fractions of the 80% pool — "does more crawl buy accuracy",
+    // answered before the crawl is paid for.
+    "ml_learning_curve" -> ((s: SparkSession, d: String) =>
+      MlLite.learningCurve(t(s, d, "documents"), "doc_id", "text",
+        "lang", testFrac = 0.2, fracs = Seq(0.1, 0.25, 0.5, 1.0))),
+
     // Incremental JOIN-view maintenance (the join sibling of
     // gold_agg_incremental): orders >= 2000-01-01 arrive as the fact
     // delta, every 97th customer arrives re-segmented as the dim
@@ -9057,6 +9064,73 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
            |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
            |FROM rk WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+      // MlLite.learningCurve mirrored: shared md5-keyed token/test
+      // CTEs, one namespaced NB train+score chain per fraction
+      // (integer-threshold splits — no float membership tests),
+      // UNION ALL of the per-fraction 1-row panels.
+      "ml_learning_curve" -> {
+        val full = 4294967296.0
+        val thrTest = math.floor(0.8 * full).toLong
+        val hSql = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        val shared =
+          s"""WITH docsh AS (
+             |  SELECT doc_id, lang AS label, $hSql AS h FROM documents),
+             |tok0 AS (
+             |  SELECT doc_id, lang AS label, $hSql AS h,
+             |    UNNEST($toksSql) AS token
+             |  FROM documents),
+             |tok AS (SELECT * FROM tok0 WHERE token <> ''),
+             |ttf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             |  WHERE h >= $thrTest GROUP BY 1, 2),
+             |dp AS (
+             |  SELECT t.doc_id, SUM(t.tf) AS n_tok, MIN(d.label) AS true_label
+             |  FROM ttf t JOIN docsh d ON d.doc_id = t.doc_id
+             |  WHERE d.h >= $thrTest GROUP BY 1)""".stripMargin
+        val fracs = Seq(0.1, 0.25, 0.5, 1.0)
+        val blocks = fracs.zipWithIndex.map { case (f, i) =>
+          val thr = math.floor(0.8 * f * full).toLong
+          s"""ctg_$i AS (
+             |  SELECT label, token, COUNT(*) AS cnt FROM tok
+             |  WHERE h < $thr GROUP BY 1, 2),
+             |vg_$i AS (SELECT COUNT(DISTINCT token) AS v FROM ctg_$i),
+             |pri_$i AS (
+             |  SELECT label, COUNT(*) AS n_c FROM docsh WHERE h < $thr GROUP BY 1),
+             |ntr_$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM docsh WHERE h < $thr),
+             |totc_$i AS (SELECT label, SUM(cnt) AS tot_c FROM ctg_$i GROUP BY 1),
+             |cp_$i AS (
+             |  SELECT p.label, n_train,
+             |    FLOOR(LN(CAST(p.n_c AS DOUBLE) / CAST(n_train AS DOUBLE)) * 1e6) / 1e6 AS log_prior,
+             |    FLOOR(LN(CAST(COALESCE(tc.tot_c, 0) + v AS DOUBLE)) * 1e6) / 1e6 AS log_denom
+             |  FROM pri_$i p
+             |  LEFT JOIN totc_$i tc USING (label)
+             |  CROSS JOIN ntr_$i CROSS JOIN vg_$i),
+             |ms_$i AS (
+             |  SELECT t.doc_id, c.label,
+             |    SUM(CAST(t.tf * (FLOOR(LN(CAST(c.cnt + 1 AS DOUBLE)) * 1e6) / 1e6) AS DECIMAL(28,6))) AS match_sum
+             |  FROM ttf t JOIN ctg_$i c ON c.token = t.token GROUP BY 1, 2),
+             |sc_$i AS (
+             |  SELECT dp.doc_id, dp.true_label, cp.label, cp.n_train,
+             |    CAST(CAST(cp.log_prior AS DECIMAL(28,6))
+             |      - CAST(dp.n_tok * cp.log_denom AS DECIMAL(28,6))
+             |      + COALESCE(ms.match_sum, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS score
+             |  FROM dp CROSS JOIN cp_$i cp
+             |  LEFT JOIN ms_$i ms ON ms.doc_id = dp.doc_id AND ms.label = cp.label),
+             |rk_$i AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+             |  FROM sc_$i)""".stripMargin
+        }
+        val sels = fracs.zipWithIndex.map { case (f, i) =>
+          s"""SELECT CAST($f AS DOUBLE) AS train_frac, n_train,
+             |  CAST(COUNT(*) AS BIGINT) AS n_test,
+             |  CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |  CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+             |FROM rk_$i WHERE rn = 1 GROUP BY n_train""".stripMargin
+        }
+        (shared +: blocks).mkString(",\n") + "\n" + sels.mkString("\nUNION ALL\n")
+      },
 
       // The confusion panel is the NB oracle wrapped in one GROUP BY
       // — exact (true, predicted) counts.

@@ -1138,6 +1138,90 @@ object MlLite {
       .toDF("bin", "n", "n_pos", "rate_raw", "rate_isotonic")
   }
 
+  /** Learning curve — the "how much data is enough" readout a
+    * training-data pipeline budgets by: hold out a fixed md5 test
+    * slice, train the multinomial NB classifier on NESTED md5
+    * fractions of the remaining pool, and report held-out accuracy
+    * per fraction. A flat tail says more crawl buys nothing; a steep
+    * one says the label is data-starved. Splits compare the 32-bit
+    * md5 key against INTEGER thresholds (exact, engine-replayable —
+    * no float membership tests).
+    *
+    * Scale shape: the token relation checkpoints once; each fraction
+    * is one (label, token) partial agg + panel joins + one
+    * doc-partitioned rank window — the [[naiveBayesKFold]] machinery
+    * without the count-subtraction (training sets nest, test is
+    * shared). Engine parity: the kfold grid discipline (ln gridded
+    * 1e-6, DECIMAL(28,6) score adds, mirrored tie-break).
+    */
+  def learningCurve(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, testFrac: Double = 0.2,
+                    fracs: Seq[Double] = Seq(0.1, 0.25, 0.5, 1.0)): DataFrame = {
+    require(testFrac > 0 && testFrac < 1, s"testFrac=$testFrac out of (0,1)")
+    require(fracs.nonEmpty && fracs.forall(f => f > 0 && f <= 1),
+      s"train fractions must be in (0,1]: $fracs")
+    val full = 4294967296.0
+    val thrTest = math.floor((1.0 - testFrac) * full).toLong
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).as("label"), col(textCol).as("__text"))
+      .withColumn("__h", Sampling.md5Long32(Seq(col("doc_id"))))
+      .localCheckpoint(false)
+    val tok = base.select(col("doc_id"), col("label"), col("__h"),
+        explode(graft.functions.TextOps.tokens(col("__text"))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint(false)
+    val testTf = tok.filter(col("__h") >= thrTest)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val docPanel = testTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+      .join(base.filter(col("__h") >= thrTest)
+        .select(col("doc_id"), col("label").as("true_label")), Seq("doc_id"))
+      .localCheckpoint(false)
+    val perF = fracs.map { f =>
+      val thr = math.floor((1.0 - testFrac) * f * full).toLong
+      val ctg = tok.filter(col("__h") < thr)
+        .groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
+      val vg = ctg.agg(countDistinct(col("token")).as("v"))
+      val trDocs = base.filter(col("__h") < thr)
+      val priors = trDocs.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
+      val nTr = trDocs.agg(count(lit(1)).as("n_train"))
+      val totc = ctg.groupBy(col("label")).agg(sum(col("cnt")).as("tot_c"))
+      val classPanel = priors.join(totc, Seq("label"), "left")
+        .crossJoin(broadcast(nTr)).crossJoin(broadcast(vg))
+        .select(col("label"), col("n_train"),
+          q6(log(col("n_c").cast("double") / col("n_train").cast("double")))
+            .as("log_prior"),
+          q6(log((coalesce(col("tot_c"), lit(0L)) + col("v")).cast("double")))
+            .as("log_denom"))
+        .localCheckpoint(true)
+      val matchSum = testTf
+        .join(ctg.hint("shuffle_hash"), Seq("token"))
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum((col("tf") * q6(log((col("cnt") + 1).cast("double"))))
+          .cast(D6)).as("match_sum"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("label"))
+      docPanel.crossJoin(broadcast(classPanel))
+        .join(matchSum.hint("shuffle_hash"), Seq("doc_id", "label"), "left")
+        .withColumn("score",
+          (col("log_prior").cast(D6)
+            - (col("n_tok") * col("log_denom")).cast(D6)
+            + coalesce(col("match_sum"), lit(0).cast(D6))).cast("double"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .groupBy(col("n_train"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(lit(f).as("train_frac"), col("n_train"), col("n_test"),
+          col("n_correct"),
+          (col("n_correct").cast("double") / col("n_test").cast("double"))
+            .as("accuracy"))
+    }
+    perF.reduce(_ unionAll _)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelers (the label-QC primitive: declared metadata
     * vs a classifier, or two annotators; raw percent agreement

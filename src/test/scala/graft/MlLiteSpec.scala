@@ -832,6 +832,35 @@ class MlLiteSpec extends SparkSpec {
     assert(!r.isNullAt(r.fieldIndex("log_loss")))
   }
 
+  test("learningCurve: nested fractions grow the train set; separable classes hit 1.0 at full data") {
+    import org.apache.spark.sql.functions.col
+    // two classes with disjoint vocabularies — NB trained on ANY
+    // non-empty slice of both classes classifies the held-out docs
+    val docs = (1L to 60L).map(i =>
+      if (i % 2 == 0) (i, "aa bb aa bb", "A") else (i, "xx yy xx yy", "B"))
+      .toDF("doc_id", "text", "lang")
+    val got = MlLite.learningCurve(docs, "doc_id", "text", "lang",
+        testFrac = 0.2, fracs = Seq(0.25, 1.0))
+      .orderBy("train_frac").collect()
+    assert(got.length == 2)
+    val (q, full) = (got(0), got(1))
+    assert(q.getAs[Double]("train_frac") == 0.25)
+    assert(full.getAs[Double]("train_frac") == 1.0)
+    // nested thresholds: the quarter slice is a subset of the pool
+    assert(q.getAs[Long]("n_train") < full.getAs[Long]("n_train"))
+    // test slice is SHARED across fractions
+    assert(q.getAs[Long]("n_test") == full.getAs[Long]("n_test"))
+    assert(full.getAs[Long]("n_test") > 0)
+    // disjoint vocab: full-pool training classifies every test doc
+    assert(full.getAs[Double]("accuracy") == 1.0)
+    // deterministic under repartition
+    val again = MlLite.learningCurve(docs.repartition(5), "doc_id", "text",
+        "lang", testFrac = 0.2, fracs = Seq(0.25, 1.0))
+      .orderBy("train_frac").collect()
+    assert(again.map(_.getAs[Long]("n_correct")).toSeq ==
+      got.map(_.getAs[Long]("n_correct")).toSeq)
+  }
+
   test("cohensKappa: hand-computed 2x2 kappa; perfect agreement is 1") {
     import org.apache.spark.sql.functions.col
     // confusion: (x,x)=4 (y,y)=2 (x,y)=1 (y,x)=1 → n=8 po=6/8
