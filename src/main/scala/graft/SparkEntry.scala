@@ -812,6 +812,16 @@ object SparkEntry {
     // argmax panels — see Graph.labelPropagation.
     // Directed-edge reciprocity of the trade-flow graph: share of
     // distinct flows whose reverse flow also exists (1-row panel).
+    // Out-degree distribution of the customer→supplier purchase graph
+    // (row-scale nodes, panel-sized histogram) + the log-log power-law
+    // slope — the hub-tail read before salting any iterative graph op.
+    "graph_degree_dist" -> ((s: SparkSession, d: String) => {
+      val edges = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      Graph.degreeDistribution(edges, "src", "dst")
+    }),
+
     "graph_reciprocity" -> ((s: SparkSession, d: String) => {
       val nation = t(s, d, "nation")
       val flows = t(s, d, "lineitem")
@@ -1135,6 +1145,21 @@ object SparkEntry {
             least(lit(9L), floor(col("value") / 10).cast("long")).as("val_decile")),
         Seq("hour_band", "iso_dow", "val_decile"),
         "event_type", k = 5, l = 2)),
+
+    // t-closeness audit over the same binned quasi-identifiers: the
+    // distribution tier above the k/l count verdicts — per combo the
+    // variational distance between its sensitive mix and the global
+    // mix, released only when <= t.
+    "privacy_t_closeness" -> ((s: SparkSession, d: String) =>
+      Audit.tCloseness(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            floor(hour(col("ts")) / 6).cast("long").as("hour_band"),
+            Temporal.isoDow(col("ts")).cast("long").as("iso_dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("val_decile")),
+        Seq("hour_band", "iso_dow", "val_decile"),
+        "event_type", t = 0.2)),
 
     // The ACTING twin of the audit: the released view keeps only rows
     // whose quasi-identifier combo passes both verdicts (suppression,
@@ -4406,6 +4431,45 @@ object SparkEntry {
         |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // Audit.tCloseness mirrored: full combo × sensitive grid so absent
+    // values pay |0 − q|, gridded 1e-6 terms into the DECIMAL(28,6)
+    // per-combo sum, halved at the edge.
+    "privacy_t_closeness" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
+        |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS val_decile
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT hour_band, iso_dow, val_decile, event_type AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cs
+        |  FROM base GROUP BY 1, 2, 3, 4),
+        |combos AS (
+        |  SELECT hour_band, iso_dow, val_decile,
+        |    CAST(SUM(n_cs) AS BIGINT) AS n_rows
+        |  FROM cells GROUP BY 1, 2, 3),
+        |gpop AS (
+        |  SELECT event_type AS s, CAST(COUNT(*) AS BIGINT) AS n_s FROM base GROUP BY 1),
+        |totq AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM gpop),
+        |sens AS (
+        |  SELECT s, CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE) AS q
+        |  FROM gpop CROSS JOIN totq),
+        |grid AS (
+        |  SELECT c.hour_band, c.iso_dow, c.val_decile, c.n_rows, se.s, se.q,
+        |    CAST(COALESCE(cl.n_cs, 0) AS DOUBLE) / CAST(c.n_rows AS DOUBLE) AS p
+        |  FROM combos c CROSS JOIN sens se
+        |  LEFT JOIN cells cl ON cl.hour_band = c.hour_band
+        |    AND cl.iso_dow = c.iso_dow AND cl.val_decile = c.val_decile
+        |    AND cl.s = se.s)
+        |SELECT hour_band, iso_dow, val_decile, n_rows,
+        |  CAST(SUM(CAST(FLOOR(ABS(p - q) * 1e6) / 1e6 AS DECIMAL(28,6)))
+        |    AS DOUBLE) / 2.0 AS tv_distance,
+        |  CAST(SUM(CAST(FLOOR(ABS(p - q) * 1e6) / 1e6 AS DECIMAL(28,6)))
+        |    AS DOUBLE) / 2.0 <= 0.2 AS t_close
+        |FROM grid GROUP BY 1, 2, 3, 4""".stripMargin,
+
     "privacy_suppress_release" ->
       """WITH binned AS (
         |  SELECT event_id, event_type, value,
@@ -7443,6 +7507,38 @@ object SparkEntry {
           |  CAST(MIN(id) AS BIGINT) AS node_min,
           |  CAST(MAX(id) AS BIGINT) AS node_max
           |FROM lab GROUP BY 1""".stripMargin,
+
+      // Graph.degreeDistribution mirrored: distinct customer→supplier
+      // edges, degree panel, histogram + the zipfFit log-log OLS grids.
+      "graph_degree_dist" ->
+        """WITH e AS (
+          |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u,
+          |    CAST(l_suppkey AS VARCHAR) AS v
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+          |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+          |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS t FROM hist),
+          |pts AS (
+          |  SELECT FLOOR(LN(CAST(degree AS DOUBLE)) * 1e6) / 1e6 AS lx,
+          |    FLOOR(LN(CAST(n_nodes AS DOUBLE)) * 1e6) / 1e6 AS ly
+          |  FROM hist),
+          |moms AS (
+          |  SELECT COUNT(*) AS k,
+          |    SUM(CAST(FLOOR(lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sx,
+          |    SUM(CAST(FLOOR(ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sy,
+          |    SUM(CAST(FLOOR(lx * ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxy,
+          |    SUM(CAST(FLOOR(lx * lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxx
+          |  FROM pts WHERE lx IS NOT NULL),
+          |fit AS (
+          |  SELECT (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / NULLIF(k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+          |    AS powerlaw_slope
+          |  FROM moms)
+          |SELECT degree, n_nodes,
+          |  CAST(n_nodes AS DOUBLE) / CAST(t AS DOUBLE) AS node_share,
+          |  powerlaw_slope
+          |FROM hist CROSS JOIN tot CROSS JOIN fit""".stripMargin,
 
       // Graph.reciprocity: distinct directed flows left-joined to
       // their own reversal, a 1-row panel.

@@ -232,6 +232,58 @@ object Audit {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** t-CLOSENESS audit — the distribution-level tier above
+    * [[kAnonymity]]'s count verdicts (Li et al. 2007): a combo can be
+    * k-anonymous AND l-diverse yet still leak because its sensitive
+    * mix is far from the population's (a combo that is 95% one
+    * diagnosis reveals it with high confidence even with 2 distinct
+    * values present). For a categorical sensitive attribute the EMD
+    * under the uniform ground metric is the variational distance
+    * `½·Σ_s |p_combo(s) − p_global(s)|`; a release requires it ≤ t
+    * for every combo.
+    *
+    * Scale shape: one (combo, sensitive) partial-agg scan (the combo
+    * space is bounded by construction — callers pass BINNED quasi
+    * columns), the full combo × sensitive grid materialized by a
+    * broadcast cross join against the ≤k-value sensitive panel so
+    * ABSENT values contribute their |0 − q_s| mass, one combo-keyed
+    * panel sum. Engine parity: both shares are exact-long quotients;
+    * the |p−q| term is full-entropy → gridded 1e-6 before its
+    * DECIMAL(28,6) per-combo sum (§5), halved at the edge.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(quasiCols.nonEmpty && t > 0 && t <= 1,
+      s"tCloseness needs quasi columns and t in (0,1]: $t")
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val base = df
+      .filter((quasiCols.map(col(_).isNotNull) :+ col(sensitiveCol).isNotNull)
+        .reduce(_ && _))
+      .localCheckpoint(false)
+    val cells = base.groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__s")): _*)
+      .agg(count(lit(1)).as("__n_cs"))
+    val combos = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n_cs")).as("n_rows"))
+    val global = base.groupBy(col(sensitiveCol).as("__s"))
+      .agg(count(lit(1)).as("__n_s"))
+    val totQ = global.agg(sum(col("__n_s")).as("__n"))
+    val sens = global.crossJoin(broadcast(totQ))
+      .select(col("__s"),
+        (col("__n_s").cast("double") / col("__n").cast("double")).as("__q"))
+    val grid = combos.crossJoin(broadcast(sens))
+      .join(cells, quasiCols :+ "__s", "left")
+      .withColumn("__p",
+        coalesce(col("__n_cs"), lit(0L)).cast("double")
+          / col("n_rows").cast("double"))
+    grid.groupBy((quasiCols.map(col) :+ col("n_rows")): _*)
+      .agg(sum(q6(abs(col("__p") - col("__q")))
+        .cast(DecimalType(28, 6))).as("__d"))
+      .withColumn("tv_distance", col("__d").cast("double") / lit(2.0))
+      .withColumn("t_close", col("tv_distance") <= t)
+      .drop("__d")
+  }
+
   /** Differentially-private count release (the Laplace mechanism,
     * Dwork et al. 2006) made DETERMINISTIC: each group's count is
     * published with Laplace(sensitivity/ε) noise whose draw is a pure

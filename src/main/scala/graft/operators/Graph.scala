@@ -504,6 +504,48 @@ object Graph {
         col("n_reciprocated").cast("double") / col("n_edges").cast("double"))
   }
 
+  /** Out-degree DISTRIBUTION of a directed edge list — the one-panel
+    * shape diagnostic before any iterative graph op (a heavy-tailed
+    * degree histogram says "salt the hubs" for PageRank/k-core; the
+    * log-log OLS slope is the power-law read, the zipfFit discipline
+    * on the degree panel). Distinct edges only; one edge-keyed
+    * distinct + two partial-agg shuffles to the ≤|distinct degrees|
+    * panel; share and slope broadcast from 1-row panels.
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    def q8d(c: org.apache.spark.sql.Column) =
+      (floor(c * lit(1e8)) / lit(1e8)).cast(DecimalType(28, 8))
+    val deg = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint(true)
+    val tot = hist.agg(sum(col("n_nodes")).as("__tot"))
+    val pts = hist.select(
+      q6(log(col("degree").cast("double"))).as("lx"),
+      q6(log(col("n_nodes").cast("double"))).as("ly"))
+    val moms = pts.filter(col("lx").isNotNull)
+      .agg(count(lit(1)).as("__k"),
+        sum(q8d(col("lx"))).as("sx"), sum(q8d(col("ly"))).as("sy"),
+        sum(q8d(col("lx") * col("ly"))).as("sxy"),
+        sum(q8d(col("lx") * col("lx"))).as("sxx"))
+    val den = col("__k") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (col("__k") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      when(den === 0, lit(null)).otherwise(den)
+    val fit = moms.select(slope.as("powerlaw_slope"))
+    hist.crossJoin(broadcast(tot)).crossJoin(broadcast(fit))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / col("__tot").cast("double"))
+          .as("node_share"),
+        col("powerlaw_slope"))
+  }
+
   /** Directed BFS hop distance from one source node — the reachability
     * panel next to [[pageRank]]'s centrality: how many directed hops
     * from `source` to every reachable node (the source itself at 0;

@@ -87,6 +87,27 @@ class GraphSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("assortativity")))
   }
 
+  test("degreeDistribution: histogram counts by out-degree, duplicate edges collapse") {
+    import spark.implicits._
+    // a->{1,2,3}, b->{1,2}, c->{1}, d->{1} (the a->1 duplicate must not
+    // inflate a's degree): degrees 3,2,1,1 -> hist {1:2, 2:1, 3:1}
+    val e = Seq(("a", "1"), ("a", "2"), ("a", "3"), ("a", "1"),
+      ("b", "1"), ("b", "2"), ("c", "1"), ("d", "1")).toDF("s", "t")
+    val got = Graph.degreeDistribution(e, "s", "t").orderBy("degree")
+      .collect().map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_nodes"),
+        r.getAs[Double]("node_share")))
+    assert(got.map(g => g._1 -> g._2).toSeq == Seq(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(math.abs(got.head._3 - 0.5) < 1e-12)
+    // heavy tail (more low-degree nodes) -> negative log-log slope
+    val slope = Graph.degreeDistribution(e, "s", "t")
+      .collect().head.getAs[Double]("powerlaw_slope")
+    assert(slope < 0.0)
+    // a regular graph (one distinct degree) has a degenerate fit -> NULL
+    val reg = Seq(("a", "1"), ("b", "1")).toDF("s", "t")
+    val rr = Graph.degreeDistribution(reg, "s", "t").collect().head
+    assert(rr.isNullAt(rr.fieldIndex("powerlaw_slope")))
+  }
+
   test("triangles: one closed triad found once, the open tail excluded") {
     val got = trianglesOf(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
     assert(got == Set(("a", "b", "c")))

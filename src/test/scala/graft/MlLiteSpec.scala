@@ -615,6 +615,34 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("tCloseness: skewed-mix combo exceeds t even when l-diverse; balanced combo passes") {
+    import graft.operators.Audit
+    // global mix: a=5, b=5 -> q = (0.5, 0.5)
+    // combo 1: 4a+1b (skewed: tv = ½(|.8-.5|+|.2-.5|) = 0.3)
+    // combo 2: 1a+4b (mirror, 0.3); both l-diverse yet NOT 0.2-close
+    val rows = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L), ("a", 1L), ("b", 1L),
+      ("a", 2L), ("b", 2L), ("b", 2L), ("b", 2L), ("b", 2L)
+    ).toDF("sens", "q1")
+    val got = Audit.tCloseness(rows, Seq("q1"), "sens", t = 0.2)
+      .collect().map(r => r.getAs[Long]("q1") -> r).toMap
+    assert(math.abs(got(1L).getAs[Double]("tv_distance") - 0.3) < 1e-6)
+    assert(!got(1L).getAs[Boolean]("t_close"))
+    assert(!got(2L).getAs[Boolean]("t_close"))
+    // a perfectly representative combo is 0-distant: absent values
+    // pay |0 - q| (drop combo 2 -> combo 1 IS the population)
+    val bal = Seq(("a", 1L), ("b", 1L)).toDF("sens", "q1")
+    val b = Audit.tCloseness(bal, Seq("q1"), "sens", t = 0.2).collect().head
+    assert(b.getAs[Double]("tv_distance") == 0.0 && b.getAs[Boolean]("t_close"))
+    // one-value population vs one-value combo: distance 0; a combo
+    // missing a global value pays its mass — construct 3-value global
+    val tri = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("sens", "q1")
+    val tv = Audit.tCloseness(tri, Seq("q1"), "sens", t = 0.2)
+      .collect().map(r => r.getAs[Long]("q1") -> r.getAs[Double]("tv_distance")).toMap
+    // combo 1: p=(.5,.5,0) vs q=(1/3,1/3,1/3) -> tv = ½(1/6+1/6+1/3) = 1/3
+    assert(math.abs(tv(1L) - 1.0 / 3) < 1e-5)
+  }
+
   test("targetEncode: own label excluded, singleton encodes as the prior") {
     val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
       .toDF("id", "cat", "y")
