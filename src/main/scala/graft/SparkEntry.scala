@@ -2910,6 +2910,31 @@ object SparkEntry {
         Seq("event_id", "user_id", "value", "ts", "event_type", "props"))
     }),
 
+    // Schema drift between two bronze drops (split at the 2024-01-15
+    // cutover the producer changed its export on): the old drop ships
+    // integer values, date-only timestamps and no props column — the
+    // audit reads ADDED / TYPE_CHANGED / UNCHANGED plus null-rate
+    // drift per column.
+    "audit_schema_drift" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val cutoff = to_date(lit("2024-01-15"))
+      val oldB = ev.filter(to_date(col("ts")) <= cutoff).select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        floor(col("value")).cast("long").cast("string").as("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("ts"),
+        col("event_type"))
+      val newB = ev.filter(to_date(col("ts")) > cutoff).select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        money(col("value")).cast("string").as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), col("props"))
+      TypedCoerce.schemaDrift(oldB, newB,
+        Seq("event_id", "user_id", "value", "ts", "event_type"),
+        Seq("event_id", "user_id", "value", "ts", "event_type", "props"))
+    }),
+
     // Most-common-values panel (the ANALYZE MCV statistic): top-5
     // values per column with exact counts + raw shares; two-phase
     // salted rank, never a global sort of a value panel.
@@ -5834,6 +5859,74 @@ object SparkEntry {
              |       ELSE 'VARCHAR' END AS suggested_type
              |FROM ($bronzeSql)""".stripMargin
         }.mkString("", "\nUNION ALL\n", "")
+      },
+
+      // TypedCoerce.schemaDrift mirrored: the inferTypes union per
+      // drop, full-outer on column name, the same verdict ladder and
+      // exact null-rate quotients (empty batch → rate 1.0).
+      "audit_schema_drift" -> {
+        def inferSql(bronzeSql: String, cols: Seq[String]): String =
+          cols.map { c =>
+            def nnSum =
+              s"SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' THEN 1 ELSE 0 END)"
+            def cnt(pat: String) =
+              s"CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) <> '' AND " +
+                s"regexp_matches(TRIM($c), '$pat') THEN 1 ELSE 0 END) AS BIGINT)"
+            val nb = cnt("^(true|false|TRUE|FALSE|True|False)$")
+            val nl = cnt("^[+-]?[0-9]{1,18}$")
+            val nd = cnt("^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$")
+            val ndt = cnt("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+            val nts = cnt("^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}")
+            s"""SELECT '$c' AS column_name,
+               |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+               |  CAST($nnSum AS BIGINT) AS n_nonnull,
+               |  CASE WHEN $nnSum = 0 THEN 'VARCHAR'
+               |       WHEN CAST($nb AS DOUBLE) >= 0.99 * CAST($nnSum AS DOUBLE) THEN 'BOOLEAN'
+               |       WHEN CAST($nl AS DOUBLE) >= 0.99 * CAST($nnSum AS DOUBLE) THEN 'BIGINT'
+               |       WHEN CAST($nd AS DOUBLE) >= 0.99 * CAST($nnSum AS DOUBLE) THEN 'DOUBLE'
+               |       WHEN CAST($ndt AS DOUBLE) >= 0.99 * CAST($nnSum AS DOUBLE) THEN 'DATE'
+               |       WHEN CAST($nts AS DOUBLE) >= 0.99 * CAST($nnSum AS DOUBLE) THEN 'TIMESTAMP'
+               |       ELSE 'VARCHAR' END AS suggested_type
+               |FROM ($bronzeSql)""".stripMargin
+          }.mkString("", "\nUNION ALL\n", "")
+        val oldBronze =
+          """SELECT CAST(event_id AS VARCHAR) AS event_id,
+            |    CAST(user_id AS VARCHAR) AS user_id,
+            |    CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS value,
+            |    strftime(ts, '%Y-%m-%d') AS ts,
+            |    event_type
+            |  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'""".stripMargin
+        val newBronze =
+          """SELECT CAST(event_id AS VARCHAR) AS event_id,
+            |    CAST(user_id AS VARCHAR) AS user_id,
+            |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+            |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+            |    event_type, props
+            |  FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'""".stripMargin
+        val oldInfer = inferSql(oldBronze,
+          Seq("event_id", "user_id", "value", "ts", "event_type"))
+        val newInfer = inferSql(newBronze,
+          Seq("event_id", "user_id", "value", "ts", "event_type", "props"))
+        s"""WITH oi AS ($oldInfer),
+           |ni AS ($newInfer),
+           |oo AS (
+           |  SELECT column_name, suggested_type AS old_type,
+           |    CASE WHEN n_rows = 0 THEN 1.0
+           |         ELSE 1.0 - CAST(n_nonnull AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           |    END AS old_null_rate
+           |  FROM oi),
+           |nn AS (
+           |  SELECT column_name, suggested_type AS new_type,
+           |    CASE WHEN n_rows = 0 THEN 1.0
+           |         ELSE 1.0 - CAST(n_nonnull AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           |    END AS new_null_rate
+           |  FROM ni)
+           |SELECT column_name, old_type, old_null_rate, new_type, new_null_rate,
+           |  CASE WHEN old_type IS NULL THEN 'ADDED'
+           |       WHEN new_type IS NULL THEN 'DROPPED'
+           |       WHEN old_type <> new_type THEN 'TYPE_CHANGED'
+           |       ELSE 'UNCHANGED' END AS change
+           |FROM oo FULL OUTER JOIN nn USING (column_name)""".stripMargin
       },
 
       // MCV replay: per column top-5 by (count desc, value), raw

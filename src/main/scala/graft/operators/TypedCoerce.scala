@@ -70,4 +70,38 @@ object TypedCoerce {
           .otherwise("VARCHAR").as("suggested_type"))
     }.reduce(_ unionByName _)
   }
+
+  /** Schema DRIFT between two bronze batches — the contract check a
+    * lake runs when the producer ships a new drop: [[inferTypes]] on
+    * both sides, full-outer on column name, one verdict per column
+    * (`ADDED` / `DROPPED` / `TYPE_CHANGED` / `UNCHANGED`) plus the
+    * null-rate pair (the silent killer: a column that keeps its type
+    * but goes 40% NULL broke upstream just as surely). Column LISTS
+    * are declared per side because drift in the column SET is exactly
+    * what this audits.
+    *
+    * Scale shape: inferTypes' one-scan-per-column panels (each a
+    * 1-row aggregate), a ≤|columns|-row outer join. The null-rate is
+    * an exact-long quotient; an EMPTY batch reports rate 1.0 (all
+    * missing) rather than a NULL division.
+    */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame,
+                  oldCols: Seq[String], newCols: Seq[String],
+                  threshold: Double = 0.99): DataFrame = {
+    def rate(df: DataFrame, cols: Seq[String], t: String, r: String) =
+      inferTypes(df, cols, threshold).select(col("column_name"),
+        col("suggested_type").as(t),
+        when(col("n_rows") === 0, lit(1.0))
+          .otherwise(lit(1.0) -
+            col("n_nonnull").cast("double") / col("n_rows").cast("double"))
+          .as(r))
+    rate(oldDf, oldCols, "old_type", "old_null_rate")
+      .join(rate(newDf, newCols, "new_type", "new_null_rate"),
+        Seq("column_name"), "full_outer")
+      .withColumn("change",
+        when(col("old_type").isNull, "ADDED")
+          .when(col("new_type").isNull, "DROPPED")
+          .when(col("old_type") =!= col("new_type"), "TYPE_CHANGED")
+          .otherwise("UNCHANGED"))
+  }
 }

@@ -154,6 +154,70 @@ object StreamOps {
       batchId, writerId)
   }
 
+  /** Streaming CUSUM changepoint ALERT sink — the sequential twin of
+    * the batch binseg/cusum pair: per micro-batch, the batch mean's
+    * deviation from a FIXED baseline mean folds into a running
+    * cumulative sum carried in the TARGET itself (the last appended
+    * row is the state — restart-safe because the store IS the
+    * checkpoint; replayed batch ids no-op under the writer-identity
+    * rule so the walk never double-counts). One alert row per batch:
+    * `batch_id, batch_seq, n_rows, batch_mean, deviation, cusum,
+    * alert` with `alert = |cusum| >= threshold` — a persistent mean
+    * drift accumulates linearly while noise cancels, the classic
+    * sequential-detection shape.
+    *
+    * Scale: the batch collapses to one (count, decimal-sum) panel
+    * row; the previous cusum is a 1-row max-struct read of the
+    * bounded alert store. Nothing row-shaped touches the driver.
+    */
+  def cusumAlertSink(stream: DataFrame, checkpoint: String, target: String,
+                     valueCol: String, baselineMean: Double,
+                     threshold: Double):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cusumAlertBatch(batch.toDF(), target, valueCol, baselineMean,
+          threshold, batchId)
+      }
+
+  private[graft] def cusumAlertBatch(batch: DataFrame, target: String,
+                                     valueCol: String, baselineMean: Double,
+                                     threshold: Double, batchId: Long = -1L,
+                                     writerId: Option[String] = None): Unit = {
+    require(threshold > 0, s"cusumAlertBatch: threshold must be positive: $threshold")
+    import org.apache.spark.sql.types.DecimalType
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val p = batch.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((floor(col(valueCol).cast("double") * lit(1e6)) / lit(1e6))
+          .cast(DecimalType(28, 6))).as("s"))
+      .head()
+    val n = p.getLong(0)
+    val mean: Option[Double] =
+      if (n == 0) None
+      else Some(p.getDecimal(1).doubleValue() / n.toDouble)
+    val deviation = mean.map(_ - baselineMean).getOrElse(0.0)
+    def mkRow(seq: Long, cusum: Double): DataFrame =
+      Seq((batchId, seq, n, mean, deviation, cusum,
+          math.abs(cusum) >= threshold))
+        .toDF("batch_id", "batch_seq", "n_rows", "batch_mean",
+          "deviation", "cusum", "alert")
+    upsertParquet(target, mkRow(0L, deviation), { existing =>
+      // 1-row panel: the latest appended row carries the walk's state
+      val prev = existing
+        .agg(max(struct(col("batch_seq"), col("cusum"))).as("m"))
+        .select(col("m.batch_seq").as("seq"), col("m.cusum").as("c"))
+        .head()
+      val (seq, c) =
+        if (prev.isNullAt(0)) (0L, 0.0) else (prev.getLong(0) + 1, prev.getDouble(1))
+      existing.unionByName(mkRow(seq, c + deviation),
+        allowMissingColumns = true)
+    }, batchId, writerId)
+  }
+
   /** Streaming exact dedup on the event key: late re-deliveries inside
     * the watermark are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` — state expires with the

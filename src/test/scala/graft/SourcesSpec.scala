@@ -246,6 +246,29 @@ class SourcesSpec extends SparkSpec {
       .collect()(0).getAs[String]("suggested_type") == "VARCHAR")
   }
 
+  test("schemaDrift: added/dropped/type-changed verdicts and null-rate drift") {
+    import spark.implicits._
+    val oldB = Seq(("1", "5", "x"), ("2", "7", "y"))
+      .toDF("id", "amt", "gone")
+    val newB = Seq(("1", "5.5", "a", "t1"), ("2", "7.25", null, "t2"),
+      ("3", "9.75", null, "t3")).toDF("id", "amt", "tag", "extra")
+    val got = graft.operators.TypedCoerce.schemaDrift(oldB, newB,
+        Seq("id", "amt", "gone"), Seq("id", "amt", "tag", "extra"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(got("id").getAs[String]("change") == "UNCHANGED")
+    assert(got("amt").getAs[String]("change") == "TYPE_CHANGED")
+    assert(got("amt").getAs[String]("old_type") == "BIGINT")
+    assert(got("amt").getAs[String]("new_type") == "DOUBLE")
+    assert(got("gone").getAs[String]("change") == "DROPPED")
+    assert(got("extra").getAs[String]("change") == "ADDED")
+    // same type, but the producer started shipping NULLs: 0 -> 2/3
+    assert(got("tag").getAs[String]("change") == "ADDED") // absent before
+    assert(math.abs(got("tag").getAs[Double]("new_null_rate") - 2.0 / 3) < 1e-12)
+    assert(got("id").getAs[Double]("old_null_rate") == 0.0)
+    // an ADDED column has NULL old-side fields, not fabricated zeros
+    assert(got("extra").isNullAt(got("extra").fieldIndex("old_type")))
+  }
+
   test("medallion layout prunes partitions: a month filter scans only its directory") {
     val root = Files.createTempDirectory("graft_prune").toString
     val df = Seq.tabulate(100)(i => (i.toLong, 2024, 1 + i % 4, s"p$i"))

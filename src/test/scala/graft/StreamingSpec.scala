@@ -809,6 +809,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2L)
   }
 
+  test("cusum-alert sink: drift accumulates across batches to an alert; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusumsink").toString
+    val target = s"$dir/alerts"
+    val in = MemoryStream[Double]
+    val q = StreamOps.cusumAlertSink(in.toDF.toDF("value"), s"$dir/ckpt",
+      target, "value", baselineMean = 10.0, threshold = 5.0).start()
+    // three batches each +2 over the baseline: the walk hits 6 >= 5 on
+    // the third — a single batch's +2 never alerts, the ACCUMULATION does
+    for (_ <- 1 to 3) { in.addData(Seq.fill(20)(12.0)); q.processAllAvailable() }
+    // a batch back AT baseline holds the walk (cusum stays, no growth)
+    in.addData(Seq.fill(20)(10.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target).orderBy("batch_seq").collect()
+      .map(r => (r.getAs[Long]("batch_seq"), r.getAs[Double]("cusum"),
+        r.getAs[Boolean]("alert"), r.getAs[Double]("deviation")))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).toSeq == Seq(2.0, 4.0, 6.0, 6.0))
+    assert(got.map(_._3).toSeq == Seq(false, false, true, true))
+    assert(got(3)._4 == 0.0)
+    // replaying an applied batch id appends nothing and keeps the walk
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.cusumAlertBatch(Seq.fill(20)(12.0).toDF("value"), target,
+        "value", 10.0, 5.0, batchId = 2L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(spark.read.parquet(target).count() == 4L)
+    // an empty batch carries the state forward without moving it
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.cusumAlertBatch(Seq.empty[Double].toDF("value"), target,
+        "value", 10.0, 5.0, batchId = 9L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    val tail = spark.read.parquet(target).orderBy("batch_seq").collect().last
+    assert(tail.getAs[Long]("n_rows") == 0L && tail.getAs[Double]("cusum") == 6.0)
+    assert(tail.isNullAt(tail.fieldIndex("batch_mean")))
+  }
+
   test("SCD2 sink: replaying an applied batch id is a no-op, not a poison batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2replay").toString
     val target = s"$dir/dim"
