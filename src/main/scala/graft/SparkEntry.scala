@@ -711,6 +711,26 @@ object SparkEntry {
     "ana_changepoint_binseg" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.changepointBinseg(servingValid(s, d))),
 
+    // 10-90% trimmed mean of value per event type — the robust KPI
+    // between mean and median; exact rank brackets, boundary kept.
+    "ana_trimmed_mean" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.trimmedMean(t(s, d, "events"),
+        upper(trim(col("event_type"))), "value", pLo = 0.1, pHi = 0.9)),
+
+    // DP mean release: values clamped to [0,100], budget split over
+    // the clamped sum and the count, both noised by the deterministic
+    // md5 Laplace draw (salted per statistic) — the value sibling of
+    // privacy_dp_release.
+    "privacy_dp_mean" -> ((s: SparkSession, d: String) =>
+      Audit.dpNoisyMean(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(floor(hour(col("ts")) / 6).cast("long").as("hour_band"),
+            Temporal.isoDow(col("ts")).cast("long").as("iso_dow"),
+            col("value")),
+        Seq("hour_band", "iso_dow"), "value",
+        lo = 0.0, hi = 100.0, epsilon = 1.0)),
+
     // Entropy rate of the user-journey Markov chain (π weighted by
     // out-transition mass, so the sum is n_ij/N over the transition
     // panel) + perplexity — the predictability scalar over
@@ -4552,6 +4572,38 @@ object SparkEntry {
     // Laplace DP release replay: the md5-32 uniform, the inverse-CDF
     // draw with the ln floor-quantized on the group panel (§5), the
     // clamped floor release; b = sensitivity/epsilon = 2.0 exact.
+    // Audit.dpNoisyMean mirrored: clamp-grid-decimal sum, two salted
+    // md5 Laplace draws, the floored-denominator mean.
+    "privacy_dp_mean" ->
+      """WITH g AS (
+        |  SELECT CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
+        |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(FLOOR(LEAST(100.0, GREATEST(0.0, CAST(value AS DOUBLE))) * 1e6) / 1e6
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS clamped_sum
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *,
+        |    (CAST(CAST('0x' || substr(md5(concat_ws('|',
+        |       CAST(hour_band AS VARCHAR), CAST(iso_dow AS VARCHAR), 'sum')), 1, 8) AS BIGINT) AS DOUBLE)
+        |      + 0.5) / 4294967296.0 AS us,
+        |    (CAST(CAST('0x' || substr(md5(concat_ws('|',
+        |       CAST(hour_band AS VARCHAR), CAST(iso_dow AS VARCHAR), 'cnt')), 1, 8) AS BIGINT) AS DOUBLE)
+        |      + 0.5) / 4294967296.0 AS uc
+        |  FROM g),
+        |n AS (
+        |  SELECT hour_band, iso_dow, n_rows, clamped_sum,
+        |    FLOOR((-200.0) * (CASE WHEN us < 0.5 THEN -1.0 ELSE 1.0 END)
+        |      * (FLOOR(LN(1.0 - 2.0 * ABS(us - 0.5)) * 1e6) / 1e6) * 1e6) / 1e6 AS noise_sum,
+        |    FLOOR((-2.0) * (CASE WHEN uc < 0.5 THEN -1.0 ELSE 1.0 END)
+        |      * (FLOOR(LN(1.0 - 2.0 * ABS(uc - 0.5)) * 1e6) / 1e6) * 1e6) / 1e6 AS noise_cnt
+        |  FROM d)
+        |SELECT hour_band, iso_dow, n_rows, clamped_sum, noise_sum, noise_cnt,
+        |  (clamped_sum + noise_sum)
+        |    / GREATEST(1.0, CAST(n_rows AS DOUBLE) + noise_cnt) AS released_mean
+        |FROM n""".stripMargin,
+
     "privacy_dp_release" ->
       """WITH g AS (
         |  SELECT CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
@@ -7127,6 +7179,29 @@ object SparkEntry {
           s"""SELECT '$c' AS column_name, $p AS quantile,
              |  quantile_cont(CAST($c AS DOUBLE), $p) AS value FROM lineitem""".stripMargin)
           .mkString("\nUNION ALL\n"),
+
+      // AnalyticsPack.trimmedMean mirrored: quantile_cont brackets
+      // (the table_quantiles interpolation identity), boundary rows
+      // kept, both means as gridded DECIMAL(28,6) sums over doubles.
+      "ana_trimmed_mean" ->
+        """WITH l AS (
+          |  SELECT UPPER(TRIM(event_type)) AS group_key,
+          |    CAST(value AS DOUBLE) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |f AS (
+          |  SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_total,
+          |    quantile_cont(v, 0.1) AS q_lo, quantile_cont(v, 0.9) AS q_hi,
+          |    CAST(SUM(CAST(FLOOR(v * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS rs
+          |  FROM l GROUP BY 1),
+          |k AS (
+          |  SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          |    CAST(SUM(CAST(FLOOR(v * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS ts
+          |  FROM l JOIN f USING (group_key)
+          |  WHERE v >= q_lo AND v <= q_hi GROUP BY 1)
+          |SELECT group_key, n_total, n_kept, q_lo, q_hi,
+          |  rs / CAST(n_total AS DOUBLE) AS raw_mean,
+          |  ts / CAST(n_kept AS DOUBLE) AS trimmed_mean
+          |FROM f JOIN k USING (group_key)""".stripMargin,
 
       // Profiling.outlierFences mirrored: unpivot, exact quartiles,
       // fixed-order fence arithmetic, tail counts CAST to BIGINT

@@ -284,6 +284,52 @@ object AnalyticsPack {
         (abs(col("cusum")) === col("__max_abs")).as("is_changepoint"))
   }
 
+  /** Trimmed mean per group — the robust center between the plain
+    * mean (outlier-dragged) and the median (throws away 98% of the
+    * data): drop everything outside the [pLo, pHi] rank bracket and
+    * average what remains. The standard robust KPI when a metering
+    * glitch can inject 1e9-valued rows.
+    *
+    * The brackets come from [[Profiling.exactQuantilesBy]] (two-phase
+    * distributed rank machinery — no single-reducer sort) and join
+    * back by group; the kept-mass mean re-grids each value to 1e-6
+    * before its DECIMAL(28,6) partial (§5, reduction-order-free).
+    * Boundary rows (v equal to either bracket) are KEPT — the bracket
+    * values are bit-identical in both engines, so the tie verdict is
+    * too. Output per group: total/kept counts, both brackets, raw and
+    * trimmed means.
+    */
+  def trimmedMean(events: DataFrame, groupExpr: Column, valueCol: String,
+                  pLo: Double, pHi: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad trim bracket [$pLo, $pHi]")
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val base = events
+      .select(groupExpr.as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
+    val qs = Profiling.exactQuantilesBy(base, Seq("__g"), "__v", Seq(pLo, pHi))
+    val brackets = qs.groupBy(col("__g"))
+      .agg(max(when(col("quantile") === pLo, col("value"))).as("q_lo"),
+        max(when(col("quantile") === pHi, col("value"))).as("q_hi"))
+      .localCheckpoint(true)
+    val raw = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(q6(col("__v")).cast(d6)).as("__rs"))
+    raw.join(brackets, Seq("__g"))
+      .join(base.join(brackets, Seq("__g"))
+          .filter(col("__v") >= col("q_lo") && col("__v") <= col("q_hi"))
+          .groupBy(col("__g"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(q6(col("__v")).cast(d6)).as("__ts")),
+        Seq("__g"))
+      .select(col("__g").as("group_key"), col("n_total"), col("n_kept"),
+        col("q_lo"), col("q_hi"),
+        (col("__rs").cast("double") / col("n_total").cast("double")).as("raw_mean"),
+        (col("__ts").cast("double") / col("n_kept").cast("double")).as("trimmed_mean"))
+  }
+
   /** Binary-segmentation changepoint — the LOCATION estimator next to
     * [[changepointCusum]]'s detector: for every candidate boundary
     * (split AFTER day d) the exact SSE reduction a two-mean model

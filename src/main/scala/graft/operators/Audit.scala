@@ -326,6 +326,53 @@ object Audit {
         greatest(lit(0L), floor(col("noisy_count"))).cast("long"))
   }
 
+  /** Differentially-private MEAN release — the value sibling of
+    * [[dpNoisyCounts]]: values CLAMP into [lo, hi] (bounding each
+    * row's influence — without the clamp the sum's sensitivity is
+    * unbounded and no finite noise is private), the ε budget splits
+    * evenly between the clamped sum (sensitivity max(|lo|, |hi|)) and
+    * the count (sensitivity 1), each noised by the SAME deterministic
+    * md5 inverse-CDF Laplace draw as the count release — salted
+    * "sum" / "cnt" so the two draws are independent functions of the
+    * group key — and the released mean is noisy_sum / noisy_count
+    * with the count floored at 1 (a tiny group must not flip the sign
+    * by a sub-1 noisy denominator).
+    *
+    * Scale shape: one partial-agg scan to the group panel; per-row
+    * clamped values floor-grid to 1e-6 before their DECIMAL(28,6)
+    * partials (§5 — reduction-order-free), draws and the mean are
+    * panel math. True n/sum stay as observability columns; the
+    * RELEASABLE projection is (group, released_mean).
+    */
+  def dpNoisyMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lo: Double, hi: Double, epsilon: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(epsilon > 0 && lo < hi,
+      s"dpNoisyMean needs positive epsilon and lo < hi: $epsilon, [$lo, $hi]")
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val bSum = math.max(math.abs(lo), math.abs(hi)) / (epsilon / 2.0)
+    val bCnt = 1.0 / (epsilon / 2.0)
+    val clamped = least(lit(hi), greatest(lit(lo), col(valueCol).cast("double")))
+    val g = df
+      .filter((groupCols.map(col(_).isNotNull) :+ col(valueCol).isNotNull)
+        .reduce(_ && _))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(grid6(clamped).cast(DecimalType(28, 6))).as("__cs"))
+      .withColumn("clamped_sum", col("__cs").cast("double")).drop("__cs")
+    def draw(salt: String, b: Double): Column = {
+      val u = (Sampling.md5Long32(groupCols.map(col) :+ lit(salt))
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val sign = when(u < 0.5, lit(-1.0)).otherwise(lit(1.0))
+      grid6(lit(-b) * sign * grid6(log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))))
+    }
+    g.withColumn("noise_sum", draw("sum", bSum))
+      .withColumn("noise_cnt", draw("cnt", bCnt))
+      .withColumn("released_mean",
+        (col("clamped_sum") + col("noise_sum")) /
+          greatest(lit(1.0), col("n_rows").cast("double") + col("noise_cnt")))
+  }
+
   /** k-anonymity by GENERALIZATION ladder — the third release
     * mechanism next to suppression ([[kAnonymity]]'s acting twin) and
     * noise ([[dpNoisyCounts]]): instead of dropping rare rows or

@@ -510,6 +510,23 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(flatGot.forall(_.getBoolean(4)))
   }
 
+  test("trimmedMean: outlier dragged out of the bracket; boundaries kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 1..10 plus a 1e6 glitch row: raw mean is wrecked, the 10-90%
+    // bracket [q10, q90] of 11 values = [2, 10] keeps 1..10 minus 1
+    val vals = (1 to 10).map(_.toDouble) :+ 1e6
+    val df = vals.map(v => ("A", v)).toDF("g", "v")
+    val r = AnalyticsPack.trimmedMean(df, col("g"), "v", 0.1, 0.9)
+      .collect().head
+    assert(r.getAs[Long]("n_total") == 11L)
+    // pos_lo = 0.1*10 = 1 -> q_lo = 2.0 (exact); pos_hi = 9 -> q_hi = 10.0
+    assert(r.getAs[Double]("q_lo") == 2.0 && r.getAs[Double]("q_hi") == 10.0)
+    assert(r.getAs[Long]("n_kept") == 9L) // 2..10 inclusive — boundaries kept
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - 6.0) < 1e-9)
+    assert(r.getAs[Double]("raw_mean") > 1000.0)
+  }
+
   test("changepointBinseg: max SSE reduction lands exactly on the planted boundary") {
     import spark.implicits._
     // level 10 for five days, then 20 for five: best split after day 5,

@@ -615,6 +615,29 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("dpNoisyMean: clamp bounds influence, draws replay, denominator floors at 1") {
+    import graft.operators.{Audit, Sampling}
+    import org.apache.spark.sql.functions.{col, lit}
+    // group A: values 10, 20, 1e9 (clamped to 100) — clamped_sum = 130
+    val df = Seq(("A", 10.0), ("A", 20.0), ("A", 1e9)).toDF("g", "v")
+    val r = Audit.dpNoisyMean(df, Seq("g"), "v", lo = 0.0, hi = 100.0,
+      epsilon = 1.0).collect().head
+    assert(r.getAs[Double]("clamped_sum") == 130.0)
+    // replay the sum draw by hand: u from md5("A|sum"), b = 100/(ε/2)
+    val u = (df.sparkSession.range(1).select(
+      (Sampling.md5Long32(Seq(lit("A"), lit("sum"))).cast("double") + lit(0.5))
+        / lit(4294967296.0)).head.getDouble(0))
+    val lnq = math.floor(math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1e6) / 1e6
+    val expected = math.floor(-200.0 * (if (u < 0.5) -1.0 else 1.0) * lnq * 1e6) / 1e6
+    assert(r.getAs[Double]("noise_sum") == expected)
+    // released mean = (clamped_sum + noise_sum) / max(1, n + noise_cnt)
+    val den = math.max(1.0, 3.0 + r.getAs[Double]("noise_cnt"))
+    assert(math.abs(r.getAs[Double]("released_mean")
+      - (130.0 + r.getAs[Double]("noise_sum")) / den) < 1e-12)
+    // a heavily negative count draw cannot flip the sign: denominator >= 1
+    assert(den >= 1.0)
+  }
+
   test("tCloseness: skewed-mix combo exceeds t even when l-diverse; balanced combo passes") {
     import graft.operators.Audit
     // global mix: a=5, b=5 -> q = (0.5, 0.5)
