@@ -2136,6 +2136,22 @@ object SparkEntry {
     "embedding_similarity_hist" -> ((s: SparkSession, d: String) =>
       Ann.similarityHist(t(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // LSH banding tuning curve: the observed pair-cosine histogram
+    // folded through the hyperplane S-curve per candidate (bands,
+    // rows) config — expected candidate rate + recall over the >= tau
+    // mass, BEFORE paying for a full dedup run.
+    "dedup_lsh_curve" -> ((s: SparkSession, d: String) =>
+      Ann.lshTuningCurve(t(s, d, "embeddings"), "vec_id", "embedding",
+        configs = Seq((4, 4), (8, 4), (16, 4), (8, 8), (16, 8)),
+        tau = 0.5)),
+
+    // Rare-domain upsampling PLAN: integer replication factors that
+    // lift every source to at least a 6% share, capped at 4 epochs —
+    // the panel a reader joins on, never materialized xk.
+    "sample_upsample_rare" -> ((s: SparkSession, d: String) =>
+      Sampling.upsampleRare(t(s, d, "documents"), "source",
+        minShare = 0.06, maxRep = 4)),
+
     // k-NN classification over the exact cosine tier: majority label
     // of the 5 nearest neighbors, vote ties to the smaller label —
     // the application layer the recall panel prices approximations
@@ -8244,6 +8260,30 @@ object SparkEntry {
 
     "embedding_kmeans_centroids" -> kmeansCentroidsOracleSql(4, 5),
 
+    // Sampling.upsampleRare mirrored: exact counts, one mirrored
+    // ceil, exact-long post shares.
+    "sample_upsample_rare" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS domain,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tt FROM c),
+        |p AS (
+        |  SELECT domain, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(tt AS DOUBLE) AS raw_share,
+        |    CASE WHEN CAST(n_docs AS DOUBLE) / CAST(tt AS DOUBLE) >= 0.06
+        |         THEN CAST(1 AS BIGINT)
+        |         ELSE LEAST(CAST(4 AS BIGINT),
+        |           CAST(CEIL(0.06 * CAST(tt AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT))
+        |    END AS rep_factor
+        |  FROM c CROSS JOIN t),
+        |p2 AS (SELECT *, rep_factor * n_docs AS upsampled_docs FROM p),
+        |t2 AS (SELECT CAST(SUM(upsampled_docs) AS BIGINT) AS u FROM p2)
+        |SELECT domain, n_docs, raw_share, rep_factor,
+        |  CAST(upsampled_docs AS BIGINT) AS upsampled_docs,
+        |  CAST(upsampled_docs AS DOUBLE) / CAST(u AS DOUBLE) AS upsampled_share
+        |FROM p2 CROSS JOIN t2""".stripMargin,
+
     "sample_temperature_mix" ->
       """WITH c AS (
         |  SELECT CAST(lang AS VARCHAR) AS domain, COUNT(*) AS n_docs
@@ -8473,6 +8513,58 @@ object SparkEntry {
         |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
         |  -1.0 + CAST(bucket AS DOUBLE) * 0.1 AS bucket_lo
         |FROM hist""".stripMargin,
+
+    // Ann.lshTuningCurve mirrored: the similarity-hist panel, gridded
+    // arccos collision prob, the gridded S-curve per config, decimal
+    // mass terms, one mirrored quotient pair per config row.
+    "dedup_lsh_curve" -> {
+      val histSql =
+        """WITH base AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |  WHERE embedding IS NOT NULL),
+          |n AS (
+          |  SELECT vec_id, v,
+          |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+          |  FROM base),
+          |panel AS (
+          |  SELECT vec_id, v, nrm FROM (
+          |    SELECT *, CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+          |    FROM n WHERE nrm > 0.0)
+          |  ORDER BY h, vec_id LIMIT 96),
+          |pairs AS (
+          |  SELECT
+          |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)
+          |      / (a.nrm * b.nrm) AS cos
+          |  FROM panel a JOIN panel b ON a.vec_id < b.vec_id),
+          |hist AS (
+          |  SELECT GREATEST(0, LEAST(19, CAST(FLOOR((cos + 1.0) / 0.1) AS INTEGER))) AS bucket,
+          |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+          |  FROM pairs GROUP BY 1),
+          |hp AS (
+          |  SELECT n_pairs,
+          |    (-1.0 + CAST(bucket AS DOUBLE) * 0.1) + 0.05 AS mid,
+          |    FLOOR((1.0 - ACOS(GREATEST(-1.0, LEAST(1.0,
+          |      (-1.0 + CAST(bucket AS DOUBLE) * 0.1) + 0.05)))
+          |      / 3.141592653589793) * 1e6) / 1e6 AS p
+          |  FROM hist)""".stripMargin
+      val blocks = Seq((4, 4), (8, 4), (16, 4), (8, 8), (16, 8)).map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  CAST(SUM(n_pairs) AS BIGINT) AS n_pairs_total,
+           |  CAST(SUM(CASE WHEN mid >= 0.5 THEN n_pairs ELSE 0 END) AS BIGINT) AS n_above_tau,
+           |  CAST(SUM(CAST(n_pairs AS DECIMAL(19,0))
+           |    * CAST(FLOOR((1.0 - POW(1.0 - POW(p, $r), $b)) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+           |    AS expected_candidates,
+           |  CAST(SUM(CAST(n_pairs AS DECIMAL(19,0))
+           |    * CAST(FLOOR((1.0 - POW(1.0 - POW(p, $r), $b)) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+           |    / NULLIF(CAST(SUM(n_pairs) AS DOUBLE), 0.0) AS candidate_rate,
+           |  CAST(COALESCE(SUM(CASE WHEN mid >= 0.5 THEN CAST(n_pairs AS DECIMAL(19,0))
+           |    * CAST(FLOOR((1.0 - POW(1.0 - POW(p, $r), $b)) * 1e6) / 1e6 AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+           |    / NULLIF(CAST(SUM(CASE WHEN mid >= 0.5 THEN n_pairs ELSE 0 END) AS DOUBLE), 0.0)
+           |    AS expected_recall_at_tau
+           |FROM hp""".stripMargin
+      }
+      histSql + "\n" + blocks.mkString("\nUNION ALL\n")
+    },
 
     "ann_cosine_topk" ->
       """WITH base AS (

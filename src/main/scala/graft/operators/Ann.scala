@@ -143,6 +143,59 @@ object Ann {
       .withColumn("bucket_lo", lit(-1.0) + col("bucket").cast("double") * lit(width))
   }
 
+  /** LSH parameter TUNING curve — the evidence panel behind a
+    * banding choice (how many bands × rows per band?): for each
+    * candidate (b, r) config, fold the corpus's observed pair-cosine
+    * histogram ([[similarityHist]]) through the hyperplane-LSH
+    * S-curve `P(candidate | cos) = 1 − (1 − p^r)^b` with
+    * `p = 1 − arccos(cos)/π`, and report the expected candidate-pair
+    * rate plus the expected recall over the ≥ τ (true-neighbor) mass.
+    * Pick the config where recall is high and the candidate rate is
+    * still sub-quadratic — BEFORE paying for a full dedup run.
+    *
+    * All math rides the ≤`buckets`-row histogram panel × |configs|
+    * (panel math at any corpus size; the only corpus-scale work is
+    * similarityHist's TakeOrdered panel scan). Engine parity: arccos
+    * and pow are transcendental → the collision prob and the S-curve
+    * grid to 1e-6 per bucket (§5), mass terms as exact-decimal ×
+    * gridded products.
+    */
+  def lshTuningCurve(emb: DataFrame, idCol: String, vecCol: String,
+                     configs: Seq[(Int, Int)], tau: Double,
+                     panelK: Int = 96, buckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(configs.nonEmpty && configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      s"bad LSH configs: $configs")
+    require(tau > -1.0 && tau < 1.0, s"tau=$tau outside (-1,1)")
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val width = 2.0 / buckets
+    val hist = similarityHist(emb, idCol, vecCol, panelK, buckets)
+      .withColumn("__mid", col("bucket_lo") + lit(width / 2))
+      .withColumn("__p", q6(lit(1.0) -
+        acos(greatest(lit(-1.0), least(lit(1.0), col("__mid")))) / lit(math.Pi)))
+      .localCheckpoint(true)
+    configs.map { case (b, r) =>
+      val pc = q6(lit(1.0) - pow(lit(1.0) - pow(col("__p"), lit(r)), lit(b)))
+      val term = col("n_pairs").cast(DecimalType(19, 0)) * pc.cast(d6)
+      hist.agg(
+          sum(col("n_pairs")).as("n_pairs_total"),
+          sum(term).as("__exp"),
+          sum(when(col("__mid") >= tau, col("n_pairs")).otherwise(0L)).as("n_above_tau"),
+          coalesce(sum(when(col("__mid") >= tau, term)), lit(0).cast(d6))
+            .as("__caught"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_pairs_total"), col("n_above_tau"),
+          col("__exp").cast("double").as("expected_candidates"),
+          (col("__exp").cast("double") / nz(col("n_pairs_total").cast("double")))
+            .as("candidate_rate"),
+          (col("__caught").cast("double") / nz(col("n_above_tau").cast("double")))
+            .as("expected_recall_at_tau"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Embedding quality gate (the vector twin of the corpus/document
     * gates): first-match reason codes for null vectors, wrong
     * dimensionality, non-finite components, zero and out-of-band L2

@@ -606,4 +606,43 @@ object Sampling {
         when(col("n_eff") > 0,
           col("__graft_swx").cast("double") / col("n_eff")).as("mean_boot"))
   }
+
+  /** Rare-domain UPSAMPLING plan — the replication twin of
+    * [[domainMix]]'s downsampling: a domain below `minShare` of the
+    * corpus gets an integer replication factor (epochs over its data)
+    * `ceil(minShare·total / n_d)`, capped at `maxRep` (past a few
+    * epochs more repetition hurts more than the balance helps — the
+    * standard data-budget rule). Output is the PLAN panel (domain,
+    * counts, factor, post-upsampling share), not the replicated rows
+    * — at 100 TB the factor column joins into the reader; nothing is
+    * materialized ×k.
+    *
+    * Everything is exact integers plus one mirrored ceil; the
+    * post-shares are exact-long quotients off the ≤|domains| panel.
+    */
+  def upsampleRare(df: DataFrame, domainCol: String, minShare: Double,
+                   maxRep: Int): DataFrame = {
+    require(minShare > 0 && minShare < 1 && maxRep >= 1,
+      s"upsampleRare needs minShare in (0,1) and maxRep >= 1: $minShare/$maxRep")
+    val c = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = c.agg(sum(col("n_docs")).as("__t"))
+    val p = c.crossJoin(broadcast(tot))
+      .withColumn("raw_share",
+        col("n_docs").cast("double") / col("__t").cast("double"))
+      .withColumn("rep_factor",
+        when(col("raw_share") >= minShare, lit(1L))
+          .otherwise(least(lit(maxRep.toLong),
+            ceil(lit(minShare) * col("__t").cast("double")
+              / col("n_docs").cast("double")).cast("long"))))
+      .withColumn("upsampled_docs", col("rep_factor") * col("n_docs"))
+      .localCheckpoint(true)
+    val t2 = p.agg(sum(col("upsampled_docs")).as("__t2"))
+    p.crossJoin(broadcast(t2))
+      .select(col("domain"), col("n_docs"), col("raw_share"),
+        col("rep_factor"), col("upsampled_docs"),
+        (col("upsampled_docs").cast("double") / col("__t2").cast("double"))
+          .as("upsampled_share"))
+  }
 }

@@ -570,6 +570,29 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(lo(10) - 0.0) < 1e-12)
   }
 
+  test("lshTuningCurve: more bands raise candidates, more rows sharpen the curve") {
+    val got = graft.operators.Ann.lshTuningCurve(vecs, "vec_id", "embedding",
+        configs = Seq((4, 4), (16, 4), (8, 8)), tau = 0.5)
+      .collect().map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) -> r)
+      .toMap
+    val b4 = got((4, 4)); val b16 = got((16, 4)); val r8 = got((8, 8))
+    // same total pair mass measured in every config
+    assert(got.values.map(_.getAs[Long]("n_pairs_total")).toSet.size == 1)
+    // more bands = strictly more expected candidates (monotone S-curve)
+    assert(b16.getAs[Double]("expected_candidates") >
+      b4.getAs[Double]("expected_candidates"))
+    // more rows per band = sharper curve = fewer low-sim candidates
+    assert(r8.getAs[Double]("expected_candidates") <
+      b16.getAs[Double]("expected_candidates"))
+    // recall over the >= tau mass is a probability and beats the
+    // config's GLOBAL candidate rate (the S-curve concentrates mass up top)
+    got.values.foreach { r =>
+      val rec = r.getAs[Double]("expected_recall_at_tau")
+      assert(rec >= 0.0 && rec <= 1.0 + 1e-9)
+      assert(rec >= r.getAs[Double]("candidate_rate") - 1e-9)
+    }
+  }
+
   test("dimStats: per-dimension moments exact on a hand panel; shares sum to 1") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),

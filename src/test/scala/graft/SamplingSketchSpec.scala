@@ -740,4 +740,26 @@ class SamplingSketchSpec extends SparkSpec {
       .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(q == Map("big" -> 10L, "small" -> 5L, "mid" -> 10L))
   }
+
+  test("upsampleRare: rare domains replicate to the floor share, cap binds, rich stay at 1") {
+    import spark.implicits._
+    // 100 docs: A=80, B=15, C=4, D=1; floor 10%, cap 3
+    val df = (Seq.fill(80)("A") ++ Seq.fill(15)("B") ++ Seq.fill(4)("C") ++
+      Seq.fill(1)("D")).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "source")
+    val got = graft.operators.Sampling.upsampleRare(df, "source",
+        minShare = 0.10, maxRep = 3)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("rep_factor"), r.getAs[Long]("upsampled_docs"))).toMap
+    assert(got("A") == ((1L, 80L)))  // 80% >= 10% -> untouched
+    assert(got("B") == ((1L, 15L)))  // 15% >= 10% -> untouched
+    assert(got("C") == ((3L, 12L)))  // ceil(10/4) = 3 -> within cap
+    assert(got("D") == ((3L, 3L)))   // ceil(10/1) = 10 -> CAP binds at 3
+    // shares re-normalize over the upsampled total
+    val shares = graft.operators.Sampling.upsampleRare(df, "source", 0.10, 3)
+      .collect().map(r => r.getAs[String]("domain") ->
+        r.getAs[Double]("upsampled_share")).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-12)
+    assert(math.abs(shares("C") - 12.0 / 110.0) < 1e-12)
+  }
 }
