@@ -1272,6 +1272,21 @@ object SparkEntry {
       Profiling.quantileProfile(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Quantile-sketch accuracy panel: percentile_approx vs the exact
+    // rank brackets plus the EMPIRICAL rank error of each sketch
+    // answer — the evidence that licenses the single-pass sketch at
+    // 100 TB. Sketch internals → rows-only by the §5.1 sketch rule.
+    "sketch_quantile_error" -> ((s: SparkSession, d: String) =>
+      Profiling.quantileSketchError(t(s, d, "events"), "value",
+        ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99), accuracy = 100)),
+
+    // FD discovery over the order columns: every ordered pair's
+    // violation count/share — o_orderkey→* holds (it is the key),
+    // the reverse directions quantify how far they are from FDs.
+    "audit_fd_discovery" -> ((s: SparkSession, d: String) =>
+      Audit.fdDiscovery(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
+
     // Tukey-fence outlier audit over the same columns: exact
     // rank-bracket quartiles, 1.5x-IQR fences, per-column tail counts.
     "table_outlier_iqr" -> ((s: SparkSession, d: String) =>
@@ -1910,6 +1925,15 @@ object SparkEntry {
     // per-user top-5 unseen items by summed cosine linkage.
     "recsys_recommend" -> ((s: SparkSession, d: String) =>
       Recsys.recommendTopN(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_partkey", n = 5, k = 10)),
+
+    // Serving-side health panel over the same recommendations:
+    // catalog coverage + exposure Gini (popularity bias). Exposure
+    // ranks ride the distributed prefix sum, never a global window.
+    "recsys_coverage" -> ((s: SparkSession, d: String) =>
+      Recsys.recommendationCoverage(
         t(s, d, "lineitem").join(t(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", n = 5, k = 10)),
@@ -7187,6 +7211,30 @@ object SparkEntry {
 
       // Profiling.quantileProfile mirrored: quantile_cont per
       // (column, p), unioned flat.
+      // Audit.fdDiscovery mirrored: per ordered pair the pair-distinct
+      // → determinant-keyed count plan, unioned.
+      "audit_fd_discovery" -> {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+        (for { a <- cols; b <- cols if a != b } yield
+          s"""SELECT '$a' AS determinant, '$b' AS dependent,
+             |  CAST(n_keys AS BIGINT) AS n_keys,
+             |  CAST(nv AS BIGINT) AS n_violating_keys,
+             |  CAST(nv AS DOUBLE)
+             |    / (CASE WHEN n_keys > 0 THEN CAST(n_keys AS DOUBLE) END)
+             |    AS violation_share,
+             |  n_keys > 0 AND nv = 0 AS fd_holds
+             |FROM (
+             |  SELECT COUNT(*) AS n_keys,
+             |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS nv
+             |  FROM (
+             |    SELECT k, COUNT(*) AS nd FROM (
+             |      SELECT DISTINCT CAST($a AS VARCHAR) AS k,
+             |        COALESCE(CAST($b AS VARCHAR), '<NULL>') AS v
+             |      FROM orders WHERE $a IS NOT NULL)
+             |    GROUP BY 1))""".stripMargin)
+          .mkString("\nUNION ALL\n")
+      },
+
       "table_quantiles" ->
         (for {
           c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -8446,45 +8494,39 @@ object SparkEntry {
         |FROM sym
         |QUALIFY rank <= 5""".stripMargin,
 
-    "recsys_recommend" ->
-      s"""WITH capped AS ($recsysInteractionsSql),
-        |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
-        |  FROM capped a JOIN capped b
-        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |scored AS (
-        |  SELECT ia, ib,
-        |    FLOOR(CAST(n_both AS DOUBLE)
-        |      / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) * 1e6) / 1e6 AS cosine
-        |  FROM pairs
-        |  JOIN marg ma ON ia = ma.item_id
-        |  JOIN marg mb ON ib = mb.item_id),
-        |sym AS (
-        |  SELECT ia AS item_id, ib AS neighbor_id, cosine FROM scored
-        |  UNION ALL
-        |  SELECT ib, ia, cosine FROM scored),
-        |nbr AS (
-        |  SELECT item_id, neighbor_id, cosine FROM sym
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY item_id
-        |    ORDER BY cosine DESC, neighbor_id) <= 10),
-        |cand AS (
-        |  SELECT i.user_id, n.neighbor_id AS rec_item,
-        |    CAST(SUM(CAST(n.cosine AS DECIMAL(28,6))) AS DOUBLE) AS score,
-        |    COUNT(*) AS n_links
-        |  FROM capped i JOIN nbr n ON i.item_id = n.item_id
-        |  GROUP BY 1, 2),
-        |unseen AS (
-        |  SELECT c.* FROM cand c
-        |  LEFT JOIN capped s ON c.user_id = s.user_id AND c.rec_item = s.item_id
-        |  WHERE s.item_id IS NULL)
-        |SELECT user_id,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-        |    ORDER BY score DESC, rec_item) AS INTEGER) AS rank,
-        |  rec_item, n_links, score
-        |FROM unseen
-        |QUALIFY rank <= 5""".stripMargin,
+    "recsys_recommend" -> recsysRecommendOracleSql,
+
+    // Recsys.recommendationCoverage mirrored: the full recommend
+    // chain as a CTE, exposure counts, rank formula Gini with
+    // mirrored double ops at the edge.
+    "recsys_coverage" ->
+      s"""WITH recs AS (
+        |${recsysRecommendOracleSql}
+        |),
+        |cat AS (
+        |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items_catalog,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_users_total
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |srv AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_served FROM recs),
+        |expo AS (SELECT rec_item, CAST(COUNT(*) AS BIGINT) AS x FROM recs GROUP BY 1),
+        |rk AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, rec_item) AS BIGINT) AS i
+        |  FROM expo),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_recommended,
+        |    CAST(SUM(x) AS BIGINT) AS tot,
+        |    SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS wsum
+        |  FROM rk)
+        |SELECT n_users_total, n_users_served, n_items_catalog, n_items_recommended,
+        |  CAST(n_items_recommended AS DOUBLE) / CAST(n_items_catalog AS DOUBLE)
+        |    AS catalog_coverage,
+        |  CASE WHEN tot > 0 THEN
+        |    (2.0 * CAST(wsum AS DOUBLE)
+        |      - CAST(n_items_recommended + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    / (CAST(n_items_recommended AS DOUBLE) * CAST(tot AS DOUBLE))
+        |  END AS exposure_gini
+        |FROM cat CROSS JOIN srv CROSS JOIN g""".stripMargin,
 
     // Ann.similarityHist mirrored: md5-smallest probe panel, the
     // left-fold cosine, fixed [-1,1] bucket arithmetic.
@@ -10732,6 +10774,49 @@ object SparkEntry {
       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |    WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL))
       |WHERE rn <= 1000""".stripMargin
+
+  /** The full recommend-top-N replay — shared by the recsys_recommend
+    * oracle and the coverage panel built over its output.
+    */
+  private def recsysRecommendOracleSql: String =
+    s"""WITH capped AS ($recsysInteractionsSql),
+      |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
+      |  FROM capped a JOIN capped b
+      |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |scored AS (
+      |  SELECT ia, ib,
+      |    FLOOR(CAST(n_both AS DOUBLE)
+      |      / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) * 1e6) / 1e6 AS cosine
+      |  FROM pairs
+      |  JOIN marg ma ON ia = ma.item_id
+      |  JOIN marg mb ON ib = mb.item_id),
+      |sym AS (
+      |  SELECT ia AS item_id, ib AS neighbor_id, cosine FROM scored
+      |  UNION ALL
+      |  SELECT ib, ia, cosine FROM scored),
+      |nbr AS (
+      |  SELECT item_id, neighbor_id, cosine FROM sym
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY item_id
+      |    ORDER BY cosine DESC, neighbor_id) <= 10),
+      |cand AS (
+      |  SELECT i.user_id, n.neighbor_id AS rec_item,
+      |    CAST(SUM(CAST(n.cosine AS DECIMAL(28,6))) AS DOUBLE) AS score,
+      |    COUNT(*) AS n_links
+      |  FROM capped i JOIN nbr n ON i.item_id = n.item_id
+      |  GROUP BY 1, 2),
+      |unseen AS (
+      |  SELECT c.* FROM cand c
+      |  LEFT JOIN capped s ON c.user_id = s.user_id AND c.rec_item = s.item_id
+      |  WHERE s.item_id IS NULL)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY score DESC, rec_item) AS INTEGER) AS rank,
+      |  rec_item, n_links, score
+      |FROM unseen
+      |QUALIFY rank <= 5""".stripMargin
 
   private def servingValidSql: String =
     s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"

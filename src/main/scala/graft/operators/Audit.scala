@@ -167,6 +167,44 @@ object Audit {
         col("__worst.k").as("worst_key"))
   }
 
+  /** Functional-dependency DISCOVERY over a column list — the search
+    * twin of [[fdCheck]]'s single assertion: for every ordered pair
+    * (A→B) of the given columns, how many determinant keys violate
+    * the dependency and by how much. The profiling step that proposes
+    * grain/hierarchy candidates (violation_share 0 = a real FD —
+    * a key, a 1:1 code↔name pair, a hierarchy level) before anyone
+    * hand-writes the fdCheck contracts.
+    *
+    * Scale shape: the projected base checkpoints once; each pair is
+    * the fdCheck plan (pair-distinct → determinant-keyed partial agg
+    * → 1-row panel), unioned. k columns cost k·(k−1) such passes
+    * over the checkpointed base — a profiling batch job, bounded by
+    * the declared column list, never by the schema.
+    */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"fdDiscovery needs >= 2 distinct columns: $cols")
+    val base = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .localCheckpoint(false)
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      val perKey = base.filter(col(a).isNotNull)
+        .select(col(a).as("__k"), coalesce(col(b), lit("<NULL>")).as("__v"))
+        .distinct()
+        .groupBy(col("__k")).agg(count(lit(1)).as("__nd"))
+      perKey.agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_keys"), col("n_violating_keys"),
+          (col("n_violating_keys").cast("double") /
+            when(col("n_keys") > 0, col("n_keys").cast("double")))
+            .as("violation_share"))
+        .withColumn("fd_holds",
+          col("n_keys") > 0 && col("n_violating_keys") === 0L)
+    }.reduce(_ unionAll _)
+  }
+
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     // log10(1 + 1/d) for d = 1..9, to 17 significant digits
     val benford = Seq(

@@ -234,6 +234,52 @@ object Profiling {
     if (groupCols.isEmpty) out.drop("__g") else out
   }
 
+  /** Quantile-SKETCH accuracy panel — the evidence that justifies
+    * replacing exact quantiles with `percentile_approx` at 100 TB:
+    * for each probability, the sketch's answer, the exact
+    * rank-bracket answer, and the sketch value's EMPIRICAL rank
+    * error |F(approx) − p| measured against the data itself (the
+    * guarantee percentile_approx actually makes is on rank, not on
+    * value distance). `within_bound` checks the documented 1/accuracy
+    * envelope. Run it once per table profile; if the panel is green,
+    * every downstream profile can take the single-pass mergeable
+    * sketch instead of the exact two-phase machinery.
+    *
+    * Scale shape: one partial-agg sketch pass, one exact-quantile
+    * pass (two-phase, no single-reducer sort), one conditional-agg
+    * pass against the ≤|ps|-row broadcast threshold panel. Sketch
+    * internals are traversal-order-dependent → rows-only by the
+    * declared §5.1 sketch rule (this suite pins the bound instead).
+    */
+  def quantileSketchError(df: DataFrame, valueCol: String,
+                          ps: Seq[Double], accuracy: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"probabilities outside (0,1): $ps")
+    require(accuracy >= 10, s"accuracy=$accuracy too loose to be useful")
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
+    val psArr = array(ps.map(lit(_)): _*)
+    val approx = base
+      .agg(percentile_approx(col("__v"), psArr, lit(accuracy)).as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", "approx_value")))
+      .withColumn("quantile", element_at(psArr, col("__i") + 1))
+      .drop("__i")
+    val exact = exactQuantilesBy(base, Seq.empty, "__v", ps)
+      .select(col("quantile"), col("value").as("exact_value"))
+    val panel = approx.join(exact, Seq("quantile")).localCheckpoint(true)
+    base.crossJoin(broadcast(panel))
+      .groupBy(col("quantile"), col("approx_value"), col("exact_value"))
+      .agg((sum(when(col("__v") <= col("approx_value"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("empirical_rank"))
+      .withColumn("rank_error", abs(col("empirical_rank") - col("quantile")))
+      // +1e-9: |1.0 − 0.99| lands one double quantum ABOVE 0.01 — the
+      // epsilon keeps an exactly-at-the-envelope sketch green without
+      // admitting any real breach (the guarantee is inclusive)
+      .withColumn("within_bound",
+        col("rank_error") <= lit(1.0 / accuracy) + lit(1e-9))
+  }
+
   /** Tukey-fence outlier audit per numeric column — exact q1/q3,
     * IQR, the lo/hi fences at `whisker`×IQR and how many rows sit
     * outside each: the ANALYZE companion to [[quantileProfile]] that

@@ -179,4 +179,60 @@ object Recsys {
       .select(col("user_id"), col("rank").cast("int").as("rank"),
         col("rec_item"), col("n_links"), col("score"))
   }
+
+  /** Recommendation COVERAGE / exposure-bias panel — the serving-side
+    * health check on [[recommendTopN]]'s output: what share of the
+    * catalog ever gets recommended (low coverage = the engine only
+    * re-circulates the head) and how concentrated item exposure is
+    * (Gini over per-item recommendation counts — near 1 means a few
+    * items absorb all slots, the popularity-bias failure mode that
+    * makes recommendations self-reinforcing). One row out.
+    *
+    * Scale shape: the recommendation relation checkpoints once; the
+    * exposure panel is one item-keyed partial agg, ranked by the
+    * distributed prefix-sum machinery (never a single-partition
+    * window over the item space), and the Gini closed form runs on
+    * exact integer aggregates with mirrored double ops at the edge.
+    */
+  def recommendationCoverage(raw: DataFrame, userCol: String, itemCol: String,
+                             n: Int, k: Int, userCap: Int = 1000,
+                             minSupport: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // one materialization of the (user, item) projection feeds the
+    // whole recommend chain AND both catalog distincts — without it
+    // the upstream join re-executes three times; the distincts run as
+    // separate partial-agg dedupe branches (a two-countDistinct agg
+    // would Expand the row-scale relation ×2)
+    val base = raw
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol), col(itemCol))
+      .localCheckpoint(false)
+    val recs = recommendTopN(base, userCol, itemCol, n, k, userCap, minSupport)
+      .localCheckpoint(true)
+    val nItems = base.select(col(itemCol).as("__i")).distinct()
+      .agg(count(lit(1)).as("n_items_catalog"))
+    val nUsers = base.select(col(userCol).as("__u")).distinct()
+      .agg(count(lit(1)).as("n_users_total"))
+    val cat = nItems.crossJoin(broadcast(nUsers))
+    val served = recs.agg(countDistinct(col("user_id")).as("n_users_served"))
+    val exposure = recs.groupBy(col("rec_item")).agg(count(lit(1)).as("x"))
+    val ranked = PrefixSum.globalOrdered(exposure,
+      Seq(col("x"), col("rec_item")), "x")
+    val g = ranked.agg(
+      count(lit(1)).as("n_items_recommended"),
+      sum(col("x")).as("__tot"),
+      sum(col("row_rank").cast(DecimalType(19, 0))
+        * col("x").cast(DecimalType(19, 0))).as("__wsum"))
+    def d(c: Column): Column = c.cast("double")
+    cat.crossJoin(broadcast(served)).crossJoin(broadcast(g))
+      .select(col("n_users_total"), col("n_users_served"),
+        col("n_items_catalog"), col("n_items_recommended"),
+        (d(col("n_items_recommended")) / d(col("n_items_catalog")))
+          .as("catalog_coverage"),
+        when(col("__tot") > 0,
+          (lit(2.0) * d(col("__wsum"))
+            - d(col("n_items_recommended") + 1) * d(col("__tot")))
+            / (d(col("n_items_recommended")) * d(col("__tot"))))
+          .as("exposure_gini"))
+  }
 }

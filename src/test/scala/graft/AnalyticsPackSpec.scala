@@ -510,6 +510,25 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(flatGot.forall(_.getBoolean(4)))
   }
 
+  test("quantileSketchError: sketch ranks stay inside the 1/accuracy envelope; exact data is exact") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val got = graft.operators.Profiling.quantileSketchError(df, "v",
+        ps = Seq(0.25, 0.5, 0.9), accuracy = 100)
+      .collect().map(r => r.getAs[Double]("quantile") -> r).toMap
+    assert(got.size == 3)
+    got.values.foreach { r =>
+      // the documented percentile_approx guarantee is on RANK
+      assert(r.getAs[Boolean]("within_bound"),
+        s"rank error ${r.getAs[Double]("rank_error")} breaches 1/accuracy")
+      // on 1..1000 the sketch answer must itself be one of the values
+      val a = r.getAs[Double]("approx_value")
+      assert(a >= 1.0 && a <= 1000.0 && a == math.rint(a))
+    }
+    // exact side replays the interpolated bracket: p50 of 1..1000
+    assert(math.abs(got(0.5).getAs[Double]("exact_value") - 500.5) < 1e-9)
+  }
+
   test("trimmedMean: outlier dragged out of the bracket; boundaries kept") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -203,6 +203,27 @@ class CoreOperatorsSpec extends SparkSpec {
       .getAs[Long]("n_keys") == 3L)
   }
 
+  test("fdDiscovery: the key direction holds, the reverse quantifies its violations") {
+    // id -> code holds (id is a key); code -> id violated by code X
+    // (two ids); id <-> grp: id->grp holds, grp->id violated by both
+    val df = Seq((1L, "X", "g1"), (2L, "X", "g1"), (3L, "Y", "g2"))
+      .toDF("id", "code", "grp")
+    val got = Audit.fdDiscovery(df, Seq("id", "code", "grp"))
+      .collect().map(r => (r.getAs[String]("determinant"),
+        r.getAs[String]("dependent")) -> r).toMap
+    assert(got.size == 6)
+    assert(got(("id", "code")).getAs[Boolean]("fd_holds"))
+    assert(got(("id", "grp")).getAs[Boolean]("fd_holds"))
+    val rev = got(("code", "id"))
+    assert(!rev.getAs[Boolean]("fd_holds"))
+    assert(rev.getAs[Long]("n_keys") == 2L)
+    assert(rev.getAs[Long]("n_violating_keys") == 1L) // only X fans out
+    assert(rev.getAs[Double]("violation_share") == 0.5)
+    // code <-> grp is 1:1 here: BOTH directions hold
+    assert(got(("code", "grp")).getAs[Boolean]("fd_holds"))
+    assert(got(("grp", "code")).getAs[Boolean]("fd_holds"))
+  }
+
   test("rangeJoin: an era-spanning interval fails loudly, not with a giant explode") {
     val pts = Seq((1L, 5L)).toDF("pid", "p")
     val bad = Seq((1L, 0L, 50_000_000L)).toDF("iid", "lo", "hi") // 50M buckets at width 1

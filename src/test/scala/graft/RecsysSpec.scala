@@ -71,4 +71,28 @@ class RecsysSpec extends SparkSpec {
     // nothing recommends an already-seen item
     assert(!got.contains(("u2", "A")) && !got.contains(("u2", "B")))
   }
+
+  test("recommendationCoverage: catalog share and exposure Gini off the recs panel") {
+    val got = Recsys.recommendationCoverage(raw, "user_id", "item_id",
+      n = 3, k = 3, minSupport = 1).collect().head
+    // catalog = {A,B,C,D}; recs (k=3, n=3, minSupport 1):
+    //   u1 -> D; u2 -> C, D; u3 -> B, C  (5 rec rows over items {B,C,D})
+    assert(got.getAs[Long]("n_users_total") == 3L)
+    assert(got.getAs[Long]("n_users_served") == 3L)
+    assert(got.getAs[Long]("n_items_catalog") == 4L)
+    assert(got.getAs[Long]("n_items_recommended") == 3L)
+    assert(math.abs(got.getAs[Double]("catalog_coverage") - 0.75) < 1e-12)
+    // exposure x = (B:1, C:2, D:2) sorted asc with id tie-break:
+    // ranks B=1, C=2, D=3 -> wsum = 1 + 4 + 6 = 11, n=3, tot=5
+    // gini = (2*11 - 4*5) / (3*5) = 2/15
+    assert(math.abs(got.getAs[Double]("exposure_gini") - 2.0 / 15) < 1e-12)
+    // a uniform-exposure panel ginis to 0: every item equally served
+    val uniform = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B"))
+      .toDF("user_id", "item_id")
+    val u = Recsys.recommendationCoverage(uniform, "user_id", "item_id",
+      n = 2, k = 2, minSupport = 1).collect().head
+    // every user has seen everything -> nothing to recommend
+    assert(u.getAs[Long]("n_items_recommended") == 0L)
+    assert(u.isNullAt(u.fieldIndex("exposure_gini")))
+  }
 }
