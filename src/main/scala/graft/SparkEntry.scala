@@ -1897,6 +1897,21 @@ object SparkEntry {
           .agg(min(col("p_partkey")).as("ent_id")),
         "ent_id", "ent_name", threshold = 0.8)),
 
+    // Blocking quality panel over the same entity relation: candidate
+    // pairs vs blind n²/2 (reduction ratio), the hot-block tail the
+    // cap would drop, the largest block.
+    "er_blocking_stats" -> ((s: SparkSession, d: String) =>
+      Linkage.blockingStats(
+        t(s, d, "part").groupBy(upper(trim(col("p_name"))).as("ent_name"))
+          .agg(min(col("p_partkey")).as("ent_id")),
+        "ent_id", "ent_name", blockCap = 1000)),
+
+    // DEFLATE compression ratio per document (the Gopher-style
+    // redundancy gate): JDK Deflater via batched mapPartitions — the
+    // JVM-codec boundary, rows-only by the §5.1 binary rule.
+    "doc_compression_ratio" -> ((s: SparkSession, d: String) =>
+      CorpusQc.compressionRatio(t(s, d, "documents"), "doc_id", "text")),
+
     // Linkage assignment: the same entities deterministically
     // "dirtied" (first token truncated to 3 chars) and re-linked to
     // the clean set — within-block argmax by (score desc, ref id).
@@ -8393,6 +8408,33 @@ object SparkEntry {
         |    FLOOR(jaro_winkler_similarity(a.name_norm, c.name_norm) * 1e6) / 1e6 AS jw_sim
         |  FROM ok a JOIN ok c ON a.block = c.block AND a.rec_id < c.rec_id)
         |WHERE jw_sim >= 0.8""".stripMargin,
+
+    // Linkage.blockingStats mirrored: the same block projection, the
+    // block-size panel, exact pair arithmetic with a DECIMAL(38,0)
+    // sum, one mirrored ratio.
+    "er_blocking_stats" ->
+      """WITH names AS (
+        |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
+        |  FROM part GROUP BY 2),
+        |b AS (
+        |  SELECT rec_id, name_norm,
+        |    list_extract(string_split(name_norm, ' '), -1) AS block
+        |  FROM names),
+        |sz AS (SELECT block, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(SUM(s) AS BIGINT) AS n_records,
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(MAX(s) AS BIGINT) AS max_block,
+        |    CAST(SUM(CASE WHEN s > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_over_cap,
+        |    CAST(COALESCE(CAST(SUM(CAST(s * (s - 1) / 2 AS DECIMAL(38,0))) AS DECIMAL(38,0)), 0) AS BIGINT) AS candidate_pairs
+        |  FROM sz)
+        |SELECT n_records, n_blocks, max_block, n_blocks_over_cap,
+        |  candidate_pairs,
+        |  n_records * (n_records - 1) // 2 AS all_pairs,
+        |  1.0 - CAST(candidate_pairs AS DOUBLE)
+        |    / NULLIF(CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 0.0)
+        |    AS reduction_ratio
+        |FROM agg""".stripMargin,
 
     // Golden record: the ER pair CTE + the house recursive-closure
     // fixpoint (the dedup_clusters convention), min-id survivorship.

@@ -1188,4 +1188,47 @@ object CorpusQc {
         (floor(col("tf").cast("double") / col("__norm") * lit(1e6)) / lit(1e6))
           .as("weight"))
   }
+
+  /** DEFLATE compression ratio per document — the classic one-number
+    * redundancy signal (the Gopher/C4 lineage: highly compressible
+    * text is boilerplate or repetition; a ratio near 1 is
+    * high-entropy garbage or binary spill). Low and high tails both
+    * gate out; the middle band is natural text.
+    *
+    * Executes as batched `mapPartitions` over the standard JDK
+    * Deflater — the same JVM-library boundary as the Multimodal
+    * decoders (the one legitimate mapPartitions class: a per-row JVM
+    * codec no Catalyst expression exposes). Deterministic for a
+    * fixed JDK/zlib and level, but NOT replayable in SQL → rows-only
+    * by the §5.1 binary rule; the spec pins the repetitive ≪ diverse
+    * ordering and the empty-doc NULL.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level out of range: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long").as("_1"),
+        col(textCol).cast("string").as("_2"))
+      .as[(Long, String)]
+    in.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val bytes =
+          if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level)
+        try {
+          d.setInput(bytes); d.finish()
+          // zlib worst case ≈ len + len/16k·5 + 6 — the slack below
+          // dominates it at every length
+          val buf = new Array[Byte](bytes.length + bytes.length / 1000 + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+          (id, bytes.length.toLong, n.toLong,
+            if (bytes.length > 0) Some(n.toDouble / bytes.length.toDouble)
+            else None)
+        } finally d.end()
+      }
+    }.toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
+  }
 }

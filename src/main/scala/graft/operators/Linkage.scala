@@ -104,4 +104,52 @@ object Linkage {
     l.select(col("rec_id"), col("name_norm"))
       .join(best.drop("name_norm"), Seq("rec_id"), "left")
   }
+
+  /** Blocking QUALITY panel — the evidence behind the blocking-key
+    * choice (and the [[candidatePairs]] cap): candidate pairs the
+    * blocks generate vs the n² a blind all-pairs run would pay
+    * (reduction ratio), the hot-block tail the cap would drop, the
+    * largest block. A reduction ratio near 0 means the key doesn't
+    * block; a large over-cap count means recall silently leaks
+    * through [[hotBlocks]]. One row out.
+    *
+    * Scale shape: the same dedup + block projection as the linkage
+    * ops, one block-keyed partial agg to the block-size panel, one
+    * panel aggregate; pair counts are exact integers (`s(s−1)/2` per
+    * block — even product, exact in double up to s ≈ 1.3e8 rows per
+    * block, five orders above any sane blockCap), summed as
+    * DECIMAL(38,0) so the corpus-TOTAL pair count cannot wrap a long.
+    */
+  def blockingStats(df: DataFrame, idCol: String, nameCol: String,
+                    blockCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val base = df
+      .select(col(idCol).as("rec_id"), upper(trim(col(nameCol))).as("name_norm"))
+      .filter(col("name_norm").isNotNull && length(col("name_norm")) > 0)
+      .groupBy(col("rec_id"), col("name_norm"))
+      .agg(count(lit(1)).as("__d")).drop("__d")
+      .withColumn("block", element_at(split(col("name_norm"), " "), -1))
+    val sizes = base.groupBy(col("block")).agg(count(lit(1)).as("__s"))
+    val pairsPerBlock = (col("__s") * (col("__s") - 1) / 2)
+      .cast(DecimalType(38, 0))
+    sizes.agg(
+        sum(col("__s")).as("n_records"),
+        count(lit(1)).as("n_blocks"),
+        max(col("__s")).as("max_block"),
+        sum(when(col("__s") > blockCap, 1L).otherwise(0L)).as("n_blocks_over_cap"),
+        coalesce(sum(pairsPerBlock), lit(0).cast(DecimalType(38, 0)))
+          .as("__cand"))
+      .select(col("n_records"), col("n_blocks"), col("max_block"),
+        col("n_blocks_over_cap"),
+        col("__cand").cast("long").as("candidate_pairs"),
+        // Spark's `/` promotes to double; the even product makes the
+        // quotient integral, so the long cast is exact
+        (col("n_records") * (col("n_records") - 1) / 2).cast("long")
+          .as("all_pairs"))
+      .withColumn("reduction_ratio",
+        lit(1.0) - col("candidate_pairs").cast("double")
+          / nz(col("all_pairs").cast("double")))
+  }
 }

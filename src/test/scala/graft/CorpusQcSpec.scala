@@ -418,6 +418,28 @@ class CorpusQcSpec extends SparkSpec {
     assert(got(5L) == ((0, 0, 0, 0, false)))
   }
 
+  test("compressionRatio: repetition compresses far below diverse text; empty is NULL") {
+    val rep = Seq.fill(200)("spam").mkString(" ")
+    val div = (1 to 200).map(i => s"w${i * 7919}").mkString(" ")
+    val df = Seq((1L, rep), (2L, div), (3L, "")).toDF("doc_id", "text")
+    val got = CorpusQc.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rRep = got(1L); val rDiv = got(2L)
+    assert(rRep.getAs[Long]("n_bytes") == rep.getBytes("UTF-8").length.toLong)
+    // the repeated token collapses to a tiny fraction; diverse tokens don't
+    assert(rRep.getAs[Double]("compression_ratio") <
+      rDiv.getAs[Double]("compression_ratio") / 2)
+    assert(rDiv.getAs[Double]("compression_ratio") > 0.2)
+    assert(rRep.getAs[Long]("n_compressed") > 0L)
+    // empty doc: 0 bytes, NULL ratio — never a division error
+    assert(got(3L).getAs[Long]("n_bytes") == 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("compression_ratio")))
+    // deterministic across partitionings (fixed JDK zlib, fixed level)
+    val again = CorpusQc.compressionRatio(df.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_compressed")).toMap
+    assert(again(1L) == rRep.getAs[Long]("n_compressed"))
+  }
+
   test("heapsFit: cumulative curve conserves counts; repeats grow tokens but not types") {
     // 40 docs: half pure repetition of one shared word, half one
     // unique word each — vocab grows sublinearly in tokens

@@ -91,4 +91,23 @@ class LinkageSpec extends SparkSpec {
     // "ZZZZ GEAR" vs "BLUE GEAR" scores ~0.56 < 0.8 -> unmatched row kept
     assert(got(2L) == None)
   }
+
+  test("blockingStats: exact pair arithmetic, hot-block flag, reduction ratio") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    // blocks by last token: GEAR{a,b,c} (3 -> 3 pairs), BOLT{d,e}
+    // (2 -> 1 pair), NUT{f} (1 -> 0): 6 records, 4 candidate pairs,
+    // all-pairs 15, reduction 1 - 4/15
+    val df = Seq((1L, "red gear"), (2L, "blue gear"), (3L, "green gear"),
+      (4L, "big bolt"), (5L, "small bolt"), (6L, "lone nut"))
+      .toDF("id", "name")
+    val r = Linkage.blockingStats(df, "id", "name", blockCap = 2).collect().head
+    assert(r.getAs[Long]("n_records") == 6L)
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Long]("max_block") == 3L)
+    assert(r.getAs[Long]("n_blocks_over_cap") == 1L) // GEAR exceeds cap 2
+    assert(r.getAs[Long]("candidate_pairs") == 4L)
+    assert(r.getAs[Long]("all_pairs") == 15L)
+    assert(math.abs(r.getAs[Double]("reduction_ratio") - (1.0 - 4.0 / 15)) < 1e-12)
+  }
 }
