@@ -553,6 +553,15 @@ object SparkEntry {
 
     "gold_fct_star" -> fctStar _,
 
+    // Data-Vault link build over the customer↔supplier relationship:
+    // deterministic md5 hub/link hash keys, first-seen + row-count
+    // satellite seed, one partial-agg shuffle on the key pair.
+    "gold_dv_link" -> ((s: SparkSession, d: String) =>
+      Star.dataVaultLink(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_suppkey", "o_orderdate")),
+
     "gold_merge_grain" -> mergeGrain _,
 
     // Cut-replacement load (cleanup_cut.sql): a stale half-load of the
@@ -4094,6 +4103,26 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr_hex""".stripMargin,
+
+    // Star.dataVaultLink mirrored: the same key-pair collapse, md5
+    // hub/link hashes over the '|'-joined rendered keys.
+    "gold_dv_link" ->
+      """WITH rel AS (
+        |  SELECT o_custkey AS left_key, l_suppkey AS right_key, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |g AS (
+        |  SELECT left_key, right_key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    MIN(o_orderdate) AS first_seen
+        |  FROM rel GROUP BY 1, 2)
+        |SELECT
+        |  md5(concat_ws('|',
+        |    COALESCE(CAST(left_key AS VARCHAR), '<NULL>'),
+        |    COALESCE(CAST(right_key AS VARCHAR), '<NULL>'))) AS link_hash,
+        |  md5(COALESCE(CAST(left_key AS VARCHAR), '<NULL>')) AS hub_left_hash,
+        |  md5(COALESCE(CAST(right_key AS VARCHAR), '<NULL>')) AS hub_right_hash,
+        |  left_key, right_key, first_seen, n_rows
+        |FROM g""".stripMargin,
 
     "gold_merge_grain" ->
       s"""WITH staged AS (

@@ -140,4 +140,35 @@ object Star {
       .withColumn("allocated", col(parentAmount) * col("weight"))
       .drop(parentKey, "__denom")
   }
+
+  /** Data-Vault LINK build — the raw-vault modeling move next to the
+    * star schema's conformed dims: one row per distinct relationship
+    * between two business keys, identified by deterministic md5 hash
+    * keys (hub hashes from each rendered business key, the link hash
+    * from their '|'-joined pair — the standard hash-key discipline
+    * that makes vault loads idempotent, parallel and join-cheap at
+    * any scale: fixed-width keys, no sequence generator, no lookup).
+    * Load metadata rides along: first-seen timestamp and relationship
+    * row count (the satellite seed).
+    *
+    * Scale shape: ONE partial-agg shuffle on the business-key pair
+    * (count + min collapse map-side); the hashes are codegen'd
+    * expressions over the group keys — no second pass, no join. Hub
+    * tables project from the same output (`SELECT DISTINCT hub_*`).
+    */
+  def dataVaultLink(rel: DataFrame, leftKey: String, rightKey: String,
+                    loadTsCol: String): DataFrame = {
+    def hashOf(cols: Seq[Column]): Column =
+      md5(concat_ws("|", cols.map(c =>
+        coalesce(c.cast("string"), lit("<NULL>"))): _*))
+    rel.filter(col(leftKey).isNotNull && col(rightKey).isNotNull)
+      .groupBy(col(leftKey).as("left_key"), col(rightKey).as("right_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(loadTsCol)).as("first_seen"))
+      .select(
+        hashOf(Seq(col("left_key"), col("right_key"))).as("link_hash"),
+        hashOf(Seq(col("left_key"))).as("hub_left_hash"),
+        hashOf(Seq(col("right_key"))).as("hub_right_hash"),
+        col("left_key"), col("right_key"), col("first_seen"), col("n_rows"))
+  }
 }

@@ -335,4 +335,29 @@ class StarCdcSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("prev_value")))
     assert(u2.getAs[Long]("n_runs") == 1L)
   }
+
+  test("dataVaultLink: one row per relationship, replayable hashes, satellite seed") {
+    val rel = Seq(
+      (10L, 100L, ts("2024-01-03 00:00:00")),
+      (10L, 100L, ts("2024-01-01 00:00:00")),  // dup pair: collapses, min date
+      (10L, 200L, ts("2024-01-02 00:00:00")),
+      (20L, 100L, ts("2024-01-05 00:00:00")))
+      .toDF("cust", "supp", "odate")
+    val got = graft.operators.Star.dataVaultLink(rel, "cust", "supp", "odate")
+      .collect().map(r => (r.getAs[Long]("left_key"), r.getAs[Long]("right_key")) -> r)
+      .toMap
+    assert(got.size == 3)
+    val a = got((10L, 100L))
+    assert(a.getAs[Long]("n_rows") == 2L)
+    assert(a.getAs[java.sql.Timestamp]("first_seen") == ts("2024-01-01 00:00:00"))
+    // hash keys replay the documented md5 recipe exactly
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(a.getAs[String]("link_hash") == md5hex("10|100"))
+    assert(a.getAs[String]("hub_left_hash") == md5hex("10"))
+    assert(a.getAs[String]("hub_right_hash") == md5hex("100"))
+    // the same hub key hashes identically across links (join-ready)
+    assert(got((10L, 200L)).getAs[String]("hub_left_hash") == md5hex("10"))
+    assert(got((20L, 100L)).getAs[String]("hub_right_hash") == md5hex("100"))
+  }
 }
