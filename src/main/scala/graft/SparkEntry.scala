@@ -726,6 +726,12 @@ object SparkEntry {
       AnalyticsPack.trimmedMean(t(s, d, "events"),
         upper(trim(col("event_type"))), "value", pLo = 0.1, pHi = 0.9)),
 
+    // Periodogram over the daily series: squared Fourier magnitude at
+    // candidate periods 2..14 days on the mean-centered panel —
+    // MEASURE the dominant cycle the seasonal ops assume.
+    "ana_periodogram" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.periodogram(servingValid(s, d))),
+
     // DP mean release: values clamped to [0,100], budget split over
     // the clamped sum and the count, both noised by the deterministic
     // md5 Laplace draw (salted per statistic) — the value sibling of
@@ -7287,6 +7293,48 @@ object SparkEntry {
           s"""SELECT '$c' AS column_name, $p AS quantile,
              |  quantile_cont(CAST($c AS DOUBLE), $p) AS value FROM lineitem""".stripMargin)
           .mkString("\nUNION ALL\n"),
+
+      // AnalyticsPack.periodogram mirrored: the byday panel, exact
+      // date-index arithmetic, q6 trig cells re-gridded with the
+      // centered series before DECIMAL(28,6) partials, mirrored power.
+      "ana_periodogram" -> {
+        val body = (2 to 14).map { p =>
+          val pd = s"${p.toDouble}"
+          def cell(fn: String) =
+            s"CAST(FLOOR((FLOOR($fn(6.283185307179586 * idx / $pd) * 1e6) / 1e6) * yc * 1e6) / 1e6 AS DECIMAL(28,6))"
+          s"""SELECT $p AS period_days, MAX(n_days) AS n_days,
+             |  CAST(COALESCE(SUM(${cell("COS")}), 0) AS DOUBLE) AS cos_sum,
+             |  CAST(COALESCE(SUM(${cell("SIN")}), 0) AS DOUBLE) AS sin_sum,
+             |  (CAST(COALESCE(SUM(${cell("COS")}), 0) AS DOUBLE)
+             |     * CAST(COALESCE(SUM(${cell("COS")}), 0) AS DOUBLE)
+             |   + CAST(COALESCE(SUM(${cell("SIN")}), 0) AS DOUBLE)
+             |     * CAST(COALESCE(SUM(${cell("SIN")}), 0) AS DOUBLE))
+             |  / CAST(MAX(n_days) AS DOUBLE) AS power
+             |FROM base""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |st AS (
+           |  SELECT MIN(date_sk) AS d0, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM byday),
+           |base AS (
+           |  SELECT date_sk, y,
+           |    CAST(date_diff('day', strptime(CAST(d0 AS VARCHAR), '%Y%m%d'),
+           |      strptime(CAST(date_sk AS VARCHAR), '%Y%m%d')) AS DOUBLE) AS idx,
+           |    y - m AS yc, n_days
+           |  FROM byday CROSS JOIN st),
+           |pan AS (
+           |$body
+           |),
+           |best AS (SELECT MAX(power) AS b FROM pan)
+           |SELECT period_days, n_days, cos_sum, sin_sum, power,
+           |  power = b AS is_dominant
+           |FROM pan CROSS JOIN best""".stripMargin
+      },
 
       // AnalyticsPack.trimmedMean mirrored: quantile_cont brackets
       // (the table_quantiles interpolation identity), boundary rows

@@ -218,6 +218,54 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming SCHEMA-DRIFT sink — the streaming twin of the batch
+    * audit_schema_drift: per micro-batch, run the lexical type
+    * inference over the declared bronze columns and append one row
+    * per column with the batch's inferred type, its null rate, and a
+    * verdict against the EXPECTED type — so a producer that silently
+    * starts shipping alpha ids or all-NULL columns trips the monitor
+    * on the batch that breaks, not in a downstream incident. Replayed
+    * batch ids no-op under the shared writer-identity rule.
+    *
+    * Scale: inference is one scan per declared column collapsing to a
+    * 1-row panel (the TypedCoerce shape); the appended store grows by
+    * |cols| rows per batch — monitoring-sized, never data-sized.
+    */
+  def schemaDriftSink(stream: DataFrame, checkpoint: String, target: String,
+                      cols: Seq[String], expected: Map[String, String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        schemaDriftBatch(batch.toDF(), target, cols, expected, batchId)
+      }
+
+  private[graft] def schemaDriftBatch(batch: DataFrame, target: String,
+                                      cols: Seq[String],
+                                      expected: Map[String, String],
+                                      batchId: Long = -1L,
+                                      writerId: Option[String] = None): Unit = {
+    require(cols.nonEmpty && cols.forall(expected.contains),
+      s"every checked column needs an expected type: $cols vs ${expected.keys}")
+    val inferred = graft.operators.TypedCoerce.inferTypes(batch, cols)
+    val expectedCol = element_at(
+      typedlit(expected), col("column_name"))
+    val rows = inferred.select(
+        lit(batchId).as("batch_id"), col("column_name"),
+        col("n_rows"), col("n_nonnull"),
+        when(col("n_rows") === 0, lit(1.0))
+          .otherwise(lit(1.0) -
+            col("n_nonnull").cast("double") / col("n_rows").cast("double"))
+          .as("null_rate"),
+        col("suggested_type").as("inferred_type"),
+        expectedCol.as("expected_type"))
+      .withColumn("type_ok", col("inferred_type") === col("expected_type"))
+    upsertParquet(target, rows,
+      existing => existing.unionByName(rows, allowMissingColumns = true),
+      batchId, writerId)
+  }
+
   /** Streaming exact dedup on the event key: late re-deliveries inside
     * the watermark are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` — state expires with the

@@ -510,6 +510,30 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(flatGot.forall(_.getBoolean(4)))
   }
 
+  test("periodogram: a planted 7-day cycle dominates; a flat series has zero power") {
+    import spark.implicits._
+    // 56 days of a pure 7-day cosine (+ offset — centering removes it)
+    val ev = (0 until 56).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      val dsk = date.getYear * 10000 + date.getMonthValue * 100 + date.getDayOfMonth
+      (dsk, 100.0 + 50.0 * math.cos(2 * math.Pi * d / 7.0))
+    }.toDF("date_sk", "value")
+    val got = AnalyticsPack.periodogram(ev).collect()
+      .map(r => r.getAs[Int]("period_days") ->
+        (r.getAs[Double]("power"), r.getAs[Boolean]("is_dominant"))).toMap
+    assert(got.size == 13 && got.keySet == (2 to 14).toSet)
+    assert(got(7)._2, s"expected period 7 dominant, got ${got.filter(_._2._2)}")
+    // the true period's power dwarfs an off-period bin
+    assert(got(7)._1 > 10 * got(3)._1)
+    // flat series: centering leaves all-zero terms -> zero power everywhere
+    val flat = (0 until 28).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      (date.getYear * 10000 + date.getMonthValue * 100 + date.getDayOfMonth, 10.0)
+    }.toDF("date_sk", "value")
+    assert(AnalyticsPack.periodogram(flat).collect()
+      .forall(_.getAs[Double]("power") == 0.0))
+  }
+
   test("quantileSketchError: sketch ranks stay inside the 1/accuracy envelope; exact data is exact") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("v")

@@ -809,6 +809,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2L)
   }
 
+  test("schema-drift sink: type flip and null surge flagged per batch; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_schemadrift").toString
+    val target = s"$dir/drift"
+    val expected = Map("id" -> "BIGINT", "amt" -> "DOUBLE")
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.schemaDriftSink(
+      in.toDF.toDF("id", "amt"), s"$dir/ckpt", target,
+      Seq("id", "amt"), expected).start()
+    // batch 0: clean drop — both columns infer to their contract
+    in.addData((1 to 50).map(i => (i.toString, s"$i.25")))
+    q.processAllAvailable()
+    // batch 1: the producer ships alpha ids and mostly-NULL amounts
+    in.addData((1 to 50).map(i =>
+      (s"id-$i", if (i <= 5) s"$i.5" else null)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("column_name")) -> r)
+      .toMap
+    assert(got.size == 4)
+    assert(got((0L, "id")).getAs[Boolean]("type_ok"))
+    assert(got((0L, "amt")).getAs[Boolean]("type_ok"))
+    val badId = got((1L, "id"))
+    assert(badId.getAs[String]("inferred_type") == "VARCHAR" &&
+      !badId.getAs[Boolean]("type_ok"))
+    val badAmt = got((1L, "amt"))
+    assert(math.abs(badAmt.getAs[Double]("null_rate") - 0.9) < 1e-12)
+    assert(badAmt.getAs[Boolean]("type_ok")) // the 5 values still parse DOUBLE
+    // replaying an applied batch id appends nothing
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.schemaDriftBatch(
+        Seq(("x", "y")).toDF("id", "amt"), target,
+        Seq("id", "amt"), expected, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(spark.read.parquet(target).count() == 4L)
+  }
+
   test("cusum-alert sink: drift accumulates across batches to an alert; replay no-ops") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cusumsink").toString
