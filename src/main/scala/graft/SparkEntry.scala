@@ -732,6 +732,13 @@ object SparkEntry {
     "ana_periodogram" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.periodogram(servingValid(s, d))),
 
+    // Hurst exponent via rescaled range: per window size the mean R/S
+    // over complete blocks, H from the log-log OLS — random walk at
+    // 0.5, persistence above, mean reversion below.
+    "ana_hurst" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.hurstExponent(servingValid(s, d),
+        windows = Seq(4, 8, 16, 32))),
+
     // DP mean release: values clamped to [0,100], budget split over
     // the clamped sum and the count, both noised by the deterministic
     // md5 Laplace draw (salted per statistic) — the value sibling of
@@ -7334,6 +7341,81 @@ object SparkEntry {
            |SELECT period_days, n_days, cos_sum, sin_sum, power,
            |  power = b AS is_dominant
            |FROM pan CROSS JOIN best""".stripMargin
+      },
+
+      // AnalyticsPack.hurstExponent mirrored: indexed day panel,
+      // FLOOR block ids, block-partitioned decimal prefix sums, the
+      // mirrored R/S and variance trees, zipf-grid OLS for H.
+      "ana_hurst" -> {
+        val ws = Seq(4, 8, 16, 32)
+        val blocks = ws.zipWithIndex.map { case (w, i) =>
+          val wd = s"${w.toDouble}"
+          s"""bl_$i AS (
+             |  SELECT *, CAST(FLOOR(idx / $wd) AS BIGINT) AS b FROM indexed),
+             |sz_$i AS (
+             |  SELECT b FROM bl_$i GROUP BY 1 HAVING COUNT(*) = $w),
+             |full_$i AS (SELECT bl_$i.* FROM bl_$i JOIN sz_$i USING (b)),
+             |st_$i AS (
+             |  SELECT b,
+             |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / $wd AS m,
+             |    (CAST(SUM(CAST(FLOOR(y * y * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+             |      - CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+             |        * CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / $wd)
+             |      / $wd AS v
+             |  FROM full_$i GROUP BY 1),
+             |cum_$i AS (
+             |  SELECT f.b, st_$i.v,
+             |    CAST(SUM(CAST(f.y AS DECIMAL(28,6)))
+             |      OVER (PARTITION BY f.b ORDER BY f.idx) AS DOUBLE)
+             |      - CAST(COUNT(*) OVER (PARTITION BY f.b ORDER BY f.idx) AS DOUBLE)
+             |        * st_$i.m AS cum
+             |  FROM full_$i f JOIN st_$i USING (b)),
+             |rs_$i AS (
+             |  SELECT b, (MAX(cum) - MIN(cum)) / sqrt(v) AS rs
+             |  FROM cum_$i WHERE v > 0.0 GROUP BY b, v),
+             |pw_$i AS (
+             |  SELECT $w AS window_days,
+             |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |    CASE WHEN COUNT(*) > 0 THEN
+             |      CAST(COALESCE(SUM(CAST(FLOOR(rs * 1e6) / 1e6 AS DECIMAL(28,6))), 0) AS DOUBLE)
+             |        / CAST(COUNT(*) AS DOUBLE)
+             |    END AS mean_rs
+             |  FROM rs_$i)""".stripMargin
+        }
+        val union = ws.indices.map(i => s"SELECT * FROM pw_$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH byday AS (
+           |  SELECT date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1),
+           |indexed AS (
+           |  SELECT date_sk, y,
+           |    CAST(date_diff('day', strptime(CAST(d0 AS VARCHAR), '%Y%m%d'),
+           |      strptime(CAST(date_sk AS VARCHAR), '%Y%m%d')) AS BIGINT) AS idx
+           |  FROM byday CROSS JOIN (SELECT MIN(date_sk) AS d0 FROM byday)),
+           |${blocks.mkString(",\n")},
+           |perw AS (
+           |$union
+           |),
+           |pts AS (
+           |  SELECT FLOOR(LN(CAST(window_days AS DOUBLE)) * 1e6) / 1e6 AS lx,
+           |    FLOOR(LN(mean_rs) * 1e6) / 1e6 AS ly
+           |  FROM perw WHERE n_blocks > 0 AND mean_rs > 0.0),
+           |moms AS (
+           |  SELECT COUNT(*) AS k,
+           |    SUM(CAST(FLOOR(lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sx,
+           |    SUM(CAST(FLOOR(ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sy,
+           |    SUM(CAST(FLOOR(lx * ly * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxy,
+           |    SUM(CAST(FLOOR(lx * lx * 1e8) / 1e8 AS DECIMAL(28,8))) AS sxx
+           |  FROM pts),
+           |fit AS (
+           |  SELECT (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |    / NULLIF(k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+           |    AS hurst_h
+           |  FROM moms)
+           |SELECT window_days, n_blocks, mean_rs, hurst_h
+           |FROM perw CROSS JOIN fit""".stripMargin
       },
 
       // AnalyticsPack.trimmedMean mirrored: quantile_cont brackets

@@ -343,6 +343,89 @@ object AnalyticsPack {
       }
   }
 
+  /** Hurst exponent via rescaled-range (R/S) analysis — the
+    * long-memory diagnostic next to [[autocorrelation]]'s per-lag
+    * view and burstiness' one-scalar: H ≈ 0.5 is a random walk,
+    * H > 0.5 persistent trends (shocks compound — capacity planning
+    * must carry them), H < 0.5 mean reversion. For each window size
+    * w the daily series splits into complete w-day blocks; each
+    * block's R/S is the range of its cumulative mean-deviations over
+    * its population std; H is the log-log OLS slope of the mean R/S
+    * against w.
+    *
+    * Scale shape: the fact collapses once to the indexed day panel;
+    * per-block prefix sums ride a BLOCK-partitioned window (decimal
+    * partials — never a global window); per-w means and the OLS run
+    * on ≤|windows| panel rows with the zipfFit grid discipline.
+    */
+  def hurstExponent(validEvents: DataFrame,
+                    windows: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(windows.nonEmpty && windows.forall(_ >= 4), s"bad windows: $windows")
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    def q8d(c: Column) = (floor(c * lit(1e8)) / lit(1e8)).cast(DecimalType(28, 8))
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+    val indexed = byDay.crossJoin(broadcast(
+        byDay.agg(min(col("date_sk")).as("__d0"))))
+      .withColumn("__idx", datediff(
+        to_date(col("date_sk").cast("string"), "yyyyMMdd"),
+        to_date(col("__d0").cast("string"), "yyyyMMdd")).cast("long"))
+      .localCheckpoint(true)
+    val perW = windows.map { wSize =>
+      val blocks = indexed
+        .withColumn("__b", (col("__idx") / wSize).cast("long"))
+      // complete blocks only: a ragged tail block would bias R/S low
+      val sizes = blocks.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") === wSize)
+      val full = blocks.join(broadcast(sizes.select(col("__b"))), Seq("__b"))
+      val stats = full.groupBy(col("__b"))
+        .agg((sum(graft.expressions.Kernels.toDecimal(col("y"), 28, 6))
+            .cast("double") / lit(wSize.toDouble)).as("__m"),
+          ((sum(q6(col("y") * col("y")).cast(d6)).cast("double")
+            - sum(graft.expressions.Kernels.toDecimal(col("y"), 28, 6))
+              .cast("double")
+              * sum(graft.expressions.Kernels.toDecimal(col("y"), 28, 6))
+                .cast("double") / lit(wSize.toDouble))
+            / lit(wSize.toDouble)).as("__var"))
+      val win = Window.partitionBy(col("__b")).orderBy(col("__idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = full
+        .withColumn("__py", sum(graft.expressions.Kernels.toDecimal(
+          col("y"), 28, 6)).over(win).cast("double"))
+        .withColumn("__pi", count(lit(1)).over(win).cast("double"))
+        .join(stats, Seq("__b"))
+        .withColumn("__cum", col("__py") - col("__pi") * col("__m"))
+      val rs = cum.groupBy(col("__b"), col("__var"))
+        .agg((max(col("__cum")) - min(col("__cum"))).as("__r"))
+        .filter(col("__var") > 0.0)
+        .withColumn("__rs", col("__r") / sqrt(col("__var")))
+      rs.agg(count(lit(1)).as("n_blocks"),
+          coalesce(sum(q6(col("__rs")).cast(d6)), lit(0).cast(d6)).as("__srs"))
+        .select(lit(wSize).as("window_days"), col("n_blocks"),
+          when(col("n_blocks") > 0,
+            col("__srs").cast("double") / col("n_blocks").cast("double"))
+            .as("mean_rs"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    val pts = perW.filter(col("n_blocks") > 0 && col("mean_rs") > 0.0)
+      .select(q6(log(col("window_days").cast("double"))).as("lx"),
+        q6(log(col("mean_rs"))).as("ly"))
+    val moms = pts.agg(count(lit(1)).as("__k"),
+      sum(q8d(col("lx"))).as("sx"), sum(q8d(col("ly"))).as("sy"),
+      sum(q8d(col("lx") * col("ly"))).as("sxy"),
+      sum(q8d(col("lx") * col("lx"))).as("sxx"))
+    val den = col("__k") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val h = moms.select(
+      ((col("__k") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        when(den === 0, lit(null)).otherwise(den)).as("hurst_h"))
+    perW.crossJoin(broadcast(h))
+  }
+
   /** Trimmed mean per group — the robust center between the plain
     * mean (outlier-dragged) and the median (throws away 98% of the
     * data): drop everything outside the [pLo, pHi] rank bracket and

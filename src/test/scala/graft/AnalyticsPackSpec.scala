@@ -534,6 +534,32 @@ class AnalyticsPackSpec extends SparkSpec {
       .forall(_.getAs[Double]("power") == 0.0))
   }
 
+  test("hurstExponent: a trending ramp is persistent (~1), an alternating series anti-persistent (~0)") {
+    import spark.implicits._
+    def mkSeries(f: Int => Double, n: Int) = (0 until n).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      (date.getYear * 10000 + date.getMonthValue * 100 + date.getDayOfMonth, f(d))
+    }.toDF("date_sk", "value")
+    val ws = Seq(4, 8, 16, 32)
+    // linear ramp: cumulative deviations scale ~w, R/S ~ c*w -> H ~ 1
+    val trend = AnalyticsPack.hurstExponent(
+      mkSeries(d => d.toDouble, 64), ws).collect()
+    assert(trend.length == 4)
+    assert(trend.map(_.getAs[Int]("window_days")).toSet == ws.toSet)
+    // 64 days -> 16, 8, 4, 2 complete blocks
+    assert(trend.map(r => r.getAs[Int]("window_days") -> r.getAs[Long]("n_blocks"))
+      .toMap == Map(4 -> 16L, 8 -> 8L, 16 -> 4L, 32 -> 2L))
+    val h1 = trend.head.getAs[Double]("hurst_h")
+    assert(h1 > 0.8, s"trending H was $h1")
+    // perfect alternation: R/S is flat in w -> H ~ 0
+    val alt = AnalyticsPack.hurstExponent(
+      mkSeries(d => if (d % 2 == 0) 10.0 else 20.0, 64), ws).collect()
+    val h0 = alt.head.getAs[Double]("hurst_h")
+    assert(h0 < 0.3, s"alternating H was $h0")
+    // every row carries the same broadcast H
+    assert(trend.forall(_.getAs[Double]("hurst_h") == h1))
+  }
+
   test("quantileSketchError: sketch ranks stay inside the 1/accuracy envelope; exact data is exact") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("v")
