@@ -2213,6 +2213,13 @@ object SparkEntry {
       Sampling.upsampleRare(t(s, d, "documents"), "source",
         minShare = 0.06, maxRep = 4)),
 
+    // Max-min fair token-budget allocation (water-filling): every
+    // source gets an equal ration τ except those whose whole capacity
+    // fits under it; closed-form regime choice on the source panel.
+    "sample_budget_waterfill" -> ((s: SparkSession, d: String) =>
+      Sampling.budgetWaterfill(t(s, d, "documents"), "source",
+        "n_chars", budget = 100000L)),
+
     // k-NN classification over the exact cosine tier: majority label
     // of the 5 nearest neighbors, vote ties to the smaller label —
     // the application layer the recall panel prices approximations
@@ -8481,6 +8488,48 @@ object SparkEntry {
     "embedding_coreset" -> kcenterOracleSql(8),
 
     "embedding_kmeans_centroids" -> kmeansCentroidsOracleSql(4, 5),
+
+    // Sampling.budgetWaterfill mirrored: triangular panel cumulation,
+    // the same largest-feasible-regime filter (ORDER BY i DESC LIMIT 1
+    // == the max-struct choice: ranks are a total order), mirrored τ.
+    "sample_budget_waterfill" ->
+      """WITH caps AS (
+        |  SELECT CAST(source AS VARCHAR) AS source,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS capacity
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(capacity) AS BIGINT) AS totcap
+        |  FROM caps),
+        |ranked AS (
+        |  SELECT x.source, x.capacity,
+        |    CAST(COUNT(*) AS BIGINT) AS i, CAST(SUM(y.capacity) AS BIGINT) AS p
+        |  FROM caps x JOIN caps y
+        |    ON (y.capacity, y.source) <= (x.capacity, x.source)
+        |  GROUP BY 1, 2),
+        |feas AS (
+        |  SELECT i AS ci, p AS cp FROM ranked CROSS JOIN tot
+        |  WHERE i < k AND capacity * (k - i) <= 100000 - p
+        |  ORDER BY i DESC LIMIT 1),
+        |feas2 AS (
+        |  SELECT COALESCE((SELECT ci FROM feas), 0) AS ci,
+        |    COALESCE((SELECT cp FROM feas), 0) AS cp),
+        |tau AS (
+        |  SELECT CASE WHEN totcap <= 100000 THEN NULL
+        |    ELSE CAST(100000 - cp AS DOUBLE)
+        |      / NULLIF(CAST(k - ci AS DOUBLE), 0.0) END AS tau
+        |  FROM feas2 CROSS JOIN tot),
+        |alloc AS (
+        |  SELECT c.source, c.capacity, t.tau,
+        |    CASE WHEN t.tau IS NULL THEN c.capacity
+        |         ELSE LEAST(c.capacity, CAST(FLOOR(t.tau) AS BIGINT)) END AS allocated
+        |  FROM caps c CROSS JOIN tau t)
+        |SELECT source, capacity, allocated, tau,
+        |  CAST(allocated AS DOUBLE) / NULLIF(CAST(capacity AS DOUBLE), 0.0)
+        |    AS utilization,
+        |  allocated = capacity AS is_exhausted
+        |FROM alloc""".stripMargin,
 
     // Sampling.upsampleRare mirrored: exact counts, one mirrored
     // ceil, exact-long post shares.

@@ -620,6 +620,65 @@ object Sampling {
     * Everything is exact integers plus one mirrored ceil; the
     * post-shares are exact-long quotients off the ≤|domains| panel.
     */
+  /** Token-budget WATER-FILLING allocation — the fair-share planning
+    * move between [[tokenBudget]]'s greedy cut and [[domainMix]]'s
+    * fixed shares: give every source an equal allocation τ, except
+    * sources whose whole capacity fits under τ keep it all and the
+    * saved budget raises τ for the rest (the classic max-min fair
+    * allocation: Σ min(cap_s, τ) = B). Output per source: capacity,
+    * the allocation, utilization and whether the source was
+    * exhausted, with τ broadcast (NULL when the budget covers
+    * everything — nothing is rationed).
+    *
+    * Closed form, no iteration: sort sources by capacity ascending;
+    * with the i smallest fully taken (prefix P_i), the remainder
+    * splits evenly as τ_i = (B − P_i)/(k − i); the correct regime is
+    * the LARGEST feasible i (cap_i·(k−i) ≤ B − P_i). All of it runs
+    * on the ≤|sources| panel via a triangular broadcast join (the
+    * heapsFit cumulation — no unpartitioned window), exact integer
+    * sums, one mirrored double division.
+    */
+  def budgetWaterfill(df: DataFrame, sourceCol: String, weightCol: String,
+                      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    def nz(c: Column): Column =
+      when(c === 0.0, lit(null).cast("double")).otherwise(c)
+    val caps = df.filter(col(sourceCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(weightCol).cast("long")).as("capacity"))
+      .localCheckpoint(true)
+    val tot = caps.agg(count(lit(1)).as("__k"), sum(col("capacity")).as("__totcap"))
+    val ranked = caps.as("x").join(broadcast(caps.as("y")),
+        struct(col("y.capacity"), col("y.source")) <=
+          struct(col("x.capacity"), col("x.source")))
+      .groupBy(col("x.source").as("source"), col("x.capacity").as("capacity"))
+      .agg(count(lit(1)).as("__i"), sum(col("y.capacity")).as("__p"))
+      .crossJoin(broadcast(tot))
+    // regime choice: the largest i whose own cap fits under its τ_i;
+    // i = k (everything capped) is feasible only when the budget
+    // covers the whole corpus — then nothing is rationed (τ NULL)
+    val feasible = ranked
+      .filter(col("__i") < col("__k") &&
+        col("capacity") * (col("__k") - col("__i")) <= lit(budget) - col("__p"))
+      .agg(coalesce(max(struct(col("__i"), col("__p"))),
+        struct(lit(0L).as("__i"), lit(0L).as("__p"))).as("__m"))
+      .select(col("__m.__i").as("__ci"), col("__m.__p").as("__cp"))
+    val tau = feasible.crossJoin(broadcast(tot))
+      .select(
+        when(col("__totcap") <= budget, lit(null).cast("double"))
+          .otherwise((lit(budget) - col("__cp")).cast("double") /
+            nz((col("__k") - col("__ci")).cast("double"))).as("tau"))
+    caps.crossJoin(broadcast(tau))
+      .select(col("source"), col("capacity"),
+        when(col("tau").isNull, col("capacity"))
+          .otherwise(least(col("capacity"), floor(col("tau")).cast("long")))
+          .as("allocated"),
+        col("tau"))
+      .withColumn("utilization",
+        col("allocated").cast("double") / nz(col("capacity").cast("double")))
+      .withColumn("is_exhausted", col("allocated") === col("capacity"))
+  }
+
   def upsampleRare(df: DataFrame, domainCol: String, minShare: Double,
                    maxRep: Int): DataFrame = {
     require(minShare > 0 && minShare < 1 && maxRep >= 1,

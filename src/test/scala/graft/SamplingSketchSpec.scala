@@ -741,6 +741,31 @@ class SamplingSketchSpec extends SparkSpec {
     assert(q == Map("big" -> 10L, "small" -> 5L, "mid" -> 10L))
   }
 
+  test("budgetWaterfill: small sources keep all, big ones ration at the water line") {
+    import spark.implicits._
+    // capacities A=10, B=20, C=100, D=200; budget 90:
+    // i=2 regime (A,B capped): tau = (90-30)/2 = 30 -> C,D get 30 each
+    val df = Seq(("A", 10L), ("B", 20L), ("C", 100L), ("D", 200L))
+      .flatMap { case (s, n) => Seq((s, n)) }
+      .toDF("source", "w")
+    val got = graft.operators.Sampling.budgetWaterfill(df, "source", "w", 90L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("allocated"), r.getAs[Boolean]("is_exhausted"))).toMap
+    assert(got("A") == ((10L, true)) && got("B") == ((20L, true)))
+    assert(got("C") == ((30L, false)) && got("D") == ((30L, false)))
+    // budget respected exactly at the regime boundary
+    assert(got.values.map(_._1).sum == 90L)
+    // budget covers everything -> tau NULL, everyone exhausted
+    val rich = graft.operators.Sampling.budgetWaterfill(df, "source", "w", 1000L)
+      .collect()
+    assert(rich.forall(_.getAs[Boolean]("is_exhausted")))
+    assert(rich.forall(_.isNullAt(rich.head.fieldIndex("tau"))))
+    // budget below k*min_cap: nobody capped, everyone gets floor(B/k)
+    val tight = graft.operators.Sampling.budgetWaterfill(df, "source", "w", 8L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("allocated")).toMap
+    assert(tight.values.toSet == Set(2L)) // floor(8/4)
+  }
+
   test("upsampleRare: rare domains replicate to the floor share, cap binds, rich stay at 1") {
     import spark.implicits._
     // 100 docs: A=80, B=15, C=4, D=1; floor 10%, cap 3
