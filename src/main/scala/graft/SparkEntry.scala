@@ -1302,6 +1302,22 @@ object SparkEntry {
       Profiling.quantileSketchError(t(s, d, "events"), "value",
         ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99), accuracy = 100)),
 
+    // HLL cardinality accuracy panel: exact distinct vs the HLL
+    // estimate per column, checked against the published 3σ envelope
+    // — the evidence behind sketch_profile's one-pass distincts.
+    // Sketch state → rows-only by the §5.1 sketch rule.
+    "sketch_hll_error" -> ((s: SparkSession, d: String) =>
+      Profiling.hllErrorPanel(t(s, d, "events"),
+        Seq("event_type", "user_id", "props"), lgK = 12)),
+
+    // KS separation of the value score between PURCHASE and the rest:
+    // the max CDF gap AND the score it occurs at (the natural
+    // threshold) — the credit-scoring discrimination statistic next
+    // to ROC AUC, on the two-sample KS machinery.
+    "ml_ks_separation" -> ((s: SparkSession, d: String) =>
+      MlLite.ksSeparation(t(s, d, "events"), "value",
+        upper(trim(col("event_type"))) === "PURCHASE")),
+
     // FD discovery over the order columns: every ordered pair's
     // violation count/share — o_orderkey→* holds (it is the key),
     // the reverse directions quantify how far they are from FDs.
@@ -3774,6 +3790,38 @@ object SparkEntry {
         |SELECT d_abs AS d_stat, value AS at_value,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
         |  tot_old AS n_old, tot_new AS n_new
+        |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
+
+    // MlLite.ksSeparation mirrored: the two-sample KS replay with the
+    // PURCHASE label as the split, model-evaluation column names.
+    "ml_ks_separation" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN upper(trim(event_type)) = 'PURCHASE' THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (
+        |  SELECT value,
+        |    CAST(SUM(1 - is_new) AS BIGINT) AS n_old_v,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new_v
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_old_v) AS BIGINT) AS tot_old,
+        |         CAST(SUM(n_new_v) AS BIGINT) AS tot_new
+        |  FROM pv),
+        |c AS (
+        |  SELECT value,
+        |    SUM(n_old_v) OVER (ORDER BY value) AS cum_old,
+        |    SUM(n_new_v) OVER (ORDER BY value) AS cum_new
+        |  FROM pv),
+        |d AS (
+        |  SELECT value,
+        |    ABS(cum_old / CAST(CASE WHEN tot_old > 0 THEN tot_old END AS DOUBLE)
+        |      - cum_new / CAST(CASE WHEN tot_new > 0 THEN tot_new END AS DOUBLE)) AS d_abs,
+        |    tot_old, tot_new
+        |  FROM c, tot)
+        |SELECT d_abs AS ks_stat, value AS best_threshold,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
+        |  tot_old AS n_neg, tot_new AS n_pos
         |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
 
     // Drift.cvmStatistic mirrored: same distinct counts + cumulative

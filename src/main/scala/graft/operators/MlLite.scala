@@ -1222,6 +1222,27 @@ object MlLite {
     perF.reduce(_ unionAll _)
   }
 
+  /** KS separation of a score between classes — the
+    * distribution-level discrimination readout next to [[aucRoc]]'s
+    * rank view: the maximum gap between the negatives' and the
+    * positives' empirical CDFs of the score, attained AT a concrete
+    * score value (which doubles as the natural decision threshold —
+    * the credit-scoring "KS statistic"). Delegates to the two-sample
+    * KS machinery ([[Drift.ksStatistic]] — distinct-value collapse,
+    * distributed prefix sums, max-struct argmax), relabeled for the
+    * model-evaluation reading.
+    */
+  def ksSeparation(df: DataFrame, scoreCol: String,
+                   labelPos: Column): DataFrame =
+    Drift.ksStatistic(
+      df.filter(col(scoreCol).isNotNull && labelPos.isNotNull)
+        .withColumn("__is_pos", labelPos.cast("int")),
+      scoreCol, "__is_pos")
+      .select(col("d_stat").as("ks_stat"),
+        col("at_value").as("best_threshold"),
+        col("n_distinct_values"),
+        col("n_old").as("n_neg"), col("n_new").as("n_pos"))
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelers (the label-QC primitive: declared metadata
     * vs a classifier, or two annotators; raw percent agreement

@@ -234,6 +234,40 @@ object Profiling {
     if (groupCols.isEmpty) out.drop("__g") else out
   }
 
+  /** HLL cardinality accuracy panel — the distinct-count twin of
+    * [[quantileSketchError]]'s evidence pattern: per column the EXACT
+    * distinct count next to the HyperLogLog estimate, the relative
+    * error, and whether it sits inside the 3σ envelope
+    * (σ = 1.04/√2^lgK — Flajolet et al.'s published bound). When the
+    * panel is green, every downstream profile can take the one-pass
+    * mergeable sketch (sketch_profile / the E19 streaming sink)
+    * instead of the Expand-shuffle exact distinct.
+    *
+    * One exact-distinct pass and one sketch pass per declared column;
+    * sketch state is traversal-order-dependent → rows-only by the
+    * §5.1 sketch rule (the spec pins the envelope).
+    */
+  def hllErrorPanel(df: DataFrame, cols: Seq[String],
+                    lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty && lgK >= 4 && lgK <= 21, s"bad args: $cols lgK=$lgK")
+    val sigma = 1.04 / math.sqrt(math.pow(2.0, lgK))
+    cols.map { c =>
+      df.filter(col(c).isNotNull)
+        .agg(countDistinct(col(c)).as("exact_distinct"),
+          // hll_sketch_estimate returns LONG (the rounded estimate)
+          hll_sketch_estimate(
+            hll_sketch_agg(col(c).cast("string"), lit(lgK)))
+            .cast("long").as("hll_estimate"))
+        .select(lit(c).as("column_name"), col("exact_distinct"),
+          col("hll_estimate"),
+          when(col("exact_distinct") > 0,
+            col("hll_estimate").cast("double")
+              / col("exact_distinct").cast("double") - 1.0)
+            .as("rel_error"))
+        .withColumn("within_3sigma", abs(col("rel_error")) <= lit(3.0 * sigma))
+    }.reduce(_ unionByName _)
+  }
+
   /** Quantile-SKETCH accuracy panel — the evidence that justifies
     * replacing exact quantiles with `percentile_approx` at 100 TB:
     * for each probability, the sketch's answer, the exact

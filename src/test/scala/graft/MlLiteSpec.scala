@@ -615,6 +615,22 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("ksSeparation: perfect split is 1 at the class boundary; identical classes are 0") {
+    import org.apache.spark.sql.functions.col
+    // negatives at 1..3, positives at 10..12: full gap closes at 3
+    val df = (Seq(1.0, 2.0, 3.0).map((_, false)) ++
+      Seq(10.0, 11.0, 12.0).map((_, true))).toDF("s", "y")
+    val r = MlLite.ksSeparation(df, "s", col("y")).collect().head
+    assert(r.getAs[Double]("ks_stat") == 1.0)
+    assert(r.getAs[Double]("best_threshold") == 3.0)
+    assert(r.getAs[Long]("n_neg") == 3L && r.getAs[Long]("n_pos") == 3L)
+    // label-independent scores: CDFs coincide at every distinct value
+    val same = Seq((1.0, true), (1.0, false), (2.0, true), (2.0, false))
+      .toDF("s", "y")
+    assert(MlLite.ksSeparation(same, "s", col("y"))
+      .collect().head.getAs[Double]("ks_stat") == 0.0)
+  }
+
   test("dpNoisyMean: clamp bounds influence, draws replay, denominator floors at 1") {
     import graft.operators.{Audit, Sampling}
     import org.apache.spark.sql.functions.{col, lit}

@@ -741,6 +741,24 @@ class SamplingSketchSpec extends SparkSpec {
     assert(q == Map("big" -> 10L, "small" -> 5L, "mid" -> 10L))
   }
 
+  test("hllErrorPanel: small cardinalities estimate inside the 3-sigma envelope") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"u${i % 100}", s"t${i % 7}")).toDF("uid", "typ")
+    val got = graft.operators.Profiling.hllErrorPanel(df, Seq("uid", "typ"), lgK = 12)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(got("uid").getAs[Long]("exact_distinct") == 100L)
+    assert(got("typ").getAs[Long]("exact_distinct") == 7L)
+    got.values.foreach { r =>
+      assert(r.getAs[Boolean]("within_3sigma"),
+        s"${r.getAs[String]("column_name")} rel_error ${r.getAs[Double]("rel_error")}")
+      assert(math.abs(r.getAs[Double]("rel_error")) < 0.05)
+    }
+    // deterministic for a fixed dataset: the same panel twice agrees
+    val again = graft.operators.Profiling.hllErrorPanel(df, Seq("uid"), lgK = 12)
+      .collect().head.getAs[Long]("hll_estimate")
+    assert(again == got("uid").getAs[Long]("hll_estimate"))
+  }
+
   test("budgetWaterfill: small sources keep all, big ones ration at the water line") {
     import spark.implicits._
     // capacities A=10, B=20, C=100, D=200; budget 90:
