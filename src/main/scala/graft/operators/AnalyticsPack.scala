@@ -459,12 +459,14 @@ object AnalyticsPack {
     val raw = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_total"),
         sum(q6(col("__v")).cast(d6)).as("__rs"))
-    raw.join(brackets, Seq("__g"))
-      .join(base.join(brackets, Seq("__g"))
+    // brackets/kept are ≤|groups| panels off stats-less checkpoints —
+    // broadcast explicitly or the static plan degrades to SMJ
+    raw.join(broadcast(brackets), Seq("__g"))
+      .join(broadcast(base.join(broadcast(brackets), Seq("__g"))
           .filter(col("__v") >= col("q_lo") && col("__v") <= col("q_hi"))
           .groupBy(col("__g"))
           .agg(count(lit(1)).as("n_kept"),
-            sum(q6(col("__v")).cast(d6)).as("__ts")),
+            sum(q6(col("__v")).cast(d6)).as("__ts"))),
         Seq("__g"))
       .select(col("__g").as("group_key"), col("n_total"), col("n_kept"),
         col("q_lo"), col("q_hi"),

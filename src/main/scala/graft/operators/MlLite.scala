@@ -1279,10 +1279,12 @@ object MlLite {
     val mb = cells.groupBy(col("__b").as("__c")).agg(sum(col("__n")).as("__cb"))
     // classes seen by only ONE rater have a zero opposite marginal —
     // their expected term is 0, so the inner join loses nothing; the
-    // class count still spans BOTH sides (full outer)
-    val nClasses = ma.join(mb, Seq("__c"), "full_outer")
+    // class count still spans BOTH sides (distinct over the union —
+    // joinless, so the stats-less checkpointed panels never SMJ)
+    val nClasses = ma.select(col("__c"))
+      .unionAll(mb.select(col("__c"))).distinct()
       .agg(count(lit(1)).as("n_classes"))
-    val pe = ma.join(mb, Seq("__c"))
+    val pe = ma.join(broadcast(mb), Seq("__c"))
       .crossJoin(broadcast(tot))
       .agg(coalesce(sum(
         q12((col("__ra").cast("double") / col("n_items").cast("double")) *

@@ -62,7 +62,17 @@ class InvariantSpec extends SparkSpec {
       // never degrade into SMJ (checkpoints carry no stats)
       "table_quantiles", "table_outlier_iqr", "anomaly_mad",
       "ana_wait_percentiles", "embedding_outlier_filter",
-      "graph_modularity", "graph_assortativity", "ana_growth_accounting")
+      "graph_modularity", "graph_assortativity", "ana_growth_accounting",
+      // the r9 wave-2 additions with joins worth pinning: the
+      // recommend-chain composition, the nested-fraction NB loops,
+      // the sketch-vs-exact panels and the triangular panel
+      // cumulations must stay broadcast/hash, never SMJ
+      "recsys_coverage", "ml_learning_curve", "sketch_quantile_error",
+      "ml_ks_separation", "text_heaps_fit", "sample_budget_waterfill",
+      "graph_degree_dist", "privacy_t_closeness", "audit_fd_discovery",
+      "er_blocking_stats", "gold_dv_link", "ana_trimmed_mean",
+      "ana_hurst", "ana_periodogram", "ml_cohens_kappa",
+      "audit_schema_drift", "dedup_lsh_curve")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -88,7 +98,13 @@ class InvariantSpec extends SparkSpec {
     // checkpoint-derived (no stats), and AQE converts it to broadcast
     // at panel scale at runtime. The no-SMJ invariant is about
     // dim/panel-sized sides that should broadcast statically.
-    val smjRowScaleByDesign = Set("corpus_curation_pipeline")
+    // audit_schema_drift: the verdict is a FULL OUTER join of two
+    // ≤|columns|-row inference panels — Spark cannot broadcast a full
+    // outer's build side, so the static plan shows SMJ over two
+    // panel-sized relations (harmless at any scale; the row-scale
+    // work all happened in the upstream per-column aggregates).
+    val smjRowScaleByDesign = Set("corpus_curation_pipeline",
+      "audit_schema_drift")
     val bnljByDesign = Set("ann_ivf_topk", "fct_periodic_snapshot",
       "data_drift_ks", "audit_benford_digits", "ann_range_search",
       "table_mutual_info", "text_pmi_bigrams", "table_entropy",
@@ -111,7 +127,22 @@ class InvariantSpec extends SparkSpec {
       // graph_modularity / graph_assortativity: the broadcast 1-ROW
       // total-weight / node-count panel crossed onto the moment
       // panel — the 1-row-totals class
-      "graph_modularity", "graph_assortativity")
+      "graph_modularity", "graph_assortativity",
+      // the r9 wave-2 panel shapes: broadcast 1-row totals/fit panels
+      // crossed onto bounded panels (coverage/kappa/periodogram/hurst/
+      // degree-dist/lsh-curve/ks), the ≤k-row threshold panel crossed
+      // onto the value relation (sketch_quantile_error — n × 5), the
+      // class-panel cross in the NB learning curve (n_test × classes),
+      // the combo × sensitive grid (t-closeness), and the triangular
+      // panel cumulations (heaps buckets, waterfill capacities, the
+      // exactQuantilesBy rebase under ana_trimmed_mean) — all
+      // inequality or keyless joins whose broadcast side is bounded
+      // by construction
+      "recsys_coverage", "ml_learning_curve", "sketch_quantile_error",
+      "ml_ks_separation", "text_heaps_fit", "sample_budget_waterfill",
+      "graph_degree_dist", "privacy_t_closeness", "ana_trimmed_mean",
+      "ana_hurst", "ana_periodogram", "ml_cohens_kappa",
+      "dedup_lsh_curve")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
