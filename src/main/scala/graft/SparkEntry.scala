@@ -1310,6 +1310,13 @@ object SparkEntry {
       Profiling.hllErrorPanel(t(s, d, "events"),
         Seq("event_type", "user_id", "props"), lgK = 12)),
 
+    // Distribution-fit panel: normal / exponential / lognormal fitted
+    // by moments, scored by the two-sided KS staircase distance at
+    // every distinct value — which textbook family does `value`
+    // actually follow, before anyone simulates or extrapolates tails.
+    "ana_dist_fit" -> ((s: SparkSession, d: String) =>
+      Drift.distributionFit(t(s, d, "events"), "value")),
+
     // KS separation of the value score between PURCHASE and the rest:
     // the max CDF gap AND the score it occurs at (the natural
     // threshold) — the credit-scoring discrimination statistic next
@@ -3791,6 +3798,71 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pv) AS n_distinct_values,
         |  tot_old AS n_old, tot_new AS n_new
         |FROM d ORDER BY d_abs DESC, value LIMIT 1""".stripMargin,
+
+    // Drift.distributionFit mirrored: distinct-value staircase,
+    // moments panel, the Horner-erfc Φ with the sign branch, gridded
+    // exp/ln cells, two-sided KS sup per family, argmin flag.
+    "ana_dist_fit" ->
+      """WITH base AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND value > 0.0),
+        |pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+        |cumv AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM pv),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(v * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(FLOOR(v * v * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS svv,
+        |    CAST(SUM(CAST(FLOOR(LN(v) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sl,
+        |    CAST(SUM(CAST(FLOOR((FLOOR(LN(v) * 1e6) / 1e6)
+        |      * (FLOOR(LN(v) * 1e6) / 1e6) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sll
+        |  FROM base),
+        |mm AS (
+        |  SELECT n, sv / CAST(n AS DOUBLE) AS mu,
+        |    (svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vr,
+        |    sl / CAST(n AS DOUBLE) AS mul,
+        |    (sll - sl * sl / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS varl
+        |  FROM m),
+        |z AS (
+        |  SELECT cumv.*, mm.*,
+        |    (v - mu) / sqrt(vr) AS zn,
+        |    (FLOOR(LN(v) * 1e6) / 1e6 - mul) / sqrt(varl) AS zl
+        |  FROM cumv CROSS JOIN mm),
+        |e1 AS (SELECT *, ABS(zn) / 1.4142135623730951 AS xn,
+        |              ABS(zl) / 1.4142135623730951 AS xl FROM z),
+        |e2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xn) AS tn,
+        |              1.0 / (1.0 + 0.3275911 * xl) AS tl FROM e1),
+        |e3 AS (
+        |  SELECT *,
+        |    0.5 * (FLOOR(((((1.061405429 * tn - 1.453152027) * tn + 1.421413741) * tn
+        |      - 0.284496736) * tn + 0.254829592) * tn * EXP(-(xn * xn)) * 1e6) / 1e6) AS hn,
+        |    0.5 * (FLOOR(((((1.061405429 * tl - 1.453152027) * tl + 1.421413741) * tl
+        |      - 0.284496736) * tl + 0.254829592) * tl * EXP(-(xl * xl)) * 1e6) / 1e6) AS hl
+        |  FROM e2),
+        |f AS (
+        |  SELECT *,
+        |    CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS fe,
+        |    CAST(cum - c AS DOUBLE) / CAST(n AS DOUBLE) AS fp,
+        |    CASE WHEN zn < 0.0 THEN hn ELSE 1.0 - hn END AS fnorm,
+        |    1.0 - FLOOR(EXP(-1.0 * v / mu) * 1e6) / 1e6 AS fexp,
+        |    CASE WHEN zl < 0.0 THEN hl ELSE 1.0 - hl END AS flogn
+        |  FROM e3),
+        |pan AS (
+        |  SELECT MAX(n) AS n, MAX(mu) AS mu, MAX(vr) AS vr,
+        |    MAX(mul) AS mul, MAX(varl) AS varl,
+        |    MAX(GREATEST(ABS(fe - fnorm), ABS(fp - fnorm))) AS d_norm,
+        |    MAX(GREATEST(ABS(fe - fexp), ABS(fp - fexp))) AS d_exp,
+        |    MAX(GREATEST(ABS(fe - flogn), ABS(fp - flogn))) AS d_logn
+        |  FROM f),
+        |rows0 AS (
+        |  SELECT 'normal' AS dist_name, n, mu AS param1,
+        |    sqrt(vr) AS param2, d_norm AS ks_distance FROM pan
+        |  UNION ALL SELECT 'exponential', n, 1.0 / mu,
+        |    CAST(NULL AS DOUBLE), d_exp FROM pan
+        |  UNION ALL SELECT 'lognormal', n, mul, sqrt(varl), d_logn FROM pan),
+        |b AS (SELECT MIN(ks_distance) AS mb FROM rows0)
+        |SELECT dist_name, n, param1, param2, ks_distance,
+        |  ks_distance = mb AS is_best
+        |FROM rows0 CROSS JOIN b""".stripMargin,
 
     // MlLite.ksSeparation mirrored: the two-sample KS replay with the
     // PURCHASE label as the split, model-evaluation column names.

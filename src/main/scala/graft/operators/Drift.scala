@@ -368,4 +368,88 @@ object Drift {
         (-col("__m.__neg_value")).as("at_value"),
         col("n_distinct_values"), col("n_old"), col("n_new"))
   }
+
+  /** Distribution-FIT panel — which textbook family does a positive
+    * measure actually follow? Normal, exponential and lognormal are
+    * each fitted by MOMENTS (one scan: Σv, Σv², Σln v, Σln²v as
+    * gridded decimal partials) and scored by the KS distance between
+    * the empirical CDF and the fitted CDF, evaluated at every
+    * distinct value with the proper two-sided staircase sup
+    * (max of |F−F̂| and |F₋−F̂|). The verdict feeds simulation,
+    * synthetic-data and tail-extrapolation choices; a bad best-fit
+    * (large min distance) says "none of the above — look at the
+    * histogram".
+    *
+    * Scale shape: the KS machinery's distinct-value collapse +
+    * distributed prefix sums, one moments panel broadcast, three
+    * mirrored CDF expressions per distinct value (Φ via the gridded
+    * Horner erfc, exp/ln gridded per §5). Output: one row per
+    * candidate family with its two parameters, the KS distance and
+    * the argmin flag.
+    */
+  def distributionFit(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(28, 6)
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0.0)
+    val perVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val cum = PrefixSum.globalOrderedN(perVal, Seq(col("__v")), Seq("__n"))
+    val moms = base.agg(count(lit(1)).as("n"),
+        sum(q6(col("__v")).cast(d6)).as("__sv"),
+        sum(q6(col("__v") * col("__v")).cast(d6)).as("__svv"),
+        sum(q6(log(col("__v"))).cast(d6)).as("__sl"),
+        sum(q6(q6(log(col("__v"))) * q6(log(col("__v")))).cast(d6)).as("__sll"))
+      .select(col("n"),
+        (col("__sv").cast("double") / col("n").cast("double")).as("__mu"),
+        ((col("__svv").cast("double")
+          - col("__sv").cast("double") * col("__sv").cast("double")
+            / col("n").cast("double")) / col("n").cast("double")).as("__var"),
+        (col("__sl").cast("double") / col("n").cast("double")).as("__mul"),
+        ((col("__sll").cast("double")
+          - col("__sl").cast("double") * col("__sl").cast("double")
+            / col("n").cast("double")) / col("n").cast("double")).as("__varl"))
+    // Φ(z) via the A&S 7.1.26 Horner erfc (valid for x ≥ 0; the sign
+    // branch mirrors it): Φ = z<0 ? ½erfc(|z|/√2) : 1 − ½erfc(|z|/√2)
+    def phi(z: Column): Column = {
+      val x = abs(z) / lit(1.4142135623730951)
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+        + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+      val halfErfc = lit(0.5) * q6(poly * exp(-(x * x)))
+      when(z < 0.0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    }
+    val scored = cum.crossJoin(broadcast(moms))
+      .withColumn("__fe", col("prefix___n").cast("double") / col("n").cast("double"))
+      .withColumn("__fp",
+        (col("prefix___n") - col("__n")).cast("double") / col("n").cast("double"))
+      .withColumn("__norm", phi((col("__v") - col("__mu")) / sqrt(col("__var"))))
+      .withColumn("__exp",
+        lit(1.0) - q6(exp(lit(-1.0) * col("__v") / col("__mu"))))
+      .withColumn("__logn",
+        phi((q6(log(col("__v"))) - col("__mul")) / sqrt(col("__varl"))))
+      .localCheckpoint(true)
+    def ksOf(fit: Column): Column =
+      greatest(abs(col("__fe") - fit), abs(col("__fp") - fit))
+    val panel = scored.agg(max(col("n")).as("n"),
+      max(col("__mu")).as("mu"), max(col("__var")).as("vr"),
+      max(col("__mul")).as("mul"), max(col("__varl")).as("varl"),
+      max(ksOf(col("__norm"))).as("d_norm"),
+      max(ksOf(col("__exp"))).as("d_exp"),
+      max(ksOf(col("__logn"))).as("d_logn"))
+    val rows = panel.select(lit("normal").as("dist_name"), col("n"),
+        col("mu").as("param1"), sqrt(col("vr")).as("param2"),
+        col("d_norm").as("ks_distance"))
+      .unionAll(panel.select(lit("exponential").as("dist_name"), col("n"),
+        (lit(1.0) / col("mu")).as("param1"), lit(null).cast("double").as("param2"),
+        col("d_exp").as("ks_distance")))
+      .unionAll(panel.select(lit("lognormal").as("dist_name"), col("n"),
+        col("mul").as("param1"), sqrt(col("varl")).as("param2"),
+        col("d_logn").as("ks_distance")))
+      .localCheckpoint(true)
+    val best = rows.agg(min(col("ks_distance")).as("__b"))
+    rows.crossJoin(broadcast(best))
+      .select(col("dist_name"), col("n"), col("param1"), col("param2"),
+        col("ks_distance"), (col("ks_distance") === col("__b")).as("is_best"))
+  }
 }

@@ -192,4 +192,28 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Double]("mmd2") == -3.0)
     assert(r2.getAs[Double]("mmd2") == -3.0)
   }
+
+  test("distributionFit: exponential data picks exponential; a tight gaussian picks normal") {
+    // inverse-CDF exponential draws (deterministic grid, mean 2)
+    val expo = (1 to 400).map(i => -2.0 * math.log(i / 401.0)).toDF("value")
+    val e = Drift.distributionFit(expo, "value")
+      .collect().map(r => r.getAs[String]("dist_name") -> r).toMap
+    assert(e.size == 3)
+    assert(e("exponential").getAs[Boolean]("is_best"),
+      s"exp data best=${e.filter(_._2.getAs[Boolean]("is_best")).keys}")
+    assert(math.abs(e("exponential").getAs[Double]("param1") - 0.5) < 0.05)
+    assert(e("exponential").getAs[Double]("ks_distance") <
+      e("normal").getAs[Double]("ks_distance"))
+    // gaussian-ish grid around 50, sd ~2 (all positive): normal wins
+    val gs = (1 to 400).map { i =>
+      val u = i / 401.0
+      50.0 + 2.0 * math.log(u / (1 - u)) / 1.702
+    }.toDF("value")
+    val g = Drift.distributionFit(gs, "value")
+      .collect().map(r => r.getAs[String]("dist_name") -> r).toMap
+    assert(g("normal").getAs[Boolean]("is_best"))
+    assert(math.abs(g("normal").getAs[Double]("param1") - 50.0) < 0.5)
+    // exponential's param2 is undefined (one-parameter family)
+    assert(e("exponential").isNullAt(e("exponential").fieldIndex("param2")))
+  }
 }
