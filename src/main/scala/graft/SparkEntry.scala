@@ -2070,6 +2070,15 @@ object SparkEntry {
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6,
         thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))),
 
+    // Expected-cost curve over the same confusion counts: per FN cost
+    // ratio the cost at every threshold, argmin flagged — the
+    // threshold-to-deploy readout at each cost asymmetry.
+    "ml_cost_curve" -> ((s: SparkSession, d: String) =>
+      MlLite.costCurve(logregFeatures(s, d),
+        "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6,
+        thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+        fnCostRatios = Seq(1.0, 2.0, 5.0, 10.0))),
+
     // Information-gain ranking of binned features vs the purchase
     // label — the decision-tree split criterion as a panel, the
     // nonparametric complement of the logistic coefficients.
@@ -4635,6 +4644,26 @@ object SparkEntry {
     "ml_logreg_pr_curve" ->
       logregPrOracleSql(rounds = 6, lr = "0.5",
         thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+
+    // MlLite.costCurve mirrored: the PR-curve replay as a CTE, the
+    // threshold × ratio grid, exact-count cost arithmetic, per-ratio
+    // argmin by exact-double equality.
+    "ml_cost_curve" ->
+      s"""WITH pr AS (
+        |${logregPrOracleSql(rounds = 6, lr = "0.5",
+          thresholds = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))}
+        |),
+        |grid AS (
+        |  SELECT threshold, tp, fp, fn, fn_cost_ratio,
+        |    CAST(fp AS DOUBLE) + fn_cost_ratio * CAST(fn AS DOUBLE) AS expected_cost
+        |  FROM pr CROSS JOIN (
+        |    SELECT CAST(UNNEST([1.0, 2.0, 5.0, 10.0]) AS DOUBLE) AS fn_cost_ratio)),
+        |best AS (
+        |  SELECT fn_cost_ratio, MIN(expected_cost) AS b
+        |  FROM grid GROUP BY 1)
+        |SELECT g.fn_cost_ratio, g.threshold, g.tp, g.fp, g.fn,
+        |  g.expected_cost, g.expected_cost = b.b AS is_optimal
+        |FROM grid g JOIN best b USING (fn_cost_ratio)""".stripMargin,
 
     // MlLite.infoGain mirrored: count-weighted entropies with
     // 1e-6-grid ln terms in DECIMAL partials, one /n at the end.

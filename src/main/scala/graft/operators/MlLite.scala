@@ -1046,6 +1046,37 @@ object MlLite {
             / (col("precision") + col("recall"))))
   }
 
+  /** Expected-COST curve over the PR-curve confusion counts — the
+    * threshold-picking step the raw precision/recall panel defers:
+    * for each candidate false-negative cost ratio (an FP costs 1, an
+    * FN costs `ratio` — the asymmetry every fraud/triage/alerting
+    * deployment actually has), the expected cost at every threshold
+    * and the argmin flagged. Read one row per ratio: that is the
+    * threshold to deploy AT that cost asymmetry.
+    *
+    * Composes [[logisticPrCurve]] (checkpointed once); the grid is
+    * |thresholds| × |ratios| panel rows, the costs exact-integer ×
+    * literal products, the argmin a panel broadcast.
+    */
+  def costCurve(df: DataFrame, yCol: String, xCols: Seq[String],
+                lr: Double, rounds: Int, thresholds: Seq[Double],
+                fnCostRatios: Seq[Double]): DataFrame = {
+    require(fnCostRatios.nonEmpty && fnCostRatios.forall(_ > 0),
+      s"fn cost ratios must be positive: $fnCostRatios")
+    val pr = logisticPrCurve(df, yCol, xCols, lr, rounds, thresholds)
+      .localCheckpoint(true)
+    val grid = pr.select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        explode(array(fnCostRatios.map(lit(_)): _*)).as("fn_cost_ratio"))
+      .withColumn("expected_cost",
+        col("fp").cast("double") + col("fn_cost_ratio") * col("fn").cast("double"))
+      .localCheckpoint(true)
+    val best = grid.groupBy(col("fn_cost_ratio"))
+      .agg(min(col("expected_cost")).as("__b"))
+    grid.join(broadcast(best), Seq("fn_cost_ratio"))
+      .withColumn("is_optimal", col("expected_cost") === col("__b"))
+      .drop("__b")
+  }
+
   /** The shared GD loop: returns the checkpointed (y, x1..x3)
     * relation and the fitted weight vector (intercept first).
     */

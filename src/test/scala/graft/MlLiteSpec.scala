@@ -615,6 +615,33 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("costCurve: higher FN cost pushes the optimal threshold down (catch more positives)") {
+    import org.apache.spark.sql.functions.col
+    // separable-ish data the logistic fit orders correctly
+    val rows = (1 to 60).map { i =>
+      val pos = i % 3 == 0
+      (if (pos) 1.0 else 0.0,
+        if (pos) 2.0 + (i % 5) * 0.1 else -1.0 - (i % 5) * 0.1, 0.5, 1.0)
+    }
+    val df = rows.toDF("y", "x1", "x2", "x3")
+    val got = MlLite.costCurve(df, "y", Seq("x1", "x2", "x3"),
+      lr = 0.5, rounds = 6, thresholds = Seq(0.2, 0.5, 0.8),
+      fnCostRatios = Seq(1.0, 10.0)).collect()
+    assert(got.length == 6) // 3 thresholds x 2 ratios
+    // per ratio exactly the min rows flag optimal and cost = fp + r*fn
+    got.foreach { r =>
+      val want = r.getAs[Long]("fp").toDouble +
+        r.getAs[Double]("fn_cost_ratio") * r.getAs[Long]("fn").toDouble
+      assert(r.getAs[Double]("expected_cost") == want)
+    }
+    val best = got.filter(_.getAs[Boolean]("is_optimal"))
+      .map(r => r.getAs[Double]("fn_cost_ratio") -> r.getAs[Double]("threshold"))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    // at FN-cost 10 the chosen threshold can never sit ABOVE the
+    // FN-cost-1 choice (misses get 10x dearer)
+    assert(best(10.0) <= best(1.0))
+  }
+
   test("ksSeparation: perfect split is 1 at the class boundary; identical classes are 0") {
     import org.apache.spark.sql.functions.col
     // negatives at 1..3, positives at 10..12: full gap closes at 3
