@@ -7592,10 +7592,11 @@ object SparkEntry {
           |    CAST(SUM(CAST(FLOOR(v * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS ts
           |  FROM l JOIN f USING (group_key)
           |  WHERE v >= q_lo AND v <= q_hi GROUP BY 1)
-          |SELECT group_key, n_total, n_kept, q_lo, q_hi,
+          |SELECT group_key, n_total,
+          |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, q_lo, q_hi,
           |  rs / CAST(n_total AS DOUBLE) AS raw_mean,
-          |  ts / CAST(n_kept AS DOUBLE) AS trimmed_mean
-          |FROM f JOIN k USING (group_key)""".stripMargin,
+          |  ts / CAST(k.n_kept AS DOUBLE) AS trimmed_mean
+          |FROM f LEFT JOIN k USING (group_key)""".stripMargin,
 
       // Profiling.outlierFences mirrored: unpivot, exact quartiles,
       // fixed-order fence arithmetic, tail counts CAST to BIGINT
@@ -8752,7 +8753,9 @@ object SparkEntry {
     "er_candidate_pairs" ->
       """WITH names AS (
         |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
-        |  FROM part GROUP BY 2),
+        |  FROM part
+        |  WHERE p_name IS NOT NULL AND LENGTH(UPPER(TRIM(p_name))) > 0
+        |  GROUP BY 2),
         |b AS (
         |  SELECT rec_id, name_norm,
         |    list_extract(string_split(name_norm, ' '), -1) AS block
@@ -8772,7 +8775,9 @@ object SparkEntry {
     "er_blocking_stats" ->
       """WITH names AS (
         |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
-        |  FROM part GROUP BY 2),
+        |  FROM part
+        |  WHERE p_name IS NOT NULL AND LENGTH(UPPER(TRIM(p_name))) > 0
+        |  GROUP BY 2),
         |b AS (
         |  SELECT rec_id, name_norm,
         |    list_extract(string_split(name_norm, ' '), -1) AS block
@@ -8798,7 +8803,9 @@ object SparkEntry {
     "er_golden_record" ->
       """WITH RECURSIVE names AS (
         |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
-        |  FROM part GROUP BY 2),
+        |  FROM part
+        |  WHERE p_name IS NOT NULL AND LENGTH(UPPER(TRIM(p_name))) > 0
+        |  GROUP BY 2),
         |b AS (
         |  SELECT rec_id, name_norm,
         |    list_extract(string_split(name_norm, ' '), -1) AS block
@@ -8832,7 +8839,9 @@ object SparkEntry {
     "er_best_match" ->
       """WITH clean AS (
         |  SELECT MIN(p_partkey) AS rec_id, UPPER(TRIM(p_name)) AS name_norm
-        |  FROM part GROUP BY 2),
+        |  FROM part
+        |  WHERE p_name IS NOT NULL AND LENGTH(UPPER(TRIM(p_name))) > 0
+        |  GROUP BY 2),
         |dirty AS (
         |  SELECT rec_id,
         |    concat(substr(list_extract(string_split(name_norm, ' '), 1), 1, 3),
@@ -9869,7 +9878,7 @@ object SparkEntry {
       "ml_learning_curve" -> {
         val full = 4294967296.0
         val thrTest = math.floor(0.8 * full).toLong
-        val hSql = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        val hSql = "CAST(concat('0x', substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT)"
         val shared =
           s"""WITH docsh AS (
              |  SELECT doc_id, lang AS label, $hSql AS h FROM documents),

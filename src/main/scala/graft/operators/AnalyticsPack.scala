@@ -465,13 +465,17 @@ object AnalyticsPack {
       .join(broadcast(base.join(broadcast(brackets), Seq("__g"))
           .filter(col("__v") >= col("q_lo") && col("__v") <= col("q_hi"))
           .groupBy(col("__g"))
-          .agg(count(lit(1)).as("n_kept"),
+          .agg(count(lit(1)).as("__nk"),
             sum(q6(col("__v")).cast(d6)).as("__ts"))),
-        Seq("__g"))
-      .select(col("__g").as("group_key"), col("n_total"), col("n_kept"),
+        Seq("__g"), "left")
+      // LEFT join: a tiny group whose interpolated bracket straddles
+      // every row (e.g. n=2) still surfaces, with n_kept=0 and a NULL
+      // trimmed mean, instead of silently vanishing
+      .select(col("__g").as("group_key"), col("n_total"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
         col("q_lo"), col("q_hi"),
         (col("__rs").cast("double") / col("n_total").cast("double")).as("raw_mean"),
-        (col("__ts").cast("double") / col("n_kept").cast("double")).as("trimmed_mean"))
+        (col("__ts").cast("double") / col("__nk").cast("double")).as("trimmed_mean"))
   }
 
   /** Binary-segmentation changepoint — the LOCATION estimator next to

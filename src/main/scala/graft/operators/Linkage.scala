@@ -144,10 +144,12 @@ object Linkage {
       .select(col("n_records"), col("n_blocks"), col("max_block"),
         col("n_blocks_over_cap"),
         col("__cand").cast("long").as("candidate_pairs"),
-        // Spark's `/` promotes to double; the even product makes the
-        // quotient integral, so the long cast is exact
-        (col("n_records") * (col("n_records") - 1) / 2).cast("long")
-          .as("all_pairs"))
+        // the PRODUCT n*(n-1) must stay exact, not just the quotient —
+        // route it through DECIMAL(38,0) like candidate_pairs so the
+        // halving never sees a rounded double
+        (col("n_records").cast(DecimalType(38, 0))
+            * (col("n_records") - 1).cast(DecimalType(38, 0)) / 2)
+          .cast("long").as("all_pairs"))
       .withColumn("reduction_ratio",
         lit(1.0) - col("candidate_pairs").cast("double")
           / nz(col("all_pairs").cast("double")))
