@@ -3084,6 +3084,21 @@ object SparkEntry {
     "sketch_hll_rollup" -> ((s: SparkSession, d: String) =>
       Profiling.hllRollup(t(s, d, "events"), "ts", "user_id")),
 
+    // Mergeable-KLL quantile rollup (daily sketches -> weekly merged
+    // percentiles) — the reaggregable-percentile shape Spark 4 has no
+    // built-in state for; native TypedImperativeAggregate. Rows-only
+    // by protocol (sketch internals), envelope pinned by the error
+    // panel + spec.
+    "sketch_kll_rollup" -> ((s: SparkSession, d: String) =>
+      Profiling.kllRollup(t(s, d, "events"), "ts", "value")),
+
+    // KLL accuracy panel: the distributed sketch's quantile answers
+    // vs their EXACT empirical ranks, checked against the declared
+    // O(1/k) envelope — the evidence licensing stored quantile
+    // sketches. Rows-only by the sketch rule.
+    "sketch_kll_error" -> ((s: SparkSession, d: String) =>
+      Profiling.kllErrorPanel(t(s, d, "events"), "value")),
+
     // HLL set algebra (rows-only by protocol): user overlap between
     // the two snapshot halves — the retention/overlap question the
     // stored-sketch tier answers without a rescan.

@@ -513,6 +513,87 @@ object Profiling {
         col("sum_daily_est"))
   }
 
+  /** Mergeable-KLL quantile rollup — the REAGGREGABLE form of
+    * percentiles, closing the quantile half of the stored-sketch tier
+    * ([[hllRollup]] is the distinct half): exact percentiles cannot
+    * roll up (a day's p95 says nothing about the week's), and Spark 4
+    * ships no serializable percentile sketch aggregate
+    * (`percentile_approx` answers one query; its state is not a
+    * storable column), so the lake stores per-fine-grain KLL sketches
+    * (`graft.expressions.KllSketchAgg`, the public Karnin–Lang–
+    * Liberty construction) and merges them for any coarser grain —
+    * one pass over the fact ever. Emits per coarse grain (week): day
+    * count, row count, and the merged sketch's quantile estimates.
+    *
+    * Scale shape: one partial-agg shuffle to per-day sketches (each a
+    * fixed ~k-value object regardless of day volume), a ≤days-row
+    * panel rollup, quantile walks on panel rows only. Rows-only by
+    * the §5.1 sketch protocol (sketch internals are not
+    * SQL-replayable); the error envelope is pinned by
+    * [[kllErrorPanel]] and the spec.
+    */
+  def kllRollup(df: DataFrame, tsCol: String, valueCol: String,
+                k: Int = 200,
+                ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    import graft.expressions.Kll
+    val days = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(col("day"))
+      .agg(Kll.sketchAgg(col("v"), k).as("sk"), count(lit(1)).as("n_rows"))
+    val rolled = days
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"),
+        Kll.mergeAgg(col("sk")).as("wsk"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("__qs", Kll.quantiles(col("wsk"), ps))
+    ps.zipWithIndex.foldLeft(rolled) { case (acc, (p, i)) =>
+        acc.withColumn(s"q${(p * 100).round}",
+          element_at(col("__qs"), i + 1))
+      }
+      .select(col("week") +: col("n_days") +: col("n_rows") +:
+        ps.map(p => col(s"q${(p * 100).round}")): _*)
+  }
+
+  /** KLL accuracy panel — [[quantileSketchError]]'s discipline applied
+    * to the mergeable sketch: ONE distributed KLL build (partial
+    * sketches merge across partitions in-plan — the aggregation path
+    * itself exercises mergeability), then each estimate's EMPIRICAL
+    * rank measured exactly against the data and checked against the
+    * declared O(1/k) envelope. The evidence that licenses storing
+    * KLL sketches at 100 TB. Rows-only by the sketch protocol.
+    */
+  def kllErrorPanel(df: DataFrame, valueCol: String,
+                    ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+                    k: Int = 200): DataFrame = {
+    import graft.expressions.Kll
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"probabilities outside (0,1): $ps")
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
+    val psArr = array(ps.map(lit(_)): _*)
+    val panel = base
+      .agg(Kll.sketchAgg(col("__v"), k).as("sk"))
+      .select(posexplode(Kll.quantiles(col("sk"), ps))
+        .as(Seq("__i", "kll_value")))
+      .withColumn("quantile", element_at(psArr, col("__i") + 1))
+      .drop("__i")
+      .localCheckpoint(true)
+    base.crossJoin(broadcast(panel))
+      .groupBy(col("quantile"), col("kll_value"))
+      .agg((sum(when(col("__v") <= col("kll_value"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("empirical_rank"))
+      .withColumn("rank_error", abs(col("empirical_rank") - col("quantile")))
+      // declared envelope: the deterministic-coin KLL variant with
+      // c=2/3 capacities holds ~2/k two-sided rank error empirically
+      // (spec-pinned); +1e-9 absorbs the at-the-envelope double quantum
+      .withColumn("within_bound",
+        col("rank_error") <= lit(2.0 / k) + lit(1e-9))
+  }
+
   /** HLL set algebra between two slices of one key column: distinct
     * estimates for each slice, their union (one scalar `hll_union`),
     * the intersection by inclusion–exclusion (clamped at 0 — I-E can

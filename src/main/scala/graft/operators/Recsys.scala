@@ -199,21 +199,22 @@ object Recsys {
                              minSupport: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // one materialization of the (user, item) projection feeds the
-    // whole recommend chain AND both catalog distincts — without it
-    // the upstream join re-executes three times; the distincts run as
-    // separate partial-agg dedupe branches (a two-countDistinct agg
-    // would Expand the row-scale relation ×2)
+    // whole recommend chain AND the catalog distincts — without it
+    // the upstream join re-executes three times
     val base = raw
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .select(col(userCol), col(itemCol))
       .localCheckpoint(false)
     val recs = recommendTopN(base, userCol, itemCol, n, k, userCap, minSupport)
       .localCheckpoint(true)
-    val nItems = base.select(col(itemCol).as("__i")).distinct()
-      .agg(count(lit(1)).as("n_items_catalog"))
-    val nUsers = base.select(col(userCol).as("__u")).distinct()
-      .agg(count(lit(1)).as("n_users_total"))
-    val cat = nItems.crossJoin(broadcast(nUsers))
+    // ONE pass over the row-scale relation for both catalog counts:
+    // the Expand the two-distinct agg plans doubles rows map-side but
+    // its exchange carries only distinct partials (≈ items + users
+    // rows) — two separate distinct branches scan and shuffle base
+    // twice for the same panel
+    val cat = base.agg(
+      countDistinct(col(itemCol)).as("n_items_catalog"),
+      countDistinct(col(userCol)).as("n_users_total"))
     val served = recs.agg(countDistinct(col("user_id")).as("n_users_served"))
     val exposure = recs.groupBy(col("rec_item")).agg(count(lit(1)).as("x"))
     val ranked = PrefixSum.globalOrdered(exposure,

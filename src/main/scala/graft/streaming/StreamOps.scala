@@ -563,6 +563,54 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming KLL QUANTILE-SKETCH sink — the percentile twin of
+    * [[sketchSink]]: maintains a persisted per-key KLL sketch table
+    * (`graft.operators.Profiling.kllRollup`'s streaming form). Each
+    * micro-batch collapses to per-key sketches
+    * (`graft.expressions.KllSketchAgg`) and folds into the stored
+    * table with the scalar `kll_merge_pair`, so per-key quantile
+    * state NEVER accumulates raw values — one fixed-size sketch per
+    * key however much streams through, any percentile answerable
+    * later from the stored sketch (within the O(1/k) rank envelope),
+    * and coarser grains by unioning stored sketches. Batch-id replays
+    * no-op under the same identity rule as the other replay-guarded
+    * sinks.
+    */
+  def kllSink(stream: DataFrame, checkpoint: String, target: String,
+              keys: Seq[String], valueCol: String, k: Int = 200):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        kllBatchToParquet(batch.toDF(), target, keys, valueCol, k, batchId)
+      }
+
+  private[graft] def kllBatchToParquet(batch: DataFrame, target: String,
+                                       keys: Seq[String], valueCol: String,
+                                       k: Int,
+                                       batchId: Long = -1L,
+                                       writerId: Option[String] = None): Unit = {
+    import graft.expressions.Kll
+    val p = batch.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(Kll.sketchAgg(col(valueCol).cast("double"), k).as("sk"),
+        count(lit(1)).as("n_rows"))
+    upsertParquet(target, p, { existing =>
+      val e = existing.select(keys.map(col) :+ col("sk").as("__sk_old") :+
+        col("n_rows").as("__n_old"): _*)
+      // full outer on the key: kll_merge_pair is null-tolerant, so
+      // single-sided keys pass through unchanged
+      e.join(p.select(keys.map(col) :+ col("sk").as("__sk_new") :+
+          col("n_rows").as("__n_new"): _*).hint("shuffle_hash"),
+          keys, "full_outer")
+        .select(keys.map(col) :+
+          Kll.mergePair(col("__sk_old"), col("__sk_new")).as("sk") :+
+          (coalesce(col("__n_old"), lit(0L)) +
+            coalesce(col("__n_new"), lit(0L))).as("n_rows"): _*)
+    }, batchId, writerId)
+  }
+
   /** Streaming HEAVY-HITTER sink: maintains a bounded Misra–Gries
     * summary table of the hottest keys — the streaming twin of the
     * batch skew diagnosis (`skew_hot_keys`): per micro-batch, exact

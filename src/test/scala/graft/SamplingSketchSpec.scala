@@ -48,6 +48,80 @@ class SamplingSketchSpec extends SparkSpec {
     assert(est == direct) // same library, same lgK -> bit-equal estimate
   }
 
+  test("KllDoubles: exact below k, mass-conserving compaction, deterministic codec") {
+    import graft.expressions.{KllCodec, KllDoubles}
+    // below capacity: every value retained, quantiles exact
+    val s0 = new KllDoubles(200)
+    (1 to 100).foreach(v => s0.update(v.toDouble))
+    assert(s0.n == 100L && s0.carriedWeight == 100L)
+    assert(s0.quantile(0.5) == 50.0)
+    assert(s0.quantile(0.0) == 1.0 && s0.quantile(1.0) == 100.0)
+    // large single-threaded build: carried weight conserved through
+    // every compaction, rank error inside the declared 2/k envelope
+    val s = new KllDoubles(200)
+    (1 to 100000).foreach(v => s.update(v.toDouble))
+    assert(s.carriedWeight == 100000L)
+    for (p <- Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val e = s.quantile(p)
+      assert(math.abs(e / 100000.0 - p) <= 2.0 / 200 + 1e-9, s"p=$p est=$e")
+    }
+    assert(s.minV == 1.0 && s.maxV == 100000.0)
+    // deterministic: same input order => bit-identical sketch
+    val s2 = new KllDoubles(200)
+    (1 to 100000).foreach(v => s2.update(v.toDouble))
+    assert(java.util.Arrays.equals(KllCodec.serialize(s), KllCodec.serialize(s2)))
+    // codec roundtrip preserves every answer
+    val rt = KllCodec.deserialize(KllCodec.serialize(s))
+    assert(rt.n == s.n && rt.quantile(0.5) == s.quantile(0.5)
+      && rt.quantile(0.99) == s.quantile(0.99))
+    // merge of disjoint halves: weight exact, envelope still holds
+    val a = new KllDoubles(200)
+    val b = new KllDoubles(200)
+    (1 to 50000).foreach(v => a.update(v.toDouble))
+    (50001 to 100000).foreach(v => b.update(v.toDouble))
+    a.merge(b)
+    assert(a.n == 100000L && a.carriedWeight == 100000L)
+    for (p <- Seq(0.25, 0.5, 0.75))
+      assert(math.abs(a.quantile(p) / 100000.0 - p) <= 2.0 / 200 + 1e-9)
+  }
+
+  test("kllRollup: weekly merged quantiles inside the envelope, distributed build") {
+    import spark.implicits._
+    // 3 days x 20k rows of disjoint uniform ranges: a day's own median
+    // is useless for the week's — only the MERGED sketch answers it
+    val rows = for {
+      (d, off) <- Seq(("2024-01-08", 0), ("2024-01-09", 20000),
+        ("2024-01-10", 40000))
+      i <- 1 to 20000
+    } yield (Timestamp.valueOf(s"$d 10:00:00"), (off + i).toDouble)
+    val df = rows.toDF("ts", "value").repartition(8)
+    val got = Profiling.kllRollup(df, "ts", "value").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_rows") == 60000L)
+    for ((p, cname) <- Seq((0.25, "q25"), (0.5, "q50"), (0.75, "q75"),
+      (0.9, "q90"), (0.99, "q99"))) {
+      val est = r.getAs[Double](cname)
+      // distributed merge order varies run to run: pin the envelope
+      assert(math.abs(est / 60000.0 - p) <= 2.0 / 200 + 1e-9,
+        s"$cname=$est rank=${est / 60000.0} vs $p")
+    }
+  }
+
+  test("kllErrorPanel: every estimate inside the declared envelope") {
+    import spark.implicits._
+    // heavy-tailed values (i^2), shuffled across 8 partitions — the
+    // in-plan partial-sketch merge IS the mergeability exercise
+    val df = (1 to 50000).map(i => (i.toLong * i)).toDF("value")
+      .repartition(8)
+    val got = Profiling.kllErrorPanel(df, "value").collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getAs[Boolean]("within_bound")),
+      got.map(r => s"${r.getAs[Double]("quantile")}:${r.getAs[Double]("rank_error")}")
+        .mkString(", "))
+  }
+
   test("weightedSampleN: exact size, weight-proportional inclusion, deterministic") {
     import spark.implicits._
     // 1000 light (w=1) + 1000 heavy (w=10) rows

@@ -772,6 +772,42 @@ class StreamingSpec extends SparkSpec {
     assert(estimates(target) == got)
   }
 
+  test("kll sink: streamed quantile sketches inside the envelope; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kllsink").toString
+    val target = s"$dir/sketches"
+    val in = MemoryStream[(String, Double)]
+    val df = in.toDF.toDF("grp", "v")
+    val q = StreamOps.kllSink(df, s"$dir/ckpt", target, Seq("grp"), "v").start()
+    // disjoint ranges per batch: the stored sketch's median is only
+    // right if batch-2 mass actually MERGED into batch-1's sketch
+    val b1 = (1 to 5000).map(i => ("A", i.toDouble)) ++
+      (1 to 1000).map(i => ("B", i.toDouble))
+    val b2 = (5001 to 10000).map(i => ("A", i.toDouble)) ++
+      (1001 to 2000).map(i => ("B", i.toDouble))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    import graft.expressions.Kll
+    def medians(path: String) = spark.read.parquet(path)
+      .select($"grp",
+        element_at(Kll.quantiles($"sk", Seq(0.5)), 1).as("p50"),
+        $"n_rows")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val got = medians(target)
+    assert(got("A")._2 == 10000L && got("B")._2 == 2000L)
+    assert(math.abs(got("A")._1 / 10000.0 - 0.5) <= 2.0 / 200 + 1e-9)
+    assert(math.abs(got("B")._1 / 2000.0 - 0.5) <= 2.0 / 200 + 1e-9)
+    // replaying an applied batch id under the query's identity must
+    // change nothing (double-merge would drag the median up)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.kllBatchToParquet(b2.toDF("grp", "v"), target,
+        Seq("grp"), "v", k = 200, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(medians(target) == got)
+  }
+
   test("drift-alert sink: quiet batch passes, shifted batch alerts; replay no-ops") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_driftsink").toString
