@@ -2992,11 +2992,19 @@ object AnalyticsPack {
     */
   def oddsRatio(events: DataFrame, exposure: Column, outcome: Column): DataFrame = {
     def cell(p: Column) = sum(when(p, 1L).otherwise(0L))
-    val g = events.agg(
+    oddsRatioFromCells(events.agg(
       cell(exposure && outcome).as("n_exp_pos"),
       cell(exposure && !outcome).as("n_exp_neg"),
       cell(!exposure && outcome).as("n_ctl_pos"),
-      cell(!exposure && !outcome).as("n_ctl_neg"))
+      cell(!exposure && !outcome).as("n_ctl_neg")))
+  }
+
+  /** The ratio/CI step over a 1-row cell panel — split out so the
+    * cast-before-multiply overflow discipline is property-testable at
+    * adversarial cell magnitudes (PropertySpec feeds cells whose
+    * long×long products pass 2^63).
+    */
+  private[graft] def oddsRatioFromCells(g: DataFrame): DataFrame = {
     val (a, b, c, d) = (col("n_exp_pos"), col("n_exp_neg"),
       col("n_ctl_pos"), col("n_ctl_neg"))
     val anyEmpty = a === 0L || b === 0L || c === 0L || d === 0L

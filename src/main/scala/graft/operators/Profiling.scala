@@ -856,6 +856,19 @@ object Profiling {
     val ranked = pairs
       .join(dranks("__x", "__dx"), Seq("__x"))
       .join(dranks("__y", "__dy"), Seq("__y"))
+    spearmanFromDoubledRanks(ranked)
+      .select(lit(xCol).as("col_x"), lit(yCol).as("col_y"),
+        col("n_pairs"), col("rho"))
+  }
+
+  /** The moment aggregation + rho step over a (__dx, __dy)
+    * doubled-rank relation — split out so the overflow discipline is
+    * property-testable at adversarial magnitude (PropertySpec feeds
+    * doubled midranks past 2^31, where a long×long product would
+    * silently wrap).
+    */
+  private[graft] def spearmanFromDoubledRanks(ranked: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     // per-row products fit a long (d ≤ 2n); sums go DECIMAL — then
     // RE-NARROWED before the n·Σ products so every multiply stays
     // inside precision 38 with zero loss (§5 decimal-arithmetic rule)
@@ -879,7 +892,7 @@ object Profiling {
     val vx = (n10 * col("__sxx").cast(d27)).cast("double") - prod2("__sx", "__sx")
     val vy = (n10 * col("__syy").cast(d27)).cast("double") - prod2("__sy", "__sy")
     val denom = sqrt(vx) * sqrt(vy)
-    agg.select(lit(xCol).as("col_x"), lit(yCol).as("col_y"), col("n_pairs"),
+    agg.select(col("n_pairs"),
       (num / when(denom === 0.0, lit(null)).otherwise(denom)).as("rho"))
   }
 

@@ -298,4 +298,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: spearman moment pipeline exact past 2^31 doubled midranks") {
+    import graft.operators.Profiling
+    // doubled midranks at the magnitude a 100-TB row count produces
+    // (d ~ 2n+1 with n ~ 2^32): a long x long product of two such
+    // ranks wraps silently; the DECIMAL-before-multiply discipline
+    // must reproduce exact BigInt arithmetic bit-for-bit at the final
+    // double cast
+    val big = 4294967296L // 2^32
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      xs <- Gen.listOfN(n, Gen.choose(big, big + 2000000000L))
+      ys <- Gen.listOfN(n, Gen.choose(big, big + 2000000000L))
+    } yield (xs, ys)
+    samples(gen).foreach { case (xs, ys) =>
+      val ranked = xs.zip(ys).toDF("__dx", "__dy")
+      val got = Profiling.spearmanFromDoubledRanks(ranked).collect().head
+      assert(got.getAs[Long]("n_pairs") == xs.length.toLong)
+      // exact replay in BigInt, rounded to double only at the edges
+      val n = BigInt(xs.length)
+      def bsum(zs: Seq[Long]) = zs.map(BigInt(_)).sum
+      def bdot(as: Seq[Long], bs: Seq[Long]) =
+        as.zip(bs).map { case (p, q) => BigInt(p) * BigInt(q) }.sum
+      val num = (n * bdot(xs, ys)).toDouble - (bsum(xs) * bsum(ys)).toDouble
+      val vx = (n * bdot(xs, xs)).toDouble - (bsum(xs) * bsum(xs)).toDouble
+      val vy = (n * bdot(ys, ys)).toDouble - (bsum(ys) * bsum(ys)).toDouble
+      if (vx > 0 && vy > 0) {
+        val rho = num / (math.sqrt(vx) * math.sqrt(vy))
+        val gr = got.getAs[Double]("rho")
+        assert(math.abs(gr - rho) <= 1e-12 * math.max(1.0, math.abs(rho)),
+          s"rho $gr vs exact $rho on xs=$xs ys=$ys")
+      } else assert(got.isNullAt(got.fieldIndex("rho")))
+    }
+  }
+
+  test("property: odds ratio exact when cell products pass 2^63") {
+    // cells in [3.1e9, 5e9]: every a*d and b*c passes a signed long
+    // (min product 9.61e18 > 9.22e18); the
+    // cast-to-double-before-multiply discipline must agree with exact
+    // BigDecimal arithmetic to the last few ulps
+    val gen = for {
+      a <- Gen.choose(3100000000L, 5000000000L)
+      b <- Gen.choose(3100000000L, 5000000000L)
+      c <- Gen.choose(3100000000L, 5000000000L)
+      d <- Gen.choose(3100000000L, 5000000000L)
+    } yield (a, b, c, d)
+    samples(gen).foreach { case (a, b, c, d) =>
+      assert(BigInt(a) * BigInt(d) > BigInt(Long.MaxValue)) // adversarial for real
+      val g = Seq((a, b, c, d))
+        .toDF("n_exp_pos", "n_exp_neg", "n_ctl_pos", "n_ctl_neg")
+      val got = AnalyticsPack.oddsRatioFromCells(g).collect().head
+      val exact = (BigDecimal(a) * BigDecimal(d) / (BigDecimal(b) * BigDecimal(c))).toDouble
+      val gr = got.getAs[Double]("odds_ratio")
+      // two product roundings + one division: <= 3 ulps relative
+      assert(math.abs(gr - exact) <= 4 * math.ulp(exact),
+        s"or $gr vs exact $exact for ($a,$b,$c,$d)")
+      // the CI stays finite and ordered at these magnitudes
+      assert(got.getAs[Double]("ln_or_lo95") <= got.getAs[Double]("ln_or_hi95"))
+    }
+  }
 }
