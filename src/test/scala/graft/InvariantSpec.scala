@@ -72,7 +72,11 @@ class InvariantSpec extends SparkSpec {
       "graph_degree_dist", "privacy_t_closeness", "audit_fd_discovery",
       "er_blocking_stats", "gold_dv_link", "ana_trimmed_mean",
       "ana_hurst", "ana_periodogram", "ml_cohens_kappa",
-      "audit_schema_drift", "dedup_lsh_curve")
+      "audit_schema_drift", "dedup_lsh_curve",
+      // r10: the KLL rollup's day->week sketch aggregation and the
+      // error panel's broadcast panel cross (the sketch_quantile_error
+      // 1-row-panel class) must stay exchange-clean
+      "sketch_kll_rollup", "sketch_kll_error")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -142,7 +146,11 @@ class InvariantSpec extends SparkSpec {
       "ml_ks_separation", "text_heaps_fit", "sample_budget_waterfill",
       "graph_degree_dist", "privacy_t_closeness", "ana_trimmed_mean",
       "ana_hurst", "ana_periodogram", "ml_cohens_kappa",
-      "dedup_lsh_curve")
+      "dedup_lsh_curve",
+      // sketch_kll_error: the ≤|ps|-row estimate panel crossed onto
+      // the value relation for the exact empirical-rank pass — the
+      // sketch_quantile_error n × 5 class
+      "sketch_kll_error")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
