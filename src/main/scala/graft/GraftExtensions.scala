@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductExpr, MinHashSigExpr, SimHash64Expr, UnicodeNormalizeExpr}
+import graft.expressions.{DotProductExpr, KllMergeAgg, KllMergePairExpr, KllNExpr, KllQuantilesExpr, KllSketchAgg, MinHashSigExpr, SimHash64Expr, UnicodeNormalizeExpr}
 
 /** SparkSessionExtensions entry point: registers the native kernel
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -60,6 +60,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 2, "dot_product(a, b)")
         DotProductExpr(args.head, args(1))
+      }))
+    // KLL quantile-sketch family (the mergeable stored-percentile
+    // state; aggregates are returned raw — the analyzer wraps them
+    // in AggregateExpression like any built-in aggregate)
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 || args.size == 2, "kll_sketch_agg(v[, k])")
+        val k = if (args.size == 2) intArg(args(1), "k") else 200
+        KllSketchAgg(args.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "kll_merge_agg(sketch)")
+        KllMergeAgg(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_pair"),
+      new ExpressionInfo(classOf[KllMergePairExpr].getName, "kll_merge_pair"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "kll_merge_pair(a, b)")
+        KllMergePairExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_n"),
+      new ExpressionInfo(classOf[KllNExpr].getName, "kll_n"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "kll_n(sketch)")
+        KllNExpr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantilesExpr].getName, "kll_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2, "kll_quantiles(sketch, p1[, p2, ...])")
+        val ps = args.tail.map {
+          case Literal(v: Double, _) => v
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"quantile probabilities must be numeric literals, got $other")
+        }
+        KllQuantilesExpr(args.head, ps)
       }))
     ext.injectFunction((
       FunctionIdentifier("unicode_normalize"),

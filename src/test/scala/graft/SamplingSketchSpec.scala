@@ -109,6 +109,28 @@ class SamplingSketchSpec extends SparkSpec {
     }
   }
 
+  test("kll SQL functions: sketch/merge/quantiles/n registered via extensions") {
+    import spark.implicits._
+    (1 to 10000).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_sql_t")
+    val r = spark.sql(
+      """SELECT kll_n(sk) AS n,
+        |       kll_quantiles(sk, 0.5D)[0] AS p50
+        |FROM (SELECT kll_merge_agg(sk) AS sk
+        |      FROM (SELECT kll_sketch_agg(CAST(v AS DOUBLE), 200) AS sk
+        |            FROM kll_sql_t GROUP BY g))""".stripMargin)
+      .collect().head
+    assert(r.getAs[Long]("n") == 10000L)
+    assert(math.abs(r.getAs[Double]("p50") / 10000.0 - 0.5) <= 2.0 / 200 + 1e-9)
+    // scalar pair merge agrees with the aggregate path
+    val p = spark.sql(
+      """SELECT kll_n(kll_merge_pair(a.sk, b.sk)) AS n FROM
+        |  (SELECT kll_sketch_agg(CAST(v AS DOUBLE)) AS sk FROM kll_sql_t WHERE g < 3) a,
+        |  (SELECT kll_sketch_agg(CAST(v AS DOUBLE)) AS sk FROM kll_sql_t WHERE g >= 3) b""".stripMargin)
+      .collect().head
+    assert(p.getAs[Long]("n") == 10000L)
+  }
+
   test("kllErrorPanel: every estimate inside the declared envelope") {
     import spark.implicits._
     // heavy-tailed values (i^2), shuffled across 8 partitions — the
