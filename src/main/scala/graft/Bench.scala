@@ -126,16 +126,19 @@ object Bench {
     // construction rather than by luck.
     val floors = baselineFloors()
     val fnByName = selected
+    var nFloorRetimes = 0
     val detailRows = sweepRows.map { case row @ (name, best, first, second, off) =>
       floors.get(name) match {
         case Some(f) if best > 1.5 * f && best - f > 0.3 =>
+          // counted when the retime FIRES, not when it improves — a
+          // confirmed regression (retimes stay slow) must still show
+          // up in the record's self-diagnosis
+          nFloorRetimes += 1
           val again = (1 to 2).map(_ => timeOnce(name, fnByName(name)))
           (name, (best +: again).min, first, second, off)
         case _ => row
       }
     }
-    val nFloorRetimes = sweepRows.zip(detailRows)
-      .count { case (a, b) => a._2 != b._2 }
     val results = detailRows.map { case (n, best, _, _, _) => n -> best }
     val total = results.map(_._2).sum
     val loadAfter = loadavg()

@@ -70,7 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1 || args.size == 2, "kll_sketch_agg(v[, k])")
         val k = if (args.size == 2) intArg(args(1), "k") else 200
-        KllSketchAgg(args.head, k)
+        // the aggregate's update does a raw Double read, so coerce any
+        // numeric input here (the Column API wrapper casts the same way)
+        KllSketchAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType), k)
       }))
     ext.injectFunction((
       FunctionIdentifier("kll_merge_agg"),
@@ -100,6 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size >= 2, "kll_quantiles(sketch, p1[, p2, ...])")
         val ps = args.tail.map {
           case Literal(v: Double, _) => v
+          case Literal(v: Float, _) => v.toDouble
+          case Literal(v: Int, _) => v.toDouble
+          case Literal(v: Long, _) => v.toDouble
           case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
           case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
           case other => throw new IllegalArgumentException(

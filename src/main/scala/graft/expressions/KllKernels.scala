@@ -253,15 +253,21 @@ case class KllMergeAgg(child: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "kll_merge_agg"
 
+  // the empty buffer's k is a placeholder: the FIRST merged sketch's
+  // k is adopted wholesale (the empty buffer is replaced, not merged
+  // into), so a rollup of k=1000 sketches keeps the k=1000 envelope
+  // instead of silently re-compressing to a default
   override def createAggregationBuffer(): KllDoubles = new KllDoubles(200)
   override def update(buf: KllDoubles, input: InternalRow): KllDoubles = {
     val v = child.eval(input)
-    if (v != null) buf.merge(KllCodec.deserialize(v.asInstanceOf[Array[Byte]]))
-    buf
+    if (v == null) buf
+    else {
+      val in = KllCodec.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf.n == 0L) in else { buf.merge(in); buf }
+    }
   }
-  override def merge(buf: KllDoubles, other: KllDoubles): KllDoubles = {
-    buf.merge(other); buf
-  }
+  override def merge(buf: KllDoubles, other: KllDoubles): KllDoubles =
+    if (buf.n == 0L) other else { buf.merge(other); buf }
   override def eval(buf: KllDoubles): Any = KllCodec.serialize(buf)
   override def serialize(buf: KllDoubles): Array[Byte] = KllCodec.serialize(buf)
   override def deserialize(storage: Array[Byte]): KllDoubles =
@@ -308,9 +314,15 @@ case class KllMergePairExpr(left: Expression, right: Expression)
     if (a == null) b
     else if (b == null) a
     else {
-      val s = KllCodec.deserialize(a.asInstanceOf[Array[Byte]])
-      s.merge(KllCodec.deserialize(b.asInstanceOf[Array[Byte]]))
-      KllCodec.serialize(s)
+      val sa = KllCodec.deserialize(a.asInstanceOf[Array[Byte]])
+      val sb = KllCodec.deserialize(b.asInstanceOf[Array[Byte]])
+      // merge into the larger-k side so the pair keeps the tighter
+      // envelope and merge_pair(a,b) == merge_pair(b,a): levels sort
+      // before every compaction and the compaction counters add, so
+      // host choice by k (not argument order) fixes the result
+      val (host, other) = if (sb.k > sa.k) (sb, sa) else (sa, sb)
+      if (host.n == 0L) KllCodec.serialize(other)
+      else { host.merge(other); KllCodec.serialize(host) }
     }
   }
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -537,7 +537,8 @@ object Profiling {
                 ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
     import graft.expressions.Kll
     val days = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .select(to_date(col(tsCol)).as("day"),
         col(valueCol).cast("double").as("v"))
       .groupBy(col("day"))
@@ -549,12 +550,17 @@ object Profiling {
         Kll.mergeAgg(col("sk")).as("wsk"),
         sum(col("n_rows")).as("n_rows"))
       .withColumn("__qs", Kll.quantiles(col("wsk"), ps))
+    // q25 / q90 / q99 for the common grid; sub-percent probabilities
+    // keep their digits (q25_1 for 0.251) so no two ps can collide
+    require(ps.distinct.size == ps.size, s"duplicate probabilities: $ps")
+    def qname(p: Double): String =
+      "q" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+        .replace(".", "_")
     ps.zipWithIndex.foldLeft(rolled) { case (acc, (p, i)) =>
-        acc.withColumn(s"q${(p * 100).round}",
-          element_at(col("__qs"), i + 1))
+        acc.withColumn(qname(p), element_at(col("__qs"), i + 1))
       }
       .select(col("week") +: col("n_days") +: col("n_rows") +:
-        ps.map(p => col(s"q${(p * 100).round}")): _*)
+        ps.map(p => col(qname(p))): _*)
   }
 
   /** KLL accuracy panel — [[quantileSketchError]]'s discipline applied
@@ -571,8 +577,10 @@ object Profiling {
     import graft.expressions.Kll
     require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
       s"probabilities outside (0,1): $ps")
+    // NaN mirrors the sketch's own update policy (NaN skipped), so
+    // the empirical-rank denominator counts exactly the absorbed rows
     val base = df.select(col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
       .localCheckpoint(false)
     val psArr = array(ps.map(lit(_)): _*)
     val panel = base

@@ -96,16 +96,20 @@ object Recsys {
         max(col("item_id").cast("long")).as("mx")).collect().head
       !b.isNullAt(0) && b.getLong(0) >= 0L && b.getLong(1) < (1L << 31)
     }
+    // ONE pair-enumeration pipeline for both branches (cast up front
+    // on the packed path so sort order and pair order are identical);
+    // only the aggregation key differs
+    val itemExpr =
+      if (packable) col("item_id").cast("long") else col("item_id")
+    val rawPairs = inter.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(itemExpr)).as("__items"))
+      .select(posexplode(col("__items")).as(Seq("__pos", "item_a")),
+        col("__items"))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__pos") + lit(2),
+          lit(Int.MaxValue))).as("item_b"))
     if (packable) {
-      val lists = inter.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("item_id").cast("long")))
-          .as("__items"))
-      lists
-        .select(posexplode(col("__items")).as(Seq("__pos", "item_a")),
-          col("__items"))
-        .select(col("item_a"),
-          explode(slice(col("__items"), col("__pos") + lit(2),
-            lit(Int.MaxValue))).as("item_b"))
+      rawPairs
         .select(shiftleft(col("item_a"), 32).bitwiseOR(col("item_b"))
           .as("__pk"))
         .repartition(col("__pk"))
@@ -114,14 +118,7 @@ object Recsys {
           col("__pk").bitwiseAND(lit(0xffffffffL)).cast(idType).as("item_b"),
           col("n_both"))
     } else {
-      val lists = inter.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("item_id"))).as("__items"))
-      lists
-        .select(posexplode(col("__items")).as(Seq("__pos", "item_a")),
-          col("__items"))
-        .select(col("item_a"),
-          explode(slice(col("__items"), col("__pos") + lit(2),
-            lit(Int.MaxValue))).as("item_b"))
+      rawPairs
         .repartition(col("item_a"), col("item_b"))
         .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("n_both"))

@@ -592,7 +592,10 @@ object StreamOps {
                                        batchId: Long = -1L,
                                        writerId: Option[String] = None): Unit = {
     import graft.expressions.Kll
-    val p = batch.filter(col(valueCol).isNotNull)
+    // NaN excluded to mirror the sketch's own update policy, so the
+    // stored n_rows always equals kll_n(sk)
+    val p = batch.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .groupBy(keys.map(col): _*)
       .agg(Kll.sketchAgg(col(valueCol).cast("double"), k).as("sk"),
         count(lit(1)).as("n_rows"))

@@ -85,6 +85,35 @@ class SamplingSketchSpec extends SparkSpec {
       assert(math.abs(a.quantile(p) / 100000.0 - p) <= 2.0 / 200 + 1e-9)
   }
 
+  test("kll merges keep the inputs' k, not a default") {
+    import spark.implicits._
+    import graft.expressions.{Kll, KllCodec}
+    // aggregate path: k=1000 day sketches must roll up at k=1000
+    val days = (1 to 30000).map(i => (i % 3, i.toDouble)).toDF("d", "v")
+      .groupBy($"d").agg(Kll.sketchAgg($"v", k = 1000).as("sk"))
+    val merged = days.agg(Kll.mergeAgg($"sk").as("msk"))
+      .select($"msk").collect().head.getAs[Array[Byte]](0)
+    val m = KllCodec.deserialize(merged)
+    assert(m.k == 1000, s"merge re-compressed to k=${m.k}")
+    assert(m.n == 30000L)
+    // the k=1000 envelope (not 200's) must hold
+    assert(math.abs(m.quantile(0.5) / 30000.0 - 0.5) <= 2.0 / 1000 + 1e-9)
+    // scalar pair merge: host is the larger-k side regardless of order
+    val pair = (1 to 8000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("g", "v")
+      .groupBy($"g")
+      .agg(Kll.sketchAgg($"v", k = 400).as("sk400"),
+        Kll.sketchAgg($"v", k = 64).as("sk64"))
+      .select(Kll.mergePair($"sk64", $"sk400").as("ab"),
+        Kll.mergePair($"sk400", $"sk64").as("ba"))
+      .collect().head
+    val ab = KllCodec.deserialize(pair.getAs[Array[Byte]]("ab"))
+    val ba = KllCodec.deserialize(pair.getAs[Array[Byte]]("ba"))
+    assert(ab.k == 400 && ba.k == 400)
+    assert(ab.n == 8000L && ba.n == 8000L)
+    assert(java.util.Arrays.equals(KllCodec.serialize(ab), KllCodec.serialize(ba)))
+  }
+
   test("kllRollup: weekly merged quantiles inside the envelope, distributed build") {
     import spark.implicits._
     // 3 days x 20k rows of disjoint uniform ranges: a day's own median
