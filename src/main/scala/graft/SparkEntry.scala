@@ -3183,6 +3183,17 @@ object SparkEntry {
     "ana_autocorrelation" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.autocorrelation(servingValid(s, d), maxLag = 7)),
 
+    // Ljung-Box portmanteau whiteness verdict over the ACF panel
+    // (even dof -> the exact Poisson-sum chi2 tail, no gamma needed).
+    "ana_ljung_box" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.ljungBox(servingValid(s, d), maxLag = 6)),
+
+    // Wald-Wolfowitz runs test: above/below-median run counts vs the
+    // exact exchangeability moments - the randomness screen
+    // orthogonal to the ACF's linear-correlation view.
+    "ana_runs_test" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.runsTest(servingValid(s, d))),
+
     // PACF (Durbin–Levinson over the ACF panel): the AR-order
     // diagnostic — where the ACF of an AR process decays forever,
     // its PACF cuts off at the true lag order.
@@ -6322,6 +6333,101 @@ object SparkEntry {
       // ACF: 4dp mean, 1e-6-grid deviation products, DECIMAL(28,6)
       // partials, one edge division per (type, lag).
       "ana_autocorrelation" -> acfOracleSql(validSql),
+
+      // AnalyticsPack.ljungBox mirrored: the ACF panel (lags 1..6 of
+      // the same 7-lag SQL), 1e-12-grid r^2/(n-k) terms as exact
+      // DECIMAL(28,12), Q = n(n+2)*s in fixed order, and the EVEN-dof
+      // chi2 tail as the exact Poisson sum e^{-q}(0.5q^2+q+1), p
+      // floor-gridded at 1e-6 (the house exp convention).
+      "ana_ljung_box" ->
+        s"""WITH acfp AS (
+           |  SELECT * FROM (${acfOracleSql(validSql)}) WHERE lag <= 6),
+           |np AS (
+           |  SELECT event_type_norm,
+           |    CAST(COUNT(DISTINCT date_sk) AS BIGINT) AS n_days
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL GROUP BY 1),
+           |ag AS (
+           |  SELECT a.event_type_norm, n.n_days,
+           |    CAST(COUNT(*) AS BIGINT) AS n_lags,
+           |    CAST(SUM(CAST(FLOOR(a.acf * a.acf
+           |        / CAST(n.n_days - a.lag AS DOUBLE) * 1e12) / 1e12
+           |      AS DECIMAL(28,12))) AS DOUBLE) AS s
+           |  FROM acfp a JOIN np n USING (event_type_norm)
+           |  WHERE a.acf IS NOT NULL GROUP BY 1, 2),
+           |q AS (
+           |  SELECT event_type_norm, n_days, n_lags,
+           |    CASE WHEN n_lags = 6 THEN
+           |      CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) * s
+           |    END AS q_stat,
+           |    CAST(6 AS BIGINT) AS dof
+           |  FROM ag),
+           |p AS (
+           |  SELECT *,
+           |    FLOOR(EXP(-(q_stat / 2.0))
+           |      * ((0.5 * (q_stat / 2.0) + 1.0) * (q_stat / 2.0) + 1.0)
+           |      * 1e6) / 1e6 AS p_value
+           |  FROM q)
+           |SELECT event_type_norm, n_days, n_lags, q_stat, dof, p_value,
+           |  p_value > 0.05 AS white_noise
+           |FROM p""".stripMargin,
+
+      // AnalyticsPack.runsTest mirrored: same byday collapse,
+      // quantile_cont median (the exactQuantilesBy parity), ties
+      // dropped, LAG-window run starts, exact run-count moments and
+      // the A&S Horner erfc p gridded at 1e-6.
+      "ana_runs_test" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |med AS (
+           |  SELECT event_type_norm, quantile_cont(y, 0.5) AS med
+           |  FROM byday GROUP BY 1),
+           |signed AS (
+           |  SELECT b.event_type_norm, b.d, b.y > m.med AS up
+           |  FROM byday b JOIN med m USING (event_type_norm)
+           |  WHERE b.y <> m.med),
+           |runsrc AS (
+           |  SELECT event_type_norm, up,
+           |    CASE WHEN LAG(up) OVER (PARTITION BY event_type_norm ORDER BY d) IS NULL
+           |           OR LAG(up) OVER (PARTITION BY event_type_norm ORDER BY d) <> up
+           |         THEN 1 ELSE 0 END AS new_run
+           |  FROM signed),
+           |g AS (
+           |  SELECT event_type_norm,
+           |    CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           |    CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+           |    CAST(SUM(new_run) AS BIGINT) AS n_runs
+           |  FROM runsrc GROUP BY 1),
+           |mo AS (
+           |  SELECT *,
+           |    2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           |      / CAST(n_above + n_below AS DOUBLE) + 1.0 AS expected_runs
+           |  FROM g),
+           |vz AS (
+           |  SELECT *,
+           |    (expected_runs - 1.0) * (expected_runs - 2.0)
+           |      / (CAST(n_above + n_below AS DOUBLE) - 1.0) AS variance
+           |  FROM mo),
+           |z AS (
+           |  SELECT event_type_norm, n_above, n_below, n_runs, expected_runs,
+           |    CASE WHEN n_above > 0 AND n_below > 0 AND variance > 0 THEN
+           |      (CAST(n_runs AS DOUBLE) - expected_runs) / SQRT(variance)
+           |    END AS z_score
+           |  FROM vz),
+           |px AS (SELECT *, ABS(z_score) / 1.4142135623730951 AS x FROM z),
+           |pt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
+           |pp AS (
+           |  SELECT *,
+           |    FLOOR(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+           |      - 0.284496736) * t + 0.254829592) * t * EXP(-(x * x)) * 1e6) / 1e6
+           |      AS p_value
+           |  FROM pt)
+           |SELECT event_type_norm, n_above, n_below, n_runs, expected_runs,
+           |  z_score, p_value, p_value > 0.05 AS random_5pct
+           |FROM pp""".stripMargin,
 
 
 

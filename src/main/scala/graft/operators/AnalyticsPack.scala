@@ -2366,6 +2366,118 @@ object AnalyticsPack {
         when(col("den") =!= 0, col("num") / col("den")).as("acf"))
   }
 
+  /** Ljung–Box portmanteau whiteness test over [[autocorrelation]]'s
+    * panel — the formal verdict the ACF diagnostic only eyeballs: is
+    * the per-type daily series (or a model's residual series)
+    * distinguishable from white noise across the first `maxLag`
+    * autocorrelations jointly? `Q = n(n+2)·Σ_k r_k²/(n−k)`, compared
+    * to a χ² with `maxLag` dof.
+    *
+    * `maxLag` must be EVEN: the χ²_{2m} survival then has the exact
+    * finite Poisson-sum form `P(χ² > Q) = e^{−Q/2}·Σ_{j<m} (Q/2)^j/j!`
+    * — pure fixed-order arithmetic + one exp, replayable by a SQL
+    * engine without a gamma function (the odd-dof tail needs erf AND
+    * the half-integer gamma series; the even grid loses nothing for a
+    * lag-order sweep). Panels missing any of the `maxLag` lags (series
+    * shorter than the lag span) emit NULL verdicts, never a partial Q.
+    *
+    * Scale shape: everything after the ACF panel is ≤ types×lags
+    * panel math; the §5 discipline grids each r²/(n−k) term to 1e-12
+    * before its exact DECIMAL(28,12) sum, and the p-value's
+    * `exp`-bearing expression floor-grids to 1e-6 (the abtest erfc
+    * convention) so a last-ulp libm disagreement cannot flip a hash.
+    */
+  def ljungBox(validEvents: DataFrame, maxLag: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 2 && maxLag % 2 == 0,
+      s"maxLag must be even for the closed-form chi2 tail: $maxLag")
+    def q12(c: Column) = floor(c * lit(1e12)) / lit(1e12)
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val acf = autocorrelation(validEvents, maxLag)
+    val nPanel = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"))
+      .agg(countDistinct(col("date_sk")).as("n_days"))
+    val agg = acf.join(broadcast(nPanel), Seq("event_type_norm"))
+      .filter(col("acf").isNotNull)
+      .groupBy(col("event_type_norm"), col("n_days"))
+      .agg(count(lit(1)).as("n_lags"),
+        sum(q12(col("acf") * col("acf")
+            / (col("n_days") - col("lag")).cast("double"))
+          .cast(DecimalType(28, 12))).as("__s"))
+    val qStat = col("n_days").cast("double") *
+      (col("n_days") + 2).cast("double") * col("__s").cast("double")
+    val qq = col("q_stat") / lit(2.0)
+    // Σ_{j<m} (Q/2)^j/j! as a fixed-order Horner over 1/j! literals
+    val m = maxLag / 2
+    val poly = (0 until m).map(j => 1.0 / (1 to j).product)
+      .reverse.foldLeft(lit(0.0))((acc, c) => acc * qq + lit(c))
+    agg.select(col("event_type_norm"), col("n_days"), col("n_lags"),
+        when(col("n_lags") === maxLag, qStat).as("q_stat"),
+        lit(maxLag).cast("long").as("dof"))
+      .withColumn("p_value", grid6(exp(-qq) * poly))
+      .withColumn("white_noise", col("p_value") > 0.05)
+  }
+
+  /** Wald–Wolfowitz RUNS test on the per-type daily series — the
+    * randomness screen orthogonal to [[ljungBox]]'s linear-correlation
+    * view: dichotomize each day as above/below the series' exact
+    * median (ties at the interpolated median drop, the classic rule),
+    * count the runs of equal signs, and compare to the exact run-count
+    * moments under exchangeability: `μ = 2·n₁n₂/(n₁+n₂) + 1`,
+    * `σ² = (μ−1)(μ−2)/(n₁+n₂−1)`, two-sided normal p via the A&S
+    * Horner erfc (gridded per §5). Too few runs ⇒ trending/clustered;
+    * too many ⇒ oscillating.
+    *
+    * Scale shape: the fact collapses once to the calendar-bounded
+    * (type, day) panel; the median comes from the exact-quantile rank
+    * brackets; the lag window partitions per type over panel rows.
+    * All counts exact integers; z and p are fixed-order IEEE at the
+    * panel edge.
+    */
+  def runsTest(validEvents: DataFrame): DataFrame = {
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .localCheckpoint(false)
+    val med = Profiling.exactQuantilesBy(
+        byDay.select(col("event_type_norm"), col("y")),
+        Seq("event_type_norm"), "y", Seq(0.5))
+      .groupBy(col("event_type_norm"))
+      .agg(max(col("value")).as("med"))
+    val signed = byDay.join(broadcast(med), Seq("event_type_norm"))
+      .filter(col("y") =!= col("med"))
+      .select(col("event_type_norm"), col("d"),
+        (col("y") > col("med")).as("up"))
+    val w = Window.partitionBy(col("event_type_norm")).orderBy(col("d"))
+    val runs = signed
+      .withColumn("__new_run",
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .groupBy(col("event_type_norm"))
+      .agg(sum(when(col("up"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("up"), 0L).otherwise(1L)).as("n_below"),
+        sum(col("__new_run")).as("n_runs"))
+    val n = (col("n_above") + col("n_below")).cast("double")
+    val mu = lit(2.0) * col("n_above").cast("double") *
+      col("n_below").cast("double") / n + lit(1.0)
+    val variance = (mu - lit(1.0)) * (mu - lit(2.0)) / (n - lit(1.0))
+    val z = (col("n_runs").cast("double") - mu) / sqrt(variance)
+    // two-sided normal p = erfc(|z|/sqrt 2), A&S 7.1.26 Horner form
+    val x = abs(col("z_score")) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    runs.select(col("event_type_norm"), col("n_above"), col("n_below"),
+        col("n_runs"), mu.as("expected_runs"),
+        when(col("n_above") > 0 && col("n_below") > 0 && variance > 0, z)
+          .as("z_score"))
+      .withColumn("p_value", grid6(poly * exp(-(x * x))))
+      .withColumn("random_5pct", col("p_value") > 0.05)
+  }
+
   /** Partial autocorrelation panel (PACF lags 1..`maxLag`) via the
     * Durbin–Levinson recursion over [[autocorrelation]]'s ACF panel —
     * the AR-order diagnostic the ACF cannot give (ACF of an AR(1)

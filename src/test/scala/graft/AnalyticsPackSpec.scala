@@ -1156,6 +1156,76 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got(3) == ((3L, -75.0 / 150.0)))
   }
 
+  test("ljungBox: strongly autocorrelated series rejects whiteness, iid-ish noise does not") {
+    def dsk(i: Int): Int = {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+    }
+    // alternating series: |r_k| large at every lag -> Q huge, p ~ 0
+    val alt = (0 until 40).map(i =>
+      ("ALT", dsk(i), if (i % 2 == 0) 10.0 else 0.0))
+    // a fixed white-ish sequence (seeded uniform draws; Q=5.24,
+    // p=0.513 verified against a python replay of the exact statistic)
+    val noise = Seq(8.4, 7.6, 4.2, 2.6, 5.1, 4.0, 7.8, 3.0, 4.8, 5.8,
+      9.1, 5.0, 2.8, 7.6, 6.2, 2.5, 9.1, 9.8, 8.1, 9.0,
+      3.1, 7.3, 9.0, 6.8, 4.7, 1.0, 4.3, 6.1, 9.1, 9.7,
+      4.8, 8.7, 2.6, 8.1, 5.5, 0.1, 7.2, 4.0, 8.2, 6.7)
+      .zipWithIndex.map { case (v, i) => ("NSE", dsk(i), v) }
+    val df = (alt ++ noise).toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.ljungBox(df, maxLag = 6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("ALT")
+    assert(a.getAs[Long]("n_days") == 40L && a.getAs[Long]("n_lags") == 6L)
+    assert(a.getAs[Long]("dof") == 6L)
+    assert(a.getAs[Double]("q_stat") > 100.0)
+    assert(a.getAs[Double]("p_value") < 1e-4)
+    assert(!a.getAs[Boolean]("white_noise"))
+    val nse = got("NSE")
+    assert(nse.getAs[Double]("p_value") > 0.05,
+      s"noise p=${nse.getAs[Double]("p_value")}")
+    assert(nse.getAs[Boolean]("white_noise"))
+    // textbook replay of Q on the ALT series from the ACF panel
+    val acf = AnalyticsPack.autocorrelation(df.filter($"event_type_norm" === "ALT"), 6)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    def q12(v: Double) = math.floor(v * 1e12) / 1e12
+    val s = BigDecimal((1 to 6).map(k => BigDecimal(q12(acf(k) * acf(k) / (40 - k)))).sum.toString)
+    val expQ = 40.0 * 42.0 * s.toDouble
+    assert(math.abs(a.getAs[Double]("q_stat") - expQ) < 1e-9)
+  }
+
+  test("runsTest: alternating series has max runs (z>0), blocked series too few (z<0)") {
+    // ALT: 20 days alternating above/below median -> 20 runs of size 1
+    val alt = (0 until 20).map(i =>
+      ("ALT", 20240101 + i, if (i % 2 == 0) 10.0 else 0.0))
+    // BLK: 10 low days then 10 high days -> exactly 2 runs
+    val blk = (0 until 20).map(i =>
+      ("BLK", 20240101 + i, if (i < 10) 0.0 else 10.0))
+    val df = (alt ++ blk).toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.runsTest(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (t <- Seq("ALT", "BLK")) {
+      assert(got(t).getAs[Long]("n_above") == 10L)
+      assert(got(t).getAs[Long]("n_below") == 10L)
+      // mu = 2*10*10/20 + 1 = 11
+      assert(got(t).getAs[Double]("expected_runs") == 11.0)
+    }
+    assert(got("ALT").getAs[Long]("n_runs") == 20L)
+    assert(got("BLK").getAs[Long]("n_runs") == 2L)
+    // sigma^2 = 10*9/19; z = (R-11)/sigma
+    val sigma = math.sqrt(10.0 * 9.0 / 19.0)
+    assert(math.abs(got("ALT").getAs[Double]("z_score") - 9.0 / sigma) < 1e-12)
+    assert(math.abs(got("BLK").getAs[Double]("z_score") + 9.0 / sigma) < 1e-12)
+    assert(got("ALT").getAs[Double]("p_value") < 0.01)
+    assert(got("BLK").getAs[Double]("p_value") < 0.01)
+    assert(!got("ALT").getAs[Boolean]("random_5pct"))
+    // ties at the interpolated median drop: 5 at-median days vanish
+    val tied = ((0 until 4).map(i => ("T", 20240101 + i, i.toDouble * 2)) ++
+      (4 until 9).map(i => ("T", 20240101 + i, 3.0)))
+      .toDF("event_type_norm", "date_sk", "value")
+    val t = AnalyticsPack.runsTest(tied).collect().head
+    assert(t.getAs[Long]("n_above") + t.getAs[Long]("n_below") == 4L)
+  }
+
   test("autocorrelation: constant series (zero variance) yields NULL, not a division error") {
     val df = (0 until 5).map(i => ("C", 20240101 + i, 7.0))
       .toDF("event_type_norm", "date_sk", "value")
