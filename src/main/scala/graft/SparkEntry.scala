@@ -3194,6 +3194,12 @@ object SparkEntry {
     "ana_runs_test" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.runsTest(servingValid(s, d))),
 
+    // Mann-Kendall monotone-trend significance (tie-corrected,
+    // continuity-corrected) - the verdict ana_theil_sen's slope
+    // estimate pairs with.
+    "ana_mann_kendall" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.mannKendall(servingValid(s, d))),
+
     // PACF (Durbin–Levinson over the ACF panel): the AR-order
     // diagnostic — where the ACF of an AR process decays forever,
     // its PACF cuts off at the true lag order.
@@ -6370,6 +6376,61 @@ object SparkEntry {
            |SELECT event_type_norm, n_days, n_lags, q_stat, dof, p_value,
            |  p_value > 0.05 AS white_noise
            |FROM p""".stripMargin,
+
+      // AnalyticsPack.mannKendall mirrored: byday collapse, the
+      // panel^2 day-pair sign sum, exact integer tie terms, the /18
+      // variance, continuity-corrected z and the Horner erfc p.
+      "ana_mann_kendall" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |sp AS (
+           |  SELECT a.event_type_norm,
+           |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+           |                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           |  FROM byday a JOIN byday b
+           |    ON a.event_type_norm = b.event_type_norm AND a.d < b.d
+           |  GROUP BY 1),
+           |np AS (
+           |  SELECT event_type_norm, CAST(COUNT(*) AS BIGINT) AS n_days
+           |  FROM byday GROUP BY 1),
+           |tp AS (
+           |  SELECT event_type_norm,
+           |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           |  FROM (SELECT event_type_norm, CAST(COUNT(*) AS BIGINT) AS t
+           |        FROM byday GROUP BY event_type_norm, y)
+           |  GROUP BY 1),
+           |j AS (
+           |  SELECT s.event_type_norm, n.n_days, s.s_stat,
+           |    CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+           |      - tp.tie_term AS DOUBLE) / 18.0 AS var_s
+           |  FROM sp s JOIN np n USING (event_type_norm)
+           |  JOIN tp USING (event_type_norm)),
+           |z AS (
+           |  SELECT *,
+           |    CASE WHEN var_s > 0 THEN
+           |      CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+           |           WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+           |           ELSE 0.0 END
+           |    END AS z_score
+           |  FROM j),
+           |px AS (SELECT *, ABS(z_score) / 1.4142135623730951 AS x FROM z),
+           |pt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
+           |pp AS (
+           |  SELECT *,
+           |    FLOOR(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+           |      - 0.284496736) * t + 0.254829592) * t * EXP(-(x * x)) * 1e6) / 1e6
+           |      AS p_value
+           |  FROM pt)
+           |SELECT event_type_norm, n_days, s_stat, var_s, z_score, p_value,
+           |  CASE WHEN p_value IS NULL THEN NULL
+           |       WHEN p_value <= 0.05 AND s_stat > 0 THEN 'increasing'
+           |       WHEN p_value <= 0.05 AND s_stat < 0 THEN 'decreasing'
+           |       ELSE 'no_trend' END AS trend
+           |FROM pp""".stripMargin,
 
       // AnalyticsPack.runsTest mirrored: same byday collapse,
       // quantile_cont median (the exactQuantilesBy parity), ties

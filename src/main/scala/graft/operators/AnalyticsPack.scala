@@ -2478,6 +2478,73 @@ object AnalyticsPack {
       .withColumn("random_5pct", col("p_value") > 0.05)
   }
 
+  /** Mann–Kendall trend test on the per-type daily series — the
+    * nonparametric SIGNIFICANCE verdict the Theil–Sen estimator
+    * (`ana_theil_sen`) pairs with: `S = Σ_{i<j} sign(y_j − y_i)`
+    * over all day pairs, tie-corrected variance
+    * `var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18`, the
+    * continuity-corrected z, and the A&S Horner erfc two-sided p.
+    * Monotone-trend detection with no distributional assumption and
+    * no linearity assumption — the classic screen before fitting any
+    * slope.
+    *
+    * Scale shape: the fact collapses once to the calendar-bounded
+    * (type, day) panel; the pair sum is the panel² BROADCAST
+    * self-join (the kendallTauB precedent — days², not data², rows);
+    * ties collapse to a per-value panel. S, n and every tie term are
+    * exact integers; the /18, z and p are fixed-order IEEE at the
+    * 1-row-per-type edge.
+    */
+  def mannKendall(validEvents: DataFrame): DataFrame = {
+    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .localCheckpoint(true)
+    val other = byDay.select(col("event_type_norm"),
+      col("d").as("d2"), col("y").as("y2"))
+    val sPanel = byDay.join(broadcast(other),
+        byDay("event_type_norm") === other("event_type_norm") &&
+          col("d") < col("d2"))
+      .drop(other("event_type_norm"))
+      .groupBy(col("event_type_norm"))
+      .agg(sum(when(col("y2") > col("y"), 1L)
+        .when(col("y2") < col("y"), -1L).otherwise(0L)).as("s_stat"))
+    val nPanel = byDay.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_days"))
+    val tiePanel = byDay.groupBy(col("event_type_norm"), col("y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("event_type_norm"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5))
+        .as("__tie_term"))
+    val n = col("n_days")
+    val varS = ((n * (n - 1) * (lit(2L) * n + 5) - col("__tie_term"))
+      .cast("double") / lit(18.0)).as("var_s")
+    val joined = sPanel
+      .join(broadcast(nPanel), Seq("event_type_norm"))
+      .join(broadcast(tiePanel), Seq("event_type_norm"))
+      .select(col("event_type_norm"), col("n_days"), col("s_stat"), varS)
+    val z = when(col("var_s") > 0,
+      when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+        .otherwise(lit(0.0)))
+    val x = abs(col("z_score")) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    joined.withColumn("z_score", z)
+      .withColumn("p_value", grid6(poly * exp(-(x * x))))
+      .withColumn("trend",
+        when(col("p_value").isNull, lit(null).cast("string"))
+          .when(col("p_value") <= 0.05 && col("s_stat") > 0, lit("increasing"))
+          .when(col("p_value") <= 0.05 && col("s_stat") < 0, lit("decreasing"))
+          .otherwise(lit("no_trend")))
+  }
+
   /** Partial autocorrelation panel (PACF lags 1..`maxLag`) via the
     * Durbin–Levinson recursion over [[autocorrelation]]'s ACF panel —
     * the AR-order diagnostic the ACF cannot give (ACF of an AR(1)

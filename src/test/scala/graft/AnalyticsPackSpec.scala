@@ -1226,6 +1226,32 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(t.getAs[Long]("n_above") + t.getAs[Long]("n_below") == 4L)
   }
 
+  test("mannKendall: textbook S and z on monotone, constant and tied series") {
+    // UP: strictly increasing 12 days -> S = 66 = n(n-1)/2, no ties
+    val up = (0 until 12).map(i => ("UP", 20240101 + i, i.toDouble))
+    // CONST: all equal -> every pair ties, var 0 -> NULL verdicts
+    val const = (0 until 12).map(i => ("CONST", 20240101 + i, 5.0))
+    // DOWN: strictly decreasing -> S = -66, 'decreasing'
+    val down = (0 until 12).map(i => ("DOWN", 20240101 + i, -i.toDouble))
+    val df = (up ++ const ++ down).toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.mannKendall(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got("UP")
+    assert(u.getAs[Long]("n_days") == 12L && u.getAs[Long]("s_stat") == 66L)
+    // var = 12*11*29/18 (no ties)
+    val v = 12.0 * 11 * 29 / 18.0
+    assert(u.getAs[Double]("var_s") == v)
+    assert(math.abs(u.getAs[Double]("z_score") - 65.0 / math.sqrt(v)) < 1e-12)
+    assert(u.getAs[String]("trend") == "increasing")
+    assert(u.getAs[Double]("p_value") < 0.001)
+    val d = got("DOWN")
+    assert(d.getAs[Long]("s_stat") == -66L)
+    assert(d.getAs[String]("trend") == "decreasing")
+    val c = got("CONST")
+    assert(c.getAs[Long]("s_stat") == 0L && c.getAs[Double]("var_s") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("z_score")) && c.isNullAt(c.fieldIndex("trend")))
+  }
+
   test("autocorrelation: constant series (zero variance) yields NULL, not a division error") {
     val df = (0 until 5).map(i => ("C", 20240101 + i, 7.0))
       .toDF("event_type_norm", "date_sk", "value")
