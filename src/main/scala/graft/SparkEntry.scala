@@ -3200,6 +3200,12 @@ object SparkEntry {
     "ana_mann_kendall" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.mannKendall(servingValid(s, d))),
 
+    // Friedman blocked-rank test across day-of-week treatments: the
+    // formal seasonality verdict (complete Monday-aligned weeks as
+    // blocks, k=7 -> the even-dof exact chi2 tail).
+    "ana_friedman_dow" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.friedmanDow(servingValid(s, d))),
+
     // PACF (Durbin–Levinson over the ACF panel): the AR-order
     // diagnostic — where the ACF of an AR process decays forever,
     // its PACF cuts off at the true lag order.
@@ -6375,6 +6381,74 @@ object SparkEntry {
            |  FROM q)
            |SELECT event_type_norm, n_days, n_lags, q_stat, dof, p_value,
            |  p_value > 0.05 AS white_noise
+           |FROM p""".stripMargin,
+
+      // AnalyticsPack.friedmanDow mirrored: integer day arithmetic
+      // against the 1970-01-05 Monday epoch for dow/week, complete
+      // blocks only, RANK+COUNT midranks, the /56 and /336 constants
+      // (k=7), tie-corrected chi2, the even-dof Poisson-sum tail.
+      "ana_friedman_dow" ->
+        s"""WITH byday AS (
+           |  SELECT event_type_norm, date_sk,
+           |    CAST(COALESCE(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2), 0) AS DOUBLE) AS y,
+           |    CAST(strptime(CAST(date_sk AS VARCHAR), '%Y%m%d') AS DATE) AS d
+           |  FROM ($validSql) WHERE date_sk IS NOT NULL
+           |  GROUP BY 1, 2),
+           |dw AS (
+           |  SELECT *,
+           |    ((CAST(d - DATE '1970-01-05' AS BIGINT) % 7) + 7) % 7 AS dow
+           |  FROM byday),
+           |wkd AS (SELECT *, d - CAST(dow AS INTEGER) AS wk FROM dw),
+           |complete AS (
+           |  SELECT event_type_norm, wk FROM wkd
+           |  GROUP BY 1, 2 HAVING COUNT(*) = 7),
+           |blocks AS (
+           |  SELECT w.* FROM wkd w JOIN complete USING (event_type_norm, wk)),
+           |ranked AS (
+           |  SELECT event_type_norm, wk, dow, y,
+           |    CAST(RANK() OVER (PARTITION BY event_type_norm, wk ORDER BY y) AS DOUBLE)
+           |      + CAST(COUNT(*) OVER (PARTITION BY event_type_norm, wk, y) - 1 AS DOUBLE) / 2.0
+           |      AS midrank
+           |  FROM blocks),
+           |rj AS (
+           |  SELECT event_type_norm, dow, SUM(midrank) AS rj
+           |  FROM ranked GROUP BY 1, 2),
+           |r2 AS (
+           |  SELECT event_type_norm, SUM(rj * rj) AS sum_r2
+           |  FROM rj GROUP BY 1),
+           |bp AS (
+           |  SELECT event_type_norm, CAST(COUNT(*) AS BIGINT) AS n_blocks
+           |  FROM complete GROUP BY 1),
+           |tie AS (
+           |  SELECT event_type_norm,
+           |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+           |  FROM (SELECT event_type_norm, wk, y, CAST(COUNT(*) AS BIGINT) AS t
+           |        FROM blocks GROUP BY 1, 2, 3)
+           |  GROUP BY 1),
+           |j AS (
+           |  SELECT b.event_type_norm, b.n_blocks,
+           |    CAST(7 AS BIGINT) AS k_treatments,
+           |    12.0 / CAST(b.n_blocks * 56 AS DOUBLE) * r.sum_r2
+           |      - 3.0 * CAST(b.n_blocks AS DOUBLE) * 8.0 AS chi2_raw,
+           |    1.0 - CAST(t.tie_sum AS DOUBLE)
+           |      / CAST(b.n_blocks * 336 AS DOUBLE) AS tie_correction
+           |  FROM bp b JOIN r2 r USING (event_type_norm)
+           |  JOIN tie t USING (event_type_norm)),
+           |c AS (
+           |  SELECT *,
+           |    CASE WHEN tie_correction > 0 THEN chi2_raw / tie_correction END
+           |      AS chi2_stat,
+           |    CAST(6 AS BIGINT) AS dof
+           |  FROM j),
+           |p AS (
+           |  SELECT *,
+           |    FLOOR(EXP(-(chi2_stat / 2.0))
+           |      * ((0.5 * (chi2_stat / 2.0) + 1.0) * (chi2_stat / 2.0) + 1.0)
+           |      * 1e6) / 1e6 AS p_value
+           |  FROM c)
+           |SELECT event_type_norm, n_blocks, k_treatments, chi2_raw,
+           |  tie_correction, chi2_stat, dof, p_value,
+           |  p_value <= 0.05 AS seasonal_5pct
            |FROM p""".stripMargin,
 
       // AnalyticsPack.mannKendall mirrored: byday collapse, the

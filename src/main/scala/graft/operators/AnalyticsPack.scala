@@ -2545,6 +2545,81 @@ object AnalyticsPack {
           .otherwise(lit("no_trend")))
   }
 
+  /** Friedman blocked-rank test across day-of-week treatments — the
+    * FORMAL seasonality verdict the descriptive `ana_dow_seasonality`
+    * panel eyeballs, and the blocked-design cousin of Kruskal–Wallis
+    * (each complete Monday-aligned week is a block, so week-to-week
+    * level shifts cancel instead of inflating the between-day
+    * variance): midranks 1..7 within each complete week,
+    * `χ² = 12/(b·k(k+1))·Σ_j R_j² − 3b(k+1)` with the classic tie
+    * correction `C = 1 − Σ(t³−t)/(b·k(k²−1))`, and k=7 ⇒ dof 6 EVEN —
+    * the same exact Poisson-sum χ² tail as [[ljungBox]], no gamma
+    * function. Incomplete weeks drop (Friedman requires complete
+    * blocks); an all-tied panel (C = 0) yields NULL verdicts.
+    *
+    * Engine parity: day-of-week and week-start come from pure integer
+    * day arithmetic against the 1970-01-05 Monday epoch (engine
+    * date-part conventions differ; `datediff % 7` does not); midranks
+    * are exact multiples of 0.5 and every sum stays far inside 2^53,
+    * so double summation is order-free-exact without decimal partials.
+    * Scale shape: the fact collapses once to the calendar-bounded
+    * (type, day) panel; ranks ride per-(type, week) windows over ≤7
+    * rows; everything after is ≤ types×7 panel math.
+    */
+  def friedmanDow(validEvents: DataFrame): DataFrame = {
+    def grid6(c: Column) = floor(c * lit(1e6)) / 1e6
+    val byDay = validEvents.filter(col("date_sk").isNotNull)
+      .groupBy(col("event_type_norm"), col("date_sk"))
+      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
+        .cast("double").as("y"))
+      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+      .withColumn("dow", pmod(datediff(col("d"), lit("1970-01-05")), lit(7)))
+      .withColumn("wk", date_sub(col("d"), col("dow")))
+    val complete = byDay.groupBy(col("event_type_norm"), col("wk"))
+      .agg(count(lit(1)).as("__nd")).filter(col("__nd") === 7)
+      .select(col("event_type_norm"), col("wk"))
+    val blocks = byDay.join(complete, Seq("event_type_norm", "wk"))
+      .localCheckpoint(true)
+    val wRank = Window.partitionBy(col("event_type_norm"), col("wk"))
+      .orderBy(col("y"))
+    val wTie = Window.partitionBy(col("event_type_norm"), col("wk"), col("y"))
+    val ranked = blocks
+      .withColumn("__rmin", rank().over(wRank))
+      .withColumn("__t", count(lit(1)).over(wTie))
+      .withColumn("midrank", col("__rmin").cast("double")
+        + (col("__t") - 1).cast("double") / lit(2.0))
+    val rj = ranked.groupBy(col("event_type_norm"), col("dow"))
+      .agg(sum(col("midrank")).as("__rj"))
+      .groupBy(col("event_type_norm"))
+      .agg(sum(col("__rj") * col("__rj")).as("__sum_r2"))
+    val bPanel = complete.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val ties = blocks.groupBy(col("event_type_norm"), col("wk"), col("y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("event_type_norm"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tie_sum"))
+    val b = col("n_blocks").cast("double")
+    val chi2f = lit(12.0) / (col("n_blocks") * lit(56L)).cast("double") *
+      col("__sum_r2") - lit(3.0) * b * lit(8.0)
+    val corr = lit(1.0) - col("__tie_sum").cast("double") /
+      (col("n_blocks") * lit(336L)).cast("double")
+    val joined = bPanel
+      .join(broadcast(rj), Seq("event_type_norm"))
+      .join(broadcast(ties), Seq("event_type_norm"))
+      .select(col("event_type_norm"), col("n_blocks"),
+        lit(7L).as("k_treatments"), chi2f.as("chi2_raw"),
+        corr.as("tie_correction"))
+      .withColumn("chi2_stat",
+        when(col("tie_correction") > 0, col("chi2_raw") / col("tie_correction")))
+      .withColumn("dof", lit(6L))
+    val qq = col("chi2_stat") / lit(2.0)
+    val poly = (lit(0.0) * qq + lit(0.5)) * qq + lit(1.0)
+    joined
+      .withColumn("p_value", grid6(exp(-qq) * (poly * qq + lit(1.0))))
+      .withColumn("seasonal_5pct", col("p_value") <= 0.05)
+  }
+
   /** Partial autocorrelation panel (PACF lags 1..`maxLag`) via the
     * Durbin–Levinson recursion over [[autocorrelation]]'s ACF panel —
     * the AR-order diagnostic the ACF cannot give (ACF of an AR(1)

@@ -1252,6 +1252,36 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("z_score")) && c.isNullAt(c.fieldIndex("trend")))
   }
 
+  test("friedmanDow: exact chi2 on a pure weekly pattern; ties and incomplete weeks handled") {
+    def dsk(i: Int): Int = {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong) // a Monday
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+    }
+    // SEA: pure weekly pattern, 4 complete weeks + 3 spare days (the
+    // incomplete week must drop) -> per week ranks 1..7 identical,
+    // R_j = 4 r_j, chi2 = 12/(4*56)*16*140 - 3*4*8 = 24, C = 1
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)
+    val sea = (0 until 31).map(i => ("SEA", dsk(i), pattern(i % 7)))
+    // CONST: all values equal -> every block fully tied, C = 0 -> NULL
+    val const = (0 until 28).map(i => ("CONST", dsk(i), 5.0))
+    val df = (sea ++ const).toDF("event_type_norm", "date_sk", "value")
+    val got = AnalyticsPack.friedmanDow(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sRow = got("SEA")
+    assert(sRow.getAs[Long]("n_blocks") == 4L)
+    assert(sRow.getAs[Long]("k_treatments") == 7L && sRow.getAs[Long]("dof") == 6L)
+    assert(sRow.getAs[Double]("chi2_raw") == 24.0)
+    assert(sRow.getAs[Double]("tie_correction") == 1.0)
+    assert(sRow.getAs[Double]("chi2_stat") == 24.0)
+    // p = e^-12 * (0.5*144 + 12 + 1) = 85 e^-12 ~ 5.22e-4
+    assert(math.abs(sRow.getAs[Double]("p_value") - 0.000522) < 1e-6)
+    assert(sRow.getAs[Boolean]("seasonal_5pct"))
+    val cRow = got("CONST")
+    assert(cRow.getAs[Double]("tie_correction") == 0.0)
+    assert(cRow.isNullAt(cRow.fieldIndex("chi2_stat")))
+    assert(cRow.isNullAt(cRow.fieldIndex("p_value")))
+  }
+
   test("autocorrelation: constant series (zero variance) yields NULL, not a division error") {
     val df = (0 until 5).map(i => ("C", 20240101 + i, 7.0))
       .toDF("event_type_norm", "date_sk", "value")
