@@ -848,6 +848,24 @@ object SparkEntry {
       Graph.pageRank(flows, "src", "dst", "w", iterations = 10, damping = 0.85)
     }),
 
+    // HITS hubs/authorities over the same flow graph - the directed
+    // role separation pageRank's single score cannot give (a pure
+    // exporter nation is a hub, a pure importer an authority).
+    "graph_hits" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.hits(flows, "src", "dst", "w", iterations = 10)
+    }),
+
     // Synchronous weighted label propagation over the same flow
     // graph: which zones cluster into trade communities. Five fixed
     // rounds, min-label ties, every round one edge join + node-sized
@@ -8292,6 +8310,7 @@ object SparkEntry {
           |SELECT * FROM scored WHERE ABS(z) > 3""".stripMargin,
 
       "graph_pagerank" -> pageRankOracleSql(10, 0.85),
+      "graph_hits" -> hitsOracleSql(10),
       "graph_label_propagation" -> labelPropOracleSql(5),
       "graph_modularity" -> modularityOracleSql(5),
 
@@ -9780,6 +9799,56 @@ object SparkEntry {
     * round becomes one chained CTE stage replaying the decimal
     * contribution sums and the double recurrence op-for-op.
     */
+  /** HITS replay: the pagerank edge CTE with weights pre-normalized
+    * to w/tot, then per round the two gridded-decimal half-steps
+    * (authority from hubs, hub from the NEW authorities), each with
+    * its L2-norm panel — op-for-op Graph.hits.
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w0
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name <> cn.n_name
+        |  GROUP BY 1, 2),
+        |tw AS MATERIALIZED (
+        |  SELECT CAST(SUM(CAST(w0 AS DECIMAL(28,6))) AS DOUBLE) AS tot FROM e0),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst, w0 / tot AS w FROM e0 CROSS JOIN tw),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(CAST(FLOOR(h.hub * e.w * 1e12) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS araw
+         |  FROM h${i - 1} h JOIN e ON h.node = e.src GROUP BY 1),
+         |an$i AS MATERIALIZED (
+         |  SELECT SQRT(COALESCE(CAST(SUM(CAST(FLOOR(araw * araw * 1e12) / 1e12 AS DECIMAL(28,12))) AS DOUBLE), 0.0)) AS nrm
+         |  FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CASE WHEN an.nrm > 0 THEN COALESCE(ar.araw, 0.0) / an.nrm ELSE 0.0 END AS authority
+         |  FROM nodes nd CROSS JOIN an$i an LEFT JOIN ar$i ar ON ar.node = nd.node),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node,
+         |    CAST(SUM(CAST(FLOOR(a.authority * e.w * 1e12) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS hraw
+         |  FROM a$i a JOIN e ON a.node = e.dst GROUP BY 1),
+         |hn$i AS MATERIALIZED (
+         |  SELECT SQRT(COALESCE(CAST(SUM(CAST(FLOOR(hraw * hraw * 1e12) / 1e12 AS DECIMAL(28,12))) AS DOUBLE), 0.0)) AS nrm
+         |  FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CASE WHEN hn.nrm > 0 THEN COALESCE(hr.hraw, 0.0) / hn.nrm ELSE 0.0 END AS hub
+         |  FROM nodes nd CROSS JOIN hn$i hn LEFT JOIN hr$i hr ON hr.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$iters\nSELECT h.node, h.hub, a.authority FROM h$iterations h JOIN a$iterations a USING (node)"
+  }
+
   private def pageRankOracleSql(iterations: Int, damping: Double): String = {
     val d = s"CAST('${damping.toString}' AS DOUBLE)"
     val head =

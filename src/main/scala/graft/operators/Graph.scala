@@ -480,6 +480,75 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg) — the link-analysis twin
+    * of [[pageRank]] for DIRECTED role separation: a node is a good
+    * hub when it points at good authorities and a good authority when
+    * good hubs point at it (`a ← Aᵀh`, `h ← A·a`, L2-normalized each
+    * half-step, fixed `iterations` rounds — the engine-replayable
+    * fixed-round convention shared with pageRank).
+    *
+    * Magnitude safety: edge weights pre-normalize to `w/Σw` (HITS is
+    * invariant to uniform edge scaling, so results are unchanged),
+    * which keeps every gridded product and squared norm ≤ 1 — the
+    * DECIMAL(28,12) partials can never overflow at any corpus scale.
+    * Engine parity: per-row products floor-grid to 1e-12 before the
+    * order-free decimal sums; norms are one IEEE sqrt at the panel
+    * edge; score updates are fixed-order doubles. Scale shape: one
+    * edge-sized pass per half-step against checkpointed scores, norm
+    * panels broadcast, lineage cut per round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: String, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration: $iterations")
+    def q12(c: org.apache.spark.sql.Column) = floor(c * lit(1e12)) / lit(1e12)
+    val d28 = DecimalType(28, 12)
+    val eRaw = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("double").as("w0"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w0") > 0)
+      .localCheckpoint(true)
+    val totW = eRaw.agg(sum(col("w0").cast(DecimalType(28, 6)))
+      .cast("double").as("__tot"))
+    val e = eRaw.crossJoin(broadcast(totW))
+      .select(col("src"), col("dst"), (col("w0") / col("__tot")).as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = hub.join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(q12(col("hub") * col("w")).cast(d28)).cast("double")
+          .as("araw"))
+      val aN = aRaw.agg(sqrt(coalesce(
+        sum(q12(col("araw") * col("araw")).cast(d28)).cast("double"),
+        lit(0.0))).as("nrm"))
+      auth = nodes.crossJoin(broadcast(aN))
+        .join(aRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          when(col("nrm") > 0, coalesce(col("araw"), lit(0.0)) / col("nrm"))
+            .otherwise(lit(0.0)).as("authority"))
+        .localCheckpoint(true)
+      val hRaw = auth.join(e, col("node") === col("dst"))
+        .groupBy(col("src"))
+        .agg(sum(q12(col("authority") * col("w")).cast(d28)).cast("double")
+          .as("hraw"))
+      val hN = hRaw.agg(sqrt(coalesce(
+        sum(q12(col("hraw") * col("hraw")).cast(d28)).cast("double"),
+        lit(0.0))).as("nrm"))
+      hub = nodes.crossJoin(broadcast(hN))
+        .join(hRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          when(col("nrm") > 0, coalesce(col("hraw"), lit(0.0)) / col("nrm"))
+            .otherwise(lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** Directed-graph RECIPROCITY: the share of distinct directed edges
     * whose reverse edge also exists — the one-scalar symmetry
     * diagnostic next to [[clusteringCoeff]]'s local density (a trade

@@ -11,6 +11,32 @@ class GraphSpec extends SparkSpec {
         iterations = iterations)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  test("hits: star graph separates hubs from the authority; L2 norms hold") {
+    // h1,h2,h3 -> A: A is the pure authority (score 1), the three
+    // hubs split hub mass equally (1/sqrt(3) each), roles disjoint
+    val got = Graph.hits(
+        Seq(("h1", "A", 1L), ("h2", "A", 1L), ("h3", "A", 1L))
+          .toDF("src", "dst", "w"), "src", "dst", "w", iterations = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got("A")._2 - 1.0) < 1e-9)
+    assert(got("A")._1 == 0.0)
+    for (h <- Seq("h1", "h2", "h3")) {
+      assert(math.abs(got(h)._1 - 1.0 / math.sqrt(3.0)) < 1e-6, s"$h ${got(h)}")
+      assert(got(h)._2 == 0.0)
+    }
+    // weighted separation: one hub pointing at two authorities with
+    // 9:1 weight -> authority ratio 9:1 (one round fixes it; ten keep it)
+    val w2 = Graph.hits(Seq(("h", "A", 9L), ("h", "B", 1L))
+        .toDF("src", "dst", "w"), "src", "dst", "w")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(w2("A")._2 / w2("B")._2 - 9.0) < 1e-6)
+    assert(math.abs(w2("h")._1 - 1.0) < 1e-9)
+    // L2 norm of each score vector is 1
+    val a2 = w2.values.map(_._2).map(x => x * x).sum
+    assert(math.abs(a2 - 1.0) < 1e-9)
+  }
+
   test("pageRank: 2-cycle is the fixed point 1/2 each, mass conserved") {
     val got = ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L)))
     assert(math.abs(got("a") - 0.5) < 1e-12 && math.abs(got("b") - 0.5) < 1e-12)
