@@ -546,7 +546,9 @@ object Graph {
             .otherwise(lit(0.0)).as("hub"))
         .localCheckpoint(true)
     }
-    hub.join(auth, Seq("node"))
+    // both sides are checkpointed node panels (no stats -> the static
+    // plan would SMJ); a shuffled hash join is the co-keyed shape
+    hub.join(auth.hint("shuffle_hash"), Seq("node"))
   }
 
   /** Directed-graph RECIPROCITY: the share of distinct directed edges

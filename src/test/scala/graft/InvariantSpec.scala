@@ -75,8 +75,11 @@ class InvariantSpec extends SparkSpec {
       "audit_schema_drift", "dedup_lsh_curve",
       // r10: the KLL rollup's day->week sketch aggregation and the
       // error panel's broadcast panel cross (the sketch_quantile_error
-      // 1-row-panel class) must stay exchange-clean
-      "sketch_kll_rollup", "sketch_kll_error")
+      // 1-row-panel class) must stay exchange-clean; the new stats
+      // tests' panel self-joins and HITS' per-round passes must stay
+      // broadcast/hash
+      "sketch_kll_rollup", "sketch_kll_error",
+      "ana_mann_kendall", "ana_friedman_dow", "graph_hits")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
