@@ -6377,20 +6377,22 @@ object SparkEntry {
            |    CAST(COUNT(DISTINCT date_sk) AS BIGINT) AS n_days
            |  FROM ($validSql) WHERE date_sk IS NOT NULL GROUP BY 1),
            |ag AS (
-           |  SELECT a.event_type_norm, n.n_days,
-           |    CAST(COUNT(*) AS BIGINT) AS n_lags,
+           |  SELECT a.event_type_norm,
+           |    CAST(COUNT(*) AS BIGINT) AS nl,
            |    CAST(SUM(CAST(FLOOR(a.acf * a.acf
            |        / CAST(n.n_days - a.lag AS DOUBLE) * 1e12) / 1e12
            |      AS DECIMAL(28,12))) AS DOUBLE) AS s
            |  FROM acfp a JOIN np n USING (event_type_norm)
-           |  WHERE a.acf IS NOT NULL GROUP BY 1, 2),
+           |  WHERE a.acf IS NOT NULL AND n.n_days > a.lag
+           |  GROUP BY 1),
            |q AS (
-           |  SELECT event_type_norm, n_days, n_lags,
-           |    CASE WHEN n_lags = 6 THEN
-           |      CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) * s
+           |  SELECT n.event_type_norm, n.n_days,
+           |    CAST(COALESCE(ag.nl, 0) AS BIGINT) AS n_lags,
+           |    CASE WHEN COALESCE(ag.nl, 0) = 6 THEN
+           |      CAST(n.n_days AS DOUBLE) * CAST(n.n_days + 2 AS DOUBLE) * ag.s
            |    END AS q_stat,
            |    CAST(6 AS BIGINT) AS dof
-           |  FROM ag),
+           |  FROM np n LEFT JOIN ag USING (event_type_norm)),
            |p AS (
            |  SELECT *,
            |    FLOOR(EXP(-(q_stat / 2.0))

@@ -37,6 +37,30 @@ object AnalyticsPack {
     * is deterministic per dataset (verified green at every SF); if a
     * future lake hits one, align with a binary-faithful round kernel.
     */
+  /** Two-sided normal p from a z column — the A&S 7.1.26 Horner erfc
+    * with the §5 1e-6 floor grid (the house exp convention); NULL z
+    * propagates to NULL p.
+    */
+  private def normTwoSidedP(z: Column): Column = {
+    val x = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    floor(poly * exp(-(x * x)) * lit(1e6)) / lit(1e6)
+  }
+
+  /** EVEN-dof chi-square survival `P(chi2_{2m} > Q)` as the exact
+    * finite Poisson sum `e^{-q} Σ_{j<m} q^j/j!` with `q = Q/2` — a
+    * fixed-order Horner over 1/j! literals + one gridded exp, so a
+    * SQL engine replays it with no gamma function. NULL Q -> NULL p.
+    */
+  private def chi2EvenTailP(qStat: Column, m: Int): Column = {
+    val qq = qStat / lit(2.0)
+    val poly = (0 until m).map(j => 1.0 / (1 to j).product)
+      .reverse.foldLeft(lit(0.0))((acc, c) => acc * qq + lit(c))
+    floor(exp(-qq) * poly * lit(1e6)) / lit(1e6)
+  }
+
   private def exactAvg(c: Column, n: Column, scale: Int): Column =
     round(sum(money(c)).cast("double") / when(n === 0, lit(null)).otherwise(n), scale)
 
@@ -2331,16 +2355,26 @@ object AnalyticsPack {
     * squares floor-quantize to 1e-6 (§5) before exact DECIMAL(28,6)
     * partials; the single ACF division happens once at the edge.
     */
-  def autocorrelation(validEvents: DataFrame, maxLag: Int = 7): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    require(maxLag >= 1, s"need at least lag 1: $maxLag")
-    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
-    val byDay = validEvents.filter(col("date_sk").isNotNull)
+  def autocorrelation(validEvents: DataFrame, maxLag: Int = 7): DataFrame =
+    acfFromByDay(byDayPanel(validEvents), maxLag)
+
+  /** The shared (type, day, y) collapse of the serving fact — the one
+    * fact-sized pass every daily-series statistic starts from; lazy
+    * checkpoint so callers composing several panels over it (ACF +
+    * day counts, signs + medians) materialize it exactly once.
+    */
+  private[graft] def byDayPanel(validEvents: DataFrame): DataFrame =
+    validEvents.filter(col("date_sk").isNotNull)
       .groupBy(col("event_type_norm"), col("date_sk"))
       .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
         .cast("double").as("y"))
       .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
       .localCheckpoint(false)
+
+  private def acfFromByDay(byDay: DataFrame, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 1, s"need at least lag 1: $maxLag")
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
     val meanPanel = byDay.groupBy(col("event_type_norm"))
       .agg(round(sum(money(col("y"))).cast("double") / count(lit(1)), 4).as("ybar"))
     val dev = byDay.join(broadcast(meanPanel), Seq("event_type_norm"))
@@ -2392,29 +2426,32 @@ object AnalyticsPack {
     require(maxLag >= 2 && maxLag % 2 == 0,
       s"maxLag must be even for the closed-form chi2 tail: $maxLag")
     def q12(c: Column) = floor(c * lit(1e12)) / lit(1e12)
-    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
-    val acf = autocorrelation(validEvents, maxLag)
-    val nPanel = validEvents.filter(col("date_sk").isNotNull)
-      .groupBy(col("event_type_norm"))
-      .agg(countDistinct(col("date_sk")).as("n_days"))
+    // ONE fact collapse feeds both the ACF panel and the day counts
+    val byDay = byDayPanel(validEvents)
+    val acf = acfFromByDay(byDay, maxLag)
+    val nPanel = byDay.groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("n_days"))
+    // n_days > lag guards the r^2/(n-k) term: a gappy 3-day series can
+    // carry a non-NULL lag-3 ACF, where the raw term divides by zero
+    // (and DuckDB's inf would abort the decimal cast); such lags drop
+    // and the incomplete panel then reports NULL verdicts below
     val agg = acf.join(broadcast(nPanel), Seq("event_type_norm"))
-      .filter(col("acf").isNotNull)
-      .groupBy(col("event_type_norm"), col("n_days"))
-      .agg(count(lit(1)).as("n_lags"),
+      .filter(col("acf").isNotNull && col("n_days") > col("lag"))
+      .groupBy(col("event_type_norm"))
+      .agg(count(lit(1)).as("__nl"),
         sum(q12(col("acf") * col("acf")
             / (col("n_days") - col("lag")).cast("double"))
           .cast(DecimalType(28, 12))).as("__s"))
     val qStat = col("n_days").cast("double") *
       (col("n_days") + 2).cast("double") * col("__s").cast("double")
-    val qq = col("q_stat") / lit(2.0)
-    // Σ_{j<m} (Q/2)^j/j! as a fixed-order Horner over 1/j! literals
-    val m = maxLag / 2
-    val poly = (0 until m).map(j => 1.0 / (1 to j).product)
-      .reverse.foldLeft(lit(0.0))((acc, c) => acc * qq + lit(c))
-    agg.select(col("event_type_norm"), col("n_days"), col("n_lags"),
-        when(col("n_lags") === maxLag, qStat).as("q_stat"),
+    // LEFT join from the day panel: a constant (zero-variance) series
+    // keeps its row with NULL verdicts instead of silently vanishing
+    nPanel.join(agg, Seq("event_type_norm"), "left")
+      .select(col("event_type_norm"), col("n_days"),
+        coalesce(col("__nl"), lit(0L)).as("n_lags"),
+        when(coalesce(col("__nl"), lit(0L)) === maxLag, qStat).as("q_stat"),
         lit(maxLag).cast("long").as("dof"))
-      .withColumn("p_value", grid6(exp(-qq) * poly))
+      .withColumn("p_value", chi2EvenTailP(col("q_stat"), maxLag / 2))
       .withColumn("white_noise", col("p_value") > 0.05)
   }
 
@@ -2435,18 +2472,11 @@ object AnalyticsPack {
     * panel edge.
     */
   def runsTest(validEvents: DataFrame): DataFrame = {
-    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
-    val byDay = validEvents.filter(col("date_sk").isNotNull)
-      .groupBy(col("event_type_norm"), col("date_sk"))
-      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
-        .cast("double").as("y"))
-      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
-      .localCheckpoint(false)
+    val byDay = byDayPanel(validEvents)
     val med = Profiling.exactQuantilesBy(
         byDay.select(col("event_type_norm"), col("y")),
         Seq("event_type_norm"), "y", Seq(0.5))
-      .groupBy(col("event_type_norm"))
-      .agg(max(col("value")).as("med"))
+      .select(col("event_type_norm"), col("value").as("med"))
     val signed = byDay.join(broadcast(med), Seq("event_type_norm"))
       .filter(col("y") =!= col("med"))
       .select(col("event_type_norm"), col("d"),
@@ -2465,16 +2495,11 @@ object AnalyticsPack {
       col("n_below").cast("double") / n + lit(1.0)
     val variance = (mu - lit(1.0)) * (mu - lit(2.0)) / (n - lit(1.0))
     val z = (col("n_runs").cast("double") - mu) / sqrt(variance)
-    // two-sided normal p = erfc(|z|/sqrt 2), A&S 7.1.26 Horner form
-    val x = abs(col("z_score")) / lit(1.4142135623730951)
-    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
-    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
-      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
     runs.select(col("event_type_norm"), col("n_above"), col("n_below"),
         col("n_runs"), mu.as("expected_runs"),
         when(col("n_above") > 0 && col("n_below") > 0 && variance > 0, z)
           .as("z_score"))
-      .withColumn("p_value", grid6(poly * exp(-(x * x))))
+      .withColumn("p_value", normTwoSidedP(col("z_score")))
       .withColumn("random_5pct", col("p_value") > 0.05)
   }
 
@@ -2496,13 +2521,7 @@ object AnalyticsPack {
     * 1-row-per-type edge.
     */
   def mannKendall(validEvents: DataFrame): DataFrame = {
-    def grid6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
-    val byDay = validEvents.filter(col("date_sk").isNotNull)
-      .groupBy(col("event_type_norm"), col("date_sk"))
-      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
-        .cast("double").as("y"))
-      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
-      .localCheckpoint(true)
+    val byDay = byDayPanel(validEvents)
     val other = byDay.select(col("event_type_norm"),
       col("d").as("d2"), col("y").as("y2"))
     val sPanel = byDay.join(broadcast(other),
@@ -2532,12 +2551,8 @@ object AnalyticsPack {
         .when(col("s_stat") < 0,
           (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
         .otherwise(lit(0.0)))
-    val x = abs(col("z_score")) / lit(1.4142135623730951)
-    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
-    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
-      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
     joined.withColumn("z_score", z)
-      .withColumn("p_value", grid6(poly * exp(-(x * x))))
+      .withColumn("p_value", normTwoSidedP(col("z_score")))
       .withColumn("trend",
         when(col("p_value").isNull, lit(null).cast("string"))
           .when(col("p_value") <= 0.05 && col("s_stat") > 0, lit("increasing"))
@@ -2567,12 +2582,7 @@ object AnalyticsPack {
     * rows; everything after is ≤ types×7 panel math.
     */
   def friedmanDow(validEvents: DataFrame): DataFrame = {
-    def grid6(c: Column) = floor(c * lit(1e6)) / 1e6
-    val byDay = validEvents.filter(col("date_sk").isNotNull)
-      .groupBy(col("event_type_norm"), col("date_sk"))
-      .agg(coalesce(round(sum(money(col("value"))), 2), lit(0))
-        .cast("double").as("y"))
-      .withColumn("d", to_date(col("date_sk").cast("string"), "yyyyMMdd"))
+    val byDay = byDayPanel(validEvents)
       .withColumn("dow", pmod(datediff(col("d"), lit("1970-01-05")), lit(7)))
       .withColumn("wk", date_sub(col("d"), col("dow")))
     val complete = byDay.groupBy(col("event_type_norm"), col("wk"))
@@ -2592,8 +2602,10 @@ object AnalyticsPack {
       .agg(sum(col("midrank")).as("__rj"))
       .groupBy(col("event_type_norm"))
       .agg(sum(col("__rj") * col("__rj")).as("__sum_r2"))
-    val bPanel = complete.groupBy(col("event_type_norm"))
-      .agg(count(lit(1)).as("n_blocks"))
+    // from the CHECKPOINTED blocks (complete's lineage would replay the
+    // whole fact collapse a second time at run time)
+    val bPanel = blocks.groupBy(col("event_type_norm"))
+      .agg(countDistinct(col("wk")).as("n_blocks"))
     val ties = blocks.groupBy(col("event_type_norm"), col("wk"), col("y"))
       .agg(count(lit(1)).as("__t"))
       .groupBy(col("event_type_norm"))
@@ -2613,10 +2625,8 @@ object AnalyticsPack {
       .withColumn("chi2_stat",
         when(col("tie_correction") > 0, col("chi2_raw") / col("tie_correction")))
       .withColumn("dof", lit(6L))
-    val qq = col("chi2_stat") / lit(2.0)
-    val poly = (lit(0.0) * qq + lit(0.5)) * qq + lit(1.0)
     joined
-      .withColumn("p_value", grid6(exp(-qq) * (poly * qq + lit(1.0))))
+      .withColumn("p_value", chi2EvenTailP(col("chi2_stat"), 3))
       .withColumn("seasonal_5pct", col("p_value") <= 0.05)
   }
 

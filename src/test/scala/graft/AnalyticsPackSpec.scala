@@ -1184,6 +1184,22 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(nse.getAs[Double]("p_value") > 0.05,
       s"noise p=${nse.getAs[Double]("p_value")}")
     assert(nse.getAs[Boolean]("white_noise"))
+    // constant series: all-NULL ACF must keep its row with NULL
+    // verdicts (n_lags 0), not vanish
+    val cst = (0 until 10).map(i => ("CST", dsk(i), 5.0))
+    // gappy series {d, d+3, d+6}: a non-NULL lag-3 ACF with n_days=3
+    // used to divide by zero in the n-k term — must yield NULL
+    // verdicts, not a crash or a partial Q
+    val gap = Seq(0, 3, 6).map(i => ("GAP", dsk(i), (i + 1).toDouble * 2))
+    val got2 = AnalyticsPack.ljungBox((cst ++ gap)
+        .toDF("event_type_norm", "date_sk", "value"), maxLag = 6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got2("CST").getAs[Long]("n_lags") == 0L)
+    assert(got2("CST").isNullAt(got2("CST").fieldIndex("q_stat")))
+    assert(got2("CST").isNullAt(got2("CST").fieldIndex("p_value")))
+    assert(got2("GAP").getAs[Long]("n_days") == 3L)
+    assert(got2("GAP").getAs[Long]("n_lags") < 6L)
+    assert(got2("GAP").isNullAt(got2("GAP").fieldIndex("q_stat")))
     // textbook replay of Q on the ALT series from the ACF panel
     val acf = AnalyticsPack.autocorrelation(df.filter($"event_type_norm" === "ALT"), 6)
       .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
