@@ -3041,6 +3041,12 @@ object SparkEntry {
     "table_chi2_assoc" -> ((s: SparkSession, d: String) =>
       Profiling.chi2Assoc(servingValid(s, d), "tipo_dia", "event_type_norm")),
 
+    // Pairwise Cramer's V association matrix over the serving frame's
+    // categoricals - the categorical twin of table_corr_pairs.
+    "table_cramers_pairs" -> ((s: SparkSession, d: String) =>
+      Profiling.cramersVPairs(servingValid(s, d),
+        Seq("tipo_dia", "event_type_norm", "prop_k"))),
+
     // Shannon-entropy panel over the serving frame's categoricals.
     "table_entropy" -> ((s: SparkSession, d: String) =>
       Profiling.entropyProfile(servingValid(s, d),
@@ -5929,41 +5935,16 @@ object SparkEntry {
       // Profiling.chi2Assoc mirrored: share-space cell terms on the
       // 1e-12 grid, DECIMAL(18,12) order-free sum, fixed-order chi2/V.
       "table_chi2_assoc" ->
-        s"""WITH xy AS (
-           |  SELECT tipo_dia AS x, event_type_norm AS y,
-           |    CAST(COUNT(*) AS BIGINT) AS nxy
-           |  FROM ($validSql)
-           |  WHERE tipo_dia IS NOT NULL AND event_type_norm IS NOT NULL
-           |  GROUP BY 1, 2),
-           |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
-           |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
-           |kx AS (SELECT CAST(COUNT(*) AS BIGINT) AS kx FROM nx),
-           |ky AS (SELECT CAST(COUNT(*) AS BIGINT) AS ky FROM ny),
-           |nt AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM xy),
-           |grid AS (
-           |  SELECT nx.x, ny.y, nx.nx, ny.ny, COALESCE(xy.nxy, 0) AS nxy
-           |  FROM nx CROSS JOIN ny
-           |  LEFT JOIN xy ON xy.x = nx.x AND xy.y = ny.y),
-           |pe AS (
-           |  SELECT n, nxy, CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) AS pxy,
-           |    (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
-           |      * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) AS e
-           |  FROM grid CROSS JOIN nt),
-           |terms AS (
-           |  SELECT n, nxy,
-           |    FLOOR((pxy - e) * (pxy - e) / e * 1e12) / 1e12 AS term
-           |  FROM pe),
-           |s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
-           |  CAST(SUM(CASE WHEN nxy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
-           |  SUM(CAST(term AS DECIMAL(18,12))) AS s FROM terms)
-           |SELECT 'tipo_dia' AS col_x, 'event_type_norm' AS col_y,
-           |  n, n_cells, kx AS k_x, ky AS k_y,
-           |  (kx - 1) * (ky - 1) AS dof,
-           |  CAST(n AS DOUBLE) * CAST(s AS DOUBLE) AS chi2,
-           |  CASE WHEN LEAST(kx - 1, ky - 1) <= 0 THEN NULL
-           |       ELSE sqrt(CAST(s AS DOUBLE)
-           |                 / CAST(LEAST(kx - 1, ky - 1) AS DOUBLE)) END AS cramers_v
-           |FROM s CROSS JOIN kx CROSS JOIN ky""".stripMargin,
+        chi2PairOracleSql(validSql, "tipo_dia", "event_type_norm"),
+
+      // Profiling.cramersVPairs mirrored: one chi2-pair statement per
+      // column combination (generated from the SAME column list),
+      // UNION ALL into the association matrix.
+      "table_cramers_pairs" ->
+        Seq("tipo_dia", "event_type_norm", "prop_k").combinations(2)
+          .map { case Seq(a, b) =>
+            s"SELECT * FROM (${chi2PairOracleSql(validSql, a, b)})" }
+          .mkString("\nUNION ALL\n"),
 
       // AnalyticsPack.oddsRatio mirrored: exact-integer cell products,
       // grid-ln, parsed 1.96, log-scale interval and verdict.
@@ -9850,6 +9831,48 @@ object SparkEntry {
     }.mkString(",\n")
     s"$head,\n$iters\nSELECT h.node, h.hub, a.authority FROM h$iterations h JOIN a$iterations a USING (node)"
   }
+
+  /** One chi2/Cramér's-V pair statement (Profiling.chi2Assoc mirror),
+    * parametrized by the column pair — shared by the single-pair
+    * query and the pairwise matrix (generated from the same column
+    * list, the corrPairs discipline).
+    */
+  private def chi2PairOracleSql(validSql: String, x: String, y: String): String =
+    s"""WITH xy AS (
+       |  SELECT $x AS x, $y AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS nxy
+       |  FROM ($validSql)
+       |  WHERE $x IS NOT NULL AND $y IS NOT NULL
+       |  GROUP BY 1, 2),
+       |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
+       |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+       |kx AS (SELECT CAST(COUNT(*) AS BIGINT) AS kx FROM nx),
+       |ky AS (SELECT CAST(COUNT(*) AS BIGINT) AS ky FROM ny),
+       |nt AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM xy),
+       |grid AS (
+       |  SELECT nx.x, ny.y, nx.nx, ny.ny, COALESCE(xy.nxy, 0) AS nxy
+       |  FROM nx CROSS JOIN ny
+       |  LEFT JOIN xy ON xy.x = nx.x AND xy.y = ny.y),
+       |pe AS (
+       |  SELECT n, nxy, CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) AS pxy,
+       |    (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) AS e
+       |  FROM grid CROSS JOIN nt),
+       |terms AS (
+       |  SELECT n, nxy,
+       |    FLOOR((pxy - e) * (pxy - e) / e * 1e12) / 1e12 AS term
+       |  FROM pe),
+       |s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN nxy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+       |  SUM(CAST(term AS DECIMAL(18,12))) AS s FROM terms)
+       |SELECT '$x' AS col_x, '$y' AS col_y,
+       |  n, n_cells, kx AS k_x, ky AS k_y,
+       |  (kx - 1) * (ky - 1) AS dof,
+       |  CAST(n AS DOUBLE) * CAST(s AS DOUBLE) AS chi2,
+       |  CASE WHEN LEAST(kx - 1, ky - 1) <= 0 THEN NULL
+       |       ELSE sqrt(CAST(s AS DOUBLE)
+       |                 / CAST(LEAST(kx - 1, ky - 1) AS DOUBLE)) END AS cramers_v
+       |FROM s CROSS JOIN kx CROSS JOIN ky""".stripMargin
 
   private def pageRankOracleSql(iterations: Int, damping: Double): String = {
     val d = s"CAST('${damping.toString}' AS DOUBLE)"

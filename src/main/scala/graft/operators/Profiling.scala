@@ -834,6 +834,26 @@ object Profiling {
           .as("cramers_v"))
   }
 
+  /** Pairwise Cramér's V profile over categorical columns — the
+    * categorical twin of [[corrPairs]]' numeric matrix: every column
+    * pair through [[chi2Assoc]]'s full-margin-grid chi-square +
+    * effect size, unioned into one association panel (which coded
+    * columns are redundant with which, before any encoding choice).
+    *
+    * Scale shape: the fact projects once to the categorical columns
+    * (lazy checkpoint — materialized once, shared by every pair);
+    * each pair is then one partial-agg shuffle to its (x, y) cell
+    * panel plus panel math, so cost is pairs × cell-panel, never
+    * pairs × fact.
+    */
+  def cramersVPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"cramersVPairs needs at least two columns: $cols")
+    val proj = df.select(cols.map(col): _*).localCheckpoint(false)
+    cols.combinations(2).toSeq
+      .map { case Seq(a, b) => chi2Assoc(proj, a, b) }
+      .reduce(_.unionByName(_))
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * MONOTONE-association profile next to [[corrPairs]]' linear
     * Pearson: outlier-robust (a single extreme pair cannot drag it),

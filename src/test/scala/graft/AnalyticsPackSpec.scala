@@ -1778,6 +1778,21 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("cramers_v") - 1.0) < 1e-7)
   }
 
+  test("cramersVPairs: one row per pair, dependent and independent pairs separate") {
+    import graft.operators.Profiling
+    // c = f(a) (V = 1); b independent of both (V = 0 vs a)
+    val rows = for (a <- Seq("A", "B"); b <- Seq("1", "2"); _ <- 1 to 5)
+      yield (a, b, if (a == "A") "x" else "y")
+    val got = Profiling.cramersVPairs(rows.toDF("a", "b", "c"),
+        Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("cramers_v"))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) == 0.0)
+    assert(math.abs(got(("a", "c")) - 1.0) < 1e-7)
+    assert(got(("b", "c")) == 0.0)
+  }
+
   test("xcorrLags: a one-day lead correlates perfectly at lag +1 only") {
     import java.sql.Timestamp
     val counts = Seq(1, 3, 2, 5, 4)
