@@ -6479,11 +6479,11 @@ object SparkEntry {
            |        FROM byday GROUP BY event_type_norm, y)
            |  GROUP BY 1),
            |j AS (
-           |  SELECT s.event_type_norm, n.n_days, s.s_stat,
+           |  SELECT n.event_type_norm, n.n_days, s.s_stat,
            |    CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
            |      - tp.tie_term AS DOUBLE) / 18.0 AS var_s
-           |  FROM sp s JOIN np n USING (event_type_norm)
-           |  JOIN tp USING (event_type_norm)),
+           |  FROM np n LEFT JOIN sp s USING (event_type_norm)
+           |  LEFT JOIN tp USING (event_type_norm)),
            |z AS (
            |  SELECT *,
            |    CASE WHEN var_s > 0 THEN

@@ -261,13 +261,20 @@ case class KllMergeAgg(child: Expression,
   override def update(buf: KllDoubles, input: InternalRow): KllDoubles = {
     val v = child.eval(input)
     if (v == null) buf
-    else {
-      val in = KllCodec.deserialize(v.asInstanceOf[Array[Byte]])
-      if (buf.n == 0L) in else { buf.merge(in); buf }
-    }
+    else maxKMerge(buf, KllCodec.deserialize(v.asInstanceOf[Array[Byte]]))
   }
   override def merge(buf: KllDoubles, other: KllDoubles): KllDoubles =
-    if (buf.n == 0L) other else { buf.merge(other); buf }
+    maxKMerge(buf, other)
+  /** Result k = MAX k over the NON-EMPTY input sketches, regardless of
+    * partition/merge order (empty sketches — including the pristine
+    * k=200 default buffer — are k-neutral), so a rollup over
+    * heterogeneous-k sketch tables is not partition-order dependent.
+    */
+  private def maxKMerge(buf: KllDoubles, in: KllDoubles): KllDoubles =
+    if (in.n == 0L) buf
+    else if (buf.n == 0L) in
+    else if (in.k > buf.k) { in.merge(buf); in }
+    else { buf.merge(in); buf }
   override def eval(buf: KllDoubles): Any = KllCodec.serialize(buf)
   override def serialize(buf: KllDoubles): Array[Byte] = KllCodec.serialize(buf)
   override def deserialize(storage: Array[Byte]): KllDoubles =
@@ -314,13 +321,21 @@ case class KllMergePairExpr(left: Expression, right: Expression)
     if (a == null) b
     else if (b == null) a
     else {
-      val sa = KllCodec.deserialize(a.asInstanceOf[Array[Byte]])
-      val sb = KllCodec.deserialize(b.asInstanceOf[Array[Byte]])
+      val ba = a.asInstanceOf[Array[Byte]]
+      val bb = b.asInstanceOf[Array[Byte]]
+      val sa = KllCodec.deserialize(ba)
+      val sb = KllCodec.deserialize(bb)
       // merge into the larger-k side so the pair keeps the tighter
       // envelope and merge_pair(a,b) == merge_pair(b,a): levels sort
       // before every compaction and the compaction counters add, so
-      // host choice by k (not argument order) fixes the result
-      val (host, other) = if (sb.k > sa.k) (sb, sa) else (sa, sb)
+      // the host CHOICE (never argument order) fixes the result — and
+      // at EQUAL k the tie breaks on content (n, then serialized
+      // bytes), still symmetric in the arguments
+      val hostIsB =
+        if (sb.k != sa.k) sb.k > sa.k
+        else if (sb.n != sa.n) sb.n > sa.n
+        else java.util.Arrays.compare(bb, ba) > 0
+      val (host, other) = if (hostIsB) (sb, sa) else (sa, sb)
       if (host.n == 0L) KllCodec.serialize(other)
       else { host.merge(other); KllCodec.serialize(host) }
     }

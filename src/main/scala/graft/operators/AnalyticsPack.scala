@@ -56,7 +56,9 @@ object AnalyticsPack {
     */
   private def chi2EvenTailP(qStat: Column, m: Int): Column = {
     val qq = qStat / lit(2.0)
-    val poly = (0 until m).map(j => 1.0 / (1 to j).product)
+    // factorial accumulated in Double: Int j! overflows at j >= 13,
+    // which a maxLag >= 26 (dof 2m >= 26) would silently hit
+    val poly = (0 until m).map(j => 1.0 / (1 to j).foldLeft(1.0)(_ * _))
       .reverse.foldLeft(lit(0.0))((acc, c) => acc * qq + lit(c))
     floor(exp(-qq) * poly * lit(1e6)) / lit(1e6)
   }
@@ -2541,9 +2543,13 @@ object AnalyticsPack {
     val n = col("n_days")
     val varS = ((n * (n - 1) * (lit(2L) * n + 5) - col("__tie_term"))
       .cast("double") / lit(18.0)).as("var_s")
-    val joined = sPanel
-      .join(broadcast(nPanel), Seq("event_type_norm"))
-      .join(broadcast(tiePanel), Seq("event_type_norm"))
+    // LEFT join from nPanel (the keep-row-with-NULL-verdicts
+    // convention ljungBox and the trimmed mean follow): a 1-day type
+    // has no d<d2 pair so sPanel is empty for it — it must still
+    // surface, with NULL s_stat/z/p/trend
+    val joined = nPanel
+      .join(broadcast(sPanel), Seq("event_type_norm"), "left")
+      .join(broadcast(tiePanel), Seq("event_type_norm"), "left")
       .select(col("event_type_norm"), col("n_days"), col("s_stat"), varS)
     val z = when(col("var_s") > 0,
       when(col("s_stat") > 0,

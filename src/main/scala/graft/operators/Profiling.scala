@@ -197,6 +197,23 @@ object Profiling {
     val counts = long.groupBy(gs.map(col) :+ col("__v"): _*)
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+    val out = quantilesFromCounts(counts, gs, ps, nRangeParts)
+    if (groupCols.isEmpty) out.drop("__g") else out
+  }
+
+  /** Rank-bracket quantiles from a PRE-AGGREGATED distinct-value
+    * count relation `(groupCols…, __v, cnt)` — the shared tail of
+    * [[exactQuantilesBy]], exposed so a caller that already needs the
+    * distinct counts for its own aggregation (e.g. [[outlierFences]],
+    * whose tail counts are Σ cnt over the same relation) pays the
+    * distinct shuffle ONCE and never materializes raw unpivoted rows.
+    * `counts` must be distinct on (groupCols…, __v) and already
+    * materialized (checkpointed) — three consumers follow (the range
+    * partitioner's sample job, the repartition, the totals panel).
+    */
+  private[graft] def quantilesFromCounts(counts: DataFrame, gs: Seq[String],
+                                         ps: Seq[Double],
+                                         nRangeParts: Int): DataFrame = {
     // global cumulative counts in (group…, value) order; unique
     // composite key by construction (post-distinct)
     val pref = PrefixSum.globalOrdered(counts,
@@ -219,7 +236,7 @@ object Profiling {
     // a value row covers 0-based sorted index i iff cum_prev <= i < cum
     val loHit = col("cum_prev") <= col("lo") && col("lo") < col("cum")
     val hiHit = col("cum_prev") <= col("hi") && col("hi") < col("cum")
-    val out = pref.join(broadcast(qpanel), gs)
+    pref.join(broadcast(qpanel), gs)
       .withColumn("cum", col("prefix_sum") - col("base"))
       .withColumn("cum_prev", col("cum") - col("cnt"))
       .filter(loHit || hiHit)
@@ -231,7 +248,6 @@ object Profiling {
           .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
                      (col("pos") - col("lo").cast("double")) * col("v_hi"))
           .as("value")): _*)
-    if (groupCols.isEmpty) out.drop("__g") else out
   }
 
   /** HLL cardinality accuracy panel — the distinct-count twin of
@@ -320,23 +336,27 @@ object Profiling {
     * answers "is this column's tail junk or signal" before a
     * winsorize/clip decision.
     *
-    * Scale shape: one unpivot (eagerly checkpointed — it feeds both
-    * the quantile machinery and the fence-count pass), exact quartiles
-    * through [[exactQuantilesBy]]'s two-phase rank brackets (never
-    * the builtin percentile's single-reducer value map), the ≤-cols
-    * fence panel broadcast back, and a ≤-cols-key counting aggregate.
-    * Fence arithmetic is a fixed IEEE sequence (`iqr = q3 − q1`,
-    * `lo = q1 − w·iqr`, `hi = q3 + w·iqr`) an oracle replays exactly.
+    * Scale shape: ONE scan and ONE distinct-count shuffle feed BOTH
+    * halves — the quartiles ride [[quantilesFromCounts]]' two-phase
+    * rank brackets over the checkpointed (column, value, cnt)
+    * relation (never the builtin percentile's single-reducer value
+    * map), and the tail counts are Σ cnt over the SAME relation, so
+    * the raw unpivoted rows are never materialized. The ≤-cols fence
+    * panel broadcasts back; fence arithmetic is a fixed IEEE sequence
+    * (`iqr = q3 − q1`, `lo = q1 − w·iqr`, `hi = q3 + w·iqr`) an
+    * oracle replays exactly.
     */
   def outlierFences(df: DataFrame, cols: Seq[String], whisker: Double = 1.5,
                     nRangeParts: Int = 32): DataFrame = {
     require(cols.nonEmpty, "outlierFences needs at least one column")
-    val long = df.select(explode(array(cols.map(c =>
+    val counts = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("e"))
-      .select(col("e.column_name"), col("e.v"))
-      .filter(col("v").isNotNull)
+      .select(col("e.column_name"), col("e.v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("column_name"), col("__v"))
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val fences = exactQuantilesBy(long, Seq("column_name"), "v",
+    val fences = quantilesFromCounts(counts, Seq("column_name"),
         Seq(0.25, 0.75), nRangeParts)
       .groupBy("column_name")
       .agg(max(when(col("quantile") === 0.25, col("value"))).as("q1"),
@@ -344,12 +364,12 @@ object Profiling {
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("fence_lo", col("q1") - lit(whisker) * col("iqr"))
       .withColumn("fence_hi", col("q3") + lit(whisker) * col("iqr"))
-    long.join(broadcast(fences), "column_name")
+    counts.join(broadcast(fences), "column_name")
       .groupBy(col("column_name"), col("q1"), col("q3"), col("iqr"),
         col("fence_lo"), col("fence_hi"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("v") < col("fence_lo"), 1L).otherwise(0L)).as("n_below"),
-        sum(when(col("v") > col("fence_hi"), 1L).otherwise(0L)).as("n_above"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col("__v") < col("fence_lo"), col("cnt")).otherwise(0L)).as("n_below"),
+        sum(when(col("__v") > col("fence_hi"), col("cnt")).otherwise(0L)).as("n_above"))
       .withColumn("pct_outliers",
         round(lit(100.0) * (col("n_below") + col("n_above")) / col("n"), 4))
   }

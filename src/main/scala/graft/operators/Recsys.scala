@@ -77,8 +77,19 @@ object Recsys {
     * per-partition maps. Shared by the CF neighbor build and the
     * co-occurrence graph endpoints (k-core).
     */
-  private[graft] def coOccurrenceCounts(inter: DataFrame): DataFrame = {
+  private[graft] def coOccurrenceCounts(inter0: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // The packability probe below EXECUTES at plan-construction time,
+    // so the relation must be materialized first or the probe replays
+    // the full upstream lineage once extra: enforce the precondition
+    // here — pass through relations already RDD-backed (a caller's
+    // localCheckpoint), cut everything else (lazily: the probe's
+    // collect is the action that materializes it, and the pair build
+    // then reuses the checkpointed blocks)
+    val inter = inter0.queryExecution.optimizedPlan.getClass.getSimpleName match {
+      case "LogicalRDD" => inter0
+      case _            => inter0.localCheckpoint(false)
+    }
     val idType = inter.schema("item_id").dataType
     val integralIds =
       Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)
