@@ -2823,6 +2823,17 @@ object SparkEntry {
     "bpe_encode" -> ((s: SparkSession, d: String) =>
       CorpusQc.bpeEncode(t(s, d, "documents"), "doc_id", "text", rounds = 6)),
 
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING: substring
+    // seed, two hard-EM rounds (unrolled Viterbi E-step, prune +
+    // re-estimate M-step) — the shipped (piece, usage, log_prob) model.
+    "unigram_train" -> ((s: SparkSession, d: String) =>
+      CorpusQc.unigramTrain(t(s, d, "documents"), "text")),
+
+    // The unigram model applied back to the corpus: per-doc token and
+    // piece counts (the bpe_encode twin for the pruning tokenizer).
+    "unigram_encode" -> ((s: SparkSession, d: String) =>
+      CorpusQc.unigramEncode(t(s, d, "documents"), "doc_id", "text")),
+
     // Corpus token frequency top-N (training-data vocabulary stats):
     // explode + one partial-aggregable shuffle + TakeOrdered.
     "text_token_topn" -> ((s: SparkSession, d: String) =>
@@ -10020,6 +10031,95 @@ object SparkEntry {
     (head +: iters).mkString(",\n")
   }
 
+  /** Unigram-LM tokenizer training as chained MATERIALIZED CTEs (the
+    * bpeTrainCtes discipline): `w` word freqs, `sub` substring seed,
+    * `inv` char inventory, `v0`/`u0v` seed vocab, then per EM round a
+    * `lcap`-step unrolled Viterbi DP (`r{r}b{i}` winners per position,
+    * `r{r}f` finals), usage `u{r}` and the re-estimated vocab `u{r}v`.
+    * `viterbiCtes(tag, vocab)` is exposed to the encode oracle so both
+    * replay the SAME model. DP scores are left-to-right folds of
+    * 1e-6-gridded log-probs — bit-identical to the Spark fold — and
+    * every per-word argmax carries the (score DESC, seg ASC) total
+    * tie-break.
+    */
+  private object UnigramOracle {
+    val (emRounds, seedMultis, keepMultis, maxLen, lcap) = (2, 300, 200, 4, 12)
+
+    def viterbiCtes(tag: String, vocabCte: String): String = {
+      val steps = (1 to lcap).map { i =>
+        val lo = math.max(0, i - maxLen)
+        val fr = ((if (lo == 0) Seq(s"${tag}d0") else Nil) ++
+          (math.max(1, lo) until i).map(j => s"${tag}b$j"))
+          .map(c => s"SELECT * FROM $c").mkString(" UNION ALL ")
+        s"""${tag}b$i AS MATERIALIZED (
+           |  SELECT word, wf, wl, $i AS pos, score, seg FROM (
+           |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY word
+           |      ORDER BY score DESC, seg) AS rn
+           |    FROM (
+           |      SELECT d.word, d.wf, d.wl, d.score + v.log_prob AS score,
+           |             d.seg || ' ' || v.piece AS seg
+           |      FROM ($fr) d JOIN $vocabCte v
+           |        ON v.piece = substr(d.word, d.pos + 1, $i - d.pos)
+           |      WHERE d.wl >= $i) c)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val finals = (1 to lcap).map(i => s"SELECT * FROM ${tag}b$i")
+        .mkString(" UNION ALL ")
+      (s"""${tag}d0 AS MATERIALIZED (
+          |  SELECT word, wf, len(word) AS wl, 0 AS pos,
+          |         CAST(0.0 AS DOUBLE) AS score, '' AS seg FROM w)""".stripMargin
+        +: steps :+
+        s"""${tag}f AS MATERIALIZED (
+           |  SELECT word, wf, ltrim(seg) AS seg FROM ($finals)
+           |  WHERE pos = wl)""".stripMargin).mkString(",\n")
+    }
+
+    def trainCtes(toksSql: String): String = {
+      val head =
+        s"""WITH w AS MATERIALIZED (
+           |  SELECT substr(tok, 1, $lcap) AS word, COUNT(*) AS wf
+           |  FROM (SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents))
+           |  WHERE tok <> '' GROUP BY 1),
+           |sub AS MATERIALIZED (
+           |  SELECT piece, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
+           |    SELECT UNNEST(flatten(list_transform(range(1, len(word) + 1), s ->
+           |      list_transform(range(1, least($maxLen, len(word) - s + 1) + 1), l ->
+           |        substr(word, s, l))))) AS piece, wf
+           |    FROM w)
+           |  GROUP BY 1),
+           |inv AS MATERIALIZED (SELECT piece FROM sub WHERE len(piece) = 1),
+           |v0 AS MATERIALIZED (
+           |  SELECT piece, cnt AS n_used FROM sub WHERE len(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, cnt AS n_used FROM (
+           |    SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+           |    ORDER BY cnt DESC, piece LIMIT $seedMultis)),
+           |u0v AS MATERIALIZED (
+           |  SELECT piece, n_used,
+           |    FLOOR(LN(CAST(n_used AS DOUBLE) / t.tot) * 1e6) / 1e6 AS log_prob
+           |  FROM v0, (SELECT CAST(SUM(n_used) AS DOUBLE) AS tot FROM v0) t)""".stripMargin
+      val rounds = (1 to emRounds).map { r =>
+        viterbiCtes(s"r$r", s"u${r - 1}v") + ",\n" +
+          s"""u$r AS MATERIALIZED (
+             |  SELECT piece, CAST(SUM(wf) AS BIGINT) AS n_used
+             |  FROM (SELECT wf, UNNEST(string_split(seg, ' ')) AS piece FROM r${r}f)
+             |  GROUP BY 1),
+             |v$r AS MATERIALIZED (
+             |  SELECT i.piece, COALESCE(u.n_used, CAST(0 AS BIGINT)) AS n_used
+             |  FROM inv i LEFT JOIN u$r u USING (piece)
+             |  UNION ALL
+             |  SELECT piece, n_used FROM (
+             |    SELECT piece, n_used FROM u$r WHERE len(piece) >= 2
+             |    ORDER BY n_used DESC, piece LIMIT $keepMultis)),
+             |u${r}v AS MATERIALIZED (
+             |  SELECT piece, n_used,
+             |    FLOOR(LN(CAST(n_used + 1 AS DOUBLE) / t.tot) * 1e6) / 1e6 AS log_prob
+             |  FROM v$r, (SELECT CAST(SUM(n_used + 1) AS DOUBLE) AS tot FROM v$r) t)""".stripMargin
+      }
+      (head +: rounds).mkString(",\n")
+    }
+  }
+
   /** DuckDB twins of the text-pipeline queries (minhash/simhash/
     * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
     * the driver's rows-only check).
@@ -11464,6 +11564,31 @@ object SparkEntry {
              |  CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_symbols
              |FROM e$rounds GROUP BY 1""".stripMargin
       },
+
+      // Unigram-LM training replayed as the UnigramOracle CTE chain:
+      // substring seed, two hard-EM rounds of unrolled Viterbi +
+      // prune/re-estimate — the final (piece, n_used, log_prob) model.
+      "unigram_train" ->
+        (UnigramOracle.trainCtes(toksSql) +
+          s"\nSELECT piece, n_used, log_prob FROM u${UnigramOracle.emRounds}v"),
+
+      // Training CTEs + one more Viterbi pass under the FINAL vocab,
+      // joined back to the per-doc token relation — per-doc token and
+      // piece counts.
+      "unigram_encode" ->
+        (UnigramOracle.trainCtes(toksSql) + ",\n" +
+          UnigramOracle.viterbiCtes("e", s"u${UnigramOracle.emRounds}v") +
+          s""",
+             |tokrel AS MATERIALIZED (
+             |  SELECT doc_id, substr(tok, 1, ${UnigramOracle.lcap}) AS word
+             |  FROM (SELECT doc_id, UNNEST(t) AS tok
+             |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
+             |  WHERE tok <> ''),
+             |pc AS MATERIALIZED (
+             |  SELECT word, len(string_split(seg, ' ')) AS n_pieces FROM ef)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_pieces) AS BIGINT) AS n_symbols
+             |FROM tokrel JOIN pc USING (word) GROUP BY 1""".stripMargin),
 
       "bpe_pair_counts" ->
         s"""WITH tk AS (

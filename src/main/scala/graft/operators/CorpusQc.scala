@@ -1231,4 +1231,192 @@ object CorpusQc {
       }
     }.toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
   }
+
+  // ── Unigram-LM (SentencePiece-style) tokenizer ──────────────────
+
+  /** Viterbi segmentation of a distinct-word relation under a piece
+    * vocabulary — the shared inference kernel of [[unigramTrain]]'s
+    * E-step and [[unigramEncode]]: per word, the max-log-prob
+    * segmentation into vocabulary pieces via the classic position DP,
+    * unrolled over `lcap` fixed rounds (the engine-replayable form of
+    * the lattice walk). Round `i` joins the live frontier (the ≤
+    * `maxPieceLen` preceding position panels) against the broadcast
+    * piece vocabulary on `piece = word[pos+1 .. i]` and keeps the
+    * per-word argmax under the total (score DESC, seg ASC) order.
+    *
+    * `words` must carry (`word`, `wf`) with every word non-empty and
+    * ≤ `lcap` chars; `vocab` (`piece`, `log_prob`) must contain every
+    * single character of every word (the trainer's char-inventory
+    * guarantee), so the DP always completes. Scores are left-to-right
+    * folds of 1e-6-gridded log-probs — the same fold in any engine,
+    * so winners (and their ulp-level ties, broken on the segmentation
+    * string) replay bit-identically.
+    *
+    * Scale shape: the DP state is distinct-words × ≤maxPieceLen live
+    * positions — vocabulary-sized, never corpus-sized; each round is
+    * one broadcast join plus one per-word window over ≤ maxPieceLen
+    * candidate rows per word, and per-round winners are checkpointed
+    * single-position panels so plan depth stays flat (the
+    * bpeTrainMerges discipline). Output: (word, wf, seg) with `seg`
+    * the space-joined best pieces.
+    */
+  private[graft] def unigramViterbi(words: DataFrame, vocab: DataFrame,
+                                    maxPieceLen: Int, lcap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = broadcast(vocab.select(col("piece"), col("log_prob")))
+    val d0 = words.select(col("word"), col("wf"),
+        length(col("word")).as("wl"),
+        lit(0).as("pos"), lit(0.0).as("score"), lit("").as("seg"))
+      .localCheckpoint(true)
+    val byWord = Window.partitionBy(col("word"))
+      .orderBy(col("score").desc, col("seg"))
+    var bests = Vector.empty[DataFrame] // bests(j - 1) = winners at position j
+    for (i <- 1 to lcap) {
+      val lo = math.max(0, i - maxPieceLen)
+      val frontier = ((if (lo == 0) Seq(d0) else Nil) ++
+        bests.slice(math.max(1, lo) - 1, i - 1)).reduce(_ unionByName _)
+      val cand = frontier.filter(col("wl") >= i)
+        .withColumn("piece",
+          col("word").substr(col("pos") + 1, lit(i) - col("pos")))
+        .join(v, "piece")
+        .select(col("word"), col("wf"), col("wl"), lit(i).as("pos"),
+          (col("score") + col("log_prob")).as("score"),
+          concat(col("seg"), lit(" "), col("piece")).as("seg"))
+      bests :+= cand.withColumn("__rn", row_number().over(byWord))
+        .filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint(true)
+    }
+    bests.map(_.filter(col("pos") === col("wl")))
+      .reduce(_ unionByName _)
+      .select(col("word"), col("wf"), ltrim(col("seg")).as("seg"))
+  }
+
+  /** §5 gridded log-prob panel over a (piece, n_used) relation:
+    * `floor(ln(count share)·1e6)/1e6`; with `laplace` every count
+    * takes +1 so zero-usage inventory chars stay finite. The total is
+    * a 1-row panel crossJoin — panel×panel by design.
+    */
+  private def unigramLogp(counts: DataFrame, laplace: Boolean): DataFrame = {
+    val c = if (laplace) col("n_used") + lit(1L) else col("n_used")
+    val tot = counts.agg(sum(c).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_used"),
+        (floor(log(c.cast("double") / col("__t").cast("double")) * lit(1e6))
+          / lit(1e6)).as("log_prob"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the
+    * hard-EM loop that closes the tokenizer family next to
+    * [[bpeTrainMerges]] (BPE merges greedily bottom-up; unigram
+    * starts from an over-complete substring seed and PRUNES):
+    *
+    *  1. SEED — every substring of length 1..`maxPieceLen` of the
+    *     frequency-weighted distinct-word relation, counted per
+    *     occurrence; the char inventory (all length-1 pieces) is kept
+    *     unconditionally — the coverage guarantee — plus the top
+    *     `seedMultis` longer pieces by (count DESC, piece ASC).
+    *     Seed log-probs: gridded ln of each count share.
+    *  2. E-STEP (hard) — [[unigramViterbi]] segments every distinct
+    *     word under the current model; piece usage = Σ word-freq ×
+    *     occurrences in the best segmentation (the Viterbi point
+    *     estimate standing in for the lattice expectation — the
+    *     standard hard-EM variant).
+    *  3. M-STEP + PRUNE — keep the char inventory (zero usage
+    *     allowed) plus the top `keepMultis` longer pieces with usage
+    *     > 0; re-estimate log-probs with add-one smoothing
+    *     `ln((usage+1)/Σ(usage+1))`, gridded per §5.
+    *
+    * Steps 2-3 repeat `emRounds` times — fixed rounds, the replayable
+    * form of run-to-convergence (the logreg/kmeans discipline). Words
+    * truncate to `lcap` chars for segmentation: a fixed DP horizon
+    * keeps the unrolled lattice finite (no token in this corpus
+    * exceeds 8 chars; at 100 TB the cap bounds DP depth, never drops
+    * a word). Output: the shipped model, (piece, n_used, log_prob) —
+    * char inventory ∪ kept pieces.
+    *
+    * Scale shape: ONE corpus pass builds the (word, freq) relation;
+    * seeding, EM and pruning run entirely on vocabulary-sized panels;
+    * every top-N cut is a TakeOrdered under a total order, never a
+    * global sort of data. Engine parity: counts exact longs,
+    * log-probs gridded, DP scores identical left-to-right IEEE folds,
+    * every argmax totally tie-broken.
+    */
+  def unigramTrain(df: DataFrame, textCol: String, emRounds: Int = 2,
+                   seedMultis: Int = 300, keepMultis: Int = 200,
+                   maxPieceLen: Int = 4, lcap: Int = 12): DataFrame =
+    unigramFit(df, textCol, emRounds, seedMultis, keepMultis,
+      maxPieceLen, lcap)._2
+
+  /** (distinct-word relation, final vocabulary) — the shared trainer
+    * behind [[unigramTrain]] and [[unigramEncode]].
+    */
+  private def unigramFit(df: DataFrame, textCol: String, emRounds: Int,
+                         seedMultis: Int, keepMultis: Int,
+                         maxPieceLen: Int, lcap: Int)
+      : (DataFrame, DataFrame) = {
+    require(emRounds >= 1 && maxPieceLen >= 2 && lcap >= maxPieceLen,
+      s"bad unigram params: emRounds=$emRounds maxPieceLen=$maxPieceLen lcap=$lcap")
+    val words = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok").substr(lit(1), lit(lcap)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .localCheckpoint(true)
+    val subs = words
+      .select(col("word"), col("wf"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("wf"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("s") + 1))).as("l"))
+      .select(col("word").substr(col("s"), col("l")).as("piece"), col("wf"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+      .localCheckpoint(true)
+    val inventory = subs.filter(length(col("piece")) === 1)
+      .select(col("piece"))
+    val seed = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedMultis))
+      .select(col("piece"), col("cnt").as("n_used"))
+    var vocab = unigramLogp(seed, laplace = false).localCheckpoint(true)
+    for (_ <- 1 to emRounds) {
+      val usage = unigramViterbi(words, vocab, maxPieceLen, lcap)
+        .select(col("wf"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wf")).as("n_used"))
+        .localCheckpoint(true)
+      val kept = inventory.join(usage, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("n_used"), lit(0L)).as("n_used"))
+        .unionByName(usage.filter(length(col("piece")) >= 2)
+          .orderBy(col("n_used").desc, col("piece")).limit(keepMultis))
+      vocab = unigramLogp(kept, laplace = true).localCheckpoint(true)
+    }
+    (words, vocab)
+  }
+
+  /** Unigram-LM ENCODE — [[unigramTrain]]'s model applied back to the
+    * corpus (the [[bpeEncode]] twin): one more [[unigramViterbi]]
+    * pass over the distinct-word relation under the FINAL vocabulary,
+    * then per-document token and piece counts via a word-keyed join.
+    *
+    * Scale shape: training and segmentation stay vocabulary-sized;
+    * the only corpus-sized steps are the token explode and the
+    * (doc, word) ⋈ (word, n_pieces) join — broadcast while the
+    * segmented vocabulary panel is small, key-partitioned at 100 TB
+    * (left to AQE). Output: (doc_id, n_tokens, n_symbols).
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    emRounds: Int = 2, seedMultis: Int = 300,
+                    keepMultis: Int = 200, maxPieceLen: Int = 4,
+                    lcap: Int = 12): DataFrame = {
+    val (words, vocab) = unigramFit(df, textCol, emRounds, seedMultis,
+      keepMultis, maxPieceLen, lcap)
+    val segs = unigramViterbi(words, vocab, maxPieceLen, lcap)
+      .select(col("word"), size(split(col("seg"), " ")).as("n_pieces"))
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("tok").substr(lit(1), lit(lcap)).as("word"))
+      .join(segs, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces").cast("long")).as("n_symbols"))
+  }
 }

@@ -469,4 +469,54 @@ class CorpusQcSpec extends SparkSpec {
       .orderBy("bucket").collect().map(_.getAs[Long]("cum_types"))
     assert(again.toSeq == cumTypes.toSeq)
   }
+
+  test("unigramViterbi: max-log-prob segmentation, score ties break on seg ASC") {
+    val words = Seq(("abc", 1L)).toDF("word", "wf")
+    // 'a bc' and 'ab c' both score -2.0; the seg-ASC tie-break picks
+    // 'a bc' (leading-space form ' a bc' < ' ab c')
+    val vocab = Seq("a", "b", "c", "ab", "bc").map((_, -1.0))
+      .toDF("piece", "log_prob")
+    val got = CorpusQc.unigramViterbi(words, vocab, maxPieceLen = 4, lcap = 12)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(got.toSeq == Seq(("abc", "a bc")))
+    // a cheaper 3-piece path never beats a 2-piece path at equal logp,
+    // but a HIGH-prob char route must beat a low-prob long piece
+    val vocab2 = Seq(("a", -0.1), ("b", -0.1), ("c", -0.1), ("abc", -9.0))
+      .toDF("piece", "log_prob")
+    val got2 = CorpusQc.unigramViterbi(words, vocab2, 4, 12)
+      .collect().map(_.getString(2))
+    assert(got2.toSeq == Seq("a b c"))
+  }
+
+  test("unigramTrain: hard-EM prunes to used pieces, keeps the char inventory") {
+    val docs = Seq((1L, "abab abab abab cd")).toDF("doc_id", "text")
+    val got = CorpusQc.unigramTrain(docs, "text")
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // Viterbi picks whole-word pieces ('abab' ln(3/33) beats 'ab'+'ab'
+    // = 2·ln(6/33)); M-step keeps them plus the zero-usage char
+    // inventory. Laplace totals: 4·1 + (3+1) + (1+1) = 10.
+    def grid(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      ("a", 0L, grid(math.log(0.1))),
+      ("abab", 3L, grid(math.log(0.4))),
+      ("b", 0L, grid(math.log(0.1))),
+      ("c", 0L, grid(math.log(0.1))),
+      ("cd", 1L, grid(math.log(0.2))),
+      ("d", 0L, grid(math.log(0.1)))))
+    // encode: every token segments to ONE piece -> 4 tokens, 4 symbols
+    val enc = CorpusQc.unigramEncode(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 4L, 4L)))
+  }
+
+  test("unigramTrain: words truncate to the lcap DP horizon, never drop") {
+    // 16-char token truncates to 12 chars for segmentation; it still
+    // trains and encodes (12 singles at worst, fewer once merged)
+    val docs = Seq((1L, "abcdefghijklmnop zz")).toDF("doc_id", "text")
+    val enc = CorpusQc.unigramEncode(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.length == 1 && enc.head._2 == 2L)
+    assert(enc.head._3 >= 2L && enc.head._3 <= 13L)
+  }
 }
