@@ -1677,6 +1677,21 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Incremental dedup against the PERSISTED corpus index: build the
+    // versioned digest/stop/posting/size tables once (the per-refresh
+    // cost), then the batch probes stored tables — per-batch cost is
+    // batch-sized regardless of corpus size. Same decision surface as
+    // dedup_incremental (shared tail), same oracle.
+    "dedup_incremental_indexed" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx").toString
+      TextDedup.buildDedupIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", dir)
+      TextDedup.incrementalDedupIndexed(
+        s, dir, docs.filter(col("doc_id") >= 400), "doc_id", "text")
+    }),
+
     // Duplicate-cluster assignment: connected components over the
     // exact-Jaccard pair set (iterative min-label propagation — the
     // survivor-selection step after any pair generator).
@@ -10124,6 +10139,62 @@ object SparkEntry {
     * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
     * the driver's rows-only check).
     */
+  /** TextDedup.incrementalDedup / incrementalDedupIndexed mirrored —
+    * corpus digests + df-capped postings, symmetric stop-shingle drop,
+    * exact Jaccard, first-match decision. ONE string for both: the two
+    * queries share the Scala decision tail, so they share the oracle.
+    */
+  private def incrementalDedupSql(toksSql: String, shinglesSql: String): String =
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |bat AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+       |corp_dig AS (
+       |  SELECT sha256(text) AS digest, MIN(doc_id) AS corp_match
+       |  FROM corp GROUP BY 1),
+       |b2 AS (
+       |  SELECT doc_id, sha256(text) AS digest,
+       |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS batch_first
+       |  FROM bat),
+       |csh AS (
+       |  SELECT doc_id AS c_id, UNNEST(shs) AS sh FROM (
+       |    SELECT doc_id, $shinglesSql AS shs
+       |    FROM (SELECT doc_id, $toksSql AS t FROM documents
+       |          WHERE doc_id < 400))),
+       |stop AS (SELECT sh FROM csh GROUP BY sh HAVING COUNT(*) > 1000),
+       |ckept AS (SELECT c_id, sh FROM csh ANTI JOIN stop USING (sh)),
+       |csizes AS (SELECT c_id, COUNT(*) AS n_c FROM ckept GROUP BY 1),
+       |bsh AS (
+       |  SELECT doc_id, UNNEST(shs) AS sh FROM (
+       |    SELECT doc_id, $shinglesSql AS shs
+       |    FROM (SELECT doc_id, $toksSql AS t FROM documents
+       |          WHERE doc_id >= 400))),
+       |bkept AS (SELECT doc_id, sh FROM bsh ANTI JOIN stop USING (sh)),
+       |bsizes AS (SELECT doc_id, COUNT(*) AS n_b FROM bkept GROUP BY 1),
+       |cmn AS (
+       |  SELECT b.doc_id, c.c_id, COUNT(*) AS n_common
+       |  FROM bkept b JOIN ckept c USING (sh) GROUP BY 1, 2),
+       |near AS (
+       |  SELECT doc_id, c_id, n_common / (n_b + n_c - n_common) AS jaccard
+       |  FROM cmn JOIN bsizes USING (doc_id) JOIN csizes USING (c_id)
+       |  WHERE n_common / (n_b + n_c - n_common) >= 0.5),
+       |best AS (
+       |  SELECT doc_id, c_id AS near_match FROM (
+       |    SELECT doc_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY jaccard DESC, c_id) AS r
+       |    FROM near) WHERE r = 1)
+       |SELECT b2.doc_id,
+       |  (cd.corp_match IS NULL AND b2.doc_id = b2.batch_first
+       |   AND bst.near_match IS NULL) AS keep,
+       |  CASE WHEN cd.corp_match IS NOT NULL THEN 'EXACT_DUP_CORPUS'
+       |       WHEN b2.doc_id <> b2.batch_first THEN 'EXACT_DUP_BATCH'
+       |       WHEN bst.near_match IS NOT NULL THEN 'NEAR_DUP_CORPUS'
+       |       ELSE 'KEPT' END AS reason,
+       |  CASE WHEN cd.corp_match IS NOT NULL THEN cd.corp_match
+       |       WHEN b2.doc_id <> b2.batch_first THEN b2.batch_first
+       |       ELSE bst.near_match END AS match_id
+       |FROM b2
+       |LEFT JOIN corp_dig cd USING (digest)
+       |LEFT JOIN best bst USING (doc_id)""".stripMargin
+
   private def textOracleSql: Map[String, String] = {
     val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
     val shinglesSql =
@@ -10556,56 +10627,14 @@ object SparkEntry {
 
       // Same stop-shingle + Jaccard algebra, batch-vs-corpus only; the
       // decision CASEs mirror the Spark first-match order exactly.
-      "dedup_incremental" ->
-        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-           |bat AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
-           |corp_dig AS (
-           |  SELECT sha256(text) AS digest, MIN(doc_id) AS corp_match
-           |  FROM corp GROUP BY 1),
-           |b2 AS (
-           |  SELECT doc_id, sha256(text) AS digest,
-           |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS batch_first
-           |  FROM bat),
-           |csh AS (
-           |  SELECT doc_id AS c_id, UNNEST(shs) AS sh FROM (
-           |    SELECT doc_id, $shinglesSql AS shs
-           |    FROM (SELECT doc_id, $toksSql AS t FROM documents
-           |          WHERE doc_id < 400))),
-           |stop AS (SELECT sh FROM csh GROUP BY sh HAVING COUNT(*) > 1000),
-           |ckept AS (SELECT c_id, sh FROM csh ANTI JOIN stop USING (sh)),
-           |csizes AS (SELECT c_id, COUNT(*) AS n_c FROM ckept GROUP BY 1),
-           |bsh AS (
-           |  SELECT doc_id, UNNEST(shs) AS sh FROM (
-           |    SELECT doc_id, $shinglesSql AS shs
-           |    FROM (SELECT doc_id, $toksSql AS t FROM documents
-           |          WHERE doc_id >= 400))),
-           |bkept AS (SELECT doc_id, sh FROM bsh ANTI JOIN stop USING (sh)),
-           |bsizes AS (SELECT doc_id, COUNT(*) AS n_b FROM bkept GROUP BY 1),
-           |cmn AS (
-           |  SELECT b.doc_id, c.c_id, COUNT(*) AS n_common
-           |  FROM bkept b JOIN ckept c USING (sh) GROUP BY 1, 2),
-           |near AS (
-           |  SELECT doc_id, c_id, n_common / (n_b + n_c - n_common) AS jaccard
-           |  FROM cmn JOIN bsizes USING (doc_id) JOIN csizes USING (c_id)
-           |  WHERE n_common / (n_b + n_c - n_common) >= 0.5),
-           |best AS (
-           |  SELECT doc_id, c_id AS near_match FROM (
-           |    SELECT doc_id, c_id, ROW_NUMBER() OVER (
-           |      PARTITION BY doc_id ORDER BY jaccard DESC, c_id) AS r
-           |    FROM near) WHERE r = 1)
-           |SELECT b2.doc_id,
-           |  (cd.corp_match IS NULL AND b2.doc_id = b2.batch_first
-           |   AND bst.near_match IS NULL) AS keep,
-           |  CASE WHEN cd.corp_match IS NOT NULL THEN 'EXACT_DUP_CORPUS'
-           |       WHEN b2.doc_id <> b2.batch_first THEN 'EXACT_DUP_BATCH'
-           |       WHEN bst.near_match IS NOT NULL THEN 'NEAR_DUP_CORPUS'
-           |       ELSE 'KEPT' END AS reason,
-           |  CASE WHEN cd.corp_match IS NOT NULL THEN cd.corp_match
-           |       WHEN b2.doc_id <> b2.batch_first THEN b2.batch_first
-           |       ELSE bst.near_match END AS match_id
-           |FROM b2
-           |LEFT JOIN corp_dig cd USING (digest)
-           |LEFT JOIN best bst USING (doc_id)""".stripMargin,
+      "dedup_incremental" -> incrementalDedupSql(toksSql, shinglesSql),
+
+      // STORED-INDEX probe (D95): the decision tail is SHARED Scala
+      // code with dedup_incremental (TextDedup.dedupAgainstIndex), so
+      // the identical oracle pins that the persisted digest/stop/
+      // posting/size tables carry the same decision surface as the
+      // fresh corpus derivation.
+      "dedup_incremental_indexed" -> incrementalDedupSql(toksSql, shinglesSql),
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $clusterCtes

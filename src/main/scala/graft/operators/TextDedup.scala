@@ -432,19 +432,47 @@ object TextDedup {
                        idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxDf: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val digest = (c: Column) => sha2(c.cast("string"), 256)
-    val corpDig = corpus.groupBy(digest(col(textCol)).as("digest"))
+    val (corpDig, stop, cKept, cSizes) =
+      corpusIndexRelations(corpus, idCol, textCol, n, maxDf)
+    dedupAgainstIndex(corpDig, stop, cKept, cSizes, batch, idCol, textCol,
+      n, threshold)
+  }
+
+  /** The four corpus-side relations every incremental-dedup probe
+    * needs — derived fresh by [[incrementalDedup]], PERSISTED by
+    * [[buildDedupIndex]] so the 100-TB corpus is scanned once per
+    * refresh instead of once per batch.
+    */
+  private def corpusIndexRelations(corpus: DataFrame, idCol: String,
+                                   textCol: String, n: Int, maxDf: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val corpDig = corpus
+      .groupBy(sha2(col(textCol).cast("string"), 256).as("digest"))
       .agg(min(col(idCol)).as("corp_match"))
-    val firstW = Window.partitionBy(col("digest"))
-    val b2 = batch.select(col(idCol).as("doc_id"), digest(col(textCol)).as("digest"))
-      .withColumn("batch_first", min(col("doc_id")).over(firstW))
     val cSh = hashedShingles(corpus, idCol, textCol, n)
       .select(col("doc_id").as("c_id"), explode(col("shs")).as("sh"))
     val stop = cSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     val cKept = cSh.join(stop, Seq("sh"), "left_anti")
     val cSizes = cKept.groupBy(col("c_id")).agg(count(lit(1)).as("n_c"))
+    (corpDig, stop, cKept, cSizes)
+  }
+
+  /** The shared decision tail of [[incrementalDedup]] and
+    * [[incrementalDedupIndexed]] — ONE implementation, so the stored
+    * index provably carries the same decision surface as the fresh
+    * derivation (the spec pins equality, this makes it structural).
+    */
+  private def dedupAgainstIndex(corpDig: DataFrame, stop: DataFrame,
+                                cKept: DataFrame, cSizes: DataFrame,
+                                batch: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digest = (c: Column) => sha2(c.cast("string"), 256)
+    val firstW = Window.partitionBy(col("digest"))
+    val b2 = batch.select(col(idCol).as("doc_id"), digest(col(textCol)).as("digest"))
+      .withColumn("batch_first", min(col("doc_id")).over(firstW))
     val bSh = hashedShingles(batch, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
     val bKept = bSh.join(stop, Seq("sh"), "left_anti")
@@ -477,6 +505,57 @@ object TextDedup {
           .when(col("reason") === "NEAR_DUP_CORPUS", col("near_match")))
       .withColumn("keep", col("reason") === "KEPT")
       .select(col("doc_id"), col("keep"), col("reason"), col("match_id"))
+  }
+
+  /** BUILD the persisted corpus dedup index — the operational shape
+    * at 100 TB, where the standing corpus is ~1000× every batch:
+    * [[incrementalDedup]] re-digests and re-shingles the corpus on
+    * EVERY batch, so the per-batch cost is corpus-sized; this commits
+    * the four corpus-side relations once per corpus refresh as
+    * versioned tables (the A18 machinery — atomic manifest publish,
+    * time travel, history) under `dir`:
+    *
+    *  - `digests`  (digest, corp_match) — the exact-dup probe,
+    *  - `stops`    (sh) — df > `maxDf` shingles (the batch side must
+    *    drop them symmetrically for exact Jaccard),
+    *  - `postings` (sh, c_id) — the df-capped inverted index,
+    *  - `sizes`    (c_id, n_c) — per-doc kept-shingle counts.
+    *
+    * All four commit as OVERWRITE snapshots; a probe reads the four
+    * tables at one version, so a half-refreshed index is never
+    * observable version-by-version (each table flips atomically, and
+    * refresh = re-commit all four; readers pin `asOf` for exact
+    * cross-table consistency). Returns the committed version (the
+    * four stay in lockstep when built only through here).
+    */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      dir: String, n: Int = 3, maxDf: Int = 1000): Long = {
+    val (corpDig, stop, cKept, cSizes) =
+      corpusIndexRelations(corpus, idCol, textCol, n, maxDf)
+    graft.sources.VersionedTable.commit(corpDig, s"$dir/digests", overwrite = true)
+    graft.sources.VersionedTable.commit(stop, s"$dir/stops", overwrite = true)
+    graft.sources.VersionedTable.commit(cSizes, s"$dir/sizes", overwrite = true)
+    graft.sources.VersionedTable.commit(cKept, s"$dir/postings", overwrite = true)
+  }
+
+  /** Incremental dedup of a batch AGAINST THE STORED INDEX — the
+    * probe side of [[buildDedupIndex]]: identical decision surface to
+    * [[incrementalDedup]] (same shared tail, spec-pinned equal), but
+    * the corpus is never rescanned — the batch joins the persisted
+    * digest/stop/posting/size tables, so per-batch cost is
+    * |batch| × collision rate regardless of corpus size. `asOf` pins
+    * all four tables to one committed version (time travel across
+    * index refreshes).
+    */
+  def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.5,
+                              asOf: Option[Long] = None): DataFrame = {
+    def tbl(name: String) =
+      graft.sources.VersionedTable.read(spark, s"$dir/$name", asOf)
+    dedupAgainstIndex(tbl("digests"), tbl("stops"), tbl("postings"),
+      tbl("sizes"), batch, idCol, textCol, n, threshold)
   }
 
   /** Connected components over a near-dup pair set — the step every

@@ -240,6 +240,45 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("indexed incremental dedup: equals the fresh derivation; refresh and asOf honored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx_spec").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "an entirely unrelated corpus document lives here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy cat"),
+      (102L, "novel content appears only in this new batch"),
+      (104L, "nothing like anything else whatsoever at all"))
+      .toDF("doc_id", "text")
+    def decisions(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val v0 = TextDedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val viaIndex = decisions(
+      TextDedup.incrementalDedupIndexed(spark, dir, batch, "doc_id", "text"))
+    val fresh = decisions(
+      TextDedup.incrementalDedup(corpus, batch, "doc_id", "text"))
+    assert(viaIndex == fresh)
+    assert(viaIndex(102L) == ((true, "KEPT", -1L)))
+    // REFRESH: commit a grown corpus (now containing 102's text); the
+    // probe over the refreshed index must see it — and the asOf probe
+    // over the ORIGINAL version must still report the old decision
+    val grown = corpus.unionByName(
+      Seq((12L, "novel content appears only in this new batch"))
+        .toDF("doc_id", "text"))
+    val v1 = TextDedup.buildDedupIndex(grown, "doc_id", "text", dir)
+    assert(v1 == v0 + 1)
+    val refreshed = decisions(
+      TextDedup.incrementalDedupIndexed(spark, dir, batch, "doc_id", "text"))
+    assert(refreshed(102L) == ((false, "EXACT_DUP_CORPUS", 12L)))
+    assert(refreshed(104L) == ((true, "KEPT", -1L)))
+    val pinned = decisions(TextDedup.incrementalDedupIndexed(
+      spark, dir, batch, "doc_id", "text", asOf = Some(v0)))
+    assert(pinned == viaIndex)
+  }
+
   test("connected components: chains merge, separate components stay apart") {
     // 1-2-3 chained (1-2, 2-3), {10,11} pair, 20 isolated (no pairs)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
