@@ -4,15 +4,24 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductExpr, KllMergeAgg, KllMergePairExpr, KllNExpr, KllQuantilesExpr, KllSketchAgg, MinHashSigExpr, SimHash64Expr, UnicodeNormalizeExpr}
+import graft.expressions.{BloomMightContainExpr, DotProductExpr, DoubleToDecimalExpr, FingerprintsExpr, JaroWinklerExpr, KllMergeAgg, KllMergePairExpr, KllNExpr, KllQuantilesExpr, KllSketchAgg, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr, SplitMixUniformExpr, UnicodeNormalizeExpr, UtmToLatExpr, UtmToLonExpr}
 
 /** SparkSessionExtensions entry point: registers the native kernel
   * expressions as SQL functions, so `spark.sql` users get the same
   * codegen'd kernels as the Column API:
   *
   *   minhash_sig(arr, numHashes[, seed])   -> array<bigint>
+  *   shingle_hashes(tokens, n)             -> array<bigint>
+  *   fingerprints(tokens, n)               -> array<bigint>
   *   simhash64(arr)                        -> bigint
   *   dot_product(a, b)                     -> double
+  *   jaro_winkler(a, b)                    -> double
+  *   bloom_might_contain(key, bloomBytes)  -> boolean (bytes: binary literal,
+  *                                            a serialized graft bloom filter)
+  *   splitmix_uniform(seedHex, k)          -> double in [0, 1)
+  *   double_to_decimal(v, precision, scale)-> decimal(precision, scale)
+  *   utm_to_lat(e, n, zone, southern)      -> double (WGS84 latitude)
+  *   utm_to_lon(e, n, zone, southern)      -> double (WGS84 longitude)
   *   unicode_normalize(s[, form])          -> string (form: 'NFC' default,
   *                                            'NFD', 'NFKC', 'NFKD')
   *
@@ -34,6 +43,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be a long literal, got $other")
   }
 
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  private def bytesArg(e: Expression, what: String): Array[Byte] = e match {
+    case Literal(v: Array[Byte], _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a binary literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the merge as-of join's planner
     // strategy (custom LogicalPlan -> custom merge SparkPlan)
@@ -53,6 +74,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, "simhash64(arr)")
         SimHash64Expr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hashes(tokens, n)")
+        ShingleHashesExpr(args.head, intArg(args(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprints"),
+      new ExpressionInfo(classOf[FingerprintsExpr].getName, "fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "fingerprints(tokens, n)")
+        FingerprintsExpr(args.head, intArg(args(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaro_winkler(a, b)")
+        JaroWinklerExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "bloom_might_contain(key, bloomBytes)")
+        BloomMightContainExpr(args.head, bytesArg(args(1), "bloomBytes"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("splitmix_uniform"),
+      new ExpressionInfo(classOf[SplitMixUniformExpr].getName,
+        "splitmix_uniform"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "splitmix_uniform(seedHex, k)")
+        SplitMixUniformExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("double_to_decimal"),
+      new ExpressionInfo(classOf[DoubleToDecimalExpr].getName,
+        "double_to_decimal"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "double_to_decimal(v, precision, scale)")
+        DoubleToDecimalExpr(args.head,
+          intArg(args(1), "precision"), intArg(args(2), "scale"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("utm_to_lat"),
+      new ExpressionInfo(classOf[UtmToLatExpr].getName, "utm_to_lat"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4, "utm_to_lat(e, n, zone, southern)")
+        UtmToLatExpr(args.head, args(1),
+          intArg(args(2), "zone"), boolArg(args(3), "southern"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("utm_to_lon"),
+      new ExpressionInfo(classOf[UtmToLonExpr].getName, "utm_to_lon"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4, "utm_to_lon(e, n, zone, southern)")
+        UtmToLonExpr(args.head, args(1),
+          intArg(args(2), "zone"), boolArg(args(3), "southern"))
       }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),

@@ -36,6 +36,16 @@ object GraftSession {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // WindowExec warns on every unpartitioned window; in this engine
+    // those are all BOUNDED PANELS by convention (1-row aggregates,
+    // ≤days/≤groups relations — see SURVEY §4), so the warning is
+    // noise that buries real ones. Silence THIS logger only: a future
+    // data-sized unpartitioned window should be caught by plan review
+    // (InvariantSpec pins the join-heavy set), not by scrolling past
+    // ten thousand identical lines.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -110,6 +110,45 @@ class KernelExprSpec extends SparkSpec {
     assert(r.getInt(2) == 8)
   }
 
+  test("remaining kernels reach SQL: shingles, fingerprints, jaro, rng, decimal, geo, bloom") {
+    // every SQL answer must equal its Column-API twin bit for bit
+    val api = spark.range(1).select(
+      Kernels.shingleHashes(split(lit("a b c d"), " "), 3).as("sh"),
+      Kernels.fingerprints(split(lit("a b c d"), " "), 3).as("fp"),
+      Kernels.splitmixUniform(lit("00112233445566778899aabbccddeeff"), lit(2)).as("u"),
+      Kernels.utmToLat(lit(346000.0), lit(6288000.0), 19, southern = true).as("la"),
+      Kernels.utmToLon(lit(346000.0), lit(6288000.0), 19, southern = true).as("lo"))
+      .head()
+    val viaSql = spark.sql(
+      """SELECT shingle_hashes(split('a b c d', ' '), 3) AS sh,
+        |       fingerprints(split('a b c d', ' '), 3) AS fp,
+        |       jaro_winkler('martha', 'marhta') AS jw,
+        |       splitmix_uniform('00112233445566778899aabbccddeeff', 2) AS u,
+        |       double_to_decimal(1.5d, 18, 6) AS dec,
+        |       utm_to_lat(346000.0d, 6288000.0d, 19, true) AS la,
+        |       utm_to_lon(346000.0d, 6288000.0d, 19, true) AS lo""".stripMargin)
+      .head()
+    assert(viaSql.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(viaSql.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(math.abs(viaSql.getDouble(2) - 0.9611111111111111) < 1e-12)
+    assert(viaSql.getDouble(3) == api.getDouble(2)) // u
+    assert(viaSql.getDecimal(4) ==
+      new java.math.BigDecimal("1.500000"))
+    assert(viaSql.getDouble(5) == api.getDouble(3)) // la
+    assert(viaSql.getDouble(6) == api.getDouble(4)) // lo
+    // bloom probe through a SQL binary (hex) literal: members hit,
+    // a key far outside the inserted range misses
+    val bloom = graft.operators.Prejoin.keyBloom(
+      (0L until 100L).toSeq.toDF("k"), "k", expectedItems = 100)
+    val hex = bloom.map("%02x".format(_)).mkString
+    val probes = spark.sql(
+      s"""SELECT bloom_might_contain(CAST(7 AS BIGINT), X'$hex') AS hit,
+         |       bloom_might_contain(CAST(123456789 AS BIGINT), X'$hex') AS miss"""
+        .stripMargin).head()
+    assert(probes.getBoolean(0))
+    assert(!probes.getBoolean(1))
+  }
+
   test("kernel expressions are null-safe") {
     val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Double]]))
       .toDF("s", "v")
