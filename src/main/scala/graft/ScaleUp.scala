@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
   *  - documents shift doc_id and suffix every token per replica —
   *    replicas share ZERO shingles, so the near-dup pair structure
   *    (pairs per doc) is scale-invariant instead of exploding into
-  *    10-deep exact-dup cliques no real corpus has;
+  *    10-deep exact-dup cliques no real corpus has. KNOWN SKEW: the
+  *    suffix changes token CONTENT (stopword/langid hits vanish in
+  *    replicas ≥ 1, tokens grow ~3 chars), so slopes are meaningful
+  *    for structure-driven costs (shingling, pair joins, counts) —
+  *    the heavy tail under measurement — not for content-conditioned
+  *    selectivity (language-id hit rates and the like);
   *  - embeddings shift vec_id and ROTATE the vector per replica (a
   *    fixed dimension permutation preserves norms and the coordinate
   *    distribution while decorrelating replicas — 10 identical copies
   *    of every vector would make every ANN/near-dup query quadratic
-  *    in the replica count).
+  *    in the replica count). Rotation offsets must stay distinct, so
+  *    `factor` is capped at the embedding dimension (beyond it the
+  *    offsets wrap to 0 and replicas become exact copies — the
+  *    clique explosion the rotation exists to prevent).
   *
   * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> [factor=10]
   */
@@ -100,13 +108,18 @@ object ScaleUp {
     val emb = t("embeddings").localCheckpoint(true)
     val vecSpan = maxOf(emb, "vec_id") + 1
     val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= d,
+      s"factor=$factor exceeds the embedding dimension $d: rotation " +
+        "offsets would wrap to 0 and replicas become exact vector " +
+        "copies, making every ANN/near-dup slope quadratic in the " +
+        "replica count instead of linear")
     write(reps(emb)((df, r) => df
       .withColumn("vec_id", shift("vec_id", vecSpan, r))
       .withColumn("embedding",
         if (r == 0) col("embedding")
         else concat(
-          slice(col("embedding"), r % d + 1, d - r % d),
-          slice(col("embedding"), 1, r % d)))), "embeddings")
+          slice(col("embedding"), r + 1, d - r),
+          slice(col("embedding"), 1, r)))), "embeddings")
 
     println(s"""{"scaled": "$out", "factor": $factor}""")
     spark.stop()

@@ -1677,19 +1677,28 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
-    // Incremental dedup against the PERSISTED corpus index: build the
-    // versioned digest/stop/posting/size tables once (the per-refresh
-    // cost), then the batch probes stored tables — per-batch cost is
-    // batch-sized regardless of corpus size. Same decision surface as
-    // dedup_incremental (shared tail), same oracle.
+    // Incremental dedup against the PERSISTED corpus index: one index
+    // REFRESH (the per-corpus-commit cost) + the batch PROBE over the
+    // stored tables — the timed entry deliberately includes both
+    // halves of the operational cycle; at 100 TB the refresh amortizes
+    // over ~1000 batch probes. Same decision surface as
+    // dedup_incremental (shared tail), same oracle. One fixed scratch
+    // dir per (JVM, sf) — recursively cleared before each build, so
+    // repeated bench/verify passes never accumulate index copies.
     "dedup_incremental_indexed" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_dedup_idx").toString
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_dedup_idx_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (dir.exists()) rm(dir)
       TextDedup.buildDedupIndex(
-        docs.filter(col("doc_id") < 400), "doc_id", "text", dir)
+        docs.filter(col("doc_id") < 400), "doc_id", "text", dir.toString)
       TextDedup.incrementalDedupIndexed(
-        s, dir, docs.filter(col("doc_id") >= 400), "doc_id", "text")
+        s, dir.toString, docs.filter(col("doc_id") >= 400), "doc_id", "text")
     }),
 
     // Duplicate-cluster assignment: connected components over the

@@ -82,14 +82,25 @@ object Recsys {
     // The packability probe below EXECUTES at plan-construction time,
     // so the relation must be materialized first or the probe replays
     // the full upstream lineage once extra: enforce the precondition
-    // here — pass through relations already RDD-backed (a caller's
-    // localCheckpoint), cut everything else (lazily: the probe's
-    // collect is the action that materializes it, and the pair build
-    // then reuses the checkpointed blocks)
-    val inter = inter0.queryExecution.optimizedPlan.getClass.getSimpleName match {
-      case "LogicalRDD" => inter0
-      case _            => inter0.localCheckpoint(false)
+    // here — pass through relations that are already materialized (a
+    // caller's localCheckpoint/cache, possibly under a cheap
+    // projection), cut everything else (lazily: the probe's collect
+    // is the action that materializes it, and the pair build then
+    // reuses the checkpointed blocks)
+    def materialized(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        materialized(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        materialized(f.child)
+      case _ => false
     }
+    val inter =
+      if (materialized(inter0.queryExecution.optimizedPlan)) inter0
+      else inter0.localCheckpoint(false)
     val idType = inter.schema("item_id").dataType
     val integralIds =
       Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)

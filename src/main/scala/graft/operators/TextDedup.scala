@@ -519,23 +519,36 @@ object TextDedup {
     *  - `stops`    (sh) — df > `maxDf` shingles (the batch side must
     *    drop them symmetrically for exact Jaccard),
     *  - `postings` (sh, c_id) — the df-capped inverted index,
-    *  - `sizes`    (c_id, n_c) — per-doc kept-shingle counts.
+    *  - `sizes`    (c_id, n_c) — per-doc kept-shingle counts,
+    *  - `manifest` (digests_v, stops_v, postings_v, sizes_v, n,
+    *    max_df) — committed LAST, so the refresh flips atomically:
+    *    a build that dies after some table commits leaves the
+    *    manifest untouched and probes keep reading the previous
+    *    CONSISTENT version set (the data tables' own version counters
+    *    may drift apart after such a failure — the manifest, not
+    *    version-number equality, is the lockstep).
     *
-    * All four commit as OVERWRITE snapshots; a probe reads the four
-    * tables at one version, so a half-refreshed index is never
-    * observable version-by-version (each table flips atomically, and
-    * refresh = re-commit all four; readers pin `asOf` for exact
-    * cross-table consistency). Returns the committed version (the
-    * four stay in lockstep when built only through here).
+    * The manifest also pins the SHINGLE PARAMETERS (`n`, `maxDf`):
+    * a probe must shingle its batch exactly the way the index was
+    * built or near-dup counts are silently zero, so the probe reads
+    * `n` from the manifest instead of trusting a caller. Returns the
+    * manifest version — the `asOf` handle for time travel across
+    * refreshes.
     */
   def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
                       dir: String, n: Int = 3, maxDf: Int = 1000): Long = {
+    import graft.sources.VersionedTable
+    val spark = corpus.sparkSession
     val (corpDig, stop, cKept, cSizes) =
       corpusIndexRelations(corpus, idCol, textCol, n, maxDf)
-    graft.sources.VersionedTable.commit(corpDig, s"$dir/digests", overwrite = true)
-    graft.sources.VersionedTable.commit(stop, s"$dir/stops", overwrite = true)
-    graft.sources.VersionedTable.commit(cSizes, s"$dir/sizes", overwrite = true)
-    graft.sources.VersionedTable.commit(cKept, s"$dir/postings", overwrite = true)
+    val dv = VersionedTable.commit(corpDig, s"$dir/digests", overwrite = true)
+    val sv = VersionedTable.commit(stop, s"$dir/stops", overwrite = true)
+    val zv = VersionedTable.commit(cSizes, s"$dir/sizes", overwrite = true)
+    val pv = VersionedTable.commit(cKept, s"$dir/postings", overwrite = true)
+    import spark.implicits._
+    val manifest = Seq((dv, sv, pv, zv, n, maxDf))
+      .toDF("digests_v", "stops_v", "postings_v", "sizes_v", "n", "max_df")
+    VersionedTable.commit(manifest, s"$dir/manifest", overwrite = true)
   }
 
   /** Incremental dedup of a batch AGAINST THE STORED INDEX — the
@@ -543,19 +556,27 @@ object TextDedup {
     * [[incrementalDedup]] (same shared tail, spec-pinned equal), but
     * the corpus is never rescanned — the batch joins the persisted
     * digest/stop/posting/size tables, so per-batch cost is
-    * |batch| × collision rate regardless of corpus size. `asOf` pins
-    * all four tables to one committed version (time travel across
-    * index refreshes).
+    * |batch| × collision rate regardless of corpus size. The manifest
+    * supplies both the four tables' pinned versions (a half-finished
+    * refresh is never observable) and the shingle width `n` the index
+    * was built with. `asOf` is a MANIFEST version (the value
+    * [[buildDedupIndex]] returned) — time travel across refreshes.
     */
   def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
                               dir: String, batch: DataFrame,
                               idCol: String, textCol: String,
-                              n: Int = 3, threshold: Double = 0.5,
+                              threshold: Double = 0.5,
                               asOf: Option[Long] = None): DataFrame = {
-    def tbl(name: String) =
-      graft.sources.VersionedTable.read(spark, s"$dir/$name", asOf)
-    dedupAgainstIndex(tbl("digests"), tbl("stops"), tbl("postings"),
-      tbl("sizes"), batch, idCol, textCol, n, threshold)
+    import graft.sources.VersionedTable
+    val m = VersionedTable.read(spark, s"$dir/manifest", asOf).head()
+    def tbl(name: String, v: Long) =
+      VersionedTable.read(spark, s"$dir/$name", Some(v))
+    dedupAgainstIndex(
+      tbl("digests", m.getAs[Long]("digests_v")),
+      tbl("stops", m.getAs[Long]("stops_v")),
+      tbl("postings", m.getAs[Long]("postings_v")),
+      tbl("sizes", m.getAs[Long]("sizes_v")),
+      batch, idCol, textCol, m.getAs[Int]("n"), threshold)
   }
 
   /** Connected components over a near-dup pair set — the step every
