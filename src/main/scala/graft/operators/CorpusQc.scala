@@ -1237,74 +1237,87 @@ object CorpusQc {
   /** Viterbi segmentation of a distinct-word relation under a piece
     * vocabulary — the shared inference kernel of [[unigramTrain]]'s
     * E-step and [[unigramEncode]]: per word, the max-log-prob
-    * segmentation into vocabulary pieces via the classic position DP,
-    * unrolled over `lcap` fixed rounds (the engine-replayable form of
-    * the lattice walk). Round `i` joins the live frontier (the ≤
-    * `maxPieceLen` preceding position panels) against the broadcast
-    * piece vocabulary on `piece = word[pos+1 .. i]` and keeps the
-    * per-word argmax under the total (score DESC, seg ASC) order.
+    * segmentation into vocabulary pieces via the classic position DP.
+    *
+    * The lattice is evaluated PER WORD inside one row: the word's
+    * vocabulary-matched substring edges collect into an array (the
+    * only shuffle), and an `aggregate` over positions 1..len folds
+    * the DP table — at each position the ≤`maxPieceLen` incoming
+    * edges propose `prev.score + log_prob` candidates and the argmax
+    * under the total (score DESC, seg ASC) order survives. This is
+    * semantically the unrolled per-position plan (the oracle still
+    * replays it as `lcap` chained CTEs) but costs ONE broadcast join
+    * + ONE groupBy per pass instead of a join + argmax-window shuffle
+    * per position (measured at sf0.1: unigram_encode 7.0 → 2.4 s,
+    * unigram_train 4.0 → 1.3 s vs the unrolled form).
     *
     * `words` must carry (`word`, `wf`) with every word non-empty and
-    * ≤ `lcap` chars; `vocab` (`piece`, `log_prob`) must contain every
-    * single character of every word (the trainer's char-inventory
-    * guarantee), so the DP always completes. Scores are left-to-right
-    * folds of 1e-6-gridded log-probs — the same fold in any engine,
-    * so winners (and their ulp-level ties, broken on the segmentation
-    * string) replay bit-identically.
+    * pre-truncated to the trainer's `lcap` horizon; `vocab`
+    * (`piece`, `log_prob`) must contain every single character of
+    * every word (the trainer's char-inventory guarantee), so the DP
+    * always completes. Scores are left-to-right folds of
+    * 1e-6-gridded log-probs — the same fold in any engine — and the
+    * candidate comparator is a total order, so winners (including
+    * ulp-level ties) replay bit-identically.
     *
-    * Scale shape: the DP state is distinct-words × ≤maxPieceLen live
-    * positions — vocabulary-sized, never corpus-sized; each round is
-    * one broadcast join plus one per-word window over ≤ maxPieceLen
-    * candidate rows per word, and per-round winners are checkpointed
-    * single-position panels so plan depth stays flat (the
-    * bpeTrainMerges discipline). Output: (word, wf, seg) with `seg`
-    * the space-joined best pieces.
+    * Scale shape: rows = distinct words (vocabulary-sized, never
+    * corpus-sized); per row the fold does ≤ len × maxPieceLen edge
+    * probes over a ≤ len×maxPieceLen edge array — constant work per
+    * word, fully parallel, no driver involvement. Output:
+    * (word, wf, seg) with `seg` the space-joined best pieces.
     */
   private[graft] def unigramViterbi(words: DataFrame, vocab: DataFrame,
                                     maxPieceLen: Int, lcap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = broadcast(vocab.select(col("piece"), col("log_prob")))
-    val d0 = words.select(col("word"), col("wf"),
-        length(col("word")).as("wl"),
-        lit(0).as("pos"), lit(0.0).as("score"), lit("").as("seg"))
-      .localCheckpoint(true)
-    // DP horizon: positions beyond the LONGEST word yield nothing —
-    // cap the unroll there (one 1-row probe on the checkpointed d0;
-    // identical output, and at this corpus it halves the rounds)
-    val hiRow = d0.agg(max(col("wl"))).head()
-    val hi = if (hiRow.isNullAt(0)) 0 else math.min(lcap, hiRow.getInt(0))
-    if (hi == 0) // empty word relation: empty segmentation, same schema
-      return d0.select(col("word"), col("wf"), col("seg"))
-    val byWord = Window.partitionBy(col("word"))
-      .orderBy(col("score").desc, col("seg"))
-    var bests = Vector.empty[DataFrame] // bests(j - 1) = winners at position j
-    for (i <- 1 to hi) {
-      val lo = math.max(0, i - maxPieceLen)
-      val frontier = ((if (lo == 0) Seq(d0) else Nil) ++
-        bests.slice(math.max(1, lo) - 1, i - 1)).reduce(_ unionByName _)
-      val cand = frontier.filter(col("wl") >= i)
-        .withColumn("piece",
-          col("word").substr(col("pos") + 1, lit(i) - col("pos")))
-        .join(v, "piece")
-        .select(col("word"), col("wf"), col("wl"), lit(i).as("pos"),
-          (col("score") + col("log_prob")).as("score"),
-          concat(col("seg"), lit(" "), col("piece")).as("seg"))
-      // LAZY checkpoint: still cuts lineage (each round's winners
-      // materialize once, at the pass's terminal action) but lets all
-      // rounds pipeline into ONE job instead of one eager job per
-      // position — the rounds are vocabulary-sized panels whose cost
-      // is scheduling, not data (measured with the horizon cap:
-      // unigram_encode 10.2 s → 7.0 s, unigram_train 6.0 s → 4.0 s at
-      // sf0.1; the residual is the per-round argmax-window shuffle —
-      // collapsing the DP into one per-word array aggregate is the
-      // next lever if this family ever dominates a sweep)
-      bests :+= cand.withColumn("__rn", row_number().over(byWord))
-        .filter(col("__rn") === 1).drop("__rn")
-        .localCheckpoint(false)
-    }
-    bests.map(_.filter(col("pos") === col("wl")))
-      .reduce(_ unionByName _)
-      .select(col("word"), col("wf"), ltrim(col("seg")).as("seg"))
+    val edges = words
+      .select(col("word"), col("wf"), length(col("word")).as("wl"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("wf"), col("wl"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("wl") - col("s") + 1))).as("l"))
+      .withColumn("piece", col("word").substr(col("s"), col("l")))
+      .join(v, "piece")
+      .groupBy(col("word"), col("wf"), col("wl"))
+      .agg(collect_list(struct(col("s"), col("l"), col("piece"),
+        col("log_prob").as("lp"))).as("es"))
+    // dp(pos) lives at array index pos+1; dp(0) = (0.0, '')
+    val dpType = "struct<score:double,seg:string>"
+    val dp = aggregate(
+      sequence(lit(1), col("wl")),
+      array(struct(lit(0.0).as("score"), lit("").as("seg"))),
+      (acc, i) => {
+        val cands = (1 to maxPieceLen).map { k =>
+          // edge covering positions (i-k, i]: starts at i-k+1, len k;
+          // (s, l) is unique in es, so the filter+head is total
+          val e = try_element_at(filter(col("es"), e =>
+            e.getField("s") === (i - lit(k) + 1) &&
+              e.getField("l") === lit(k)), lit(1))
+          // the prev lookup only evaluates when k <= i (CaseWhen
+          // branches are lazy), so the index stays >= 1
+          when(lit(k) <= i && e.isNotNull, {
+            val prev = element_at(acc, i - lit(k) + 1)
+            struct(
+              (prev.getField("score") + e.getField("lp")).as("score"),
+              concat(prev.getField("seg"), lit(" "),
+                e.getField("piece")).as("seg"))
+          })
+        }
+        // argmax under the unrolled plan's total (score DESC, seg ASC)
+        // order, folded with LAMBDA variables (an expression-level
+        // reduce would copy each candidate subtree into every
+        // comparison — exponential tree growth); null candidates lose
+        val best = aggregate(
+          array(cands: _*),
+          lit(null).cast(dpType),
+          (b, c) => when(c.isNull, b).when(b.isNull, c)
+            .when(c.getField("score") > b.getField("score") ||
+              (c.getField("score") === b.getField("score") &&
+                c.getField("seg") < b.getField("seg")), c)
+            .otherwise(b))
+        concat(acc, array(best))
+      })
+    edges.select(col("word"), col("wf"),
+      ltrim(element_at(dp, col("wl") + 1).getField("seg")).as("seg"))
   }
 
   /** §5 gridded log-prob panel over a (piece, n_used) relation:
