@@ -1267,7 +1267,7 @@ object CorpusQc {
     * (word, wf, seg) with `seg` the space-joined best pieces.
     */
   private[graft] def unigramViterbi(words: DataFrame, vocab: DataFrame,
-                                    maxPieceLen: Int, lcap: Int): DataFrame = {
+                                    maxPieceLen: Int): DataFrame = {
     val v = broadcast(vocab.select(col("piece"), col("log_prob")))
     val edges = words
       .select(col("word"), col("wf"), length(col("word")).as("wl"),
@@ -1407,7 +1407,7 @@ object CorpusQc {
       .select(col("piece"), col("cnt").as("n_used"))
     var vocab = unigramLogp(seed, laplace = false).localCheckpoint(true)
     for (_ <- 1 to emRounds) {
-      val usage = unigramViterbi(words, vocab, maxPieceLen, lcap)
+      val usage = unigramViterbi(words, vocab, maxPieceLen)
         .select(col("wf"), explode(split(col("seg"), " ")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wf")).as("n_used"))
         .localCheckpoint(true)
@@ -1437,7 +1437,7 @@ object CorpusQc {
                     lcap: Int = 12): DataFrame = {
     val (words, vocab) = unigramFit(df, textCol, emRounds, seedMultis,
       keepMultis, maxPieceLen, lcap)
-    val segs = unigramViterbi(words, vocab, maxPieceLen, lcap)
+    val segs = unigramViterbi(words, vocab, maxPieceLen)
       .select(col("word"), size(split(col("seg"), " ")).as("n_pieces"))
     df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))

@@ -476,14 +476,14 @@ class CorpusQcSpec extends SparkSpec {
     // 'a bc' (leading-space form ' a bc' < ' ab c')
     val vocab = Seq("a", "b", "c", "ab", "bc").map((_, -1.0))
       .toDF("piece", "log_prob")
-    val got = CorpusQc.unigramViterbi(words, vocab, maxPieceLen = 4, lcap = 12)
+    val got = CorpusQc.unigramViterbi(words, vocab, maxPieceLen = 4)
       .collect().map(r => (r.getString(0), r.getString(2)))
     assert(got.toSeq == Seq(("abc", "a bc")))
     // a cheaper 3-piece path never beats a 2-piece path at equal logp,
     // but a HIGH-prob char route must beat a low-prob long piece
     val vocab2 = Seq(("a", -0.1), ("b", -0.1), ("c", -0.1), ("abc", -9.0))
       .toDF("piece", "log_prob")
-    val got2 = CorpusQc.unigramViterbi(words, vocab2, 4, 12)
+    val got2 = CorpusQc.unigramViterbi(words, vocab2, 4)
       .collect().map(_.getString(2))
     assert(got2.toSeq == Seq("a b c"))
   }
@@ -508,6 +508,43 @@ class CorpusQcSpec extends SparkSpec {
     val enc = CorpusQc.unigramEncode(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(enc.toSeq == Seq((1L, 4L, 4L)))
+  }
+
+  test("unigramViterbi: optimal vs brute-force enumeration on random vocabularies") {
+    // the DP must pick EXACTLY the (max score, then lexicographically
+    // smallest seg) segmentation a full enumeration picks — including
+    // bit-level double ties, since both sides fold scores left to
+    // right over the same gridded log-probs
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 40)
+      .map(_ => (1 to (1 + rnd.nextInt(6))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      .distinct
+    val subs = words.flatMap(w =>
+      for { s <- 1 to w.length; l <- 1 to math.min(3, w.length - s + 1) }
+        yield w.substring(s - 1, s - 1 + l)).distinct.sorted
+    val vocab = subs.filter(p => p.length == 1 || rnd.nextBoolean())
+      .map(p => (p, math.floor(math.log(0.05 + rnd.nextDouble()) * 1e6) / 1e6))
+    val vmap = vocab.toMap
+    def enum(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(3, w.length)).flatMap { k =>
+        val p = w.substring(0, k)
+        if (vmap.contains(p)) enum(w.substring(k)).map(p :: _) else Nil
+      }
+    val expected = words.map { w =>
+      val cands = enum(w).map(ps =>
+        (ps.foldLeft(0.0)((s, p) => s + vmap(p)), ps.mkString(" ")))
+      // maxBy keeps the FIRST maximal element, so seg-ascending order
+      // makes ties resolve to the smallest seg — the DP's total order
+      w -> cands.sortBy(_._2).maxBy(_._1)._2
+    }.toMap
+    val got = CorpusQc.unigramViterbi(
+        words.map((_, 1L)).toDF("word", "wf"),
+        vocab.toDF("piece", "log_prob"), maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got.keySet == words.toSet)
+    words.foreach(w => assert(got(w) == expected(w),
+      s"word '$w': dp='${got(w)}' brute='${expected(w)}'"))
   }
 
   test("unigramTrain: words truncate to the lcap DP horizon, never drop") {
