@@ -2858,6 +2858,11 @@ object SparkEntry {
     "unigram_encode" -> ((s: SparkSession, d: String) =>
       CorpusQc.unigramEncode(t(s, d, "documents"), "doc_id", "text")),
 
+    // Tokenizer-selection panel: the same corpus through BOTH
+    // production tokenizers, corpus-level compression side by side.
+    "tokenizer_compare" -> ((s: SparkSession, d: String) =>
+      CorpusQc.tokenizerCompare(t(s, d, "documents"), "doc_id", "text")),
+
     // Corpus token frequency top-N (training-data vocabulary stats):
     // explode + one partial-aggregable shuffle + TakeOrdered.
     "text_token_topn" -> ((s: SparkSession, d: String) =>
@@ -10055,6 +10060,26 @@ object SparkEntry {
     (head +: iters).mkString(",\n")
   }
 
+  /** The learned BPE merges applied to every corpus token in round
+    * order (e0 = char-split tokens, e_r = round-r merge applied) —
+    * the shared apply chain of the bpe_encode and tokenizer_compare
+    * oracles; pairs with [[bpeTrainCtes]] (which defines the b$r
+    * winners it references).
+    */
+  private def bpeApplyCtes(toksSql: String, rounds: Int): String = {
+    val applies = (1 to rounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT doc_id, replace(sym, ' ' || b.l || '  ' || b.r || ' ',
+         |                              ' ' || b.l || b.r || ' ') AS sym
+         |  FROM e${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' ' AS sym
+       |  FROM (SELECT doc_id, UNNEST(t) AS tok
+       |        FROM (SELECT doc_id, $toksSql AS t FROM documents))),
+       |$applies""".stripMargin
+  }
+
   /** Unigram-LM tokenizer training as chained MATERIALIZED CTEs (the
     * bpeTrainCtes discipline): `w` word freqs, `sub` substring seed,
     * `inv` char inventory, `v0`/`u0v` seed vocab, then per EM round a
@@ -10112,7 +10137,7 @@ object SparkEntry {
            |    FROM w)
            |  GROUP BY 1),
            |inv AS MATERIALIZED (SELECT piece FROM sub WHERE len(piece) = 1),
-           |v0 AS MATERIALIZED (
+           |ugv0 AS MATERIALIZED (
            |  SELECT piece, cnt AS n_used FROM sub WHERE len(piece) = 1
            |  UNION ALL
            |  SELECT piece, cnt AS n_used FROM (
@@ -10121,14 +10146,14 @@ object SparkEntry {
            |u0v AS MATERIALIZED (
            |  SELECT piece, n_used,
            |    FLOOR(LN(CAST(n_used AS DOUBLE) / t.tot) * 1e6) / 1e6 AS log_prob
-           |  FROM v0, (SELECT CAST(SUM(n_used) AS DOUBLE) AS tot FROM v0) t)""".stripMargin
+           |  FROM ugv0, (SELECT CAST(SUM(n_used) AS DOUBLE) AS tot FROM ugv0) t)""".stripMargin
       val rounds = (1 to emRounds).map { r =>
         viterbiCtes(s"r$r", s"u${r - 1}v") + ",\n" +
           s"""u$r AS MATERIALIZED (
              |  SELECT piece, CAST(SUM(wf) AS BIGINT) AS n_used
              |  FROM (SELECT wf, UNNEST(string_split(seg, ' ')) AS piece FROM r${r}f)
              |  GROUP BY 1),
-             |v$r AS MATERIALIZED (
+             |ugv$r AS MATERIALIZED (
              |  SELECT i.piece, COALESCE(u.n_used, CAST(0 AS BIGINT)) AS n_used
              |  FROM inv i LEFT JOIN u$r u USING (piece)
              |  UNION ALL
@@ -10138,7 +10163,7 @@ object SparkEntry {
              |u${r}v AS MATERIALIZED (
              |  SELECT piece, n_used,
              |    FLOOR(LN(CAST(n_used + 1 AS DOUBLE) / t.tot) * 1e6) / 1e6 AS log_prob
-             |  FROM v$r, (SELECT CAST(SUM(n_used + 1) AS DOUBLE) AS tot FROM v$r) t)""".stripMargin
+             |  FROM ugv$r, (SELECT CAST(SUM(n_used + 1) AS DOUBLE) AS tot FROM ugv$r) t)""".stripMargin
       }
       (head +: rounds).mkString(",\n")
     }
@@ -11585,22 +11610,47 @@ object SparkEntry {
       // round order — per-doc symbol counts.
       "bpe_encode" -> {
         val rounds = 6
-        val applies = (1 to rounds).map { r =>
-          s"""e$r AS MATERIALIZED (
-             |  SELECT doc_id, replace(sym, ' ' || b.l || '  ' || b.r || ' ',
-             |                              ' ' || b.l || b.r || ' ') AS sym
-             |  FROM e${r - 1}, b$r b)""".stripMargin
-        }.mkString(",\n")
-        bpeTrainCtes(toksSql, rounds) +
-          s""",
-             |e0 AS MATERIALIZED (
-             |  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' ' AS sym
-             |  FROM (SELECT doc_id, UNNEST(t) AS tok
-             |        FROM (SELECT doc_id, $toksSql AS t FROM documents))),
-             |$applies
+        bpeTrainCtes(toksSql, rounds) + ",\n" + bpeApplyCtes(toksSql, rounds) +
+          s"""
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |  CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_symbols
              |FROM e$rounds GROUP BY 1""".stripMargin
+      },
+
+      // Tokenizer-selection panel: the SAME corpus encoded by both
+      // production tokenizers (D60's BPE merges, D94's unigram model),
+      // corpus-level compression totals side by side. One WITH: the
+      // bpe chain + the unigram chain (CTE names disjoint by
+      // construction) + per-tokenizer rollups.
+      "tokenizer_compare" -> {
+        val rounds = 6
+        bpeTrainCtes(toksSql, rounds) + ",\n" + bpeApplyCtes(toksSql, rounds) +
+          ",\n" + UnigramOracle.trainCtes(toksSql).stripPrefix("WITH ") +
+          ",\n" + UnigramOracle.viterbiCtes("e", s"u${UnigramOracle.emRounds}v") +
+          s""",
+             |ugtok AS MATERIALIZED (
+             |  SELECT doc_id, substr(tok, 1, ${UnigramOracle.lcap}) AS word
+             |  FROM (SELECT doc_id, UNNEST(t) AS tok
+             |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
+             |  WHERE tok <> ''),
+             |ugpc AS MATERIALIZED (
+             |  SELECT word, len(string_split(seg, ' ')) AS n_pieces FROM ef),
+             |perdoc AS (
+             |  SELECT 'bpe' AS tokenizer, doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_symbols
+             |  FROM e$rounds GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'unigram' AS tokenizer, doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_pieces) AS BIGINT) AS n_symbols
+             |  FROM ugtok JOIN ugpc USING (word) GROUP BY 2)
+             |SELECT tokenizer, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_symbols) AS BIGINT) AS n_symbols,
+             |  FLOOR(CAST(SUM(n_symbols) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+             |    * 1e6) / 1e6 AS symbols_per_token
+             |FROM perdoc GROUP BY 1""".stripMargin
       },
 
       // Unigram-LM training replayed as the UnigramOracle CTE chain:

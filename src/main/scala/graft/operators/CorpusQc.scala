@@ -1420,6 +1420,34 @@ object CorpusQc {
     (words, vocab)
   }
 
+  /** Tokenizer-selection panel — the SAME corpus encoded by BOTH
+    * production tokenizers ([[bpeEncode]]'s greedy merges,
+    * [[unigramEncode]]'s pruned unigram model), rolled up to
+    * corpus-level compression totals: docs, pre-tokens, emitted
+    * pieces and the §5-gridded symbols-per-token ratio per tokenizer
+    * — the evidence a pipeline reads before shipping one of them.
+    *
+    * Scale shape: exactly the two encoders' shapes (each trains on
+    * the vocabulary relation and encodes with corpus-linear passes)
+    * plus one 2-row rollup; integer totals are exact-long sums, the
+    * single ratio division grids at the panel edge.
+    */
+  def tokenizerCompare(df: DataFrame, idCol: String, textCol: String,
+                       bpeRounds: Int = 6): DataFrame = {
+    val b = bpeEncode(df, idCol, textCol, bpeRounds)
+      .select(lit("bpe").as("tokenizer"), col("n_tokens"), col("n_symbols"))
+    val u = unigramEncode(df, idCol, textCol)
+      .select(lit("unigram").as("tokenizer"), col("n_tokens"), col("n_symbols"))
+    b.unionByName(u)
+      .groupBy(col("tokenizer"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_symbols")).as("n_symbols"))
+      .withColumn("symbols_per_token",
+        floor(col("n_symbols").cast("double") / col("n_tokens").cast("double")
+          * lit(1e6)) / lit(1e6))
+  }
+
   /** Unigram-LM ENCODE — [[unigramTrain]]'s model applied back to the
     * corpus (the [[bpeEncode]] twin): one more [[unigramViterbi]]
     * pass over the distinct-word relation under the FINAL vocabulary,

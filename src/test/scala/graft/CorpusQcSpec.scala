@@ -547,6 +547,28 @@ class CorpusQcSpec extends SparkSpec {
       s"word '$w': dp='${got(w)}' brute='${expected(w)}'"))
   }
 
+  test("tokenizerCompare: per-tokenizer totals reconcile with the two encoders") {
+    val docs = Seq((1L, "the the the then"), (2L, "aa bb aa"))
+      .toDF("doc_id", "text")
+    val got = CorpusQc.tokenizerCompare(docs, "doc_id", "text", bpeRounds = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("bpe", "unigram"))
+    def totals(df: org.apache.spark.sql.DataFrame) = {
+      val rs = df.collect()
+      (rs.length.toLong, rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum)
+    }
+    val (bd, bt, bs) = totals(CorpusQc.bpeEncode(docs, "doc_id", "text", 3))
+    val (ud, ut, us) = totals(CorpusQc.unigramEncode(docs, "doc_id", "text"))
+    assert(got("bpe") == ((bd, bt, bs,
+      math.floor(bs.toDouble / bt.toDouble * 1e6) / 1e6)))
+    assert(got("unigram") == ((ud, ut, us,
+      math.floor(us.toDouble / ut.toDouble * 1e6) / 1e6)))
+    // both tokenizers compress this corpus below char-splitting: the
+    // ratio is >= 1 piece per token and finite
+    got.values.foreach { case (_, _, _, r) => assert(r >= 1.0 && r < 10.0) }
+  }
+
   test("unigramTrain: words truncate to the lcap DP horizon, never drop") {
     // 16-char token truncates to 12 chars for segmentation; it still
     // trains and encodes (12 singles at worst, fewer once merged)
