@@ -614,6 +614,57 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming INCREMENTAL-DEDUP sink — the operational form of the
+    * persisted corpus dedup index (TextDedup.buildDedupIndex): each
+    * micro-batch of documents probes the stored
+    * digests/stops/postings/sizes tables through the SAME decision
+    * tail as the batch path (incrementalDedupIndexed — spec-pinned
+    * identical surface) and its keep/drop verdicts land in the
+    * decisions table, FIRST DECISION WINS per doc id: a document
+    * re-delivered in a later batch keeps its original verdict (the
+    * stable contract downstream consumers need), and a replayed batch
+    * id no-ops entirely via the shared commit-marker identity rule.
+    *
+    * Corpus refreshes happen OUT OF BAND via buildDedupIndex; every
+    * probe reads the manifest's consistent version set, so a refresh
+    * concurrent with the stream is never half-visible. Cross-BATCH
+    * duplicates (batch 2 repeating batch 1's novel text under a new
+    * id) are the refresh cadence's job by design — the index decides
+    * against the standing corpus, exactly like the batch operator.
+    *
+    * Scale shape: per batch = the D95 probe (batch × collision rate)
+    * plus one doc-id anti-join against the decisions table — no
+    * corpus scan anywhere in the stream's steady state.
+    */
+  def dedupDecisionSink(stream: DataFrame, checkpoint: String,
+                        indexDir: String, target: String,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.5):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dedupDecisionBatch(batch.toDF(), indexDir, target, idCol, textCol,
+          threshold, batchId)
+      }
+
+  private[graft] def dedupDecisionBatch(batch: DataFrame, indexDir: String,
+                                        target: String, idCol: String,
+                                        textCol: String, threshold: Double,
+                                        batchId: Long = -1L,
+                                        writerId: Option[String] = None): Unit = {
+    val decisions = graft.operators.TextDedup.incrementalDedupIndexed(
+      batch.sparkSession, indexDir, batch, idCol, textCol, threshold)
+    upsertParquet(target, decisions, existing =>
+      // first decision wins: only ids the table has never decided
+      // append (anti-join on the decision key)
+      existing.unionByName(decisions.join(
+        existing.select(col("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")),
+      batchId, writerId)
+  }
+
   /** Streaming HEAVY-HITTER sink: maintains a bounded Misra–Gries
     * summary table of the hottest keys — the streaming twin of the
     * batch skew diagnosis (`skew_hot_keys`): per micro-batch, exact

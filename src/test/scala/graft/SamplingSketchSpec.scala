@@ -160,6 +160,46 @@ class SamplingSketchSpec extends SparkSpec {
     assert(p.getAs[Long]("n") == 10000L)
   }
 
+  test("kll merge determinism: max-k adoption is order-free; equal-k pair merge is symmetric") {
+    import graft.expressions.{KllCodec, KllDoubles}
+    def sk(k: Int, vs: Range): Array[Byte] = {
+      val s = new KllDoubles(k); vs.foreach(v => s.update(v.toDouble))
+      KllCodec.serialize(s)
+    }
+    val a64 = sk(64, 1 to 3000)
+    val b400 = sk(400, 3001 to 6000)
+    val c128 = sk(128, 6001 to 9000)
+    // heterogeneous-k rollup: result k = MAX k seen, whatever the
+    // merge order (the r10-advice partition-order hazard)
+    def mergeAll(order: Seq[Array[Byte]]): KllDoubles = {
+      val buf = new KllDoubles(200) // the aggregate's pristine default
+      order.foldLeft(buf) { (acc, bytes) =>
+        val in = KllCodec.deserialize(bytes)
+        if (in.n == 0L) acc
+        else if (acc.n == 0L) in
+        else if (in.k > acc.k) { in.merge(acc); in }
+        else { acc.merge(in); acc }
+      }
+    }
+    for (order <- Seq(a64, b400, c128).permutations) {
+      val m = mergeAll(order)
+      assert(m.k == 400 && m.n == 9000L, s"k=${m.k} n=${m.n}")
+    }
+    // equal-k scalar pair merge: byte-identical in both argument
+    // orders (content tie-break, not argument order)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.expressions.KllMergePairExpr
+    val x = sk(200, 1 to 5000)
+    val y = sk(200, 5001 to 9999)
+    val xy = KllMergePairExpr(Literal(x), Literal(y))
+      .eval(InternalRow.empty).asInstanceOf[Array[Byte]]
+    val yx = KllMergePairExpr(Literal(y), Literal(x))
+      .eval(InternalRow.empty).asInstanceOf[Array[Byte]]
+    assert(java.util.Arrays.equals(xy, yx))
+    assert(KllCodec.deserialize(xy).n == 9999L)
+  }
+
   test("kllErrorPanel: every estimate inside the declared envelope") {
     import spark.implicits._
     // heavy-tailed values (i^2), shuffled across 8 partitions — the

@@ -1159,4 +1159,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got(0).getLong(4) == 2 && got(1).getLong(4) == 1)
   }
+
+  test("dedup decision sink: stored-index probe per batch, first decision wins, replay no-ops") {
+    import graft.operators.TextDedup
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupsink").toString
+    val (idx, target) = (s"$dir/idx", s"$dir/decisions")
+    TextDedup.buildDedupIndex(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "an entirely unrelated corpus document lives here"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupDecisionSink(in.toDF.toDF("doc_id", "text"),
+      s"$dir/ckpt", idx, target, "doc_id", "text").start()
+    // batch 1: corpus exact dup + genuinely new doc
+    in.addData((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "novel content appears only in this new batch"))
+    q.processAllAvailable()
+    def table() = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val t1 = table()
+    assert(t1 == Map(100L -> ((false, "EXACT_DUP_CORPUS")),
+      101L -> ((true, "KEPT"))))
+    // batch 2: near-dup of corpus 10, plus 101 RE-DELIVERED — the
+    // first decision must stand (one row per id, original verdict)
+    in.addData((102L, "the quick brown fox jumps over the lazy cat"),
+      (101L, "novel content appears only in this new batch"))
+    q.processAllAvailable()
+    q.stop()
+    val t2 = table()
+    assert(t2 == Map(100L -> ((false, "EXACT_DUP_CORPUS")),
+      101L -> ((true, "KEPT")),
+      102L -> ((false, "NEAR_DUP_CORPUS"))))
+    assert(spark.read.parquet(target).count() == 3L) // no duplicate rows
+    // replaying an applied batch id under the query's identity no-ops
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try {
+      StreamOps.dedupDecisionBatch(
+        Seq((100L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"), idx, target, "doc_id", "text", 0.5,
+        batchId = 0L)
+      assert(table() == t2)
+    } finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
 }
