@@ -10123,6 +10123,24 @@ object SparkEntry {
            |  WHERE pos = wl)""".stripMargin).mkString(",\n")
     }
 
+    /** The unigram ENCODE tail shared by the unigram_encode and
+      * tokenizer_compare oracles: one more Viterbi pass under the
+      * final vocab (tag `e`) + the per-doc token relation and the
+      * per-word piece counts — ONE definition, so the two oracles can
+      * never silently diverge on the encode surface (the bpeApplyCtes
+      * discipline). `tokCte`/`pcCte` name the emitted CTEs.
+      */
+    def applyCtes(toksSql: String, tokCte: String, pcCte: String): String =
+      viterbiCtes("e", s"u${emRounds}v") +
+        s""",
+           |$tokCte AS MATERIALIZED (
+           |  SELECT doc_id, substr(tok, 1, $lcap) AS word
+           |  FROM (SELECT doc_id, UNNEST(t) AS tok
+           |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
+           |  WHERE tok <> ''),
+           |$pcCte AS MATERIALIZED (
+           |  SELECT word, len(string_split(seg, ' ')) AS n_pieces FROM ef)""".stripMargin
+
     def trainCtes(toksSql: String): String = {
       val head =
         s"""WITH w AS MATERIALIZED (
@@ -11626,15 +11644,8 @@ object SparkEntry {
         val rounds = 6
         bpeTrainCtes(toksSql, rounds) + ",\n" + bpeApplyCtes(toksSql, rounds) +
           ",\n" + UnigramOracle.trainCtes(toksSql).stripPrefix("WITH ") +
-          ",\n" + UnigramOracle.viterbiCtes("e", s"u${UnigramOracle.emRounds}v") +
+          ",\n" + UnigramOracle.applyCtes(toksSql, "ugtok", "ugpc") +
           s""",
-             |ugtok AS MATERIALIZED (
-             |  SELECT doc_id, substr(tok, 1, ${UnigramOracle.lcap}) AS word
-             |  FROM (SELECT doc_id, UNNEST(t) AS tok
-             |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
-             |  WHERE tok <> ''),
-             |ugpc AS MATERIALIZED (
-             |  SELECT word, len(string_split(seg, ' ')) AS n_pieces FROM ef),
              |perdoc AS (
              |  SELECT 'bpe' AS tokenizer, doc_id,
              |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -11665,15 +11676,8 @@ object SparkEntry {
       // piece counts.
       "unigram_encode" ->
         (UnigramOracle.trainCtes(toksSql) + ",\n" +
-          UnigramOracle.viterbiCtes("e", s"u${UnigramOracle.emRounds}v") +
-          s""",
-             |tokrel AS MATERIALIZED (
-             |  SELECT doc_id, substr(tok, 1, ${UnigramOracle.lcap}) AS word
-             |  FROM (SELECT doc_id, UNNEST(t) AS tok
-             |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
-             |  WHERE tok <> ''),
-             |pc AS MATERIALIZED (
-             |  SELECT word, len(string_split(seg, ' ')) AS n_pieces FROM ef)
+          UnigramOracle.applyCtes(toksSql, "tokrel", "pc") +
+          s"""
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |  CAST(SUM(n_pieces) AS BIGINT) AS n_symbols
              |FROM tokrel JOIN pc USING (word) GROUP BY 1""".stripMargin),

@@ -654,12 +654,23 @@ object StreamOps {
                                         textCol: String, threshold: Double,
                                         batchId: Long = -1L,
                                         writerId: Option[String] = None): Unit = {
-    val decisions = graft.operators.TextDedup.incrementalDedupIndexed(
-      batch.sparkSession, indexDir, batch, idCol, textCol, threshold)
-    upsertParquet(target, decisions, existing =>
+    // def, not val: the probe reads the index manifest EAGERLY at
+    // plan construction, and upsertParquet's replay guard must be
+    // able to no-op a re-delivered batch id before any of that runs;
+    // each upsert path (init / merge) evaluates it exactly once.
+    // Within-batch re-deliveries of the same doc id collapse FIRST
+    // (deterministically — min text, though an id re-delivered with
+    // different text is a producer bug): the id is the decision key,
+    // and duplicate rows would both double the doc's shingle counts
+    // inside the probe and break the one-row-per-id table contract.
+    def decisions() = graft.operators.TextDedup.incrementalDedupIndexed(
+      batch.sparkSession, indexDir,
+      batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol)),
+      idCol, textCol, threshold)
+    upsertParquet(target, decisions(), existing =>
       // first decision wins: only ids the table has never decided
       // append (anti-join on the decision key)
-      existing.unionByName(decisions.join(
+      existing.unionByName(decisions().join(
         existing.select(col("doc_id")).hint("shuffle_hash"),
         Seq("doc_id"), "left_anti")),
       batchId, writerId)
@@ -1106,13 +1117,17 @@ object StreamOps {
     * applied. `afterWrite` lets callers place extra sidecar state into
     * the tmp dir so it replaces atomically with the data.
     */
-  private def upsertParquet(target: String, init: DataFrame,
+  private def upsertParquet(target: String, init: => DataFrame,
                             merge: DataFrame => DataFrame,
                             batchId: Long = -1L,
                             writerId: Option[String] = None,
                             afterWrite: String => Unit = _ => ()): Unit = {
     import graft.sources.MedallionSink
-    val spark = init.sparkSession
+    // `init` is BY-NAME so a replayed batch id short-circuits at the
+    // marker check below without constructing the batch plan — plan
+    // construction is not free for every sink (the dedup-decision
+    // probe reads the index manifest eagerly)
+    val spark = org.apache.spark.sql.SparkSession.active
     val tPath = new org.apache.hadoop.fs.Path(target)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     MedallionSink.recoverSwap(fs, target)

@@ -169,26 +169,22 @@ class SamplingSketchSpec extends SparkSpec {
     val a64 = sk(64, 1 to 3000)
     val b400 = sk(400, 3001 to 6000)
     val c128 = sk(128, 6001 to 9000)
-    // heterogeneous-k rollup: result k = MAX k seen, whatever the
-    // merge order (the r10-advice partition-order hazard)
-    def mergeAll(order: Seq[Array[Byte]]): KllDoubles = {
-      val buf = new KllDoubles(200) // the aggregate's pristine default
-      order.foldLeft(buf) { (acc, bytes) =>
-        val in = KllCodec.deserialize(bytes)
-        if (in.n == 0L) acc
-        else if (acc.n == 0L) in
-        else if (in.k > acc.k) { in.merge(acc); in }
-        else { acc.merge(in); acc }
-      }
-    }
+    // heterogeneous-k rollup through the PRODUCTION aggregate's merge
+    // path: result k = MAX k seen, whatever the partition/merge order
+    // (the r10-advice hazard) — driving KllMergeAgg itself, not a
+    // replica of its rule
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val agg = graft.expressions.KllMergeAgg(Literal(null, BinaryType))
     for (order <- Seq(a64, b400, c128).permutations) {
-      val m = mergeAll(order)
+      val m = order.foldLeft(agg.createAggregationBuffer()) { (acc, bytes) =>
+        agg.merge(acc, KllCodec.deserialize(bytes))
+      }
       assert(m.k == 400 && m.n == 9000L, s"k=${m.k} n=${m.n}")
     }
     // equal-k scalar pair merge: byte-identical in both argument
     // orders (content tie-break, not argument order)
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.Literal
     import graft.expressions.KllMergePairExpr
     val x = sk(200, 1 to 5000)
     val y = sk(200, 5001 to 9999)
