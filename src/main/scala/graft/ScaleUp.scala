@@ -51,8 +51,11 @@ object ScaleUp {
     def t(name: String): DataFrame = Tables(spark, src, name)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // cast BEFORE aggregating: an INT32-typed key column in a future
+    // data drop would otherwise surface as an opaque ClassCastException
+    // from getLong
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0)
+      df.agg(max(col(c).cast("long"))).head().getLong(0)
     /** Union of `factor` replicas of `df`, transformed per replica. */
     def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(r => f(df, r)).reduce(_ unionByName _)

@@ -1683,15 +1683,21 @@ object SparkEntry {
     // halves of the operational cycle; at 100 TB the refresh amortizes
     // over ~1000 batch probes. Same decision surface as
     // dedup_incremental (shared tail), same oracle. One fixed scratch
-    // dir per (JVM, sf) — recursively cleared before each build, so
+    // dir per (PROCESS, sf) — the pid component keeps two concurrent
+    // JVMs benchmarking the same sf from sharing a dir (one process's
+    // recursive rm would delete the index another is probing mid-run);
+    // within a process it is recursively cleared before each build, so
     // repeated bench/verify passes never accumulate index copies.
     "dedup_incremental_indexed" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
+      val pid = java.lang.ProcessHandle.current().pid()
       val dir = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_dedup_idx_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"graft_dedup_idx_p${pid}_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() is null on IO error or a concurrent delete —
+        // treat as already-gone, not NPE
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
       if (dir.exists()) rm(dir)
@@ -3171,6 +3177,19 @@ object SparkEntry {
       Profiling.hllOverlap(ev, "user_id",
         to_date(col("ts")) <= lit("2024-01-15"),
         to_date(col("ts")) > lit("2024-01-15"))
+    }),
+
+    // KMV/theta-sketch set algebra (same slices as sketch_overlap):
+    // the principled mergeable INTERSECTION/DIFFERENCE — a k-min
+    // keyspace sample scaled by theta, whose error does not blow up
+    // on small overlaps the way HLL inclusion–exclusion does. Built
+    // on md5Long60, so the sketch state is a SQL relation and the
+    // whole panel is hash-gated against the oracle (NOT rows-only).
+    "sketch_theta_ops" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      Profiling.kmvOverlap(ev, "user_id",
+        to_date(col("ts")) <= lit("2024-01-15"),
+        to_date(col("ts")) > lit("2024-01-15"), k = 256)
     }),
 
     // Count-min sketch frequency estimation (batch twin of the
@@ -10578,6 +10597,54 @@ object SparkEntry {
            |  FROM est)
            |SELECT rank, item, n_exact, n_est, n_est - n_exact AS overcount
            |FROM rk WHERE rank <= 40""".stripMargin,
+
+      // Profiling.kmvOverlap: k-min-values sketch per slice over the
+      // md5Long60 hash (ORDER BY h LIMIT k over the distinct-hash
+      // relation — the sketch state is a plain SQL relation), theta =
+      // kth/2^60 when saturated else 1, set ops restricted below
+      // min(theta), estimates = count/theta on the shared 1e-6 grid.
+      "sketch_theta_ops" ->
+        """WITH keyed AS (
+          |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+          |    MAX(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END) AS in_a,
+          |    MAX(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END) AS in_b
+          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          |  GROUP BY 1),
+          |ska AS (SELECT h FROM keyed WHERE in_a = 1 ORDER BY h LIMIT 256),
+          |skb AS (SELECT h FROM keyed WHERE in_b = 1 ORDER BY h LIMIT 256),
+          |pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+          |  CASE WHEN COUNT(*) = 256 THEN MAX(h) ELSE 1152921504606846976 END AS theta_h_a
+          |  FROM ska),
+          |pb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+          |  CASE WHEN COUNT(*) = 256 THEN MAX(h) ELSE 1152921504606846976 END AS theta_h_b
+          |  FROM skb),
+          |th AS (SELECT n_a, n_b, theta_h_a, theta_h_b,
+          |  LEAST(theta_h_a, theta_h_b) AS theta_h FROM pa CROSS JOIN pb),
+          |j AS (
+          |  SELECT COALESCE(a.h, b.h) AS h,
+          |    a.h IS NOT NULL AS ia, b.h IS NOT NULL AS ib
+          |  FROM ska a FULL OUTER JOIN skb b ON a.h = b.h),
+          |cnt AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+          |    CAST(COALESCE(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_intersect,
+          |    CAST(COALESCE(SUM(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_diff_ab
+          |  FROM j CROSS JOIN th WHERE h < theta_h)
+          |SELECT n_union, n_intersect, n_diff_ab,
+          |  CAST(FLOOR(CAST(theta_h AS DOUBLE) / 1152921504606846976.0 * 1e6) / 1e6 AS DECIMAL(28,6)) AS theta,
+          |  CAST(FLOOR(CAST(CASE WHEN n_a = 256 THEN 255 ELSE n_a END AS DOUBLE)
+          |    / (CAST(theta_h_a AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_a,
+          |  CAST(FLOOR(CAST(CASE WHEN n_b = 256 THEN 255 ELSE n_b END AS DOUBLE)
+          |    / (CAST(theta_h_b AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_b,
+          |  CAST(FLOOR(CAST(n_union AS DOUBLE)
+          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_union,
+          |  CAST(FLOOR(CAST(n_intersect AS DOUBLE)
+          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_intersect,
+          |  CAST(FLOOR(CAST(n_diff_ab AS DOUBLE)
+          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_diff_ab,
+          |  CAST(FLOOR(CASE WHEN n_union > 0
+          |    THEN CAST(n_intersect AS DOUBLE) / CAST(n_union AS DOUBLE) END * 1e6) / 1e6
+          |    AS DECIMAL(28,6)) AS jaccard_est
+          |FROM cnt CROSS JOIN th""".stripMargin,
 
       // Mirrors the df-cap (stop shingles with df > 1000 leave both
       // the posting relation and the union sizes — Jaccard is exact

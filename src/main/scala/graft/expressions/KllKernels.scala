@@ -267,8 +267,13 @@ case class KllMergeAgg(child: Expression,
     maxKMerge(buf, other)
   /** Result k = MAX k over the NON-EMPTY input sketches, regardless of
     * partition/merge order (empty sketches — including the pristine
-    * k=200 default buffer — are k-neutral), so a rollup over
-    * heterogeneous-k sketch tables is not partition-order dependent.
+    * k=200 default buffer — are k-neutral): the result K and N are
+    * order-free on heterogeneous-k rollups. The serialized CONTENT is
+    * not — at equal k the host is whichever buffer arrived first and
+    * KLL merge is not bit-commutative (the reason KllMergePairExpr
+    * carries a content tie-break) — so downstream consumers must read
+    * the sketch through its estimates (rank-error envelope pinned),
+    * never byte-compare aggregate outputs across runs.
     */
   private def maxKMerge(buf: KllDoubles, in: KllDoubles): KllDoubles =
     if (in.n == 0L) buf

@@ -660,6 +660,100 @@ object Profiling {
         col("est_intersect") / when(col("est_union") > 0, col("est_union")))
   }
 
+  /** KMV/theta-sketch set algebra between two slices of one key
+    * column — the PRINCIPLED mergeable intersection the HLL panel
+    * ([[hllOverlap]]) cannot give: inclusion–exclusion noise blows up
+    * when the true overlap is small next to the union, while a KMV
+    * sketch carries an actual uniform SAMPLE of the keyspace (the k
+    * smallest values of a fixed hash), so intersection and difference
+    * are direct sample counts scaled by theta — relative error
+    * ~1/sqrt(retained), not ~union/intersection-amplified.
+    *
+    * Estimator (theta-sketch rules, exclusive theta): per slice,
+    * theta = (n == k) ? h_k / 2^60 : 1 (h_k = the kth smallest
+    * distinct hash; an unsaturated sketch is EXACT, theta 1); set ops
+    * restrict every retained hash to h < min(thetaA, thetaB)·2^60 —
+    * which automatically drops each side's own kth value (h_k is
+    * never < its own theta bound), giving the unbiased (k-1)/U(k)
+    * KMV estimate on the bases — and estimate |S| / theta. Jaccard is
+    * the retained-sample ratio |I| / |U|.
+    *
+    * Scale shape: ONE fact pass to the distinct-hash relation (the
+    * same shuffle any COUNT(DISTINCT) pays) with per-slice membership
+    * flags, then two map-side top-k jobs over it (TakeOrdered — never
+    * a global sort) and panel math on <= 2k rows. A stored-sketch
+    * deployment persists each slice's k-min list (k longs) and this
+    * panel is pure sketch-on-sketch math — any pairwise overlap from
+    * stored state, no rescan, the set-algebra completion of the
+    * HLL-union tier.
+    *
+    * Fully ORACLE-REPLAYABLE, unlike the HLL/KLL states: the hash is
+    * [[graft.operators.Sampling.md5Long60]] (DuckDB:
+    * `CAST('0x' || substr(md5(…),1,15) AS BIGINT)`), and k-min over
+    * distinct hashes is plain ORDER BY/LIMIT — the sketch state IS a
+    * SQL relation, so the whole panel hash-compares.
+    */
+  def kmvOverlap(df: DataFrame, keyCol: String,
+                 sliceACond: Column, sliceBCond: Column,
+                 k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, s"kmvOverlap needs k >= 2: $k")
+    val two60 = lit(1152921504606846976L) // 2^60, the md5Long60 range
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(graft.operators.Sampling.md5Long60(Seq(col(keyCol))).as("h"),
+        when(sliceACond, 1L).otherwise(0L).as("a"),
+        when(sliceBCond, 1L).otherwise(0L).as("b"))
+      .groupBy(col("h"))
+      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
+      .localCheckpoint(false)
+    val skA = keyed.filter(col("in_a") === 1).select(col("h")).orderBy(col("h")).limit(k)
+    val skB = keyed.filter(col("in_b") === 1).select(col("h")).orderBy(col("h")).limit(k)
+    // per-slice sketch panels: n retained and the exclusive theta bound
+    // (2^60 = "keep everything" when unsaturated — every hash is < 2^60)
+    def panelOf(sk: DataFrame, suffix: String): DataFrame =
+      sk.agg(count(lit(1)).as(s"n_$suffix"), max(col("h")).as("__hmax"))
+        .select(col(s"n_$suffix"),
+          when(col(s"n_$suffix") === k, col("__hmax")).otherwise(two60)
+            .as(s"theta_h_$suffix"))
+    val thetas = panelOf(skA, "a").crossJoin(panelOf(skB, "b"))
+      .withColumn("theta_h", least(col("theta_h_a"), col("theta_h_b")))
+    // global agg (not groupBy): one panel row even when the retained
+    // set is empty (both slices keyless)
+    val counts = skA.select(col("h"), lit(1L).as("ia"))
+      .join(skB.select(col("h"), lit(1L).as("ib")), Seq("h"), "full_outer")
+      .crossJoin(broadcast(thetas.select(col("theta_h"))))
+      .filter(col("h") < col("theta_h"))
+      .agg(count(lit(1)).as("n_union"),
+        coalesce(sum(when(col("ia").isNotNull && col("ib").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_intersect"),
+        coalesce(sum(when(col("ia").isNotNull && col("ib").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_diff_ab"))
+    val joined = counts.crossJoin(broadcast(thetas))
+    // estimates: |retained| / theta, theta as the exact integer ratio
+    // h/2^60 (both engines' long->double casts round identically);
+    // full-entropy quotients floor-grid to the 1e-6 quantum before the
+    // decimal cast (SURVEY §5)
+    def grid(c: Column): Column =
+      (floor(c * lit(1e6)) / lit(1e6)).cast(DecimalType(28, 6))
+    def est(n: Column, thetaH: Column): Column =
+      grid(n.cast("double") / (thetaH.cast("double") / two60.cast("double")))
+    joined.select(
+      col("n_union"), col("n_intersect"), col("n_diff_ab"),
+      grid(col("theta_h").cast("double") / two60.cast("double")).as("theta"),
+      // unsaturated sketches retain all n values below theta 1 -> exact;
+      // saturated ones retain k-1 below their own kth -> (k-1)/U(k)
+      est(when(col("n_a") === k, lit(k - 1).cast("long")).otherwise(col("n_a")),
+        col("theta_h_a")).as("est_a"),
+      est(when(col("n_b") === k, lit(k - 1).cast("long")).otherwise(col("n_b")),
+        col("theta_h_b")).as("est_b"),
+      est(col("n_union"), col("theta_h")).as("est_union"),
+      est(col("n_intersect"), col("theta_h")).as("est_intersect"),
+      est(col("n_diff_ab"), col("theta_h")).as("est_diff_ab"),
+      grid(when(col("n_union") > 0,
+        col("n_intersect").cast("double") / col("n_union").cast("double")))
+        .as("jaccard_est"))
+  }
+
   /** Shannon-entropy profile of categorical columns — the "how much
     * signal does this column carry" panel next to [[mutualInfo]]'s
     * pairwise dependence: per column, non-null count, distinct count,

@@ -28,14 +28,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * All metadata I/O goes through the Hadoop FileSystem of `dir` —
   * the log works on any Hadoop-addressable store. The publish itself
-  * is a single-file rename, atomic on HDFS/local; an object store
-  * without atomic rename swaps ONLY this one publish call for a
-  * conditional put (the manifest layout already isolates the commit
-  * point to one small file — that is the point of the layout).
+  * is a CAS on the manifest slot ([[claimSlot]]): hard-link creation
+  * on local filesystems (atomic fail-if-exists on POSIX), the
+  * fails-if-destination-exists rename contract on HDFS; an object
+  * store without either swaps ONLY this one call for a conditional
+  * put (the manifest layout already isolates the commit point to one
+  * small file — that is the point of the layout).
   *
-  * Single WRITER (like the rest of the sink layer — concurrent
-  * writers need a log-store CAS on the manifest slot, the standard
-  * table-format extension); readers are unlimited and lock-free.
+  * CONCURRENT WRITERS (optimistic concurrency, the standard
+  * table-format rule set): a blind [[commit]] — append or
+  * whole-table replace, neither derived from a snapshot it read —
+  * that loses the slot race REBASES onto the winner's manifest
+  * (segment list and carried txn markers re-read) and retries, so
+  * concurrent appends all land, each exactly once, in some
+  * serializable order. A snapshot-DERIVED commit ([[optimizeCompact]],
+  * [[deleteWhere]], [[merge]], [[restore]]) rewrites state it read at
+  * a specific version; if any other commit lands first, silently
+  * publishing would drop the winner's rows — so it fails LOUDLY with
+  * `ConcurrentModificationException` and the caller re-derives from
+  * the new head. Either way a commit is never silently lost; a loser's
+  * already-written segment is an invisible orphan reclaimed by
+  * [[vacuum]] (after its grace window — see there for why vacuum
+  * cannot sweep an IN-FLIGHT commit's segment). Readers are unlimited
+  * and lock-free.
   * Scale: manifests hold directory names, not file lists — a segment
   * is a normal multi-file parquet directory, so commit cost is O(1)
   * driver work regardless of data size.
@@ -91,33 +106,50 @@ object VersionedTable {
     bloomCol.foreach(requireJsonSafe(_, "bloomCol"))
     txn.foreach(t => requireJsonSafe(t._1, "txn writer id"))
     val hfs = fs(spark, dir)
-    val committed = versions(hfs, dir)
-    val v = committed.maxOption.map(_ + 1).getOrElse(0L)
+    // The segment writes ONCE, before the claim loop: rebasing is a
+    // metadata-only retry (its name encodes the version it first
+    // aimed at — cosmetic; manifests reference segments by name).
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val segment = s"c$v-$nonce"
+    val segment = s"c${versions(hfs, dir).maxOption.map(_ + 1).getOrElse(0L)}-$nonce"
     df.write.mode("errorifexists").option("compression", "zstd")
       .parquet(s"$dir/data/$segment")
     statsCol.foreach(writeStatsSidecar(spark, hfs, dir, segment, _))
     bloomCol.foreach(writeBloomSidecar(spark, hfs, dir, segment, _))
-    val prevJson = committed.maxOption.map(pv => manifestJson(hfs, dir, pv))
-    val prevSegs =
-      if (overwrite) Seq.empty
-      else prevJson.map(segmentNames).getOrElse(Seq.empty)
-    val mergedTxns = txn.foldLeft(prevJson.map(txnsOf).getOrElse(Map.empty[String, Long])) {
-      case (m, (app, seq)) => m.updated(app, math.max(seq, m.getOrElse(app, Long.MinValue)))
+    // Optimistic claim loop: a blind append/replace commutes with any
+    // winner (its rows are independent of table state it never read),
+    // so a lost race re-reads the NEW head's segment list and txn map
+    // and retries the next slot — every interleaving serializes, no
+    // commit is silently lost. The attempt cap turns a pathological
+    // livelock (or a broken store whose claims always fail) into a
+    // loud error instead of an infinite loop.
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val committed = versions(hfs, dir)
+      val v = committed.maxOption.map(_ + 1).getOrElse(0L)
+      val prevJson = committed.maxOption.map(pv => manifestJson(hfs, dir, pv))
+      val prevSegs =
+        if (overwrite) Seq.empty
+        else prevJson.map(segmentNames).getOrElse(Seq.empty)
+      val mergedTxns = txn.foldLeft(prevJson.map(txnsOf).getOrElse(Map.empty[String, Long])) {
+        case (m, (app, seq)) => m.updated(app, math.max(seq, m.getOrElse(app, Long.MinValue)))
+      }
+      val segs = (prevSegs :+ segment).map(s => s""""$s"""").mkString("[", ", ", "]")
+      val mode = if (overwrite) "overwrite" else "append"
+      val json = s"""{"version": $v, "mode": "$mode", "segments": $segs${txnsJson(mergedTxns)}}"""
+      if (claimSlot(hfs, dir, v, json)) return v
+      attempt += 1
     }
-    val segs = (prevSegs :+ segment).map(s => s""""$s"""").mkString("[", ", ", "]")
-    val txnsJson =
-      if (mergedTxns.isEmpty) ""
-      else mergedTxns.toSeq.sortBy(_._1)
-        .map { case (a, s) => s""""$a": $s""" }
-        .mkString(""", "txns": {""", ", ", "}")
-    val mode = if (overwrite) "overwrite" else "append"
-    val json = s"""{"version": $v, "mode": "$mode", "segments": $segs$txnsJson}"""
-    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
-      new HPath(s"$dir/_graft_log/$v.json"), json)
-    v
+    throw new java.util.ConcurrentModificationException(
+      s"commit to $dir lost the manifest-slot race $MaxCommitAttempts times — " +
+        "giving up loudly (the written segment is an invisible orphan, " +
+        "reclaimed by vacuum); retry the commit")
   }
+
+  /** Claim attempts before a blind commit gives up loudly. With real
+    * contention each attempt loses only to another SUCCESSFUL commit,
+    * so 50 losses means 50 concurrent writers landed meanwhile.
+    */
+  private val MaxCommitAttempts = 50
 
   /** OPTIMIZE for a log of small streaming appends: rewrite the
     * CURRENT snapshot as one fresh segment and publish it as an
@@ -230,15 +262,9 @@ object VersionedTable {
       }
     }
     val segs = (untouched ++ rewritten).map(s => s""""$s"""").mkString("[", ", ", "]")
-    val txns = txnsOf(prevJson)
-    val txnsJson =
-      if (txns.isEmpty) ""
-      else txns.toSeq.sortBy(_._1)
-        .map { case (a, s) => s""""$a": $s""" }
-        .mkString(""", "txns": {""", ", ", "}")
-    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
-      new HPath(s"$dir/_graft_log/$v.json"),
-      s"""{"version": $v, "mode": "delete", "segments": $segs$txnsJson}""")
+    publishDerived(hfs, dir, cur,
+      s"""{"version": $v, "mode": "delete", "segments": $segs${txnsJson(txnsOf(prevJson))}}""",
+      "deleteWhere")
     (v, affected.size, deleted)
   }
 
@@ -403,14 +429,9 @@ object VersionedTable {
       case (m, (app, seq)) => m.updated(app, math.max(seq, m.getOrElse(app, Long.MinValue)))
     }
     val segsJson = (untouched :+ newSeg).map(s => s""""$s"""").mkString("[", ", ", "]")
-    val txnsJson =
-      if (mergedTxns.isEmpty) ""
-      else mergedTxns.toSeq.sortBy(_._1)
-        .map { case (a, s) => s""""$a": $s""" }
-        .mkString(""", "txns": {""", ", ", "}")
-    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
-      new HPath(s"$dir/_graft_log/$v.json"),
-      s"""{"version": $v, "mode": "merge", "segments": $segsJson$txnsJson}""")
+    publishDerived(hfs, dir, cur,
+      s"""{"version": $v, "mode": "merge", "segments": $segsJson${txnsJson(mergedTxns)}}""",
+      "merge")
     (v, affected.size, matchedN, srcN - matchedN)
   }
 
@@ -479,14 +500,11 @@ object VersionedTable {
     val txns = txnsOf(manifestJson(hfs, dir, cur))
     val v = cur + 1
     val segsJson = targetSegs.map(s => s""""$s"""").mkString("[", ", ", "]")
-    val txnsJson =
-      if (txns.isEmpty) ""
-      else txns.toSeq.sortBy(_._1)
-        .map { case (a, s) => s""""$a": $s""" }
-        .mkString(""", "txns": {""", ", ", "}")
-    publish(hfs, new HPath(s"$dir/_graft_log/.$v.json.tmp"),
-      new HPath(s"$dir/_graft_log/$v.json"),
-      s"""{"version": $v, "mode": "restore", "segments": $segsJson$txnsJson}""")
+    // restore derives from the head it read (which txn map to carry,
+    // which version is "bad"): racing commits must beat it loudly
+    publishDerived(hfs, dir, cur,
+      s"""{"version": $v, "mode": "restore", "segments": $segsJson${txnsJson(txns)}}""",
+      "restore")
     v
   }
 
@@ -533,9 +551,68 @@ object VersionedTable {
 
   def optimizeCompact(spark: SparkSession, dir: String,
                       statsCol: Option[String] = None,
-                      bloomCol: Option[String] = None): Long =
-    commit(read(spark, dir), dir, overwrite = true, statsCol = statsCol,
-      bloomCol = bloomCol)
+                      bloomCol: Option[String] = None): Long = {
+    statsCol.foreach(requireJsonSafe(_, "statsCol"))
+    bloomCol.foreach(requireJsonSafe(_, "bloomCol"))
+    val hfs = fs(spark, dir)
+    val cur = versions(hfs, dir).maxOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    val v = cur + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val segment = s"c$v-$nonce-o"
+    // rewrite of the snapshot AT `cur`, not "the latest": a commit
+    // landing mid-rewrite must fail this optimize loudly (via the
+    // derived publish below), never be silently compacted away
+    read(spark, dir, Some(cur)).write.mode("errorifexists")
+      .option("compression", "zstd").parquet(s"$dir/data/$segment")
+    statsCol.foreach(writeStatsSidecar(spark, hfs, dir, segment, _))
+    bloomCol.foreach(writeBloomSidecar(spark, hfs, dir, segment, _))
+    val txns = txnsOf(manifestJson(hfs, dir, cur))
+    publishDerived(hfs, dir, cur,
+      s"""{"version": $v, "mode": "overwrite", "segments": ["$segment"]${txnsJson(txns)}}""",
+      "optimizeCompact")
+    v
+  }
+
+  /** OPTIMIZE with Z-ORDER re-clustering — [[optimizeCompact]] whose
+    * fresh segment is written through
+    * [[MedallionSink.writeZOrderedN]], so the segment's parquet FILES
+    * tile the `cols` space and a selective filter on ANY clustered
+    * column footer-prunes most of them. This is the maintenance op
+    * that keeps multi-column pruning ALIVE on a versioned table under
+    * ongoing appends: every small append segment spans the whole
+    * keyspace (its file footers prune nothing), and one
+    * `optimizeZOrder` re-tiles the accumulated snapshot — point/range
+    * locality is a property the log must periodically restore, not
+    * one a single clustered write keeps. Requested sidecars
+    * re-publish on the new segment (manifest-level [[readWhere]]/
+    * [[readPoint]] pruning stays intact alongside the footer tiles);
+    * history stays readable until [[vacuum]]; snapshot-DERIVED, so a
+    * commit landing mid-rewrite beats it loudly (CAS, never silent
+    * row loss).
+    */
+  def optimizeZOrder(spark: SparkSession, dir: String, cols: Seq[String],
+                     nFiles: Int, bits: Int = 12,
+                     statsCol: Option[String] = None,
+                     bloomCol: Option[String] = None): Long = {
+    statsCol.foreach(requireJsonSafe(_, "statsCol"))
+    bloomCol.foreach(requireJsonSafe(_, "bloomCol"))
+    val hfs = fs(spark, dir)
+    val cur = versions(hfs, dir).maxOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $dir"))
+    val v = cur + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val segment = s"c$v-$nonce-z"
+    MedallionSink.writeZOrderedN(read(spark, dir, Some(cur)),
+      s"$dir/data/$segment", cols, nFiles, bits)
+    statsCol.foreach(writeStatsSidecar(spark, hfs, dir, segment, _))
+    bloomCol.foreach(writeBloomSidecar(spark, hfs, dir, segment, _))
+    val txns = txnsOf(manifestJson(hfs, dir, cur))
+    publishDerived(hfs, dir, cur,
+      s"""{"version": $v, "mode": "overwrite", "segments": ["$segment"]${txnsJson(txns)}}""",
+      "optimizeZOrder")
+    v
+  }
 
   /** Highest `txn` sequence number recorded for writer identity `app`
     * — the replay-detection probe for idempotent streaming commits.
@@ -665,23 +742,47 @@ object VersionedTable {
     * retained manifest references — including orphans from crashed
     * commits (segment written, manifest never published). Txn
     * markers are safe: the retained manifests carry the full map.
+    * Readers of a RETAINED version are safe by construction: every
+    * segment a kept manifest references stays live, so a snapshot
+    * handle taken before the vacuum still collects after it.
+    *
+    * `orphanGraceMs` keeps vacuum safe against IN-FLIGHT commits: a
+    * concurrent committer's just-written segment is indistinguishable
+    * from a crash orphan until its manifest publishes, so
+    * never-referenced directories are only swept once older than the
+    * grace window (mtime). Segments referenced by a DROPPED manifest
+    * are genuinely historical and delete immediately regardless.
+    * Pass 0 only when no writer can be in flight (e.g. tests).
     * Returns (manifests dropped, segments deleted).
     */
-  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 1): (Int, Int) = {
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int = 1,
+             orphanGraceMs: Long = DefaultOrphanGraceMs): (Int, Int) = {
     require(retainVersions >= 1, s"retainVersions=$retainVersions must be >= 1")
     val hfs = fs(spark, dir)
     val vs = versions(hfs, dir).sorted
     if (vs.isEmpty) return (0, 0)
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     val live = keep.flatMap(v => segments(spark, dir, v)).toSet
+    val everReferenced = vs.flatMap(v => segments(spark, dir, v)).toSet
     drop.foreach(v => hfs.delete(new HPath(s"$dir/_graft_log/$v.json"), false))
     val dataDir = new HPath(s"$dir/data")
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dead =
       if (!hfs.exists(dataDir)) Seq.empty
-      else hfs.listStatus(dataDir).map(_.getPath).filterNot(p => live(p.getName)).toSeq
+      else hfs.listStatus(dataDir).toSeq
+        .filterNot(st => live(st.getPath.getName))
+        .filter(st => everReferenced(st.getPath.getName) ||
+          st.getModificationTime <= cutoff)
+        .map(_.getPath)
     dead.foreach(p => hfs.delete(p, true))
     (drop.size, dead.size)
   }
+
+  /** Never-referenced directories younger than this survive [[vacuum]]
+    * — long enough that any in-flight commit has either published or
+    * demonstrably crashed before its segment becomes sweepable.
+    */
+  val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
 
   private val VersionFile = """(\d+)\.json""".r
 
@@ -719,7 +820,9 @@ object VersionedTable {
     * remote `dir` and the commit would be silently invisible):
     * write to a dot-tmp sibling, rename into place. Rename of one
     * file is atomic on HDFS/local; see the class scaladoc for the
-    * object-store variant.
+    * object-store variant. Used for SEGMENT-LOCAL sidecars, where the
+    * segment dir is owned by exactly one writer; the manifest slot —
+    * the contended resource — goes through [[claimSlot]] instead.
     */
   private def publish(hfs: FileSystem, tmp: HPath, dest: HPath, content: String): Unit = {
     val out = hfs.create(tmp, true)
@@ -728,6 +831,76 @@ object VersionedTable {
       hfs.delete(tmp, false)
       throw new java.io.IOException(s"VersionedTable: publish $tmp -> $dest failed")
     }
+  }
+
+  /** CAS on the manifest slot: publish `content` as version `v`'s
+    * manifest IFF no concurrent committer claimed `v` first; returns
+    * whether THIS caller won. The content is fully written to a
+    * writer-unique dot-tmp sibling before the claim, so the slot file
+    * can never be observed half-written whoever wins.
+    *
+    * The atomic fail-if-exists primitive is store-specific — exactly
+    * the "log-store CAS on the manifest slot" every table format
+    * needs: on local filesystems, hard-LINK creation (POSIX link(2)
+    * fails with EEXIST atomically — a plain rename would silently
+    * OVERWRITE a concurrent winner's manifest, losing its commit);
+    * on HDFS, the FileSystem.rename contract itself (rename onto an
+    * existing destination fails, atomically in the NameNode). An
+    * object store without either swaps this one method for a
+    * conditional put (`If-None-Match: *`).
+    */
+  private def claimSlot(hfs: FileSystem, dir: String, v: Long, content: String): Boolean = {
+    val dest = new HPath(s"$dir/_graft_log/$v.json")
+    if (hfs.exists(dest)) return false // cheap pre-check; the claim below is the gate
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new HPath(s"$dir/_graft_log/.$v.json.$nonce.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val claimed =
+      if (hfs.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else !hfs.exists(dest) && hfs.rename(tmp, dest)
+    hfs.delete(tmp, false) // no-op where the rename already consumed it
+    claimed
+  }
+
+  private def txnsJson(txns: Map[String, Long]): String =
+    if (txns.isEmpty) ""
+    else txns.toSeq.sortBy(_._1)
+      .map { case (a, s) => s""""$a": $s""" }
+      .mkString(""", "txns": {""", ", ", "}")
+
+  /** Publish a SNAPSHOT-DERIVED commit (optimize / delete / merge /
+    * restore): the caller read the table at `basedOn` and rewrote
+    * state from it, so the ONLY safe slot is `basedOn + 1` — if any
+    * other commit claimed it first, publishing anyway would silently
+    * drop the winner's rows from the derived rewrite. Loses LOUDLY:
+    * the caller re-derives from the new head and retries. The
+    * caller's already-written segments stay invisible orphans for
+    * [[vacuum]].
+    */
+  /** Test seam: runs after a derived rewrite has read its snapshot and
+    * written its segments, immediately before the manifest claim —
+    * lets a spec interleave a competing commit deterministically.
+    * Production no-op.
+    */
+  private[graft] var beforeDerivedClaim: () => Unit = () => ()
+
+  private def publishDerived(hfs: FileSystem, dir: String, basedOn: Long,
+                             json: String, what: String): Unit = {
+    beforeDerivedClaim()
+    if (!claimSlot(hfs, dir, basedOn + 1, json))
+      throw new java.util.ConcurrentModificationException(
+        s"$what derived from version $basedOn of $dir, but a concurrent " +
+          s"commit claimed version ${basedOn + 1} first — publishing would " +
+          "silently drop that commit's rows; re-derive from the new head " +
+          "and retry (the rewrite's segments are invisible orphans, " +
+          "reclaimed by vacuum)")
   }
 
   // Manifests are machine-written flat JSON (this object is the only

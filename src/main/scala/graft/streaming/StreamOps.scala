@@ -149,7 +149,7 @@ object StreamOps {
     // allowMissingColumns: a target written by a pre-js_div build has
     // 7 columns — the append must EVOLVE the store (old rows surface
     // NULL js_div), not crash the stream on a schema mismatch
-    upsertParquet(target, row,
+    upsertParquet(batch.sparkSession, target, row,
       existing => existing.unionByName(row, allowMissingColumns = true),
       batchId, writerId)
   }
@@ -205,7 +205,7 @@ object StreamOps {
           math.abs(cusum) >= threshold))
         .toDF("batch_id", "batch_seq", "n_rows", "batch_mean",
           "deviation", "cusum", "alert")
-    upsertParquet(target, mkRow(0L, deviation), { existing =>
+    upsertParquet(batch.sparkSession, target, mkRow(0L, deviation), { existing =>
       // 1-row panel: the latest appended row carries the walk's state
       val prev = existing
         .agg(max(struct(col("batch_seq"), col("cusum"))).as("m"))
@@ -261,7 +261,7 @@ object StreamOps {
         col("suggested_type").as("inferred_type"),
         expectedCol.as("expected_type"))
       .withColumn("type_ok", col("inferred_type") === col("expected_type"))
-    upsertParquet(target, rows,
+    upsertParquet(batch.sparkSession, target, rows,
       existing => existing.unionByName(rows, allowMissingColumns = true),
       batchId, writerId)
   }
@@ -478,7 +478,7 @@ object StreamOps {
                                              writerId: Option[String] = None): Unit = {
     import graft.operators.{Dedup, Merge}
     val incoming = Dedup.latestByGrain(batch, grain, order)
-    upsertParquet(target, incoming, existing =>
+    upsertParquet(batch.sparkSession, target, incoming, existing =>
       Merge.appendNewGrains(existing, incoming, grain), batchId, writerId)
   }
 
@@ -511,7 +511,7 @@ object StreamOps {
                                        writerId: Option[String] = None): Unit = {
     import graft.operators.Merge
     val p = partial(batch)
-    upsertParquet(target, p, existing =>
+    upsertParquet(batch.sparkSession, target, p, existing =>
       Merge.mergeAggregate(existing, p, keys), batchId, writerId)
   }
 
@@ -545,7 +545,7 @@ object StreamOps {
       .groupBy(keys.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"),
         count(lit(1)).as("n_rows"))
-    upsertParquet(target, p, { existing =>
+    upsertParquet(batch.sparkSession, target, p, { existing =>
       val e = existing.select(keys.map(col) :+ col("sk").as("__sk_old") :+
         col("n_rows").as("__n_old"): _*)
       // full outer on the key: union sketches where both sides exist,
@@ -599,7 +599,7 @@ object StreamOps {
       .groupBy(keys.map(col): _*)
       .agg(Kll.sketchAgg(col(valueCol).cast("double"), k).as("sk"),
         count(lit(1)).as("n_rows"))
-    upsertParquet(target, p, { existing =>
+    upsertParquet(batch.sparkSession, target, p, { existing =>
       val e = existing.select(keys.map(col) :+ col("sk").as("__sk_old") :+
         col("n_rows").as("__n_old"): _*)
       // full outer on the key: kll_merge_pair is null-tolerant, so
@@ -667,7 +667,7 @@ object StreamOps {
       batch.sparkSession, indexDir,
       batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol)),
       idCol, textCol, threshold)
-    upsertParquet(target, decisions(), existing =>
+    upsertParquet(batch.sparkSession, target, decisions(), existing =>
       // first decision wins: only ids the table has never decided
       // append (anti-join on the decision key)
       existing.unionByName(decisions().join(
@@ -741,7 +741,7 @@ object StreamOps {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("err", lit(0L))
-    upsertParquet(target, mgTruncate(p, keys, capacity), { existing =>
+    upsertParquet(batch.sparkSession, target, mgTruncate(p, keys, capacity), { existing =>
       // err is global (identical on every stored row): new keys must
       // inherit it, not start at 0 — their pre-history may have been
       // decremented away
@@ -798,7 +798,7 @@ object StreamOps {
           lit(w)))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cell_n"))
-    upsertParquet(target, cells, { existing =>
+    upsertParquet(batch.sparkSession, target, cells, { existing =>
       existing.select(col("r"), col("bucket"), col("cell_n").as("__c_old"))
         .join(cells.select(col("r"), col("bucket"), col("cell_n").as("__c_new"))
           .hint("shuffle_hash"),
@@ -861,7 +861,7 @@ object StreamOps {
           greatest(coalesce(highWaterBefore, col("__batch_max")),
             col("__batch_max")))
         .drop("__batch_max")
-    upsertParquet(target, auditRow(lit(null).cast("timestamp")), { existing =>
+    upsertParquet(batch.sparkSession, target, auditRow(lit(null).cast("timestamp")), { existing =>
       val hw = existing.agg(max(col("high_water_after")).as("hw"))
         .collect().head.getTimestamp(0)
       existing.unionByName(auditRow(lit(hw)))
@@ -907,7 +907,7 @@ object StreamOps {
       .groupBy(col("user_id"))
       .agg(min(col(variantCol)).as("arm"),
         max(when(convPred, 1L).otherwise(0L)).as("converted"))
-    upsertParquet(stateTarget, userPartial, { existing =>
+    upsertParquet(batch.sparkSession, stateTarget, userPartial, { existing =>
       val e = existing.select(col("user_id"), col("arm").as("__arm_old"),
         col("converted").as("__cv_old"))
       e.join(userPartial.select(col("user_id"), col("arm").as("__arm_new"),
@@ -937,7 +937,7 @@ object StreamOps {
           when(col("run_max").isNull, lit(null))
             .otherwise(-greatest(col("run_max"), lit(0.0))))
     }
-    upsertParquet(readoutTarget, withP(panel, lit(null).cast("double")),
+    upsertParquet(batch.sparkSession, readoutTarget, withP(panel, lit(null).cast("double")),
       { existing =>
         val prior = existing.agg(max(col("run_max"))).collect().head
         val pm = if (prior.isNullAt(0)) lit(null).cast("double")
@@ -1052,7 +1052,7 @@ object StreamOps {
     val obsPath = s"$target/$ObsDir"
     val obsExists = fs.exists(new org.apache.hadoop.fs.Path(obsPath))
     val batchDays = batch.select(col(bk), to_date(col(ts)).as("__graft_day"))
-    upsertParquet(target, Scd2.fromHistory(batch, bk, ts, tieBreak, attrs),
+    upsertParquet(batch.sparkSession, target, Scd2.fromHistory(batch, bk, ts, tieBreak, attrs),
       { existing =>
         // Re-observation of an already-applied day would replay against
         // the reconstituted MIDNIGHT observation and win regardless of
@@ -1117,7 +1117,8 @@ object StreamOps {
     * applied. `afterWrite` lets callers place extra sidecar state into
     * the tmp dir so it replaces atomically with the data.
     */
-  private def upsertParquet(target: String, init: => DataFrame,
+  private def upsertParquet(spark: org.apache.spark.sql.SparkSession,
+                            target: String, init: => DataFrame,
                             merge: DataFrame => DataFrame,
                             batchId: Long = -1L,
                             writerId: Option[String] = None,
@@ -1126,8 +1127,12 @@ object StreamOps {
     // `init` is BY-NAME so a replayed batch id short-circuits at the
     // marker check below without constructing the batch plan — plan
     // construction is not free for every sink (the dedup-decision
-    // probe reads the index manifest eagerly)
-    val spark = org.apache.spark.sql.SparkSession.active
+    // probe reads the index manifest eagerly). The session comes from
+    // the caller's batch DataFrame, NOT SparkSession.active: in a
+    // multi-session app (or a direct batch-twin call from a thread
+    // where a different session is active) the thread-active session
+    // would read/write through the wrong catalog and hadoop conf —
+    // and throws when no session is set on the thread at all.
     val tPath = new org.apache.hadoop.fs.Path(target)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     MedallionSink.recoverSwap(fs, target)

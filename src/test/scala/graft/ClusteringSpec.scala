@@ -133,4 +133,58 @@ class ClusteringSpec extends SparkSpec {
     assert(spark.read.parquet(path)
       .filter(col("x") <= 3 && col("y") <= 3 && col("z") <= 3).count() == 64)
   }
+
+  test("optimizeZOrder: appends destroy file pruning, the rewrite restores it, history survives") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_zorder").toString
+    // four appends, each a shuffled slice SPANNING the full 64x64 grid
+    // (interleaved x stripes), committed through the versioned log
+    // with a txn marker that must survive the rewrite
+    val all = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    (0 until 4).foreach { s =>
+      val slice = new scala.util.Random(17 + s)
+        .shuffle(all.filter(_._1 % 4 == s).toList).toDF("x", "y")
+      VersionedTable.commit(slice, dir, txn = Some(("zq", s.toLong)))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(): Seq[Path] = {
+      val segs = VersionedTable.read(spark, dir).inputFiles.toSeq
+      segs.map(new Path(_))
+    }
+    def fileMin(f: Path, dim: String): Long = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getFooter.getBlocks.asScala.toSeq.map(_.getColumns.asScala
+        .find(_.getPath.toDotString == dim).get.getStatistics
+        .genericGetMin.asInstanceOf[java.lang.Long].longValue).min
+      finally reader.close()
+    }
+    // before the rewrite: every append spans the whole y space, so a
+    // selective y filter prunes NOTHING at file level
+    val before = dataFiles()
+    assert(before.count(f => fileMin(f, "y") <= 7) == before.size,
+      "append segments unexpectedly clustered — the rewrite would prove nothing")
+
+    val v = VersionedTable.optimizeZOrder(spark, dir, Seq("x", "y"),
+      nFiles = 16, bits = 6)
+    val after = dataFiles()
+    assert(after.size == 16)
+    // tiles, not stripes: a quarter-stripe filter on EITHER dimension
+    // matches ~1/4 of the 16 files (allow 2x for range-sample bleed)
+    val xMatch = after.count(f => fileMin(f, "x") <= 7)
+    val yMatch = after.count(f => fileMin(f, "y") <= 7)
+    assert(xMatch <= 8 && yMatch <= 8, s"x-files=$xMatch y-files=$yMatch of 16")
+    // nothing lost, nothing doubled
+    assert(VersionedTable.read(spark, dir, Some(v)).count() == 4096)
+    assert(VersionedTable.read(spark, dir, Some(v))
+      .filter(col("x") <= 7 && col("y") <= 7).count() == 64)
+    // history: the pre-rewrite head still reads until vacuum; the txn
+    // marker survived the rewrite (replays still detected)
+    assert(VersionedTable.read(spark, dir, Some(v - 1)).count() == 4096)
+    assert(VersionedTable.lastTxnVersion(spark, dir, "zq").contains(3L))
+    VersionedTable.vacuum(spark, dir, retainVersions = 1, orphanGraceMs = 0L)
+    intercept[java.util.NoSuchElementException] {
+      VersionedTable.read(spark, dir, asOf = Some(v - 1))
+    }
+    assert(VersionedTable.read(spark, dir).count() == 4096)
+  }
 }

@@ -966,4 +966,54 @@ class SamplingSketchSpec extends SparkSpec {
     assert(math.abs(shares.values.sum - 1.0) < 1e-12)
     assert(math.abs(shares("C") - 12.0 / 110.0) < 1e-12)
   }
+
+  test("kmvOverlap: planted small intersection inside the envelope; unsaturated regime exact") {
+    import spark.implicits._
+    // planted universe: A = 1..10000, B = 9001..19000 — true
+    // |A|=|B|=10000, |A∩B|=1000, |A∪B|=19000, |A\B|=9000, J≈0.0526.
+    // The intersection (~5% of the union) is exactly the regime where
+    // HLL inclusion–exclusion noise swamps the signal; the KMV sample
+    // must land inside its own sqrt envelope instead.
+    val rows = ((1 to 10000).map(u => (u.toLong, "a")) ++
+      (9001 to 19000).map(u => (u.toLong, "b"))).toDF("uid", "slice")
+    val k = 256
+    val out = Profiling.kmvOverlap(rows, "uid",
+      col("slice") === "a", col("slice") === "b", k = k).collect().head
+    def d(name: String): Double =
+      out.getDecimal(out.fieldIndex(name)).doubleValue()
+    // base estimates: RSE ~ 1/sqrt(k-1) ≈ 6.3%; allow 3 sigma
+    assert(math.abs(d("est_a") - 10000) / 10000 < 0.19, s"est_a=${d("est_a")}")
+    assert(math.abs(d("est_b") - 10000) / 10000 < 0.19, s"est_b=${d("est_b")}")
+    assert(math.abs(d("est_union") - 19000) / 19000 < 0.19)
+    // intersection: the retained sample holds ~k·|I|/|U| ≈ 13 hits, so
+    // the envelope is 3/sqrt(13) ≈ 83% relative — still a bounded
+    // estimator where HLL I-E has NO envelope at all (its absolute
+    // error scales with the UNION). The md5 hash is fixed, so the
+    // realized draw is deterministic; the bound pins the estimator
+    // SHAPE, a regression flips it far outside.
+    assert(math.abs(d("est_intersect") - 1000) / 1000 < 0.85,
+      s"est_intersect=${d("est_intersect")}")
+    assert(math.abs(d("est_diff_ab") - 9000) / 9000 < 0.30)
+    assert(math.abs(d("jaccard_est") - 1000.0 / 19000.0) < 0.05)
+    // consistency: retained counts scale by ONE shared theta, so
+    // intersect + diff_ab <= union exactly
+    val (nU, nI, nD) = (out.getLong(out.fieldIndex("n_union")),
+      out.getLong(out.fieldIndex("n_intersect")),
+      out.getLong(out.fieldIndex("n_diff_ab")))
+    assert(nI + nD <= nU && nU <= 2L * k)
+
+    // unsaturated regime: both slices under k distinct keys -> theta 1
+    // and every number EXACT (the sketch degrades to the true sets)
+    val small = ((1 to 100).map(u => (u.toLong, "a")) ++
+      (81 to 150).map(u => (u.toLong, "b"))).toDF("uid", "slice")
+    val s = Profiling.kmvOverlap(small, "uid",
+      col("slice") === "a", col("slice") === "b", k = k).collect().head
+    def sd(name: String): Double =
+      s.getDecimal(s.fieldIndex(name)).doubleValue()
+    assert(sd("theta") == 1.0)
+    assert(sd("est_a") == 100.0 && sd("est_b") == 70.0)
+    assert(sd("est_union") == 150.0 && sd("est_intersect") == 20.0)
+    assert(sd("est_diff_ab") == 80.0)
+    assert(math.abs(sd("jaccard_est") - math.floor(20.0 / 150.0 * 1e6) / 1e6) < 1e-12)
+  }
 }

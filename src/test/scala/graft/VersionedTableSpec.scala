@@ -258,7 +258,11 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir)
     VersionedTable.commit(Seq((3, "c")).toDF("k", "v"), dir, overwrite = true)
     Seq((99, "orphan")).toDF("k", "v").write.parquet(s"$dir/data/c9-deadbeef")
-    val (droppedManifests, deletedSegments) = VersionedTable.vacuum(spark, dir, retainVersions = 1)
+    // grace 0: no writer can be in flight here, so the fresh crash
+    // orphan is sweepable immediately (the in-flight shield has its
+    // own spec below)
+    val (droppedManifests, deletedSegments) =
+      VersionedTable.vacuum(spark, dir, retainVersions = 1, orphanGraceMs = 0L)
     assert(droppedManifests == 2)
     // v0+v1 segments and the orphan are gone; v2's segment survives
     assert(deletedSegments == 3)
@@ -447,5 +451,113 @@ class VersionedTableSpec extends SparkSpec {
     val delFeed = VersionedTable.changeFeed(spark, dir, 2L, 3L, "k").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
     assert(delFeed.toSeq == Seq((7L, "DELETE", Some("v7"))))
+  }
+
+  test("concurrent appends: two interleaved committers all land exactly once") {
+    val dir = Files.createTempDirectory("graft_vt_occ").toString
+    VersionedTable.commit(Seq((0, "seed")).toDF("k", "v"), dir)
+    val perWriter = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { i =>
+          VersionedTable.commit(
+            Seq((w * 1000 + i, s"w$w-$i")).toDF("k", "v"), dir,
+            txn = Some((s"writer$w", i.toLong)))
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent commit failed: ${Option(errs.peek())}")
+    // every commit claimed its own slot: head = seed + 2*perWriter appends
+    assert(VersionedTable.latestVersion(spark, dir).contains(2L * perWriter))
+    // both writers fully visible, nothing lost, nothing doubled
+    val keys = VersionedTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+    val expected = (Seq(0) ++
+      (1 to 2).flatMap(w => (0 until perWriter).map(w * 1000 + _))).sorted
+    assert(keys == expected)
+    // both writers' txn markers survived every interleaving into the
+    // HEAD manifest (replay detection never regressed by a lost race)
+    assert(VersionedTable.lastTxnVersion(spark, dir, "writer1")
+      .contains(perWriter - 1L))
+    assert(VersionedTable.lastTxnVersion(spark, dir, "writer2")
+      .contains(perWriter - 1L))
+  }
+
+  test("derived rewrite racing a commit fails loudly; the commit is never lost") {
+    val dir = Files.createTempDirectory("graft_vt_occ_drv").toString
+    VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir)
+    // interleave a competing append between optimize's snapshot read
+    // and its manifest claim (the seam fires once, then disarms)
+    VersionedTable.beforeDerivedClaim = () => {
+      VersionedTable.beforeDerivedClaim = () => ()
+      VersionedTable.commit(Seq((3, "raced")).toDF("k", "v"), dir); ()
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.optimizeCompact(spark, dir)
+      }
+      assert(e.getMessage.contains("re-derive"))
+    } finally VersionedTable.beforeDerivedClaim = () => ()
+    // the racing append WON — its rows were not compacted away
+    assert(VersionedTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3))
+    // re-deriving from the new head succeeds and keeps everything
+    val v = VersionedTable.optimizeCompact(spark, dir)
+    assert(VersionedTable.read(spark, dir, Some(v)).collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(VersionedTable.history(spark, dir).last == ((v, "overwrite", 1)))
+  }
+
+  test("vacuum: retained-version reader survives; in-flight segment shielded by grace") {
+    val dir = Files.createTempDirectory("graft_vt_occ_vac").toString
+    VersionedTable.commit(Seq((1, "a")).toDF("k", "v"), dir) // v0
+    VersionedTable.commit(Seq((2, "b")).toDF("k", "v"), dir) // v1
+    VersionedTable.commit(Seq((3, "c")).toDF("k", "v"), dir) // v2
+    // snapshot handle at a version the vacuum RETAINS, taken before it
+    val reader = VersionedTable.read(spark, dir, Some(1L))
+    // an in-flight commit: segment written, manifest not yet claimed
+    Seq((50, "inflight")).toDF("k", "v").write.parquet(s"$dir/data/c3-inflight")
+    VersionedTable.vacuum(spark, dir, retainVersions = 2) // default grace
+    // v0 dropped, v1 retained: the pre-vacuum handle still collects
+    assert(reader.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    intercept[java.util.NoSuchElementException] {
+      VersionedTable.read(spark, dir, asOf = Some(0L))
+    }
+    // the young never-referenced segment is NOT sweepable yet — it is
+    // indistinguishable from a commit about to publish its manifest
+    assert(new java.io.File(s"$dir/data/c3-inflight").exists())
+    // once no writer can be in flight, grace 0 reclaims it
+    VersionedTable.vacuum(spark, dir, retainVersions = 2, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$dir/data/c3-inflight").exists())
+  }
+
+  test("versioned sink through an induced commit race: both writers land, replays still no-op") {
+    val dir = Files.createTempDirectory("graft_vt_occ_sink").toString
+    val batches = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try (0 until batches).foreach { b =>
+          graft.streaming.StreamOps.versionedBatchCommit(
+            Seq((w * 1000 + b, s"w$w-b$b")).toDF("k", "v"), dir, b.toLong,
+            writerId = Some(s"q$w"))
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing sink failed: ${Option(errs.peek())}")
+    // every micro-batch from both queries landed exactly once
+    val keys = VersionedTable.read(spark, dir).collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys == (1 to 2).flatMap(w => (0 until batches).map(w * 1000 + _)).sorted)
+    // at-least-once replay of either writer's last batch is a no-op
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((999, "replay")).toDF("k", "v"), dir, (batches - 1).toLong,
+      writerId = Some("q1"))
+    graft.streaming.StreamOps.versionedBatchCommit(
+      Seq((998, "replay")).toDF("k", "v"), dir, (batches - 1).toLong,
+      writerId = Some("q2"))
+    assert(VersionedTable.read(spark, dir).count() == 2L * batches)
   }
 }
