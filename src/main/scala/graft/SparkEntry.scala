@@ -2046,6 +2046,18 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", n = 5, k = 10)),
 
+    // The production-shaped sibling of recsys_coverage: the SAME
+    // panel at a real support floor (minSupport=8) — the documented
+    // lever on the exact-CF candidate explosion. The floor pre-prunes
+    // items before the pair build (exact — n_both <= min marginal),
+    // so the headline query's cost has a cheap serving-grade variant
+    // with the identical oracle shape over the pruned support.
+    "recsys_coverage_pruned" -> ((s: SparkSession, d: String) =>
+      Recsys.recommendationCoverage(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_partkey", n = 5, k = 10, minSupport = 8)),
+
     // Isotonic calibration of the purchase rate against the value
     // bin: the PAV fit through the exact minimax identity — pure
     // comparisons over exact-integer quotients, bit-replayable.
@@ -9224,34 +9236,10 @@ object SparkEntry {
     // Recsys.recommendationCoverage mirrored: the full recommend
     // chain as a CTE, exposure counts, rank formula Gini with
     // mirrored double ops at the edge.
-    "recsys_coverage" ->
-      s"""WITH recs AS (
-        |${recsysRecommendOracleSql}
-        |),
-        |cat AS (
-        |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items_catalog,
-        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_users_total
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |srv AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_served FROM recs),
-        |expo AS (SELECT rec_item, CAST(COUNT(*) AS BIGINT) AS x FROM recs GROUP BY 1),
-        |rk AS (
-        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, rec_item) AS BIGINT) AS i
-        |  FROM expo),
-        |g AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_recommended,
-        |    CAST(SUM(x) AS BIGINT) AS tot,
-        |    SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS wsum
-        |  FROM rk)
-        |SELECT n_users_total, n_users_served, n_items_catalog, n_items_recommended,
-        |  CAST(n_items_recommended AS DOUBLE) / CAST(n_items_catalog AS DOUBLE)
-        |    AS catalog_coverage,
-        |  CASE WHEN tot > 0 THEN
-        |    (2.0 * CAST(wsum AS DOUBLE)
-        |      - CAST(n_items_recommended + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
-        |    / (CAST(n_items_recommended AS DOUBLE) * CAST(tot AS DOUBLE))
-        |  END AS exposure_gini
-        |FROM cat CROSS JOIN srv CROSS JOIN g""".stripMargin,
+    "recsys_coverage" -> recsysCoverageOracleSql(2),
+
+    // identical panel over the minSupport=8 pruned support
+    "recsys_coverage_pruned" -> recsysCoverageOracleSql(8),
 
     // Ann.similarityHist mirrored: md5-smallest probe panel, the
     // left-fold cosine, fixed [-1,1] bucket arithmetic.
@@ -11818,16 +11806,20 @@ object SparkEntry {
       |WHERE rn <= 1000""".stripMargin
 
   /** The full recommend-top-N replay — shared by the recsys_recommend
-    * oracle and the coverage panel built over its output.
+    * oracle and the coverage panels built over its output (the
+    * Spark side's item PRE-prune is exact — n_both <= min(n_a, n_b)
+    * — so the oracle states only the pair-level support floor).
     */
-  private def recsysRecommendOracleSql: String =
+  private def recsysRecommendOracleSql: String = recsysRecommendOracleSql(2)
+
+  private def recsysRecommendOracleSql(minSupport: Int): String =
     s"""WITH capped AS ($recsysInteractionsSql),
       |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
       |pairs AS (
       |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
       |  FROM capped a JOIN capped b
       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
       |scored AS (
       |  SELECT ia, ib,
       |    FLOOR(CAST(n_both AS DOUBLE)
@@ -11859,6 +11851,39 @@ object SparkEntry {
       |  rec_item, n_links, score
       |FROM unseen
       |QUALIFY rank <= 5""".stripMargin
+
+  /** Coverage/exposure panel over the recommend replay at the given
+    * support floor — shared by recsys_coverage (2) and its
+    * production-shaped pruned sibling (8).
+    */
+  private def recsysCoverageOracleSql(minSupport: Int): String =
+    s"""WITH recs AS (
+      |${recsysRecommendOracleSql(minSupport)}
+      |),
+      |cat AS (
+      |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items_catalog,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_users_total
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |srv AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_served FROM recs),
+      |expo AS (SELECT rec_item, CAST(COUNT(*) AS BIGINT) AS x FROM recs GROUP BY 1),
+      |rk AS (
+      |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, rec_item) AS BIGINT) AS i
+      |  FROM expo),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_recommended,
+      |    CAST(SUM(x) AS BIGINT) AS tot,
+      |    SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS wsum
+      |  FROM rk)
+      |SELECT n_users_total, n_users_served, n_items_catalog, n_items_recommended,
+      |  CAST(n_items_recommended AS DOUBLE) / CAST(n_items_catalog AS DOUBLE)
+      |    AS catalog_coverage,
+      |  CASE WHEN tot > 0 THEN
+      |    (2.0 * CAST(wsum AS DOUBLE)
+      |      - CAST(n_items_recommended + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+      |    / (CAST(n_items_recommended AS DOUBLE) * CAST(tot AS DOUBLE))
+      |  END AS exposure_gini
+      |FROM cat CROSS JOIN srv CROSS JOIN g""".stripMargin
 
   private def servingValidSql: String =
     s"SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()}) WHERE reason_code IS NULL"

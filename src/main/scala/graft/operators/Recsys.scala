@@ -155,8 +155,25 @@ object Recsys {
     // gives the broadcast gate a real row count.
     val marginals0 = inter.groupBy(col("item_id"))
       .agg(count(lit(1)).as("n_users")).localCheckpoint(true)
-    val marginals = broadcastIfPanel(marginals0, marginals0.count())
-    val pairs = coOccurrenceCounts(inter)
+    val nItems = marginals0.count()
+    val marginals = broadcastIfPanel(marginals0, nItems)
+    // EXACT pre-prune BEFORE the pair fan-out: n_both <= min(n_a, n_b),
+    // so an item whose own support is below the floor cannot survive
+    // the n_both filter with ANY partner — dropping its interactions
+    // up front produces identical output (the oracle pins it) while
+    // the cap²/2 pair stream shrinks by the pruned items' share of
+    // each user's set. At the default floor (2) this sheds the
+    // long tail of single-user items; at production floors (5-10,
+    // the recsys_coverage_pruned shape) the pair stream tracks the
+    // HEAD of the catalog instead of its cardinality.
+    val pruned =
+      if (minSupport <= 1) inter
+      else inter.join(
+        broadcastIfPanel(
+          marginals0.filter(col("n_users") >= minSupport).select(col("item_id")),
+          nItems),
+        Seq("item_id"), "left_semi")
+    val pairs = coOccurrenceCounts(pruned)
       // support floor: a single shared user is noise, not a signal —
       // and it is the scale lever: the pair relation is dominated by
       // singletons (>70% observed), so the floor shrinks everything
