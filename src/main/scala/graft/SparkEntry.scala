@@ -3204,6 +3204,14 @@ object SparkEntry {
         to_date(col("ts")) > lit("2024-01-15"), k = 256)
     }),
 
+    // Mergeable KMV distinct rollup (daily k-min lists -> weekly
+    // estimates): the D65 HLL-rollup shape with EXACT merge (weekly
+    // rollup == direct weekly sketch, spec-pinned) and a SQL-relation
+    // sketch state, so the stored-sketch rollup tier gets a
+    // hash-gated member next to the rows-only HLL/KLL ones.
+    "sketch_kmv_rollup" -> ((s: SparkSession, d: String) =>
+      Profiling.kmvRollup(t(s, d, "events"), "ts", "user_id", k = 256)),
+
     // Count-min sketch frequency estimation (batch twin of the
     // Misra–Gries streaming sink): 4x256 md5-salted cell grid over
     // corpus tokens, per-token min-of-cells estimate vs exact for the
@@ -5435,7 +5443,7 @@ object SparkEntry {
            |  FROM byday b JOIN mp m USING (event_type_norm)),
            |den AS (
            |  SELECT event_type_norm,
-           |    CAST(SUM(CAST(FLOOR(dev * dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS den
+           |    CAST(CAST(CAST(SUM(CAST(FLOOR(dev * dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS den
            |  FROM dev GROUP BY 1),
            |probes AS (
            |  SELECT event_type_norm, u.lag, d + u.lag AS d, dev AS dev_t
@@ -5443,7 +5451,7 @@ object SparkEntry {
            |num AS (
            |  SELECT p.event_type_norm, p.lag,
            |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           |    CAST(SUM(CAST(FLOOR(p.dev_t * v.dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS num
+           |    CAST(CAST(CAST(SUM(CAST(FLOOR(p.dev_t * v.dev * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS num
            |  FROM probes p JOIN dev v
            |    ON p.event_type_norm = v.event_type_norm AND p.d = v.d
            |  GROUP BY 1, 2)
@@ -6968,11 +6976,11 @@ object SparkEntry {
            |  FROM ev GROUP BY 1, 2),
            |pooled AS (
            |  SELECT
-           |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_x,
-           |    (CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE)
-           |       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-           |      / NULLIF(CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE)
-           |       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0) AS theta
+           |    CAST(CAST(CAST(SUM(x) AS DECIMAL(28,2)) * 100 AS BIGINT) AS DOUBLE) / 1e2 / CAST(COUNT(*) AS DOUBLE) AS mean_x,
+           |    (CAST(CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS DOUBLE) / 1e4
+           |       - CAST(CAST(CAST(SUM(x) AS DECIMAL(28,2)) * 100 AS BIGINT) AS DOUBLE) / 1e2 * (CAST(CAST(CAST(SUM(y) AS DECIMAL(28,2)) * 100 AS BIGINT) AS DOUBLE) / 1e2) / CAST(COUNT(*) AS DOUBLE))
+           |      / NULLIF(CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS DOUBLE) / 1e4
+           |       - CAST(CAST(CAST(SUM(x) AS DECIMAL(28,2)) * 100 AS BIGINT) AS DOUBLE) / 1e2 * (CAST(CAST(CAST(SUM(x) AS DECIMAL(28,2)) * 100 AS BIGINT) AS DOUBLE) / 1e2) / CAST(COUNT(*) AS DOUBLE), 0) AS theta
            |  FROM users),
            |adj AS (
            |  SELECT u.arm, u.x, u.y, p.theta,
@@ -6980,10 +6988,10 @@ object SparkEntry {
            |  FROM users u CROSS JOIN pooled p),
            |arms AS (
            |  SELECT arm, COUNT(*) AS n_users, MIN(theta) AS theta,
-           |    CAST(SUM(y) AS DOUBLE) AS sy,
-           |    CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-           |    CAST(SUM(CAST(ya AS DECIMAL(28,6))) AS DOUBLE) AS sa,
-           |    CAST(SUM(CAST(FLOOR(ya * ya * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS saa,
+           |    CAST(CAST(CAST(SUM(y) AS DECIMAL(28,2)) * 100 AS BIGINT) AS DOUBLE) / 1e2 AS sy,
+           |    CAST(CAST(CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS DOUBLE) / 1e4 AS syy,
+           |    CAST(CAST(CAST(SUM(CAST(ya AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS sa,
+           |    CAST(CAST(CAST(SUM(CAST(FLOOR(ya * ya * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS saa,
            |    CAST(COUNT(*) AS DOUBLE) AS nd
            |  FROM adj GROUP BY 1),
            |panel AS (
@@ -8104,15 +8112,15 @@ object SparkEntry {
           |  FROM dec),
           |means AS (
           |  SELECT COUNT(*) AS n_days,
-          |    ROUND(CAST(SUM(CAST(FLOOR(r * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS mr,
-          |    ROUND(CAST(SUM(CAST(FLOOR(sr * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS msr,
-          |    ROUND(CAST(SUM(CAST(FLOOR(tr2 * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS mtr
+          |    ROUND(CAST(CAST(CAST(SUM(CAST(FLOOR(r * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*), 4) AS mr,
+          |    ROUND(CAST(CAST(CAST(SUM(CAST(FLOOR(sr * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*), 4) AS msr,
+          |    ROUND(CAST(CAST(CAST(SUM(CAST(FLOOR(tr2 * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*), 4) AS mtr
           |  FROM base),
           |v AS (
           |  SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
-          |    CAST(SUM(CAST(FLOOR((r - mr) * (r - mr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / MAX(n_days) AS var_r,
-          |    CAST(SUM(CAST(FLOOR((sr - msr) * (sr - msr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / MAX(n_days) AS var_sr,
-          |    CAST(SUM(CAST(FLOOR((tr2 - mtr) * (tr2 - mtr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) / MAX(n_days) AS var_tr
+          |    CAST(CAST(CAST(SUM(CAST(FLOOR((r - mr) * (r - mr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 / MAX(n_days) AS var_r,
+          |    CAST(CAST(CAST(SUM(CAST(FLOOR((sr - msr) * (sr - msr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 / MAX(n_days) AS var_sr,
+          |    CAST(CAST(CAST(SUM(CAST(FLOOR((tr2 - mtr) * (tr2 - mtr) * 1e6) / 1e6 AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 / MAX(n_days) AS var_tr
           |  FROM base, means)
           |SELECT n_days, var_r, var_sr, var_tr,
           |  GREATEST(0.0, 1.0 - var_r / NULLIF(var_sr, 0)) AS f_seasonal,
@@ -10633,6 +10641,42 @@ object SparkEntry {
           |    THEN CAST(n_intersect AS DOUBLE) / CAST(n_union AS DOUBLE) END * 1e6) / 1e6
           |    AS DECIMAL(28,6)) AS jaccard_est
           |FROM cnt CROSS JOIN th""".stripMargin,
+
+      // Profiling.kmvRollup: per-day k-min over the distinct (day,
+      // hash) relation, weekly = k-min of the daily retained union
+      // (exact KMV merge), exclusive-theta estimate on the 1e-6 grid.
+      "sketch_kmv_rollup" ->
+        """WITH hashed AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |daily AS (
+          |  SELECT day, h FROM hashed
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) <= 256),
+          |wk0 AS (
+          |  SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h
+          |  FROM daily),
+          |weekly AS (
+          |  SELECT week, h FROM wk0
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) <= 256),
+          |nd AS (
+          |  SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+          |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+          |  FROM daily GROUP BY 1),
+          |p AS (
+          |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_retained, MAX(h) AS hmax
+          |  FROM weekly GROUP BY 1),
+          |q AS (
+          |  SELECT week, n_retained,
+          |    CASE WHEN n_retained = 256 THEN hmax ELSE 1152921504606846976 END AS theta_h
+          |  FROM p)
+          |SELECT q.week, nd.n_days, q.n_retained,
+          |  CAST(FLOOR(CAST(theta_h AS DOUBLE) / 1152921504606846976.0 * 1e6) / 1e6
+          |    AS DECIMAL(28,6)) AS theta,
+          |  CAST(FLOOR(CAST(CASE WHEN n_retained = 256 THEN 255 ELSE n_retained END AS DOUBLE)
+          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6
+          |    AS DECIMAL(28,6)) AS est_distinct
+          |FROM q JOIN nd ON nd.week = q.week""".stripMargin,
 
       // Mirrors the df-cap (stop shingles with df > 1000 leave both
       // the posting relation and the union sizes — Jaccard is exact

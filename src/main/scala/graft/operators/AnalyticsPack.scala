@@ -25,6 +25,30 @@ object AnalyticsPack {
   private val money: Column => Column = c =>
     graft.expressions.Kernels.toDecimal(c.cast("double"), 18, 2)
 
+  /** Engine-portable DECIMAL(·,6) → double: exact micro-unit long,
+    * ONE IEEE long→double rounding, exact /1e6. Spark's decimal cast
+    * rounds the exact rational once, but DuckDB's scales an
+    * integer-cast value (two roundings) — once a sum's micro-units
+    * pass 2^53 the two disagree by an ulp (§5 rule, caught by the
+    * 10×-replica oracle gate on acf/cuped/seasonal-strength sums).
+    * Long range bounds the guarded magnitude at ~9.2e12 units, far
+    * past any panel this feeds; DuckDB mirror:
+    * `CAST(CAST(x * 1000000 AS BIGINT) AS DOUBLE) / 1e6`.
+    */
+  private[graft] def dec6ToDouble(c: Column): Column = decToDouble(c, 6)
+
+  /** General-scale sibling of [[dec6ToDouble]] (same §5 rationale);
+    * DuckDB mirror: `CAST(CAST(x * 10^s AS BIGINT) AS DOUBLE) / 1e<s>`.
+    */
+  private[graft] def decToDouble(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale).toLong
+    // narrow to (28,scale) first: a SUM's (38,s) type would push the
+    // ×10^s multiply past precision 38 (DuckDB refuses; Spark cuts
+    // scale) — 28 integer-ish digits is far past every guarded panel
+    (c.cast(org.apache.spark.sql.types.DecimalType(28, scale)) * lit(f))
+      .cast("long").cast("double") / lit(f.toDouble)
+  }
+
   /** Exact distributed average: decimal sum cast to double, divided by
     * a count, NULL when the count is zero (both engines agree on NULL,
     * not on inf).
@@ -1250,22 +1274,25 @@ object AnalyticsPack {
         (col("seasonal") + col("residual")).as("sr"),
         (col("trend") + col("residual")).as("tr"))
       .localCheckpoint(false)
+    // dec6ToDouble throughout: daily demand sums squared push the
+    // decimal partials past 2^53 micro-units at 10× data, where the
+    // two engines' decimal→double casts drift an ulp (§5)
     val means = d.agg(
-      round(sum(graft.expressions.Kernels.toDecimal(q6(col("r")), 28, 6)).cast("double")
+      round(dec6ToDouble(sum(graft.expressions.Kernels.toDecimal(q6(col("r")), 28, 6)))
         / count(lit(1)), 4).as("mr"),
-      round(sum(graft.expressions.Kernels.toDecimal(q6(col("sr")), 28, 6)).cast("double")
+      round(dec6ToDouble(sum(graft.expressions.Kernels.toDecimal(q6(col("sr")), 28, 6)))
         / count(lit(1)), 4).as("msr"),
-      round(sum(graft.expressions.Kernels.toDecimal(q6(col("tr")), 28, 6)).cast("double")
+      round(dec6ToDouble(sum(graft.expressions.Kernels.toDecimal(q6(col("tr")), 28, 6)))
         / count(lit(1)), 4).as("mtr"),
       count(lit(1)).as("n_days"))
     val v = d.crossJoin(broadcast(means)).agg(
       first(col("n_days")).as("n_days"),
-      (sum(graft.expressions.Kernels.toDecimal(q6((col("r") - col("mr")) * (col("r") - col("mr"))), 28, 6))
-        .cast("double") / first(col("n_days"))).as("var_r"),
-      (sum(graft.expressions.Kernels.toDecimal(q6((col("sr") - col("msr")) * (col("sr") - col("msr"))), 28, 6))
-        .cast("double") / first(col("n_days"))).as("var_sr"),
-      (sum(graft.expressions.Kernels.toDecimal(q6((col("tr") - col("mtr")) * (col("tr") - col("mtr"))), 28, 6))
-        .cast("double") / first(col("n_days"))).as("var_tr"))
+      (dec6ToDouble(sum(graft.expressions.Kernels.toDecimal(q6((col("r") - col("mr")) * (col("r") - col("mr"))), 28, 6)))
+        / first(col("n_days"))).as("var_r"),
+      (dec6ToDouble(sum(graft.expressions.Kernels.toDecimal(q6((col("sr") - col("msr")) * (col("sr") - col("msr"))), 28, 6)))
+        / first(col("n_days"))).as("var_sr"),
+      (dec6ToDouble(sum(graft.expressions.Kernels.toDecimal(q6((col("tr") - col("mtr")) * (col("tr") - col("mtr"))), 28, 6)))
+        / first(col("n_days"))).as("var_tr"))
     v.select(col("n_days"), col("var_r"), col("var_sr"), col("var_tr"),
       greatest(lit(0.0), lit(1.0) - col("var_r") /
         when(col("var_sr") === 0, lit(null)).otherwise(col("var_sr")))
@@ -2384,8 +2411,8 @@ object AnalyticsPack {
         (col("y") - col("ybar")).as("dev"))
       .localCheckpoint(false)
     val den = dev.groupBy(col("event_type_norm"))
-      .agg(sum(q6(col("dev") * col("dev")).cast(DecimalType(28, 6)))
-        .cast("double").as("den"))
+      .agg(dec6ToDouble(sum(q6(col("dev") * col("dev")).cast(DecimalType(28, 6))))
+        .as("den"))
     val lagGrid = array((1 to maxLag).map(lit): _*)
     val probes = dev
       .withColumn("lag", explode(lagGrid))
@@ -2395,8 +2422,8 @@ object AnalyticsPack {
       .join(dev.withColumnRenamed("dev", "dev_tk"), Seq("event_type_norm", "d"))
       .groupBy(col("event_type_norm"), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(q6(col("dev_t") * col("dev_tk")).cast(DecimalType(28, 6)))
-          .cast("double").as("num"))
+        dec6ToDouble(sum(q6(col("dev_t") * col("dev_tk")).cast(DecimalType(28, 6))))
+          .as("num"))
     num.join(broadcast(den), Seq("event_type_norm"))
       .select(col("event_type_norm"), col("lag"), col("n_pairs"),
         when(col("den") =!= 0, col("num") / col("den")).as("acf"))
@@ -3555,12 +3582,15 @@ object AnalyticsPack {
         sum((col("x") * col("y")).cast(d4)).as("__sxy"),
         sum((col("x") * col("x")).cast(d4)).as("__sxx"))
       .select(
-        (col("__sx").cast("double") / col("__n").cast("double")).as("__mean_x"),
-        ((col("__sxy").cast("double")
-          - col("__sx").cast("double") * col("__sy").cast("double")
+        // decToDouble on every decimal sum: the moment products pass
+        // 2^53 scaled units at 10-100× data, where plain decimal→
+        // double casts drift an ulp between engines (§5)
+        (decToDouble(col("__sx"), 2) / col("__n").cast("double")).as("__mean_x"),
+        ((decToDouble(col("__sxy"), 4)
+          - decToDouble(col("__sx"), 2) * decToDouble(col("__sy"), 2)
             / col("__n").cast("double"))
-          / nz(col("__sxx").cast("double")
-            - col("__sx").cast("double") * col("__sx").cast("double")
+          / nz(decToDouble(col("__sxx"), 4)
+            - decToDouble(col("__sx"), 2) * decToDouble(col("__sx"), 2)
               / col("__n").cast("double"))).as("theta"))
     // adjusted per-user values on the 1e-6 grid, then per-arm stats
     val adj = users.crossJoin(broadcast(pooled))
@@ -3575,14 +3605,14 @@ object AnalyticsPack {
         sum(col("__ya").cast(d6)).as("__sa"),
         sum(q6(col("__ya") * col("__ya")).cast(d6)).as("__saa"))
       .select(col("arm"), col("n_users"), col("theta"),
-        (col("__sy").cast("double") / col("n_users").cast("double")).as("mean_raw"),
-        (col("__sa").cast("double") / col("n_users").cast("double")).as("mean_adj"),
-        ((col("__syy").cast("double")
-          - col("__sy").cast("double") * col("__sy").cast("double")
+        (decToDouble(col("__sy"), 2) / col("n_users").cast("double")).as("mean_raw"),
+        (decToDouble(col("__sa"), 6) / col("n_users").cast("double")).as("mean_adj"),
+        ((decToDouble(col("__syy"), 4)
+          - decToDouble(col("__sy"), 2) * decToDouble(col("__sy"), 2)
             / col("n_users").cast("double"))
           / col("n_users").cast("double")).as("var_raw"),
-        ((col("__saa").cast("double")
-          - col("__sa").cast("double") * col("__sa").cast("double")
+        ((decToDouble(col("__saa"), 6)
+          - decToDouble(col("__sa"), 6) * decToDouble(col("__sa"), 6)
             / col("n_users").cast("double"))
           / col("n_users").cast("double")).as("var_adj"))
       .withColumn("var_reduction",

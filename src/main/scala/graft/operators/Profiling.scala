@@ -754,6 +754,71 @@ object Profiling {
         .as("jaccard_est"))
   }
 
+  /** Mergeable KMV distinct-count rollup (daily sketches → weekly
+    * estimates) — the D65 `hllRollup` shape with a sketch whose state
+    * is a SQL RELATION: each day's sketch is the k smallest distinct
+    * `md5Long60` hashes of the key, and the weekly sketch is the k
+    * smallest of the union of the daily RETAINED sets. KMV merge is
+    * EXACT (any hash in the week's k-min is in its own day's k-min —
+    * the week's rollup equals a direct weekly build bit-for-bit,
+    * spec-pinned), so stored daily k-min lists answer any coarser
+    * grain with zero estimate drift from the merge itself — the
+    * property HLL register-merge only approximates and the reason a
+    * KMV tier can be ORACLE-CHECKED while D65/D91 are rows-only.
+    *
+    * Output: one row per ISO week — days observed, retained sample
+    * size, theta and the distinct estimate ((n-1)/U(n) when
+    * saturated, exact count when not — same exclusive-theta rule as
+    * [[kmvOverlap]], whose slice sketches this rollup feeds at a
+    * stored deployment).
+    *
+    * Scale shape: one fact pass to the distinct (day, hash) relation
+    * (the COUNT(DISTINCT) shuffle, partial-agg combined map-side),
+    * per-day top-k as a day-partitioned rank window (each partition
+    * is one day's distinct keys — the same bound any per-day distinct
+    * pays; a stored tier persists exactly these k-row lists), then
+    * the weekly re-rank runs on ≤ 7k rows per week.
+    */
+  def kmvRollup(df: DataFrame, tsCol: String, keyCol: String,
+                k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, s"kmvRollup needs k >= 2: $k")
+    val two60 = lit(1152921504606846976L)
+    val hashed = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        graft.operators.Sampling.md5Long60(Seq(col(keyCol))).as("h"))
+      .distinct()
+    val daily = hashed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("h"))))
+      .filter(col("__rn") <= k)
+      .localCheckpoint(false)
+    val weekly = daily
+      .select(date_trunc("week", col("day")).cast("date").as("week"), col("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("week")).orderBy(col("h"))))
+      .filter(col("__rn") <= k)
+    val nDays = daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(countDistinct(col("day")).as("n_days"))
+    def grid(c: Column): Column =
+      (floor(c * lit(1e6)) / lit(1e6)).cast(DecimalType(28, 6))
+    weekly.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_retained"), max(col("h")).as("__hmax"))
+      .withColumn("__theta_h",
+        when(col("n_retained") === k, col("__hmax")).otherwise(two60))
+      .join(nDays, Seq("week"))
+      .select(col("week"), col("n_days"), col("n_retained"),
+        grid(col("__theta_h").cast("double") / two60.cast("double")).as("theta"),
+        grid(when(col("n_retained") === k, lit(k - 1).cast("long"))
+          .otherwise(col("n_retained")).cast("double") /
+          (col("__theta_h").cast("double") / two60.cast("double")))
+          .as("est_distinct"))
+  }
+
   /** Shannon-entropy profile of categorical columns — the "how much
     * signal does this column carry" panel next to [[mutualInfo]]'s
     * pairwise dependence: per column, non-null count, distinct count,

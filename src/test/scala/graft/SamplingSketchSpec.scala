@@ -967,6 +967,49 @@ class SamplingSketchSpec extends SparkSpec {
     assert(math.abs(shares("C") - 12.0 / 110.0) < 1e-12)
   }
 
+  test("kmvRollup: weekly rollup of daily k-min lists EQUALS the direct weekly sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two ISO weeks; days share heavy user overlap so summed daily
+    // distincts overcount while the merged sketch must not; enough
+    // users that the weekly sketch saturates k
+    val rows = for {
+      (d, base) <- Seq(("2024-01-08", 0), ("2024-01-09", 200), ("2024-01-10", 400),
+        ("2024-01-15", 0), ("2024-01-17", 350))
+      u <- base until (base + 600)
+    } yield (Timestamp.valueOf(s"$d 12:00:00"), u.toLong)
+    val df = rows.toDF("ts", "user_id")
+    val k = 256
+    val out = Profiling.kmvRollup(df, "ts", "user_id", k = k)
+      .orderBy("week").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(out.head.fieldIndex("n_days"))).toSeq == Seq(3L, 2L))
+    // DIRECT weekly sketch from scratch — the KMV merge exactness
+    // claim: k-min(union of daily k-mins) == k-min(week's full set)
+    val direct = df
+      .select(date_trunc("week", to_date(col("ts"))).cast("date").as("week"),
+        graft.operators.Sampling.md5Long60(Seq(col("user_id"))).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("week")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hmax"))
+      .orderBy("week").collect()
+    out.zip(direct).foreach { case (r, d) =>
+      assert(r.getLong(r.fieldIndex("n_retained")) == d.getLong(d.fieldIndex("n")))
+      // same retained sample => same theta => same estimate
+      val theta = r.getDecimal(r.fieldIndex("theta")).doubleValue()
+      val est = r.getDecimal(r.fieldIndex("est_distinct")).doubleValue()
+      val hmax = d.getLong(d.fieldIndex("hmax"))
+      val thetaDirect = math.floor(hmax.toDouble / 1152921504606846976L.toDouble * 1e6) / 1e6
+      assert(theta == thetaDirect)
+      // true weekly distincts: week1 = 1000 (0..999), week2 = 950
+      val truth = if (d.getDate(0).toString == "2024-01-08") 1000.0 else 950.0
+      assert(math.abs(est - truth) / truth < 0.19, s"est=$est truth=$truth")
+    }
+  }
+
   test("kmvOverlap: planted small intersection inside the envelope; unsaturated regime exact") {
     import spark.implicits._
     // planted universe: A = 1..10000, B = 9001..19000 — true

@@ -55,9 +55,14 @@ def frame_hash(rows, cols):
 
 def main():
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata ships single files; ScaleUp replicas are
+        # Spark part-file directories — accept both
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     failures = 0
