@@ -7,8 +7,15 @@ import org.apache.spark.sql.SparkSession
   * (AQE, partition sizing, broadcast threshold) is the tuned surface.
   */
 object GraftSession {
+  // SPARK_GRAFT_SHUFFLE_PARTITIONS sizes shuffles independently of
+  // core count — the knob a real deployment scales WITH THE DATA
+  // (default: one partition per core, right for the driver's sf0.1
+  // gate; a 100× scale sweep at 32 partitions forces 40M-key hash
+  // maps per task and spills — measured superlinear, see §6).
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+              shufflePartitions: Int =
+                sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+                  .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
       : SparkSession.Builder =
     SparkSession.builder()
       .master(master)

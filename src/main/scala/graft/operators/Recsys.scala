@@ -166,8 +166,15 @@ object Recsys {
     // long tail of single-user items; at production floors (5-10,
     // the recsys_coverage_pruned shape) the pair stream tracks the
     // HEAD of the catalog instead of its cardinality.
+    // Gate on the items PANEL first (checkpointed, one cheap count):
+    // when nothing falls below the floor the semi-join would only add
+    // an extra materialization of the interaction relation to the
+    // chain — measured ~10-15% on the recsys family — for zero pruning.
+    val nPrunable =
+      if (minSupport <= 1) 0L
+      else marginals0.filter(col("n_users") < minSupport).count()
     val pruned =
-      if (minSupport <= 1) inter
+      if (nPrunable == 0L) inter
       else inter.join(
         broadcastIfPanel(
           marginals0.filter(col("n_users") >= minSupport).select(col("item_id")),

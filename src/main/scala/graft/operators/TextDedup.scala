@@ -395,7 +395,7 @@ object TextDedup {
     * declarative `transform(TextOps.shingles(toks, n), xxhash64)`
     * (spec-pinned in KernelExprSpec).
     */
-  private[operators] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), Kernels.shingleHashes(col("toks"), n).as("shs"))

@@ -775,6 +775,13 @@ object VersionedTable {
           st.getModificationTime <= cutoff)
         .map(_.getPath)
     dead.foreach(p => hfs.delete(p, true))
+    // claim-tmp files a crashed committer left in the log dir: never
+    // visible (the version regex ignores them) but they accumulate;
+    // same grace rule — a LIVE committer's tmp is younger than it
+    hfs.listStatus(new HPath(s"$dir/_graft_log")).toSeq
+      .filter(st => st.getPath.getName.endsWith(".tmp") &&
+        st.getModificationTime <= cutoff)
+      .foreach(st => hfs.delete(st.getPath, false))
     (drop.size, dead.size)
   }
 

@@ -563,6 +563,51 @@ object StreamOps {
     }, batchId, writerId)
   }
 
+  /** Streaming KMV DISTINCT-SKETCH sink — the exact-merge member of
+    * the stored-sketch sink trio (HLL [[sketchSink]], KLL [[kllSink]],
+    * KMV here) and the streaming twin of
+    * [[graft.operators.Profiling.kmvRollup]]: maintains a persisted
+    * per-key k-min-hash table — each micro-batch reduces to its own
+    * per-key k smallest distinct `md5Long60` hashes and folds into
+    * the stored lists by union + re-rank (KMV merge is EXACT: the
+    * stored table always equals the k-min a batch recompute over
+    * everything streamed so far would produce, spec-pinned — no
+    * register-merge approximation, and the state is a plain SQL
+    * relation readable by the D97/D98 overlap/estimate panels). At
+    * most k rows per key ever stored; batch-id replays no-op under
+    * the shared identity rule.
+    */
+  def kmvSink(stream: DataFrame, checkpoint: String, target: String,
+              keys: Seq[String], valueCol: String, k: Int = 256):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        kmvBatchToParquet(batch.toDF(), target, keys, valueCol, k, batchId)
+      }
+
+  private[graft] def kmvBatchToParquet(batch: DataFrame, target: String,
+                                       keys: Seq[String], valueCol: String,
+                                       k: Int,
+                                       batchId: Long = -1L,
+                                       writerId: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"kmvBatchToParquet needs k >= 2: $k")
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("h"))))
+      .filter(col("__rn") <= k).drop("__rn")
+    val p = topk(batch.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+
+        graft.operators.Sampling.md5Long60(Seq(col(valueCol))).as("h"): _*)
+      .distinct())
+    upsertParquet(batch.sparkSession, target, p, existing =>
+      // union + re-rank IS the KMV merge; distinct first — the same
+      // hash can sit in both the stored list and the batch's
+      topk(existing.unionByName(p).distinct()), batchId, writerId)
+  }
+
   /** Streaming KLL QUANTILE-SKETCH sink — the percentile twin of
     * [[sketchSink]]: maintains a persisted per-key KLL sketch table
     * (`graft.operators.Profiling.kllRollup`'s streaming form). Each

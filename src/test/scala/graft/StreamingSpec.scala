@@ -808,6 +808,49 @@ class StreamingSpec extends SparkSpec {
     assert(medians(target) == got)
   }
 
+  test("kmv sink: stored k-min lists equal a batch recompute exactly; replay no-ops") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvsink").toString
+    val target = s"$dir/sketches"
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF.toDF("grp", "uid")
+    val k = 64
+    val q = StreamOps.kmvSink(df, s"$dir/ckpt", target, Seq("grp"), "uid", k = k)
+      .start()
+    // overlapping uid ranges across batches: the union must dedup, and
+    // batch-2 hashes must be able to DISPLACE batch-1 list members
+    val b1 = (1L to 500L).map(u => ("A", u)) ++ (1L to 30L).map(u => ("B", u))
+    val b2 = (301L to 900L).map(u => ("A", u)) ++ (21L to 50L).map(u => ("B", u))
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(target)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // EXACT merge: the stored lists equal the k-min a batch recompute
+    // over everything streamed so far would produce
+    import org.apache.spark.sql.expressions.Window
+    val expect = (b1 ++ b2).toDF("grp", "uid").distinct()
+      .select($"grp",
+        graft.operators.Sampling.md5Long60(Seq($"uid")).as("h"))
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy($"grp").orderBy($"h")))
+      .filter($"rn" <= k).select($"grp", $"h")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stored == expect)
+    // bounded state: A saturates at k, B (50 distinct) stays exact
+    val byGrp = stored.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byGrp("A") == k && byGrp("B") == 50)
+    // replay of an applied batch id under the query identity: no-op
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", q.id.toString)
+    try
+      StreamOps.kmvBatchToParquet(b2.toDF("grp", "uid"), target,
+        Seq("grp"), "uid", k = k, batchId = 1L)
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    assert(spark.read.parquet(target)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == stored)
+  }
+
   test("drift-alert sink: quiet batch passes, shifted batch alerts; replay no-ops") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_driftsink").toString
