@@ -1419,6 +1419,20 @@ object SparkEntry {
     "ana_xcorr_lags" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.xcorrLags(t(s, d, "events"), "CLICK", "PURCHASE")),
 
+    // Granger causality (lag-1) between every ordered event-type
+    // pair's daily series: restricted vs unrestricted OLS, F-test
+    // with the χ²(1) 5% critical verdict — the directed upgrade of
+    // the xcorr panel.
+    "ana_granger" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.granger(t(s, d, "events"))),
+
+    // Engle–Granger cointegration between every ordered event-type
+    // pair's daily series: step-1 levels OLS, step-2 ADF(0) on the
+    // gridded residuals, MacKinnon −3.33613 verdict — the long-run
+    // equilibrium companion of the granger panel.
+    "ana_cointegration" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.cointegration(t(s, d, "events"))),
+
     // 2×2 odds-ratio readout: weekend exposure vs high-value-purchase
     // outcome, log-scale Wald interval (grid-ln, parsed 1.96), the
     // epidemiology companion of the abtest readout.
@@ -2876,7 +2890,20 @@ object SparkEntry {
     "unigram_encode" -> ((s: SparkSession, d: String) =>
       CorpusQc.unigramEncode(t(s, d, "documents"), "doc_id", "text")),
 
-    // Tokenizer-selection panel: the same corpus through BOTH
+    // WordPiece TRAINING: six likelihood-scored merge rounds
+    // (score = n_pair / (n_left * n_right) — frequent pairs of RARE
+    // symbols win) — the third production tokenizer's merge table.
+    "wordpiece_train" -> ((s: SparkSession, d: String) =>
+      CorpusQc.wordpieceTrainMerges(t(s, d, "documents"), "text", rounds = 6)),
+
+    // WordPiece ENCODE: greedy longest-match-first against the
+    // role-keyed vocabulary (initial pieces bare, continuations
+    // ##-prefixed, char inventory in both roles) — per-doc token and
+    // piece counts, the production WordPiece inference rule.
+    "wordpiece_encode" -> ((s: SparkSession, d: String) =>
+      CorpusQc.wordpieceEncode(t(s, d, "documents"), "doc_id", "text", rounds = 6)),
+
+    // Tokenizer-selection panel: the same corpus through all THREE
     // production tokenizers, corpus-level compression side by side.
     "tokenizer_compare" -> ((s: SparkSession, d: String) =>
       CorpusQc.tokenizerCompare(t(s, d, "documents"), "doc_id", "text")),
@@ -6129,6 +6156,135 @@ object SparkEntry {
           |        * sqrt(CAST(n_days*sbb AS DOUBLE) - CAST(sb*sb AS DOUBLE)), 0)
           |    AS xcorr
           |FROM agg""".stripMargin,
+
+      // AnalyticsPack.granger mirrored: daily panel, lag-1 joins over
+      // all ordered type pairs, exact integer moments, the n·Σ−Σ·Σ
+      // centered forms cast to double ONCE each, the same fixed IEEE
+      // sequence for det/b/RSS/F, same NULL guards and 3.841459
+      // verdict constant.
+      "ana_granger" ->
+        """WITH daily AS (
+          |  SELECT UPPER(TRIM(event_type)) AS et, CAST(ts AS DATE) AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2),
+          |rws AS (
+          |  SELECT x.et AS cause, y.et AS effect, y.n AS y, l.n AS y1, x.n AS x1
+          |  FROM daily y
+          |  JOIN daily l ON l.et = y.et AND l.d + 1 = y.d
+          |  JOIN daily x ON x.d + 1 = y.d AND x.et <> y.et),
+          |m AS (
+          |  SELECT cause, effect, CAST(COUNT(*) AS BIGINT) AS n_days,
+          |    SUM(y) AS sy, SUM(y1) AS sy1, SUM(x1) AS sx1,
+          |    SUM(y*y) AS syy, SUM(y1*y1) AS s11, SUM(x1*x1) AS s22,
+          |    SUM(y*y1) AS sy_1, SUM(y*x1) AS sy_2, SUM(y1*x1) AS s12
+          |  FROM rws GROUP BY 1, 2),
+          |c AS (
+          |  SELECT cause, effect, n_days,
+          |    CAST(n_days*s11 AS DOUBLE) - CAST(sy1*sy1 AS DOUBLE) AS a11,
+          |    CAST(n_days*s22 AS DOUBLE) - CAST(sx1*sx1 AS DOUBLE) AS a22,
+          |    CAST(n_days*s12 AS DOUBLE) - CAST(sy1*sx1 AS DOUBLE) AS a12,
+          |    CAST(n_days*sy_1 AS DOUBLE) - CAST(sy1*sy AS DOUBLE) AS a1y,
+          |    CAST(n_days*sy_2 AS DOUBLE) - CAST(sx1*sy AS DOUBLE) AS a2y,
+          |    CAST(n_days*syy AS DOUBLE) - CAST(sy*sy AS DOUBLE) AS ayy
+          |  FROM m),
+          |s AS (
+          |  SELECT cause, effect, n_days, a11,
+          |    a11*a22 - a12*a12 AS det,
+          |    (a1y*a22 - a2y*a12) / (a11*a22 - a12*a12) AS b1,
+          |    (a2y*a11 - a1y*a12) / (a11*a22 - a12*a12) AS b2,
+          |    a1y, a2y, ayy
+          |  FROM c),
+          |r AS (
+          |  SELECT cause, effect, n_days, a11, det, b2,
+          |    ayy - b1*a1y - b2*a2y AS rss_u,
+          |    ayy - a1y*a1y/a11 AS rss_r
+          |  FROM s)
+          |SELECT cause, effect, n_days,
+          |  CASE WHEN n_days >= 4 AND det <> 0.0
+          |       THEN FLOOR(b2 * 1e6) / 1e6 END AS b_cause,
+          |  CASE WHEN n_days >= 4 AND det <> 0.0 AND a11 <> 0.0 AND rss_u > 0.0
+          |       THEN FLOOR((rss_r - rss_u) * CAST(n_days - 3 AS DOUBLE) / rss_u
+          |                  * 1e6) / 1e6 END AS f_stat,
+          |  CASE WHEN n_days >= 4 AND det <> 0.0 AND a11 <> 0.0 AND rss_u > 0.0
+          |       THEN (FLOOR((rss_r - rss_u) * CAST(n_days - 3 AS DOUBLE) / rss_u
+          |                   * 1e6) / 1e6) > 3.841459 END AS granger_5pct
+          |FROM r""".stripMargin,
+
+      // AnalyticsPack.cointegration mirrored: step-1 exact-moment OLS
+      // (one double cast per centered form), residuals through the
+      // identical (y − a) − b·x IEEE sequence floor-gridded to
+      // micro-unit BIGINTs, step-2 HUGEINT moment sums (µ² units
+      // cancel in γ and t), same guards and −3.33613 verdict.
+      "ana_cointegration" ->
+        """WITH daily AS (
+          |  SELECT UPPER(TRIM(event_type)) AS et, CAST(ts AS DATE) AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1, 2),
+          |rws AS (
+          |  SELECT x.et AS series_x, y.et AS series_y, y.d, x.n AS x, y.n AS y
+          |  FROM daily y JOIN daily x ON x.d = y.d AND x.et <> y.et),
+          |m1 AS (
+          |  SELECT series_x, series_y, CAST(COUNT(*) AS BIGINT) AS n_days,
+          |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+          |  FROM rws GROUP BY 1, 2),
+          |coef AS (
+          |  SELECT series_x, series_y, n_days,
+          |    CASE WHEN CAST(n_days*sxx AS DOUBLE) - CAST(sx*sx AS DOUBLE) <> 0.0
+          |         THEN (CAST(n_days*sxy AS DOUBLE) - CAST(sx*sy AS DOUBLE))
+          |              / (CAST(n_days*sxx AS DOUBLE) - CAST(sx*sx AS DOUBLE))
+          |    END AS b,
+          |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+          |  FROM m1),
+          |coef2 AS (
+          |  SELECT series_x, series_y, n_days, b,
+          |    (syd - b * sxd) / CAST(n_days AS DOUBLE) AS a,
+          |    FLOOR(b * 1e6) / 1e6 AS beta
+          |  FROM coef),
+          |resid AS (
+          |  SELECT r.series_x, r.series_y, r.d,
+          |    CAST(FLOOR((CAST(r.y AS DOUBLE) - c.a
+          |                - c.b * CAST(r.x AS DOUBLE)) * 1e6) AS BIGINT) AS e6
+          |  FROM rws r JOIN coef2 c USING (series_x, series_y)
+          |  WHERE c.b IS NOT NULL),
+          |diffs AS (
+          |  SELECT c.series_x, c.series_y, p.e6 AS pe6, c.e6 - p.e6 AS de6
+          |  FROM resid c JOIN resid p
+          |    ON p.series_x = c.series_x AND p.series_y = c.series_y
+          |   AND p.d + 1 = c.d),
+          |m2 AS (
+          |  SELECT series_x, series_y, CAST(COUNT(*) AS BIGINT) AS n_diffs,
+          |    SUM(CAST(pe6 AS HUGEINT) * CAST(de6 AS HUGEINT)) AS sed,
+          |    SUM(CAST(pe6 AS HUGEINT) * CAST(pe6 AS HUGEINT)) AS see,
+          |    SUM(CAST(de6 AS HUGEINT) * CAST(de6 AS HUGEINT)) AS sdd
+          |  FROM diffs GROUP BY 1, 2),
+          |s AS (
+          |  SELECT series_x, series_y, n_diffs,
+          |    CAST(sed AS DOUBLE) AS ed, CAST(see AS DOUBLE) AS ee,
+          |    CAST(sdd AS DOUBLE) AS dd
+          |  FROM m2),
+          |r AS (
+          |  SELECT series_x, series_y, n_diffs, ee,
+          |    ed / ee AS gamma,
+          |    dd - ed * ed / ee AS rss
+          |  FROM s)
+          |SELECT c.series_x, c.series_y, c.n_days,
+          |  COALESCE(r.n_diffs, CAST(0 AS BIGINT)) AS n_diffs, c.beta,
+          |  CASE WHEN c.beta IS NOT NULL AND r.n_diffs >= 3 AND r.ee <> 0.0
+          |       THEN FLOOR(r.gamma * 1e6) / 1e6 END AS gamma,
+          |  CASE WHEN c.beta IS NOT NULL AND r.n_diffs >= 3 AND r.ee <> 0.0
+          |            AND r.rss > 0.0
+          |       THEN FLOOR(r.gamma / sqrt((r.rss / CAST(r.n_diffs - 1 AS DOUBLE))
+          |                                 / r.ee) * 1e6) / 1e6 END AS adf_t,
+          |  CASE WHEN c.beta IS NOT NULL AND r.n_diffs >= 3 AND r.ee <> 0.0
+          |            AND r.rss > 0.0
+          |       THEN (FLOOR(r.gamma / sqrt((r.rss / CAST(r.n_diffs - 1 AS DOUBLE))
+          |                                  / r.ee) * 1e6) / 1e6) < -3.33613
+          |  END AS coint_5pct
+          |FROM coef2 c LEFT JOIN r USING (series_x, series_y)""".stripMargin,
 
       // Profiling.spearmanPair mirrored: doubled integer midranks per
       // distinct value, HUGEINT moments, one fixed-order double rho.
@@ -10202,6 +10358,112 @@ object SparkEntry {
     }
   }
 
+  /** WordPiece tokenizer training + greedy encode as chained
+    * MATERIALIZED CTEs (the bpeTrainCtes/UnigramOracle discipline):
+    * training = per round the symbol-frequency relation `wps{r}`,
+    * the pair relation `wpp{r}`, the likelihood-scored winner
+    * `wpb{r}` (score = n_pair / (n_left·n_right), one double multiply
+    * + one division — bit-identical to the Spark argmax) and the
+    * replaced vocabulary `wpv{r}`; encode = the role-keyed vocab
+    * `wpkeys` (word-initial pieces bare, continuations ##-prefixed,
+    * char inventory in both roles), the longest-match table `wpj`
+    * and an `lcap`-step unrolled greedy walk `wpg{i}`
+    * (pos += jump(pos) while pos ≤ len) — the exact recurrence the
+    * Spark per-word aggregate fold runs.
+    */
+  private object WordpieceOracle {
+    val (rounds, lcap) = (6, 12)
+
+    /** Training chain, WITH-prefixed: wpv0 (char-split vocab) then
+      * per round wpt/wps/wpp/wpb/wpv.
+      */
+    def trainCtes(toksSql: String): String = {
+      val head =
+        s"""WITH wpv0 AS MATERIALIZED (
+           |  SELECT ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' ' AS sym,
+           |         COUNT(*) AS wf
+           |  FROM (SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents))
+           |  WHERE tok <> '' GROUP BY 1)""".stripMargin
+      val iters = (1 to rounds).map { r =>
+        s"""wpt$r AS MATERIALIZED (
+           |  SELECT string_split(trim(sym), '  ') AS t,
+           |         len(string_split(trim(sym), '  ')) AS n, wf
+           |  FROM wpv${r - 1}),
+           |wps$r AS MATERIALIZED (
+           |  SELECT s, CAST(SUM(wf) AS BIGINT) AS sf FROM (
+           |    SELECT UNNEST(t) AS s, wf FROM wpt$r) GROUP BY 1),
+           |wpp$r AS MATERIALIZED (
+           |  SELECT l, r, CAST(SUM(wf) AS BIGINT) AS np FROM (
+           |    SELECT UNNEST(list_slice(t, 1, n - 1)) AS l,
+           |           UNNEST(list_slice(t, 2, n)) AS r, wf
+           |    FROM wpt$r WHERE n >= 2) GROUP BY 1, 2),
+           |wpb$r AS MATERIALIZED (
+           |  SELECT p.l, p.r, p.np, sl.sf AS nl, sr.sf AS nr,
+           |         CAST(p.np AS DOUBLE) / (CAST(sl.sf AS DOUBLE) * CAST(sr.sf AS DOUBLE)) AS score
+           |  FROM wpp$r p JOIN wps$r sl ON sl.s = p.l JOIN wps$r sr ON sr.s = p.r
+           |  ORDER BY score DESC, p.l, p.r LIMIT 1),
+           |wpv$r AS MATERIALIZED (
+           |  SELECT replace(sym, ' ' || b.l || '  ' || b.r || ' ',
+           |                      ' ' || b.l || b.r || ' ') AS sym, wf
+           |  FROM wpv${r - 1}, wpb$r b)""".stripMargin
+      }
+      (head +: iters).mkString(",\n")
+    }
+
+    /** Encode chain appended after [[trainCtes]]: truncated word
+      * relation `wpw`, role-keyed vocab `wpkeys` from the final
+      * `wpv{rounds}` symbolization, longest-match `wpj`, the unrolled
+      * greedy walk ending in `wpgf` (word → n_pieces), and the
+      * per-doc token relation `wptok`.
+      */
+    def applyCtes(toksSql: String): String = {
+      val steps = (1 to lcap).map { i =>
+        s"""wpg$i AS MATERIALIZED (
+           |  SELECT g.word, g.wf, g.wl,
+           |    CASE WHEN g.pos <= g.wl THEN g.pos + j.jump ELSE g.pos END AS pos,
+           |    CASE WHEN g.pos <= g.wl THEN g.cnt + 1 ELSE g.cnt END AS cnt
+           |  FROM wpg${i - 1} g LEFT JOIN wpj j ON j.word = g.word AND j.s = g.pos)""".stripMargin
+      }.mkString(",\n")
+      s"""wpw AS MATERIALIZED (
+         |  SELECT substr(tok, 1, $lcap) AS word, COUNT(*) AS wf
+         |  FROM (SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents))
+         |  WHERE tok <> '' GROUP BY 1),
+         |wpkeys AS MATERIALIZED (
+         |  SELECT DISTINCT key FROM (
+         |    SELECT CASE WHEN i = 1 THEN t[i] ELSE '##' || t[i] END AS key
+         |    FROM (SELECT t, UNNEST(range(1, len(t) + 1)) AS i
+         |          FROM (SELECT string_split(trim(sym), '  ') AS t FROM wpv$rounds))
+         |    UNION ALL
+         |    SELECT c AS key FROM (
+         |      SELECT DISTINCT UNNEST(regexp_extract_all(word, '.')) AS c FROM wpw)
+         |    UNION ALL
+         |    SELECT '##' || c AS key FROM (
+         |      SELECT DISTINCT UNNEST(regexp_extract_all(word, '.')) AS c FROM wpw))),
+         |wpj AS MATERIALIZED (
+         |  SELECT word, wf, wl, s, MAX(l) AS jump FROM (
+         |    SELECT word, wf, wl, u.s AS s, u.l AS l,
+         |      CASE WHEN u.s = 1 THEN substr(word, u.s, u.l)
+         |           ELSE '##' || substr(word, u.s, u.l) END AS key
+         |    FROM (
+         |      SELECT word, wf, len(word) AS wl,
+         |        UNNEST(flatten(list_transform(range(1, len(word) + 1), s ->
+         |          list_transform(range(1, len(word) - s + 2), l ->
+         |            {'s': s, 'l': l})))) AS u
+         |      FROM wpw)) m JOIN wpkeys USING (key)
+         |  GROUP BY 1, 2, 3, 4),
+         |wpg0 AS MATERIALIZED (
+         |  SELECT word, wf, len(word) AS wl, 1 AS pos, 0 AS cnt FROM wpw),
+         |$steps,
+         |wpgf AS MATERIALIZED (
+         |  SELECT word, cnt AS n_pieces FROM wpg$lcap),
+         |wptok AS MATERIALIZED (
+         |  SELECT doc_id, substr(tok, 1, $lcap) AS word
+         |  FROM (SELECT doc_id, UNNEST(t) AS tok
+         |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
+         |  WHERE tok <> '')""".stripMargin
+    }
+  }
+
   /** DuckDB twins of the text-pipeline queries (minhash/simhash/
     * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
     * the driver's rows-only check).
@@ -11734,16 +11996,19 @@ object SparkEntry {
              |FROM e$rounds GROUP BY 1""".stripMargin
       },
 
-      // Tokenizer-selection panel: the SAME corpus encoded by both
-      // production tokenizers (D60's BPE merges, D94's unigram model),
-      // corpus-level compression totals side by side. One WITH: the
-      // bpe chain + the unigram chain (CTE names disjoint by
-      // construction) + per-tokenizer rollups.
+      // Tokenizer-selection panel: the SAME corpus encoded by all
+      // THREE production tokenizers (D60's BPE merges, D94's unigram
+      // model, D100's WordPiece greedy longest-match), corpus-level
+      // compression totals side by side. One WITH: the bpe chain +
+      // the unigram chain + the wordpiece chain (CTE names disjoint
+      // by construction) + per-tokenizer rollups.
       "tokenizer_compare" -> {
         val rounds = 6
         bpeTrainCtes(toksSql, rounds) + ",\n" + bpeApplyCtes(toksSql, rounds) +
           ",\n" + UnigramOracle.trainCtes(toksSql).stripPrefix("WITH ") +
           ",\n" + UnigramOracle.applyCtes(toksSql, "ugtok", "ugpc") +
+          ",\n" + WordpieceOracle.trainCtes(toksSql).stripPrefix("WITH ") +
+          ",\n" + WordpieceOracle.applyCtes(toksSql) +
           s""",
              |perdoc AS (
              |  SELECT 'bpe' AS tokenizer, doc_id,
@@ -11754,7 +12019,12 @@ object SparkEntry {
              |  SELECT 'unigram' AS tokenizer, doc_id,
              |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |    CAST(SUM(n_pieces) AS BIGINT) AS n_symbols
-             |  FROM ugtok JOIN ugpc USING (word) GROUP BY 2)
+             |  FROM ugtok JOIN ugpc USING (word) GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'wordpiece' AS tokenizer, doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_pieces) AS BIGINT) AS n_symbols
+             |  FROM wptok JOIN wpgf USING (word) GROUP BY 2)
              |SELECT tokenizer, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
              |  CAST(SUM(n_symbols) AS BIGINT) AS n_symbols,
@@ -11762,6 +12032,29 @@ object SparkEntry {
              |    * 1e6) / 1e6 AS symbols_per_token
              |FROM perdoc GROUP BY 1""".stripMargin
       },
+
+      // WordPiece training replayed as the WordpieceOracle chain: per
+      // round symbol + pair frequencies, the likelihood-scored winner
+      // (score DESC, pair ASC), one boundary-safe literal replace —
+      // the learned merge table with its score evidence.
+      "wordpiece_train" -> {
+        val out = (1 to WordpieceOracle.rounds).map { r =>
+          s"""SELECT $r AS round, l AS merge_left, r AS merge_right,
+             |  l || r AS merged, np AS n_pair, nl AS n_left, nr AS n_right,
+             |  score FROM wpb$r""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        WordpieceOracle.trainCtes(toksSql) + "\n" + out
+      },
+
+      // Training CTEs + the role-keyed vocab, longest-match table and
+      // unrolled greedy walk — per-doc token and piece counts.
+      "wordpiece_encode" ->
+        (WordpieceOracle.trainCtes(toksSql) + ",\n" +
+          WordpieceOracle.applyCtes(toksSql) +
+          s"""
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_pieces) AS BIGINT) AS n_symbols
+             |FROM wptok JOIN wpgf USING (word) GROUP BY 1""".stripMargin),
 
       // Unigram-LM training replayed as the UnigramOracle CTE chain:
       // substring seed, two hard-EM rounds of unrolled Viterbi +

@@ -3435,6 +3435,177 @@ object AnalyticsPack {
       (num / when(denom === 0.0, lit(null)).otherwise(denom)).as("xcorr"))
   }
 
+  /** Engle–Granger cointegration (two-step) between every ordered
+    * pair of event-type daily series — the LEVELS companion of
+    * [[granger]] (Granger asks about lagged increments; cointegration
+    * asks whether two non-stationary series share a long-run
+    * equilibrium: the spread y − a − b·x mean-reverts): step 1 OLS
+    * y_d = a + b·x_d over co-observed days, step 2 an ADF(0) test on
+    * the residuals — Δe_d = γ·e_{d−1}, t(γ̂) compared to the
+    * MacKinnon asymptotic 5% critical −3.33613 for two variables
+    * with a constant (exact-constant discipline, no dist libm).
+    *
+    * Engine parity: step-1 coefficients come from exact integer
+    * moments (ONE double cast each, the [[granger]] pattern); each
+    * residual is then the SAME fixed IEEE sequence (y − a) − b·x,
+    * floor-gridded to 1e-6 micro-units as an exact LONG — from there
+    * every step-2 moment is an exact DECIMAL sum of micro-unit
+    * products (order-free partials; the µ² unit factors cancel in γ
+    * and t, so no unit conversion ever re-rounds), and γ/t are a
+    * fixed double sequence over identical inputs — bit-identical in
+    * the SQL twin, verdict boolean included.
+    *
+    * Scale shape: ONE fact pass to the (type, day) panel (shared
+    * shape with [[granger]]); pair fan-out, the residual grid and the
+    * one-day lag join all run on that bounded panel; two pair-keyed
+    * aggregations. NULL guards: degenerate step-1 regressor
+    * (n·Sxx − Sx² = 0), fewer than 3 residual diffs, zero lagged
+    * residual energy, and a perfect step-2 fit.
+    */
+  def cointegration(events: DataFrame): DataFrame = {
+    val d18 = DecimalType(18, 0)
+    val d10 = DecimalType(10, 0)
+    val daily = events.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(upper(trim(col("event_type"))).as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rows = daily.select(col("et").as("series_y"), col("d"), col("n").as("y"))
+      .join(daily.select(col("et").as("series_x"), col("d"), col("n").as("x")),
+        Seq("d"))
+      .filter(col("series_x") =!= col("series_y"))
+    val m1 = rows.groupBy(col("series_x"), col("series_y"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(d18)).as("__sx"),
+        sum(col("y").cast(d18)).as("__sy"),
+        sum(col("x").cast(d18) * col("x").cast(d18)).as("__sxx"),
+        sum(col("x").cast(d18) * col("y").cast(d18)).as("__sxy"))
+    val n10 = col("n_days").cast(d10)
+    val vxx = (n10 * col("__sxx")).cast("double") -
+      (col("__sx") * col("__sx")).cast("double")
+    val vxy = (n10 * col("__sxy")).cast("double") -
+      (col("__sx") * col("__sy")).cast("double")
+    val coef = m1.select(col("series_x"), col("series_y"), col("n_days"),
+        when(vxx =!= 0.0, vxy / vxx).as("__b"),
+        col("__sy").cast("double").as("__syd"),
+        col("__sx").cast("double").as("__sxd"))
+      .withColumn("__a", (col("__syd") - col("__b") * col("__sxd"))
+        / col("n_days").cast("double"))
+      .withColumn("beta", floor(col("__b") * lit(1e6)) / lit(1e6))
+      .localCheckpoint(true)
+    // residuals on the 1e-6 grid as exact micro-unit longs
+    val resid = rows.join(broadcast(coef.select(col("series_x"), col("series_y"),
+        col("__a"), col("__b"))), Seq("series_x", "series_y"))
+      .filter(col("__b").isNotNull)
+      .select(col("series_x"), col("series_y"), col("d"),
+        floor((col("y").cast("double") - col("__a")
+          - col("__b") * col("x").cast("double")) * lit(1e6))
+          .cast("long").as("e6"))
+    val diffs = resid.as("c")
+      .join(resid.select(col("series_x"), col("series_y"),
+          date_add(col("d"), 1).as("d"), col("e6").as("pe6")),
+        Seq("series_x", "series_y", "d"))
+      .select(col("series_x"), col("series_y"), col("pe6"),
+        (col("e6") - col("pe6")).as("de6"))
+    val m2 = diffs.groupBy(col("series_x"), col("series_y"))
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(col("pe6").cast(d18) * col("de6").cast(d18)).as("__sed"),
+        sum(col("pe6").cast(d18) * col("pe6").cast(d18)).as("__see"),
+        sum(col("de6").cast(d18) * col("de6").cast(d18)).as("__sdd"))
+    val ed = col("__sed").cast("double")
+    val ee = col("__see").cast("double")
+    val dd = col("__sdd").cast("double")
+    val gamma = ed / ee
+    val rss = dd - ed * ed / ee
+    val tStat = gamma / sqrt((rss / (col("n_diffs") - 1).cast("double")) / ee)
+    def grid(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    coef.select(col("series_x"), col("series_y"), col("n_days"), col("beta"))
+      .join(m2, Seq("series_x", "series_y"), "left")
+      .select(col("series_x"), col("series_y"), col("n_days"),
+        coalesce(col("n_diffs"), lit(0L)).as("n_diffs"), col("beta"),
+        when(col("beta").isNotNull && col("n_diffs") >= 3 && ee =!= 0.0,
+          grid(gamma)).as("gamma"),
+        when(col("beta").isNotNull && col("n_diffs") >= 3 && ee =!= 0.0
+          && rss > 0.0, grid(tStat)).as("adf_t"))
+      .withColumn("coint_5pct",
+        when(col("adf_t").isNull, lit(null).cast("boolean"))
+          .otherwise(col("adf_t") < -3.33613))
+  }
+
+  /** Granger causality (lag-1) between every ordered pair of
+    * event-type daily series — the DIRECTED upgrade of [[xcorrLags]]
+    * (cross-correlation says two series co-move; Granger asks whether
+    * yesterday's X improves the prediction of today's Y BEYOND
+    * yesterday's Y): restricted OLS y_t ~ y_{t−1} vs unrestricted
+    * y_t ~ y_{t−1} + x_{t−1}, F = (RSS_r − RSS_u)·(n−3)/RSS_u with
+    * (1, n−3) dof, verdict at the F(1,∞)=χ²(1) 5% critical value
+    * 3.841459 (exact-constant discipline — no dist-function libm).
+    *
+    * Engine parity: daily counts are exact longs, every moment an
+    * exact DECIMAL sum; the n·Σ−Σ·Σ centered forms stay in DECIMAL
+    * and cast to double ONCE each, after which the 2×2 solve
+    * (det/b₁/b₂) and both RSS are a fixed sequence of IEEE ops over
+    * identical doubles — the F statistic and the boolean verdict are
+    * bit-identical in the SQL twin. RSS terms share the n-scaled
+    * centered forms (the 1/n factors cancel in F).
+    *
+    * Scale shape: ONE fact pass to the (type, day) daily panel; the
+    * lag joins and the pair fan-out run on that panel (types ×
+    * types × days — bounded), one (cause, effect)-keyed aggregation.
+    * NULL guards both engines agree on: n < 4 (no residual dof),
+    * singular normal equations (det = 0 — collinear or constant
+    * regressors), RSS_u = 0 (perfect fit — F undefined, not ∞).
+    */
+  def granger(events: DataFrame): DataFrame = {
+    val d18 = DecimalType(18, 0)
+    val d10 = DecimalType(10, 0)
+    val daily = events.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(upper(trim(col("event_type"))).as("et"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rows = daily.select(col("et").as("effect"), col("d"), col("n").as("y"))
+      .join(daily.select(col("et").as("effect"),
+        date_add(col("d"), 1).as("d"), col("n").as("y1")), Seq("effect", "d"))
+      .join(daily.select(col("et").as("cause"),
+        date_add(col("d"), 1).as("d"), col("n").as("x1")),
+        Seq("d"))
+      .filter(col("cause") =!= col("effect"))
+    val m = rows.groupBy(col("cause"), col("effect"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y").cast(d18)).as("__sy"),
+        sum(col("y1").cast(d18)).as("__sy1"),
+        sum(col("x1").cast(d18)).as("__sx1"),
+        sum(col("y").cast(d18) * col("y").cast(d18)).as("__syy"),
+        sum(col("y1").cast(d18) * col("y1").cast(d18)).as("__s11"),
+        sum(col("x1").cast(d18) * col("x1").cast(d18)).as("__s22"),
+        sum(col("y").cast(d18) * col("y1").cast(d18)).as("__sy_1"),
+        sum(col("y").cast(d18) * col("x1").cast(d18)).as("__sy_2"),
+        sum(col("y1").cast(d18) * col("x1").cast(d18)).as("__s12"))
+    // n-scaled centered moments, each ONE decimal->double cast
+    val n10 = col("n_days").cast(d10)
+    def a(nSxy: Column, sx: String, sy: String): Column =
+      nSxy.cast("double") - (col(sx) * col(sy)).cast("double")
+    val a11 = a(n10 * col("__s11"), "__sy1", "__sy1")
+    val a22 = a(n10 * col("__s22"), "__sx1", "__sx1")
+    val a12 = a(n10 * col("__s12"), "__sy1", "__sx1")
+    val a1y = a(n10 * col("__sy_1"), "__sy1", "__sy")
+    val a2y = a(n10 * col("__sy_2"), "__sx1", "__sy")
+    val ayy = a(n10 * col("__syy"), "__sy", "__sy")
+    val det = a11 * a22 - a12 * a12
+    val b1 = (a1y * a22 - a2y * a12) / det
+    val b2 = (a2y * a11 - a1y * a12) / det
+    val rssU = ayy - b1 * a1y - b2 * a2y
+    val rssR = ayy - a1y * a1y / a11
+    val f = (rssR - rssU) * (col("n_days") - 3).cast("double") / rssU
+    def grid(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    m.select(col("cause"), col("effect"), col("n_days"),
+        when(col("n_days") >= 4 && det =!= 0.0, grid(b2)).as("b_cause"),
+        when(col("n_days") >= 4 && det =!= 0.0 && a11 =!= 0.0 && rssU > 0.0,
+          grid(f)).as("f_stat"))
+      .withColumn("granger_5pct",
+        when(col("f_stat").isNull, lit(null).cast("boolean"))
+          .otherwise(col("f_stat") > 3.841459))
+  }
+
   /** Kruskal–Wallis H test — does a numeric column's distribution
     * differ across K groups; the K-group generalization of
     * [[mannWhitney]] (same midrank machinery, same tie-corrected

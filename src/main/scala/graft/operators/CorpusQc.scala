@@ -1420,16 +1420,17 @@ object CorpusQc {
     (words, vocab)
   }
 
-  /** Tokenizer-selection panel — the SAME corpus encoded by BOTH
+  /** Tokenizer-selection panel — the SAME corpus encoded by ALL THREE
     * production tokenizers ([[bpeEncode]]'s greedy merges,
-    * [[unigramEncode]]'s pruned unigram model), rolled up to
-    * corpus-level compression totals: docs, pre-tokens, emitted
+    * [[unigramEncode]]'s pruned unigram model, [[wordpieceEncode]]'s
+    * greedy longest-match over likelihood-scored merges), rolled up
+    * to corpus-level compression totals: docs, pre-tokens, emitted
     * pieces and the §5-gridded symbols-per-token ratio per tokenizer
     * — the evidence a pipeline reads before shipping one of them.
     *
-    * Scale shape: exactly the two encoders' shapes (each trains on
+    * Scale shape: exactly the three encoders' shapes (each trains on
     * the vocabulary relation and encodes with corpus-linear passes)
-    * plus one 2-row rollup; integer totals are exact-long sums, the
+    * plus one 3-row rollup; integer totals are exact-long sums, the
     * single ratio division grids at the panel edge.
     */
   def tokenizerCompare(df: DataFrame, idCol: String, textCol: String,
@@ -1438,7 +1439,9 @@ object CorpusQc {
       .select(lit("bpe").as("tokenizer"), col("n_tokens"), col("n_symbols"))
     val u = unigramEncode(df, idCol, textCol)
       .select(lit("unigram").as("tokenizer"), col("n_tokens"), col("n_symbols"))
-    b.unionByName(u)
+    val w = wordpieceEncode(df, idCol, textCol, bpeRounds)
+      .select(lit("wordpiece").as("tokenizer"), col("n_tokens"), col("n_symbols"))
+    b.unionByName(u).unionByName(w)
       .groupBy(col("tokenizer"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -1472,6 +1475,193 @@ object CorpusQc {
       .filter(col("tok") =!= "")
       .select(col("doc_id"), col("tok").substr(lit(1), lit(lcap)).as("word"))
       .join(segs, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces").cast("long")).as("n_symbols"))
+  }
+
+  /** WordPiece merge TRAINING — the LIKELIHOOD-scored member of the
+    * production tokenizer triple ([[bpeTrainMerges]] merges the most
+    * FREQUENT adjacent pair; WordPiece merges the pair that most
+    * increases corpus likelihood under a unigram model, which reduces
+    * to score = count(l,r) / (count(l)·count(r)) — frequent pairs of
+    * RARE symbols win, so morpheme boundaries beat sheer frequency).
+    * Same machinery otherwise: `rounds` times, count symbol and
+    * adjacent-pair frequencies over the word vocabulary, merge the
+    * best-scoring pair (score DESC, then pair ASC) everywhere via the
+    * boundary-safe double-space literal replace, repeat. Output: the
+    * learned merge table (round, merge_left, merge_right, merged,
+    * n_pair, n_left, n_right, score).
+    *
+    * Engine parity: counts are exact longs; score is ONE double
+    * multiply of two long→double casts plus ONE division — identical
+    * IEEE sequence in the SQL twin, so the per-round argmax (and the
+    * output score) is bit-identical, no libm, no grid needed.
+    *
+    * Scale shape: identical to BPE training — ONE corpus pass to the
+    * (token, freq) vocabulary, then per round two vocabulary-sized
+    * partial-agg shuffles (symbols, pairs), a broadcast score join
+    * and a TakeOrdered(1); the winner folds back as a 1-row panel.
+    */
+  def wordpieceTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round: $rounds")
+    var vocab = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
+      .select(concat(lit(" "),
+        array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
+        lit(" ")).as("sym"), col("wf"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val toks = vocab
+        .select(col("wf"), split(trim(col("sym")), "  ").as("t"))
+        .select(col("wf"), col("t"), size(col("t")).as("n"))
+        .localCheckpoint(false)
+      val symFreq = toks.select(col("wf"), explode(col("t")).as("s"))
+        .groupBy(col("s")).agg(sum(col("wf")).as("sf"))
+      val best = toks.filter(col("n") >= 2)
+        .select(col("wf"), explode(zip_with(
+          slice(col("t"), lit(1), col("n") - 1),
+          slice(col("t"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("merge_left"), col("p.r").as("merge_right"))
+        .agg(sum(col("wf")).as("n_pair"))
+        .join(broadcast(symFreq.select(col("s").as("merge_left"),
+          col("sf").as("n_left"))), Seq("merge_left"))
+        .join(broadcast(symFreq.select(col("s").as("merge_right"),
+          col("sf").as("n_right"))), Seq("merge_right"))
+        .withColumn("score", col("n_pair").cast("double") /
+          (col("n_left").cast("double") * col("n_right").cast("double")))
+        .orderBy(col("score").desc, col("merge_left"), col("merge_right"))
+        .limit(1)
+        .localCheckpoint(true)
+      vocab = vocab.crossJoin(broadcast(best.select(col("merge_left"), col("merge_right"))))
+        .select(replace(col("sym"),
+            concat(lit(" "), col("merge_left"), lit("  "), col("merge_right"), lit(" ")),
+            concat(lit(" "), col("merge_left"), col("merge_right"), lit(" "))).as("sym"),
+          col("wf"))
+        .localCheckpoint(true)
+      best.select(lit(r).as("round"), col("merge_left"), col("merge_right"),
+        concat(col("merge_left"), col("merge_right")).as("merged"),
+        col("n_pair"), col("n_left"), col("n_right"), col("score"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  /** (distinct-word relation, final symbolized vocab) after
+    * [[wordpieceTrainMerges]]'s merges — the shared trainer behind
+    * [[wordpieceEncode]]; words truncate to `lcap` chars (the unigram
+    * DP-horizon discipline: a fixed bound on the greedy walk's
+    * length, never a dropped word).
+    */
+  private def wordpieceFit(df: DataFrame, textCol: String, rounds: Int,
+                           lcap: Int): (DataFrame, DataFrame) = {
+    val merges = wordpieceTrainMerges(df, textCol, rounds)
+    val words = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok").substr(lit(1), lit(lcap)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .localCheckpoint(true)
+    // replay the learned merges over the FULL token vocabulary (the
+    // same relation training symbolized — training's internal state is
+    // private, one replay keeps the API surface minimal; rounds
+    // broadcast replaces over a vocabulary-sized relation)
+    var sym = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
+      .select(col("wf"), concat(lit(" "),
+        array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
+        lit(" ")).as("sym"))
+    for (r <- 1 to rounds) {
+      val m = merges.filter(col("round") === r)
+        .select(col("merge_left").as("__l"), col("merge_right").as("__r"))
+      sym = sym.crossJoin(broadcast(m))
+        .withColumn("sym", replace(col("sym"),
+          concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .drop("__l", "__r")
+    }
+    (words, sym.localCheckpoint(true))
+  }
+
+  /** WordPiece ENCODE — greedy LONGEST-MATCH-FIRST against the
+    * trained vocabulary, the production WordPiece inference rule (and
+    * a genuinely different decoder from BPE's merge replay and
+    * unigram's Viterbi: at each position it takes the longest vocab
+    * piece that matches, position-aware — a piece matched mid-word
+    * must exist as a `##` CONTINUATION). The vocabulary is the final
+    * symbolization's pieces split by ROLE (word-initial symbols as-is,
+    * non-initial as `##piece`) plus the full char inventory in BOTH
+    * roles — the coverage guarantee that makes the greedy walk total
+    * (every position matches at least its own char, so there is no
+    * UNK path to replicate). Output: per-doc (n_tokens, n_symbols),
+    * the [[bpeEncode]]/[[unigramEncode]] panel shape.
+    *
+    * Scale shape: training and the walk stay vocabulary-sized. The
+    * longest-match table is one (word, start) MAX over the substring
+    * ⋈ vocab matches; the walk itself is a per-word `aggregate` fold
+    * over the collected jump list (pos += jump(pos), ≤ `lcap` steps —
+    * ONE groupBy, the unigram array-aggregate discipline, no
+    * shuffle per position). Corpus-sized work = the token explode and
+    * the final (doc, word) ⋈ (word, n_pieces) join, broadcast while
+    * the panel is small, key-partitioned at 100 TB.
+    */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+                      rounds: Int, lcap: Int = 12): DataFrame = {
+    val (words, sym) = wordpieceFit(df, textCol, rounds, lcap)
+    val parts = sym
+      .select(col("wf"), split(trim(col("sym")), "  ").as("t"))
+      .select(col("wf"), posexplode(col("t")))
+    // role-keyed vocab: initial pieces bare, continuations ##-prefixed;
+    // char inventory in both roles (coverage), distinct keys only —
+    // greedy match cares about membership, not frequency
+    val chars = words
+      .select(explode(regexp_extract_all(col("word"), lit("."), lit(0))).as("piece"))
+      .distinct()
+    val vocabKeys = parts
+      .select(when(col("pos") === 0, col("col"))
+        .otherwise(concat(lit("##"), col("col"))).as("key"))
+      .unionByName(chars.select(col("piece").as("key")))
+      .unionByName(chars.select(concat(lit("##"), col("piece")).as("key")))
+      .distinct()
+      .localCheckpoint(true)
+    // longest-match table: jump(word, s) = max l whose substring (with
+    // role prefix) is in the vocab; char coverage makes jump >= 1 total
+    val jumps = words
+      .select(col("word"), col("wf"), length(col("word")).as("wl"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("wf"), col("wl"), col("s"),
+        explode(sequence(lit(1), col("wl") - col("s") + 1)).as("l"))
+      .withColumn("key", when(col("s") === 1, col("word").substr(col("s"), col("l")))
+        .otherwise(concat(lit("##"), col("word").substr(col("s"), col("l")))))
+      .join(broadcast(vocabKeys), "key")
+      .groupBy(col("word"), col("wf"), col("wl"), col("s"))
+      .agg(max(col("l")).as("jump"))
+    // greedy walk as ONE per-word fold: state (pos, cnt); each of the
+    // <= lcap steps advances pos by jump(pos) while pos <= wl (CaseWhen
+    // branches are lazy, so the filter+head lookup never evaluates
+    // past the word end)
+    val stType = "struct<pos:int,cnt:int>"
+    val walked = jumps
+      .groupBy(col("word"), col("wf"), col("wl"))
+      .agg(collect_list(struct(col("s"), col("jump"))).as("js"))
+      .withColumn("st", aggregate(
+        sequence(lit(1), lit(lcap)),
+        struct(lit(1).as("pos"), lit(0).as("cnt")).cast(stType),
+        (st, _) => {
+          val j = try_element_at(filter(col("js"),
+            e => e.getField("s") === st.getField("pos")), lit(1))
+          when(st.getField("pos") <= col("wl"),
+            struct((st.getField("pos") + j.getField("jump")).as("pos"),
+              (st.getField("cnt") + 1).as("cnt")).cast(stType))
+            .otherwise(st)
+        }))
+      .select(col("word"), col("st").getField("cnt").as("n_pieces"))
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("tok").substr(lit(1), lit(lcap)).as("word"))
+      .join(walked, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_pieces").cast("long")).as("n_symbols"))

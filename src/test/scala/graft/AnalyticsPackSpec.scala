@@ -1812,6 +1812,102 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got(-1)._1 == 3L)
   }
 
+  test("granger: planted lag-1 driver detected, brute-force F, constant cause NULL-guarded") {
+    import java.sql.Timestamp
+    val x = Seq(1, 6, 2, 7, 3, 9, 2, 8, 4, 7)
+    val noise = Seq(0, 1, 1, 0, 1, 0, 1, 1, 0, 0)
+    // YY's day-t count = 3*XX's day-(t-1) count + a small wiggle the
+    // lagged regressors cannot absorb (keeps RSS_u > 0)
+    val y = (1 until x.length).map(t => 3 * x(t - 1) + noise(t))
+    def rowsOf(tp: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((Timestamp.valueOf(f"2024-03-${i + 1}%02d 09:00:00"), tp)) }
+    val df = (rowsOf("XX", x) ++ rowsOf("YY", 5 +: y) ++
+      rowsOf("ZZ", Seq.fill(10)(4))).toDF("ts", "event_type")
+    val got = AnalyticsPack.granger(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val p = got(("XX", "YY"))
+    assert(p.getAs[Long]("n_days") == 9L)
+    assert(p.getAs[Boolean]("granger_5pct"))
+    // brute-force F from the raw triples (plain-double normal
+    // equations, independent arithmetic order)
+    val yc = 5 +: y
+    val triples = (2 to 10).map(t => (yc(t - 1).toDouble,
+      yc(t - 2).toDouble, x(t - 2).toDouble))
+    val n = triples.length.toDouble
+    def mean(s: Seq[Double]) = s.sum / s.length
+    val (my, m1, m2) = (mean(triples.map(_._1)), mean(triples.map(_._2)),
+      mean(triples.map(_._3)))
+    val c = triples.map { case (a, b, cc) => (a - my, b - m1, cc - m2) }
+    def dot(f: ((Double, Double, Double)) => Double,
+            g: ((Double, Double, Double)) => Double) =
+      c.map(t => f(t) * g(t)).sum
+    val (s11, s22, s12) = (dot(_._2, _._2), dot(_._3, _._3), dot(_._2, _._3))
+    val (s1y, s2y, syy) = (dot(_._2, _._1), dot(_._3, _._1), dot(_._1, _._1))
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s1y * s22 - s2y * s12) / det
+    val b2 = (s2y * s11 - s1y * s12) / det
+    val rssU = syy - b1 * s1y - b2 * s2y
+    val rssR = syy - s1y * s1y / s11
+    val fExp = (rssR - rssU) * (n - 3) / rssU
+    assert(math.abs(p.getAs[Double]("f_stat") - fExp) < 1e-4)
+    assert(math.abs(p.getAs[Double]("b_cause") - b2) < 1e-4)
+    // constant cause: zero regressor variance -> singular normal
+    // equations -> every estimate NULL, never Inf/NaN
+    val z = got(("ZZ", "YY"))
+    assert(z.getAs[Long]("n_days") == 9L)
+    assert(z.isNullAt(z.fieldIndex("b_cause")))
+    assert(z.isNullAt(z.fieldIndex("f_stat")))
+    assert(z.isNullAt(z.fieldIndex("granger_5pct")))
+    // all ordered pairs of the 3 types present
+    assert(got.size == 6)
+  }
+
+  test("cointegration: planted equilibrium pair detected, brute-force t, degenerate guards") {
+    import java.sql.Timestamp
+    // QQ tracks 2*PP plus an alternating stationary wiggle: the
+    // levels share a trend, the spread mean-reverts hard
+    val x = Seq(2, 4, 6, 8, 10, 12, 14, 16, 18, 20)
+    val y = x.zipWithIndex.map { case (v, i) => 2 * v + (if (i % 2 == 0) 1 else 0) }
+    def rowsOf(tp: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((Timestamp.valueOf(f"2024-04-${i + 1}%02d 09:00:00"), tp)) }
+    val df = (rowsOf("PP", x) ++ rowsOf("QQ", y) ++
+      rowsOf("RR", Seq.fill(10)(3))).toDF("ts", "event_type")
+    val got = AnalyticsPack.cointegration(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 6)
+    val p = got(("PP", "QQ"))
+    assert(p.getAs[Long]("n_days") == 10L && p.getAs[Long]("n_diffs") == 9L)
+    assert(p.getAs[Boolean]("coint_5pct"))
+    // brute force: step-1 OLS, micro-grid residuals, step-2 ADF(0)
+    val n = x.length.toDouble
+    val (sx, sy) = (x.map(_.toDouble).sum, y.map(_.toDouble).sum)
+    val sxx = x.map(v => v.toDouble * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val e6 = x.zip(y).map { case (xv, yv) =>
+      math.floor((yv.toDouble - a - b * xv.toDouble) * 1e6).toLong }
+    val pairs = e6.sliding(2).map(w => (w(0).toDouble, (w(1) - w(0)).toDouble)).toSeq
+    val (ed, ee, dd) = (pairs.map(t => t._1 * t._2).sum,
+      pairs.map(t => t._1 * t._1).sum, pairs.map(t => t._2 * t._2).sum)
+    val gamma = ed / ee
+    val rss = dd - ed * ed / ee
+    val tExp = gamma / math.sqrt((rss / (pairs.length - 1)) / ee)
+    assert(math.abs(p.getAs[Double]("adf_t") - tExp) < 1e-4)
+    assert(math.abs(p.getAs[Double]("gamma") - gamma) < 1e-4)
+    assert(math.abs(p.getAs[Double]("beta") - b) < 1e-4)
+    // constant regressor: n*Sxx - Sx^2 = 0 -> beta and the whole ADF
+    // chain NULL, never Inf/NaN
+    val z = got(("RR", "QQ"))
+    assert(z.isNullAt(z.fieldIndex("beta")))
+    assert(z.isNullAt(z.fieldIndex("gamma")))
+    assert(z.isNullAt(z.fieldIndex("adf_t")))
+    assert(z.isNullAt(z.fieldIndex("coint_5pct")))
+    assert(z.getAs[Long]("n_diffs") == 0L)
+  }
+
   test("kruskalWallis: textbook H on distinct ranks, all-tied NULL correction") {
     // A=[1,2], B=[3,4]: R_A=3, R_B=7 -> H = 0.6*29 - 15 = 2.4, no ties
     val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")

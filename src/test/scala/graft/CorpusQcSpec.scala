@@ -547,26 +547,64 @@ class CorpusQcSpec extends SparkSpec {
       s"word '$w': dp='${got(w)}' brute='${expected(w)}'"))
   }
 
-  test("tokenizerCompare: per-tokenizer totals reconcile with the two encoders") {
+  test("tokenizerCompare: per-tokenizer totals reconcile with the three encoders") {
     val docs = Seq((1L, "the the the then"), (2L, "aa bb aa"))
       .toDF("doc_id", "text")
     val got = CorpusQc.tokenizerCompare(docs, "doc_id", "text", bpeRounds = 3)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(got.keySet == Set("bpe", "unigram"))
+    assert(got.keySet == Set("bpe", "unigram", "wordpiece"))
     def totals(df: org.apache.spark.sql.DataFrame) = {
       val rs = df.collect()
       (rs.length.toLong, rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum)
     }
     val (bd, bt, bs) = totals(CorpusQc.bpeEncode(docs, "doc_id", "text", 3))
     val (ud, ut, us) = totals(CorpusQc.unigramEncode(docs, "doc_id", "text"))
+    val (wd, wt, ws) = totals(CorpusQc.wordpieceEncode(docs, "doc_id", "text", 3))
     assert(got("bpe") == ((bd, bt, bs,
       math.floor(bs.toDouble / bt.toDouble * 1e6) / 1e6)))
     assert(got("unigram") == ((ud, ut, us,
       math.floor(us.toDouble / ut.toDouble * 1e6) / 1e6)))
-    // both tokenizers compress this corpus below char-splitting: the
+    assert(got("wordpiece") == ((wd, wt, ws,
+      math.floor(ws.toDouble / wt.toDouble * 1e6) / 1e6)))
+    // all tokenizers compress this corpus below char-splitting: the
     // ratio is >= 1 piece per token and finite
     got.values.foreach { case (_, _, _, r) => assert(r >= 1.0 && r < 10.0) }
+  }
+
+  test("wordpieceTrainMerges: likelihood score prefers rare-symbol pairs over raw frequency") {
+    // (a,b) occurs 4x but a and b are everywhere (12 weighted uses
+    // each -> score 4/144); (x,y) occurs 2x over symbols that occur
+    // nowhere else (score 2/4 = 0.5) -> WordPiece merges xy first,
+    // while raw-frequency BPE merges ab first on the SAME corpus
+    val docs = Seq((1L, ("ab " * 4) + ("a " * 8) + ("b " * 8) + ("xy " * 2)))
+      .toDF("doc_id", "text")
+    val wp = CorpusQc.wordpieceTrainMerges(docs, "text", rounds = 1).collect().head
+    assert(wp.getAs[String]("merge_left") == "x" &&
+      wp.getAs[String]("merge_right") == "y")
+    assert(wp.getAs[Long]("n_pair") == 2L &&
+      wp.getAs[Long]("n_left") == 2L && wp.getAs[Long]("n_right") == 2L)
+    assert(wp.getAs[Double]("score") == 0.5)
+    val bpe = CorpusQc.bpeTrainMerges(docs, "text", rounds = 1).collect().head
+    assert(bpe.getAs[String]("merge_left") == "a" &&
+      bpe.getAs[String]("merge_right") == "b")
+  }
+
+  test("wordpieceEncode: greedy longest match with role-keyed continuations") {
+    // round 1 merges (a,b) (score tie with (c,a), pair-asc tie-break);
+    // 'ab' is then ONE initial piece, and 'cab' is c + ##ab — the
+    // interior 'ab' matches only because the merged 'cab'
+    // symbolization donated the ## continuation role
+    val docs = Seq((1L, "ab ab ab ab cab")).toDF("doc_id", "text")
+    val got = CorpusQc.wordpieceEncode(docs, "doc_id", "text", rounds = 1)
+      .collect().head
+    assert(got.getAs[Long]("n_tokens") == 5L)
+    assert(got.getAs[Long]("n_symbols") == 6L) // 4x'ab'=1 piece, 'cab'=2
+    // enough rounds fuse a whole word: every token one piece
+    val whole = Seq((1L, "abcd abcd")).toDF("doc_id", "text")
+    val w = CorpusQc.wordpieceEncode(whole, "doc_id", "text", rounds = 3)
+      .collect().head
+    assert(w.getAs[Long]("n_tokens") == 2L && w.getAs[Long]("n_symbols") == 2L)
   }
 
   test("unigramTrain: words truncate to the lcap DP horizon, never drop") {
