@@ -848,6 +848,25 @@ object SparkEntry {
       Graph.pageRank(flows, "src", "dst", "w", iterations = 10, damping = 0.85)
     }),
 
+    // Brandes betweenness centrality over the directed nation-flow
+    // graph: exact all-sources BFS DAG + backward dependency
+    // accumulation — the broker/bottleneck score next to pagerank's
+    // flow centrality.
+    "graph_betweenness" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.betweenness(flows, "src", "dst")
+    }),
+
     // HITS hubs/authorities over the same flow graph - the directed
     // role separation pageRank's single score cannot give (a pure
     // exporter nation is a hub, a pure importer an authority).
@@ -8641,6 +8660,11 @@ object SparkEntry {
 
       "graph_k_core" -> kCoreOracleSql(3, 6),
 
+      // Brandes betweenness unrolled to the registered maxDepth=8:
+      // exact BIGINT path counts forward, 1e-9-gridded DECIMAL
+      // dependency sums backward — see betweennessOracleSql.
+      "graph_betweenness" -> betweennessOracleSql(8),
+
       // Same nation-flow edges, canonicalized undirected; the a<b<c
       // orientation generates each triangle exactly once.
       // Graph.assortativity mirrored: canonical edges, degree panel,
@@ -9892,6 +9916,77 @@ object SparkEntry {
     * isolated nodes — generated with the SAME round count as the
     * registered query.
     */
+  /** Brandes betweenness oracle, unrolled to the SAME `maxDepth` as
+    * the registered query: forward level CTEs `bl{l}` (exact BIGINT
+    * path counts, anti-joined against the reached set `br{l}`), then
+    * backward dependency CTEs `bd{l}` — each term the identical
+    * (σv/σw)·(1+δw) IEEE sequence floor-gridded to 1e-9 into a
+    * DECIMAL(28,9) per-(s,v) sum. Levels past the graph's true depth
+    * are empty relations and contribute nothing, exactly like the
+    * Spark loop that stops at the empty frontier.
+    */
+  private def betweennessOracleSql(maxDepth: Int): String = {
+    val head =
+      """WITH be AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name <> cn.n_name
+        |  GROUP BY 1, 2),
+        |bn AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM be UNION ALL SELECT dst FROM be)),
+        |bl0 AS MATERIALIZED (
+        |  SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma FROM bn),
+        |br0 AS MATERIALIZED (SELECT s, v FROM bl0)""".stripMargin
+    val fwd = (1 to maxDepth).map { l =>
+      s"""bl$l AS MATERIALIZED (
+         |  SELECT s, v, sigma FROM (
+         |    SELECT p.s, be.dst AS v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |    FROM bl${l - 1} p JOIN be ON p.v = be.src
+         |    GROUP BY 1, 2) f
+         |  ANTI JOIN br${l - 1} USING (s, v)),
+         |br$l AS MATERIALIZED (
+         |  SELECT s, v FROM br${l - 1} UNION ALL SELECT s, v FROM bl$l)""".stripMargin
+    }
+    val back = (maxDepth - 1) to 0 by -1 map { l =>
+      s"""bd$l AS MATERIALIZED (
+         |  SELECT lv.s, lv.v, COALESCE(t.delta, 0.0) AS delta
+         |  FROM bl$l lv LEFT JOIN (
+         |    SELECT s, v, CAST(SUM(term) AS DOUBLE) AS delta FROM (
+         |      SELECT p.s, p.v,
+         |        CAST(FLOOR((CAST(p.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+         |             * (1.0 + COALESCE(dw.delta, 0.0)) * 1e9) / 1e9
+         |             AS DECIMAL(28,9)) AS term
+         |      FROM bl$l p JOIN be ON p.v = be.src
+         |      JOIN bl${l + 1} w ON w.s = p.s AND w.v = be.dst
+         |      LEFT JOIN bd${l + 1} dw ON dw.s = p.s AND dw.v = be.dst)
+         |    GROUP BY 1, 2) t USING (s, v))""".stripMargin
+    }
+    val dUnion = (1 until maxDepth)
+      .map(l => s"SELECT v, delta FROM bd$l").mkString(" UNION ALL ")
+    head + ",\n" + fwd.mkString(",\n") + ",\n" +
+      s"""bd$maxDepth AS MATERIALIZED (
+         |  SELECT s, v, CAST(0.0 AS DOUBLE) AS delta FROM bl$maxDepth)""".stripMargin +
+      ",\n" + back.mkString(",\n") +
+      s"""
+         |SELECT n.node, COALESCE(b.bc, 0.0) AS betweenness,
+         |  CASE WHEN c.n >= 3
+         |       THEN FLOOR(COALESCE(b.bc, 0.0)
+         |                  / (CAST(c.n - 1 AS DOUBLE) * CAST(c.n - 2 AS DOUBLE))
+         |                  * 1e9) / 1e9 END AS betweenness_norm
+         |FROM bn n
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bn) c
+         |LEFT JOIN (
+         |  SELECT v AS node,
+         |         CAST(SUM(CAST(delta AS DECIMAL(28,9))) AS DOUBLE) AS bc
+         |  FROM ($dUnion) GROUP BY 1) b ON b.node = n.node""".stripMargin
+  }
+
   /** The k-core oracle, generated with the SAME k and round count as
     * the registered query — each peel round is one degree CTE + one
     * filter CTE over the previous alive set.

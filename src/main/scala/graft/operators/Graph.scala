@@ -669,6 +669,115 @@ object Graph {
     dist
   }
 
+  /** Betweenness centrality by Brandes' algorithm (2001) over the
+    * directed unweighted graph — the shortest-path centrality missing
+    * between [[pageRank]]'s flow centrality and [[hits]]'s spectral
+    * one: bc(v) = Σ_{s≠v≠t} σ_st(v)/σ_st, the share of all-pairs
+    * shortest paths passing THROUGH v (the broker/bottleneck score).
+    * Exact all-sources on a bounded node panel (this library's
+    * flow graphs are entity-level: nations, modes — the panel is the
+    * graph); at web scale the standard lever is source SAMPLING
+    * (Brandes–Pich), which is this same code over a sampled source
+    * relation — the per-source work is unchanged.
+    *
+    * Shape: ALL sources advance together — the BFS DAG is built once
+    * as level relations (s, v, σ) with σ the exact integer path
+    * count (sum over level-(l−1) predecessors: one edge join + one
+    * (s,v)-keyed agg per level, anti-joined against already-reached),
+    * then the dependency accumulation walks levels BACKWARD:
+    * δ_l(s,v) = Σ_{v→w, w at l+1} σ(s,v)/σ(s,w) · (1 + δ_{l+1}(s,w)).
+    * Levels are O(diameter); each is a bounded edge join — never an
+    * all-pairs materialization. A graph deeper than `maxDepth` fails
+    * loudly (the [[bfsHops]] discipline).
+    *
+    * Engine parity: σ are exact longs; each dependency term is the
+    * fixed IEEE sequence (σv/σw)·(1+δw) floor-gridded to 1e-9 before
+    * its DECIMAL(28,9) per-(s,v) sum — order-free partials — and the
+    * per-level δ values stay exactly representable doubles (panel
+    * magnitudes ≪ 2^53 in 1e-9 units), so the backward recursion and
+    * the final per-node sum replay bit-for-bit in the SQL twin.
+    * Output: one row per node — betweenness and the (n−1)(n−2)
+    * directed normalization (NULL when n < 3).
+    */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxDepth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q9(c: org.apache.spark.sql.Column) = floor(c * lit(1e9)) / lit(1e9)
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
+    // forward: levels(l) = (s, v, sigma) for nodes first reached at
+    // depth l from source s, sigma = number of shortest s->v paths
+    val lvl0 = nodes.select(col("node").as("s"), col("node").as("v"),
+      lit(1L).as("sigma")).localCheckpoint(true)
+    var levels = Vector(lvl0)
+    var reached = lvl0.select(col("s"), col("v")).localCheckpoint(true)
+    var frontierN = 1L // nonempty
+    var l = 0
+    while (frontierN > 0 && l < maxDepth) {
+      val next = levels(l)
+        .join(e.withColumnRenamed("src", "v"), "v")
+        .groupBy(col("s"), col("dst").as("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(reached, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      frontierN = next.count()
+      if (frontierN > 0) {
+        levels = levels :+ next
+        reached = reached.unionAll(next.select(col("s"), col("v")))
+          .localCheckpoint(true)
+        l += 1
+      }
+    }
+    if (frontierN > 0)
+      throw new IllegalStateException(
+        s"betweenness: BFS still expanding after $maxDepth levels — " +
+          "raise maxDepth (dependency unroll depth)")
+    val maxd = levels.size - 1
+    // backward: delta(l) keyed (s, v); deepest level has delta 0
+    var delta = levels(maxd).select(col("s"), col("v"), lit(0.0).as("delta"))
+    val deltas = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (lev <- (maxd - 1) to 0 by -1) {
+      val down = levels(lev + 1)
+        .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"))
+        .join(delta.select(col("s"), col("v").as("w"), col("delta").as("delta_w")),
+          Seq("s", "w"), "left")
+      val terms = levels(lev)
+        .join(e.withColumnRenamed("src", "v").withColumnRenamed("dst", "w"), "v")
+        .join(down, Seq("s", "w"))
+        .select(col("s"), col("v"),
+          q9((col("sigma").cast("double") / col("sigma_w").cast("double"))
+            * (lit(1.0) + coalesce(col("delta_w"), lit(0.0))))
+            .cast(DecimalType(28, 9)).as("term"))
+      delta = levels(lev).select(col("s"), col("v"))
+        .join(terms.groupBy(col("s"), col("v"))
+            .agg(sum(col("term")).cast("double").as("delta")),
+          Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      if (lev > 0) deltas += delta // level-0 rows are v == s: excluded
+    }
+    val nTot = nodes.count()
+    val bc = deltas.reduceOption(_ unionAll _) match {
+      case Some(d) => nodes.join(
+        d.groupBy(col("v").as("node"))
+          .agg(sum(col("delta").cast(DecimalType(28, 9))).cast("double")
+            .as("betweenness")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+      case None => nodes.select(col("node"), lit(0.0).as("betweenness"))
+    }
+    bc.withColumn("betweenness_norm",
+      if (nTot >= 3)
+        q9(col("betweenness") / lit((nTot - 1.0) * (nTot - 2.0)))
+      else lit(null).cast("double"))
+  }
+
   /** Minimum spanning FOREST by Borůvka rounds — the distributed MST
     * algorithm (Kruskal/Prim are inherently sequential: both grow one
     * frontier through a global priority queue; Borůvka lets every

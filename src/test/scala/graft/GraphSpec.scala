@@ -303,6 +303,46 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsHops(cyc, "s", "t", source = "nope").collect().isEmpty)
   }
 
+  test("betweenness: directed chain and diamond match hand-computed Brandes") {
+    // chain a → b → c → d: b brokers (a,c) and (a,d); c brokers
+    // (a,d) and (b,d) — both score 2; endpoints score 0
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "t")
+    val got = Graph.betweenness(chain, "s", "t").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("betweenness")).toMap
+    assert(got == Map("a" -> 0.0, "b" -> 2.0, "c" -> 2.0, "d" -> 0.0))
+    // diamond a → {b1, b2} → c: two shortest a→c paths split the
+    // dependency — each middle node scores 1/2
+    val diamond = Seq(("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"))
+      .toDF("s", "t")
+    val d = Graph.betweenness(diamond, "s", "t").collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[Double]("betweenness"), r.getAs[Double]("betweenness_norm"))).toMap
+    assert(d("b1")._1 == 0.5 && d("b2")._1 == 0.5)
+    assert(d("a")._1 == 0.0 && d("c")._1 == 0.0)
+    // directed normalization: bc / ((n-1)(n-2)) with n = 4
+    assert(math.abs(d("b1")._2 - 0.5 / 6.0) < 1e-8)
+    // a pure-ancestor node brokers nothing it is an endpoint of
+    val withTail = Seq(("z", "a"), ("a", "b"), ("b", "c")).toDF("s", "t")
+    val t2 = Graph.betweenness(withTail, "s", "t").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("betweenness")).toMap
+    // a brokers (z,b),(z,c); b brokers (z,c),(a,c)
+    assert(t2 == Map("z" -> 0.0, "a" -> 2.0, "b" -> 2.0, "c" -> 0.0))
+  }
+
+  test("betweenness: depth overflow fails loudly, cycle converges") {
+    val deep = (1 to 10).map(i => (s"n$i", s"n${i + 1}")).toDF("s", "t")
+    val ex = intercept[IllegalStateException] {
+      Graph.betweenness(deep, "s", "t", maxDepth = 4).collect()
+    }
+    assert(ex.getMessage.contains("maxDepth"))
+    // a 3-cycle reaches every node in 2 hops: each node brokers the
+    // one 2-hop pair through it
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "t")
+    val got = Graph.betweenness(cyc, "s", "t").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("betweenness")).toMap
+    assert(got == Map("x" -> 1.0, "y" -> 1.0, "z" -> 1.0))
+  }
+
   test("minSpanningForest: hand forest, two components, cycle edge dropped") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0), (3L, 4L, 4.0),
