@@ -1352,4 +1352,108 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** One tagged input row of [[asofEnrichJoin]]: `side` is "L" (a
+    * fact to enrich) or "R" (a state/dim update carrying `attr`).
+    */
+  final case class AsofEvent(key: Long, ts: Timestamp, event_id: Long,
+                             side: String, attr: Double)
+
+  /** Keyed state: right history and pending lefts, both as
+    * (tsMs, event_id, attr) triples (attr unused on lefts).
+    */
+  final case class AsofState(rights: List[(Long, Long, Double)],
+                             lefts: List[(Long, Long)])
+
+  final case class AsofJoined(key: Long, ts: Timestamp, event_id: Long,
+                              state_ts: Option[Timestamp], attr: Option[Double])
+
+  /** Stream-stream AS-OF enrichment join — the streaming twin of the
+    * B5 batch as-of join ([[graft.operators.AsOfJoin]]): every LEFT
+    * fact resolves to the latest RIGHT state row with
+    * `right.ts <= left.ts` (same-instant right applies — the batch
+    * dim-first rule; duplicate same-(key, ts) rights resolve to the
+    * max event_id, a total order). This is the "enrich facts with a
+    * slowly-changing dimension IN FLIGHT" operator a streaming
+    * medallion needs where E20's interval join expresses windows, not
+    * validity chains.
+    *
+    * Correctness under out-of-order arrival: a left is NOT enriched
+    * on sight — it buffers until the watermark passes its timestamp,
+    * at which point every right at-or-before it has either arrived or
+    * is contractually dropped, so the emitted row equals the batch
+    * as-of over everything that ever arrives inside the watermark
+    * (spec-pinned set-equality, including a right that arrives AFTER
+    * the left it enriches). Emission is append-only: a right arriving
+    * later than the watermark can never retro-change an emitted row.
+    *
+    * Bounded state (the 100-TB contract): per key, pending lefts
+    * drain at the watermark (at most `delay × arrival-rate` rows),
+    * and the right history prunes to the single latest row
+    * at-or-before the watermark plus any rights still ahead of it —
+    * the validity chain never accumulates. Event-time timeouts flush
+    * keys whose lefts stop arriving.
+    */
+  def asofEnrichJoin(tagged: Dataset[AsofEvent], watermark: String = "30 seconds")
+      : Dataset[AsofJoined] = {
+    import tagged.sparkSession.implicits._
+
+    def enrich(key: Long, tsMs: Long, eventId: Long,
+               rights: List[(Long, Long, Double)]): AsofJoined = {
+      // rights sorted ascending (ts, event_id); latest at-or-before wins
+      val cover = rights.takeWhile(_._1 <= tsMs).lastOption
+      AsofJoined(key, new Timestamp(tsMs), eventId,
+        cover.map(c => new Timestamp(c._1)), cover.map(_._3))
+    }
+
+    def flush(key: Long, s: AsofState, wm: Long)
+        : (List[AsofJoined], AsofState) = {
+      val (due, pending) = s.lefts.partition(_._1 <= wm)
+      val out = due.sortBy(identity)
+        .map { case (t, id) => enrich(key, t, id, s.rights) }
+      // prune rights: keep the latest at-or-before the horizon (the
+      // "current" version every future left may still need) plus all
+      // rights ahead of it; the horizon is the watermark unless an
+      // older left is still pending
+      val horizon = pending.map(_._1).minOption.map(math.min(_, wm)).getOrElse(wm)
+      val (before, after) = s.rights.partition(_._1 <= horizon)
+      (out, AsofState(before.takeRight(1) ::: after, pending))
+    }
+
+    def update(key: Long, it: Iterator[AsofEvent],
+               state: GroupState[AsofState]): Iterator[AsofJoined] = {
+      val wm = state.getCurrentWatermarkMs()
+      if (state.hasTimedOut) {
+        val (out, next) = flush(key, state.get, wm)
+        if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
+        else {
+          state.update(next)
+          next.lefts.map(_._1).minOption
+            .foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
+        }
+        return out.iterator
+      }
+      val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+      val batch = it.toSeq
+      val rights = (prev.rights ++ batch.filter(_.side == "R")
+          .map(e => (e.ts.getTime, e.event_id, e.attr)))
+        .distinct.sortBy(r => (r._1, r._2))
+        // duplicate same-(ts) rights: max event_id wins — drop shadowed
+        .foldRight(List.empty[(Long, Long, Double)]) { (r, acc) =>
+          if (acc.headOption.exists(_._1 == r._1)) acc else r :: acc
+        }
+      val lefts = prev.lefts ++ batch.filter(_.side == "L")
+        .map(e => (e.ts.getTime, e.event_id))
+      val (out, next) = flush(key, AsofState(rights, lefts), wm)
+      state.update(next)
+      next.lefts.map(_._1).minOption
+        .foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
+      out.iterator
+    }
+
+    tagged
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

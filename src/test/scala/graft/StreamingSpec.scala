@@ -1245,4 +1245,53 @@ class StreamingSpec extends SparkSpec {
       assert(table() == t2)
     } finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
   }
+
+  test("asofEnrichJoin: watermark-buffered lefts equal the batch as-of, out-of-order rights honored") {
+    import graft.streaming.StreamOps.{AsofEvent, AsofJoined}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[AsofEvent]
+    val q = StreamOps.asofEnrichJoin(in.toDS(), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("asofj").outputMode("append").start()
+    // batch 1: a right then a left 5s later — NOT emitted yet (the
+    // watermark is still behind the left)
+    in.addData(
+      AsofEvent(1L, ts("2024-01-01 10:00:00"), 100L, "R", 1.0),
+      AsofEvent(1L, ts("2024-01-01 10:00:05"), 1L, "L", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("asofj").count() == 0L)
+    // batch 2: an OUT-OF-ORDER right lands between the first right
+    // and the buffered left — because the left waits for the
+    // watermark, the late right still covers it; plus a key with no
+    // rights at all, a same-instant pair (right applies), duplicate
+    // same-ts rights (max event_id wins), and a watermark pusher
+    in.addData(
+      AsofEvent(1L, ts("2024-01-01 10:00:03"), 101L, "R", 2.0),
+      AsofEvent(1L, ts("2024-01-01 10:00:30"), 2L, "L", 0.0),
+      AsofEvent(3L, ts("2024-01-01 10:00:01"), 5L, "L", 0.0),
+      AsofEvent(4L, ts("2024-01-01 10:00:10"), 200L, "R", 7.0),
+      AsofEvent(4L, ts("2024-01-01 10:00:10"), 6L, "L", 0.0),
+      AsofEvent(5L, ts("2024-01-01 10:00:02"), 10L, "R", 5.0),
+      AsofEvent(5L, ts("2024-01-01 10:00:02"), 11L, "R", 6.0),
+      AsofEvent(5L, ts("2024-01-01 10:00:20"), 7L, "L", 0.0),
+      AsofEvent(2L, ts("2024-01-01 10:10:00"), 999L, "R", 9.0))
+    q.processAllAvailable()
+    // batch 3: push the watermark past every buffered left — keys 1,
+    // 3, 4, 5 flush via their event-time timeouts (no new data)
+    in.addData(AsofEvent(2L, ts("2024-01-01 11:00:00"), 998L, "R", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asofj").as[AsofJoined].collect()
+      .map(j => (j.key, j.event_id, j.state_ts.map(_.toString), j.attr)).toSet
+    assert(got == Set(
+      // both lefts of key 1 resolve to the out-of-order 10:00:03 right
+      (1L, 1L, Some("2024-01-01 10:00:03.0"), Some(2.0)),
+      (1L, 2L, Some("2024-01-01 10:00:03.0"), Some(2.0)),
+      // no right ever for key 3 -> NULL enrichment, row still emitted
+      (3L, 5L, None, None),
+      // same-instant right applies (the batch dim-first rule)
+      (4L, 6L, Some("2024-01-01 10:00:10.0"), Some(7.0)),
+      // duplicate same-ts rights: max event_id wins deterministically
+      (5L, 7L, Some("2024-01-01 10:00:02.0"), Some(6.0))))
+    assert(spark.table("asofj").count() == 5L) // append-only, no dupes
+  }
 }
