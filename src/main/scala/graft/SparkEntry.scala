@@ -867,6 +867,24 @@ object SparkEntry {
       Graph.betweenness(flows, "src", "dst")
     }),
 
+    // Closeness + harmonic centrality from the SAME all-sources BFS
+    // DAG: how near each nation is to everything it can reach
+    // (Wasserman-Faust disconnected-safe closeness, robust harmonic).
+    "graph_closeness" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.closeness(flows, "src", "dst")
+    }),
+
     // HITS hubs/authorities over the same flow graph - the directed
     // role separation pageRank's single score cannot give (a pure
     // exporter nation is a hub, a pure importer an authority).
@@ -8665,6 +8683,10 @@ object SparkEntry {
       // dependency sums backward — see betweennessOracleSql.
       "graph_betweenness" -> betweennessOracleSql(8),
 
+      // Closeness/harmonic over the shared forward chain — see
+      // closenessOracleSql.
+      "graph_closeness" -> closenessOracleSql(8),
+
       // Same nation-flow edges, canonicalized undirected; the a<b<c
       // orientation generates each triangle exactly once.
       // Graph.assortativity mirrored: canonical edges, degree panel,
@@ -9925,7 +9947,12 @@ object SparkEntry {
     * are empty relations and contribute nothing, exactly like the
     * Spark loop that stops at the empty frontier.
     */
-  private def betweennessOracleSql(maxDepth: Int): String = {
+  /** The forward half of the Brandes chain, shared by the betweenness
+    * and closeness oracles: canonical nation-flow edges `be`, node
+    * panel `bn`, per-level frontiers `bl{l}` with exact BIGINT path
+    * counts, cumulative reached sets `br{l}`.
+    */
+  private def bfsForwardCtes(maxDepth: Int): String = {
     val head =
       """WITH be AS MATERIALIZED (
         |  SELECT sn.n_name AS src, cn.n_name AS dst
@@ -9953,6 +9980,40 @@ object SparkEntry {
          |br$l AS MATERIALIZED (
          |  SELECT s, v FROM br${l - 1} UNION ALL SELECT s, v FROM bl$l)""".stripMargin
     }
+    (head +: fwd).mkString(",\n")
+  }
+
+  /** Closeness/harmonic oracle over the shared forward chain: per
+    * source the reached count, total out-distance, 1e-9-gridded
+    * harmonic sum and the two-factor Wasserman–Faust closeness —
+    * the identical IEEE sequence as Graph.closeness.
+    */
+  private def closenessOracleSql(maxDepth: Int): String = {
+    val dUnion = (1 to maxDepth)
+      .map(l => s"SELECT s, CAST($l AS BIGINT) AS d FROM bl$l")
+      .mkString(" UNION ALL ")
+    bfsForwardCtes(maxDepth) +
+      s""",
+         |creach AS MATERIALIZED (
+         |  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |    CAST(SUM(d) AS BIGINT) AS total_dist,
+         |    CAST(SUM(CAST(FLOOR(1.0 / CAST(d AS DOUBLE) * 1e9) / 1e9
+         |                  AS DECIMAL(28,9))) AS DOUBLE) AS harmonic
+         |  FROM ($dUnion) GROUP BY 1)
+         |SELECT n.node,
+         |  COALESCE(r.n_reached, CAST(0 AS BIGINT)) AS n_reached,
+         |  COALESCE(r.total_dist, CAST(0 AS BIGINT)) AS total_dist,
+         |  COALESCE(r.harmonic, 0.0) AS harmonic,
+         |  CASE WHEN COALESCE(r.n_reached, CAST(0 AS BIGINT)) = 0 THEN 0.0
+         |       ELSE FLOOR((CAST(r.n_reached AS DOUBLE) / CAST(c.n - 1 AS DOUBLE))
+         |                  * (CAST(r.n_reached AS DOUBLE) / CAST(r.total_dist AS DOUBLE))
+         |                  * 1e9) / 1e9 END AS closeness_wf
+         |FROM bn n
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bn) c
+         |LEFT JOIN creach r ON r.node = n.node""".stripMargin
+  }
+
+  private def betweennessOracleSql(maxDepth: Int): String = {
     val back = (maxDepth - 1) to 0 by -1 map { l =>
       s"""bd$l AS MATERIALIZED (
          |  SELECT lv.s, lv.v, COALESCE(t.delta, 0.0) AS delta
@@ -9969,7 +10030,7 @@ object SparkEntry {
     }
     val dUnion = (1 until maxDepth)
       .map(l => s"SELECT v, delta FROM bd$l").mkString(" UNION ALL ")
-    head + ",\n" + fwd.mkString(",\n") + ",\n" +
+    bfsForwardCtes(maxDepth) + ",\n" +
       s"""bd$maxDepth AS MATERIALIZED (
          |  SELECT s, v, CAST(0.0 AS DOUBLE) AS delta FROM bl$maxDepth)""".stripMargin +
       ",\n" + back.mkString(",\n") +

@@ -699,20 +699,27 @@ object Graph {
     * Output: one row per node — betweenness and the (n−1)(n−2)
     * directed normalization (NULL when n < 3).
     */
-  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
-                  maxDepth: Int = 8): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def q9(c: org.apache.spark.sql.Column) = floor(c * lit(1e9)) / lit(1e9)
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+  /** Canonical directed string-keyed edge relation shared by the
+    * all-sources BFS consumers ([[betweenness]], [[closeness]]).
+    */
+  private def canonEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
-    // forward: levels(l) = (s, v, sigma) for nodes first reached at
-    // depth l from source s, sigma = number of shortest s->v paths
+
+  /** ALL-SOURCES BFS DAG as level relations: levels(l) = (s, v, σ)
+    * for nodes first reached at depth l from source s, σ the exact
+    * integer count of shortest s→v paths (summed over level-(l−1)
+    * predecessors; one edge join + one (s,v)-keyed agg + one
+    * anti-join per level). Fails loudly past `maxDepth` (the
+    * [[bfsHops]] discipline). Shared by [[betweenness]] (which walks
+    * it backward) and [[closeness]] (which only needs the depths).
+    */
+  private def bfsLevels(e: DataFrame, nodes: DataFrame, maxDepth: Int,
+                        what: String): Vector[DataFrame] = {
     val lvl0 = nodes.select(col("node").as("s"), col("node").as("v"),
       lit(1L).as("sigma")).localCheckpoint(true)
     var levels = Vector(lvl0)
@@ -736,8 +743,19 @@ object Graph {
     }
     if (frontierN > 0)
       throw new IllegalStateException(
-        s"betweenness: BFS still expanding after $maxDepth levels — " +
+        s"$what: BFS still expanding after $maxDepth levels — " +
           "raise maxDepth (dependency unroll depth)")
+    levels
+  }
+
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxDepth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q9(c: org.apache.spark.sql.Column) = floor(c * lit(1e9)) / lit(1e9)
+    val e = canonEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val levels = bfsLevels(e, nodes, maxDepth, "betweenness")
     val maxd = levels.size - 1
     // backward: delta(l) keyed (s, v); deepest level has delta 0
     var delta = levels(maxd).select(col("s"), col("v"), lit(0.0).as("delta"))
@@ -776,6 +794,58 @@ object Graph {
       if (nTot >= 3)
         q9(col("betweenness") / lit((nTot - 1.0) * (nTot - 2.0)))
       else lit(null).cast("double"))
+  }
+
+  /** Closeness and harmonic centrality from the SAME all-sources BFS
+    * DAG [[betweenness]] walks — "how near is this node to everything
+    * it can reach": per source s over its reached set R(s) (self
+    * excluded), the Wasserman–Faust disconnected-safe closeness
+    * `(|R|/(n−1)) · (|R|/Σd)` (the reach-share factor keeps a node
+    * that quickly reaches a tiny component from outscoring one that
+    * slowly reaches everything) and harmonic centrality `Σ 1/d`
+    * (defined without any correction on disconnected graphs — the
+    * robust variant). Directed: distances are OUT-distances.
+    *
+    * Engine parity: depths and reach counts are exact integers; each
+    * 1/d term floor-grids to 1e-9 into a DECIMAL(28,9) order-free
+    * sum, and the two-factor closeness is a fixed IEEE sequence over
+    * exact inputs, gridded at the edge — bit-identical in the SQL
+    * twin (the unrolled forward chain shared with the betweenness
+    * oracle). Nodes reaching nothing output 0 (their Σd panel is
+    * empty), not NULL — the "isolated sink" answer.
+    */
+  def closeness(edges: DataFrame, srcCol: String, dstCol: String,
+                maxDepth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q9(c: org.apache.spark.sql.Column) = floor(c * lit(1e9)) / lit(1e9)
+    val e = canonEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val levels = bfsLevels(e, nodes, maxDepth, "closeness")
+    val nTot = nodes.count()
+    val depthRows = levels.zipWithIndex.drop(1)
+      .map { case (lv, d) => lv.select(col("s"), lit(d.toLong).as("d")) }
+      .reduceOption(_ unionAll _)
+    val agg = depthRows match {
+      case Some(rows) => rows.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("d")).as("total_dist"),
+          sum(q9(lit(1.0) / col("d").cast("double"))
+            .cast(DecimalType(28, 9))).cast("double").as("harmonic"))
+      case None => nodes.limit(0).select(col("node"),
+        lit(0L).as("n_reached"), lit(0L).as("total_dist"),
+        lit(0.0).as("harmonic"))
+    }
+    nodes.join(agg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("total_dist"), lit(0L)).as("total_dist"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"),
+        when(coalesce(col("n_reached"), lit(0L)) === 0, lit(0.0))
+          .otherwise(q9(
+            (col("n_reached").cast("double") / lit((nTot - 1).toDouble))
+              * (col("n_reached").cast("double") / col("total_dist").cast("double"))))
+          .as("closeness_wf"))
   }
 
   /** Minimum spanning FOREST by Borůvka rounds — the distributed MST

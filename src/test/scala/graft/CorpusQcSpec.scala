@@ -607,6 +607,61 @@ class CorpusQcSpec extends SparkSpec {
     assert(w.getAs[Long]("n_tokens") == 2L && w.getAs[Long]("n_symbols") == 2L)
   }
 
+  test("wordpieceEncode: greedy walk equals a brute-force reimplementation on random corpora") {
+    // the distributed jump-table + fold must emit EXACTLY the piece
+    // counts a sequential longest-match-first walk over the same
+    // role-keyed vocabulary produces
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 30)
+      .map(_ => (1 to (1 + rnd.nextInt(6))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    val text = words.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rounds = 3
+    val got = CorpusQc.wordpieceEncode(docs, "doc_id", "text", rounds)
+      .collect().head
+    val merges = CorpusQc.wordpieceTrainMerges(docs, "text", rounds).collect()
+      .sortBy(_.getAs[Int]("round"))
+      .map(r => (r.getAs[String]("merge_left"), r.getAs[String]("merge_right")))
+    // leftmost non-overlapping merge replay (the ' l  r ' replace rule)
+    def symbolize(w: String): List[String] = {
+      var sym = w.map(_.toString).toList
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.toList
+      }
+      sym
+    }
+    val keys = scala.collection.mutable.Set[String]()
+    words.distinct.foreach { w =>
+      symbolize(w).zipWithIndex.foreach { case (p, i) =>
+        keys += (if (i == 0) p else "##" + p) }
+    }
+    val chars = words.flatMap(_.take(12).map(_.toString)).toSet
+    keys ++= chars; keys ++= chars.map("##" + _)
+    def greedy(w0: String): Int = {
+      val w = w0.take(12)
+      var pos = 0; var cnt = 0
+      while (pos < w.length) {
+        var l = w.length - pos
+        var found = 0
+        while (l >= 1 && found == 0) {
+          val key = (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+          if (keys(key)) found = l else l -= 1
+        }
+        pos += found; cnt += 1
+      }
+      cnt
+    }
+    assert(got.getAs[Long]("n_tokens") == words.length.toLong)
+    assert(got.getAs[Long]("n_symbols") == words.map(greedy).sum.toLong)
+  }
+
   test("unigramTrain: words truncate to the lcap DP horizon, never drop") {
     // 16-char token truncates to 12 chars for segmentation; it still
     // trains and encodes (12 singles at worst, fewer once merged)

@@ -343,6 +343,26 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("x" -> 1.0, "y" -> 1.0, "z" -> 1.0))
   }
 
+  test("closeness: chain and disconnected components match hand values") {
+    // chain a → b → c: a reaches {b:1, c:2}, b reaches {c:1}, c nothing
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    val got = Graph.closeness(chain, "s", "t").collect().map(r =>
+      r.getAs[String]("node") -> ((r.getAs[Long]("n_reached"),
+        r.getAs[Long]("total_dist"), r.getAs[Double]("harmonic"),
+        r.getAs[Double]("closeness_wf")))).toMap
+    assert(got("a") == ((2L, 3L, 1.5,
+      math.floor((2.0 / 2.0) * (2.0 / 3.0) * 1e9) / 1e9)))
+    assert(got("b") == ((1L, 1L, 1.0, 0.5)))
+    assert(got("c") == ((0L, 0L, 0.0, 0.0))) // isolated sink: 0, not NULL
+    // two components (n = 4): the Wasserman-Faust reach-share factor
+    // scales a's perfect-but-tiny reach down by 1/(n-1)
+    val two = Seq(("a", "b"), ("c", "d")).toDF("s", "t")
+    val t2 = Graph.closeness(two, "s", "t").collect().map(r =>
+      r.getAs[String]("node") -> r.getAs[Double]("closeness_wf")).toMap
+    assert(math.abs(t2("a") - 1.0 / 3.0) < 1e-8)
+    assert(t2("b") == 0.0 && t2("d") == 0.0)
+  }
+
   test("minSpanningForest: hand forest, two components, cycle edge dropped") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0), (3L, 4L, 4.0),
