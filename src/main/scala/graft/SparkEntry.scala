@@ -1243,6 +1243,21 @@ object SparkEntry {
         Seq("hour_band", "iso_dow", "val_decile"),
         "event_type", k = 5, l = 2)),
 
+    // Entropy l-diversity over the same binned quasi-identifiers: the
+    // information tier between the distinct-l count and t-closeness —
+    // a combo must carry >= ln(l) nats of sensitive entropy, so a
+    // 99%-one-value combo fails where distinct-l passes.
+    "privacy_l_diversity" -> ((s: SparkSession, d: String) =>
+      Audit.lDiversityEntropy(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            floor(hour(col("ts")) / 6).cast("long").as("hour_band"),
+            Temporal.isoDow(col("ts")).cast("long").as("iso_dow"),
+            least(lit(9L), floor(col("value") / 10).cast("long")).as("val_decile")),
+        Seq("hour_band", "iso_dow", "val_decile"),
+        "event_type", l = 3)),
+
     // t-closeness audit over the same binned quasi-identifiers: the
     // distribution tier above the k/l count verdicts — per combo the
     // variational distance between its sensitive mix and the global
@@ -4933,6 +4948,41 @@ object SparkEntry {
         |  COUNT(DISTINCT event_type) >= 2 AS l_diverse
         |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Audit.lDiversityEntropy mirrored: exact-count shares, p·ln p
+    // gridded 1e-6 into the DECIMAL(28,6) per-combo sum, negated at
+    // the edge; the ln(3) threshold is the SAME Scala-evaluated
+    // literal both engines compare against.
+    "privacy_l_diversity" ->
+      s"""WITH base AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(hour(ts) / 6) AS BIGINT) AS hour_band,
+        |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |    LEAST(9, CAST(FLOOR(value / 10) AS BIGINT)) AS val_decile
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT hour_band, iso_dow, val_decile, event_type AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cs
+        |  FROM base GROUP BY 1, 2, 3, 4),
+        |combos AS (
+        |  SELECT hour_band, iso_dow, val_decile,
+        |    CAST(SUM(n_cs) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sensitive
+        |  FROM cells GROUP BY 1, 2, 3)
+        |SELECT c.hour_band, c.iso_dow, c.val_decile, c.n_rows, c.n_sensitive,
+        |  -CAST(SUM(CAST(FLOOR(
+        |      (CAST(l.n_cs AS DOUBLE) / CAST(c.n_rows AS DOUBLE))
+        |      * LN(CAST(l.n_cs AS DOUBLE) / CAST(c.n_rows AS DOUBLE))
+        |      * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS entropy,
+        |  c.n_sensitive >= 3 AS distinct_l_diverse,
+        |  -CAST(SUM(CAST(FLOOR(
+        |      (CAST(l.n_cs AS DOUBLE) / CAST(c.n_rows AS DOUBLE))
+        |      * LN(CAST(l.n_cs AS DOUBLE) / CAST(c.n_rows AS DOUBLE))
+        |      * 1e6) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+        |    >= ${math.log(3.0)} AS entropy_l_diverse
+        |FROM cells l JOIN combos c USING (hour_band, iso_dow, val_decile)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // Audit.tCloseness mirrored: full combo × sensitive grid so absent
     // values pay |0 − q|, gridded 1e-6 terms into the DECIMAL(28,6)

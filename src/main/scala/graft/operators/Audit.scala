@@ -270,6 +270,52 @@ object Audit {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** ENTROPY l-diversity audit — the information-level tier between
+    * [[kAnonymity]]'s count verdicts and [[tCloseness]]'s
+    * distribution distance (Machanavajjhala et al. 2007): distinct-l
+    * (the kAnonymity column) passes a combo that is 99% one diagnosis
+    * with a trace second value, because COUNTING distinct values
+    * ignores their balance; entropy l-diversity requires the
+    * sensitive distribution to carry at least `ln l` nats
+    * (H = −Σ p·ln p ≥ ln l), which only a genuinely mixed combo
+    * clears. Output: one row per combo — population, distinct
+    * sensitive count, entropy, and BOTH verdicts side by side (the
+    * panel shows exactly where the distinct count over-promises).
+    *
+    * Engine parity: each share is an exact-count quotient; the p·ln p
+    * term is full-entropy libm → floor-gridded 1e-6 before its
+    * DECIMAL(28,6) order-free per-combo sum (§5, the tCloseness
+    * discipline); the `ln l` threshold is ONE Scala-evaluated literal
+    * embedded in BOTH engines' plans, so the boolean verdict compares
+    * identical doubles against an identical constant.
+    *
+    * Scale shape: one (combo, sensitive) partial-agg scan over the
+    * bounded binned-quasi space, one combo-keyed panel sum — the
+    * kAnonymity shuffle with one extra panel column.
+    */
+  def lDiversityEntropy(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, l: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(quasiCols.nonEmpty && l >= 1,
+      s"lDiversityEntropy needs quasi columns and positive l: $l")
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val cells = df
+      .filter((quasiCols.map(col(_).isNotNull) :+ col(sensitiveCol).isNotNull)
+        .reduce(_ && _))
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__s")): _*)
+      .agg(count(lit(1)).as("__n_cs"))
+    val combos = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n_cs")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+    cells.join(combos, quasiCols)
+      .withColumn("__p", col("__n_cs").cast("double") / col("n_rows").cast("double"))
+      .groupBy((quasiCols.map(col) :+ col("n_rows") :+ col("n_sensitive")): _*)
+      .agg((-sum(q6(col("__p") * log(col("__p")))
+        .cast(DecimalType(28, 6))).cast("double")).as("entropy"))
+      .withColumn("distinct_l_diverse", col("n_sensitive") >= l)
+      .withColumn("entropy_l_diverse", col("entropy") >= lit(math.log(l.toDouble)))
+  }
+
   /** t-CLOSENESS audit — the distribution-level tier above
     * [[kAnonymity]]'s count verdicts (Li et al. 2007): a combo can be
     * k-anonymous AND l-diverse yet still leak because its sensitive

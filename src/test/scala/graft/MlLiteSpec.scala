@@ -615,6 +615,29 @@ class MlLiteSpec extends SparkSpec {
     assert(!leak.getAs[Boolean]("k_anonymous") && !leak.getAs[Boolean]("l_diverse"))
   }
 
+  test("lDiversityEntropy: balanced mix clears ln(l), skewed mix fails where distinct-l passes") {
+    import graft.operators.Audit
+    val rows =
+      // combo (1,1): uniform over 3 values -> entropy >= ln 3, both verdicts true
+      Seq.fill(4)(Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L))).flatten ++
+      // combo (2,2): 98% one value with trace b/c -> distinct-l TRUE
+      // (3 values present) but entropy ~0.11 << ln 3 -> entropy-l FALSE:
+      // exactly the over-promise the entropy tier exists to catch
+      (Seq.fill(98)(("a", 2L, 2L)) ++ Seq(("b", 2L, 2L), ("c", 2L, 2L)))
+    val got = Audit.lDiversityEntropy(rows.toDF("sens", "q1", "q2"),
+        Seq("q1", "q2"), "sens", l = 3)
+      .collect().map(r => (r.getAs[Long]("q1"), r.getAs[Long]("q2")) -> r).toMap
+    val uni = got((1L, 1L))
+    assert(uni.getAs[Long]("n_rows") == 12L && uni.getAs[Long]("n_sensitive") == 3L)
+    assert(uni.getAs[Boolean]("distinct_l_diverse"))
+    assert(uni.getAs[Boolean]("entropy_l_diverse"))
+    assert(math.abs(uni.getAs[Double]("entropy") - math.log(3.0)) < 1e-5)
+    val skew = got((2L, 2L))
+    assert(skew.getAs[Boolean]("distinct_l_diverse"))   // count says fine
+    assert(!skew.getAs[Boolean]("entropy_l_diverse"))   // information says leak
+    assert(skew.getAs[Double]("entropy") < 0.2)
+  }
+
   test("costCurve: higher FN cost pushes the optimal threshold down (catch more positives)") {
     import org.apache.spark.sql.functions.col
     // separable-ish data the logistic fit orders correctly
