@@ -2103,6 +2103,16 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey")),
         "o_custkey", "l_partkey", n = 5, k = 10)),
 
+    // Offline ranking evaluation of the same recommender: per-user
+    // deterministic leave-one-out holdout, recommend from the rest,
+    // hit-rate@5 / MRR / NDCG — the measurement tier that says
+    // whether the serving chain actually ranks held-out truth.
+    "recsys_eval_ranking" -> ((s: SparkSession, d: String) =>
+      Recsys.evalRankingLoo(
+        t(s, d, "lineitem").join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey")),
+        "o_custkey", "l_partkey", n = 5, k = 10)),
+
     // Serving-side health panel over the same recommendations:
     // catalog coverage + exposure Gini (popularity bias). Exposure
     // ranks ride the distributed prefix sum, never a global window.
@@ -9493,6 +9503,10 @@ object SparkEntry {
 
     "recsys_recommend" -> recsysRecommendOracleSql,
 
+    // LOO ranking eval: the shared recommend chain over the
+    // deterministic train split + parsed-literal gain ladders.
+    "recsys_eval_ranking" -> recsysEvalRankingOracleSql(2, 5),
+
     // Recsys.recommendationCoverage mirrored: the full recommend
     // chain as a CTE, exposure counts, rank formula Gini with
     // mirrored double ops at the edge.
@@ -12355,12 +12369,15 @@ object SparkEntry {
     */
   private def recsysRecommendOracleSql: String = recsysRecommendOracleSql(2)
 
-  private def recsysRecommendOracleSql(minSupport: Int): String =
-    s"""WITH capped AS ($recsysInteractionsSql),
-      |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
+  /** The recommend chain's CTE body over a NAMED source interaction
+    * relation — shared by the recommend/coverage oracles (src =
+    * capped) and the ranking-eval oracle (src = the LOO train split).
+    */
+  private def recsysRecommendCtes(minSupport: Int, src: String): String =
+    s"""marg AS (SELECT item_id, COUNT(*) AS n FROM $src GROUP BY 1),
       |pairs AS (
       |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
-      |  FROM capped a JOIN capped b
+      |  FROM $src a JOIN $src b
       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
       |scored AS (
@@ -12382,18 +12399,75 @@ object SparkEntry {
       |  SELECT i.user_id, n.neighbor_id AS rec_item,
       |    CAST(SUM(CAST(n.cosine AS DECIMAL(28,6))) AS DOUBLE) AS score,
       |    COUNT(*) AS n_links
-      |  FROM capped i JOIN nbr n ON i.item_id = n.item_id
+      |  FROM $src i JOIN nbr n ON i.item_id = n.item_id
       |  GROUP BY 1, 2),
       |unseen AS (
       |  SELECT c.* FROM cand c
-      |  LEFT JOIN capped s ON c.user_id = s.user_id AND c.rec_item = s.item_id
-      |  WHERE s.item_id IS NULL)
+      |  LEFT JOIN $src s ON c.user_id = s.user_id AND c.rec_item = s.item_id
+      |  WHERE s.item_id IS NULL)""".stripMargin
+
+  private def recsysRecommendOracleSql(minSupport: Int): String =
+    s"""WITH capped AS ($recsysInteractionsSql),
+      |${recsysRecommendCtes(minSupport, "capped")}
       |SELECT user_id,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
       |    ORDER BY score DESC, rec_item) AS INTEGER) AS rank,
       |  rec_item, n_links, score
       |FROM unseen
       |QUALIFY rank <= 5""".stripMargin
+
+  /** Ranking-eval oracle: deterministic LOO holdout (max md5 per
+    * user with ≥ 2 interactions), the SAME recommend chain over the
+    * train split, pre-gridded per-rank gain literals (identical to
+    * the Spark arrays) summed as DECIMAL(28,6).
+    */
+  private def recsysEvalRankingOracleSql(minSupport: Int, n: Int): String = {
+    def gridConst(x: Double): Double = math.floor(x * 1e6) / 1e6
+    def ladder(gain: Int => Double): String =
+      (1 to n).map(r =>
+        s"WHEN ${r} THEN CAST(${gain(r)} AS DECIMAL(28,6))").mkString(" ")
+    val mrrCase =
+      s"CASE rank ${ladder(r => gridConst(1.0 / r))} ELSE CAST(0 AS DECIMAL(28,6)) END"
+    val ndcgCase =
+      s"CASE rank ${ladder(r => gridConst(math.log(2.0) / math.log(r + 1.0)))} ELSE CAST(0 AS DECIMAL(28,6)) END"
+    s"""WITH cap0 AS ($recsysInteractionsSql),
+      |hsh AS (
+      |  SELECT user_id, item_id,
+      |    CAST(concat('0x', substr(md5(concat_ws('|',
+      |      COALESCE(CAST(user_id AS VARCHAR), '<NULL>'),
+      |      COALESCE(CAST(item_id AS VARCHAR), '<NULL>'))), 1, 15)) AS BIGINT) AS hh,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS c
+      |  FROM cap0),
+      |held AS (
+      |  SELECT user_id, item_id AS test_item FROM (
+      |    SELECT user_id, item_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hh DESC, item_id) AS rn
+      |    FROM hsh WHERE c >= 2)
+      |  WHERE rn = 1),
+      |train AS (
+      |  SELECT c0.user_id, c0.item_id FROM cap0 c0
+      |  ANTI JOIN held ON c0.user_id = held.user_id AND c0.item_id = held.test_item),
+      |${recsysRecommendCtes(minSupport, "train")},
+      |recs AS (
+      |  SELECT user_id, rec_item,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY score DESC, rec_item) AS INTEGER) AS rank
+      |  FROM unseen
+      |  QUALIFY rank <= $n),
+      |j AS (
+      |  SELECT held.user_id, r.rank
+      |  FROM held LEFT JOIN recs r
+      |    ON r.user_id = held.user_id AND r.rec_item = held.test_item)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+      |  CAST(COUNT(rank) AS BIGINT) AS n_hits,
+      |  FLOOR(CAST(COUNT(rank) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+      |    AS hit_rate,
+      |  FLOOR(CAST(SUM($mrrCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+      |    AS mrr,
+      |  FLOOR(CAST(SUM($ndcgCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+      |    AS ndcg
+      |FROM j""".stripMargin
+  }
 
   /** Coverage/exposure panel over the recommend replay at the given
     * support floor — shared by recsys_coverage (2) and its

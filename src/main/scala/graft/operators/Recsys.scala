@@ -222,6 +222,15 @@ object Recsys {
     // executes twice
     val inter = interactions(raw, userCol, itemCol, userCap)
       .localCheckpoint(false)
+    recommendFromInteractions(inter, n, k, minSupport)
+  }
+
+  /** The serving tail of [[recommendTopN]] over a PRE-BUILT
+    * interaction relation — shared with [[evalRankingLoo]], whose
+    * train split must feed the identical chain.
+    */
+  private def recommendFromInteractions(inter: DataFrame, n: Int, k: Int,
+                                        minSupport: Int): DataFrame = {
     val neighbors0 = itemCosineFromInteractions(inter, k, minSupport)
       .localCheckpoint(true)
     // ≤ items×k rows by construction; the count is free post-checkpoint
@@ -321,5 +330,74 @@ object Recsys {
             - d(col("n_items_recommended") + 1) * d(col("__tot")))
             / (d(col("n_items_recommended")) * d(col("__tot"))))
           .as("exposure_gini"))
+  }
+
+  /** Leave-one-out RANKING evaluation of the recommender — the
+    * offline-metrics tier that closes the recsys family (model D85,
+    * serving D86, coverage G112/G125, now measurement): per user with
+    * ≥ 2 interactions, hold out ONE deterministically (the max
+    * md5(user, item) interaction — a pure function of the data, so
+    * the split replays across engines and runs), recommend top-n from
+    * the REMAINING train interactions through the identical serving
+    * chain, and score whether the held-out item comes back —
+    * hit-rate@n, MRR@n and NDCG@n (single-relevant-item form,
+    * gain 1/log₂(rank+1)). One row out.
+    *
+    * Engine parity: the per-rank MRR/NDCG gains are PRE-GRIDDED
+    * Scala-evaluated literals indexed by rank (the Benford
+    * parsed-literal rule — no runtime log), summed as DECIMAL(28,6)
+    * order-free partials, one IEEE division per metric at the edge.
+    *
+    * Scale shape: the holdout is one user-keyed rank window over the
+    * capped interaction relation; train feeds the shared recommend
+    * chain (all its bounds apply); the metric join is holdout-sized
+    * (one row per evaluated user) against the top-n relation.
+    */
+  def evalRankingLoo(raw: DataFrame, userCol: String, itemCol: String,
+                     n: Int, k: Int, userCap: Int = 1000,
+                     minSupport: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val inter = interactions(raw, userCol, itemCol, userCap)
+      .localCheckpoint(true)
+    val counted = inter.withColumn("__c",
+      count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    val held = counted.filter(col("__c") >= 2)
+      .withColumn("__h", graft.operators.Sampling.md5Long60(
+        Seq(col("user_id"), col("item_id"))))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("__h").desc, col("item_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("item_id").as("test_item"))
+      .localCheckpoint(true)
+    val train = inter.join(
+        held.select(col("user_id"), col("test_item").as("item_id")),
+        Seq("user_id", "item_id"), "left_anti")
+      .localCheckpoint(false)
+    val recs = recommendFromInteractions(train, n, k, minSupport)
+    // pre-gridded per-rank gains as parsed literals (both engines sum
+    // the identical 1e-6-grid doubles as exact decimals)
+    def gridConst(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val mrrGain = array((1 to n).map(r => lit(gridConst(1.0 / r))): _*)
+    val ndcgGain = array((1 to n).map(r =>
+      lit(gridConst(math.log(2.0) / math.log(r + 1.0)))): _*)
+    val joined = held.join(
+      recs.select(col("user_id"), col("rec_item").as("test_item"), col("rank")),
+      Seq("user_id", "test_item"), "left")
+    joined.agg(
+        count(lit(1)).as("n_users_evaluated"),
+        count(col("rank")).as("n_hits"),
+        sum(when(col("rank").isNotNull,
+          element_at(mrrGain, col("rank")).cast(DecimalType(28, 6)))
+          .otherwise(lit(0).cast(DecimalType(28, 6)))).as("__mrr_sum"),
+        sum(when(col("rank").isNotNull,
+          element_at(ndcgGain, col("rank")).cast(DecimalType(28, 6)))
+          .otherwise(lit(0).cast(DecimalType(28, 6)))).as("__ndcg_sum"))
+      .select(col("n_users_evaluated"), col("n_hits"),
+        (floor(col("n_hits").cast("double") / col("n_users_evaluated").cast("double")
+          * lit(1e6)) / lit(1e6)).as("hit_rate"),
+        (floor(col("__mrr_sum").cast("double") / col("n_users_evaluated").cast("double")
+          * lit(1e6)) / lit(1e6)).as("mrr"),
+        (floor(col("__ndcg_sum").cast("double") / col("n_users_evaluated").cast("double")
+          * lit(1e6)) / lit(1e6)).as("ndcg"))
   }
 }

@@ -153,7 +153,14 @@ class InvariantSpec extends SparkSpec {
       // sketch_kll_error: the ≤|ps|-row estimate panel crossed onto
       // the value relation for the exact empirical-rank pass — the
       // sketch_quantile_error n × 5 class
-      "sketch_kll_error")
+      "sketch_kll_error",
+      // r12 additions: day-panel lag joins (granger/cointegration),
+      // the wordpiece jump-table join, the all-sources BFS DAG joins
+      // (betweenness/closeness), the KMV set-op full-outer, and the
+      // combo-keyed entropy panel
+      "ana_granger", "ana_cointegration", "wordpiece_encode",
+      "graph_betweenness", "graph_closeness", "sketch_theta_ops",
+      "sketch_kmv_rollup", "privacy_l_diversity")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -95,4 +95,36 @@ class RecsysSpec extends SparkSpec {
     assert(u.getAs[Long]("n_items_recommended") == 0L)
     assert(u.isNullAt(u.fieldIndex("exposure_gini")))
   }
+
+  test("evalRankingLoo: identical-taste corpus scores perfect, disjoint corpus scores zero") {
+    import graft.operators.Recsys
+    // 10 users with the identical 5-item basket: whatever item the
+    // deterministic LOO holds out, the other four items' neighbor
+    // lists all point at it and it is the ONLY unseen candidate —
+    // rank 1 for every user, so every metric is exactly 1
+    val rows = for (u <- 1L to 10L; i <- 1L to 5L) yield (u, i)
+    val perfect = Recsys.evalRankingLoo(rows.toDF("user_id", "item_id"),
+      "user_id", "item_id", n = 5, k = 10).collect().head
+    assert(perfect.getAs[Long]("n_users_evaluated") == 10L)
+    assert(perfect.getAs[Long]("n_hits") == 10L)
+    assert(perfect.getAs[Double]("hit_rate") == 1.0)
+    assert(perfect.getAs[Double]("mrr") == 1.0)
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+    // disjoint baskets: no co-occurrence, no recommendations, zero
+    // metrics — but both users still EVALUATED (the denominator is
+    // the holdout, not the served set)
+    val disjoint = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L))
+      .toDF("user_id", "item_id")
+    val zero = Recsys.evalRankingLoo(disjoint, "user_id", "item_id",
+      n = 5, k = 10).collect().head
+    assert(zero.getAs[Long]("n_users_evaluated") == 2L)
+    assert(zero.getAs[Long]("n_hits") == 0L)
+    assert(zero.getAs[Double]("hit_rate") == 0.0)
+    assert(zero.getAs[Double]("mrr") == 0.0 && zero.getAs[Double]("ndcg") == 0.0)
+    // single-interaction users are excluded from evaluation entirely
+    val single = Seq((1L, 1L), (2L, 1L), (2L, 2L)).toDF("user_id", "item_id")
+    val s1 = Recsys.evalRankingLoo(single, "user_id", "item_id",
+      n = 5, k = 10).collect().head
+    assert(s1.getAs[Long]("n_users_evaluated") == 1L)
+  }
 }
