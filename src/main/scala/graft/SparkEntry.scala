@@ -1471,6 +1471,17 @@ object SparkEntry {
     "ana_xcorr_lags" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.xcorrLags(t(s, d, "events"), "CLICK", "PURCHASE")),
 
+    // Neyman optimal stratified allocation: per event-type stratum
+    // the budget split n_h ∝ N_h·σ_h (vs naive proportional),
+    // largest-remainder rounded to hit the budget exactly — the
+    // survey-design step in front of the stratified samplers.
+    "sample_neyman" -> ((s: SparkSession, d: String) =>
+      Sampling.neymanAllocation(
+        t(s, d, "events")
+          .select(upper(trim(col("event_type"))).as("event_type_norm"),
+            col("value")),
+        "event_type_norm", "value", budget = 5000L)),
+
     // Granger causality (lag-1) between every ordered event-type
     // pair's daily series: restricted vs unrestricted OLS, F-test
     // with the χ²(1) 5% critical verdict — the directed upgrade of
@@ -6253,6 +6264,63 @@ object SparkEntry {
           |        * sqrt(CAST(n_days*sbb AS DOUBLE) - CAST(sb*sb AS DOUBLE)), 0)
           |    AS xcorr
           |FROM agg""".stripMargin,
+
+      // Sampling.neymanAllocation mirrored: exact decimal moments,
+      // 1e-6-gridded sd/weights, DECIMAL weight total, the same fixed
+      // IEEE raw allocations and the (fraction DESC, stratum)
+      // largest-remainder ranking.
+      "sample_neyman" ->
+        """WITH ev AS (
+          |  SELECT UPPER(TRIM(event_type)) AS stratum, CAST(value AS DOUBLE) AS v
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          |moms AS (
+          |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |    SUM(CAST(v AS DECIMAL(28,6))) AS s1,
+          |    SUM(CAST(v * v AS DECIMAL(28,6))) AS s2
+          |  FROM ev GROUP BY 1),
+          |st AS (
+          |  SELECT stratum, n_rows,
+          |    FLOOR(COALESCE(CASE WHEN n_rows >= 2 THEN
+          |      sqrt(GREATEST(0.0,
+          |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_rows)
+          |        / (n_rows - 1))) END, 0.0) * 1e6) / 1e6 AS sd
+          |  FROM moms),
+          |w AS (
+          |  SELECT stratum, n_rows, sd,
+          |    FLOOR(CAST(n_rows AS DOUBLE) * sd * 1e6) / 1e6 AS wgt
+          |  FROM st),
+          |tots AS (
+          |  SELECT CAST(SUM(CAST(wgt AS DECIMAL(28,6))) AS DOUBLE) AS wsum,
+          |    CAST(SUM(n_rows) AS BIGINT) AS ntot
+          |  FROM w),
+          |raw AS (
+          |  SELECT stratum, n_rows, sd,
+          |    CASE WHEN wsum > 0 THEN 5000.0 * wgt / wsum END AS raw_n,
+          |    5000.0 * CAST(n_rows AS DOUBLE) / CAST(ntot AS DOUBLE) AS raw_p
+          |  FROM w CROSS JOIN tots),
+          |based AS (
+          |  SELECT stratum, n_rows, sd, raw_n,
+          |    CAST(FLOOR(raw_n) AS BIGINT) AS bn, raw_n - FLOOR(raw_n) AS fn,
+          |    CAST(FLOOR(raw_p) AS BIGINT) AS bp, raw_p - FLOOR(raw_p) AS fp
+          |  FROM raw),
+          |short AS (
+          |  SELECT 5000 - COALESCE(SUM(bn), 5000) AS shn,
+          |    5000 - SUM(bp) AS shp
+          |  FROM based),
+          |rk AS (
+          |  SELECT b.*, shn, shp,
+          |    ROW_NUMBER() OVER (ORDER BY fn DESC, stratum) AS rn,
+          |    ROW_NUMBER() OVER (ORDER BY fp DESC, stratum) AS rp
+          |  FROM based b CROSS JOIN short)
+          |SELECT stratum, n_rows, sd,
+          |  CASE WHEN raw_n IS NOT NULL
+          |       THEN bn + CASE WHEN rn <= shn THEN 1 ELSE 0 END END AS alloc_neyman,
+          |  bp + CASE WHEN rp <= shp THEN 1 ELSE 0 END AS alloc_proportional,
+          |  CASE WHEN raw_n IS NOT NULL
+          |       THEN (bn + CASE WHEN rn <= shn THEN 1 ELSE 0 END) > n_rows
+          |       ELSE FALSE END AS over_allocated
+          |FROM rk""".stripMargin,
 
       // AnalyticsPack.granger mirrored: daily panel, lag-1 joins over
       // all ordered type pairs, exact integer moments, the n·Σ−Σ·Σ

@@ -704,4 +704,82 @@ object Sampling {
         (col("upsampled_docs").cast("double") / col("__t2").cast("double"))
           .as("upsampled_share"))
   }
+
+  /** NEYMAN optimal stratified allocation — the survey-design step in
+    * front of [[stratified]]/[[exactQuota]]: given a total sampling
+    * `budget`, allocate per stratum n_h ∝ N_h·σ_h (Neyman 1934 — the
+    * allocation minimizing the stratified mean's variance; a big but
+    * HOMOGENEOUS stratum needs few samples, a small volatile one
+    * needs many), next to the naive proportional allocation
+    * n_h ∝ N_h for comparison. Integer allocations hit the budget
+    * EXACTLY via largest-remainder rounding (floor everything, give
+    * the shortfall to the largest fractional parts, ties by stratum).
+    *
+    * Engine parity: moments are exact DECIMAL sums (the zscore
+    * discipline), σ and the weights grid at 1e-6 before the
+    * DECIMAL(28,6) order-free weight total, raw allocations are a
+    * fixed IEEE sequence, and the remainder ranking is a total order
+    * (fraction DESC, stratum) over identical doubles. Degenerate
+    * inputs both engines agree on: singleton strata take σ = 0; an
+    * all-zero weight total (every stratum constant) yields NULL
+    * Neyman allocations — there is no variance to optimize.
+    * Allocations are NOT capped at N_h (the with-replacement /
+    * rate-design convention); a stratum allocated past its population
+    * flags `over_allocated` for the designer.
+    *
+    * Scale shape: ONE fact pass to the per-stratum moment panel; the
+    * allocation math (including the two unpartitioned rank windows)
+    * runs on the ≤-#strata-row panel — bounded by construction.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(budget >= 1, s"budget=$budget must be positive")
+    def q6(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val ev = df.filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(strataCol).as("stratum"), col(valueCol).cast("double").as("__v"))
+    val moms = ev.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.expressions.Kernels.toDecimal(col("__v"), 28, 6)).as("__s1"),
+        sum(graft.expressions.Kernels.toDecimal(col("__v") * col("__v"), 28, 6)).as("__s2"))
+    val st = moms.select(col("stratum"), col("n_rows"),
+        when(col("n_rows") >= 2, sqrt(greatest(lit(0.0),
+          (col("__s2").cast("double")
+            - col("__s1").cast("double") * col("__s1").cast("double") / col("n_rows"))
+            / (col("n_rows") - 1)))).as("__sd0"))
+      .withColumn("sd", q6(coalesce(col("__sd0"), lit(0.0))))
+      .withColumn("__w", q6(col("n_rows").cast("double") * col("sd")))
+      .localCheckpoint(true)
+    val tots = st.agg(
+      sum(col("__w").cast(DecimalType(28, 6))).cast("double").as("__wsum"),
+      sum(col("n_rows")).as("__ntot"))
+    val raw = st.crossJoin(broadcast(tots))
+      .withColumn("__raw_n", when(col("__wsum") > 0,
+        lit(budget.toDouble) * col("__w") / col("__wsum")))
+      .withColumn("__raw_p",
+        lit(budget.toDouble) * col("n_rows").cast("double")
+          / col("__ntot").cast("double"))
+      .withColumn("__bn", floor(col("__raw_n")).cast("long"))
+      .withColumn("__fn", col("__raw_n") - floor(col("__raw_n")))
+      .withColumn("__bp", floor(col("__raw_p")).cast("long"))
+      .withColumn("__fp", col("__raw_p") - floor(col("__raw_p")))
+      .localCheckpoint(true)
+    val short = raw.agg(
+      (lit(budget) - coalesce(sum(col("__bn")), lit(budget))).as("__shn"),
+      (lit(budget) - sum(col("__bp"))).as("__shp"))
+    raw.crossJoin(broadcast(short))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__fn").desc, col("stratum"))))
+      .withColumn("__rp", row_number().over(
+        Window.orderBy(col("__fp").desc, col("stratum"))))
+      .select(col("stratum"), col("n_rows"), col("sd"),
+        when(col("__raw_n").isNotNull,
+          col("__bn") + when(col("__rn") <= col("__shn"), 1L).otherwise(0L))
+          .as("alloc_neyman"),
+        (col("__bp") + when(col("__rp") <= col("__shp"), 1L).otherwise(0L))
+          .as("alloc_proportional"))
+      .withColumn("over_allocated",
+        col("alloc_neyman").isNotNull && col("alloc_neyman") > col("n_rows"))
+  }
 }

@@ -208,8 +208,11 @@ class InvariantSpec extends SparkSpec {
     // top-k lists; sketch_countmin — rank over the top-40
     // exact-vs-estimate panel; table_topk_values — final rank over
     // the salt-pre-filtered ≤k×salts candidate set.
+    // sample_neyman — the two largest-remainder rank windows over the
+    // ≤-#strata-row allocation panel (bounded by construction)
     val allow = Set("ana_coverage_quartile", "ml_decision_stump",
-      "search_hybrid_rrf", "sketch_countmin", "table_topk_values")
+      "search_hybrid_rrf", "sketch_countmin", "table_topk_values",
+      "sample_neyman")
     def panelIdiom(order: Seq[SortOrder]): Boolean =
       order.headOption.exists(_.child match {
         case a: Attribute =>

@@ -1059,4 +1059,40 @@ class SamplingSketchSpec extends SparkSpec {
     assert(sd("est_diff_ab") == 80.0)
     assert(math.abs(sd("jaccard_est") - math.floor(20.0 / 150.0 * 1e6) / 1e6) < 1e-12)
   }
+
+  test("neymanAllocation: volatile strata win budget, remainders conserve it exactly") {
+    import spark.implicits._
+    // stratum A: 100 rows alternating 0/10 (sd ~ 5.025); stratum B:
+    // 100 rows constant 7 (sd 0); stratum C: 10 rows alternating
+    // 0/100 (sd ~ 52.7). Neyman weights N_h*sd_h: A ~ 502, B 0,
+    // C ~ 527 — the SMALL volatile stratum out-allocates the big
+    // homogeneous one, and B gets nothing despite 100 rows
+    val rows =
+      (1 to 100).map(i => ("A", if (i % 2 == 0) 10.0 else 0.0)) ++
+      (1 to 100).map(_ => ("B", 7.0)) ++
+      (1 to 10).map(i => ("C", if (i % 2 == 0) 100.0 else 0.0))
+    val got = Sampling.neymanAllocation(rows.toSeq.toDF("s", "v"), "s", "v",
+        budget = 100L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val (a, b, c) = (got("A"), got("B"), got("C"))
+    assert(b.getAs[Double]("sd") == 0.0 && b.getAs[Long]("alloc_neyman") == 0L)
+    assert(c.getAs[Long]("alloc_neyman") > a.getAs[Long]("alloc_neyman"))
+    // budgets conserved EXACTLY under both schemes
+    assert(got.values.map(_.getAs[Long]("alloc_neyman")).sum == 100L)
+    assert(got.values.map(_.getAs[Long]("alloc_proportional")).sum == 100L)
+    // proportional ignores variance: B gets its population share
+    assert(b.getAs[Long]("alloc_proportional") > 40L)
+    // C allocated past its 10-row population -> flagged for the designer
+    assert(c.getAs[Long]("alloc_neyman") > 10L &&
+      c.getAs[Boolean]("over_allocated"))
+    assert(!a.getAs[Boolean]("over_allocated"))
+    // all-constant corpus: no variance to optimize -> NULL Neyman,
+    // proportional still fills the budget
+    val flat = Seq(("X", 1.0), ("X", 1.0), ("Y", 1.0), ("Y", 1.0))
+      .toDF("s", "v")
+    val f = Sampling.neymanAllocation(flat, "s", "v", budget = 10L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(f.values.forall(_.isNullAt(3)))
+    assert(f.values.map(_.getAs[Long]("alloc_proportional")).sum == 10L)
+  }
 }
