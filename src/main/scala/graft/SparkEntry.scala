@@ -10514,7 +10514,10 @@ object SparkEntry {
          |v$r AS MATERIALIZED (
          |  SELECT replace(sym, ' ' || b.l || '  ' || b.r || ' ',
          |                      ' ' || b.l || b.r || ' ') AS sym, wf
-         |  FROM v${r - 1}, b$r b)""".stripMargin
+         |  FROM v${r - 1}, b$r b
+         |  UNION ALL
+         |  SELECT sym, wf FROM v${r - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM b$r))""".stripMargin
     }
     (head +: iters).mkString(",\n")
   }
@@ -10530,7 +10533,10 @@ object SparkEntry {
       s"""e$r AS MATERIALIZED (
          |  SELECT doc_id, replace(sym, ' ' || b.l || '  ' || b.r || ' ',
          |                              ' ' || b.l || b.r || ' ') AS sym
-         |  FROM e${r - 1}, b$r b)""".stripMargin
+         |  FROM e${r - 1}, b$r b
+         |  UNION ALL
+         |  SELECT doc_id, sym FROM e${r - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM b$r))""".stripMargin
     }.mkString(",\n")
     s"""e0 AS MATERIALIZED (
        |  SELECT doc_id, ' ' || array_to_string(regexp_extract_all(tok, '.'), '  ') || ' ' AS sym
@@ -10693,7 +10699,10 @@ object SparkEntry {
            |wpv$r AS MATERIALIZED (
            |  SELECT replace(sym, ' ' || b.l || '  ' || b.r || ' ',
            |                      ' ' || b.l || b.r || ' ') AS sym, wf
-           |  FROM wpv${r - 1}, wpb$r b)""".stripMargin
+           |  FROM wpv${r - 1}, wpb$r b
+           |  UNION ALL
+           |  SELECT sym, wf FROM wpv${r - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM wpb$r))""".stripMargin
       }
       (head +: iters).mkString(",\n")
     }
@@ -10717,27 +10726,26 @@ object SparkEntry {
          |  FROM (SELECT UNNEST(t) AS tok FROM (SELECT $toksSql AS t FROM documents))
          |  WHERE tok <> '' GROUP BY 1),
          |wpkeys AS MATERIALIZED (
-         |  SELECT DISTINCT key FROM (
-         |    SELECT CASE WHEN i = 1 THEN t[i] ELSE '##' || t[i] END AS key
+         |  SELECT DISTINCT init, piece FROM (
+         |    SELECT i = 1 AS init, t[i] AS piece
          |    FROM (SELECT t, UNNEST(range(1, len(t) + 1)) AS i
          |          FROM (SELECT string_split(trim(sym), '  ') AS t FROM wpv$rounds))
          |    UNION ALL
-         |    SELECT c AS key FROM (
+         |    SELECT TRUE AS init, c AS piece FROM (
          |      SELECT DISTINCT UNNEST(regexp_extract_all(word, '.')) AS c FROM wpw)
          |    UNION ALL
-         |    SELECT '##' || c AS key FROM (
+         |    SELECT FALSE AS init, c AS piece FROM (
          |      SELECT DISTINCT UNNEST(regexp_extract_all(word, '.')) AS c FROM wpw))),
          |wpj AS MATERIALIZED (
          |  SELECT word, wf, wl, s, MAX(l) AS jump FROM (
          |    SELECT word, wf, wl, u.s AS s, u.l AS l,
-         |      CASE WHEN u.s = 1 THEN substr(word, u.s, u.l)
-         |           ELSE '##' || substr(word, u.s, u.l) END AS key
+         |      (u.s = 1) AS init, substr(word, u.s, u.l) AS piece
          |    FROM (
          |      SELECT word, wf, len(word) AS wl,
          |        UNNEST(flatten(list_transform(range(1, len(word) + 1), s ->
          |          list_transform(range(1, len(word) - s + 2), l ->
          |            {'s': s, 'l': l})))) AS u
-         |      FROM wpw)) m JOIN wpkeys USING (key)
+         |      FROM wpw)) m JOIN wpkeys USING (init, piece)
          |  GROUP BY 1, 2, 3, 4),
          |wpg0 AS MATERIALIZED (
          |  SELECT word, wf, len(word) AS wl, 1 AS pos, 0 AS cnt FROM wpw),
@@ -12528,12 +12536,15 @@ object SparkEntry {
       |    ON r.user_id = held.user_id AND r.rec_item = held.test_item)
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
       |  CAST(COUNT(rank) AS BIGINT) AS n_hits,
-      |  FLOOR(CAST(COUNT(rank) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
-      |    AS hit_rate,
-      |  FLOOR(CAST(SUM($mrrCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
-      |    AS mrr,
-      |  FLOOR(CAST(SUM($ndcgCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
-      |    AS ndcg
+      |  CASE WHEN COUNT(*) > 0 THEN
+      |    FLOOR(CAST(COUNT(rank) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+      |  END AS hit_rate,
+      |  CASE WHEN COUNT(*) > 0 THEN
+      |    FLOOR(CAST(SUM($mrrCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+      |  END AS mrr,
+      |  CASE WHEN COUNT(*) > 0 THEN
+      |    FLOOR(CAST(SUM($ndcgCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+      |  END AS ndcg
       |FROM j""".stripMargin
   }
 

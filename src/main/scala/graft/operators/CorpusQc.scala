@@ -745,14 +745,21 @@ object CorpusQc {
     */
   def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one round: $rounds")
-    val spark = df.sparkSession
     var vocab = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
       .select(concat(lit(" "),
         array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
         lit(" ")).as("sym"), col("wf"))
       .localCheckpoint(true)
-    val merges = (1 to rounds).map { r =>
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var exhausted = false
+    var r = 1
+    // STOP when a round finds no mergeable pair (every word a single
+    // symbol): cross-joining an EMPTY winner would wipe the vocabulary
+    // relation and silently discard all earlier merges. The (empty)
+    // round row keeps the schema; the oracle's carry-through UNION
+    // mirrors the stop.
+    while (!exhausted && r <= rounds) {
       val toks = vocab
         .select(col("wf"), split(trim(col("sym")), "  ").as("t"))
         .select(col("wf"), col("t"), size(col("t")).as("n"))
@@ -766,15 +773,20 @@ object CorpusQc {
         .orderBy(col("n_occurrences").desc, col("merge_left"), col("merge_right"))
         .limit(1)
         .localCheckpoint(true)
-      vocab = vocab.crossJoin(broadcast(best))
-        .select(replace(col("sym"),
-            concat(lit(" "), col("merge_left"), lit("  "), col("merge_right"), lit(" ")),
-            concat(lit(" "), col("merge_left"), col("merge_right"), lit(" "))).as("sym"),
-          col("wf"))
-        .localCheckpoint(true)
-      best.select(lit(r).as("round"), col("merge_left"), col("merge_right"),
+      merges += best.select(lit(r).as("round"), col("merge_left"),
+        col("merge_right"),
         concat(col("merge_left"), col("merge_right")).as("merged"),
         col("n_occurrences"))
+      if (best.isEmpty) exhausted = true
+      else {
+        vocab = vocab.crossJoin(broadcast(best))
+          .select(replace(col("sym"),
+              concat(lit(" "), col("merge_left"), lit("  "), col("merge_right"), lit(" ")),
+              concat(lit(" "), col("merge_left"), col("merge_right"), lit(" "))).as("sym"),
+            col("wf"))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     merges.reduce(_ unionByName _)
   }
@@ -795,13 +807,19 @@ object CorpusQc {
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 rounds: Int): DataFrame = {
-    val merges = bpeTrainMerges(df, textCol, rounds)
+    val merges = bpeTrainMerges(df, textCol, rounds).localCheckpoint(true)
+    // only LANDED rounds replay (an exhausted trainer returns fewer
+    // rows than `rounds`; a missing round's empty cross join would
+    // wipe the token relation) — the merge table is a ≤rounds-row
+    // panel, so the round list is a panel collect
+    val landed = merges.select(col("round")).distinct()
+      .collect().map(_.getInt(0)).sorted
     var toks = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), concat(lit(" "),
         array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
         lit(" ")).as("sym"))
-    for (r <- 1 to rounds) {
+    for (r <- landed) {
       val m = merges.filter(col("round") === r)
         .select(col("merge_left").as("__l"), col("merge_right").as("__r"))
       toks = toks.crossJoin(broadcast(m))
@@ -1503,7 +1521,22 @@ object CorpusQc {
     * partial-agg shuffles (symbols, pairs), a broadcast score join
     * and a TakeOrdered(1); the winner folds back as a 1-row panel.
     */
-  def wordpieceTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def wordpieceTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    wordpieceTrain(df, textCol, rounds)._1
+
+  /** (merge table, final symbolized token vocabulary) — the trainer
+    * behind [[wordpieceTrainMerges]] and [[wordpieceEncode]] (which
+    * needs the final symbolization for its role vocab; returning it
+    * here spares encode a duplicate corpus pass plus a full merge
+    * replay). The loop STOPS when a round finds no mergeable pair
+    * (every word a single symbol): blindly cross-joining an EMPTY
+    * winner would wipe the vocabulary relation and silently discard
+    * all earlier merges — the oracle's carry-through UNION mirrors
+    * the stop (an exhausted round leaves the vocab CTE unchanged and
+    * contributes no merge row in either engine).
+    */
+  private def wordpieceTrain(df: DataFrame, textCol: String,
+                             rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"need at least one round: $rounds")
     var vocab = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
@@ -1512,7 +1545,10 @@ object CorpusQc {
         array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
         lit(" ")).as("sym"), col("wf"))
       .localCheckpoint(true)
-    val merges = (1 to rounds).map { r =>
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var exhausted = false
+    var r = 1
+    while (!exhausted && r <= rounds) {
       val toks = vocab
         .select(col("wf"), split(trim(col("sym")), "  ").as("t"))
         .select(col("wf"), col("t"), size(col("t")).as("n"))
@@ -1535,17 +1571,24 @@ object CorpusQc {
         .orderBy(col("score").desc, col("merge_left"), col("merge_right"))
         .limit(1)
         .localCheckpoint(true)
-      vocab = vocab.crossJoin(broadcast(best.select(col("merge_left"), col("merge_right"))))
-        .select(replace(col("sym"),
-            concat(lit(" "), col("merge_left"), lit("  "), col("merge_right"), lit(" ")),
-            concat(lit(" "), col("merge_left"), col("merge_right"), lit(" "))).as("sym"),
-          col("wf"))
-        .localCheckpoint(true)
-      best.select(lit(r).as("round"), col("merge_left"), col("merge_right"),
+      // the (empty) select keeps the merge table's schema even when
+      // round 1 itself finds nothing (an all-single-char corpus)
+      merges += best.select(lit(r).as("round"), col("merge_left"),
+        col("merge_right"),
         concat(col("merge_left"), col("merge_right")).as("merged"),
         col("n_pair"), col("n_left"), col("n_right"), col("score"))
+      if (best.isEmpty) exhausted = true
+      else {
+        vocab = vocab.crossJoin(broadcast(best.select(col("merge_left"), col("merge_right"))))
+          .select(replace(col("sym"),
+              concat(lit(" "), col("merge_left"), lit("  "), col("merge_right"), lit(" ")),
+              concat(lit(" "), col("merge_left"), col("merge_right"), lit(" "))).as("sym"),
+            col("wf"))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _), vocab)
   }
 
   /** (distinct-word relation, final symbolized vocab) after
@@ -1556,32 +1599,13 @@ object CorpusQc {
     */
   private def wordpieceFit(df: DataFrame, textCol: String, rounds: Int,
                            lcap: Int): (DataFrame, DataFrame) = {
-    val merges = wordpieceTrainMerges(df, textCol, rounds)
+    val (_, sym) = wordpieceTrain(df, textCol, rounds)
     val words = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("tok").substr(lit(1), lit(lcap)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .localCheckpoint(true)
-    // replay the learned merges over the FULL token vocabulary (the
-    // same relation training symbolized — training's internal state is
-    // private, one replay keeps the API surface minimal; rounds
-    // broadcast replaces over a vocabulary-sized relation)
-    var sym = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("tok")).agg(count(lit(1)).as("wf"))
-      .select(col("wf"), concat(lit(" "),
-        array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
-        lit(" ")).as("sym"))
-    for (r <- 1 to rounds) {
-      val m = merges.filter(col("round") === r)
-        .select(col("merge_left").as("__l"), col("merge_right").as("__r"))
-      sym = sym.crossJoin(broadcast(m))
-        .withColumn("sym", replace(col("sym"),
-          concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
-          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
-        .drop("__l", "__r")
-    }
-    (words, sym.localCheckpoint(true))
+    (words, sym)
   }
 
   /** WordPiece ENCODE — greedy LONGEST-MATCH-FIRST against the
@@ -1589,10 +1613,13 @@ object CorpusQc {
     * a genuinely different decoder from BPE's merge replay and
     * unigram's Viterbi: at each position it takes the longest vocab
     * piece that matches, position-aware — a piece matched mid-word
-    * must exist as a `##` CONTINUATION). The vocabulary is the final
-    * symbolization's pieces split by ROLE (word-initial symbols as-is,
-    * non-initial as `##piece`) plus the full char inventory in BOTH
-    * roles — the coverage guarantee that makes the greedy walk total
+    * must exist as a CONTINUATION entry, the role WordPiece renders
+    * as `##piece`). The vocabulary is the final symbolization's
+    * pieces split by ROLE — carried as an (is-initial, piece)
+    * TWO-column relation, never a `##` string prefix, which would
+    * collide with tokens that themselves contain '#' — plus the full
+    * char inventory in BOTH roles, the coverage guarantee that makes
+    * the greedy walk total
     * (every position matches at least its own char, so there is no
     * UNK path to replicate). Output: per-doc (n_tokens, n_symbols),
     * the [[bpeEncode]]/[[unigramEncode]] panel shape.
@@ -1612,29 +1639,31 @@ object CorpusQc {
     val parts = sym
       .select(col("wf"), split(trim(col("sym")), "  ").as("t"))
       .select(col("wf"), posexplode(col("t")))
-    // role-keyed vocab: initial pieces bare, continuations ##-prefixed;
-    // char inventory in both roles (coverage), distinct keys only —
-    // greedy match cares about membership, not frequency
+    // role-keyed vocab as a TWO-column relation (is-initial flag,
+    // piece) — never a "##" string prefix, which would collide with
+    // tokens that themselves contain '#' (a word-initial substring
+    // literally starting with "##" must not match a continuation
+    // entry); char inventory in both roles (coverage), distinct keys
+    // only — greedy match cares about membership, not frequency
     val chars = words
       .select(explode(regexp_extract_all(col("word"), lit("."), lit(0))).as("piece"))
       .distinct()
     val vocabKeys = parts
-      .select(when(col("pos") === 0, col("col"))
-        .otherwise(concat(lit("##"), col("col"))).as("key"))
-      .unionByName(chars.select(col("piece").as("key")))
-      .unionByName(chars.select(concat(lit("##"), col("piece")).as("key")))
+      .select((col("pos") === 0).as("init"), col("col").as("piece"))
+      .unionByName(chars.select(lit(true).as("init"), col("piece")))
+      .unionByName(chars.select(lit(false).as("init"), col("piece")))
       .distinct()
       .localCheckpoint(true)
-    // longest-match table: jump(word, s) = max l whose substring (with
-    // role prefix) is in the vocab; char coverage makes jump >= 1 total
+    // longest-match table: jump(word, s) = max l whose substring is in
+    // the vocab UNDER ITS ROLE; char coverage makes jump >= 1 total
     val jumps = words
       .select(col("word"), col("wf"), length(col("word")).as("wl"),
         explode(sequence(lit(1), length(col("word")))).as("s"))
       .select(col("word"), col("wf"), col("wl"), col("s"),
         explode(sequence(lit(1), col("wl") - col("s") + 1)).as("l"))
-      .withColumn("key", when(col("s") === 1, col("word").substr(col("s"), col("l")))
-        .otherwise(concat(lit("##"), col("word").substr(col("s"), col("l")))))
-      .join(broadcast(vocabKeys), "key")
+      .withColumn("init", col("s") === 1)
+      .withColumn("piece", col("word").substr(col("s"), col("l")))
+      .join(broadcast(vocabKeys), Seq("init", "piece"))
       .groupBy(col("word"), col("wf"), col("wl"), col("s"))
       .agg(max(col("l")).as("jump"))
     // greedy walk as ONE per-word fold: state (pos, cnt); each of the

@@ -726,7 +726,12 @@ object Graph {
     var reached = lvl0.select(col("s"), col("v")).localCheckpoint(true)
     var frontierN = 1L // nonempty
     var l = 0
-    while (frontierN > 0 && l < maxDepth) {
+    // one probe PAST maxDepth: a graph whose deepest level is exactly
+    // maxDepth is complete (its next frontier is empty) and must
+    // succeed — only a frontier that is STILL non-empty beyond the
+    // unroll depth is an error (matching the fixed-unroll oracle,
+    // whose level maxDepth is its last populated relation)
+    while (frontierN > 0 && l <= maxDepth) {
       val next = levels(l)
         .join(e.withColumnRenamed("src", "v"), "v")
         .groupBy(col("s"), col("dst").as("v"))
@@ -735,16 +740,16 @@ object Graph {
         .localCheckpoint(true)
       frontierN = next.count()
       if (frontierN > 0) {
+        if (l == maxDepth)
+          throw new IllegalStateException(
+            s"$what: BFS still expanding after $maxDepth levels — " +
+              "raise maxDepth (dependency unroll depth)")
         levels = levels :+ next
         reached = reached.unionAll(next.select(col("s"), col("v")))
           .localCheckpoint(true)
         l += 1
       }
     }
-    if (frontierN > 0)
-      throw new IllegalStateException(
-        s"$what: BFS still expanding after $maxDepth levels — " +
-          "raise maxDepth (dependency unroll depth)")
     levels
   }
 

@@ -393,11 +393,17 @@ object Recsys {
           element_at(ndcgGain, col("rank")).cast(DecimalType(28, 6)))
           .otherwise(lit(0).cast(DecimalType(28, 6)))).as("__ndcg_sum"))
       .select(col("n_users_evaluated"), col("n_hits"),
-        (floor(col("n_hits").cast("double") / col("n_users_evaluated").cast("double")
-          * lit(1e6)) / lit(1e6)).as("hit_rate"),
-        (floor(col("__mrr_sum").cast("double") / col("n_users_evaluated").cast("double")
-          * lit(1e6)) / lit(1e6)).as("mrr"),
-        (floor(col("__ndcg_sum").cast("double") / col("n_users_evaluated").cast("double")
-          * lit(1e6)) / lit(1e6)).as("ndcg"))
+        // NULL, not 0, when nothing was evaluated: 0/0 is NaN, whose
+        // floor Spark longs to 0 while SQL engines keep NaN — and a
+        // caller reading "0% hit rate" for "no holdout" is misled
+        when(col("n_users_evaluated") > 0,
+          floor(col("n_hits").cast("double") / col("n_users_evaluated").cast("double")
+            * lit(1e6)) / lit(1e6)).as("hit_rate"),
+        when(col("n_users_evaluated") > 0,
+          floor(col("__mrr_sum").cast("double") / col("n_users_evaluated").cast("double")
+            * lit(1e6)) / lit(1e6)).as("mrr"),
+        when(col("n_users_evaluated") > 0,
+          floor(col("__ndcg_sum").cast("double") / col("n_users_evaluated").cast("double")
+            * lit(1e6)) / lit(1e6)).as("ndcg"))
   }
 }

@@ -1411,12 +1411,11 @@ object StreamOps {
       val (due, pending) = s.lefts.partition(_._1 <= wm)
       val out = due.sortBy(identity)
         .map { case (t, id) => enrich(key, t, id, s.rights) }
-      // prune rights: keep the latest at-or-before the horizon (the
-      // "current" version every future left may still need) plus all
-      // rights ahead of it; the horizon is the watermark unless an
-      // older left is still pending
-      val horizon = pending.map(_._1).minOption.map(math.min(_, wm)).getOrElse(wm)
-      val (before, after) = s.rights.partition(_._1 <= horizon)
+      // prune rights: keep the latest at-or-before the watermark (the
+      // "current" version every future left may still need — pending
+      // lefts are strictly newer than the watermark by construction)
+      // plus all rights ahead of it
+      val (before, after) = s.rights.partition(_._1 <= wm)
       (out, AsofState(before.takeRight(1) ::: after, pending))
     }
 

@@ -637,13 +637,13 @@ class CorpusQcSpec extends SparkSpec {
       }
       sym
     }
-    val keys = scala.collection.mutable.Set[String]()
+    val keys = scala.collection.mutable.Set[(Boolean, String)]()
     words.distinct.foreach { w =>
       symbolize(w).zipWithIndex.foreach { case (p, i) =>
-        keys += (if (i == 0) p else "##" + p) }
+        keys += ((i == 0) -> p) }
     }
     val chars = words.flatMap(_.take(12).map(_.toString)).toSet
-    keys ++= chars; keys ++= chars.map("##" + _)
+    chars.foreach { c => keys += (true -> c); keys += (false -> c) }
     def greedy(w0: String): Int = {
       val w = w0.take(12)
       var pos = 0; var cnt = 0
@@ -651,8 +651,7 @@ class CorpusQcSpec extends SparkSpec {
         var l = w.length - pos
         var found = 0
         while (l >= 1 && found == 0) {
-          val key = (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
-          if (keys(key)) found = l else l -= 1
+          if (keys((pos == 0, w.substring(pos, pos + l)))) found = l else l -= 1
         }
         pos += found; cnt += 1
       }
@@ -660,6 +659,43 @@ class CorpusQcSpec extends SparkSpec {
     }
     assert(got.getAs[Long]("n_tokens") == words.length.toLong)
     assert(got.getAs[Long]("n_symbols") == words.map(greedy).sum.toLong)
+  }
+
+  test("wordpieceEncode: '#'-bearing tokens never alias the continuation role") {
+    // corpus "ab ab ab ##ab": likelihood scoring merges the RARE pair
+    // (#,#) first (score 1/4 beats (a,b)'s 4/16 on the '#'<'a'
+    // tie-break), so the trained pieces are initial {'a','##'} and
+    // continuations {'a','b'}. Under role-keyed (is-initial, piece)
+    // lookups, '##ab' encodes '##','a','b' = 3 and 'ab' encodes
+    // 'a','b' = 2 -> 9 symbols total. A '##'-STRING-prefix vocab
+    // would let the word-initial substring '##a' alias continuation
+    // 'a' (stored as the string "##a") and jump 3 -> 8 symbols: the
+    // exact collision this pins against.
+    val docs = Seq((1L, "ab ab ab ##ab")).toDF("doc_id", "text")
+    val wp = CorpusQc.wordpieceTrainMerges(docs, "text", rounds = 1).collect().head
+    assert(wp.getAs[String]("merge_left") == "#" &&
+      wp.getAs[String]("merge_right") == "#")
+    val got = CorpusQc.wordpieceEncode(docs, "doc_id", "text", rounds = 1)
+      .collect().head
+    assert(got.getAs[Long]("n_tokens") == 4L)
+    assert(got.getAs[Long]("n_symbols") == 9L)
+  }
+
+  test("bpe/wordpiece training stops at merge exhaustion instead of wiping the vocabulary") {
+    // 'ab' fully fuses after one merge; asking for 4 rounds must
+    // return ONE merge row and keep encoding under the learned merge
+    // (a blind empty-winner cross join would wipe the vocab relation)
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val wp = CorpusQc.wordpieceTrainMerges(docs, "text", rounds = 4).collect()
+    assert(wp.length == 1 && wp.head.getAs[String]("merged") == "ab")
+    val wpe = CorpusQc.wordpieceEncode(docs, "doc_id", "text", rounds = 4)
+      .collect().head
+    assert(wpe.getAs[Long]("n_tokens") == 3L && wpe.getAs[Long]("n_symbols") == 3L)
+    val bpe = CorpusQc.bpeTrainMerges(docs, "text", rounds = 4).collect()
+    assert(bpe.length == 1 && bpe.head.getAs[String]("merged") == "ab")
+    val enc = CorpusQc.bpeEncode(docs, "doc_id", "text", rounds = 4)
+      .collect().head
+    assert(enc.getAs[Long]("n_tokens") == 3L && enc.getAs[Long]("n_symbols") == 3L)
   }
 
   test("unigramTrain: words truncate to the lcap DP horizon, never drop") {

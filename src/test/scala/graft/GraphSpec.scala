@@ -335,6 +335,15 @@ class GraphSpec extends SparkSpec {
       Graph.betweenness(deep, "s", "t", maxDepth = 4).collect()
     }
     assert(ex.getMessage.contains("maxDepth"))
+    // a graph whose deepest level is EXACTLY maxDepth is complete and
+    // must succeed (only a frontier still expanding BEYOND the unroll
+    // is an error) — chain depth 4 at maxDepth 4
+    val exact = (1 to 4).map(i => (s"m$i", s"m${i + 1}")).toDF("s", "t")
+    val ok = Graph.betweenness(exact, "s", "t", maxDepth = 4).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("betweenness")).toMap
+    // interior chain nodes broker (left x right) endpoint pairs
+    assert(ok == Map("m1" -> 0.0, "m2" -> 3.0, "m3" -> 4.0,
+      "m4" -> 3.0, "m5" -> 0.0))
     // a 3-cycle reaches every node in 2 hops: each node brokers the
     // one 2-hop pair through it
     val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "t")
