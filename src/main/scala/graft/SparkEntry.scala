@@ -2203,6 +2203,13 @@ object SparkEntry {
       MlLite.logisticRegression(logregFeatures(s, d),
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)),
 
+    // Permutation feature importance of the same fit: per feature the
+    // AUC drop under a deterministic md5-bucket rotation of that
+    // column — does the model actually USE the feature.
+    "ml_permutation_importance" -> ((s: SparkSession, d: String) =>
+      MlLite.permutationImportance(logregFeaturesWithId(s, d), "event_id",
+        "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)),
+
     // Calibration (reliability) panel of the same fit: 10 equal-width
     // probability bins, mean predicted p vs observed positive rate —
     // the curve that says whether "p = 0.8" means 80%.
@@ -3631,6 +3638,20 @@ object SparkEntry {
           * lit(1e6)) / lit(1e6)).as("x2"),
         (floor(col("value") / lit(100.0) * lit(1e6)) / lit(1e6)).as("x3"))
 
+  /** [[logregFeatures]] carrying the row id the permutation-importance
+    * operator keys its deterministic shuffles on.
+    */
+  private def logregFeaturesWithId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"),
+        (floor(hour(col("ts")).cast("double") / lit(24.0) * lit(1e6))
+          / lit(1e6)).as("x1"),
+        (floor(Temporal.isoDow(col("ts")).cast("double") / lit(7.0)
+          * lit(1e6)) / lit(1e6)).as("x2"),
+        (floor(col("value") / lit(100.0) * lit(1e6)) / lit(1e6)).as("x3"))
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4879,6 +4900,11 @@ object SparkEntry {
 
     "ml_logreg_purchase" -> logregOracleSql(rounds = 6, lr = "0.5"),
 
+    // Permutation importance: the shared GD chain + per-feature
+    // md5-bucket rotations + exact-midrank AUC blocks.
+    "ml_permutation_importance" ->
+      permImportanceOracleSql(rounds = 6, lr = "0.5", buckets = 64),
+
     "ml_logreg_calibration" ->
       logregCalibrationOracleSql(rounds = 6, lr = "0.5", bins = 10),
 
@@ -5297,6 +5323,34 @@ object SparkEntry {
     * update mirrors the driver's `floor((w − lr·(g/n))·1e6)/1e6`
     * double arithmetic op for op, σ(z) floor-quantized per row.
     */
+  /** The gridded-sigmoid score expression of the logreg GD chain —
+    * shared by every oracle that applies the trained weights.
+    */
+  private def logregPExprSql(w: String): String =
+    s"FLOOR(1.0 / (1.0 + exp(-($w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3))) * 1e6) / 1e6"
+
+  /** The GD iteration CTEs (g$r / w$r over r0 / nn / w0) — shared by
+    * the logreg fit oracles and the permutation-importance oracle,
+    * whose head carries the row id alongside the features.
+    */
+  private def logregIterCtes(rounds: Int, lr: String): Seq[String] =
+    (1 to rounds).map { r =>
+      s"""g$r AS (
+         |  SELECT
+         |    CAST(SUM(CAST((p - y) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |    CAST(SUM(CAST((p - y) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST((p - y) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+         |    CAST(SUM(CAST((p - y) * x3 AS DECIMAL(38,12))) AS DOUBLE) AS g3
+         |  FROM (SELECT r0.*, ${logregPExprSql("w")} AS p FROM r0, w${r - 1} w)),
+         |w$r AS (
+         |  SELECT
+         |    FLOOR((w.w0 - $lr * (g.g0 / nn.n)) * 1e6) / 1e6 AS w0,
+         |    FLOOR((w.w1 - $lr * (g.g1 / nn.n)) * 1e6) / 1e6 AS w1,
+         |    FLOOR((w.w2 - $lr * (g.g2 / nn.n)) * 1e6) / 1e6 AS w2,
+         |    FLOOR((w.w3 - $lr * (g.g3 / nn.n)) * 1e6) / 1e6 AS w3
+         |  FROM w${r - 1} w, g$r g, nn)""".stripMargin
+    }
+
   private def logregOracleSql(rounds: Int, lr: String): String = {
     val head =
       """r0 AS (
@@ -5307,24 +5361,8 @@ object SparkEntry {
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM r0),
         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
-    def pExpr(w: String) =
-      s"FLOOR(1.0 / (1.0 + exp(-($w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3))) * 1e6) / 1e6"
-    val iters = (1 to rounds).map { r =>
-      s"""g$r AS (
-         |  SELECT
-         |    CAST(SUM(CAST((p - y) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
-         |    CAST(SUM(CAST((p - y) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
-         |    CAST(SUM(CAST((p - y) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2,
-         |    CAST(SUM(CAST((p - y) * x3 AS DECIMAL(38,12))) AS DOUBLE) AS g3
-         |  FROM (SELECT r0.*, ${pExpr("w")} AS p FROM r0, w${r - 1} w)),
-         |w$r AS (
-         |  SELECT
-         |    FLOOR((w.w0 - $lr * (g.g0 / nn.n)) * 1e6) / 1e6 AS w0,
-         |    FLOOR((w.w1 - $lr * (g.g1 / nn.n)) * 1e6) / 1e6 AS w1,
-         |    FLOOR((w.w2 - $lr * (g.g2 / nn.n)) * 1e6) / 1e6 AS w2,
-         |    FLOOR((w.w3 - $lr * (g.g3 / nn.n)) * 1e6) / 1e6 AS w3
-         |  FROM w${r - 1} w, g$r g, nn)""".stripMargin
-    }
+    def pExpr(w: String) = logregPExprSql(w)
+    val iters = logregIterCtes(rounds, lr)
     s"""WITH ${(head +: iters).mkString(",\n")}
        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |  MIN(w.w0) AS w0, MIN(w.w1) AS w1, MIN(w.w2) AS w2, MIN(w.w3) AS w3,
@@ -5332,6 +5370,73 @@ object SparkEntry {
        |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
        |FROM (SELECT r0.*, ${pExpr("w")} AS p
        |      FROM r0, w$rounds w) q, w$rounds w""".stripMargin
+  }
+
+  /** Permutation-importance oracle: the shared GD chain over an
+    * id-carrying head, per-feature md5-bucket rotations through the
+    * identical LEAD/FIRST_VALUE window, and one exact-midrank AUC
+    * block per scored relation (the ml_auc_roc shape).
+    */
+  private def permImportanceOracleSql(rounds: Int, lr: String,
+                                      buckets: Int): String = {
+    val head =
+      """r0p AS MATERIALIZED (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+        |    FLOOR(hour(ts) / 24.0 * 1e6) / 1e6 AS x1,
+        |    FLOOR(isodow(ts) / 7.0 * 1e6) / 1e6 AS x2,
+        |    FLOOR(value / 100.0 * 1e6) / 1e6 AS x3
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL),
+        |r0 AS (SELECT y, x1, x2, x3 FROM r0p),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM r0),
+        |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    val keyed =
+      s"""keyed AS MATERIALIZED (
+         |  SELECT *,
+         |    CAST(concat('0x', substr(md5(COALESCE(CAST(event_id AS VARCHAR),
+         |      '<NULL>')), 1, 8)) AS BIGINT) % $buckets AS b,
+         |    CAST(concat('0x', substr(md5(concat_ws('|',
+         |      COALESCE(CAST(event_id AS VARCHAR), '<NULL>'), 'perm')), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM r0p)""".stripMargin
+    val feats = Seq("x1", "x2", "x3")
+    val scored = s"""sc0 AS (SELECT y, ${logregPExprSql("w")} AS p FROM r0p, w$rounds w)""" +:
+      feats.zipWithIndex.map { case (f, i) =>
+        val others = feats.filterNot(_ == f).mkString(", ")
+        s"""pm${i + 1} AS (
+           |  SELECT y, COALESCE(LEAD($f) OVER win, FIRST_VALUE($f) OVER win) AS $f,
+           |    $others
+           |  FROM keyed WINDOW win AS (PARTITION BY b ORDER BY h, event_id)),
+           |sc${i + 1} AS (SELECT y, ${logregPExprSql("w")} AS p FROM pm${i + 1}, w$rounds w)""".stripMargin
+      }
+    def aucCtes(t: String, src: String): String =
+      s"""${t}pnl AS (
+         |  SELECT p AS s2,
+         |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+         |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nn2,
+         |    COUNT(*) AS nt
+         |  FROM $src GROUP BY 1),
+         |${t}rk AS (SELECT *, SUM(nt) OVER (ORDER BY s2) AS cum FROM ${t}pnl),
+         |${t}agg AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn2) AS BIGINT) AS n_neg,
+         |    SUM(CAST(CAST(np AS DOUBLE)
+         |      * (CAST(cum - nt AS DOUBLE) + CAST(nt + 1 AS DOUBLE) / 2.0)
+         |      AS DECIMAL(28,1))) AS rp
+         |  FROM ${t}rk),
+         |${t}a AS (
+         |  SELECT (CAST(rp AS DOUBLE)
+         |    - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+         |    / NULLIF(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0) AS auc
+         |  FROM ${t}agg)""".stripMargin
+    val aucs = (0 to 3).map(i => aucCtes(s"a$i", s"sc$i"))
+    val featRows = feats.zipWithIndex.map { case (f, i) =>
+      s"SELECT '$f' AS feature, auc FROM a${i + 1}a"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${((head +: logregIterCtes(rounds, lr)) ++ Seq(keyed) ++ scored ++ aucs).mkString(",\n")}
+       |SELECT f.feature, b.auc AS auc_model, f.auc AS auc_permuted,
+       |  FLOOR((b.auc - f.auc) * 1e6) / 1e6 AS importance
+       |FROM ($featRows) f CROSS JOIN a0a b""".stripMargin
   }
 
   /** The same chained-CTE fit, finished with the calibration binning

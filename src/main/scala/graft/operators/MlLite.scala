@@ -1083,8 +1083,6 @@ object MlLite {
   private def logisticFit(df: DataFrame, yCol: String, xCols: Seq[String],
                           lr: Double, rounds: Int): (DataFrame, Array[Double]) = {
     require(xCols.size == 3, s"this fit is fixed at 3 features: $xCols")
-    require(rounds >= 1 && lr > 0, s"rounds=$rounds lr=$lr")
-    val d12 = DecimalType(38, 12)
     val base = df.select(
         col(yCol).cast("double").as("y"),
         col(xCols(0)).cast("double").as("x1"),
@@ -1093,6 +1091,17 @@ object MlLite {
       .filter(col("y").isNotNull && col("x1").isNotNull &&
         col("x2").isNotNull && col("x3").isNotNull)
       .localCheckpoint(true)
+    (base, gdWeights(base, lr, rounds))
+  }
+
+  /** The driver-looped GD over a PREPARED fit relation (columns
+    * y/x1/x2/x3 present; extra columns pass through untouched) —
+    * shared by [[logisticFit]] and [[permutationImportance]], whose
+    * relation must also carry the row id the permutation keys on.
+    */
+  private def gdWeights(base: DataFrame, lr: Double, rounds: Int): Array[Double] = {
+    require(rounds >= 1 && lr > 0, s"rounds=$rounds lr=$lr")
+    val d12 = DecimalType(38, 12)
     val nRow = base.agg(count(lit(1)).as("n")).collect().head
     val n = nRow.getAs[Long]("n").toDouble
     var w = Array(0.0, 0.0, 0.0, 0.0)
@@ -1108,7 +1117,72 @@ object MlLite {
         math.floor((w(j) - lr * (g.getAs[Double](s"g$j") / n)) * 1e6) / 1e6
       }
     }
-    (base, w)
+    w
+  }
+
+  /** PERMUTATION feature importance of the [[logisticRegression]]
+    * model (Breiman 2001): per feature, break its association with
+    * the label by a DETERMINISTIC permutation of the column across
+    * rows and measure the model's ROC-AUC drop — the
+    * model-agnostic "how much does the model actually USE this
+    * feature" answer next to [[infoGain]]'s model-free ranking and
+    * the fit's raw coefficients (a coefficient can be large on a
+    * feature the model barely uses once correlations cancel).
+    *
+    * The permutation is a pure function of the data (layout- and
+    * engine-stable, the md5 sampling discipline): rows hash into
+    * `buckets` md5 buckets, and within each bucket the feature
+    * column rotates by one position along the (md5(id, "perm"), id)
+    * total order — every row receives a different row's value, no
+    * value is lost, and both engines replay the identical
+    * permutation. `buckets` is the scale lever: each bucket is one
+    * window partition (size n/buckets), so it should grow with the
+    * data; the permutation's statistical quality is bucket-count
+    * independent.
+    *
+    * Output: one row per feature — the model AUC on unpermuted data,
+    * the AUC under that feature's permutation, and the 1e-6-gridded
+    * drop. Engine parity: the trained weights are the shared GD
+    * literals, p is the gridded sigmoid, and each AUC is the exact
+    * midrank machinery of [[aucRoc]].
+    */
+  def permutationImportance(df: DataFrame, idCol: String, yCol: String,
+                            xCols: Seq[String], lr: Double, rounds: Int,
+                            buckets: Int = 64): DataFrame = {
+    require(xCols.size == 3, s"this fit is fixed at 3 features: $xCols")
+    require(buckets >= 1, s"buckets=$buckets")
+    val base = df.select(col(idCol).as("__id"),
+        col(yCol).cast("double").as("y"),
+        col(xCols(0)).cast("double").as("x1"),
+        col(xCols(1)).cast("double").as("x2"),
+        col(xCols(2)).cast("double").as("x3"))
+      .filter(col("__id").isNotNull && col("y").isNotNull &&
+        col("x1").isNotNull && col("x2").isNotNull && col("x3").isNotNull)
+      .localCheckpoint(true)
+    val w = gdWeights(base, lr, rounds)
+    val keyed = base
+      .withColumn("__b",
+        graft.operators.Sampling.md5Long32(Seq(col("__id"))) % buckets)
+      .withColumn("__h",
+        graft.operators.Sampling.md5Long60(Seq(col("__id"), lit("perm"))))
+    val win = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
+    val baseAuc = aucRoc(base.withColumn("__p", sigmoidQ(w)), "__p",
+        col("y") === 1.0)
+      .select(col("auc").as("auc_model"))
+    val inner = Seq("x1", "x2", "x3")
+    val rows = inner.indices.map { k =>
+      val permDf = keyed
+        .withColumn(inner(k),
+          coalesce(lead(col(inner(k)), 1).over(win),
+            first(col(inner(k))).over(win)))
+        .withColumn("__p", sigmoidQ(w))
+      aucRoc(permDf, "__p", col("y") === 1.0)
+        .select(lit(xCols(k)).as("feature"), col("auc").as("auc_permuted"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(baseAuc))
+      .select(col("feature"), col("auc_model"), col("auc_permuted"),
+        (floor((col("auc_model") - col("auc_permuted")) * lit(1e6))
+          / lit(1e6)).as("importance"))
   }
 
   /** 1e-6-grid-quantized σ(w·x) over the fit relation's columns. */

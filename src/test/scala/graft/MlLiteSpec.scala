@@ -638,6 +638,29 @@ class MlLiteSpec extends SparkSpec {
     assert(skew.getAs[Double]("entropy") < 0.2)
   }
 
+  test("permutationImportance: the load-bearing feature collapses AUC, a constant moves nothing") {
+    import graft.operators.MlLite
+    // x3 separates the label perfectly (any positive weight ranks it
+    // right -> model AUC exactly 1); x1 is label-free noise; x2 is
+    // CONSTANT, so its permutation is an identity
+    val rows = (1 to 400).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (i.toLong, y, (i * 37 % 100) / 100.0, 0.5, if (y == 1.0) 0.9 else 0.1)
+    }
+    val got = MlLite.permutationImportance(
+        rows.toDF("id", "y", "x1", "x2", "x3"),
+        "id", "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(got.keySet == Set("x1", "x2", "x3"))
+    assert(got("x3").getAs[Double]("auc_model") == 1.0)
+    // destroying the separator costs ~half the AUC
+    assert(got("x3").getAs[Double]("importance") > 0.3)
+    // noise barely matters; a constant column's permutation is a no-op
+    assert(math.abs(got("x1").getAs[Double]("importance")) < 0.1)
+    assert(got("x2").getAs[Double]("importance") == 0.0)
+    assert(got("x2").getAs[Double]("auc_permuted") == 1.0)
+  }
+
   test("costCurve: higher FN cost pushes the optimal threshold down (catch more positives)") {
     import org.apache.spark.sql.functions.col
     // separable-ish data the logistic fit orders correctly
