@@ -867,6 +867,25 @@ object SparkEntry {
       Graph.betweenness(flows, "src", "dst")
     }),
 
+    // Eccentricity / diameter / radius off the same BFS DAG: the
+    // distance EXTREMES where closeness reports the average — how far
+    // is each nation's worst reachable destination, and the graph's
+    // longest shortest path.
+    "graph_eccentricity" -> ((s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+          col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+        .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+          col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.eccentricity(flows, "src", "dst")
+    }),
+
     // Closeness + harmonic centrality from the SAME all-sources BFS
     // DAG: how near each nation is to everything it can reach
     // (Wasserman-Faust disconnected-safe closeness, robust harmonic).
@@ -8919,6 +8938,32 @@ object SparkEntry {
       // Closeness/harmonic over the shared forward chain — see
       // closenessOracleSql.
       "graph_closeness" -> closenessOracleSql(8),
+
+      // Eccentricity/diameter/radius over the same forward chain:
+      // per-source max depth + the two-extreme graph panel, exact
+      // integers end to end.
+      "graph_eccentricity" -> {
+        val maxDepth = 8
+        val dUnion = (1 to maxDepth)
+          .map(l => s"SELECT s, CAST($l AS BIGINT) AS d FROM bl$l")
+          .mkString(" UNION ALL ")
+        bfsForwardCtes(maxDepth) +
+          s""",
+             |ereach AS MATERIALIZED (
+             |  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+             |    CAST(MAX(d) AS BIGINT) AS ecc
+             |  FROM ($dUnion) GROUP BY 1),
+             |epn AS MATERIALIZED (
+             |  SELECT n.node,
+             |    COALESCE(r.n_reached, CAST(0 AS BIGINT)) AS n_reached,
+             |    COALESCE(r.ecc, CAST(0 AS BIGINT)) AS eccentricity
+             |  FROM bn n LEFT JOIN ereach r ON r.node = n.node)
+             |SELECT epn.*, p.diameter, p.radius
+             |FROM epn CROSS JOIN (
+             |  SELECT MAX(eccentricity) AS diameter,
+             |    MIN(CASE WHEN n_reached > 0 THEN eccentricity END) AS radius
+             |  FROM epn) p""".stripMargin
+      },
 
       // Same nation-flow edges, canonicalized undirected; the a<b<c
       // orientation generates each triangle exactly once.

@@ -853,6 +853,45 @@ object Graph {
           .as("closeness_wf"))
   }
 
+  /** Eccentricity / diameter / radius panel from the SAME all-sources
+    * BFS DAG as [[betweenness]]/[[closeness]] — the distance EXTREMES
+    * where closeness reports the average: per node its OUT-
+    * eccentricity (max shortest-path distance over the set it
+    * reaches; 0 for a node reaching nothing — the isolated-sink
+    * answer, matching closeness), plus the graph panel every row
+    * carries: diameter = max eccentricity (the longest shortest path
+    * anywhere — on a not-strongly-connected digraph this is the
+    * standard "max FINITE distance" reading) and radius = min
+    * eccentricity over nodes that reach anything (the best-placed
+    * broadcaster's worst case). Exact integers end to end — no grid,
+    * no libm.
+    */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+                   maxDepth: Int = 8): DataFrame = {
+    val e = canonEdges(edges, srcCol, dstCol)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val levels = bfsLevels(e, nodes, maxDepth, "eccentricity")
+    val depthRows = levels.zipWithIndex.drop(1)
+      .map { case (lv, d) => lv.select(col("s"), lit(d.toLong).as("d")) }
+      .reduceOption(_ unionAll _)
+    val agg = depthRows match {
+      case Some(rows) => rows.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc"))
+      case None => nodes.limit(0).select(col("node"),
+        lit(0L).as("n_reached"), lit(0L).as("ecc"))
+    }
+    val perNode = nodes.join(agg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("ecc"), lit(0L)).as("eccentricity"))
+      .localCheckpoint(true)
+    val panel = perNode.agg(
+      max(col("eccentricity")).as("diameter"),
+      min(when(col("n_reached") > 0, col("eccentricity"))).as("radius"))
+    perNode.crossJoin(broadcast(panel))
+  }
+
   /** Minimum spanning FOREST by Borůvka rounds — the distributed MST
     * algorithm (Kruskal/Prim are inherently sequential: both grow one
     * frontier through a global priority queue; Borůvka lets every

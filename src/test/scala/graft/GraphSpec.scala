@@ -372,6 +372,26 @@ class GraphSpec extends SparkSpec {
     assert(t2("b") == 0.0 && t2("d") == 0.0)
   }
 
+  test("eccentricity: chain extremes, isolated sink, diameter and radius") {
+    // a → b → c → d: ecc(a)=3 (the diameter), ecc(b)=2, ecc(c)=1,
+    // d reaches nothing (ecc 0, excluded from the radius)
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "t")
+    val got = Graph.eccentricity(chain, "s", "t").collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("eccentricity"),
+          r.getAs[Long]("diameter"), r.getAs[Long]("radius")))).toMap
+    assert(got("a") == ((3L, 3L, 3L, 1L)))
+    assert(got("b") == ((2L, 2L, 3L, 1L)))
+    assert(got("c") == ((1L, 1L, 3L, 1L)))
+    assert(got("d") == ((0L, 0L, 3L, 1L)))
+    // a 3-cycle is distance-regular: every ecc 2, diameter == radius
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "t")
+    val c = Graph.eccentricity(cyc, "s", "t").collect()
+    assert(c.forall(_.getAs[Long]("eccentricity") == 2L))
+    assert(c.head.getAs[Long]("diameter") == 2L &&
+      c.head.getAs[Long]("radius") == 2L)
+  }
+
   test("minSpanningForest: hand forest, two components, cycle edge dropped") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0), (3L, 4L, 4.0),
