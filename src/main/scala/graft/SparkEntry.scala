@@ -2222,6 +2222,13 @@ object SparkEntry {
       MlLite.logisticRegression(logregFeatures(s, d),
         "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)),
 
+    // Variance inflation factors over the same design: per feature
+    // the R-squared against the OTHER features and 1/(1-R2) — the
+    // multicollinearity diagnostic read before trusting any
+    // coefficient.
+    "ml_vif" -> ((s: SparkSession, d: String) =>
+      MlLite.vif(logregFeatures(s, d), Seq("x1", "x2", "x3"))),
+
     // Permutation feature importance of the same fit: per feature the
     // AUC drop under a deterministic md5-bucket rotation of that
     // column — does the model actually USE the feature.
@@ -4923,6 +4930,66 @@ object SparkEntry {
     // md5-bucket rotations + exact-midrank AUC blocks.
     "ml_permutation_importance" ->
       permImportanceOracleSql(rounds = 6, lr = "0.5", buckets = 64),
+
+    // MlLite.vif mirrored: one DECIMAL(38,12) moment panel, each sum
+    // cast to double once, the same fixed r/R2/VIF sequence and the
+    // same degenerate-input guards.
+    "ml_vif" ->
+      """WITH r0 AS (
+        |  SELECT FLOOR(hour(ts) / 24.0 * 1e6) / 1e6 AS x1,
+        |    FLOOR(isodow(ts) / 7.0 * 1e6) / 1e6 AS x2,
+        |    FLOOR(value / 100.0 * 1e6) / 1e6 AS x3
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(x3 AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(x3 * x3 AS DECIMAL(38,12))) AS DOUBLE) AS s33,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x1 * x3 AS DECIMAL(38,12))) AS DOUBLE) AS s13,
+        |    CAST(SUM(CAST(x2 * x3 AS DECIMAL(38,12))) AS DOUBLE) AS s23
+        |  FROM r0),
+        |rr AS (
+        |  SELECT n,
+        |    CASE WHEN sqrt(CAST(n AS DOUBLE) * s11 - s1 * s1)
+        |              * sqrt(CAST(n AS DOUBLE) * s22 - s2 * s2) <> 0.0
+        |         THEN (CAST(n AS DOUBLE) * s12 - s1 * s2)
+        |              / (sqrt(CAST(n AS DOUBLE) * s11 - s1 * s1)
+        |                 * sqrt(CAST(n AS DOUBLE) * s22 - s2 * s2)) END AS r12,
+        |    CASE WHEN sqrt(CAST(n AS DOUBLE) * s11 - s1 * s1)
+        |              * sqrt(CAST(n AS DOUBLE) * s33 - s3 * s3) <> 0.0
+        |         THEN (CAST(n AS DOUBLE) * s13 - s1 * s3)
+        |              / (sqrt(CAST(n AS DOUBLE) * s11 - s1 * s1)
+        |                 * sqrt(CAST(n AS DOUBLE) * s33 - s3 * s3)) END AS r13,
+        |    CASE WHEN sqrt(CAST(n AS DOUBLE) * s22 - s2 * s2)
+        |              * sqrt(CAST(n AS DOUBLE) * s33 - s3 * s3) <> 0.0
+        |         THEN (CAST(n AS DOUBLE) * s23 - s2 * s3)
+        |              / (sqrt(CAST(n AS DOUBLE) * s22 - s2 * s2)
+        |                 * sqrt(CAST(n AS DOUBLE) * s33 - s3 * s3)) END AS r23
+        |  FROM m),
+        |rows_ AS (
+        |  SELECT 'x1' AS feature, n,
+        |    CASE WHEN 1.0 - r23 * r23 <> 0.0
+        |         THEN (r12*r12 + r13*r13 - 2.0*r12*r13*r23) / (1.0 - r23*r23)
+        |    END AS r2 FROM rr
+        |  UNION ALL
+        |  SELECT 'x2', n,
+        |    CASE WHEN 1.0 - r13 * r13 <> 0.0
+        |         THEN (r12*r12 + r23*r23 - 2.0*r12*r23*r13) / (1.0 - r13*r13)
+        |    END FROM rr
+        |  UNION ALL
+        |  SELECT 'x3', n,
+        |    CASE WHEN 1.0 - r12 * r12 <> 0.0
+        |         THEN (r13*r13 + r23*r23 - 2.0*r13*r23*r12) / (1.0 - r12*r12)
+        |    END FROM rr)
+        |SELECT feature, n,
+        |  FLOOR(r2 * 1e6) / 1e6 AS r2_others,
+        |  CASE WHEN r2 IS NOT NULL AND r2 < 1.0
+        |       THEN FLOOR(1.0 / (1.0 - r2) * 1e6) / 1e6 END AS vif
+        |FROM rows_""".stripMargin,
 
     "ml_logreg_calibration" ->
       logregCalibrationOracleSql(rounds = 6, lr = "0.5", bins = 10),

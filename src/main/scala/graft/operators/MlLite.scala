@@ -1120,6 +1120,75 @@ object MlLite {
     w
   }
 
+  /** Variance inflation factors over a 3-feature design — the
+    * multicollinearity diagnostic in front of any linear/logistic
+    * fit ([[logisticRegression]], [[permutationImportance]]): per
+    * feature, VIF_k = 1/(1−R²_k) where R²_k regresses x_k on the
+    * OTHER two (closed form from the pairwise correlations for two
+    * regressors: R²_k = (r_ki² + r_kj² − 2·r_ki·r_kj·r_ij)/(1−r_ij²))
+    * — a large VIF says the coefficient on x_k is estimated from
+    * almost no independent variation, which is exactly when
+    * [[permutationImportance]] and raw coefficients disagree.
+    *
+    * Engine parity: ONE aggregate of DECIMAL(38,12) moment sums (the
+    * GD discipline), each cast to double ONCE, then every r/R²/VIF a
+    * fixed IEEE sequence over identical doubles, outputs on the 1e-6
+    * grid. Guards both engines agree on: a constant feature (zero
+    * variance → its correlations undefined → NULL row), perfectly
+    * collinear OTHERS (1−r_ij² = 0 → NULL R²), and R² ≥ 1 (infinite
+    * VIF → NULL, never Inf).
+    *
+    * Scale shape: ONE fact pass to a 1-row moment panel; everything
+    * downstream is panel math.
+    */
+  def vif(df: DataFrame, xCols: Seq[String]): DataFrame = {
+    require(xCols.size == 3, s"this panel is fixed at 3 features: $xCols")
+    val d12 = DecimalType(38, 12)
+    def grid(c: Column) = floor(c * lit(1e6)) / lit(1e6)
+    val base = df.select(
+        col(xCols(0)).cast("double").as("x1"),
+        col(xCols(1)).cast("double").as("x2"),
+        col(xCols(2)).cast("double").as("x3"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull && col("x3").isNotNull)
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast(d12)).as("s1"), sum(col("x2").cast(d12)).as("s2"),
+      sum(col("x3").cast(d12)).as("s3"),
+      sum((col("x1") * col("x1")).cast(d12)).as("s11"),
+      sum((col("x2") * col("x2")).cast(d12)).as("s22"),
+      sum((col("x3") * col("x3")).cast(d12)).as("s33"),
+      sum((col("x1") * col("x2")).cast(d12)).as("s12"),
+      sum((col("x1") * col("x3")).cast(d12)).as("s13"),
+      sum((col("x2") * col("x3")).cast(d12)).as("s23"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def cov(sij: String, si: String, sj: String): Column =
+      nD * d(sij) - d(si) * d(sj)
+    def r(sij: String, si: String, sj: String,
+          sii: String, sjj: String): Column = {
+      val den = sqrt(cov(sii, si, si)) * sqrt(cov(sjj, sj, sj))
+      when(den =!= 0.0, cov(sij, si, sj) / den)
+    }
+    val withR = m.select(col("n"),
+      r("s12", "s1", "s2", "s11", "s22").as("r12"),
+      r("s13", "s1", "s3", "s11", "s33").as("r13"),
+      r("s23", "s2", "s3", "s22", "s33").as("r23"))
+    def r2Of(rki: Column, rkj: Column, rij: Column): Column =
+      when(lit(1.0) - rij * rij =!= 0.0,
+        (rki * rki + rkj * rkj - lit(2.0) * rki * rkj * rij)
+          / (lit(1.0) - rij * rij))
+    def rowOf(name: String, r2: Column): Column =
+      struct(lit(name).as("feature"), grid(r2).as("r2_others"),
+        when(r2.isNotNull && r2 < 1.0, grid(lit(1.0) / (lit(1.0) - r2)))
+          .as("vif"))
+    withR.select(col("n"), explode(array(
+        rowOf(xCols(0), r2Of(col("r12"), col("r13"), col("r23"))),
+        rowOf(xCols(1), r2Of(col("r12"), col("r23"), col("r13"))),
+        rowOf(xCols(2), r2Of(col("r13"), col("r23"), col("r12"))))).as("__r"))
+      .select(col("__r.feature").as("feature"), col("n"),
+        col("__r.r2_others").as("r2_others"), col("__r.vif").as("vif"))
+  }
+
   /** PERMUTATION feature importance of the [[logisticRegression]]
     * model (Breiman 2001): per feature, break its association with
     * the label by a DETERMINISTIC permutation of the column across

@@ -638,6 +638,33 @@ class MlLiteSpec extends SparkSpec {
     assert(skew.getAs[Double]("entropy") < 0.2)
   }
 
+  test("vif: near-collinear pair inflates, independent feature stays near 1") {
+    import graft.operators.MlLite
+    val rnd = new scala.util.Random(5)
+    // x2 tracks x1 almost exactly; x3 is independent noise
+    val rows = (1 to 300).map { _ =>
+      val a = rnd.nextDouble()
+      (a, a + rnd.nextDouble() * 0.01, rnd.nextDouble())
+    }
+    val got = MlLite.vif(rows.toDF("x1", "x2", "x3"), Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(got.keySet == Set("x1", "x2", "x3"))
+    assert(got.values.forall(_.getAs[Long]("n") == 300L))
+    // collinear pair: both heavily inflated, and symmetrically so
+    assert(got("x1").getAs[Double]("vif") > 10.0)
+    assert(got("x2").getAs[Double]("vif") > 10.0)
+    // the independent feature carries no shared variation
+    assert(got("x3").getAs[Double]("vif") < 2.0)
+    assert(got("x3").getAs[Double]("r2_others") < 0.5)
+    // a CONSTANT feature has undefined correlations -> NULL row, and
+    // the remaining features' R2 degrade to NULL with it, never Inf
+    val flat = (1 to 50).map(i => (i.toDouble, 1.0, 51.0 - i))
+    val f = MlLite.vif(flat.toDF("x1", "x2", "x3"), Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(f("x2").isNullAt(f("x2").fieldIndex("r2_others")))
+    assert(f("x2").isNullAt(f("x2").fieldIndex("vif")))
+  }
+
   test("permutationImportance: the load-bearing feature collapses AUC, a constant moves nothing") {
     import graft.operators.MlLite
     // x3 separates the label perfectly (any positive weight ranks it
