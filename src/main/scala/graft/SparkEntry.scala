@@ -11371,9 +11371,13 @@ object SparkEntry {
 
       // Profiling.kmvOverlap: k-min-values sketch per slice over the
       // md5Long60 hash (ORDER BY h LIMIT k over the distinct-hash
-      // relation — the sketch state is a plain SQL relation), theta =
-      // kth/2^60 when saturated else 1, set ops restricted below
-      // min(theta), estimates = count/theta on the shared 1e-6 grid.
+      // relation — the sketch state is a plain SQL relation), theta_h =
+      // kth hash when saturated else 2^60, set ops restricted below
+      // min(theta_h). Estimates are EXACT integers — HUGEINT product
+      // (n * 2^60) with truncating `//` division mirrors Spark's
+      // DECIMAL(38,0) `div`; no double appears on either engine (the
+      // r12 gate caught the old 1e-6 double grid flipping at a
+      // boundary).
       "sketch_theta_ops" ->
         """WITH keyed AS (
           |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
@@ -11401,25 +11405,23 @@ object SparkEntry {
           |    CAST(COALESCE(SUM(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_diff_ab
           |  FROM j CROSS JOIN th WHERE h < theta_h)
           |SELECT n_union, n_intersect, n_diff_ab,
-          |  CAST(FLOOR(CAST(theta_h AS DOUBLE) / 1152921504606846976.0 * 1e6) / 1e6 AS DECIMAL(28,6)) AS theta,
-          |  CAST(FLOOR(CAST(CASE WHEN n_a = 256 THEN 255 ELSE n_a END AS DOUBLE)
-          |    / (CAST(theta_h_a AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_a,
-          |  CAST(FLOOR(CAST(CASE WHEN n_b = 256 THEN 255 ELSE n_b END AS DOUBLE)
-          |    / (CAST(theta_h_b AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_b,
-          |  CAST(FLOOR(CAST(n_union AS DOUBLE)
-          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_union,
-          |  CAST(FLOOR(CAST(n_intersect AS DOUBLE)
-          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_intersect,
-          |  CAST(FLOOR(CAST(n_diff_ab AS DOUBLE)
-          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6 AS DECIMAL(28,6)) AS est_diff_ab,
-          |  CAST(FLOOR(CASE WHEN n_union > 0
-          |    THEN CAST(n_intersect AS DOUBLE) / CAST(n_union AS DOUBLE) END * 1e6) / 1e6
-          |    AS DECIMAL(28,6)) AS jaccard_est
+          |  theta_h,
+          |  CAST((CAST(CASE WHEN n_a = 256 THEN 255 ELSE n_a END AS HUGEINT)
+          |    * 1152921504606846976) // theta_h_a AS BIGINT) AS est_a,
+          |  CAST((CAST(CASE WHEN n_b = 256 THEN 255 ELSE n_b END AS HUGEINT)
+          |    * 1152921504606846976) // theta_h_b AS BIGINT) AS est_b,
+          |  CAST((CAST(n_union AS HUGEINT) * 1152921504606846976) // theta_h AS BIGINT) AS est_union,
+          |  CAST((CAST(n_intersect AS HUGEINT) * 1152921504606846976) // theta_h AS BIGINT) AS est_intersect,
+          |  CAST((CAST(n_diff_ab AS HUGEINT) * 1152921504606846976) // theta_h AS BIGINT) AS est_diff_ab,
+          |  CASE WHEN n_union > 0
+          |    THEN CAST((n_intersect * 1000000) // n_union AS BIGINT) END AS jaccard_ppm
           |FROM cnt CROSS JOIN th""".stripMargin,
 
       // Profiling.kmvRollup: per-day k-min over the distinct (day,
       // hash) relation, weekly = k-min of the daily retained union
-      // (exact KMV merge), exclusive-theta estimate on the 1e-6 grid.
+      // (exact KMV merge), exclusive-theta estimate as an EXACT
+      // integer (HUGEINT product + truncating // — mirrors Spark's
+      // DECIMAL div; no double on either engine).
       "sketch_kmv_rollup" ->
         """WITH hashed AS (
           |  SELECT DISTINCT CAST(ts AS DATE) AS day,
@@ -11446,11 +11448,9 @@ object SparkEntry {
           |    CASE WHEN n_retained = 256 THEN hmax ELSE 1152921504606846976 END AS theta_h
           |  FROM p)
           |SELECT q.week, nd.n_days, q.n_retained,
-          |  CAST(FLOOR(CAST(theta_h AS DOUBLE) / 1152921504606846976.0 * 1e6) / 1e6
-          |    AS DECIMAL(28,6)) AS theta,
-          |  CAST(FLOOR(CAST(CASE WHEN n_retained = 256 THEN 255 ELSE n_retained END AS DOUBLE)
-          |    / (CAST(theta_h AS DOUBLE) / 1152921504606846976.0) * 1e6) / 1e6
-          |    AS DECIMAL(28,6)) AS est_distinct
+          |  theta_h,
+          |  CAST((CAST(CASE WHEN n_retained = 256 THEN 255 ELSE n_retained END AS HUGEINT)
+          |    * 1152921504606846976) // theta_h AS BIGINT) AS est_distinct
           |FROM q JOIN nd ON nd.week = q.week""".stripMargin,
 
       // Mirrors the df-cap (stop shingles with df > 1000 leave both

@@ -692,11 +692,21 @@ object Profiling {
     * `CAST('0x' || substr(md5(…),1,15) AS BIGINT)`), and k-min over
     * distinct hashes is plain ORDER BY/LIMIT — the sketch state IS a
     * SQL relation, so the whole panel hash-compares.
+    *
+    * Every output column is EXACT INTEGER arithmetic — no IEEE double
+    * appears anywhere. The r12 driver gate caught the previous
+    * double-quotient form (`floor(n / (theta_h/2^60) * 1e6)`) flipping
+    * on a 1e-6 grid boundary between engines/builds, so the estimates
+    * are now `(n * 2^60) div theta_h` computed in DECIMAL(38,0)
+    * (Spark `div` / DuckDB HUGEINT `//` — both exact truncating
+    * division on exact integer products), theta is emitted as the raw
+    * integer bound `theta_h`, and Jaccard as parts-per-million
+    * `(n_intersect * 1e6) div n_union`. No rounding decision is left
+    * to floating point on either engine.
     */
   def kmvOverlap(df: DataFrame, keyCol: String,
                  sliceACond: Column, sliceBCond: Column,
                  k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(k >= 2, s"kmvOverlap needs k >= 2: $k")
     val two60 = lit(1152921504606846976L) // 2^60, the md5Long60 range
     val keyed = df.filter(col(keyCol).isNotNull)
@@ -717,41 +727,46 @@ object Profiling {
             .as(s"theta_h_$suffix"))
     val thetas = panelOf(skA, "a").crossJoin(panelOf(skB, "b"))
       .withColumn("theta_h", least(col("theta_h_a"), col("theta_h_b")))
-    // global agg (not groupBy): one panel row even when the retained
-    // set is empty (both slices keyless)
-    val counts = skA.select(col("h"), lit(1L).as("ia"))
-      .join(skB.select(col("h"), lit(1L).as("ib")), Seq("h"), "full_outer")
+    // membership via union + hash-agg, NOT a full-outer join: full
+    // outer can't broadcast, so two k-row sketches would plan an SMJ
+    // (caught by InvariantSpec's heavy-join pin) — the union-groupBy
+    // is the same relation with one partial-agg shuffle on <= 2k rows.
+    // Global agg (not groupBy) below: one panel row even when the
+    // retained set is empty (both slices keyless).
+    val counts = skA.select(col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(skB.select(col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
       .crossJoin(broadcast(thetas.select(col("theta_h"))))
       .filter(col("h") < col("theta_h"))
       .agg(count(lit(1)).as("n_union"),
-        coalesce(sum(when(col("ia").isNotNull && col("ib").isNotNull, 1L)
+        coalesce(sum(when(col("ia") === 1L && col("ib") === 1L, 1L)
           .otherwise(0L)), lit(0L)).as("n_intersect"),
-        coalesce(sum(when(col("ia").isNotNull && col("ib").isNull, 1L)
+        coalesce(sum(when(col("ia") === 1L && col("ib") === 0L, 1L)
           .otherwise(0L)), lit(0L)).as("n_diff_ab"))
     val joined = counts.crossJoin(broadcast(thetas))
-    // estimates: |retained| / theta, theta as the exact integer ratio
-    // h/2^60 (both engines' long->double casts round identically);
-    // full-entropy quotients floor-grid to the 1e-6 quantum before the
-    // decimal cast (SURVEY §5)
-    def grid(c: Column): Column =
-      (floor(c * lit(1e6)) / lit(1e6)).cast(DecimalType(28, 6))
-    def est(n: Column, thetaH: Column): Column =
-      grid(n.cast("double") / (thetaH.cast("double") / two60.cast("double")))
+    // estimates as EXACT integers: floor(|retained| / theta) =
+    // (n * 2^60) div theta_h — the product is exact in DECIMAL(38,0)
+    // (n <= 2k, so < 10^3 * 2^60 < 10^22) and `div` is exact
+    // truncating integral division; no double, no grid, no
+    // engine-dependent rounding decision anywhere. theta_h divisors
+    // are >= 1 by construction (a 60-bit md5 max-of-k-distinct can't
+    // be 0 for k >= 2), so ANSI div-by-zero can't fire.
+    def est(nExpr: String, thetaHCol: String): Column =
+      expr(s"(cast($nExpr as decimal(18,0)) * 1152921504606846976) div $thetaHCol")
     joined.select(
       col("n_union"), col("n_intersect"), col("n_diff_ab"),
-      grid(col("theta_h").cast("double") / two60.cast("double")).as("theta"),
+      col("theta_h"),
       // unsaturated sketches retain all n values below theta 1 -> exact;
       // saturated ones retain k-1 below their own kth -> (k-1)/U(k)
-      est(when(col("n_a") === k, lit(k - 1).cast("long")).otherwise(col("n_a")),
-        col("theta_h_a")).as("est_a"),
-      est(when(col("n_b") === k, lit(k - 1).cast("long")).otherwise(col("n_b")),
-        col("theta_h_b")).as("est_b"),
-      est(col("n_union"), col("theta_h")).as("est_union"),
-      est(col("n_intersect"), col("theta_h")).as("est_intersect"),
-      est(col("n_diff_ab"), col("theta_h")).as("est_diff_ab"),
-      grid(when(col("n_union") > 0,
-        col("n_intersect").cast("double") / col("n_union").cast("double")))
-        .as("jaccard_est"))
+      est(s"if(n_a = $k, ${k - 1}, n_a)", "theta_h_a").as("est_a"),
+      est(s"if(n_b = $k, ${k - 1}, n_b)", "theta_h_b").as("est_b"),
+      est("n_union", "theta_h").as("est_union"),
+      est("n_intersect", "theta_h").as("est_intersect"),
+      est("n_diff_ab", "theta_h").as("est_diff_ab"),
+      // Jaccard as exact parts-per-million of the retained sample
+      expr("case when n_union > 0 then (n_intersect * 1000000) div n_union end")
+        .as("jaccard_ppm"))
   }
 
   /** Mergeable KMV distinct-count rollup (daily sketches → weekly
@@ -782,7 +797,6 @@ object Profiling {
   def kmvRollup(df: DataFrame, tsCol: String, keyCol: String,
                 k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     require(k >= 2, s"kmvRollup needs k >= 2: $k")
     val two60 = lit(1152921504606846976L)
     val hashed = df
@@ -804,19 +818,17 @@ object Profiling {
     val nDays = daily
       .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
       .agg(countDistinct(col("day")).as("n_days"))
-    def grid(c: Column): Column =
-      (floor(c * lit(1e6)) / lit(1e6)).cast(DecimalType(28, 6))
+    // exact-integer estimate (same recipe as [[kmvOverlap]]): emit the
+    // raw integer theta bound and (n_eff * 2^60) div theta_h — no
+    // double quotient, no grid, engine-stable by construction
     weekly.groupBy(col("week"))
       .agg(count(lit(1)).as("n_retained"), max(col("h")).as("__hmax"))
-      .withColumn("__theta_h",
+      .withColumn("theta_h",
         when(col("n_retained") === k, col("__hmax")).otherwise(two60))
       .join(nDays, Seq("week"))
-      .select(col("week"), col("n_days"), col("n_retained"),
-        grid(col("__theta_h").cast("double") / two60.cast("double")).as("theta"),
-        grid(when(col("n_retained") === k, lit(k - 1).cast("long"))
-          .otherwise(col("n_retained")).cast("double") /
-          (col("__theta_h").cast("double") / two60.cast("double")))
-          .as("est_distinct"))
+      .select(col("week"), col("n_days"), col("n_retained"), col("theta_h"),
+        expr(s"(cast(if(n_retained = $k, ${k - 1}, n_retained) as decimal(18,0))" +
+          " * 1152921504606846976) div theta_h").as("est_distinct"))
   }
 
   /** Shannon-entropy profile of categorical columns — the "how much

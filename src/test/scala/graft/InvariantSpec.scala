@@ -79,7 +79,14 @@ class InvariantSpec extends SparkSpec {
       // tests' panel self-joins and HITS' per-round passes must stay
       // broadcast/hash
       "sketch_kll_rollup", "sketch_kll_error",
-      "ana_mann_kendall", "ana_friedman_dow", "graph_hits")
+      "ana_mann_kendall", "ana_friedman_dow", "graph_hits",
+      // r13: the KMV tier — the set-op panel (k-row sketches +
+      // broadcast 1-row theta crosses) and the day->week rollup must
+      // stay broadcast/hash like their KLL siblings above. (r12 had
+      // listed these two only in bnljByDesign without ever pinning
+      // them here — an exemption with no invariant behind it; they
+      // are now CHECKED, and empirically need no exemption at all.)
+      "sketch_theta_ops", "sketch_kmv_rollup")
     // fct_periodic_snapshot: its only BNLJ is the broadcast 1-row
     // global-max-month panel crossed onto per-key spans — volume
     // n x 1, the analytics-pack 1-row-total pattern. data_drift_ks /
@@ -156,11 +163,17 @@ class InvariantSpec extends SparkSpec {
       "sketch_kll_error",
       // r12 additions: day-panel lag joins (granger/cointegration),
       // the wordpiece jump-table join, the all-sources BFS DAG joins
-      // (betweenness/closeness), the KMV set-op full-outer, and the
-      // combo-keyed entropy panel
+      // (betweenness/closeness), and the combo-keyed entropy panel
       "ana_granger", "ana_cointegration", "wordpiece_encode",
-      "graph_betweenness", "graph_closeness", "sketch_theta_ops",
-      "sketch_kmv_rollup", "privacy_l_diversity")
+      "graph_betweenness", "graph_closeness", "privacy_l_diversity",
+      // sketch_theta_ops: its only BNLJs are broadcast crosses of
+      // 1-ROW panels (the two per-slice sketch panels crossed into the
+      // theta panel, and the theta panel crossed onto the <=2k-row
+      // retained relation) — the fct_periodic_snapshot 1-row-totals
+      // class. The former full-outer SMJ was removed in r13 (union +
+      // hash-agg); kmv_rollup needs NO exemption and is only in
+      // `heavy`.
+      "sketch_theta_ops")
     heavy.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -998,12 +998,20 @@ class SamplingSketchSpec extends SparkSpec {
       .orderBy("week").collect()
     out.zip(direct).foreach { case (r, d) =>
       assert(r.getLong(r.fieldIndex("n_retained")) == d.getLong(d.fieldIndex("n")))
-      // same retained sample => same theta => same estimate
-      val theta = r.getDecimal(r.fieldIndex("theta")).doubleValue()
-      val est = r.getDecimal(r.fieldIndex("est_distinct")).doubleValue()
+      // same retained sample => same theta bound => same estimate;
+      // the panel is exact-integer: theta_h is the raw kth hash and
+      // est_distinct = (n_eff * 2^60) div theta_h, replayed here with
+      // BigInt — bit-identical by construction, no grid tolerance
+      val thetaH = r.getLong(r.fieldIndex("theta_h"))
+      val est = r.getLong(r.fieldIndex("est_distinct"))
       val hmax = d.getLong(d.fieldIndex("hmax"))
-      val thetaDirect = math.floor(hmax.toDouble / 1152921504606846976L.toDouble * 1e6) / 1e6
-      assert(theta == thetaDirect)
+      val n = d.getLong(d.fieldIndex("n"))
+      val thetaHDirect = if (n == k) hmax else 1152921504606846976L
+      assert(thetaH == thetaHDirect)
+      val nEff = if (n == k) k - 1L else n
+      val estDirect =
+        (BigInt(nEff) * BigInt(1152921504606846976L) / BigInt(thetaHDirect)).toLong
+      assert(est == estDirect)
       // true weekly distincts: week1 = 1000 (0..999), week2 = 950
       val truth = if (d.getDate(0).toString == "2024-01-08") 1000.0 else 950.0
       assert(math.abs(est - truth) / truth < 0.19, s"est=$est truth=$truth")
@@ -1022,8 +1030,7 @@ class SamplingSketchSpec extends SparkSpec {
     val k = 256
     val out = Profiling.kmvOverlap(rows, "uid",
       col("slice") === "a", col("slice") === "b", k = k).collect().head
-    def d(name: String): Double =
-      out.getDecimal(out.fieldIndex(name)).doubleValue()
+    def d(name: String): Double = out.getLong(out.fieldIndex(name)).toDouble
     // base estimates: RSE ~ 1/sqrt(k-1) ≈ 6.3%; allow 3 sigma
     assert(math.abs(d("est_a") - 10000) / 10000 < 0.19, s"est_a=${d("est_a")}")
     assert(math.abs(d("est_b") - 10000) / 10000 < 0.19, s"est_b=${d("est_b")}")
@@ -1037,7 +1044,7 @@ class SamplingSketchSpec extends SparkSpec {
     assert(math.abs(d("est_intersect") - 1000) / 1000 < 0.85,
       s"est_intersect=${d("est_intersect")}")
     assert(math.abs(d("est_diff_ab") - 9000) / 9000 < 0.30)
-    assert(math.abs(d("jaccard_est") - 1000.0 / 19000.0) < 0.05)
+    assert(math.abs(d("jaccard_ppm") / 1e6 - 1000.0 / 19000.0) < 0.05)
     // consistency: retained counts scale by ONE shared theta, so
     // intersect + diff_ab <= union exactly
     val (nU, nI, nD) = (out.getLong(out.fieldIndex("n_union")),
@@ -1051,13 +1058,12 @@ class SamplingSketchSpec extends SparkSpec {
       (81 to 150).map(u => (u.toLong, "b"))).toDF("uid", "slice")
     val s = Profiling.kmvOverlap(small, "uid",
       col("slice") === "a", col("slice") === "b", k = k).collect().head
-    def sd(name: String): Double =
-      s.getDecimal(s.fieldIndex(name)).doubleValue()
-    assert(sd("theta") == 1.0)
-    assert(sd("est_a") == 100.0 && sd("est_b") == 70.0)
-    assert(sd("est_union") == 150.0 && sd("est_intersect") == 20.0)
-    assert(sd("est_diff_ab") == 80.0)
-    assert(math.abs(sd("jaccard_est") - math.floor(20.0 / 150.0 * 1e6) / 1e6) < 1e-12)
+    def sd(name: String): Long = s.getLong(s.fieldIndex(name))
+    assert(sd("theta_h") == 1152921504606846976L) // theta 1 = the full 2^60 range
+    assert(sd("est_a") == 100L && sd("est_b") == 70L)
+    assert(sd("est_union") == 150L && sd("est_intersect") == 20L)
+    assert(sd("est_diff_ab") == 80L)
+    assert(sd("jaccard_ppm") == 20L * 1000000L / 150L) // exact integer ppm
   }
 
   test("neymanAllocation: volatile strata win budget, remainders conserve it exactly") {
