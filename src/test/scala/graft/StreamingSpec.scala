@@ -1279,6 +1279,27 @@ class StreamingSpec extends SparkSpec {
     // 3, 4, 5 flush via their event-time timeouts (no new data)
     in.addData(AsofEvent(2L, ts("2024-01-01 11:00:00"), 998L, "R", 9.0))
     q.processAllAvailable()
+    // boundary pin (platform semantics the <=-flush relies on): for
+    // event-time-timeout flatMapGroupsWithState, Spark's late filter
+    // drops inputs with ts <= the operative watermark — TIES INCLUDED.
+    // A right stamped exactly AT the watermark, sent one microbatch
+    // later, never reaches the operator, so flushing lefts at ts <= wm
+    // cannot miss a still-admissible same-instant right. If a Spark
+    // upgrade ever loosens the filter to strictly-below, this pin
+    // flips and the flush must become strict (< wm) with it.
+    // wm after this batch: 11:01:00 - 10s = 11:00:50 == the left's ts
+    in.addData(
+      AsofEvent(6L, ts("2024-01-01 11:00:50"), 20L, "L", 0.0),
+      AsofEvent(2L, ts("2024-01-01 11:01:00"), 997L, "R", 9.0))
+    q.processAllAvailable()
+    // the same-instant right arrives a microbatch later, exactly AT
+    // the watermark -> dropped by the late filter, never merged
+    in.addData(AsofEvent(6L, ts("2024-01-01 11:00:50"), 300L, "R", 42.0))
+    q.processAllAvailable()
+    // push the watermark past the left's timeout: it flushes with NO
+    // enrichment — the dropped right really never reached the state
+    in.addData(AsofEvent(2L, ts("2024-01-01 12:00:00"), 996L, "R", 9.0))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table("asofj").as[AsofJoined].collect()
       .map(j => (j.key, j.event_id, j.state_ts.map(_.toString), j.attr)).toSet
@@ -1291,7 +1312,12 @@ class StreamingSpec extends SparkSpec {
       // same-instant right applies (the batch dim-first rule)
       (4L, 6L, Some("2024-01-01 10:00:10.0"), Some(7.0)),
       // duplicate same-ts rights: max event_id wins deterministically
-      (5L, 7L, Some("2024-01-01 10:00:02.0"), Some(6.0))))
-    assert(spark.table("asofj").count() == 5L) // append-only, no dupes
+      (5L, 7L, Some("2024-01-01 10:00:02.0"), Some(6.0)),
+      // the boundary pin: the left at ts == wm flushed unenriched
+      // because its same-instant right, sent a microbatch later at
+      // exactly the watermark, is dropped by Spark's tie-inclusive
+      // late filter — the <=-flush is aligned with that filter
+      (6L, 20L, None, None)))
+    assert(spark.table("asofj").count() == 6L) // append-only, no dupes
   }
 }
