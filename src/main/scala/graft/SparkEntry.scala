@@ -3324,11 +3324,17 @@ object SparkEntry {
     // HLL set algebra (rows-only by protocol): user overlap between
     // the two snapshot halves — the retention/overlap question the
     // stored-sketch tier answers without a rescan.
+    // HLL inclusion–exclusion overlap on the ORACLE-REPLAYABLE
+    // md5-register sketch (r13 conversion: the DataSketches-backed
+    // hllOverlap stays as the library-sketch interop variant,
+    // spec-pinned; this registration hash-compares end to end —
+    // registers are a SQL relation, estimates exact-integer `div`
+    // with the gridded-ln linear-counting branch).
     "sketch_overlap" -> ((s: SparkSession, d: String) => {
       val ev = t(s, d, "events").filter(col("ts").isNotNull)
-      Profiling.hllOverlap(ev, "user_id",
+      Profiling.hllOverlapReplayable(ev, "user_id",
         to_date(col("ts")) <= lit("2024-01-15"),
-        to_date(col("ts")) > lit("2024-01-15"))
+        to_date(col("ts")) > lit("2024-01-15"), lgK = 12)
     }),
 
     // KMV/theta-sketch set algebra (same slices as sketch_overlap):
@@ -8931,6 +8937,58 @@ object SparkEntry {
           |  CAST(MAX(id) AS BIGINT) AS node_max
           |FROM lab GROUP BY 1""".stripMargin,
 
+      // Graph.minSpanningForest replayed as RECURSIVE KRUSKAL: the
+      // forest is UNIQUE under the (w, u, v) total edge order (the
+      // operator's documented tie-break argument), so the oracle need
+      // not mirror Borůvka — any MST algorithm over the same ordered
+      // edge list yields the identical edge set. Kruskal runs as a
+      // recursive CTE over edge ranks: state = (step, node, comp),
+      // one step per edge, comps merge to their min label when the
+      // edge bridges two components (min-label merging reproduces the
+      // operator's final min-node component labels). The recursion is
+      // panel-sized (25 nations x ~canon-edge steps).
+      "graph_mst" ->
+        """WITH RECURSIVE flows AS (
+          |  SELECT s_nationkey AS src, c_nationkey AS dst,
+          |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS w
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE s_nationkey <> c_nationkey
+          |  GROUP BY 1, 2),
+          |canon AS (
+          |  SELECT CAST(LEAST(src, dst) AS BIGINT) AS u,
+          |    CAST(GREATEST(src, dst) AS BIGINT) AS v, MIN(w) AS w
+          |  FROM flows GROUP BY 1, 2),
+          |nodes AS (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)),
+          |ranked AS (
+          |  SELECT u, v, w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS r
+          |  FROM canon),
+          |kr(step, node, comp) AS (
+          |  SELECT CAST(0 AS BIGINT), node, node FROM nodes
+          |  UNION ALL
+          |  SELECT step + 1, node,
+          |    CASE WHEN cu IS NOT NULL AND cv IS NOT NULL AND cu <> cv
+          |              AND comp IN (cu, cv)
+          |         THEN LEAST(cu, cv) ELSE comp END
+          |  FROM (
+          |    SELECT k.step, k.node, k.comp,
+          |      MAX(CASE WHEN k.node = e.u THEN k.comp END) OVER () AS cu,
+          |      MAX(CASE WHEN k.node = e.v THEN k.comp END) OVER () AS cv
+          |    FROM kr k JOIN ranked e ON e.r = k.step + 1)),
+          |fin AS (
+          |  SELECT node, comp FROM kr
+          |  WHERE step = (SELECT COUNT(*) FROM ranked))
+          |SELECT e.u, e.v, e.w, CAST(f.comp AS BIGINT) AS comp
+          |FROM ranked e
+          |JOIN kr su ON su.step = e.r - 1 AND su.node = e.u
+          |JOIN kr sv ON sv.step = e.r - 1 AND sv.node = e.v
+          |JOIN fin f ON f.node = e.u
+          |WHERE su.comp <> sv.comp""".stripMargin,
+
       // Graph.degreeDistribution mirrored: distinct customer→supplier
       // edges, degree panel, histogram + the zipfFit log-log OLS grids.
       "graph_degree_dist" ->
@@ -11382,6 +11440,11 @@ object SparkEntry {
            |SELECT rank, item, n_exact, n_est, n_est - n_exact AS overcount
            |FROM rk WHERE rank <= 40""".stripMargin,
 
+      // Profiling.hllOverlapReplayable: the md5-register HLL overlap
+      // panel, hash-gated since r13 (was rows-only on the
+      // DataSketches binary states).
+      "sketch_overlap" -> hllOverlapOracleSql(12),
+
       // Profiling.kmvOverlap: k-min-values sketch per slice over the
       // md5Long60 hash (ORDER BY h LIMIT k over the distinct-hash
       // relation — the sketch state is a plain SQL relation), theta_h =
@@ -12776,6 +12839,67 @@ object SparkEntry {
       |    FLOOR(CAST(SUM($ndcgCase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
       |  END AS ndcg
       |FROM j""".stripMargin
+  }
+
+  /** Profiling.hllOverlapReplayable mirrored: md5Long60 → top-lgK-bit
+    * buckets, the leading-zero rank as the same descending exact
+    * threshold CASE chain, register-max panels, the exact-integer raw
+    * estimate (HUGEINT `//` ≡ Spark DECIMAL `div`), the gridded-ln
+    * linear-counting branch, and the integer-ppm Jaccard.
+    */
+  private def hllOverlapOracleSql(lgK: Int): String = {
+    val m = 1 << lgK
+    val w = 60 - lgK
+    val two = BigInt(2)
+    val alphaDen = BigInt(10000) * (1000L * m + 1079)
+    val rawNum = BigInt(7213000) * m * m * m * two.pow(w + 1)
+    val rankCase = (1 to w).map(r =>
+      s"WHEN rem >= ${two.pow(w - r)} THEN $r").mkString(" ")
+    def panel(src: String, suffix: String): String =
+      s"""p$suffix AS (
+         |  SELECT CAST($m - COUNT(*) AS BIGINT) AS v_$suffix,
+         |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (${w + 1} - M)), 0)
+         |      + ($m - COUNT(*)) * ${two.pow(w + 1)} AS BIGINT) AS s_$suffix
+         |  FROM (SELECT bucket, MAX(rank) AS M FROM br WHERE $src GROUP BY 1))""".stripMargin
+    def est(suffix: String): String =
+      s"""CASE WHEN CAST(CAST('$rawNum' AS HUGEINT)
+         |      // (CAST(s_$suffix AS HUGEINT) * $alphaDen) AS BIGINT) <= ${5L * m / 2}
+         |    AND v_$suffix > 0
+         |  THEN CAST(FLOOR(CAST($m AS DOUBLE)
+         |    * LN(CAST($m AS DOUBLE) / CAST(v_$suffix AS DOUBLE)) * 1e6) / 1e6
+         |    AS DECIMAL(28,6))
+         |  ELSE CAST(CAST(CAST('$rawNum' AS HUGEINT)
+         |    // (CAST(s_$suffix AS HUGEINT) * $alphaDen) AS BIGINT) AS DECIMAL(28,6))
+         |END""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT h, MAX(a) AS in_a, MAX(b) AS in_b FROM (
+       |    SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |      CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END AS a,
+       |      CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END AS b
+       |    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+       |  GROUP BY 1 HAVING MAX(a) = 1 OR MAX(b) = 1),
+       |br AS (
+       |  SELECT h // ${two.pow(w)} AS bucket,
+       |    in_a, in_b,
+       |    CASE $rankCase ELSE ${w + 1} END AS rank
+       |  FROM (SELECT h, h % ${two.pow(w)} AS rem, in_a, in_b FROM keyed)),
+       |${panel("in_a = 1", "a")},
+       |${panel("in_b = 1", "b")},
+       |${panel("TRUE", "u")},
+       |e AS (
+       |  SELECT ${est("a")} AS est_a, ${est("b")} AS est_b,
+       |    ${est("u")} AS est_union
+       |  FROM pa CROSS JOIN pb CROSS JOIN pu),
+       |e2 AS (
+       |  SELECT est_a, est_b, est_union,
+       |    GREATEST(CAST(0 AS DECIMAL(28,6)),
+       |      CAST(est_a + est_b - est_union AS DECIMAL(28,6))) AS est_intersect
+       |  FROM e)
+       |SELECT est_a, est_b, est_union, est_intersect,
+       |  CASE WHEN est_union > 0 THEN
+       |    CAST((CAST(est_intersect * 1000000 AS HUGEINT) * 1000000)
+       |      // CAST(est_union * 1000000 AS HUGEINT) AS BIGINT) END AS jaccard_ppm
+       |FROM e2""".stripMargin
   }
 
   /** Coverage/exposure panel over the recommend replay at the given

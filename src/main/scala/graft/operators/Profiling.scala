@@ -660,6 +660,108 @@ object Profiling {
         col("est_intersect") / when(col("est_union") > 0, col("est_union")))
   }
 
+  /** ORACLE-REPLAYABLE md5-register HLL overlap — [[hllOverlap]]'s
+    * inclusion–exclusion panel rebuilt on a sketch whose state is a
+    * SQL relation (the kmvOverlap/md5Long60 discipline), so the whole
+    * panel hash-compares instead of riding the rows-only protocol the
+    * DataSketches binary states force.
+    *
+    * Construction (public Flajolet et al. 2007 HLL): h = md5Long60
+    * (60 bits); bucket = top lgK bits (`h div 2^w`, w = 60-lgK); rank
+    * = leading zeros of the remaining w bits + 1, computed by an
+    * EXACT descending threshold chain (`rem >= 2^(w-1) -> 1, ...`) —
+    * no log2, no float. Register M_j = max rank in bucket j; the
+    * union sketch is register-max over keys in either slice (HLL
+    * union is exact on registers). The raw estimate
+    * `alpha_m · m² / Σ 2^(-M_j)` is EXACT INTEGER arithmetic end to
+    * end: the denominator sum is scaled by 2^(w+1) (every term
+    * `2^(w+1-M_j)` and the `2^(w+1)`-per-empty-register contribution
+    * are integers, total ≤ m·2^(w+1) < 2^63), alpha_m is the exact
+    * rational 7213000·m / (10⁴·(1000m+1079)), and the quotient is a
+    * DECIMAL(38,0)/HUGEINT `div` — the r13 no-double recipe. The one
+    * non-integer edge is the standard small-range branch (raw ≤ 2.5m
+    * with V>0 empty registers → linear counting `m·ln(m/V)`): branch
+    * SELECTION is integer-exact and the ln value floors onto the §5
+    * 1e-6 grid (the established log discipline). Jaccard and the
+    * intersection ride exact DECIMAL adds and an integer-ppm `div`.
+    *
+    * Scale shape: one fact pass to the distinct-hash relation, three
+    * m-bounded register aggregates, 1-row panel math — the same
+    * stored-sketch contract as [[hllOverlap]] (persist m registers
+    * per slice; any pairwise overlap from stored state).
+    */
+  def hllOverlapReplayable(df: DataFrame, keyCol: String,
+                           sliceACond: Column, sliceBCond: Column,
+                           lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lgK >= 4 && lgK <= 16, s"lgK=$lgK out of [4,16]")
+    val m = 1 << lgK
+    val w = 60 - lgK
+    val two = BigInt(2)
+    // alpha_m = 0.7213/(1 + 1.079/m) as the exact rational
+    // 7213000·m / (10^4·(1000m+1079)); raw = alphaNum·m²·2^(w+1) / (alphaDen·S)
+    val alphaNum = BigInt(7213000) * m
+    val alphaDen = BigInt(10000) * (1000L * m + 1079)
+    val rawNum = alphaNum * BigInt(m) * BigInt(m) * two.pow(w + 1)
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(graft.operators.Sampling.md5Long60(Seq(col(keyCol))).as("h"),
+        when(sliceACond, 1L).otherwise(0L).as("a"),
+        when(sliceBCond, 1L).otherwise(0L).as("b"))
+      .groupBy(col("h"))
+      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
+      .filter(col("in_a") === 1L || col("in_b") === 1L)
+      .withColumn("bucket", expr(s"h div ${two.pow(w)}L"))
+      .withColumn("rem", col("h") % lit(two.pow(w).toLong))
+      // rank = leading zeros of the w-bit remainder + 1: descending
+      // exact integer thresholds (rem >= 2^(w-1) -> 1, ..., rem >= 1
+      // -> w), rem == 0 -> w+1 — no log2, no float, first hit wins
+      .withColumn("rank",
+        (1 to w).reverse.foldLeft(lit(w + 1)) { (els, r) =>
+          when(col("rem") >= lit(two.pow(w - r).toLong), lit(r)).otherwise(els)
+        })
+      .localCheckpoint(false)
+    // one register panel per sketch: present-bucket count and the
+    // 2^(w+1)-scaled denominator partial (exact longs)
+    def panelOf(cond: Column, suffix: String): DataFrame =
+      keyed.filter(cond)
+        .groupBy(col("bucket")).agg(max(col("rank")).as("M"))
+        .agg(count(lit(1)).as(s"cnt_$suffix"),
+          coalesce(sum(expr(s"shiftleft(cast(1 as bigint), ${w + 1} - M)")),
+            lit(0L)).as(s"sp_$suffix"))
+        .select(
+          (lit(m.toLong) - col(s"cnt_$suffix")).as(s"v_$suffix"),
+          (col(s"sp_$suffix") +
+            (lit(m.toLong) - col(s"cnt_$suffix")) * lit(two.pow(w + 1).toLong))
+            .as(s"s_$suffix"))
+    val panel = panelOf(col("in_a") === 1L, "a")
+      .crossJoin(panelOf(col("in_b") === 1L, "b"))
+      .crossJoin(panelOf(lit(true), "u"))
+    def grid(c: Column): Column =
+      (floor(c * lit(1e6)) / lit(1e6)).cast(DecimalType(28, 6))
+    // exact-integer raw estimate, then the standard small-range branch
+    def est(suffix: String): Column = {
+      val raw = expr(
+        s"cast('$rawNum' as decimal(38,0)) div (cast(s_$suffix as decimal(38,0)) * $alphaDen)")
+      val v = col(s"v_$suffix")
+      when(raw <= lit(5L * m / 2) && v > 0L,
+        grid(lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))))
+        .otherwise(raw.cast(DecimalType(28, 6)))
+    }
+    panel.select(est("a").as("est_a"), est("b").as("est_b"),
+        est("u").as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0).cast(DecimalType(28, 6)),
+          (col("est_a") + col("est_b") - col("est_union"))
+            .cast(DecimalType(28, 6))))
+      // integer-ppm Jaccard on the 1e6-scaled exact decimal quanta —
+      // no double quotient (the r13 recipe): ppm = (ei·1e6·1e6) div
+      // (eu·1e6) where est·1e6 is the exact integer quantum count
+      .withColumn("jaccard_ppm",
+        expr("case when est_union > 0 then " +
+          "(cast(est_intersect * 1000000 as decimal(38,0)) * 1000000) div " +
+          "cast(est_union * 1000000 as decimal(38,0)) end"))
+  }
+
   /** KMV/theta-sketch set algebra between two slices of one key
     * column — the PRINCIPLED mergeable intersection the HLL panel
     * ([[hllOverlap]]) cannot give: inclusion–exclusion noise blows up

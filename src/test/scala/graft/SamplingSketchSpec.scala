@@ -581,6 +581,41 @@ class SamplingSketchSpec extends SparkSpec {
     assert(dj.getAs[Double]("jaccard_est") < 0.1)
   }
 
+  test("hllOverlapReplayable: md5-register estimates inside the envelope, both branches, exact identities") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // planted: |A|=|B|=10000, |A∪B|=19000, |A∩B|=1000 — at lgK=12
+    // (m=4096) the slice estimates sit in the LINEAR-COUNTING branch
+    // (raw <= 2.5m) while the union (19000) takes the RAW integer
+    // branch, so one run pins both estimator paths
+    val rows = ((1 to 10000).map(u => (u.toLong, "a")) ++
+      (9001 to 19000).map(u => (u.toLong, "b"))).toDF("uid", "slice")
+    val out = Profiling.hllOverlapReplayable(rows, "uid",
+      col("slice") === "a", col("slice") === "b", lgK = 12).collect().head
+    def d(name: String): Double =
+      out.getDecimal(out.fieldIndex(name)).doubleValue()
+    // HLL RSE at m=4096 ~ 1.6%; linear counting tighter — allow 5%
+    assert(math.abs(d("est_a") - 10000) / 10000 < 0.05, s"est_a=${d("est_a")}")
+    assert(math.abs(d("est_b") - 10000) / 10000 < 0.05, s"est_b=${d("est_b")}")
+    assert(math.abs(d("est_union") - 19000) / 19000 < 0.05)
+    // I-E intersection: absolute error rides the UNION's few-% noise
+    // (documented "is the overlap big" gate) — loose band only
+    assert(d("est_intersect") >= 0.0 && d("est_intersect") < 3000.0,
+      s"est_intersect=${d("est_intersect")}")
+    // exact panel identities: the clamp and the integer-ppm Jaccard
+    // recompute bit-identically from the emitted decimals
+    val (ea, eb, eu, ei) = (out.getDecimal(out.fieldIndex("est_a")),
+      out.getDecimal(out.fieldIndex("est_b")),
+      out.getDecimal(out.fieldIndex("est_union")),
+      out.getDecimal(out.fieldIndex("est_intersect")))
+    val want = ea.add(eb).subtract(eu).max(java.math.BigDecimal.ZERO)
+    assert(ei.compareTo(want) == 0)
+    val ppm = out.getLong(out.fieldIndex("jaccard_ppm"))
+    val wantPpm = (BigInt(ei.movePointRight(6).toBigIntegerExact) * 1000000 /
+      BigInt(eu.movePointRight(6).toBigIntegerExact)).toLong
+    assert(ppm == wantPpm)
+  }
+
   test("cube demand: all four grouping sets present and every level reconciles") {
     val got = SparkEntry.queries("ana_cube_demand")(spark, sf).collect()
     def ofSet(gid: Long) = got.filter(_.getAs[Long]("grouping_set_id") == gid)
