@@ -1,0 +1,225 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Portable operational-store export over plain JDBC — the last
+  * reference surface without a twin (reference: src/sqlite/
+  * load_sqlite.py:1-200 re-loads the whole gold model into SQLite;
+  * src/gold/load_gold.py MERGEs dims/facts into SQL Server via
+  * pyodbc): consumers without the lake query the model from a plain
+  * relational store, so the engine must be able to hand results over.
+  *
+  * Semantics: [[mergeByKey]] is the idempotent MERGE-on-grain write
+  * (the B8 `gold_merge_grain` contract against an external target) —
+  * re-running the same frame leaves the table identical, a changed
+  * row updates in place, a new grain inserts. Implemented as the
+  * portable UPDATE-then-INSERT upsert (batched; rows whose batched
+  * UPDATE matched zero rows INSERT) because vendor MERGE source
+  * syntax is not portable (Derby restricts the USING source; SQLite
+  * has none) while parameterized UPDATE/INSERT is universal.
+  * [[overwrite]] is the load_sqlite full-reload shape: DELETE +
+  * re-insert inside the same table (keeps consumer views/grants).
+  *
+  * Scale shape: executors write THEIR OWN partitions in parallel
+  * (`foreachPartition`, one connection + statement batches per
+  * partition — the standard JDBC fan-in); the driver only creates the
+  * table. The input must be GRAIN-UNIQUE on `keyCols` (enforced — a
+  * duplicate-grain frame would make the upsert order-dependent),
+  * which also means no two partitions ever contend on one key. An
+  * operational target throttles by connection count = input
+  * partitions; repartition the frame to the store's write capacity,
+  * not the cluster's core count.
+  *
+  * Determinism/idempotence over speed: this is an EXPORT tier, not a
+  * query path — correctness gates (spec) pin round-trip equality,
+  * merge-update visibility, and re-run idempotence against embedded
+  * Derby (the JDK-only stand-in for the reference's SQL Server).
+  */
+object JdbcExport {
+
+  /** ANSI-ish DDL type for a Spark column (the portable subset the
+    * gold model uses; nested types are an export-contract error).
+    */
+  private[sources] def sqlType(dt: DataType): String = dt match {
+    case LongType                 => "BIGINT"
+    case IntegerType              => "INTEGER"
+    case ShortType                => "SMALLINT"
+    case ByteType                 => "SMALLINT"
+    case DoubleType               => "DOUBLE"
+    case FloatType                => "REAL"
+    case BooleanType              => "BOOLEAN"
+    case DateType                 => "DATE"
+    case TimestampType            => "TIMESTAMP"
+    case d: DecimalType           => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType               => "VARCHAR(4000)"
+    case other =>
+      throw new IllegalArgumentException(
+        s"jdbc export does not map type $other — export a flat gold projection")
+  }
+
+  private def withConnection[A](url: String)(f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** CREATE TABLE if absent (idempotent — existence probed through
+    * database metadata, no exception-driven control flow).
+    */
+  def ensureTable(url: String, table: String, schema: StructType): Unit =
+    withConnection(url) { conn =>
+      val meta = conn.getMetaData
+      val rs = meta.getTables(null, null, table.toUpperCase, null)
+      val exists = rs.next()
+      rs.close()
+      if (!exists) {
+        val cols = schema.fields
+          .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $table ($cols)")
+        finally st.close()
+      }
+    }
+
+  /** Bind row value i (0-based field index) to statement slot `slot`
+    * (1-based), with explicit NULL typing (Derby rejects untyped
+    * nulls in batched parameters).
+    */
+  private def bind(st: PreparedStatement, slot: Int, row: Row, i: Int,
+                   dt: DataType): Unit =
+    if (row.isNullAt(i)) st.setNull(slot, dt match {
+      case LongType => Types.BIGINT
+      case IntegerType => Types.INTEGER
+      case ShortType | ByteType => Types.SMALLINT
+      case DoubleType => Types.DOUBLE
+      case FloatType => Types.REAL
+      case BooleanType => Types.BOOLEAN
+      case DateType => Types.DATE
+      case TimestampType => Types.TIMESTAMP
+      case _: DecimalType => Types.DECIMAL
+      case _ => Types.VARCHAR
+    })
+    else dt match {
+      case LongType        => st.setLong(slot, row.getLong(i))
+      case IntegerType     => st.setInt(slot, row.getInt(i))
+      case ShortType       => st.setShort(slot, row.getShort(i))
+      case ByteType        => st.setShort(slot, row.getByte(i).toShort)
+      case DoubleType      => st.setDouble(slot, row.getDouble(i))
+      case FloatType       => st.setFloat(slot, row.getFloat(i))
+      case BooleanType     => st.setBoolean(slot, row.getBoolean(i))
+      case DateType        => st.setDate(slot, row.getDate(i))
+      case TimestampType   => st.setTimestamp(slot, row.getTimestamp(i))
+      case _: DecimalType  => st.setBigDecimal(slot, row.getDecimal(i))
+      case StringType      => st.setString(slot, row.getString(i))
+      case other =>
+        throw new IllegalArgumentException(s"unbindable type $other")
+    }
+
+  /** Idempotent MERGE-on-grain export: update matched grains, insert
+    * new ones. Returns (updated, inserted) totals.
+    */
+  def mergeByKey(df: DataFrame, url: String, table: String,
+                 keyCols: Seq[String], batchSize: Int = 500): (Long, Long) = {
+    val schema = df.schema
+    val cols = schema.fields.map(_.name).toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"keyCols $keyCols must be non-empty columns of $cols")
+    val valCols = cols.filterNot(keyCols.contains)
+    require(valCols.nonEmpty,
+      "mergeByKey needs at least one non-key column to update")
+    // grain contract: a duplicate key would make update/insert order
+    // matter — refuse rather than export nondeterministically
+    val dupes = df.groupBy(keyCols.map(df.col): _*).count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+    require(dupes == 0L, s"input is not grain-unique on $keyCols")
+    ensureTable(url, table, schema)
+    val updateSql = s"UPDATE $table SET " +
+      valCols.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
+      cols.map(_ => "?").mkString(", ") + ")"
+    val fieldIdx = cols.zipWithIndex.toMap
+    val types = schema.fields.map(_.dataType)
+    val acc = df.sparkSession.sparkContext.longAccumulator("jdbc_updated")
+    val accIns = df.sparkSession.sparkContext.longAccumulator("jdbc_inserted")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            it.grouped(batchSize).foreach { chunk =>
+              chunk.foreach { row =>
+                var slot = 1
+                valCols.foreach { c =>
+                  val i = fieldIdx(c); bind(upd, slot, row, i, types(i)); slot += 1
+                }
+                keyCols.foreach { c =>
+                  val i = fieldIdx(c); bind(upd, slot, row, i, types(i)); slot += 1
+                }
+                upd.addBatch()
+              }
+              val counts = upd.executeBatch()
+              val misses = chunk.zip(counts).collect { case (r, 0) => r }
+              misses.foreach { row =>
+                cols.zipWithIndex.foreach { case (c, slot0) =>
+                  val i = fieldIdx(c); bind(ins, slot0 + 1, row, i, types(i))
+                }
+                ins.addBatch()
+              }
+              if (misses.nonEmpty) ins.executeBatch()
+              conn.commit()
+              acc.add(counts.count(_ > 0).toLong)
+              accIns.add(misses.size.toLong)
+            }
+          } finally { upd.close(); ins.close() }
+        } finally conn.close()
+      }
+    }
+    (acc.value, accIns.value)
+  }
+
+  /** Full-reload export (the load_sqlite shape): DELETE + insert
+    * inside the existing table so consumer views keep working.
+    * Returns rows written.
+    */
+  def overwrite(df: DataFrame, url: String, table: String,
+                batchSize: Int = 500): Long = {
+    val schema = df.schema
+    val cols = schema.fields.map(_.name).toSeq
+    ensureTable(url, table, schema)
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table") finally st.close()
+    }
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
+      cols.map(_ => "?").mkString(", ") + ")"
+    val types = schema.fields.map(_.dataType)
+    val acc = df.sparkSession.sparkContext.longAccumulator("jdbc_written")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            it.grouped(batchSize).foreach { chunk =>
+              chunk.foreach { row =>
+                types.indices.foreach(i => bind(ins, i + 1, row, i, types(i)))
+                ins.addBatch()
+              }
+              ins.executeBatch()
+              conn.commit()
+              acc.add(chunk.size.toLong)
+            }
+          } finally ins.close()
+        } finally conn.close()
+      }
+    }
+    acc.value
+  }
+}

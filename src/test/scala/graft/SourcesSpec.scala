@@ -573,4 +573,60 @@ class SourcesSpec extends SparkSpec {
       .filter(_.media_id == 1L).map(_.energy).toSeq
     assert(again == got(1L).map(_.energy).toSeq)
   }
+
+  test("jdbc export: merge-on-grain round-trips, updates in place, re-run idempotent") {
+    import graft.sources.JdbcExport
+    val url = s"jdbc:derby:memory:graftdw${System.nanoTime()};create=true"
+    val dim = Seq(
+      (1L, "RED", 10.5, true),
+      (2L, "BLUE", 20.0, false),
+      (3L, "GREEN", 30.25, true)).toDF("k", "name", "score", "active")
+    val (u1, i1) = JdbcExport.mergeByKey(dim, url, "dim_color", Seq("k"))
+    assert(u1 == 0L && i1 == 3L)
+    // round-trip: read back through Spark's own JDBC source and
+    // compare values (Derby uppercases unquoted identifiers)
+    def readBack(): Map[Long, (String, Double, Boolean)] =
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "dim_color").load()
+        .collect().map(r => r.getAs[Long]("K") ->
+          ((r.getAs[String]("NAME"), r.getAs[Double]("SCORE"),
+            r.getAs[Boolean]("ACTIVE")))).toMap
+    val got1 = readBack()
+    assert(got1 == Map(1L -> (("RED", 10.5, true)),
+      2L -> (("BLUE", 20.0, false)), 3L -> (("GREEN", 30.25, true))))
+    // idempotence: the identical frame updates every grain, inserts none,
+    // and the table is value-identical after
+    val (u2, i2) = JdbcExport.mergeByKey(dim, url, "dim_color", Seq("k"))
+    assert(u2 == 3L && i2 == 0L)
+    assert(readBack() == got1)
+    // merge semantics: one changed grain updates in place, one new
+    // grain inserts, untouched grains keep their rows
+    val delta = Seq((2L, "NAVY", 21.0, true), (4L, "CYAN", 40.0, false))
+      .toDF("k", "name", "score", "active")
+    val (u3, i3) = JdbcExport.mergeByKey(delta, url, "dim_color", Seq("k"))
+    assert(u3 == 1L && i3 == 1L)
+    assert(readBack() == Map(1L -> (("RED", 10.5, true)),
+      2L -> (("NAVY", 21.0, true)), 3L -> (("GREEN", 30.25, true)),
+      4L -> (("CYAN", 40.0, false))))
+    // grain contract: duplicate keys are refused, not exported
+    val dup = Seq((7L, "A", 1.0, true), (7L, "B", 2.0, true))
+      .toDF("k", "name", "score", "active")
+    intercept[IllegalArgumentException] {
+      JdbcExport.mergeByKey(dup, url, "dim_color", Seq("k"))
+    }
+    // overwrite (the full-reload shape): table holds exactly the new
+    // frame afterwards, consumer table object intact
+    val reload = Seq((9L, "GRAY", 0.5, false)).toDF("k", "name", "score", "active")
+    assert(JdbcExport.overwrite(reload, url, "dim_color") == 1L)
+    assert(readBack() == Map(9L -> (("GRAY", 0.5, false))))
+    // nulls survive the trip (typed setNull path)
+    val withNull = Seq((10L, null.asInstanceOf[String], 1.0, true))
+      .toDF("k", "name", "score", "active")
+    val (_, i4) = JdbcExport.mergeByKey(withNull, url, "dim_color", Seq("k"))
+    assert(i4 == 1L)
+    val r10 = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "dim_color").load()
+      .filter(col("K") === 10L).collect().head
+    assert(r10.isNullAt(r10.fieldIndex("NAME")))
+  }
 }
