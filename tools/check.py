@@ -16,9 +16,15 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-ONLY = set(sys.argv[3:])
+ARGS = list(sys.argv[1:])
+JSON_OUT = None
+if "--json" in ARGS:
+    i = ARGS.index("--json")
+    JSON_OUT = ARGS[i + 1]
+    del ARGS[i:i + 2]
+SF_DIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUT_DIR = ARGS[1] if len(ARGS) > 1 else "/tmp/graft_verify"
+ONLY = set(ARGS[2:])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -66,6 +72,7 @@ def main():
 
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     failures = 0
+    results = {}  # driver-format per-query record for --json
     # A requested name missing from the dumped oracle map is a FAILURE,
     # not a silent skip: it means the Verify run never produced it
     # (compile error, crashed dump, or a typo'd name) and a green
@@ -87,6 +94,9 @@ def main():
             exp_cols = list(exp_df.columns)
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "rows": None,
+                             "err": str(e)[:300]}
             failures += 1
             continue
         problems = []
@@ -105,12 +115,22 @@ def main():
                 if a != b:
                     problems.append(f"  got: {a[:200]}\n  exp: {b[:200]}")
                     break
+        results[name] = {
+            "rows_match": len(got_rows) == len(exp_rows),
+            "schema_match": sorted(got_cols) == sorted(exp_cols),
+            "hash_match": not problems,
+            "rows": len(got_rows),
+            "err": None,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"OK   {name} ({len(got_rows)} rows)")
     print(f"\n{failures} failures")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if failures else 0)
 
 
