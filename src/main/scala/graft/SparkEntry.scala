@@ -8948,7 +8948,7 @@ object SparkEntry {
       // operator's final min-node component labels). The recursion is
       // panel-sized (25 nations x ~canon-edge steps).
       "graph_mst" ->
-        """WITH RECURSIVE flows AS (
+        """WITH RECURSIVE flows AS MATERIALIZED (
           |  SELECT s_nationkey AS src, c_nationkey AS dst,
           |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS w
           |  FROM lineitem
@@ -8957,14 +8957,18 @@ object SparkEntry {
           |  JOIN customer ON o_custkey = c_custkey
           |  WHERE s_nationkey <> c_nationkey
           |  GROUP BY 1, 2),
-          |canon AS (
+          |canon AS MATERIALIZED (
           |  SELECT CAST(LEAST(src, dst) AS BIGINT) AS u,
           |    CAST(GREATEST(src, dst) AS BIGINT) AS v, MIN(w) AS w
           |  FROM flows GROUP BY 1, 2),
-          |nodes AS (
+          |nodes AS MATERIALIZED (
           |  SELECT DISTINCT node FROM (
           |    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)),
-          |ranked AS (
+          |-- MATERIALIZED is load-bearing: `ranked` is referenced inside
+          |-- the recursive term, so without it DuckDB re-evaluates the
+          |-- row-scale flows join once PER RECURSION STEP (measured
+          |-- >240s at the 10x replica vs ~2s materialized)
+          |ranked AS MATERIALIZED (
           |  SELECT u, v, w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS r
           |  FROM canon),
           |kr(step, node, comp) AS (
