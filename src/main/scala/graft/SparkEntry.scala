@@ -1022,9 +1022,11 @@ object SparkEntry {
 
     // Minimum spanning forest (Borůvka rounds) over the nation-flow
     // graph weighted by total flow value — the cheapest backbone
-    // connecting every zone; rows-only by protocol (the iterative
-    // contraction has no SQL replay), spec-pinned against a
-    // driver-side Kruskal on seeded random graphs.
+    // connecting every zone. ORACLE-CHECKED since r13: the forest is
+    // unique under the (w,u,v) total edge order, so the oracle
+    // replays it as recursive Kruskal (no Borůvka mirror needed);
+    // also spec-pinned against a driver-side Kruskal on seeded
+    // random graphs.
     "graph_mst" -> ((s: SparkSession, d: String) => {
       val flows = t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))

@@ -71,9 +71,14 @@ object JdbcExport {
   def ensureTable(url: String, table: String, schema: StructType): Unit =
     withConnection(url) { conn =>
       val meta = conn.getMetaData
-      val rs = meta.getTables(null, null, table.toUpperCase, null)
-      val exists = rs.next()
-      rs.close()
+      // unquoted identifiers fold per-store (Derby/Oracle upper,
+      // Postgres lower) — probe every folding, not just upper-case,
+      // or a second run would CREATE over an existing table
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase)
+        .distinct.exists { t =>
+          val rs = meta.getTables(null, null, t, null)
+          val hit = rs.next(); rs.close(); hit
+        }
       if (!exists) {
         val cols = schema.fields
           .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
@@ -164,6 +169,14 @@ object JdbcExport {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
+              // miss detection needs EXACT batch counts: a driver
+              // returning SUCCESS_NO_INFO (-2; Oracle, MySQL rewrite
+              // mode) cannot distinguish update-hit from miss — fail
+              // loudly rather than silently dropping new grains
+              require(!counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO),
+                "mergeByKey requires a JDBC driver reporting exact batch " +
+                  "update counts (driver returned SUCCESS_NO_INFO); " +
+                  "disable batch rewriting or use a per-row upsert path")
               val misses = chunk.zip(counts).collect { case (r, 0) => r }
               misses.foreach { row =>
                 cols.zipWithIndex.foreach { case (c, slot0) =>
@@ -186,6 +199,17 @@ object JdbcExport {
   /** Full-reload export (the load_sqlite shape): DELETE + insert
     * inside the existing table so consumer views keep working.
     * Returns rows written.
+    *
+    * Retry safety: each partition commits ONCE at its end (a task
+    * that dies mid-stream rolls its whole partition back, so Spark's
+    * task retry re-inserts from zero instead of duplicating the
+    * already-committed chunks — the hazard of per-chunk commits under
+    * a plain keyless INSERT; [[mergeByKey]] keeps per-chunk commits
+    * because the upsert is idempotent under retry by construction).
+    * Spark's own JDBC writer covers the plain truncate-overwrite
+    * shape too; this path exists for symmetry with [[mergeByKey]]'s
+    * schema mapping (ensureTable creates with OUR ANSI type map, not
+    * the dialect's) and single-commit-per-partition contract.
     */
   def overwrite(df: DataFrame, url: String, table: String,
                 batchSize: Int = 500): Long = {
@@ -207,15 +231,17 @@ object JdbcExport {
           conn.setAutoCommit(false)
           val ins = conn.prepareStatement(insertSql)
           try {
+            var written = 0L
             it.grouped(batchSize).foreach { chunk =>
               chunk.foreach { row =>
                 types.indices.foreach(i => bind(ins, i + 1, row, i, types(i)))
                 ins.addBatch()
               }
               ins.executeBatch()
-              conn.commit()
-              acc.add(chunk.size.toLong)
+              written += chunk.size
             }
+            conn.commit() // once per partition — see retry-safety note
+            acc.add(written)
           } finally ins.close()
         } finally conn.close()
       }

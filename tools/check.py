@@ -20,6 +20,8 @@ ARGS = list(sys.argv[1:])
 JSON_OUT = None
 if "--json" in ARGS:
     i = ARGS.index("--json")
+    if i + 1 >= len(ARGS):
+        sys.exit("usage: check.py SF_DIR OUT_DIR [query ...] --json OUT.json")
     JSON_OUT = ARGS[i + 1]
     del ARGS[i:i + 2]
 SF_DIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
