@@ -9836,14 +9836,14 @@ object SparkEntry {
     // one sqrt + one division over exact-integer doubles (bit-identical
     // across engines), floored to the 1e-6 grid before ranking.
     "recsys_item_cosine" ->
-      s"""WITH capped AS ($recsysInteractionsSql),
-        |marg AS (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
+      s"""WITH capped AS MATERIALIZED ($recsysInteractionsSql),
+        |marg AS MATERIALIZED (SELECT item_id, COUNT(*) AS n FROM capped GROUP BY 1),
         |pairs AS (
         |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
         |  FROM capped a JOIN capped b
         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |scored AS (
+        |scored AS MATERIALIZED (
         |  SELECT ia, ib, n_both,
         |    FLOOR(CAST(n_both AS DOUBLE)
         |      / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) * 1e6) / 1e6 AS cosine
@@ -12749,13 +12749,17 @@ object SparkEntry {
     * capped) and the ranking-eval oracle (src = the LOO train split).
     */
   private def recsysRecommendCtes(minSupport: Int, src: String): String =
-    s"""marg AS (SELECT item_id, COUNT(*) AS n FROM $src GROUP BY 1),
+    s"""marg AS MATERIALIZED (SELECT item_id, COUNT(*) AS n FROM $src GROUP BY 1),
       |pairs AS (
       |  SELECT a.item_id AS ia, b.item_id AS ib, COUNT(*) AS n_both
       |  FROM $src a JOIN $src b
       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
-      |scored AS (
+      |-- MATERIALIZED is load-bearing on the replica sweeps: scored is
+      |-- referenced twice by sym, and without it DuckDB re-evaluates
+      |-- the row-scale pair self-join per reference — the re-runs'
+      |-- spill compounded past the host's free disk at 10x
+      |scored AS MATERIALIZED (
       |  SELECT ia, ib,
       |    FLOOR(CAST(n_both AS DOUBLE)
       |      / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) * 1e6) / 1e6 AS cosine
@@ -12766,7 +12770,7 @@ object SparkEntry {
       |  SELECT ia AS item_id, ib AS neighbor_id, cosine FROM scored
       |  UNION ALL
       |  SELECT ib, ia, cosine FROM scored),
-      |nbr AS (
+      |nbr AS MATERIALIZED (
       |  SELECT item_id, neighbor_id, cosine FROM sym
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY item_id
       |    ORDER BY cosine DESC, neighbor_id) <= 10),
@@ -12782,7 +12786,7 @@ object SparkEntry {
       |  WHERE s.item_id IS NULL)""".stripMargin
 
   private def recsysRecommendOracleSql(minSupport: Int): String =
-    s"""WITH capped AS ($recsysInteractionsSql),
+    s"""WITH capped AS MATERIALIZED ($recsysInteractionsSql),
       |${recsysRecommendCtes(minSupport, "capped")}
       |SELECT user_id,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
@@ -12805,7 +12809,7 @@ object SparkEntry {
       s"CASE rank ${ladder(r => gridConst(1.0 / r))} ELSE CAST(0 AS DECIMAL(28,6)) END"
     val ndcgCase =
       s"CASE rank ${ladder(r => gridConst(math.log(2.0) / math.log(r + 1.0)))} ELSE CAST(0 AS DECIMAL(28,6)) END"
-    s"""WITH cap0 AS ($recsysInteractionsSql),
+    s"""WITH cap0 AS MATERIALIZED ($recsysInteractionsSql),
       |hsh AS (
       |  SELECT user_id, item_id,
       |    CAST(concat('0x', substr(md5(concat_ws('|',
