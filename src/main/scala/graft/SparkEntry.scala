@@ -4772,20 +4772,20 @@ object SparkEntry {
          | AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) <= d.valid_to)""".stripMargin,
 
     "gold_fct_star" ->
-      s"""WITH staged AS (
+      s"""WITH staged AS MATERIALIZED (
          |  SELECT * EXCLUDE (reason_code) FROM (${qualityAnnotatedSql()})
          |  WHERE reason_code IS NULL AND user_id IS NOT NULL),
-         |deduped AS (
+         |deduped AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT *, ROW_NUMBER() OVER (
          |      PARTITION BY user_id, date_sk, time_30m_sk, event_type_norm
          |      ORDER BY event_id DESC) AS rn
          |    FROM staged) WHERE rn = 1),
-         |etype AS (
+         |etype AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_type_name) AS INTEGER) AS event_type_sk, event_type_name
          |  FROM (SELECT DISTINCT TRIM(event_type_norm) AS event_type_name FROM (${cleanseEventsSql("")})
          |        WHERE event_type_norm IS NOT NULL AND TRIM(event_type_norm) <> '')),
-         |dim_user AS (
+         |dim_user AS MATERIALIZED (
          |  SELECT user_id AS bk_user_id, event_type AS segment, valid_from, valid_to
          |  FROM ($scd2UserSql))
          |SELECT d.date_sk, d.time_30m_sk, d.user_id, t.event_type_sk, d.tipo_dia,
