@@ -82,6 +82,9 @@ def main():
     missing_requested = sorted(n for n in ONLY if n not in oracle)
     for name in missing_requested:
         print(f"FAIL {name}: not in {OUT_DIR}/oracle_sql.json (Verify never dumped it)")
+        results[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "rows": None,
+                         "err": "not in oracle_sql.json"}
         failures += 1
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
@@ -106,21 +109,26 @@ def main():
             problems.append(f"schema {sorted(got_cols)} != {sorted(exp_cols)}")
         if len(got_rows) != len(exp_rows):
             problems.append(f"rows {len(got_rows)} != {len(exp_rows)}")
-        if not problems and frame_hash(got_rows, got_cols) != frame_hash(exp_rows, exp_cols):
-            problems.append("hash mismatch")
-            # show first differing line for debugging
-            order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-            order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
-            gl = sorted("\x1f".join(norm_cell(r[i]) for i in order_g) for r in got_rows)
-            el = sorted("\x1f".join(norm_cell(r[i]) for i in order_e) for r in exp_rows)
-            for a, b in zip(gl, el):
-                if a != b:
-                    problems.append(f"  got: {a[:200]}\n  exp: {b[:200]}")
-                    break
+        # hash is only COMPUTED when schema+rows line up; a skipped
+        # compare records None (unknown), not False (differs)
+        hash_match = None
+        if not problems:
+            hash_match = frame_hash(got_rows, got_cols) == frame_hash(exp_rows, exp_cols)
+            if not hash_match:
+                problems.append("hash mismatch")
+                # show first differing line for debugging
+                order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+                order_e = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+                gl = sorted("\x1f".join(norm_cell(r[i]) for i in order_g) for r in got_rows)
+                el = sorted("\x1f".join(norm_cell(r[i]) for i in order_e) for r in exp_rows)
+                for a, b in zip(gl, el):
+                    if a != b:
+                        problems.append(f"  got: {a[:200]}\n  exp: {b[:200]}")
+                        break
         results[name] = {
             "rows_match": len(got_rows) == len(exp_rows),
             "schema_match": sorted(got_cols) == sorted(exp_cols),
-            "hash_match": not problems,
+            "hash_match": hash_match,
             "rows": len(got_rows),
             "err": None,
         }
