@@ -1202,6 +1202,20 @@ object SparkEntry {
     "ana_coverage_audit" -> ((s: SparkSession, d: String) =>
       AnalyticsPack.coverageAudit(servingValid(s, d))),
 
+    // Revenue-coverage gap over the comparable universe — the
+    // reference's headline PowerBI KPI family (docs/powerbi/
+    // DAX_ENTERPRISE_MEDIDAS.md §5-8): day-type-weighted scaled
+    // boardings (profile sub-window 0105-0114 scaled by calendar day
+    // counts) vs observed validations over the serving window, with
+    // the signed gap split, §7 comparability state machine and §8
+    // opportunity measures. CLICK/PURCHASE stand in for the BUS/METRO
+    // comparable-mode pair (2 of the 3 serving modes).
+    "ana_revenue_coverage_gap" -> ((s: SparkSession, d: String) =>
+      AnalyticsPack.revenueCoverageGap(servingValid(s, d),
+        baseFrom = 20240105, baseTo = 20240114,
+        winFrom = 20240105, winTo = 20240128,
+        comparableModes = Seq("CLICK", "PURCHASE"))),
+
     // Cohort retention: first-seen cohorts × day offsets, distinct
     // retained users, share of the day-0 cohort.
     "ana_retention_cohort" -> ((s: SparkSession, d: String) =>
@@ -7890,6 +7904,75 @@ object SparkEntry {
            |       THEN 'INCUMPLE' ELSE 'OK' END AS estado
            |FROM ($validSql)
            |GROUP BY 1, 2""".stripMargin,
+
+      // AnalyticsPack.revenueCoverageGap mirrored: exact DECIMAL value
+      // sums, profile avg = one IEEE division, scale multiply, §6 gap
+      // split, §7 state machine, §8 opportunity measures.
+      "ana_revenue_coverage_gap" ->
+        s"""WITH ev AS MATERIALIZED (
+           |  SELECT event_type_norm AS mode_code, tipo_dia, date_sk,
+           |    CAST(value AS DECIMAL(18,2)) AS v
+           |  FROM ($validSql)
+           |  WHERE date_sk BETWEEN 20240105 AND 20240128 AND value IS NOT NULL),
+           |obs AS (
+           |  SELECT mode_code, tipo_dia,
+           |    CAST(COALESCE(ROUND(SUM(v), 2), 0) AS DOUBLE) AS validaciones
+           |  FROM ev GROUP BY 1, 2),
+           |db AS (
+           |  SELECT mode_code, tipo_dia, date_sk, SUM(v) AS day_total
+           |  FROM ev WHERE date_sk BETWEEN 20240105 AND 20240114
+           |  GROUP BY 1, 2, 3),
+           |prof AS (
+           |  SELECT mode_code, tipo_dia, SUM(day_total) AS base_total,
+           |    CAST(COUNT(*) AS BIGINT) AS n_dias_base
+           |  FROM db GROUP BY 1, 2),
+           |cal AS (
+           |  SELECT tipo_dia, CAST(COUNT(DISTINCT date_sk) AS BIGINT) AS n_dias
+           |  FROM ev GROUP BY 1),
+           |j AS (
+           |  SELECT o.mode_code, o.tipo_dia, o.validaciones,
+           |    p.n_dias_base, c.n_dias,
+           |    o.mode_code IN ('CLICK', 'PURCHASE') AS is_comp,
+           |    ROUND(CAST(p.base_total AS DOUBLE) / p.n_dias_base, 2)
+           |      AS subidas_diarias_base
+           |  FROM obs o
+           |  LEFT JOIN prof p ON p.mode_code = o.mode_code AND p.tipo_dia = o.tipo_dia
+           |  JOIN cal c ON c.tipo_dia = o.tipo_dia),
+           |k AS (
+           |  SELECT *, ROUND(subidas_diarias_base * n_dias, 2) AS pe0 FROM j),
+           |m AS (
+           |  SELECT *,
+           |    CASE WHEN is_comp AND pe0 > 0 THEN pe0 END AS pasajeros_estimados
+           |  FROM k),
+           |n AS (
+           |  SELECT *,
+           |    ROUND(validaciones / pasajeros_estimados, 4) AS cobertura,
+           |    ROUND(pasajeros_estimados - validaciones, 2) AS brecha_signed
+           |  FROM m),
+           |g AS (
+           |  SELECT *,
+           |    CASE WHEN brecha_signed IS NULL THEN NULL
+           |         WHEN brecha_signed > 0 THEN brecha_signed
+           |         ELSE CAST(0 AS DOUBLE) END AS brecha_no_validada,
+           |    CASE WHEN brecha_signed IS NULL THEN NULL
+           |         WHEN brecha_signed < 0 THEN -brecha_signed
+           |         ELSE CAST(0 AS DOUBLE) END AS sobrevalidacion
+           |  FROM n)
+           |SELECT mode_code, tipo_dia, validaciones, n_dias_base, n_dias,
+           |  subidas_diarias_base, pasajeros_estimados, cobertura,
+           |  brecha_signed, brecha_no_validada, sobrevalidacion,
+           |  CASE WHEN NOT is_comp THEN 'NO_COMPARABLE_MODO'
+           |       WHEN pasajeros_estimados IS NULL THEN 'NO_COMPARABLE_SIN_BASE'
+           |       WHEN cobertura < 0.30 THEN 'NO_COMPARABLE_BASE_SOBREDIMENSIONADA'
+           |       WHEN cobertura > 1.50 THEN 'NO_COMPARABLE_BASE_SUBDIMENSIONADA'
+           |       ELSE 'COMPARABLE' END AS estado_comparabilidad,
+           |  CASE WHEN pasajeros_estimados IS NULL OR pasajeros_estimados < 500
+           |       THEN 0 ELSE 1 END AS bandera_calidad,
+           |  ROUND(0.10 * brecha_no_validada, 2) AS recuperacion_pot_10,
+           |  ROUND(0.20 * brecha_no_validada, 2) AS recuperacion_pot_20,
+           |  ROUND(brecha_no_validada / pasajeros_estimados, 4) AS brecha_relativa,
+           |  ROUND(0.95 - cobertura, 4) AS gap_vs_meta
+           |FROM g""".stripMargin,
 
       "ana_cohort_ltv" ->
       """WITH ev AS (

@@ -677,6 +677,113 @@ object AnalyticsPack {
         when(col("pct_con_dato") < 90.0, "INCUMPLE").otherwise("OK"))
   }
 
+  /** Revenue-coverage gap over the comparable universe — the
+    * reference's headline BI KPI family (reference:
+    * docs/powerbi/DAX_ENTERPRISE_MEDIDAS.md §5–8): estimated
+    * passengers from day-type-weighted scaled boardings vs observed
+    * validations, restricted to comparable mode×day-type cells.
+    *
+    * Construction (per mode_code × tipo_dia cell over the
+    * [winFrom, winTo] window):
+    *  - `validaciones` — the observed side: exact-decimal value sum
+    *    over the full window ("Validaciones (TipoDia) Comparable");
+    *  - `subidas_diarias_base` — the boarding PROFILE: average daily
+    *    value sum over the [baseFrom, baseTo] profile sub-window (the
+    *    DAX "Fecha Compatible" base, which scales a coarser-grain
+    *    survey profile rather than re-reading the target period);
+    *  - `pasajeros_estimados` — profile × the tipo_dia's calendar day
+    *    count in the full window ("Subidas Escaladas TipoDia
+    *    Comparable (Ponderada TD)"), comparable modes only, positive
+    *    only (§6's IF(s > 0, s, BLANK()));
+    *  - `cobertura` / `brecha_signed` / `brecha_no_validada` /
+    *    `sobrevalidacion` — DIVIDE and the MAX(±gap, 0) split of §6;
+    *  - `estado_comparabilidad` — §7's SWITCH: non-comparable mode,
+    *    missing base, coverage outside [floor, ceil] (base over/under-
+    *    dimensioned), else COMPARABLE; `bandera_calidad` is the §7
+    *    volume floor (DAX `BLANK() < 500` is true, so a missing base
+    *    flags 0);
+    *  - `recuperacion_pot_10/_20`, `brecha_relativa`, `gap_vs_meta` —
+    *    §8's opportunity measures against the 0.95 coverage target.
+    *
+    * Determinism: value sums are exact DECIMAL(18,2); the only IEEE
+    * steps are the profile division, the scale multiply and the final
+    * ratios — each rounded, each replayed verbatim by the oracle.
+    * Scale shape: two partial-agged shuffles onto the bounded
+    * mode×day-type×day grain, then panel math on ≤ |modes|·|day types|
+    * rows; the per-day-type calendar relation broadcasts.
+    */
+  def revenueCoverageGap(validEvents: DataFrame,
+                         baseFrom: Int, baseTo: Int,
+                         winFrom: Int, winTo: Int,
+                         comparableModes: Seq[String],
+                         coverageFloor: Double = 0.30,
+                         coverageCeil: Double = 1.50,
+                         qualityMinVolume: Double = 500.0,
+                         coverageTarget: Double = 0.95): DataFrame = {
+    val ev = validEvents
+      .filter(col("date_sk").between(winFrom, winTo) && col("value").isNotNull)
+      .select(col("event_type_norm").as("mode_code"), col("tipo_dia"),
+        col("date_sk"), money(col("value")).as("v"))
+      .localCheckpoint(true)
+    val observed = ev.groupBy(col("mode_code"), col("tipo_dia"))
+      .agg(coalesce(round(sum(col("v")), 2), lit(0)).cast("double")
+        .as("validaciones"))
+    val profile = ev.filter(col("date_sk").between(baseFrom, baseTo))
+      .groupBy(col("mode_code"), col("tipo_dia"), col("date_sk"))
+      .agg(sum(col("v")).as("day_total"))
+      .groupBy(col("mode_code"), col("tipo_dia"))
+      .agg(sum(col("day_total")).as("base_total"),
+        count(lit(1)).as("n_dias_base"))
+    val calDays = ev.groupBy(col("tipo_dia"))
+      .agg(countDistinct(col("date_sk")).as("n_dias"))
+    val isComparable = col("mode_code").isInCollection(comparableModes)
+    observed
+      .join(profile, Seq("mode_code", "tipo_dia"), "left")
+      .join(broadcast(calDays), Seq("tipo_dia"))
+      .withColumn("subidas_diarias_base",
+        round(col("base_total").cast("double") / col("n_dias_base"), 2))
+      .withColumn("__pe0",
+        round(col("subidas_diarias_base") * col("n_dias"), 2))
+      .withColumn("pasajeros_estimados",
+        when(isComparable && col("__pe0") > 0, col("__pe0")))
+      .withColumn("cobertura",
+        round(col("validaciones") / col("pasajeros_estimados"), 4))
+      .withColumn("brecha_signed",
+        round(col("pasajeros_estimados") - col("validaciones"), 2))
+      .withColumn("brecha_no_validada",
+        when(col("brecha_signed").isNull, lit(null).cast("double"))
+          .when(col("brecha_signed") > 0, col("brecha_signed"))
+          .otherwise(lit(0).cast("double")))
+      .withColumn("sobrevalidacion",
+        when(col("brecha_signed").isNull, lit(null).cast("double"))
+          .when(col("brecha_signed") < 0, -col("brecha_signed"))
+          .otherwise(lit(0).cast("double")))
+      .withColumn("estado_comparabilidad",
+        when(!isComparable, "NO_COMPARABLE_MODO")
+          .when(col("pasajeros_estimados").isNull, "NO_COMPARABLE_SIN_BASE")
+          .when(col("cobertura") < coverageFloor,
+            "NO_COMPARABLE_BASE_SOBREDIMENSIONADA")
+          .when(col("cobertura") > coverageCeil,
+            "NO_COMPARABLE_BASE_SUBDIMENSIONADA")
+          .otherwise("COMPARABLE"))
+      .withColumn("bandera_calidad",
+        when(col("pasajeros_estimados").isNull ||
+          col("pasajeros_estimados") < qualityMinVolume, 0).otherwise(1))
+      .withColumn("recuperacion_pot_10",
+        round(lit(0.10) * col("brecha_no_validada"), 2))
+      .withColumn("recuperacion_pot_20",
+        round(lit(0.20) * col("brecha_no_validada"), 2))
+      .withColumn("brecha_relativa",
+        round(col("brecha_no_validada") / col("pasajeros_estimados"), 4))
+      .withColumn("gap_vs_meta",
+        round(lit(coverageTarget) - col("cobertura"), 4))
+      .select("mode_code", "tipo_dia", "validaciones", "n_dias_base",
+        "n_dias", "subidas_diarias_base", "pasajeros_estimados", "cobertura",
+        "brecha_signed", "brecha_no_validada", "sobrevalidacion",
+        "estado_comparabilidad", "bandera_calidad", "recuperacion_pot_10",
+        "recuperacion_pot_20", "brecha_relativa", "gap_vs_meta")
+  }
+
   /** Cohort retention: users grouped by their first-seen day, distinct
     * users retained per (cohort, day-offset), and the share of the
     * day-0 cohort size. Scale shape: first-seen is one user-keyed

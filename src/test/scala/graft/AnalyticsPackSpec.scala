@@ -224,6 +224,54 @@ class AnalyticsPackSpec extends SparkSpec {
     assert(got("VIEW").getAs[String]("estado") == "OK")
   }
 
+  test("revenueCoverageGap: scaled estimate, signed-gap split, §7 state machine") {
+    // base window = day 1 only; full window = days 1-2.
+    // CLICK/LABORAL: base day total 100 -> profile 100/day x 2 cal days
+    //   = 200 estimated; observed 100+40 = 140 -> under-validation 60.
+    // PURCHASE/LABORAL: base 10 -> estimated 20; observed 10+50=60 ->
+    //   cobertura 3.0 > 1.5 -> base subdimensionada, sobrevalidacion 40.
+    // VIEW: non-comparable mode; SIGNUP/SABADO: no base day -> sin base
+    //   would need comparability first (non-comparable mode wins).
+    val ev = Seq(
+      ("CLICK", "LABORAL", 20240101, 100.0),
+      ("CLICK", "LABORAL", 20240102, 40.0),
+      ("PURCHASE", "LABORAL", 20240101, 10.0),
+      ("PURCHASE", "LABORAL", 20240102, 50.0),
+      ("VIEW", "LABORAL", 20240101, 7.0),
+      ("CLICK", "SABADO", 20240102, 5.0)) // no base-day data -> SIN_BASE
+      .toDF("event_type_norm", "tipo_dia", "date_sk", "value")
+    val got = AnalyticsPack.revenueCoverageGap(ev,
+        baseFrom = 20240101, baseTo = 20240101,
+        winFrom = 20240101, winTo = 20240102,
+        comparableModes = Seq("CLICK", "PURCHASE")).collect()
+      .map(r => (r.getAs[String]("mode_code"), r.getAs[String]("tipo_dia")) -> r)
+      .toMap
+    val cl = got(("CLICK", "LABORAL"))
+    assert(cl.getAs[Double]("pasajeros_estimados") == 200.0)
+    assert(cl.getAs[Double]("validaciones") == 140.0)
+    assert(cl.getAs[Double]("brecha_signed") == 60.0)
+    assert(cl.getAs[Double]("brecha_no_validada") == 60.0)
+    assert(cl.getAs[Double]("sobrevalidacion") == 0.0)
+    assert(cl.getAs[Double]("cobertura") == 0.7)
+    assert(cl.getAs[String]("estado_comparabilidad") == "COMPARABLE")
+    assert(cl.getAs[Int]("bandera_calidad") == 0) // 200 < 500 volume floor
+    assert(cl.getAs[Double]("recuperacion_pot_10") == 6.0)
+    assert(cl.getAs[Double]("gap_vs_meta") == 0.25)
+    val pu = got(("PURCHASE", "LABORAL"))
+    assert(pu.getAs[Double]("cobertura") == 3.0)
+    assert(pu.getAs[String]("estado_comparabilidad")
+      == "NO_COMPARABLE_BASE_SUBDIMENSIONADA")
+    assert(pu.getAs[Double]("sobrevalidacion") == 40.0
+      && pu.getAs[Double]("brecha_no_validada") == 0.0)
+    val vw = got(("VIEW", "LABORAL"))
+    assert(vw.getAs[String]("estado_comparabilidad") == "NO_COMPARABLE_MODO")
+    assert(vw.isNullAt(vw.fieldIndex("pasajeros_estimados")))
+    assert(vw.getAs[Double]("validaciones") == 7.0) // base measure ungated
+    val sb = got(("CLICK", "SABADO"))
+    assert(sb.getAs[String]("estado_comparabilidad") == "NO_COMPARABLE_SIN_BASE")
+    assert(sb.isNullAt(sb.fieldIndex("cobertura")))
+  }
+
   private def tsOf(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("retentionCohort: offsets from first-seen day, pct of day-0 cohort") {
