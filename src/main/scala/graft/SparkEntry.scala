@@ -404,11 +404,15 @@ object SparkEntry {
 
   private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    // Both fingerprints come from one kernel pass; the spec pins the
-    // kernel to the declarative TextOps definitions.
+    // Both fingerprints come from one kernel pass, on md5-register
+    // hashes (r14 §5.1 conversion): the rolling fold expands to the
+    // positional sum Σ h_i·31^(n-i) mod p, which the oracle replays
+    // through a recursive powers-of-31 CTE; the min-shingle replays
+    // as MIN over the shingle relation. Spec pins the kernel to the
+    // declarative TextOps definitions.
     t(spark, dir, "documents")
       .select(col("doc_id"), size(toks).as("n_tokens"),
-        graft.expressions.Kernels.fingerprints(toks, 3).as("fp"))
+        graft.expressions.Kernels.fingerprints(toks, 3, md5 = true).as("fp"))
       .select(col("doc_id"), col("n_tokens"),
         col("fp").getItem(0).as("fp_rolling"),
         col("fp").getItem(1).as("fp_min_shingle"))
@@ -1941,8 +1945,8 @@ object SparkEntry {
 
     // Recall panel of the approximate dedup tiers vs the exact
     // prefix-filter truth — "measure, don't guess" for banding
-    // parameters; rows-only by protocol (xxhash64 tiers), panel
-    // consistency spec-pinned.
+    // parameters; oracle-checked since r14 (both tiers ride
+    // md5-register hashes, so the panel composes three SQL relations).
     "dedup_recall_eval" -> ((s: SparkSession, d: String) =>
       TextDedup.dedupRecallEval(t(s, d, "documents"), "doc_id", "text")),
 
@@ -2056,9 +2060,9 @@ object SparkEntry {
     }),
 
     // MinHash-banded decontamination — the broadcast-eval scale path
-    // of decontaminate_overlap (rows-only: xxhash64 signatures; the
-    // threshold is low because banding bounds RECALL, and the exact
-    // verify step keeps precision).
+    // of decontaminate_overlap (md5-register signatures since r14 —
+    // oracle-checked; the threshold is low because banding bounds
+    // RECALL, and the exact verify step keeps precision).
     "decontaminate_minhash" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       CorpusQc.decontaminateMinhash(
@@ -11137,10 +11141,250 @@ object SparkEntry {
     }
   }
 
-  /** DuckDB twins of the text-pipeline queries (minhash/simhash/
-    * fingerprint have no DuckDB-expressible twin — xxhash64 — and get
-    * the driver's rows-only check).
+  /** DuckDB twins of the text-pipeline queries. Since r14 the
+    * probabilistic tier (minhash / simhash / fingerprint /
+    * decontaminate-minhash and the recall panel over them) is
+    * oracle-checked too: signatures ride md5-register hashes
+    * ([[graft.expressions.ArrayKernels.md5Long60]]), so the sketch
+    * state is a SQL relation the oracle recomputes — the D75
+    * hllOverlapReplayable recipe applied to the text tier.
     */
+  // ── md5-register text-tier replays (r14 §5.1 conversion) ─────────
+
+  /** md5Long60 over a SQL expression — DuckDB's exact numeric twin of
+    * [[graft.expressions.ArrayKernels.md5Long60]] / Spark's
+    * `conv(substring(md5(e),1,15),16,10)`.
+    */
+  private def md5Long60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val docToksSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** The distinct n-gram shingle list over a token list `t` —
+    * generalizes the n=3 form the jaccard oracles pin (short docs
+    * contribute their whole token join, matching TextOps.shingles).
+    */
+  private def shinglesSqlFor(n: Int): String =
+    s"""CASE WHEN len(t) >= $n
+       |     THEN list_distinct(list_transform(range(1, len(t) - ${n - 2}),
+       |          i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' ')))
+       |     ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  /** The interleaved seed-42 affine coefficient draws — mirrors
+    * MinHashSigExpr's coefA/coefB generation exactly, so the oracle
+    * embeds the same literals the kernel uses.
+    */
+  private def minhashCoefs(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    def coef(): Long = 1L + rnd.nextInt(Int.MaxValue - 1)
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { a(i) = coef(); b(i) = coef(); i += 1 }
+    (a, b)
+  }
+
+  /** CTE block replaying the md5-register minhash signature + banding
+    * of one (doc_id, text) source: distinct md5Long60 shingle hashes,
+    * the 32-slot affine-minimum signature, md5Long60 band buckets —
+    * every relation TextDedup.minhashLsh materializes, prefixed so two
+    * sources can coexist in one statement (decontaminate).
+    */
+  private def minhashSigBandCtes(src: String, pfx: String, n: Int,
+                                 numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val (a, b) = minhashCoefs(numHashes)
+    val P = 1000000007L
+    val slotCols = (0 until numHashes).map(i =>
+      s"MIN(((h % $P) * ${a(i)} + ${b(i)}) % $P) AS s$i").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { bd =>
+      val cols = (0 until rows).map(i => s"s${bd * rows + i}").mkString(", ")
+      s"SELECT doc_id, $bd AS band_id, ${md5Long60Sql(s"concat_ws('|', $cols)")} AS bucket FROM ${pfx}sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${pfx}docs AS MATERIALIZED (
+       |  SELECT doc_id, ${shinglesSqlFor(n)} AS shs
+       |  FROM (SELECT doc_id, $docToksSql AS t FROM $src)),
+       |${pfx}hs AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${md5Long60Sql("sh")} AS h
+       |  FROM (SELECT doc_id, UNNEST(shs) AS sh FROM ${pfx}docs)),
+       |${pfx}sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ${pfx}hs GROUP BY 1),
+       |${pfx}sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $slotCols
+       |  FROM ${pfx}hs GROUP BY doc_id),
+       |${pfx}bnd AS MATERIALIZED (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** TextDedup.minhashLsh replayed end to end: banded candidates
+    * (count of agreeing bands) verified by exact Jaccard over the
+    * distinct-hash shingle sets.
+    */
+  private def minhashLshOracleSql(threshold: Double): String =
+    s"""WITH ${minhashSigBandCtes("documents", "", 3, 32, 8)},
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM bnd a JOIN bnd b ON a.band_id = b.band_id AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hs ha ON ha.doc_id = c.doc_a
+       |  JOIN hs hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.n_bands,
+       |  iv.n_inter / CAST(sa.n_sh + sb.n_sh - iv.n_inter AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+       |JOIN sz sa ON sa.doc_id = c.doc_a
+       |JOIN sz sb ON sb.doc_id = c.doc_b
+       |WHERE iv.n_inter / CAST(sa.n_sh + sb.n_sh - iv.n_inter AS DOUBLE) >= $threshold""".stripMargin
+
+  /** CorpusQc.decontaminateMinhash replayed: the same signature/band
+    * machinery over the train and eval splits, cross-side band
+    * collisions only, exact-Jaccard verification.
+    */
+  private def decontaminateMinhashOracleSql(threshold: Double): String = {
+    val train = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7)"
+    val evalS = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7)"
+    s"""WITH ${minhashSigBandCtes(train, "t", 8, 32, 8)},
+       |${minhashSigBandCtes(evalS, "e", 8, 32, 8)},
+       |cand AS (
+       |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_bands
+       |  FROM tbnd a JOIN ebnd b ON a.band_id = b.band_id AND a.bucket = b.bucket
+       |  GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT c.train_id, c.eval_id, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN ths ha ON ha.doc_id = c.train_id
+       |  JOIN ehs hb ON hb.doc_id = c.eval_id AND hb.h = ha.h
+       |  GROUP BY 1, 2)
+       |SELECT c.train_id, c.eval_id, c.n_bands,
+       |  iv.n_inter / CAST(sa.n_sh + sb.n_sh - iv.n_inter AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN iv ON iv.train_id = c.train_id AND iv.eval_id = c.eval_id
+       |JOIN tsz sa ON sa.doc_id = c.train_id
+       |JOIN esz sb ON sb.doc_id = c.eval_id
+       |WHERE iv.n_inter / CAST(sa.n_sh + sb.n_sh - iv.n_inter AS DOUBLE) >= $threshold""".stripMargin
+  }
+
+  /** TextDedup.simhashPairs replayed: the 60-bit md5-register simhash
+    * as 60 per-bit majority votes, four 15-bit bands, banded pairs
+    * filtered by exact bit_count(xor) Hamming distance.
+    */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val votes = (0 until 60).map(j =>
+      s"(CASE WHEN SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)")
+      .grouped(4).map(_.mkString(" + ")).mkString("\n    + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, h64, $b AS band_id, (h64 >> ${b * 15}) & 32767 AS bucket FROM fp")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, ${md5Long60Sql("tok")} AS h
+       |  FROM (SELECT doc_id, UNNEST($docToksSql) AS tok FROM documents)),
+       |fp AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $votes AS h64
+       |  FROM tk GROUP BY doc_id),
+       |bnd AS MATERIALIZED (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.h64, b.h64)) AS hamming
+       |FROM bnd a JOIN bnd b ON a.band_id = b.band_id AND a.bucket = b.bucket
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h64, b.h64)) <= $maxHamming""".stripMargin
+  }
+
+  /** The textFingerprint registry query replayed: the rolling fold
+    * expands to the positional sum Σ h_i·31^(n−i) mod p over a
+    * recursive powers-of-31 table; the min-shingle is MIN over the
+    * md5Long60 shingle relation (duplicate windows are MIN-invariant,
+    * so the distinct shingle list replays the kernel's all-windows
+    * scan exactly).
+    */
+  private def textFingerprintOracleSql: String = {
+    val P = 1000000007L
+    s"""WITH RECURSIVE tk AS MATERIALIZED (
+       |  SELECT doc_id, $docToksSql AS t FROM documents),
+       |mx AS (SELECT MAX(len(t)) AS mx FROM tk),
+       |pows AS (
+       |  SELECT 0 AS k, CAST(1 AS BIGINT) AS v
+       |  UNION ALL
+       |  SELECT k + 1, (v * 31) % $P FROM pows WHERE k + 1 < (SELECT mx FROM mx)),
+       |ps AS MATERIALIZED (
+       |  SELECT doc_id, len(t) AS n, UNNEST(t) AS tok,
+       |    UNNEST(range(1, len(t) + 1)) AS pos
+       |  FROM tk),
+       |hv AS (
+       |  SELECT doc_id, n, pos, ${md5Long60Sql("tok")} % $P AS h FROM ps),
+       |roll AS (
+       |  -- SUM(BIGINT) is HUGEINT in DuckDB; the positional sum is
+       |  -- < n·p (~2^47), so the BIGINT narrowing is exact
+       |  SELECT doc_id, CAST(SUM((h * pw.v) % $P) % $P AS BIGINT) AS fp_rolling
+       |  FROM hv JOIN pows pw ON pw.k = hv.n - hv.pos
+       |  GROUP BY 1),
+       |msh AS (
+       |  SELECT doc_id, MIN(${md5Long60Sql("sh")} % $P) AS fp_min_shingle
+       |  FROM (SELECT doc_id, UNNEST(shs) AS sh
+       |        FROM (SELECT doc_id, ${shinglesSqlFor(3)} AS shs FROM tk))
+       |  GROUP BY 1)
+       |SELECT tk.doc_id, len(tk.t) AS n_tokens, roll.fp_rolling, msh.fp_min_shingle
+       |FROM tk
+       |JOIN roll ON roll.doc_id = tk.doc_id
+       |JOIN msh ON msh.doc_id = tk.doc_id""".stripMargin
+  }
+
+  /** TextDedup.dedupRecallEval replayed: the exact prefix-filter truth
+    * and both (now fully SQL-replayable) approximate tiers composed
+    * into the two-row recall panel.
+    */
+  private def dedupRecallEvalOracleSql(toksSql: String, shinglesSql: String): String =
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |${jaccardPairsOracleSqlUncapped(toksSql, shinglesSql)})),
+       |mh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_a, doc_b FROM (${minhashLshOracleSql(0.5)})),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_a, doc_b FROM (${simhashOracleSql(8)})),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT 'minhash_lsh' AS method, nt.n_truth,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_found,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+       |     JOIN mh ON mh.doc_a = t.doc_a AND mh.doc_b = t.doc_b) AS n_hit,
+       |  CAST((SELECT COUNT(*) FROM truth t
+       |     JOIN mh ON mh.doc_a = t.doc_a AND mh.doc_b = t.doc_b) AS DOUBLE)
+       |    / CAST(nt.n_truth AS DOUBLE) AS recall
+       |FROM nt
+       |UNION ALL
+       |SELECT 'simhash' AS method, nt.n_truth,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_found,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+       |     JOIN sh ON sh.doc_a = t.doc_a AND sh.doc_b = t.doc_b) AS n_hit,
+       |  CAST((SELECT COUNT(*) FROM truth t
+       |     JOIN sh ON sh.doc_a = t.doc_a AND sh.doc_b = t.doc_b) AS DOUBLE)
+       |    / CAST(nt.n_truth AS DOUBLE) AS recall
+       |FROM nt""".stripMargin
+
+  /** The uncapped exact >= 0.5 Jaccard pair set (dedup_prefix_filter's
+    * oracle body), reused as the recall panel's truth relation.
+    */
+  private def jaccardPairsOracleSqlUncapped(toksSql: String, shinglesSql: String): String =
+    s"""WITH pf_docs AS (
+       |  SELECT doc_id, $shinglesSql AS shs
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+       |pf_sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM pf_docs),
+       |pf_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM pf_sh GROUP BY doc_id),
+       |pf_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM pf_sh a JOIN pf_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b
+       |FROM pf_pairs p
+       |JOIN pf_sizes sa ON sa.doc_id = p.doc_a
+       |JOIN pf_sizes sb ON sb.doc_id = p.doc_b
+       |WHERE p.n_common / (sa.n_sh + sb.n_sh - p.n_common) >= 0.5""".stripMargin
+
   /** TextDedup.incrementalDedup / incrementalDedupIndexed mirrored —
     * corpus digests + df-capped postings, symmetric stop-shingle drop,
     * exact Jaccard, first-match decision. ONE string for both: the two
@@ -11622,6 +11866,13 @@ object SparkEntry {
       // the posting relation and the union sizes — Jaccard is exact
       // over the filtered shingle space).
       "dedup_ngram_jaccard" -> jaccardPairsOracleSql(toksSql, shinglesSql),
+
+      // ── r14 md5-register conversions (former §5.1 rows-only) ─────
+      "dedup_minhash_lsh" -> minhashLshOracleSql(0.5),
+      "dedup_simhash" -> simhashOracleSql(8),
+      "text_fingerprint" -> textFingerprintOracleSql,
+      "decontaminate_minhash" -> decontaminateMinhashOracleSql(0.2),
+      "dedup_recall_eval" -> dedupRecallEvalOracleSql(toksSql, shinglesSql),
 
       // TextDedup.dedupRateCurve mirrored: the pair replay nested as
       // a CTE, threshold fan-out, keep-lowest-id loser counts, one

@@ -17,6 +17,35 @@ import org.apache.spark.sql.types._
   */
 object ArrayKernels {
 
+  // One MessageDigest per thread: getInstance per call costs more
+  // than the digest itself on shingle-sized inputs.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-register hash of a UTF8String — numerically equal to
+    * the SQL `conv(substring(md5(s), 1, 15), 16, 10)` (DuckDB:
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`): the first 15
+    * hex digits of the digest are the first 8 bytes big-endian,
+    * unsigned-shifted right 4. This is [[graft.operators.Sampling
+    * .md5Long60]]'s single-non-null-column case at kernel speed — the
+    * engine-REPLAYABLE hash for tiers whose output exposes hash-
+    * derived values (minhash signatures, simhash planes, fingerprints)
+    * so the DuckDB oracle can recompute them as SQL relations. A null
+    * element hashes as the empty string (tokenizers never emit null
+    * elements; the total function keeps the kernel null-free).
+    */
+  def md5Long60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(if (s == null) Array.emptyByteArray else s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** MinHash kernel: one base hash per element TOTAL, then the affine
     * family (a_i·h + b_i) mod p per slot, tracking slot minimums.
     * `strings = false` accepts pre-hashed 64-bit elements (xxhash64 of
@@ -58,17 +87,25 @@ object ArrayKernels {
   /** SimHash kernel: per-bit majority vote over element hashes.
     * A null element hashes to the seed (= builtin xxhash64(null));
     * the empty array votes every bit to 1, matching the declarative
-    * fold from a zero accumulator.
+    * fold from a zero accumulator. `md5 = true` votes over the 60
+    * bits of [[md5Long60]] instead (the fingerprint is then a SQL
+    * relation: 60 per-bit `SUM(CASE (h >> j) & 1 ...)` votes any
+    * engine replays); band width drops 16 → 15 so four bands still
+    * tile the fingerprint.
     */
-  def simhash(arr: ArrayData): Long = {
-    val votes = new Array[Int](64)
+  def simhash(arr: ArrayData, md5: Boolean): Long = {
+    val bits = if (md5) 60 else 64
+    val votes = new Array[Int](bits)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val h = if (s == null) 42L else XxHash64Function.hash(s, StringType, 42L)
+      val h =
+        if (md5) md5Long60(s)
+        else if (s == null) 42L
+        else XxHash64Function.hash(s, StringType, 42L)
       var j = 0
-      while (j < 64) {
+      while (j < bits) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -76,7 +113,7 @@ object ArrayKernels {
     }
     var out = 0L
     var j = 0
-    while (j < 64) {
+    while (j < bits) {
       if (votes(j) >= 0) out |= (1L << j)
       j += 1
     }
@@ -87,14 +124,19 @@ object ArrayKernels {
     * min-hash over n-token shingles, in one pass. Matches
     * TextOps.rollingFingerprint / minShingleFingerprint exactly
     * (same xxhash64 seed, same mod-prime arithmetic, same short-doc
-    * whole-join shingle).
+    * whole-join shingle). `md5 = true` swaps the token/shingle hash
+    * for [[md5Long60]] — identical structure, but the fingerprint
+    * relation becomes SQL-replayable (the rolling fold expands to
+    * `Σ hᵢ·31^(n−i) mod p`, a positional sum any engine computes).
     */
-  def fingerprints(arr: ArrayData, n: Int, prime: Long): ArrayData = {
+  def fingerprints(arr: ArrayData, n: Int, prime: Long, md5: Boolean): ArrayData = {
     val cnt = arr.numElements()
+    @inline def hashOf(s: org.apache.spark.unsafe.types.UTF8String): Long =
+      if (md5) md5Long60(s) else XxHash64Function.hash(s, StringType, 42L)
     var rolling = 0L
     var i = 0
     while (i < cnt) {
-      val h = java.lang.Math.floorMod(XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), prime)
+      val h = java.lang.Math.floorMod(hashOf(arr.getUTF8String(i)), prime)
       rolling = java.lang.Math.floorMod(rolling * 31 + h, prime)
       i += 1
     }
@@ -107,7 +149,7 @@ object ArrayKernels {
         var j = 0
         while (j < n) { window(j) = arr.getUTF8String(s + j); j += 1 }
         val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
-        val h = java.lang.Math.floorMod(XxHash64Function.hash(sh, StringType, 42L), prime)
+        val h = java.lang.Math.floorMod(hashOf(sh), prime)
         if (h < minShingle) minShingle = h
         s += 1
       }
@@ -116,7 +158,7 @@ object ArrayKernels {
       var j = 0
       while (j < cnt) { all(j) = arr.getUTF8String(j); j += 1 }
       val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, all: _*)
-      minShingle = java.lang.Math.floorMod(XxHash64Function.hash(sh, StringType, 42L), prime)
+      minShingle = java.lang.Math.floorMod(hashOf(sh), prime)
     }
     new GenericArrayData(Array(rolling, minShingle))
   }
@@ -131,15 +173,16 @@ object ArrayKernels {
     * sf0.1). Documents shorter than n tokens contribute their whole
     * token join, matching TextOps.shingles.
     */
-  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+  def shingleHashes(arr: ArrayData, n: Int, md5: Boolean): ArrayData = {
     val cnt = arr.numElements()
+    @inline def hashOf(s: org.apache.spark.unsafe.types.UTF8String): Long =
+      if (md5) md5Long60(s) else XxHash64Function.hash(s, StringType, 42L)
     val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     if (cnt < n) {
       val all = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
       var j = 0
       while (j < cnt) { all(j) = arr.getUTF8String(j); j += 1 }
-      val h = XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, all: _*), StringType, 42L)
+      val h = hashOf(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, all: _*))
       return new GenericArrayData(Array(h))
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -149,7 +192,7 @@ object ArrayKernels {
       var j = 0
       while (j < n) { window(j) = arr.getUTF8String(s + j); j += 1 }
       val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
-      seen.add(XxHash64Function.hash(sh, StringType, 42L))
+      seen.add(hashOf(sh))
       s += 1
     }
     val out = new Array[Long](seen.size)
@@ -229,18 +272,18 @@ object MinHashSigExpr {
 /** array<string> -> array<long> of [fp_rolling, fp_min_shingle]:
   * both document fingerprints in one pass over the tokens.
   */
-case class FingerprintsExpr(child: Expression, n: Int)
+case class FingerprintsExpr(child: Expression, n: Int, md5: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "fingerprints"
 
   override protected def nullSafeEval(input: Any): Any =
-    ArrayKernels.fingerprints(input.asInstanceOf[ArrayData], n, MinHashSigExpr.Prime)
+    ArrayKernels.fingerprints(input.asInstanceOf[ArrayData], n, MinHashSigExpr.Prime, md5)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.ArrayKernels.fingerprints($c, $n, ${MinHashSigExpr.Prime}L);")
+      s"${ev.value} = graft.expressions.ArrayKernels.fingerprints($c, $n, ${MinHashSigExpr.Prime}L, $md5);")
 
   override protected def withNewChildInternal(newChild: Expression): FingerprintsExpr =
     copy(child = newChild)
@@ -249,36 +292,39 @@ case class FingerprintsExpr(child: Expression, n: Int)
 /** array<string> tokens -> array<long>: distinct xxhash64 hashes of
   * the n-gram shingle windows (see ArrayKernels.shingleHashes).
   */
-case class ShingleHashesExpr(child: Expression, n: Int)
+case class ShingleHashesExpr(child: Expression, n: Int, md5: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ArrayKernels.shingleHashes(input.asInstanceOf[ArrayData], n)
+    ArrayKernels.shingleHashes(input.asInstanceOf[ArrayData], n, md5)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.ArrayKernels.shingleHashes($c, $n);")
+      s"${ev.value} = graft.expressions.ArrayKernels.shingleHashes($c, $n, $md5);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 
-/** array<string> -> long: 64-bit SimHash (per-bit majority vote). */
-case class SimHash64Expr(child: Expression)
+/** array<string> -> long: SimHash by per-bit majority vote — 64-bit
+  * xxhash64 planes by default, 60-bit md5-register planes with
+  * `md5 = true` (see ArrayKernels.simhash).
+  */
+case class SimHash64Expr(child: Expression, md5: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    ArrayKernels.simhash(input.asInstanceOf[ArrayData])
+    ArrayKernels.simhash(input.asInstanceOf[ArrayData], md5)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.ArrayKernels.simhash($c);")
+      s"${ev.value} = graft.expressions.ArrayKernels.simhash($c, $md5);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)

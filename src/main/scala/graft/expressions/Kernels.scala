@@ -14,12 +14,15 @@ object Kernels {
   /** Distinct xxhash64 n-gram shingle hashes of an array<string>
     * token column (see [[ShingleHashesExpr]]).
     */
-  def shingleHashes(tokens: Column, n: Int): Column =
-    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), n))
+  def shingleHashes(tokens: Column, n: Int, md5: Boolean = false): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), n, md5))
 
-  /** 64-bit SimHash of an array<string> column (see [[SimHash64Expr]]). */
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+  /** SimHash of an array<string> column (see [[SimHash64Expr]]):
+    * 64-bit xxhash64 planes by default, 60-bit engine-replayable
+    * md5-register planes with `md5 = true`.
+    */
+  def simhash64(tokens: Column, md5: Boolean = false): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens), md5))
 
   /** `CAST(double AS DECIMAL(p,s))` through the fast-path kernel
     * (see [[DoubleToDecimalExpr]]) — bit-identical to the builtin
@@ -40,8 +43,8 @@ object Kernels {
   /** Both document fingerprints ([rolling, min-shingle]) in one pass
     * (see [[FingerprintsExpr]]).
     */
-  def fingerprints(tokens: Column, n: Int): Column =
-    ColumnBridge.column(FingerprintsExpr(ColumnBridge.expression(tokens), n))
+  def fingerprints(tokens: Column, n: Int, md5: Boolean = false): Column =
+    ColumnBridge.column(FingerprintsExpr(ColumnBridge.expression(tokens), n, md5))
 
   /** Left-fold dot product of two array<double> columns (see
     * [[DotProductExpr]]); bit-identical to the declarative

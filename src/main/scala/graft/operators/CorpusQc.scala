@@ -178,9 +178,12 @@ object CorpusQc {
     * relation broadcasts, so the candidate join adds no shuffle to
     * the train scan at 100 TB.
     *
-    * Rows-only by protocol (signatures are xxhash64-derived, not
-    * SQL-replayable) — the spec pins planted contamination, clean-doc
-    * silence, and agreement with the exact sweep on planted pairs.
+    * Hashing is md5-register end to end (md5Long60 shingle base
+    * hashes, md5Long60 band buckets — TextDedup.minhashLsh's r14
+    * conversion), so signatures and banding replay as SQL relations
+    * and the oracle recomputes the full sweep; the spec additionally
+    * pins planted contamination, clean-doc silence, and agreement
+    * with the exact sweep on planted pairs.
     */
   def decontaminateMinhash(train: DataFrame, evalSet: DataFrame,
                            idCol: String, textCol: String,
@@ -189,12 +192,10 @@ object CorpusQc {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     def sigs(df: DataFrame, as: String): DataFrame =
-      TextDedup.hashedShingles(df, idCol, textCol, n)
+      TextDedup.hashedShingles(df, idCol, textCol, n, md5 = true)
         .select(col("doc_id").as(as), col("shs"),
           Kernels.minhashSig(col("shs"), numHashes).as("sig"))
-    val bandStructs = array((0 until bands).map(b =>
-      struct(lit(b).as("band_id"),
-        hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)
+    val bandStructs = TextDedup.md5BandStructs(bands, rows)
     def banded(df: DataFrame, as: String): DataFrame =
       df.select(col(as), explode(bandStructs).as("bb"))
         .select(col(as), col("bb.band_id"), col("bb.bucket"))

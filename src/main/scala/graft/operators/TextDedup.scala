@@ -396,9 +396,9 @@ object TextDedup {
     * (spec-pinned in KernelExprSpec).
     */
   private[graft] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-                             n: Int): DataFrame =
+                             n: Int, md5: Boolean = false): DataFrame =
     df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), Kernels.shingleHashes(col("toks"), n).as("shs"))
+      .select(col("doc_id"), Kernels.shingleHashes(col("toks"), n, md5).as("shs"))
 
   /** INCREMENTAL corpus dedup — the operational shape at 100 TB: a
     * new batch is deduped AGAINST the standing corpus (plus exactly
@@ -691,30 +691,46 @@ object TextDedup {
     }: _*)
   }
 
+  /** Engine-replayable band bucket for a minhash signature column:
+    * md5Long60 of the band's `rows` slot values joined on '|' — the
+    * murmur3 `hash(slice(sig, …))` bucket of the pre-r14 tier was the
+    * one non-replayable step left once signatures moved to
+    * md5-register base hashes; with this bucket the ENTIRE banded
+    * relation is a SQL relation DuckDB recomputes (§5.1 conversion,
+    * the D75 hllOverlapReplayable recipe).
+    */
+  private[operators] def md5BandStructs(bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        Sampling.md5Long60((0 until rows).map(i =>
+          col("sig").getItem(b * rows + i))).as("bucket"))): _*)
+
   /** MinHash-LSH near-dup candidates: band the signature, bucket-join
     * on (band, bucket) — the only pairs ever materialized are those
     * agreeing on at least one full band — then verify each candidate
     * with the exact shingle-set Jaccard (array intersect/union on the
     * already-joined pair, no extra shuffle fan-out).
+    *
+    * Hashing is md5-register end to end (shingle base hashes
+    * md5Long60 → affine slot family → md5Long60 band buckets), so the
+    * signature AND banding relations replay as SQL in any engine —
+    * the oracle recomputes them verbatim (one md5 per shingle TOTAL;
+    * the affine slot family stays cheap integer arithmetic).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    // The shingle set is built ONCE, as 64-bit hashes: the signature
-    // kernel consumes the hashed array directly (identical signatures
-    // to the string path — spec-pinned), the verify joins shuffle
-    // 8-byte elements instead of n-token strings, and set intersection
-    // compares longs.
-    val docs = hashedShingles(df, idCol, textCol, n)
+    // The shingle set is built ONCE, as 60-bit md5 hashes: the
+    // signature kernel consumes the hashed array directly, the verify
+    // joins shuffle 8-byte elements instead of n-token strings, and
+    // set intersection compares longs.
+    val docs = hashedShingles(df, idCol, textCol, n, md5 = true)
       .withColumn("sig", Kernels.minhashSig(col("shs"), numHashes))
     // Band structs via a Scala-side loop: `sig` is referenced `bands`
     // times, keeping it a materialized attribute (see shingleHashes).
-    val bandStructs = array((0 until bands).map(b =>
-      struct(lit(b).as("band_id"),
-        hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)
-    val banded = docs.select(col("doc_id"), explode(bandStructs).as("bb"))
+    val banded = docs.select(col("doc_id"), explode(md5BandStructs(bands, rows)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.bucket"))
     val cands = postingPairs(banded, Seq("band_id", "bucket"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -787,18 +803,21 @@ object TextDedup {
       when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** SimHash near-dup candidates: split the 64-bit fingerprint into
-    * four 16-bit bands (pigeonhole: any pair within Hamming distance 3
-    * of each other agrees on at least one band), bucket-join on the
-    * band value, then filter by exact Hamming distance.
+  /** SimHash near-dup candidates: split the 60-bit md5-register
+    * fingerprint into four 15-bit bands (pigeonhole: any pair within
+    * Hamming distance 3 of each other agrees on at least one band),
+    * bucket-join on the band value, then filter by exact Hamming
+    * distance. The md5 planes make the fingerprint a SQL relation
+    * (60 per-bit majority votes over `md5Long60(token)` — the oracle
+    * recomputes fingerprint, bands and distances verbatim).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("simhash", Kernels.simhash64(col("toks")))
+      .withColumn("simhash", Kernels.simhash64(col("toks"), md5 = true))
       .select("doc_id", "simhash")
-    hammingPairs64(docs, "doc_id", "simhash", maxHamming)
+    hammingPairs64(docs, "doc_id", "simhash", maxHamming, bandBits = 15)
   }
 
   /** Banded near-pair generation over ANY 64-bit hash column
@@ -808,16 +827,17 @@ object TextDedup {
     * band-bucket collisions; the exact hamming distance verifies each.
     */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int): DataFrame = {
+                     maxHamming: Int, bandBits: Int = 16): DataFrame = {
     // recall is GUARANTEED only for maxHamming <= 15 (pigeonhole over
     // four bands); larger thresholds still work but return banded
     // candidates only — callers inspecting the full distance spectrum
     // (diagnostics, specs) accept that deliberately
     require(maxHamming >= 0, s"negative hamming threshold: $maxHamming")
     val base = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
+    val bandMask = (1L << bandBits) - 1
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
-        shiftright(col("h64"), b * 16).bitwiseAND(lit(65535L)).as("bucket"))): _*)
+        shiftright(col("h64"), b * bandBits).bitwiseAND(lit(bandMask)).as("bucket"))): _*)
     val banded = base.select(col("doc_id"), col("h64"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("h64"), col("bb.band_id"), col("bb.bucket"))
     banded.as("a").join(banded.as("b"),

@@ -72,6 +72,63 @@ class KernelExprSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  // The declarative md5Long60: conv(substr(md5(s),1,15),16,10) — the
+  // exact chain the DuckDB oracle replays (CAST('0x'||substr(md5(s),
+  // 1,15) AS BIGINT)); each md5-mode kernel must agree with it.
+  private def md5L60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  test("md5 kernel hash equals the conv(substr(md5)) oracle chain") {
+    val got = Seq("", "a", "the quick brown", "ümlaut ø 中文")
+      .toDF("s")
+      .select(Kernels.shingleHashes(array($"s"), 3, md5 = true).getItem(0).as("kern"),
+        md5L60($"s").as("decl"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("md5 shingle-hash kernel matches the declarative shingles->md5 chain") {
+    val both = docs.union(Seq((4L, ""), (5L, "a b")).toDF("doc_id", "text"))
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select(
+        Kernels.shingleHashes($"toks", 3, md5 = true).as("kern"),
+        transform(TextOps.shingles($"toks", 3), s => md5L60(s)).as("decl"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("md5 simhash kernel matches the declarative 60-bit majority vote") {
+    val toks = TextOps.tokens($"text")
+    val decl = (0 until 60).map { j =>
+      val vote = aggregate(col("h60"), lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val both = docs
+      .withColumn("h60", transform(toks, t => md5L60(t)))
+      .select(Kernels.simhash64(toks, md5 = true).as("kern"), decl.as("decl"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("md5 fingerprint kernel matches the declarative md5 rolling + min-shingle") {
+    val p = 1000000007L
+    val toks = TextOps.tokens($"text")
+    val roll = aggregate(col("h60"), lit(0L),
+      (acc, h) => pmod(acc * 31 + pmod(h, lit(p)), lit(p)))
+    val minsh = array_min(transform(TextOps.shingles(toks, 3),
+      s => pmod(md5L60(s), lit(p))))
+    val both = docs.union(Seq((4L, "")).toDF("doc_id", "text"))
+      .withColumn("h60", transform(toks, t => md5L60(t)))
+      .select(Kernels.fingerprints(toks, 3, md5 = true).as("kern"),
+        roll.as("roll"), minsh.as("minsh"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2)))
+    }
+  }
+
   test("fingerprint kernel matches the declarative rolling + min-shingle") {
     val toks = TextOps.tokens($"text")
     val both = docs.union(Seq((4L, "")).toDF("doc_id", "text")).select(
