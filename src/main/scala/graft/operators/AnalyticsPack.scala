@@ -1162,10 +1162,15 @@ object AnalyticsPack {
       .localCheckpoint(true)
     val bigEnough = ev.groupBy(col("event_type_norm"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).drop("n")
+    // the median panel feeds BOTH the MAD pass and the final score
+    // join through the lazy `dev` relation — without the checkpoint
+    // each consumer re-ran the whole rank-bracket median over the
+    // fact (the r13 bench's 2.4x-floor gap on this query)
     val med = Profiling.exactQuantilesBy(ev, Seq("event_type_norm"), "value",
         Seq(0.5))
       .select(col("event_type_norm"), col("value").as("med"))
       .join(bigEnough, "event_type_norm")
+      .localCheckpoint(true)
     val dev = ev.join(broadcast(med), "event_type_norm")
       .withColumn("__absdev", abs(col("value") - col("med")))
     val mad = Profiling.exactQuantilesBy(dev, Seq("event_type_norm"), "__absdev",

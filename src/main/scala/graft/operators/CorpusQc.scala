@@ -798,40 +798,53 @@ object CorpusQc {
     * corpus" panel that drives packing budgets and cost estimates).
     *
     * Scale shape: training stays vocab-sized (its per-round winners
-    * are already checkpointed 1-row panels); applying is `rounds`
-    * broadcast-crossJoin + literal-replace passes over the exploded
-    * token relation — the boundary-safe double-space encoding from
-    * training makes each pass one codegen'd string op. A production
-    * encoder collapses the passes into one trie walk; the
-    * rounds-passes shape is the price of exact SQL replayability and
-    * is linear in rounds × corpus either way.
+    * are already checkpointed 1-row panels); applying runs the
+    * `rounds` broadcast-crossJoin + literal-replace passes over the
+    * token-TYPE vocabulary, not occurrences — the piece count is a
+    * pure function of the token string, so the corpus is touched
+    * exactly twice (one explode to types + counts, one broadcast join
+    * of the ≤vocab-sized piece table back onto the occurrence
+    * relation). Heaps' law keeps types ≪ occurrences at any corpus
+    * size (r14 rewrite: the per-occurrence passes were 6 corpus scans
+    * that the per-type path collapses to vocabulary-sized work;
+    * output bit-identical, oracle-pinned). A production encoder
+    * collapses the passes into one trie walk; the rounds-passes shape
+    * is the price of exact SQL replayability.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 rounds: Int): DataFrame = {
     val merges = bpeTrainMerges(df, textCol, rounds).localCheckpoint(true)
     // only LANDED rounds replay (an exhausted trainer returns fewer
     // rows than `rounds`; a missing round's empty cross join would
-    // wipe the token relation) — the merge table is a ≤rounds-row
+    // wipe the type relation) — the merge table is a ≤rounds-row
     // panel, so the round list is a panel collect
     val landed = merges.select(col("round")).distinct()
       .collect().map(_.getInt(0)).sorted
-    var toks = df.select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), concat(lit(" "),
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    var types = toks.select(col("tok")).distinct()
+      .select(col("tok"), concat(lit(" "),
         array_join(regexp_extract_all(col("tok"), lit("."), lit(0)), "  "),
         lit(" ")).as("sym"))
     for (r <- landed) {
       val m = merges.filter(col("round") === r)
         .select(col("merge_left").as("__l"), col("merge_right").as("__r"))
-      toks = toks.crossJoin(broadcast(m))
+      types = types.crossJoin(broadcast(m))
         .withColumn("sym", replace(col("sym"),
           concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
           concat(lit(" "), col("__l"), col("__r"), lit(" "))))
         .drop("__l", "__r")
     }
-    toks.groupBy(col("doc_id"))
+    // count-gated broadcast (the piece table is vocabulary-sized —
+    // small for any real corpus, but Heaps-unbounded in principle;
+    // past the gate the join falls back to a tok-keyed shuffle)
+    val pieces = types
+      .select(col("tok"), size(split(trim(col("sym")), "  ")).as("__pieces"))
+      .localCheckpoint(true)
+    toks.join(Prejoin.broadcastIfSmall(pieces, pieces.count()), Seq("tok"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(size(split(trim(col("sym")), "  "))).as("n_symbols"))
+        sum(col("__pieces")).as("n_symbols"))
   }
 
   /** Fixed-size token chunking with overlap — the pre-embedding /

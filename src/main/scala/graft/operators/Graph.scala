@@ -539,10 +539,16 @@ object Graph {
       .localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // the raw-score panel is node-sized and read TWICE (once under
+      // the norm aggregate, once for the normalized join) — without
+      // the checkpoint each phase re-ran the edge join + shuffle for
+      // the second read (the k-core reuse argument, Graph.scala
+      // k-core fixpoint; measured 2 extra edge passes per iteration)
       val aRaw = hub.join(e, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(q12(col("hub") * col("w")).cast(d28)).cast("double")
           .as("araw"))
+        .localCheckpoint(true)
       val aN = aRaw.agg(sqrt(coalesce(
         sum(q12(col("araw") * col("araw")).cast(d28)).cast("double"),
         lit(0.0))).as("nrm"))
@@ -556,6 +562,7 @@ object Graph {
         .groupBy(col("src"))
         .agg(sum(q12(col("authority") * col("w")).cast(d28)).cast("double")
           .as("hraw"))
+        .localCheckpoint(true)
       val hN = hRaw.agg(sqrt(coalesce(
         sum(q12(col("hraw") * col("hraw")).cast(d28)).cast("double"),
         lit(0.0))).as("nrm"))
