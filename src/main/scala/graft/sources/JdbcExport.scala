@@ -122,8 +122,39 @@ object JdbcExport {
         throw new IllegalArgumentException(s"unbindable type $other")
     }
 
+  /** Row-at-a-time exact-count recovery for SUCCESS_NO_INFO drivers:
+    * rebind and executeUpdate each row of the chunk individually —
+    * per-row counts are always exact, and re-running the (already
+    * batch-applied) UPDATE is idempotent. Factored out so the spec
+    * can drive it against a real Derby statement.
+    */
+  private[graft] def reprobeCounts(chunk: Seq[Row], upd: PreparedStatement,
+                                   bindRow: (PreparedStatement, Row) => Unit): Array[Int] =
+    chunk.map { row => bindRow(upd, row); upd.executeUpdate() }.toArray
+
   /** Idempotent MERGE-on-grain export: update matched grains, insert
     * new ones. Returns (updated, inserted) totals.
+    *
+    * Keys-only tables (every column part of the grain — bridge/junk
+    * exports) are supported: the "update" leg degrades to a no-op
+    * self-assignment (`SET k = k`) whose match count is the grain
+    * probe, so present grains count as `updated` (no-op touch) and
+    * absent ones insert — MERGE's WHEN-MATCHED-THEN-DO-NOTHING shape
+    * without vendor MERGE syntax.
+    *
+    * Drivers returning SUCCESS_NO_INFO batch counts (Oracle, MySQL in
+    * rewrite mode) fall back per CHUNK to row-at-a-time UPDATEs to
+    * recover exact match counts: the batched UPDATE has already
+    * applied, but re-running it row-by-row is idempotent (same SET,
+    * same keys), and per-row executeUpdate always reports exactly.
+    * The fallback costs one round-trip per row on affected chunks —
+    * correctness over speed, this is an export tier.
+    *
+    * Count caveat under task retry: chunks commit individually, so a
+    * retried task finds its earlier chunks already committed — rows
+    * counted as inserts on the failed attempt re-count as updates on
+    * the retry. Table STATE stays correct (the upsert is idempotent);
+    * the (updated, inserted) totals are best-effort under retry.
     */
   def mergeByKey(df: DataFrame, url: String, table: String,
                  keyCols: Seq[String], batchSize: Int = 500): (Long, Long) = {
@@ -132,16 +163,18 @@ object JdbcExport {
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"keyCols $keyCols must be non-empty columns of $cols")
     val valCols = cols.filterNot(keyCols.contains)
-    require(valCols.nonEmpty,
-      "mergeByKey needs at least one non-key column to update")
     // grain contract: a duplicate key would make update/insert order
     // matter — refuse rather than export nondeterministically
     val dupes = df.groupBy(keyCols.map(df.col): _*).count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
     require(dupes == 0L, s"input is not grain-unique on $keyCols")
     ensureTable(url, table, schema)
-    val updateSql = s"UPDATE $table SET " +
-      valCols.map(c => s"$c = ?").mkString(", ") +
+    // keys-only grain: no SET-table values exist, so probe grain
+    // presence with a portable no-op self-assignment instead
+    val setClause =
+      if (valCols.nonEmpty) valCols.map(c => s"$c = ?").mkString(", ")
+      else s"${keyCols.head} = ${keyCols.head}"
+    val updateSql = s"UPDATE $table SET " + setClause +
       " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
       cols.map(_ => "?").mkString(", ") + ")"
@@ -168,15 +201,25 @@ object JdbcExport {
                 }
                 upd.addBatch()
               }
-              val counts = upd.executeBatch()
-              // miss detection needs EXACT batch counts: a driver
-              // returning SUCCESS_NO_INFO (-2; Oracle, MySQL rewrite
-              // mode) cannot distinguish update-hit from miss — fail
-              // loudly rather than silently dropping new grains
-              require(!counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO),
-                "mergeByKey requires a JDBC driver reporting exact batch " +
-                  "update counts (driver returned SUCCESS_NO_INFO); " +
-                  "disable batch rewriting or use a per-row upsert path")
+              val batchCounts = upd.executeBatch()
+              // miss detection needs EXACT counts: a driver returning
+              // SUCCESS_NO_INFO (-2; Oracle, MySQL rewrite mode)
+              // cannot distinguish update-hit from miss — re-probe the
+              // chunk row-at-a-time (idempotent re-UPDATE, exact
+              // per-row counts) instead of dropping new grains or
+              // refusing outright
+              val counts =
+                if (!batchCounts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+                  batchCounts
+                else reprobeCounts(chunk, upd, (st, row) => {
+                  var slot = 1
+                  valCols.foreach { c =>
+                    val i = fieldIdx(c); bind(st, slot, row, i, types(i)); slot += 1
+                  }
+                  keyCols.foreach { c =>
+                    val i = fieldIdx(c); bind(st, slot, row, i, types(i)); slot += 1
+                  }
+                })
               val misses = chunk.zip(counts).collect { case (r, 0) => r }
               misses.foreach { row =>
                 cols.zipWithIndex.foreach { case (c, slot0) =>
@@ -206,6 +249,14 @@ object JdbcExport {
     * already-committed chunks — the hazard of per-chunk commits under
     * a plain keyless INSERT; [[mergeByKey]] keeps per-chunk commits
     * because the upsert is idempotent under retry by construction).
+    * RESIDUAL duplicate window: a task that commits and then dies
+    * before reporting success re-runs and re-inserts its partition,
+    * and a speculative twin can commit alongside the original — the
+    * keyless INSERT has no idempotence backstop against either. Run
+    * this path with speculation OFF (`spark.speculation=false`, the
+    * default) and treat a post-commit task failure as a re-export
+    * trigger; exports needing airtight exactly-once should go through
+    * [[mergeByKey]] on a grain instead.
     * Spark's own JDBC writer covers the plain truncate-overwrite
     * shape too; this path exists for symmetry with [[mergeByKey]]'s
     * schema mapping (ensureTable creates with OUR ANSI type map, not
