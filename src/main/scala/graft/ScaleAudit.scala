@@ -52,8 +52,59 @@ object ScaleAudit {
     val prefixCand = pairs2(prefix.groupBy(col("sh")).agg(count(lit(1)).as("c")))
     val nPostings = sh.count()
 
+    // ER blocking: exact candidate volume of er_candidate_pairs /
+    // er_best_match — Σ (block_n choose 2) over the capped last-token
+    // blocks of the part-name entity relation (mirrors
+    // Linkage.blocked: distinct normalized names, block = last name
+    // token, blocks past blockCap dropped), plus the dropped hot-block
+    // mass for the honesty log. Never materializes a pair.
+    val ents = Tables(spark, sfDir, "part")
+      .groupBy(upper(trim(col("p_name"))).as("name_norm"))
+      .agg(min(col("p_partkey")).as("ent_id"))
+      .filter(col("name_norm").isNotNull && length(col("name_norm")) > 0)
+      .withColumn("block", element_at(split(col("name_norm"), " "), -1))
+    val blockSizes = ents.groupBy(col("block")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val nEntities = ents.count()
+    val erCand = pairs2(blockSizes.filter(col("c") <= 1000))
+    val erDroppedBlocks = blockSizes.filter(col("c") > 1000).count()
+
+    // Graph family: the triangles / link-prediction / clustering
+    // queries run over the NATION-level flow graph — a DIM-BOUNDED
+    // derived graph (≤ |nation|² directed edges however large the
+    // fact is). The wedge volume Σ deg·(deg−1)/2 over the undirected
+    // support is the exact common-neighbor candidate count of the
+    // triangle/AA joins; fact rows feeding the flow aggregation are
+    // the linear component. Expected evidence: flow_fact_rows grows
+    // ∝ data, distinct edges and wedge volume stay ~constant — the
+    // pair-generating stage is scale-free by construction.
+    val nation = Tables(spark, sfDir, "nation")
+    val flowsRaw = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("__ok"),
+        col("n_name").as("src"))), col("s_nationkey") === col("__ok"))
+      .join(broadcast(nation.select(col("n_nationkey").as("__dk"),
+        col("n_name").as("dst"))), col("c_nationkey") === col("__dk"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val flowFactRows = flowsRaw.count()
+    val und = flowsRaw
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(false)
+    val nFlowEdges = und.count()
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val wedges = pairs2(deg)
+
     println(s"""{"sf_dir": "$sfDir", "recsys_interactions": $nInter, """ +
       s""""recsys_pair_volume": $recsysPairs, "shingle_postings": $nPostings, """ +
-      s""""prefix_candidate_volume": $prefixCand}""")
+      s""""prefix_candidate_volume": $prefixCand, """ +
+      s""""er_entities": $nEntities, "er_block_candidate_volume": $erCand, """ +
+      s""""er_dropped_hot_blocks": $erDroppedBlocks, """ +
+      s""""flow_fact_rows": $flowFactRows, "flow_graph_edges": $nFlowEdges, """ +
+      s""""flow_wedge_volume": $wedges}""")
   }
 }
