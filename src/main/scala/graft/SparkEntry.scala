@@ -11207,7 +11207,7 @@ object SparkEntry {
        |${pfx}hs AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${md5Long60Sql("sh")} AS h
        |  FROM (SELECT doc_id, UNNEST(shs) AS sh FROM ${pfx}docs)),
-       |${pfx}sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ${pfx}hs GROUP BY 1),
+       |${pfx}sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM ${pfx}hs GROUP BY 1),
        |${pfx}sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $slotCols
@@ -11222,7 +11222,7 @@ object SparkEntry {
     */
   private def minhashLshOracleSql(threshold: Double): String =
     s"""WITH ${minhashSigBandCtes("documents", "", 3, 32, 8)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
        |  FROM bnd a JOIN bnd b ON a.band_id = b.band_id AND a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id
@@ -11250,7 +11250,7 @@ object SparkEntry {
     val evalS = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7)"
     s"""WITH ${minhashSigBandCtes(train, "t", 8, 32, 8)},
        |${minhashSigBandCtes(evalS, "e", 8, 32, 8)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_bands
        |  FROM tbnd a JOIN ebnd b ON a.band_id = b.band_id AND a.bucket = b.bucket
        |  GROUP BY 1, 2),
@@ -11307,7 +11307,7 @@ object SparkEntry {
     val P = 1000000007L
     s"""WITH RECURSIVE tk AS MATERIALIZED (
        |  SELECT doc_id, $docToksSql AS t FROM documents),
-       |mx AS (SELECT MAX(len(t)) AS mx FROM tk),
+       |mx AS MATERIALIZED (SELECT MAX(len(t)) AS mx FROM tk),
        |pows AS (
        |  SELECT 0 AS k, CAST(1 AS BIGINT) AS v
        |  UNION ALL

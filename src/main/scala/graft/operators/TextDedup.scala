@@ -246,15 +246,26 @@ object TextDedup {
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Full posting relation, consumed four times (df counts, prefix
-    // build, both verify probes) — materialize once.
-    val sh = hashedShingles(df, idCol, textCol, n)
+    // build, both verify probes). Materialized TWICE, each copy
+    // PRE-PARTITIONED on its consumers' key (localCheckpoint
+    // preserves the physical partitioning in the LogicalRDD): the
+    // sh-keyed copy feeds the df count, the df join and the prefix
+    // self-join exchange-free; the doc-keyed copy feeds sizes and
+    // both verify probes (hash partitioning on doc_id is a valid
+    // distribution for the (doc, sh) join keys too). Before r14 one
+    // unpartitioned checkpoint was re-shuffled by every consumer —
+    // 4-5 full exchanges of the posting relation, the measured
+    // second-decade spill driver at the 100x replica (§6: postings
+    // past page cache draining through one local disk per exchange).
+    val shRaw = hashedShingles(df, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .localCheckpoint(true)
-    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shS = shRaw.repartition(col("sh")).localCheckpoint(true)
+    val shD = shRaw.repartition(col("doc_id")).localCheckpoint(true)
+    val dfc = shS.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sizes = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Global order (df asc, sh asc) is a TOTAL order: positions are
     // deterministic, so the prefix is well-defined per document.
-    val ranked = sh.join(dfc, "sh")
+    val ranked = shS.join(dfc, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .join(sizes, "doc_id")
@@ -274,8 +285,8 @@ object TextDedup {
       .distinct()
     // Exact verification: intersect the candidates' FULL shingle sets.
     val common = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(shD.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(shD.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a")), "doc_a")
@@ -726,8 +737,12 @@ object TextDedup {
     // signature kernel consumes the hashed array directly, the verify
     // joins shuffle 8-byte elements instead of n-token strings, and
     // set intersection compares longs.
+    // consumed three times (banding + both verify probes): without
+    // the checkpoint each consumer re-ran the shingle+signature
+    // kernels over the corpus (two full recomputes at the 100x sweep)
     val docs = hashedShingles(df, idCol, textCol, n, md5 = true)
       .withColumn("sig", Kernels.minhashSig(col("shs"), numHashes))
+      .localCheckpoint(true)
     // Band structs via a Scala-side loop: `sig` is referenced `bands`
     // times, keeping it a materialized attribute (see shingleHashes).
     val banded = docs.select(col("doc_id"), explode(md5BandStructs(bands, rows)).as("bb"))
@@ -833,7 +848,11 @@ object TextDedup {
     // candidates only — callers inspecting the full distance spectrum
     // (diagnostics, specs) accept that deliberately
     require(maxHamming >= 0, s"negative hamming threshold: $maxHamming")
+    // both join sides band off this relation — checkpoint so the
+    // upstream fingerprint (60 per-token hashes per doc for simhash)
+    // is computed once, not once per side
     val base = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
+      .localCheckpoint(true)
     val bandMask = (1L << bandBits) - 1
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band_id"),
