@@ -737,12 +737,14 @@ object TextDedup {
     // signature kernel consumes the hashed array directly, the verify
     // joins shuffle 8-byte elements instead of n-token strings, and
     // set intersection compares longs.
-    // consumed three times (banding + both verify probes): without
-    // the checkpoint each consumer re-ran the shingle+signature
-    // kernels over the corpus (two full recomputes at the 100x sweep)
+    // docs is consumed three times (banding + both verify probes) —
+    // deliberately NOT checkpointed: materializing corpus-wide
+    // shingle ARRAYS is the big-object memory shape at scale, the r14
+    // 100x sweep measured recompute-avoidance neutral here (banded
+    // pair volume binds, not signature compute), and the extra
+    // checkpoint job showed at the sf0.1 gate. Measured, not guessed.
     val docs = hashedShingles(df, idCol, textCol, n, md5 = true)
       .withColumn("sig", Kernels.minhashSig(col("shs"), numHashes))
-      .localCheckpoint(true)
     // Band structs via a Scala-side loop: `sig` is referenced `bands`
     // times, keeping it a materialized attribute (see shingleHashes).
     val banded = docs.select(col("doc_id"), explode(md5BandStructs(bands, rows)).as("bb"))
@@ -848,9 +850,10 @@ object TextDedup {
     // candidates only — callers inspecting the full distance spectrum
     // (diagnostics, specs) accept that deliberately
     require(maxHamming >= 0, s"negative hamming threshold: $maxHamming")
-    // both join sides band off this relation — checkpoint so the
-    // upstream fingerprint (60 per-token hashes per doc for simhash)
-    // is computed once, not once per side
+    // both join sides band off this relation — the checkpoint (doc-
+    // count rows of 16 bytes) computes the upstream fingerprint (60
+    // md5-derived per-token votes per doc for simhash) once, not once
+    // per join side
     val base = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h64"))
       .localCheckpoint(true)
     val bandMask = (1L << bandBits) - 1
