@@ -2490,8 +2490,9 @@ object SparkEntry {
       Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
     // Multi-probe LSH: the query also probes every Hamming-1 bucket —
-    // measured recall 0.24 -> 0.80 at sf0.01 on the SAME index
-    // (ann_recall_eval), query-side-only fan-out.
+    // measured recall 0.38 -> 0.88 at sf0.01 on the SAME index
+    // (ann_recall_eval), query-side-only fan-out. Oracle-checked
+    // since r14 (literal-hyperplane replay; see lshBucketCtes).
     "ann_lsh_multiprobe" -> ((s: SparkSession, d: String) =>
       Ann.lshMultiProbeTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5)),
@@ -2604,15 +2605,16 @@ object SparkEntry {
 
     // Mutual k-NN graph over the LSH candidate structure: symmetric
     // neighborhoods for graph-based clustering/dedup (mutuality
-    // filters hub edges). Rows-only by protocol (seeded hyperplanes);
-    // bundles/mutuality/determinism spec-pinned.
+    // filters hub edges). Oracle-checked since r14 (literal-hyperplane
+    // replay); bundles/mutuality/determinism spec-pinned.
     "embedding_mutual_knn" -> ((s: SparkSession, d: String) =>
       Ann.mutualKnnLsh(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)),
 
     // Embedding-space duplicate CLUSTERS: connected components over
     // the LSH-verified cosine near-dup pairs — the D16 cluster step
     // applied to the embedding tier (SemDeDup groups around seeds;
-    // this follows the actual near-dup graph). Rows-only by protocol.
+    // this follows the actual near-dup graph). Oracle-checked since
+    // r14 (literal-hyperplane replay + recursive min-label walk).
     "dedup_embedding_clusters" -> ((s: SparkSession, d: String) =>
       TextDedup.connectedComponents(
         Ann.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -9641,14 +9643,182 @@ object SparkEntry {
         |  (FLOOR(var_v * 1e12) / 1e12) / NULLIF(CAST(t AS DOUBLE), 0.0) AS var_share
         |FROM p2 CROSS JOIN tv""".stripMargin)
 
+  // ── r14 LSH-tier replays (former §5.1 rows-only) ──────────────────
+  //
+  // Random-hyperplane LSH is fully SQL-replayable once (a) each
+  // (table, plane) coefficient vector is drawn from its own seeded
+  // stream (Ann.planeVec — independent of how many planes a run
+  // uses), (b) the plane count derives from the corpus size through
+  // exact POWER(2,p) comparisons instead of libm log2 (Ann.planesFor),
+  // and (c) the sign dots ride the pre-verified left-fold kernel.
+  // The oracle embeds the 3x24x64 plane literals once and masks
+  // `j < planes` at runtime, so ONE static statement replays every
+  // scale (sf0.01 gate and the 10x replica alike) — the
+  // embedding_random_projection literal-matrix recipe extended to a
+  // data-adaptive index.
+
+  /** Shortest-repr double literal (round-trips to the same IEEE
+    * double in any strtod-correct parser, DuckDB included).
+    */
+  private def sqlDouble(d: Double): String = d.toString
+
+  private def lshPlaneDotSql(vExpr: String, plane: Array[Double]): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($vExpr, " +
+      plane.map(sqlDouble).mkString("[", ", ", "]") +
+      "), p -> p[1] * p[2])), (a, b) -> a + b)"
+
+  /** Shared LSH CTE block: corpus count, exact-power plane count,
+    * normed vectors, and the (vec, table, bucket) relation with the
+    * masked 24-term sign sum per table.
+    */
+  private def lshBucketCtes(tables: Int = 3, maxPlanes: Int = 24,
+                            dim: Int = 64, seed: Long = 42L): String = {
+    val tableSelects = (0 until tables).map { tb =>
+      val terms = (0 until maxPlanes).map { j =>
+        val pv = graft.operators.Ann.planeVec(tb, j, dim, seed)
+        s"(CASE WHEN $j < pl.planes AND ${lshPlaneDotSql("nb.v", pv)} > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"SELECT nb.vec_id, $tb AS tbl,\n    $terms AS bucket\n  FROM nb, pl"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |pl AS (
+       |  SELECT LEAST(24, GREATEST(4, COALESCE((
+       |    SELECT MIN(p) FROM range(0, 25) t(p), cnt
+       |    WHERE POWER(2.0, CAST(p AS DOUBLE)) >= GREATEST(1.0, CAST(n AS DOUBLE) / 128.0)),
+       |    24))) AS planes),
+       |nb AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+       |hb AS MATERIALIZED (
+       |  $tableSelects)""".stripMargin
+  }
+
+  private val lshCosSql =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(na.v, nb2.v), " +
+      "p -> p[1] * p[2])), (a, b) -> a + b) / (na.nrm * nb2.nrm)"
+
+  /** Ann.cosineNearDupPairs replayed: banded candidates, exact-cosine
+    * verify at the threshold.
+    */
+  private def lshNearDupOracleSql(threshold: Double): String =
+    s"""WITH ${lshBucketCtes()},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM hb a JOIN hb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT c.vec_a, c.vec_b, $lshCosSql AS cos_sim
+       |  FROM cand c
+       |  JOIN nb na ON na.vec_id = c.vec_a
+       |  JOIN nb nb2 ON nb2.vec_id = c.vec_b)
+       |WHERE cos_sim >= $threshold""".stripMargin
+
+  /** TextDedup.connectedComponents over the near-dup pairs, as the
+    * recursive min-label walk (the graph_components recipe).
+    */
+  private def lshClustersOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${lshBucketCtes()},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM hb a JOIN hb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |pairs AS MATERIALIZED (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT c.vec_a, c.vec_b, $lshCosSql AS cos_sim
+       |    FROM cand c
+       |    JOIN nb na ON na.vec_id = c.vec_a
+       |    JOIN nb nb2 ON nb2.vec_id = c.vec_b)
+       |  WHERE cos_sim >= $threshold),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+       |SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin
+
+  /** Ann.mutualKnnLsh replayed: scored candidates, per-node rank,
+    * mutual-membership join.
+    */
+  private def lshMutualKnnOracleSql(k: Int): String =
+    s"""WITH ${lshBucketCtes()},
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM hb a JOIN hb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |scored AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b, $lshCosSql AS cos_sim
+       |  FROM cand c
+       |  JOIN nb na ON na.vec_id = c.vec_a
+       |  JOIN nb nb2 ON nb2.vec_id = c.vec_b),
+       |directed AS (
+       |  SELECT vec_a AS node, vec_b AS nbr, cos_sim FROM scored
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, cos_sim FROM scored),
+       |ranked AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT node, nbr, cos_sim,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos_sim DESC, nbr) AS INTEGER) AS rank
+       |    FROM directed) WHERE rank <= $k)
+       |SELECT x.node AS node_a, x.nbr AS node_b, x.cos_sim,
+       |  x.rank AS rank_ab, y.rank AS rank_ba
+       |FROM ranked x JOIN ranked y ON x.node = y.nbr AND x.nbr = y.node
+       |WHERE x.node < x.nbr""".stripMargin
+
+  /** Ann.lshTopK / lshMultiProbeTopK replayed: query buckets (plus the
+    * Hamming-1 probe fan for multiprobe), banded candidates, exact
+    * cosine, global rank.
+    */
+  private def lshTopKOracleSql(nQueries: Int, k: Int, multiprobe: Boolean): String = {
+    val probes =
+      if (!multiprobe)
+        """qp AS (
+          |  SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket
+          |  FROM hb WHERE vec_id < %NQ%),""".stripMargin
+      else
+        """qp AS (
+          |  SELECT DISTINCT q_id, q_tbl,
+          |    CASE WHEN j = -1 THEN q_bucket ELSE xor(q_bucket, (1 << j)) END AS q_bucket
+          |  FROM (SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket
+          |        FROM hb WHERE vec_id < %NQ%),
+          |    range(-1, 24) r(j), pl
+          |  WHERE j = -1 OR j < pl.planes),""".stripMargin
+    s"""WITH ${lshBucketCtes()},
+       |${probes.replace("%NQ%", nQueries.toString)}
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT qp.q_id, hb.vec_id
+       |  FROM hb JOIN qp ON hb.tbl = qp.q_tbl AND hb.bucket = qp.q_bucket
+       |    AND hb.vec_id <> qp.q_id)
+       |SELECT q_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+       |  neighbor_id, cos_sim
+       |FROM (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(na.v, nq.v), p -> p[1] * p[2])), (a, b) -> a + b)
+       |      / (na.nrm * nq.nrm) AS cos_sim
+       |  FROM cand c
+       |  JOIN nb na ON na.vec_id = c.vec_id
+       |  JOIN nb nq ON nq.vec_id = c.q_id)
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   /** DuckDB twin of the brute-force ANN baseline (annOracleSql). Float parity is
     * exact because both sides fold the products left-to-right in
     * double precision: Spark `aggregate(zip_with(...), 0.0, +)` vs
     * DuckDB `list_reduce(list_prepend(0.0, ...), +)` — pre-verified
-    * bit-for-bit on the test lake. (The LSH variant keeps the
-    * rows-only check: candidate sets are hash-seed-defined.)
+    * bit-for-bit on the test lake. (Since r14 the LSH tier replays
+    * too — see lshBucketCtes; only the iterative codebook tiers
+    * (ivf/pq) and the recall panel composing them keep rows-only.)
     */
   private def annOracleSql: Map[String, String] = Map(
+    "dedup_embedding_cosine" -> lshNearDupOracleSql(0.45),
+    "dedup_embedding_clusters" -> lshClustersOracleSql(0.45),
+    "embedding_mutual_knn" -> lshMutualKnnOracleSql(5),
+    "ann_lsh_topk" -> lshTopKOracleSql(10, 5, multiprobe = false),
+    "ann_lsh_multiprobe" -> lshTopKOracleSql(10, 5, multiprobe = true),
     // Same left-fold norm as the cosine twin; NULL/size conventions
     // masked to the engine-neutral form (see Ann.qualityGate).
     "embedding_quality_gate" ->

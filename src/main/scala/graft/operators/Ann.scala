@@ -1130,7 +1130,15 @@ object Ann {
     */
   def planesFor(corpusSize: Long, targetBucketSize: Long = 128L): Int = {
     val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
-    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
+    // exact power walk, no libm: min p with 2^p >= ratio. Same values
+    // as ceil(log2(ratio)) everywhere except exactly-power-of-two
+    // ratios, where libm's last-ulp could fall either side — and the
+    // oracle replays this with POWER(2,p) comparisons, so the choice
+    // must be bit-exactly shared (r14 LSH-tier conversion).
+    var p = 0
+    var t = 1.0
+    while (t < ratio && p < 24) { p += 1; t *= 2 }
+    math.max(4, p)
   }
 
   /** Resolve the auto-planes sentinel (<= 0): count the corpus (one
@@ -1217,17 +1225,41 @@ object Ann {
         col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"))
   }
 
+  /** splitmix64 finalizer — decorrelates the per-(table, plane)
+    * Random seeds below (sequential java.util.Random seeds share
+    * low-bit structure in their first draws).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane (table, plane) — drawn from its OWN splitmix-seeded
+    * Random, so the coefficient vector for plane j is independent of
+    * how many planes a run uses. That independence is what lets the
+    * oracle embed one literal plane set and mask `j < planes` at any
+    * corpus size (pre-r14, planes were drawn from one sequential
+    * stream: the j-th plane's values depended on `planes`, so no
+    * static literal replay could cover two scales).
+    */
+  private[graft] def planeVec(tb: Int, j: Int, dim: Int, seed: Long): Array[Double] = {
+    val rnd = new java.util.Random(mix64(seed * 0x100000001B3L + tb * 1000003L + j))
+    Array.fill(dim)(rnd.nextGaussian())
+  }
+
   /** (table, bucket) sign-hash assignment shared by the LSH paths.
     * Hyperplane coefficients come from a fixed seed, so every run,
-    * executor and cluster assigns identical buckets.
+    * executor and cluster assigns identical buckets — and the oracle
+    * re-renders the same literals (see [[planeVec]]).
     */
   private[graft] def bucketed(base: DataFrame, tables: Int, planes: Int,
                               dim: Int, seed: Long): DataFrame = {
-    val rnd = new java.util.Random(seed)
-    val hp = Array.fill(tables, planes, dim)(rnd.nextGaussian())
     def bucketCol(v: Column, tb: Int): Column =
       (0 until planes).map(j =>
-        when(dot(v, array(hp(tb)(j).map(lit).toSeq: _*)) > 0, 1 << j).otherwise(0))
+        when(dot(v, array(planeVec(tb, j, dim, seed).map(lit).toSeq: _*)) > 0, 1 << j)
+          .otherwise(0))
         .reduce(_ + _)
     base.select(col("vec_id"),
       explode(array((0 until tables).map(tb =>
