@@ -2503,8 +2503,9 @@ object SparkEntry {
       Ann.kcenterSelect(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)),
 
     // Recall@k of every approximate index vs the exact baseline —
-    // the trust-the-index measurement as a query (rows-only: the
-    // approximate sides are seeded by protocol).
+    // the trust-the-index measurement as a query. Oracle-checked
+    // since r14: every tier it composes (lsh/ivf/pq/ivf_pq/sq8)
+    // replays as SQL, so the panel does too (recallEvalOracleSql).
     "ann_recall_eval" -> ((s: SparkSession, d: String) =>
       Ann.recallEval(t(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5)),
@@ -2514,12 +2515,14 @@ object SparkEntry {
 
     // Product-quantization ANN: m-byte codes + ADC shortlist + exact
     // re-rank — the bytes-bound scale path next to IVF/LSH.
+    // Oracle-checked since r14 (stride-sampled codebooks are
+    // relations; the ADC partial floor-grids before its DECIMAL).
     "ann_pq_topk" -> ((s: SparkSession, d: String) =>
       Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding", nQueries = 10, k = 5)),
 
-    // IVF-PQ composed (rows-only by protocol, like its parents):
-    // probe nProbe cells, ADC over m residual codes, exact re-rank —
-    // the candidate-volume AND bytes bounds in one index.
+    // IVF-PQ composed: probe nProbe cells, ADC over m residual
+    // codes, exact re-rank — the candidate-volume AND bytes bounds
+    // in one index. Oracle-checked since r14 like its parents.
     "ann_ivf_pq" -> ((s: SparkSession, d: String) =>
       Ann.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5, nProbe = 6, shortlistFactor = 8)),
@@ -9805,15 +9808,326 @@ object SparkEntry {
        |QUALIFY rank <= $k""".stripMargin
   }
 
+  // ── r14 IVF/PQ-tier replays (former §5.1 rows-only) ───────────────
+  //
+  // The ivf/pq "codebook training" was never iterative: centroids are
+  // stride samples (every 31st vec_id, lowest-id LIMIT) and PQ
+  // codebooks the first ks sampled subvectors per subspace —
+  // deterministic RELATIONS, so the whole index pipeline (assignment
+  // ranks, residuals, ADC tables, shortlists, exact re-ranks) replays
+  // as SQL over the pre-verified left-fold kernel. The one float
+  // hazard was the ADC DECIMAL partial over raw full-entropy doubles;
+  // both engines now floor-grid it to the 1e-12 lattice first (§5).
+
+  /** Left-fold dot of two DOUBLE[] expressions (the proven kernel). */
+  private def fdot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      "p -> p[1] * p[2])), (a, b) -> a + b)"
+
+  /** Normed corpus (`Ann.prepared`) + broadcast query panel. */
+  private def annNbQCtes(nQueries: Int): String =
+    s"""nb AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM nb WHERE vec_id < $nQueries)""".stripMargin
+
+  /** Query panel alone (for composition on top of lshBucketCtes,
+    * whose `nb` is the same prepared relation).
+    */
+  private def annQCte(nQueries: Int): String =
+    s"q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM nb WHERE vec_id < $nQueries)"
+
+  /** Stride-sampled centroid panel + nearest-cell assignment ranks
+    * (Ann.ivfTopK's `centroids`/`assigned`); shared by the IVF oracle,
+    * the IVF-PQ residual tier and the recall panel.
+    */
+  private def ivfAsgCtes(nCentroids: Int = 16, stride: Long = 31L): String =
+    s"""ivf_cent AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM nb
+       |  WHERE vec_id % $stride = 0 ORDER BY vec_id LIMIT $nCentroids),
+       |ivf_asg AS MATERIALIZED (
+       |  SELECT vec_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crank
+       |  FROM (
+       |    SELECT nb.vec_id, c.c_id,
+       |      ${fdot("nb.v", "c.cv")} / (nb.nrm * c.cnrm) AS csim
+       |    FROM nb CROSS JOIN ivf_cent c))""".stripMargin
+
+  /** IVF top-k as a CTE named `$name`: probe nProbe nearest cells,
+    * exact cosine within probed cells, global rank.
+    */
+  private def ivfTopCte(name: String, nQueries: Int, k: Int, nProbe: Int = 4): String =
+    s"""$name AS (
+       |  SELECT q_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, cos_sim
+       |  FROM (
+       |    SELECT p.q_id, cell.vec_id AS neighbor_id,
+       |      ${fdot("na.v", "q.qv")} / (na.nrm * q.qnrm) AS cos_sim
+       |    FROM (SELECT vec_id, c_id AS cell FROM ivf_asg WHERE crank = 1) cell
+       |    JOIN (SELECT vec_id AS q_id, c_id AS cell FROM ivf_asg
+       |          WHERE vec_id < $nQueries AND crank <= $nProbe) p USING (cell)
+       |    JOIN nb na ON na.vec_id = cell.vec_id
+       |    JOIN q ON q.q_id = p.q_id
+       |    WHERE cell.vec_id <> p.q_id)
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  /** PQ codebook + nearest-code encode + query ADC table over an
+    * exploded (vec_id, sub, subv) relation `${p}ex`; the ADC query
+    * table draws its subvectors from `$qex` (raw-vector slices — for
+    * the residual-coded IVF-PQ tier this differs from `${p}ex`).
+    */
+  private def pqCodeCtes(p: String, qex: String, ks: Int, stride: Long,
+                         nQueries: Int): String =
+    s"""${p}cb AS MATERIALIZED (
+       |  SELECT sub, code, subv AS cv FROM (
+       |    SELECT sub, subv,
+       |      ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS code
+       |    FROM ${p}ex WHERE vec_id % $stride = 0)
+       |  WHERE code <= $ks),
+       |${p}enc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code) AS er
+       |    FROM (
+       |      SELECT e.vec_id, e.sub, c.code,
+       |        ${fdot("e.subv", "e.subv")} - 2.0 * ${fdot("e.subv", "c.cv")} + ${fdot("c.cv", "c.cv")} AS d2
+       |      FROM ${p}ex e JOIN ${p}cb c ON c.sub = e.sub))
+       |  WHERE er = 1),
+       |${p}qtab AS MATERIALIZED (
+       |  SELECT e.vec_id AS q_id, e.sub, c.code, ${fdot("e.subv", "c.cv")} AS part
+       |  FROM $qex e JOIN ${p}cb c ON c.sub = e.sub
+       |  WHERE e.vec_id < $nQueries)""".stripMargin
+
+  /** Shortlist + exact re-rank shared by the PQ tiers: ADC scores in
+    * `${p}adc` (q_id, vec_id, cos_sim) → `${p}top`.
+    */
+  private def pqRerankCtes(p: String, k: Int, shortlistFactor: Int): String =
+    s"""${p}short AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+       |    FROM ${p}adc) WHERE rk <= ${shortlistFactor * k}),
+       |${p}top AS (
+       |  SELECT q_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, cos_sim
+       |  FROM (
+       |    SELECT s.q_id, s.neighbor_id,
+       |      ${fdot("na.v", "q.qv")} / (na.nrm * q.qnrm) AS cos_sim
+       |    FROM ${p}short s
+       |    JOIN nb na ON na.vec_id = s.neighbor_id
+       |    JOIN q ON q.q_id = s.q_id)
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  /** Ann.pqTopK's full CTE chain ending at `pq_top`. */
+  private def pqTopCtes(nQueries: Int, k: Int, m: Int = 8, ks: Int = 16,
+                        dim: Int = 64, stride: Long = 31L,
+                        shortlistFactor: Int = 4): String = {
+    val subDim = dim / m
+    s"""pq_ex AS MATERIALIZED (
+       |  SELECT vec_id, s.sub,
+       |    v[s.sub * $subDim + 1 : s.sub * $subDim + $subDim] AS subv
+       |  FROM nb, range(0, $m) s(sub)),
+       |${pqCodeCtes("pq_", "pq_ex", ks, stride, nQueries)},
+       |pq_adc AS (
+       |  SELECT g.q_id, g.vec_id, g.adot / (g.nrm * q.qnrm) AS cos_sim
+       |  FROM (
+       |    SELECT t.q_id, e.vec_id, na.nrm,
+       |      CAST(SUM(CAST(FLOOR(t.part * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS adot
+       |    FROM pq_enc e
+       |    JOIN nb na ON na.vec_id = e.vec_id
+       |    JOIN pq_qtab t ON t.sub = e.sub AND t.code = e.code AND e.vec_id <> t.q_id
+       |    GROUP BY 1, 2, 3) g
+       |  JOIN q ON q.q_id = g.q_id),
+       |${pqRerankCtes("pq_", k, shortlistFactor)}""".stripMargin
+  }
+
+  /** Ann.ivfPqTopK's residual-coded chain ending at `ip_top`; needs
+    * ivfAsgCtes in scope (cells + probe ranks).
+    */
+  private def ivfPqTopCtes(nQueries: Int, k: Int, nProbe: Int = 6,
+                           m: Int = 8, ks: Int = 16, dim: Int = 64,
+                           stride: Long = 31L,
+                           shortlistFactor: Int = 8): String = {
+    val subDim = dim / m
+    s"""ip_resid AS MATERIALIZED (
+       |  SELECT a.vec_id, nb.nrm, a.c_id AS cell,
+       |    list_transform(list_zip(nb.v, c.cv), p -> p[1] - p[2]) AS rv
+       |  FROM ivf_asg a
+       |  JOIN nb ON nb.vec_id = a.vec_id
+       |  JOIN ivf_cent c ON c.c_id = a.c_id
+       |  WHERE a.crank = 1),
+       |ip_ex AS MATERIALIZED (
+       |  SELECT vec_id, s.sub,
+       |    rv[s.sub * $subDim + 1 : s.sub * $subDim + $subDim] AS subv
+       |  FROM ip_resid, range(0, $m) s(sub)),
+       |ip_qex AS (
+       |  SELECT vec_id, s.sub,
+       |    v[s.sub * $subDim + 1 : s.sub * $subDim + $subDim] AS subv
+       |  FROM nb, range(0, $m) s(sub) WHERE vec_id < $nQueries),
+       |${pqCodeCtes("ip_", "ip_qex", ks, stride, nQueries)},
+       |ip_probes AS (
+       |  SELECT a.vec_id AS q_id, a.c_id AS cell,
+       |    ${fdot("nb.v", "c.cv")} AS cdot
+       |  FROM ivf_asg a
+       |  JOIN nb ON nb.vec_id = a.vec_id
+       |  JOIN ivf_cent c ON c.c_id = a.c_id
+       |  WHERE a.vec_id < $nQueries AND a.crank <= $nProbe),
+       |ip_adc AS (
+       |  SELECT g.q_id, g.vec_id, (g.cdot + g.rdot) / (g.nrm * q.qnrm) AS cos_sim
+       |  FROM (
+       |    SELECT p.q_id, e.vec_id, r.nrm, p.cdot,
+       |      CAST(SUM(CAST(FLOOR(t.part * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS rdot
+       |    FROM ip_enc e
+       |    JOIN ip_resid r ON r.vec_id = e.vec_id
+       |    JOIN ip_probes p ON p.cell = r.cell AND e.vec_id <> p.q_id
+       |    JOIN ip_qtab t ON t.q_id = p.q_id AND t.sub = e.sub AND t.code = e.code
+       |    GROUP BY 1, 2, 3, 4) g
+       |  JOIN q ON q.q_id = g.q_id),
+       |${pqRerankCtes("ip_", k, shortlistFactor)}""".stripMargin
+  }
+
+  /** Ann.sq8TopK replayed: int8 round-trip reconstruction per vector
+    * (symmetric scale, round-half-up via the engine-exact floor),
+    * full-precision queries, exact cosine over reconstructed corpus.
+    */
+  private def sq8TopCte(name: String, nQueries: Int, k: Int): String =
+    s"""$name AS (
+       |  SELECT q_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, cos_sim
+       |  FROM (
+       |    SELECT q.q_id, r.vec_id AS neighbor_id,
+       |      ${fdot("r.rv", "q.qv")} / (r.nrm * q.qnrm) AS cos_sim
+       |    FROM (
+       |      SELECT vec_id, rv,
+       |        sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm
+       |      FROM (
+       |        SELECT vec_id,
+       |          list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0.0
+       |            ELSE CAST(CAST(FLOOR(x / scale + 0.5) AS BIGINT) AS DOUBLE) * scale END) AS rv
+       |        FROM (
+       |          SELECT vec_id, v,
+       |            list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+       |          FROM nb))) r
+       |    CROSS JOIN q WHERE r.vec_id <> q.q_id)
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  /** Exact cosine top-k as a CTE (the recall panel's truth side). */
+  private def exactTopCte(name: String, k: Int): String =
+    s"""$name AS (
+       |  SELECT q_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, cos_sim
+       |  FROM (
+       |    SELECT q.q_id, nb.vec_id AS neighbor_id,
+       |      ${fdot("nb.v", "q.qv")} / (nb.nrm * q.qnrm) AS cos_sim
+       |    FROM nb CROSS JOIN q WHERE nb.vec_id <> q.q_id)
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  /** LSH top-k as prefixed CTEs (`${p}top`) on top of lshBucketCtes'
+    * hb/pl relations — the composable form of lshTopKOracleSql.
+    */
+  private def lshTopCtes(p: String, nQueries: Int, k: Int,
+                         multiprobe: Boolean): String = {
+    val qp =
+      if (!multiprobe)
+        s"""${p}qp AS (
+           |  SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket
+           |  FROM hb WHERE vec_id < $nQueries)""".stripMargin
+      else
+        s"""${p}qp AS (
+           |  SELECT DISTINCT q_id, q_tbl,
+           |    CASE WHEN j = -1 THEN q_bucket ELSE xor(q_bucket, (1 << j)) END AS q_bucket
+           |  FROM (SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket
+           |        FROM hb WHERE vec_id < $nQueries),
+           |    range(-1, 24) r(j), pl
+           |  WHERE j = -1 OR j < pl.planes)""".stripMargin
+    s"""$qp,
+       |${p}cand AS MATERIALIZED (
+       |  SELECT DISTINCT qp.q_id, hb.vec_id
+       |  FROM hb JOIN ${p}qp qp ON hb.tbl = qp.q_tbl AND hb.bucket = qp.q_bucket
+       |    AND hb.vec_id <> qp.q_id),
+       |${p}top AS (
+       |  SELECT q_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, cos_sim
+       |  FROM (
+       |    SELECT c.q_id, c.vec_id AS neighbor_id,
+       |      ${fdot("na.v", "nq.v")} / (na.nrm * nq.nrm) AS cos_sim
+       |    FROM ${p}cand c
+       |    JOIN nb na ON na.vec_id = c.vec_id
+       |    JOIN nb nq ON nq.vec_id = c.q_id)
+       |  QUALIFY rank <= $k)""".stripMargin
+  }
+
+  private def ivfTopKOracleSql(nQueries: Int, k: Int): String =
+    s"""WITH ${annNbQCtes(nQueries)},
+       |${ivfAsgCtes()},
+       |${ivfTopCte("ivf_top", nQueries, k)}
+       |SELECT q_id, rank, neighbor_id, cos_sim FROM ivf_top""".stripMargin
+
+  private def pqTopKOracleSql(nQueries: Int, k: Int): String =
+    s"""WITH ${annNbQCtes(nQueries)},
+       |${pqTopCtes(nQueries, k)}
+       |SELECT q_id, rank, neighbor_id, cos_sim FROM pq_top""".stripMargin
+
+  private def ivfPqTopKOracleSql(nQueries: Int, k: Int): String =
+    s"""WITH ${annNbQCtes(nQueries)},
+       |${ivfAsgCtes()},
+       |${ivfPqTopCtes(nQueries, k)}
+       |SELECT q_id, rank, neighbor_id, cos_sim FROM ip_top""".stripMargin
+
+  /** Ann.recallEval replayed whole: every tier's CTE chain over ONE
+    * shared prepared corpus, each joined to the exact truth.
+    */
+  private def recallEvalOracleSql(nQueries: Int, k: Int): String = {
+    def row(method: String, top: String): String =
+      s"""SELECT '$method' AS method,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(CAST(SUM(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS recall_at_k
+         |FROM ex_top e LEFT JOIN $top a
+         |  ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id""".stripMargin
+    s"""WITH ${lshBucketCtes()},
+       |${annQCte(nQueries)},
+       |${exactTopCte("ex_top", k)},
+       |${lshTopCtes("lt_", nQueries, k, multiprobe = false)},
+       |${lshTopCtes("lm_", nQueries, k, multiprobe = true)},
+       |${ivfAsgCtes()},
+       |${ivfTopCte("ivf_top", nQueries, k)},
+       |${pqTopCtes(nQueries, k)},
+       |${ivfPqTopCtes(nQueries, k)},
+       |${sq8TopCte("s8_top", nQueries, k)}
+       |${row("lsh", "lt_top")}
+       |UNION ALL
+       |${row("lsh_multiprobe", "lm_top")}
+       |UNION ALL
+       |${row("ivf", "ivf_top")}
+       |UNION ALL
+       |${row("pq", "pq_top")}
+       |UNION ALL
+       |${row("ivf_pq", "ip_top")}
+       |UNION ALL
+       |${row("sq8", "s8_top")}""".stripMargin
+  }
+
   /** DuckDB twin of the brute-force ANN baseline (annOracleSql). Float parity is
     * exact because both sides fold the products left-to-right in
     * double precision: Spark `aggregate(zip_with(...), 0.0, +)` vs
     * DuckDB `list_reduce(list_prepend(0.0, ...), +)` — pre-verified
-    * bit-for-bit on the test lake. (Since r14 the LSH tier replays
-    * too — see lshBucketCtes; only the iterative codebook tiers
-    * (ivf/pq) and the recall panel composing them keep rows-only.)
+    * bit-for-bit on the test lake. (Since r14 the LSH tier AND the
+    * stride-sampled IVF/PQ tiers replay too — see lshBucketCtes /
+    * ivfAsgCtes / pqCodeCtes.)
     */
   private def annOracleSql: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfTopKOracleSql(10, 5),
+    "ann_pq_topk" -> pqTopKOracleSql(10, 5),
+    "ann_ivf_pq" -> ivfPqTopKOracleSql(10, 5),
+    "ann_recall_eval" -> recallEvalOracleSql(10, 5),
     "dedup_embedding_cosine" -> lshNearDupOracleSql(0.45),
     "dedup_embedding_clusters" -> lshClustersOracleSql(0.45),
     "embedding_mutual_knn" -> lshMutualKnnOracleSql(5),

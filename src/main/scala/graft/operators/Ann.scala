@@ -965,7 +965,11 @@ object Ann {
     val approx = enc.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"), col("nrm"))
-      .agg(sum(graft.expressions.Kernels.toDecimal(col("part"), 28, 12))
+      // the ADC partials are full-entropy doubles: floor-grid to the
+      // 1e-12 lattice before the DECIMAL partial (§5 cast-portability
+      // rule — raw-double decimal casts can differ across engines)
+      .agg(sum(graft.expressions.Kernels.toDecimal(
+          floor(col("part") * lit(1e12)) / lit(1e12), 38, 12))
         .cast("double").as("__graft_adot"))
       .join(broadcast(qv.select(col("q_id"), col("qnrm"))), "q_id")
       .withColumn("cos_sim", col("__graft_adot") / (col("nrm") * col("qnrm")))
@@ -1055,7 +1059,9 @@ object Ann {
       .filter(col("vec_id") =!= col("q_id"))
     val adc = cand.join(broadcast(qtab), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("vec_id"), col("nrm"), col("cdot"))
-      .agg(sum(graft.expressions.Kernels.toDecimal(col("part"), 28, 12))
+      // §5 grid before the DECIMAL partial, as in [[pqTopK]]'s ADC
+      .agg(sum(graft.expressions.Kernels.toDecimal(
+          floor(col("part") * lit(1e12)) / lit(1e12), 38, 12))
         .cast("double").as("__graft_rdot"))
       .join(broadcast(qv.select(col("q_id"), col("qnrm"))), "q_id")
       .withColumn("cos_sim",
