@@ -257,10 +257,17 @@ object TextDedup {
     // 4-5 full exchanges of the posting relation, the measured
     // second-decade spill driver at the 100x replica (§6: postings
     // past page cache draining through one local disk per exchange).
+    // The doc-keyed copy derives FROM the sh-keyed checkpoint, not
+    // from the raw lineage: the shingle kernel (tokenize + n-gram +
+    // md5 per posting) runs ONCE, and the second copy is a single
+    // exchange of already-materialized 8-byte rows — strictly cheaper
+    // than a recompute at every scale (r14 follow-up: the two-copy
+    // form re-ran the kernel per copy, ~2x the dedup-family constant
+    // at the sf0.1 gate for the same final layouts).
     val shRaw = hashedShingles(df, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
     val shS = shRaw.repartition(col("sh")).localCheckpoint(true)
-    val shD = shRaw.repartition(col("doc_id")).localCheckpoint(true)
+    val shD = shS.repartition(col("doc_id")).localCheckpoint(true)
     val dfc = shS.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sizes = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Global order (df asc, sh asc) is a TOTAL order: positions are
