@@ -9,23 +9,56 @@ package graft
   * Contention defense: a single sequential pass on a loaded host can
   * record 100x outliers that say nothing about the engine (observed:
   * a 1.1 s query timed at 449 s under driver-window contention).
-  * EVERY query is timed at least twice and the MIN is reported
-  * (queries whose first pass exceeds 4x [[RetimeThresholdSec]] get
-  * three extra passes) — a genuine slow query stays slow on the
-  * retime; a contention spike (or a one-time whole-stage-codegen
-  * compile, irrelevant at 100 TB) does not. All measurements plus
-  * host loadavg before/after and per-query wall-clock timestamps
-  * land in BENCH_DETAIL.json so a contended run is self-diagnosing.
+  * EVERY query is timed at least twice WHEN THE BUDGET ALLOWS and the
+  * MIN is reported (queries whose first pass exceeds 4x
+  * [[RetimeThresholdSec]] get three extra passes) — a genuine slow
+  * query stays slow on the retime; a contention spike (or a one-time
+  * whole-stage-codegen compile, irrelevant at 100 TB) does not. All
+  * measurements plus host loadavg before/after and per-query
+  * wall-clock timestamps land in BENCH_DETAIL.json so a contended run
+  * is self-diagnosing.
+  *
+  * Budget discipline (round 15 — the r14 driver bench died at rc=124
+  * with NOTHING parseable): the sweep enforces its own wall budget
+  * (`SPARK_GRAFT_BENCH_BUDGET_S`, default [[DefaultBudgetS]]) so it
+  * finishes BEFORE an external timeout kills it, and it degrades
+  * gracefully rather than dying silent:
+  *   - BENCH_DETAIL.json is rewritten after EVERY query (first pass
+  *     and retime alike), so a hard kill still leaves per-query
+  *     evidence on disk with `"complete": false`;
+  *   - a JVM shutdown hook prints the partial total line in the
+  *     driver's parse format if the normal print never ran;
+  *   - first passes are mandatory for every query (a missing query is
+  *     a regression, never an option); only RETIME passes are shed
+  *     under budget pressure, most-suspicious-first (largest
+  *     first-pass-vs-floor inflation first), and the detail file
+  *     records how many were shed (`n_retimes_skipped`);
+  *   - the pre-sweep quiet gate waits at most [[QuietWaitBudgetMs]]
+  *     (cut 300 s → 120 s in r15: the gate wait competes with the
+  *     retime passes for the same budget and the retimes are the
+  *     better contention defense — they fix the record query by query
+  *     instead of betting the whole sweep on one quiet start).
   */
 object Bench {
   val RetimeThresholdSec = 2.5
+
+  /** Self-enforced wall budget for the whole main (JVM start →
+    * final stdout line), seconds. The r13 close needed ~880 s wall on
+    * its host for the full min-of-2 protocol and passed the driver
+    * budget; the r14 host was ~1.2x slower and rc=124'd with nothing
+    * parseable. 780 s of sweep + ~60-90 s of session/JVM overhead
+    * lands under the r13-observed-safe envelope even on the slower
+    * placement; on a fast quiet host the full protocol fits and the
+    * degradation never fires.
+    */
+  val DefaultBudgetS = 780
 
   /** Pre-sweep quiet gate: a sweep started into >~1 loadavg records
     * phantom 3-14x per-query "regressions" (round-9 close, measured:
     * retimes came back WORSE than first passes under a steal spike).
     */
   val QuietLoadavg = 1.2
-  val QuietWaitBudgetMs = 300000L // wait up to 5 min for a quiet window
+  val QuietWaitBudgetMs = 120000L // wait up to 2 min for a quiet window
 
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
@@ -48,8 +81,78 @@ object Bench {
       rx.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
+  // ---- mutable sweep state shared with the shutdown hook ----------
+  // (single-threaded writes from main; the hook only reads after the
+  // JVM decided to die, so a plain @volatile flag + synchronized map
+  // snapshot is enough)
+  private val measured =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double, Double)]()
+  @volatile private var finalLinePrinted = false
+  @volatile private var sweepMeta: Map[String, String] = Map.empty
+  private var sweepOrder: Vector[String] = Vector.empty
+
+  private def resultsSnapshot(): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    measured.asScala.toSeq.map { case (n, (best, _, _, _)) => n -> best }
+  }
+
+  /** The driver's one-line parse format. Emitted normally at sweep
+    * end, and by the shutdown hook when the sweep was killed first.
+    */
+  private def totalLine(results: Seq[(String, Double)], sfDir: String,
+                        complete: Boolean): String = {
+    val total = results.map(_._2).sum
+    def line(k: Int): String = {
+      val top = results.sortBy(-_._2).take(k).sortBy(_._1)
+      val qs = top.map { case (n, v) => "\"" + n + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"complete":$complete,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    }
+    (results.size to 1 by -1).view.map(line).find(_.length <= 1800)
+      .getOrElse(line(1))
+  }
+
+  /** Rewrite BENCH_DETAIL.json from current state — called after every
+    * measured pass so a killed sweep still leaves evidence. Writes via
+    * a temp file + atomic move so a kill mid-write cannot leave a
+    * truncated JSON.
+    */
+  private def flushDetail(complete: Boolean): Unit = {
+    val rows = sweepOrder.filter(measured.containsKey)
+    val detail = rows.map { k =>
+      val (best, first, second, off) = measured.get(k)
+      val retime = if (second.isNaN) "null" else second.toString
+      "\"" + k + "\":{\"sec\":" + best + ",\"first\":" + first +
+        ",\"retime\":" + retime + ",\"start_off_sec\":" + off + "}"
+    }.mkString("{", ",", "}")
+    val total = rows.map(k => measured.get(k)._1).sum
+    val meta = sweepMeta.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val txt = s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$detail,$meta}"""
+    val dir = java.nio.file.Paths.get(".").toAbsolutePath
+    val tmp = java.nio.file.Files.createTempFile(dir, ".bench_detail", ".tmp")
+    java.nio.file.Files.write(tmp, txt.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(DefaultBudgetS.toDouble)
+    val jvmStart = System.currentTimeMillis()
+    def elapsedS: Double = (System.currentTimeMillis() - jvmStart) / 1e3
+    def remainingS: Double = budgetS - elapsedS
+    // Backstop: if an external timeout kills the JVM before the normal
+    // print, emit the partial line in the driver's parse format. Disk
+    // evidence (the incremental flushes) has already happened by now.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalLinePrinted && measured.size > 0) {
+        println(totalLine(resultsSnapshot(), sfDir, complete = false))
+        System.out.flush()
+      }
+    }))
     val spark = GraftSession.get()
     // Quiet-window gate: do not START an official sweep into a
     // contended host — poll until load1 drops under the gate or the
@@ -89,84 +192,94 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // detail row: (name, reported-min, first-pass, retime-or-NaN, start-offset-sec)
+    val floors = baselineFloors()
+    sweepOrder = selected.keys.toVector.sorted
+    def putMeta(extra: (String, String)*): Unit =
+      sweepMeta = Map(
+        "loadavg_before" -> s""""$loadBefore"""",
+        "quiet_gate_waited_ms" -> waitedMs.toString,
+        "quiet_gate_forced" -> gateForced.toString,
+        "budget_s" -> budgetS.toString,
+        "wall_start_ms" -> wallStart.toString,
+        "retime_threshold_sec" -> RetimeThresholdSec.toString,
+        "sf" -> s""""$sfDir"""") ++ extra
+    putMeta()
+    // ---- Phase 1: mandatory first pass for EVERY query -------------
+    // (a query missing from the record is a correctness regression at
+    // judging time — first passes are never shed, whatever the budget)
+    sweepOrder.foreach { name =>
+      val startOff = (System.currentTimeMillis() - wallStart) / 1e3
+      val first = timeOnce(name, selected(name))
+      measured.put(name, (first, first, Double.NaN, startOff))
+      flushDetail(complete = false)
+    }
+    // ---- Phase 2: retime passes, budget-gated -----------------------
     // Retime protocol: a wide plan's first pass can carry 2-4x of JIT/
     // codegen warm-up (measured: a steady-state 11 s query first-timing
     // at 49 s), and ONE retime does not fully shed it on the widest
     // plans — nor does a single retime survive a microVM steal spike.
     // So: >10 s first pass → 3 extra passes, EVERYTHING ELSE → 1, min
-    // reported. Round 9 extended min-of-2 to the sub-2.5 s tier: the
-    // r8 gate recorded an unaudited ~1.45x floor rise on fast queries
-    // (loadavg 2.66 at bench start) that one-pass timing cannot
-    // distinguish from regression — min-of-2 makes the floor
-    // self-auditing for every query, at the cost of one extra noop
-    // pass each (fast queries pay fractions of a second).
-    // Deterministic (no adaptive stop that a variance spike can
-    // fool), and the min-of-N is the steady-state number a resident
-    // service would see — a per-session JIT compile is noise at 100 TB.
-    val sweepRows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val startOff = (System.currentTimeMillis() - wallStart) / 1e3
-      val first = timeOnce(name, fn)
-      val extraPasses =
-        if (first > 4 * RetimeThresholdSec) 3
-        else 1
-      val reruns = (1 to extraPasses).map(_ => timeOnce(name, fn))
-      val best = (first +: reruns).min
-      val second = reruns.headOption.getOrElse(Double.NaN)
-      (name, best, first, second, startOff)
+    // reported, exactly as in rounds 9-14 — but executed
+    // most-suspicious-first (largest first-vs-floor inflation first)
+    // and only while the remaining budget covers the pass, so a slow
+    // host sheds the LEAST informative retimes instead of the whole
+    // artifact. On a host that fits the full protocol the reported
+    // numbers are identical to the r9-r14 methodology.
+    var nRetimesSkipped = 0
+    val retimePlan = sweepOrder
+      .map { name =>
+        val (first, _, _, _) = measured.get(name)
+        val extraPasses = if (first > 4 * RetimeThresholdSec) 3 else 1
+        val inflation = floors.get(name).map(f => first / math.max(f, 1e-3))
+          .getOrElse(Double.MaxValue) // no floor → most suspicious
+        (name, first, extraPasses, inflation)
+      }
+      .sortBy { case (name, _, _, inflation) => (-inflation, name) }
+    retimePlan.foreach { case (name, first, extraPasses, _) =>
+      // a retime pass costs about one first pass; +20% headroom and a
+      // 30 s reserve for the floor pass + teardown
+      val estCost = first * 1.2 * extraPasses
+      if (remainingS - 30 > estCost) {
+        val reruns = (1 to extraPasses).map(_ => timeOnce(name, selected(name)))
+        val (_, f0, _, off) = measured.get(name)
+        measured.put(name, ((first +: reruns).min, f0, reruns.head, off))
+        flushDetail(complete = false)
+      } else nRetimesSkipped += extraPasses
     }
-    // Floor-retime pass: any query still above 1.5x its standing
-    // PERF_BASELINE floor AND 0.3 s over it gets re-timed at the END
-    // of the sweep (when the host had time to settle) — a genuine
-    // regression stays slow on the retime, a mid-sweep contention
-    // spike does not. Sub-second queries are included deliberately:
-    // scheduling noise on a stealing microVM inflates them 2-4x and
-    // one end-of-sweep pass each is cheap; the reported record then
-    // carries zero unexplained >2x entries and a ~1.1x median by
-    // construction rather than by luck.
-    val floors = baselineFloors()
-    val fnByName = selected
+    // ---- Phase 3: floor-retime pass, budget-gated -------------------
+    // any query still above 1.5x its standing PERF_BASELINE floor AND
+    // 0.3 s over it gets re-timed at the END of the sweep (when the
+    // host had time to settle) — a genuine regression stays slow on
+    // the retime, a mid-sweep contention spike does not.
     var nFloorRetimes = 0
-    val detailRows = sweepRows.map { case row @ (name, best, first, second, off) =>
+    sweepOrder.foreach { name =>
+      val (best, f0, second, off) = measured.get(name)
       floors.get(name) match {
-        case Some(f) if best > 1.5 * f && best - f > 0.3 =>
+        case Some(f) if best > 1.5 * f && best - f > 0.3 &&
+            remainingS - 10 > best * 2.4 =>
           // counted when the retime FIRES, not when it improves — a
           // confirmed regression (retimes stay slow) must still show
           // up in the record's self-diagnosis
           nFloorRetimes += 1
-          val again = (1 to 2).map(_ => timeOnce(name, fnByName(name)))
-          (name, (best +: again).min, first, second, off)
-        case _ => row
+          val again = (1 to 2).map(_ => timeOnce(name, selected(name)))
+          measured.put(name, ((best +: again).min, f0, second, off))
+          flushDetail(complete = false)
+        case _ => ()
       }
     }
-    val results = detailRows.map { case (n, best, _, _, _) => n -> best }
-    val total = results.map(_._2).sum
     val loadAfter = loadavg()
-    // Full per-query detail goes to a repo file; the stdout line must fit
-    // the driver's bounded stdout-tail capture (measured 2000 chars — a
-    // longer line gets head-truncated and fails its JSON parse), so it
-    // carries only the slowest queries inline, trimmed to a hard budget.
-    val detail = detailRows.map { case (k, best, first, second, off) =>
-      val retime = if (second.isNaN) "null" else second.toString
-      "\"" + k + "\":{\"sec\":" + best + ",\"first\":" + first +
-        ",\"retime\":" + retime + ",\"start_off_sec\":" + off + "}"
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,""" +
-        s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
-        s""""quiet_gate_waited_ms":$waitedMs,"quiet_gate_forced":$gateForced,""" +
-        s""""n_floor_retimes":$nFloorRetimes,""" +
-        s""""wall_start_ms":$wallStart,"retime_threshold_sec":$RetimeThresholdSec,"sf":"$sfDir"}""")
-        .getBytes("UTF-8"))
-    def line(k: Int): String = {
-      val top = results.sortBy(-_._2).take(k).sortBy(_._1)
-      val qs = top.map { case (n, v) => "\"" + n + "\":" + (math.rint(v * 1000) / 1000) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
-    }
-    val fit = (results.size to 1 by -1).view.map(line).find(_.length <= 1800)
-    println(fit.getOrElse(line(1)))
+    putMeta(
+      "loadavg_after" -> s""""$loadAfter"""",
+      "n_floor_retimes" -> nFloorRetimes.toString,
+      "n_retimes_skipped" -> nRetimesSkipped.toString,
+      "sweep_wall_s" -> ((System.currentTimeMillis() - wallStart) / 1e3).toString)
+    flushDetail(complete = true)
+    // Full per-query detail lives in BENCH_DETAIL.json; the stdout line
+    // must fit the driver's bounded stdout-tail capture (measured 2000
+    // chars — a longer line gets head-truncated and fails its JSON
+    // parse), so it carries only the slowest queries inline.
+    println(totalLine(resultsSnapshot(), sfDir, complete = true))
+    finalLinePrinted = true
     spark.stop()
   }
 }
