@@ -588,9 +588,24 @@ object Ann {
     // cheap codegen over in-memory blocks; the parquet scan and any
     // upstream lineage execute once).
     val embX = emb.select(col(idCol), col(vecCol)).localCheckpoint(true)
-    val exact = cosineTopK(embX, idCol, vecCol, nQueries, k)
-      .select(col("q_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+    // The exact baseline and the six index builds are independent
+    // deterministic chains over the shared checkpointed projection,
+    // several with eager internal materializations (IVF/PQ centroid
+    // training rounds, bucket checkpoints) — overlap their
+    // construction (Par.seq, guide §2.6): the wall drops toward the
+    // slowest single chain, the panel rows are bit-identical.
+    val built = Par.seq[DataFrame](Seq(
+      () => cosineTopK(embX, idCol, vecCol, nQueries, k)
+        .select(col("q_id"), col("neighbor_id"))
+        .localCheckpoint(true),
+      () => lshTopK(embX, idCol, vecCol, nQueries, k),
+      () => lshMultiProbeTopK(embX, idCol, vecCol, nQueries, k),
+      () => ivfTopK(embX, idCol, vecCol, nQueries, k),
+      () => pqTopK(embX, idCol, vecCol, nQueries, k),
+      () => ivfPqTopK(embX, idCol, vecCol, nQueries, k,
+        nProbe = 6, shortlistFactor = 8),
+      () => sq8TopK(embX, idCol, vecCol, nQueries, k)))
+    val exact = built(0)
     def row(method: String, approx: DataFrame): DataFrame =
       exact.join(approx.select(col("q_id"), col("neighbor_id"),
           lit(1L).as("__graft_hit")),
@@ -600,14 +615,12 @@ object Ann {
         .select(lit(method).as("method"), col("n_truth"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_truth").cast("double"))
             .as("recall_at_k"))
-    row("lsh", lshTopK(embX, idCol, vecCol, nQueries, k))
-      .unionByName(row("lsh_multiprobe",
-        lshMultiProbeTopK(embX, idCol, vecCol, nQueries, k)))
-      .unionByName(row("ivf", ivfTopK(embX, idCol, vecCol, nQueries, k)))
-      .unionByName(row("pq", pqTopK(embX, idCol, vecCol, nQueries, k)))
-      .unionByName(row("ivf_pq", ivfPqTopK(embX, idCol, vecCol, nQueries, k,
-        nProbe = 6, shortlistFactor = 8)))
-      .unionByName(row("sq8", sq8TopK(embX, idCol, vecCol, nQueries, k)))
+    row("lsh", built(1))
+      .unionByName(row("lsh_multiprobe", built(2)))
+      .unionByName(row("ivf", built(3)))
+      .unionByName(row("pq", built(4)))
+      .unionByName(row("ivf_pq", built(5)))
+      .unionByName(row("sq8", built(6)))
   }
 
   /** FILTERED vector search — exact cosine top-k where the corpus is
@@ -767,16 +780,35 @@ object Ann {
     // rounding (measured: the per-dim means diverged at 1e-15);
     // grid-quantized values sit within ~1e-22 of a 1e-12 multiple, so
     // every downstream DECIMAL(28,12) cast is provably tie-free.
-    val comps = emb.filter(col(vecCol).isNotNull)
+    // ARRAY-form corpus relation (r15, guide §2.3/§2.4): the old shape
+    // exploded the corpus to (vec_id, dim_pos, v) — n·d rows — THEN
+    // self-joined that relation on vec_id to enumerate the gi ≤ gj
+    // component pairs (n·d(d+1)/2 join-output rows through a hash
+    // join whose build side was the n·d-row relation itself, plus two
+    // n·d-row checkpoints). The quantized, centered vector is ONE
+    // array row per vec_id instead; the means panel still needs one
+    // exploded pass, but the pair enumeration becomes two chained
+    // generators over the array (the Recsys.coOccurrenceCounts
+    // pattern) — no join, no n·d checkpoints. Products, grids and
+    // DECIMAL(28,12) order-free sums are the identical op sequence,
+    // so every Gram cell (and the oracle hash) is bit-identical.
+    val vq = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim_pos", "vr")))
-      .select(col("vec_id"), col("dim_pos"),
-        (floor(col("vr") * lit(1e6)) / lit(1e6)).as("v"))
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(1e6)) / lit(1e6)).as("varr"))
       .localCheckpoint(true)
-    val means = comps.groupBy(col("dim_pos"))
+    val means = vq
+      .select(posexplode(col("varr")).as(Seq("dim_pos", "v")))
+      .groupBy(col("dim_pos"))
       .agg((sum(col("v").cast(d28)).cast("double") / count(lit(1))).as("mu"))
-    val centered = comps.join(broadcast(means), "dim_pos")
-      .select(col("vec_id"), col("dim_pos"), (col("v") - col("mu")).as("cv"))
+      .orderBy(col("dim_pos"))
+    // means is a d-row panel: collect it once and center the arrays
+    // with a zip against the literal mean vector — (v - mu) per
+    // component, the same IEEE subtract as the old broadcast join.
+    val muArr = array(means.collect().map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val centered = vq
+      .select(col("vec_id"),
+        zip_with(col("varr"), muArr, (v, mu) => v - mu).as("cvarr"))
       .localCheckpoint(true)
     // Every product is floor-quantized to the 1e-6 grid BEFORE its
     // decimal cast: engines do not round full-entropy doubles to
@@ -787,10 +819,13 @@ object Ann {
     // grid-aligned value sits ~1e-22 from its decimal point — no
     // rounding decision left to disagree on.
     def grid6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
-    val gramHalf = centered.as("a").join(centered.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.dim_pos") <= col("b.dim_pos"))
-      .groupBy(col("a.dim_pos").as("gi"), col("b.dim_pos").as("gj"))
-      .agg(sum(grid6(col("a.cv") * col("b.cv")).cast(d28)).cast("double").as("gij"))
+    val gramHalf = centered
+      .select(posexplode(col("cvarr")).as(Seq("gi", "cvi")), col("cvarr"))
+      .select(col("gi"), col("cvi"),
+        posexplode(slice(col("cvarr"), col("gi") + lit(1), lit(Int.MaxValue)))
+          .as(Seq("__joff", "cvj")))
+      .groupBy(col("gi"), (col("gi") + col("__joff")).as("gj"))
+      .agg(sum(grid6(col("cvi") * col("cvj")).cast(d28)).cast("double").as("gij"))
     // d(d+1)/2 cells — a FIXED-size panel (4160 rows at d=64) at any
     // corpus scale; collecting it is metadata traffic, not data.
     val g = Array.ofDim[Double](dim, dim)
@@ -824,13 +859,19 @@ object Ann {
       val nrm = math.sqrt(nacc.doubleValue())
       r = rn.map(_ / nrm)
     }
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val rPanel = r.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i, v) }.toDF("dim_pos", "r")
-    centered.join(broadcast(rPanel), "dim_pos")
-      .groupBy(col("vec_id"))
-      .agg(sum(grid6(col("cv") * col("r")).cast(d28)).cast("double").as("pc1_score"))
+    // Final projection rides the array form too: the eigenvector is a
+    // LITERAL d-array, the per-vector score a zip_with product +
+    // exact DECIMAL(28,12) fold — the same grid6 products and the
+    // same exact scale-12 additions the old exploded join + sum
+    // executed (decimal addition is associative and these magnitudes
+    // are nowhere near precision 28, so fold order cannot matter);
+    // one pass over n rows, no explode, no join, no extra exchange.
+    val rArr = array(r.toIndexedSeq.map(lit): _*)
+    centered.select(col("vec_id"),
+      aggregate(zip_with(col("cvarr"), rArr, (c, rv) => grid6(c * rv)),
+        lit(java.math.BigDecimal.ZERO).cast(d28),
+        (acc, x) => (acc + x.cast(d28)).cast(d28))
+        .cast("double").as("pc1_score"))
   }
 
   /** Exact cosine RANGE search: every neighbor with cos ≥ threshold

@@ -1467,12 +1467,18 @@ object CorpusQc {
     */
   def tokenizerCompare(df: DataFrame, idCol: String, textCol: String,
                        bpeRounds: Int = 6): DataFrame = {
-    val b = bpeEncode(df, idCol, textCol, bpeRounds)
-      .select(lit("bpe").as("tokenizer"), col("n_tokens"), col("n_symbols"))
-    val u = unigramEncode(df, idCol, textCol)
-      .select(lit("unigram").as("tokenizer"), col("n_tokens"), col("n_symbols"))
-    val w = wordpieceEncode(df, idCol, textCol, bpeRounds)
-      .select(lit("wordpiece").as("tokenizer"), col("n_tokens"), col("n_symbols"))
+    // The three tokenizer chains are independent deterministic
+    // functions of `df`, but each trains through eager per-round
+    // checkpoints — built sequentially the driver serializes ~3x the
+    // jobs. Overlap the constructions (Par.seq, guide §2.6): wall
+    // drops toward the slowest single chain, results bit-identical.
+    val Seq(b, u, w) = Par.seq(Seq(
+      () => bpeEncode(df, idCol, textCol, bpeRounds)
+        .select(lit("bpe").as("tokenizer"), col("n_tokens"), col("n_symbols")),
+      () => unigramEncode(df, idCol, textCol)
+        .select(lit("unigram").as("tokenizer"), col("n_tokens"), col("n_symbols")),
+      () => wordpieceEncode(df, idCol, textCol, bpeRounds)
+        .select(lit("wordpiece").as("tokenizer"), col("n_tokens"), col("n_symbols"))))
     b.unionByName(u).unionByName(w)
       .groupBy(col("tokenizer"))
       .agg(count(lit(1)).as("n_docs"),

@@ -34,9 +34,22 @@ object Recsys {
     */
   def interactions(raw: DataFrame, userCol: String, itemCol: String,
                    userCap: Int): DataFrame = {
+    // ONE exchange for dedup + cap (r15, guide §2.4): hash-partition by
+    // user FIRST — hashpartitioning(user) satisfies the (user, item)
+    // aggregation's ClusteredDistribution AND the cap window's, so the
+    // distinct agg and the row_number sort both run behind this single
+    // shuffle. The old shape paid two row-scale exchanges: partial agg
+    // → Exchange(user, item) → final agg → Exchange(user) → window.
+    // The lost map-side partial agg collapsed almost nothing here
+    // (duplicate (user, item) rows are rare by construction of the
+    // sources), and at 100 TB the single user-keyed exchange is also
+    // the skew-safe one: per-user volume is about to be capped at
+    // userCap anyway.
     val base = raw
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
-      .groupBy(col(userCol).as("user_id"), col(itemCol).as("item_id"))
+      .select(col(userCol).as("user_id"), col(itemCol).as("item_id"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("item_id"))
       .agg(count(lit(1)).as("__n")).drop("__n")
     val w = Window.partitionBy(col("user_id")).orderBy(col("item_id"))
     base.withColumn("__rn", row_number().over(w))
@@ -155,7 +168,15 @@ object Recsys {
     // gives the broadcast gate a real row count.
     val marginals0 = inter.groupBy(col("item_id"))
       .agg(count(lit(1)).as("n_users")).localCheckpoint(true)
-    val nItems = marginals0.count()
+    // ONE panel aggregate for both gate counts (r15): the item count
+    // (broadcast gate) and the below-floor count (prune gate) used to
+    // be two separate driver round trips over the same checkpointed
+    // panel; a single two-column agg halves the panel-probe latency.
+    val gateRow = marginals0.agg(count(lit(1)).as("__n"),
+      coalesce(sum(when(col("n_users") < minSupport, 1L).otherwise(0L)),
+        lit(0L)).as("__np"))
+      .collect().head
+    val nItems = gateRow.getAs[Long]("__n")
     val marginals = broadcastIfPanel(marginals0, nItems)
     // EXACT pre-prune BEFORE the pair fan-out: n_both <= min(n_a, n_b),
     // so an item whose own support is below the floor cannot survive
@@ -170,9 +191,7 @@ object Recsys {
     // when nothing falls below the floor the semi-join would only add
     // an extra materialization of the interaction relation to the
     // chain — measured ~10-15% on the recsys family — for zero pruning.
-    val nPrunable =
-      if (minSupport <= 1) 0L
-      else marginals0.filter(col("n_users") < minSupport).count()
+    val nPrunable = if (minSupport <= 1) 0L else gateRow.getAs[Long]("__np")
     val pruned =
       if (nPrunable == 0L) inter
       else inter.join(

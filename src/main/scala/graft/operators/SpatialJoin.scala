@@ -56,14 +56,26 @@ object SpatialJoin {
         col("cx") === col("scx") && col("cy") === col("scy") &&
           dist2 <= lit(radius * radius), "left")
       .withColumn("d2", dist2)
-    // NULL d2 (no site in range) sorts LAST, so a real candidate
-    // always wins when one exists and row 1 is NULL only for
-    // genuinely uncovered points
-    val w = Window.partitionBy(col("point_id"))
-      .orderBy(col("d2").asc_nulls_last, col("site_id").asc_nulls_last)
-    cands.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("point_id"), col("px"), col("py"), col("site_id"),
-        q6(sqrt(col("d2"))).as("dist"))
+    // Argmin via min_by instead of a row_number window (r15, guide
+    // §2.3/§2.4): the window shape exchanged EVERY candidate row (9
+    // probe cells per point plus matches) and sorted them per point;
+    // min_by is a declarative aggregate, so the partial aggregate
+    // collapses each point's candidates MAP-SIDE before the exchange
+    // — ~9x fewer shuffled rows — and no sort runs at all. Ordering
+    // is the same (d2 asc nulls last, site_id asc): NULL d2 (no site
+    // in range) maps to +MaxValue which a real candidate (d2 ≤ r²)
+    // always beats, real ties break on site_id in the struct's second
+    // field, and an uncovered point keeps its NULL site because all
+    // of its rows carry a NULL value struct field. px/py are
+    // functionally determined by point_id, so grouping on all three
+    // preserves the output spine exactly.
+    val ord = struct(coalesce(col("d2"), lit(Double.MaxValue)).as("o1"),
+      col("site_id").as("o2"))
+    cands.groupBy(col("point_id"), col("px"), col("py"))
+      .agg(min_by(struct(col("site_id").as("site_id"), col("d2").as("d2")),
+        ord).as("__best"))
+      .select(col("point_id"), col("px"), col("py"),
+        col("__best.site_id").as("site_id"),
+        q6(sqrt(col("__best.d2"))).as("dist"))
   }
 }

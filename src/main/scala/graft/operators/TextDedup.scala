@@ -787,19 +787,33 @@ object TextDedup {
   def dedupRecallEval(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5): DataFrame = {
     val src = df.select(col(idCol), col(textCol)).localCheckpoint(true)
-    val truth = prefixFilterPairs(src, idCol, textCol, threshold = threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    def row(method: String, found: DataFrame): DataFrame = {
+    // truth + the two method-found relations are independent chains
+    // over the shared src checkpoint, each with eager internal
+    // materializations (pair checkpoint + count gate) — overlap their
+    // construction (Par.seq, guide §2.6); each is a pure deterministic
+    // function of src, so the panel is bit-identical to the
+    // sequential build.
+    def foundOf(found: DataFrame): (DataFrame, Long) = {
       val f = found.select(col("doc_a"), col("doc_b")).distinct()
         .localCheckpoint(true)
+      (f, f.count())
+    }
+    val built = Par.seq[AnyRef](Seq(
+      () => prefixFilterPairs(src, idCol, textCol, threshold = threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true),
+      () => foundOf(minhashLsh(src, idCol, textCol, threshold = threshold)),
+      () => foundOf(simhashPairs(src, idCol, textCol))))
+    val truth = built(0).asInstanceOf[DataFrame]
+    def row(method: String, built: (DataFrame, Long)): DataFrame = {
+      val (f, nFound) = built
       // count-gated broadcast (shared Prejoin.broadcastIfSmall): the
       // found-pair relation is checkpointed (stats unknown to the
       // planner), so without the gate this left join plans a
       // SortMergeJoin even when f is panel-sized; at near-dup-mass
       // scale the gate falls back to the shuffle join
       val hits = truth.join(
-          Prejoin.broadcastIfSmall(f.withColumn("__hit", lit(1L)), f.count()),
+          Prejoin.broadcastIfSmall(f.withColumn("__hit", lit(1L)), nFound),
           Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
@@ -809,8 +823,8 @@ object TextDedup {
           (col("n_hit").cast("double") / col("n_truth").cast("double"))
             .as("recall"))
     }
-    row("minhash_lsh", minhashLsh(src, idCol, textCol, threshold = threshold))
-      .unionByName(row("simhash", simhashPairs(src, idCol, textCol)))
+    row("minhash_lsh", built(1).asInstanceOf[(DataFrame, Long)])
+      .unionByName(row("simhash", built(2).asInstanceOf[(DataFrame, Long)]))
   }
 
   /** 64-bit SimHash from a pre-hashed token column (one xxhash64 per
