@@ -606,9 +606,14 @@ object Ann {
         nProbe = 6, shortlistFactor = 8),
       () => sq8TopK(embX, idCol, vecCol, nQueries, k)))
     val exact = built(0)
+    // broadcast the approx side EXPLICITLY: every method's top-k output
+    // is ≤ nQueries·k rows BY CONSTRUCTION (a parameter panel, safe at
+    // any corpus scale), but it sits behind checkpoints/windows whose
+    // stats the planner cannot see — without the hint all six recall
+    // joins planned as SortMergeJoins (measured in the r15 before-plan)
     def row(method: String, approx: DataFrame): DataFrame =
-      exact.join(approx.select(col("q_id"), col("neighbor_id"),
-          lit(1L).as("__graft_hit")),
+      exact.join(broadcast(approx.select(col("q_id"), col("neighbor_id"),
+          lit(1L).as("__graft_hit"))),
           Seq("q_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("__graft_hit"), lit(0L))).as("n_hit"))

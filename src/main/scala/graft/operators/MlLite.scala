@@ -1099,11 +1099,19 @@ object MlLite {
     * shared by [[logisticFit]] and [[permutationImportance]], whose
     * relation must also carry the row id the permutation keys on.
     */
-  private def gdWeights(base: DataFrame, lr: Double, rounds: Int): Array[Double] = {
+  private def gdWeights(base: DataFrame, lr: Double, rounds: Int): Array[Double] =
+    gdWeightsN(base, lr, rounds,
+      base.agg(count(lit(1)).as("n")).collect().head.getAs[Long]("n").toDouble)
+
+  /** [[gdWeights]] with the row count already known — callers that
+    * need the count for their own gates (permutationImportance's
+    * bucket clamp) pass it in instead of paying a second count job
+    * over the same checkpointed relation.
+    */
+  private def gdWeightsN(base: DataFrame, lr: Double, rounds: Int,
+                         n: Double): Array[Double] = {
     require(rounds >= 1 && lr > 0, s"rounds=$rounds lr=$lr")
     val d12 = DecimalType(38, 12)
-    val nRow = base.agg(count(lit(1)).as("n")).collect().head
-    val n = nRow.getAs[Long]("n").toDouble
     var w = Array(0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to rounds) {
       val resid = sigmoidQ(w) - col("y")
@@ -1235,10 +1243,13 @@ object MlLite {
       .filter(col("__id").isNotNull && col("y").isNotNull &&
         col("x1").isNotNull && col("x2").isNotNull && col("x3").isNotNull)
       .localCheckpoint(true)
-    val w = gdWeights(base, lr, rounds)
-    // expected-bucket-size >= 2 clamp (see docstring); base is
-    // eagerly checkpointed so the count reads materialized blocks
-    val effBuckets = math.max(1L, math.min(buckets.toLong, base.count() / 2))
+    // ONE count job feeds both the GD mean divisor and the bucket
+    // clamp (was a separate agg-count inside gdWeights plus this
+    // count — two driver round trips over the same checkpointed base)
+    val nBase = base.count()
+    val w = gdWeightsN(base, lr, rounds, nBase.toDouble)
+    // expected-bucket-size >= 2 clamp (see docstring)
+    val effBuckets = math.max(1L, math.min(buckets.toLong, nBase / 2))
     val keyed = base
       .withColumn("__b",
         graft.operators.Sampling.md5Long32(Seq(col("__id"))) % effBuckets)
