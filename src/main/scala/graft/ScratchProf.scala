@@ -2,7 +2,7 @@ package graft
 object ScratchProf {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Recsys
     val spark = GraftSession.get()
     val d = "/root/testdata/sf0.1"
     def tm(label: String)(f: => Unit): Double = {
@@ -13,11 +13,37 @@ object ScratchProf {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    // replicate geoNearestStop up to cands
-    val q6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6)) / lit(1e6)
-    val geo = SparkEntry.queries("geo_nearest_stop")
-    for (pass <- 1 to 3) {
-      tm(s"p$pass geo WINDOW (current)") { noop(geo(spark, d)) }
+    val raw = Tables(spark, d, "lineitem").join(Tables(spark, d, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("o_custkey"), col("l_partkey"))
+    val inter = Recsys.interactions(raw, "o_custkey", "l_partkey", 1000).localCheckpoint(false)
+    inter.count()
+    // replicate the serving tail's candidates relation
+    val m = classOf[Recsys.type].getDeclaredMethods.find(_.getName == "itemCosineFromInteractions").get
+    m.setAccessible(true)
+    val neighbors = m.invoke(Recsys, inter, Int.box(10), Int.box(2))
+      .asInstanceOf[org.apache.spark.sql.DataFrame].localCheckpoint(true)
+    println("[prof] neighbors rows=" + neighbors.count())
+    val cand0 = inter.join(broadcast(neighbors), Seq("item_id"))
+    println("[prof] candidate rows=" + cand0.count())
+    println("[prof] distinct (user, rec_item)=" + cand0
+      .select(col("user_id"), col("neighbor_id")).distinct().count())
+    for (p <- 1 to 3) {
+      tm(s"p$p tail repartition-first (current)") {
+        noop(cand0.repartition(col("user_id"))
+          .groupBy(col("user_id"), col("neighbor_id").as("rec_item"))
+          .agg((sum(round(col("cosine") * lit(1e6)).cast("long"))
+              .cast("double") / lit(1e6)).as("score"),
+            count(lit(1)).as("n_links")))
+      }
+      tm(s"p$p tail partial-agg (no repartition)") {
+        noop(cand0
+          .groupBy(col("user_id"), col("neighbor_id").as("rec_item"))
+          .agg((sum(round(col("cosine") * lit(1e6)).cast("long"))
+              .cast("double") / lit(1e6)).as("score"),
+            count(lit(1)).as("n_links")))
+      }
     }
     spark.stop()
   }
