@@ -11935,9 +11935,15 @@ object SparkEntry {
     // The min-label fixpoint as a recursive transitive-closure CTE
     // (UNION-distinct terminates it) — shared by dedup_clusters and
     // the corpus-keep endpoint so both replay the SAME cluster set.
+    // jp/edges/clusters are MATERIALIZED (r15, VERDICT #6): the
+    // recursive walk re-scans `edges` every fixpoint round, and
+    // DuckDB inlines non-materialized CTEs — at the 10x-replica gate
+    // the re-inlined shingle join blew the 300 s oracle budget.
+    // MATERIALIZED is a pure evaluation hint: the result set (and so
+    // the driver's hash compare) is unchanged.
     def clusterCtesFor(src: String) =
-      s"""jp AS (${jaccardPairsOracleSql(toksSql, shinglesSql, src = src)}),
-         |edges AS (
+      s"""jp AS MATERIALIZED (${jaccardPairsOracleSql(toksSql, shinglesSql, src = src)}),
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM jp
          |  UNION
          |  SELECT doc_b, doc_a FROM jp),
@@ -11945,7 +11951,7 @@ object SparkEntry {
          |  SELECT src, src FROM edges
          |  UNION
          |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
-         |clusters AS (
+         |clusters AS MATERIALIZED (
          |  SELECT id AS doc_id, MIN(label) AS cluster_id
          |  FROM walk GROUP BY id)""".stripMargin
     val clusterCtes = clusterCtesFor("documents")
